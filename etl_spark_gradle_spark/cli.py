@@ -1,0 +1,70 @@
+"""CLI entry point (parity: ``Main.scala:187-244``):
+
+    python -m etl_spark_gradle_spark.cli --pipeline p.yaml \
+        [--master local[*]] [--conf k=v ...]
+
+Exit code 1 on pipeline failure (``Main.scala:153-155``); structured
+JSON log lines with pipeline/run correlation ids
+(``logging/StructuredLogger.scala:71-95``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _log(level: str, message: str, **fields) -> None:
+    print(
+        json.dumps(
+            {"ts": time.time(), "level": level, "message": message, **fields}, sort_keys=True
+        ),
+        file=sys.stderr,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Run a declarative ETL pipeline")
+    parser.add_argument("--pipeline", required=True, help="path to pipeline YAML")
+    parser.add_argument("--master", default=None, help="Spark master (default local[*])")
+    parser.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra Spark conf, repeatable",
+    )
+    args = parser.parse_args(argv)
+
+    conf: dict[str, str] = {}
+    for entry in args.conf:
+        key, sep, value = entry.partition("=")
+        if not sep:
+            parser.error(f"--conf must be K=V, got {entry!r}")
+        conf[key] = value
+
+    from etl_spark_gradle_spark.plans import PipelineExecutor, load_pipeline_yaml
+    from etl_spark_gradle_spark.session import get_spark
+
+    config = load_pipeline_yaml(args.pipeline)
+    _log("INFO", "pipeline parsed", pipeline_id=config.pipeline_id)
+    spark = get_spark(app_name=config.pipeline_id, master=args.master, conf=conf)
+    metrics = PipelineExecutor().execute(config, spark)
+    _log(
+        "INFO" if metrics.status == "SUCCESS" else "ERROR",
+        "pipeline finished",
+        pipeline_id=metrics.pipeline_id,
+        run_id=metrics.run_id,
+        status=metrics.status,
+        records_loaded=metrics.records_loaded,
+        records_failed=metrics.records_failed,
+        duration_seconds=round(metrics.duration_seconds, 3),
+        error=metrics.error_details,
+    )
+    return 0 if metrics.status == "SUCCESS" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,39 @@
+"""Transformation operators.
+
+Each operator is a pure function ``DataFrame -> DataFrame`` plus a thin
+``Transformer`` adapter carrying config validation, registered in
+``TRANSFORMER_REGISTRY`` by type string — preserving the reference's
+extension contract (``pipeline/TransformerRegistry.scala:13-19``,
+user registration at ``pipeline/ExtractorRegistry.scala:40-42``) without
+the ceremony.
+"""
+
+from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
+    AggregationTransformer,
+    FilterTransformer,
+    JoinTransformer,
+    MapTransformer,
+    RankingTransformer,
+    WindowingTransformer,
+    aggregate,
+    filter_rows,
+    join_view,
+    map_columns,
+    rank_rows,
+    window_aggregate,
+)
+
+TRANSFORMER_REGISTRY = {
+    "filter": FilterTransformer(),
+    "map": MapTransformer(),
+    "aggregation": AggregationTransformer(),
+    "join": JoinTransformer(),
+    "windowing": WindowingTransformer(),
+    # beyond-reference (SURVEY §2.6 / §2.7 extensions)
+    "ranking": RankingTransformer(),
+}
+
+
+def register_transformer(type_key: str, transformer) -> None:
+    """User extension point (parity: ``pipeline/TransformerRegistry.scala:40-42``)."""
+    TRANSFORMER_REGISTRY[type_key.lower()] = transformer

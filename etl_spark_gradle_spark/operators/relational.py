@@ -1,0 +1,490 @@
+"""Relational transformers: filter, map, aggregation, join, windowing,
+ranking (SURVEY.md §2.3, §2.6).
+
+Every operator builds a *lazy* DataFrame plan — no actions, no driver
+materialization — so a pipeline of N transformations is one Catalyst plan
+and Catalyst/AQE choose the physical strategy (broadcast vs sort-merge
+join, partial aggregation, skew splitting). That is the whole scale
+story: these operators are declarative descriptions, not executors.
+
+Parity anchors into the reference (cited per operator):
+- filter:      transformer/FilterTransformer.scala:22-54
+- map:         transformer/MapTransformer.scala:24-73
+- aggregation: transformer/AggregationTransformer.scala:28-82
+- join:        transformer/JoinTransformer.scala:31-95
+- windowing:   transformer/WindowingTransformer.scala:28-99
+- ranking:     benchmark/QueryPlanAnalysisSpec.scala:314-339
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.plans.config import (
+    AggregateExpr,
+    RunContext,
+    TransformationConfig,
+    ValidationResult,
+)
+
+
+class TransformationError(ValueError):
+    """Typed transform failure
+    (parity: ``core/TransformationException.scala:10-14``)."""
+
+
+# ---------------------------------------------------------------------------
+# Aggregate function surface
+# ---------------------------------------------------------------------------
+
+# Whitelist mirrors transformer/AggregationTransformer.scala:116 (9 fns),
+# extended with distinct/approximate aggregates (SURVEY §2.7 extensions —
+# stock Spark, free to expose, and essential at 100 TB where exact
+# count-distinct shuffles every value).
+_AGG_FUNCTIONS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "first": F.first,
+    "last": F.last,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+    # extensions
+    "count_distinct": lambda c: F.countDistinct(c),
+    "approx_count_distinct": lambda c: F.approx_count_distinct(c),
+    "stddev": F.stddev,
+    "variance": F.variance,
+    "median": F.median,
+}
+
+
+def _agg_column(spec: AggregateExpr):
+    """Build one aggregate Column from an AggregateExpr
+    (fn dispatch parity: ``transformer/AggregationTransformer.scala:47-64``,
+    incl. ``count("*")`` support)."""
+    fn = _AGG_FUNCTIONS.get(spec.function.lower())
+    if fn is None:
+        raise TransformationError(
+            f"unsupported aggregate function '{spec.function}' "
+            f"(supported: {sorted(_AGG_FUNCTIONS)})"
+        )
+    return fn(spec.column).alias(spec.alias)
+
+
+# ---------------------------------------------------------------------------
+# Pure operator functions (programmatic API — SURVEY §3.3 level (c))
+# ---------------------------------------------------------------------------
+
+
+def filter_rows(df: DataFrame, condition: str) -> DataFrame:
+    """Row filter by arbitrary Spark SQL boolean expression
+    (parity: ``transformer/FilterTransformer.scala:40``).
+
+    Because the predicate stays a Catalyst expression, it is pushed down
+    to the scan (visible as ``PushedFilters`` on Parquet/JDBC) — never a
+    Python callback.
+    """
+    if not condition or not condition.strip():
+        raise TransformationError("filter requires a non-empty 'condition'")
+    return df.filter(F.expr(condition))
+
+
+def map_columns(df: DataFrame, expressions: list[tuple[str, str]]) -> DataFrame:
+    """Sequential ``withColumn(alias, expr)`` — rename / cast / computed
+    columns / JSON extraction (parity: ``transformer/MapTransformer.scala:56-59``;
+    later expressions see earlier aliases, order matters).
+    """
+    if not expressions:
+        raise TransformationError("map requires at least one alias:expression pair")
+    out = df
+    for alias, expression in expressions:
+        out = out.withColumn(alias, F.expr(expression))
+    return out
+
+
+def parse_map_expressions(spec: str) -> list[tuple[str, str]]:
+    """Parse ``"alias:expr,alias2:expr2"`` config strings
+    (parity: ``transformer/MapTransformer.scala:42-53``). Splits on
+    top-level commas only (commas inside parens/quotes belong to the
+    expression, e.g. ``concat(a, ' ', b)``)."""
+    pairs: list[tuple[str, str]] = []
+    depth = 0
+    quote: str | None = None
+    current = []
+    parts: list[str] = []
+    for ch in spec:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(current))
+            current = []
+            continue
+        current.append(ch)
+    if current:
+        parts.append("".join(current))
+    for part in parts:
+        if not part.strip():
+            continue
+        alias, sep, expression = part.partition(":")
+        if not sep or not alias.strip() or not expression.strip():
+            raise TransformationError(f"malformed map expression segment: {part!r}")
+        pairs.append((alias.strip(), expression.strip()))
+    if not pairs:
+        raise TransformationError("map requires at least one alias:expression pair")
+    return pairs
+
+
+def aggregate(
+    df: DataFrame,
+    group_by: list[str],
+    aggregations: list[AggregateExpr],
+) -> DataFrame:
+    """Hash aggregation: ``groupBy(cols).agg(...)`` (parity:
+    ``transformer/AggregationTransformer.scala:67-68``).
+
+    Spark plans this as partial (map-side) + final aggregation
+    automatically, so the shuffle carries pre-combined state, not raw
+    rows — the property that keeps a 100 TB groupBy tractable.
+    Empty ``group_by`` = global aggregation.
+    """
+    if not aggregations:
+        raise TransformationError("aggregation requires at least one AggregateExpr")
+    aggs = [_agg_column(a) for a in aggregations]
+    return df.groupBy(*[F.col(c) for c in group_by]).agg(*aggs)
+
+
+_JOIN_TYPES = {"inner", "left", "right", "full"}
+
+
+def join_view(
+    df: DataFrame,
+    spark: SparkSession,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    join_type: str = "inner",
+    select_columns: list[str] | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join the input (left) against a named temp view (parity:
+    ``transformer/JoinTransformer.scala:54-81``).
+
+    Column-dedup rule preserved exactly: on name collision keep the left
+    DataFrame's column, drop the right's
+    (``transformer/JoinTransformer.scala:69-81``). ``select_columns``
+    honors the documented-but-unimplemented projection of the reference
+    (``docs/CONFIGURATION.md:212-216``). ``broadcast_right`` adds an
+    explicit broadcast hint for known-small dimensions; otherwise the
+    strategy is left to Catalyst/AQE (broadcast vs sort-merge vs
+    shuffled-hash), which at scale also handles skew splitting.
+    """
+    jt = join_type.lower()
+    if jt not in _JOIN_TYPES:
+        raise TransformationError(
+            f"unsupported joinType '{join_type}' (supported: {sorted(_JOIN_TYPES)})"
+        )
+    right = spark.table(right_table)
+    if broadcast_right:
+        right = F.broadcast(right)
+    spark_join_type = {"left": "left_outer", "right": "right_outer", "full": "full_outer"}.get(
+        jt, jt
+    )
+    joined = df.alias("l").join(
+        right.alias("r"),
+        F.col(f"l.{left_key}") == F.col(f"r.{right_key}"),
+        spark_join_type,
+    )
+    # dedup: keep every left column; add right columns whose names don't
+    # collide with a left column
+    left_cols = [F.col(f"l.{c}") for c in df.columns]
+    left_names = set(df.columns)
+    right_cols = [F.col(f"r.{c}") for c in right.columns if c not in left_names]
+    out = joined.select(*left_cols, *right_cols)
+    if select_columns:
+        out = out.select(*select_columns)
+    return out
+
+
+_WINDOW_TYPES = {"tumbling", "sliding", "session"}
+
+
+def window_aggregate(
+    df: DataFrame,
+    time_column: str,
+    window_duration: str,
+    aggregations: list[AggregateExpr],
+    window_type: str = "tumbling",
+    slide_duration: str | None = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Time-window aggregation (parity:
+    ``transformer/WindowingTransformer.scala:49-85``).
+
+    Implements the *documented* semantics — extra ``group_by`` columns
+    alongside the window — rather than the reference implementation's
+    window-only grouping, which SURVEY §2.3 establishes as a bug
+    (``docs/CONFIGURATION.md:225-237`` + the quickstart-2 expected output
+    vs ``transformer/WindowingTransformer.scala:84``). ``session``
+    windows (gap-based) are the spec-promised extension
+    (``specs/001-build-an-application/spec.md:125-126``) via
+    ``F.session_window``.
+
+    The window struct is exposed as it is in the reference
+    (``window.start`` / ``window.end`` accessible downstream).
+    """
+    wt = window_type.lower()
+    if wt not in _WINDOW_TYPES:
+        raise TransformationError(
+            f"unsupported windowType '{window_type}' (supported: {sorted(_WINDOW_TYPES)})"
+        )
+    if not aggregations:
+        raise TransformationError("windowing requires at least one AggregateExpr")
+    if wt == "sliding":
+        if not slide_duration:
+            raise TransformationError("sliding window requires slideDuration")
+        win = F.window(F.col(time_column), window_duration, slide_duration)
+    elif wt == "session":
+        win = F.session_window(F.col(time_column), window_duration)
+    else:
+        win = F.window(F.col(time_column), window_duration)
+    keys = [win.alias("window")] + [F.col(c) for c in (group_by or [])]
+    aggs = [_agg_column(a) for a in aggregations]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def rank_rows(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    rank_function: str = "row_number",
+    top_k: int | None = None,
+    rank_alias: str = "rank",
+) -> DataFrame:
+    """Analytic ranking over ``Window.partitionBy(...).orderBy(...)`` with
+    optional top-k filter (parity:
+    ``benchmark/QueryPlanAnalysisSpec.scala:314-339``).
+
+    ``order_by`` entries accept SQL expressions incl. ``DESC``. With
+    ``top_k``, Spark ≥3.5 rewrites the plan into a WindowGroupLimit
+    (top-k per partition pushed below the shuffle) — no full sort of the
+    100 TB input, each partition keeps k rows before exchanging.
+    """
+    rank_fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    fn = rank_fns.get(rank_function.lower())
+    if fn is None:
+        raise TransformationError(
+            f"unsupported rank function '{rank_function}' (supported: {sorted(rank_fns)})"
+        )
+    def order_col(entry: str):
+        expr, _, direction = entry.strip().rpartition(" ")
+        if direction.upper() == "DESC" and expr:
+            return F.expr(expr).desc()
+        if direction.upper() == "ASC" and expr:
+            return F.expr(expr).asc()
+        return F.expr(entry.strip())
+
+    spec = Window.partitionBy(*[F.col(c) for c in partition_by]).orderBy(
+        *[order_col(e) for e in order_by]
+    )
+    out = df.withColumn(rank_alias, fn().over(spec))
+    if top_k is not None:
+        out = out.filter(F.col(rank_alias) <= top_k)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Transformer adapters (registry API — SURVEY §3.3 level (b))
+# ---------------------------------------------------------------------------
+
+
+def _split_csv(value: str | None) -> list[str]:
+    return [c.strip() for c in (value or "").split(",") if c.strip()]
+
+
+class _BaseTransformer:
+    """Contract (parity: ``core/DataTransformer.scala:36-40``): validate
+    first, throw typed exception on bad config, return a lazy DataFrame."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        raise NotImplementedError
+
+    def transform(
+        self, df: DataFrame, config: TransformationConfig, ctx: RunContext
+    ) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                f"{type(self).__name__} config invalid: " + "; ".join(result.errors)
+            )
+        return self._apply(df, config, ctx)
+
+    def _apply(
+        self, df: DataFrame, config: TransformationConfig, ctx: RunContext
+    ) -> DataFrame:
+        raise NotImplementedError
+
+    def lineage_step(self, config: TransformationConfig) -> str:
+        """Human-readable lineage chain entry (parity:
+        ``transformer/FilterTransformer.scala:77-102`` format
+        ``"filter(condition=age > 30)"``)."""
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"{config.type}({opts})"
+
+
+class FilterTransformer(_BaseTransformer):
+    """Parity: ``transformer/FilterTransformer.scala:22-54``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        if not config.options.get("condition", "").strip():
+            return ValidationResult.fail("filter requires 'condition'")
+        return ValidationResult.ok()
+
+    def _apply(self, df, config, ctx):
+        return filter_rows(df, config.options["condition"])
+
+
+class MapTransformer(_BaseTransformer):
+    """Parity: ``transformer/MapTransformer.scala:24-73``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        spec = config.options.get("expressions", "")
+        if not spec.strip():
+            return ValidationResult.fail("map requires 'expressions'")
+        try:
+            parse_map_expressions(spec)
+        except TransformationError as e:
+            return ValidationResult.fail(str(e))
+        return ValidationResult.ok()
+
+    def _apply(self, df, config, ctx):
+        return map_columns(df, parse_map_expressions(config.options["expressions"]))
+
+
+class AggregationTransformer(_BaseTransformer):
+    """Parity: ``transformer/AggregationTransformer.scala:28-82``.
+
+    Config validation against the input schema (referenced columns must
+    exist, functions whitelisted) mirrors
+    ``transformer/AggregationTransformer.scala:84-128``.
+    """
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        if not config.aggregations:
+            errors.append("aggregation requires 'aggregations'")
+        cols = set(df.columns)
+        for group_col in _split_csv(config.options.get("groupBy")):
+            if group_col not in cols:
+                errors.append(f"groupBy column not in input schema: {group_col}")
+        for spec in config.aggregations:
+            if spec.function.lower() not in _AGG_FUNCTIONS:
+                errors.append(f"unsupported aggregate function: {spec.function}")
+            if spec.column != "*" and spec.column not in cols:
+                errors.append(f"aggregate column not in input schema: {spec.column}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        return aggregate(df, _split_csv(config.options.get("groupBy")), list(config.aggregations))
+
+
+class JoinTransformer(_BaseTransformer):
+    """Parity: ``transformer/JoinTransformer.scala:31-95``; right side is
+    a named temp view (default ``right_table``), plus the documented
+    ``selectColumns`` projection and an explicit ``broadcast`` hint knob."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        if not opts.get("leftKey"):
+            errors.append("join requires 'leftKey'")
+        if not opts.get("rightKey"):
+            errors.append("join requires 'rightKey'")
+        jt = opts.get("joinType", "inner").lower()
+        if jt not in _JOIN_TYPES:
+            errors.append(f"unsupported joinType: {jt}")
+        if opts.get("leftKey") and opts["leftKey"] not in df.columns:
+            errors.append(f"leftKey not in input schema: {opts['leftKey']}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return join_view(
+            df,
+            ctx.spark,
+            right_table=opts.get("rightTable", "right_table"),
+            left_key=opts["leftKey"],
+            right_key=opts["rightKey"],
+            join_type=opts.get("joinType", "inner"),
+            select_columns=_split_csv(opts.get("selectColumns")) or None,
+            broadcast_right=opts.get("broadcast", "").lower() in ("true", "1", "yes"),
+        )
+
+
+class WindowingTransformer(_BaseTransformer):
+    """Parity: ``transformer/WindowingTransformer.scala:28-99``; accepts
+    both ``timeColumn`` (code) and ``timestampColumn`` (shipped YAML)
+    spellings (SURVEY §2.3)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        wt = opts.get("windowType", "tumbling").lower()
+        if wt not in _WINDOW_TYPES:
+            errors.append(f"unsupported windowType: {wt}")
+        tc = opts.get("timeColumn") or opts.get("timestampColumn")
+        if not tc:
+            errors.append("windowing requires 'timeColumn'")
+        elif tc not in df.columns:
+            errors.append(f"timeColumn not in input schema: {tc}")
+        if not opts.get("windowDuration"):
+            errors.append("windowing requires 'windowDuration'")
+        if wt == "sliding" and not opts.get("slideDuration"):
+            errors.append("sliding window requires 'slideDuration'")
+        if not config.aggregations:
+            errors.append("windowing requires 'aggregations'")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return window_aggregate(
+            df,
+            time_column=opts.get("timeColumn") or opts["timestampColumn"],
+            window_duration=opts["windowDuration"],
+            aggregations=list(config.aggregations),
+            window_type=opts.get("windowType", "tumbling"),
+            slide_duration=opts.get("slideDuration"),
+            group_by=_split_csv(opts.get("groupBy")) or None,
+        )
+
+
+class RankingTransformer(_BaseTransformer):
+    """Extension operator (capability demonstrated in
+    ``benchmark/QueryPlanAnalysisSpec.scala:314-339``)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        if not _split_csv(config.options.get("orderBy")):
+            errors.append("ranking requires 'orderBy'")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        top_k = opts.get("topK")
+        return rank_rows(
+            df,
+            partition_by=_split_csv(opts.get("partitionBy")),
+            order_by=_split_csv(opts.get("orderBy")),
+            rank_function=opts.get("rankFunction", "row_number"),
+            top_k=int(top_k) if top_k else None,
+            rank_alias=opts.get("alias", "rank"),
+        )

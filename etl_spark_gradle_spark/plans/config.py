@@ -1,0 +1,346 @@
+"""Pipeline config data model + YAML frontend.
+
+Implements the de-facto config semantics of the reference (SURVEY.md §1.5):
+the reference ships three divergent config models; we follow the shape its
+parser + tests actually consume (``config/YAMLConfigParser.scala:78-146``,
+``src/test/scala/com/etl/integration/QuickstartScenario1Spec.scala:117-160``)
+and accept both ``options:`` and ``parameters:`` spellings
+(``pipelines/quickstart-1-sales-aggregation.yaml:5`` uses ``options`` while
+``config/YAMLConfigParser.scala:91`` reads ``parameters``).
+
+There is no query language: the IR *is* ``PipelineConfig`` — a declarative
+source / ordered-transformations / sink tree. Each DataFrame call it turns
+into builds one lazy Catalyst plan; optimization is Catalyst's job.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+class ConfigError(ValueError):
+    """Raised on malformed pipeline configuration
+    (parity: ``config/ConfigurationException`` usage in
+    ``config/YAMLConfigParser.scala:30-45``)."""
+
+
+@dataclass(frozen=True)
+class ValidationResult:
+    """Parity: ``core/ValidationResult.scala:9-12``."""
+
+    is_valid: bool
+    errors: tuple[str, ...] = ()
+
+    @staticmethod
+    def ok() -> "ValidationResult":
+        return ValidationResult(True, ())
+
+    @staticmethod
+    def fail(*errors: str) -> "ValidationResult":
+        return ValidationResult(False, tuple(errors))
+
+    def raise_if_invalid(self, context: str) -> None:
+        if not self.is_valid:
+            raise ConfigError(f"{context}: " + "; ".join(self.errors))
+
+
+@dataclass(frozen=True)
+class AggregateExpr:
+    """One aggregation spec (parity: ``core/AggregateExpr.scala:10-14``)."""
+
+    column: str
+    function: str
+    alias: str
+
+
+@dataclass(frozen=True)
+class SourceConfig:
+    """Parity: SURVEY §1.5 ``SourceConfig``."""
+
+    type: str  # kafka | postgres | mysql | s3 | file (alias of s3)
+    options: dict[str, str] = field(default_factory=dict)
+    credentials_path: str | None = None
+    schema_path: str | None = None
+
+
+@dataclass(frozen=True)
+class TransformationConfig:
+    """Parity: ``config/YAMLConfigParser.scala:105-124`` merged with the
+    test-suite shape (name + options)."""
+
+    type: str
+    name: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+    aggregations: tuple[AggregateExpr, ...] = ()
+
+
+@dataclass(frozen=True)
+class SinkConfig:
+    """Parity: SURVEY §1.5 ``SinkConfig``; write-mode matrix per
+    ``loader/S3Loader.scala:53-60`` / ``loader/PostgresLoader.scala:54-90``."""
+
+    type: str
+    options: dict[str, str] = field(default_factory=dict)
+    credentials_path: str | None = None
+    write_mode: str = "append"  # append | overwrite | upsert
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class PerformanceConfig:
+    """Parity: ``config/YAMLConfigParser.scala:126-131`` + test shape
+    (``benchmark/BatchPerformanceSpec.scala:117-121``). The reference's
+    ``cacheIntermediate`` is config-only dead code; here it is honored."""
+
+    repartition: int | None = None
+    shuffle_partitions: int | None = None
+    cache_intermediate: bool = False
+    batch_size: int | None = None
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    """Parity: ``config/YAMLConfigParser.scala:133-146``. Unlike the
+    reference (``pipeline/PipelineExecutor.scala:113`` hardcodes the
+    quarantine path), ``quarantine_path`` is honored."""
+
+    schema_validation: bool = False
+    null_checks: tuple[str, ...] = ()
+    duplicate_check: bool = False
+    quarantine_path: str | None = None
+
+    @property
+    def enabled(self) -> bool:
+        return bool(self.schema_validation or self.null_checks or self.duplicate_check)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """The whole plan (parity: ``config/YAMLConfigParser.scala:78-85``)."""
+
+    pipeline_id: str
+    source: SourceConfig
+    transformations: tuple[TransformationConfig, ...]
+    sink: SinkConfig
+    performance: PerformanceConfig = PerformanceConfig()
+    quality: QualityConfig = QualityConfig()
+
+
+@dataclass(frozen=True)
+class RunContext:
+    """Parity: ``Main.scala:92-96``."""
+
+    pipeline_id: str
+    run_id: str
+    spark: Any  # SparkSession; typed loosely to keep config importable w/o Spark
+
+    @staticmethod
+    def create(pipeline_id: str, spark: Any) -> "RunContext":
+        return RunContext(pipeline_id, str(uuid.uuid4()), spark)
+
+
+@dataclass
+class ExecutionMetrics:
+    """Parity: ``core/ExecutionMetrics.scala:17-28``."""
+
+    pipeline_id: str
+    run_id: str
+    start_timestamp: float = 0.0
+    end_timestamp: float = 0.0
+    records_extracted: int = 0
+    records_transformed: int = 0
+    records_loaded: int = 0
+    records_failed: int = 0
+    status: str = "PENDING"  # PENDING | RUNNING | SUCCESS | FAILED
+    error_details: str | None = None
+
+    @property
+    def duration_seconds(self) -> float:
+        return max(0.0, self.end_timestamp - self.start_timestamp)
+
+
+@dataclass(frozen=True)
+class LoadResult:
+    """Parity: ``core/LoadResult.scala:11-16`` /
+    ``loader/S3Loader.scala:104-108``."""
+
+    records_written: int
+    records_failed: int = 0
+    success: bool = True
+    error_message: str | None = None
+    sink_type: str | None = None
+    write_mode: str | None = None
+
+
+@dataclass(frozen=True)
+class LineageMetadata:
+    """Parity: ``extractor/KafkaExtractor.scala:104-109``."""
+
+    source_type: str
+    source_identifier: str
+    extraction_timestamp: str
+    transformation_chain: tuple[str, ...] = ()
+
+
+# ---------------------------------------------------------------------------
+# YAML frontend
+# ---------------------------------------------------------------------------
+
+_ENV_PATTERN = re.compile(r"\$\{(?:ENV|VAULT):([A-Za-z0-9_./-]+)\}")
+
+
+def _resolve_secrets(value: str) -> str:
+    """Resolve ``${ENV:NAME}`` / ``${VAULT:path}`` placeholders.
+
+    The reference resolves credentials through a Vault client
+    (``Main.scala:72``); in this engine both spellings resolve from the
+    process environment (a real Vault adapter would slot in here) so that
+    no secret ever lands in the YAML file itself.
+    """
+
+    def sub(m: re.Match[str]) -> str:
+        key = m.group(1).replace("/", "_").replace(".", "_")
+        resolved = os.environ.get(key)
+        if resolved is None:
+            raise ConfigError(f"unresolvable secret placeholder: {m.group(0)}")
+        return resolved
+
+    return _ENV_PATTERN.sub(sub, value)
+
+
+def _str_options(raw: Any, where: str) -> dict[str, str]:
+    if raw is None:
+        return {}
+    if not isinstance(raw, dict):
+        raise ConfigError(f"{where}: options must be a mapping, got {type(raw).__name__}")
+    return {str(k): _resolve_secrets(str(v)) for k, v in raw.items()}
+
+
+def _options_of(node: dict[str, Any], where: str) -> dict[str, str]:
+    """Accept both ``options:`` and ``parameters:`` (SURVEY §0 caveat)."""
+    merged: dict[str, str] = {}
+    merged.update(_str_options(node.get("parameters"), where))
+    merged.update(_str_options(node.get("options"), where))
+    return merged
+
+
+def _parse_aggregations(raw: Any, where: str) -> tuple[AggregateExpr, ...]:
+    if raw is None:
+        return ()
+    if not isinstance(raw, list):
+        raise ConfigError(f"{where}: aggregations must be a list")
+    out = []
+    for i, item in enumerate(raw):
+        if not isinstance(item, dict):
+            raise ConfigError(f"{where}: aggregations[{i}] must be a mapping")
+        try:
+            column = str(item["column"])
+            function = str(item["function"])
+        except KeyError as e:
+            raise ConfigError(f"{where}: aggregations[{i}] missing {e}") from None
+        alias = str(item.get("alias") or f"{function}_{column}".replace("*", "all"))
+        out.append(AggregateExpr(column, function, alias))
+    return tuple(out)
+
+
+def parse_pipeline_dict(doc: dict[str, Any]) -> PipelineConfig:
+    """Parse an already-loaded YAML mapping into a ``PipelineConfig``.
+
+    Mirrors ``config/YAMLConfigParser.scala:47-146`` with the §0
+    de-facto merged schema.
+    """
+    if not isinstance(doc, dict):
+        raise ConfigError("pipeline YAML must be a mapping at top level")
+
+    pipeline_id = doc.get("pipelineId") or doc.get("pipeline_id") or doc.get("name")
+    if not pipeline_id:
+        raise ConfigError("pipelineId is required")
+
+    src_node = doc.get("source")
+    if not isinstance(src_node, dict) or "type" not in src_node:
+        raise ConfigError("source with a type is required")
+    source = SourceConfig(
+        type=str(src_node["type"]).lower(),
+        options=_options_of(src_node, "source"),
+        credentials_path=src_node.get("credentialsPath"),
+        schema_path=src_node.get("schemaPath"),
+    )
+
+    transformations = []
+    for i, t_node in enumerate(doc.get("transformations") or []):
+        if not isinstance(t_node, dict) or "type" not in t_node:
+            raise ConfigError(f"transformations[{i}]: type is required")
+        where = f"transformations[{i}]"
+        transformations.append(
+            TransformationConfig(
+                type=str(t_node["type"]).lower(),
+                name=t_node.get("name"),
+                options=_options_of(t_node, where),
+                aggregations=_parse_aggregations(t_node.get("aggregations"), where),
+            )
+        )
+
+    sink_node = doc.get("sink")
+    if not isinstance(sink_node, dict) or "type" not in sink_node:
+        raise ConfigError("sink with a type is required")
+    partition_by_raw = sink_node.get("partitionBy") or sink_node.get("partition_by") or ()
+    if isinstance(partition_by_raw, str):
+        partition_by = tuple(c.strip() for c in partition_by_raw.split(",") if c.strip())
+    else:
+        partition_by = tuple(str(c) for c in partition_by_raw)
+    write_mode = str(sink_node.get("writeMode") or sink_node.get("write_mode") or "append").lower()
+    if write_mode not in ("append", "overwrite", "upsert"):
+        raise ConfigError(f"sink.writeMode must be append|overwrite|upsert, got {write_mode}")
+    sink = SinkConfig(
+        type=str(sink_node["type"]).lower(),
+        options=_options_of(sink_node, "sink"),
+        credentials_path=sink_node.get("credentialsPath"),
+        write_mode=write_mode,
+        partition_by=partition_by,
+    )
+
+    perf_node = doc.get("performance") or {}
+    performance = PerformanceConfig(
+        repartition=int(perf_node["repartition"]) if perf_node.get("repartition") else None,
+        shuffle_partitions=(
+            int(perf_node["shufflePartitions"]) if perf_node.get("shufflePartitions") else None
+        ),
+        cache_intermediate=bool(perf_node.get("cacheIntermediate", False)),
+        batch_size=int(perf_node["batchSize"]) if perf_node.get("batchSize") else None,
+    )
+
+    q_node = doc.get("quality") or {}
+    null_checks_raw = q_node.get("nullChecks") or ()
+    if isinstance(null_checks_raw, str):
+        null_checks = tuple(c.strip() for c in null_checks_raw.split(",") if c.strip())
+    else:
+        null_checks = tuple(str(c) for c in null_checks_raw)
+    quality = QualityConfig(
+        schema_validation=bool(q_node.get("schemaValidation", False)),
+        null_checks=null_checks,
+        duplicate_check=bool(q_node.get("duplicateCheck", False)),
+        quarantine_path=q_node.get("quarantinePath"),
+    )
+
+    return PipelineConfig(
+        pipeline_id=str(pipeline_id),
+        source=source,
+        transformations=tuple(transformations),
+        sink=sink,
+        performance=performance,
+        quality=quality,
+    )
+
+
+def load_pipeline_yaml(path: str) -> PipelineConfig:
+    """Load + parse a pipeline YAML file
+    (parity: ``config/YAMLConfigParser.scala:23-45``)."""
+    with open(path, encoding="utf-8") as f:
+        doc = yaml.safe_load(f)
+    return parse_pipeline_dict(doc)

@@ -1,0 +1,157 @@
+"""Data-quality engine: null-check split, null/duplicate metrics,
+schema validation, quarantine (SURVEY.md §2.4).
+
+Parity anchors:
+- null split:     quality/DataQualityChecker.scala:139-153
+- null metrics:   quality/DataQualityChecker.scala:61-114
+- dup detection:  quality/DataQualityChecker.scala:87-96
+- schema check:   quality/SchemaValidator.scala:34-97
+- quarantine:     quality/QuarantineWriter.scala:26-96
+
+Scale notes vs the reference: null metrics there run one
+``filter(isNull).count()`` job per column; here it is a single-pass
+aggregate (one job regardless of column count). Duplicate detection via
+``distinct().count()`` is a full shuffle of every column — kept for
+parity in ``duplicate_metrics`` but the dedup operators in
+``operators/dedup.py`` are the scalable alternatives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+from etl_spark_gradle_spark.plans.config import ValidationResult
+
+
+def null_check_condition(columns: list[str]):
+    """Conjunction of ``col IS NOT NULL`` (parity:
+    ``quality/DataQualityChecker.scala:139-146``)."""
+    cond = F.lit(True)
+    for c in columns:
+        cond = cond & F.col(c).isNotNull()
+    return cond
+
+
+def split_valid_invalid(df: DataFrame, null_checks: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Return (valid, invalid) by the null-check conjunction (parity:
+    ``quality/DataQualityChecker.scala:139-153``). Both frames are lazy
+    filters over the same plan; Spark scans once per action on each."""
+    if not null_checks:
+        return df, df.limit(0)
+    cond = null_check_condition(null_checks)
+    return df.filter(cond), df.filter(~cond)
+
+
+def null_metrics(df: DataFrame, columns: list[str]) -> dict[str, int]:
+    """Per-column null counts in ONE aggregate job (the reference runs a
+    job per column, ``quality/DataQualityChecker.scala:61-82``)."""
+    if not columns:
+        return {}
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in columns
+    ] + [F.count(F.lit(1)).alias("__total")]
+    row = df.agg(*aggs).collect()[0]
+    out = {c: int(row[c] or 0) for c in columns}
+    out["__total"] = int(row["__total"])
+    return out
+
+
+def duplicate_metrics(df: DataFrame) -> dict[str, int]:
+    """Full-row duplicate count (parity:
+    ``quality/DataQualityChecker.scala:87-96``)."""
+    total = df.count()
+    distinct = df.distinct().count()
+    return {"total": total, "distinct": distinct, "duplicates": total - distinct}
+
+
+def _types_compatible(actual: DataType, expected: DataType) -> bool:
+    """Recursive type match for struct/array/map (parity:
+    ``quality/SchemaValidator.scala:78-97``)."""
+    if isinstance(expected, StructType) and isinstance(actual, StructType):
+        expected_fields = {f.name: f for f in expected.fields}
+        for f in actual.fields:
+            if f.name not in expected_fields:
+                return False
+            if not _types_compatible(f.dataType, expected_fields[f.name].dataType):
+                return False
+        return len(actual.fields) == len(expected.fields)
+    if isinstance(expected, ArrayType) and isinstance(actual, ArrayType):
+        return _types_compatible(actual.elementType, expected.elementType)
+    if isinstance(expected, MapType) and isinstance(actual, MapType):
+        return _types_compatible(actual.keyType, expected.keyType) and _types_compatible(
+            actual.valueType, expected.valueType
+        )
+    return actual.simpleString() == expected.simpleString()
+
+
+def validate_schema(actual: StructType, expected: StructType) -> ValidationResult:
+    """Compare actual vs expected StructType: missing columns, extra
+    columns, type mismatches, nullability violations (parity:
+    ``quality/SchemaValidator.scala:34-71``). Pure metadata — no job."""
+    errors = []
+    actual_by_name = {f.name: f for f in actual.fields}
+    expected_by_name = {f.name: f for f in expected.fields}
+    for name in expected_by_name:
+        if name not in actual_by_name:
+            errors.append(f"missing column: {name}")
+    for name in actual_by_name:
+        if name not in expected_by_name:
+            errors.append(f"unexpected column: {name}")
+    for name, exp in expected_by_name.items():
+        act = actual_by_name.get(name)
+        if act is None:
+            continue
+        if not _types_compatible(act.dataType, exp.dataType):
+            errors.append(
+                f"type mismatch for {name}: expected {exp.dataType.simpleString()}, "
+                f"got {act.dataType.simpleString()}"
+            )
+        if act.nullable and not exp.nullable:
+            errors.append(f"nullability violation for {name}: expected non-nullable")
+    return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+
+def quarantine(
+    df: DataFrame, path: str, pipeline_id: str, run_id: str
+) -> int:
+    """Stamp quarantine metadata and append as Parquet (parity:
+    ``quality/QuarantineWriter.scala:26-43``). Returns rows quarantined
+    (observed on the write action — no second job)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    stamped = (
+        df.withColumn("quarantine_timestamp", F.current_timestamp())
+        .withColumn("pipeline_id", F.lit(pipeline_id))
+        .withColumn("run_id", F.lit(run_id))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    stamped.write.mode("append").parquet(path)
+    return int(obs.get["n"])
+
+
+def read_quarantine(
+    spark, path: str, pipeline_id: str | None = None, run_id: str | None = None
+) -> DataFrame:
+    """Read back quarantined rows with optional filters (parity:
+    ``quality/QuarantineWriter.scala:79-96``)."""
+    df = spark.read.parquet(path)
+    if pipeline_id:
+        df = df.filter(F.col("pipeline_id") == pipeline_id)
+    if run_id:
+        df = df.filter(F.col("run_id") == run_id)
+    return df
+
+
+@dataclass
+class QualityReport:
+    """Aggregated quality outcome for one run."""
+
+    null_violations: int = 0
+    duplicates: int = 0
+    schema_errors: tuple[str, ...] = field(default_factory=tuple)
+    quarantined: int = 0

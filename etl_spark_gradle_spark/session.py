@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference ships Spark tuning in a never-loaded config file
+(``src/main/resources/application.conf:3-27`` — AQE, skew join, Kryo,
+shuffle compression); here the same intent is applied for real at
+session-build time. Defaults are chosen for the 100 TB design point but
+overridable per pipeline (``PerformanceConfig``) and per call.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level defaults. Rationale:
+# - AQE + coalescePartitions + skewJoin: runtime re-planning replaces any
+#   hand-tuned shuffle sizing; mandatory at scale where static stats lie.
+# - shuffle.partitions: a high static ceiling; AQE coalesces down. On a
+#   real cluster this should be ~2-3x total cores; local tests override.
+# - autoBroadcastJoinThreshold: dimension tables (region/nation/customer
+#   at small SF) broadcast instead of shuffling the fact table.
+# - Arrow: every pandas_udf / mapInPandas transfer is Arrow-batched.
+# - maxPartitionBytes 128m: target scan-split size, keeps partitions
+#   within executor memory at 100 TB (≈ 800k splits, fine for Spark).
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    # Reference semantics: Spark 3.5 default (ANSI off) — lenient casts
+    # (CAST('4200.5' AS INT) truncates instead of raising), matching
+    # transformer/MapTransformerSpec.scala:72-100 behavior on Spark 4.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "etl-spark-gradle-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    ``local[*]``) so tests and bench share one entry point; on a real
+    cluster pass ``master=None`` with an external cluster manager config
+    or set it explicitly.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    merged = dict(_DEFAULTS)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,198 @@
+"""End-to-end pipeline tests (SURVEY §5 layer 4), file-backed like the
+reference's integration scenarios (H2/local-FS fakes; FR-029)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+import yaml
+
+from etl_spark_gradle_spark.plans import (
+    AggregateExpr,
+    PipelineConfig,
+    PipelineExecutor,
+    PerformanceConfig,
+    QualityConfig,
+    SinkConfig,
+    SourceConfig,
+    TransformationConfig,
+    load_pipeline_yaml,
+    parse_pipeline_dict,
+)
+from etl_spark_gradle_spark.plans.config import ConfigError
+
+
+class TestYamlParsing:
+    def test_parse_full_pipeline(self, tmp_path):
+        doc = {
+            "pipelineId": "sales-agg",
+            "source": {"type": "s3", "options": {"path": "/data/in", "format": "parquet"}},
+            "transformations": [
+                {
+                    "type": "aggregation",
+                    "name": "agg-by-cat",
+                    "parameters": {"groupBy": "category"},  # parameters: spelling
+                    "aggregations": [
+                        {"column": "price", "function": "sum", "alias": "total"},
+                        {"column": "*", "function": "count"},
+                    ],
+                }
+            ],
+            "sink": {
+                "type": "s3",
+                "options": {"path": "/data/out", "format": "parquet"},
+                "writeMode": "overwrite",
+                "partitionBy": "category",
+            },
+            "performance": {"shufflePartitions": 8, "repartition": 4},
+            "quality": {"nullChecks": ["price"], "quarantinePath": "/q"},
+        }
+        p = tmp_path / "p.yaml"
+        p.write_text(yaml.safe_dump(doc))
+        config = load_pipeline_yaml(str(p))
+        assert config.pipeline_id == "sales-agg"
+        assert config.source.type == "s3"
+        assert config.transformations[0].options["groupBy"] == "category"
+        assert config.transformations[0].aggregations[0] == AggregateExpr("price", "sum", "total")
+        assert config.transformations[0].aggregations[1].alias == "count_all"
+        assert config.sink.write_mode == "overwrite"
+        assert config.sink.partition_by == ("category",)
+        assert config.performance.shuffle_partitions == 8
+        assert config.quality.null_checks == ("price",)
+        assert config.quality.quarantine_path == "/q"
+
+    def test_missing_pipeline_id_rejected(self):
+        with pytest.raises(ConfigError):
+            parse_pipeline_dict({"source": {"type": "s3"}, "sink": {"type": "s3"}})
+
+    def test_bad_write_mode_rejected(self):
+        with pytest.raises(ConfigError):
+            parse_pipeline_dict(
+                {
+                    "pipelineId": "x",
+                    "source": {"type": "s3", "options": {"path": "/a"}},
+                    "sink": {"type": "s3", "options": {"path": "/b"}, "writeMode": "merge"},
+                }
+            )
+
+    def test_env_secret_resolution(self, monkeypatch):
+        monkeypatch.setenv("TEST_DB_PASSWORD", "hunter2")
+        config = parse_pipeline_dict(
+            {
+                "pipelineId": "x",
+                "source": {
+                    "type": "postgres",
+                    "options": {"url": "jdbc:postgresql://h/db", "table": "t",
+                                "password": "${ENV:TEST_DB_PASSWORD}"},
+                },
+                "sink": {"type": "s3", "options": {"path": "/b"}},
+            }
+        )
+        assert config.source.options["password"] == "hunter2"
+
+
+def _pipeline(sf_dir, out_dir, quality=None, transformations=None):
+    return PipelineConfig(
+        pipeline_id="test-pipeline",
+        source=SourceConfig(
+            type="file", options={"path": f"{sf_dir}/lineitem.parquet", "format": "parquet"}
+        ),
+        transformations=tuple(
+            transformations
+            or [
+                TransformationConfig(
+                    type="aggregation",
+                    options={"groupBy": "l_returnflag,l_linestatus"},
+                    aggregations=(
+                        AggregateExpr("l_quantity", "sum", "sum_qty"),
+                        AggregateExpr("l_extendedprice", "avg", "avg_price"),
+                        AggregateExpr("*", "count", "cnt"),
+                    ),
+                )
+            ]
+        ),
+        sink=SinkConfig(
+            type="file",
+            options={"path": str(out_dir), "format": "parquet"},
+            write_mode="overwrite",
+        ),
+        performance=PerformanceConfig(shuffle_partitions=4),
+        quality=quality or QualityConfig(),
+    )
+
+
+class TestExecutor:
+    def test_end_to_end_aggregation(self, spark, sf_dir, tmp_path):
+        # quickstart-1 semantics (integration/QuickstartScenario1Spec.scala:113-218)
+        out_dir = tmp_path / "out"
+        metrics = PipelineExecutor().execute(_pipeline(sf_dir, out_dir), spark)
+        assert metrics.status == "SUCCESS", metrics.error_details
+        result = spark.read.parquet(str(out_dir))
+        rows = result.collect()
+        assert len(rows) == 6  # 3 returnflags x 2 linestatus in testdata
+        assert metrics.records_loaded == 6
+        # lineage column present and mentions pipeline + source + step
+        lineage = json.loads(rows[0]["_lineage"])
+        assert lineage["pipelineId"] == "test-pipeline"
+        assert lineage["sourceType"] == "file"
+        assert "aggregation" in lineage["transformationChain"][0]
+
+    def test_filter_map_pipeline(self, spark, sf_dir, tmp_path):
+        out_dir = tmp_path / "out2"
+        transformations = [
+            TransformationConfig(type="filter", options={"condition": "l_quantity > 25"}),
+            TransformationConfig(
+                type="map",
+                options={"expressions": "revenue:l_extendedprice * (1 - l_discount)"},
+            ),
+        ]
+        metrics = PipelineExecutor().execute(
+            _pipeline(sf_dir, out_dir, transformations=transformations), spark
+        )
+        assert metrics.status == "SUCCESS", metrics.error_details
+        result = spark.read.parquet(str(out_dir))
+        assert "revenue" in result.columns
+        assert result.filter("l_quantity <= 25").count() == 0
+
+    def test_failure_returns_metrics(self, spark, sf_dir, tmp_path):
+        # parity: pipeline/PipelineExecutor.scala:66-82 failure contract
+        bad = _pipeline(
+            sf_dir,
+            tmp_path / "out3",
+            transformations=[TransformationConfig(type="filter", options={})],
+        )
+        metrics = PipelineExecutor().execute(bad, spark)
+        assert metrics.status == "FAILED"
+        assert "condition" in metrics.error_details
+
+    def test_quality_quarantine(self, spark, tmp_path):
+        # rows with nulls get quarantined; valid rows flow through
+        # (parity: integration/FailureRecoverySpec.scala:111-196)
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, None, 20.0), (3, "c", None), (4, "d", 40.0)],
+            ["id", "name", "value"],
+        ).write.parquet(str(src))
+        qdir = tmp_path / "quarantine"
+        out_dir = tmp_path / "out4"
+        config = PipelineConfig(
+            pipeline_id="quality-pipeline",
+            source=SourceConfig(type="file", options={"path": str(src), "format": "parquet"}),
+            transformations=(
+                TransformationConfig(type="filter", options={"condition": "id > 0"}),
+            ),
+            sink=SinkConfig(
+                type="file", options={"path": str(out_dir), "format": "parquet"},
+                write_mode="overwrite",
+            ),
+            quality=QualityConfig(null_checks=("name", "value"), quarantine_path=str(qdir)),
+        )
+        metrics = PipelineExecutor().execute(config, spark)
+        assert metrics.status == "SUCCESS", metrics.error_details
+        assert metrics.records_loaded == 2
+        assert metrics.records_failed == 2
+        quarantined = spark.read.parquet(str(qdir))
+        assert quarantined.count() == 2
+        qcols = set(quarantined.columns)
+        assert {"quarantine_timestamp", "pipeline_id", "run_id"} <= qcols
