@@ -1,38 +1,984 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (filter → map → aggregation
+chain, quickstart-1 semantics per
+``integration/QuickstartScenario1Spec.scala:131-139``) on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the LLM-data-pipeline operators); ``oracle_sql()``
+provides the DuckDB-equivalent SQL for every SQL-expressible one.
+
+Determinism notes (so the value-hash compare is exact):
+- Double sums are computed as exact ``decimal(18,2)`` sums cast back to
+  double in BOTH engines — no float-accumulation-order drift.
+- Ratio/score columns are plain IEEE expressions with identical operand
+  order on both sides, so they are bit-identical without rounding.
+- Window bounds are emitted as formatted UTC strings; every query
+  callable pins ``spark.sql.session.timeZone=UTC`` (DuckDB timestamps
+  are naive/UTC).
+- Ranking queries always carry a unique-key tiebreaker in the ORDER BY.
 """
 
 from __future__ import annotations
 
+import os
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators import dedup as dd
+from etl_spark_gradle_spark.operators import multimodal as mm
+from etl_spark_gradle_spark.operators import similarity as sim
+from etl_spark_gradle_spark.operators import text as tx
+from etl_spark_gradle_spark.operators.relational import (
+    aggregate,
+    filter_rows,
+    join_view,
+    map_columns,
+    rank_rows,
+    window_aggregate,
+)
+from etl_spark_gradle_spark.plans.config import AggregateExpr
+from etl_spark_gradle_spark.quality import (
+    null_metrics_df,
+    quarantine,
+    read_quarantine,
+    split_valid_invalid,
+)
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    """Pin the confs the oracle compare depends on (runtime-settable):
+    UTC so timestamp formatting matches DuckDB's naive timestamps, and
+    ANSI off for reference-parity lenient casts (the driver's session
+    may default ANSI on)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to micros —
+        # exactly what DuckDB's µs timestamps do on the same file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fmt_ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (SURVEY §2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter: SQL predicate pushed to the parquet scan."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = filter_rows(li, "l_quantity > 45 AND l_returnflag = 'R'")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+def q_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map: derived columns via sequential withColumn(alias, expr)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    out = map_columns(
+        orders,
+        [
+            ("o_year", "year(o_orderdate)"),
+            ("o_month", "month(o_orderdate)"),
+            ("priority_up", "upper(o_orderpriority)"),
+            ("price_band", "CASE WHEN o_totalprice > 100000 THEN 'high' ELSE 'low' END"),
+        ],
+    )
+    return out.select("o_orderkey", "o_year", "o_month", "priority_up", "price_band")
+
+
+def q_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation: groupBy + 7 aggregate fns incl. count_distinct.
+
+    Sums go through exact decimal accumulation (cast back to double) so
+    Spark and DuckDB agree bit-for-bit regardless of partial-agg order.
+    """
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    li = map_columns(
+        li,
+        [
+            ("qty_dec", "CAST(l_quantity AS DECIMAL(18,2))"),
+            ("price_dec", "CAST(l_extendedprice AS DECIMAL(18,2))"),
+        ],
+    )
+    agg = aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggregateExpr("qty_dec", "sum", "sum_qty_dec"),
+            AggregateExpr("price_dec", "sum", "sum_price_dec"),
+            AggregateExpr("*", "count", "cnt"),
+            AggregateExpr("l_quantity", "min", "min_qty"),
+            AggregateExpr("l_quantity", "max", "max_qty"),
+            AggregateExpr("l_partkey", "count_distinct", "distinct_parts"),
+        ],
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+        (F.col("sum_qty_dec").cast("double") / F.col("cnt")).alias("avg_qty"),
+        F.col("cnt").cast("long").alias("cnt"),
+        "min_qty",
+        "max_qty",
+        F.col("distinct_parts").cast("long").alias("distinct_parts"),
+    )
+
+
+_AGG_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join (inner) against a named temp view + selectColumns projection
+    + explicit broadcast of the small dimension."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("right_customer")
+    return join_view(
+        orders,
+        spark,
+        right_table="right_customer",
+        left_key="o_custkey",
+        right_key="c_custkey",
+        join_type="inner",
+        select_columns=["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"],
+        broadcast_right=True,
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join (left outer): unmatched left rows keep NULL right columns."""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter("o_totalprice > 400000")
+    big.createOrReplaceTempView("big_orders")
+    out = join_view(
+        customer,
+        spark,
+        right_table="big_orders",
+        left_key="c_custkey",
+        right_key="o_custkey",
+        join_type="left",
+    )
+    return out.select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join (right outer): every right-view row survives."""
+    _prep(spark)
+    supplier = _t(spark, sf_dir, "supplier").filter("s_acctbal > 0")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    out = join_view(
+        supplier,
+        spark,
+        right_table="nation_v",
+        left_key="s_nationkey",
+        right_key="n_nationkey",
+        join_type="right",
+    )
+    return out.select("s_suppkey", "s_name", "n_name")
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join (full outer): unmatched rows survive on both sides."""
+    _prep(spark)
+    low = _t(spark, sf_dir, "customer").filter("c_acctbal < 0")
+    high = _t(spark, sf_dir, "orders").filter("o_totalprice > 350000")
+    high.createOrReplaceTempView("high_orders")
+    out = join_view(
+        low,
+        spark,
+        right_table="high_orders",
+        left_key="c_custkey",
+        right_key="o_custkey",
+        join_type="full",
+    )
+    return out.select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowing (tumbling 10 min) with extra groupBy cols (docs
+    semantics, SURVEY §2.3) — exact decimal sums, UTC string bounds."""
+    _prep(spark)
+    ev = map_columns(
+        _t(spark, sf_dir, "events"), [("value_dec", "CAST(value AS DECIMAL(18,2))")]
+    )
+    out = window_aggregate(
+        ev,
+        time_column="ts",
+        window_duration="10 minutes",
+        aggregations=[
+            AggregateExpr("*", "count", "cnt"),
+            AggregateExpr("value_dec", "sum", "sum_value_dec"),
+            AggregateExpr("value", "min", "min_value"),
+            AggregateExpr("value", "max", "max_value"),
+        ],
+        window_type="tumbling",
+        group_by=["event_type"],
+    )
+    return out.select(
+        _fmt_ts(F.col("window.start")).alias("window_start"),
+        _fmt_ts(F.col("window.end")).alias("window_end"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+_WINDOW_TUMBLING_ORACLE = """
+WITH b AS (
+  SELECT *, CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS bucket FROM events
+)
+SELECT strftime(make_timestamp(bucket * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp((bucket + 600) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM b
+GROUP BY bucket, event_type
+"""
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowing (sliding 10 min / 5 min): each row lands in 2 windows."""
+    _prep(spark)
+    ev = map_columns(
+        _t(spark, sf_dir, "events"), [("value_dec", "CAST(value AS DECIMAL(18,2))")]
+    )
+    out = window_aggregate(
+        ev,
+        time_column="ts",
+        window_duration="10 minutes",
+        aggregations=[
+            AggregateExpr("*", "count", "cnt"),
+            AggregateExpr("value_dec", "sum", "sum_value_dec"),
+        ],
+        window_type="sliding",
+        slide_duration="5 minutes",
+    )
+    return out.select(
+        _fmt_ts(F.col("window.start")).alias("window_start"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
+
+
+_WINDOW_SLIDING_ORACLE = """
+WITH b AS (
+  SELECT e.*, (CAST(FLOOR(epoch(ts) / 300) AS BIGINT) - offs.k) * 300 AS start_s
+  FROM events e CROSS JOIN (VALUES (0), (1)) AS offs(k)
+)
+SELECT strftime(make_timestamp(start_s * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM b
+GROUP BY start_s
+"""
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowing (session, 5 min gap) per user — the spec-promised
+    extension (``specs/001-build-an-application/spec.md:125-126``)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = window_aggregate(
+        ev,
+        time_column="ts",
+        window_duration="5 minutes",
+        aggregations=[AggregateExpr("*", "count", "cnt")],
+        window_type="session",
+        group_by=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        _fmt_ts(F.col("window.start")).alias("session_start"),
+        _fmt_ts(F.col("window.end")).alias("session_end"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+_WINDOW_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 5 MINUTE OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ranking: row_number top-3 per partition; Spark ≥3.5 plans the
+    top-k filter as WindowGroupLimit. Unique-key tiebreak for
+    determinism."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    out = rank_rows(
+        orders,
+        partition_by=["o_orderpriority"],
+        order_by=["o_totalprice DESC", "o_orderkey"],
+        rank_function="row_number",
+        top_k=3,
+        rank_alias="rn",
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Scalar surface (SURVEY §2.5): JSON extraction — the Kafka-payload workhorse
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = map_columns(
+        ev, [("k_value", "CAST(get_json_object(props, '$.k') AS INT)")]
+    )
+    return out.select("event_id", "k_value")
+
+
+# ---------------------------------------------------------------------------
+# Quality operators (SURVEY §2.4) — testdata has no nulls, so nulls are
+# synthesized identically on both sides via NULLIF
+# ---------------------------------------------------------------------------
+
+
+def q_null_split_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """null-check split: return the invalid branch."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "maybe_type", F.expr("nullif(event_type, 'click')")
+    )
+    _, invalid = split_valid_invalid(ev, ["maybe_type"])
+    return invalid.select("event_id", "event_type")
+
+
+def q_null_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """single-pass per-column null counts (one job, N columns)."""
+    _prep(spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("maybe_type", F.expr("nullif(event_type, 'click')"))
+        .withColumn("maybe_value", F.expr("CASE WHEN value < 10 THEN NULL ELSE value END"))
+    )
+    return null_metrics_df(ev, ["maybe_type", "maybe_value"])
+
+
+def q_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key-based duplicate metrics: shuffles only the key column
+    (vs the reference's full-row distinct, DataQualityChecker.scala:87-96)."""
+    _prep(spark)
+    return dd.duplicate_stats(_t(spark, sf_dir, "lineitem"), ["l_orderkey"])
+
+
+def q_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quarantine write + read-back with run metadata."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "maybe_type", F.expr("nullif(event_type, 'click')")
+    )
+    _, invalid = split_valid_invalid(ev, ["maybe_type"])
+    run_id = str(uuid.uuid4())
+    path = os.path.join(_SCRATCH, f"quarantine_{run_id}")
+    quarantine(invalid, path, "oracle-pipeline", run_id)
+    back = read_quarantine(spark, path, pipeline_id="oracle-pipeline", run_id=run_id)
+    return back.select("event_id", "event_type", "pipeline_id")
+
+
+# ---------------------------------------------------------------------------
+# Sources/sinks (SURVEY §2.1/§2.2): file format round-trips
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """write nation as <fmt> via the engine loader, read back via the
+    engine extractor; projection keeps types stable across text formats."""
+    from etl_spark_gradle_spark.plans.config import SinkConfig, SourceConfig
+    from etl_spark_gradle_spark.sinks import LOADER_REGISTRY
+    from etl_spark_gradle_spark.sources import EXTRACTOR_REGISTRY
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation")
+    path = os.path.join(_SCRATCH, f"roundtrip_{fmt}_{uuid.uuid4()}")
+    LOADER_REGISTRY["s3"].load(
+        nation,
+        SinkConfig(type="s3", options={"path": path, "format": fmt}, write_mode="overwrite"),
+        run_id="rt",
+    )
+    opts = {"path": path, "format": fmt}
+    if fmt == "csv":
+        opts.update({"header": "true", "inferSchema": "true"})
+    back = EXTRACTOR_REGISTRY["s3"].extract(
+        SourceConfig(type="s3", options=opts), spark
+    )
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+def q_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "parquet")
+
+
+def q_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+def q_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")
+
+
+_NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: PipelineConfig → PipelineExecutor (extract →
+    filter → map → aggregation → parquet sink) → read back.
+    Quickstart-1 shape (integration/QuickstartScenario1Spec.scala:113-218).
+    """
+    from etl_spark_gradle_spark.plans.config import (
+        PerformanceConfig,
+        PipelineConfig,
+        SinkConfig,
+        SourceConfig,
+        TransformationConfig,
+    )
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    _prep(spark)
+    out_path = os.path.join(_SCRATCH, f"e2e_{uuid.uuid4()}")
+    config = PipelineConfig(
+        pipeline_id="oracle-e2e",
+        source=SourceConfig(
+            type="s3",
+            options={"path": f"{sf_dir}/lineitem.parquet", "format": "parquet"},
+        ),
+        transformations=(
+            TransformationConfig(type="filter", options={"condition": "l_quantity > 10"}),
+            TransformationConfig(
+                type="map",
+                options={"expressions": "price_dec:CAST(l_extendedprice AS DECIMAL(18,2))"},
+            ),
+            TransformationConfig(
+                type="aggregation",
+                options={"groupBy": "l_returnflag"},
+                aggregations=(
+                    AggregateExpr("price_dec", "sum", "revenue_dec"),
+                    AggregateExpr("*", "count", "cnt"),
+                ),
+            ),
+        ),
+        sink=SinkConfig(
+            type="s3",
+            options={"path": out_path, "format": "parquet"},
+            write_mode="overwrite",
+        ),
+        performance=PerformanceConfig(shuffle_partitions=8),
+    )
+    metrics = PipelineExecutor().execute(config, spark)
+    if metrics.status != "SUCCESS":
+        raise RuntimeError(f"pipeline failed: {metrics.error_details}")
+    back = spark.read.parquet(out_path)
+    return back.select(
+        "l_returnflag",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+_E2E_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup on normalized-content fingerprint, deterministic
+    survivor = min doc_id."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, content_col="text", tiebreak_col="doc_id").select("doc_id")
+
+
+_DEDUP_CONTENT_ORACLE = """
+SELECT MIN(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+"""
+
+
+def q_dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup by key columns with tiebreak survivor."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = dd.exact_dedup(li, keys=["l_orderkey"], tiebreak_col="l_linenumber")
+    return out.select("l_orderkey", "l_linenumber")
+
+
+_DEDUP_KEYS_ORACLE = """
+SELECT l_orderkey, MIN(l_linenumber) AS l_linenumber FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact n-gram Jaccard pairs via shingle inverted index."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.2, use_tokens=True
+    )
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM t
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (banded, never all-pairs). Seeded
+    xxhash64 family is not DuckDB-reproducible → rows-only check."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", n=3, num_hashes=64, bands=16
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (block-join, Hamming ≤ 3) →
+    rows-only check (xxhash64-derived signatures)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_candidates(docs, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-document quality stats, all JVM-side expressions."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.with_text_stats(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_chars_c",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_EN_STOP = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS["en"])
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_c,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(length(text), 1) AS DOUBLE) AS safe_chars,
+         CAST(GREATEST(len(tk), 1) AS DOUBLE) AS safe_tokens,
+         list_sum(list_transform(tk, x -> length(x))) AS tok_len_sum,
+         len(list_filter(tk, x -> x IN ({_EN_STOP}))) AS stop_hits,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         len(regexp_extract_all(text, '[0-9]')) AS digits
+  FROM t
+)
+SELECT doc_id, n_chars_c, n_tokens,
+       CAST(tok_len_sum / safe_tokens AS DOUBLE) AS avg_token_len,
+       CAST(punct / safe_chars AS DOUBLE) AS punct_ratio,
+       CAST(digits / safe_chars AS DOUBLE) AS digit_ratio,
+       CAST(stop_hits / safe_tokens AS DOUBLE) AS stopword_ratio,
+       CAST(LEAST(n_tokens / 100.0, 1.0) * 0.5
+            + (1.0 - LEAST((punct / safe_chars) * 4, 1.0)) * 0.25
+            + LEAST((stop_hits / safe_tokens) * 5, 1.0) * 0.25 AS DOUBLE) AS quality_score
+FROM s
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language-ID by stopword-overlap argmax (alphabetical tiebreak)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return tx.with_language_id(docs, "text").select("doc_id", "lang_pred", "lang")
+
+
+def _lang_oracle() -> str:
+    langs = sorted(tx.LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'), [{words}])) AS s_{lang}"
+        )
+    cases = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {', '.join(score_cols)} FROM documents
+)
+SELECT doc_id,
+       CASE {' '.join(cases)} ELSE 'und' END AS lang_pred,
+       lang
+FROM scored
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whitespace + BPE-ish regex token counting."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("tok_ws"),
+        tx.bpe_ish_token_count("text").cast("long").alias("tok_bpe"),
+    )
+
+
+_TOKEN_COUNTS_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok_ws,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS tok_bpe
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalized-content md5 fingerprint (the exact-dedup key)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return tx.with_fingerprint(docs, "text", "fp").select("doc_id", "fp")
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force exact cosine top-k (query side broadcast, corpus
+    never shuffled). Similarity emitted rounded to 6 decimals; ranks are
+    computed on exact values with id tiebreak."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cos_sim"), 6).alias("cos_sim_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_COSINE_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id,
+         c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.qv) + 1),
+                     i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                     (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+              * sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+           AS cos_sim
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim_r, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hyperplane-LSH bucketed ANN (scale path) → rows-only check; its
+    recall is verified against brute force in tests."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.lsh_bucketed_topk(emb, queries, k=10, dim=64, num_bits=32, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: multimodal columns
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload + typed metadata struct, all JVM-side."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    out = mm.with_media_metadata(docs, "payload", "media_meta")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.sha256").alias("sha256"),
+        F.col("media_meta.format").alias("format"),
+    )
+
+
+_MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256,
+       'unknown' AS format
+FROM documents
+"""
+
+
+def q_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing (Arrow-batched; decode core stubbed
+    deterministically) → rows-only check."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+        .select(F.col("doc_id").alias("id"), F.col("payload").alias("content"))
+    )
+    return mm.decode_images(docs, id_col="id", binary_col="content")
+
+
+def q_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame-sampling row-explosion plumbing → rows-only."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+        .select(F.col("doc_id").alias("id"), F.col("payload").alias("content"))
+    )
+    return mm.sample_frames(docs, id_col="id", binary_col="content", max_frames=4)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: filter → map →
+    aggregation chain (quickstart-1 semantics)."""
+    return q_aggregation(_prep(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "filter": q_filter,
+        "map": q_map,
+        "aggregation": q_aggregation,
+        "join_inner": q_join_inner,
+        "join_left": q_join_left,
+        "join_right": q_join_right,
+        "join_full": q_join_full,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "ranking": q_ranking,
+        "json_extract": q_json_extract,
+        "null_split_invalid": q_null_split_invalid,
+        "null_metrics": q_null_metrics,
+        "duplicate_stats": q_duplicate_stats,
+        "quarantine_roundtrip": q_quarantine_roundtrip,
+        "roundtrip_parquet": q_roundtrip_parquet,
+        "roundtrip_csv": q_roundtrip_csv,
+        "roundtrip_json": q_roundtrip_json,
+        "pipeline_e2e": q_pipeline_e2e,
+        "dedup_exact_content": q_dedup_exact_content,
+        "dedup_exact_keys": q_dedup_exact_keys,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "image_decode_stub": q_image_decode_stub,
+        "frame_sample_stub": q_frame_sample_stub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
+            "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"
+        ),
+        "map": (
+            "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year, "
+            "CAST(month(o_orderdate) AS INT) AS o_month, "
+            "upper(o_orderpriority) AS priority_up, "
+            "CASE WHEN o_totalprice > 100000 THEN 'high' ELSE 'low' END AS price_band "
+            "FROM orders"
+        ),
+        "aggregation": _AGG_ORACLE,
+        "join_inner": (
+            "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "join_left": (
+            "SELECT c_custkey, o_orderkey, o_totalprice FROM customer "
+            "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o "
+            "ON c_custkey = o.o_custkey"
+        ),
+        "join_right": (
+            "SELECT s_suppkey, s_name, n_name "
+            "FROM (SELECT * FROM supplier WHERE s_acctbal > 0) s "
+            "RIGHT JOIN nation ON s.s_nationkey = n_nationkey"
+        ),
+        "join_full": (
+            "SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice "
+            "FROM (SELECT * FROM customer WHERE c_acctbal < 0) c "
+            "FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o "
+            "ON c.c_custkey = o.o_custkey"
+        ),
+        "window_tumbling": _WINDOW_TUMBLING_ORACLE,
+        "window_sliding": _WINDOW_SLIDING_ORACLE,
+        "window_session": _WINDOW_SESSION_ORACLE,
+        "ranking": (
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM ("
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders) "
+            "WHERE rn <= 3"
+        ),
+        "json_extract": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value "
+            "FROM events"
+        ),
+        "null_split_invalid": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE nullif(event_type, 'click') IS NULL"
+        ),
+        "null_metrics": (
+            "SELECT CAST(SUM(CASE WHEN nullif(event_type, 'click') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_maybe_type, "
+            "CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS nulls_maybe_value, "
+            "CAST(COUNT(*) AS BIGINT) AS total_rows FROM events"
+        ),
+        "duplicate_stats": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS total, "
+            "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_keys, "
+            "CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS duplicates "
+            "FROM lineitem"
+        ),
+        "quarantine_roundtrip": (
+            "SELECT event_id, event_type, 'oracle-pipeline' AS pipeline_id "
+            "FROM events WHERE nullif(event_type, 'click') IS NULL"
+        ),
+        "roundtrip_parquet": _NATION_ORACLE,
+        "roundtrip_csv": _NATION_ORACLE,
+        "roundtrip_json": _NATION_ORACLE,
+        "pipeline_e2e": _E2E_ORACLE,
+        "dedup_exact_content": _DEDUP_CONTENT_ORACLE,
+        "dedup_exact_keys": _DEDUP_KEYS_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "text_stats": _TEXT_STATS_ORACLE,
+        "language_id": _lang_oracle(),
+        "token_counts": _TOKEN_COUNTS_ORACLE,
+        "fingerprint": _FINGERPRINT_ORACLE,
+        "cosine_topk": _COSINE_TOPK_ORACLE,
+        "multimodal_meta": _MULTIMODAL_META_ORACLE,
+        # rows-only (non-SQL-expressible): minhash_lsh, simhash, ann_lsh,
+        # image_decode_stub, frame_sample_stub
+    }

@@ -8,6 +8,7 @@ user registration at ``pipeline/ExtractorRegistry.scala:40-42``) without
 the ceremony.
 """
 
+from etl_spark_gradle_spark.operators.dedup import DedupTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
     FilterTransformer,
@@ -22,6 +23,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     rank_rows,
     window_aggregate,
 )
+from etl_spark_gradle_spark.operators.text import TextAnalysisTransformer  # noqa: F401
 
 TRANSFORMER_REGISTRY = {
     "filter": FilterTransformer(),
@@ -31,6 +33,9 @@ TRANSFORMER_REGISTRY = {
     "windowing": WindowingTransformer(),
     # beyond-reference (SURVEY §2.6 / §2.7 extensions)
     "ranking": RankingTransformer(),
+    # LLM-data-pipeline operators (SURVEY §7.2 step 8)
+    "dedup": DedupTransformer(),
+    "text_analysis": TextAnalysisTransformer(),
 }
 
 

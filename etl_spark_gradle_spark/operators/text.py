@@ -1,0 +1,211 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language identification, document
+fingerprinting.
+
+These extend the reference's capability envelope (SURVEY.md §7.2 step 8 /
+BASELINE north star); the reference itself has no text operators — its
+scalar surface is Spark SQL `expr()` (`transformer/MapTransformer.scala:58`),
+which is exactly the surface these are built on.
+
+100-TB design notes
+-------------------
+Every operator here is a *narrow, per-row projection* built from JVM-side
+Catalyst expressions (`split`, `regexp_count`, `array_intersect`, `md5`,
+...). No shuffle, no UDF, no Python in the hot path: a 100 TB corpus maps
+through whole-stage-codegen'd expressions with column pruning (only the
+text column is read) and nothing ever leaves the executor. Token arrays
+are intermediate expressions, never materialized columns, so the scan
+output stays small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# language heuristic. Deliberately short: the point is a cheap,
+# JVM-expressible prior, not a real langid model (which would be an
+# Arrow-batched pandas UDF over a fastText-style table).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+_WS = r"\s+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization as a Catalyst expression (no UDF).
+
+    ``split`` on trimmed text; empty string yields an empty array rather
+    than ``[""]``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the cheap proxy for BPE token budgeting;
+    a real tokenizer would be an Arrow-batched pandas UDF)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count word chunks and non-space punctuation
+    separately (``\\w+`` pieces plus isolated symbols), the classic
+    regex approximation of subword tokenizers."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"\w+|[^\w\s]"))
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Add per-document quality statistics, all JVM-side:
+
+    - ``n_chars``/``n_tokens``: length and whitespace token count
+    - ``avg_token_len``: mean token length
+    - ``punct_ratio``: non-word, non-space chars / chars
+    - ``digit_ratio``: digits / chars
+    - ``stopword_ratio``: English stopword tokens / tokens
+    - ``quality_score``: a simple monotone combination used for corpus
+      filtering (longer docs with sane punctuation and some stopwords
+      score higher)
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    )
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    digits = F.regexp_count(c, F.lit(r"[0-9]"))
+    p = prefix
+    out = (
+        df.withColumn(p + "n_chars_c", n_chars.cast("long"))
+        .withColumn(p + "n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            p + "avg_token_len",
+            (
+                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                / safe_tokens
+            ).cast("double"),
+        )
+        .withColumn(p + "punct_ratio", (punct / safe_chars).cast("double"))
+        .withColumn(p + "digit_ratio", (digits / safe_chars).cast("double"))
+        .withColumn(p + "stopword_ratio", (stop_hits / safe_tokens).cast("double"))
+    )
+    return out.withColumn(
+        p + "quality_score",
+        (
+            F.least(F.col(p + "n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - F.least(F.col(p + "punct_ratio") * 4, F.lit(1.0))) * 0.25
+            + F.least(F.col(p + "stopword_ratio") * 5, F.lit(1.0)) * 0.25
+        ).cast("double"),
+    )
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-overlap scores (distinct stopwords hit).
+
+    ``array_intersect`` against a literal array stays JVM-side; one pass
+    over the token array per language, no shuffle.
+    """
+    toks = tokens(text)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def with_language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Predict language by argmax stopword overlap as an ordered CASE
+    chain: languages are tested alphabetically and the first whose score
+    is positive and >= every other wins, so ties break to the
+    alphabetically-first code; 'und' when nothing matches.
+
+    Scale: pure projection; at 100 TB this is a free rider on whatever
+    scan is already happening.
+    """
+    scores = language_scores(text_col)
+    langs = sorted(scores)
+    expr: Column | None = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    assert expr is not None
+    return df.withColumn(out_col, expr.otherwise(F.lit("und")))
+
+
+def fingerprint(text: Column | str, normalize: bool = True) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized, lower-cased
+    text. The canonical exact-dedup key at corpus scale: grouping by a
+    32-hex-char hash shuffles 32 bytes per row instead of the document
+    body.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, _WS, " ")))
+    return F.md5(c)
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    return df.withColumn(out_col, fingerprint(text_col))
+
+
+class TextAnalysisTransformer:
+    """Registry adapter (``type: text_analysis``). Options:
+    ``textColumn`` (default ``text``), ``stats`` / ``languageId`` /
+    ``fingerprint`` booleans selecting which column families to add."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        tc = config.options.get("textColumn", "text")
+        if tc not in df.columns:
+            return ValidationResult.fail(f"textColumn not in input schema: {tc}")
+        return ValidationResult.ok()
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            from etl_spark_gradle_spark.operators.relational import TransformationError
+
+            raise TransformationError(
+                "text_analysis config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        tc = opts.get("textColumn", "text")
+
+        def flag(name: str, default: str = "false") -> bool:
+            return opts.get(name, default).lower() in ("true", "1", "yes")
+
+        out = df
+        if flag("stats", "true"):
+            out = with_text_stats(out, tc)
+        if flag("languageId"):
+            out = with_language_id(out, tc)
+        if flag("fingerprint"):
+            out = with_fingerprint(out, tc)
+        return out
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"text_analysis({opts})"

@@ -60,6 +60,17 @@ def null_metrics(df: DataFrame, columns: list[str]) -> dict[str, int]:
     return out
 
 
+def null_metrics_df(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Single-row DataFrame with per-column null counts + total, same
+    one-job single-pass aggregate as :func:`null_metrics` but lazy (for
+    oracle-checked pipelines and composition into larger plans)."""
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"nulls_{c}")
+        for c in columns
+    ] + [F.count(F.lit(1)).cast("long").alias("total_rows")]
+    return df.agg(*aggs)
+
+
 def duplicate_metrics(df: DataFrame) -> dict[str, int]:
     """Full-row duplicate count (parity:
     ``quality/DataQualityChecker.scala:87-96``)."""

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()``
+twin on DuckDB over the same parquet tables, then compare row count,
+column names, and values (order-insensitive, exact for non-floats).
+
+Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    s, d = canon(spark_pdf), canon(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        mismatch = 0
+        max_diff = 0.0
+        for a, b in zip(sv, dv):
+            an = a is None or (isinstance(a, float) and math.isnan(a))
+            bn = b is None or (isinstance(b, float) and math.isnan(b))
+            if an and bn:
+                continue
+            if an != bn:
+                mismatch += 1
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if a != b:
+                    mismatch += 1
+                    max_diff = max(max_diff, abs(a - b))
+            elif a != b:
+                mismatch += 1
+        if mismatch:
+            problems.append(
+                f"col {c}: {mismatch} value mismatches"
+                + (f" (max float diff {max_diff:.3e})" if max_diff else "")
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from etl_spark_gradle_spark.session import get_spark
+
+    spark = get_spark(app_name="verify-oracle", master="local[8]",
+                      conf={"spark.sql.shuffle.partitions": "8"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_pdf)} rows (rows-only check)")
+            if len(spark_pdf) == 0:
+                print(f"WARN  {name}: 0 rows")
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            print(f"FAIL  {name}: " + " | ".join(problems))
+            failed.append(name)
+        else:
+            print(f"OK    {name}: {len(spark_pdf)} rows")
+    print(f"\n{len(failed)} failing: {failed}" if failed else "\nall green")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
