@@ -356,6 +356,90 @@ GROUP BY user_id, session_id
 """
 
 
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: parquet readStream → watermarked 10-min
+    tumbling window per event_type → availableNow drain to a parquet
+    sink → read back. Append mode emits only watermark-closed windows
+    (delay 0 ⇒ window_end <= max event time), which the oracle mirrors.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_spark_gradle_spark import streaming as st
+    from etl_spark_gradle_spark.plans.config import AggregateExpr as AE
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    # the streaming file source requires a DIRECTORY; stage the single
+    # parquet file into scratch (testdata is read-only)
+    import shutil
+
+    src_dir = os.path.join(_SCRATCH, f"stream_src_{uuid.uuid4()}")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        .withColumn("value_dec", F.expr("CAST(value AS DECIMAL(18,2))"))
+    )
+    agg = st.windowed_stream_agg(
+        stream,
+        time_column="ts",
+        window_duration="10 minutes",
+        aggregations=[AE("*", "count", "cnt"), AE("value_dec", "sum", "sum_value_dec")],
+        watermark_delay="0 seconds",
+        group_by=["event_type"],
+    )
+    out_path = os.path.join(_SCRATCH, f"stream_{uuid.uuid4()}")
+    st.write_stream(
+        agg.select(
+            _fmt_ts(F.col("window.start")).alias("window_start"),
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        ),
+        {
+            "path": out_path,
+            "checkpointLocation": os.path.join(_SCRATCH, f"ckpt_{uuid.uuid4()}"),
+            "format": "parquet",
+            "trigger": "availableNow",
+        },
+        output_mode="append",
+        await_termination=True,
+    )
+    return spark.read.parquet(out_path)
+
+
+_STREAMING_WINDOW_ORACLE = """
+WITH b AS (
+  SELECT *, CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS bucket FROM events
+)
+SELECT strftime(make_timestamp(bucket * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM b
+GROUP BY bucket, event_type
+HAVING make_timestamp((bucket + 600) * 1000000) <= (SELECT MAX(ts) FROM events)
+"""
+
+
 def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ranking: row_number top-3 per partition; Spark ≥3.5 plans the
     top-k filter as WindowGroupLimit. Unique-key tiebreak for
@@ -872,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
+        "streaming_window": q_streaming_window,
         "ranking": q_ranking,
         "json_extract": q_json_extract,
         "null_split_invalid": q_null_split_invalid,
@@ -936,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": _WINDOW_TUMBLING_ORACLE,
         "window_sliding": _WINDOW_SLIDING_ORACLE,
         "window_session": _WINDOW_SESSION_ORACLE,
+        "streaming_window": _STREAMING_WINDOW_ORACLE,
         "ranking": (
             "SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM ("
             "SELECT o_orderpriority, o_orderkey, o_totalprice, "

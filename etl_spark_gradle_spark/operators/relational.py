@@ -105,15 +105,14 @@ def map_columns(df: DataFrame, expressions: list[tuple[str, str]]) -> DataFrame:
     return out
 
 
-def parse_map_expressions(spec: str) -> list[tuple[str, str]]:
-    """Parse ``"alias:expr,alias2:expr2"`` config strings
-    (parity: ``transformer/MapTransformer.scala:42-53``). Splits on
-    top-level commas only (commas inside parens/quotes belong to the
-    expression, e.g. ``concat(a, ' ', b)``)."""
-    pairs: list[tuple[str, str]] = []
+def split_top_level(spec: str) -> list[str]:
+    """Split a comma-separated config string on top-level commas only —
+    commas inside parens/brackets/quotes belong to the segment (e.g.
+    ``coalesce(a, b) DESC`` stays one entry). Shared by map expressions,
+    ranking orderBy/partitionBy, and join selectColumns."""
     depth = 0
     quote: str | None = None
-    current = []
+    current: list[str] = []
     parts: list[str] = []
     for ch in spec:
         if quote:
@@ -132,7 +131,16 @@ def parse_map_expressions(spec: str) -> list[tuple[str, str]]:
         current.append(ch)
     if current:
         parts.append("".join(current))
-    for part in parts:
+    return parts
+
+
+def parse_map_expressions(spec: str) -> list[tuple[str, str]]:
+    """Parse ``"alias:expr,alias2:expr2"`` config strings
+    (parity: ``transformer/MapTransformer.scala:42-53``). Splits on
+    top-level commas only (commas inside parens/quotes belong to the
+    expression, e.g. ``concat(a, ' ', b)``)."""
+    pairs: list[tuple[str, str]] = []
+    for part in split_top_level(spec):
         if not part.strip():
             continue
         alias, sep, expression = part.partition(":")
@@ -308,7 +316,10 @@ def rank_rows(
 
 
 def _split_csv(value: str | None) -> list[str]:
-    return [c.strip() for c in (value or "").split(",") if c.strip()]
+    """Top-level-comma split so SQL expressions with function calls
+    survive in orderBy/partitionBy/selectColumns (e.g.
+    ``coalesce(a, b) DESC``)."""
+    return [c.strip() for c in split_top_level(value or "") if c.strip()]
 
 
 class _BaseTransformer:

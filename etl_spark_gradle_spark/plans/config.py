@@ -147,7 +147,9 @@ class RunContext:
 
 @dataclass
 class ExecutionMetrics:
-    """Parity: ``core/ExecutionMetrics.scala:17-28``."""
+    """Parity: ``core/ExecutionMetrics.scala:17-28``; extended with the
+    quality outcome (``quality_report``) so duplicateCheck / null-check
+    results are observable by callers, not just logged."""
 
     pipeline_id: str
     run_id: str
@@ -159,6 +161,7 @@ class ExecutionMetrics:
     records_failed: int = 0
     status: str = "PENDING"  # PENDING | RUNNING | SUCCESS | FAILED
     error_details: str | None = None
+    quality_report: Any | None = None  # quality.QualityReport when quality ran
 
     @property
     def duration_seconds(self) -> float:

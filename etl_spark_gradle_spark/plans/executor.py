@@ -9,20 +9,30 @@ Deliberate divergences for scale (SURVEY §4 anti-patterns):
 - The reference runs ``count()`` after extract and after transform plus
   a ``count()`` inside the loader — the whole plan (including JDBC
   re-reads) executes up to 3x. Here the sink write is the ONLY action;
-  extracted/transformed/loaded counts ride on ``df.observe()`` attached
-  to that one action.
+  ``records_extracted`` and ``records_loaded`` ride two
+  ``df.observe()`` nodes attached to that one action.
 - Lineage is computed driver-side and stamped once (see ``lineage.py``),
   not re-read from the data per step.
 - ``cacheIntermediate`` is honored (config-only dead code in the
-  reference) and ``quality.quarantinePath`` is honored
-  (hardcoded at ``pipeline/PipelineExecutor.scala:113``).
+  reference) and cached frames are unpersisted after the sink action;
+  ``quality.quarantinePath`` is honored (hardcoded at
+  ``pipeline/PipelineExecutor.scala:113``).
+- ``duplicateCheck`` actually runs (the reference computes it in
+  ``quality/DataQualityChecker.scala:87-96`` via full-row
+  ``distinct().count()`` — a shuffle of every column; here it is a
+  groupBy over a 64-bit row hash, so the shuffle carries 8-byte keys
+  regardless of row width).
+- ``shufflePartitions`` is applied for the run and restored afterwards
+  instead of leaking into later pipelines on a shared session.
 """
 
 from __future__ import annotations
 
 import time
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark import lineage as lineage_mod
 from etl_spark_gradle_spark.plans.config import (
@@ -30,7 +40,36 @@ from etl_spark_gradle_spark.plans.config import (
     PipelineConfig,
     RunContext,
 )
-from etl_spark_gradle_spark.quality import split_valid_invalid, validate_schema
+from etl_spark_gradle_spark.quality import (
+    QualityReport,
+    split_valid_invalid,
+    validate_schema,
+)
+
+
+def row_hash_duplicate_stats(df: DataFrame) -> dict[str, int]:
+    """Full-row duplicate metrics via a 64-bit row-hash aggregation.
+
+    Semantics match the reference's ``distinct().count()`` detection
+    (``quality/DataQualityChecker.scala:87-96``) up to hash collisions
+    (~n²/2⁶⁴ expected — negligible below ~10⁹ rows per check; pass key
+    columns to ``operators.dedup.duplicate_stats`` for exactness), but
+    the shuffle carries only the hash instead of every column — the
+    difference between checking 100 TB and re-shuffling it.
+    """
+    hashed = df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h"))
+    row = (
+        hashed.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("distinct"),
+        )
+        .collect()[0]
+    )
+    total = int(row["total"] or 0)
+    distinct = int(row["distinct"] or 0)
+    return {"total": total, "distinct": distinct, "duplicates": total - distinct}
 
 
 class PipelineExecutor:
@@ -54,24 +93,38 @@ class PipelineExecutor:
     # -- plan construction (no actions) ------------------------------------
 
     def build_plan(
-        self, config: PipelineConfig, ctx: RunContext
-    ) -> tuple[DataFrame, DataFrame, list[str]]:
-        """Compose the full lazy plan. Returns (extracted, transformed,
-        lineage_steps). Phase structure parity:
-        ``pipeline/PipelineExecutor.scala:30-48``."""
-        extractor = self.extractors.get(config.source.type)
-        if extractor is None:
-            raise KeyError(f"no extractor registered for source type '{config.source.type}'")
-        df = extractor.extract(config.source, ctx.spark)
+        self,
+        config: PipelineConfig,
+        ctx: RunContext,
+        input_df: DataFrame | None = None,
+    ) -> tuple[DataFrame, DataFrame, list[str], Observation, list[DataFrame]]:
+        """Compose the full lazy plan (phase structure parity:
+        ``pipeline/PipelineExecutor.scala:30-48``).
 
-        if config.performance.shuffle_partitions:
-            ctx.spark.conf.set(
-                "spark.sql.shuffle.partitions", str(config.performance.shuffle_partitions)
-            )
+        ``input_df`` lets the quality path feed the valid branch through
+        the SAME performance/transformation plumbing as the plain path.
+        Returns (extracted, transformed, lineage_steps, extract_obs,
+        cached_frames); ``extract_obs`` rides the eventual sink action —
+        no separate counting job.
+        """
+        if input_df is None:
+            extractor = self.extractors.get(config.source.type)
+            if extractor is None:
+                raise KeyError(
+                    f"no extractor registered for source type '{config.source.type}'"
+                )
+            df = extractor.extract(config.source, ctx.spark)
+        else:
+            df = input_df
+
         if config.performance.repartition:
             df = df.repartition(config.performance.repartition)
 
+        extract_obs = Observation(f"extract_{uuid.uuid4().hex[:8]}")
+        df = df.observe(extract_obs, F.count(F.lit(1)).alias("records_extracted"))
+
         steps: list[str] = []
+        cached: list[DataFrame] = []
         out = df
         for t_config in config.transformations:
             transformer = self.transformers.get(t_config.type)
@@ -81,7 +134,8 @@ class PipelineExecutor:
             steps.append(transformer.lineage_step(t_config))
             if config.performance.cache_intermediate:
                 out = out.cache()
-        return df, out, steps
+                cached.append(out)
+        return df, out, steps, extract_obs, cached
 
     # -- execution ----------------------------------------------------------
 
@@ -91,17 +145,91 @@ class PipelineExecutor:
         (parity: ``Main.scala:105-123``)."""
         if config.quality.enabled:
             return self.execute_with_quality(config, spark)
+        return self._run(config, spark, quality=False)
+
+    def execute_with_quality(
+        self, config: PipelineConfig, spark: SparkSession
+    ) -> ExecutionMetrics:
+        """Quality-gated run (parity:
+        ``pipeline/PipelineExecutor.scala:90-165``): extract -> schema
+        validation -> duplicate check -> null-check split -> quarantine
+        invalid -> transform valid -> load. The valid branch goes through
+        ``build_plan`` so performance knobs behave identically to the
+        plain path."""
+        return self._run(config, spark, quality=True)
+
+    def _run(self, config: PipelineConfig, spark: SparkSession, quality: bool) -> ExecutionMetrics:
         ctx = RunContext.create(config.pipeline_id, spark)
         metrics = ExecutionMetrics(config.pipeline_id, ctx.run_id, start_timestamp=time.time())
         metrics.status = "RUNNING"
+        prev_shuffle: str | None = None
+        cached: list[DataFrame] = []
         try:
-            extracted, transformed, steps = self.build_plan(config, ctx)
+            if config.performance.shuffle_partitions:
+                prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(config.performance.shuffle_partitions)
+                )
 
-            extractor = self.extractors[config.source.type]
+            extractor = self.extractors.get(config.source.type)
+            if extractor is None:
+                raise KeyError(
+                    f"no extractor registered for source type '{config.source.type}'"
+                )
+
+            input_df: DataFrame | None = None
+            report: QualityReport | None = None
+            if quality:
+                extracted = extractor.extract(config.source, ctx.spark)
+                report = QualityReport()
+
+                if config.quality.schema_validation and config.source.schema_path:
+                    import json as _json
+
+                    from pyspark.sql.types import StructType
+
+                    with open(config.source.schema_path, encoding="utf-8") as f:
+                        expected = StructType.fromJson(_json.load(f))
+                    result = validate_schema(extracted.schema, expected)
+                    if not result.is_valid:
+                        report.schema_errors = result.errors
+                        raise ValueError(
+                            "schema validation failed: " + "; ".join(result.errors)
+                        )
+
+                if config.quality.duplicate_check:
+                    dup = row_hash_duplicate_stats(extracted)
+                    report.duplicates = dup["duplicates"]
+                    metrics.records_extracted = dup["total"]
+
+                valid, invalid = split_valid_invalid(
+                    extracted, list(config.quality.null_checks)
+                )
+                if config.quality.null_checks:
+                    quarantine_path = (
+                        config.quality.quarantine_path
+                        or f"/tmp/quarantine/{config.pipeline_id}"
+                    )
+                    from etl_spark_gradle_spark.quality import quarantine as quarantine_write
+
+                    quarantined = quarantine_write(
+                        invalid, quarantine_path, config.pipeline_id, ctx.run_id
+                    )
+                    metrics.records_failed = quarantined
+                    report.null_violations = quarantined
+                    report.quarantined = quarantined
+                input_df = valid
+
+            extracted_df, transformed, steps, extract_obs, cached = self.build_plan(
+                config, ctx, input_df=input_df
+            )
+
             meta = lineage_mod.build_lineage(
                 config.source.type, extractor.source_identifier(config.source), steps
             )
-            final = lineage_mod.stamp_lineage(transformed, meta, config.pipeline_id, ctx.run_id)
+            final = lineage_mod.stamp_lineage(
+                transformed, meta, config.pipeline_id, ctx.run_id
+            )
 
             loader = self.loaders.get(config.sink.type)
             if loader is None:
@@ -110,77 +238,24 @@ class PipelineExecutor:
 
             metrics.records_loaded = result.records_written
             metrics.records_transformed = result.records_written
-            metrics.records_extracted = result.records_written if not steps else -1
+            # the observation rode the sink action — no extra job ran.
+            # In the quality path it observes the valid branch, so the
+            # quarantined rows are added back to get the extracted total.
+            metrics.records_extracted = (
+                int(extract_obs.get["records_extracted"]) + metrics.records_failed
+            )
+            metrics.quality_report = report
             metrics.status = "SUCCESS"
         except Exception as e:  # noqa: BLE001 — failure contract returns metrics
             metrics.status = "FAILED"
             metrics.error_details = f"{type(e).__name__}: {e}"
         finally:
-            metrics.end_timestamp = time.time()
-        return metrics
-
-    def execute_with_quality(self, config: PipelineConfig, spark: SparkSession) -> ExecutionMetrics:
-        """Quality-gated run (parity:
-        ``pipeline/PipelineExecutor.scala:90-165``): extract -> null-check
-        split -> quarantine invalid -> transform valid -> load."""
-        ctx = RunContext.create(config.pipeline_id, spark)
-        metrics = ExecutionMetrics(config.pipeline_id, ctx.run_id, start_timestamp=time.time())
-        metrics.status = "RUNNING"
-        try:
-            extractor = self.extractors.get(config.source.type)
-            if extractor is None:
-                raise KeyError(f"no extractor registered for source type '{config.source.type}'")
-            extracted = extractor.extract(config.source, ctx.spark)
-
-            if config.quality.schema_validation and config.source.schema_path:
-                from pyspark.sql.types import StructType
-                import json as _json
-
-                with open(config.source.schema_path, encoding="utf-8") as f:
-                    expected = StructType.fromJson(_json.load(f))
-                result = validate_schema(extracted.schema, expected)
-                if not result.is_valid:
-                    raise ValueError("schema validation failed: " + "; ".join(result.errors))
-
-            valid, invalid = split_valid_invalid(extracted, list(config.quality.null_checks))
-
-            if config.quality.null_checks:
-                quarantine_path = (
-                    config.quality.quarantine_path or f"/tmp/quarantine/{config.pipeline_id}"
-                )
-                from etl_spark_gradle_spark.quality import quarantine as quarantine_write
-
-                metrics.records_failed = quarantine_write(
-                    invalid, quarantine_path, config.pipeline_id, ctx.run_id
-                )
-
-            steps: list[str] = []
-            out = valid
-            if config.performance.repartition:
-                out = out.repartition(config.performance.repartition)
-            for t_config in config.transformations:
-                transformer = self.transformers.get(t_config.type)
-                if transformer is None:
-                    raise KeyError(f"no transformer registered for type '{t_config.type}'")
-                out = transformer.transform(out, t_config, ctx)
-                steps.append(transformer.lineage_step(t_config))
-
-            meta = lineage_mod.build_lineage(
-                config.source.type, extractor.source_identifier(config.source), steps
-            )
-            final = lineage_mod.stamp_lineage(out, meta, config.pipeline_id, ctx.run_id)
-
-            loader = self.loaders.get(config.sink.type)
-            if loader is None:
-                raise KeyError(f"no loader registered for sink type '{config.sink.type}'")
-            result = loader.load(final, config.sink, ctx.run_id)
-
-            metrics.records_loaded = result.records_written
-            metrics.records_transformed = result.records_written
-            metrics.status = "SUCCESS"
-        except Exception as e:  # noqa: BLE001
-            metrics.status = "FAILED"
-            metrics.error_details = f"{type(e).__name__}: {e}"
-        finally:
+            for frame in cached:
+                try:
+                    frame.unpersist()
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+            if prev_shuffle is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             metrics.end_timestamp = time.time()
         return metrics

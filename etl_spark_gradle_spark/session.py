@@ -39,7 +39,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # NOTE: spark.driver.memory is deliberately absent — it only takes
+    # effect before the JVM starts, so it must come from spark-submit /
+    # SPARK_DRIVER_MEMORY / spark-defaults, not builder.config on a
+    # possibly-running session (setting it here would silently no-op).
 }
 
 

@@ -67,7 +67,16 @@ def load_file(
         writer = writer.option("compression", options["compression"])
     if fmt == "csv":
         writer = writer.option("header", options.get("header", "true"))
-    writer.save(path)
+    try:
+        writer.save(path)
+    except Exception as e:  # noqa: BLE001 — rewrap only the avro-package gap
+        if fmt == "avro" and "avro" in str(e).lower() and "find" in str(e).lower():
+            raise ConfigError(
+                "avro support requires the spark-avro package on the session "
+                "(spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                "it is not bundled with pyspark"
+            ) from e
+        raise
     return LoadResult(
         records_written=int(obs.get["records_written"]),
         sink_type="file",
@@ -125,6 +134,37 @@ _UPSERT_TEMPLATES = {
 }
 
 _JDBC_DRIVERS = {"postgres": "org.postgresql.Driver", "mysql": "com.mysql.cj.jdbc.Driver"}
+_QUOTE_CHARS = {"postgres": '"', "mysql": "`"}
+
+
+def _quote_ident(name: str, dialect: str) -> str:
+    """Quote a table/column identifier for driver-side SQL (the JDBC
+    writer path quotes on its own; only the hand-built merge statement
+    needs this). Doubles embedded quote chars per SQL escaping rules."""
+    q = _QUOTE_CHARS.get(dialect, '"')
+    return q + name.replace(q, q + q) + q
+
+
+def build_upsert_sql(
+    dialect: str, table: str, tmp: str, cols: list[str], pk_cols: list[str]
+) -> str:
+    """Render the two-phase merge statement with quoted identifiers
+    (parity semantics: ``loader/PostgresLoader.scala:170-174`` /
+    ``loader/MySQLLoader.scala:169-173``, which interpolate unquoted —
+    hardened here)."""
+    template = _UPSERT_TEMPLATES.get(dialect)
+    if template is None:
+        raise ConfigError(f"upsert not supported for dialect '{dialect}'")
+    qi = lambda n: _quote_ident(n, dialect)  # noqa: E731
+    non_pk = [c for c in cols if c not in pk_cols]
+    return template.format(
+        table=qi(table),
+        tmp=qi(tmp),
+        cols=", ".join(qi(c) for c in cols),
+        pk=", ".join(qi(c) for c in pk_cols),
+        updates_excluded=", ".join(f"{qi(c)} = EXCLUDED.{qi(c)}" for c in non_pk),
+        updates_values=", ".join(f"{qi(c)} = VALUES({qi(c)})" for c in non_pk),
+    )
 
 
 def load_jdbc(
@@ -185,25 +225,25 @@ def load_jdbc(
         raise ConfigError("jdbc upsert requires 'primaryKey'")
     pk_cols = [c.strip() for c in pk.split(",") if c.strip()]
     tmp = f"{table}_staging_{(run_id or uuid.uuid4().hex)[:8]}"
-    cols = df.columns
-    non_pk = [c for c in cols if c not in pk_cols]
-    template = _UPSERT_TEMPLATES.get(dialect)
-    if template is None:
-        raise ConfigError(f"upsert not supported for dialect '{dialect}'")
-    merge_sql = template.format(
-        table=table,
-        tmp=tmp,
-        cols=", ".join(cols),
-        pk=", ".join(pk_cols),
-        updates_excluded=", ".join(f"{c} = EXCLUDED.{c}" for c in non_pk),
-        updates_values=", ".join(f"{c} = VALUES({c})" for c in non_pk),
-    )
+    merge_sql = build_upsert_sql(dialect, table, tmp, df.columns, pk_cols)
 
     out, obs = _observed(df)
     spark = df.sparkSession
     jvm = spark._sc._jvm  # driver-side JDBC for the merge statement only
     writer_for(tmp, "overwrite", out).save()
-    conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+    # The staging table is a real (not TEMPORARY) table on purpose: the
+    # parallel JDBC write uses one connection per executor task, and a
+    # session-scoped TEMPORARY table would vanish per-connection. The
+    # runId-derived name + the finally-drop below bound orphan risk.
+    if driver:
+        # the JDBC jar usually lives in Spark's mutable classloader, which
+        # java.sql.DriverManager does not search — load the class
+        # explicitly or getConnection throws 'No suitable driver'
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         stmt = conn.createStatement()
         stmt.execute(merge_sql)
@@ -211,7 +251,7 @@ def load_jdbc(
     finally:
         try:
             stmt = conn.createStatement()
-            stmt.execute(f"DROP TABLE IF EXISTS {tmp}")
+            stmt.execute(f"DROP TABLE IF EXISTS {_quote_ident(tmp, dialect)}")
             stmt.close()
         finally:
             conn.close()

@@ -58,7 +58,16 @@ def extract_file(spark: SparkSession, options: dict[str, str]) -> DataFrame:
     }
     if passthrough:
         reader = reader.options(**passthrough)
-    return reader.load(path)
+    try:
+        return reader.load(path)
+    except Exception as e:  # noqa: BLE001 — rewrap only the avro-package gap
+        if fmt == "avro" and "avro" in str(e).lower() and "find" in str(e).lower():
+            raise ConfigError(
+                "avro support requires the spark-avro package on the session "
+                "(spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                "it is not bundled with pyspark"
+            ) from e
+        raise
 
 
 def extract_jdbc(

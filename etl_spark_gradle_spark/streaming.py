@@ -1,0 +1,180 @@
+"""Genuine Structured Streaming mode (SURVEY §1.1 / §7.4 extension).
+
+The reference's "micro-batch" mode is batch-in-disguise — zero
+``readStream``/``writeStream``/watermark usage in its main source
+(grep-verified, SURVEY §1.1); its streaming integration test simulates
+micro-batches over static files
+(``integration/QuickstartScenario2Spec.scala:122-126``). Parity
+therefore only requires batch windowing (``operators/relational.py``);
+this module is the clearly-scoped real-streaming extension: file/Kafka
+``readStream`` sources, watermarked event-time window aggregation
+reusing the same ``AggregateExpr`` config surface, and a ``writeStream``
+sink with checkpointing.
+
+100-TB / production notes
+-------------------------
+- Watermarks bound state: without ``with_watermark`` a windowed
+  aggregation keeps every window ever seen in the state store. The
+  watermark delay is the late-data SLA; state size ~ (#keys × windows
+  within the delay).
+- ``availableNow`` trigger = incremental batch draining (the modern
+  replacement for the reference's simulated micro-batches): processes
+  everything present, checkpoints, stops — rerunnable on a schedule with
+  exactly-once sink semantics for files.
+- File sinks + checkpoint dir give exactly-once; ``foreachBatch`` hands
+  each micro-batch to the batch loaders (JDBC upsert etc.) with
+  at-least-once semantics — idempotent by the runId-derived staging of
+  ``sinks/loaders.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from etl_spark_gradle_spark.operators.relational import _agg_column
+from etl_spark_gradle_spark.plans.config import AggregateExpr, ConfigError
+
+
+def read_file_stream(
+    spark: SparkSession, options: dict[str, str], schema: StructType | str
+) -> DataFrame:
+    """Streaming file source (json/csv/parquet/text directory). Unlike
+    batch reads, streaming file sources REQUIRE an explicit schema —
+    inference would race with arriving files."""
+    path = options.get("path")
+    fmt = options.get("format", "json").lower()
+    if not path:
+        raise ConfigError("file stream source requires 'path'")
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", options.get("header", "true"))
+    if options.get("maxFilesPerTrigger"):
+        reader = reader.option("maxFilesPerTrigger", options["maxFilesPerTrigger"])
+    return reader.load(path)
+
+
+def read_kafka_stream(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    """Streaming Kafka source with the same key/value projection as the
+    batch extractor (``extractor/KafkaExtractor.scala:51-59`` parity on
+    the streaming path). Requires the spark-sql-kafka package."""
+    servers = options.get("bootstrap.servers") or options.get("kafka.bootstrap.servers")
+    topic = options.get("topic") or options.get("subscribe")
+    if not servers or not topic:
+        raise ConfigError("kafka stream source requires 'bootstrap.servers' and 'topic'")
+    df = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", options.get("startingOffsets", "earliest"))
+        .load()
+    )
+    return df.selectExpr(
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value",
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+
+
+def windowed_stream_agg(
+    df: DataFrame,
+    time_column: str,
+    window_duration: str,
+    aggregations: list[AggregateExpr],
+    watermark_delay: str = "10 minutes",
+    slide_duration: str | None = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked event-time window aggregation — the streaming twin of
+    ``operators.relational.window_aggregate`` with the same
+    ``AggregateExpr`` surface. The watermark lets Spark emit finalized
+    windows (append mode) and evict their state."""
+    if not aggregations:
+        raise ConfigError("streaming windowing requires at least one AggregateExpr")
+    win = (
+        F.window(F.col(time_column), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(time_column), window_duration)
+    )
+    keys = [win.alias("window")] + [F.col(c) for c in (group_by or [])]
+    return (
+        df.withWatermark(time_column, watermark_delay)
+        .groupBy(*keys)
+        .agg(*[_agg_column(a) for a in aggregations])
+    )
+
+
+def write_stream(
+    df: DataFrame,
+    options: dict[str, str],
+    output_mode: str = "append",
+    await_termination: bool = False,
+):
+    """Start a streaming sink: ``format`` (parquet/json/csv/memory/
+    console), ``path`` + ``checkpointLocation`` for file sinks,
+    ``trigger`` = ``availableNow`` | ``processingTime=<interval>``.
+    Returns the ``StreamingQuery``."""
+    fmt = options.get("format", "parquet").lower()
+    writer = df.writeStream.format(fmt).outputMode(output_mode)
+    if options.get("queryName"):
+        writer = writer.queryName(options["queryName"])
+    if fmt in ("parquet", "json", "csv", "orc"):
+        if not options.get("path") or not options.get("checkpointLocation"):
+            raise ConfigError("file stream sink requires 'path' and 'checkpointLocation'")
+        writer = writer.option("path", options["path"])
+    if options.get("checkpointLocation"):
+        writer = writer.option("checkpointLocation", options["checkpointLocation"])
+    trigger = options.get("trigger", "availableNow")
+    if trigger == "availableNow":
+        writer = writer.trigger(availableNow=True)
+    elif trigger.startswith("processingTime="):
+        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def run_file_to_file_stream(
+    spark: SparkSession,
+    source_options: dict[str, str],
+    schema: StructType | str,
+    sink_options: dict[str, str],
+    time_column: str,
+    window_duration: str,
+    aggregations: list[AggregateExpr],
+    watermark_delay: str = "10 minutes",
+    group_by: list[str] | None = None,
+) -> None:
+    """One-shot incremental pipeline: drain everything currently in the
+    source directory through a watermarked window aggregation into a
+    file sink (availableNow), then stop. The streaming equivalent of the
+    reference's simulated micro-batch scenario
+    (``integration/QuickstartScenario2Spec.scala:122-262``).
+
+    Append-mode semantics: a window is emitted only once the watermark
+    (max event time seen − delay) passes its end; windows still open
+    when the drain finishes remain in checkpoint state and flush on the
+    NEXT run, exactly once. That is the correct production contract —
+    don't shorten the delay to force early emission, schedule reruns."""
+    stream = read_file_stream(spark, source_options, schema)
+    agg = windowed_stream_agg(
+        stream,
+        time_column=time_column,
+        window_duration=window_duration,
+        aggregations=aggregations,
+        watermark_delay=watermark_delay,
+        group_by=group_by,
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in agg.columns if c != "window"],
+    )
+    sink = dict(sink_options)
+    sink.setdefault("trigger", "availableNow")
+    write_stream(out, sink, output_mode="append", await_termination=True)
