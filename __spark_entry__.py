@@ -881,6 +881,45 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(emb, queries, k=10, dim=64, num_bits=32, bands=8)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN (scale path #2) → rows-only check; recall
+    verified against brute force in tests."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_topk(emb, queries, k=10, num_cells=16, nprobe=4)
+
+
+def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-duplicate pairs (exact baseline; the LSH
+    variant is the scale path, verified in tests). Threshold 0.4 because
+    the synthetic embeddings have no true near-dups (max pairwise cosine
+    ~0.51) — the operator semantics are threshold-independent."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.embedding_cosine_pairs_exact(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim_r"))
+
+
+_EMBEDDING_DUPS_ORACLE = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a,
+         b.vec_id AS id_b,
+         list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                     (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+              * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)))
+           AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos_sim, 6) AS cos_sim_r
+FROM scored WHERE cos_sim >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline: multimodal columns
 # ---------------------------------------------------------------------------
@@ -978,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
         "multimodal_meta": q_multimodal_meta,
         "image_decode_stub": q_image_decode_stub,
         "frame_sample_stub": q_frame_sample_stub,
@@ -1064,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "fingerprint": _FINGERPRINT_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
+        "embedding_cosine_dups": _EMBEDDING_DUPS_ORACLE,
         "multimodal_meta": _MULTIMODAL_META_ORACLE,
         # rows-only (non-SQL-expressible): minhash_lsh, simhash, ann_lsh,
         # image_decode_stub, frame_sample_stub

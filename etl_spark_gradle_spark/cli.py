@@ -11,18 +11,7 @@ JSON log lines with pipeline/run correlation ids
 from __future__ import annotations
 
 import argparse
-import json
 import sys
-import time
-
-
-def _log(level: str, message: str, **fields) -> None:
-    print(
-        json.dumps(
-            {"ts": time.time(), "level": level, "message": message, **fields}, sort_keys=True
-        ),
-        file=sys.stderr,
-    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -45,24 +34,28 @@ def main(argv: list[str] | None = None) -> int:
             parser.error(f"--conf must be K=V, got {entry!r}")
         conf[key] = value
 
+    from etl_spark_gradle_spark.observability import MetricsCollector, StructuredLogger
     from etl_spark_gradle_spark.plans import PipelineExecutor, load_pipeline_yaml
     from etl_spark_gradle_spark.session import get_spark
 
     config = load_pipeline_yaml(args.pipeline)
-    _log("INFO", "pipeline parsed", pipeline_id=config.pipeline_id)
+    logger = StructuredLogger(pipeline_id=config.pipeline_id)
+    logger.info("pipeline parsed")
     spark = get_spark(app_name=config.pipeline_id, master=args.master, conf=conf)
-    metrics = PipelineExecutor().execute(config, spark)
-    _log(
+    collector = MetricsCollector()
+    metrics = PipelineExecutor().execute(config, spark, collector=collector)
+    run_logger = logger.child(run_id=metrics.run_id)
+    run_logger.log(
         "INFO" if metrics.status == "SUCCESS" else "ERROR",
         "pipeline finished",
-        pipeline_id=metrics.pipeline_id,
-        run_id=metrics.run_id,
         status=metrics.status,
+        records_extracted=metrics.records_extracted,
         records_loaded=metrics.records_loaded,
         records_failed=metrics.records_failed,
         duration_seconds=round(metrics.duration_seconds, 3),
         error=metrics.error_details,
     )
+    run_logger.info("phase metrics", **collector.snapshot()["phases"])
     return 0 if metrics.status == "SUCCESS" else 1
 
 

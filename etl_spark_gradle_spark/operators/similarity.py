@@ -103,6 +103,180 @@ def brute_force_topk(
     )
 
 
+def embedding_cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold.
+
+    O(n²) broadcast nested loop — the CORRECTNESS baseline and the
+    verifier for the LSH variant. At corpus scale run
+    ``embedding_cosine_dups_lsh`` to generate candidates and this
+    formula only on the candidate set.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_cosine_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_bits: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: hyperplane-LSH self-bucketing.
+
+    Same shuffle shape as MinHash-LSH dedup (``operators/dedup.py``):
+    signature (narrow) → explode band hashes → ONE shuffle grouping on
+    band hash → within-bucket pairs via a higher-order combination
+    expression → exact cosine rescoring → threshold filter. Never
+    all-pairs; bucket blow-up capped. High thresholds want many short
+    bands (collision prob per band = (1 - θ/π)^r).
+    """
+    from etl_spark_gradle_spark.operators.dedup import _ensure_parallelism
+
+    if num_bits % bands != 0:
+        raise ValueError("num_bits must be divisible by bands")
+    r = num_bits // bands
+    planes = random_hyperplanes(dim, num_bits, seed)
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    sig = base.select("id", "v", srp_signature(F.col("v"), planes).alias("__sig"))
+    banded = sig.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), *[F.col("__sig")[b * r + i] for i in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    )
+    bucketed = (
+        banded.groupBy("bh")
+        .agg(F.collect_list(F.struct("id", "v")).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                lambda y: F.struct(
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    F.when(x["id"] < y["id"], x["v"]).otherwise(y["v"]).alias("va"),
+                    F.when(x["id"] < y["id"], y["v"]).otherwise(x["v"]).alias("vb"),
+                ),
+            ),
+        )
+    )
+    return (
+        bucketed.select(F.explode(combos).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``num_cells`` Voronoi cells around centroid vectors; each query
+    scans only its ``nprobe`` nearest cells.
+
+    Centroid selection here is a deterministic hash-ordered sample
+    (``orderBy(xxhash64(id)).limit(num_cells)`` plans as
+    TakeOrderedAndProject: per-partition top-k, driver merge of
+    num_cells rows — no count, no global sort, no full-corpus window).
+    At production scale train real centroids with sampled k-means and
+    broadcast them; the assignment / probe / rescore dataflow (the part
+    that matters for shuffle shape) is identical. Corpus assignment is a
+    narrow argmin over broadcast centroids; the probe join shuffles only
+    cell ids; rescoring is exact cosine within probed cells. Search cost
+    ~ nprobe/num_cells of brute force.
+    """
+    from pyspark.sql import Window
+
+    from etl_spark_gradle_spark.operators.dedup import _ensure_parallelism
+
+    corpus = _ensure_parallelism(corpus)
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+
+    sampled = c.orderBy(F.pmod(F.xxhash64(F.col("cid")), F.lit(997)), F.col("cid")).limit(
+        num_cells
+    )
+    # window over num_cells rows only — trivial by construction
+    centroids = sampled.select(
+        (F.row_number().over(Window.orderBy("cid")) - 1).alias("cell"),
+        F.col("cv").alias("centroid"),
+    )
+    cent = F.broadcast(centroids)
+
+    def nearest_cells(vec_frame: DataFrame, vcol: str, idcol: str, n: int) -> DataFrame:
+        scored = vec_frame.crossJoin(cent).select(
+            idcol, vcol, "cell", cosine(F.col(vcol), F.col("centroid")).alias("__cs")
+        )
+        ww = Window.partitionBy(idcol).orderBy(F.col("__cs").desc(), F.col("cell"))
+        return (
+            scored.withColumn("__r", F.row_number().over(ww))
+            .filter(F.col("__r") <= n)
+            .select(idcol, vcol, "cell")
+        )
+
+    assigned = nearest_cells(c, "cv", "cid", 1)  # corpus: best cell only
+    probed = nearest_cells(
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
+        "qv",
+        "qid",
+        nprobe,
+    )
+    cand = F.broadcast(probed).join(assigned, "cell")
+    if not include_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wfin))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def random_hyperplanes(dim: int, num_bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit hyperplanes for sign-random-projection LSH.
 

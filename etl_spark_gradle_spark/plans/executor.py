@@ -35,10 +35,12 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark import lineage as lineage_mod
+from etl_spark_gradle_spark.observability import MetricsCollector
 from etl_spark_gradle_spark.plans.config import (
     ExecutionMetrics,
     PipelineConfig,
     RunContext,
+    with_resolved_credentials,
 )
 from etl_spark_gradle_spark.quality import (
     QualityReport,
@@ -113,7 +115,7 @@ class PipelineExecutor:
                 raise KeyError(
                     f"no extractor registered for source type '{config.source.type}'"
                 )
-            df = extractor.extract(config.source, ctx.spark)
+            df = extractor.extract(with_resolved_credentials(config.source), ctx.spark)
         else:
             df = input_df
 
@@ -139,16 +141,24 @@ class PipelineExecutor:
 
     # -- execution ----------------------------------------------------------
 
-    def execute(self, config: PipelineConfig, spark: SparkSession) -> ExecutionMetrics:
+    def execute(
+        self,
+        config: PipelineConfig,
+        spark: SparkSession,
+        collector: MetricsCollector | None = None,
+    ) -> ExecutionMetrics:
         """Plain run (parity: ``pipeline/PipelineExecutor.scala:23-83``).
         Routes to the quality-gated path when quality checks are enabled
         (parity: ``Main.scala:105-123``)."""
         if config.quality.enabled:
-            return self.execute_with_quality(config, spark)
-        return self._run(config, spark, quality=False)
+            return self.execute_with_quality(config, spark, collector)
+        return self._run(config, spark, quality=False, collector=collector)
 
     def execute_with_quality(
-        self, config: PipelineConfig, spark: SparkSession
+        self,
+        config: PipelineConfig,
+        spark: SparkSession,
+        collector: MetricsCollector | None = None,
     ) -> ExecutionMetrics:
         """Quality-gated run (parity:
         ``pipeline/PipelineExecutor.scala:90-165``): extract -> schema
@@ -156,10 +166,18 @@ class PipelineExecutor:
         invalid -> transform valid -> load. The valid branch goes through
         ``build_plan`` so performance knobs behave identically to the
         plain path."""
-        return self._run(config, spark, quality=True)
+        return self._run(config, spark, quality=True, collector=collector)
 
-    def _run(self, config: PipelineConfig, spark: SparkSession, quality: bool) -> ExecutionMetrics:
+    def _run(
+        self,
+        config: PipelineConfig,
+        spark: SparkSession,
+        quality: bool,
+        collector: MetricsCollector | None = None,
+    ) -> ExecutionMetrics:
         ctx = RunContext.create(config.pipeline_id, spark)
+        collector = collector or MetricsCollector()
+        collector.pipeline_id, collector.run_id = config.pipeline_id, ctx.run_id
         metrics = ExecutionMetrics(config.pipeline_id, ctx.run_id, start_timestamp=time.time())
         metrics.status = "RUNNING"
         prev_shuffle: str | None = None
@@ -180,49 +198,53 @@ class PipelineExecutor:
             input_df: DataFrame | None = None
             report: QualityReport | None = None
             if quality:
-                extracted = extractor.extract(config.source, ctx.spark)
-                report = QualityReport()
+                with collector.phase("quality"):
+                    extracted = extractor.extract(
+                        with_resolved_credentials(config.source), ctx.spark
+                    )
+                    report = QualityReport()
 
-                if config.quality.schema_validation and config.source.schema_path:
-                    import json as _json
+                    if config.quality.schema_validation and config.source.schema_path:
+                        import json as _json
 
-                    from pyspark.sql.types import StructType
+                        from pyspark.sql.types import StructType
 
-                    with open(config.source.schema_path, encoding="utf-8") as f:
-                        expected = StructType.fromJson(_json.load(f))
-                    result = validate_schema(extracted.schema, expected)
-                    if not result.is_valid:
-                        report.schema_errors = result.errors
-                        raise ValueError(
-                            "schema validation failed: " + "; ".join(result.errors)
+                        with open(config.source.schema_path, encoding="utf-8") as f:
+                            expected = StructType.fromJson(_json.load(f))
+                        result = validate_schema(extracted.schema, expected)
+                        if not result.is_valid:
+                            report.schema_errors = result.errors
+                            raise ValueError(
+                                "schema validation failed: " + "; ".join(result.errors)
+                            )
+
+                    if config.quality.duplicate_check:
+                        dup = row_hash_duplicate_stats(extracted)
+                        report.duplicates = dup["duplicates"]
+                        metrics.records_extracted = dup["total"]
+
+                    valid, invalid = split_valid_invalid(
+                        extracted, list(config.quality.null_checks)
+                    )
+                    if config.quality.null_checks:
+                        quarantine_path = (
+                            config.quality.quarantine_path
+                            or f"/tmp/quarantine/{config.pipeline_id}"
                         )
+                        from etl_spark_gradle_spark.quality import quarantine as quarantine_write
 
-                if config.quality.duplicate_check:
-                    dup = row_hash_duplicate_stats(extracted)
-                    report.duplicates = dup["duplicates"]
-                    metrics.records_extracted = dup["total"]
+                        quarantined = quarantine_write(
+                            invalid, quarantine_path, config.pipeline_id, ctx.run_id
+                        )
+                        metrics.records_failed = quarantined
+                        report.null_violations = quarantined
+                        report.quarantined = quarantined
+                    input_df = valid
 
-                valid, invalid = split_valid_invalid(
-                    extracted, list(config.quality.null_checks)
+            with collector.phase("plan"):
+                extracted_df, transformed, steps, extract_obs, cached = self.build_plan(
+                    config, ctx, input_df=input_df
                 )
-                if config.quality.null_checks:
-                    quarantine_path = (
-                        config.quality.quarantine_path
-                        or f"/tmp/quarantine/{config.pipeline_id}"
-                    )
-                    from etl_spark_gradle_spark.quality import quarantine as quarantine_write
-
-                    quarantined = quarantine_write(
-                        invalid, quarantine_path, config.pipeline_id, ctx.run_id
-                    )
-                    metrics.records_failed = quarantined
-                    report.null_violations = quarantined
-                    report.quarantined = quarantined
-                input_df = valid
-
-            extracted_df, transformed, steps, extract_obs, cached = self.build_plan(
-                config, ctx, input_df=input_df
-            )
 
             meta = lineage_mod.build_lineage(
                 config.source.type, extractor.source_identifier(config.source), steps
@@ -234,7 +256,10 @@ class PipelineExecutor:
             loader = self.loaders.get(config.sink.type)
             if loader is None:
                 raise KeyError(f"no loader registered for sink type '{config.sink.type}'")
-            result = loader.load(final, config.sink, ctx.run_id)
+            with collector.phase("load"):
+                result = loader.load(
+                    final, with_resolved_credentials(config.sink), ctx.run_id
+                )
 
             metrics.records_loaded = result.records_written
             metrics.records_transformed = result.records_written
@@ -245,6 +270,8 @@ class PipelineExecutor:
                 int(extract_obs.get["records_extracted"]) + metrics.records_failed
             )
             metrics.quality_report = report
+            collector.record("extract", metrics.records_extracted)
+            collector.record("load", metrics.records_loaded)
             metrics.status = "SUCCESS"
         except Exception as e:  # noqa: BLE001 — failure contract returns metrics
             metrics.status = "FAILED"

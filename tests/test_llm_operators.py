@@ -175,6 +175,40 @@ def test_lsh_topk_recall_vs_brute_force(emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_vs_brute_force(emb):
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    approx = sim.ivf_topk(emb, queries, k=5, num_cells=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the cells of a clustered corpus should recover most
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every query still gets k results (cells are non-empty)
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_embedding_cosine_dups_lsh_vs_exact(emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.embedding_cosine_pairs_exact(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in sim.embedding_cosine_dups_lsh(
+            emb, threshold=0.4, dim=64, num_bits=16, bands=8
+        ).collect()
+    }
+    # every LSH pair is exact-verified (rescoring guarantees precision 1.0)
+    assert lsh <= exact
+    assert len(lsh) / max(len(exact), 1) >= 0.3, (len(lsh), len(exact))
+
+
 def test_cosine_zero_vector_guard(spark):
     df = spark.createDataFrame([(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0])], ["id", "v"])
     row = (
