@@ -1,0 +1,105 @@
+"""Physical-plan audit: assert the scale-critical properties of the
+headline queries (predicate pushdown, column pruning, broadcast joins,
+WindowGroupLimit top-k, partial aggregation, codegen coverage).
+
+Usage: python tools/plan_audit.py [sf_dir]
+Prints PASS/FAIL per assertion; exit 1 on any FAIL.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS: list[tuple[str, str, list[str], list[str]]] = [
+    # (query, description, must_contain, must_not_contain)
+    (
+        "filter",
+        "predicate pushed to parquet scan + pruned columns",
+        ["PushedFilters: [IsNotNull(l_quantity)", "codegen id"],
+        [],
+    ),
+    (
+        "aggregation",
+        "partial (map-side) aggregation before the exchange",
+        ["partial_sum", "hashpartitioning"],
+        [],
+    ),
+    (
+        "join_inner",
+        "small dimension broadcast (no fact-table shuffle)",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin"],
+    ),
+    (
+        "ranking",
+        "top-k pushed below the shuffle as WindowGroupLimit",
+        ["WindowGroupLimit"],
+        [],
+    ),
+    (
+        "window_tumbling",
+        "single aggregation shuffle for the windowed groupBy",
+        ["partial_count", "hashpartitioning"],
+        [],
+    ),
+    (
+        "dedup_exact_keys",
+        "survivor selection via WindowGroupLimit (partial top-1 before exchange)",
+        ["WindowGroupLimit"],
+        [],
+    ),
+    (
+        "cosine_topk",
+        "corpus stays in place: broadcast join + top-k window limit",
+        ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+        ["SortMergeJoin"],
+    ),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entrymod
+    from etl_spark_gradle_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", master="local[4]",
+                      conf={"spark.sql.shuffle.partitions": "4"})
+    qs = entrymod.queries()
+    failed = 0
+    for name, desc, must, must_not in CHECKS:
+        plan = plan_of(qs[name](spark, sf_dir))
+        problems = [f"missing '{m}'" for m in must if m not in plan]
+        problems += [f"unwanted '{m}'" for m in must_not if m in plan]
+        if problems:
+            failed += 1
+            print(f"FAIL {name}: {desc} -> {'; '.join(problems)}")
+        else:
+            print(f"PASS {name}: {desc}")
+
+    # scan width check: the filter query must read only the 5 projected
+    # columns, not the full 11-column lineitem schema
+    plan = plan_of(qs["filter"](spark, sf_dir))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    if read_schema and read_schema[0].count(",") <= 5:
+        print("PASS filter: ReadSchema pruned to projected columns")
+    else:
+        failed += 1
+        print(f"FAIL filter: ReadSchema not pruned: {read_schema}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
