@@ -457,6 +457,93 @@ def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
 
 
+def q_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set op: UNION (distinct) of two overlapping customer slices."""
+    from etl_spark_gradle_spark.operators.relational import set_op
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    low = cust.filter("c_acctbal < 2000").select("c_custkey", "c_mktsegment")
+    cust.filter("c_acctbal > -2000").select("c_custkey", "c_mktsegment").createOrReplaceTempView(
+        "cust_hi"
+    )
+    return set_op(low, spark, "cust_hi", op="union", distinct=True)
+
+
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set op: EXCEPT (distinct subtract)."""
+    from etl_spark_gradle_spark.operators.relational import set_op
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    all_keys = cust.select("c_custkey", "c_nationkey")
+    cust.filter("c_acctbal < 0").select("c_custkey", "c_nationkey").createOrReplaceTempView(
+        "cust_neg"
+    )
+    return set_op(all_keys, spark, "cust_neg", op="except")
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort + limit: global top-20 (plans as TakeOrderedAndProject)."""
+    from etl_spark_gradle_spark.operators.relational import sort_limit
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return sort_limit(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice DESC", "o_orderkey"],
+        limit=20,
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct projection over a column subset."""
+    from etl_spark_gradle_spark.operators.relational import distinct_rows
+
+    _prep(spark)
+    return distinct_rows(_t(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"])
+
+
+def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew-tolerant two-phase aggregation — results identical to the
+    plain plan (the oracle is the unsalted SQL)."""
+    from etl_spark_gradle_spark.operators.relational import salted_aggregate
+
+    _prep(spark)
+    li = map_columns(
+        _t(spark, sf_dir, "lineitem"),
+        [("qty_dec", "CAST(l_quantity AS DECIMAL(18,2))")],
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            AggregateExpr("qty_dec", "sum", "sum_qty_dec"),
+            AggregateExpr("*", "count", "cnt"),
+            AggregateExpr("l_quantity", "min", "min_qty"),
+            AggregateExpr("l_quantity", "max", "max_qty"),
+        ],
+        salt_buckets=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        F.col("cnt").cast("long").alias("cnt"),
+        "min_qty",
+        "max_qty",
+    )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scalar surface (SURVEY §2.5): JSON extraction — the Kafka-payload workhorse
 # ---------------------------------------------------------------------------
@@ -997,6 +1084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": q_window_session,
         "streaming_window": q_streaming_window,
         "ranking": q_ranking,
+        "setop_union": q_setop_union,
+        "setop_except": q_setop_except,
+        "sort_limit": q_sort_limit,
+        "distinct": q_distinct,
+        "salted_aggregation": q_salted_aggregation,
         "json_extract": q_json_extract,
         "null_split_invalid": q_null_split_invalid,
         "null_metrics": q_null_metrics,
@@ -1070,6 +1162,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders) "
             "WHERE rn <= 3"
         ),
+        "setop_union": (
+            "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 2000 "
+            "UNION "
+            "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > -2000"
+        ),
+        "setop_except": (
+            "SELECT c_custkey, c_nationkey FROM customer "
+            "EXCEPT "
+            "SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 0"
+        ),
+        "sort_limit": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+        ),
+        "distinct": "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+        "salted_aggregation": _SALTED_AGG_ORACLE,
         "json_extract": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value "
             "FROM events"

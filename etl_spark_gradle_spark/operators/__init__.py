@@ -11,16 +11,26 @@ the ceremony.
 from etl_spark_gradle_spark.operators.dedup import DedupTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
+    DistinctTransformer,
     FilterTransformer,
     JoinTransformer,
     MapTransformer,
     RankingTransformer,
+    SaltedAggregationTransformer,
+    SampleTransformer,
+    SetOpTransformer,
+    SortTransformer,
     WindowingTransformer,
     aggregate,
+    distinct_rows,
     filter_rows,
     join_view,
     map_columns,
     rank_rows,
+    salted_aggregate,
+    sample_rows,
+    set_op,
+    sort_limit,
     window_aggregate,
 )
 from etl_spark_gradle_spark.operators.text import TextAnalysisTransformer  # noqa: F401
@@ -33,6 +43,11 @@ TRANSFORMER_REGISTRY = {
     "windowing": WindowingTransformer(),
     # beyond-reference (SURVEY §2.6 / §2.7 extensions)
     "ranking": RankingTransformer(),
+    "setop": SetOpTransformer(),
+    "sort": SortTransformer(),
+    "distinct": DistinctTransformer(),
+    "sample": SampleTransformer(),
+    "salted_aggregation": SaltedAggregationTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "text_analysis": TextAnalysisTransformer(),

@@ -134,15 +134,21 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
     Catalyst expression; no UDF, no shuffle, linear-time (see
     ``_windows_of``)."""
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
-    chars = F.split(norm, "")
+    # (?U): Java \s matches Unicode whitespace (NBSP etc.) like Python's;
+    # after collapsing to ASCII spaces, plain trim is sufficient
+    norm = F.lower(F.trim(F.regexp_replace(c, r"(?U)\s+", " ")))
+    # split('') yields [''] for empty input — drop empty elements so
+    # empty/whitespace-only text produces ZERO shingles (otherwise every
+    # empty doc shares the '' shingle and they all pair up)
+    chars = F.filter(F.split(norm, ""), lambda x: x != "")
     return F.array_distinct(_windows_of(chars, n, ""))
 
 
 def token_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined token windows)."""
+    """Distinct word n-gram shingles (space-joined token windows).
+    Empty/whitespace-only text yields an empty shingle array."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    toks = F.filter(F.split(F.lower(c), r"(?U)\s+"), lambda x: x != "")
     return F.array_distinct(_windows_of(toks, n, " "))
 
 

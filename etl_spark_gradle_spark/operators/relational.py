@@ -310,6 +310,135 @@ def rank_rows(
     return out
 
 
+_SET_OPS = {"union", "intersect", "except"}
+
+
+def set_op(
+    df: DataFrame,
+    spark: SparkSession,
+    right_table: str,
+    op: str = "union",
+    distinct: bool = True,
+) -> DataFrame:
+    """Set operators over a named temp view (SURVEY §2.7 extension —
+    absent from the reference surface, free from Spark).
+
+    ``union`` resolves by column NAME (``unionByName``) so reordered
+    schemas don't silently mis-zip; ``distinct=False`` gives UNION ALL
+    semantics (no dedup shuffle — prefer it at scale when inputs are
+    disjoint by construction).
+    """
+    o = op.lower()
+    if o not in _SET_OPS:
+        raise TransformationError(f"unsupported set op '{op}' (supported: {sorted(_SET_OPS)})")
+    right = spark.table(right_table)
+    if o == "union":
+        out = df.unionByName(right)
+        return out.distinct() if distinct else out
+    if o == "intersect":
+        return df.intersect(right)
+    return df.exceptAll(right) if not distinct else df.subtract(right)
+
+
+def sort_limit(
+    df: DataFrame,
+    order_by: list[str],
+    limit: int | None = None,
+) -> DataFrame:
+    """Global sort with optional limit (SURVEY §2.7 extension). With a
+    limit, Spark plans TakeOrderedAndProject — per-partition top-k and a
+    driver merge of k rows, never a full global sort of the input."""
+    if not order_by:
+        raise TransformationError("sort requires at least one orderBy entry")
+
+    def order_col(entry: str):
+        expr, _, direction = entry.strip().rpartition(" ")
+        if direction.upper() == "DESC" and expr:
+            return F.expr(expr).desc()
+        if direction.upper() == "ASC" and expr:
+            return F.expr(expr).asc()
+        return F.expr(entry.strip())
+
+    out = df.orderBy(*[order_col(e) for e in order_by])
+    return out.limit(limit) if limit is not None else out
+
+
+def distinct_rows(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """DISTINCT projection (optionally over a column subset). The
+    shuffle carries only the selected columns."""
+    return (df.select(*columns) if columns else df).distinct()
+
+
+def sample_rows(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Bernoulli sample — partition-local, no shuffle; seeded for
+    reproducibility within Spark (cross-engine reproducibility is not a
+    goal; the driver records a rows-only check)."""
+    if not (0.0 < fraction <= 1.0):
+        raise TransformationError("sample fraction must be in (0, 1]")
+    return df.sample(fraction=fraction, seed=seed)
+
+
+_SALTABLE = {"sum", "count", "min", "max"}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_by: list[str],
+    aggregations: list[AggregateExpr],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-tolerant two-phase aggregation: groupBy(keys + salt) partial
+    → groupBy(keys) merge.
+
+    A pathological hot key (one group holding 10% of 100 TB) overflows
+    the single reducer that owns it under plain hash aggregation; the
+    salt splits that group across ``salt_buckets`` reducers, and the
+    second phase merges ``salt_buckets`` pre-aggregated rows per key —
+    results identical to the unsalted plan for algebraic functions
+    (sum/count/min/max; avg decomposes to sum+count here). AQE's skew
+    handling covers joins; this is the aggregation-side counterpart.
+    """
+    for spec in aggregations:
+        if spec.function.lower() not in _SALTABLE | {"avg"}:
+            raise TransformationError(
+                f"salted_aggregate supports {sorted(_SALTABLE | {'avg'})}, "
+                f"got '{spec.function}'"
+            )
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salted = df.withColumn("__salt", salt)
+
+    phase1: list = []
+    phase2: list = []
+    for i, spec in enumerate(aggregations):
+        fn = spec.function.lower()
+        col = F.lit(1) if spec.column == "*" else F.col(spec.column)
+        if fn == "count":
+            phase1.append(F.count(col).alias(f"__p{i}"))
+            phase2.append(F.sum(f"__p{i}").cast("long").alias(spec.alias))
+        elif fn == "sum":
+            phase1.append(F.sum(col).alias(f"__p{i}"))
+            phase2.append(F.sum(f"__p{i}").alias(spec.alias))
+        elif fn == "min":
+            phase1.append(F.min(col).alias(f"__p{i}"))
+            phase2.append(F.min(f"__p{i}").alias(spec.alias))
+        elif fn == "max":
+            phase1.append(F.max(col).alias(f"__p{i}"))
+            phase2.append(F.max(f"__p{i}").alias(spec.alias))
+        else:  # avg = sum / count, merged exactly
+            phase1.append(F.sum(col).alias(f"__p{i}s"))
+            phase1.append(F.count(col).alias(f"__p{i}c"))
+            phase2.append(
+                (F.sum(f"__p{i}s") / F.sum(f"__p{i}c")).alias(spec.alias)
+            )
+    keys = [F.col(c) for c in group_by]
+    return (
+        salted.groupBy(*keys, F.col("__salt"))
+        .agg(*phase1)
+        .groupBy(*[F.col(c) for c in group_by])
+        .agg(*phase2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transformer adapters (registry API — SURVEY §3.3 level (b))
 # ---------------------------------------------------------------------------
@@ -475,6 +604,106 @@ class WindowingTransformer(_BaseTransformer):
             window_type=opts.get("windowType", "tumbling"),
             slide_duration=opts.get("slideDuration"),
             group_by=_split_csv(opts.get("groupBy")) or None,
+        )
+
+
+class SetOpTransformer(_BaseTransformer):
+    """Extension (``type: setop``): union/intersect/except against a
+    named temp view; ``distinct: false`` = ALL semantics."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        if config.options.get("op", "union").lower() not in _SET_OPS:
+            errors.append(f"unsupported set op: {config.options.get('op')}")
+        if not config.options.get("rightTable"):
+            errors.append("setop requires 'rightTable'")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return set_op(
+            df,
+            ctx.spark,
+            right_table=opts["rightTable"],
+            op=opts.get("op", "union"),
+            distinct=opts.get("distinct", "true").lower() not in ("false", "0", "no"),
+        )
+
+
+class SortTransformer(_BaseTransformer):
+    """Extension (``type: sort``): global orderBy + optional limit
+    (TakeOrderedAndProject when limited)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        if not _split_csv(config.options.get("orderBy")):
+            return ValidationResult.fail("sort requires 'orderBy'")
+        return ValidationResult.ok()
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        limit = opts.get("limit")
+        return sort_limit(
+            df, _split_csv(opts.get("orderBy")), int(limit) if limit else None
+        )
+
+
+class DistinctTransformer(_BaseTransformer):
+    """Extension (``type: distinct``): DISTINCT over all or selected
+    columns."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        cols = _split_csv(config.options.get("columns"))
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            return ValidationResult.fail(*[f"column not in input schema: {c}" for c in missing])
+        return ValidationResult.ok()
+
+    def _apply(self, df, config, ctx):
+        return distinct_rows(df, _split_csv(config.options.get("columns")) or None)
+
+
+class SampleTransformer(_BaseTransformer):
+    """Extension (``type: sample``): seeded Bernoulli sample."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        try:
+            fraction = float(config.options.get("fraction", ""))
+        except ValueError:
+            return ValidationResult.fail("sample requires numeric 'fraction'")
+        if not (0.0 < fraction <= 1.0):
+            return ValidationResult.fail("sample fraction must be in (0, 1]")
+        return ValidationResult.ok()
+
+    def _apply(self, df, config, ctx):
+        return sample_rows(
+            df,
+            float(config.options["fraction"]),
+            int(config.options.get("seed", "42")),
+        )
+
+
+class SaltedAggregationTransformer(_BaseTransformer):
+    """Extension (``type: salted_aggregation``): skew-tolerant two-phase
+    aggregation (see :func:`salted_aggregate`)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        if not config.aggregations:
+            errors.append("salted_aggregation requires 'aggregations'")
+        for spec in config.aggregations:
+            if spec.function.lower() not in _SALTABLE | {"avg"}:
+                errors.append(f"unsupported salted aggregate function: {spec.function}")
+        for group_col in _split_csv(config.options.get("groupBy")):
+            if group_col not in df.columns:
+                errors.append(f"groupBy column not in input schema: {group_col}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        return salted_aggregate(
+            df,
+            _split_csv(config.options.get("groupBy")),
+            list(config.aggregations),
+            salt_buckets=int(config.options.get("saltBuckets", "16")),
         )
 
 

@@ -35,20 +35,20 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
 }
 
-_WS = r"\s+"
+# (?U) = Java UNICODE_CHARACTER_CLASS: \s matches U+00A0 & friends,
+# matching Python-regex semantics (training corpora are full of NBSP)
+_WS = r"(?U)\s+"
 
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization as a Catalyst expression (no UDF).
 
-    ``split`` on trimmed text; empty string yields an empty array rather
-    than ``[""]``.
+    ``split`` + drop-empty handles leading/trailing whitespace and the
+    empty string (``[""]`` → ``[]``) without a trim, which would miss
+    Unicode whitespace.
     """
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, _WS)
-    )
+    return F.filter(F.split(c, _WS), lambda t: t != "")
 
 
 def token_count(text: Column | str) -> Column:
@@ -62,7 +62,7 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     separately (``\\w+`` pieces plus isolated symbols), the classic
     regex approximation of subword tokenizers."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_count(c, F.lit(r"\w+|[^\w\s]"))
+    return F.regexp_count(c, F.lit(r"(?U)\w+|[^\w\s]"))
 
 
 def with_text_stats(
@@ -88,7 +88,7 @@ def with_text_stats(
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
     )
-    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    punct = F.regexp_count(c, F.lit(r"(?U)[^\w\s]"))
     digits = F.regexp_count(c, F.lit(r"[0-9]"))
     p = prefix
     out = (

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the Catalyst-expression operators
+must agree with straightforward pure-Python reference implementations on
+arbitrary generated text — the upgrade over the reference's
+hand-computed-expected-values-only strategy (SURVEY §5).
+
+One shared Spark round-trip per property batch: hypothesis generates a
+corpus, we evaluate the operator over the whole corpus in one job, and
+compare element-wise (per-example Spark jobs would be minutes-slow).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators import dedup as dd
+from etl_spark_gradle_spark.operators import text as tx
+
+# printable-ish text incl. whitespace runs, unicode letters, punctuation
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+        include_characters=" \t",
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+def py_tokens(s: str) -> list[str]:
+    t = s.strip()
+    return re.split(r"\s+", t) if t else []
+
+
+def py_token_shingles(s: str, n: int) -> set[str]:
+    toks = [t for t in re.split(r"\s+", s.strip().lower())] if s.strip() else []
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_fingerprint(s: str) -> str:
+    norm = re.sub(r"\s+", " ", s).strip().lower()
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+
+def _batch_eval(spark, texts: list[str], col_builder) -> list:
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    rows = df.select("i", col_builder(F.col("t")).alias("out")).collect()
+    return [r.out for r in sorted(rows, key=lambda r: r.i)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_token_count_matches_python(spark_prop, texts):
+    outs = _batch_eval(spark_prop, texts, lambda c: tx.token_count(c))
+    assert outs == [len(py_tokens(t)) for t in texts]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_fingerprint_matches_python_md5(spark_prop, texts):
+    outs = _batch_eval(spark_prop, texts, lambda c: tx.fingerprint(c))
+    assert outs == [py_fingerprint(t) for t in texts]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6), st.integers(min_value=1, max_value=4))
+def test_token_shingles_match_python(spark_prop, texts, n):
+    outs = _batch_eval(spark_prop, texts, lambda c: dd.token_shingles(c, n))
+    for out, t in zip(outs, texts):
+        assert set(out) == py_token_shingles(t, n)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=2, max_size=6))
+def test_simhash_identical_text_identical_signature(spark_prop, texts):
+    doubled = texts + texts  # every text twice
+    outs = _batch_eval(spark_prop, doubled, lambda c: dd.simhash(c))
+    half = len(texts)
+    assert outs[:half] == outs[half:]
+
+
+@pytest.fixture(scope="module")
+def spark_prop():
+    from etl_spark_gradle_spark.session import get_spark
+
+    return get_spark(
+        app_name="tests-prop",
+        master="local[4]",
+        conf={"spark.sql.shuffle.partitions": "4"},
+    )
