@@ -457,6 +457,153 @@ def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
 
 
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join (left semi): customers that placed at least one big order —
+    existence test, output carries left columns only."""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    _t(spark, sf_dir, "orders").filter("o_totalprice > 300000").createOrReplaceTempView(
+        "big_orders_semi"
+    )
+    out = join_view(
+        customer,
+        spark,
+        right_table="big_orders_semi",
+        left_key="c_custkey",
+        right_key="o_custkey",
+        join_type="semi",
+    )
+    return out.select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join (left anti): customers with no order above the threshold —
+    the corpus-subtraction primitive ('drop documents already seen')."""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    _t(spark, sf_dir, "orders").filter("o_totalprice > 350000").createOrReplaceTempView(
+        "orders_anti"
+    )
+    out = join_view(
+        customer,
+        spark,
+        right_table="orders_anti",
+        left_key="c_custkey",
+        right_key="o_custkey",
+        join_type="anti",
+    )
+    return out.select("c_custkey", "c_name", "c_nationkey")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join: for each click event, the most recent purchase by the
+    same user at or before the click (union-merge plan, one shuffle).
+    Right side pre-deduped per (user, ts) so ties are deterministic."""
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("purchase_ts", _fmt_ts(F.col("ts")))
+    )
+    purchases.createOrReplaceTempView("purchases_asof")
+    out = asof_join(
+        clicks,
+        spark.table("purchases_asof"),
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["purchase_value", "purchase_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _fmt_ts(F.col("ts")).alias("ev_ts"),
+        "purchase_value",
+        "purchase_ts",
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range join: bin events.value into overlapping intervals derived
+    from nation (binned equi-join + residual BETWEEN, never a
+    nested-loop all-pairs)."""
+    from etl_spark_gradle_spark.operators.relational import range_join_points
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    iv = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("iv_id"),
+            (F.col("n_nationkey") * 18.0).alias("lo"),
+            (F.col("n_nationkey") * 18.0 + 25.0).alias("hi"),
+        )
+    )
+    joined = range_join_points(
+        ev, iv, point_col="value", lower_col="lo", upper_col="hi",
+        bin_size=25.0, broadcast_right=True,
+    )
+    return joined.groupBy("iv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup aggregation: per-(flag,status) rows + per-flag subtotals +
+    grand total, NULL group keys on subtotal rows (ANSI semantics)."""
+    _prep(spark)
+    li = map_columns(
+        _t(spark, sf_dir, "lineitem"),
+        [("qty_dec", "CAST(l_quantity AS DECIMAL(18,2))")],
+    )
+    out = aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggregateExpr("qty_dec", "sum", "sum_qty_dec"),
+            AggregateExpr("*", "count", "cnt"),
+        ],
+        grouping_mode="rollup",
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube aggregation: all 2^k grouping combinations in one pass."""
+    _prep(spark)
+    orders = map_columns(
+        _t(spark, sf_dir, "orders"),
+        [("price_dec", "CAST(o_totalprice AS DECIMAL(18,2))")],
+    )
+    out = aggregate(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            AggregateExpr("price_dec", "sum", "sum_price_dec"),
+            AggregateExpr("*", "count", "cnt"),
+        ],
+        grouping_mode="cube",
+    )
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def q_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """set op: UNION (distinct) of two overlapping customer slices."""
     from etl_spark_gradle_spark.operators.relational import set_op
@@ -1084,6 +1231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": q_window_session,
         "streaming_window": q_streaming_window,
         "ranking": q_ranking,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup": q_rollup,
+        "cube": q_cube,
         "setop_union": q_setop_union,
         "setop_except": q_setop_except,
         "sort_limit": q_sort_limit,
@@ -1161,6 +1314,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders) "
             "WHERE rn <= 3"
+        ),
+        "join_semi": (
+            "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
+            "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice > 300000)"
+        ),
+        "join_anti": (
+            "SELECT c_custkey, c_name, c_nationkey FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice > 350000)"
+        ),
+        "asof_join": (
+            "SELECT l.event_id, l.user_id, "
+            "strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ev_ts, "
+            "r.purchase_value, r.purchase_ts "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "      WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN ("
+            "  SELECT user_id, ts, max(value) AS purchase_value, "
+            "         strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts "
+            "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts"
+            ") r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "range_join": (
+            "SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+            "FROM events JOIN ("
+            "  SELECT n_nationkey AS iv_id, n_nationkey*18.0 AS lo, "
+            "         n_nationkey*18.0 + 25.0 AS hi FROM nation"
+            ") ON value BETWEEN lo AND hi "
+            "GROUP BY iv_id"
+        ),
+        "rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "cube": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
         ),
         "setop_union": (
             "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 2000 "

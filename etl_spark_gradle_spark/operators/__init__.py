@@ -11,10 +11,12 @@ the ceremony.
 from etl_spark_gradle_spark.operators.dedup import DedupTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
+    AsofJoinTransformer,
     DistinctTransformer,
     FilterTransformer,
     JoinTransformer,
     MapTransformer,
+    RangeJoinTransformer,
     RankingTransformer,
     SaltedAggregationTransformer,
     SampleTransformer,
@@ -22,10 +24,12 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     SortTransformer,
     WindowingTransformer,
     aggregate,
+    asof_join,
     distinct_rows,
     filter_rows,
     join_view,
     map_columns,
+    range_join_points,
     rank_rows,
     salted_aggregate,
     sample_rows,
@@ -43,6 +47,8 @@ TRANSFORMER_REGISTRY = {
     "windowing": WindowingTransformer(),
     # beyond-reference (SURVEY §2.6 / §2.7 extensions)
     "ranking": RankingTransformer(),
+    "asof_join": AsofJoinTransformer(),
+    "range_join": RangeJoinTransformer(),
     "setop": SetOpTransformer(),
     "sort": SortTransformer(),
     "distinct": DistinctTransformer(),

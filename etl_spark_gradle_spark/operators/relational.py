@@ -152,10 +152,14 @@ def parse_map_expressions(spec: str) -> list[tuple[str, str]]:
     return pairs
 
 
+_GROUPING_MODES = {"groupby", "rollup", "cube"}
+
+
 def aggregate(
     df: DataFrame,
     group_by: list[str],
     aggregations: list[AggregateExpr],
+    grouping_mode: str = "groupby",
 ) -> DataFrame:
     """Hash aggregation: ``groupBy(cols).agg(...)`` (parity:
     ``transformer/AggregationTransformer.scala:67-68``).
@@ -164,14 +168,35 @@ def aggregate(
     automatically, so the shuffle carries pre-combined state, not raw
     rows — the property that keeps a 100 TB groupBy tractable.
     Empty ``group_by`` = global aggregation.
+
+    ``grouping_mode`` extends the surface with ``rollup`` / ``cube``
+    multi-level aggregates (SURVEY §2.7 extension — stock Spark; one
+    Expand + one shuffle, subtotal rows carry NULL group keys exactly
+    like ANSI SQL ``GROUP BY ROLLUP/CUBE``).
     """
     if not aggregations:
         raise TransformationError("aggregation requires at least one AggregateExpr")
+    mode = grouping_mode.lower()
+    if mode not in _GROUPING_MODES:
+        raise TransformationError(
+            f"unsupported groupingMode '{grouping_mode}' (supported: {sorted(_GROUPING_MODES)})"
+        )
     aggs = [_agg_column(a) for a in aggregations]
-    return df.groupBy(*[F.col(c) for c in group_by]).agg(*aggs)
+    keys = [F.col(c) for c in group_by]
+    if mode == "rollup":
+        grouped = df.rollup(*keys)
+    elif mode == "cube":
+        grouped = df.cube(*keys)
+    else:
+        grouped = df.groupBy(*keys)
+    return grouped.agg(*aggs)
 
 
-_JOIN_TYPES = {"inner", "left", "right", "full"}
+# semi/anti are SURVEY §2.7 extensions (absent from the reference surface,
+# free from Spark): semi = "keep left rows with a match", anti = "keep
+# left rows WITHOUT a match" — the corpus-subtraction primitive of every
+# dedup pipeline ("drop documents already seen").
+_JOIN_TYPES = {"inner", "left", "right", "full", "semi", "anti"}
 
 
 def join_view(
@@ -204,23 +229,165 @@ def join_view(
     right = spark.table(right_table)
     if broadcast_right:
         right = F.broadcast(right)
-    spark_join_type = {"left": "left_outer", "right": "right_outer", "full": "full_outer"}.get(
-        jt, jt
-    )
+    spark_join_type = {
+        "left": "left_outer",
+        "right": "right_outer",
+        "full": "full_outer",
+        "semi": "left_semi",
+        "anti": "left_anti",
+    }.get(jt, jt)
     joined = df.alias("l").join(
         right.alias("r"),
         F.col(f"l.{left_key}") == F.col(f"r.{right_key}"),
         spark_join_type,
     )
-    # dedup: keep every left column; add right columns whose names don't
-    # collide with a left column
-    left_cols = [F.col(f"l.{c}") for c in df.columns]
-    left_names = set(df.columns)
-    right_cols = [F.col(f"r.{c}") for c in right.columns if c not in left_names]
-    out = joined.select(*left_cols, *right_cols)
+    if jt in ("semi", "anti"):
+        # existence joins produce left columns only — nothing to dedup
+        out = joined
+    else:
+        # dedup: keep every left column; add right columns whose names
+        # don't collide with a left column
+        left_cols = [F.col(f"l.{c}") for c in df.columns]
+        left_names = set(df.columns)
+        right_cols = [F.col(f"r.{c}") for c in right.columns if c not in left_names]
+        out = joined.select(*left_cols, *right_cols)
     if select_columns:
         out = out.select(*select_columns)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the single right row with
+    the same key and the nearest ``right_time`` at-or-before
+    (``backward``) / at-or-after (``forward``) the left row's time. Left
+    rows without a qualifying match keep NULL right values (ASOF LEFT
+    JOIN semantics).
+
+    Spark has no asof primitive, so this is the idiomatic union-merge
+    plan (the distributed counterpart of ``pandas.merge_asof``):
+    tag + union both sides, ONE shuffle on the key, per-partition sort
+    on (time, tag), and a running ``last(..., ignorenulls=True)`` window
+    carries the most recent right payload onto each left row. No range
+    explosion, no per-key driver loop; cost is the same sort-merge
+    shuffle a plain equi-join would pay. At equal timestamps the right
+    row sorts before the left row, so exact-time matches are included.
+
+    100-TB note: a pathologically hot key serializes in one task's sort —
+    pre-split hot keys (salt + per-salt asof + min-by-distance merge) if
+    the key histogram demands it; AQE cannot split a window partition.
+
+    ``right_values`` are the right columns to attach (must not collide
+    with left column names). ``tolerance_seconds`` nulls out matches
+    further than the tolerance from the left time.
+    """
+    if direction not in ("backward", "forward"):
+        raise TransformationError("asof direction must be 'backward' or 'forward'")
+    collisions = set(right_values) & set(left.columns)
+    if collisions:
+        raise TransformationError(
+            f"asof right_values collide with left columns: {sorted(collisions)}"
+        )
+    pay_fields = [F.col(c) for c in right_values] + [
+        F.col(right_time).cast("timestamp").alias("__asof_t")
+    ]
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.struct(*pay_fields).alias("__pay"),
+        F.lit(0).alias("__tag"),
+    )
+    l = (
+        left.withColumn("__k", F.col(left_key))
+        .withColumn("__t", F.col(left_time).cast("timestamp"))
+        .withColumn("__tag", F.lit(1))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("__t").asc(), F.col("__tag").asc()]
+    if direction == "forward":
+        order = [F.col("__t").desc(), F.col("__tag").asc()]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__match", F.last("__pay", ignorenulls=True).over(w)).filter(
+        F.col("__tag") == 1
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_timestamp(F.col("__t")) - F.unix_timestamp(F.col("__match.__asof_t"))
+        )
+        matched = matched.withColumn(
+            "__match", F.when(gap <= tolerance_seconds, F.col("__match"))
+        )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__match.{c}").alias(c) for c in right_values
+    ]
+    return matched.select(*out_cols)
+
+
+def range_join_points(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lower_col: str,
+    upper_col: str,
+    bin_size: float,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Range (interval-containment) join: every (left, right) pair with
+    ``lower <= point <= upper`` — BETWEEN semantics, matching the SQL
+    oracle. Output = left columns + non-colliding right columns
+    (left-wins dedup, same rule as :func:`join_view`).
+
+    A naive non-equi join plans as BroadcastNestedLoopJoin (O(n·m) on
+    one node's worth of comparisons). This instead *bins* the number
+    line: each point belongs to exactly one ``bin_size`` bucket, each
+    interval explodes to the buckets it covers, and the join becomes an
+    EQUI-join on bucket id plus a residual BETWEEN filter. One hash
+    shuffle on bin id; explode factor ≈ interval_width / bin_size + 1 —
+    pick ``bin_size`` near the typical interval width so intervals
+    explode to ~2 bins. Spark applies the residual predicate inside the
+    join, so no oversized intermediate materializes.
+    """
+    if bin_size <= 0:
+        raise TransformationError("range join bin_size must be positive")
+    lb = left.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_size)).cast("long")
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lower_col) / F.lit(bin_size)).cast("long"),
+                F.floor(F.col(upper_col) / F.lit(bin_size)).cast("long"),
+            )
+        ),
+    )
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    cond = (
+        (F.col(f"l.{point_col}") >= F.col(f"r.{lower_col}"))
+        & (F.col(f"l.{point_col}") <= F.col(f"r.{upper_col}"))
+    )
+    joined = lb.alias("l").join(
+        rb.alias("r"), (F.col("l.__bin") == F.col("r.__bin")) & cond, "inner"
+    )
+    left_names = set(left.columns)
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c not in left_names
+    ]
+    return joined.select(*out_cols)
 
 
 _WINDOW_TYPES = {"tumbling", "sliding", "session"}
@@ -531,10 +698,17 @@ class AggregationTransformer(_BaseTransformer):
                 errors.append(f"unsupported aggregate function: {spec.function}")
             if spec.column != "*" and spec.column not in cols:
                 errors.append(f"aggregate column not in input schema: {spec.column}")
+        if config.options.get("groupingMode", "groupby").lower() not in _GROUPING_MODES:
+            errors.append(f"unsupported groupingMode: {config.options['groupingMode']}")
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
     def _apply(self, df, config, ctx):
-        return aggregate(df, _split_csv(config.options.get("groupBy")), list(config.aggregations))
+        return aggregate(
+            df,
+            _split_csv(config.options.get("groupBy")),
+            list(config.aggregations),
+            grouping_mode=config.options.get("groupingMode", "groupby"),
+        )
 
 
 class JoinTransformer(_BaseTransformer):
@@ -566,6 +740,78 @@ class JoinTransformer(_BaseTransformer):
             right_key=opts["rightKey"],
             join_type=opts.get("joinType", "inner"),
             select_columns=_split_csv(opts.get("selectColumns")) or None,
+            broadcast_right=opts.get("broadcast", "").lower() in ("true", "1", "yes"),
+        )
+
+
+class AsofJoinTransformer(_BaseTransformer):
+    """Extension (``type: asof_join``): nearest-time join against a named
+    temp view (see :func:`asof_join`). Options: ``rightTable``,
+    ``leftKey``/``rightKey``, ``leftTime``/``rightTime``,
+    ``rightValues`` (comma list), ``direction`` (backward|forward),
+    ``toleranceSeconds``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        for req in ("rightTable", "leftKey", "rightKey", "leftTime", "rightTime"):
+            if not opts.get(req):
+                errors.append(f"asof_join requires '{req}'")
+        if not _split_csv(opts.get("rightValues")):
+            errors.append("asof_join requires 'rightValues'")
+        if opts.get("direction", "backward") not in ("backward", "forward"):
+            errors.append(f"unsupported direction: {opts['direction']}")
+        for col_opt in ("leftKey", "leftTime"):
+            if opts.get(col_opt) and opts[col_opt] not in df.columns:
+                errors.append(f"{col_opt} not in input schema: {opts[col_opt]}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        tol = opts.get("toleranceSeconds")
+        return asof_join(
+            df,
+            ctx.spark.table(opts["rightTable"]),
+            left_key=opts["leftKey"],
+            right_key=opts["rightKey"],
+            left_time=opts["leftTime"],
+            right_time=opts["rightTime"],
+            right_values=_split_csv(opts.get("rightValues")),
+            direction=opts.get("direction", "backward"),
+            tolerance_seconds=float(tol) if tol else None,
+        )
+
+
+class RangeJoinTransformer(_BaseTransformer):
+    """Extension (``type: range_join``): binned interval-containment join
+    against a named temp view (see :func:`range_join_points`). Options:
+    ``rightTable``, ``pointColumn``, ``lowerColumn``, ``upperColumn``,
+    ``binSize``, ``broadcast``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        for req in ("rightTable", "pointColumn", "lowerColumn", "upperColumn"):
+            if not opts.get(req):
+                errors.append(f"range_join requires '{req}'")
+        try:
+            if float(opts.get("binSize", "0")) <= 0:
+                errors.append("range_join requires positive numeric 'binSize'")
+        except ValueError:
+            errors.append("range_join requires positive numeric 'binSize'")
+        if opts.get("pointColumn") and opts["pointColumn"] not in df.columns:
+            errors.append(f"pointColumn not in input schema: {opts['pointColumn']}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return range_join_points(
+            df,
+            ctx.spark.table(opts["rightTable"]),
+            point_col=opts["pointColumn"],
+            lower_col=opts["lowerColumn"],
+            upper_col=opts["upperColumn"],
+            bin_size=float(opts["binSize"]),
             broadcast_right=opts.get("broadcast", "").lower() in ("true", "1", "yes"),
         )
 

@@ -108,3 +108,110 @@ def test_registry_adapters_validate(spark, kv):
     assert not sample.validate(
         kv, TransformationConfig(type="sample", options={"fraction": "nope"})
     ).is_valid
+
+# ---------------------------------------------------------------------------
+# semi/anti joins, as-of join, range join, rollup/cube
+# ---------------------------------------------------------------------------
+
+
+def test_join_semi_anti(spark, kv):
+    from etl_spark_gradle_spark.operators.relational import join_view
+
+    spark.createDataFrame([(2,), (3,), (99,)], ["rk"]).createOrReplaceTempView("keys_sa")
+    semi = join_view(kv, spark, "keys_sa", "k", "rk", "semi")
+    assert semi.columns == ["k", "v"]  # left columns only
+    assert {r.k for r in semi.collect()} == {2, 3}
+    anti = join_view(kv, spark, "keys_sa", "k", "rk", "anti")
+    assert {r.k for r in anti.collect()} == {1, 4}
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:00:00")],
+        ["k", "t"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 9.0), (1, "2024-01-01 11:30:00", 11.5),
+         (3, "2024-01-01 09:00:00", 1.0)],
+        ["k", "t", "val"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "val")
+
+    back = asof_join(left, right, "k", "k", "t", "t", ["val"])
+    got = {(r.k, str(r.t)): r.val for r in back.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 9.0
+    assert got[(1, "2024-01-01 12:00:00")] == 11.5
+    assert got[(2, "2024-01-01 10:00:00")] is None  # no right rows for key
+
+    fwd = asof_join(left, right, "k", "k", "t", "t", ["val"], direction="forward")
+    gotf = {(r.k, str(r.t)): r.val for r in fwd.collect()}
+    assert gotf[(1, "2024-01-01 10:00:00")] == 11.5  # nearest at-or-after
+    assert gotf[(1, "2024-01-01 12:00:00")] is None
+
+    tol = asof_join(left, right, "k", "k", "t", "t", ["val"], tolerance_seconds=1800)
+    gott = {(r.k, str(r.t)): r.val for r in tol.collect()}
+    assert gott[(1, "2024-01-01 10:00:00")] is None  # 9:00 is 1h away > 30min
+    assert gott[(1, "2024-01-01 12:00:00")] == 11.5  # 11:30 within 30min
+
+
+def test_asof_join_equal_timestamp_inclusive(spark):
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00")], ["k", "t"]).select(
+        "k", F.col("t").cast("timestamp").alias("t")
+    )
+    right = spark.createDataFrame([(1, "2024-01-01 10:00:00", 5.0)], ["k", "t", "val"]).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "val"
+    )
+    out = asof_join(left, right, "k", "k", "t", "t", ["val"]).collect()
+    assert out[0].val == 5.0
+
+
+def test_range_join_points_between_semantics(spark):
+    from etl_spark_gradle_spark.operators.relational import range_join_points
+
+    pts = spark.createDataFrame([(1, 0.0), (2, 10.0), (3, 25.0), (4, 99.0)], ["pid", "x"])
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 10.0, 30.0)], ["iv", "lo", "hi"]
+    )
+    out = range_join_points(pts, ivs, "x", "lo", "hi", bin_size=10.0)
+    pairs = {(r.pid, r.iv) for r in out.collect()}
+    # BETWEEN is inclusive on both ends; 10.0 is in both intervals
+    assert pairs == {(1, 100), (2, 100), (2, 200), (3, 200)}
+
+
+def test_rollup_cube_modes(spark, kv):
+    from etl_spark_gradle_spark.operators.relational import aggregate
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["g1", "g2", "n"]
+    )
+    aggs = [AggregateExpr("n", "sum", "s")]
+    roll = aggregate(df, ["g1", "g2"], aggs, grouping_mode="rollup")
+    assert roll.count() == 3 + 2 + 1  # leaves + per-g1 + grand total
+    cube = aggregate(df, ["g1", "g2"], aggs, grouping_mode="cube")
+    assert cube.count() == 3 + 2 + 2 + 1  # + per-g2 marginals
+    total = {r.s for r in roll.filter("g1 IS NULL AND g2 IS NULL").collect()}
+    assert total == {7}
+    with pytest.raises(TransformationError):
+        aggregate(df, ["g1"], aggs, grouping_mode="bogus")
+
+
+def test_asof_range_registry_adapters(spark):
+    ctx = RunContext.create("t", spark)
+    asof = TRANSFORMER_REGISTRY["asof_join"]
+    bad = asof.validate(
+        spark.range(1), TransformationConfig(type="asof_join", options={})
+    )
+    assert not bad.is_valid
+    rj = TRANSFORMER_REGISTRY["range_join"]
+    bad2 = rj.validate(
+        spark.range(1),
+        TransformationConfig(
+            type="range_join",
+            options={"rightTable": "t", "pointColumn": "id", "lowerColumn": "lo",
+                     "upperColumn": "hi", "binSize": "-3"},
+        ),
+    )
+    assert not bad2.is_valid

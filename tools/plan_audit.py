@@ -66,6 +66,42 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
         ["SortMergeJoin"],
     ),
+    (
+        "join_semi",
+        "existence join planned as a real semi join (no row blow-up)",
+        ["LeftSemi"],
+        [],
+    ),
+    (
+        "join_anti",
+        "subtraction join planned as a real anti join",
+        ["LeftAnti"],
+        [],
+    ),
+    (
+        "asof_join",
+        "union-merge asof: ONE key shuffle + running-window match, no range explosion",
+        ["Window", "hashpartitioning(__k"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    (
+        "range_join",
+        "binned range join: equi-join on bin id with residual BETWEEN, never nested-loop",
+        ["BroadcastHashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    (
+        "rollup",
+        "rollup = one Expand + one partial-agg shuffle",
+        ["Expand", "partial_sum", "hashpartitioning"],
+        [],
+    ),
+    (
+        "sort_limit",
+        "global top-n plans as TakeOrderedAndProject (no full sort)",
+        ["TakeOrderedAndProject"],
+        [],
+    ),
 ]
 
 
