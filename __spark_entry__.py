@@ -440,6 +440,125 @@ HAVING make_timestamp((bucket + 600) * 1000000) <= (SELECT MAX(ts) FROM events)
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization of
+    the events table via ``applyInPandasWithState`` (30-min gap), run as
+    two availableNow drains — the second drain ships a far-future
+    watermark-driver event so every real session closes via event-time
+    timeout. Values are summed as integer cents for exact cross-engine
+    totals. Oracle: DuckDB gaps-and-islands SQL."""
+    import json
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # TIMESTAMP(NANOS) as long
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"sess_src_{run}")
+    out_path = os.path.join(_SCRATCH, f"sess_out_{run}")
+    ckpt = os.path.join(_SCRATCH, f"sess_ckpt_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+            .withColumn("cents", F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .select("user_id", "ts", "cents")
+        )
+        sessions = st.sessionize_stream(
+            stream,
+            key_col="user_id",
+            time_col="ts",
+            gap_seconds=1800,
+            value_col="cents",
+            watermark_delay="0 seconds",
+        )
+        st.write_stream(
+            sessions,
+            {"path": out_path, "checkpointLocation": ckpt, "format": "parquet"},
+            output_mode="append",
+            await_termination=True,
+        )
+
+    drain()
+    # watermark-driver: one far-future event for a sentinel user closes
+    # every real session on the second drain (its own session stays open)
+    flush = {
+        "event_id": -1,
+        "ts": 4102444800_000_000_000,  # 2100-01-01 in nanos
+        "user_id": -1,
+        "event_type": "flush",
+        "value": 0.0,
+        "props": "{}",
+    }
+    flush_df = spark.createDataFrame(
+        [tuple(flush[k] for k in ("event_id", "ts", "user_id", "event_type", "value", "props"))],
+        schema,
+    )
+    flush_df.write.mode("overwrite").parquet(os.path.join(src_dir, "flush"))
+    # the streaming source lists files recursively only within the dir;
+    # write the flush batch as a sibling file instead
+    for f in os.listdir(os.path.join(src_dir, "flush")):
+        if f.endswith(".parquet"):
+            shutil.move(
+                os.path.join(src_dir, "flush", f), os.path.join(src_dir, f"zz_{f}")
+            )
+    shutil.rmtree(os.path.join(src_dir, "flush"), ignore_errors=True)
+    drain()
+    out = spark.read.parquet(out_path).filter("user_id >= 0")
+    return out.select(
+        "user_id",
+        _fmt_ts(F.col("session_start")).alias("session_start"),
+        _fmt_ts(F.col("session_end")).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("long").alias("sum_cents"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ranking: row_number top-3 per partition; Spark ≥3.5 plans the
     top-k filter as WindowGroupLimit. Unique-key tiebreak for
@@ -1230,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
         "streaming_window": q_streaming_window,
+        "sessionize": q_sessionize,
         "ranking": q_ranking,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
@@ -1315,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders) "
             "WHERE rn <= 3"
         ),
+        "sessionize": _SESSIONIZE_ORACLE,
         "join_semi": (
             "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
             "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "

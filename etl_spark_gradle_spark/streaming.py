@@ -108,6 +108,113 @@ def windowed_stream_agg(
     )
 
 
+def sessionize_stream(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int,
+    value_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the escape hatch for semantics
+    ``F.session_window`` can't express — here we emit one row per
+    CLOSED session with its exact start/end/count/sum, closing sessions
+    both in-batch (a gap inside one micro-batch) and across batches
+    (event-time timeout when the watermark passes last_event + gap).
+
+    Output: ``(key, session_start, session_end, n_events, sum_value)``;
+    ``sum_value`` sums ``value_col`` (pass an integer column for exact
+    cross-engine totals) or 0 when omitted.
+
+    100-TB notes: state per key is four scalars (no event buffering);
+    the shuffle partitions by key exactly like any streaming agg; the
+    watermark bounds both late data and state lifetime. This is Arrow-
+    batched pandas, not row-at-a-time Python.
+    """
+    import pandas as pd  # noqa: F401 (needed by the worker closure)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        TimestampType,
+    )
+
+    ktype = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, ktype),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+        ]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        def emit(start_us, last_us, n, s):
+            return pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [int(n)],
+                    "sum_value": [float(s)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, s = state.get
+            state.remove()
+            yield emit(start_us, last_us, n, s)
+            return
+
+        frames = [pdf for pdf in pdf_iter]
+        events = pd.concat(frames, ignore_index=True).sort_values(time_col)
+        times = (events[time_col].astype("int64") // 1000).astype("int64")  # ns -> us
+        values = (
+            events[value_col].astype("float64")
+            if value_col
+            else pd.Series(0.0, index=events.index)
+        )
+        cur = state.get if state.exists else None
+        for t_us, v in zip(times, values):
+            t_us = int(t_us)
+            if cur is None:
+                cur = (t_us, t_us, 1, float(v))
+            elif t_us - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = (t_us, t_us, 1, float(v))
+            else:
+                cur = (cur[0], max(cur[1], t_us), cur[2] + 1, cur[3] + float(v))
+        state.update(cur)
+        # event-time timeout must sit above the current watermark
+        timeout_ms = max(
+            cur[1] // 1000 + int(gap_seconds) * 1000 + 1,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+
+    return (
+        df.withWatermark(time_col, watermark_delay)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )
+
+
 def write_stream(
     df: DataFrame,
     options: dict[str, str],

@@ -109,3 +109,86 @@ def test_incremental_second_batch(spark, tmp_path):
     rows = [r for r in spark.read.parquet(str(out)).collect() if r.metric == "m1"]
     assert sorted(r.window_start.strftime("%M:%S") for r in rows) == ["00:00", "01:00"]
     assert all(r.cnt == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState sessionization
+# ---------------------------------------------------------------------------
+
+SESS_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("user", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_sess_batch(path, rows):
+    with open(path, "w", encoding="utf-8") as f:
+        for ts, u, v in rows:
+            f.write(json.dumps({"ts": ts, "user": u, "value": v}) + "\n")
+
+
+def _run_sessionize(spark, src, out, ckpt, gap=60):
+    stream = st.read_file_stream(
+        spark, {"path": str(src), "format": "json"}, SESS_SCHEMA
+    )
+    sessions = st.sessionize_stream(
+        stream, key_col="user", time_col="ts", gap_seconds=gap,
+        value_col="value", watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        sessions,
+        {"path": str(out), "checkpointLocation": str(ckpt), "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+
+
+def test_sessionize_in_batch_split_and_timeout(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    # user A: two events 30s apart (one session), then one 10min later
+    # (gap 60s -> in-batch split closes the first session immediately)
+    _write_sess_batch(
+        src / "b1.json",
+        [
+            ("2024-01-01 00:00:00", "A", 1.0),
+            ("2024-01-01 00:00:30", "A", 2.0),
+            ("2024-01-01 00:10:00", "A", 4.0),
+            ("2024-01-01 01:00:00", "W", 0.0),  # watermark driver
+        ],
+    )
+    _run_sessionize(spark, src, out, ckpt)
+    got = {
+        (r.user, r.session_start.strftime("%H:%M:%S")): (
+            r.session_end.strftime("%H:%M:%S"), r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # the in-batch split closes A's first session; the availableNow
+    # drain's final batch advances the watermark to 01:00, so A's second
+    # session (timeout 00:11:00) also flushes via EventTimeTimeout.
+    # W's own session (timeout 01:01:00) stays open.
+    assert got == {
+        ("A", "00:00:00"): ("00:00:30", 2, 3.0),
+        ("A", "00:10:00"): ("00:10:00", 1, 4.0),
+    }
+
+    # second drain: a later event advances the watermark past W's
+    # first-session timeout -> it flushes exactly once
+    _write_sess_batch(src / "b2.json", [("2024-01-01 02:00:00", "W", 0.0)])
+    _run_sessionize(spark, src, out, ckpt)
+    got2 = {
+        (r.user, r.session_start.strftime("%H:%M:%S")): (
+            r.session_end.strftime("%H:%M:%S"), r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got2[("A", "00:10:00")] == ("00:10:00", 1, 4.0)
+    assert len([k for k in got2 if k[0] == "A"]) == 2  # exactly once each
+    # W's 01:00 session timed out once the watermark hit 02:00
+    assert got2[("W", "01:00:00")] == ("01:00:00", 1, 0.0)
+    assert ("W", "02:00:00") not in got2  # still open -> correctly unemitted
