@@ -17,6 +17,7 @@ zero extra jobs, which is the difference between one pass and three over
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, Observation
@@ -131,6 +132,13 @@ _UPSERT_TEMPLATES = {
         "INSERT INTO {table} ({cols}) SELECT {cols} FROM {tmp} "
         "ON DUPLICATE KEY UPDATE {updates_values}"
     ),
+    # beyond-reference: standard SQL:2003 MERGE for engines without a
+    # vendor upsert (Derby, DB2, Oracle, SQL Server, lakehouse SQL)
+    "ansi": (
+        "MERGE INTO {table} t USING {tmp} s ON ({on_clause}) "
+        "WHEN MATCHED THEN UPDATE SET {merge_updates} "
+        "WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({src_cols})"
+    ),
 }
 
 _JDBC_DRIVERS = {"postgres": "org.postgresql.Driver", "mysql": "com.mysql.cj.jdbc.Driver"}
@@ -143,6 +151,20 @@ def _quote_ident(name: str, dialect: str) -> str:
     needs this). Doubles embedded quote chars per SQL escaping rules."""
     q = _QUOTE_CHARS.get(dialect, '"')
     return q + name.replace(q, q + q) + q
+
+
+_PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _table_ref(name: str, dialect: str) -> str:
+    """Table reference for driver-side merge SQL. Spark's JDBC writer
+    passes table names through UNQUOTED, so the database case-folds them
+    (Derby/Oracle → upper, Postgres → lower); quoting here would make
+    the merge look for a case-exact name that was never created. Plain
+    identifiers therefore stay unquoted (fold-consistent with the
+    writer); anything else is quoted (injection hardening for names that
+    could not have been created unquoted anyway)."""
+    return name if _PLAIN_IDENT.fullmatch(name) else _quote_ident(name, dialect)
 
 
 def build_upsert_sql(
@@ -158,12 +180,15 @@ def build_upsert_sql(
     qi = lambda n: _quote_ident(n, dialect)  # noqa: E731
     non_pk = [c for c in cols if c not in pk_cols]
     return template.format(
-        table=qi(table),
-        tmp=qi(tmp),
+        table=_table_ref(table, dialect),
+        tmp=_table_ref(tmp, dialect),
         cols=", ".join(qi(c) for c in cols),
         pk=", ".join(qi(c) for c in pk_cols),
         updates_excluded=", ".join(f"{qi(c)} = EXCLUDED.{qi(c)}" for c in non_pk),
         updates_values=", ".join(f"{qi(c)} = VALUES({qi(c)})" for c in non_pk),
+        on_clause=" AND ".join(f"t.{qi(c)} = s.{qi(c)}" for c in pk_cols),
+        merge_updates=", ".join(f"{qi(c)} = s.{qi(c)}" for c in non_pk),
+        src_cols=", ".join(f"s.{qi(c)}" for c in cols),
     )
 
 
@@ -251,7 +276,15 @@ def load_jdbc(
     finally:
         try:
             stmt = conn.createStatement()
-            stmt.execute(f"DROP TABLE IF EXISTS {_quote_ident(tmp, dialect)}")
+            if dialect in ("postgres", "mysql"):
+                stmt.execute(f"DROP TABLE IF EXISTS {_table_ref(tmp, dialect)}")
+            else:
+                # ANSI/Derby has no IF EXISTS; a missing staging table is
+                # not an error worth masking the merge result for
+                try:
+                    stmt.execute(f"DROP TABLE {_table_ref(tmp, dialect)}")
+                except Exception:
+                    pass
             stmt.close()
         finally:
             conn.close()

@@ -121,10 +121,20 @@ def test_upsert_sql_quotes_identifiers():
     sql = build_upsert_sql(
         "postgres", "events", "events_staging_1", ["id", "val", "select"], ["id"]
     )
-    assert '"events"' in sql and '"events_staging_1"' in sql
+    # plain table names stay UNQUOTED (fold-consistent with Spark's JDBC
+    # writer, which passes dbtable through unquoted); columns are always
+    # quoted because the writer quotes them at CREATE
+    assert "INSERT INTO events " in sql and "FROM events_staging_1 " in sql
     assert '"select" = EXCLUDED."select"' in sql
     my = build_upsert_sql("mysql", "t", "t_s", ["id", "v"], ["id"])
-    assert "`t`" in my and "`v` = VALUES(`v`)" in my
+    assert "`v` = VALUES(`v`)" in my
+    # non-plain table names (couldn't exist unquoted) DO get quoted
+    weird = build_upsert_sql("postgres", "weird table", "s", ["id"], ["id"])
+    assert '"weird table"' in weird
+    # ANSI MERGE dialect (Derby/DB2/lakehouse)
+    ansi = build_upsert_sql("ansi", "T", "T_S", ["id", "v"], ["id"])
+    assert ansi.startswith("MERGE INTO T t USING T_S s ON")
+    assert 't."id" = s."id"' in ansi and '"v" = s."v"' in ansi
 
 
 def test_avro_degrades_with_clear_error(spark, sf_dir, tmp_path):
