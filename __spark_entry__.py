@@ -33,9 +33,11 @@ from etl_spark_gradle_spark.operators import similarity as sim
 from etl_spark_gradle_spark.operators import text as tx
 from etl_spark_gradle_spark.operators.relational import (
     aggregate,
+    analytic_columns,
     filter_rows,
     join_view,
     map_columns,
+    pivot_table,
     rank_rows,
     window_aggregate,
 )
@@ -574,6 +576,52 @@ def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_alias="rn",
     )
     return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+def q_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics: lag/lead/running-sum/running-count/cume_dist over one
+    shared window spec — a single sort inside one
+    hashpartitioning(o_custkey) exchange covers all five columns.
+    Money as integer cents so running sums are bit-exact vs DuckDB;
+    (o_orderdate, o_orderkey) is a total order per partition so
+    lag/lead/cume_dist are deterministic."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    )
+    out = analytic_columns(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[
+            ("prev_cents", "lag", ["cents", "1"]),
+            ("next_cents", "lead", ["cents"]),
+            ("run_total", "running_sum", ["cents"]),
+            ("run_orders", "running_count", ["o_orderkey"]),
+            ("pct", "cume_dist", []),
+        ],
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "cents", "prev_cents", "next_cents",
+        "run_total", "run_orders", "pct",
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot: long→wide with EXPLICIT pivot values (no distinct-collect
+    pre-pass; static schema). Plans as the same single-shuffle
+    partial+final hash aggregation as a plain groupBy."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    )
+    return pivot_table(
+        li,
+        group_by=["l_returnflag"],
+        pivot_column="l_linestatus",
+        pivot_values=["F", "O"],
+        aggregations=[AggregateExpr(column="cents", function="sum", alias="s")],
+    )
 
 
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "sessionize": q_sessionize,
         "ranking": q_ranking,
+        "analytics": q_analytics,
+        "pivot": q_pivot,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "asof_join": q_asof_join,
@@ -1478,6 +1528,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
             "CAST(COUNT(*) AS BIGINT) AS cnt "
             "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "analytics": (
+            "WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, "
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "SELECT o_custkey, o_orderkey, cents, "
+            "lag(cents, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_cents, "
+            "lead(cents, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_cents, "
+            "CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_total, "
+            "CAST(COUNT(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_orders, "
+            "cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pct "
+            "FROM o"
+        ),
+        "pivot": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN l_linestatus = 'F' "
+            "THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS F, "
+            "CAST(SUM(CASE WHEN l_linestatus = 'O' "
+            "THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS O "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "setop_union": (
             "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 2000 "

@@ -11,11 +11,13 @@ the ceremony.
 from etl_spark_gradle_spark.operators.dedup import DedupTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
+    AnalyticsTransformer,
     AsofJoinTransformer,
     DistinctTransformer,
     FilterTransformer,
     JoinTransformer,
     MapTransformer,
+    PivotTransformer,
     RangeJoinTransformer,
     RankingTransformer,
     SaltedAggregationTransformer,
@@ -24,11 +26,13 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     SortTransformer,
     WindowingTransformer,
     aggregate,
+    analytic_columns,
     asof_join,
     distinct_rows,
     filter_rows,
     join_view,
     map_columns,
+    pivot_table,
     range_join_points,
     rank_rows,
     salted_aggregate,
@@ -47,6 +51,8 @@ TRANSFORMER_REGISTRY = {
     "windowing": WindowingTransformer(),
     # beyond-reference (SURVEY §2.6 / §2.7 extensions)
     "ranking": RankingTransformer(),
+    "analytics": AnalyticsTransformer(),
+    "pivot": PivotTransformer(),
     "asof_join": AsofJoinTransformer(),
     "range_join": RangeJoinTransformer(),
     "setop": SetOpTransformer(),

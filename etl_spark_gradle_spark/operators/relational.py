@@ -606,6 +606,129 @@ def salted_aggregate(
     )
 
 
+def _order_col(entry: str):
+    """Parse one orderBy entry — a SQL expression with an optional
+    trailing ASC/DESC direction."""
+    expr, _, direction = entry.strip().rpartition(" ")
+    if direction.upper() == "DESC" and expr:
+        return F.expr(expr).desc()
+    if direction.upper() == "ASC" and expr:
+        return F.expr(expr).asc()
+    return F.expr(entry.strip())
+
+
+_RUNNING_FNS = {
+    "running_sum": F.sum,
+    "running_avg": F.avg,
+    "running_min": F.min,
+    "running_max": F.max,
+    "running_count": F.count,
+}
+
+
+def analytic_columns(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    specs: list[tuple[str, str, list[str]]],
+) -> DataFrame:
+    """Ordered analytic window functions (SURVEY §2.6 extension beyond
+    ranking): lag / lead / running aggregates / first_value / last_value /
+    cume_dist / percent_rank / ntile.
+
+    ``specs`` entries are ``(alias, function, args)``; running aggregates
+    use a ``ROWS UNBOUNDED PRECEDING .. CURRENT ROW`` frame. All
+    functions share ONE window spec, so the plan is a single sort within
+    one ``hashpartitioning(partition_by)`` exchange — N analytic columns
+    cost the same shuffle as one. At 100 TB the partition key must be
+    present (an empty ``partition_by`` moves the whole input through a
+    single task — same caveat Spark itself warns about); ``order_by``
+    should be a total order per partition for deterministic lag/lead.
+    """
+    if not order_by:
+        raise TransformationError("analytics requires 'orderBy'")
+    if not specs:
+        raise TransformationError("analytics requires at least one expression")
+    spec = Window.partitionBy(*[F.col(c) for c in partition_by]).orderBy(
+        *[_order_col(e) for e in order_by]
+    )
+    running = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for alias, fn_name, args in specs:
+        f = fn_name.lower()
+        if f in ("lag", "lead"):
+            if not args:
+                raise TransformationError(f"{f} requires a column argument")
+            offset = int(args[1]) if len(args) > 1 else 1
+            fn = F.lag if f == "lag" else F.lead
+            col = fn(F.expr(args[0]), offset).over(spec)
+        elif f in _RUNNING_FNS:
+            if not args:
+                raise TransformationError(f"{f} requires a column argument")
+            col = _RUNNING_FNS[f](F.expr(args[0])).over(running)
+        elif f == "first_value":
+            col = F.first(F.expr(args[0]), ignorenulls=False).over(running)
+        elif f == "last_value":
+            col = F.last(F.expr(args[0]), ignorenulls=False).over(running)
+        elif f == "cume_dist":
+            col = F.cume_dist().over(spec)
+        elif f == "percent_rank":
+            col = F.percent_rank().over(spec)
+        elif f == "ntile":
+            if not args:
+                raise TransformationError("ntile requires a bucket-count argument")
+            col = F.ntile(int(args[0])).over(spec)
+        else:
+            supported = sorted(
+                {"lag", "lead", "first_value", "last_value", "cume_dist",
+                 "percent_rank", "ntile"} | set(_RUNNING_FNS)
+            )
+            raise TransformationError(
+                f"unsupported analytic function '{fn_name}' (supported: {supported})"
+            )
+        out = out.withColumn(alias, col)
+    return out
+
+
+def pivot_table(
+    df: DataFrame,
+    group_by: list[str],
+    pivot_column: str,
+    pivot_values: list[str],
+    aggregations: list[AggregateExpr],
+) -> DataFrame:
+    """Pivot (long → wide) via ``groupBy(...).pivot(col, values).agg(...)``
+    (SURVEY §2.7 extension — absent from the reference surface).
+
+    ``pivot_values`` is REQUIRED: with explicit values Spark skips the
+    extra distinct-collect job over the pivot column and the output
+    schema is static metadata — at 100 TB an inferred pivot is both an
+    extra full scan and an unbounded-width schema hazard. The physical
+    plan is the same single-shuffle partial+final hash aggregation as a
+    plain groupBy (pivot cells become ``agg(expr FILTER (WHERE ...))``
+    columns).
+
+    Column naming: one aggregation → columns named by pivot value; N>1
+    aggregations → ``{value}_{alias}`` (Spark's convention).
+    """
+    if not group_by:
+        raise TransformationError("pivot requires 'groupBy'")
+    if not pivot_column:
+        raise TransformationError("pivot requires 'pivotColumn'")
+    if not pivot_values:
+        raise TransformationError(
+            "pivot requires explicit 'pivotValues' (inferred pivot values "
+            "cost an extra full scan and an unbounded schema — declare them)"
+        )
+    if not aggregations:
+        raise TransformationError("pivot requires at least one aggregation")
+    return (
+        df.groupBy(*[F.col(c) for c in group_by])
+        .pivot(pivot_column, pivot_values)
+        .agg(*[_agg_column(a) for a in aggregations])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transformer adapters (registry API — SURVEY §3.3 level (b))
 # ---------------------------------------------------------------------------
@@ -973,4 +1096,81 @@ class RankingTransformer(_BaseTransformer):
             rank_function=opts.get("rankFunction", "row_number"),
             top_k=int(top_k) if top_k else None,
             rank_alias=opts.get("alias", "rank"),
+        )
+
+
+def parse_analytic_specs(spec: str) -> list[tuple[str, str, list[str]]]:
+    """Parse ``"alias:fn(arg1,arg2),alias2:fn2(...)"`` into
+    ``(alias, function, args)`` triples; zero-arg functions may omit the
+    parens (``pct:cume_dist``)."""
+    triples: list[tuple[str, str, list[str]]] = []
+    for part in split_top_level(spec or ""):
+        if not part.strip():
+            continue
+        alias, sep, call = part.partition(":")
+        if not sep or not alias.strip() or not call.strip():
+            raise TransformationError(f"malformed analytics segment: {part!r}")
+        call = call.strip()
+        if "(" in call:
+            fn, _, rest = call.partition("(")
+            if not rest.rstrip().endswith(")"):
+                raise TransformationError(f"malformed analytics call: {call!r}")
+            args = [a.strip() for a in split_top_level(rest.rstrip()[:-1]) if a.strip()]
+        else:
+            fn, args = call, []
+        triples.append((alias.strip(), fn.strip(), args))
+    return triples
+
+
+class AnalyticsTransformer(_BaseTransformer):
+    """Ordered analytic window functions (extension; see
+    ``analytic_columns``). Options: ``partitionBy``, ``orderBy``,
+    ``expressions: "prev:lag(amount,1),run_total:running_sum(amount)"``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        if not _split_csv(config.options.get("orderBy")):
+            errors.append("analytics requires 'orderBy'")
+        try:
+            if not parse_analytic_specs(config.options.get("expressions", "")):
+                errors.append("analytics requires 'expressions'")
+        except TransformationError as exc:
+            errors.append(str(exc))
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return analytic_columns(
+            df,
+            partition_by=_split_csv(opts.get("partitionBy")),
+            order_by=_split_csv(opts.get("orderBy")),
+            specs=parse_analytic_specs(opts["expressions"]),
+        )
+
+
+class PivotTransformer(_BaseTransformer):
+    """Pivot long → wide (extension; see ``pivot_table``). Options:
+    ``groupBy``, ``pivotColumn``, ``pivotValues`` (explicit, required),
+    plus the shared ``aggregations`` list."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        if not _split_csv(config.options.get("groupBy")):
+            errors.append("pivot requires 'groupBy'")
+        if not config.options.get("pivotColumn", "").strip():
+            errors.append("pivot requires 'pivotColumn'")
+        if not _split_csv(config.options.get("pivotValues")):
+            errors.append("pivot requires explicit 'pivotValues'")
+        if not config.aggregations:
+            errors.append("pivot requires at least one aggregation")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return pivot_table(
+            df,
+            group_by=_split_csv(opts.get("groupBy")),
+            pivot_column=opts["pivotColumn"].strip(),
+            pivot_values=_split_csv(opts.get("pivotValues")),
+            aggregations=list(config.aggregations),
         )

@@ -215,3 +215,103 @@ def test_asof_range_registry_adapters(spark):
         ),
     )
     assert not bad2.is_valid
+
+
+# ---------------------------------------------------------------------------
+# Analytics (lag/lead/running aggregates) and pivot
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ledger(spark):
+    return spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 5), ("b", 1, 7), ("b", 2, 3)],
+        ["acct", "seq", "amount"],
+    )
+
+
+def test_analytic_columns_lag_running(spark, ledger):
+    from etl_spark_gradle_spark.operators.relational import analytic_columns
+
+    out = analytic_columns(
+        ledger,
+        partition_by=["acct"],
+        order_by=["seq"],
+        specs=[
+            ("prev_amount", "lag", ["amount", "1"]),
+            ("next_amount", "lead", ["amount"]),
+            ("run_total", "running_sum", ["amount"]),
+            ("run_max", "running_max", ["amount"]),
+            ("pct", "cume_dist", []),
+        ],
+    )
+    rows = {(r.acct, r.seq): r for r in out.collect()}
+    assert rows[("a", 1)].prev_amount is None
+    assert rows[("a", 2)].prev_amount == 10
+    assert rows[("a", 2)].next_amount == 5
+    assert rows[("a", 3)].run_total == 35
+    assert rows[("a", 3)].run_max == 20
+    assert rows[("b", 2)].run_total == 10
+    assert rows[("b", 2)].pct == 1.0
+
+
+def test_analytics_transformer_registry(spark, ledger):
+    tf = TRANSFORMER_REGISTRY["analytics"]
+    cfg = TransformationConfig(
+        type="analytics",
+        options={
+            "partitionBy": "acct",
+            "orderBy": "seq",
+            "expressions": "prev:lag(amount,1),rt:running_sum(amount)",
+        },
+    )
+    ctx = RunContext.create("t", spark)
+    out = tf.transform(ledger, cfg, ctx)
+    got = {(r.acct, r.seq): (r.prev, r.rt) for r in out.collect()}
+    assert got[("a", 3)] == (20, 35)
+    bad = TransformationConfig(type="analytics", options={"expressions": "x:lag(a)"})
+    with pytest.raises(TransformationError):
+        tf.transform(ledger, bad, ctx)
+    bad2 = TransformationConfig(
+        type="analytics", options={"orderBy": "seq", "expressions": "x:no_such(a)"}
+    )
+    with pytest.raises(TransformationError):
+        tf.transform(ledger, bad2, ctx)
+
+
+def test_pivot_table_single_and_multi_agg(spark, ledger):
+    from etl_spark_gradle_spark.operators.relational import pivot_table
+
+    single = pivot_table(
+        ledger,
+        group_by=["acct"],
+        pivot_column="seq",
+        pivot_values=["1", "2"],
+        aggregations=[AggregateExpr(column="amount", function="sum", alias="s")],
+    )
+    got = {r.acct: (r["1"], r["2"]) for r in single.collect()}
+    assert got == {"a": (10, 20), "b": (7, 3)}
+
+    multi = pivot_table(
+        ledger,
+        group_by=["acct"],
+        pivot_column="seq",
+        pivot_values=["1"],
+        aggregations=[
+            AggregateExpr(column="amount", function="sum", alias="s"),
+            AggregateExpr(column="amount", function="count", alias="n"),
+        ],
+    )
+    assert set(multi.columns) == {"acct", "1_s", "1_n"}
+
+
+def test_pivot_transformer_requires_explicit_values(spark, ledger):
+    tf = TRANSFORMER_REGISTRY["pivot"]
+    ctx = RunContext.create("t", spark)
+    cfg = TransformationConfig(
+        type="pivot",
+        options={"groupBy": "acct", "pivotColumn": "seq"},
+        aggregations=[AggregateExpr(column="amount", function="sum", alias="s")],
+    )
+    with pytest.raises(TransformationError):
+        tf.transform(ledger, cfg, ctx)
