@@ -58,6 +58,7 @@ def load_file(
         raise ConfigError(f"unsupported file sink format '{fmt}'")
     if write_mode not in ("append", "overwrite"):
         raise ConfigError(f"file sink supports append|overwrite, got '{write_mode}'")
+    bucket_cols = [c.strip() for c in (options.get("bucketBy") or "").split(",") if c.strip()]
     out, obs = _observed(df)
     if options.get("coalesce"):
         out = out.coalesce(int(options["coalesce"]))
@@ -69,7 +70,33 @@ def load_file(
     if fmt == "csv":
         writer = writer.option("header", options.get("header", "true"))
     try:
-        writer.save(path)
+        if bucket_cols:
+            # Bucketed write (beyond-reference; 100 TB path): pre-hash the
+            # data into N buckets on the join/agg key at WRITE time so
+            # every later equi-join or groupBy on that key is co-located —
+            # no Exchange at read time. Buckets only exist as catalog
+            # metadata, so this goes through saveAsTable (path-backed
+            # external table), not save(path).
+            table = options.get("table")
+            if not table:
+                raise ConfigError(
+                    "bucketed write requires 'table' — bucket metadata lives "
+                    "in the catalog, not the files"
+                )
+            buckets = int(options.get("buckets", "0") or 0)
+            if buckets <= 0:
+                raise ConfigError("bucketed write requires 'buckets' > 0")
+            writer = writer.bucketBy(buckets, *bucket_cols)
+            sort_cols = [
+                c.strip() for c in (options.get("sortBy") or "").split(",") if c.strip()
+            ]
+            if sort_cols:
+                # sorted buckets additionally remove the per-task Sort
+                # under sort-merge joins on the bucket key
+                writer = writer.sortBy(*sort_cols)
+            writer.option("path", path).saveAsTable(table)
+        else:
+            writer.save(path)
     except Exception as e:  # noqa: BLE001 — rewrap only the avro-package gap
         if fmt == "avro" and "avro" in str(e).lower() and "find" in str(e).lower():
             raise ConfigError(

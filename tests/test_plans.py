@@ -60,3 +60,63 @@ def test_aggregation_is_partial_then_final(spark, sf_dir):
     plan = plan_of(out)
     assert "partial_sum" in plan  # map-side combine before the exchange
     assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_bucketed_write_enables_colocated_join(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count
+    join WITHOUT any Exchange — the 100 TB co-location story. This one
+    executes a small write (bucket metadata must exist in the catalog)."""
+    from etl_spark_gradle_spark.sinks.loaders import load_file
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    load_file(
+        orders,
+        {
+            "path": str(tmp_path / "orders_b"),
+            "bucketBy": "o_custkey",
+            "buckets": "4",
+            "sortBy": "o_custkey",
+            "table": "orders_bucketed",
+        },
+        write_mode="overwrite",
+    )
+    load_file(
+        customer,
+        {
+            "path": str(tmp_path / "customer_b"),
+            "bucketBy": "c_custkey",
+            "buckets": "4",
+            "sortBy": "c_custkey",
+            "table": "customer_bucketed",
+        },
+        write_mode="overwrite",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_bucketed").join(
+            spark.table("customer_bucketed"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides pre-bucketed: no shuffle
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+
+def test_bucketed_write_validates_config(spark, sf_dir, tmp_path):
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.sinks.loaders import load_file
+
+    df = spark.range(3)
+    import pytest
+
+    with pytest.raises(ConfigError, match="table"):
+        load_file(df, {"path": str(tmp_path / "x"), "bucketBy": "id"})
+    with pytest.raises(ConfigError, match="buckets"):
+        load_file(df, {"path": str(tmp_path / "x"), "bucketBy": "id", "table": "t"})
