@@ -578,6 +578,31 @@ def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
 
 
+def q_agg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation (extended functions): exact count_distinct and exact
+    median alongside plain count — the distinct/percentile surface
+    beyond the reference's 9 functions. (approx_count_distinct and
+    stddev/variance exist too but are excluded here: HLL sketches and
+    float summation order are not cross-engine bit-stable.)"""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    out = aggregate(
+        customer,
+        group_by=["c_mktsegment"],
+        aggregations=[
+            AggregateExpr(column="c_nationkey", function="count_distinct", alias="nations"),
+            AggregateExpr(column="c_nationkey", function="median", alias="med_nation"),
+            AggregateExpr(column="c_custkey", function="count", alias="n"),
+        ],
+    )
+    return out.select(
+        "c_mktsegment",
+        F.col("nations").cast("long").alias("nations"),
+        F.col("med_nation").cast("double").alias("med_nation"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analytics: lag/lead/running-sum/running-count/cume_dist over one
     shared window spec — a single sort inside one
@@ -1399,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "sessionize": q_sessionize,
         "ranking": q_ranking,
+        "agg_extended": q_agg_extended,
         "analytics": q_analytics,
         "pivot": q_pivot,
         "join_semi": q_join_semi,
@@ -1528,6 +1554,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
             "CAST(COUNT(*) AS BIGINT) AS cnt "
             "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "agg_extended": (
+            "SELECT c_mktsegment, "
+            "CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nations, "
+            "CAST(MEDIAN(c_nationkey) AS DOUBLE) AS med_nation, "
+            "CAST(COUNT(c_custkey) AS BIGINT) AS n "
+            "FROM customer GROUP BY c_mktsegment"
         ),
         "analytics": (
             "WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, "

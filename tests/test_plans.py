@@ -120,3 +120,24 @@ def test_bucketed_write_validates_config(spark, sf_dir, tmp_path):
         load_file(df, {"path": str(tmp_path / "x"), "bucketBy": "id"})
     with pytest.raises(ConfigError, match="buckets"):
         load_file(df, {"path": str(tmp_path / "x"), "bucketBy": "id", "table": "t"})
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy output + a filter on the partition column
+    → PartitionFilters at the scan: only matching directories are read
+    (the static partition-pruning story of
+    ``benchmark/PartitioningStrategySpec.scala:111-137``)."""
+    from etl_spark_gradle_spark.sinks.loaders import load_file
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    load_file(
+        orders,
+        {"path": path, "format": "parquet"},
+        write_mode="overwrite",
+        partition_by=("o_orderpriority",),
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = plan_of(back)
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
+    assert back.count() == orders.filter("o_orderpriority = '1-URGENT'").count()
