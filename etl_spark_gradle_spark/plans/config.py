@@ -114,10 +114,20 @@ class QualityConfig:
     null_checks: tuple[str, ...] = ()
     duplicate_check: bool = False
     quarantine_path: str | None = None
+    # SQL boolean expressions a row must ALL satisfy; violators are
+    # quarantined alongside null-check failures. The reference parses
+    # ``customRules`` but hardwires it to None
+    # (``config/YAMLConfigParser.scala:144``) — here the knob works.
+    custom_rules: tuple[str, ...] = ()
 
     @property
     def enabled(self) -> bool:
-        return bool(self.schema_validation or self.null_checks or self.duplicate_check)
+        return bool(
+            self.schema_validation
+            or self.null_checks
+            or self.duplicate_check
+            or self.custom_rules
+        )
 
 
 @dataclass(frozen=True)
@@ -324,11 +334,17 @@ def parse_pipeline_dict(doc: dict[str, Any]) -> PipelineConfig:
         null_checks = tuple(c.strip() for c in null_checks_raw.split(",") if c.strip())
     else:
         null_checks = tuple(str(c) for c in null_checks_raw)
+    custom_rules_raw = q_node.get("customRules") or ()
+    if isinstance(custom_rules_raw, str):
+        custom_rules = (custom_rules_raw.strip(),) if custom_rules_raw.strip() else ()
+    else:
+        custom_rules = tuple(str(r) for r in custom_rules_raw)
     quality = QualityConfig(
         schema_validation=bool(q_node.get("schemaValidation", False)),
         null_checks=null_checks,
         duplicate_check=bool(q_node.get("duplicateCheck", False)),
         quarantine_path=q_node.get("quarantinePath"),
+        custom_rules=custom_rules,
     )
 
     return PipelineConfig(

@@ -224,9 +224,11 @@ class PipelineExecutor:
                         metrics.records_extracted = dup["total"]
 
                     valid, invalid = split_valid_invalid(
-                        extracted, list(config.quality.null_checks)
+                        extracted,
+                        list(config.quality.null_checks),
+                        list(config.quality.custom_rules),
                     )
-                    if config.quality.null_checks:
+                    if config.quality.null_checks or config.quality.custom_rules:
                         quarantine_path = (
                             config.quality.quarantine_path
                             or f"/tmp/quarantine/{config.pipeline_id}"

@@ -36,13 +36,25 @@ def null_check_condition(columns: list[str]):
     return cond
 
 
-def split_valid_invalid(df: DataFrame, null_checks: list[str]) -> tuple[DataFrame, DataFrame]:
-    """Return (valid, invalid) by the null-check conjunction (parity:
-    ``quality/DataQualityChecker.scala:139-153``). Both frames are lazy
-    filters over the same plan; Spark scans once per action on each."""
-    if not null_checks:
+def split_valid_invalid(
+    df: DataFrame,
+    null_checks: list[str],
+    custom_rules: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (valid, invalid) by the conjunction of null checks AND
+    custom SQL boolean rules (parity:
+    ``quality/DataQualityChecker.scala:139-153``; custom rules are this
+    engine's working version of the reference's dead ``customRules``
+    knob). Both frames are lazy filters over the same plan — one
+    combined predicate, one scan per action, rules pushed down with the
+    rest of the plan. A rule evaluating to NULL (e.g. over a NULL
+    column) counts as a violation, like SQL WHERE."""
+    rules = list(custom_rules or [])
+    if not null_checks and not rules:
         return df, df.limit(0)
     cond = null_check_condition(null_checks)
+    for rule in rules:
+        cond = cond & F.coalesce(F.expr(rule), F.lit(False))
     return df.filter(cond), df.filter(~cond)
 
 

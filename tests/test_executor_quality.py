@@ -150,3 +150,55 @@ def test_split_csv_respects_parens():
 
     assert _split_csv("coalesce(a, b) DESC, c") == ["coalesce(a, b) DESC", "c"]
     assert _split_csv("a,b , c") == ["a", "b", "c"]
+
+
+def test_custom_rules_quarantine_violators(spark, sf_dir, tmp_path):
+    """customRules (dead config in the reference,
+    ``config/YAMLConfigParser.scala:144`` hardwires None) works here:
+    rows failing any SQL boolean rule are quarantined; NULL rule results
+    count as violations."""
+    quality = QualityConfig(
+        custom_rules=("l_quantity BETWEEN 1 AND 50", "l_discount <= 0.1"),
+        quarantine_path=str(tmp_path / "quar"),
+    )
+    config = _pipeline(sf_dir, tmp_path / "out", quality=quality)
+    metrics = PipelineExecutor().execute(config, spark)
+    assert metrics.status == "SUCCESS"
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bad = src.filter("NOT (l_quantity BETWEEN 1 AND 50 AND l_discount <= 0.1)").count()
+    assert metrics.records_failed == bad
+    quarantined = spark.read.parquet(str(tmp_path / "quar"))
+    assert quarantined.count() == bad
+    assert {"quarantine_timestamp", "pipeline_id", "run_id"} <= set(quarantined.columns)
+    # the transformed+loaded output only ever saw valid rows
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.filter("l_discount > 0.1 OR l_quantity > 50").count() == 0
+
+
+def test_custom_rules_null_counts_as_violation(spark, tmp_path):
+    df = spark.createDataFrame([(1, 5), (2, None), (3, 200)], ["id", "v"])
+    from etl_spark_gradle_spark.quality import split_valid_invalid
+
+    valid, invalid = split_valid_invalid(df, [], ["v < 100"])
+    assert {r.id for r in valid.collect()} == {1}
+    assert {r.id for r in invalid.collect()} == {2, 3}
+
+
+def test_custom_rules_yaml_parse(tmp_path):
+    import yaml
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+
+    doc = {
+        "pipelineId": "p",
+        "source": {"type": "file", "options": {"path": "/x", "format": "parquet"}},
+        "transformations": [],
+        "sink": {"type": "file", "options": {"path": "/y", "format": "parquet"}},
+        "quality": {"customRules": ["a > 0", "b IS NOT NULL"]},
+    }
+    p = tmp_path / "p.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    cfg = load_pipeline_yaml(str(p))
+    assert cfg.quality.custom_rules == ("a > 0", "b IS NOT NULL")
+    assert cfg.quality.enabled
