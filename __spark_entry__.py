@@ -1387,6 +1387,18 @@ def q_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_images(docs, id_col="id", binary_col="content")
 
 
+def q_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize plumbing (stub core; fixed-dim output payload,
+    input payload projected away) → rows-only check."""
+    _prep(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+        .select(F.col("doc_id").alias("id"), F.col("payload").alias("content"))
+    )
+    return mm.resize_images(docs, target_width=64, target_height=64)
+
+
 def q_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas frame-sampling row-explosion plumbing → rows-only."""
     _prep(spark)
@@ -1462,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "multimodal_meta": q_multimodal_meta,
         "image_decode_stub": q_image_decode_stub,
+        "image_resize_stub": q_image_resize_stub,
         "frame_sample_stub": q_frame_sample_stub,
     }
 

@@ -38,7 +38,19 @@ def main(argv: list[str] | None = None) -> int:
     from etl_spark_gradle_spark.plans import PipelineExecutor, load_pipeline_yaml
     from etl_spark_gradle_spark.session import get_spark
 
-    config = load_pipeline_yaml(args.pipeline)
+    try:
+        config = load_pipeline_yaml(args.pipeline)
+    except FileNotFoundError:
+        StructuredLogger(pipeline_id="<unparsed>").error(
+            "pipeline YAML not found", path=args.pipeline, status="FAILED"
+        )
+        return 1
+    except Exception as e:  # noqa: BLE001 — config-parse errors exit cleanly
+        StructuredLogger(pipeline_id="<unparsed>").error(
+            "pipeline YAML invalid", path=args.pipeline, status="FAILED",
+            error=f"{type(e).__name__}: {e}",
+        )
+        return 1
     logger = StructuredLogger(pipeline_id=config.pipeline_id)
     logger.info("pipeline parsed")
     spark = get_spark(app_name=config.pipeline_id, master=args.master, conf=conf)

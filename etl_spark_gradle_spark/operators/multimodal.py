@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -215,3 +216,54 @@ def sample_frames(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("resize_status", StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    id_col: str = "id",
+    binary_col: str = "content",
+) -> DataFrame:
+    """Resize stage: payload → fixed-dimension payload + final dims.
+
+    STUB core: the output payload is a deterministic sha256-seeded byte
+    string of the correct nominal size (w*h*3 capped at 4 KiB so tests
+    stay light). Real implementation: ``PIL.Image.open(...).resize((w,
+    h))`` re-encoded inside this same generator — the Spark-side shape
+    is what matters and is real: one ``mapInPandas`` Arrow stage, input
+    payload projected away, output schema static. At 100 TB, resize runs
+    after a repartition-by-id-hash so skewed payload sizes spread evenly
+    (see PLANS.md multimodal note)."""
+    import pandas as pd
+
+    nominal = min(target_width * target_height * 3, 4096)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = []
+            for p in pdf[binary_col]:
+                digest = hashlib.sha256(p or b"").digest()
+                payloads.append((digest * ((nominal // len(digest)) + 1))[:nominal])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([target_width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_height] * len(pdf), dtype="int32"),
+                    "resized": payloads,
+                    "resize_status": ["ok_stub"] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, RESIZE_SCHEMA)

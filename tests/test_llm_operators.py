@@ -270,3 +270,28 @@ def test_sample_frames_explosion(spark):
     assert len(by_id[1]) == 2  # 10000 // 4096 = 2 frames
     assert len(by_id[2]) == 1  # min 1 frame
     assert [r.frame_ts_ms for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [0, 1000]
+
+
+def test_resize_images_stub(spark):
+    df = spark.createDataFrame([(1, b"abc"), (2, b"defg")], ["id", "content"])
+    out = mm.resize_images(df, target_width=32, target_height=32)
+    assert out.schema.simpleString() == (
+        "struct<id:bigint,width:int,height:int,resized:binary,resize_status:string>"
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].width == 32 and rows[1].height == 32
+    assert len(rows[1].resized) == min(32 * 32 * 3, 4096)
+    # deterministic stub: same payload → same bytes
+    again = mm.resize_images(df, target_width=32, target_height=32).collect()
+    assert {r.id: bytes(r.resized) for r in again} == {
+        i: bytes(r.resized) for i, r in rows.items()
+    }
+
+
+def test_cli_missing_yaml_exits_cleanly(capsys):
+    from etl_spark_gradle_spark.cli import main
+
+    rc = main(["--pipeline", "/nonexistent/nope.yaml"])
+    assert rc == 1
+    out = capsys.readouterr()
+    assert "pipeline YAML not found" in out.out + out.err
