@@ -140,6 +140,10 @@ class PipelineConfig:
     sink: SinkConfig
     performance: PerformanceConfig = PerformanceConfig()
     quality: QualityConfig = QualityConfig()
+    # named secondary sources, registered as temp views before the
+    # transformation chain runs (multi-source joins in one YAML — the
+    # reference's quickstart-3 documents but cannot express this)
+    views: tuple[tuple[str, SourceConfig], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -275,14 +279,28 @@ def parse_pipeline_dict(doc: dict[str, Any]) -> PipelineConfig:
     if not pipeline_id:
         raise ConfigError("pipelineId is required")
 
-    src_node = doc.get("source")
-    if not isinstance(src_node, dict) or "type" not in src_node:
-        raise ConfigError("source with a type is required")
-    source = SourceConfig(
-        type=str(src_node["type"]).lower(),
-        options=_options_of(src_node, "source"),
-        credentials_path=src_node.get("credentialsPath"),
-        schema_path=src_node.get("schemaPath"),
+    def _source_of(node: Any, where: str) -> SourceConfig:
+        if not isinstance(node, dict) or "type" not in node:
+            raise ConfigError(f"{where} with a type is required")
+        return SourceConfig(
+            type=str(node["type"]).lower(),
+            options=_options_of(node, where),
+            credentials_path=node.get("credentialsPath"),
+            schema_path=node.get("schemaPath"),
+        )
+
+    source = _source_of(doc.get("source"), "source")
+
+    # views: named secondary sources registered as temp views before the
+    # transformations run — makes multi-source joins a one-YAML pipeline.
+    # The reference's own quickstart-3 YAML punts here ("Assumes this
+    # view exists from separate Kafka extraction",
+    # pipelines/quickstart-3-multi-source-join.yaml:23-26).
+    views_node = doc.get("views") or {}
+    if not isinstance(views_node, dict):
+        raise ConfigError("views must be a mapping of viewName -> source")
+    views = tuple(
+        (str(name), _source_of(node, f"views.{name}")) for name, node in views_node.items()
     )
 
     transformations = []
@@ -354,6 +372,7 @@ def parse_pipeline_dict(doc: dict[str, Any]) -> PipelineConfig:
         sink=sink,
         performance=performance,
         quality=quality,
+        views=views,
     )
 
 

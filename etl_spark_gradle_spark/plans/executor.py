@@ -119,6 +119,19 @@ class PipelineExecutor:
         else:
             df = input_df
 
+        # secondary sources → named temp views, available to join/setop/
+        # range_join rightTable lookups. Lazy like everything else: a
+        # view that no transformation reads is never scanned.
+        for view_name, view_src in config.views:
+            view_extractor = self.extractors.get(view_src.type)
+            if view_extractor is None:
+                raise KeyError(
+                    f"no extractor registered for views.{view_name} type '{view_src.type}'"
+                )
+            view_extractor.extract(
+                with_resolved_credentials(view_src), ctx.spark
+            ).createOrReplaceTempView(view_name)
+
         if config.performance.repartition:
             df = df.repartition(config.performance.repartition)
 

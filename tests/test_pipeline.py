@@ -196,3 +196,61 @@ class TestExecutor:
         assert quarantined.count() == 2
         qcols = set(quarantined.columns)
         assert {"quarantine_timestamp", "pipeline_id", "run_id"} <= qcols
+
+
+def test_multi_source_join_via_views(spark, sf_dir, tmp_path):
+    """quickstart-3 made real: the reference YAML documents a
+    multi-source join but cannot express the secondary extraction
+    (``pipelines/quickstart-3-multi-source-join.yaml:23-26``); the
+    ``views:`` section declares it in the same pipeline."""
+    import yaml
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    doc = {
+        "pipelineId": "multi-source-join",
+        "source": {
+            "type": "file",
+            "options": {"path": f"{sf_dir}/orders.parquet", "format": "parquet"},
+        },
+        "views": {
+            "cust_view": {
+                "type": "file",
+                "options": {"path": f"{sf_dir}/customer.parquet", "format": "parquet"},
+            }
+        },
+        "transformations": [
+            {
+                "type": "join",
+                "options": {
+                    "rightTable": "cust_view",
+                    "joinType": "inner",
+                    "leftKey": "o_custkey",
+                    "rightKey": "c_custkey",
+                    "selectColumns": "o_orderkey,o_totalprice,c_name,c_mktsegment",
+                },
+            },
+            {
+                "type": "map",
+                "options": {"expressions": "price_band:CAST(o_totalprice / 100000 AS INT)"},
+            },
+        ],
+        "sink": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "out"), "format": "parquet"},
+            "writeMode": "overwrite",
+        },
+    }
+    p = tmp_path / "p.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    config = load_pipeline_yaml(str(p))
+    assert config.views[0][0] == "cust_view"
+    metrics = PipelineExecutor().execute(config, spark)
+    assert metrics.status == "SUCCESS", metrics.error_details
+    orders_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert metrics.records_loaded == orders_n  # every order has a customer
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {"o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "price_band"} <= set(
+        out.columns
+    )
