@@ -697,19 +697,25 @@ def pivot_table(
     pivot_values: list[str],
     aggregations: list[AggregateExpr],
 ) -> DataFrame:
-    """Pivot (long → wide) via ``groupBy(...).pivot(col, values).agg(...)``
-    (SURVEY §2.7 extension — absent from the reference surface).
+    """Pivot (long → wide) as conditional aggregation —
+    ``agg(fn(when(pivot_col = v, x)) AS v, ...)`` per (value ×
+    aggregation) cell (SURVEY §2.7 extension — absent from the reference
+    surface).
 
-    ``pivot_values`` is REQUIRED: with explicit values Spark skips the
-    extra distinct-collect job over the pivot column and the output
-    schema is static metadata — at 100 TB an inferred pivot is both an
-    extra full scan and an unbounded-width schema hazard. The physical
-    plan is the same single-shuffle partial+final hash aggregation as a
-    plain groupBy (pivot cells become ``agg(expr FILTER (WHERE ...))``
-    columns).
+    ``pivot_values`` is REQUIRED: explicit values mean no
+    distinct-collect pre-pass over the pivot column and a static output
+    schema — at 100 TB an inferred pivot is both an extra full scan and
+    an unbounded-width schema hazard.
 
-    Column naming: one aggregation → columns named by pivot value; N>1
-    aggregations → ``{value}_{alias}`` (Spark's convention).
+    Deliberately NOT ``RelationalGroupedDataset.pivot``: Spark plans
+    that as TWO aggregations with TWO shuffles (groupBy(keys + pivot)
+    then ``pivotfirst`` re-agg). Conditional aggregation is one
+    partial+final hash aggregation with ONE shuffle on ``group_by`` —
+    the shuffle carries |keys| × |values×aggs| pre-combined cells, and
+    the plan is identical in shape to a plain groupBy.
+
+    Column naming matches Spark's pivot convention: one aggregation →
+    columns named by pivot value; N>1 → ``{value}_{alias}``.
     """
     if not group_by:
         raise TransformationError("pivot requires 'groupBy'")
@@ -722,11 +728,31 @@ def pivot_table(
         )
     if not aggregations:
         raise TransformationError("pivot requires at least one aggregation")
-    return (
-        df.groupBy(*[F.col(c) for c in group_by])
-        .pivot(pivot_column, pivot_values)
-        .agg(*[_agg_column(a) for a in aggregations])
-    )
+    pc = F.col(pivot_column).cast("string")
+    multi = len(aggregations) > 1
+    cells = []
+    for value in pivot_values:
+        cond = pc == F.lit(str(value))
+        for spec in aggregations:
+            fn_name = spec.function.lower()
+            fn = _AGG_FUNCTIONS.get(fn_name)
+            if fn is None:
+                raise TransformationError(
+                    f"unsupported aggregate function '{spec.function}' "
+                    f"(supported: {sorted(_AGG_FUNCTIONS)})"
+                )
+            source = F.lit(1) if spec.column == "*" else F.col(spec.column)
+            cell_in = F.when(cond, source)  # NULL outside the cell
+            if fn_name in ("first", "last"):
+                # default first/last would pick positional rows whose
+                # cell value is NULL (non-matching) — skip those
+                col = (F.first if fn_name == "first" else F.last)(
+                    cell_in, ignorenulls=True
+                )
+            else:
+                col = fn(cell_in)
+            cells.append(col.alias(f"{value}_{spec.alias}" if multi else str(value)))
+    return df.groupBy(*[F.col(c) for c in group_by]).agg(*cells)
 
 
 # ---------------------------------------------------------------------------

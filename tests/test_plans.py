@@ -4,6 +4,7 @@ survive refactors (explain-only — no job execution)."""
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -141,3 +142,44 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     plan = plan_of(back)
     assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
     assert back.count() == orders.filter("o_orderpriority = '1-URGENT'").count()
+
+
+def test_analytics_single_exchange(spark, sf_dir):
+    """All analytic columns share one window spec → exactly one
+    hashpartitioning Exchange and one Window node."""
+    from etl_spark_gradle_spark.operators.relational import analytic_columns
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = analytic_columns(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[
+            ("p", "lag", ["o_totalprice", "1"]),
+            ("n", "lead", ["o_totalprice"]),
+            ("rt", "running_sum", ["o_totalprice"]),
+        ],
+    )
+    plan = plan_of(out)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_pivot_partial_aggregation(spark, sf_dir):
+    """Explicit-values pivot plans the same partial+final hash agg as a
+    plain groupBy — pivot cells are just more aggregate expressions."""
+    from etl_spark_gradle_spark.operators.relational import pivot_table
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = pivot_table(
+        li,
+        group_by=["l_returnflag"],
+        pivot_column="l_linestatus",
+        pivot_values=["F", "O"],
+        aggregations=[AggregateExpr(column="l_quantity", function="sum", alias="s")],
+    )
+    plan = plan_of(out)
+    assert "partial_sum" in plan  # map-side combine of every pivot cell
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1  # ONE shuffle
+    assert "pivotfirst" not in plan  # not the two-shuffle built-in pivot
