@@ -102,6 +102,18 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["TakeOrderedAndProject"],
         [],
     ),
+    (
+        "analytics",
+        "all analytic columns share one window spec: one sort, one exchange",
+        ["Window", "hashpartitioning(o_custkey"],
+        [],
+    ),
+    (
+        "pivot",
+        "conditional-agg pivot: partial agg + ONE shuffle, no pivotfirst re-agg",
+        ["partial_sum", "hashpartitioning(l_returnflag"],
+        ["pivotfirst"],
+    ),
 ]
 
 
