@@ -12,6 +12,12 @@ Plus the engine's LLM-pipeline headliners (beyond-reference surface):
 4. q4_exact_dedup   — content-hash dedup over documents
 5. q5_minhash_lsh   — banded MinHash-LSH candidate pairs
 6. q6_cosine_topk   — brute-force cosine top-10, 20 query vectors
+And the extension-operator shapes:
+7. q7_analytics     — lag + running sum over high-cardinality user key
+                      (the reference's high-cardinality groupBy analog,
+                      MicroBatchPerformanceSpec.scala:246-268, as an
+                      ordered-window workload)
+8. q8_pivot         — single-shuffle conditional-agg pivot
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 Each query runs once after a shared session warm-up; timing wraps the
@@ -31,8 +37,10 @@ from etl_spark_gradle_spark.operators import dedup as dd
 from etl_spark_gradle_spark.operators import similarity as sim
 from etl_spark_gradle_spark.operators.relational import (
     aggregate,
+    analytic_columns,
     filter_rows,
     map_columns,
+    pivot_table,
     window_aggregate,
 )
 from etl_spark_gradle_spark.plans.config import AggregateExpr
@@ -129,6 +137,38 @@ def q6_cosine_topk(spark):
     return sim.brute_force_topk(emb, queries, k=10)
 
 
+def q7_analytics(spark):
+    """lag + running sum per user over events, ordered by time — the
+    high-cardinality (~10k keys/100k rows at sf0.1) windowed shape."""
+    ev = load(spark, "events")
+    return analytic_columns(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        specs=[
+            ("prev_value", "lag", ["value", "1"]),
+            ("run_value", "running_sum", ["value"]),
+            ("run_events", "running_count", ["event_id"]),
+        ],
+    )
+
+
+def q8_pivot(spark):
+    """Wide rollout: pivot lineitem by linestatus with 2 aggregates per
+    cell — one shuffle regardless of width."""
+    li = load(spark, "lineitem")
+    return pivot_table(
+        li,
+        group_by=["l_returnflag"],
+        pivot_column="l_linestatus",
+        pivot_values=["F", "O"],
+        aggregations=[
+            AggregateExpr(column="l_extendedprice", function="sum", alias="price"),
+            AggregateExpr(column="l_quantity", function="avg", alias="qty"),
+        ],
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -136,6 +176,8 @@ QUERIES = {
     "q4_exact_dedup": q4_exact_dedup,
     "q5_minhash_lsh": q5_minhash_lsh,
     "q6_cosine_topk": q6_cosine_topk,
+    "q7_analytics": q7_analytics,
+    "q8_pivot": q8_pivot,
 }
 
 
