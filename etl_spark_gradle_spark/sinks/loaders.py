@@ -112,29 +112,33 @@ def load_file(
     )
 
 
-def load_kafka(df: DataFrame, options: dict[str, str], write_mode: str = "append") -> LoadResult:
-    """Kafka write (parity: ``loader/KafkaLoader.scala:58-79``): if
-    ``key``/``value`` columns exist they are cast to string; otherwise the
-    whole row is packed as JSON (``key=null``,
-    ``value=to_json(struct(*))``)."""
-    servers = options.get("bootstrap.servers") or options.get("kafka.bootstrap.servers")
-    topic = options.get("topic")
-    if not servers or not topic:
-        raise ConfigError("kafka sink requires 'bootstrap.servers' and 'topic'")
+def kafka_frame(df: DataFrame) -> DataFrame:
+    """Row→record framing (parity: ``loader/KafkaLoader.scala:58-70``):
+    if ``key``/``value`` columns exist they are cast to string; otherwise
+    the whole row is packed as JSON (``key=null``,
+    ``value=to_json(struct(*))``). Shared by the batch loader and the
+    streaming Kafka sink."""
     cols = set(df.columns)
     if "value" in cols:
-        projected = df.select(
+        return df.select(
             (F.col("key").cast("string") if "key" in cols else F.lit(None).cast("string")).alias(
                 "key"
             ),
             F.col("value").cast("string").alias("value"),
         )
-    else:
-        projected = df.select(
-            F.lit(None).cast("string").alias("key"),
-            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
-        )
-    out, obs = _observed(projected)
+    return df.select(
+        F.lit(None).cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+
+
+def load_kafka(df: DataFrame, options: dict[str, str], write_mode: str = "append") -> LoadResult:
+    """Kafka write (parity: ``loader/KafkaLoader.scala:58-79``)."""
+    servers = options.get("bootstrap.servers") or options.get("kafka.bootstrap.servers")
+    topic = options.get("topic")
+    if not servers or not topic:
+        raise ConfigError("kafka sink requires 'bootstrap.servers' and 'topic'")
+    out, obs = _observed(kafka_frame(df))
     (
         out.write.format("kafka")
         .option("kafka.bootstrap.servers", servers)

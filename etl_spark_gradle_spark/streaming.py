@@ -226,9 +226,26 @@ def write_stream(
     ``trigger`` = ``availableNow`` | ``processingTime=<interval>``.
     Returns the ``StreamingQuery``."""
     fmt = options.get("format", "parquet").lower()
+    if fmt == "kafka":
+        # same row→JSON framing as the batch Kafka loader; Kafka streams
+        # require a checkpoint for exactly-once producer idempotence
+        from etl_spark_gradle_spark.sinks.loaders import kafka_frame
+
+        servers = options.get("bootstrap.servers") or options.get("kafka.bootstrap.servers")
+        topic = options.get("topic")
+        if not servers or not topic:
+            raise ConfigError("kafka stream sink requires 'bootstrap.servers' and 'topic'")
+        if not options.get("checkpointLocation"):
+            raise ConfigError("kafka stream sink requires 'checkpointLocation'")
+        df = kafka_frame(df)
     writer = df.writeStream.format(fmt).outputMode(output_mode)
     if options.get("queryName"):
         writer = writer.queryName(options["queryName"])
+    if fmt == "kafka":
+        writer = writer.option(
+            "kafka.bootstrap.servers",
+            options.get("bootstrap.servers") or options["kafka.bootstrap.servers"],
+        ).option("topic", options["topic"])
     if fmt in ("parquet", "json", "csv", "orc"):
         if not options.get("path") or not options.get("checkpointLocation"):
             raise ConfigError("file stream sink requires 'path' and 'checkpointLocation'")

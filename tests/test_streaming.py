@@ -192,3 +192,34 @@ def test_sessionize_in_batch_split_and_timeout(spark, tmp_path):
     # W's 01:00 session timed out once the watermark hit 02:00
     assert got2[("W", "01:00:00")] == ("01:00:00", 1, 0.0)
     assert ("W", "02:00:00") not in got2  # still open -> correctly unemitted
+
+
+def test_kafka_frame_shared_framing(spark):
+    from etl_spark_gradle_spark.sinks.loaders import kafka_frame
+
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    framed = kafka_frame(df)
+    assert framed.columns == ["key", "value"]
+    row = framed.collect()[0]
+    assert row.key is None and '"id":1' in row.value and '"name":"a"' in row.value
+    # pre-framed rows pass through with string casts
+    kv = spark.createDataFrame([("k1", "v1")], ["key", "value"])
+    assert kafka_frame(kv).collect()[0].key == "k1"
+
+
+def test_kafka_stream_sink_validates(spark, tmp_path):
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.streaming import write_stream
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    import pytest
+
+    with pytest.raises(ConfigError, match="bootstrap"):
+        write_stream(sdf, {"format": "kafka", "topic": "t"})
+    with pytest.raises(ConfigError, match="checkpointLocation"):
+        write_stream(
+            sdf,
+            {"format": "kafka", "topic": "t", "bootstrap.servers": "localhost:9092"},
+        )
