@@ -1117,6 +1117,39 @@ WHERE len(list_intersect(a.s, b.s)) > 0
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact n-gram Jaccard pairs (the
+    SQL-reproducible pair source) → iterative min-label propagation →
+    (id, cluster). One shuffle per round, rounds = component diameter;
+    the DuckDB oracle computes the same components with a recursive-CTE
+    transitive closure."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.2, use_tokens=True
+    )
+    return dd.connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE jp AS ({_NGRAM_JACCARD_ORACLE}),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jp
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b != r.a
+)
+SELECT CAST(a AS BIGINT) AS id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster
+FROM reach GROUP BY a
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (banded, never all-pairs). Seeded
     xxhash64 family is not DuckDB-reproducible → rows-only check."""
@@ -1462,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_content": q_dedup_exact_content,
         "dedup_exact_keys": q_dedup_exact_keys,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
@@ -1642,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_content": _DEDUP_CONTENT_ORACLE,
         "dedup_exact_keys": _DEDUP_KEYS_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "language_id": _lang_oracle(),
         "token_counts": _TOKEN_COUNTS_ORACLE,

@@ -399,46 +399,49 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_sig_udf(bits: int = 64):
+    """Vectorized SimHash vote/pack: Arrow-batched pandas UDF over the
+    JVM-computed token hashes — one (tokens × bits) popcount matrix per
+    document, packed to an int64 signature.
+
+    Why not pure Catalyst? The per-bit vote fold is a 64-term lambda
+    inside ``aggregate`` — the expression tree ballooned task binaries
+    to ~6.5 MiB and stressed codegen/driver memory at scale (observed
+    killing a long-lived session at sf0.1). Same carve-out as
+    ``_minhash_sig_udf``: vectorized numerics over Arrow, identical bit
+    semantics (vote > 0 → bit set; ties and empty/null token lists → 0).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def sig_fn(hs):
+        shifts = np.arange(bits, dtype=np.uint64)
+        packed = np.zeros(len(hs), dtype=np.uint64)
+        for i, lst in enumerate(hs):
+            if lst is None or len(lst) == 0:
+                continue
+            h = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            sig_bits = 2 * ones > len(h)  # vote sum = 2*ones - n
+            packed[i] = (sig_bits.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    # real annotation objects (the module-level `from __future__ import
+    # annotations` would stringify inline hints and break UDF inference)
+    sig_fn.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sig_fn, "bigint")
+
+
 def simhash(text: Column | str, bits: int = 64) -> Column:
     """Charikar SimHash signature from whitespace tokens: each distinct
     token votes +1/-1 per bit of its xxhash64; signature bit = sign of
-    the vote sum. Pure Catalyst (transform/aggregate over the token
-    array) — narrow, no shuffle, no UDF.
-    """
+    the vote sum; bits packed two's-complement into a bigint. Token
+    split + hashing stay JVM-side; the vote/pack runs in a vectorized
+    Arrow UDF (see ``_simhash_sig_udf`` for why)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
-    # hash each token ONCE up front; the fold's bit terms then reference
-    # the bound hash value (re-hashing inside the 64-term lambda body
-    # would run 64 hashes per token)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # vote vector: for each bit, sum of (+1 | -1) across token hashes
-    # (bit positions are Python ints — shiftright requires literal counts)
-    votes = F.aggregate(
-        hashes,
-        F.array(*[F.lit(0)] * bits).cast("array<int>"),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1))
-                    for b in range(bits)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    # pack sign bits into a bigint: terms are disjoint bit values, so their
-    # sum is the two's-complement pattern (the top bit contributes -2^63)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        bit_value = -(1 << (bits - 1)) if b == bits - 1 else (1 << b)
-        sig = sig + F.when(votes[b] > 0, F.lit(bit_value).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    return _simhash_sig_udf(bits)(hashes)
 
 
 class DedupTransformer:
@@ -535,3 +538,80 @@ def simhash_candidates(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate clusters: returns
+    ``(id, cluster)`` where ``cluster`` is the minimum member id of the
+    connected component — the standard last step of a dedup pipeline
+    (pairs from MinHash/SimHash/Jaccard say "these two match"; clusters
+    say "these N are one document").
+
+    Iterative min-label propagation: each round joins the undirected
+    edge list against current labels and takes the per-vertex min —
+    exactly one shuffle per round, all frames distributed (the only
+    driver value per round is the converged? count). Rounds needed =
+    graph diameter; near-dup graphs are dense cliques with tiny
+    diameters (1-3 typical), and ``max_iter`` caps adversarial chains.
+    Labels are ``localCheckpoint``-ed per round so the plan does not
+    grow with iterations — at 100 TB each round is a fixed-size
+    key-join, not a replay of all prior rounds.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(
+        pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=False)
+
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(edges["a"].alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+def dedup_from_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Drop all but one survivor (the min-id member) per duplicate
+    cluster. Non-members pass through untouched — the anti-join ships
+    only the (small) drop list, never the corpus."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drop = comp.filter(F.col("id") != F.col("cluster")).select("id")
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")

@@ -295,3 +295,22 @@ def test_cli_missing_yaml_exits_cleanly(capsys):
     assert rc == 1
     out = capsys.readouterr()
     assert "pipeline YAML not found" in out.out + out.err
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        ["id_a", "id_b"],
+    )
+    comp = {r.id: r.cluster for r in dd.connected_components(pairs).collect()}
+    # chain 1-2-3-4 collapses to cluster 1; islands keep their min
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_from_pairs_keeps_min_survivor(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    out = dd.dedup_from_pairs(df, pairs, "doc_id")
+    assert {r.doc_id for r in out.collect()} == {1, 4, 5, 7}

@@ -92,6 +92,24 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)
+            # a dead JVM/py4j gateway would cascade FAILs through every
+            # remaining query — detect and restart the session
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print("WARN  session lost — restarting SparkSession")
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                from pyspark.sql import SparkSession
+
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                spark = get_spark(
+                    app_name="verify-oracle", master="local[8]",
+                    conf={"spark.sql.shuffle.partitions": "8"},
+                )
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_pdf)} rows (rows-only check)")
