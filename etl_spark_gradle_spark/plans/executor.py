@@ -236,6 +236,23 @@ class PipelineExecutor:
                         report.duplicates = dup["duplicates"]
                         metrics.records_extracted = dup["total"]
 
+                    # per-check violation counters ride the SAME plan the
+                    # split reads — the Observation resolves on the
+                    # quarantine write's action, zero extra jobs
+                    check_obs: Observation | None = None
+                    check_aggs = [
+                        F.sum(F.col(c).isNull().cast("long")).alias(f"null:{c}")
+                        for c in config.quality.null_checks
+                    ] + [
+                        F.sum(
+                            (~F.coalesce(F.expr(r), F.lit(False))).cast("long")
+                        ).alias(f"rule:{r}")
+                        for r in config.quality.custom_rules
+                    ]
+                    if check_aggs:
+                        check_obs = Observation(f"quality_{uuid.uuid4().hex[:8]}")
+                        extracted = extracted.observe(check_obs, *check_aggs)
+
                     valid, invalid = split_valid_invalid(
                         extracted,
                         list(config.quality.null_checks),
@@ -254,6 +271,10 @@ class PipelineExecutor:
                         metrics.records_failed = quarantined
                         report.null_violations = quarantined
                         report.quarantined = quarantined
+                        if check_obs is not None:
+                            report.violations_by_check = {
+                                k: int(v or 0) for k, v in check_obs.get.items()
+                            }
                     input_df = valid
 
             with collector.phase("plan"):

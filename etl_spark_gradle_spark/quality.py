@@ -178,3 +178,6 @@ class QualityReport:
     duplicates: int = 0
     schema_errors: tuple[str, ...] = field(default_factory=tuple)
     quarantined: int = 0
+    # per-check violation counts keyed "null:<col>" / "rule:<expr>" —
+    # observed on the same action as the quarantine write, zero extra jobs
+    violations_by_check: dict[str, int] = field(default_factory=dict)

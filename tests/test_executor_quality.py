@@ -168,6 +168,14 @@ def test_custom_rules_quarantine_violators(spark, sf_dir, tmp_path):
     src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     bad = src.filter("NOT (l_quantity BETWEEN 1 AND 50 AND l_discount <= 0.1)").count()
     assert metrics.records_failed == bad
+    # per-rule counters observed on the quarantine action (no extra job)
+    by_check = metrics.quality_report.violations_by_check
+    assert by_check["rule:l_quantity BETWEEN 1 AND 50"] == src.filter(
+        "NOT (l_quantity BETWEEN 1 AND 50)"
+    ).count()
+    assert by_check["rule:l_discount <= 0.1"] == src.filter(
+        "NOT (l_discount <= 0.1)"
+    ).count()
     quarantined = spark.read.parquet(str(tmp_path / "quar"))
     assert quarantined.count() == bad
     assert {"quarantine_timestamp", "pipeline_id", "run_id"} <= set(quarantined.columns)

@@ -94,3 +94,38 @@ def spark_prop():
         master="local[4]",
         conf={"spark.sql.shuffle.partitions": "4"},
     )
+
+
+def py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: min member id as cluster label."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark_prop, edges):
+    pairs = spark_prop.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["id_a", "id_b"]
+    )
+    got = {r.id: r.cluster for r in dd.connected_components(pairs).collect()}
+    assert got == py_components(edges)
