@@ -445,25 +445,53 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
 
 
 class DedupTransformer:
-    """Registry adapter for exact dedup (``type: dedup``).
+    """Registry adapter for dedup (``type: dedup``).
 
-    Options: ``keys`` (comma list) or ``contentColumn`` (dedup on
-    normalized-content fingerprint), optional ``tiebreakColumn`` for a
-    deterministic survivor. Validates like the relational transformers
-    (parity contract: ``core/DataTransformer.scala:36-40``)."""
+    ``strategy: exact`` (default) — options ``keys`` (comma list) or
+    ``contentColumn`` (dedup on normalized-content fingerprint),
+    optional ``tiebreakColumn`` for a deterministic survivor.
+
+    ``strategy: fuzzy`` — the full near-dup chain in one step:
+    MinHash-LSH candidates → ``estJaccard >= threshold`` →
+    connected-components clustering → min-id survivor per cluster.
+    Options: ``idColumn``, ``contentColumn``, ``threshold`` (default
+    0.8), ``numHashes`` (64), ``bands`` (16), ``shingleSize`` (3).
+    Shuffle story: signature narrow, ONE band shuffle, one small
+    key-shuffle per propagation round, drop-list anti-join — the corpus
+    itself never moves (see PLANS.md).
+
+    Validates like the relational transformers (parity contract:
+    ``core/DataTransformer.scala:36-40``)."""
 
     def validate(self, df: DataFrame, config) -> ValidationResult:
         opts = config.options
-        keys = [k.strip() for k in opts.get("keys", "").split(",") if k.strip()]
-        content = opts.get("contentColumn")
-        if not keys and not content:
-            return ValidationResult.fail("dedup requires 'keys' or 'contentColumn'")
-        missing = [c for c in keys if c not in df.columns]
-        if content and content not in df.columns:
-            missing.append(content)
-        tb = opts.get("tiebreakColumn")
-        if tb and tb not in df.columns:
-            missing.append(tb)
+        strategy = opts.get("strategy", "exact").lower()
+        if strategy not in ("exact", "fuzzy"):
+            return ValidationResult.fail(
+                f"dedup strategy must be exact|fuzzy, got '{strategy}'"
+            )
+        missing = []
+        if strategy == "fuzzy":
+            if not opts.get("idColumn") or not opts.get("contentColumn"):
+                return ValidationResult.fail(
+                    "fuzzy dedup requires 'idColumn' and 'contentColumn'"
+                )
+            missing += [
+                c
+                for c in (opts["idColumn"], opts["contentColumn"])
+                if c not in df.columns
+            ]
+        else:
+            keys = [k.strip() for k in opts.get("keys", "").split(",") if k.strip()]
+            content = opts.get("contentColumn")
+            if not keys and not content:
+                return ValidationResult.fail("dedup requires 'keys' or 'contentColumn'")
+            missing += [c for c in keys if c not in df.columns]
+            if content and content not in df.columns:
+                missing.append(content)
+            tb = opts.get("tiebreakColumn")
+            if tb and tb not in df.columns:
+                missing.append(tb)
         if missing:
             return ValidationResult.fail(*[f"column not in input schema: {c}" for c in missing])
         return ValidationResult.ok()
@@ -475,6 +503,16 @@ class DedupTransformer:
 
             raise TransformationError("dedup config invalid: " + "; ".join(result.errors))
         opts = config.options
+        if opts.get("strategy", "exact").lower() == "fuzzy":
+            pairs = minhash_lsh_candidates(
+                df,
+                id_col=opts["idColumn"],
+                text_col=opts["contentColumn"],
+                n=int(opts.get("shingleSize", 3)),
+                num_hashes=int(opts.get("numHashes", 64)),
+                bands=int(opts.get("bands", 16)),
+            ).filter(F.col("est_jaccard") >= float(opts.get("threshold", 0.8)))
+            return dedup_from_pairs(df, pairs, opts["idColumn"])
         keys = [k.strip() for k in opts.get("keys", "").split(",") if k.strip()]
         return exact_dedup(
             df,

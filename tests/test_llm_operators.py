@@ -314,3 +314,40 @@ def test_dedup_from_pairs_keeps_min_survivor(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
     out = dd.dedup_from_pairs(df, pairs, "doc_id")
     assert {r.doc_id for r in out.collect()} == {1, 4, 5, 7}
+
+
+def test_dedup_transformer_fuzzy_strategy(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1
+        (3, "completely different content about distributed query engines"),
+        (4, base),                     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tf = TRANSFORMER_REGISTRY["dedup"]
+    cfg = TransformationConfig(
+        type="dedup",
+        options={
+            "strategy": "fuzzy",
+            "idColumn": "doc_id",
+            "contentColumn": "text",
+            "threshold": "0.5",
+        },
+    )
+    out = tf.transform(df, cfg, RunContext.create("t", spark))
+    kept = {r.doc_id for r in out.collect()}
+    assert 3 in kept            # unique survives
+    assert 1 in kept            # min-id survivor of the dup cluster
+    assert kept.isdisjoint({2, 4})
+
+    bad = TransformationConfig(type="dedup", options={"strategy": "fuzzy"})
+    import pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    with pytest.raises(TransformationError):
+        tf.transform(df, bad, RunContext.create("t", spark))
