@@ -234,10 +234,18 @@ def ivf_topk(
     sampled = c.orderBy(F.pmod(F.xxhash64(F.col("cid")), F.lit(997)), F.col("cid")).limit(
         num_cells
     )
-    # window over num_cells rows only — trivial by construction
-    centroids = sampled.select(
-        (F.row_number().over(Window.orderBy("cid")) - 1).alias("cell"),
-        F.col("cv").alias("centroid"),
+    # num_cells rows merged on the driver (deliberate, bounded — see
+    # PLANS.md "driver points"), then re-broadcast with explicit cell
+    # ids: avoids an unpartitioned row_number window entirely
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    vec_type = c.schema["cv"].dataType
+    rows = sampled.collect()
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, list(r["cv"])) for i, r in enumerate(rows)],
+        StructType(
+            [StructField("cell", IntegerType()), StructField("centroid", vec_type)]
+        ),
     )
     cent = F.broadcast(centroids)
 
