@@ -578,6 +578,21 @@ def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
 
 
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode: one row per whitespace token (narrow Generate — no
+    shuffle); the token-explosion primitive of text pipelines."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 50")
+    from etl_spark_gradle_spark.operators.relational import explode_column
+
+    out = explode_column(
+        docs,
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')",
+        alias="token",
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "token")
+
+
 def q_agg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregation (extended functions): exact count_distinct and exact
     median alongside plain count — the distinct/percentile surface
@@ -1469,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "sessionize": q_sessionize,
         "ranking": q_ranking,
+        "explode": q_explode,
         "agg_extended": q_agg_extended,
         "analytics": q_analytics,
         "pivot": q_pivot,
@@ -1601,6 +1617,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
             "CAST(COUNT(*) AS BIGINT) AS cnt "
             "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "explode": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(tokens) AS token FROM ("
+            "SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            "x -> x != '') AS tokens FROM documents WHERE doc_id < 50)"
         ),
         "agg_extended": (
             "SELECT c_mktsegment, "

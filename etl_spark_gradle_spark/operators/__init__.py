@@ -14,6 +14,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AnalyticsTransformer,
     AsofJoinTransformer,
     DistinctTransformer,
+    ExplodeTransformer,
     FilterTransformer,
     JoinTransformer,
     MapTransformer,
@@ -29,6 +30,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     analytic_columns,
     asof_join,
     distinct_rows,
+    explode_column,
     filter_rows,
     join_view,
     map_columns,
@@ -58,6 +60,7 @@ TRANSFORMER_REGISTRY = {
     "setop": SetOpTransformer(),
     "sort": SortTransformer(),
     "distinct": DistinctTransformer(),
+    "explode": ExplodeTransformer(),
     "sample": SampleTransformer(),
     "salted_aggregation": SaltedAggregationTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)

@@ -1200,3 +1200,52 @@ class PivotTransformer(_BaseTransformer):
             pivot_values=_split_csv(opts.get("pivotValues")),
             aggregations=list(config.aggregations),
         )
+
+
+def explode_column(
+    df: DataFrame,
+    expression: str,
+    alias: str = "item",
+    outer: bool = False,
+    with_position: bool = False,
+) -> DataFrame:
+    """Flatten an array expression to one row per element (SURVEY §2.7
+    extension; the row-explosion primitive of token/shingle/frame
+    pipelines). ``outer`` keeps rows whose array is empty/NULL (element
+    NULL); ``with_position`` adds a 0-based ``{alias}_pos`` column.
+
+    Narrow (no shuffle): a Generate node inside the same stage. At
+    100 TB explosion multiplies rows, not bytes-per-row — follow with a
+    projection that drops the source array so downstream shuffles carry
+    elements, not arrays.
+    """
+    if not expression or not expression.strip():
+        raise TransformationError("explode requires an array 'expression'")
+    if with_position:
+        gen = F.posexplode_outer(F.expr(expression)) if outer else F.posexplode(
+            F.expr(expression)
+        )
+        return df.select("*", gen.alias(f"{alias}_pos", alias))
+    gen = F.explode_outer(F.expr(expression)) if outer else F.explode(F.expr(expression))
+    return df.select("*", gen.alias(alias))
+
+
+class ExplodeTransformer(_BaseTransformer):
+    """Registry adapter for ``type: explode``. Options: ``expression``
+    (array SQL expr), ``alias`` (default "item"), ``outer``,
+    ``withPosition``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        if not config.options.get("expression", "").strip():
+            return ValidationResult.fail("explode requires 'expression'")
+        return ValidationResult.ok()
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return explode_column(
+            df,
+            expression=opts["expression"],
+            alias=opts.get("alias", "item"),
+            outer=str(opts.get("outer", "false")).lower() == "true",
+            with_position=str(opts.get("withPosition", "false")).lower() == "true",
+        )

@@ -315,3 +315,29 @@ def test_pivot_transformer_requires_explicit_values(spark, ledger):
     )
     with pytest.raises(TransformationError):
         tf.transform(ledger, cfg, ctx)
+
+
+def test_explode_column_basic_outer_position(spark):
+    from etl_spark_gradle_spark.operators.relational import explode_column
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None)], ["id", "text"]
+    )
+    arr = "filter(split(text, ' '), x -> x != '')"
+    out = explode_column(df, arr, alias="tok")
+    assert {(r.id, r.tok) for r in out.collect()} == {(1, "a"), (1, "b")}
+    outer = explode_column(df, arr, alias="tok", outer=True)
+    got = {(r.id, r.tok) for r in outer.collect()}
+    assert got == {(1, "a"), (1, "b"), (2, None), (3, None)}
+    pos = explode_column(df, arr, alias="tok", with_position=True)
+    assert {(r.id, r.tok_pos, r.tok) for r in pos.collect()} == {(1, 0, "a"), (1, 1, "b")}
+
+
+def test_explode_transformer_registry(spark):
+    tf = TRANSFORMER_REGISTRY["explode"]
+    df = spark.createDataFrame([(1, [10, 20])], ["id", "xs"])
+    cfg = TransformationConfig(type="explode", options={"expression": "xs", "alias": "x"})
+    ctx = RunContext.create("t", spark)
+    assert {(r.id, r.x) for r in tf.transform(df, cfg, ctx).collect()} == {(1, 10), (1, 20)}
+    with pytest.raises(TransformationError):
+        tf.transform(df, TransformationConfig(type="explode", options={}), ctx)
