@@ -38,6 +38,11 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # task retry posture (reference: 3 retries, README.md:272 /
+    # application.conf:21-22). maxFailures counts attempts, so 4 = 3
+    # retries. Cluster-mode semantics; local[] master ignores it unless
+    # launched as local[N,F].
+    "spark.task.maxFailures": "4",
     "spark.ui.enabled": "false",
     # NOTE: spark.driver.memory is deliberately absent — it only takes
     # effect before the JVM starts, so it must come from spark-submit /

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark.plans.config import ConfigError, LoadResult, SinkConfig, ValidationResult
 
-_FILE_FORMATS = {"parquet", "avro", "json", "csv", "orc"}
+_FILE_FORMATS = {"parquet", "avro", "json", "csv", "orc", "text"}
 
 
 def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
@@ -69,6 +69,20 @@ def load_file(
         writer = writer.option("compression", options["compression"])
     if fmt == "csv":
         writer = writer.option("header", options.get("header", "true"))
+    if fmt == "text":
+        # corpus-export path: text files hold exactly one string column;
+        # single-column frames are cast rather than rejected
+        if len(df.columns) != 1:
+            raise ConfigError(
+                f"text sink requires exactly one column, got {len(df.columns)} "
+                f"({df.columns}) — project or map first"
+            )
+        out = out.select(out[out.columns[-1]].cast("string").alias("value"))
+        writer = out.write.format(fmt).mode(write_mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if options.get("compression"):
+            writer = writer.option("compression", options["compression"])
     try:
         if bucket_cols:
             # Bucketed write (beyond-reference; 100 TB path): pre-hash the

@@ -210,3 +210,16 @@ def test_custom_rules_yaml_parse(tmp_path):
     cfg = load_pipeline_yaml(str(p))
     assert cfg.quality.custom_rules == ("a > 0", "b IS NOT NULL")
     assert cfg.quality.enabled
+
+
+def test_text_sink_roundtrip(spark, sf_dir, tmp_path):
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.sinks.loaders import load_file
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = str(tmp_path / "corpus_txt")
+    res = load_file(docs.select("text"), {"path": out, "format": "text"}, "overwrite")
+    assert res.records_written == 50
+    assert spark.read.text(out).count() == 50
+    with pytest.raises(ConfigError, match="one column"):
+        load_file(docs, {"path": out, "format": "text"}, "overwrite")
