@@ -266,6 +266,7 @@ def asof_join(
     right_values: list[str],
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the single right row with
     the same key and the nearest ``right_time`` at-or-before
@@ -282,9 +283,15 @@ def asof_join(
     shuffle a plain equi-join would pay. At equal timestamps the right
     row sorts before the left row, so exact-time matches are included.
 
-    100-TB note: a pathologically hot key serializes in one task's sort —
-    pre-split hot keys (salt + per-salt asof + min-by-distance merge) if
-    the key histogram demands it; AQE cannot split a window partition.
+    100-TB note: a pathologically hot key serializes in one task's sort
+    (AQE cannot split a window partition). ``salt_buckets=B`` splits it:
+    left rows scatter to B random salts, right rows replicate to ALL B
+    salts of their key, and the window partitions on (key, salt) — every
+    left row still sees its key's full right timeline, so results are
+    IDENTICAL to unsalted; the hot key's sort now runs as B parallel
+    tasks. Cost: right side ×B — use when the left side dominates (the
+    "billions of events vs a reference timeline" shape). Leave None when
+    keys are well-distributed.
 
     ``right_values`` are the right columns to attach (must not collide
     with left column names). ``tolerance_seconds`` nulls out matches
@@ -311,12 +318,23 @@ def asof_join(
         .withColumn("__t", F.col(left_time).cast("timestamp"))
         .withColumn("__tag", F.lit(1))
     )
+    part_cols = ["__k"]
+    if salt_buckets and int(salt_buckets) > 1:
+        buckets = int(salt_buckets)
+        l = l.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)).cast("int"),
+        )
+        r = r.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__salt")
+        ).withColumn("__salt", F.col("__salt").cast("int"))
+        part_cols.append("__salt")
     u = l.unionByName(r, allowMissingColumns=True)
     order = [F.col("__t").asc(), F.col("__tag").asc()]
     if direction == "forward":
         order = [F.col("__t").desc(), F.col("__tag").asc()]
     w = (
-        Window.partitionBy("__k")
+        Window.partitionBy(*part_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -918,6 +936,7 @@ class AsofJoinTransformer(_BaseTransformer):
     def _apply(self, df, config, ctx):
         opts = config.options
         tol = opts.get("toleranceSeconds")
+        salt = opts.get("saltBuckets")
         return asof_join(
             df,
             ctx.spark.table(opts["rightTable"]),
@@ -928,6 +947,7 @@ class AsofJoinTransformer(_BaseTransformer):
             right_values=_split_csv(opts.get("rightValues")),
             direction=opts.get("direction", "backward"),
             tolerance_seconds=float(tol) if tol else None,
+            salt_buckets=int(salt) if salt else None,
         )
 
 

@@ -341,3 +341,34 @@ def test_explode_transformer_registry(spark):
     assert {(r.id, r.x) for r in tf.transform(df, cfg, ctx).collect()} == {(1, 10), (1, 20)}
     with pytest.raises(TransformationError):
         tf.transform(df, TransformationConfig(type="explode", options={}), ctx)
+
+
+def test_asof_join_salted_matches_unsalted(spark):
+    from datetime import datetime
+
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    # one hot key ("h") with many left rows, plus a normal key
+    left = spark.createDataFrame(
+        [("h", ts(m), m) for m in range(0, 30)] + [("n", ts(5), 99)],
+        ["k", "t", "seq"],
+    )
+    right = spark.createDataFrame(
+        [("h", ts(0), 100.0), ("h", ts(10), 200.0), ("h", ts(20), 300.0),
+         ("n", ts(4), 50.0)],
+        ["rk", "rt", "px"],
+    )
+    kwargs = dict(
+        left_key="k", right_key="rk", left_time="t", right_time="rt",
+        right_values=["px"],
+    )
+    plain = {(r.k, r.seq): r.px for r in asof_join(left, right, **kwargs).collect()}
+    salted = {
+        (r.k, r.seq): r.px
+        for r in asof_join(left, right, **kwargs, salt_buckets=4).collect()
+    }
+    assert salted == plain
+    assert plain[("h", 15)] == 200.0 and plain[("n", 99)] == 50.0
