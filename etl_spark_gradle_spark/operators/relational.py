@@ -563,6 +563,35 @@ def sample_rows(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(fraction=fraction, seed=seed)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_column: str,
+    fractions: dict[str, float],
+    default_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (``sampleBy``) — the corpus-mixing
+    primitive ("keep 100% of books, 5% of crawl"). Partition-local, no
+    shuffle; strata not listed keep ``default_fraction`` (or drop when
+    None). ``fractions`` values are validated in [0, 1].
+    """
+    for k, v in fractions.items():
+        if not (0.0 <= v <= 1.0):
+            raise TransformationError(f"fraction for stratum '{k}' must be in [0, 1]")
+    if default_fraction is not None and not (0.0 <= default_fraction <= 1.0):
+        raise TransformationError("defaultFraction must be in [0, 1]")
+    col = F.col(strata_column)
+    if default_fraction is None:
+        return df.sampleBy(col, fractions, seed=seed)
+    # sampleBy drops unlisted strata; route them through the default by
+    # materializing the full fraction map per distinct stratum is a scan —
+    # instead do it closed-form: rand() < fraction chosen by stratum
+    frac_expr = F.lit(default_fraction)
+    for k, v in fractions.items():
+        frac_expr = F.when(col == k, F.lit(v)).otherwise(frac_expr)
+    return df.filter(F.rand(seed) < frac_expr)
+
+
 _SALTABLE = {"sum", "count", "min", "max"}
 
 
@@ -1078,11 +1107,33 @@ class DistinctTransformer(_BaseTransformer):
 
 
 class SampleTransformer(_BaseTransformer):
-    """Extension (``type: sample``): seeded Bernoulli sample."""
+    """Extension (``type: sample``): seeded Bernoulli sample; with
+    ``strataColumn`` + ``fractions: "books:1.0,crawl:0.05"`` a
+    per-stratum (corpus-mixing) sample, optional ``defaultFraction``
+    for unlisted strata."""
 
     def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        opts = config.options
+        if opts.get("strataColumn"):
+            if opts["strataColumn"] not in df.columns:
+                return ValidationResult.fail(
+                    f"strataColumn not in input schema: {opts['strataColumn']}"
+                )
+            try:
+                fr = dict(
+                    (p.partition(":")[0].strip(), float(p.partition(":")[2]))
+                    for p in split_top_level(opts.get("fractions", ""))
+                    if p.strip()
+                )
+            except ValueError:
+                return ValidationResult.fail("fractions must be 'stratum:float' pairs")
+            if not fr:
+                return ValidationResult.fail(
+                    "stratified sample requires 'fractions' pairs"
+                )
+            return ValidationResult.ok()
         try:
-            fraction = float(config.options.get("fraction", ""))
+            fraction = float(opts.get("fraction", ""))
         except ValueError:
             return ValidationResult.fail("sample requires numeric 'fraction'")
         if not (0.0 < fraction <= 1.0):
@@ -1090,10 +1141,25 @@ class SampleTransformer(_BaseTransformer):
         return ValidationResult.ok()
 
     def _apply(self, df, config, ctx):
+        opts = config.options
+        if opts.get("strataColumn"):
+            fractions = {
+                p.partition(":")[0].strip(): float(p.partition(":")[2])
+                for p in split_top_level(opts.get("fractions", ""))
+                if p.strip()
+            }
+            default = opts.get("defaultFraction")
+            return stratified_sample(
+                df,
+                strata_column=opts["strataColumn"],
+                fractions=fractions,
+                default_fraction=float(default) if default is not None else None,
+                seed=int(opts.get("seed", "42")),
+            )
         return sample_rows(
             df,
-            float(config.options["fraction"]),
-            int(config.options.get("seed", "42")),
+            float(opts["fraction"]),
+            int(opts.get("seed", "42")),
         )
 
 

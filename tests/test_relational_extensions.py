@@ -372,3 +372,46 @@ def test_asof_join_salted_matches_unsalted(spark):
     }
     assert salted == plain
     assert plain[("h", 15)] == 200.0 and plain[("n", 99)] == 50.0
+
+
+def test_stratified_sample(spark):
+    from etl_spark_gradle_spark.operators.relational import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "books" if i % 3 == 0 else ("crawl" if i % 3 == 1 else "web"))
+         for i in range(300)],
+        ["id", "src"],
+    )
+    out = stratified_sample(df, "src", {"books": 1.0, "crawl": 0.0})
+    got = {r.src for r in out.collect()}
+    assert got == {"books"}  # crawl sampled at 0, web unlisted -> dropped
+    assert out.filter("src = 'books'").count() == 100
+
+    withdefault = stratified_sample(
+        df, "src", {"books": 1.0, "crawl": 0.0}, default_fraction=1.0
+    )
+    by_src = {
+        r.src: r.n
+        for r in withdefault.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("books") == 100 and by_src.get("web") == 100
+    assert "crawl" not in by_src
+
+    with pytest.raises(TransformationError):
+        stratified_sample(df, "src", {"books": 1.5})
+
+
+def test_sample_transformer_stratified_registry(spark):
+    tf = TRANSFORMER_REGISTRY["sample"]
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "src"])
+    ctx = RunContext.create("t", spark)
+    cfg = TransformationConfig(
+        type="sample",
+        options={"strataColumn": "src", "fractions": "a:1.0,b:0.0"},
+    )
+    assert {r.src for r in tf.transform(df, cfg, ctx).collect()} == {"a"}
+    bad = TransformationConfig(
+        type="sample", options={"strataColumn": "nope", "fractions": "a:1.0"}
+    )
+    with pytest.raises(TransformationError):
+        tf.transform(df, bad, ctx)
