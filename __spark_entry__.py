@@ -1137,9 +1137,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-reproducible pair source) → iterative min-label propagation →
     (id, cluster). One shuffle per round, rounds = component diameter;
     the DuckDB oracle computes the same components with a recursive-CTE
-    transitive closure."""
+    transitive closure. Bounded to a fixed doc subset so the oracle's
+    all-pairs verification stays cheap at every SF (the operator itself
+    is LSH-scalable; the exact pair source is the verification path)."""
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 1000")
     pairs = dd.ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", n=3, threshold=0.2, use_tokens=True
     )
@@ -1149,7 +1151,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE jp AS ({_NGRAM_JACCARD_ORACLE}),
+WITH RECURSIVE jp AS ({_NGRAM_JACCARD_ORACLE.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}),
 und AS (
   SELECT id_a AS a, id_b AS b FROM jp
   UNION
