@@ -1005,6 +1005,10 @@ def q_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
 
 
+def q_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")
+
+
 _NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
@@ -1509,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_parquet": q_roundtrip_parquet,
         "roundtrip_csv": q_roundtrip_csv,
         "roundtrip_json": q_roundtrip_json,
+        "roundtrip_orc": q_roundtrip_orc,
         "pipeline_e2e": q_pipeline_e2e,
         "dedup_exact_content": q_dedup_exact_content,
         "dedup_exact_keys": q_dedup_exact_keys,
@@ -1695,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_parquet": _NATION_ORACLE,
         "roundtrip_csv": _NATION_ORACLE,
         "roundtrip_json": _NATION_ORACLE,
+        "roundtrip_orc": _NATION_ORACLE,
         "pipeline_e2e": _E2E_ORACLE,
         "dedup_exact_content": _DEDUP_CONTENT_ORACLE,
         "dedup_exact_keys": _DEDUP_KEYS_ORACLE,
