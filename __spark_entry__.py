@@ -898,6 +898,47 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct sketch (operators/sketch.py): per-shard
+    sketches rolled up with hll_union_agg, estimate checked against the
+    exact distinct inside the query (within_tol must come out TRUE —
+    lg_k=12 ⇒ ~1.6 % RSE, 5 % is >3σ). The oracle recomputes the exact
+    count and asserts the same invariant as a literal.
+
+    The 100-TB story: the merge path answers day→month→global distinct
+    rollups from KB-sized persisted sketches with no raw re-scan."""
+    from etl_spark_gradle_spark.operators import sketch as sk
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    # build at a fine grain, merge up — exercises the rollup path the
+    # scale design depends on, not just a direct aggregate
+    fine = sk.build_distinct_sketch(
+        li, ["l_returnflag", "l_linestatus"], "l_partkey"
+    )
+    rolled = sk.merge_sketches(fine, ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct")
+    )
+    return rolled.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= F.lit(0.05)
+        ).alias("within_tol"),
+    )
+
+
+_SKETCH_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tol
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scalar surface (SURVEY §2.5): JSON extraction — the Kafka-payload workhorse
 # ---------------------------------------------------------------------------
@@ -1505,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit": q_sort_limit,
         "distinct": q_distinct,
         "salted_aggregation": q_salted_aggregation,
+        "sketch_distinct": q_sketch_distinct,
         "json_extract": q_json_extract,
         "null_split_invalid": q_null_split_invalid,
         "null_metrics": q_null_metrics,
@@ -1674,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct": "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
         "salted_aggregation": _SALTED_AGG_ORACLE,
+        "sketch_distinct": _SKETCH_ORACLE,
         "json_extract": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value "
             "FROM events"

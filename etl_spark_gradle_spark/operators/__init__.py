@@ -43,6 +43,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     sort_limit,
     window_aggregate,
 )
+from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.text import TextAnalysisTransformer  # noqa: F401
 
 TRANSFORMER_REGISTRY = {
@@ -63,6 +64,7 @@ TRANSFORMER_REGISTRY = {
     "explode": ExplodeTransformer(),
     "sample": SampleTransformer(),
     "salted_aggregation": SaltedAggregationTransformer(),
+    "sketch": SketchTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "text_analysis": TextAnalysisTransformer(),
