@@ -41,7 +41,9 @@ def load_file(
 ) -> LoadResult:
     """Write avro/parquet/json/csv/orc (parity: ``loader/S3Loader.scala:27-119``):
     ``append``/``overwrite``, ``partitionBy`` columns, ``compression``
-    codec, ``coalesce`` N output files.
+    codec, ``coalesce`` N output files, ``sortWithinPartitions``
+    columns (shuffle-free local sort → tight row-group min/max stats →
+    predicate-driven row-group skipping on read).
 
     ``coalesce`` narrows the final stage without a shuffle (correct for
     "fewer, bigger files"); when a full rebalance is wanted use the
@@ -62,6 +64,18 @@ def load_file(
     out, obs = _observed(df)
     if options.get("coalesce"):
         out = out.coalesce(int(options["coalesce"]))
+    sort_within = [
+        c.strip()
+        for c in (options.get("sortWithinPartitions") or "").split(",")
+        if c.strip()
+    ]
+    if sort_within:
+        # Narrow per-task sort (NO shuffle) before the write: parquet/orc
+        # row-group min/max stats become tight, disjoint ranges on these
+        # columns, so later range/point predicates skip whole row groups
+        # at scan time. The 100 TB knob for "we always filter by ts/id":
+        # pay one local sort at write, save the scan forever after.
+        out = out.sortWithinPartitions(*sort_within)
     writer = out.write.format(fmt).mode(write_mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -183,3 +183,30 @@ def test_pivot_partial_aggregation(spark, sf_dir):
     assert "partial_sum" in plan  # map-side combine of every pivot cell
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1  # ONE shuffle
     assert "pivotfirst" not in plan  # not the two-shuffle built-in pivot
+
+
+def test_sort_within_partitions_write_produces_sorted_files(spark, sf_dir, tmp_path):
+    """sortWithinPartitions sink option: a narrow (shuffle-free) local
+    sort before the write, so every output file is internally sorted and
+    parquet row-group min/max ranges are tight — the data-skipping knob
+    for always-filtered columns at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_spark_gradle_spark.sinks.loaders import load_file
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(4)
+    out = str(tmp_path / "sorted")
+    res = load_file(
+        li,
+        {"path": out, "format": "parquet", "sortWithinPartitions": "l_orderkey"},
+        write_mode="overwrite",
+    )
+    assert res.records_written == li.count()
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) > 1
+    for f in files:
+        vals = pq.read_table(f, columns=["l_orderkey"])["l_orderkey"].to_pylist()
+        assert vals == sorted(vals)
+    assert spark.read.parquet(out).count() == li.count()
