@@ -108,6 +108,38 @@ def windowed_stream_agg(
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    time_column: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` holds each key only until the
+    watermark passes its event time + delay, then evicts it — the only
+    dedup that survives an unbounded stream (plain ``dropDuplicates``
+    on a stream accretes one state row per key forever).
+
+    Semantics: duplicates arriving within ``watermark_delay`` of the
+    first occurrence are dropped; a re-occurrence after eviction is
+    emitted again — the standard at-least-once → effectively-once
+    compaction for event streams with bounded duplicate windows (e.g.
+    producer retries). Without ``time_column`` falls back to plain
+    ``dropDuplicates`` (exact global state — batch frames or key spaces
+    known to be small).
+
+    100-TB notes: state is (key-hash → timestamp) per live key, sharded
+    by the same key shuffle as any streaming agg; the delay knob is the
+    state-size budget. Dedup KEYS should be a content hash (see
+    ``operators.dedup.exact_dedup``'s fingerprint), never raw bodies.
+    """
+    if time_column:
+        return df.withWatermark(time_column, watermark_delay).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)
+
+
 def sessionize_stream(
     df: DataFrame,
     key_col: str,

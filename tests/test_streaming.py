@@ -223,3 +223,54 @@ def test_kafka_stream_sink_validates(spark, tmp_path):
             sdf,
             {"format": "kafka", "topic": "t", "bootstrap.servers": "localhost:9092"},
         )
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dups within the delay are dropped
+    (incl. across incremental restarts via checkpointed state); state is
+    evicted once the watermark passes — bounded-state streaming dedup."""
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    out, ckpt = tmp_path / "dout", tmp_path / "dckpt"
+
+    def run_once():
+        stream = st.read_file_stream(
+            spark, {"path": str(src), "format": "json"}, SCHEMA
+        )
+        deduped = st.stream_dedup(
+            stream, ["metric"], time_column="ts", watermark_delay="1 hour"
+        )
+        st.write_stream(
+            deduped,
+            {
+                "path": str(out),
+                "checkpointLocation": str(ckpt),
+                "format": "parquet",
+            },
+            output_mode="append",
+            await_termination=True,
+        )
+
+    _write_batch(
+        src / "b1.json",
+        [
+            ("2024-01-01T00:00:00", "a", 1.0),
+            ("2024-01-01T00:00:01", "a", 2.0),  # dup within delay -> dropped
+            ("2024-01-01T00:00:02", "b", 3.0),
+        ],
+    )
+    run_once()
+    first = {r.metric for r in spark.read.parquet(str(out)).collect()}
+    assert first == {"a", "b"}
+
+    _write_batch(
+        src / "b2.json",
+        [
+            ("2024-01-01T00:00:03", "a", 4.0),  # still within delay -> dropped
+            ("2024-01-01T00:00:04", "c", 5.0),
+        ],
+    )
+    run_once()
+    rows = spark.read.parquet(str(out)).collect()
+    assert {r.metric for r in rows} == {"a", "b", "c"}
+    assert len(rows) == 3
