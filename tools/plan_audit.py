@@ -114,6 +114,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["partial_sum", "hashpartitioning(l_returnflag"],
         ["pivotfirst"],
     ),
+    (
+        "sketch_distinct",
+        "HLL sketch build AND rollup both map-side partial (KB partials, not values)",
+        ["partial_hll_sketch_agg", "partial_hll_union_agg"],
+        [],
+    ),
 ]
 
 
