@@ -736,6 +736,42 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join, ``nearest`` direction: closest purchase in either
+    direction, ties to backward (pandas merge_asof conventions). Same
+    single-shuffle union-merge plan — two in-partition sorts, one
+    Exchange. Oracle: DuckDB LEFT JOIN LATERAL ordered by absolute
+    time distance."""
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("purchase_ts", _fmt_ts(F.col("ts")))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["purchase_value", "purchase_ts"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _fmt_ts(F.col("ts")).alias("ev_ts"),
+        "purchase_value",
+        "purchase_ts",
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """range join: bin events.value into overlapping intervals derived
     from nation (binned equi-join + residual BETWEEN, never a
@@ -1538,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "asof_join": q_asof_join,
+        "asof_nearest": q_asof_nearest,
         "range_join": q_range_join,
         "rollup": q_rollup,
         "cube": q_cube,
@@ -1645,6 +1682,21 @@ def oracle_sql() -> dict[str, str]:
             "         strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts "
             "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts"
             ") r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "asof_nearest": (
+            "SELECT l.event_id, l.user_id, "
+            "strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ev_ts, "
+            "r.purchase_value, r.purchase_ts "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "      WHERE event_type = 'click') l "
+            "LEFT JOIN LATERAL ("
+            "  SELECT purchase_value, purchase_ts FROM ("
+            "    SELECT user_id, ts, max(value) AS purchase_value, "
+            "           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts "
+            "    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts"
+            "  ) p WHERE p.user_id = l.user_id "
+            "  ORDER BY abs(epoch_us(p.ts) - epoch_us(l.ts)), p.ts LIMIT 1"
+            ") r ON TRUE"
         ),
         "range_join": (
             "SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -270,9 +270,10 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, attach the single right row with
     the same key and the nearest ``right_time`` at-or-before
-    (``backward``) / at-or-after (``forward``) the left row's time. Left
-    rows without a qualifying match keep NULL right values (ASOF LEFT
-    JOIN semantics).
+    (``backward``) / at-or-after (``forward``) / closest in either
+    direction (``nearest``, ties to backward — pandas ``merge_asof``
+    conventions) relative to the left row's time. Left rows without a
+    qualifying match keep NULL right values (ASOF LEFT JOIN semantics).
 
     Spark has no asof primitive, so this is the idiomatic union-merge
     plan (the distributed counterpart of ``pandas.merge_asof``):
@@ -297,8 +298,10 @@ def asof_join(
     with left column names). ``tolerance_seconds`` nulls out matches
     further than the tolerance from the left time.
     """
-    if direction not in ("backward", "forward"):
-        raise TransformationError("asof direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise TransformationError(
+            "asof direction must be 'backward', 'forward', or 'nearest'"
+        )
     collisions = set(right_values) & set(left.columns)
     if collisions:
         raise TransformationError(
@@ -330,20 +333,45 @@ def asof_join(
         ).withColumn("__salt", F.col("__salt").cast("int"))
         part_cols.append("__salt")
     u = l.unionByName(r, allowMissingColumns=True)
-    order = [F.col("__t").asc(), F.col("__tag").asc()]
-    if direction == "forward":
-        order = [F.col("__t").desc(), F.col("__tag").asc()]
-    w = (
+    w_back = (
         Window.partitionBy(*part_cols)
-        .orderBy(*order)
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u.withColumn("__match", F.last("__pay", ignorenulls=True).over(w)).filter(
-        F.col("__tag") == 1
+    w_fwd = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if direction == "nearest":
+        # both directions over the SAME key partitioning: one Exchange,
+        # two in-partition sorts — no extra shuffle vs backward alone.
+        # Tie at equal distance keeps the backward match (pandas
+        # merge_asof convention). Epoch-double arithmetic keeps
+        # sub-second precision (unix_timestamp truncates to seconds).
+        matched = (
+            u.withColumn("__mb", F.last("__pay", ignorenulls=True).over(w_back))
+            .withColumn("__mf", F.last("__pay", ignorenulls=True).over(w_fwd))
+            .filter(F.col("__tag") == 1)
+        )
+        t_d = F.col("__t").cast("double")
+        gap_b = t_d - F.col("__mb.__asof_t").cast("double")
+        gap_f = F.col("__mf.__asof_t").cast("double") - t_d
+        matched = matched.withColumn(
+            "__match",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(gap_f < gap_b, F.col("__mf"))
+            .otherwise(F.col("__mb")),
+        )
+    else:
+        w = w_fwd if direction == "forward" else w_back
+        matched = u.withColumn(
+            "__match", F.last("__pay", ignorenulls=True).over(w)
+        ).filter(F.col("__tag") == 1)
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.unix_timestamp(F.col("__t")) - F.unix_timestamp(F.col("__match.__asof_t"))
+            F.col("__t").cast("double") - F.col("__match.__asof_t").cast("double")
         )
         matched = matched.withColumn(
             "__match", F.when(gap <= tolerance_seconds, F.col("__match"))
@@ -944,8 +972,8 @@ class AsofJoinTransformer(_BaseTransformer):
     """Extension (``type: asof_join``): nearest-time join against a named
     temp view (see :func:`asof_join`). Options: ``rightTable``,
     ``leftKey``/``rightKey``, ``leftTime``/``rightTime``,
-    ``rightValues`` (comma list), ``direction`` (backward|forward),
-    ``toleranceSeconds``."""
+    ``rightValues`` (comma list), ``direction``
+    (backward|forward|nearest), ``toleranceSeconds``."""
 
     def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
         errors = []
@@ -955,7 +983,7 @@ class AsofJoinTransformer(_BaseTransformer):
                 errors.append(f"asof_join requires '{req}'")
         if not _split_csv(opts.get("rightValues")):
             errors.append("asof_join requires 'rightValues'")
-        if opts.get("direction", "backward") not in ("backward", "forward"):
+        if opts.get("direction", "backward") not in ("backward", "forward", "nearest"):
             errors.append(f"unsupported direction: {opts['direction']}")
         for col_opt in ("leftKey", "leftTime"):
             if opts.get(col_opt) and opts[col_opt] not in df.columns:

@@ -415,3 +415,85 @@ def test_sample_transformer_stratified_registry(spark):
     )
     with pytest.raises(TransformationError):
         tf.transform(df, bad, ctx)
+
+
+def test_asof_join_nearest_direction(spark):
+    """nearest: closer of backward/forward; tie keeps backward (pandas
+    merge_asof conventions); one-sided rows fall back to the side that
+    exists."""
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),  # back 9:00 (1h) vs fwd 11:30 (1.5h) -> back
+            (1, "2024-01-01 11:00:00"),  # back 9:00 (2h) vs fwd 11:30 (30m) -> fwd
+            (1, "2024-01-01 08:00:00"),  # nothing before -> fwd 9:00
+            (1, "2024-01-01 13:00:00"),  # nothing after -> back 11:30
+            (2, "2024-01-01 10:00:00"),  # no right rows at all -> NULL
+        ],
+        ["k", "t"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 9.0), (1, "2024-01-01 11:30:00", 11.5)],
+        ["k", "t", "val"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "val")
+
+    out = asof_join(left, right, "k", "k", "t", "t", ["val"], direction="nearest")
+    got = {(r.k, str(r.t)): r.val for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 9.0
+    assert got[(1, "2024-01-01 11:00:00")] == 11.5
+    assert got[(1, "2024-01-01 08:00:00")] == 9.0
+    assert got[(1, "2024-01-01 13:00:00")] == 11.5
+    assert got[(2, "2024-01-01 10:00:00")] is None
+
+    # tie at equal distance -> backward match
+    tie_left = spark.createDataFrame([(1, "2024-01-01 10:15:00")], ["k", "t"]).select(
+        "k", F.col("t").cast("timestamp").alias("t")
+    )
+    tie_right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:30:00", 2.0)],
+        ["k", "t", "val"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "val")
+    tie = asof_join(tie_left, tie_right, "k", "k", "t", "t", ["val"], direction="nearest")
+    assert tie.collect()[0].val == 1.0
+
+    # nearest + tolerance: the chosen match is nulled when too far
+    tol = asof_join(
+        left, right, "k", "k", "t", "t", ["val"],
+        direction="nearest", tolerance_seconds=1800,
+    )
+    gott = {(r.k, str(r.t)): r.val for r in tol.collect()}
+    assert gott[(1, "2024-01-01 10:00:00")] is None  # 1h > 30m
+    assert gott[(1, "2024-01-01 11:00:00")] == 11.5  # 30m <= 30m
+
+
+def test_asof_join_salted_nearest_matches_unsalted(spark):
+    from datetime import datetime
+
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [("h", ts(m), m) for m in range(0, 30)] + [("n", ts(5), 99)],
+        ["k", "t", "seq"],
+    )
+    right = spark.createDataFrame(
+        [("h", ts(0), 100.0), ("h", ts(10), 200.0), ("h", ts(20), 300.0),
+         ("n", ts(4), 50.0)],
+        ["rk", "rt", "px"],
+    )
+    kwargs = dict(
+        left_key="k", right_key="rk", left_time="t", right_time="rt",
+        right_values=["px"], direction="nearest",
+    )
+    plain = {(r.k, r.seq): r.px for r in asof_join(left, right, **kwargs).collect()}
+    salted = {
+        (r.k, r.seq): r.px
+        for r in asof_join(left, right, **kwargs, salt_buckets=4).collect()
+    }
+    assert salted == plain
+    assert plain[("h", 6)] == 200.0   # 6 min back vs 4 min fwd -> fwd
+    assert plain[("h", 4)] == 100.0   # 4 min back vs 6 min fwd -> back
+    assert plain[("h", 5)] == 100.0   # tie -> backward
