@@ -254,3 +254,29 @@ def test_multi_source_join_via_views(spark, sf_dir, tmp_path):
     assert {"o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "price_band"} <= set(
         out.columns
     )
+
+
+def test_curate_corpus_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/curate-corpus.yaml runs end-to-end: text
+    stats -> quality gate -> fuzzy dedup -> sorted curated parquet."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "curated")
+    monkeypatch.setenv("CORPUS_DIR", sf_dir)
+    monkeypatch.setenv("CURATED_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/curate-corpus.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+    assert metrics.records_loaded <= metrics.records_extracted
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cur = spark.read.parquet(out)
+    # curation only removes rows, never invents them
+    assert cur.count() == metrics.records_loaded < src.count()
+    # stat/fingerprint columns present; quality gate actually enforced
+    for col in ("n_tokens", "punct_ratio", "lang_pred", "fingerprint"):
+        assert col in cur.columns
+    assert cur.filter("n_tokens < 5 OR punct_ratio >= 0.5").count() == 0
+    # near-dup survivors: exact duplicate texts cannot coexist
+    assert cur.groupBy("text").count().filter("count > 1").count() == 0
