@@ -18,6 +18,8 @@ Parity anchors into the reference (cited per operator):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -71,7 +73,12 @@ def _agg_column(spec: AggregateExpr):
             f"unsupported aggregate function '{spec.function}' "
             f"(supported: {sorted(_AGG_FUNCTIONS)})"
         )
-    return fn(spec.column).alias(spec.alias)
+    # plain identifiers (and "*") pass through as column names; anything
+    # else is a SQL expression (the reference's inline YAML form allows
+    # e.g. sum(price * quantity) — quickstart-1-sales-aggregation.yaml:19)
+    if spec.column == "*" or re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", spec.column):
+        return fn(spec.column).alias(spec.alias)
+    return fn(F.expr(spec.column)).alias(spec.alias)
 
 
 # ---------------------------------------------------------------------------
@@ -920,7 +927,14 @@ class AggregationTransformer(_BaseTransformer):
         for spec in config.aggregations:
             if spec.function.lower() not in _AGG_FUNCTIONS:
                 errors.append(f"unsupported aggregate function: {spec.function}")
-            if spec.column != "*" and spec.column not in cols:
+            # plain column names must exist; SQL expressions (the inline
+            # YAML form allows e.g. sum(price * quantity)) are validated
+            # by Catalyst at plan time
+            if (
+                spec.column != "*"
+                and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", spec.column)
+                and spec.column not in cols
+            ):
                 errors.append(f"aggregate column not in input schema: {spec.column}")
         if config.options.get("groupingMode", "groupby").lower() not in _GROUPING_MODES:
             errors.append(f"unsupported groupingMode: {config.options['groupingMode']}")
@@ -938,30 +952,47 @@ class AggregationTransformer(_BaseTransformer):
 class JoinTransformer(_BaseTransformer):
     """Parity: ``transformer/JoinTransformer.scala:31-95``; right side is
     a named temp view (default ``right_table``), plus the documented
-    ``selectColumns`` projection and an explicit ``broadcast`` hint knob."""
+    ``selectColumns`` projection and an explicit ``broadcast`` hint knob.
+
+    Accepts the reference quickstart-YAML aliases too
+    (``pipelines/quickstart-3-multi-source-join.yaml:24-27``):
+    ``rightDataset`` for ``rightTable`` and ``joinKeys`` (same-named
+    equi-key on both sides) for ``leftKey``/``rightKey``."""
+
+    @staticmethod
+    def _keys(opts: dict) -> tuple[str | None, str | None]:
+        shared = (opts.get("joinKeys") or "").strip()
+        return (
+            opts.get("leftKey") or shared or None,
+            opts.get("rightKey") or shared or None,
+        )
 
     def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
         errors = []
         opts = config.options
-        if not opts.get("leftKey"):
-            errors.append("join requires 'leftKey'")
-        if not opts.get("rightKey"):
-            errors.append("join requires 'rightKey'")
+        left_key, right_key = self._keys(opts)
+        if not left_key:
+            errors.append("join requires 'leftKey' (or 'joinKeys')")
+        if not right_key:
+            errors.append("join requires 'rightKey' (or 'joinKeys')")
         jt = opts.get("joinType", "inner").lower()
         if jt not in _JOIN_TYPES:
             errors.append(f"unsupported joinType: {jt}")
-        if opts.get("leftKey") and opts["leftKey"] not in df.columns:
-            errors.append(f"leftKey not in input schema: {opts['leftKey']}")
+        if left_key and left_key not in df.columns:
+            errors.append(f"leftKey not in input schema: {left_key}")
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
     def _apply(self, df, config, ctx):
         opts = config.options
+        left_key, right_key = self._keys(opts)
         return join_view(
             df,
             ctx.spark,
-            right_table=opts.get("rightTable", "right_table"),
-            left_key=opts["leftKey"],
-            right_key=opts["rightKey"],
+            right_table=opts.get("rightTable")
+            or opts.get("rightDataset")
+            or "right_table",
+            left_key=left_key,
+            right_key=right_key,
             join_type=opts.get("joinType", "inner"),
             select_columns=_split_csv(opts.get("selectColumns")) or None,
             broadcast_right=opts.get("broadcast", "").lower() in ("true", "1", "yes"),

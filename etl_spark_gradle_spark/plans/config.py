@@ -247,9 +247,57 @@ def _options_of(node: dict[str, Any], where: str) -> dict[str, str]:
     return merged
 
 
+_INLINE_AGG = re.compile(r"^\s*([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*)\s*\((.*)\)\s*$")
+
+
+def _split_top_level_commas(spec: str) -> list[str]:
+    """Split on commas not nested inside parentheses or quotes."""
+    parts, buf, depth, quote = [], [], 0, None
+    for ch in spec:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return parts
+
+
+def _parse_inline_aggregations(spec: str, where: str) -> tuple[AggregateExpr, ...]:
+    """The reference's quickstart-YAML inline form
+    (``pipelines/quickstart-1-sales-aggregation.yaml:19``):
+    ``alias:fn(expr),alias2:fn2(expr2)`` — expr may be ``*`` or any SQL
+    expression (nested commas respected)."""
+    out = []
+    for part in _split_top_level_commas(spec):
+        if not part.strip():
+            continue
+        m = _INLINE_AGG.match(part)
+        if not m:
+            raise ConfigError(
+                f"{where}: bad inline aggregation '{part.strip()}' "
+                "(expected alias:function(expression))"
+            )
+        alias, fn, inner = m.group(1), m.group(2), m.group(3).strip()
+        out.append(AggregateExpr(inner or "*", fn, alias))
+    return tuple(out)
+
+
 def _parse_aggregations(raw: Any, where: str) -> tuple[AggregateExpr, ...]:
     if raw is None:
         return ()
+    if isinstance(raw, str):
+        return _parse_inline_aggregations(raw, where)
     if not isinstance(raw, list):
         raise ConfigError(f"{where}: aggregations must be a list")
     out = []
@@ -308,12 +356,18 @@ def parse_pipeline_dict(doc: dict[str, Any]) -> PipelineConfig:
         if not isinstance(t_node, dict) or "type" not in t_node:
             raise ConfigError(f"transformations[{i}]: type is required")
         where = f"transformations[{i}]"
+        opts = _options_of(t_node, where)
+        # the reference's quickstart YAMLs nest the inline-string form
+        # under options: (pipelines/quickstart-1-sales-aggregation.yaml:17-19)
+        aggs_node = t_node.get("aggregations")
+        if aggs_node is None:
+            aggs_node = opts.get("aggregations")
         transformations.append(
             TransformationConfig(
                 type=str(t_node["type"]).lower(),
                 name=t_node.get("name"),
-                options=_options_of(t_node, where),
-                aggregations=_parse_aggregations(t_node.get("aggregations"), where),
+                options=opts,
+                aggregations=_parse_aggregations(aggs_node, where),
             )
         )
 

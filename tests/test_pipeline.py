@@ -280,3 +280,118 @@ def test_curate_corpus_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
     assert cur.filter("n_tokens < 5 OR punct_ratio >= 0.5").count() == 0
     # near-dup survivors: exact duplicate texts cannot coexist
     assert cur.groupBy("text").count().filter("count > 1").count() == 0
+
+
+def test_quickstart1_inline_aggregation_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """Reference quickstart-1 parity: the inline alias:fn(expr)
+    aggregation string (incl. an expression aggregate) runs verbatim."""
+    import duckdb
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "sales")
+    monkeypatch.setenv("SALES_SRC", f"{sf_dir}/lineitem.parquet")
+    monkeypatch.setenv("SALES_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/quickstart-1-sales-aggregation.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded == 3
+
+    got = {
+        r[0]: (round(r[1], 4), round(r[2], 4), r[3])
+        for r in duckdb.sql(
+            f"SELECT l_returnflag, total_quantity, total_revenue, sale_count "
+            f"FROM read_parquet('{out}/*.parquet') ORDER BY 1"
+        ).fetchall()
+    }
+    want = {
+        r[0]: (round(r[1], 4), round(r[2], 4), r[3])
+        for r in duckdb.sql(
+            f"SELECT l_returnflag, SUM(l_quantity), "
+            f"SUM(l_extendedprice * (1 - l_discount)), COUNT(*) "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet') GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_quickstart2_windowing_yaml(spark, tmp_path, monkeypatch):
+    """Reference quickstart-2 parity: timestampColumn spelling + window
+    groupBy + inline aggregations over a JSON metrics feed."""
+    import json as _json
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    src = tmp_path / "metrics_src"
+    src.mkdir()
+    rows = [
+        ("2024-01-01T10:00:05", "m1", 1.0),
+        ("2024-01-01T10:00:45", "m1", 3.0),
+        ("2024-01-01T10:01:10", "m1", 5.0),
+        ("2024-01-01T10:00:30", "m2", 7.0),
+    ]
+    with open(src / "metrics.json", "w", encoding="utf-8") as f:
+        for ts, m, v in rows:
+            f.write(_json.dumps({"ts": ts, "metric": m, "value": v}) + "\n")
+    out = str(tmp_path / "metrics_out")
+    monkeypatch.setenv("METRICS_SRC", str(src))
+    monkeypatch.setenv("METRICS_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/quickstart-2-metrics-windowing.yaml")
+    PipelineExecutor().execute(cfg, spark)
+
+    got = {
+        (str(r.window.start)[:16], r.metric_name): (r.total_events, r.avg_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("2024-01-01 10:00", "m1")] == (2, 2.0)
+    assert got[("2024-01-01 10:01", "m1")] == (1, 5.0)
+    assert got[("2024-01-01 10:00", "m2")] == (1, 7.0)
+
+
+def test_quickstart3_multi_source_join_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """Reference quickstart-3 parity: views-section secondary source +
+    the YAML's own rightDataset/selectColumns spellings + partitioned
+    sink."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "enriched")
+    monkeypatch.setenv("ORDERS_SRC", f"{sf_dir}/orders.parquet")
+    monkeypatch.setenv("DETAILS_SRC", f"{sf_dir}/customer.parquet")
+    monkeypatch.setenv("ENRICHED_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/quickstart-3-multi-source-join.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert metrics.records_loaded == orders.count()  # every order has a customer
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+        "o_totalprice", "o_orderdate", "order_month", "_lineage",
+    }
+    import glob
+
+    assert glob.glob(f"{out}/order_month=*")  # physically partitioned
+
+
+def test_join_keys_alias(spark, sf_dir):
+    """joinKeys (reference quickstart-3 spelling): one shared key name
+    for both sides."""
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.select("o_custkey").distinct().limit(50).createOrReplaceTempView(
+        "some_custkeys"
+    )
+    cfg = TransformationConfig(
+        type="join",
+        options={"rightDataset": "some_custkeys", "joinType": "inner",
+                 "joinKeys": "o_custkey"},
+    )
+    out = TRANSFORMER_REGISTRY["join"].transform(
+        orders, cfg, RunContext.create("t", spark)
+    )
+    assert out.count() > 0
+    assert out.count() < orders.count()
