@@ -224,6 +224,34 @@ def main() -> None:
         print(f"# {name}: {rows} rows in {timings[name]}s", flush=True)
 
     total = round(sum(timings.values()), 3)
+
+    # baseline-comparable throughput (BASELINE.md: batch > 10 MB/s
+    # asserted / 35 MB/s target; micro-batch >= 1000 rec/s): bytes of
+    # the lineitem scan over the q1 wall, events rows over the q3 wall
+    def _dir_mb(name: str) -> float:
+        """Uncompressed data size (row-group metadata) — the reference
+        measures raw generated-dataset bytes, not encoded file bytes."""
+        import pyarrow.parquet as pq
+
+        p = f"{SF_DIR}/{name}.parquet"
+        files = (
+            [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
+            if os.path.isdir(p)
+            else [p]
+        )
+        total = 0
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            total += sum(
+                meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+            )
+        return total / 1e6
+
+    events_rows = load(spark, "events").count()
+    extra = {
+        "scan_mb_per_sec": round(_dir_mb("lineitem") / timings["q1_scan_agg"], 1),
+        "window_events_per_sec": round(events_rows / timings["q3_window_agg"], 1),
+    }
     print(
         json.dumps(
             {
@@ -232,6 +260,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf(SF_DIR),
+                **extra,
             }
         ),
         flush=True,
