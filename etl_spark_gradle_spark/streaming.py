@@ -88,19 +88,33 @@ def windowed_stream_agg(
     watermark_delay: str = "10 minutes",
     slide_duration: str | None = None,
     group_by: list[str] | None = None,
+    window_type: str = "tumbling",
 ) -> DataFrame:
     """Watermarked event-time window aggregation — the streaming twin of
     ``operators.relational.window_aggregate`` with the same
-    ``AggregateExpr`` surface. The watermark lets Spark emit finalized
-    windows (append mode) and evict their state."""
+    ``AggregateExpr`` surface and window types (tumbling / sliding /
+    gap-based ``session`` via ``F.session_window``, where
+    ``window_duration`` is the inactivity gap). The watermark lets Spark
+    emit finalized windows (append mode) and evict their state — for
+    session windows it is also what closes a session (last event + gap
+    behind the watermark)."""
     if not aggregations:
         raise ConfigError("streaming windowing requires at least one AggregateExpr")
-    win = (
-        F.window(F.col(time_column), window_duration, slide_duration)
-        if slide_duration
-        else F.window(F.col(time_column), window_duration)
-    )
-    keys = [win.alias("window")] + [F.col(c) for c in (group_by or [])]
+    wt = window_type.lower()
+    if wt not in ("tumbling", "sliding", "session"):
+        raise ConfigError(f"unsupported streaming windowType '{window_type}'")
+    if wt == "session":
+        win = F.session_window(F.col(time_column), window_duration)
+        alias = "session_window"
+    elif wt == "sliding" or slide_duration:
+        if not slide_duration:
+            raise ConfigError("sliding window requires slideDuration")
+        win = F.window(F.col(time_column), window_duration, slide_duration)
+        alias = "window"
+    else:
+        win = F.window(F.col(time_column), window_duration)
+        alias = "window"
+    keys = [win.alias(alias)] + [F.col(c) for c in (group_by or [])]
     return (
         df.withWatermark(time_column, watermark_delay)
         .groupBy(*keys)
@@ -305,6 +319,7 @@ def run_file_to_file_stream(
     aggregations: list[AggregateExpr],
     watermark_delay: str = "10 minutes",
     group_by: list[str] | None = None,
+    window_type: str = "tumbling",
 ) -> None:
     """One-shot incremental pipeline: drain everything currently in the
     source directory through a watermarked window aggregation into a
@@ -325,11 +340,13 @@ def run_file_to_file_stream(
         aggregations=aggregations,
         watermark_delay=watermark_delay,
         group_by=group_by,
+        window_type=window_type,
     )
+    win_col = "session_window" if window_type.lower() == "session" else "window"
     out = agg.select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
-        *[c for c in agg.columns if c != "window"],
+        F.col(f"{win_col}.start").alias("window_start"),
+        F.col(f"{win_col}.end").alias("window_end"),
+        *[c for c in agg.columns if c != win_col],
     )
     sink = dict(sink_options)
     sink.setdefault("trigger", "availableNow")

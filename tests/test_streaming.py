@@ -274,3 +274,49 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     assert {r.metric for r in rows} == {"a", "b", "c"}
     assert len(rows) == 3
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """F.session_window on a stream: gap-based sessions close when the
+    watermark passes last-event + gap; append mode emits them once."""
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    out, ckpt = tmp_path / "sout", tmp_path / "sckpt"
+    _write_batch(
+        src / "b1.json",
+        [
+            # session 1 for m1: 10:00:00-10:00:15 (gap 10 s, events 5 s apart)
+            ("2024-01-01T10:00:00", "m1", 1.0),
+            ("2024-01-01T10:00:05", "m1", 2.0),
+            ("2024-01-01T10:00:15", "m1", 3.0),
+            # session 2 for m1 after a >10 s gap
+            ("2024-01-01T10:00:40", "m1", 4.0),
+            # watermark flush event far in the future
+            ("2024-01-01T10:10:00", "flush", 0.0),
+        ],
+    )
+    st.run_file_to_file_stream(
+        spark,
+        source_options={"path": str(src), "format": "json"},
+        schema=SCHEMA,
+        sink_options={
+            "path": str(out),
+            "checkpointLocation": str(ckpt),
+            "format": "parquet",
+        },
+        time_column="ts",
+        window_duration="10 seconds",  # session gap
+        aggregations=[
+            AggregateExpr("value", "sum", "sum_value"),
+            AggregateExpr("*", "count", "cnt"),
+        ],
+        watermark_delay="5 seconds",
+        group_by=["metric"],
+        window_type="session",
+    )
+    rows = {
+        (r.metric, str(r.window_start)[11:19]): (r.cnt, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rows[("m1", "10:00:00")] == (3, 6.0)   # merged 3-event session
+    assert rows[("m1", "10:00:40")] == (1, 4.0)   # separate session
