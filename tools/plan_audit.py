@@ -120,6 +120,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["partial_hll_sketch_agg", "partial_hll_union_agg"],
         [],
     ),
+    (
+        "asof_nearest",
+        "nearest asof: both direction windows share ONE key shuffle, no nested loop",
+        ["hashpartitioning(__k"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
 ]
 
 
