@@ -129,3 +129,71 @@ def test_connected_components_match_union_find(spark_prop, edges):
     )
     got = {r.id: r.cluster for r in dd.connected_components(pairs).collect()}
     assert got == py_components(edges)
+
+
+def py_asof(left, right, direction):
+    """Pure-python asof reference: backward = latest t' <= t, forward =
+    earliest t' >= t, nearest = smaller |dt| with ties to backward.
+    ``right`` must be deduped per (k, t)."""
+    by_key = {}
+    for k, t, v in right:
+        by_key.setdefault(k, []).append((t, v))
+    out = {}
+    for i, (k, t) in enumerate(left):
+        cands = by_key.get(k, [])
+        back = max(((tt, v) for tt, v in cands if tt <= t), default=None)
+        fwd = min(((tt, v) for tt, v in cands if tt >= t), default=None)
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            pick = fwd
+        elif back is None or fwd is None:
+            pick = back or fwd
+        else:
+            pick = fwd if (fwd[0] - t) < (t - back[0]) else back
+        out[i] = None if pick is None else pick[1]
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0,
+        max_size=10,
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_join_matches_python_reference(spark_prop, left, right, direction):
+    from datetime import datetime, timedelta
+
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    base = datetime(2024, 1, 1)
+    # dedupe right per (k, t) (keep max v) so the match is deterministic
+    rd = {}
+    for k, t, v in right:
+        rd[(k, t)] = max(rd.get((k, t), -1), v)
+    right_d = [(k, t, v) for (k, t), v in rd.items()]
+
+    ldf = spark_prop.createDataFrame(
+        [(i, k, base + timedelta(seconds=t)) for i, (k, t) in enumerate(left)],
+        ["i", "k", "t"],
+    )
+    rdf_rows = [(k, base + timedelta(seconds=t), v) for k, t, v in right_d]
+    if rdf_rows:
+        rdf = spark_prop.createDataFrame(rdf_rows, ["rk", "rt", "v"])
+    else:
+        rdf = spark_prop.createDataFrame(
+            [], "rk INT, rt TIMESTAMP, v BIGINT"
+        )
+    got = {
+        r.i: r.v
+        for r in asof_join(
+            ldf, rdf, "k", "rk", "t", "rt", ["v"], direction=direction
+        ).collect()
+    }
+    assert got == py_asof(left, right_d, direction)
