@@ -95,3 +95,28 @@ def test_jdbc_upsert_composite_pk(spark):
     )
     got = {(r.k1, r.k2): r.v for r in _read(spark, "T_UPSERT2").collect()}
     assert got == {(1, 1): "a", (1, 2): "B", (2, 1): "c"}
+
+
+def test_jdbc_parallel_partitioned_extract(spark):
+    """The multi-TB JDBC path: partitionColumn + numPartitions fan the
+    read out into N range-bounded queries; content identical to a
+    single-stream read."""
+    from etl_spark_gradle_spark.sources.extractors import extract_jdbc
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"])
+    load_jdbc(df, _opts("T_PART"), write_mode="overwrite", dialect="ansi")
+
+    out = extract_jdbc(
+        spark,
+        {
+            **_opts("T_PART"),
+            "partitionColumn": "k",
+            "numPartitions": "4",
+            "lowerBound": "0",
+            "upperBound": "100",
+        },
+    )
+    assert out.rdd.getNumPartitions() == 4
+    assert sorted((r.k, r.v) for r in out.collect()) == sorted(
+        (r.k, r.v) for r in df.collect()
+    )
