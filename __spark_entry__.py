@@ -1185,6 +1185,49 @@ SELECT l_orderkey, MIN(l_linenumber) AS l_linenumber FROM lineitem GROUP BY l_or
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: distinct 3-gram overlap of each
+    corpus doc (doc_id < 300) against a benchmark set (doc_id < 50).
+    Broadcast-set semi-count — the corpus is never shuffled; oracle is
+    the DuckDB list_intersect over identical shingling."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.contamination_check(
+        docs.filter("doc_id < 300"),
+        docs.filter("doc_id < 50"),
+        corpus_id="doc_id",
+        corpus_text="text",
+        bench_text="text",
+        n=3,
+        min_matches=1,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("matched").cast("long").alias("matched"),
+        "contaminated",
+    )
+
+
+_CONTAMINATION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents WHERE doc_id < 300
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM t
+), bench AS (
+  SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id < 50
+)
+SELECT sh.doc_id AS id,
+       CAST(len(sh.s) AS BIGINT) AS n_shingles,
+       CAST(len(list_intersect(sh.s, bench.bs)) AS BIGINT) AS matched,
+       len(list_intersect(sh.s, bench.bs)) >= 1 AS contaminated
+FROM sh, bench
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact n-gram Jaccard pairs via shingle inverted index."""
     _prep(spark)
@@ -1597,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_content": q_dedup_exact_content,
         "dedup_exact_keys": q_dedup_exact_keys,
         "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1800,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_content": _DEDUP_CONTENT_ORACLE,
         "dedup_exact_keys": _DEDUP_KEYS_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "contamination": _CONTAMINATION_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "text_stats": _TEXT_STATS_ORACLE,
         "language_id": _lang_oracle(),

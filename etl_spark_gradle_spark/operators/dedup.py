@@ -214,6 +214,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    bench_text: str,
+    n: int = 8,
+    min_matches: int = 1,
+    use_tokens: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count how
+    many of its distinct token n-grams appear anywhere in the benchmark
+    set — the standard train/test-overlap scan run before training.
+
+    Returns ``(id, n_shingles, matched, contaminated)`` where
+    ``contaminated = matched >= min_matches``.
+
+    100-TB notes: the benchmark side (eval sets — MBs, not TBs) reduces
+    to a DISTINCT shingle set and is explicitly ``broadcast()``, so the
+    corpus side is scanned ONCE with a broadcast-hash semi-count and
+    never shuffled; the only exchange is the per-doc match count
+    aggregation (id + one long). Typical production n is 8-13 tokens —
+    long shingles keep the broadcast set small and false matches rare.
+    """
+    shingles = token_shingles if use_tokens else char_shingles
+    bench_sh = (
+        benchmark.select(F.explode(shingles(bench_text, n)).alias("sh")).distinct()
+    )
+    corp = _ensure_parallelism(corpus).select(
+        F.col(corpus_id).alias("id"), shingles(corpus_text, n).alias("shs")
+    )
+    sizes = corp.select("id", F.size("shs").alias("n_shingles"))
+    matches = (
+        corp.select("id", F.explode("shs").alias("sh"))
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return (
+        sizes.join(matches, "id", "left")
+        .withColumn("matched", F.coalesce(F.col("matched"), F.lit(0)))
+        .withColumn("contaminated", F.col("matched") >= F.lit(min_matches))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

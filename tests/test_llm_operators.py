@@ -351,3 +351,39 @@ def test_dedup_transformer_fuzzy_strategy(spark):
 
     with pytest.raises(TransformationError):
         tf.transform(df, bad, RunContext.create("t", spark))
+
+
+def test_contamination_check(spark):
+    """Benchmark decontamination: docs sharing an n-gram with the
+    benchmark are flagged; clean docs report matched=0."""
+    from etl_spark_gradle_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark executors"),
+            (3, "short"),  # < n tokens -> zero shingles
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "somebody quoted the quick brown fox in an eval set")],
+        ["bid", "text"],
+    )
+    out = {
+        r.id: (r.n_shingles, r.matched, r.contaminated)
+        for r in dd.contamination_check(
+            corpus, bench, "doc_id", "text", "text", n=3
+        ).collect()
+    }
+    assert out[1][1] >= 2 and out[1][2] is True      # "the quick brown", "quick brown fox"
+    assert out[2] == (out[2][0], 0, False)
+    assert out[3] == (0, 0, False)
+    # higher min_matches threshold declassifies the borderline doc
+    strict = {
+        r.id: r.contaminated
+        for r in dd.contamination_check(
+            corpus, bench, "doc_id", "text", "text", n=3, min_matches=5
+        ).collect()
+    }
+    assert strict[1] is False
