@@ -126,6 +126,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["hashpartitioning(__k"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    (
+        "contamination",
+        "decontamination: benchmark set broadcast, corpus never sort-merge shuffled",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin"],
+    ),
 ]
 
 
