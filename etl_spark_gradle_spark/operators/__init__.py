@@ -8,7 +8,10 @@ user registration at ``pipeline/ExtractorRegistry.scala:40-42``) without
 the ceremony.
 """
 
-from etl_spark_gradle_spark.operators.dedup import DedupTransformer  # noqa: F401
+from etl_spark_gradle_spark.operators.dedup import (  # noqa: F401
+    ContaminationTransformer,
+    DedupTransformer,
+)
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
     AnalyticsTransformer,
@@ -67,6 +70,7 @@ TRANSFORMER_REGISTRY = {
     "sketch": SketchTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
+    "contamination": ContaminationTransformer(),
     "text_analysis": TextAnalysisTransformer(),
 }
 

@@ -489,6 +489,61 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     return _simhash_sig_udf(bits)(hashes)
 
 
+class ContaminationTransformer:
+    """Registry adapter (``type: contamination``): flag corpus docs whose
+    token n-grams overlap a benchmark set registered as a temp view
+    (declare it under ``views:``). Options: ``benchmarkTable`` (req),
+    ``idColumn`` (req), ``textColumn`` (default ``text``),
+    ``benchmarkTextColumn`` (defaults to ``textColumn``), ``shingleSize``
+    (default 8), ``minMatches`` (default 1), ``action`` annotate|filter
+    (filter drops contaminated rows)."""
+
+    def validate(self, df: DataFrame, config) -> ValidationResult:
+        opts = config.options
+        errors = []
+        if not opts.get("benchmarkTable"):
+            errors.append("contamination requires 'benchmarkTable'")
+        if not opts.get("idColumn"):
+            errors.append("contamination requires 'idColumn'")
+        tc = opts.get("textColumn", "text")
+        for c in (opts.get("idColumn"), tc):
+            if c and c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        if opts.get("action", "annotate").lower() not in ("annotate", "filter"):
+            errors.append(f"unsupported action: {opts['action']}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            from etl_spark_gradle_spark.operators.relational import TransformationError
+
+            raise TransformationError(
+                "contamination config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        tc = opts.get("textColumn", "text")
+        flags = contamination_check(
+            df,
+            ctx.spark.table(opts["benchmarkTable"]),
+            corpus_id=opts["idColumn"],
+            corpus_text=tc,
+            bench_text=opts.get("benchmarkTextColumn", tc),
+            n=int(opts.get("shingleSize", "8")),
+            min_matches=int(opts.get("minMatches", "1")),
+        ).select(
+            F.col("id").alias(opts["idColumn"]), "matched", "contaminated"
+        )
+        out = df.join(flags, opts["idColumn"], "left")
+        if opts.get("action", "annotate").lower() == "filter":
+            return out.filter(~F.col("contaminated")).drop("matched", "contaminated")
+        return out
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"contamination({opts})"
+
+
 class DedupTransformer:
     """Registry adapter for dedup (``type: dedup``).
 

@@ -387,3 +387,54 @@ def test_contamination_check(spark):
         ).collect()
     }
     assert strict[1] is False
+
+
+def test_contamination_transformer_yaml_surface(spark):
+    """type: contamination with the benchmark as a views:-style temp
+    view; filter action drops flagged docs."""
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark executors"),
+        ],
+        ["doc_id", "text"],
+    )
+    spark.createDataFrame(
+        [(100, "an eval set quoting the quick brown fox verbatim")], ["bid", "text"]
+    ).createOrReplaceTempView("bench_view")
+    tf = TRANSFORMER_REGISTRY["contamination"]
+    ctx = RunContext.create("t", spark)
+
+    annotated = tf.transform(
+        corpus,
+        TransformationConfig(
+            type="contamination",
+            options={
+                "benchmarkTable": "bench_view",
+                "idColumn": "doc_id",
+                "shingleSize": "3",
+            },
+        ),
+        ctx,
+    )
+    got = {r.doc_id: r.contaminated for r in annotated.collect()}
+    assert got == {1: True, 2: False}
+
+    filtered = tf.transform(
+        corpus,
+        TransformationConfig(
+            type="contamination",
+            options={
+                "benchmarkTable": "bench_view",
+                "idColumn": "doc_id",
+                "shingleSize": "3",
+                "action": "filter",
+            },
+        ),
+        ctx,
+    )
+    assert [r.doc_id for r in filtered.collect()] == [2]
+    assert "contaminated" not in filtered.columns
