@@ -144,6 +144,9 @@ class PipelineConfig:
     # transformation chain runs (multi-source joins in one YAML — the
     # reference's quickstart-3 documents but cannot express this)
     views: tuple[tuple[str, SourceConfig], ...] = ()
+    # extension: run the same pipeline shape as Structured Streaming
+    # (readStream -> stateless/windowed transforms -> writeStream)
+    streaming: bool = False
 
 
 @dataclass(frozen=True)
@@ -427,6 +430,7 @@ def parse_pipeline_dict(doc: dict[str, Any]) -> PipelineConfig:
         performance=performance,
         quality=quality,
         views=views,
+        streaming=bool(doc.get("streaming", False)),
     )
 
 

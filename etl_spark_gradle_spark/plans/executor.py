@@ -162,10 +162,38 @@ class PipelineExecutor:
     ) -> ExecutionMetrics:
         """Plain run (parity: ``pipeline/PipelineExecutor.scala:23-83``).
         Routes to the quality-gated path when quality checks are enabled
-        (parity: ``Main.scala:105-123``)."""
+        (parity: ``Main.scala:105-123``), and to Structured Streaming
+        when the YAML declares ``streaming: true`` (extension)."""
+        if config.streaming:
+            return self._run_streaming(config, spark)
         if config.quality.enabled:
             return self.execute_with_quality(config, spark, collector)
         return self._run(config, spark, quality=False, collector=collector)
+
+    def _run_streaming(self, config: PipelineConfig, spark: SparkSession) -> ExecutionMetrics:
+        """``streaming: true`` mode — one availableNow drain. Record
+        counts are not observable on a streaming plan without a second
+        listener round-trip, so counters report -0- and the sink's
+        checkpoint is the source of truth."""
+        import time as _time
+
+        from etl_spark_gradle_spark.streaming import run_streaming_pipeline
+
+        ctx = RunContext.create(config.pipeline_id, spark)
+        start = _time.time()
+        metrics = ExecutionMetrics(
+            pipeline_id=config.pipeline_id,
+            run_id=ctx.run_id,
+            start_timestamp=start,
+        )
+        try:
+            run_streaming_pipeline(config, spark)
+            metrics.status = "SUCCESS"
+        except Exception as e:  # noqa: BLE001 — failure contract mirrors _run
+            metrics.status = "FAILED"
+            metrics.error_details = f"{type(e).__name__}: {e}"
+        metrics.end_timestamp = _time.time()
+        return metrics
 
     def execute_with_quality(
         self,

@@ -351,3 +351,88 @@ def run_file_to_file_stream(
     sink = dict(sink_options)
     sink.setdefault("trigger", "availableNow")
     write_stream(out, sink, output_mode="append", await_termination=True)
+
+
+def run_streaming_pipeline(config, spark: SparkSession) -> None:
+    """Run a ``streaming: true`` pipeline YAML as real Structured
+    Streaming: ``readStream`` source → stateless transforms (filter/map
+    via the same registry operators) + streaming-aware stateful steps
+    (windowing with a mandatory watermark, bounded-state dedup) →
+    ``writeStream`` sink (availableNow by default — incremental,
+    exactly-once on file sinks, rerunnable on a schedule).
+
+    Source schema: streaming file sources require one; provide a Spark
+    StructType JSON via source ``schemaPath``, or it is inferred from a
+    one-off batch read of the same path (fine for file sources whose
+    layout is stable; pin schemaPath in production).
+    """
+    from etl_spark_gradle_spark.operators.relational import (
+        filter_rows,
+        map_columns,
+        parse_map_expressions,
+        _split_csv,
+    )
+
+    src = config.source
+    if src.type in ("file", "s3"):
+        if src.schema_path:
+            import json as _json
+
+            with open(src.schema_path, encoding="utf-8") as f:
+                schema = StructType.fromJson(_json.load(f))
+        else:
+            schema = (
+                spark.read.format(src.options.get("format", "json"))
+                .options(
+                    **{k: v for k, v in src.options.items() if k not in ("path", "format")}
+                )
+                .load(src.options["path"])
+                .schema
+            )
+        df = read_file_stream(spark, src.options, schema)
+    elif src.type == "kafka":
+        df = read_kafka_stream(spark, src.options)
+    else:
+        raise ConfigError(f"streaming mode supports file|s3|kafka sources, got '{src.type}'")
+
+    for t in config.transformations:
+        opts = t.options
+        if t.type == "filter":
+            df = filter_rows(df, opts["condition"])
+        elif t.type == "map":
+            df = map_columns(df, parse_map_expressions(opts["expressions"]))
+        elif t.type == "windowing":
+            df = windowed_stream_agg(
+                df,
+                time_column=opts.get("timeColumn") or opts["timestampColumn"],
+                window_duration=opts["windowDuration"],
+                aggregations=list(t.aggregations),
+                watermark_delay=opts.get("watermarkDelay", "10 minutes"),
+                slide_duration=opts.get("slideDuration"),
+                group_by=_split_csv(opts.get("groupBy")) or None,
+                window_type=opts.get("windowType", "tumbling"),
+            )
+            win = "session_window" if opts.get("windowType", "").lower() == "session" else "window"
+            df = df.select(
+                F.col(f"{win}.start").alias("window_start"),
+                F.col(f"{win}.end").alias("window_end"),
+                *[c for c in df.columns if c != win],
+            )
+        elif t.type == "dedup":
+            keys = _split_csv(opts.get("keys"))
+            if not keys:
+                raise ConfigError("streaming dedup requires 'keys'")
+            df = stream_dedup(
+                df,
+                keys,
+                time_column=opts.get("timeColumn"),
+                watermark_delay=opts.get("watermarkDelay", "10 minutes"),
+            )
+        else:
+            raise ConfigError(
+                f"transformation '{t.type}' is not streamable — supported in "
+                "streaming mode: filter, map, windowing, dedup"
+            )
+
+    sink = dict(config.sink.options)
+    write_stream(df, sink, output_mode="append", await_termination=True)

@@ -320,3 +320,53 @@ def test_streaming_session_window(spark, tmp_path):
     }
     assert rows[("m1", "10:00:00")] == (3, 6.0)   # merged 3-event session
     assert rows[("m1", "10:00:40")] == (1, 4.0)   # separate session
+
+
+def test_streaming_yaml_pipeline(spark, tmp_path, monkeypatch):
+    """streaming: true YAML runs as real Structured Streaming and is
+    incrementally rerunnable — the second drain processes only new
+    files and flushes windows the advancing watermark finalized."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    src = tmp_path / "ysrc"
+    src.mkdir()
+    out, ckpt = tmp_path / "yout", tmp_path / "yckpt"
+    monkeypatch.setenv("METRICS_SRC", str(src))
+    monkeypatch.setenv("METRICS_OUT", str(out))
+    monkeypatch.setenv("METRICS_CKPT", str(ckpt))
+
+    _write_batch(
+        src / "b1.json",
+        [
+            ("2024-01-01T10:00:05", "m1", 1.0),
+            ("2024-01-01T10:00:45", "m1", 3.0),
+            # flush event: watermark = 10:05 - 30s >> 10:01 window end
+            ("2024-01-01T10:05:00", "flush", 0.0),
+        ],
+    )
+    cfg = load_pipeline_yaml("pipelines/streaming-metrics.yaml")
+    m1 = PipelineExecutor().execute(cfg, spark)
+    assert m1.status == "SUCCESS", m1.error_details
+    got = {
+        (str(r.window_start)[11:16], r.metric_name): (r.total_events, r.avg_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got[("10:00", "m1")] == (2, 2.0)
+
+    # incremental rerun: new file only, watermark advances past 10:05
+    _write_batch(
+        src / "b2.json",
+        [
+            ("2024-01-01T10:05:10", "m2", 9.0),
+            ("2024-01-01T10:20:00", "flush", 0.0),
+        ],
+    )
+    m2 = PipelineExecutor().execute(cfg, spark)
+    assert m2.status == "SUCCESS", m2.error_details
+    got2 = {
+        (str(r.window_start)[11:16], r.metric_name): (r.total_events, r.avg_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got2[("10:05", "m2")] == (1, 9.0)
+    assert got2[("10:00", "m1")] == (2, 2.0)  # not re-emitted, still present once
