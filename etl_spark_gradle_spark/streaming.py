@@ -436,3 +436,42 @@ def run_streaming_pipeline(config, spark: SparkSession) -> None:
 
     sink = dict(config.sink.options)
     write_stream(df, sink, output_mode="append", await_termination=True)
+
+
+def stream_to_batch_sink(
+    df: DataFrame,
+    sink_config,
+    checkpoint_location: str,
+    trigger: str = "availableNow",
+    query_name: str | None = None,
+):
+    """``foreachBatch`` bridge: hand every micro-batch to the BATCH
+    loader registry, so a stream can land in any batch sink — including
+    JDBC upsert, which ``writeStream`` cannot do natively.
+
+    Semantics: at-least-once per micro-batch (a batch may be retried
+    after a crash before the checkpoint commit). Idempotence therefore
+    comes from the sink: ``upsert`` (runId+batchId-derived staging,
+    set-based merge) re-applies cleanly; plain ``append`` may duplicate
+    on retry — prefer upsert with a primary key for exactly-once-
+    effective delivery. State/offsets live in ``checkpoint_location``.
+    """
+    from etl_spark_gradle_spark.sinks import LOADER_REGISTRY
+
+    loader = LOADER_REGISTRY.get(sink_config.type)
+    if loader is None:
+        raise ConfigError(f"no loader registered for sink type '{sink_config.type}'")
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        loader.load(batch_df, sink_config, run_id=f"b{batch_id}")
+
+    writer = df.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger == "availableNow":
+        writer = writer.trigger(availableNow=True)
+    elif trigger.startswith("processingTime="):
+        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    return writer.start()

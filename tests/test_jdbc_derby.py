@@ -120,3 +120,48 @@ def test_jdbc_parallel_partitioned_extract(spark):
     assert sorted((r.k, r.v) for r in out.collect()) == sorted(
         (r.k, r.v) for r in df.collect()
     )
+
+
+def test_stream_to_jdbc_upsert_via_foreachbatch(spark, tmp_path):
+    """foreachBatch bridge: a file stream lands in a JDBC sink with
+    upsert semantics (impossible with native writeStream) — incremental
+    reruns upsert only the new files' rows."""
+    import json
+
+    from etl_spark_gradle_spark import streaming as stm
+    from etl_spark_gradle_spark.plans.config import SinkConfig
+    from etl_spark_gradle_spark.sinks import JdbcLoader, register_loader
+
+    register_loader("derby", JdbcLoader("ansi"))
+    src = tmp_path / "jsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "jckpt")
+    sink = SinkConfig(
+        type="derby",
+        options={**_opts("T_STREAM_UP"), "primaryKey": "k"},
+        write_mode="upsert",
+    )
+    # seed the target table so MERGE has something to hit
+    spark.createDataFrame([(0, "seed")], ["k", "v"]).write.format("jdbc").option(
+        "url", URL
+    ).option("dbtable", "T_STREAM_UP").option("driver", DRIVER).mode(
+        "overwrite"
+    ).save()
+
+    def drain(rows, fname):
+        with open(src / fname, "w", encoding="utf-8") as f:
+            for k, v in rows:
+                f.write(json.dumps({"k": k, "v": v}) + "\n")
+        stream = stm.read_file_stream(
+            spark, {"path": str(src), "format": "json"}, "k INT, v STRING"
+        )
+        q = stm.stream_to_batch_sink(stream, sink, ckpt)
+        q.awaitTermination()
+
+    drain([(1, "a"), (2, "b")], "b1.json")
+    got = {r.k: r.v for r in _read(spark, "T_STREAM_UP").collect()}
+    assert got == {0: "seed", 1: "a", 2: "b"}
+
+    drain([(2, "B"), (3, "c")], "b2.json")  # update 2, insert 3
+    got = {r.k: r.v for r in _read(spark, "T_STREAM_UP").collect()}
+    assert got == {0: "seed", 1: "a", 2: "B", 3: "c"}
