@@ -395,3 +395,28 @@ def test_join_keys_alias(spark, sf_dir):
     )
     assert out.count() > 0
     assert out.count() < orders.count()
+
+
+def test_inline_aggregation_parser_forms():
+    """Inline alias:fn(expr) parsing: nested commas, *, whitespace, and
+    malformed segments."""
+    from etl_spark_gradle_spark.plans.config import (
+        ConfigError,
+        _parse_inline_aggregations,
+    )
+
+    aggs = _parse_inline_aggregations(
+        "total:sum(price * (1 - disc)),cnt:count(*), avg_p : avg( price ),"
+        "top:max(coalesce(a, b))",
+        "t",
+    )
+    assert [(a.alias, a.function, a.column) for a in aggs] == [
+        ("total", "sum", "price * (1 - disc)"),
+        ("cnt", "count", "*"),
+        ("avg_p", "avg", "price"),
+        ("top", "max", "coalesce(a, b)"),
+    ]
+    with pytest.raises(ConfigError, match="bad inline aggregation"):
+        _parse_inline_aggregations("no_parens:sum price", "t")
+    with pytest.raises(ConfigError, match="bad inline aggregation"):
+        _parse_inline_aggregations("missing_alias(sum(x))", "t")
