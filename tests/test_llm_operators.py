@@ -438,3 +438,22 @@ def test_contamination_transformer_yaml_surface(spark):
     )
     assert [r.doc_id for r in filtered.collect()] == [2]
     assert "contaminated" not in filtered.columns
+
+
+def test_minhash_band_payload_strategies_identical(spark):
+    """band_payload='id' (join-back) and 'signature' (replicate) return
+    the same candidate pairs and estimates."""
+    from etl_spark_gradle_spark.operators import dedup as dd
+    from tests.conftest import load_table
+
+    docs = load_table(spark, "documents")
+    kw = dict(id_col="doc_id", text_col="text", n=3, num_hashes=64, bands=16)
+    a = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dd.minhash_lsh_candidates(docs, band_payload="id", **kw).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dd.minhash_lsh_candidates(docs, band_payload="signature", **kw).collect()
+    }
+    assert a == b and len(a) > 0
