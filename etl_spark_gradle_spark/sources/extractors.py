@@ -45,6 +45,12 @@ def extract_file(spark: SparkSession, options: dict[str, str]) -> DataFrame:
         raise ConfigError("file source requires 'path'")
     if fmt not in _FILE_FORMATS:
         raise ConfigError(f"unsupported file format '{fmt}' (supported: {sorted(_FILE_FORMATS)})")
+    if fmt == "parquet" and str(options.get("nanosAsLong", "")).lower() in ("true", "1"):
+        # TIMESTAMP(NANOS) parquet (written by arrow/polars pipelines) is
+        # rejected by Spark's vectorized reader; this opt-in surfaces the
+        # nanos as LONG — convert downstream with e.g.
+        # map: "ts:timestamp_micros(CAST(ts_nanos DIV 1000 AS BIGINT))"
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", options.get("header", "true"))
@@ -54,7 +60,8 @@ def extract_file(spark: SparkSession, options: dict[str, str]) -> DataFrame:
         reader = reader.option("multiLine", options["multiLine"])
     passthrough = {
         k: v for k, v in options.items()
-        if k not in {"path", "format", "header", "delimiter", "inferSchema", "multiLine"}
+        if k not in {"path", "format", "header", "delimiter", "inferSchema",
+                     "multiLine", "nanosAsLong"}
     }
     if passthrough:
         reader = reader.options(**passthrough)

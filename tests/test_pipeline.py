@@ -420,3 +420,21 @@ def test_inline_aggregation_parser_forms():
         _parse_inline_aggregations("no_parens:sum price", "t")
     with pytest.raises(ConfigError, match="bad inline aggregation"):
         _parse_inline_aggregations("missing_alias(sum(x))", "t")
+
+
+def test_nanos_parquet_opt_in(spark, sf_dir):
+    """TIMESTAMP(NANOS) parquet (events.parquet) reads via the
+    nanosAsLong opt-in and converts downstream with a map expression."""
+    from etl_spark_gradle_spark.operators.relational import map_columns, parse_map_expressions
+    from etl_spark_gradle_spark.sources.extractors import extract_file
+
+    df = extract_file(
+        spark,
+        {"path": f"{sf_dir}/events.parquet", "format": "parquet", "nanosAsLong": "true"},
+    )
+    assert dict(df.dtypes)["ts"] == "bigint"
+    out = map_columns(
+        df, parse_map_expressions("event_time:timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    )
+    row = out.select("event_time").first()
+    assert str(row.event_time).startswith("20")  # a real timestamp
