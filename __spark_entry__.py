@@ -934,6 +934,46 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-window aggregates: per event, this user's count and
+    exact decimal sum over the preceding 10 minutes (RANGE frame on
+    epoch seconds — one sort, one exchange for both columns)."""
+    from etl_spark_gradle_spark.operators.relational import rolling_time_aggregate
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "val_dec", F.expr("CAST(value AS DECIMAL(18,4))")
+    )
+    out = rolling_time_aggregate(
+        ev,
+        partition_by=["user_id"],
+        time_column="ts",
+        window_seconds=600,
+        aggregations=[
+            AggregateExpr("*", "count", "trailing_events"),
+            AggregateExpr("val_dec", "sum", "trailing_sum_dec"),
+        ],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("trailing_events").cast("long").alias("trailing_events"),
+        F.col("trailing_sum_dec").cast("double").alias("trailing_sum"),
+    )
+
+
+_ROLLING_TIME_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_sum
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct sketch (operators/sketch.py): per-shard
     sketches rolled up with hll_union_agg, estimate checked against the
@@ -1627,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct": q_distinct,
         "salted_aggregation": q_salted_aggregation,
         "sketch_distinct": q_sketch_distinct,
+        "rolling_time": q_rolling_time,
         "json_extract": q_json_extract,
         "null_split_invalid": q_null_split_invalid,
         "null_metrics": q_null_metrics,
@@ -1813,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct": "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
         "salted_aggregation": _SALTED_AGG_ORACLE,
         "sketch_distinct": _SKETCH_ORACLE,
+        "rolling_time": _ROLLING_TIME_ORACLE,
         "json_extract": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value "
             "FROM events"

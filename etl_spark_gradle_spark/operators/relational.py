@@ -81,6 +81,20 @@ def _agg_column(spec: AggregateExpr):
     return fn(F.expr(spec.column)).alias(spec.alias)
 
 
+def _agg_expr(spec: AggregateExpr):
+    """Unaliased variant of :func:`_agg_column` for window (`.over`)
+    contexts, where the alias must wrap the windowed expression."""
+    fn = _AGG_FUNCTIONS.get(spec.function.lower())
+    if fn is None:
+        raise TransformationError(
+            f"unsupported aggregate function '{spec.function}' "
+            f"(supported: {sorted(_AGG_FUNCTIONS)})"
+        )
+    if spec.column == "*" or re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", spec.column):
+        return fn(spec.column)
+    return fn(F.expr(spec.column))
+
+
 # ---------------------------------------------------------------------------
 # Pure operator functions (programmatic API — SURVEY §3.3 level (c))
 # ---------------------------------------------------------------------------
@@ -769,6 +783,50 @@ def analytic_columns(
                 f"unsupported analytic function '{fn_name}' (supported: {supported})"
             )
         out = out.withColumn(alias, col)
+    return out
+
+
+def rolling_time_aggregate(
+    df: DataFrame,
+    partition_by: list[str],
+    time_column: str,
+    window_seconds: int,
+    aggregations: list[AggregateExpr],
+) -> DataFrame:
+    """Per-row trailing time-window aggregates (SURVEY §2.7 extension):
+    for every row, aggregate over the SAME key's rows whose event time
+    falls within the last ``window_seconds`` (inclusive) — "sum of this
+    user's value over the trailing 10 minutes", the time-series shape
+    neither bucketed windows (``window_aggregate``: one row per bucket)
+    nor row-offset analytics (``analytic_columns``: row counts, not
+    durations) express.
+
+    Implementation: ``RANGE BETWEEN -window_seconds PRECEDING AND
+    CURRENT ROW`` over epoch seconds. All aggregates share ONE window
+    spec — a single sort inside a single ``hashpartitioning``
+    exchange, same cost as one. RANGE frames key on the ORDER BY value
+    itself, so rows with equal timestamps see each other symmetrically —
+    the result is deterministic without any tiebreaker.
+
+    100-TB note: state per task is the trailing window's rows for one
+    key at a time (sort-based WindowExec) — bounded by key × window
+    density, not corpus size; hot keys salt upstream like any window.
+    """
+    if not aggregations:
+        raise TransformationError("rolling aggregate requires aggregations")
+    if window_seconds <= 0:
+        raise TransformationError("rolling aggregate requires window_seconds > 0")
+    # exact integer microseconds — float epoch seconds would make the
+    # frame boundary depend on double rounding for sub-second timestamps
+    epoch = F.unix_micros(F.col(time_column).cast("timestamp"))
+    spec = (
+        Window.partitionBy(*[F.col(c) for c in partition_by])
+        .orderBy(epoch)
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    out = df
+    for a in aggregations:
+        out = out.withColumn(a.alias, _agg_expr(a).over(spec))
     return out
 
 

@@ -497,3 +497,51 @@ def test_asof_join_salted_nearest_matches_unsalted(spark):
     assert plain[("h", 6)] == 200.0   # 6 min back vs 4 min fwd -> fwd
     assert plain[("h", 4)] == 100.0   # 4 min back vs 6 min fwd -> back
     assert plain[("h", 5)] == 100.0   # tie -> backward
+
+
+def test_rolling_time_aggregate(spark):
+    """Trailing RANGE window: only rows within window_seconds count."""
+    from datetime import datetime
+
+    from etl_spark_gradle_spark.operators.relational import rolling_time_aggregate
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    def ts(m, s=0):
+        return datetime(2024, 1, 1, 0, m, s)
+
+    df = spark.createDataFrame(
+        [
+            ("u1", ts(0), 1),
+            ("u1", ts(5), 10),
+            ("u1", ts(12), 100),   # 0:00 outside its 10-minute window
+            ("u2", ts(5), 1000),   # other key: isolated
+        ],
+        ["k", "t", "v"],
+    )
+    out = rolling_time_aggregate(
+        df,
+        partition_by=["k"],
+        time_column="t",
+        window_seconds=600,
+        aggregations=[
+            AggregateExpr("v", "sum", "s"),
+            AggregateExpr("*", "count", "c"),
+        ],
+    )
+    got = {(r.k, r.t.minute): (r.s, r.c) for r in out.collect()}
+    assert got[("u1", 0)] == (1, 1)
+    assert got[("u1", 5)] == (11, 2)      # includes 0:00 (exactly inclusive later)
+    assert got[("u1", 12)] == (110, 2)    # 0:05 + 0:12; 0:00 aged out
+    assert got[("u2", 5)] == (1000, 1)
+
+    # boundary is inclusive: an event exactly window_seconds earlier counts
+    edge = spark.createDataFrame(
+        [("u", ts(0), 1), ("u", ts(10), 2)], ["k", "t", "v"]
+    )
+    got2 = {
+        r.t.minute: r.s
+        for r in rolling_time_aggregate(
+            edge, ["k"], "t", 600, [AggregateExpr("v", "sum", "s")]
+        ).collect()
+    }
+    assert got2[10] == 3
