@@ -24,6 +24,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     PivotTransformer,
     RangeJoinTransformer,
     RankingTransformer,
+    RollingTimeTransformer,
     SaltedAggregationTransformer,
     SampleTransformer,
     SetOpTransformer,
@@ -58,6 +59,7 @@ TRANSFORMER_REGISTRY = {
     # beyond-reference (SURVEY §2.6 / §2.7 extensions)
     "ranking": RankingTransformer(),
     "analytics": AnalyticsTransformer(),
+    "rolling_time": RollingTimeTransformer(),
     "pivot": PivotTransformer(),
     "asof_join": AsofJoinTransformer(),
     "range_join": RangeJoinTransformer(),

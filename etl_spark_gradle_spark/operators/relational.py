@@ -1377,6 +1377,40 @@ class AnalyticsTransformer(_BaseTransformer):
         )
 
 
+class RollingTimeTransformer(_BaseTransformer):
+    """Extension (``type: rolling_time``): trailing time-window
+    aggregates (see :func:`rolling_time_aggregate`). Options:
+    ``partitionBy``, ``timeColumn`` (or ``timestampColumn``),
+    ``windowSeconds``, plus the shared ``aggregations`` list."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        tc = opts.get("timeColumn") or opts.get("timestampColumn")
+        if not tc:
+            errors.append("rolling_time requires 'timeColumn'")
+        elif tc not in df.columns:
+            errors.append(f"timeColumn not in input schema: {tc}")
+        try:
+            if int(opts.get("windowSeconds", "0")) <= 0:
+                errors.append("rolling_time requires integer 'windowSeconds' > 0")
+        except ValueError:
+            errors.append("rolling_time requires integer 'windowSeconds' > 0")
+        if not config.aggregations:
+            errors.append("rolling_time requires 'aggregations'")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return rolling_time_aggregate(
+            df,
+            partition_by=_split_csv(opts.get("partitionBy")),
+            time_column=opts.get("timeColumn") or opts["timestampColumn"],
+            window_seconds=int(opts["windowSeconds"]),
+            aggregations=list(config.aggregations),
+        )
+
+
 class PivotTransformer(_BaseTransformer):
     """Pivot long → wide (extension; see ``pivot_table``). Options:
     ``groupBy``, ``pivotColumn``, ``pivotValues`` (explicit, required),

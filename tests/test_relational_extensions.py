@@ -545,3 +545,33 @@ def test_rolling_time_aggregate(spark):
         ).collect()
     }
     assert got2[10] == 3
+
+
+def test_rolling_time_transformer(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1), ("u", "2024-01-01 00:05:00", 10)],
+        ["k", "t", "v"],
+    ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "v")
+    cfg = TransformationConfig(
+        type="rolling_time",
+        options={"partitionBy": "k", "timeColumn": "t", "windowSeconds": "600"},
+        aggregations=(AggregateExpr("v", "sum", "s"),),
+    )
+    out = TRANSFORMER_REGISTRY["rolling_time"].transform(
+        df, cfg, RunContext.create("t", spark)
+    )
+    assert {r.t.minute: r.s for r in out.collect()} == {0: 1, 5: 11}
+
+    import pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    bad = TransformationConfig(type="rolling_time", options={"timeColumn": "t"})
+    with pytest.raises(TransformationError, match="windowSeconds"):
+        TRANSFORMER_REGISTRY["rolling_time"].transform(
+            df, bad, RunContext.create("t", spark)
+        )
