@@ -1463,6 +1463,159 @@ FROM documents
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics. The synthetic documents are
+    single-line, so a 3-line text with a guaranteed repeated line is
+    derived first (text, its 40-char prefix, text again) to exercise the
+    line-level metrics; token metrics run on the same derived column."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "t2", F.expr("concat_ws('\n', text, substr(text, 1, 40), text)")
+    )
+    out = tx.with_repetition_stats(docs, "t2")
+    return out.select(
+        "doc_id", "line_count", "dup_line_frac", "dup_line_char_frac", "dup_word_frac"
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, concat_ws(chr(10), text, substr(text, 1, 40), text) AS t2
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t2, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(t2, '\\s+'), x -> x <> '') AS tk
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS line_count,
+       CAST(CASE WHEN len(lines) <= 1 THEN 0.0
+            ELSE 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+            END AS DOUBLE) AS dup_line_frac,
+       CAST(CASE WHEN list_sum(list_transform(lines, x -> length(x))) <= 0 THEN 0.0
+            ELSE 1.0 - list_sum(list_transform(list_distinct(lines), x -> length(x)))
+                 / CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+            END AS DOUBLE) AS dup_line_char_frac,
+       CAST(CASE WHEN len(tk) <= 0 THEN 0.0
+            ELSE 1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+            END AS DOUBLE) AS dup_word_frac
+FROM l
+"""
+
+
+def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most-frequent-bigram coverage (keyword-stuffing / templated-text
+    filter): exploded n-grams, two hash aggregations keyed by doc_id."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.top_ngram_coverage(docs, "doc_id", "text", n=2)
+    return out.select("doc_id", "top_ngram_count", "top_ngram_frac")
+
+
+_TOP_BIGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id, len(tk) AS nt,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+  FROM t
+), c AS (
+  SELECT doc_id, nt, gram, count(*) AS cnt FROM g GROUP BY doc_id, nt, gram
+), m AS (
+  SELECT doc_id, nt, max(cnt) AS mc FROM c GROUP BY doc_id, nt
+)
+SELECT d.doc_id,
+       CAST(coalesce(m.mc, 0) AS BIGINT) AS top_ngram_count,
+       CAST(coalesce(LEAST(m.mc * 2 / CAST(m.nt AS DOUBLE), 1.0), 0.0) AS DOUBLE)
+         AS top_ngram_frac
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+
+# the synthetic corpus carries no real PII, so a deterministic PII tail is
+# appended per-row (same expression in both engines); detection counts and
+# the md5 of the redacted text are then compared bit-for-bit
+_PII_TAIL = (
+    "' contact doc' || CAST(doc_id AS {str_t}) || '@example.com from 10.0.' "
+    "|| CAST(doc_id % 256 AS {str_t}) || '.7 call +1 (555) 123-4567'"
+)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts + redacted-text fingerprint, all JVM-side
+    regexes (engine-portable: no lookaround/backreferences)."""
+    from etl_spark_gradle_spark.operators import pii
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "pii_text", F.expr("text || " + _PII_TAIL.format(str_t="STRING"))
+    )
+    out = pii.with_pii_counts(docs, "pii_text")
+    out = pii.redact_pii(out, "pii_text", "red")
+    return out.select(
+        "doc_id",
+        "pii_email",
+        "pii_ipv4",
+        "pii_phone",
+        "pii_total",
+        F.md5("red").alias("red_md5"),
+    )
+
+
+def _pii_oracle() -> str:
+    from etl_spark_gradle_spark.operators.pii import PII_PATTERNS
+
+    tail = _PII_TAIL.format(str_t="VARCHAR")
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(pii_text, '{p}')) AS BIGINT) AS pii_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    red = "pii_text"
+    for k, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<{k.upper()}>', 'g')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text || {tail} AS pii_text FROM documents
+), c AS (
+  SELECT doc_id, {counts}, md5({red}) AS red_md5 FROM t
+)
+SELECT doc_id, pii_email, pii_ipv4, pii_phone,
+       pii_email + pii_ipv4 + pii_phone AS pii_total, red_md5
+FROM c
+"""
+
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic md5-threshold train/val/test assignment."""
+    from etl_spark_gradle_spark.operators.relational import hash_split
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", _SPLITS).select("doc_id", "split")
+
+
+def _hash_split_oracle() -> str:
+    total = sum(w for _, w in _SPLITS)
+    cases, cum = [], 0.0
+    for name, weight in _SPLITS[:-1]:
+        cum += weight / total
+        threshold = format(min(int(cum * 16**8), 16**8 - 1), "08x")
+        cases.append(
+            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{threshold}' "
+            f"THEN '{name}'"
+        )
+    return f"""
+SELECT doc_id, CASE {' '.join(cases)} ELSE '{_SPLITS[-1][0]}' END AS split
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -1697,6 +1850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stub": q_image_decode_stub,
         "image_resize_stub": q_image_resize_stub,
         "frame_sample_stub": q_frame_sample_stub,
+        "repetition_stats": q_repetition_stats,
+        "top_bigram": q_top_bigram,
+        "pii_scan": q_pii_scan,
+        "hash_split": q_hash_split,
     }
 
 
@@ -1895,6 +2052,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "embedding_cosine_dups": _EMBEDDING_DUPS_ORACLE,
         "multimodal_meta": _MULTIMODAL_META_ORACLE,
+        "repetition_stats": _REPETITION_ORACLE,
+        "top_bigram": _TOP_BIGRAM_ORACLE,
+        "pii_scan": _pii_oracle(),
+        "hash_split": _hash_split_oracle(),
         # rows-only (non-SQL-expressible): minhash_lsh, simhash, ann_lsh,
         # image_decode_stub, frame_sample_stub
     }

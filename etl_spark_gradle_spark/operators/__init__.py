@@ -12,6 +12,7 @@ from etl_spark_gradle_spark.operators.dedup import (  # noqa: F401
     ContaminationTransformer,
     DedupTransformer,
 )
+from etl_spark_gradle_spark.operators.pii import PiiTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
     AnalyticsTransformer,
@@ -29,6 +30,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     SampleTransformer,
     SetOpTransformer,
     SortTransformer,
+    SplitTransformer,
     WindowingTransformer,
     aggregate,
     analytic_columns,
@@ -36,6 +38,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     distinct_rows,
     explode_column,
     filter_rows,
+    hash_split,
     join_view,
     map_columns,
     pivot_table,
@@ -68,12 +71,14 @@ TRANSFORMER_REGISTRY = {
     "distinct": DistinctTransformer(),
     "explode": ExplodeTransformer(),
     "sample": SampleTransformer(),
+    "split": SplitTransformer(),
     "salted_aggregation": SaltedAggregationTransformer(),
     "sketch": SketchTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),
     "text_analysis": TextAnalysisTransformer(),
+    "pii": PiiTransformer(),
 }
 
 

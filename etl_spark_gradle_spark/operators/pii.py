@@ -1,0 +1,139 @@
+"""PII detection and redaction for training-data curation.
+
+Beyond-reference surface (the reference has no PII tooling; its scalar
+expression layer `transformer/MapTransformer.scala:58` is the substrate):
+corpus pipelines must strip emails / IPs / phone numbers before training,
+and must do it at full-corpus scale.
+
+The patterns here are deliberately regex-engine-portable (no lookaround,
+no backreferences): they compile identically under Java `j.u.regex`
+(Spark) and RE2 (DuckDB oracle), so detection counts and redacted output
+are bit-identical across engines. A production deployment would swap in
+model-based NER behind the same column contract — these regexes are the
+JVM-side fast path.
+
+100-TB design notes
+-------------------
+Detection (`regexp_count`) and redaction (`regexp_replace`) are narrow
+per-row projections inside whole-stage codegen: no shuffle, no UDF, no
+Python. Scanning a corpus for PII is exactly one pass over the text
+column with column pruning — the cheapest possible shape. `mode: filter`
+composes the counts with a Catalyst predicate so pushdown still applies
+to everything else in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Ordered dict: redaction applies in this order, so e.g. the digits of an
+# already-redacted email can't later match the phone pattern.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Match count for one PII kind (JVM-side ``regexp_count``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+
+
+def with_pii_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+    prefix: str = "pii_",
+) -> DataFrame:
+    """Add one ``{prefix}{kind}`` count column per PII kind plus a
+    ``{prefix}total``. Pure projection — free rider on the scan."""
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
+    total: Column | None = None
+    for kind in kinds:
+        cnt = pii_count(text_col, kind).cast("long")
+        df = df.withColumn(prefix + kind, cnt)
+        total = cnt if total is None else total + cnt
+    return df.withColumn(
+        prefix + "total", (total if total is not None else F.lit(0)).cast("long")
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: list[str] | None = None,
+    token_format: str = "<{kind}>",
+) -> DataFrame:
+    """Replace each PII match with a placeholder token (``<EMAIL>`` ...),
+    applying kinds in ``PII_PATTERNS`` order so earlier redactions can't
+    re-match later patterns. In-place when ``out_col`` is None."""
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
+    c: Column = F.col(text_col)
+    for kind in kinds:
+        c = F.regexp_replace(
+            c, F.lit(PII_PATTERNS[kind]), F.lit(token_format.format(kind=kind.upper()))
+        )
+    return df.withColumn(out_col or text_col, c)
+
+
+class PiiTransformer:
+    """Registry adapter (``type: pii``). Options: ``textColumn``
+    (default ``text``), ``kinds`` (csv subset of ``email,ipv4,phone``,
+    default all), ``mode``:
+
+    - ``annotate`` (default): add per-kind + total count columns
+    - ``redact``: replace matches with ``<EMAIL>``/``<IPV4>``/``<PHONE>``
+      (``outputColumn`` to keep the original)
+    - ``filter``: drop rows containing any PII (the strict-curation gate)
+    """
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        tc = config.options.get("textColumn", "text")
+        if tc not in df.columns:
+            errors.append(f"textColumn not in input schema: {tc}")
+        mode = config.options.get("mode", "annotate")
+        if mode not in ("annotate", "redact", "filter"):
+            errors.append(f"mode must be annotate|redact|filter: {mode}")
+        for kind in self._kinds(config):
+            if kind not in PII_PATTERNS:
+                errors.append(
+                    f"unknown PII kind: {kind} (known: {', '.join(PII_PATTERNS)})"
+                )
+        return (
+            ValidationResult.fail(*errors) if errors else ValidationResult.ok()
+        )
+
+    @staticmethod
+    def _kinds(config) -> list[str]:
+        raw = config.options.get("kinds", "")
+        return [k.strip() for k in raw.split(",") if k.strip()] or list(PII_PATTERNS)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            from etl_spark_gradle_spark.operators.relational import TransformationError
+
+            raise TransformationError("pii config invalid: " + "; ".join(result.errors))
+        opts = config.options
+        tc = opts.get("textColumn", "text")
+        kinds = self._kinds(config)
+        mode = opts.get("mode", "annotate")
+        if mode == "annotate":
+            return with_pii_counts(df, tc, kinds)
+        if mode == "redact":
+            return redact_pii(df, tc, opts.get("outputColumn"), kinds)
+        total: Column = F.lit(0)
+        for kind in kinds:
+            total = total + pii_count(tc, kind)
+        return df.filter(total == 0)
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"pii({opts})"

@@ -641,6 +641,55 @@ def stratified_sample(
     return df.filter(F.rand(seed) < frac_expr)
 
 
+def hash_split(
+    df: DataFrame,
+    key_column: str,
+    splits: list[tuple[str, float]],
+    out_col: str = "split",
+    salt: str = "",
+    keep: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the
+    reproducible alternative to ``rand()`` splits: the same key lands in
+    the same split on every run, on any engine, at any scale, and new
+    rows never move existing rows between splits.
+
+    Mechanics: the first 8 hex chars of ``md5(key || salt)`` are compared
+    against cumulative-weight thresholds expressed as 8-char hex strings
+    (lexicographic compare == numeric compare at fixed width), so the
+    assignment is a pure Catalyst CASE chain — no UDF, no shuffle, and
+    bit-identical in any engine with a standard md5 (the DuckDB oracle
+    runs the same expression). ``salt`` reshuffles assignments without
+    touching the data; ``keep`` filters to one split (the common
+    "materialize the training corpus" shape, still one scan).
+
+    Weights are normalized; the last split takes the residue so the
+    thresholds always cover [0, 1).
+    """
+    if not splits:
+        raise TransformationError("hash_split requires at least one split")
+    total = sum(w for _, w in splits)
+    if total <= 0 or any(w < 0 for _, w in splits):
+        raise TransformationError("split weights must be >= 0 with a positive sum")
+    names = [n for n, _ in splits]
+    if keep is not None and keep not in names:
+        raise TransformationError(f"keep must be one of the split names: {keep}")
+    bucket = F.substring(
+        F.md5(F.concat(F.col(key_column).cast("string"), F.lit(salt))), 1, 8
+    )
+    expr: Column | None = None
+    cum = 0.0
+    for name, weight in splits[:-1]:
+        cum += weight / total
+        threshold = format(min(int(cum * 16**8), 16**8 - 1), "08x")
+        cond = bucket < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    assigned = last if expr is None else expr.otherwise(last)
+    out = df.withColumn(out_col, assigned)
+    return out.filter(F.col(out_col) == keep) if keep is not None else out
+
+
 _SALTABLE = {"sum", "count", "min", "max"}
 
 
@@ -1277,6 +1326,55 @@ class SampleTransformer(_BaseTransformer):
             df,
             float(opts["fraction"]),
             int(opts.get("seed", "42")),
+        )
+
+
+class SplitTransformer(_BaseTransformer):
+    """Extension (``type: split``): deterministic hash-based
+    train/val/test assignment (see :func:`hash_split`). Options:
+    ``keyColumn``, ``splits: "train:0.8,val:0.1,test:0.1"``, optional
+    ``outputColumn`` (default ``split``), ``salt``, and ``keep: train``
+    to filter to one split."""
+
+    @staticmethod
+    def _parse_splits(spec: str) -> list[tuple[str, float]]:
+        out = []
+        for part in split_top_level(spec):
+            if not part.strip():
+                continue
+            name, _, weight = part.partition(":")
+            out.append((name.strip(), float(weight)))
+        return out
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        opts = config.options
+        key = opts.get("keyColumn", "")
+        if key not in df.columns:
+            return ValidationResult.fail(f"keyColumn not in input schema: {key!r}")
+        try:
+            splits = self._parse_splits(opts.get("splits", ""))
+        except ValueError:
+            return ValidationResult.fail("splits must be 'name:weight' pairs")
+        if not splits:
+            return ValidationResult.fail("split requires 'splits' pairs")
+        if sum(w for _, w in splits) <= 0 or any(w < 0 for _, w in splits):
+            return ValidationResult.fail(
+                "split weights must be >= 0 with a positive sum"
+            )
+        keep = opts.get("keep")
+        if keep is not None and keep not in [n for n, _ in splits]:
+            return ValidationResult.fail(f"keep must be a split name: {keep}")
+        return ValidationResult.ok()
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return hash_split(
+            df,
+            key_column=opts["keyColumn"],
+            splits=self._parse_splits(opts["splits"]),
+            out_col=opts.get("outputColumn", "split"),
+            salt=opts.get("salt", ""),
+            keep=opts.get("keep"),
         )
 
 

@@ -115,6 +115,116 @@ def with_text_stats(
     )
 
 
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1), the
+    standard filters for boilerplate / templated / spammy documents:
+
+    - ``line_count``: non-empty trimmed lines
+    - ``dup_line_frac``: 1 - distinct_lines / lines (0 when <= 1 line)
+    - ``dup_line_char_frac``: fraction of line characters in repeat
+      occurrences beyond each line's first (1 - distinct_char_sum /
+      char_sum)
+    - ``dup_word_frac``: 1 - distinct_tokens / tokens
+
+    Scale: pure per-row array expressions (``split`` / ``array_distinct``
+    / ``aggregate``) — no shuffle, no UDF; a free rider on the scan like
+    the rest of this module.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    dlines = F.array_distinct(lines)
+    toks = tokens(c)
+    n_lines = F.size(lines)
+    chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    dchars = F.aggregate(dlines, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_toks = F.size(toks)
+    p = prefix
+    return (
+        df.withColumn(p + "line_count", n_lines.cast("long"))
+        .withColumn(
+            p + "dup_line_frac",
+            F.when(n_lines <= 1, F.lit(0.0))
+            .otherwise(F.lit(1.0) - F.size(dlines) / n_lines.cast("double"))
+            .cast("double"),
+        )
+        .withColumn(
+            p + "dup_line_char_frac",
+            F.when(chars <= 0, F.lit(0.0))
+            .otherwise(F.lit(1.0) - dchars / chars.cast("double"))
+            .cast("double"),
+        )
+        .withColumn(
+            p + "dup_word_frac",
+            F.when(n_toks <= 0, F.lit(0.0))
+            .otherwise(
+                F.lit(1.0) - F.size(F.array_distinct(toks)) / n_toks.cast("double")
+            )
+            .cast("double"),
+        )
+    )
+
+
+def top_ngram_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    out_prefix: str = "top_ngram_",
+) -> DataFrame:
+    """Fraction of tokens covered by the single most frequent word
+    n-gram (overlapping count × n / tokens, capped at 1) — the other
+    half of the Gopher repetition filters; high values flag keyword
+    stuffing and templated text.
+
+    Adds ``{prefix}count`` and ``{prefix}frac`` (0 for docs with fewer
+    than ``n`` tokens).
+
+    Scale: n-grams are exploded then aggregated in two hash
+    aggregations — (id, gram) count, then per-id max — both keyed by the
+    document id so partial (map-side) aggregation absorbs the repeats,
+    followed by a broadcast-or-shuffle join back on the id. Nothing is
+    O(tokens²) per row, unlike an array-expression mode computation, so
+    pathological million-token documents stay linear.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    toks = tokens(text_col)
+    if n == 1:
+        grams = toks
+    else:
+        # join n successive slices positionally: gram i = toks[i..i+n-1]
+        glen = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        arrs = [F.slice(toks, i + 1, glen) for i in range(n)]
+        grams = arrs[0]
+        for nxt in arrs[1:]:
+            grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    exploded = (
+        df.select(F.col(id_col), F.size(toks).alias("__nt"), F.explode(grams).alias("__g"))
+    )
+    per_doc = (
+        exploded.groupBy(id_col, "__nt", "__g")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col, "__nt")
+        .agg(F.max("__c").alias(out_prefix + "count"))
+        .select(
+            F.col(id_col),
+            F.col(out_prefix + "count").cast("long").alias(out_prefix + "count"),
+            F.least(
+                F.col(out_prefix + "count") * n / F.col("__nt").cast("double"),
+                F.lit(1.0),
+            )
+            .cast("double")
+            .alias(out_prefix + "frac"),
+        )
+    )
+    out = df.join(per_doc, on=id_col, how="left")
+    return out.fillna({out_prefix + "count": 0, out_prefix + "frac": 0.0})
+
+
 def language_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-overlap scores (distinct stopwords hit).
 
@@ -173,7 +283,9 @@ def with_fingerprint(
 class TextAnalysisTransformer:
     """Registry adapter (``type: text_analysis``). Options:
     ``textColumn`` (default ``text``), ``stats`` / ``languageId`` /
-    ``fingerprint`` booleans selecting which column families to add."""
+    ``fingerprint`` / ``repetition`` booleans selecting which column
+    families to add; ``topNgram: <n>`` (requires ``idColumn``) adds the
+    most-frequent-n-gram coverage columns."""
 
     def validate(self, df: DataFrame, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -204,6 +316,19 @@ class TextAnalysisTransformer:
             out = with_language_id(out, tc)
         if flag("fingerprint"):
             out = with_fingerprint(out, tc)
+        if flag("repetition"):
+            out = with_repetition_stats(out, tc)
+        if "topNgram" in opts:
+            id_col = opts.get("idColumn", "")
+            if id_col not in df.columns:
+                from etl_spark_gradle_spark.operators.relational import (
+                    TransformationError,
+                )
+
+                raise TransformationError(
+                    f"topNgram requires idColumn in input schema: {id_col!r}"
+                )
+            out = top_ngram_coverage(out, id_col, tc, n=int(opts["topNgram"]))
         return out
 
     def lineage_step(self, config) -> str:

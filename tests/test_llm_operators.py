@@ -457,3 +457,84 @@ def test_minhash_band_payload_strategies_identical(spark):
         for r in dd.minhash_lsh_candidates(docs, band_payload="signature", **kw).collect()
     }
     assert a == b and len(a) > 0
+
+
+# -- repetition / top-ngram / PII ------------------------------------------
+
+
+def test_repetition_stats_values(spark):
+    rows = [
+        (1, "aaa\nbbb\naaa\n\n ccc "),          # 4 lines, 'aaa' repeats
+        (2, "one two two two"),                  # token repeat only
+        (3, "unique single line"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.with_repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1.line_count == 4
+    assert r1.dup_line_frac == pytest.approx(1 - 3 / 4)
+    # chars: aaa(3)+bbb(3)+aaa(3)+ccc(3)=12, distinct 9
+    assert r1.dup_line_char_frac == pytest.approx(1 - 9 / 12)
+    r2 = out[2]
+    assert r2.line_count == 1
+    assert r2.dup_line_frac == 0.0
+    assert r2.dup_word_frac == pytest.approx(1 - 2 / 4)
+    r3 = out[3]
+    assert r3.dup_line_frac == 0.0 and r3.dup_word_frac == 0.0
+
+
+def test_top_ngram_coverage_bigram(spark):
+    rows = [
+        (1, "buy now buy now buy now"),   # 'buy now' x3 of 5 bigrams, 6 tokens
+        (2, "all words here are different"),
+        (3, "short"),                      # fewer tokens than n
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.top_ngram_coverage(df, "doc_id", n=2).collect()}
+    assert out[1].top_ngram_count == 3
+    assert out[1].top_ngram_frac == pytest.approx(min(3 * 2 / 6, 1.0))
+    assert out[2].top_ngram_count == 1
+    assert out[3].top_ngram_count == 0 and out[3].top_ngram_frac == 0.0
+    with pytest.raises(ValueError):
+        tx.top_ngram_coverage(df, "doc_id", n=0)
+
+
+def test_pii_counts_and_redaction(spark):
+    from etl_spark_gradle_spark.operators import pii
+
+    rows = [
+        (1, "mail a.b+c@ex.co or admin@site.org from 192.168.0.1"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "clean text, no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii.with_pii_counts(df).collect()}
+    assert (out[1].pii_email, out[1].pii_ipv4, out[1].pii_total) == (2, 1, 3)
+    assert out[2].pii_phone == 1 and out[2].pii_total == 1
+    assert out[3].pii_total == 0
+    red = {r.doc_id: r.text for r in pii.redact_pii(df).collect()}
+    assert "<EMAIL>" in red[1] and "<IPV4>" in red[1] and "@" not in red[1]
+    assert "<PHONE>" in red[2] and "555" not in red[2]
+    assert red[3] == rows[2][1]
+
+
+def test_pii_transformer_modes(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    rows = [(1, "x@y.io here"), (2, "nothing")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tf = TRANSFORMER_REGISTRY["pii"]
+    ctx = RunContext.create("t", spark)
+    filt = tf.transform(
+        df, TransformationConfig(type="pii", options={"mode": "filter"}), ctx
+    )
+    assert [r.doc_id for r in filt.collect()] == [2]
+    ann = tf.transform(
+        df, TransformationConfig(type="pii", options={"kinds": "email"}), ctx
+    )
+    assert "pii_email" in ann.columns and "pii_ipv4" not in ann.columns
+    bad = TransformationConfig(type="pii", options={"mode": "zap"})
+    assert not tf.validate(df, bad).is_valid
+    bad2 = TransformationConfig(type="pii", options={"kinds": "ssn"})
+    assert not tf.validate(df, bad2).is_valid

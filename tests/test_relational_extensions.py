@@ -575,3 +575,61 @@ def test_rolling_time_transformer(spark):
         TRANSFORMER_REGISTRY["rolling_time"].transform(
             df, bad, RunContext.create("t", spark)
         )
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from etl_spark_gradle_spark.operators.relational import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = hash_split(df, "k", splits)
+    b = hash_split(df, "k", splits)
+    # deterministic: identical assignment across invocations
+    assert a.exceptAll(b).count() == 0
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # new rows never move old rows: subset gets identical labels
+    sub = hash_split(df.filter("k < 100"), "k", splits)
+    joined = a.withColumnRenamed("split", "full_split").join(sub, "k")
+    assert joined.filter("full_split <> split").count() == 0
+    # salt reshuffles at least some assignments
+    salted = hash_split(df, "k", splits, salt="v2")
+    assert a.withColumnRenamed("split", "s0").join(salted, "k").filter(
+        "s0 <> split"
+    ).count() > 0
+
+
+def test_hash_split_keep_filters_one_split(spark):
+    from etl_spark_gradle_spark.operators.relational import hash_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    splits = [("train", 0.9), ("holdout", 0.1)]
+    full = hash_split(df, "k", splits)
+    kept = hash_split(df, "k", splits, keep="train")
+    assert kept.count() == full.filter("split = 'train'").count()
+    assert kept.filter("split <> 'train'").count() == 0
+    with pytest.raises(TransformationError):
+        hash_split(df, "k", splits, keep="nope")
+    with pytest.raises(TransformationError):
+        hash_split(df, "k", [])
+    with pytest.raises(TransformationError):
+        hash_split(df, "k", [("a", -1.0), ("b", 0.5)])
+
+
+def test_split_transformer_registry(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "k")
+    tf = TRANSFORMER_REGISTRY["split"]
+    cfg = TransformationConfig(
+        type="split",
+        options={"keyColumn": "k", "splits": "train:0.8,test:0.2", "keep": "test"},
+    )
+    assert tf.validate(df, cfg).is_valid
+    out = tf.transform(df, cfg, RunContext.create("t", spark))
+    assert out.filter("split <> 'test'").count() == 0
+    assert 0 < out.count() < 300
+    bad = TransformationConfig(type="split", options={"keyColumn": "missing", "splits": "a:1"})
+    assert not tf.validate(df, bad).is_valid
+    bad2 = TransformationConfig(type="split", options={"keyColumn": "k", "splits": "a:0,b:0"})
+    assert not tf.validate(df, bad2).is_valid
