@@ -132,6 +132,30 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["BroadcastHashJoin"],
         ["SortMergeJoin"],
     ),
+    (
+        "pii_scan",
+        "PII counts + redaction are a pure projection: no shuffle, no UDF",
+        ["codegen id"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "hash_split",
+        "hash split is a shuffle-free Catalyst CASE projection",
+        ["codegen id"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "repetition_stats",
+        "repetition metrics are per-row array expressions: no shuffle",
+        [],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "top_bigram",
+        "top-ngram: both aggregations partial before their exchange",
+        ["partial_count", "partial_max"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
 ]
 
 
