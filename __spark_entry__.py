@@ -1616,6 +1616,122 @@ FROM documents
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-token-budget chunking with overlap: narrow expressions +
+    one posexplode, no shuffle."""
+    from etl_spark_gradle_spark.operators.corpus import chunk_documents
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+
+
+_CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) > 0
+), u AS (
+  SELECT doc_id, tk, unnest(range(1, greatest(nt - 4, 1) + 1, 12)) AS st FROM s
+)
+SELECT doc_id,
+       CAST((st - 1) // 12 AS INT) AS chunk_idx,
+       array_to_string(list_slice(tk, st, st + 15), ' ') AS chunk_text,
+       CAST(len(list_slice(tk, st, st + 15)) AS BIGINT) AS chunk_tokens
+FROM u
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split packing, sharded windows (8 shards):
+    each doc -> (shard, sequence, offset) at a 64-token budget."""
+    from etl_spark_gradle_spark.operators.corpus import pack_sequences
+    from etl_spark_gradle_spark.operators.text import token_count
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("nt")
+    )
+    out = pack_sequences(docs, "doc_id", "nt", max_tokens=64, shards=8)
+    return out.select("doc_id", "pack_shard", "pack_seq", "pack_offset")
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS nt,
+         doc_id % 8 AS pack_shard
+  FROM documents
+), c AS (
+  SELECT doc_id, pack_shard,
+         SUM(nt) OVER (PARTITION BY pack_shard ORDER BY doc_id) - nt AS st
+  FROM t
+)
+SELECT doc_id, CAST(pack_shard AS BIGINT) AS pack_shard,
+       CAST(FLOOR(st / 64.0) AS BIGINT) AS pack_seq,
+       CAST(st % 64 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus-wide vocabulary: explode + two-phase count, deterministic
+    top-50 (freq desc, token asc)."""
+    from etl_spark_gradle_spark.operators.corpus import token_frequency
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return token_frequency(docs, "text", min_count=2, top_k=50)
+
+
+_TOKEN_FREQUENCY_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+         AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token
+HAVING count(*) >= 2 ORDER BY freq DESC, token LIMIT 50
+"""
+
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+_MIX_DEFAULT = 0.25
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic corpus mixing: per-source md5-threshold keep
+    fractions — pure Catalyst scan predicate, engine-stable."""
+    from etl_spark_gradle_spark.operators.corpus import hash_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_sample(
+        docs,
+        "doc_id",
+        fractions=_MIX_FRACTIONS,
+        strata_col="source",
+        default_fraction=_MIX_DEFAULT,
+    )
+    return out.select("doc_id", "source")
+
+
+def _hash_sample_oracle() -> str:
+    def th(f: float) -> str:
+        return "g" if f >= 1.0 else format(int(f * 16**8), "08x")
+
+    cases = " ".join(
+        f"WHEN source = '{v}' THEN '{th(f)}'"
+        for v, f in sorted(_MIX_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE {cases} ELSE '{th(_MIX_DEFAULT)}' END
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -1854,6 +1970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigram": q_top_bigram,
         "pii_scan": q_pii_scan,
         "hash_split": q_hash_split,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
+        "token_frequency": q_token_frequency,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -2056,6 +2176,10 @@ def oracle_sql() -> dict[str, str]:
         "top_bigram": _TOP_BIGRAM_ORACLE,
         "pii_scan": _pii_oracle(),
         "hash_split": _hash_split_oracle(),
+        "chunk_docs": _CHUNK_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
+        "token_frequency": _TOKEN_FREQUENCY_ORACLE,
+        "hash_sample": _hash_sample_oracle(),
         # rows-only (non-SQL-expressible): minhash_lsh, simhash, ann_lsh,
         # image_decode_stub, frame_sample_stub
     }

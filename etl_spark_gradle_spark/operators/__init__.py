@@ -12,6 +12,16 @@ from etl_spark_gradle_spark.operators.dedup import (  # noqa: F401
     ContaminationTransformer,
     DedupTransformer,
 )
+from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
+    ChunkTransformer,
+    HashSampleTransformer,
+    PackTransformer,
+    TokenFrequencyTransformer,
+    chunk_documents,
+    hash_sample,
+    pack_sequences,
+    token_frequency,
+)
 from etl_spark_gradle_spark.operators.pii import PiiTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
@@ -79,6 +89,10 @@ TRANSFORMER_REGISTRY = {
     "contamination": ContaminationTransformer(),
     "text_analysis": TextAnalysisTransformer(),
     "pii": PiiTransformer(),
+    "chunk": ChunkTransformer(),
+    "pack": PackTransformer(),
+    "token_frequency": TokenFrequencyTransformer(),
+    "hash_sample": HashSampleTransformer(),
 }
 
 

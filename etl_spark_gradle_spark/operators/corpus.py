@@ -1,0 +1,415 @@
+"""Corpus-assembly operators: document chunking, sequence packing,
+token-frequency statistics, and deterministic hash sampling.
+
+These cover the "turn a curated corpus into training batches" tail of an
+LLM data pipeline (beyond the reference's envelope — its scalar surface
+`transformer/MapTransformer.scala:58` is the substrate the expressions
+compile onto):
+
+- :func:`chunk_documents` — split each document into fixed-token-budget
+  chunks with optional overlap (context-window preparation)
+- :func:`pack_sequences` — GPT-style concat-and-split packing: assign
+  each document a (sequence id, offset) as if the corpus were
+  concatenated in key order and cut every ``max_tokens``
+- :func:`token_frequency` — corpus-wide token counts / top-k vocabulary
+- :func:`hash_sample` — deterministic md5-threshold sampling with
+  optional per-stratum fractions (reproducible corpus mixing; the
+  cross-engine-stable alternative to ``sample_rows``/``sampleBy``)
+
+100-TB design notes
+-------------------
+- Chunking is a narrow per-row expression (``split``/``slice``) plus one
+  ``posexplode`` — no shuffle; output rows stay on the partition that
+  produced them.
+- Packing needs a running token total, i.e. an ordered window. A single
+  global window would serialize the corpus through one task, so packing
+  is *sharded*: rows are hash-assigned to ``shards`` independent
+  windows, each packed separately (sequence ids are (shard, seq) pairs).
+  At 1000 executors, ``shards`` >= cluster parallelism keeps every core
+  busy; the only shuffle is the one hash partition by shard.
+- Token frequency is explode + two-phase hash aggregation: map-side
+  partial counts absorb each partition's repeats, so shuffle bytes are
+  bounded by distinct tokens per partition, not corpus tokens. Top-k
+  plans as TakeOrderedAndProject (per-partition heaps, no global sort).
+- Hash sampling is a pure Catalyst predicate on ``md5(key)`` — the scan
+  filter runs before anything else and the same keys are kept on every
+  run, on any engine, at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.operators.text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    out_prefix: str = "chunk_",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with optional
+    token overlap between consecutive chunks.
+
+    Output: one row per chunk with the id column,
+    ``{prefix}idx`` (0-based), ``{prefix}text`` (space-rejoined tokens),
+    and ``{prefix}tokens`` (chunk token count; only the final chunk of a
+    document may be short). Empty documents produce no chunks.
+
+    Chunk starts are ``1, 1+stride, ...`` (``stride = chunk_tokens -
+    overlap``) while ``start <= max(n_tokens - overlap, 1)`` — so every
+    token is covered and no chunk is pure overlap.
+    """
+    if chunk_tokens < 1:
+        raise TransformationError(f"chunk_tokens must be >= 1: {chunk_tokens}")
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise TransformationError(
+            f"overlap must be in [0, chunk_tokens): {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__tk") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    p = out_prefix
+    exploded = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .filter(F.size("__tk") > 0)
+        .select(F.col(id_col), F.col("__tk"), F.posexplode(starts))
+    )
+    chunk = F.slice(F.col("__tk"), F.col("col"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias(p + "idx"),
+        F.array_join(chunk, " ").alias(p + "text"),
+        F.size(chunk).cast("long").alias(p + "tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_count_col: str | Column,
+    max_tokens: int,
+    shards: int = 64,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid end-to-end
+    in ``key_col`` order and cut every ``max_tokens`` tokens; each row
+    gets the sequence it *starts* in and its token offset there.
+
+    Adds ``pack_shard``, ``pack_seq`` (0-based within the shard), and
+    ``pack_offset``. A document longer than ``max_tokens`` spans
+    sequences; it is assigned where it starts (the trainer's splitter
+    handles spill, exactly like GPT-style pretraining packing).
+
+    Sharding: a global ordered window is a single-task bottleneck, so
+    rows are split into ``shards`` independent packing streams by
+    ``key % shards`` (or an explicit ``shard_col``). Each shard's
+    sequences are dense from 0; global sequence ids are the
+    (pack_shard, pack_seq) pair.
+    """
+    if max_tokens < 1:
+        raise TransformationError(f"max_tokens must be >= 1: {max_tokens}")
+    if shards < 1:
+        raise TransformationError(f"shards must be >= 1: {shards}")
+    tc = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    shard = (
+        F.col(shard_col)
+        if shard_col is not None
+        else F.pmod(F.col(key_col).cast("bigint"), F.lit(shards))
+    )
+    out = df.withColumn("pack_shard", shard.cast("bigint"))
+    w = Window.partitionBy("pack_shard").orderBy(F.col(key_col))
+    start = (F.sum(tc).over(w) - tc).cast("bigint")
+    return out.withColumn(
+        "pack_seq", F.floor(start / max_tokens).cast("bigint")
+    ).withColumn("pack_offset", (start % max_tokens).cast("bigint"))
+
+
+def token_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: int | None = None,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Corpus-wide token frequency: ``(token, freq)`` rows, optionally
+    lower-cased, filtered to ``freq >= min_count``, and cut to the
+    ``top_k`` most frequent (ties broken by token ascending, so the
+    result is deterministic)."""
+    toks = tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    out = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("freq") >= min_count)
+    if top_k is not None:
+        out = out.orderBy(F.col("freq").desc(), F.col("token")).limit(top_k)
+    return out
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float | None = None,
+    fractions: dict[str, float] | None = None,
+    strata_col: str | None = None,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic sampling by content hash: keep a row iff the first
+    8 hex chars of ``md5(key || salt)`` fall below the fraction
+    threshold. The same keys are kept on every run and on any engine —
+    the reproducible alternative to seeded ``rand()`` sampling, and the
+    standard way to mix corpus sources at fixed proportions
+    (``fractions`` per ``strata_col`` value, ``default_fraction`` for
+    unlisted strata).
+    """
+    if (fraction is None) == (fractions is None):
+        raise TransformationError(
+            "hash_sample needs exactly one of fraction / fractions"
+        )
+    if fractions is not None and strata_col is None:
+        raise TransformationError("fractions requires strata_col")
+
+    def _threshold(f: float) -> str:
+        if not 0.0 <= f <= 1.0:
+            raise TransformationError(f"fraction must be in [0, 1]: {f}")
+        # fraction 1.0 can't be an 8-hex-char bound; "g" sorts after
+        # every hex digit, so `bucket < "g"` keeps all rows
+        return "g" if f >= 1.0 else format(int(f * 16**8), "08x")
+
+    bucket = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    if fraction is not None:
+        return df.filter(bucket < F.lit(_threshold(fraction)))
+    limit: Column = F.lit(_threshold(default_fraction))
+    for value, f in sorted(fractions.items()):
+        limit = F.when(
+            F.col(strata_col) == value, F.lit(_threshold(f))
+        ).otherwise(limit)
+    return df.filter(bucket < limit)
+
+
+def _opt_int(opts: dict, key: str, default: int) -> int:
+    try:
+        return int(opts.get(key, default))
+    except (TypeError, ValueError):
+        raise TransformationError(f"{key} must be an integer: {opts.get(key)!r}")
+
+
+class ChunkTransformer:
+    """Registry adapter (``type: chunk``). Options: ``idColumn``,
+    ``textColumn`` (default ``text``), ``chunkTokens`` (default 512),
+    ``overlap`` (default 0)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if opts.get("idColumn", "") not in df.columns:
+            errors.append(f"idColumn not in input schema: {opts.get('idColumn')!r}")
+        if opts.get("textColumn", "text") not in df.columns:
+            errors.append(f"textColumn not in input schema: {opts.get('textColumn')!r}")
+        try:
+            ct = _opt_int(opts, "chunkTokens", 512)
+            ov = _opt_int(opts, "overlap", 0)
+            if ct < 1 or ov < 0 or ov >= ct:
+                errors.append("need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
+        except TransformationError as e:
+            errors.append(str(e))
+        return ValidationResult.fail(*errors) if errors else ValidationResult.ok()
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError("chunk config invalid: " + "; ".join(result.errors))
+        opts = config.options
+        return chunk_documents(
+            df,
+            id_col=opts["idColumn"],
+            text_col=opts.get("textColumn", "text"),
+            chunk_tokens=_opt_int(opts, "chunkTokens", 512),
+            overlap=_opt_int(opts, "overlap", 0),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"chunk({opts})"
+
+
+class PackTransformer:
+    """Registry adapter (``type: pack``). Options: ``keyColumn``,
+    ``tokenCountColumn``, ``maxTokens``, optional ``shards`` (default
+    64) / ``shardColumn``."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for key in ("keyColumn", "tokenCountColumn"):
+            if opts.get(key, "") not in df.columns:
+                errors.append(f"{key} not in input schema: {opts.get(key)!r}")
+        sc = opts.get("shardColumn")
+        if sc is not None and sc not in df.columns:
+            errors.append(f"shardColumn not in input schema: {sc!r}")
+        try:
+            if _opt_int(opts, "maxTokens", 0) < 1:
+                errors.append("maxTokens must be >= 1")
+            if _opt_int(opts, "shards", 64) < 1:
+                errors.append("shards must be >= 1")
+        except TransformationError as e:
+            errors.append(str(e))
+        return ValidationResult.fail(*errors) if errors else ValidationResult.ok()
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError("pack config invalid: " + "; ".join(result.errors))
+        opts = config.options
+        return pack_sequences(
+            df,
+            key_col=opts["keyColumn"],
+            token_count_col=opts["tokenCountColumn"],
+            max_tokens=_opt_int(opts, "maxTokens", 0),
+            shards=_opt_int(opts, "shards", 64),
+            shard_col=opts.get("shardColumn"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"pack({opts})"
+
+
+class TokenFrequencyTransformer:
+    """Registry adapter (``type: token_frequency``). Options:
+    ``textColumn`` (default ``text``), ``minCount`` (default 1),
+    ``topK`` (optional), ``lowercase`` (default false)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if opts.get("textColumn", "text") not in df.columns:
+            errors.append(f"textColumn not in input schema: {opts.get('textColumn')!r}")
+        try:
+            if _opt_int(opts, "minCount", 1) < 1:
+                errors.append("minCount must be >= 1")
+            if "topK" in opts and _opt_int(opts, "topK", 0) < 1:
+                errors.append("topK must be >= 1")
+        except TransformationError as e:
+            errors.append(str(e))
+        return ValidationResult.fail(*errors) if errors else ValidationResult.ok()
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "token_frequency config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return token_frequency(
+            df,
+            text_col=opts.get("textColumn", "text"),
+            min_count=_opt_int(opts, "minCount", 1),
+            top_k=_opt_int(opts, "topK", 0) if "topK" in opts else None,
+            lowercase=str(opts.get("lowercase", "false")).lower() == "true",
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"token_frequency({opts})"
+
+
+class HashSampleTransformer:
+    """Registry adapter (``type: hash_sample``). Options: ``keyColumn``,
+    either ``fraction`` or ``fractions: "src0:0.5,src1:0.2"`` +
+    ``strataColumn`` (+ optional ``defaultFraction``), optional
+    ``salt``."""
+
+    @staticmethod
+    def _parse_fractions(spec: str) -> dict[str, float]:
+        from etl_spark_gradle_spark.operators.relational import split_top_level
+
+        out: dict[str, float] = {}
+        for part in split_top_level(spec):
+            if not part.strip():
+                continue
+            name, _, f = part.partition(":")
+            out[name.strip()] = float(f)
+        return out
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if opts.get("keyColumn", "") not in df.columns:
+            errors.append(f"keyColumn not in input schema: {opts.get('keyColumn')!r}")
+        has_frac = "fraction" in opts
+        has_fracs = "fractions" in opts
+        if has_frac == has_fracs:
+            errors.append("need exactly one of fraction / fractions")
+        if has_fracs:
+            if opts.get("strataColumn", "") not in df.columns:
+                errors.append(
+                    f"strataColumn not in input schema: {opts.get('strataColumn')!r}"
+                )
+            try:
+                self._parse_fractions(opts["fractions"])
+            except ValueError:
+                errors.append("fractions must be 'value:fraction' pairs")
+        if has_frac:
+            try:
+                f = float(opts["fraction"])
+                if not 0.0 <= f <= 1.0:
+                    errors.append("fraction must be in [0, 1]")
+            except (TypeError, ValueError):
+                errors.append(f"fraction must be a number: {opts.get('fraction')!r}")
+        return ValidationResult.fail(*errors) if errors else ValidationResult.ok()
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "hash_sample config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        if "fraction" in opts:
+            return hash_sample(
+                df,
+                key_col=opts["keyColumn"],
+                fraction=float(opts["fraction"]),
+                salt=opts.get("salt", ""),
+            )
+        return hash_sample(
+            df,
+            key_col=opts["keyColumn"],
+            fractions=self._parse_fractions(opts["fractions"]),
+            strata_col=opts["strataColumn"],
+            salt=opts.get("salt", ""),
+            default_fraction=float(opts.get("defaultFraction", 0.0)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"hash_sample({opts})"

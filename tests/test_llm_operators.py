@@ -538,3 +538,149 @@ def test_pii_transformer_modes(spark):
     assert not tf.validate(df, bad).is_valid
     bad2 = TransformationConfig(type="pii", options={"kinds": "ssn"})
     assert not tf.validate(df, bad2).is_valid
+
+
+# -- corpus assembly: chunk / pack / vocab / hash sampling ------------------
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from etl_spark_gradle_spark.operators import corpus as cp
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")], ["doc_id", "text"]
+    )
+    out = cp.chunk_documents(df, "doc_id", chunk_tokens=3, overlap=1)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_tokens) for r in out.collect())
+    )
+    assert rows == [
+        (1, 0, "a b c", 3),
+        (1, 1, "c d e", 3),
+        (1, 2, "e f g", 3),
+        (2, 0, "x y", 2),
+    ]  # empty doc -> no chunks; short doc -> one short chunk
+    # no overlap: disjoint cover
+    plain = cp.chunk_documents(df, "doc_id", chunk_tokens=4)
+    got = {(r.doc_id, r.chunk_idx): r.chunk_text for r in plain.collect()}
+    assert got[(1, 0)] == "a b c d" and got[(1, 1)] == "e f g"
+    with pytest.raises(TransformationError):
+        cp.chunk_documents(df, "doc_id", chunk_tokens=0)
+    with pytest.raises(TransformationError):
+        cp.chunk_documents(df, "doc_id", chunk_tokens=3, overlap=3)
+
+
+def test_pack_sequences_running_layout(spark):
+    from etl_spark_gradle_spark.operators import corpus as cp
+
+    # one shard -> pure concat-and-split layout in key order
+    df = spark.createDataFrame(
+        [(1, 30), (2, 50), (3, 10), (4, 40)], ["doc_id", "nt"]
+    )
+    out = {
+        r.doc_id: (r.pack_seq, r.pack_offset)
+        for r in cp.pack_sequences(df, "doc_id", "nt", max_tokens=64, shards=1).collect()
+    }
+    # starts: 0, 30, 80, 90 -> seq 0,0,1,1; offsets 0,30,16,26
+    assert out == {1: (0, 0), 2: (0, 30), 3: (1, 16), 4: (1, 26)}
+    # sharding: same totals, independent streams
+    sharded = cp.pack_sequences(df, "doc_id", "nt", max_tokens=64, shards=2)
+    assert sharded.select("pack_shard").distinct().count() == 2
+    assert sharded.filter("pack_offset >= 64 OR pack_offset < 0").count() == 0
+
+
+def test_token_frequency_topk_deterministic(spark):
+    from etl_spark_gradle_spark.operators import corpus as cp
+
+    df = spark.createDataFrame(
+        [(1, "a b a C c"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = [(r.token, r.freq) for r in cp.token_frequency(df, top_k=3).collect()]
+    assert out == [("a", 3), ("b", 2), ("C", 1)]  # ties break token-asc
+    low = {
+        r.token: r.freq
+        for r in cp.token_frequency(df, lowercase=True, min_count=2).collect()
+    }
+    assert low == {"a": 3, "b": 2, "c": 2}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from etl_spark_gradle_spark.operators import corpus as cp
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k").withColumn(
+        "src", (F.col("k") % 2).cast("string")
+    )
+    half = cp.hash_sample(df, "k", fraction=0.5)
+    assert half.exceptAll(cp.hash_sample(df, "k", fraction=0.5)).count() == 0
+    assert abs(half.count() / 2000 - 0.5) < 0.05
+    # nested fractions: a 0.25 sample is a subset of the 0.5 sample
+    quarter = cp.hash_sample(df, "k", fraction=0.25)
+    assert quarter.join(half, "k", "left_anti").count() == 0
+    # full keep / full drop
+    assert cp.hash_sample(df, "k", fraction=1.0).count() == 2000
+    assert cp.hash_sample(df, "k", fraction=0.0).count() == 0
+    strat = cp.hash_sample(
+        df, "k", fractions={"0": 1.0}, strata_col="src", default_fraction=0.0
+    )
+    assert strat.count() == 1000 and strat.filter("src <> '0'").count() == 0
+    with pytest.raises(TransformationError):
+        cp.hash_sample(df, "k")
+    with pytest.raises(TransformationError):
+        cp.hash_sample(df, "k", fraction=0.5, fractions={"0": 1.0}, strata_col="src")
+    with pytest.raises(TransformationError):
+        cp.hash_sample(df, "k", fraction=1.5)
+
+
+def test_corpus_transformer_registry_surface(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s0", 4), (2, "x y", "s1", 2)],
+        ["doc_id", "text", "source", "nt"],
+    )
+    ctx = RunContext.create("t", spark)
+    chunk = TRANSFORMER_REGISTRY["chunk"].transform(
+        df,
+        TransformationConfig(
+            type="chunk", options={"idColumn": "doc_id", "chunkTokens": "2"}
+        ),
+        ctx,
+    )
+    assert chunk.count() == 3 and "chunk_text" in chunk.columns
+    pack = TRANSFORMER_REGISTRY["pack"].transform(
+        df,
+        TransformationConfig(
+            type="pack",
+            options={"keyColumn": "doc_id", "tokenCountColumn": "nt", "maxTokens": "4"},
+        ),
+        ctx,
+    )
+    assert {"pack_shard", "pack_seq", "pack_offset"} <= set(pack.columns)
+    freq = TRANSFORMER_REGISTRY["token_frequency"].transform(
+        df, TransformationConfig(type="token_frequency", options={"topK": "2"}), ctx
+    )
+    assert freq.count() == 2
+    samp = TRANSFORMER_REGISTRY["hash_sample"].transform(
+        df,
+        TransformationConfig(
+            type="hash_sample",
+            options={"keyColumn": "doc_id", "fractions": "s0:1.0", "strataColumn": "source"},
+        ),
+        ctx,
+    )
+    assert [r.doc_id for r in samp.collect()] == [1]
+    for bad_opts in (
+        {"idColumn": "nope"},
+        {"idColumn": "doc_id", "chunkTokens": "2", "overlap": "2"},
+    ):
+        assert not TRANSFORMER_REGISTRY["chunk"].validate(
+            df, TransformationConfig(type="chunk", options=bad_opts)
+        ).is_valid
+    assert not TRANSFORMER_REGISTRY["hash_sample"].validate(
+        df,
+        TransformationConfig(
+            type="hash_sample", options={"keyColumn": "doc_id"}
+        ),
+    ).is_valid

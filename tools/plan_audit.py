@@ -156,6 +156,30 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["partial_count", "partial_max"],
         ["BatchEvalPython", "ArrowEvalPython"],
     ),
+    (
+        "chunk_docs",
+        "chunking is narrow: expressions + generate, no shuffle",
+        ["Generate"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "pack_sequences",
+        "packing: ONE shuffle (hash by shard), windows within shards",
+        ["hashpartitioning(pack_shard"],
+        ["SinglePartition", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "token_frequency",
+        "vocab top-k: partial count before exchange, heap top-k (no global sort)",
+        ["partial_count", "TakeOrderedAndProject"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "hash_sample",
+        "hash sampling is a pure scan predicate: no shuffle, no UDF",
+        ["Filter"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
 ]
 
 
