@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 from pyspark.sql import functions as F
@@ -56,9 +57,16 @@ def _sf(sf_dir: str) -> float:
 
 def load(spark, name: str):
     if name == "events":
+        # ts has shipped as both TIMESTAMP(NANOS) (→ long via conf) and
+        # TIMESTAMP(MICROS) NTZ across testdata generations; normalize
+        # to a session-tz timestamp either way
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        if dict(df.dtypes)["ts"] == "bigint":
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
 
 
@@ -282,6 +290,33 @@ def main() -> None:
         ),
         flush=True,
     )
+
+    _check_regressions(timings)
+
+
+def _check_regressions(timings: dict[str, float]) -> None:
+    """Regression guard: fail (exit 1) when any query runs slower than
+    ``regression_factor`` x its BENCH_BASELINE.json floor — but only
+    when benchmarking the same scale factor the baseline was captured
+    at, so ad-hoc runs at other SFs stay informational."""
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    if not os.path.exists(baseline_path):
+        return
+    with open(baseline_path) as f:
+        baseline = json.load(f)
+    if abs(_sf(SF_DIR) - float(baseline.get("sf", -1))) > 1e-9:
+        return
+    factor = float(baseline.get("regression_factor", 2.0))
+    regressed = [
+        f"{name}: {timings[name]}s > {factor}x baseline {base}s"
+        for name, base in baseline.get("queries", {}).items()
+        if name in timings and timings[name] > factor * float(base)
+    ]
+    if regressed:
+        for line in regressed:
+            print(f"# REGRESSION {line}", file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -5,9 +5,12 @@ frame-sample stages as Arrow-batched ``mapInPandas`` operators.
 Beyond-reference operators (the reference has no binary/media surface;
 SURVEY.md §7.2 step 8 / BASELINE north star). The Spark-side plumbing —
 schemas, partitioning, UDF signatures, Arrow batch shapes — is real and
-tested; the actual pixel/sample decoding is STUBBED with a deterministic
-fake because image/audio libraries are not in this container (clearly
-marked below; drop-in replace ``_fake_decode`` with PIL/librosa calls).
+tested. Image dimension/channel decode is REAL for PNG/JPEG/GIF
+(``parse_image_dims``: pure-Python header reads, no imaging library
+needed). Pixel-level work (resize re-encode, embeddings, video demux)
+genuinely needs codecs absent from this container and stays STUBBED
+with deterministic fakes (clearly marked below; drop-in replace with
+PIL/librosa/pyav calls).
 
 100-TB design notes
 -------------------
@@ -109,33 +112,122 @@ IMAGE_DECODE_SCHEMA = StructType(
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """STUB decode — deterministic fake dimensions from the payload hash.
 
-    Real implementation: ``PIL.Image.open(io.BytesIO(payload)).size``.
-    The container has no imaging libraries, so tests exercise the full
-    Arrow path with this stand-in; swap the body, keep the signature.
+    Used only as the ``fallback="stub"`` path of :func:`decode_images`
+    for formats whose headers :func:`parse_image_dims` cannot read
+    (anything needing a real codec). PNG/JPEG/GIF are parsed for real.
     """
     h = hashlib.sha256(payload or b"").digest()
     return 64 + h[0] % 192, 64 + h[1] % 192, 3
 
 
+# PNG color type -> sample channels per pixel (spec: IHDR colour types)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers that carry frame dims (C4=DHT, C8=JPG, CC=DAC excluded)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_dims(payload: bytes | None) -> tuple[int, int, int, str] | None:
+    """REAL header parse for PNG / JPEG / GIF — pure-Python struct reads,
+    no imaging library needed (dimensions live at fixed header offsets):
+
+    - PNG: 8-byte signature, then the IHDR chunk is mandatory-first, so
+      width/height are big-endian u32 at bytes 16-24 and the colour type
+      (→ channel count) at byte 25.
+    - JPEG: walk the marker segments from SOI until a SOFn frame header;
+      height/width are big-endian u16 at offsets +5/+7 of the segment,
+      component count (channels) at +9.
+    - GIF: 6-byte version tag, then logical-screen width/height as
+      little-endian u16.
+
+    Returns ``(width, height, channels, format)`` or ``None`` when the
+    payload is not a parseable image (caller decides stub-vs-null).
+    """
+    if payload is None or len(payload) < 10:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 26:
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        channels = _PNG_CHANNELS.get(payload[25], 3)
+        return width, height, channels, "png"
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            # padding / standalone markers carry no length field
+            if marker in (0xFF, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                channels = payload[i + 9]
+                return width, height, channels, "jpeg"
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        return width, height, 3, "gif"
+    return None
+
+
 def decode_images(
-    df: DataFrame, id_col: str = "id", binary_col: str = "content"
+    df: DataFrame,
+    id_col: str = "id",
+    binary_col: str = "content",
+    fallback: str = "none",
 ) -> DataFrame:
     """Decode image payloads to (width, height, channels) via
     ``mapInPandas`` — one Arrow batch in, one out; payload column is
     projected away on output so downstream stages shuffle only metadata.
-    """
+
+    PNG/JPEG/GIF headers are parsed for REAL (``parse_image_dims``;
+    ``decode_status`` = ``ok:<format>``). Other formats need a codec the
+    container lacks: ``fallback="none"`` emits null dims with status
+    ``unsupported``; ``fallback="stub"`` emits deterministic fake dims
+    with status ``ok_stub`` (for plumbing tests)."""
     import pandas as pd
+
+    if fallback not in ("none", "stub"):
+        raise ValueError("fallback must be 'none' or 'stub'")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            dims = [_fake_decode(p) for p in pdf[binary_col]]
+            widths, heights, chans, status = [], [], [], []
+            for p in pdf[binary_col]:
+                parsed = parse_image_dims(p)
+                if parsed is not None:
+                    w, h, c, fmt = parsed
+                    widths.append(w)
+                    heights.append(h)
+                    chans.append(c)
+                    status.append(f"ok:{fmt}")
+                elif fallback == "stub":
+                    w, h, c = _fake_decode(p)
+                    widths.append(w)
+                    heights.append(h)
+                    chans.append(c)
+                    status.append("ok_stub")
+                else:
+                    widths.append(None)
+                    heights.append(None)
+                    chans.append(None)
+                    status.append("unsupported")
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
-                    "decode_status": ["ok_stub"] * len(pdf),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "channels": pd.array(chans, dtype="Int32"),
+                    "decode_status": status,
                 }
             )
 

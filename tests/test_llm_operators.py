@@ -193,6 +193,49 @@ def test_ivf_topk_recall_vs_brute_force(emb):
     assert all(len(v) == 5 for v in by_q.values())
 
 
+def test_lsh_topk_tuned_config_high_recall(emb):
+    """Tuned recall target: at num_bits=32 / bands=16 (r=2 bits/band)
+    the band-collision probability for true neighbors is high enough
+    that recall@10 vs brute force is 1.0 on the seeded sf0.001
+    embeddings (measured; deterministic hyperplanes, seed=42). Pin a
+    >= 0.9 floor so hashing/banding regressions surface immediately.
+    The cost knob: r=2 admits more candidates than the b=8/r=4 default
+    — the documented recall-vs-candidate-volume trade."""
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in sim.lsh_bucketed_topk(
+                  emb, queries, k=10, dim=64, num_bits=32, bands=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"tuned LSH recall dropped: {recall}"
+
+
+def test_ivf_topk_nprobe_monotonic_recall(emb):
+    """More probed cells can only widen the scanned candidate set, so
+    recall@10 must be monotonically non-decreasing in nprobe (measured
+    on seeded data: ~0.41 at nprobe=4 -> ~0.70 at nprobe=8 -> 1.0 at
+    nprobe=num_cells, where IVF degenerates to exact brute force)."""
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.brute_force_topk(emb, queries, k=10).collect()}
+
+    def recall(nprobe):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in sim.ivf_topk(
+                      emb, queries, k=10, num_cells=16, nprobe=nprobe).collect()}
+        return len(exact & approx) / len(exact)
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    assert r4 <= r8 <= r16, f"recall not monotonic in nprobe: {r4}, {r8}, {r16}"
+    assert r16 == 1.0, f"nprobe=num_cells must equal brute force, got {r16}"
+    assert r8 >= 0.55, f"nprobe=8 recall floor regressed: {r8}"
+
+
 def test_embedding_cosine_dups_lsh_vs_exact(emb):
     exact = {
         (r.id_a, r.id_b)
@@ -240,18 +283,64 @@ def test_media_metadata_png_magic(spark):
     assert len(rows[1].sha256) == 64
 
 
-def test_decode_images_stub_schema(spark):
-    df = spark.createDataFrame([(1, b"abc"), (2, b"defg")], ["id", "content"])
+def _png_bytes(w: int, h: int, color_type: int = 6) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+
+
+def _jpeg_bytes(w: int, h: int, ncomp: int = 3) -> bytes:
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0\x00\x11\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ncomp])
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_dims_real_headers():
+    assert mm.parse_image_dims(_png_bytes(640, 480)) == (640, 480, 4, "png")
+    assert mm.parse_image_dims(_png_bytes(1, 70000, color_type=2)) == (1, 70000, 3, "png")
+    assert mm.parse_image_dims(_jpeg_bytes(1920, 1080)) == (1920, 1080, 3, "jpeg")
+    assert mm.parse_image_dims(_jpeg_bytes(8, 8, ncomp=1)) == (8, 8, 1, "jpeg")
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    assert mm.parse_image_dims(gif) == (320, 200, 3, "gif")
+    assert mm.parse_image_dims(b"not an image at all") is None
+    assert mm.parse_image_dims(None) is None
+    assert mm.parse_image_dims(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    # truncated PNG signature-only payload must not crash
+    assert mm.parse_image_dims(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+
+
+def test_decode_images_real_and_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, _png_bytes(100, 50)), (2, _jpeg_bytes(64, 32)), (3, b"unknownpayload")],
+        ["id", "content"],
+    )
     out = mm.decode_images(df)
     assert out.schema.simpleString() == (
         "struct<id:bigint,width:int,height:int,channels:int,decode_status:string>"
     )
-    rows = out.collect()
-    assert len(rows) == 2
-    assert all(r.decode_status == "ok_stub" for r in rows)
-    # deterministic fake: same payload -> same dims
-    again = {r.id: (r.width, r.height) for r in mm.decode_images(df).collect()}
-    assert again == {r.id: (r.width, r.height) for r in rows}
+    rows = {r.id: r for r in out.collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (100, 50, 4)
+    assert rows[1].decode_status == "ok:png"
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (64, 32, 3)
+    assert rows[2].decode_status == "ok:jpeg"
+    assert rows[3].width is None and rows[3].decode_status == "unsupported"
+    # stub fallback keeps the deterministic-fake plumbing path alive
+    stub = {r.id: r for r in mm.decode_images(df, fallback="stub").collect()}
+    assert stub[3].decode_status == "ok_stub" and stub[3].width is not None
+    assert stub[1].decode_status == "ok:png"  # real parse still wins
+    again = {r.id: (r.width, r.height) for r in mm.decode_images(df, fallback="stub").collect()}
+    assert again == {r.id: (r.width, r.height) for r in stub.values()}
 
 
 def test_embed_media_dim(spark):

@@ -422,19 +422,34 @@ def test_inline_aggregation_parser_forms():
         _parse_inline_aggregations("missing_alias(sum(x))", "t")
 
 
-def test_nanos_parquet_opt_in(spark, sf_dir):
-    """TIMESTAMP(NANOS) parquet (events.parquet) reads via the
-    nanosAsLong opt-in and converts downstream with a map expression."""
+def test_nanos_parquet_opt_in(spark, tmp_path):
+    """TIMESTAMP(NANOS) parquet reads via the nanosAsLong opt-in and
+    converts downstream with a map expression. (The file is synthesized
+    with pyarrow ns-timestamps — testdata's events.parquet has shipped
+    both NANOS and MICROS encodings across generations, so the test
+    pins its own input.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from etl_spark_gradle_spark.operators.relational import map_columns, parse_map_expressions
     from etl_spark_gradle_spark.sources.extractors import extract_file
 
+    path = str(tmp_path / "nanos.parquet")
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([1735689600_000_000_000, 1735689660_000_000_000],
+                           type=pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, path, store_schema=False)
+
     df = extract_file(
-        spark,
-        {"path": f"{sf_dir}/events.parquet", "format": "parquet", "nanosAsLong": "true"},
+        spark, {"path": path, "format": "parquet", "nanosAsLong": "true"}
     )
     assert dict(df.dtypes)["ts"] == "bigint"
     out = map_columns(
         df, parse_map_expressions("event_time:timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
     )
     row = out.select("event_time").first()
-    assert str(row.event_time).startswith("20")  # a real timestamp
+    assert str(row.event_time).startswith("2025-01-01")
