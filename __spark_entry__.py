@@ -437,6 +437,50 @@ HAVING make_timestamp((bucket + 600) * 1000000) <= (SELECT MAX(ts) FROM events)
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming bounded-state dedup:
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) over the
+    staged events stream, drained with availableNow. The surviving ROW
+    per key depends on stream order, so the query projects the deduped
+    keys only — an order-independent result the DuckDB oracle matches
+    with SELECT DISTINCT. Within one availableNow batch the watermark
+    hasn't advanced, so no key evicts mid-run and the output is exactly
+    the distinct key set (state-eviction semantics are covered by unit
+    tests in tests/test_streaming.py)."""
+    import shutil
+
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"sdedup_src_{run}")
+    out_path = os.path.join(_SCRATCH, f"sdedup_out_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    stream = _normalize_event_ts(spark.readStream.schema(schema).parquet(src_dir))
+    deduped = st.stream_dedup(
+        stream, keys=["user_id", "event_type"], time_column="ts",
+        watermark_delay="10 minutes",
+    ).select("user_id", "event_type")
+    st.write_stream(
+        deduped,
+        {
+            "path": out_path,
+            "checkpointLocation": os.path.join(_SCRATCH, f"sdedup_ckpt_{run}"),
+            "format": "parquet",
+            "trigger": "availableNow",
+        },
+        output_mode="append",
+        await_termination=True,
+    )
+    return spark.read.parquet(out_path)
+
+
+_STREAMING_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization of
     the events table via ``applyInPandasWithState`` (30-min gap), run as
@@ -1972,6 +2016,76 @@ FROM documents
 """
 
 
+def _le_hex(col, nbytes: int):
+    """Little-endian hex of a non-negative int column, ``nbytes`` wide —
+    byte-swaps the big-endian ``hex()`` so binary headers with LE fields
+    (RIFF/WAV) can be built with pure Catalyst concat/unhex."""
+    be = F.lpad(F.hex(col), nbytes * 2, "0")
+    return F.concat(*[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)])
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end verifiable (same pattern as
+    `image_decode`): construct valid RIFF/WAVE headers JVM-side with
+    little-endian fmt/data fields derived from table columns, parse
+    them back with the pure-Python RIFF chunk walker inside the Arrow
+    `mapInPandas` stage, and let the oracle predict (sample_rate,
+    channels, bits, duration) from the same column arithmetic."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sample_rate = (F.lit(8000) + (F.col("doc_id") % 5) * 8000).cast("int")
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    data_len = ((F.col("n_chars") % 1000 + 100) * 4).cast("int")
+    byte_rate = (sample_rate * channels * 2).cast("int")
+    block_align = (channels * 2).cast("int")
+    wav = F.unhex(
+        F.concat(
+            F.lit("52494646"),                      # "RIFF"
+            _le_hex(data_len + 36, 4),              # riff size
+            F.lit("57415645"),                      # "WAVE"
+            F.lit("666D7420"), F.lit("10000000"),   # "fmt ", len 16 LE
+            F.lit("0100"),                          # PCM
+            _le_hex(channels, 2),
+            _le_hex(sample_rate, 4),
+            _le_hex(byte_rate, 4),
+            _le_hex(block_align, 2),
+            F.lit("1000"),                          # 16 bits/sample LE
+            F.lit("64617461"),                      # "data"
+            _le_hex(data_len, 4),
+            # header-only payload: the parser reads chunk lengths, not
+            # sample bytes, exactly like a footer/metadata scan at scale
+        )
+    )
+    media = docs.select(F.col("doc_id").alias("id"), wav.alias("content"))
+    out = mm.decode_audio(media, id_col="id", binary_col="content")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("bits_per_sample").cast("long").alias("bits_per_sample"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "decode_status",
+    )
+
+
+_AUDIO_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 5) * 8000 AS sample_rate,
+         1 + doc_id % 2 AS channels,
+         (n_chars % 1000 + 100) * 4 AS data_len
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits_per_sample,
+       CAST((data_len * 1000) // (sample_rate * channels * 2) AS BIGINT) AS duration_ms,
+       'ok:wav' AS decode_status
+FROM p
+"""
+
+
 def q_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas resize plumbing (stub core; fixed-dim output payload,
     input payload projected away) → rows-only check."""
@@ -2060,7 +2174,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "top_bigram": q_top_bigram,
         "pii_scan": q_pii_scan,
@@ -2074,7 +2187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "multimodal_meta": q_multimodal_meta,
         "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
         # ---------- position 51+ (still oracle-checked locally) ----------
+        "fingerprint": q_fingerprint,
         "hash_sample": q_hash_sample,
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -2082,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
         "sessionize": q_sessionize,
+        "streaming_dedup": q_streaming_dedup,
         "json_extract": q_json_extract,
         "asof_nearest": q_asof_nearest,
         "cube": q_cube,
@@ -2134,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "window_sliding": _WINDOW_SLIDING_ORACLE,
         "window_session": _WINDOW_SESSION_ORACLE,
         "streaming_window": _STREAMING_WINDOW_ORACLE,
+        "streaming_dedup": _STREAMING_DEDUP_ORACLE,
         "ranking": (
             "SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM ("
             "SELECT o_orderpriority, o_orderkey, o_totalprice, "
@@ -2294,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dups": _EMBEDDING_DUPS_ORACLE,
         "multimodal_meta": _MULTIMODAL_META_ORACLE,
         "image_decode": _IMAGE_DECODE_ORACLE,
+        "audio_decode": _AUDIO_DECODE_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "top_bigram": _TOP_BIGRAM_ORACLE,
         "pii_scan": _pii_oracle(),

@@ -18,6 +18,8 @@ And the extension-operator shapes:
                       MicroBatchPerformanceSpec.scala:246-268, as an
                       ordered-window workload)
 8. q8_pivot         — single-shuffle conditional-agg pivot
+9. q9_image_decode  — Arrow mapInPandas real-header image decode
+                      (multimodal hot path; JVM-side header build)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 Each query runs once after a shared session warm-up; timing wraps the
@@ -177,6 +179,27 @@ def q8_pivot(spark):
     )
 
 
+def q9_image_decode(spark):
+    """Arrow mapInPandas throughput: build PNG headers JVM-side from the
+    documents table, parse dims back in Python batches (the real-decode
+    path of the `image_decode` driver query)."""
+    from etl_spark_gradle_spark.operators import multimodal as mm
+
+    docs = load(spark, "documents")
+    w = (F.col("n_chars") % 500 + 16).cast("int")
+    h = (F.col("doc_id") % 300 + 16).cast("int")
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("0806000000"),
+        )
+    )
+    media = docs.select(F.col("doc_id").alias("id"), png.alias("content"))
+    return mm.decode_images(media)
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -186,6 +209,7 @@ QUERIES = {
     "q6_cosine_topk": q6_cosine_topk,
     "q7_analytics": q7_analytics,
     "q8_pivot": q8_pivot,
+    "q9_image_decode": q9_image_decode,
 }
 
 

@@ -22,6 +22,12 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     pack_sequences,
     token_frequency,
 )
+from etl_spark_gradle_spark.operators.multimodal import (  # noqa: F401
+    MultimodalTransformer,
+    decode_audio,
+    decode_images,
+    with_media_metadata,
+)
 from etl_spark_gradle_spark.operators.pii import PiiTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
@@ -93,6 +99,7 @@ TRANSFORMER_REGISTRY = {
     "pack": PackTransformer(),
     "token_frequency": TokenFrequencyTransformer(),
     "hash_sample": HashSampleTransformer(),
+    "multimodal": MultimodalTransformer(),
 }
 
 

@@ -44,8 +44,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     across the cluster when the input arrives under-partitioned (e.g. a
     single small parquet file → 1 partition → 1 core does everything).
     A no-op at scale: inputs with >= defaultParallelism splits pass
-    through untouched, so no extra shuffle lands on the 100 TB path."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    through untouched, so no extra shuffle lands on the 100 TB path.
+
+    The ``df.rdd.getNumPartitions()`` probe forces plan analysis (cheap
+    and bounded, but once per operator call). On a cluster where inputs
+    are known to be well-split, disable the probe entirely with
+    ``spark.conf.set("spark.etlgradle.ensureParallelism", "false")``."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.etlgradle.ensureParallelism", "true").lower() == "false":
+        return df
+    target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -234,6 +234,94 @@ def decode_images(
     return df.select(id_col, binary_col).mapInPandas(batches, IMAGE_DECODE_SCHEMA)
 
 
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+
+def parse_audio_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    """REAL header parse for WAV (RIFF/WAVE) — pure-Python struct reads.
+
+    Walks the RIFF chunk list: the mandatory ``fmt `` chunk carries
+    channels (u16 LE @ +2), sample rate (u32 LE @ +4) and bits/sample
+    (u16 LE @ +14); the ``data`` chunk's byte length over the byte rate
+    gives the duration. Returns ``(sample_rate, channels,
+    bits_per_sample, duration_ms)`` or ``None`` for non-WAV payloads
+    (compressed codecs like mp3/ogg genuinely need a decoder and go
+    through the stub path instead)."""
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    sample_rate = channels = bits = None
+    data_len = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(payload):
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_len = clen
+        # chunks are word-aligned: odd lengths carry a pad byte
+        i += 8 + clen + (clen & 1)
+    if not sample_rate or not channels or not bits:
+        return None
+    byte_rate = sample_rate * channels * (bits // 8)
+    duration_ms = (data_len or 0) * 1000 // byte_rate if byte_rate else 0
+    return sample_rate, channels, bits, duration_ms
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "id", binary_col: str = "content"
+) -> DataFrame:
+    """Decode audio payloads to (sample_rate, channels, bits_per_sample,
+    duration_ms) via ``mapInPandas`` — WAV headers parsed for real
+    (``parse_audio_meta``); compressed formats report ``unsupported``
+    with null fields (they need codecs this container lacks). Payload
+    projected away on output, same as :func:`decode_images`."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            sr, ch, bits, dur, status = [], [], [], [], []
+            for p in pdf[binary_col]:
+                parsed = parse_audio_meta(p)
+                if parsed is not None:
+                    sr.append(parsed[0])
+                    ch.append(parsed[1])
+                    bits.append(parsed[2])
+                    dur.append(parsed[3])
+                    status.append("ok:wav")
+                else:
+                    sr.append(None)
+                    ch.append(None)
+                    bits.append(None)
+                    dur.append(None)
+                    status.append("unsupported")
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.array(sr, dtype="Int32"),
+                    "channels": pd.array(ch, dtype="Int32"),
+                    "bits_per_sample": pd.array(bits, dtype="Int32"),
+                    "duration_ms": pd.array(dur, dtype="Int64"),
+                    "decode_status": status,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, AUDIO_DECODE_SCHEMA)
+
+
 MEDIA_EMBED_SCHEMA = StructType(
     [
         StructField("id", LongType()),
@@ -308,6 +396,85 @@ def sample_frames(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+class MultimodalTransformer:
+    """Registry adapter (``type: multimodal``). Options:
+
+    - ``operation`` (required): ``metadata`` | ``decode_image`` |
+      ``decode_audio`` | ``resize`` | ``frame_sample`` | ``embed``
+    - ``binaryColumn`` (default ``content``), ``idColumn`` (default
+      ``id``; required by every operation except ``metadata``)
+    - ``metadata``: ``outColumn`` (default ``media_meta``) — annotates
+      in place (JVM-side, no Python)
+    - ``decode_image`` extra: ``fallback`` = none|stub
+    - ``resize`` extra: ``targetWidth``/``targetHeight`` (default 224)
+    - ``frame_sample`` extra: ``everyMs`` (1000), ``maxFrames`` (8)
+    - ``embed`` extra: ``dim`` (16)
+
+    Decode/resize/frame/embed REPLACE the frame with the stage's output
+    schema (payloads are projected away — downstream steps shuffle
+    features, not bytes; see module 100-TB notes)."""
+
+    _OPS = ("metadata", "decode_image", "decode_audio", "resize", "frame_sample", "embed")
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        opts = config.options
+        op = opts.get("operation", "").lower()
+        errors = []
+        if op not in self._OPS:
+            errors.append(f"multimodal operation must be one of {self._OPS}, got '{op}'")
+        bc = opts.get("binaryColumn", "content")
+        if bc not in df.columns:
+            errors.append(f"binaryColumn not in input schema: {bc}")
+        if op and op != "metadata":
+            ic = opts.get("idColumn", "id")
+            if ic not in df.columns:
+                errors.append(f"idColumn not in input schema: {ic}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            from etl_spark_gradle_spark.operators.relational import TransformationError
+
+            raise TransformationError(
+                "multimodal config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        op = opts["operation"].lower()
+        bc = opts.get("binaryColumn", "content")
+        ic = opts.get("idColumn", "id")
+        if op == "metadata":
+            return with_media_metadata(df, bc, opts.get("outColumn", "media_meta"))
+        if op == "decode_image":
+            return decode_images(df, id_col=ic, binary_col=bc,
+                                 fallback=opts.get("fallback", "none"))
+        if op == "decode_audio":
+            return decode_audio(df, id_col=ic, binary_col=bc)
+        if op == "resize":
+            return resize_images(
+                df,
+                target_width=int(opts.get("targetWidth", 224)),
+                target_height=int(opts.get("targetHeight", 224)),
+                id_col=ic,
+                binary_col=bc,
+            )
+        if op == "frame_sample":
+            return sample_frames(
+                df,
+                id_col=ic,
+                binary_col=bc,
+                every_ms=int(opts.get("everyMs", 1000)),
+                max_frames=int(opts.get("maxFrames", 8)),
+            )
+        return embed_media(df, id_col=ic, binary_col=bc, dim=int(opts.get("dim", 16)))
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"multimodal({opts})"
 
 
 RESIZE_SCHEMA = StructType(

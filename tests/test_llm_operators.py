@@ -28,6 +28,18 @@ def docs(spark):
 # -- dedup ------------------------------------------------------------------
 
 
+def test_ensure_parallelism_conf_opt_out(spark):
+    from etl_spark_gradle_spark.operators.dedup import _ensure_parallelism
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"]).coalesce(1)
+    assert _ensure_parallelism(df).rdd.getNumPartitions() > 1
+    spark.conf.set("spark.etlgradle.ensureParallelism", "false")
+    try:
+        assert _ensure_parallelism(df).rdd.getNumPartitions() == 1
+    finally:
+        spark.conf.unset("spark.etlgradle.ensureParallelism")
+
+
 def test_exact_dedup_content_hash(docs):
     out = dd.exact_dedup(docs, content_col="text", tiebreak_col="doc_id")
     kept = sorted(r.doc_id for r in out.collect())
@@ -343,6 +355,56 @@ def test_decode_images_real_and_fallback(spark):
     assert again == {r.id: (r.width, r.height) for r in stub.values()}
 
 
+def _wav_bytes(sample_rate: int, channels: int, bits: int, data_len: int) -> bytes:
+    byte_rate = sample_rate * channels * (bits // 8)
+    return (
+        b"RIFF"
+        + (36 + data_len).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + b"data"
+        + data_len.to_bytes(4, "little")
+        + b"\x00" * data_len
+    )
+
+
+def test_parse_audio_meta_wav():
+    # 1 s of 44.1 kHz stereo 16-bit: data = 44100*2*2 bytes
+    wav = _wav_bytes(44100, 2, 16, 44100 * 2 * 2)
+    assert mm.parse_audio_meta(wav) == (44100, 2, 16, 1000)
+    # mono 8 kHz, half a second
+    assert mm.parse_audio_meta(_wav_bytes(8000, 1, 16, 8000)) == (8000, 1, 16, 500)
+    # extra chunk before fmt (LIST) still parses; odd-length pad honored
+    wav2 = (
+        b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+        + b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"  # odd len + pad
+        + _wav_bytes(16000, 1, 16, 3200)[12:]
+    )
+    assert mm.parse_audio_meta(wav2) == (16000, 1, 16, 100)
+    assert mm.parse_audio_meta(b"RIFF\x00\x00\x00\x00AVI ") is None  # riff, not wave
+    assert mm.parse_audio_meta(b"ID3\x03mp3payload-needs-codec" + b"\x00" * 40) is None
+    assert mm.parse_audio_meta(None) is None
+
+
+def test_decode_audio_real_and_unsupported(spark):
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(22050, 1, 16, 22050 * 2)), (2, b"OggS" + b"\x00" * 60)],
+        ["id", "content"],
+    )
+    rows = {r.id: r for r in mm.decode_audio(df).collect()}
+    assert (rows[1].sample_rate, rows[1].channels, rows[1].bits_per_sample) == (22050, 1, 16)
+    assert rows[1].duration_ms == 1000
+    assert rows[1].decode_status == "ok:wav"
+    assert rows[2].sample_rate is None and rows[2].decode_status == "unsupported"
+
+
 def test_embed_media_dim(spark):
     df = spark.createDataFrame([(1, b"abc")], ["id", "content"])
     row = mm.embed_media(df, dim=16).collect()[0]
@@ -403,6 +465,60 @@ def test_dedup_from_pairs_keeps_min_survivor(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
     out = dd.dedup_from_pairs(df, pairs, "doc_id")
     assert {r.doc_id for r in out.collect()} == {1, 4, 5, 7}
+
+
+def test_multimodal_transformer_operations(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [(1, _png_bytes(32, 16)), (2, _wav_bytes(8000, 1, 16, 1600))],
+        ["id", "content"],
+    )
+    tf = TRANSFORMER_REGISTRY["multimodal"]
+    ctx = RunContext.create("t", spark)
+
+    meta = tf.transform(
+        df, TransformationConfig(type="multimodal", options={"operation": "metadata"}), ctx
+    )
+    fmts = {r.id: r.media_meta.format for r in meta.collect()}
+    assert fmts == {1: "png", 2: "riff"}
+
+    img = tf.transform(
+        df,
+        TransformationConfig(type="multimodal",
+                             options={"operation": "decode_image", "idColumn": "id"}),
+        ctx,
+    )
+    r1 = {r.id: r for r in img.collect()}[1]
+    assert (r1.width, r1.height, r1.decode_status) == (32, 16, "ok:png")
+
+    aud = tf.transform(
+        df,
+        TransformationConfig(type="multimodal",
+                             options={"operation": "decode_audio", "idColumn": "id"}),
+        ctx,
+    )
+    r2 = {r.id: r for r in aud.collect()}[2]
+    assert (r2.sample_rate, r2.duration_ms, r2.decode_status) == (8000, 100, "ok:wav")
+
+    import pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    with pytest.raises(TransformationError, match="operation"):
+        tf.transform(
+            df, TransformationConfig(type="multimodal", options={"operation": "nope"}), ctx
+        )
+    with pytest.raises(TransformationError, match="binaryColumn"):
+        tf.transform(
+            df,
+            TransformationConfig(
+                type="multimodal",
+                options={"operation": "metadata", "binaryColumn": "missing"},
+            ),
+            ctx,
+        )
 
 
 def test_dedup_transformer_fuzzy_strategy(spark):

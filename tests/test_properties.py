@@ -197,3 +197,82 @@ def test_asof_join_matches_python_reference(spark_prop, left, right, direction):
         ).collect()
     }
     assert got == py_asof(left, right_d, direction)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal header parsers: construct → parse round-trips (pure Python,
+# no Spark) over the full field domains
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=2**31 - 1),
+    h=st.integers(min_value=1, max_value=2**31 - 1),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+)
+def test_png_header_roundtrip(w, h, color_type):
+    from etl_spark_gradle_spark.operators import multimodal as mm
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    assert mm.parse_image_dims(payload) == (w, h, channels, "png")
+
+
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    ncomp=st.sampled_from([1, 3, 4]),
+    n_leading_segments=st.integers(min_value=0, max_value=3),
+)
+def test_jpeg_header_roundtrip(w, h, ncomp, n_leading_segments):
+    from etl_spark_gradle_spark.operators import multimodal as mm
+
+    # arbitrary APPn/COM segments before the SOF0 must be skipped
+    leading = b""
+    for i in range(n_leading_segments):
+        body = bytes([i]) * (3 + i)
+        leading += bytes([0xFF, 0xE1 + i]) + (len(body) + 2).to_bytes(2, "big") + body
+    sof0 = (
+        b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+        + b"\x00" * (3 * ncomp)
+    )
+    payload = b"\xff\xd8" + leading + sof0 + b"\xff\xd9"
+    assert mm.parse_image_dims(payload) == (w, h, ncomp, "jpeg")
+
+
+@given(
+    sample_rate=st.integers(min_value=1, max_value=384_000),
+    channels=st.integers(min_value=1, max_value=8),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    n_sec_frames=st.integers(min_value=0, max_value=100),
+)
+def test_wav_header_roundtrip(sample_rate, channels, bits, n_sec_frames):
+    from etl_spark_gradle_spark.operators import multimodal as mm
+
+    byte_rate = sample_rate * channels * (bits // 8)
+    data_len = byte_rate * n_sec_frames // 10  # tenths of a second
+    payload = (
+        b"RIFF" + (36 + data_len).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        + b"data" + data_len.to_bytes(4, "little")
+    )
+    got = mm.parse_audio_meta(payload)
+    assert got == (sample_rate, channels, bits, data_len * 1000 // byte_rate)
+
+
+@given(junk=st.binary(max_size=200))
+def test_image_audio_parsers_never_crash(junk):
+    from etl_spark_gradle_spark.operators import multimodal as mm
+
+    # arbitrary bytes: parsers must return None or a well-formed tuple,
+    # never raise (decode runs inside executor batches at corpus scale)
+    for out in (mm.parse_image_dims(junk), mm.parse_audio_meta(junk)):
+        assert out is None or (len(out) == 4)

@@ -180,6 +180,31 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["Filter"],
         ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    (
+        "image_decode",
+        "image decode: ONE Arrow mapInPandas stage on a narrow scan, no shuffle "
+        "(payload projected away at the stage boundary)",
+        ["MapInPandas"],
+        ["Exchange", "BatchEvalPython"],
+    ),
+    (
+        "audio_decode",
+        "audio decode: ONE Arrow mapInPandas stage, no shuffle",
+        ["MapInPandas"],
+        ["Exchange", "BatchEvalPython"],
+    ),
+    (
+        "minhash_lsh",
+        "LSH recall summary: banded candidates + exact truth join, never all-pairs",
+        ["hashpartitioning"],
+        ["CartesianProduct"],
+    ),
+    (
+        "simhash",
+        "simhash invariant summary: key-equality truth join, never all-pairs",
+        ["hashpartitioning"],
+        ["CartesianProduct"],
+    ),
 ]
 
 
