@@ -897,6 +897,26 @@ def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_op(all_keys, spark, "cust_neg", op="except")
 
 
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set op: INTERSECT (distinct common rows)."""
+    from etl_spark_gradle_spark.operators.relational import set_op
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    low = cust.filter("c_acctbal < 5000").select("c_custkey", "c_mktsegment")
+    cust.filter("c_acctbal > -5000").select("c_custkey", "c_mktsegment").createOrReplaceTempView(
+        "cust_hi"
+    )
+    return set_op(low, spark, "cust_hi", op="intersect")
+
+
+_SETOP_INTERSECT_ORACLE = (
+    "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 5000 "
+    "INTERSECT "
+    "SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > -5000"
+)
+
+
 def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sort + limit: global top-20 (plans as TakeOrderedAndProject)."""
     from etl_spark_gradle_spark.operators.relational import sort_limit
@@ -2202,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "cube": q_cube,
         "setop_except": q_setop_except,
+        "setop_intersect": q_setop_intersect,
         "roundtrip_csv": q_roundtrip_csv,
         "roundtrip_json": q_roundtrip_json,
         "roundtrip_orc": q_roundtrip_orc,
@@ -2360,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT "
             "SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 0"
         ),
+        "setop_intersect": _SETOP_INTERSECT_ORACLE,
         "sort_limit": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
