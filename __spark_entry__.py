@@ -1554,6 +1554,52 @@ FROM scored
 """
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct-and-clean verification of the text-cleaning stage:
+    wrap each document in HTML with a symbol-soup line and a too-short
+    line (JVM-side concat), then run boilerplate-line removal + HTML
+    strip. The DuckDB oracle applies the identical line filter and
+    regex/entity chain (patterns chosen RE2-safe — no backreferences),
+    so a hash match proves both heuristics end-to-end."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("%%% 404 %%%\n<p>"), F.col("text"), F.lit("</p>\nOK")
+    )
+    wrapped = docs.select(F.col("doc_id").alias("doc_id"), raw.alias("raw"))
+    out = tx.with_clean_text(
+        wrapped, "raw", out_col="clean_text", strip_html=True, boilerplate=True
+    )
+    return out.select("doc_id", "clean_text")
+
+
+_CLEAN_TEXT_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         '%%% 404 %%%' || chr(10) || '<p>' || text || '</p>' || chr(10) || 'OK' AS raw
+  FROM documents
+), kept AS (
+  SELECT doc_id,
+         array_to_string(list_filter(string_split(raw, chr(10)),
+            ln -> length(trim(ln)) >= 10
+              AND CAST(length(regexp_replace(ln, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(length(ln), 1) >= 0.4), chr(10)) AS t
+  FROM w
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+    '\\s+', ' ', 'g')) AS clean_text
+FROM kept
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """whitespace + BPE-ish regex token counting."""
     _prep(spark)
@@ -2223,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "setop_except": q_setop_except,
         "setop_intersect": q_setop_intersect,
+        "clean_text": q_clean_text,
         "roundtrip_csv": q_roundtrip_csv,
         "roundtrip_json": q_roundtrip_json,
         "roundtrip_orc": q_roundtrip_orc,
@@ -2428,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_ORACLE,
         "language_id": _lang_oracle(),
         "token_counts": _TOKEN_COUNTS_ORACLE,
+        "clean_text": _CLEAN_TEXT_ORACLE,
         "fingerprint": _FINGERPRINT_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "embedding_cosine_dups": _EMBEDDING_DUPS_ORACLE,

@@ -262,6 +262,79 @@ def with_language_id(
     return df.withColumn(out_col, expr.otherwise(F.lit("und")))
 
 
+# HTML entity decode pairs, applied in THIS order on both engines (the
+# oracle mirrors the sequence; &amp; must come after the others would
+# double-decode, so it is last-but-one by convention here)
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def clean_html(text: Column | str) -> Column:
+    """Strip HTML to clean training text, pure Catalyst (regex chain —
+    zero shuffle, rides the scan): drop <script>/<style>/<!--comment-->
+    blocks, then all remaining tags, decode the common entities, and
+    collapse whitespace. Patterns avoid backreferences so the SAME
+    regexes run on RE2 engines (the DuckDB oracle) — the standard first
+    step of a web-crawl curation pipeline (wet→text extraction).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for entity, repl in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(entity), F.lit(repl))
+    return F.trim(F.regexp_replace(c, r"(?U)\s+", " "))
+
+
+def drop_boilerplate_lines(
+    text: Column | str, min_chars: int = 10, min_alpha_ratio: float = 0.4
+) -> Column:
+    """Line-level boilerplate filter (jusText-style heuristic, narrow):
+    keep only lines with >= ``min_chars`` non-space characters AND a
+    letters+spaces ratio >= ``min_alpha_ratio`` — nav bars, cookie
+    banners, link lists and symbol soup fall below one of the two.
+    Split/filter/rejoin is a per-row array expression; no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (F.length(F.trim(ln)) >= min_chars)
+        & (
+            F.length(F.regexp_replace(ln, r"[^A-Za-z ]", ""))
+            / F.greatest(F.length(ln), F.lit(1))
+            >= min_alpha_ratio
+        ),
+    )
+    return F.array_join(kept, "\n")
+
+
+def with_clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    strip_html: bool = True,
+    boilerplate: bool = False,
+    min_line_chars: int = 10,
+    min_alpha_ratio: float = 0.4,
+) -> DataFrame:
+    """Text-cleaning stage: HTML strip and/or line-level boilerplate
+    removal into ``out_col``. Both are pure projections — at 100 TB this
+    runs inside the scan's whole-stage codegen with zero exchanges."""
+    c: Column = F.col(text_col)
+    if boilerplate:
+        c = drop_boilerplate_lines(c, min_line_chars, min_alpha_ratio)
+    if strip_html:
+        c = clean_html(c)
+    return df.withColumn(out_col, c)
+
+
 def fingerprint(text: Column | str, normalize: bool = True) -> Column:
     """Content fingerprint: md5 of whitespace-normalized, lower-cased
     text. The canonical exact-dedup key at corpus scale: grouping by a
@@ -285,7 +358,11 @@ class TextAnalysisTransformer:
     ``textColumn`` (default ``text``), ``stats`` / ``languageId`` /
     ``fingerprint`` / ``repetition`` booleans selecting which column
     families to add; ``topNgram: <n>`` (requires ``idColumn``) adds the
-    most-frequent-n-gram coverage columns."""
+    most-frequent-n-gram coverage columns; ``clean`` / ``boilerplate``
+    booleans run HTML stripping / line-boilerplate removal into
+    ``cleanOutputColumn`` (default ``clean_text``; knobs
+    ``minLineChars``, ``minAlphaRatio``) BEFORE the analysis columns,
+    which then read the cleaned column."""
 
     def validate(self, df: DataFrame, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -310,6 +387,17 @@ class TextAnalysisTransformer:
             return opts.get(name, default).lower() in ("true", "1", "yes")
 
         out = df
+        if flag("clean") or flag("boilerplate"):
+            out = with_clean_text(
+                out,
+                tc,
+                out_col=opts.get("cleanOutputColumn", "clean_text"),
+                strip_html=flag("clean"),
+                boilerplate=flag("boilerplate"),
+                min_line_chars=int(opts.get("minLineChars", 10)),
+                min_alpha_ratio=float(opts.get("minAlphaRatio", 0.4)),
+            )
+            tc = opts.get("cleanOutputColumn", "clean_text")
         if flag("stats", "true"):
             out = with_text_stats(out, tc)
         if flag("languageId"):

@@ -142,6 +142,54 @@ def test_token_counts(spark):
     assert row.bpe == 8
 
 
+def test_clean_html_strips_and_decodes(spark):
+    raw = (
+        "<html><head><style>p{color:red}</style>"
+        "<script>var x = '<evil>';</script></head>"
+        "<body><!-- comment --><p>Tom &amp; Jerry &lt;3&nbsp;cheese</p></body></html>"
+    )
+    df = spark.createDataFrame([(raw,)], ["t"])
+    out = df.select(tx.clean_html("t").alias("c")).collect()[0].c
+    assert out == "Tom & Jerry <3 cheese"
+
+
+def test_drop_boilerplate_lines(spark):
+    raw = "\n".join(
+        [
+            "%%% $$ 404 #@! %%%",          # symbol soup: low alpha ratio
+            "OK",                           # too short
+            "This is a real content line about query engines.",
+            "|||| 00 ||||",                 # low alpha ratio
+            "Another substantive paragraph line with words.",
+        ]
+    )
+    df = spark.createDataFrame([(raw,)], ["t"])
+    out = df.select(tx.drop_boilerplate_lines("t").alias("c")).collect()[0].c
+    assert out == (
+        "This is a real content line about query engines.\n"
+        "Another substantive paragraph line with words."
+    )
+
+
+def test_text_analysis_transformer_clean_option(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [(1, "<p>hello   brave new world of spark</p>")], ["doc_id", "text"]
+    )
+    tf = TRANSFORMER_REGISTRY["text_analysis"]
+    cfg = TransformationConfig(
+        type="text_analysis",
+        options={"textColumn": "text", "clean": "true", "stats": "true"},
+    )
+    row = tf.transform(df, cfg, RunContext.create("t", spark)).collect()[0]
+    assert row.clean_text == "hello brave new world of spark"
+    # stats computed over the CLEANED column, not the raw one
+    assert row.n_tokens == 6
+    assert row.n_chars_c == len("hello brave new world of spark")
+
+
 def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame([("a  b c",), ("A b  C ",)], ["t"])
     fps = [r.fp for r in df.select(tx.fingerprint("t").alias("fp")).collect()]

@@ -181,6 +181,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "clean_text",
+        "HTML strip + boilerplate filter are a pure regex projection: no shuffle, no UDF",
+        ["codegen id"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "image_decode",
         "image decode: ONE Arrow mapInPandas stage on a narrow scan, no shuffle "
         "(payload projected away at the stage boundary)",
