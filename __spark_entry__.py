@@ -1059,6 +1059,46 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch (the quantile companion to
+    the HLL sketch): build per (event_type, user_id%4), vector-add merge
+    up to event_type, explode to (event_type, bin, cnt) rows. Binning is
+    explicit floor arithmetic (no width_bucket) so the DuckDB oracle
+    replicates the exact IEEE double ops — the merge is EXACT, so every
+    bin count hash-matches. 22 bins incl. labeled under/overflow."""
+    from etl_spark_gradle_spark.operators import sketch as sk
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn("g", F.col("user_id") % 4)
+    fine = sk.build_histogram_sketch(
+        ev, ["event_type", "g"], "value", lo=0.0, hi=100.0, bins=20
+    )
+    merged = sk.merge_histograms(fine, ["event_type"])
+    return merged.select(
+        "event_type", F.posexplode("hist_counts").alias("bin", "cnt")
+    )
+
+
+_HISTOGRAM_SKETCH_ORACLE = """
+WITH types AS (SELECT DISTINCT event_type FROM events),
+bins AS (SELECT unnest(range(0, 22)) AS bin),
+b AS (
+  SELECT event_type,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 100 THEN 21
+              ELSE CAST(FLOOR((value - 0.0) / 100.0 * 20) AS INT) + 1 END AS bin
+  FROM events WHERE value IS NOT NULL
+),
+c AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY event_type, bin)
+SELECT t.event_type,
+       CAST(bn.bin AS INT) AS bin,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM types t
+CROSS JOIN bins bn
+LEFT JOIN c ON c.event_type = t.event_type AND c.bin = bn.bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scalar surface (SURVEY §2.5): JSON extraction — the Kafka-payload workhorse
 # ---------------------------------------------------------------------------
@@ -2270,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_except": q_setop_except,
         "setop_intersect": q_setop_intersect,
         "clean_text": q_clean_text,
+        "histogram_sketch": q_histogram_sketch,
         "roundtrip_csv": q_roundtrip_csv,
         "roundtrip_json": q_roundtrip_json,
         "roundtrip_orc": q_roundtrip_orc,
@@ -2436,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct": "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
         "salted_aggregation": _SALTED_AGG_ORACLE,
         "sketch_distinct": _SKETCH_ORACLE,
+        "histogram_sketch": _HISTOGRAM_SKETCH_ORACLE,
         "rolling_time": _ROLLING_TIME_ORACLE,
         "json_extract": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value "

@@ -102,6 +102,127 @@ def distinct_estimate(
     ).drop("sketch")
 
 
+def _bin_of(column: str, lo: float, hi: float, bins: int):
+    """Bin index with explicit floor arithmetic (NOT width_bucket) so the
+    DuckDB oracle can replicate the exact same IEEE double operations:
+    0 = underflow, 1..bins interior, bins+1 = overflow; nulls bin to
+    null (counted nowhere)."""
+    x = F.col(column).cast("double")
+    return (
+        F.when(x.isNull(), F.lit(None))
+        .when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(bins + 1))
+        .otherwise((F.floor((x - F.lit(lo)) / F.lit(hi - lo) * bins)).cast("int") + 1)
+    )
+
+
+def build_histogram_sketch(
+    df: DataFrame,
+    group_by: list[str],
+    column: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    counts_col: str = "hist_counts",
+) -> DataFrame:
+    """Fixed-bin histogram sketch: per-group array of ``bins + 2`` bin
+    counts (underflow, interior, overflow). The quantile companion to
+    the HLL distinct sketch: bin counts are EXACTLY mergeable (vector
+    add), so per-partition histograms persisted once answer every later
+    quantile/distribution rollup with no raw re-scan.
+
+    Plan shape: ``bins + 2`` conditional sums in ONE hash aggregation —
+    map-side partial compresses each task to a (bins+2)-long vector, the
+    shuffle carries |groups| × vector, never raw values (same plan
+    family as the conditional-agg pivot). Fixed bounds are the price of
+    exact mergeability — pick them from domain knowledge or a one-off
+    min/max scan; out-of-range mass lands in the labeled overflow bins
+    rather than silently skewing estimates."""
+    if bins < 1:
+        raise TransformationError("histogram bins must be >= 1")
+    if not hi > lo:
+        raise TransformationError("histogram requires hi > lo")
+    b = _bin_of(column, lo, hi, bins)
+    sums = [
+        F.sum(F.when(b == i, 1).otherwise(0)).cast("long").alias(f"__b{i}")
+        for i in range(bins + 2)
+    ]
+    grouped = df.groupBy(*[F.col(c) for c in group_by]) if group_by else df.groupBy()
+    out = grouped.agg(*sums)
+    return out.select(
+        *group_by, F.array(*[F.col(f"__b{i}") for i in range(bins + 2)]).alias(counts_col)
+    )
+
+
+def merge_histograms(
+    df: DataFrame,
+    group_by: list[str],
+    counts_col: str = "hist_counts",
+) -> DataFrame:
+    """Roll histogram sketches up to a coarser grouping by element-wise
+    vector add — EXACT (unlike HLL this isn't even approximate: counts
+    are counts). Input rows are one small vector per fine group, so the
+    posexplode → re-sum → reassemble dance shuffles |groups| × bins tiny
+    rows, never raw data."""
+    ex = df.select(*group_by, F.posexplode(counts_col).alias("__pos", "__cnt"))
+    summed = ex.groupBy(*[F.col(c) for c in group_by], F.col("__pos")).agg(
+        F.sum("__cnt").alias("__cnt")
+    )
+    return (
+        summed.groupBy(*[F.col(c) for c in group_by])
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__pos", "__cnt"))).alias("__pairs")
+        )
+        .select(
+            *group_by,
+            F.transform(F.col("__pairs"), lambda s: s["__cnt"]).alias(counts_col),
+        )
+    )
+
+
+def histogram_quantile(
+    counts_col: str, lo: float, hi: float, q: float, out_type: str = "double"
+):
+    """Quantile estimate from a histogram-sketch column as a pure
+    expression (no UDF): walk the cumulative counts to the target rank,
+    then linearly interpolate inside the hit bin. Underflow/overflow
+    hits clamp to lo/hi. Accuracy is ±bin_width/2 — the fixed-bin trade;
+    raise ``bins`` for tighter estimates."""
+    counts = F.col(counts_col)
+    bins = F.size(counts) - 2
+    total = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = total.cast("double") * F.lit(q)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("idx"),
+        F.lit(0).alias("i"),
+        F.lit(0).cast("long").alias("before"),
+    )
+
+    def step(acc, x):
+        new_cum = acc["cum"] + x
+        hit = (acc["idx"] < 0) & (new_cum.cast("double") >= target) & (x > 0)
+        return F.struct(
+            new_cum.alias("cum"),
+            F.when(hit, acc["i"]).otherwise(acc["idx"]).alias("idx"),
+            (acc["i"] + 1).alias("i"),
+            F.when(hit, acc["cum"]).otherwise(acc["before"]).alias("before"),
+        )
+
+    walked = F.aggregate(counts, zero, step)
+    idx = walked["idx"]
+    width = (F.lit(hi) - F.lit(lo)) / bins.cast("double")
+    in_bin = F.element_at(counts, idx + 1).cast("double")
+    frac = (target - walked["before"].cast("double")) / in_bin
+    est = (
+        F.when(total == 0, F.lit(None))
+        .when(idx <= 0, F.lit(lo))
+        .when(idx >= bins + 1, F.lit(hi))
+        .otherwise(F.lit(lo) + ((idx - 1).cast("double") + frac) * width)
+    )
+    return est.cast(out_type)
+
+
 class SketchTransformer:
     """Registry adapter (``type: sketch``).
 
@@ -113,18 +234,39 @@ class SketchTransformer:
     build; options ``groupBy`` (coarser rollup keys), ``sketchColumn``
     (default "sketch"), ``keepSketch``.
 
+    ``strategy: histogram`` — fixed-bin quantile sketch build; options
+    ``column``, ``lo``, ``hi`` (required), ``bins`` (default 64),
+    ``groupBy``, ``quantiles`` (comma list like "0.5,0.9" → one
+    ``p<q>`` estimate column each).
+
+    ``strategy: merge_histogram`` — vector-add rollup of a prior
+    histogram build; options ``groupBy``, ``countsColumn`` (default
+    "hist_counts"), ``lo``/``hi`` + ``quantiles`` for estimates.
+
     Validates like the relational transformers (parity contract:
     ``core/DataTransformer.scala:36-40``)."""
 
     def validate(self, df: DataFrame, config) -> ValidationResult:
         opts = config.options
         strategy = opts.get("strategy", "build").lower()
-        if strategy not in ("build", "merge"):
+        if strategy not in ("build", "merge", "histogram", "merge_histogram"):
             return ValidationResult.fail(
-                f"sketch strategy must be build|merge, got '{strategy}'"
+                f"sketch strategy must be build|merge|histogram|merge_histogram, got '{strategy}'"
             )
         missing = [c for c in _split_csv(opts.get("groupBy")) if c not in df.columns]
-        if strategy == "build":
+        if strategy == "histogram":
+            column = opts.get("column")
+            if not column:
+                return ValidationResult.fail("histogram requires 'column'")
+            if column not in df.columns:
+                missing.append(column)
+            if opts.get("lo") is None or opts.get("hi") is None:
+                return ValidationResult.fail("histogram requires 'lo' and 'hi'")
+        elif strategy == "merge_histogram":
+            cc = opts.get("countsColumn", "hist_counts")
+            if cc not in df.columns:
+                missing.append(cc)
+        elif strategy == "build":
             column = opts.get("column")
             if not column:
                 return ValidationResult.fail("sketch build requires 'column'")
@@ -152,7 +294,32 @@ class SketchTransformer:
         opts = config.options
         group_by = _split_csv(opts.get("groupBy"))
         keep = str(opts.get("keepSketch", "false")).lower() == "true"
-        if opts.get("strategy", "build").lower() == "merge":
+        strategy = opts.get("strategy", "build").lower()
+        if strategy in ("histogram", "merge_histogram"):
+            cc = opts.get("countsColumn", "hist_counts")
+            if strategy == "histogram":
+                out = build_histogram_sketch(
+                    df,
+                    group_by,
+                    opts["column"],
+                    lo=float(opts["lo"]),
+                    hi=float(opts["hi"]),
+                    bins=int(opts.get("bins", 64)),
+                    counts_col=cc,
+                )
+            else:
+                out = merge_histograms(df, group_by, counts_col=cc)
+            for q in _split_csv(opts.get("quantiles")):
+                if opts.get("lo") is None or opts.get("hi") is None:
+                    raise TransformationError(
+                        "histogram quantiles require 'lo' and 'hi'"
+                    )
+                out = out.withColumn(
+                    f"p{q.replace('0.', '').replace('.', '_')}",
+                    histogram_quantile(cc, float(opts["lo"]), float(opts["hi"]), float(q)),
+                )
+            return out
+        if strategy == "merge":
             return merge_sketches(
                 df,
                 group_by,

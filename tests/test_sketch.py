@@ -122,3 +122,108 @@ def test_sketch_transformer_validation(spark):
         tf.transform(
             li, TransformationConfig(type="sketch", options={"strategy": "merge"}), ctx
         )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketches (quantile companion to HLL)
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_build_counts_and_overflow(spark):
+    rows = [(1, -5.0), (1, 0.0), (1, 5.0), (1, 9.99), (1, 10.0), (1, 50.0), (1, None)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = sk.build_histogram_sketch(df, ["g"], "x", lo=0.0, hi=10.0, bins=2).collect()[0]
+    # [-5 underflow] [0, 5 in bin1] [5..10: 5.0 goes to bin2? floor(5/10*2)=1 -> bin2]
+    # 0.0 -> bin1; 5.0 -> bin2; 9.99 -> bin2; 10.0, 50.0 -> overflow; None dropped
+    assert out.hist_counts == [1, 1, 2, 2]
+    assert sum(out.hist_counts) == 6  # null counted nowhere
+
+
+def test_histogram_merge_is_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i % 5, rng.uniform(-10, 110)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    direct = sk.build_histogram_sketch(df, [], "x", 0.0, 100.0, bins=16).collect()[0]
+    fine = sk.build_histogram_sketch(df, ["g"], "x", 0.0, 100.0, bins=16)
+    merged = sk.merge_histograms(fine, []).collect()[0]
+    assert merged.hist_counts == direct.hist_counts
+
+
+def test_histogram_quantile_accuracy(spark):
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.uniform(0, 100) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    hist = sk.build_histogram_sketch(df, [], "x", 0.0, 100.0, bins=100)
+    got = hist.select(
+        sk.histogram_quantile("hist_counts", 0.0, 100.0, 0.5).alias("p50"),
+        sk.histogram_quantile("hist_counts", 0.0, 100.0, 0.9).alias("p90"),
+    ).collect()[0]
+    svals = sorted(vals)
+    exact_p50 = svals[int(0.5 * len(svals)) - 1]
+    exact_p90 = svals[int(0.9 * len(svals)) - 1]
+    # bin width 1.0 -> estimate within one bin width of the exact quantile
+    assert abs(got.p50 - exact_p50) <= 1.0, (got.p50, exact_p50)
+    assert abs(got.p90 - exact_p90) <= 1.0, (got.p90, exact_p90)
+
+
+def test_histogram_quantile_edges(spark):
+    df = spark.createDataFrame([(200.0,), (300.0,)], ["x"])  # all overflow
+    hist = sk.build_histogram_sketch(df, [], "x", 0.0, 100.0, bins=4)
+    got = hist.select(
+        sk.histogram_quantile("hist_counts", 0.0, 100.0, 0.5).alias("p50")
+    ).collect()[0]
+    assert got.p50 == 100.0  # clamped to hi
+    empty = spark.createDataFrame([(None,)], "x DOUBLE")
+    h2 = sk.build_histogram_sketch(empty, [], "x", 0.0, 100.0, bins=4)
+    assert h2.select(
+        sk.histogram_quantile("hist_counts", 0.0, 100.0, 0.5).alias("p50")
+    ).collect()[0].p50 is None
+
+
+def test_sketch_transformer_histogram_strategies(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    ev = load_table(spark, "events")
+    tf = TRANSFORMER_REGISTRY["sketch"]
+    ctx = RunContext.create("t", spark)
+    built = tf.transform(
+        ev,
+        TransformationConfig(
+            type="sketch",
+            options={
+                "strategy": "histogram",
+                "column": "value",
+                "groupBy": "event_type",
+                "lo": "0",
+                "hi": "100",
+                "bins": "10",
+                "quantiles": "0.5",
+            },
+        ),
+        ctx,
+    )
+    assert "hist_counts" in built.columns and "p5" in built.columns
+    merged = tf.transform(
+        built,
+        TransformationConfig(
+            type="sketch",
+            options={"strategy": "merge_histogram", "lo": "0", "hi": "100",
+                     "quantiles": "0.5,0.9"},
+        ),
+        ctx,
+    )
+    row = merged.collect()[0]
+    assert len(row.hist_counts) == 12
+    assert row.p5 is not None and row.p9 is not None
+    with pytest.raises(TransformationError, match="requires 'lo'"):
+        tf.transform(
+            ev,
+            TransformationConfig(
+                type="sketch", options={"strategy": "histogram", "column": "value"}
+            ),
+            ctx,
+        )

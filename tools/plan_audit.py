@@ -181,6 +181,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "histogram_sketch",
+        "histogram build: bins+2 conditional sums partial-agg before ONE exchange "
+        "(vector-per-task shuffle, never raw values)",
+        ["partial_sum", "hashpartitioning"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "clean_text",
         "HTML strip + boilerplate filter are a pure regex projection: no shuffle, no UDF",
         ["codegen id"],
