@@ -1941,6 +1941,32 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (crawl balancing: at most N docs per
+    domain/source), survivors chosen by md5 content-hash rank so the
+    cut is deterministic and the DuckDB oracle reproduces it exactly
+    with the same ROW_NUMBER over the same md5 ordering."""
+    from etl_spark_gradle_spark.operators.corpus import cap_per_group
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_group(docs, ["source"], max_rows=15, order_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+_CAP_PER_GROUP_ORACLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                    CAST(doc_id AS VARCHAR) ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -2311,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_intersect": q_setop_intersect,
         "clean_text": q_clean_text,
         "histogram_sketch": q_histogram_sketch,
+        "cap_per_group": q_cap_per_group,
         "roundtrip_csv": q_roundtrip_csv,
         "roundtrip_json": q_roundtrip_json,
         "roundtrip_orc": q_roundtrip_orc,
@@ -2532,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_ORACLE,
         "token_frequency": _TOKEN_FREQUENCY_ORACLE,
         "hash_sample": _hash_sample_oracle(),
+        "cap_per_group": _CAP_PER_GROUP_ORACLE,
         # rows-only (non-SQL-expressible): ann_lsh, ann_ivf,
         # image_resize_stub, frame_sample_stub
     }

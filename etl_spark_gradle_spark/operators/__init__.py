@@ -13,10 +13,12 @@ from etl_spark_gradle_spark.operators.dedup import (  # noqa: F401
     DedupTransformer,
 )
 from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
+    CapPerGroupTransformer,
     ChunkTransformer,
     HashSampleTransformer,
     PackTransformer,
     TokenFrequencyTransformer,
+    cap_per_group,
     chunk_documents,
     hash_sample,
     pack_sequences,
@@ -99,6 +101,7 @@ TRANSFORMER_REGISTRY = {
     "pack": PackTransformer(),
     "token_frequency": TokenFrequencyTransformer(),
     "hash_sample": HashSampleTransformer(),
+    "cap_per_group": CapPerGroupTransformer(),
     "multimodal": MultimodalTransformer(),
 }
 

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.plans.config import ValidationResult
 from etl_spark_gradle_spark.operators.text import tokens
 
 
@@ -205,6 +206,85 @@ def hash_sample(
             F.col(strata_col) == value, F.lit(_threshold(f))
         ).otherwise(limit)
     return df.filter(bucket < limit)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    max_rows: int,
+    order_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the crawl-balancing
+    step that stops a handful of giant domains/sources from dominating a
+    training mix (per-domain caps in web-corpus curation).
+
+    Survivors are chosen deterministically: rows are ranked inside each
+    group by ``md5(order_col || salt)`` (content-hash order — unbiased,
+    reproducible on any engine, re-runnable) and ranks > ``max_rows``
+    are dropped. Plans as WindowGroupLimit: each task keeps only its
+    local top-``max_rows`` per group BEFORE the exchange, so the shuffle
+    carries at most ``groups x max_rows`` rows — the same partial-top-k
+    shape as ranking/exact-dedup survivor selection. Ties on the full
+    hash are broken by the raw key so the cut is total.
+    """
+    if max_rows < 1:
+        raise TransformationError("cap_per_group max_rows must be >= 1")
+    if not group_cols:
+        raise TransformationError("cap_per_group requires group columns")
+    key = F.col(order_col) if order_col else F.col(group_cols[0])
+    rank_key = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        rank_key.asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
+class CapPerGroupTransformer:
+    """Registry adapter (``type: cap_per_group``). Options:
+    ``groupBy`` (comma list, required), ``maxRows`` (required),
+    ``orderColumn`` (hash-rank key; default first group column),
+    ``salt``."""
+
+    def validate(self, df: DataFrame, config) -> ValidationResult:
+        opts = config.options
+        errors = []
+        groups = [c.strip() for c in opts.get("groupBy", "").split(",") if c.strip()]
+        if not groups:
+            errors.append("cap_per_group requires 'groupBy'")
+        errors += [
+            f"column not in input schema: {c}" for c in groups if c not in df.columns
+        ]
+        if not str(opts.get("maxRows", "")).isdigit():
+            errors.append("cap_per_group requires integer 'maxRows'")
+        oc = opts.get("orderColumn")
+        if oc and oc not in df.columns:
+            errors.append(f"column not in input schema: {oc}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "cap_per_group config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        groups = [c.strip() for c in opts["groupBy"].split(",") if c.strip()]
+        return cap_per_group(
+            df,
+            groups,
+            max_rows=int(opts["maxRows"]),
+            order_col=opts.get("orderColumn"),
+            salt=opts.get("salt", ""),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"cap_per_group({opts})"
 
 
 def _opt_int(opts: dict, key: str, default: int) -> int:

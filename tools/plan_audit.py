@@ -181,6 +181,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "cap_per_group",
+        "per-group cap: partial top-N before the exchange (WindowGroupLimit), "
+        "shuffle carries <= groups x cap rows",
+        ["WindowGroupLimit"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "histogram_sketch",
         "histogram build: bins+2 conditional sums partial-agg before ONE exchange "
         "(vector-per-task shuffle, never raw values)",
