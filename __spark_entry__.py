@@ -2014,26 +2014,73 @@ FROM ranked WHERE rank <= 10
 """
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hyperplane-LSH bucketed ANN (scale path) → rows-only check; its
-    recall is verified against brute force in tests."""
+def _ann_recall_summary(
+    spark: SparkSession, sf_dir: str, approx_fn, recall_floor: float
+) -> DataFrame:
+    """Shared self-verifying ANN harness: run the approximate top-k AND
+    the exact brute-force top-k in one plan, emit a 1-row summary
+    ``(n_queries, n_true_pairs, recall_ok)``. The raw recall value is
+    data-dependent (not SQL-predictable), but the floor invariant IS —
+    measured: tuned LSH 1.0 / IVF nprobe=8 0.73-0.76 at both sf0.01 and
+    sf0.1, deterministic hyperplanes/centroids — so the oracle asserts
+    the boolean and the pair counts."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter("vec_id < 5").select(
+    queries = emb.filter("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.lsh_bucketed_topk(emb, queries, k=10, dim=64, num_bits=32, bands=8)
+    true = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = approx_fn(emb, queries).select("query_id", "neighbor_id")
+    found = true.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    nt = true.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    nf = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return (
+        nq.crossJoin(nt)
+        .crossJoin(nf)
+        .select(
+            "n_queries",
+            "n_true_pairs",
+            (
+                F.col("n_found").cast("double") / F.col("n_true_pairs")
+                >= F.lit(recall_floor)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying hyperplane-LSH ANN: recall@10 vs in-plan brute
+    force, tuned b=16/r=2 config (measured recall 1.0 at sf0.01 and
+    sf0.1); oracle asserts the 0.9 floor plus exact pair counts."""
+    return _ann_recall_summary(
+        spark,
+        sf_dir,
+        lambda emb, q: sim.lsh_bucketed_topk(
+            emb, q, k=10, dim=64, num_bits=32, bands=16
+        ),
+        recall_floor=0.9,
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell-probe ANN (scale path #2) → rows-only check; recall
-    verified against brute force in tests."""
-    _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter("vec_id < 5").select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    """Self-verifying IVF cell-probe ANN: recall@10 vs in-plan brute
+    force at nprobe=8/16 cells (measured 0.73-0.76 at both SFs —
+    probing half the cells of an unclustered corpus); oracle asserts
+    the 0.6 floor plus exact pair counts."""
+    return _ann_recall_summary(
+        spark,
+        sf_dir,
+        lambda emb, q: sim.ivf_topk(emb, q, k=10, num_cells=16, nprobe=8),
+        recall_floor=0.6,
     )
-    return sim.ivf_topk(emb, queries, k=10, num_cells=16, nprobe=4)
+
+
+_ANN_SUMMARY_ORACLE = """
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+       CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10 AS BIGINT) AS n_true_pairs,
+       TRUE AS recall_ok
+"""
 
 
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2560,6 +2607,8 @@ def oracle_sql() -> dict[str, str]:
         "token_frequency": _TOKEN_FREQUENCY_ORACLE,
         "hash_sample": _hash_sample_oracle(),
         "cap_per_group": _CAP_PER_GROUP_ORACLE,
-        # rows-only (non-SQL-expressible): ann_lsh, ann_ivf,
-        # image_resize_stub, frame_sample_stub
+        "ann_lsh": _ANN_SUMMARY_ORACLE,
+        "ann_ivf": _ANN_SUMMARY_ORACLE,
+        # rows-only (non-SQL-expressible): image_resize_stub,
+        # frame_sample_stub
     }
