@@ -1941,6 +1941,62 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct-and-parse verification of URL feature extraction:
+    build URLs with known scheme/domain/tld/path-depth from table
+    columns (JVM-side concat/repeat), decompose with the RE2-safe regex
+    chain, and let the oracle run the SAME expressions in DuckDB."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net"))
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        F.col("source"),
+        F.lit(".example."),
+        tld,
+        F.repeat(F.lit("/seg"), (F.col("doc_id") % 4).cast("int")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+    out = tx.with_url_features(docs.withColumn("url", url), "url")
+    return out.select(
+        "doc_id",
+        "url_domain",
+        "url_tld",
+        F.col("url_path_depth").cast("long").alias("url_path_depth"),
+        "url_is_https",
+    )
+
+
+_URL_FEATURES_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || source || '.example.' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END) ||
+         repeat('/seg', CAST(doc_id % 4 AS INT)) ||
+         (CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END) AS url
+  FROM documents
+), d AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)) AS url_domain
+  FROM u
+)
+SELECT doc_id,
+       url_domain,
+       regexp_extract(url_domain, '\\.([a-z0-9-]+)$', 1) AS url_tld,
+       CAST(len(list_filter(string_split(
+             regexp_extract(url, '(?i)^https?://[^/?#]+(/[^?#]*)', 1), '/'),
+             x -> x != '')) AS BIGINT) AS url_path_depth,
+       lower(substr(url, 1, 6)) = 'https:' AS url_is_https
+FROM d
+"""
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (crawl balancing: at most N docs per
     domain/source), survivors chosen by md5 content-hash rank so the
@@ -2385,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "histogram_sketch": q_histogram_sketch,
         "cap_per_group": q_cap_per_group,
+        "url_features": q_url_features,
         "roundtrip_csv": q_roundtrip_csv,
         "roundtrip_json": q_roundtrip_json,
         "roundtrip_orc": q_roundtrip_orc,
@@ -2607,6 +2664,7 @@ def oracle_sql() -> dict[str, str]:
         "token_frequency": _TOKEN_FREQUENCY_ORACLE,
         "hash_sample": _hash_sample_oracle(),
         "cap_per_group": _CAP_PER_GROUP_ORACLE,
+        "url_features": _URL_FEATURES_ORACLE,
         "ann_lsh": _ANN_SUMMARY_ORACLE,
         "ann_ivf": _ANN_SUMMARY_ORACLE,
         # rows-only (non-SQL-expressible): image_resize_stub,

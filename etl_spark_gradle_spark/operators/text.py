@@ -335,6 +335,32 @@ def with_clean_text(
     return df.withColumn(out_col, c)
 
 
+def with_url_features(
+    df: DataFrame, url_col: str, prefix: str = "url_"
+) -> DataFrame:
+    """Decompose a URL column into curation features — the metadata
+    web-crawl pipelines key on (domain caps via ``cap_per_group``,
+    per-TLD mixing, path-depth heuristics):
+
+    ``<prefix>domain`` (lowercased host), ``<prefix>tld`` (last label),
+    ``<prefix>path_depth`` (non-empty path segments, query/fragment
+    excluded), ``<prefix>is_https``. Pure regex projection (RE2-safe
+    patterns — no backreferences — so the DuckDB oracle runs the SAME
+    expressions); malformed/non-URL values yield empty domain and can
+    be filtered on it."""
+    u = F.col(url_col)
+    domain = F.lower(F.regexp_extract(u, r"(?i)^https?://([^/:?#]+)", 1))
+    tld = F.regexp_extract(domain, r"\.([a-z0-9-]+)$", 1)
+    path = F.regexp_extract(u, r"(?i)^https?://[^/?#]+(/[^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != "")).cast("int")
+    return (
+        df.withColumn(f"{prefix}domain", domain)
+        .withColumn(f"{prefix}tld", tld)
+        .withColumn(f"{prefix}path_depth", depth)
+        .withColumn(f"{prefix}is_https", F.lower(F.substring(u, 1, 6)) == "https:")
+    )
+
+
 def fingerprint(text: Column | str, normalize: bool = True) -> Column:
     """Content fingerprint: md5 of whitespace-normalized, lower-cased
     text. The canonical exact-dedup key at corpus scale: grouping by a

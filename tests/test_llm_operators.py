@@ -990,3 +990,24 @@ def test_cap_per_group_transformer(spark):
             TransformationConfig(type="cap_per_group", options={"maxRows": "3"}),
             RunContext.create("t", spark),
         )
+
+
+def test_with_url_features_edges(spark):
+    rows = [
+        (1, "https://www.foo.example.com/a/b/c?x=1#frag"),
+        (2, "http://bar.org"),
+        (3, "HTTPS://UPPER.NET/path"),
+        (4, "not a url at all"),
+        (5, "ftp://other.scheme/x"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r.id: r for r in tx.with_url_features(df, "url").collect()}
+    assert got[1].url_domain == "www.foo.example.com"
+    assert got[1].url_tld == "com"
+    assert got[1].url_path_depth == 3  # query/fragment excluded
+    assert got[1].url_is_https is True
+    assert got[2].url_domain == "bar.org" and got[2].url_path_depth == 0
+    assert got[2].url_is_https is False
+    assert got[3].url_domain == "upper.net" and got[3].url_path_depth == 1
+    assert got[3].url_is_https is True  # case-insensitive scheme
+    assert got[4].url_domain == "" and got[5].url_domain == ""  # filterable
