@@ -1816,7 +1816,7 @@ def _hash_split_oracle() -> str:
         cum += weight / total
         threshold = format(min(int(cum * 16**8), 16**8 - 1), "08x")
         cases.append(
-            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{threshold}' "
+            f"WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{threshold}' "
             f"THEN '{name}'"
         )
     return f"""
@@ -1936,7 +1936,7 @@ def _hash_sample_oracle() -> str:
     )
     return f"""
 SELECT doc_id, source FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
       < CASE {cases} ELSE '{th(_MIX_DEFAULT)}' END
 """
 
@@ -2015,7 +2015,7 @@ SELECT doc_id, source FROM (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)) ASC,
                     CAST(doc_id AS VARCHAR) ASC
          ) AS rn
   FROM documents

@@ -174,12 +174,18 @@ def hash_sample(
     default_fraction: float = 0.0,
 ) -> DataFrame:
     """Deterministic sampling by content hash: keep a row iff the first
-    8 hex chars of ``md5(key || salt)`` fall below the fraction
-    threshold. The same keys are kept on every run and on any engine —
-    the reproducible alternative to seeded ``rand()`` sampling, and the
-    standard way to mix corpus sources at fixed proportions
-    (``fractions`` per ``strata_col`` value, ``default_fraction`` for
-    unlisted strata).
+    8 hex chars of ``md5('sample:' || key || salt)`` fall below the
+    fraction threshold. The same keys are kept on every run and on any
+    engine — the reproducible alternative to seeded ``rand()``
+    sampling, and the standard way to mix corpus sources at fixed
+    proportions (``fractions`` per ``strata_col`` value,
+    ``default_fraction`` for unlisted strata).
+
+    The ``sample:`` domain tag makes this hash independent of
+    ``hash_split``/``cap_per_group`` over the same key: without it,
+    sampling at fraction f keeps exactly the keys a downstream split
+    would send to train (both read low-md5 ranges), so every val/test
+    bucket past f would be EMPTY.
     """
     if (fraction is None) == (fractions is None):
         raise TransformationError(
@@ -196,7 +202,7 @@ def hash_sample(
         return "g" if f >= 1.0 else format(int(f * 16**8), "08x")
 
     bucket = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        F.md5(F.concat(F.lit("sample:"), F.col(key_col).cast("string"), F.lit(salt))), 1, 8
     )
     if fraction is not None:
         return df.filter(bucket < F.lit(_threshold(fraction)))
@@ -220,9 +226,14 @@ def cap_per_group(
     training mix (per-domain caps in web-corpus curation).
 
     Survivors are chosen deterministically: rows are ranked inside each
-    group by ``md5(order_col || salt)`` (content-hash order — unbiased,
-    reproducible on any engine, re-runnable) and ranks > ``max_rows``
-    are dropped. Plans as WindowGroupLimit: each task keeps only its
+    group by ``md5('cap:' || order_col || salt)`` (content-hash order —
+    unbiased, reproducible on any engine, re-runnable) and ranks >
+    ``max_rows`` are dropped. The ``cap:`` domain tag keeps this hash
+    INDEPENDENT of ``hash_split``/``hash_sample`` over the same key —
+    without it, capping keeps exactly the low-md5 rows that a
+    downstream split assigns to train, starving the val/test buckets
+    (observed: a 10 % val split collapsed to 0.3 % when cap and split
+    shared the raw ``md5(key)``). Plans as WindowGroupLimit: each task keeps only its
     local top-``max_rows`` per group BEFORE the exchange, so the shuffle
     carries at most ``groups x max_rows`` rows — the same partial-top-k
     shape as ranking/exact-dedup survivor selection. Ties on the full
@@ -233,7 +244,7 @@ def cap_per_group(
     if not group_cols:
         raise TransformationError("cap_per_group requires group columns")
     key = F.col(order_col) if order_col else F.col(group_cols[0])
-    rank_key = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    rank_key = F.md5(F.concat(F.lit("cap:"), key.cast("string"), F.lit(salt)))
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         rank_key.asc(), key.cast("string").asc()
     )

@@ -654,14 +654,19 @@ def hash_split(
     the same split on every run, on any engine, at any scale, and new
     rows never move existing rows between splits.
 
-    Mechanics: the first 8 hex chars of ``md5(key || salt)`` are compared
-    against cumulative-weight thresholds expressed as 8-char hex strings
-    (lexicographic compare == numeric compare at fixed width), so the
-    assignment is a pure Catalyst CASE chain — no UDF, no shuffle, and
-    bit-identical in any engine with a standard md5 (the DuckDB oracle
-    runs the same expression). ``salt`` reshuffles assignments without
-    touching the data; ``keep`` filters to one split (the common
-    "materialize the training corpus" shape, still one scan).
+    Mechanics: the first 8 hex chars of ``md5('split:' || key || salt)``
+    are compared against cumulative-weight thresholds expressed as
+    8-char hex strings (lexicographic compare == numeric compare at
+    fixed width), so the assignment is a pure Catalyst CASE chain — no
+    UDF, no shuffle, and bit-identical in any engine with a standard md5
+    (the DuckDB oracle runs the same expression). ``salt`` reshuffles
+    assignments without touching the data; ``keep`` filters to one split
+    (the common "materialize the training corpus" shape, still one
+    scan). The ``split:`` domain tag keeps this hash independent of
+    ``hash_sample``/``cap_per_group`` over the same key — shared raw
+    ``md5(key)`` across stages correlates their selections (a sampled
+    or capped corpus would feed only low-md5 keys in, emptying the
+    later splits).
 
     Weights are normalized; the last split takes the residue so the
     thresholds always cover [0, 1).
@@ -675,7 +680,7 @@ def hash_split(
     if keep is not None and keep not in names:
         raise TransformationError(f"keep must be one of the split names: {keep}")
     bucket = F.substring(
-        F.md5(F.concat(F.col(key_column).cast("string"), F.lit(salt))), 1, 8
+        F.md5(F.concat(F.lit("split:"), F.col(key_column).cast("string"), F.lit(salt))), 1, 8
     )
     expr: Column | None = None
     cum = 0.0

@@ -960,7 +960,7 @@ def test_cap_per_group_deterministic(spark):
     for s, kept in by_src.items():
         pool = sorted(
             (d for d in range(30) if f"src{d % 3}" == s),
-            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), str(d)),
+            key=lambda d: (hashlib.md5(("cap:" + str(d)).encode()).hexdigest(), str(d)),
         )
         assert sorted(kept) == sorted(pool[:4])
 
@@ -1011,3 +1011,33 @@ def test_with_url_features_edges(spark):
     assert got[3].url_domain == "upper.net" and got[3].url_path_depth == 1
     assert got[3].url_is_https is True  # case-insensitive scheme
     assert got[4].url_domain == "" and got[5].url_domain == ""  # filterable
+
+
+def test_hash_domains_independent_across_stages(spark):
+    """Chained deterministic-hash stages must not correlate: capping /
+    sampling keeps low-rank keys of ITS OWN hash domain, and a
+    downstream split must still produce every bucket at ~its weight.
+    (Regression: with a shared raw md5(key), cap->split produced 1 val
+    doc out of 382 — the capped survivors were exactly the split's
+    train range.)"""
+    from etl_spark_gradle_spark.operators import corpus as cp
+    from etl_spark_gradle_spark.operators.relational import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k").withColumn(
+        "src", (F.col("k") % 4).cast("string")
+    )
+    splits = [("train", 0.9), ("val", 0.1)]
+
+    capped = cp.cap_per_group(df, ["src"], max_rows=250, order_col="k")
+    val_frac = (
+        hash_split(capped, "k", splits).filter("split = 'val'").count()
+        / capped.count()
+    )
+    assert 0.05 < val_frac < 0.16, f"cap->split correlated: val={val_frac}"
+
+    sampled = cp.hash_sample(df, "k", fraction=0.5)
+    val_frac2 = (
+        hash_split(sampled, "k", splits).filter("split = 'val'").count()
+        / sampled.count()
+    )
+    assert 0.05 < val_frac2 < 0.16, f"sample->split correlated: val={val_frac2}"
