@@ -282,6 +282,34 @@ def test_curate_corpus_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
     assert cur.groupBy("text").count().filter("count > 1").count() == 0
 
 
+def test_web_corpus_curation_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/web-corpus-curation.yaml (flagship chain:
+    clean -> quality gate -> per-source cap -> fuzzy dedup -> PII
+    redact -> split) runs end-to-end with healthy split fractions —
+    the correlated-hash regression guard at the YAML level."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "web_curated")
+    monkeypatch.setenv("CORPUS_DIR", sf_dir)
+    monkeypatch.setenv("CURATED_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/web-corpus-curation.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+
+    cur = spark.read.parquet(out)
+    assert "clean_text" in cur.columns and "split" in cur.columns
+    # per-source cap enforced
+    assert cur.groupBy("source").count().agg({"count": "max"}).collect()[0][0] <= 20
+    # both splits materialize at sane fractions (correlated-hash guard)
+    counts = {r["split"]: r["count"] for r in cur.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val"}
+    val_frac = counts["val"] / cur.count()
+    assert 0.03 < val_frac < 0.25, f"val fraction degenerate: {val_frac}"
+    # dedup: no exact duplicate cleaned texts coexist
+    assert cur.groupBy("clean_text").count().filter("count > 1").count() == 0
+
+
 def test_quickstart1_inline_aggregation_yaml(spark, sf_dir, tmp_path, monkeypatch):
     """Reference quickstart-1 parity: the inline alias:fn(expr)
     aggregation string (incl. an expression aggregate) runs verbatim."""
