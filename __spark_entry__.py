@@ -2333,6 +2333,15 @@ def q_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_images(docs, target_width=64, target_height=64)
 
 
+def q_model_score_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """model-based quality scoring plumbing (Arrow mapInPandas, model
+    loaded once per worker, scorer injectable; stub core — no model
+    runtime in this container) → rows-only check."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return tx.score_with_model(docs, "doc_id", "text")
+
+
 def q_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas frame-sampling row-explosion plumbing → rows-only."""
     _prep(spark)
@@ -2449,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "image_resize_stub": q_image_resize_stub,
         "frame_sample_stub": q_frame_sample_stub,
+        "model_score_stub": q_model_score_stub,
     }
 
 

@@ -335,6 +335,72 @@ def with_clean_text(
     return df.withColumn(out_col, c)
 
 
+def score_with_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scorer=None,
+    batch_status: str | None = None,
+) -> DataFrame:
+    """Model-based document scoring stage (quality/toxicity/perplexity
+    classifiers — the fastText / KenLM style filters every production
+    curation stack runs alongside the heuristic gates).
+
+    The Spark side is REAL and is what matters at 100 TB: one Arrow
+    ``mapInPandas`` stage over a narrow (id, text) projection, model
+    loaded ONCE per Python worker (inside the generator, not per row),
+    scores emitted as small rows so downstream shuffles never carry
+    text. ``scorer`` is any callable ``list[str] -> list[float]`` —
+    plug in a real classifier there; the default is a clearly-labeled
+    deterministic stand-in (sha256-derived, status ``ok_stub``) because
+    no model runtime ships in this container.
+    """
+    import hashlib as _hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("model_score", DoubleType()),
+            StructField("score_status", StringType()),
+        ]
+    )
+    status = batch_status or ("ok" if scorer is not None else "ok_stub")
+
+    def batches(it):
+        # model/scorer initialization happens HERE — once per worker
+        # process, amortized over every Arrow batch it serves
+        fn = scorer
+        if fn is None:
+            def fn(texts):  # deterministic stand-in, swap for a model
+                return [
+                    int.from_bytes(
+                        _hashlib.sha256((t or "").encode()).digest()[:4], "big"
+                    )
+                    / 2**32
+                    for t in texts
+                ]
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "model_score": pd.Series(fn(list(pdf[text_col])), dtype="float64"),
+                    "score_status": [status] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
 def with_url_features(
     df: DataFrame, url_col: str, prefix: str = "url_"
 ) -> DataFrame:

@@ -1041,3 +1041,31 @@ def test_hash_domains_independent_across_stages(spark):
         / sampled.count()
     )
     assert 0.05 < val_frac2 < 0.16, f"sample->split correlated: val={val_frac2}"
+
+
+def test_score_with_model_plumbing_and_injection(spark):
+    from etl_spark_gradle_spark.operators.text import score_with_model
+
+    df = spark.createDataFrame(
+        [(1, "good document text"), (2, "bad"), (3, None)], ["doc_id", "text"]
+    )
+    # default: deterministic stub, schema-correct, scores in [0,1)
+    out = score_with_model(df, "doc_id", "text")
+    assert out.schema.simpleString() == (
+        "struct<id:bigint,model_score:double,score_status:string>"
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert all(r.score_status == "ok_stub" for r in rows.values())
+    assert all(0.0 <= r.model_score < 1.0 for r in rows.values())
+    again = {r.id: r.model_score for r in score_with_model(df, "doc_id", "text").collect()}
+    assert again == {i: r.model_score for i, r in rows.items()}
+
+    # injected scorer: real path, batch-shaped (list in, list out)
+    def scorer(texts):
+        return [float(len(t or "")) for t in texts]
+
+    scored = {r.id: r for r in score_with_model(df, "doc_id", "text", scorer=scorer).collect()}
+    assert scored[1].model_score == len("good document text")
+    assert scored[2].model_score == 3.0
+    assert scored[3].model_score == 0.0
+    assert all(r.score_status == "ok" for r in scored.values())
