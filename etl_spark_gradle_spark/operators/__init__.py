@@ -69,7 +69,10 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     window_aggregate,
 )
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
-from etl_spark_gradle_spark.operators.text import TextAnalysisTransformer  # noqa: F401
+from etl_spark_gradle_spark.operators.text import (  # noqa: F401
+    ModelScoreTransformer,
+    TextAnalysisTransformer,
+)
 
 TRANSFORMER_REGISTRY = {
     "filter": FilterTransformer(),
@@ -96,6 +99,7 @@ TRANSFORMER_REGISTRY = {
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),
     "text_analysis": TextAnalysisTransformer(),
+    "model_score": ModelScoreTransformer(),
     "pii": PiiTransformer(),
     "chunk": ChunkTransformer(),
     "pack": PackTransformer(),

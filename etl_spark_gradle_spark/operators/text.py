@@ -401,6 +401,65 @@ def score_with_model(
     return df.select(id_col, text_col).mapInPandas(batches, schema)
 
 
+class ModelScoreTransformer:
+    """Registry adapter (``type: model_score``). Options: ``idColumn``
+    (required), ``textColumn`` (default ``text``), ``action``
+    ``annotate`` (default — join ``model_score``/``score_status`` back
+    onto the frame by id) | ``replace`` (emit only the score rows),
+    ``scorerFactory`` (optional dotted path ``pkg.mod:fn`` resolving to
+    a ``list[str] -> list[float]`` callable — the hook for a real
+    model; absent → deterministic stub core)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        opts = config.options
+        errors = []
+        ic = opts.get("idColumn")
+        if not ic:
+            errors.append("model_score requires 'idColumn'")
+        elif ic not in df.columns:
+            errors.append(f"column not in input schema: {ic}")
+        tc = opts.get("textColumn", "text")
+        if tc not in df.columns:
+            errors.append(f"column not in input schema: {tc}")
+        if opts.get("action", "annotate").lower() not in ("annotate", "replace"):
+            errors.append(f"unsupported action: {opts['action']}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        from etl_spark_gradle_spark.operators.relational import TransformationError
+
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "model_score config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        scorer = None
+        factory = opts.get("scorerFactory")
+        if factory:
+            import importlib
+
+            mod_name, _, fn_name = factory.partition(":")
+            if not fn_name:
+                raise TransformationError(
+                    f"scorerFactory must be 'module:function', got {factory!r}"
+                )
+            scorer = getattr(importlib.import_module(mod_name), fn_name)()
+        ic = opts["idColumn"]
+        scores = score_with_model(df, ic, opts.get("textColumn", "text"), scorer=scorer)
+        if opts.get("action", "annotate").lower() == "replace":
+            return scores
+        return df.join(
+            scores.withColumnRenamed("id", ic), ic, "left"
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"model_score({opts})"
+
+
 def with_url_features(
     df: DataFrame, url_col: str, prefix: str = "url_"
 ) -> DataFrame:

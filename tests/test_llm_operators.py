@@ -1069,3 +1069,50 @@ def test_score_with_model_plumbing_and_injection(spark):
     assert scored[2].model_score == 3.0
     assert scored[3].model_score == 0.0
     assert all(r.score_status == "ok" for r in scored.values())
+
+
+def _length_scorer_factory():
+    """Module-level factory used by the model_score scorerFactory test."""
+    return lambda texts: [float(len(t or "")) for t in texts]
+
+
+def test_model_score_transformer(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame([(1, "abc"), (2, "hello!")], ["doc_id", "text"])
+    tf = TRANSFORMER_REGISTRY["model_score"]
+    ctx = RunContext.create("t", spark)
+
+    # annotate (default): original columns + score columns
+    out = tf.transform(
+        df,
+        TransformationConfig(type="model_score", options={"idColumn": "doc_id"}),
+        ctx,
+    )
+    assert {"doc_id", "text", "model_score", "score_status"} <= set(out.columns)
+    assert out.count() == 2
+
+    # replace + injected scorer via dotted factory path
+    rep = tf.transform(
+        df,
+        TransformationConfig(
+            type="model_score",
+            options={
+                "idColumn": "doc_id",
+                "action": "replace",
+                "scorerFactory": "tests.test_llm_operators:_length_scorer_factory",
+            },
+        ),
+        ctx,
+    )
+    rows = {r.id: r for r in rep.collect()}
+    assert rows[1].model_score == 3.0 and rows[2].model_score == 6.0
+    assert rows[1].score_status == "ok"
+
+    import pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    with pytest.raises(TransformationError, match="idColumn"):
+        tf.transform(df, TransformationConfig(type="model_score", options={}), ctx)
