@@ -2333,13 +2333,36 @@ def q_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_images(docs, target_width=64, target_height=64)
 
 
-def q_model_score_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """model-based quality scoring plumbing (Arrow mapInPandas, model
-    loaded once per worker, scorer injectable; stub core — no model
-    runtime in this container) → rows-only check."""
+def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring PLUMBING verified end-to-end: inject a scorer whose
+    math is SQL-reproducible (token count / char count) so the oracle
+    hash-checks the whole Arrow path — batch slicing, id alignment,
+    score typing. The default stub core stays unit-tested; a real
+    classifier plugs into the same hook."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return tx.score_with_model(docs, "doc_id", "text")
+
+    def scorer(texts):
+        return [
+            (len([t for t in (s or "").split() if t]) / max(len(s or ""), 1))
+            for s in texts
+        ]
+
+    out = tx.score_with_model(docs, "doc_id", "text", scorer=scorer)
+    # no rounding: both engines divide the same two integers, so the
+    # IEEE doubles are bit-identical
+    return out.select(
+        F.col("id").alias("doc_id"), "model_score", "score_status"
+    )
+
+
+_MODEL_SCORE_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+            AS DOUBLE) / greatest(length(text), 1) AS model_score,
+       'ok' AS score_status
+FROM documents
+"""
 
 
 def q_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2458,7 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "image_resize_stub": q_image_resize_stub,
         "frame_sample_stub": q_frame_sample_stub,
-        "model_score_stub": q_model_score_stub,
+        "model_score": q_model_score,
     }
 
 
@@ -2675,6 +2698,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _hash_sample_oracle(),
         "cap_per_group": _CAP_PER_GROUP_ORACLE,
         "url_features": _URL_FEATURES_ORACLE,
+        "model_score": _MODEL_SCORE_ORACLE,
         "ann_lsh": _ANN_SUMMARY_ORACLE,
         "ann_ivf": _ANN_SUMMARY_ORACLE,
         # rows-only (non-SQL-expressible): image_resize_stub,

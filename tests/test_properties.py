@@ -276,3 +276,26 @@ def test_image_audio_parsers_never_crash(junk):
     # never raise (decode runs inside executor batches at corpus scale)
     for out in (mm.parse_image_dims(junk), mm.parse_audio_meta(junk)):
         assert out is None or (len(out) == 4)
+
+
+@given(raw=st.text(max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_clean_html_idempotent_and_safe(spark_prop, raw):
+    """clean_html is idempotent (cleaning cleaned text is a no-op) and
+    total (never raises) over arbitrary text — both required for a
+    re-runnable pipeline stage."""
+    from etl_spark_gradle_spark.operators import text as tx
+
+    df = spark_prop.createDataFrame([(raw,)], "t STRING")
+    once = df.select(tx.clean_html("t").alias("c")).collect()[0].c
+    twice = (
+        df.select(tx.clean_html("t").alias("c"))
+        .select(tx.clean_html("c").alias("c2"))
+        .collect()[0]
+        .c2
+    )
+    assert twice == once
+    # ASCII-space trim only: Python's str.strip() also strips \x1c-\x1f,
+    # which are NOT Unicode whitespace and rightly survive cleaning
+    assert once == once.strip(" ")
+    assert "  " not in once  # whitespace fully collapsed
