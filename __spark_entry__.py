@@ -21,6 +21,7 @@ Determinism notes (so the value-hash compare is exact):
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from collections.abc import Callable
 
@@ -1619,11 +1620,16 @@ WITH w AS (
          '%%% 404 %%%' || chr(10) || '<p>' || text || '</p>' || chr(10) || 'OK' AS raw
   FROM documents
 ), kept AS (
+  -- line heuristics scored on the VISIBLE (tag-stripped) text, same as
+  -- drop_boilerplate_lines(strip_tags_for_ratio=True); original line kept
   SELECT doc_id,
          array_to_string(list_filter(string_split(raw, chr(10)),
-            ln -> length(trim(ln)) >= 10
-              AND CAST(length(regexp_replace(ln, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                  / greatest(length(ln), 1) >= 0.4), chr(10)) AS t
+            ln -> length(trim(regexp_replace(ln, '(?s)<[^>]+>', ' ', 'g'))) >= 10
+              AND CAST(length(regexp_replace(
+                    regexp_replace(ln, '(?s)<[^>]+>', ' ', 'g'),
+                    '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(length(regexp_replace(ln, '(?s)<[^>]+>', ' ', 'g')), 1)
+                  >= 0.4), chr(10)) AS t
   FROM w
 )
 SELECT doc_id,
@@ -2342,9 +2348,15 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
 
+    # Explicit ASCII whitespace class, NOT str.split(): Python treats
+    # Unicode whitespace (NBSP, U+0085, U+001C-1F) as separators while
+    # the oracle's RE2 '\s' is exactly [ \t\n\f\r] — str.split() would
+    # hash-match only while the testdata happens to be ASCII (ADVICE r3).
+    _ws = re.compile(r"[ \t\n\f\r]+")
+
     def scorer(texts):
         return [
-            (len([t for t in (s or "").split() if t]) / max(len(s or ""), 1))
+            (len([t for t in _ws.split(s or "") if t]) / max(len(s or ""), 1))
             for s in texts
         ]
 

@@ -218,7 +218,7 @@ def cap_per_group(
     df: DataFrame,
     group_cols: list[str],
     max_rows: int,
-    order_col: str | None = None,
+    order_col: str,
     salt: str = "",
 ) -> DataFrame:
     """Keep at most ``max_rows`` rows per group — the crawl-balancing
@@ -243,7 +243,17 @@ def cap_per_group(
         raise TransformationError("cap_per_group max_rows must be >= 1")
     if not group_cols:
         raise TransformationError("cap_per_group requires group columns")
-    key = F.col(order_col) if order_col else F.col(group_cols[0])
+    if not order_col:
+        # A group column would be constant inside its group, making the
+        # md5 rank key identical for every row and survivor choice a
+        # function of partition scan order — silently nondeterministic.
+        raise TransformationError(
+            "cap_per_group requires order_col: a per-row key (e.g. the "
+            "document id) that varies WITHIN each group; group columns "
+            "are constant per group and would make survivor selection "
+            "depend on scan order"
+        )
+    key = F.col(order_col)
     rank_key = F.md5(F.concat(F.lit("cap:"), key.cast("string"), F.lit(salt)))
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         rank_key.asc(), key.cast("string").asc()
@@ -258,8 +268,8 @@ def cap_per_group(
 class CapPerGroupTransformer:
     """Registry adapter (``type: cap_per_group``). Options:
     ``groupBy`` (comma list, required), ``maxRows`` (required),
-    ``orderColumn`` (hash-rank key; default first group column),
-    ``salt``."""
+    ``orderColumn`` (hash-rank key, required — must vary within each
+    group for deterministic survivors), ``salt``."""
 
     def validate(self, df: DataFrame, config) -> ValidationResult:
         opts = config.options
@@ -273,7 +283,12 @@ class CapPerGroupTransformer:
         if not str(opts.get("maxRows", "")).isdigit():
             errors.append("cap_per_group requires integer 'maxRows'")
         oc = opts.get("orderColumn")
-        if oc and oc not in df.columns:
+        if not oc:
+            errors.append(
+                "cap_per_group requires 'orderColumn' (a per-row key that "
+                "varies within each group; deterministic survivor choice)"
+            )
+        elif oc not in df.columns:
             errors.append(f"column not in input schema: {oc}")
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 

@@ -94,6 +94,28 @@ def with_media_metadata(
     return df.withColumn(out_col, meta)
 
 
+def require_integral_id(df: DataFrame, id_col: str, op: str) -> DataFrame:
+    """Fail fast on a non-integral id column and return the frame with
+    ``id_col`` cast to ``long`` JVM-side.
+
+    Every Arrow stage below emits ``id`` as int64; a string doc-id would
+    pass schema validation but crash mid-job inside the Python worker
+    with an opaque pandas ``astype('int64')`` ValueError (ADVICE r3).
+    Casting in the JVM projection keeps the Python side a no-op."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if id_col not in df.columns:
+        raise ValueError(f"{op}: id column '{id_col}' not in input schema")
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{op}: id column '{id_col}' must be an integral type, got "
+            f"{dt.simpleString()} — cast it to long (or hash string ids "
+            f"to a surrogate key) before this stage"
+        )
+    return df.withColumn(id_col, F.col(id_col).cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Decode / feature stages (Arrow-batched; decode core is STUBBED)
 # ---------------------------------------------------------------------------
@@ -231,7 +253,8 @@ def decode_images(
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, IMAGE_DECODE_SCHEMA)
+    src = require_integral_id(df, id_col, "decode_images")
+    return src.select(id_col, binary_col).mapInPandas(batches, IMAGE_DECODE_SCHEMA)
 
 
 AUDIO_DECODE_SCHEMA = StructType(
@@ -319,7 +342,8 @@ def decode_audio(
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, AUDIO_DECODE_SCHEMA)
+    src = require_integral_id(df, id_col, "decode_audio")
+    return src.select(id_col, binary_col).mapInPandas(batches, AUDIO_DECODE_SCHEMA)
 
 
 MEDIA_EMBED_SCHEMA = StructType(
@@ -349,7 +373,8 @@ def embed_media(
                 vecs.append([b / 255.0 for b in raw])
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "embedding": vecs})
 
-    return df.select(id_col, binary_col).mapInPandas(batches, MEDIA_EMBED_SCHEMA)
+    src = require_integral_id(df, id_col, "embed_media")
+    return src.select(id_col, binary_col).mapInPandas(batches, MEDIA_EMBED_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = StructType(
@@ -395,7 +420,8 @@ def sample_frames(
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+    src = require_integral_id(df, id_col, "sample_frames")
+    return src.select(id_col, binary_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
 class MultimodalTransformer:
@@ -525,4 +551,5 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, RESIZE_SCHEMA)
+    src = require_integral_id(df, id_col, "resize_images")
+    return src.select(id_col, binary_col).mapInPandas(batches, RESIZE_SCHEMA)

@@ -294,21 +294,39 @@ def clean_html(text: Column | str) -> Column:
 
 
 def drop_boilerplate_lines(
-    text: Column | str, min_chars: int = 10, min_alpha_ratio: float = 0.4
+    text: Column | str,
+    min_chars: int = 10,
+    min_alpha_ratio: float = 0.4,
+    strip_tags_for_ratio: bool = False,
 ) -> Column:
     """Line-level boilerplate filter (jusText-style heuristic, narrow):
     keep only lines with >= ``min_chars`` non-space characters AND a
     letters+spaces ratio >= ``min_alpha_ratio`` — nav bars, cookie
     banners, link lists and symbol soup fall below one of the two.
-    Split/filter/rejoin is a per-row array expression; no shuffle."""
+    Split/filter/rejoin is a per-row array expression; no shuffle.
+
+    ``strip_tags_for_ratio`` computes both heuristics on the line with
+    HTML tags removed (the VISIBLE text) while keeping/dropping the
+    original line. Without it, good prose wrapped in a tag with long
+    attributes (``<a href="https://...">Good sentence</a>``) is scored
+    on the raw markup and can fall below ``min_alpha_ratio`` — turn it
+    on whenever this runs before an HTML strip. Tags broken across a
+    newline are not recognized by the per-line strip (same limitation
+    as any line-local heuristic)."""
     c = F.col(text) if isinstance(text, str) else text
     lines = F.split(c, r"\n")
+
+    def _visible(ln: Column) -> Column:
+        if strip_tags_for_ratio:
+            return F.regexp_replace(ln, r"(?s)<[^>]+>", " ")
+        return ln
+
     kept = F.filter(
         lines,
-        lambda ln: (F.length(F.trim(ln)) >= min_chars)
+        lambda ln: (F.length(F.trim(_visible(ln))) >= min_chars)
         & (
-            F.length(F.regexp_replace(ln, r"[^A-Za-z ]", ""))
-            / F.greatest(F.length(ln), F.lit(1))
+            F.length(F.regexp_replace(_visible(ln), r"[^A-Za-z ]", ""))
+            / F.greatest(F.length(_visible(ln)), F.lit(1))
             >= min_alpha_ratio
         ),
     )
@@ -329,7 +347,12 @@ def with_clean_text(
     runs inside the scan's whole-stage codegen with zero exchanges."""
     c: Column = F.col(text_col)
     if boilerplate:
-        c = drop_boilerplate_lines(c, min_line_chars, min_alpha_ratio)
+        # When an HTML strip follows, score each line on its visible
+        # (tag-stripped) text so markup-heavy-but-good-prose lines
+        # aren't dropped for their attribute noise (ADVICE r3).
+        c = drop_boilerplate_lines(
+            c, min_line_chars, min_alpha_ratio, strip_tags_for_ratio=strip_html
+        )
     if strip_html:
         c = clean_html(c)
     return df.withColumn(out_col, c)
@@ -398,7 +421,10 @@ def score_with_model(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(batches, schema)
+    from etl_spark_gradle_spark.operators.multimodal import require_integral_id
+
+    src = require_integral_id(df, id_col, "score_with_model")
+    return src.select(id_col, text_col).mapInPandas(batches, schema)
 
 
 class ModelScoreTransformer:

@@ -990,6 +990,20 @@ def test_cap_per_group_transformer(spark):
             TransformationConfig(type="cap_per_group", options={"maxRows": "3"}),
             RunContext.create("t", spark),
         )
+    # orderColumn is required: a group column is constant per group, so
+    # omitting it would make survivor choice depend on scan order
+    with pytest.raises(TransformationError, match="orderColumn"):
+        tf.transform(
+            df,
+            TransformationConfig(
+                type="cap_per_group", options={"groupBy": "src", "maxRows": "3"}
+            ),
+            RunContext.create("t", spark),
+        )
+    from etl_spark_gradle_spark.operators.corpus import cap_per_group
+
+    with pytest.raises(TransformationError, match="order_col"):
+        cap_per_group(df, ["src"], max_rows=3, order_col=None)
 
 
 def test_with_url_features_edges(spark):
@@ -1116,3 +1130,28 @@ def test_model_score_transformer(spark):
 
     with pytest.raises(TransformationError, match="idColumn"):
         tf.transform(df, TransformationConfig(type="model_score", options={}), ctx)
+
+
+def test_arrow_stage_id_guard(spark):
+    """Non-integral id columns fail fast JVM-side with a clear message
+    instead of an opaque pandas astype ValueError mid-job (ADVICE r3);
+    narrower integral ids are cast to long, not rejected."""
+    import pytest
+
+    from etl_spark_gradle_spark.operators import multimodal as mm
+    from etl_spark_gradle_spark.operators import text as tx
+
+    bad = spark.createDataFrame([("doc-a", b"x", "t")], ["id", "content", "text"])
+    for op in (mm.decode_images, mm.decode_audio, mm.embed_media,
+               mm.sample_frames, mm.resize_images):
+        with pytest.raises(ValueError, match="integral"):
+            op(bad)
+    with pytest.raises(ValueError, match="integral"):
+        tx.score_with_model(bad, "id", "text")
+    with pytest.raises(ValueError, match="not in input schema"):
+        mm.decode_images(bad, id_col="nope")
+
+    ok = spark.createDataFrame([(7, b"x")], ["id", "content"])  # int32-ish
+    out = mm.decode_images(ok.withColumn("id", ok["id"].cast("int")))
+    assert out.schema["id"].dataType.simpleString() == "bigint"
+    assert out.count() == 1
