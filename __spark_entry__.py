@@ -1211,6 +1211,47 @@ def q_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+def q_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro degradation contract: pyspark does not bundle the spark-avro
+    datasource (only avro-core jars), so both the file sink and the file
+    extractor must rewrap the JVM's lookup failure into a guided
+    ConfigError naming the exact --packages fix — this query asserts
+    that contract end-to-end for write AND read. In an environment WITH
+    spark-avro on the classpath the branches flip to a real round-trip
+    and emit status 'ok' (oracle then needs the one-line flip documented
+    here) — parity target: extractor/S3Extractor.scala:45-65,
+    loader/S3Loader.scala:27-119."""
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.sinks.loaders import load_file
+    from etl_spark_gradle_spark.sources.extractors import extract_file
+
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation")
+    path = os.path.join(_SCRATCH, f"avro_{uuid.uuid4()}")
+    opts = {"path": path, "format": "avro"}
+    rows = []
+    try:
+        load_file(nation, opts, write_mode="overwrite")
+        rows.append(("write", "ok", True))
+        out = extract_file(spark, opts)
+        rows.append(("read", "ok", out.count() == nation.count()))
+    except ConfigError as e:
+        rows.append(("write", "config_error", "spark-avro" in str(e)))
+        try:
+            extract_file(spark, opts)
+            rows.append(("read", "ok", True))
+        except ConfigError as e2:
+            rows.append(("read", "config_error", "spark-avro" in str(e2)))
+    return spark.createDataFrame(rows, "op string, status string, guided boolean")
+
+
+_ROUNDTRIP_AVRO_ORACLE = """
+SELECT 'write' AS op, 'config_error' AS status, TRUE AS guided
+UNION ALL
+SELECT 'read', 'config_error', TRUE
+"""
+
+
 _NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
@@ -2327,16 +2368,99 @@ FROM p
 """
 
 
-def q_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas resize plumbing (stub core; fixed-dim output payload,
-    input payload projected away) → rows-only check."""
+def _synth_solid_png(docs: DataFrame) -> DataFrame:
+    """Verification scaffolding: one VALID solid-color PNG per document,
+    size and color derived from doc_id arithmetic (so the DuckDB oracle
+    can predict every decoded value). Built with the same pure-stdlib
+    encoder the codec tests exercise; the operator under test never sees
+    the construction — it receives opaque binary payloads."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w0, h0 = did % 13 + 3, did % 7 + 2
+                color = np.array(
+                    [did % 256, (did * 7) % 256, (did * 13) % 256], dtype=np.uint8
+                )
+                payloads.append(
+                    mc.png_encode(np.broadcast_to(color, (h0, w0, 3)))
+                )
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"].astype("int64"), "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, "id long, content binary")
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize, end-to-end verifiable: synthesize valid solid-color
+    PNGs (doc_id-derived dims/colors), run the full decode → nearest
+    resize → raw-RGB888 pipeline, and project byte-level outputs the
+    oracle predicts exactly — output length and the first pixel's hex
+    triplet. A hash match proves zlib inflate, scanline unfilter, the
+    resize convention, and the RGB buffer layout all ran for real."""
     _prep(spark)
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
-        .select(F.col("doc_id").alias("id"), F.col("payload").alias("content"))
+    docs = _t(spark, sf_dir, "documents")
+    out = mm.resize_images(_synth_solid_png(docs), target_width=5, target_height=4)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "resize_status",
+        F.length("resized").cast("long").alias("out_len"),
+        F.upper(F.hex(F.substring(F.col("resized"), 1, 3))).alias("px0"),
     )
-    return mm.resize_images(docs, target_width=64, target_height=64)
+
+
+_IMAGE_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       'ok:png' AS resize_status,
+       CAST(60 AS BIGINT) AS out_len,
+       printf('%02X%02X%02X', doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256) AS px0
+FROM documents
+"""
+
+
+def q_embed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL feature extraction, end-to-end verifiable: solid-color PNGs
+    → pixel decode → channel-mean + grayscale-grid descriptor. The
+    oracle recovers the constructed color by scaling the emitted floats
+    back to integers (round(mean*255) is exact for a constant image far
+    beyond float32 error), proving the features come from true decoded
+    pixels, not a hash stub."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = mm.embed_media(_synth_solid_png(docs), dim=8)
+    e = F.col("embedding")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "embed_status",
+        F.round(F.element_at(e, 1) * 255).cast("long").alias("mean_r"),
+        F.round(F.element_at(e, 2) * 255).cast("long").alias("mean_g"),
+        F.round(F.element_at(e, 3) * 255).cast("long").alias("mean_b"),
+        F.round(F.element_at(e, 4) * 765).cast("long").alias("gray_sum"),
+        F.size(e).cast("long").alias("dim"),
+    )
+
+
+_EMBED_MEDIA_ORACLE = """
+SELECT doc_id,
+       'ok:png' AS embed_status,
+       CAST(doc_id % 256 AS BIGINT) AS mean_r,
+       CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+       CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b,
+       CAST(doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256 AS BIGINT) AS gray_sum,
+       CAST(8 AS BIGINT) AS dim
+FROM documents
+"""
 
 
 def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2377,15 +2501,59 @@ FROM documents
 """
 
 
-def q_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas frame-sampling row-explosion plumbing → rows-only."""
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, end-to-end verifiable: synthesize
+    valid Y4M (YUV4MPEG2) streams with doc_id-derived frame rate and
+    frame count, then demux them with the real container parser. The
+    oracle reproduces the documented sampling convention (index step
+    ``max(1, every_ms*fps//1000)``, integer-ms timestamps) from the same
+    arithmetic — a hash match proves header parse, FRAME-marker walk,
+    and timestamp math."""
+    import pandas as pd
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
     _prep(spark)
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
-        .select(F.col("doc_id").alias("id"), F.col("payload").alias("content"))
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fps = (10, 25, 50)[did % 3]
+                n_frames = did % 6 + 1
+                payloads.append(mc.y4m_encode(4, 4, n_frames, fps_num=fps))
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"].astype("int64"), "content": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(gen, "id long, content binary")
+    out = mm.sample_frames(media, every_ms=100, max_frames=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        "frame_status",
     )
-    return mm.sample_frames(docs, id_col="id", binary_col="content", max_frames=4)
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 25 ELSE 50 END AS fps,
+         doc_id % 6 + 1 AS nf
+  FROM documents
+), s AS (
+  SELECT doc_id, fps, nf, unnest(range(0, 3)) AS k FROM p
+)
+SELECT doc_id,
+       CAST(k * greatest(100 * fps // 1000, 1) AS BIGINT) AS frame_idx,
+       CAST(k * greatest(100 * fps // 1000, 1) * 1000 // fps AS BIGINT) AS frame_ts_ms,
+       'ok:y4m' AS frame_status
+FROM s
+WHERE k * greatest(100 * fps // 1000, 1) < nf
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2401,75 +2569,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness gate records the
-    FIRST 50 dict entries, so the first 50 are chosen to cover every
-    operator family exactly once (relational, window, streaming,
-    asof/range, set ops, quality, sinks, pipeline, dedup/LSH, text,
-    PII, split, corpus, similarity, multimodal). Within-family variants
-    that were already hash-matched in CORRECTNESS_r02 (join_right/full,
-    window_sliding/session, roundtrip_csv/json/orc, cube, asof_nearest,
-    setop_except, sessionize, json_extract, ...) sit after position 50;
-    they remain oracle-checked by tools/check_oracle.py and pytest."""
+    FIRST 50 dict entries. Round-4 rotation (VERDICT r3 ask #1): the 26
+    entries that sat past position 50 in r3 — green under the local
+    oracle replica but never driver-recorded — now occupy the front,
+    together with this round's new queries (real image_resize /
+    embed_media / frame_sample cores, avro degradation contract).
+    Entries pushed past 50 all have driver-grade green rows in
+    CORRECTNESS_r03; with this rotation every declared query has a
+    driver-recorded row across r3 ∪ r4. All 78 remain oracle-checked
+    locally by tools/check_oracle.py regardless of position."""
     return {
-        # --- core relational (§2.3) ---
-        "filter": q_filter,
-        "map": q_map,
-        "aggregation": q_aggregation,
-        "join_inner": q_join_inner,
-        "join_left": q_join_left,
-        "join_semi": q_join_semi,
-        "window_tumbling": q_window_tumbling,
-        "streaming_window": q_streaming_window,
-        "ranking": q_ranking,
-        "explode": q_explode,
-        "agg_extended": q_agg_extended,
-        "analytics": q_analytics,
-        "pivot": q_pivot,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "rollup": q_rollup,
-        "setop_union": q_setop_union,
-        "sort_limit": q_sort_limit,
-        "distinct": q_distinct,
-        "salted_aggregation": q_salted_aggregation,
-        "sketch_distinct": q_sketch_distinct,
-        "rolling_time": q_rolling_time,
-        # --- quality / quarantine (§2.4) ---
-        "null_split_invalid": q_null_split_invalid,
-        "null_metrics": q_null_metrics,
-        "duplicate_stats": q_duplicate_stats,
-        "quarantine_roundtrip": q_quarantine_roundtrip,
-        # --- sources/sinks + pipeline lifecycle (§2.1/2.2) ---
-        "roundtrip_parquet": q_roundtrip_parquet,
-        "pipeline_e2e": q_pipeline_e2e,
-        # --- LLM pipeline: dedup ---
-        "dedup_exact_content": q_dedup_exact_content,
-        "dedup_exact_keys": q_dedup_exact_keys,
-        "ngram_jaccard": q_ngram_jaccard,
-        "contamination": q_contamination,
-        "dedup_clusters": q_dedup_clusters,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        # --- LLM pipeline: text analysis ---
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "token_counts": q_token_counts,
-        "repetition_stats": q_repetition_stats,
-        "top_bigram": q_top_bigram,
-        "pii_scan": q_pii_scan,
-        # --- LLM pipeline: corpus assembly ---
-        "hash_split": q_hash_split,
-        "chunk_docs": q_chunk_docs,
-        "pack_sequences": q_pack_sequences,
-        "token_frequency": q_token_frequency,
-        # --- LLM pipeline: similarity + multimodal ---
-        "cosine_topk": q_cosine_topk,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "multimodal_meta": q_multimodal_meta,
-        "image_decode": q_image_decode,
-        "audio_decode": q_audio_decode,
-        # ---------- position 51+ (still oracle-checked locally) ----------
-        "fingerprint": q_fingerprint,
-        "hash_sample": q_hash_sample,
+        # ---- rotated in: driver-recorded for the first time this round ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
         "join_full": q_join_full,
@@ -2486,14 +2596,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_sketch": q_histogram_sketch,
         "cap_per_group": q_cap_per_group,
         "url_features": q_url_features,
+        "fingerprint": q_fingerprint,
+        "hash_sample": q_hash_sample,
         "roundtrip_csv": q_roundtrip_csv,
         "roundtrip_json": q_roundtrip_json,
         "roundtrip_orc": q_roundtrip_orc,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "image_resize_stub": q_image_resize_stub,
-        "frame_sample_stub": q_frame_sample_stub,
         "model_score": q_model_score,
+        # ---- new this round ----
+        "image_resize": q_image_resize,
+        "embed_media": q_embed_media,
+        "frame_sample": q_frame_sample,
+        "roundtrip_avro": q_roundtrip_avro,
+        # ---- family representatives kept inside the window ----
+        "filter": q_filter,
+        "aggregation": q_aggregation,
+        "join_inner": q_join_inner,
+        "window_tumbling": q_window_tumbling,
+        "streaming_window": q_streaming_window,
+        "ranking": q_ranking,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup": q_rollup,
+        "setop_union": q_setop_union,
+        "null_split_invalid": q_null_split_invalid,
+        "quarantine_roundtrip": q_quarantine_roundtrip,
+        "roundtrip_parquet": q_roundtrip_parquet,
+        "pipeline_e2e": q_pipeline_e2e,
+        "dedup_exact_content": q_dedup_exact_content,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_stats": q_text_stats,
+        "pii_scan": q_pii_scan,
+        "hash_split": q_hash_split,
+        "cosine_topk": q_cosine_topk,
+        "image_decode": q_image_decode,
+        # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
+        "map": q_map,
+        "join_left": q_join_left,
+        "join_semi": q_join_semi,
+        "explode": q_explode,
+        "agg_extended": q_agg_extended,
+        "analytics": q_analytics,
+        "pivot": q_pivot,
+        "sort_limit": q_sort_limit,
+        "distinct": q_distinct,
+        "salted_aggregation": q_salted_aggregation,
+        "sketch_distinct": q_sketch_distinct,
+        "rolling_time": q_rolling_time,
+        "null_metrics": q_null_metrics,
+        "duplicate_stats": q_duplicate_stats,
+        "dedup_exact_keys": q_dedup_exact_keys,
+        "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
+        "dedup_clusters": q_dedup_clusters,
+        "language_id": q_language_id,
+        "token_counts": q_token_counts,
+        "repetition_stats": q_repetition_stats,
+        "top_bigram": q_top_bigram,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
+        "token_frequency": q_token_frequency,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "multimodal_meta": q_multimodal_meta,
+        "audio_decode": q_audio_decode,
     }
 
 
@@ -2713,6 +2880,8 @@ def oracle_sql() -> dict[str, str]:
         "model_score": _MODEL_SCORE_ORACLE,
         "ann_lsh": _ANN_SUMMARY_ORACLE,
         "ann_ivf": _ANN_SUMMARY_ORACLE,
-        # rows-only (non-SQL-expressible): image_resize_stub,
-        # frame_sample_stub
+        "image_resize": _IMAGE_RESIZE_ORACLE,
+        "embed_media": _EMBED_MEDIA_ORACLE,
+        "frame_sample": _FRAME_SAMPLE_ORACLE,
+        "roundtrip_avro": _ROUNDTRIP_AVRO_ORACLE,
     }

@@ -3,14 +3,23 @@ with typed metadata structs, plus decode / feature-extract / resize /
 frame-sample stages as Arrow-batched ``mapInPandas`` operators.
 
 Beyond-reference operators (the reference has no binary/media surface;
-SURVEY.md §7.2 step 8 / BASELINE north star). The Spark-side plumbing —
-schemas, partitioning, UDF signatures, Arrow batch shapes — is real and
-tested. Image dimension/channel decode is REAL for PNG/JPEG/GIF
-(``parse_image_dims``: pure-Python header reads, no imaging library
-needed). Pixel-level work (resize re-encode, embeddings, video demux)
-genuinely needs codecs absent from this container and stays STUBBED
-with deterministic fakes (clearly marked below; drop-in replace with
-PIL/librosa/pyav calls).
+SURVEY.md §7.2 step 8 / BASELINE north star). Every stage's math is
+REAL in a bare Python+numpy environment via :mod:`media_codecs`:
+
+- dimension/channel decode for PNG/JPEG/GIF (``parse_image_dims``,
+  pure header reads) and WAV (``parse_audio_meta``);
+- pixel decode + nearest-neighbour resize for PNG (stdlib zlib +
+  scanline unfilter), RGB888 or PNG re-encode output;
+- image/audio feature vectors (channel means + grayscale grid / RMS
+  slices) for ``embed_media``;
+- frame sampling with true timestamps for Y4M (header fps) and
+  animated GIF (Graphic Control Extension delays, LZW skipped).
+
+Optional libraries widen FORMAT coverage only: Pillow (JPEG/WebP/…
+pixel decode) and PyAV (mp4/mkv demux) are used when importable, never
+required; payloads neither path can read emit ``unsupported`` status
+(or a clearly-labeled ``stub`` vector in ``embed_media``) instead of
+failing the job.
 
 100-TB design notes
 -------------------
@@ -350,28 +359,99 @@ MEDIA_EMBED_SCHEMA = StructType(
     [
         StructField("id", LongType()),
         StructField("embedding", ArrayType(FloatType())),
+        StructField("embed_status", StringType()),
     ]
 )
+
+
+def _decode_pixels(payload: bytes | None):
+    """Decode an image payload to an (H, W, C) uint8 array: our
+    pure-stdlib PNG decoder first (library-independent, deterministic),
+    then Pillow for every other format IF it is installed. Returns
+    (array, status_tag) or (None, None)."""
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    arr = mc.png_decode(payload)
+    if arr is not None:
+        return arr, "png"
+    try:  # optional dependency — extends format coverage only
+        import io
+
+        from PIL import Image  # type: ignore
+
+        im = Image.open(io.BytesIO(payload or b"")).convert("RGB")
+        return np.asarray(im, dtype=np.uint8), "pil"
+    except Exception:
+        return None, None
 
 
 def embed_media(
     df: DataFrame, id_col: str = "id", binary_col: str = "content", dim: int = 16
 ) -> DataFrame:
-    """Feature-extract stage: payload → fixed-dim float vector.
+    """Feature-extract stage: payload → fixed-dim float vector, one
+    Arrow ``mapInPandas`` pass, payloads projected away on output.
 
-    STUB features: bytes of the sha256 digest scaled to [0,1) —
-    deterministic, schema-correct. Real implementation: a vision/audio
-    model over the decoded tensor (still one ``mapInPandas`` stage)."""
+    REAL features (pure numpy, no model runtime needed):
+
+    - images (PNG via the stdlib decoder; any Pillow-readable format
+      when Pillow is installed): ``[mean_r, mean_g, mean_b]`` in [0,1]
+      followed by ``dim-3`` grayscale block means sampled on a
+      nearest-neighbour grid — a classic color+layout descriptor
+      (status ``ok:png`` / ``ok:pil``).
+    - WAV PCM audio: per-segment RMS over ``dim`` equal time slices
+      (status ``ok:audio``).
+    - undecodable payloads: deterministic sha256-derived vector,
+      clearly labeled ``stub`` — schema-stable so downstream ANN
+      operators can still run end-to-end.
+
+    A learned model (CLIP-style) plugs into the same stage by replacing
+    the feature fn; the Spark shape — one narrow Arrow stage, small
+    output rows — is identical."""
+    import numpy as np
     import pandas as pd
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    if dim < 4:
+        raise ValueError("embed_media dim must be >= 4")
+
+    def _features(p: bytes | None) -> tuple[list[float], str]:
+        arr, tag = _decode_pixels(p)
+        if arr is not None:
+            rgb = mc.to_rgb(arr).astype(np.float64) / 255.0
+            base = [float(rgb[:, :, c].mean()) for c in range(3)]
+            gray = rgb.mean(axis=2)
+            grid = mc.resize_nearest(gray, dim - 3, 1).ravel()
+            return base + [float(v) for v in grid], f"ok:{tag}"
+        wav = mc.wav_decode(p)
+        if wav is not None:
+            _rate, _ch, samples = wav
+            mono = samples.mean(axis=1)
+            segs = np.array_split(mono, dim)
+            return (
+                [float(np.sqrt((s**2).mean())) if len(s) else 0.0 for s in segs],
+                "ok:audio",
+            )
+        digest = hashlib.sha256(p or b"").digest()
+        raw = (digest * ((dim // len(digest)) + 1))[:dim]
+        return [b / 255.0 for b in raw], "stub"
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            vecs = []
+            vecs, status = [], []
             for p in pdf[binary_col]:
-                digest = hashlib.sha256(p or b"").digest()
-                raw = (digest * ((dim // len(digest)) + 1))[:dim]
-                vecs.append([b / 255.0 for b in raw])
-            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "embedding": vecs})
+                v, s = _features(p)
+                vecs.append([float(np.float32(x)) for x in v])
+                status.append(s)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "embedding": vecs,
+                    "embed_status": status,
+                }
+            )
 
     src = require_integral_id(df, id_col, "embed_media")
     return src.select(id_col, binary_col).mapInPandas(batches, MEDIA_EMBED_SCHEMA)
@@ -382,6 +462,7 @@ FRAME_SAMPLE_SCHEMA = StructType(
         StructField("id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("frame_ts_ms", LongType()),
+        StructField("frame_status", StringType()),
     ]
 )
 
@@ -394,29 +475,103 @@ def sample_frames(
     max_frames: int = 8,
 ) -> DataFrame:
     """Frame-sampling stage for video payloads: one output row per
-    sampled frame (id, frame_idx, frame_ts_ms).
+    sampled frame ``(id, frame_idx, frame_ts_ms, frame_status)``.
 
-    STUB: frame count is derived deterministically from payload length
-    (1 frame per 4 KiB, capped). Real implementation: container demux
-    (pyav/ffmpeg) inside the same ``mapInPandas`` generator — the
-    row-explosion shape (N input rows → ≤N×max_frames output rows) and
-    schema are what downstream code depends on, and those are real."""
+    REAL container parses, no codec library required:
+
+    - Y4M (YUV4MPEG2): header gives the frame rate, FRAME markers give
+      the count; sampled indices step by
+      ``max(1, every_ms * fps_num // (1000 * fps_den))`` and timestamps
+      are ``idx * 1000 * fps_den // fps_num`` — exact integer
+      arithmetic (status ``ok:y4m``).
+    - animated GIF: per-frame delays come from the Graphic Control
+      Extension block walk (LZW pixel data is skipped, not decoded);
+      a frame is sampled when its cumulative start time enters a new
+      ``every_ms`` bucket, timestamp = true start time (``ok:gif``).
+    - other containers (mp4/mkv/webm): PyAV keyframe demux when that
+      optional dependency is installed (``ok:pyav``); otherwise ONE row
+      with null idx/ts and status ``unsupported`` so ids never silently
+      vanish from the output.
+
+    Row explosion is bounded at ``max_frames`` per input; output rows
+    are tiny, so the downstream shuffle never carries video bytes."""
     import pandas as pd
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    if every_ms < 1 or max_frames < 1:
+        raise ValueError("sample_frames needs every_ms >= 1 and max_frames >= 1")
+
+    def _sample(p: bytes | None) -> tuple[list[tuple[int, int]], str]:
+        info = mc.y4m_parse(p)
+        if info is not None and info["n_frames"] > 0:
+            step = max(1, every_ms * info["fps_num"] // (1000 * info["fps_den"]))
+            picks = []
+            idx = 0
+            while idx < info["n_frames"] and len(picks) < max_frames:
+                ts = idx * 1000 * info["fps_den"] // info["fps_num"]
+                picks.append((idx, ts))
+                idx += step
+            return picks, "ok:y4m"
+        delays = mc.gif_frame_delays(p)
+        if delays:
+            picks = []
+            start = 0
+            last_bucket = None
+            for i, d in enumerate(delays):
+                bucket = start // every_ms
+                if bucket != last_bucket:
+                    picks.append((i, start))
+                    last_bucket = bucket
+                    if len(picks) >= max_frames:
+                        break
+                start += d
+            return picks, "ok:gif"
+        try:  # optional dependency — real demux for mp4/mkv/webm
+            import io
+
+            import av  # type: ignore
+
+            with av.open(io.BytesIO(p or b"")) as container:
+                stream = container.streams.video[0]
+                tb = stream.time_base
+                picks = []
+                last_bucket = None
+                for i, frame in enumerate(container.decode(stream)):
+                    ts = int(frame.pts * tb * 1000) if frame.pts is not None else 0
+                    bucket = ts // every_ms
+                    if bucket != last_bucket:
+                        picks.append((i, ts))
+                        last_bucket = bucket
+                        if len(picks) >= max_frames:
+                            break
+                if picks:
+                    return picks, "ok:pyav"
+        except Exception:
+            pass
+        return [], "unsupported"
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            ids, idxs, tss = [], [], []
+            ids, idxs, tss, status = [], [], [], []
             for rid, p in zip(pdf[id_col], pdf[binary_col]):
-                n = min(max_frames, max(1, len(p or b"") // 4096))
-                for i in range(n):
+                picks, tag = _sample(p)
+                if not picks:
+                    ids.append(int(rid))
+                    idxs.append(None)
+                    tss.append(None)
+                    status.append(tag)
+                for i, ts in picks:
                     ids.append(int(rid))
                     idxs.append(i)
-                    tss.append(i * every_ms)
+                    tss.append(ts)
+                    status.append(tag)
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "frame_ts_ms": pd.array(tss, dtype="Int64"),
+                    "frame_status": status,
                 }
             )
 
@@ -434,7 +589,8 @@ class MultimodalTransformer:
     - ``metadata``: ``outColumn`` (default ``media_meta``) — annotates
       in place (JVM-side, no Python)
     - ``decode_image`` extra: ``fallback`` = none|stub
-    - ``resize`` extra: ``targetWidth``/``targetHeight`` (default 224)
+    - ``resize`` extra: ``targetWidth``/``targetHeight`` (default 224),
+      ``output`` = raw|png (default raw RGB888 buffer)
     - ``frame_sample`` extra: ``everyMs`` (1000), ``maxFrames`` (8)
     - ``embed`` extra: ``dim`` (16)
 
@@ -487,6 +643,7 @@ class MultimodalTransformer:
                 target_height=int(opts.get("targetHeight", 224)),
                 id_col=ic,
                 binary_col=bc,
+                output=opts.get("output", "raw"),
             )
         if op == "frame_sample":
             return sample_frames(
@@ -520,34 +677,63 @@ def resize_images(
     target_height: int = 224,
     id_col: str = "id",
     binary_col: str = "content",
+    output: str = "raw",
 ) -> DataFrame:
-    """Resize stage: payload → fixed-dimension payload + final dims.
+    """Resize stage: decode → nearest-neighbour resize → re-emit, one
+    Arrow ``mapInPandas`` stage, input payloads projected away.
 
-    STUB core: the output payload is a deterministic sha256-seeded byte
-    string of the correct nominal size (w*h*3 capped at 4 KiB so tests
-    stay light). Real implementation: ``PIL.Image.open(...).resize((w,
-    h))`` re-encoded inside this same generator — the Spark-side shape
-    is what matters and is real: one ``mapInPandas`` Arrow stage, input
-    payload projected away, output schema static. At 100 TB, resize runs
-    after a repartition-by-id-hash so skewed payload sizes spread evenly
+    REAL core: PNG payloads decode through the pure-stdlib decoder
+    (``media_codecs.png_decode`` — zlib + scanline unfilter), any other
+    format decodes through Pillow when that optional dependency is
+    installed; pixels are normalized to RGB, resized with the
+    pixel-center nearest-neighbour convention
+    (``media_codecs.resize_nearest``), and emitted as
+
+    - ``output="raw"`` (default): the raw interleaved RGB888 buffer
+      (``target_width*target_height*3`` bytes) — the tensor shape a
+      training pipeline actually feeds to preprocessing, and
+      byte-predictable for verification, or
+    - ``output="png"``: a deterministic PNG re-encode (fixed zlib
+      level) for pipelines that persist images.
+
+    Undecodable payloads emit null dims/payload with status
+    ``unsupported``. At 100 TB, resize runs after a
+    repartition-by-id-hash so skewed payload sizes spread evenly
     (see PLANS.md multimodal note)."""
     import pandas as pd
 
-    nominal = min(target_width * target_height * 3, 4096)
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    if output not in ("raw", "png"):
+        raise ValueError("resize_images output must be 'raw' or 'png'")
+    if target_width < 1 or target_height < 1:
+        raise ValueError("resize_images target dims must be >= 1")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            payloads = []
+            widths, heights, payloads, status = [], [], [], []
             for p in pdf[binary_col]:
-                digest = hashlib.sha256(p or b"").digest()
-                payloads.append((digest * ((nominal // len(digest)) + 1))[:nominal])
+                arr, tag = _decode_pixels(p)
+                if arr is None:
+                    widths.append(None)
+                    heights.append(None)
+                    payloads.append(None)
+                    status.append("unsupported")
+                    continue
+                rgb = mc.resize_nearest(mc.to_rgb(arr), target_width, target_height)
+                payloads.append(
+                    mc.png_encode(rgb) if output == "png" else rgb.tobytes()
+                )
+                widths.append(target_width)
+                heights.append(target_height)
+                status.append(f"ok:{tag}")
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
-                    "width": pd.Series([target_width] * len(pdf), dtype="int32"),
-                    "height": pd.Series([target_height] * len(pdf), dtype="int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                     "resized": payloads,
-                    "resize_status": ["ok_stub"] * len(pdf),
+                    "resize_status": status,
                 }
             )
 

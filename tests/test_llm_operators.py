@@ -453,38 +453,162 @@ def test_decode_audio_real_and_unsupported(spark):
     assert rows[2].sample_rate is None and rows[2].decode_status == "unsupported"
 
 
-def test_embed_media_dim(spark):
-    df = spark.createDataFrame([(1, b"abc")], ["id", "content"])
-    row = mm.embed_media(df, dim=16).collect()[0]
-    assert len(row.embedding) == 16
-    assert all(0.0 <= x <= 1.0 for x in row.embedding)
+def test_embed_media_real_image_audio_and_stub(spark):
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    # solid-color image: channel means are exactly color/255, grid is gray
+    png = mc.png_encode(np.full((6, 5, 3), [200, 100, 50], dtype=np.uint8))
+    # constant-amplitude audio: every RMS slice equals the amplitude
+    wav = mc.wav_encode(np.full(8000, 0.25), 8000)
+    df = spark.createDataFrame(
+        [(1, png), (2, wav), (3, b"not media")], ["id", "content"]
+    )
+    rows = {r.id: r for r in mm.embed_media(df, dim=8).collect()}
+    assert rows[1].embed_status == "ok:png"
+    got = rows[1].embedding
+    assert len(got) == 8
+    assert [round(v * 255) for v in got[:3]] == [200, 100, 50]
+    gray = (200 + 100 + 50) / 3 / 255
+    assert all(abs(v - gray) < 1e-3 for v in got[3:])
+    assert rows[2].embed_status == "ok:audio"
+    assert all(abs(v - 0.25) < 1e-3 for v in rows[2].embedding)
+    assert rows[3].embed_status == "stub"
+    assert len(rows[3].embedding) == 8
+    assert all(0.0 <= x <= 1.0 for x in rows[3].embedding)
 
 
-def test_sample_frames_explosion(spark):
-    df = spark.createDataFrame([(1, b"x" * 10000), (2, b"y" * 100)], ["id", "content"])
-    rows = mm.sample_frames(df, max_frames=4).collect()
+def test_sample_frames_y4m_gif_unsupported(spark):
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    # 25 fps, 10 frames, sample every 200 ms -> step 5 -> idx 0,5 / ts 0,200
+    y4m = mc.y4m_encode(4, 4, 10, fps_num=25, fps_den=1)
+    # GIF delays 400ms x 5 -> starts 0,400,800,1200,1600; every_ms=1000
+    # buckets 0,0,0,1,1 -> frames 0 (t=0) and 3 (t=1200)
+    gif = mc.gif_encode_frames(2, 2, [400] * 5)
+    df = spark.createDataFrame(
+        [(1, y4m), (2, gif), (3, b"mp4?" * 100)], ["id", "content"]
+    )
+    out = mm.sample_frames(df, every_ms=200, max_frames=4)
+    assert "frame_status" in out.columns
     by_id = {}
-    for r in rows:
+    for r in out.collect():
         by_id.setdefault(r.id, []).append(r)
-    assert len(by_id[1]) == 2  # 10000 // 4096 = 2 frames
-    assert len(by_id[2]) == 1  # min 1 frame
-    assert [r.frame_ts_ms for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [0, 1000]
+    y = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.frame_ts_ms) for r in y] == [(0, 0), (5, 200), (10, 400)][:len(y)]
+    assert len(y) == 2 and all(r.frame_status == "ok:y4m" for r in y)
+    g = sorted(by_id[2], key=lambda r: r.frame_idx)
+    # every_ms=200 < every delay: every frame starts a new bucket -> 4 (cap)
+    assert [r.frame_idx for r in g] == [0, 1, 2, 3]
+    assert [r.frame_ts_ms for r in g] == [0, 400, 800, 1200]
+    assert all(r.frame_status == "ok:gif" for r in g)
+    (u,) = by_id[3]
+    assert u.frame_idx is None and u.frame_status == "unsupported"
 
 
-def test_resize_images_stub(spark):
-    df = spark.createDataFrame([(1, b"abc"), (2, b"defg")], ["id", "content"])
-    out = mm.resize_images(df, target_width=32, target_height=32)
+def test_sample_frames_gif_bucketing(spark):
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    gif = mc.gif_encode_frames(2, 2, [400] * 5)
+    rows = sorted(
+        mm.sample_frames(
+            spark.createDataFrame([(1, gif)], ["id", "content"]),
+            every_ms=1000,
+            max_frames=8,
+        ).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.frame_idx, r.frame_ts_ms) for r in rows] == [(0, 0), (3, 1200)]
+
+
+def test_resize_images_real_png(spark):
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    # 2x2 quadrant image upscaled to 4x4: each quadrant becomes 2x2
+    quad = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]], dtype=np.uint8
+    )
+    png = mc.png_encode(quad)
+    gray = mc.png_encode(np.full((3, 3), 7, dtype=np.uint8))  # 1-channel
+    df = spark.createDataFrame(
+        [(1, png), (2, gray), (3, b"JFIF-ish junk")], ["id", "content"]
+    )
+    out = mm.resize_images(df, target_width=4, target_height=4)
     assert out.schema.simpleString() == (
         "struct<id:bigint,width:int,height:int,resized:binary,resize_status:string>"
     )
     rows = {r.id: r for r in out.collect()}
-    assert rows[1].width == 32 and rows[1].height == 32
-    assert len(rows[1].resized) == min(32 * 32 * 3, 4096)
-    # deterministic stub: same payload → same bytes
-    again = mm.resize_images(df, target_width=32, target_height=32).collect()
-    assert {r.id: bytes(r.resized) for r in again} == {
-        i: bytes(r.resized) for i, r in rows.items()
+    assert rows[1].resize_status == "ok:png"
+    arr = np.frombuffer(bytes(rows[1].resized), dtype=np.uint8).reshape(4, 4, 3)
+    expect = quad.repeat(2, axis=0).repeat(2, axis=1)
+    assert (arr == expect).all()
+    # grayscale broadcast to RGB, constant fill preserved
+    arr2 = np.frombuffer(bytes(rows[2].resized), dtype=np.uint8)
+    assert rows[2].width == 4 and len(arr2) == 4 * 4 * 3 and (arr2 == 7).all()
+    assert rows[3].resized is None and rows[3].resize_status == "unsupported"
+    # png output mode round-trips through the stdlib decoder
+    rows_png = {
+        r.id: r
+        for r in mm.resize_images(df, target_width=4, target_height=4, output="png").collect()
     }
+    assert (mc.png_decode(bytes(rows_png[1].resized)) == expect).all()
+
+
+def test_media_codecs_png_filters_and_edge_cases():
+    import numpy as np
+    import zlib as _zlib
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    rng = np.random.default_rng(3)
+    # round-trip every supported channel count
+    for c in (1, 2, 3, 4):
+        a = rng.integers(0, 256, (7, 5, c), dtype=np.uint8)
+        assert (mc.png_decode(mc.png_encode(a)) == a).all()
+    # filtered scanlines (types 1-4) decode correctly: build a PNG with
+    # hand-filtered rows and check against the unfiltered original
+    w, h = 4, 5
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y, ftype in zip(range(h), (0, 1, 2, 3, 4)):
+        line = img[y].reshape(-1)
+        enc = line.astype(np.int64).copy()
+        for x in range(w * 3):
+            left = int(line[x - 3]) if x >= 3 else 0
+            up = int(prev[x])
+            ul = int(prev[x - 3]) if x >= 3 else 0
+            if ftype == 1:
+                enc[x] = (int(line[x]) - left) & 0xFF
+            elif ftype == 2:
+                enc[x] = (int(line[x]) - up) & 0xFF
+            elif ftype == 3:
+                enc[x] = (int(line[x]) - ((left + up) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                enc[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
+        prev = line
+    import struct as _struct
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + mc._chunk(b"IHDR", ihdr)
+        + mc._chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + mc._chunk(b"IEND", b"")
+    )
+    assert (mc.png_decode(payload) == img).all()
+    # interlaced / 16-bit refused, not crashed
+    bad_ihdr = _struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    assert mc.png_decode(
+        b"\x89PNG\r\n\x1a\n" + mc._chunk(b"IHDR", bad_ihdr) + mc._chunk(b"IEND", b"")
+    ) is None
 
 
 def test_cli_missing_yaml_exits_cleanly(capsys):
