@@ -1252,6 +1252,129 @@ SELECT 'read', 'config_error', TRUE
 """
 
 
+def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-operator end-to-end DAG in ONE plan (the bench q10 shape,
+    hash-checked): events filter → map → BROADCAST join nation → 30 s
+    tumbling window → re-aggregate, joined with documents text_stats →
+    quality filter → exact content dedup → per-bucket aggregate.
+    Catches cross-stage semantics (broadcast through reused exchanges,
+    window bounds feeding a second agg, dedup survivors carrying stats
+    columns) that single-operator queries can't. DECIMAL sums keep both
+    engines order-independent. Mirror of the reference's multi-step
+    quickstart (integration/QuickstartScenario3Spec.scala:135-250)."""
+    from etl_spark_gradle_spark.operators.relational import (
+        filter_rows,
+        map_columns,
+        window_aggregate,
+    )
+
+    _prep(spark)
+    ev = filter_rows(_t(spark, sf_dir, "events"), "value > 0.0")
+    ev = map_columns(
+        ev,
+        [
+            ("nat_bucket", "CAST(user_id % 25 AS INT)"),
+            ("value_dec", "CAST(value AS DECIMAL(18,2))"),
+        ],
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("nat_bucket"), "n_name"
+    )
+    ev = ev.join(F.broadcast(nation), "nat_bucket")
+    win = window_aggregate(
+        ev,
+        time_column="ts",
+        window_duration="30 seconds",
+        aggregations=[
+            AggregateExpr("*", "count", "cnt"),
+            AggregateExpr("value_dec", "sum", "sum_value_dec"),
+        ],
+        window_type="tumbling",
+        group_by=["nat_bucket", "n_name"],
+    )
+    ev_agg = win.groupBy("nat_bucket", "n_name").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.sum("sum_value_dec").cast("double").alias("sum_value"),
+    )
+
+    docs = tx.with_text_stats(_t(spark, sf_dir, "documents"), "text")
+    docs = docs.filter("n_tokens >= 5 AND quality_score > 0.2")
+    docs = dd.exact_dedup(docs, content_col="text", tiebreak_col="doc_id")
+    doc_agg = (
+        docs.withColumn("nat_bucket", (F.col("doc_id") % 25).cast("int"))
+        .groupBy("nat_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+    return ev_agg.join(doc_agg, "nat_bucket").select(
+        F.col("nat_bucket").cast("long").alias("nat_bucket"),
+        "n_name",
+        "n_windows",
+        "n_events",
+        "sum_value",
+        "n_docs",
+        "sum_tokens",
+    )
+
+
+def _composite_oracle() -> str:
+    # function, not module-level f-string: _EN_STOP is defined further
+    # down the module (next to the text_stats oracle it also feeds)
+    return f"""
+WITH ev AS (
+  SELECT user_id % 25 AS nat_bucket,
+         CAST(FLOOR(epoch(ts) / 30) * 30 AS BIGINT) AS bucket,
+         CAST(value AS DECIMAL(18,2)) AS value_dec
+  FROM events WHERE value > 0.0
+), evw AS (
+  SELECT nat_bucket, bucket, COUNT(*) AS cnt, SUM(value_dec) AS sumv
+  FROM ev GROUP BY nat_bucket, bucket
+), eva AS (
+  SELECT nat_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(cnt) AS BIGINT) AS n_events,
+         CAST(SUM(sumv) AS DOUBLE) AS sum_value
+  FROM evw GROUP BY nat_bucket
+), t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+), s AS (
+  SELECT doc_id, text,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(length(text), 1) AS DOUBLE) AS safe_chars,
+         CAST(GREATEST(len(tk), 1) AS DOUBLE) AS safe_tokens,
+         len(list_filter(tk, x -> x IN ({_EN_STOP}))) AS stop_hits,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+  FROM t
+), q AS (
+  SELECT doc_id, text, n_tokens,
+         CAST(LEAST(n_tokens / 100.0, 1.0) * 0.5
+              + (1.0 - LEAST((punct / safe_chars) * 4, 1.0)) * 0.25
+              + LEAST((stop_hits / safe_tokens) * 5, 1.0) * 0.25 AS DOUBLE) AS quality_score
+  FROM s
+), filt AS (
+  SELECT * FROM q WHERE n_tokens >= 5 AND quality_score > 0.2
+), surv AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM filt
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+), da AS (
+  SELECT f.doc_id % 25 AS nat_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(f.n_tokens) AS BIGINT) AS sum_tokens
+  FROM surv JOIN filt f ON surv.doc_id = f.doc_id
+  GROUP BY f.doc_id % 25
+)
+SELECT eva.nat_bucket, n.n_name, eva.n_windows, eva.n_events, eva.sum_value,
+       da.n_docs, da.sum_tokens
+FROM eva
+JOIN nation n ON eva.nat_bucket = n.n_nationkey
+JOIN da ON eva.nat_bucket = da.nat_bucket
+"""  # noqa: E501 (oracle SQL readability)
+
+
 _NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
@@ -2576,7 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embed_media / frame_sample cores, avro degradation contract).
     Entries pushed past 50 all have driver-grade green rows in
     CORRECTNESS_r03; with this rotation every declared query has a
-    driver-recorded row across r3 ∪ r4. All 78 remain oracle-checked
+    driver-recorded row across r3 ∪ r4. All 79 remain oracle-checked
     locally by tools/check_oracle.py regardless of position."""
     return {
         # ---- rotated in: driver-recorded for the first time this round ----
@@ -2609,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_media": q_embed_media,
         "frame_sample": q_frame_sample,
         "roundtrip_avro": q_roundtrip_avro,
+        "composite": q_composite,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -2629,10 +2753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_stats": q_text_stats,
         "pii_scan": q_pii_scan,
-        "hash_split": q_hash_split,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
+        "hash_split": q_hash_split,
         "map": q_map,
         "join_left": q_join_left,
         "join_semi": q_join_semi,
@@ -2884,4 +3008,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_media": _EMBED_MEDIA_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "roundtrip_avro": _ROUNDTRIP_AVRO_ORACLE,
+        "composite": _composite_oracle(),
     }

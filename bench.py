@@ -200,6 +200,61 @@ def q9_image_decode(spark):
     return mm.decode_images(media)
 
 
+def q10_composite(spark):
+    """Cross-operator end-to-end DAG in ONE plan (mirror of the
+    reference's multi-step quickstart shape,
+    integration/QuickstartScenario3Spec.scala:135-250): catches plan
+    interactions the single-operator queries can't — AQE re-planning
+    between stages, exchange reuse, broadcast propagation through a
+    union of subtrees.
+
+    events branch:    filter → map(bucket) → BROADCAST join nation →
+                      30 s tumbling window per nation → agg
+    documents branch: text_stats (zero-shuffle projection) → quality
+                      filter → exact dedup (one hash shuffle) →
+                      per-source/bucket agg
+    final:            inner join of the two small aggregates on the
+                      nation bucket."""
+    from etl_spark_gradle_spark.operators import dedup as _dd
+    from etl_spark_gradle_spark.operators import text as _tx
+
+    ev = filter_rows(load(spark, "events"), "value > 0.0")
+    ev = map_columns(ev, [("nat_bucket", "CAST(user_id % 25 AS INT)")])
+    nation = load(spark, "nation").select(
+        F.col("n_nationkey").cast("int").alias("nat_bucket"), "n_name"
+    )
+    ev = ev.join(F.broadcast(nation), "nat_bucket")
+    win = window_aggregate(
+        ev,
+        time_column="ts",
+        window_duration="30 seconds",
+        aggregations=[
+            AggregateExpr("value", "avg", "avg_value"),
+            AggregateExpr("*", "count", "cnt"),
+        ],
+        window_type="tumbling",
+        group_by=["nat_bucket", "n_name"],
+    )
+    ev_agg = win.groupBy("nat_bucket", "n_name").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.avg("avg_value").alias("avg_window_value"),
+    )
+
+    docs = _tx.with_text_stats(load(spark, "documents"), "text")
+    docs = docs.filter("n_tokens >= 5 AND quality_score > 0.2")
+    docs = _dd.exact_dedup(docs, content_col="text", tiebreak_col="doc_id")
+    doc_agg = (
+        docs.withColumn("nat_bucket", (F.col("doc_id") % 25).cast("int"))
+        .groupBy("nat_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("n_tokens").alias("avg_tokens"),
+        )
+    )
+    return ev_agg.join(doc_agg, "nat_bucket")
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -210,6 +265,7 @@ QUERIES = {
     "q7_analytics": q7_analytics,
     "q8_pivot": q8_pivot,
     "q9_image_decode": q9_image_decode,
+    "q10_composite": q10_composite,
 }
 
 
@@ -241,19 +297,27 @@ def main() -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _warmup(spark)
 
-    # two runs per query, report the min: steady-state throughput is the
-    # scale-relevant number; the first run additionally pays one-time
-    # whole-stage-codegen compilation that amortizes to zero on real data
+    # one UNTIMED warm run (whole-stage-codegen compile, broadcast
+    # build, Python-worker spin-up — one-time costs that amortize to
+    # zero on real data), then the MEDIAN of 3 timed runs: r3 showed
+    # best-of-2 lets a single 16% wobble masquerade as a regression;
+    # the median of three keeps any one outlier out of the record
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        best, rows = float("inf"), -1
-        for _ in range(2):
+        rows = fn(spark).count()  # warm-up, untimed
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark)
             rows = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {rows} rows in {timings[name]}s", flush=True)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
+        spread = (max(runs) - min(runs)) / max(sorted(runs)[1], 1e-9)
+        print(
+            f"# {name}: {rows} rows, median {timings[name]}s "
+            f"(runs {[round(r, 3) for r in runs]}, spread {spread:.0%})",
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
 

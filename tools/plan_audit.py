@@ -225,6 +225,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["hashpartitioning"],
         ["CartesianProduct"],
     ),
+    (
+        "composite",
+        "cross-operator DAG: nation dim broadcast into the events branch, "
+        "dedup survivor via WindowGroupLimit, no sort-merge/nested-loop anywhere",
+        ["BroadcastHashJoin", "WindowGroupLimit", "partial_count"],
+        ["SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
 ]
 
 
