@@ -212,26 +212,36 @@ class LineageMetadata:
 # YAML frontend
 # ---------------------------------------------------------------------------
 
-_ENV_PATTERN = re.compile(r"\$\{(?:ENV|VAULT):([A-Za-z0-9_./-]+)\}")
+_SECRET_PATTERN = re.compile(r"\$\{(ENV|VAULT):([A-Za-z0-9_./-]+)\}")
 
 
 def _resolve_secrets(value: str) -> str:
-    """Resolve ``${ENV:NAME}`` / ``${VAULT:path}`` placeholders.
+    """Resolve ``${ENV:NAME}`` / ``${VAULT:mount/path/key}`` placeholders.
 
     The reference resolves credentials through a Vault client
-    (``Main.scala:72``); in this engine both spellings resolve from the
-    process environment (a real Vault adapter would slot in here) so that
-    no secret ever lands in the YAML file itself.
+    (``Main.scala:72``, ``vault/VaultClient.scala`` — whose HTTP branch
+    is a TODO). Here ``${VAULT:..}`` goes through the real KV v2 REST
+    adapter (:mod:`etl_spark_gradle_spark.vault`) whenever ``VAULT_ADDR``
+    is set; without a Vault address both spellings fall back to the
+    process environment (path separators become ``_``) so offline/CI
+    runs still resolve, and no secret ever lands in the YAML file.
     """
 
     def sub(m: re.Match[str]) -> str:
-        key = m.group(1).replace("/", "_").replace(".", "_")
+        kind, ref = m.group(1), m.group(2)
+        if kind == "VAULT":
+            from etl_spark_gradle_spark.vault import resolve_vault_placeholder
+
+            resolved = resolve_vault_placeholder(ref)
+            if resolved is not None:
+                return resolved
+        key = ref.replace("/", "_").replace(".", "_")
         resolved = os.environ.get(key)
         if resolved is None:
             raise ConfigError(f"unresolvable secret placeholder: {m.group(0)}")
         return resolved
 
-    return _ENV_PATTERN.sub(sub, value)
+    return _SECRET_PATTERN.sub(sub, value)
 
 
 def _str_options(raw: Any, where: str) -> dict[str, str]:

@@ -304,3 +304,85 @@ def test_clean_html_idempotent_and_safe(spark_prop, raw):
     # which are NOT Unicode whitespace and rightly survive cleaning
     assert once == once.strip(" ")
     assert "  " not in once  # whitespace fully collapsed
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    """png_encode → png_decode is lossless for every supported shape."""
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = mc.png_decode(mc.png_encode(arr))
+    assert out is not None and out.shape == arr.shape and (out == arr).all()
+
+
+@given(
+    n=st.integers(1, 500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    ch=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, rate, ch, seed):
+    """wav_encode → wav_decode preserves shape/rate and is within PCM16
+    quantization error."""
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    sig = np.random.default_rng(seed).uniform(-1, 1, (n, ch))
+    got = mc.wav_decode(mc.wav_encode(sig, rate))
+    assert got is not None
+    r, c2, samples = got
+    assert (r, c2) == (rate, ch) and samples.shape == (n, ch)
+    assert np.abs(samples - sig).max() <= 1.5 / 32767
+
+
+@given(delays=st.lists(st.integers(0, 5000), min_size=1, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_gif_delay_roundtrip_property(delays):
+    """gif_encode_frames → gif_frame_delays recovers every delay (GIF
+    stores centiseconds, so inputs are floored to 10 ms)."""
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    got = mc.gif_frame_delays(mc.gif_encode_frames(3, 2, delays))
+    assert got == [d // 10 * 10 for d in delays]
+
+
+@given(
+    n_frames=st.integers(1, 10),
+    num=st.sampled_from([10, 24, 25, 30, 50]),
+    den=st.sampled_from([1, 2]),
+    w=st.integers(2, 8),
+    h=st.integers(2, 8),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_property(n_frames, num, den, w, h):
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    info = mc.y4m_parse(mc.y4m_encode(w, h, n_frames, fps_num=num, fps_den=den))
+    assert info is not None
+    assert (info["width"], info["height"]) == (w, h)
+    assert (info["fps_num"], info["fps_den"]) == (num, den)
+    assert info["n_frames"] == n_frames
+
+
+@given(junk=st.binary(max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_media_codecs_total_on_junk(junk):
+    """Every decoder returns None (never raises) on arbitrary bytes —
+    required: they run inside executor batches at corpus scale."""
+    from etl_spark_gradle_spark.operators import media_codecs as mc
+
+    assert mc.png_decode(junk) is None or junk[:8] == b"\x89PNG\r\n\x1a\n"
+    mc.wav_decode(junk)
+    mc.y4m_parse(junk)
+    mc.gif_frame_delays(junk)

@@ -3,15 +3,20 @@
 twin on DuckDB over the same parquet tables, then compare row count,
 column names, and values (order-insensitive, exact for non-floats).
 
-Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --all-sfs [query ...]
+
+``--all-sfs`` sweeps BOTH sf0.01 and sf0.1 in one invocation (exit 1 if
+either has any mismatch) so the per-round verification can't silently
+narrow to one scale factor.
 """
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -42,35 +47,41 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     s, d = canon(spark_pdf), canon(duck_pdf)
     for c in s.columns:
+        # vectorized equality (the old per-cell python loop would crawl
+        # at sf>=1): equal when values compare equal OR both sides null
         sv, dv = s[c], d[c]
-        mismatch = 0
-        max_diff = 0.0
-        for a, b in zip(sv, dv):
-            an = a is None or (isinstance(a, float) and math.isnan(a))
-            bn = b is None or (isinstance(b, float) and math.isnan(b))
-            if an and bn:
-                continue
-            if an != bn:
-                mismatch += 1
-                continue
-            if isinstance(a, float) and isinstance(b, float):
-                if a != b:
-                    mismatch += 1
-                    max_diff = max(max_diff, abs(a - b))
-            elif a != b:
-                mismatch += 1
+        try:
+            raw = np.asarray(sv.values == dv.values)
+            if raw.shape != (len(s),):
+                raise TypeError("non-elementwise comparison")
+            eq = raw | (sv.isna().values & dv.isna().values)
+        except (TypeError, ValueError):  # incomparable dtypes → string fallback
+            eq = sv.map(str).values == dv.map(str).values
+        mismatch = int((~eq).sum())
         if mismatch:
-            problems.append(
-                f"col {c}: {mismatch} value mismatches"
-                + (f" (max float diff {max_diff:.3e})" if max_diff else "")
-            )
+            msg = f"col {c}: {mismatch} value mismatches"
+            if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(dv):
+                diffs = (sv[~eq] - dv[~eq]).abs()
+                if diffs.notna().any():
+                    msg += f" (max float diff {diffs.max():.3e})"
+            problems.append(msg)
     return problems
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and args[0] == "--all-sfs":
+        only = set(args[1:])
+        rc = 0
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            print(f"===== sweep {sf} =====", flush=True)
+            rc |= run_sweep(sf, only)
+        return rc
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    return run_sweep(sf_dir, set(args[1:]))
 
+
+def run_sweep(sf_dir: str, only: set[str]) -> int:
     import __spark_entry__ as entrymod
     from etl_spark_gradle_spark.session import get_spark
 
