@@ -167,12 +167,24 @@ def load_kafka(df: DataFrame, options: dict[str, str], write_mode: str = "append
     if not servers or not topic:
         raise ConfigError("kafka sink requires 'bootstrap.servers' and 'topic'")
     out, obs = _observed(kafka_frame(df))
-    (
-        out.write.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("topic", topic)
-        .save()
-    )
+    try:
+        (
+            out.write.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as e:  # noqa: BLE001 — rewrap only the kafka-package gap
+        from etl_spark_gradle_spark.sources.extractors import _is_missing_datasource
+
+        if _is_missing_datasource(e, "kafka"):
+            raise ConfigError(
+                "kafka support requires the spark-sql-kafka package on the "
+                "session (spark-submit --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+                "it is not bundled with pyspark"
+            ) from e
+        raise
     return LoadResult(
         records_written=int(obs.get["records_written"]),
         sink_type="kafka",

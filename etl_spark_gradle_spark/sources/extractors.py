@@ -31,6 +31,15 @@ from etl_spark_gradle_spark.plans.config import (
 _FILE_FORMATS = {"parquet", "avro", "json", "csv", "orc", "text"}
 
 
+def _is_missing_datasource(e: Exception, name: str) -> bool:
+    """True when the JVM error is the classpath gap for datasource
+    ``name`` (pyspark bundles neither spark-avro nor spark-sql-kafka) —
+    the case worth rewrapping into a guided ConfigError. Connection or
+    query errors pass through untouched."""
+    s = str(e).lower()
+    return name in s and ("find" in s or "data_source_not_found" in s)
+
+
 def extract_file(spark: SparkSession, options: dict[str, str]) -> DataFrame:
     """Read ``avro|parquet|json|csv|orc|text`` from a path (parity:
     ``extractor/S3Extractor.scala:45-65``): CSV honors ``header`` /
@@ -127,14 +136,24 @@ def extract_kafka(spark: SparkSession, options: dict[str, str]) -> DataFrame:
     topic = options.get("topic") or options.get("subscribe")
     if not servers or not topic:
         raise ConfigError("kafka source requires 'bootstrap.servers' and 'topic'")
-    df = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", options.get("startingOffsets", "earliest"))
-        .option("endingOffsets", options.get("endingOffsets", "latest"))
-        .load()
-    )
+    try:
+        df = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", options.get("startingOffsets", "earliest"))
+            .option("endingOffsets", options.get("endingOffsets", "latest"))
+            .load()
+        )
+    except Exception as e:  # noqa: BLE001 — rewrap only the kafka-package gap
+        if _is_missing_datasource(e, "kafka"):
+            raise ConfigError(
+                "kafka support requires the spark-sql-kafka package on the "
+                "session (spark-submit --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+                "it is not bundled with pyspark"
+            ) from e
+        raise
     return df.selectExpr(
         "CAST(key AS STRING) AS key",
         "CAST(value AS STRING) AS value",

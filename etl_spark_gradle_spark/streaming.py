@@ -63,13 +63,25 @@ def read_kafka_stream(spark: SparkSession, options: dict[str, str]) -> DataFrame
     topic = options.get("topic") or options.get("subscribe")
     if not servers or not topic:
         raise ConfigError("kafka stream source requires 'bootstrap.servers' and 'topic'")
-    df = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", options.get("startingOffsets", "earliest"))
-        .load()
-    )
+    try:
+        df = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", options.get("startingOffsets", "earliest"))
+            .load()
+        )
+    except Exception as e:  # noqa: BLE001 — rewrap only the kafka-package gap
+        from etl_spark_gradle_spark.sources.extractors import _is_missing_datasource
+
+        if _is_missing_datasource(e, "kafka"):
+            raise ConfigError(
+                "kafka support requires the spark-sql-kafka package on the "
+                "session (spark-submit --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+                "it is not bundled with pyspark"
+            ) from e
+        raise
     return df.selectExpr(
         "CAST(key AS STRING) AS key",
         "CAST(value AS STRING) AS value",

@@ -481,3 +481,42 @@ def test_nanos_parquet_opt_in(spark, tmp_path):
     )
     row = out.select("event_time").first()
     assert str(row.event_time).startswith("2025-01-01")
+
+
+class TestKafkaDatasourceGap:
+    """pyspark bundles no spark-sql-kafka jar, so the datasource lookup
+    fails BEFORE any broker contact — meaning the guided-ConfigError
+    contract is testable for real, same as the avro degradation path."""
+
+    def test_kafka_batch_read_guided_error(self, spark):
+        from etl_spark_gradle_spark.plans.config import ConfigError
+        from etl_spark_gradle_spark.sources.extractors import extract_kafka
+
+        with pytest.raises(ConfigError, match="spark-sql-kafka"):
+            extract_kafka(
+                spark, {"bootstrap.servers": "broker:9092", "topic": "t"}
+            )
+
+    def test_kafka_stream_read_guided_error(self, spark):
+        from etl_spark_gradle_spark.plans.config import ConfigError
+        from etl_spark_gradle_spark.streaming import read_kafka_stream
+
+        with pytest.raises(ConfigError, match="spark-sql-kafka"):
+            read_kafka_stream(
+                spark, {"bootstrap.servers": "broker:9092", "topic": "t"}
+            )
+
+    def test_kafka_write_guided_error(self, spark):
+        from etl_spark_gradle_spark.plans.config import ConfigError
+        from etl_spark_gradle_spark.sinks.loaders import load_kafka
+
+        df = spark.createDataFrame([(1, "a")], ["id", "v"])
+        with pytest.raises(ConfigError, match="spark-sql-kafka"):
+            load_kafka(df, {"bootstrap.servers": "broker:9092", "topic": "t"})
+
+    def test_missing_options_still_config_error(self, spark):
+        from etl_spark_gradle_spark.plans.config import ConfigError
+        from etl_spark_gradle_spark.sources.extractors import extract_kafka
+
+        with pytest.raises(ConfigError, match="bootstrap.servers"):
+            extract_kafka(spark, {})
