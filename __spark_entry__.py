@@ -1252,6 +1252,57 @@ SELECT 'read', 'config_error', TRUE
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL trained-model scoring: fit a bigram LM on the documents
+    corpus (two count aggregations), score every document against it,
+    and project the INTEGER evidence columns (bigram count, matched
+    bigram mass, context mass, OOV count) — exact and order-independent,
+    so the hash match proves tokenize → bigram join → per-doc re-agg
+    end-to-end without cross-engine float-log risk. The float
+    log-probability/perplexity projection over these same integers is
+    pinned to a pure-Python reference in tests_llm_operators."""
+    from etl_spark_gradle_spark.operators.lm import (
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs, "text")
+    out = score_with_bigram_lm(docs, lm, id_col="doc_id", text_col="text")
+    return out.select("doc_id", "n_bigrams", "sum_c2", "sum_c1", "oov_bigrams")
+
+
+_LM_SCORE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+'),
+                     x -> x != '') AS t
+  FROM documents
+), uni AS (
+  SELECT u AS w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS u FROM tok) GROUP BY 1
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2 FROM tok, unnest(range(1, len(t))) AS r(i)
+  ) GROUP BY 1, 2
+), db AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tok, unnest(range(1, len(t))) AS r(i)
+), j AS (
+  SELECT db.doc_id, COALESCE(big.c2, 0) AS c2, COALESCE(uni.c1, 0) AS c1
+  FROM db
+  LEFT JOIN big ON db.w1 = big.w1 AND db.w2 = big.w2
+  LEFT JOIN uni ON db.w1 = uni.w
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c2) AS BIGINT) AS sum_c2,
+       CAST(SUM(c1) AS BIGINT) AS sum_c1,
+       CAST(SUM(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams
+FROM j GROUP BY doc_id
+"""
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-operator end-to-end DAG in ONE plan (the bench q10 shape,
     hash-checked): events filter → map → BROADCAST join nation → 30 s
@@ -2699,7 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embed_media / frame_sample cores, avro degradation contract).
     Entries pushed past 50 all have driver-grade green rows in
     CORRECTNESS_r03; with this rotation every declared query has a
-    driver-recorded row across r3 ∪ r4. All 79 remain oracle-checked
+    driver-recorded row across r3 ∪ r4. All 80 remain oracle-checked
     locally by tools/check_oracle.py regardless of position."""
     return {
         # ---- rotated in: driver-recorded for the first time this round ----
@@ -2733,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "roundtrip_avro": q_roundtrip_avro,
         "composite": q_composite,
+        "lm_score": q_lm_score,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -2752,10 +2804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
-        "pii_scan": q_pii_scan,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
+        "pii_scan": q_pii_scan,
         "hash_split": q_hash_split,
         "map": q_map,
         "join_left": q_join_left,
@@ -3009,4 +3061,5 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "roundtrip_avro": _ROUNDTRIP_AVRO_ORACLE,
         "composite": _composite_oracle(),
+        "lm_score": _LM_SCORE_ORACLE,
     }

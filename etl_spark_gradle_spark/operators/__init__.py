@@ -24,6 +24,11 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     pack_sequences,
     token_frequency,
 )
+from etl_spark_gradle_spark.operators.lm import (  # noqa: F401
+    LmScoreTransformer,
+    score_with_bigram_lm,
+    train_bigram_lm,
+)
 from etl_spark_gradle_spark.operators.multimodal import (  # noqa: F401
     MultimodalTransformer,
     decode_audio,
@@ -100,6 +105,7 @@ TRANSFORMER_REGISTRY = {
     "contamination": ContaminationTransformer(),
     "text_analysis": TextAnalysisTransformer(),
     "model_score": ModelScoreTransformer(),
+    "lm_score": LmScoreTransformer(),
     "pii": PiiTransformer(),
     "chunk": ChunkTransformer(),
     "pack": PackTransformer(),

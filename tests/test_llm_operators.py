@@ -1279,3 +1279,113 @@ def test_arrow_stage_id_guard(spark):
     out = mm.decode_images(ok.withColumn("id", ok["id"].cast("int")))
     assert out.schema["id"].dataType.simpleString() == "bigint"
     assert out.count() == 1
+
+
+def test_bigram_lm_train_and_score_vs_python(spark):
+    """Train + score must match a transparent pure-Python bigram LM
+    (add-one smoothing) on every emitted column, including the float
+    log-probability and perplexity."""
+    import math
+
+    from etl_spark_gradle_spark.operators.lm import (
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    corpus_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+        (4, "one"),          # 1 token -> contributes unigram, no bigrams
+        (5, ""),             # empty -> nothing
+    ]
+    df = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    lm = train_bigram_lm(df, "text")
+
+    # python reference
+    def toks(s):
+        return [t for t in s.strip().lower().split() if t]
+
+    uni, big = {}, {}
+    for _, s in corpus_rows:
+        t = toks(s)
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    assert lm.vocab_size == len(uni)
+    assert {(r.w, r.c1) for r in lm.unigrams.collect()} == set(uni.items())
+    assert {(r.w1, r.w2, r.c2) for r in lm.bigrams.collect()} == {
+        (a, b, c) for (a, b), c in big.items()
+    }
+
+    scored = {r.doc_id: r for r in score_with_bigram_lm(df, lm).collect()}
+    assert set(scored) == {1, 2, 3}  # <2-token docs dropped
+    v = len(uni)
+    for did, s in corpus_rows[:3]:
+        t = toks(s)
+        pairs = list(zip(t, t[1:]))
+        logps = [
+            math.log((big.get(p, 0) + 1) / (uni[p[0]] + v)) for p in pairs
+        ]
+        r = scored[did]
+        assert r.n_bigrams == len(pairs)
+        assert r.sum_c2 == sum(big.get(p, 0) for p in pairs)
+        assert r.sum_c1 == sum(uni[p[0]] for p in pairs)
+        assert r.oov_bigrams == sum(1 for p in pairs if p not in big)
+        assert r.avg_logprob == pytest.approx(sum(logps) / len(logps), rel=1e-12)
+        assert r.ppl == pytest.approx(math.exp(-sum(logps) / len(logps)), rel=1e-12)
+
+
+def test_bigram_lm_scores_rank_natural_text_higher(spark):
+    """Scoring a candidate set against a reference corpus: in-domain
+    text must beat shuffled-word soup (the actual filtering use)."""
+    from etl_spark_gradle_spark.operators.lm import (
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+        + [(100 + i, "a stitch in time saves nine every time") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    lm = train_bigram_lm(ref, "text")
+    cand = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps again"),
+            (2, "dog lazy the over jumps fox quick"),  # shuffled soup
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in score_with_bigram_lm(cand, lm).collect()}
+    assert rows[1].avg_logprob > rows[2].avg_logprob
+    assert rows[1].ppl < rows[2].ppl
+    assert rows[2].oov_bigrams > rows[1].oov_bigrams
+
+
+def test_lm_score_transformer(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta"), (2, "alpha beta delta")],
+        ["doc_id", "text"],
+    )
+    tf = TRANSFORMER_REGISTRY["lm_score"]
+    out = tf.transform(
+        df,
+        TransformationConfig(type="lm_score", options={"idColumn": "doc_id"}),
+        RunContext.create("t", spark),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert "text" in out.columns and "ppl" in out.columns  # annotate keeps frame
+    assert rows[1].n_bigrams == 4 and rows[2].n_bigrams == 2
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    with pytest.raises(TransformationError, match="idColumn"):
+        tf.transform(
+            df, TransformationConfig(type="lm_score", options={}),
+            RunContext.create("t", spark),
+        )
