@@ -232,6 +232,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["BroadcastHashJoin", "WindowGroupLimit", "partial_count"],
         ["SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    (
+        "lm_score",
+        "LM scoring: count tables broadcast onto exploded bigrams (corpus "
+        "never sort-merge shuffled), partial aggs before every exchange",
+        ["BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
 ]
 
 

@@ -56,6 +56,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from etl_spark_gradle_spark.operators import dedup as dd
+    from etl_spark_gradle_spark.operators import lm
     from etl_spark_gradle_spark.operators import sketch as sk
     from etl_spark_gradle_spark.operators import text as tx
     from etl_spark_gradle_spark.session import get_spark
@@ -100,6 +101,12 @@ def main() -> int:
                     F.sum("l_quantity"), F.count(F.lit(1))
                 ),
                 li.count(),
+            ),
+            "lm_score": (
+                lambda: lm.score_with_bigram_lm(
+                    docs, lm.train_bigram_lm(docs, "text"), id_col="doc_id"
+                ),
+                docs.count(),
             ),
         }
 
