@@ -1303,6 +1303,52 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (rolling 8-token window) duplication stats over
+    the documents corpus — cross-doc flagged windows, merged span
+    coverage via the fixed-width union identity (pure integers, so the
+    hash match is exact by construction). Lee et al. 2022 train-set
+    dedup re-expressed relationally; see dedup.duplicated_window_spans."""
+    from etl_spark_gradle_spark.operators.dedup import duplicated_window_spans
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicated_window_spans(docs, "doc_id", "text", window_tokens=8)
+    return out.select(
+        "doc_id", "n_windows", "dup_windows", "covered_tokens", "n_tokens"
+    )
+
+
+_SUBSTRING_DEDUP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+'),
+                     x -> x != '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) >= 8
+), win AS (
+  SELECT doc_id, n, i AS pos,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+  FROM base, unnest(range(1, n - 8 + 2)) AS r(i)
+), duph AS (
+  SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+), fl AS (
+  SELECT win.doc_id, win.n, win.pos FROM win JOIN duph USING (wh)
+), agg AS (
+  SELECT doc_id, n, list_sort(list(pos)) AS ps, COUNT(*) AS dw
+  FROM fl GROUP BY doc_id, n
+)
+SELECT doc_id,
+       CAST(n - 7 AS BIGINT) AS n_windows,
+       CAST(dw AS BIGINT) AS dup_windows,
+       CAST(COALESCE(list_sum(list_transform(range(1, len(ps)),
+              i -> least(8, ps[i + 1] - ps[i]))), 0) + 8 AS BIGINT) AS covered_tokens,
+       CAST(n AS BIGINT) AS n_tokens
+FROM agg
+"""
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-operator end-to-end DAG in ONE plan (the bench q10 shape,
     hash-checked): events filter → map → BROADCAST join nation → 30 s
@@ -2750,7 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embed_media / frame_sample cores, avro degradation contract).
     Entries pushed past 50 all have driver-grade green rows in
     CORRECTNESS_r03; with this rotation every declared query has a
-    driver-recorded row across r3 ∪ r4. All 80 remain oracle-checked
+    driver-recorded row across r3 ∪ r4. All 81 remain oracle-checked
     locally by tools/check_oracle.py regardless of position."""
     return {
         # ---- rotated in: driver-recorded for the first time this round ----
@@ -2785,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_avro": q_roundtrip_avro,
         "composite": q_composite,
         "lm_score": q_lm_score,
+        "substring_dedup": q_substring_dedup,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -2802,11 +2849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "dedup_exact_content": q_dedup_exact_content,
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
+        "simhash": q_simhash,
         "pii_scan": q_pii_scan,
         "hash_split": q_hash_split,
         "map": q_map,
@@ -3062,4 +3109,5 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_avro": _ROUNDTRIP_AVRO_ORACLE,
         "composite": _composite_oracle(),
         "lm_score": _LM_SCORE_ORACLE,
+        "substring_dedup": _SUBSTRING_DEDUP_ORACLE,
     }

@@ -609,21 +609,28 @@ class DedupTransformer:
     key-shuffle per propagation round, drop-list anti-join — the corpus
     itself never moves (see PLANS.md).
 
+    ``strategy: substring`` — rolling-window exact span removal
+    (``remove_duplicated_spans``): windows of ``windowTokens`` (8)
+    tokens seen in >= ``minOccurrences`` (2) documents are cut from
+    every document. Options: ``idColumn``, ``contentColumn``,
+    ``windowTokens``, ``minOccurrences``, ``outputColumn`` (default:
+    rewrite ``contentColumn`` in place).
+
     Validates like the relational transformers (parity contract:
     ``core/DataTransformer.scala:36-40``)."""
 
     def validate(self, df: DataFrame, config) -> ValidationResult:
         opts = config.options
         strategy = opts.get("strategy", "exact").lower()
-        if strategy not in ("exact", "fuzzy"):
+        if strategy not in ("exact", "fuzzy", "substring"):
             return ValidationResult.fail(
-                f"dedup strategy must be exact|fuzzy, got '{strategy}'"
+                f"dedup strategy must be exact|fuzzy|substring, got '{strategy}'"
             )
         missing = []
-        if strategy == "fuzzy":
+        if strategy in ("fuzzy", "substring"):
             if not opts.get("idColumn") or not opts.get("contentColumn"):
                 return ValidationResult.fail(
-                    "fuzzy dedup requires 'idColumn' and 'contentColumn'"
+                    f"{strategy} dedup requires 'idColumn' and 'contentColumn'"
                 )
             missing += [
                 c
@@ -652,6 +659,15 @@ class DedupTransformer:
 
             raise TransformationError("dedup config invalid: " + "; ".join(result.errors))
         opts = config.options
+        if opts.get("strategy", "exact").lower() == "substring":
+            return remove_duplicated_spans(
+                df,
+                id_col=opts["idColumn"],
+                text_col=opts["contentColumn"],
+                window_tokens=int(opts.get("windowTokens", 8)),
+                min_occurrences=int(opts.get("minOccurrences", 2)),
+                out_col=opts.get("outputColumn"),
+            )
         if opts.get("strategy", "exact").lower() == "fuzzy":
             pairs = minhash_lsh_candidates(
                 df,
@@ -802,3 +818,142 @@ def dedup_from_pairs(
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
     drop = comp.filter(F.col("id") != F.col("cluster")).select("id")
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplication (rolling-window exact spans)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_window_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+    min_occurrences: int = 2,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """Exact substring-level duplication: find every ``window_tokens``-
+    token rolling window whose md5 occurs >= ``min_occurrences`` times
+    in the corpus, and report per-document coverage — the
+    train-set dedup of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022), re-expressed as Spark relational
+    algebra instead of a suffix array:
+
+    1. tokenize (narrow) and hash each rolling window with
+       ``md5(' '-joined slice)`` — a per-row higher-order expression;
+    2. explode to (window_hash, doc, position) rows — 8-byte-hash-sized,
+       never the text — and count occurrences with ONE partial-agg
+       shuffle on the hash (``cross_doc_only`` counts distinct docs
+       instead, so a phrase repeated inside a single document does not
+       flag);
+    3. join duplicated hashes back (broadcast when the duplicate set is
+       small — it usually is) and re-aggregate per document.
+
+    Merged span coverage needs no interval logic: for sorted window
+    start positions p1<...<pk of fixed width w, the union length is
+    ``sum(min(w, p[i+1]-p[i])) + w`` — an exact integer fold both
+    engines compute identically.
+
+    Output per document (docs with no duplicated window are ABSENT —
+    left-join + coalesce at the call site to annotate a full corpus):
+    ``n_windows``, ``dup_windows``, ``dup_positions`` (sorted array),
+    ``covered_tokens`` (merged union length), ``n_tokens``.
+
+    100-TB notes: the only corpus-sized shuffle carries (hash, id, pos)
+    triples; counting is map-side partial; the duplicated-hash set is a
+    second, much smaller aggregate. No suffix array, no global sort, no
+    text movement.
+    """
+    if window_tokens < 2:
+        raise ValueError("window_tokens must be >= 2")
+    if min_occurrences < 2:
+        raise ValueError("min_occurrences must be >= 2")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\f\r]+"),
+        lambda t: t != F.lit(""),
+    )
+    w = window_tokens
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t")).filter(
+        F.size("t") >= w
+    )
+    windows = base.select(
+        "id",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - F.lit(w - 1)),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("t"), p, w))).alias("wh"),
+                ),
+            )
+        ).alias("win"),
+    ).select("id", "n_tokens", "win.pos", "win.wh")
+    occurrences = (
+        F.count_distinct(F.col("id")) if cross_doc_only else F.count(F.lit(1))
+    )
+    dup_hashes = (
+        windows.groupBy("wh")
+        .agg(occurrences.alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("wh")
+    )
+    flagged = windows.join(dup_hashes, "wh")
+    per_doc = flagged.groupBy("id", "n_tokens").agg(
+        F.sort_array(F.collect_list("pos")).alias("dup_positions"),
+        F.count(F.lit(1)).cast("long").alias("dup_windows"),
+    )
+    p = F.col("dup_positions")
+    gaps = F.zip_with(
+        F.slice(p, 1, F.size(p) - 1),
+        F.slice(p, 2, F.size(p) - 1),
+        lambda a, b: F.least(F.lit(w), b - a),
+    )
+    covered = F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x) + F.lit(w)
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        (F.col("n_tokens") - F.lit(w - 1)).cast("long").alias("n_windows"),
+        "dup_windows",
+        "dup_positions",
+        covered.cast("long").alias("covered_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+    min_occurrences: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite each document with its duplicated windows' tokens removed
+    (the destructive counterpart of :func:`duplicated_window_spans`):
+    a token survives iff no flagged window covers its position. Position
+    membership is a per-row array expression over the (small) flagged
+    position list; documents without flagged spans pass through whole.
+    """
+    out_col = out_col or text_col
+    spans = duplicated_window_spans(
+        df, id_col, text_col, window_tokens, min_occurrences
+    ).select(F.col(id_col).alias("__sid"), "dup_positions")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\f\r]+"),
+        lambda t: t != F.lit(""),
+    )
+    joined = df.join(spans, df[id_col] == spans["__sid"], "left").drop("__sid")
+    w = window_tokens
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("tok"), (i + 1).alias("ix"))),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("dup_positions"), F.array()),
+            lambda p: (s["ix"] >= p) & (s["ix"] < p + F.lit(w)),
+        ),
+    )
+    cleaned = F.concat_ws(" ", F.transform(kept, lambda s: s["tok"]))
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("dup_positions").isNull(), F.col(text_col)).otherwise(cleaned),
+    ).drop("dup_positions")

@@ -1389,3 +1389,107 @@ def test_lm_score_transformer(spark):
             df, TransformationConfig(type="lm_score", options={}),
             RunContext.create("t", spark),
         )
+
+
+def test_duplicated_window_spans_vs_python(spark):
+    """Window flagging and merged coverage must match a transparent
+    python reference, including the fixed-width union identity
+    sum(min(w, gap)) + w."""
+    import hashlib
+
+    from etl_spark_gradle_spark.operators.dedup import duplicated_window_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro one two {shared} tail1 tail2"),
+        (2, f"{shared} totally different ending here now"),
+        (3, "no duplication in this document at all whatsoever today"),
+        (4, "self self self self self self self self self self"),  # intra-doc only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           duplicated_window_spans(df, "doc_id", "text", window_tokens=8).collect()}
+
+    # python reference
+    def toks(s):
+        return s.strip().lower().split()
+
+    w = 8
+    wins = {}  # hash -> set of docs
+    perdoc = {}
+    for did, s in rows:
+        t = toks(s)
+        for i in range(len(t) - w + 1):
+            h = hashlib.md5(" ".join(t[i : i + w]).encode()).hexdigest()
+            wins.setdefault(h, set()).add(did)
+            perdoc.setdefault(did, []).append((i + 1, h))
+    expect = {}
+    for did, s in rows:
+        ps = sorted(p for p, h in perdoc.get(did, []) if len(wins[h]) >= 2)
+        if ps:
+            covered = sum(min(w, b - a) for a, b in zip(ps, ps[1:])) + w
+            expect[did] = (len(toks(s)) - w + 1, len(ps), ps, covered, len(toks(s)))
+    assert set(out) == set(expect)
+    for did, (nw, dw, ps, cov, nt) in expect.items():
+        r = out[did]
+        assert (r.n_windows, r.dup_windows, list(r.dup_positions),
+                r.covered_tokens, r.n_tokens) == (nw, dw, ps, cov, nt)
+    # doc 3 absent (nothing flagged); doc 4 absent under cross_doc_only
+    assert 3 not in out and 4 not in out
+    # intra-doc repetition flags when cross_doc_only=False
+    out2 = {r.doc_id: r for r in duplicated_window_spans(
+        df, "doc_id", "text", window_tokens=8, cross_doc_only=False).collect()}
+    assert 4 in out2 and out2[4].covered_tokens == 10  # whole doc covered
+
+
+def test_remove_duplicated_spans(spark):
+    from etl_spark_gradle_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"keep1 keep2 {shared} keep3"),
+            (2, f"{shared} other words entirely different here"),
+            (3, "untouched document stays byte identical INCLUDING case"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.text for r in
+            remove_duplicated_spans(df, "doc_id", "text", window_tokens=8).collect()}
+    assert rows[1] == "keep1 keep2 keep3"
+    assert rows[2] == "other words entirely different here"
+    # unflagged docs pass through VERBATIM (no normalization applied)
+    assert rows[3] == "untouched document stays byte identical INCLUDING case"
+
+
+def test_dedup_transformer_substring_strategy(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, f"keep1 keep2 {shared} keep3"), (2, f"{shared} more words here now ok")],
+        ["doc_id", "text"],
+    )
+    tf = TRANSFORMER_REGISTRY["dedup"]
+    out = tf.transform(
+        df,
+        TransformationConfig(
+            type="dedup",
+            options={"strategy": "substring", "idColumn": "doc_id",
+                     "contentColumn": "text", "windowTokens": "8"},
+        ),
+        RunContext.create("t", spark),
+    )
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert rows[1] == "keep1 keep2 keep3"
+    assert rows[2] == "more words here now ok"
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    with pytest.raises(TransformationError, match="substring dedup requires"):
+        tf.transform(
+            df,
+            TransformationConfig(type="dedup", options={"strategy": "substring"}),
+            RunContext.create("t", spark),
+        )

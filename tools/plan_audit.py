@@ -239,6 +239,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["BroadcastHashJoin", "partial_count"],
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    (
+        "substring_dedup",
+        "substring dedup: window-hash shuffle carries (hash,id,pos) only, "
+        "partial aggs, no python, no all-pairs",
+        ["partial_count", "hashpartitioning"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
 ]
 
 
