@@ -1303,6 +1303,54 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of the embeddings table: integer
+    outputs (sum/min/max of the quantized grid) are exact, and the
+    per-vector scale rounds stably; round-half behavior agrees between
+    engines (both round half away from zero), so the hash match pins the
+    whole max-abs → scale → round chain."""
+    from etl_spark_gradle_spark.operators.similarity import quantize_embeddings
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    q = F.col("q_embedding")
+    return out.select(
+        "vec_id",
+        F.size(q).cast("long").alias("n_dims"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias(
+            "q_sum"
+        ),
+        F.array_min(q).cast("long").alias("q_min"),
+        F.array_max(q).cast("long").alias("q_max"),
+        F.round(F.col("q_scale").cast("double"), 6).alias("scale_r"),
+    )
+
+
+_EMBEDDING_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))
+         END AS qe
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(qe) AS BIGINT) AS n_dims,
+       CAST(list_sum(qe) AS BIGINT) AS q_sum,
+       CAST(list_min(qe) AS BIGINT) AS q_min,
+       CAST(list_max(qe) AS BIGINT) AS q_max,
+       ROUND(CAST(CAST(scale AS FLOAT) AS DOUBLE), 6) AS scale_r
+FROM q
+"""
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level (rolling 8-token window) duplication stats over
     the documents corpus — cross-doc flagged windows, merged span
@@ -2796,7 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embed_media / frame_sample cores, avro degradation contract).
     Entries pushed past 50 all have driver-grade green rows in
     CORRECTNESS_r03; with this rotation every declared query has a
-    driver-recorded row across r3 ∪ r4. All 81 remain oracle-checked
+    driver-recorded row across r3 ∪ r4. All 82 remain oracle-checked
     locally by tools/check_oracle.py regardless of position."""
     return {
         # ---- rotated in: driver-recorded for the first time this round ----
@@ -2832,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite": q_composite,
         "lm_score": q_lm_score,
         "substring_dedup": q_substring_dedup,
+        "embedding_quantize": q_embedding_quantize,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -2844,7 +2893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "setop_union": q_setop_union,
         "null_split_invalid": q_null_split_invalid,
-        "quarantine_roundtrip": q_quarantine_roundtrip,
         "roundtrip_parquet": q_roundtrip_parquet,
         "pipeline_e2e": q_pipeline_e2e,
         "dedup_exact_content": q_dedup_exact_content,
@@ -2853,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
+        "quarantine_roundtrip": q_quarantine_roundtrip,
         "simhash": q_simhash,
         "pii_scan": q_pii_scan,
         "hash_split": q_hash_split,
@@ -3110,4 +3159,5 @@ def oracle_sql() -> dict[str, str]:
         "composite": _composite_oracle(),
         "lm_score": _LM_SCORE_ORACLE,
         "substring_dedup": _SUBSTRING_DEDUP_ORACLE,
+        "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

@@ -405,3 +405,69 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding post-processing: normalization + integer quantization
+# ---------------------------------------------------------------------------
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize a float vector (zero vectors pass through as-is —
+    dividing by zero would poison downstream dot products with NaN).
+    Pure higher-order expression: rides the scan, zero shuffles."""
+    norm = l2_norm(vec)
+    return F.when(norm == 0.0, vec).otherwise(
+        F.transform(vec, lambda x: (x / norm).cast("float"))
+    )
+
+
+def with_normalized_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Annotate with the unit-normalized vector (cosine reduces to a dot
+    product downstream — brute_force_topk/IVF then skip the per-pair
+    norm). Narrow projection; at 100 TB this is a scan-time rewrite."""
+    return df.withColumn(out_col or vec_col, l2_normalize(F.col(vec_col)))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector scale (max-abs →
+    [-127, 127]) — the standard 4x storage/bandwidth cut for
+    billion-vector ANN corpora; recall loss is negligible for cosine
+    search when vectors are near-unit-norm.
+
+    Emits ``out_col`` (array<tinyint>) + ``scale_col`` (float;
+    ``max_abs/127``, 0.0 for all-zero vectors). Dequantize:
+    ``q * scale``. Pure expressions, no shuffle, exact integer outputs —
+    which is what makes the op cross-engine verifiable."""
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (max_abs / F.lit(127.0)).cast("double")
+    q = F.when(max_abs == 0.0, F.transform(v, lambda x: x.cast("tinyint"))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    )
+    return df.withColumn(out_col, q).withColumn(
+        scale_col, scale.cast("float")
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` (lossy: values return on
+    the 254-step grid)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda x: (x.cast("double") * F.col(scale_col)).cast("float")
+        ),
+    )

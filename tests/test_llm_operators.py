@@ -1493,3 +1493,37 @@ def test_dedup_transformer_substring_strategy(spark):
             TransformationConfig(type="dedup", options={"strategy": "substring"}),
             RunContext.create("t", spark),
         )
+
+
+def test_embedding_normalize_and_quantize(spark):
+    import math
+
+    from etl_spark_gradle_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+        with_normalized_embeddings,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5 -> [0.6, 0.8]
+        (2, [0.0, 0.0]),            # zero vector passes through
+        (3, [-1.0, 2.0, -2.0]),     # norm 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    norm = {r.vec_id: r.embedding for r in with_normalized_embeddings(df).collect()}
+    assert norm[1] == pytest.approx([0.6, 0.8], abs=1e-6)
+    assert norm[2] == [0.0, 0.0]
+    assert math.sqrt(sum(x * x for x in norm[3])) == pytest.approx(1.0, abs=1e-6)
+
+    q = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # scale = max_abs/127; values land exactly on the int grid here
+    assert q[1].q_embedding == [95, 127]  # round(3/ (4/127))=95.25->95, 4/scale=127
+    assert q[1].q_scale == pytest.approx(4 / 127, abs=1e-7)
+    assert q[2].q_embedding == [0, 0] and q[2].q_scale == 0.0
+    assert q[3].q_embedding == [-64, 127, -127]  # round(±1/ (2/127))=63.5->64
+    # dequantize reconstructs within one grid step
+    deq = {r.vec_id: r.embedding for r in dequantize_embeddings(
+        quantize_embeddings(df), out_col="embedding").collect()}
+    for vid, vec in rows:
+        step = max(abs(x) for x in vec) / 127 if any(vec) else 0.0
+        assert all(abs(a - b) <= step / 2 + 1e-6 for a, b in zip(deq[vid], vec))
