@@ -310,6 +310,30 @@ def test_web_corpus_curation_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch)
     assert cur.groupBy("clean_text").count().filter("count > 1").count() == 0
 
 
+def test_lm_quality_gate_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/lm-quality-gate.yaml runs end-to-end:
+    bigram-LM scoring annotates every surviving doc with finite
+    perplexity and the OOV-rate predicate is actually enforced."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "lm_gated")
+    monkeypatch.setenv("CORPUS_DIR", sf_dir)
+    monkeypatch.setenv("LM_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/lm-quality-gate.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+
+    cur = spark.read.parquet(out)
+    for col in ("ppl", "avg_logprob", "oov_bigrams", "n_bigrams"):
+        assert col in cur.columns
+    assert cur.filter("ppl IS NULL OR ppl >= 5000").count() == 0
+    assert cur.filter("oov_bigrams / greatest(n_bigrams, 1) >= 0.5").count() == 0
+    # self-trained LM: scores are finite and positive
+    row = cur.agg({"ppl": "min"}).collect()[0]
+    assert row[0] > 0
+
+
 def test_quickstart1_inline_aggregation_yaml(spark, sf_dir, tmp_path, monkeypatch):
     """Reference quickstart-1 parity: the inline alias:fn(expr)
     aggregation string (incl. an expression aggregate) runs verbatim."""
