@@ -1397,6 +1397,57 @@ FROM agg
 """
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC (operators/delta.py): synthesize previous/current
+    versions of orders (previous drops keys %5==0; current drops %3==0
+    and bumps o_totalprice on %11==0), then classify every key as
+    insert/delete/update via the fingerprint full-outer join. The
+    oracle replays the same FULL JOIN with per-column IS DISTINCT FROM
+    — a hash match proves the fingerprint compare agrees with true
+    value comparison on every row."""
+    from etl_spark_gradle_spark.operators.delta import table_diff
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    prev = o.filter("o_orderkey % 5 != 0")
+    cur = o.filter("o_orderkey % 3 != 0").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    out = table_diff(cur, prev, keys=["o_orderkey"])
+    return out.select(F.col("o_orderkey").cast("long").alias("o_orderkey"), "change_type")
+
+
+_TABLE_DIFF_ORACLE = """
+WITH prev AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 != 0
+), cur AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 != 0
+), d AS (
+  SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+         CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+              WHEN c.o_orderkey IS NULL THEN 'delete'
+              WHEN (c.o_totalprice IS DISTINCT FROM p.o_totalprice)
+                OR (c.o_orderstatus IS DISTINCT FROM p.o_orderstatus)
+                OR (c.o_orderpriority IS DISTINCT FROM p.o_orderpriority)
+                THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM cur c FULL JOIN prev p ON c.o_orderkey = p.o_orderkey
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, change_type
+FROM d WHERE change_type != 'unchanged'
+"""
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-operator end-to-end DAG in ONE plan (the bench q10 shape,
     hash-checked): events filter → map → BROADCAST join nation → 30 s
@@ -2881,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "substring_dedup": q_substring_dedup,
         "embedding_quantize": q_embedding_quantize,
+        "table_diff": q_table_diff,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3159,5 +3211,6 @@ def oracle_sql() -> dict[str, str]:
         "composite": _composite_oracle(),
         "lm_score": _LM_SCORE_ORACLE,
         "substring_dedup": _SUBSTRING_DEDUP_ORACLE,
+        "table_diff": _TABLE_DIFF_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

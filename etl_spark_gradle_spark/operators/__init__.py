@@ -24,6 +24,11 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     pack_sequences,
     token_frequency,
 )
+from etl_spark_gradle_spark.operators.delta import (  # noqa: F401
+    DiffTransformer,
+    row_fingerprint,
+    table_diff,
+)
 from etl_spark_gradle_spark.operators.lm import (  # noqa: F401
     LmScoreTransformer,
     score_with_bigram_lm,
@@ -99,6 +104,7 @@ TRANSFORMER_REGISTRY = {
     "sample": SampleTransformer(),
     "split": SplitTransformer(),
     "salted_aggregation": SaltedAggregationTransformer(),
+    "diff": DiffTransformer(),
     "sketch": SketchTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),

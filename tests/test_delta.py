@@ -1,0 +1,140 @@
+"""Snapshot diff / CDC operator (operators/delta.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark_gradle_spark.operators.delta import (
+    DiffTransformer,
+    table_diff,
+)
+from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+
+def _snapshots(spark):
+    prev = spark.createDataFrame(
+        [
+            (1, "a", 10.0),   # unchanged
+            (2, "b", 20.0),   # value update
+            (3, None, 30.0),  # null -> value update
+            (4, "d", 40.0),   # deleted
+            (5, "e", None),   # null stays null -> unchanged
+        ],
+        ["k", "s", "v"],
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 21.0),
+            (3, "c", 30.0),
+            (5, "e", None),
+            (6, "f", 60.0),   # inserted
+        ],
+        ["k", "s", "v"],
+    )
+    return cur, prev
+
+
+def test_table_diff_classification(spark):
+    cur, prev = _snapshots(spark)
+    out = {r.k: r.change_type for r in table_diff(cur, prev, keys=["k"]).collect()}
+    assert out == {2: "update", 3: "update", 4: "delete", 6: "insert"}
+
+
+def test_table_diff_include_unchanged(spark):
+    cur, prev = _snapshots(spark)
+    out = {
+        r.k: r.change_type
+        for r in table_diff(cur, prev, keys=["k"], include_unchanged=True).collect()
+    }
+    assert out[1] == "unchanged" and out[5] == "unchanged" and len(out) == 6
+
+
+def test_table_diff_null_position_swap_is_update(spark):
+    """("a", NULL) vs (NULL, "a") must classify as update — guards the
+    null-bitmap term in the fingerprint (xxhash64 alone skips nulls and
+    would collide these)."""
+    schema = "k int, x string, y string"
+    prev = spark.createDataFrame([(1, "a", None)], schema)
+    cur = spark.createDataFrame([(1, None, "a")], schema)
+    rows = table_diff(cur, prev, keys=["k"]).collect()
+    assert [(r.k, r.change_type) for r in rows] == [(1, "update")]
+
+
+def test_table_diff_emit_rows_carries_current_image(spark):
+    cur, prev = _snapshots(spark)
+    rows = {r.k: r for r in table_diff(cur, prev, keys=["k"], emit="rows").collect()}
+    assert rows[6].s == "f" and rows[6].v == 60.0          # insert image
+    assert rows[2].v == 21.0                                # update = new image
+    assert rows[4].s is None and rows[4].v is None          # delete has no image
+    assert set(rows) == {2, 3, 4, 6}
+
+
+def test_table_diff_compare_cols_subset(spark):
+    cur, prev = _snapshots(spark)
+    # only compare s: k=2 (v-only change) drops out, k=3 (s change) stays
+    out = {
+        r.k: r.change_type
+        for r in table_diff(cur, prev, keys=["k"], compare_cols=["s"]).collect()
+    }
+    assert out == {3: "update", 4: "delete", 6: "insert"}
+
+
+def test_table_diff_default_compare_is_common_columns(spark):
+    """A column present on one side only (schema evolution) is ignored
+    by the default compare set instead of flipping everything."""
+    prev = spark.createDataFrame([(1, "a")], ["k", "s"])
+    cur = spark.createDataFrame([(1, "a", "extra")], ["k", "s", "z"])
+    assert table_diff(cur, prev, keys=["k"]).count() == 0
+
+
+def test_table_diff_validation_errors(spark):
+    cur, prev = _snapshots(spark)
+    with pytest.raises(ValueError, match="key column not in current"):
+        table_diff(cur, prev, keys=["nope"])
+    with pytest.raises(ValueError, match="compare column not on both"):
+        table_diff(cur, prev, keys=["k"], compare_cols=["nope"])
+    with pytest.raises(ValueError, match="emit must be"):
+        table_diff(cur, prev, keys=["k"], emit="bogus")
+    with pytest.raises(ValueError, match="share only the keys"):
+        table_diff(
+            cur.select("k"), prev.select("k"), keys=["k"]
+        )
+
+
+def test_diff_transformer_yaml_adapter(spark):
+    cur, prev = _snapshots(spark)
+    prev.createOrReplaceTempView("prev_snapshot")
+    ctx = RunContext(pipeline_id="t", run_id="t", spark=spark)
+    cfg = TransformationConfig(
+        type="diff",
+        options={"previousTable": "prev_snapshot", "keys": "k"},
+    )
+    out = {r.k: r.change_type for r in DiffTransformer().transform(cur, cfg, ctx).collect()}
+    assert out == {2: "update", 3: "update", 4: "delete", 6: "insert"}
+
+
+def test_diff_transformer_validation(spark):
+    cur, _ = _snapshots(spark)
+    ctx = RunContext(pipeline_id="t", run_id="t", spark=spark)
+    bad = TransformationConfig(type="diff", options={"keys": "k"})
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    with pytest.raises(TransformationError, match="previousTable"):
+        DiffTransformer().transform(cur, bad, ctx)
+
+
+def test_diff_plan_shape(spark):
+    """emit='keys' must not carry non-key data columns through the
+    join: the pre-shuffle projections reduce each side to key +
+    fingerprint, so wide snapshots diff at ~16 bytes/row shuffle."""
+    cur, prev = _snapshots(spark)
+    plan = table_diff(cur, prev, keys=["k"])._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join FullOuter" in l)
+    # the fingerprint projection sits BELOW the join on both sides, so
+    # the exchange carries (k, _fp, _in) — never the data columns
+    children = [l for l in lines[join_idx + 1 :] if "Project [" in l][:2]
+    assert len(children) == 2
+    for child in children:
+        assert "xxhash64" in child and "_fp_" in child
