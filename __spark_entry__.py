@@ -1741,6 +1741,92 @@ WHERE len(list_intersect(a.s, b.s)) > 0
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (the daily-crawl append path): the even
+    doc_ids play the existing corpus — reduced to its content-hash
+    store, text never re-read — and the odd doc_ids arrive as the new
+    batch. Survivors = in-batch dedup, then anti-join against the
+    store, with the store side never shuffled (batch hashes broadcast).
+    The oracle replays both steps with the same normalized-md5."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    seen = dd.content_hash_store(old, "text")
+    out = dd.exact_dedup_incremental(
+        new, seen, content_col="text", tiebreak_col="doc_id"
+    )
+    return out.select("doc_id")
+
+
+_INCREMENTAL_DEDUP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM documents
+), old AS (
+  SELECT DISTINCT h FROM fp WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT MIN(doc_id) AS doc_id, h FROM fp WHERE doc_id % 2 = 1 GROUP BY h
+)
+SELECT doc_id FROM batch WHERE h NOT IN (SELECT h FROM old)
+"""
+
+
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates against a persisted minhash
+    band store (corpus text never re-hashed, store never shuffled —
+    batch band hashes broadcast into the store scan). Self-verifying
+    like `minhash_lsh`: the exact cross-parity shingle-Jaccard truth is
+    computed in the same plan, and on this corpus the banded family
+    catches every cross pair with zero false positives, so the oracle
+    asserts recall 1.0 and |candidates| = |truth| — and the pytest
+    suite separately proves the incremental candidate set equals the
+    cross subset of the full-batch run."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    kw = dict(n=3, num_hashes=64, bands=16)
+    store = dd.minhash_band_store(old, "doc_id", "text", **kw)
+    cand = dd.incremental_minhash_candidates(new, store, "doc_id", "text", **kw)
+    cand_n = cand.select(
+        F.least("new_id", "old_id").alias("id_a"),
+        F.greatest("new_id", "old_id").alias("id_b"),
+    )
+    truth = (
+        dd.ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", n=3, threshold=0.2, use_tokens=True
+        )
+        .filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+        .select("id_a", "id_b")
+    )
+    found = truth.join(cand_n, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_cross"))
+    f_ = found.agg(F.count(F.lit(1)).cast("long").alias("n_found_cross"))
+    c = cand_n.agg(F.count(F.lit(1)).cast("long").alias("n_candidates_cross"))
+    return (
+        t.crossJoin(f_)
+        .crossJoin(c)
+        .select(
+            "n_true_cross",
+            "n_found_cross",
+            "n_candidates_cross",
+            (F.col("n_found_cross") / F.col("n_true_cross")).cast("double").alias("recall"),
+        )
+    )
+
+
+_INCREMENTAL_MINHASH_ORACLE = f"""
+WITH jp AS ({_NGRAM_JACCARD_ORACLE})
+SELECT CAST(count(*) AS BIGINT) AS n_true_cross,
+       CAST(count(*) AS BIGINT) AS n_found_cross,
+       CAST(count(*) AS BIGINT) AS n_candidates_cross,
+       CAST(1.0 AS DOUBLE) AS recall
+FROM jp WHERE (id_a % 2) != (id_b % 2)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: exact n-gram Jaccard pairs (the
     SQL-reproducible pair source) → iterative min-label propagation →
@@ -2895,8 +2981,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embed_media / frame_sample cores, avro degradation contract).
     Entries pushed past 50 all have driver-grade green rows in
     CORRECTNESS_r03; with this rotation every declared query has a
-    driver-recorded row across r3 ∪ r4. All 82 remain oracle-checked
-    locally by tools/check_oracle.py regardless of position."""
+    driver-recorded row across r3 ∪ r4. The session-4 additions
+    (table_diff, incremental_dedup, incremental_minhash) sit in the
+    new-query block, displacing three more r3-green representatives
+    (text_stats, cosine_topk, image_decode) past 50. All 85 remain
+    oracle-checked locally by tools/check_oracle.py regardless of
+    position."""
     return {
         # ---- rotated in: driver-recorded for the first time this round ----
         "join_anti": q_join_anti,
@@ -2933,6 +3023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "embedding_quantize": q_embedding_quantize,
         "table_diff": q_table_diff,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_minhash": q_incremental_minhash,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3212,5 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _LM_SCORE_ORACLE,
         "substring_dedup": _SUBSTRING_DEDUP_ORACLE,
         "table_diff": _TABLE_DIFF_ORACLE,
+        "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
+        "incremental_minhash": _INCREMENTAL_MINHASH_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

@@ -417,6 +417,51 @@ def _minhash_sig_bands_from_token_hashes_udf(
     return F.pandas_udf(fn, "sig: array<bigint>, bhs: array<bigint>")
 
 
+def _minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    use_tokens: bool,
+) -> DataFrame:
+    """Per-document ``(id, sig, bhs)`` — the k-long minhash signature
+    and per-band bucket hashes. Shared by the batch candidate generator
+    and the incremental (store-backed) path; both must use the same
+    (n, num_hashes, bands, use_tokens) for their hashes to be
+    comparable.
+
+    ``use_tokens=True`` is the fast path: one xxhash64 per TOKEN in the
+    JVM; the shingle hash is a vectorized rolling combine inside the
+    Arrow batch (see _minhash_sig_bands_from_token_hashes_udf).
+    Tokenization is identical to ``token_shingles`` (lower + Unicode-\\s
+    split + drop empties); docs with < n tokens have zero shingles,
+    same as the string path's size(sh) > 0 filter.
+    """
+    df = _ensure_parallelism(df)
+    if use_tokens:
+        sb_udf = _minhash_sig_bands_from_token_hashes_udf(num_hashes, bands, n)
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"(?U)\s+"), lambda x: x != ""
+        )
+        return (
+            df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+            .filter(F.size("toks") >= n)
+            .select("id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hs"))
+            .select("id", sb_udf(F.col("hs")).alias("sb"))
+            .select("id", F.col("sb.sig").alias("sig"), F.col("sb.bhs").alias("bhs"))
+        )
+    sb_udf = _minhash_sig_bands_udf(num_hashes, bands)
+    return (
+        df.select(F.col(id_col).alias("id"), char_shingles(text_col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs"))
+        .select("id", sb_udf(F.col("hs")).alias("sb"))
+        .select("id", F.col("sb.sig").alias("sig"), F.col("sb.bhs").alias("bhs"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -460,34 +505,7 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     if band_payload not in ("id", "signature"):
         raise ValueError("band_payload must be 'id' or 'signature'")
-    df = _ensure_parallelism(df)
-    if use_tokens:
-        # fast path: one xxhash64 per TOKEN; the shingle hash is a
-        # vectorized rolling combine inside the Arrow batch (see
-        # _minhash_sig_bands_from_token_hashes_udf). Tokenization is
-        # identical to token_shingles (lower + Unicode-\s split + drop
-        # empties); docs with < n tokens have zero shingles, same as
-        # the string path's size(sh) > 0 filter.
-        sb_udf = _minhash_sig_bands_from_token_hashes_udf(num_hashes, bands, n)
-        toks = F.filter(
-            F.split(F.lower(F.col(text_col)), r"(?U)\s+"), lambda x: x != ""
-        )
-        sig = (
-            df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-            .filter(F.size("toks") >= n)
-            .select("id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hs"))
-            .select("id", sb_udf(F.col("hs")).alias("sb"))
-            .select("id", F.col("sb.sig").alias("sig"), F.col("sb.bhs").alias("bhs"))
-        )
-    else:
-        sb_udf = _minhash_sig_bands_udf(num_hashes, bands)
-        sig = (
-            df.select(F.col(id_col).alias("id"), char_shingles(text_col, n).alias("sh"))
-            .filter(F.size("sh") > 0)
-            .select("id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs"))
-            .select("id", sb_udf(F.col("hs")).alias("sb"))
-            .select("id", F.col("sb.sig").alias("sig"), F.col("sb.bhs").alias("bhs"))
-        )
+    sig = _minhash_signatures(df, id_col, text_col, n, num_hashes, bands, use_tokens)
     est = (
         F.size(
             F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
@@ -554,6 +572,142 @@ def minhash_lsh_candidates(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.select("id_a", "id_b", est)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a persisted corpus fingerprint store
+# ---------------------------------------------------------------------------
+#
+# At 100 TB you never re-dedup the whole corpus when a day of crawl
+# arrives. Instead the corpus is represented by a KB-per-doc store —
+# content hashes for exact dedup, (band_hash, id) pairs for near-dup —
+# and only the NEW batch is hashed. The store is scanned once and NEVER
+# shuffled: the batch side (small by definition) is broadcast into the
+# store scan, so the cost per increment is O(|store| scan + |batch|),
+# independent of how the corpus is partitioned. Persist the store
+# bucketed on its hash column (sinks/loaders.py bucketBy) and even the
+# scan prunes to matching buckets.
+
+
+def content_hash_store(df: DataFrame, content_col: str) -> DataFrame:
+    """Distinct content fingerprints of a corpus — the persisted state
+    for ``exact_dedup_incremental``. One column ``content_hash`` (the
+    same normalized-md5 as ``exact_dedup(content_col=...)``), 32 bytes
+    per distinct document. Append each accepted batch's hashes to keep
+    the store current."""
+    return df.select(fingerprint(content_col).alias("content_hash")).distinct()
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    content_col: str,
+    tiebreak_col: str | None = None,
+    strategy: str = "broadcast_batch",
+) -> DataFrame:
+    """Exact-dedup a new batch against an existing corpus WITHOUT
+    touching the corpus text: first dedup within the batch (same
+    deterministic-survivor semantics as ``exact_dedup``), then drop
+    every document whose content hash already exists in ``seen`` (a
+    ``content_hash_store`` DataFrame).
+
+    - ``strategy="broadcast_batch"`` (default): the batch's distinct
+      hashes are broadcast; the store is scanned once with a broadcast
+      semi-join to find collisions (a result no larger than the batch),
+      which are broadcast back into an anti-join against the batch.
+      ZERO shuffles of the store — the scale path.
+    - ``strategy="shuffle"``: plain shuffled left-anti join; use when
+      the batch itself is too large to broadcast.
+
+    Returns the surviving new rows (original schema). Append
+    ``content_hash_store(survivors, content_col)`` to the store
+    afterwards to keep it current.
+    """
+    if strategy not in ("broadcast_batch", "shuffle"):
+        raise ValueError("strategy must be 'broadcast_batch' or 'shuffle'")
+    if "content_hash" not in seen.columns:
+        raise ValueError("seen store must have a 'content_hash' column")
+    batch = exact_dedup(new_df, content_col=content_col, tiebreak_col=tiebreak_col)
+    batch = batch.withColumn("__h", fingerprint(content_col))
+    if strategy == "broadcast_batch":
+        collided = seen.join(
+            F.broadcast(batch.select(F.col("__h").alias("content_hash")).distinct()),
+            "content_hash",
+            "left_semi",
+        )
+        out = batch.join(
+            F.broadcast(collided.withColumnRenamed("content_hash", "__h")),
+            "__h",
+            "left_anti",
+        )
+    else:
+        out = batch.join(
+            seen.withColumnRenamed("content_hash", "__h"), "__h", "left_anti"
+        )
+    return out.drop("__h")
+
+
+def minhash_band_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    use_tokens: bool = True,
+) -> DataFrame:
+    """Exploded ``(id, bh)`` band-hash pairs — the persisted state for
+    ``incremental_minhash_candidates``: 16 bytes x ``bands`` per doc,
+    regardless of document size. The (n, num_hashes, bands, use_tokens)
+    family parameters are part of the store's identity: an increment
+    MUST query with the same values or its band hashes are
+    incomparable garbage (persist them alongside the store)."""
+    sig = _minhash_signatures(df, id_col, text_col, n, num_hashes, bands, use_tokens)
+    return sig.select("id", F.explode("bhs").alias("bh"))
+
+
+def incremental_minhash_candidates(
+    new_df: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    use_tokens: bool = True,
+    strategy: str = "broadcast_batch",
+) -> DataFrame:
+    """Near-duplicate candidates of a NEW batch against the existing
+    corpus, using only the corpus's ``minhash_band_store`` — the corpus
+    text is never read, hashed, or shuffled again.
+
+    Returns distinct ``(new_id, old_id)`` pairs: new documents that
+    share at least one LSH band bucket with a stored document (same
+    recall guarantee as ``minhash_lsh_candidates`` at the same family
+    parameters, since both sides use identical seeded hashes). Batch-
+    internal duplicates are a separate, cheap
+    ``minhash_lsh_candidates(new_df)`` call — this function is only the
+    cross (new x corpus) term.
+
+    ``strategy="broadcast_batch"`` broadcasts the batch's band hashes
+    into the store scan (store never shuffles); ``"shuffle"`` is the
+    fallback for oversized batches.
+    """
+    if strategy not in ("broadcast_batch", "shuffle"):
+        raise ValueError("strategy must be 'broadcast_batch' or 'shuffle'")
+    for c in ("id", "bh"):
+        if c not in store.columns:
+            raise ValueError("store must have 'id' and 'bh' columns (minhash_band_store)")
+    new_bands = minhash_band_store(
+        new_df, id_col, text_col, n, num_hashes, bands, use_tokens
+    ).withColumnRenamed("id", "new_id")
+    old = store.withColumnRenamed("id", "old_id")
+    right = F.broadcast(new_bands) if strategy == "broadcast_batch" else new_bands
+    return (
+        old.join(right, "bh")
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,98 @@ def test_exact_dedup_keys_first_seen(spark):
     assert rows == {1: "b", 2: "c"}  # min ord wins deterministically
 
 
+def test_exact_dedup_incremental_against_store(spark, docs):
+    """New batch vs persisted content-hash store: in-batch dups collapse
+    first, then anything already in the corpus is dropped — both join
+    strategies agree, and the store never needs the corpus text."""
+    corpus = docs.filter("doc_id <= 3")  # all one normalized fingerprint
+    seen = dd.content_hash_store(corpus, "text")
+    assert seen.count() == 1
+    new_batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # in corpus
+            (11, "brand new document about incremental processing"),
+            (12, "brand new document about incremental processing"),  # in-batch dup
+            (13, "another unseen document entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    for strategy in ("broadcast_batch", "shuffle"):
+        out = dd.exact_dedup_incremental(
+            new_batch, seen, content_col="text", tiebreak_col="doc_id",
+            strategy=strategy,
+        )
+        assert sorted(r.doc_id for r in out.collect()) == [11, 13], strategy
+    # appending the survivors' hashes makes a rerun drop everything
+    survivors = dd.exact_dedup_incremental(
+        new_batch, seen, content_col="text", tiebreak_col="doc_id"
+    )
+    seen2 = seen.union(dd.content_hash_store(survivors, "text"))
+    rerun = dd.exact_dedup_incremental(
+        new_batch, seen2, content_col="text", tiebreak_col="doc_id"
+    )
+    assert rerun.count() == 0
+
+
+def test_incremental_minhash_matches_batch_candidates(docs):
+    """Store-backed cross candidates must equal the cross subset of the
+    full-batch LSH run at the same family parameters — the incremental
+    path loses nothing."""
+    kw = dict(n=2, num_hashes=64, bands=32, use_tokens=True)
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    store = dd.minhash_band_store(old, "doc_id", "text", **kw)
+    for strategy in ("broadcast_batch", "shuffle"):
+        cross = {
+            (r.new_id, r.old_id)
+            for r in dd.incremental_minhash_candidates(
+                new, store, "doc_id", "text", strategy=strategy, **kw
+            ).collect()
+        }
+        full = {
+            (r.id_a, r.id_b)
+            for r in dd.minhash_lsh_candidates(
+                docs, id_col="doc_id", text_col="text", **kw
+            ).collect()
+        }
+        full_cross = {
+            (a, b) if a % 2 == 1 else (b, a)
+            for (a, b) in full
+            if (a % 2) != (b % 2)
+        }
+        assert cross == full_cross and len(cross) > 0, strategy
+    assert (1, 2) in cross  # identical docs across the parity split
+
+
+def test_incremental_minhash_store_never_shuffles(docs):
+    """broadcast_batch plan shape: the store side of the band join must
+    not sit under an Exchange — the corpus state is scanned in place."""
+    kw = dict(n=2, num_hashes=64, bands=32)
+    old = docs.filter("doc_id % 2 = 0")
+    store = dd.minhash_band_store(old, "doc_id", "text", **kw)
+    out = dd.incremental_minhash_candidates(
+        docs.filter("doc_id % 2 = 1"), store, "doc_id", "text", **kw
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_validation_errors(spark, docs):
+    import pytest as _pytest
+
+    seen = spark.createDataFrame([("x",)], ["wrong_col"])
+    with _pytest.raises(ValueError, match="content_hash"):
+        dd.exact_dedup_incremental(docs, seen, content_col="text")
+    with _pytest.raises(ValueError, match="strategy"):
+        dd.exact_dedup_incremental(
+            docs, seen.withColumnRenamed("wrong_col", "content_hash"),
+            content_col="text", strategy="bogus",
+        )
+    bad_store = spark.createDataFrame([(1,)], ["id"])
+    with _pytest.raises(ValueError, match="'id' and 'bh'"):
+        dd.incremental_minhash_candidates(docs, bad_store, "doc_id", "text")
+
+
 def test_duplicate_stats(spark):
     df = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,), (3,)], ["k"])
     row = dd.duplicate_stats(df, ["k"]).collect()[0]
