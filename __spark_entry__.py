@@ -1817,6 +1817,57 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (operators/layout.py): every
+    lineitem row's 32-bit interleave of grid-scaled (l_orderkey,
+    l_partkey). The oracle replays the exact scale expression
+    ((v - mn) * 65535 / (mx - mn), floor, clamp — IEEE doubles agree
+    across engines on integer inputs) and the bit interleave — a hash
+    match proves the clustering key a zorderBy write sorts on is
+    correct on every row. Bounds come from one min/max agg (the same
+    bounded driver point the operator itself uses)."""
+    from etl_spark_gradle_spark.operators.layout import z_value
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.agg(
+        F.min("l_orderkey").alias("a"),
+        F.max("l_orderkey").alias("b"),
+        F.min("l_partkey").alias("c"),
+        F.max("l_partkey").alias("d"),
+    ).collect()[0]
+    z = z_value(
+        [F.col("l_orderkey"), F.col("l_partkey")],
+        [(float(r.a), float(r.b)), (float(r.c), float(r.d))],
+        bits=16,
+    )
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        z.alias("z"),
+    )
+
+
+_ZORDER_ORACLE = """
+WITH b AS (
+  SELECT CAST(MIN(l_orderkey) AS DOUBLE) mnx, CAST(MAX(l_orderkey) AS DOUBLE) mxx,
+         CAST(MIN(l_partkey) AS DOUBLE) mny, CAST(MAX(l_partkey) AS DOUBLE) mxy
+  FROM lineitem
+), s AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(least(greatest(floor((CAST(l_orderkey AS DOUBLE) - mnx) * 65535.0 / (mxx - mnx)), 0), 65535) AS BIGINT) sx,
+    CAST(least(greatest(floor((CAST(l_partkey AS DOUBLE) - mny) * 65535.0 / (mxy - mny)), 0), 65535) AS BIGINT) sy
+  FROM lineitem, b
+)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+            (((sx >> i) & 1) * (1::BIGINT << (2*i)))
+          + (((sy >> i) & 1) * (1::BIGINT << (2*i + 1))))) AS BIGINT) AS z
+FROM s
+"""
+
+
 _INCREMENTAL_MINHASH_ORACLE = f"""
 WITH jp AS ({_NGRAM_JACCARD_ORACLE})
 SELECT CAST(count(*) AS BIGINT) AS n_true_cross,
@@ -2982,9 +3033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Entries pushed past 50 all have driver-grade green rows in
     CORRECTNESS_r03; with this rotation every declared query has a
     driver-recorded row across r3 ∪ r4. The session-4 additions
-    (table_diff, incremental_dedup, incremental_minhash) sit in the
-    new-query block, displacing three more r3-green representatives
-    (text_stats, cosine_topk, image_decode) past 50. All 85 remain
+    (table_diff, incremental_dedup, incremental_minhash, zorder) sit
+    in the new-query block, displacing four more r3-green
+    representatives (dedup_exact_content, text_stats, cosine_topk,
+    image_decode) past 50 — minhash_lsh stays inside the window because
+    its hash family changed this session. All 86 remain
     oracle-checked locally by tools/check_oracle.py regardless of
     position."""
     return {
@@ -3025,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "incremental_dedup": q_incremental_dedup,
         "incremental_minhash": q_incremental_minhash,
+        "zorder": q_zorder,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3039,12 +3093,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_split_invalid": q_null_split_invalid,
         "roundtrip_parquet": q_roundtrip_parquet,
         "pipeline_e2e": q_pipeline_e2e,
-        "dedup_exact_content": q_dedup_exact_content,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
+        "dedup_exact_content": q_dedup_exact_content,
         "quarantine_roundtrip": q_quarantine_roundtrip,
         "simhash": q_simhash,
         "pii_scan": q_pii_scan,
@@ -3306,5 +3360,6 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": _TABLE_DIFF_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "incremental_minhash": _INCREMENTAL_MINHASH_ORACLE,
+        "zorder": _ZORDER_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

@@ -1,0 +1,130 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+The reference's only layout lever is ``partitionBy`` directories
+(``loader/S3Loader.scala:27-119``); one-dimensional sorts (our
+``sortWithinPartitions`` sink option) give tight parquet row-group
+min/max stats on ONE column. But 100 TB fact tables are filtered on
+several independent dimensions (`WHERE ship_date BETWEEN ... AND
+supplier_id = ...`), and a sort on one destroys locality on the other.
+
+Z-ordering interleaves the bits of several rank-scaled columns into one
+64-bit key; sorting by that key places rows so that EVERY interleaved
+dimension has narrow per-file / per-row-group min-max ranges, so scans
+filtered on any of them skip most of the data. This is the same design
+as Delta OSS's OPTIMIZE ZORDER BY, built here from stock Spark
+primitives: one bounds aggregation, a ``repartitionByRange`` on the
+z-value, and a local sort.
+
+Scale notes:
+- The z-value is a pure unrolled Catalyst expression (``bits x dims``
+  shift-mask-or terms, whole-stage-codegen friendly) — no UDF.
+- Bounds come from ONE min/max aggregation (2 numbers per column on the
+  driver — a bounded, documented driver point, exactly what any
+  range-partitioner needs). Pass explicit bounds to skip that job, e.g.
+  when they're known from table statistics.
+- Skew: linear min-max scaling degrades when a dimension is heavily
+  skewed (most values map to few grid cells). The standard fix is
+  rank-based scaling; with AQE enabled the range partitioner still
+  splits oversized z-ranges, so the write stays balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scale_to_grid", "z_value", "zorder"]
+
+
+def scale_to_grid(
+    col: Column | str, mn: float, mx: float, bits: int = 16
+) -> Column:
+    """Linearly scale a numeric column onto the integer grid
+    ``[0, 2^bits)``: ``floor((v - mn) * (2^bits - 1) / (mx - mn))``,
+    clamped, nulls to cell 0. The expression shape (subtract, multiply,
+    divide, floor — in that order) is part of the contract: the DuckDB
+    oracle replays it literally, and IEEE doubles make the two engines
+    agree bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    top = (1 << bits) - 1
+    if mx <= mn:
+        return F.lit(0).cast("long")
+    scaled = F.floor(
+        (c.cast("double") - F.lit(float(mn))) * F.lit(float(top)) / F.lit(float(mx - mn))
+    ).cast("long")
+    return F.coalesce(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)), F.lit(0))
+
+
+def z_value(
+    cols: list[Column | str],
+    bounds: list[tuple[float, float]],
+    bits: int = 16,
+) -> Column:
+    """Morton interleave of ``len(cols)`` grid-scaled columns into one
+    BIGINT: bit ``b`` of dimension ``d`` lands at position
+    ``b * ndims + d``. ``bits * ndims`` must fit in 63 bits (e.g. 16
+    bits x 2 dims, 10 bits x 6 dims). The expression is unrolled at
+    plan-build time — ``bits x ndims`` shift/and/shift terms, all
+    inside whole-stage codegen."""
+    ndims = len(cols)
+    if ndims < 2:
+        raise ValueError("z_value needs at least 2 columns (use a plain sort for 1)")
+    if len(bounds) != ndims:
+        raise ValueError("bounds must have one (min, max) per column")
+    if bits * ndims > 63:
+        raise ValueError(f"bits*dims = {bits * ndims} exceeds 63 (lower bits)")
+    scaled = [
+        scale_to_grid(c, mn, mx, bits) for c, (mn, mx) in zip(cols, bounds)
+    ]
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, v in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(v, b).bitwiseAND(F.lit(1)), b * ndims + d
+            )
+    return z
+
+
+def zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    bounds: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Re-cluster a DataFrame by the Z-order of ``cols``: range-
+    partition on the z-value (so each output file owns a compact z-
+    range = a compact hyper-rectangle of the dimension space), locally
+    sort by it, and drop the helper column. Write the result with any
+    file sink; every listed column then has narrow per-file and per-
+    row-group min/max stats, so scans filtered on ANY of them prune.
+
+    ``bounds=None`` runs one min/max aggregation over ``df`` (the only
+    action; 2 doubles per column). Non-numeric columns are rejected —
+    hash a categorical to a numeric bucket first if needed.
+    """
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"zorder column not in schema: {c}")
+    if bounds is None:
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        bounds = []
+        for c in cols:
+            mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+            if mn is None or mx is None:
+                raise ValueError(f"zorder column is all-null: {c}")
+            bounds.append((float(mn), float(mx)))
+    zcol = z_value([F.col(c) for c in cols], bounds, bits)
+    out = df.withColumn("__z", zcol)
+    out = (
+        out.repartitionByRange(num_partitions, "__z")
+        if num_partitions
+        else out.repartitionByRange("__z")
+    )
+    return out.sortWithinPartitions("__z").drop("__z")

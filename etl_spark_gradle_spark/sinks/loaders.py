@@ -62,6 +62,25 @@ def load_file(
         raise ConfigError(f"file sink supports append|overwrite, got '{write_mode}'")
     bucket_cols = [c.strip() for c in (options.get("bucketBy") or "").split(",") if c.strip()]
     out, obs = _observed(df)
+    zorder_cols = [
+        c.strip() for c in (options.get("zorderBy") or "").split(",") if c.strip()
+    ]
+    if zorder_cols:
+        # Multi-dimensional clustering (see operators/layout.py): range-
+        # partition + local sort on the Morton key so EVERY listed
+        # column gets tight per-file/row-group min-max stats — the
+        # several-filter-columns sibling of sortWithinPartitions. Costs
+        # one bounds agg + one range shuffle at write time.
+        from etl_spark_gradle_spark.operators.layout import zorder
+
+        out = zorder(
+            out,
+            zorder_cols,
+            bits=int(options.get("zorderBits", "16")),
+            num_partitions=int(options["zorderPartitions"])
+            if options.get("zorderPartitions")
+            else None,
+        )
     if options.get("coalesce"):
         out = out.coalesce(int(options["coalesce"]))
     sort_within = [
