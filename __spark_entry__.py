@@ -482,6 +482,72 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAMING_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with the event-time range bound that
+    keeps join state finite (streaming.stream_stream_join): the events
+    table split into two REAL file streams by event_id parity, joined
+    on user_id where the odd event lands within [even.ts, even.ts + 5
+    minutes], drained with availableNow. Inner matches emit as they
+    arrive, so one drain yields exactly the relational join — which is
+    what the DuckDB oracle replays (state eviction semantics are unit-
+    tested in tests/test_streaming.py)."""
+    import shutil
+
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"sjoin_src_{run}")
+    out_path = os.path.join(_SCRATCH, f"sjoin_out_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+
+    def side(pred):
+        s = _normalize_event_ts(spark.readStream.schema(schema).parquet(src_dir))
+        return s.filter(pred).select("ts", "user_id", "event_id")
+
+    joined = st.stream_stream_join(
+        side("event_id % 2 = 0"),
+        side("event_id % 2 = 1"),
+        left_key="user_id",
+        right_key="user_id",
+        left_time_col="ts",
+        right_time_col="ts",
+        max_delay="5 minutes",
+        watermark_delay="10 minutes",
+    )
+    st.write_stream(
+        joined.select("user_id", "event_id", "event_id_right"),
+        {
+            "path": out_path,
+            "checkpointLocation": os.path.join(_SCRATCH, f"sjoin_ckpt_{run}"),
+            "format": "parquet",
+            "trigger": "availableNow",
+        },
+        output_mode="append",
+        await_termination=True,
+    )
+    out = spark.read.parquet(out_path)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("l_event"),
+        F.col("event_id_right").cast("long").alias("r_event"),
+    )
+
+
+_STREAMING_JOIN_ORACLE = """
+SELECT a.user_id,
+       CAST(a.event_id AS BIGINT) AS l_event,
+       CAST(b.event_id AS BIGINT) AS r_event
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization of
     the events table via ``applyInPandasWithState`` (30-min gap), run as
@@ -3035,8 +3101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder) sit
     in the new-query block, displacing four more r3-green
-    representatives (dedup_exact_content, text_stats, cosine_topk,
-    image_decode) past 50 — minhash_lsh stays inside the window because
+    representatives (dedup_exact_content, pipeline_e2e, text_stats,
+    cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
     its hash family changed this session. All 86 remain
     oracle-checked locally by tools/check_oracle.py regardless of
     position."""
@@ -3079,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "incremental_minhash": q_incremental_minhash,
         "zorder": q_zorder,
+        "streaming_join": q_streaming_join,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3092,13 +3159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_union": q_setop_union,
         "null_split_invalid": q_null_split_invalid,
         "roundtrip_parquet": q_roundtrip_parquet,
-        "pipeline_e2e": q_pipeline_e2e,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "pipeline_e2e": q_pipeline_e2e,
         "quarantine_roundtrip": q_quarantine_roundtrip,
         "simhash": q_simhash,
         "pii_scan": q_pii_scan,
@@ -3361,5 +3428,6 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "incremental_minhash": _INCREMENTAL_MINHASH_ORACLE,
         "zorder": _ZORDER_ORACLE,
+        "streaming_join": _STREAMING_JOIN_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

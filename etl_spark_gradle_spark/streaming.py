@@ -273,6 +273,74 @@ def sessionize_stream(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time_col: str,
+    right_time_col: str,
+    max_delay: str = "1 hour",
+    tolerance_before: str = "0 seconds",
+    join_type: str = "inner",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-to-stream equi-join with the event-time range constraint
+    that makes streaming join state FINITE: a right event matches only
+    when its time lies in ``[left_time - tolerance_before,
+    left_time + max_delay]`` (the impression→click shape: the click must
+    land within ``max_delay`` of the impression). Both sides are
+    watermarked; Spark derives the state-eviction horizon from the
+    watermark + the range bound, so each side holds O(rate x
+    (watermark_delay + max_delay)) rows — without the time bound a
+    stream-stream join's state grows forever and this function refuses
+    to build one.
+
+    ``join_type``: ``inner``, ``left_outer``, ``right_outer``,
+    ``full_outer`` (outer joins emit their null-padded rows only once
+    the watermark proves no match can arrive — expect them late).
+    Right-side columns whose names collide with left ones are emitted
+    with a ``_right`` suffix. Also callable on batch frames (the range
+    condition is just a predicate there) — handy for backfills running
+    the same pipeline definition.
+    """
+    jt = join_type.lower()
+    if jt not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ConfigError(f"unsupported stream-stream joinType '{join_type}'")
+    for c, df_, side in (
+        (left_key, left, "left"),
+        (left_time_col, left, "left"),
+        (right_key, right, "right"),
+        (right_time_col, right, "right"),
+    ):
+        if c not in df_.columns:
+            raise ConfigError(f"stream_stream_join: '{c}' not in {side} schema")
+
+    # suffix-rename colliding right columns so the joined schema is flat
+    renames = {c: f"{c}_right" for c in right.columns if c in set(left.columns)}
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    right_key = renames.get(right_key, right_key)
+    right_time_col = renames.get(right_time_col, right_time_col)
+
+    streaming = left.isStreaming or right.isStreaming
+    if streaming:
+        left = left.withWatermark(left_time_col, watermark_delay)
+        right = right.withWatermark(right_time_col, watermark_delay)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (
+            F.col(right_time_col)
+            >= F.col(left_time_col) - F.expr(f"INTERVAL {tolerance_before}")
+        )
+        & (
+            F.col(right_time_col)
+            <= F.col(left_time_col) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return left.join(right, cond, jt)
+
+
 def write_stream(
     df: DataFrame,
     options: dict[str, str],

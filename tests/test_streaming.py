@@ -225,6 +225,82 @@ def test_kafka_stream_sink_validates(spark, tmp_path):
         )
 
 
+def test_stream_stream_join_within_range(spark, tmp_path):
+    """Real two-stream join (impressions x clicks): a click matches only
+    within [impression_ts, impression_ts + max_delay]; a later click for
+    the same key falls outside the range and is dropped; state eviction
+    is driven by the watermarks + range bound."""
+    imp_src, clk_src = tmp_path / "imp", tmp_path / "clk"
+    imp_src.mkdir(), clk_src.mkdir()
+    out, ckpt = tmp_path / "jout", tmp_path / "jckpt"
+
+    _write_batch(
+        imp_src / "b1.json",
+        [
+            ("2024-01-01T10:00:00", "ad1", 1.0),
+            ("2024-01-01T10:00:00", "ad2", 1.0),
+            ("2024-01-01T12:00:00", "flushL", 0.0),
+        ],
+    )
+    _write_batch(
+        clk_src / "b1.json",
+        [
+            ("2024-01-01T10:00:30", "ad1", 9.0),   # inside 1 minute -> joins
+            ("2024-01-01T10:05:00", "ad2", 9.0),   # outside 1 minute -> dropped
+            ("2024-01-01T12:00:00", "flushR", 0.0),
+        ],
+    )
+    imps = st.read_file_stream(spark, {"path": str(imp_src), "format": "json"}, SCHEMA)
+    clks = st.read_file_stream(spark, {"path": str(clk_src), "format": "json"}, SCHEMA)
+    joined = st.stream_stream_join(
+        imps,
+        clks,
+        left_key="metric",
+        right_key="metric",
+        left_time_col="ts",
+        right_time_col="ts",
+        max_delay="1 minute",
+        watermark_delay="5 seconds",
+    )
+    st.write_stream(
+        joined,
+        {"path": str(out), "checkpointLocation": str(ckpt), "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+    rows = spark.read.parquet(str(out)).collect()
+    assert {r.metric for r in rows} == {"ad1"}
+    assert rows[0].value == 1.0 and rows[0].value_right == 9.0
+
+
+def test_stream_stream_join_batch_and_validation(spark):
+    """The same definition runs on batch frames (backfill path), and
+    config errors are typed."""
+    import datetime as dt
+    import pytest
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame(
+        [(t0, "k1", 1.0), (t0, "k2", 2.0)], SCHEMA
+    )
+    right = spark.createDataFrame(
+        [
+            (t0 + dt.timedelta(seconds=30), "k1", 10.0),
+            (t0 + dt.timedelta(minutes=5), "k2", 20.0),
+        ],
+        SCHEMA,
+    )
+    out = st.stream_stream_join(
+        left, right, "metric", "metric", "ts", "ts", max_delay="1 minute"
+    ).collect()
+    assert [(r.metric, r.value_right) for r in out] == [("k1", 10.0)]
+
+    with pytest.raises(Exception, match="joinType"):
+        st.stream_stream_join(left, right, "metric", "metric", "ts", "ts", join_type="cross")
+    with pytest.raises(Exception, match="not in left schema"):
+        st.stream_stream_join(left, right, "nope", "metric", "ts", "ts")
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: dups within the delay are dropped
     (incl. across incremental restarts via checkpointed state); state is
