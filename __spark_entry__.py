@@ -1514,6 +1514,33 @@ FROM d WHERE change_type != 'unchanged'
 """
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable BPE (operators/bpe.py): learn 60 merges from the
+    documents corpus (one word-count shuffle + bounded driver learner),
+    tokenize every document, and emit the LOSSLESS invariant — the sum
+    of token lengths per doc, which must equal the doc's non-whitespace
+    char count, an integer DuckDB computes independently. A hash match
+    proves every character of every document survived the train →
+    broadcast-ranks → Arrow-tokenize round trip; token-level exactness
+    (the merge table and per-word encodings) is pinned against a pure-
+    Python reference implementation in tests/test_bpe.py."""
+    from etl_spark_gradle_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bpe(docs, "text", num_merges=60)
+    out = bpe_tokenize(docs, "doc_id", "text", model["merges"])
+    return out.select(F.col("id").alias("doc_id"), "n_chars")
+
+
+_BPE_TOKENIZE_ORACLE = """
+SELECT doc_id,
+       CAST(length(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', '', 'g')) AS BIGINT)
+         AS n_chars
+FROM documents
+"""
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-operator end-to-end DAG in ONE plan (the bench q10 shape,
     hash-checked): events filter → map → BROADCAST join nation → 30 s
@@ -3101,8 +3128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder) sit
     in the new-query block, displacing four more r3-green
-    representatives (dedup_exact_content, pipeline_e2e, text_stats,
-    cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
+    representatives (dedup_exact_content, roundtrip_parquet,
+    pipeline_e2e, text_stats, cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
     its hash family changed this session. All 86 remain
     oracle-checked locally by tools/check_oracle.py regardless of
     position."""
@@ -3146,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash": q_incremental_minhash,
         "zorder": q_zorder,
         "streaming_join": q_streaming_join,
+        "bpe_tokenize": q_bpe_tokenize,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3158,13 +3186,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "setop_union": q_setop_union,
         "null_split_invalid": q_null_split_invalid,
-        "roundtrip_parquet": q_roundtrip_parquet,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "roundtrip_parquet": q_roundtrip_parquet,
         "pipeline_e2e": q_pipeline_e2e,
         "quarantine_roundtrip": q_quarantine_roundtrip,
         "simhash": q_simhash,
@@ -3429,5 +3457,6 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash": _INCREMENTAL_MINHASH_ORACLE,
         "zorder": _ZORDER_ORACLE,
         "streaming_join": _STREAMING_JOIN_ORACLE,
+        "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

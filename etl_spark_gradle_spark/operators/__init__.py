@@ -24,6 +24,11 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     pack_sequences,
     token_frequency,
 )
+from etl_spark_gradle_spark.operators.bpe import (  # noqa: F401
+    BpeTokenizeTransformer,
+    bpe_tokenize,
+    train_bpe,
+)
 from etl_spark_gradle_spark.operators.delta import (  # noqa: F401
     DiffTransformer,
     row_fingerprint,
@@ -114,6 +119,7 @@ TRANSFORMER_REGISTRY = {
     "lm_score": LmScoreTransformer(),
     "pii": PiiTransformer(),
     "chunk": ChunkTransformer(),
+    "bpe_tokenize": BpeTokenizeTransformer(),
     "pack": PackTransformer(),
     "token_frequency": TokenFrequencyTransformer(),
     "hash_sample": HashSampleTransformer(),
