@@ -2537,6 +2537,46 @@ WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+def q_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture solver (corpus.mix_to_target): resample sources
+    src0/src1/src2 to a 50/25/25 target with maximal retention — the
+    binding group keeps rate 1.0, the others exactly enough. The oracle
+    recomputes the whole solve in SQL (group counts → N = min(n/t) →
+    r = t*N/n → md5 threshold); targets are exact binary fractions so
+    every intermediate double is reproduced bit-for-bit."""
+    from etl_spark_gradle_spark.operators.corpus import mix_to_target
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_to_target(
+        docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.25}, key_col="doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
+_MIX_ORACLE = """
+WITH c AS (
+  SELECT source AS g, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+), t AS (
+  SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)) v(g, tt)
+), j AS (
+  SELECT t.g, t.tt, c.n FROM t JOIN c ON t.g = c.g
+), nm AS (
+  SELECT MIN(n / tt) AS nmax FROM j
+), th AS (
+  SELECT g,
+         CASE WHEN least(1.0, tt * nmax / n) >= 1.0 THEN 'g'
+              ELSE printf('%08x', CAST(trunc(least(1.0, tt * nmax / n) * 4294967296) AS BIGINT))
+         END AS thr
+  FROM j, nm
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th ON d.source = th.g
+WHERE substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr
+"""
+
+
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Construct-and-parse verification of URL feature extraction:
     build URLs with known scheme/domain/tld/path-depth from table
@@ -3128,8 +3168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder) sit
     in the new-query block, displacing four more r3-green
-    representatives (dedup_exact_content, roundtrip_parquet,
-    pipeline_e2e, text_stats, cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
+    representatives (dedup_exact_content, null_split_invalid,
+    roundtrip_parquet, pipeline_e2e, text_stats, cosine_topk,
+    image_decode) past 50 — minhash_lsh stays inside the window because
     its hash family changed this session. All 86 remain
     oracle-checked locally by tools/check_oracle.py regardless of
     position."""
@@ -3174,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "streaming_join": q_streaming_join,
         "bpe_tokenize": q_bpe_tokenize,
+        "mix": q_mix,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3185,13 +3227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rollup": q_rollup,
         "setop_union": q_setop_union,
-        "null_split_invalid": q_null_split_invalid,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "null_split_invalid": q_null_split_invalid,
         "roundtrip_parquet": q_roundtrip_parquet,
         "pipeline_e2e": q_pipeline_e2e,
         "quarantine_roundtrip": q_quarantine_roundtrip,
@@ -3458,5 +3500,6 @@ def oracle_sql() -> dict[str, str]:
         "zorder": _ZORDER_ORACLE,
         "streaming_join": _STREAMING_JOIN_ORACLE,
         "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
+        "mix": _MIX_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

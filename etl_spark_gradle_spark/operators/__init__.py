@@ -16,11 +16,13 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     CapPerGroupTransformer,
     ChunkTransformer,
     HashSampleTransformer,
+    MixTransformer,
     PackTransformer,
     TokenFrequencyTransformer,
     cap_per_group,
     chunk_documents,
     hash_sample,
+    mix_to_target,
     pack_sequences,
     token_frequency,
 )
@@ -123,6 +125,7 @@ TRANSFORMER_REGISTRY = {
     "pack": PackTransformer(),
     "token_frequency": TokenFrequencyTransformer(),
     "hash_sample": HashSampleTransformer(),
+    "mix": MixTransformer(),
     "cap_per_group": CapPerGroupTransformer(),
     "multimodal": MultimodalTransformer(),
 }

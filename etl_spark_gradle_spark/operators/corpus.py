@@ -446,6 +446,105 @@ class TokenFrequencyTransformer:
         return f"token_frequency({opts})"
 
 
+def mix_to_target(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Resample a corpus so its group proportions hit a TARGET mixture
+    (the data-mixture step of training-set assembly: "40% web, 30%
+    code, 30% books") while keeping the maximum possible amount of
+    data.
+
+    Solver: with group counts ``n_g`` and targets ``t_g``, the largest
+    achievable (expected) output is ``N = min_g(n_g / t_g)``; each
+    group keeps rate ``r_g = t_g * N / n_g`` — the binding group keeps
+    everything (rate 1.0), every other group downsamples exactly enough.
+    Rates are applied with :func:`hash_sample`'s deterministic
+    md5-threshold per stratum, so the selected rows are reproducible on
+    any engine and across runs. Groups absent from ``targets`` are
+    DROPPED (target share zero).
+
+    Scale: ONE group-count aggregation (a ``#groups``-row driver table
+    — sources/domains, thousands at most), then one narrow filter over
+    the corpus; no shuffle of the data itself. ``targets`` must be > 0
+    and will be normalized to sum 1.
+    """
+    if not targets:
+        raise TransformationError("mix_to_target requires non-empty targets")
+    if any(t <= 0 for t in targets.values()):
+        raise TransformationError("mix targets must all be > 0")
+    total_t = sum(targets.values())
+    norm = {g: t / total_t for g, t in targets.items()}
+    counts = {
+        r.g: r.c
+        for r in df.filter(F.col(group_col).isin(*norm))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    missing = sorted(set(norm) - set(counts))
+    if missing:
+        raise TransformationError(
+            f"mix_to_target: groups have no rows: {missing} — a zero-count "
+            "group makes the target mixture unsatisfiable"
+        )
+    n_max = min(counts[g] / t for g, t in norm.items())
+    rates = {g: min(1.0, t * n_max / counts[g]) for g, t in norm.items()}
+    return hash_sample(
+        df,
+        key_col,
+        fractions=rates,
+        strata_col=group_col,
+        salt=salt,
+        default_fraction=0.0,
+    )
+
+
+class MixTransformer:
+    """Registry adapter (``type: mix``). Options: ``groupColumn``,
+    ``keyColumn``, ``targets: "web:0.4,code:0.3,books:0.3"``, optional
+    ``salt``."""
+
+    def validate(self, df: DataFrame, config):
+        errors = []
+        opts = config.options
+        for k in ("groupColumn", "keyColumn"):
+            if opts.get(k, "") not in df.columns:
+                errors.append(f"{k} not in input schema: {opts.get(k)!r}")
+        if not opts.get("targets", "").strip():
+            errors.append("mix requires 'targets'")
+        else:
+            try:
+                t = HashSampleTransformer._parse_fractions(opts["targets"])
+                if not t or any(v <= 0 for v in t.values()):
+                    errors.append("mix targets must be non-empty and > 0")
+            except ValueError:
+                errors.append(f"cannot parse targets: {opts['targets']!r}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "MixTransformer config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return mix_to_target(
+            df,
+            group_col=opts["groupColumn"],
+            targets=HashSampleTransformer._parse_fractions(opts["targets"]),
+            key_col=opts["keyColumn"],
+            salt=opts.get("salt", ""),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"mix({opts})"
+
+
 class HashSampleTransformer:
     """Registry adapter (``type: hash_sample``). Options: ``keyColumn``,
     either ``fraction`` or ``fractions: "src0:0.5,src1:0.2"`` +

@@ -1073,6 +1073,67 @@ def test_token_frequency_topk_deterministic(spark):
     assert low == {"a": 3, "b": 2, "c": 2}
 
 
+def test_mix_to_target_hits_proportions(spark):
+    """Mixture solver: binding group fully kept, others downsampled to
+    the target ratio; deterministic across runs; unlisted groups
+    dropped."""
+    from etl_spark_gradle_spark.operators.corpus import mix_to_target
+
+    rows = [(i, ["web", "code", "books", "junk"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["id", "src"])  # 1000 per group
+    targets = {"web": 0.5, "code": 0.3, "books": 0.2}
+    out = mix_to_target(df, "src", targets, key_col="id")
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "junk" not in got
+    # N = min(1000/0.5, 1000/0.3, 1000/0.2) = 2000 -> web keeps ALL
+    assert got["web"] == 1000
+    # md5 sampling is binomial around the rate; 1000 draws -> ~±5%
+    assert abs(got["code"] - 600) < 75 and abs(got["books"] - 400) < 75
+    again = {
+        r.src: r.n
+        for r in mix_to_target(df, "src", targets, key_col="id")
+        .groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == again  # deterministic
+
+
+def test_mix_to_target_normalizes_and_validates(spark):
+    from etl_spark_gradle_spark.operators.corpus import mix_to_target
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    df = spark.createDataFrame([(i, "a" if i % 2 else "b") for i in range(100)], ["id", "g"])
+    # unnormalized targets behave like their normalization
+    a = sorted(r.id for r in mix_to_target(df, "g", {"a": 2.0, "b": 2.0}, "id").collect())
+    b = sorted(r.id for r in mix_to_target(df, "g", {"a": 0.5, "b": 0.5}, "id").collect())
+    assert a == b
+    with pytest.raises(TransformationError, match="non-empty"):
+        mix_to_target(df, "g", {}, "id")
+    with pytest.raises(TransformationError, match="> 0"):
+        mix_to_target(df, "g", {"a": 0.0, "b": 1.0}, "id")
+    with pytest.raises(TransformationError, match="no rows"):
+        mix_to_target(df, "g", {"a": 0.5, "nope": 0.5}, "id")
+
+
+def test_mix_transformer_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(200)], ["id", "g"]
+    )
+    ctx = RunContext(pipeline_id="t", run_id="t", spark=spark)
+    out = TRANSFORMER_REGISTRY["mix"].transform(
+        df,
+        TransformationConfig(
+            type="mix", options={"groupColumn": "g", "keyColumn": "id", "targets": "a:0.7,b:0.3"}
+        ),
+        ctx,
+    )
+    got = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert got["a"] == 100  # binding group fully kept
+    assert 20 <= got["b"] <= 65  # ~43 expected at rate 3/7
+
+
 def test_hash_sample_deterministic_and_stratified(spark):
     from etl_spark_gradle_spark.operators import corpus as cp
     from etl_spark_gradle_spark.operators.relational import TransformationError
