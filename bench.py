@@ -255,6 +255,36 @@ def q10_composite(spark):
     return ev_agg.join(doc_agg, "nat_bucket")
 
 
+def q11_table_diff(spark):
+    """Snapshot CDC over lineitem (600k rows at sf0.1): synthesize
+    previous/current versions, classify every key — the fingerprint
+    full-outer-join shape whose shuffle carries ~16 bytes/row however
+    wide the table is."""
+    from etl_spark_gradle_spark.operators.delta import table_diff
+
+    li = load(spark, "lineitem").withColumn(
+        "__k", F.concat_ws("|", "l_orderkey", "l_linenumber")
+    )
+    prev = li.filter("l_orderkey % 5 != 0")
+    cur = li.filter("l_orderkey % 3 != 0").withColumn(
+        "l_extendedprice",
+        F.when(F.col("l_orderkey") % 11 == 0, F.col("l_extendedprice") + 1)
+        .otherwise(F.col("l_extendedprice")),
+    )
+    return table_diff(cur, prev, keys=["__k"])
+
+
+def q12_bpe_tokenize(spark):
+    """Trainable BPE over documents: one word-count shuffle + driver
+    merge learner, then the Arrow-batched cached encode of the full
+    corpus — the heaviest Python-side stage in the suite."""
+    from etl_spark_gradle_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    docs = load(spark, "documents")
+    model = train_bpe(docs, "text", num_merges=60)
+    return bpe_tokenize(docs, "doc_id", "text", model["merges"])
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -266,6 +296,8 @@ QUERIES = {
     "q8_pivot": q8_pivot,
     "q9_image_decode": q9_image_decode,
     "q10_composite": q10_composite,
+    "q11_table_diff": q11_table_diff,
+    "q12_bpe_tokenize": q12_bpe_tokenize,
 }
 
 

@@ -124,6 +124,51 @@ def test_diff_transformer_validation(spark):
         DiffTransformer().transform(cur, bad, ctx)
 
 
+def test_cdc_yaml_pipeline_e2e(spark, tmp_path):
+    """Full incremental-snapshot pipeline through the YAML executor:
+    current snapshot as the source, previous as a `views:` entry, a
+    `type: diff` step, parquet sink — the daily CDC job end-to-end."""
+    import yaml
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    cur, prev = _snapshots(spark)
+    cur_p, prev_p = str(tmp_path / "cur"), str(tmp_path / "prev")
+    cur.write.parquet(cur_p)
+    prev.write.parquet(prev_p)
+
+    doc = {
+        "pipelineId": "daily-cdc",
+        "source": {"type": "file", "options": {"path": cur_p, "format": "parquet"}},
+        "views": {
+            "yesterday": {
+                "type": "file",
+                "options": {"path": prev_p, "format": "parquet"},
+            }
+        },
+        "transformations": [
+            {
+                "type": "diff",
+                "options": {"previousTable": "yesterday", "keys": "k", "emit": "rows"},
+            }
+        ],
+        "sink": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "changes"), "format": "parquet"},
+            "writeMode": "overwrite",
+        },
+    }
+    p = tmp_path / "cdc.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    config = load_pipeline_yaml(str(p))
+    metrics = PipelineExecutor().execute(config, spark)
+    assert metrics.status == "SUCCESS"
+    out = spark.read.parquet(str(tmp_path / "changes"))
+    got = {r.k: r.change_type for r in out.collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 6: "insert"}
+
+
 def test_diff_plan_shape(spark):
     """emit='keys' must not carry non-key data columns through the
     join: the pre-shuffle projections reduce each side to key +

@@ -246,6 +246,29 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["partial_count", "hashpartitioning"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    (
+        "table_diff",
+        "snapshot CDC: fingerprint projection below the full-outer join, "
+        "no python, no nested-loop",
+        ["xxhash64", "FullOuter"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "BroadcastNestedLoopJoin"],
+    ),
+    (
+        "incremental_dedup",
+        "incremental exact dedup: store side joined via broadcast "
+        "(never shuffled), md5 keys, no python",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "mix",
+        "mixture solver: pure scan predicate over md5 thresholds — "
+        "zero joins/shuffles of the corpus, no python",
+        [],
+        ["SortMergeJoin", "CartesianProduct", "Exchange",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
 ]
 
 
