@@ -2537,6 +2537,40 @@ WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+# ONE dialect-shared statement: the Spark `type: sql` step executes it
+# against the registered input view, and the SAME string IS the DuckDB
+# oracle — the strongest possible parity check for the SQL escape
+# hatch. DECIMAL sums keep both engines order-independent.
+_SQL_STEP_STATEMENT = """
+WITH flagged AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM {table} WHERE l_quantity < 50
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM flagged GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`type: sql` escape hatch: a CTE + aggregate statement executed
+    through sql_transform over the registered input view. The oracle is
+    the IDENTICAL SQL string pointed at the DuckDB lineitem view —
+    character-for-character dialect parity."""
+    from etl_spark_gradle_spark.operators.relational import sql_transform
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return sql_transform(
+        li, spark, _SQL_STEP_STATEMENT.format(table="sql_step_input"),
+        input_view="sql_step_input",
+    )
+
+
 def q_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture solver (corpus.mix_to_target): resample sources
     src0/src1/src2 to a 50/25/25 target with maximal retention — the
@@ -3168,9 +3202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder) sit
     in the new-query block, displacing four more r3-green
-    representatives (dedup_exact_content, null_split_invalid,
-    roundtrip_parquet, pipeline_e2e, text_stats, cosine_topk,
-    image_decode) past 50 — minhash_lsh stays inside the window because
+    representatives (dedup_exact_content, setop_union,
+    null_split_invalid, roundtrip_parquet, pipeline_e2e, text_stats,
+    cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
     its hash family changed this session. All 86 remain
     oracle-checked locally by tools/check_oracle.py regardless of
     position."""
@@ -3216,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "bpe_tokenize": q_bpe_tokenize,
         "mix": q_mix,
+        "sql_step": q_sql_step,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3226,13 +3261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rollup": q_rollup,
-        "setop_union": q_setop_union,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "setop_union": q_setop_union,
         "null_split_invalid": q_null_split_invalid,
         "roundtrip_parquet": q_roundtrip_parquet,
         "pipeline_e2e": q_pipeline_e2e,
@@ -3501,5 +3536,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_join": _STREAMING_JOIN_ORACLE,
         "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
         "mix": _MIX_ORACLE,
+        "sql_step": _SQL_STEP_STATEMENT.format(table="lineitem"),
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

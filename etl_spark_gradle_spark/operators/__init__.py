@@ -66,6 +66,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     SetOpTransformer,
     SortTransformer,
     SplitTransformer,
+    SqlTransformer,
     WindowingTransformer,
     aggregate,
     analytic_columns,
@@ -83,6 +84,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     sample_rows,
     set_op,
     sort_limit,
+    sql_transform,
     window_aggregate,
 )
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
@@ -97,6 +99,7 @@ TRANSFORMER_REGISTRY = {
     "aggregation": AggregationTransformer(),
     "join": JoinTransformer(),
     "windowing": WindowingTransformer(),
+    "sql": SqlTransformer(),
     # beyond-reference (SURVEY §2.6 / §2.7 extensions)
     "ranking": RankingTransformer(),
     "analytics": AnalyticsTransformer(),

@@ -954,6 +954,34 @@ def pivot_table(
 # ---------------------------------------------------------------------------
 
 
+def sql_transform(
+    df: DataFrame,
+    spark: SparkSession,
+    statement: str,
+    input_view: str = "input",
+) -> DataFrame:
+    """Arbitrary Spark SQL over the pipeline's current frame: the input
+    is registered under ``input_view`` (default ``input``) and the
+    statement runs against it plus any ``views:``-registered tables —
+    the escape hatch for shapes the typed transformers don't cover
+    (CTEs, lateral views, grouping sets, window frames). Still fully
+    declarative: the statement becomes part of the SAME Catalyst plan
+    as the rest of the pipeline (pushdown/pruning/AQE all apply), so
+    this is an expressiveness extension, not a perf trapdoor.
+
+    The view registration is name-scoped to the session like any temp
+    view; pick a distinctive ``inputView`` if a pipeline nests multiple
+    SQL steps.
+    """
+    if not statement or not statement.strip():
+        raise TransformationError("sql transform requires a non-empty 'statement'")
+    df.createOrReplaceTempView(input_view)
+    try:
+        return spark.sql(statement)
+    except Exception as exc:
+        raise TransformationError(f"sql transform failed: {exc}") from exc
+
+
 def _split_csv(value: str | None) -> list[str]:
     """Top-level-comma split so SQL expressions with function calls
     survive in orderBy/partitionBy/selectColumns (e.g.
@@ -1001,6 +1029,24 @@ class FilterTransformer(_BaseTransformer):
 
     def _apply(self, df, config, ctx):
         return filter_rows(df, config.options["condition"])
+
+
+class SqlTransformer(_BaseTransformer):
+    """Registry adapter (``type: sql``). Options: ``statement``
+    (required; reference the input as ``input`` or set ``inputView``)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        if not config.options.get("statement", "").strip():
+            return ValidationResult.fail("sql requires 'statement'")
+        return ValidationResult.ok()
+
+    def _apply(self, df, config, ctx):
+        return sql_transform(
+            df,
+            ctx.spark,
+            config.options["statement"],
+            input_view=config.options.get("inputView", "input"),
+        )
 
 
 class MapTransformer(_BaseTransformer):

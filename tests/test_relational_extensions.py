@@ -633,3 +633,49 @@ def test_split_transformer_registry(spark):
     assert not tf.validate(df, bad).is_valid
     bad2 = TransformationConfig(type="split", options={"keyColumn": "k", "splits": "a:0,b:0"})
     assert not tf.validate(df, bad2).is_valid
+
+
+def test_sql_transform_with_input_and_views(spark):
+    """type: sql escape hatch — the statement sees the pipeline frame
+    as `input` plus any registered views, and the result stays one
+    Catalyst plan with the rest of the pipeline."""
+    from etl_spark_gradle_spark.operators.relational import sql_transform
+
+    df = spark.createDataFrame([(1, "a", 5.0), (2, "b", 7.0), (3, "a", 9.0)], ["k", "g", "v"])
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], ["g", "label"])
+    dim.createOrReplaceTempView("dim_view")
+    out = sql_transform(
+        df,
+        spark,
+        """
+        WITH agg AS (SELECT g, SUM(v) AS total FROM input GROUP BY g)
+        SELECT agg.g, label, total FROM agg JOIN dim_view USING (g) ORDER BY g
+        """,
+    ).collect()
+    assert [(r.g, r.label, r.total) for r in out] == [("a", "alpha", 14.0), ("b", "beta", 7.0)]
+
+
+def test_sql_transformer_registry_and_errors(spark):
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    tf = TRANSFORMER_REGISTRY["sql"]
+    cfg = TransformationConfig(
+        type="sql", options={"statement": "SELECT x * 2 AS y FROM input"}
+    )
+    assert tf.validate(df, cfg).is_valid
+    out = tf.transform(df, cfg, RunContext.create("t", spark))
+    assert [r.y for r in out.collect()] == [2]
+    # custom input view name
+    cfg2 = TransformationConfig(
+        type="sql",
+        options={"statement": "SELECT x FROM my_in", "inputView": "my_in"},
+    )
+    assert tf.transform(df, cfg2, RunContext.create("t", spark)).count() == 1
+    assert not tf.validate(df, TransformationConfig(type="sql", options={})).is_valid
+    with pytest.raises(TransformationError, match="sql transform failed"):
+        tf.transform(
+            df,
+            TransformationConfig(type="sql", options={"statement": "SELECT nope FROM input"}),
+            RunContext.create("t", spark),
+        )
