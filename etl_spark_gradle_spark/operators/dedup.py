@@ -611,13 +611,21 @@ def exact_dedup_incremental(
     every document whose content hash already exists in ``seen`` (a
     ``content_hash_store`` DataFrame).
 
-    - ``strategy="broadcast_batch"`` (default): the batch's distinct
-      hashes are broadcast; the store is scanned once with a broadcast
-      semi-join to find collisions (a result no larger than the batch),
-      which are broadcast back into an anti-join against the batch.
-      ZERO shuffles of the store — the scale path.
-    - ``strategy="shuffle"``: plain shuffled left-anti join; use when
-      the batch itself is too large to broadcast.
+    - ``strategy="broadcast_batch"`` (default): the deduped batch is
+      materialized ONCE (eager localCheckpoint — its hashes would
+      otherwise be recomputed by every dependent broadcast build, and a
+      daily batch is small by definition); its distinct hashes are
+      broadcast into one store scan whose collision result (no larger
+      than the batch, also checkpointed) is broadcast back into an
+      anti-join. ZERO shuffles of the store, ONE scan of it, ONE
+      hashing pass over the batch text — the scale path. Measured: the
+      pre-checkpoint version re-executed the store scan and batch
+      hashing 2-3x through nested broadcast builds and lost to a full
+      rerun at 2M docs; this version wins (see
+      tools/scale_probe.py incremental_probe).
+    - ``strategy="shuffle"``: plain shuffled left-anti join, fully
+      lazy; use when the batch itself is too large to broadcast or an
+      eager action at build time is unacceptable.
 
     Returns the surviving new rows (original schema). Append
     ``content_hash_store(survivors, content_col)`` to the store
@@ -630,11 +638,12 @@ def exact_dedup_incremental(
     batch = exact_dedup(new_df, content_col=content_col, tiebreak_col=tiebreak_col)
     batch = batch.withColumn("__h", fingerprint(content_col))
     if strategy == "broadcast_batch":
+        batch = batch.localCheckpoint(eager=True)
         collided = seen.join(
             F.broadcast(batch.select(F.col("__h").alias("content_hash")).distinct()),
             "content_hash",
             "left_semi",
-        )
+        ).localCheckpoint(eager=True)
         out = batch.join(
             F.broadcast(collided.withColumnRenamed("content_hash", "__h")),
             "__h",

@@ -146,3 +146,43 @@ def test_load_file_zorder_by_option(spark, tmp_path):
     )
     assert res.records_written == 1000
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_load_file_target_file_size(spark, tmp_path):
+    """targetFileSizeMB picks the output file count from the plan's
+    byte estimate: a tiny target yields multiple files, a huge target
+    compacts to one."""
+    from etl_spark_gradle_spark.sinks.loaders import load_file
+    import glob as _glob
+
+    import hashlib
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, hashlib.md5(str(i).encode()).hexdigest() * 8) for i in range(20000)],
+        ["id", "pad"],
+    ).repartition(8).write.parquet(src)
+    df = spark.read.parquet(src)  # file source -> real size statistics
+    big = str(tmp_path / "compact")
+    load_file(df, {"path": big, "format": "parquet", "targetFileSizeMB": "1024"},
+              write_mode="overwrite")
+    assert len(_glob.glob(f"{big}/*.parquet")) == 1
+    small = str(tmp_path / "split")
+    load_file(df, {"path": small, "format": "parquet", "targetFileSizeMB": "0.25"},
+              write_mode="overwrite")
+    assert len(_glob.glob(f"{small}/*.parquet")) >= 3
+    assert spark.read.parquet(big).count() == 20000
+    assert spark.read.parquet(small).count() == 20000
+
+    import pytest as _pytest
+    from etl_spark_gradle_spark.plans.config import ConfigError
+
+    with _pytest.raises(ConfigError, match="targetFileSizeMB"):
+        load_file(df, {"path": str(tmp_path / "bad"), "format": "parquet",
+                       "targetFileSizeMB": "0"}, write_mode="overwrite")
+    # statless source (createDataFrame): option is a safe no-op
+    mem = spark.createDataFrame([(1, "a")], ["id", "pad"])
+    nostats = str(tmp_path / "nostats")
+    load_file(mem, {"path": nostats, "format": "parquet",
+                    "targetFileSizeMB": "1"}, write_mode="overwrite")
+    assert spark.read.parquet(nostats).count() == 1
