@@ -611,6 +611,13 @@ def exact_dedup_incremental(
     every document whose content hash already exists in ``seen`` (a
     ``content_hash_store`` DataFrame).
 
+    NOTE on the default strategy's eager checkpoints: they run two
+    small Spark jobs at CALL time (plan construction is not free), and
+    localCheckpoint blocks are executor-storage-only with truncated
+    lineage — on a cluster losing executors mid-job (spot instances,
+    decommissioning) the job fails rather than recomputes. For a fully
+    lazy, fault-tolerant plan use ``strategy="shuffle"``.
+
     - ``strategy="broadcast_batch"`` (default): the deduped batch is
       materialized ONCE (eager localCheckpoint — its hashes would
       otherwise be recomputed by every dependent broadcast build, and a

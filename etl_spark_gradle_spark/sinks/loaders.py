@@ -82,31 +82,33 @@ def load_file(
             else None,
         )
     if options.get("targetFileSizeMB"):
-        # Small-files compaction: pick the output file count from the
+        # Small-files COMPACTION: pick the output file count from the
         # plan's estimated bytes instead of hand-tuning `coalesce`. At
         # 100 TB the failure mode this kills is thousands of KB-sized
         # files per partition strangling the namenode and every later
         # scan's task scheduler. The estimate is Catalyst's sizeInBytes
-        # (exact for file sources, heuristic after joins/aggs) — a
-        # coarse knob by design; the floor of 1 file is always safe.
-        target = float(options["targetFileSizeMB"]) * 1024 * 1024
-        if target <= 0:
+        # (exact for file sources, heuristic after joins/aggs).
+        # Deliberately coalesce-only: coalesce never triggers a job or
+        # a shuffle (so the plan is NOT executed twice under AQE, which
+        # probing the live partition count via .rdd would cause), a
+        # count above the current partitioning is a harmless no-op, and
+        # it merges CONSECUTIVE partitions — so a zorderBy/range layout
+        # upstream keeps its clustering at coarser granularity. To
+        # SPLIT oversized partitions, repartition explicitly upstream.
+        try:
+            target = float(options["targetFileSizeMB"]) * 1024 * 1024
+        except ValueError as exc:
+            raise ConfigError(
+                f"targetFileSizeMB must be numeric, got {options['targetFileSizeMB']!r}"
+            ) from exc
+        if not target > 0:  # also rejects NaN
             raise ConfigError("targetFileSizeMB must be > 0")
         est = float(str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        if est >= float(2**62):
-            # Catalyst reports defaultSizeInBytes (Long.Max) when it has
-            # no statistics for a non-file source — no basis to size
-            # output files, so leave the partitioning alone rather than
-            # exploding to trillions of tasks
-            n_files = None
-        else:
-            n_files = min(100_000, max(1, int(est / target + 0.5)))
-        if n_files is not None:
-            out = (
-                out.coalesce(n_files)
-                if n_files < out.rdd.getNumPartitions()
-                else out.repartition(n_files)
-            )
+        if est < float(2**62):
+            out = out.coalesce(min(100_000, max(1, int(est / target + 0.5))))
+        # else: Catalyst reports defaultSizeInBytes (Long.Max) when it
+        # has no statistics for a non-file source — no basis to size
+        # output files, so leave the partitioning alone
     if options.get("coalesce"):
         out = out.coalesce(int(options["coalesce"]))
     sort_within = [

@@ -180,8 +180,22 @@ def test_load_file_target_file_size(spark, tmp_path):
     with _pytest.raises(ConfigError, match="targetFileSizeMB"):
         load_file(df, {"path": str(tmp_path / "bad"), "format": "parquet",
                        "targetFileSizeMB": "0"}, write_mode="overwrite")
-    # statless source (createDataFrame): option is a safe no-op
-    mem = spark.createDataFrame([(1, "a")], ["id", "pad"])
+    with _pytest.raises(ConfigError, match="numeric"):
+        load_file(df, {"path": str(tmp_path / "bad2"), "format": "parquet",
+                       "targetFileSizeMB": "abc"}, write_mode="overwrite")
+    with _pytest.raises(ConfigError, match="> 0"):
+        load_file(df, {"path": str(tmp_path / "bad3"), "format": "parquet",
+                       "targetFileSizeMB": "nan"}, write_mode="overwrite")
+    # genuinely stats-less source (LogicalRDD -> defaultSizeInBytes
+    # sentinel): the option must be a safe no-op, not a task explosion
+    from pyspark.sql.types import StringType, LongType, StructField, StructType
+
+    rdd = spark.sparkContext.parallelize([(1, "a")], 4)
+    mem = spark.createDataFrame(
+        rdd, StructType([StructField("id", LongType()), StructField("pad", StringType())])
+    )
+    est = float(str(mem._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    assert est >= float(2**62)  # precondition: this really is the no-stats branch
     nostats = str(tmp_path / "nostats")
     load_file(mem, {"path": nostats, "format": "parquet",
                     "targetFileSizeMB": "1"}, write_mode="overwrite")

@@ -29,11 +29,14 @@ testdata can't show): a 10M-row events table whose hottest key carries
    Expand-based distinct rewrite already spreads the hot key's distinct
    state; recorded to document that the native plan survives.
 
-Usage: python tools/scale_probe.py [--skip-skew]
-Prints one line per (operator, sf) plus the skew section; exit 1 if any
-10x throughput step drops below 0.8x, the salted asof fails to beat
-unsalted by >=1.2x, any salted/unsalted result pair differs, or
-salted-agg overhead exceeds 3x.
+Usage: python tools/scale_probe.py [--skip-skew] [--skip-incremental]
+Prints one line per (operator, sf) plus the incremental-economics and
+skew sections; exit 1 if any 10x throughput step drops below 0.8x, the
+incremental exact-dedup path fails to beat a full corpus rerun >=2x,
+the salted asof fails to beat unsalted by >=1.2x, any salted/unsalted
+result pair differs, or salted-agg overhead exceeds 3x. The
+incremental section generates (once, cached in /tmp) an 8 GB synthetic
+corpus.
 """
 
 from __future__ import annotations
@@ -146,7 +149,9 @@ def main() -> int:
     print(f"worst ratio: {worst:.2f}")
     linear_ok = worst >= 0.8
 
-    incr_ok = incremental_probe(spark)
+    incr_ok = True
+    if "--skip-incremental" not in sys.argv:
+        incr_ok = incremental_probe(spark)
 
     skew_ok = True
     if "--skip-skew" not in sys.argv:
@@ -174,8 +179,8 @@ def _bpe_probe(docs):
 
 def incremental_probe(spark) -> bool:
     """The incremental-dedup economics claim, MEASURED at a size where
-    the asymptotic term dominates fixed costs: a generated 2M-doc
-    corpus of 4M ~2KB documents (8 GB of text) plus a 100k-doc daily
+    the asymptotic term dominates fixed costs: a generated corpus of
+    4M ~2KB documents (8 GB of text) plus a 100k-doc daily
     batch. Full rerun = exact_dedup over all 4.1M texts (re-read,
     re-normalize, re-hash 8 GB); incremental = hash the 100k batch and
     probe the persisted 32-byte-per-doc
@@ -195,7 +200,10 @@ def incremental_probe(spark) -> bool:
 
     corpus_path = os.path.join(SKEW_DIR, "incr_corpus_v4")
     batch_path = os.path.join(SKEW_DIR, "incr_batch_v4")
-    if not os.path.exists(corpus_path):
+    # both _SUCCESS markers, not just the directory: a run killed
+    # mid-generation must regenerate, not read a partial dataset
+    if not (os.path.exists(os.path.join(corpus_path, "_SUCCESS"))
+            and os.path.exists(os.path.join(batch_path, "_SUCCESS"))):
         # ~2 KB texts: document-shaped bytes. The full rerun has to
         # re-read and re-hash all of them; the increment reads only
         # the 32-byte hash store.
@@ -239,7 +247,7 @@ def incremental_probe(spark) -> bool:
     )
     r_exact = t_full / max(t_incr, 1e-9)
 
-    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs = spark.read.parquet(f"{dict(SF_DIRS)['sf0.1']}/documents.parquet")
     mh_corpus = docs.filter("doc_id % 10 != 0")
     mh_batch = docs.filter("doc_id % 10 = 0")
     band_store = dd.minhash_band_store(
