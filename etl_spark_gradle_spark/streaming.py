@@ -518,6 +518,71 @@ def run_streaming_pipeline(config, spark: SparkSession) -> None:
     write_stream(df, sink, output_mode="append", await_termination=True)
 
 
+def stream_dedup_against_store(
+    df: DataFrame,
+    content_col: str,
+    store_path: str,
+    output_path: str,
+    checkpoint_location: str,
+    tiebreak_col: str | None = None,
+    trigger: str = "availableNow",
+    query_name: str | None = None,
+):
+    """Continuous-ingest dedup: every micro-batch is exact-deduped
+    against the PERSISTED content-hash store (see
+    ``operators.dedup.exact_dedup_incremental`` — the store is scanned,
+    never shuffled), survivors land in ``output_path`` and their hashes
+    are appended to the store, so the next batch — and the next
+    ``availableNow`` run — sees them. This is how a crawl firehose
+    dedups forever without ever re-reading the corpus: the only growing
+    state is 32 bytes per distinct document, on disk, shared across
+    restarts (unlike ``dropDuplicatesWithinWatermark``'s
+    executor-memory state, which is bounded by the watermark window).
+
+    Delivery: at-least-once on the OUTPUT (a crash between the output
+    append and the store append can re-emit that batch's survivors on
+    retry; once the store append lands, retries emit nothing because
+    every hash collides). Returns the ``StreamingQuery``.
+    """
+    from pyspark.errors import AnalysisException
+
+    from etl_spark_gradle_spark.operators.dedup import (
+        content_hash_store,
+        exact_dedup,
+        exact_dedup_incremental,
+    )
+
+    spark = df.sparkSession
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            seen = spark.read.parquet(store_path)
+            survivors = exact_dedup_incremental(
+                batch_df, seen, content_col=content_col, tiebreak_col=tiebreak_col
+            )
+        except AnalysisException:
+            # first batch ever: no store yet
+            survivors = exact_dedup(
+                batch_df, content_col=content_col, tiebreak_col=tiebreak_col
+            )
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(output_path)
+        content_hash_store(survivors, content_col).write.mode("append").parquet(
+            store_path
+        )
+
+    writer = df.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger == "availableNow":
+        writer = writer.trigger(availableNow=True)
+    elif trigger.startswith("processingTime="):
+        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    return writer.start()
+
+
 def stream_to_batch_sink(
     df: DataFrame,
     sink_config,

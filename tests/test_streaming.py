@@ -446,3 +446,57 @@ def test_streaming_yaml_pipeline(spark, tmp_path, monkeypatch):
     }
     assert got2[("10:05", "m2")] == (1, 9.0)
     assert got2[("10:00", "m1")] == (2, 2.0)  # not re-emitted, still present once
+
+
+def test_stream_dedup_against_store_across_runs(spark, tmp_path):
+    """Continuous-ingest dedup: the persisted content-hash store is the
+    cross-batch AND cross-restart state — a document seen in run 1 is
+    dropped in run 2, in-batch dups collapse, and the store grows by
+    exactly the surviving hashes."""
+    src = tmp_path / "ingest"
+    src.mkdir()
+    store, out, ckpt = (
+        str(tmp_path / "store"),
+        str(tmp_path / "docs_out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def run_once():
+        stream = st.read_file_stream(
+            spark, {"path": str(src), "format": "json"}, SCHEMA
+        )
+        q = st.stream_dedup_against_store(
+            stream,
+            content_col="metric",
+            store_path=store,
+            output_path=out,
+            checkpoint_location=ckpt,
+            tiebreak_col="value",
+        )
+        q.awaitTermination()
+
+    _write_batch(
+        src / "b1.json",
+        [
+            ("2024-01-01T00:00:00", "doc-alpha", 1.0),
+            ("2024-01-01T00:00:01", "doc-alpha", 2.0),  # in-batch dup
+            ("2024-01-01T00:00:02", "doc-beta", 3.0),
+        ],
+    )
+    run_once()
+    first = {(r.metric, r.value) for r in spark.read.parquet(out).collect()}
+    assert first == {("doc-alpha", 1.0), ("doc-beta", 3.0)}  # min tiebreak wins
+
+    _write_batch(
+        src / "b2.json",
+        [
+            ("2024-01-01T01:00:00", "doc-alpha", 9.0),  # already in store
+            ("2024-01-01T01:00:01", "doc-gamma", 4.0),  # new
+        ],
+    )
+    run_once()
+    second = {(r.metric, r.value) for r in spark.read.parquet(out).collect()}
+    assert second == first | {("doc-gamma", 4.0)}
+    hashes = spark.read.parquet(store)
+    assert hashes.columns == ["content_hash"]
+    assert hashes.distinct().count() == 3
