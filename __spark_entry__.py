@@ -2537,6 +2537,34 @@ WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate (relational.quantile_filter): keep
+    lineitem rows whose extendedprice sits in the [p10, p90] band. The
+    thresholds use EXACT interpolated percentiles — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the sort-based
+    definition bit-for-bit (verified), so the oracle recomputes the
+    same band and the row sets match by hash."""
+    from etl_spark_gradle_spark.operators.relational import quantile_filter
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return quantile_filter(li, "l_extendedprice", 0.1, 0.9)
+
+
+_QUANTILE_FILTER_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, 0.1) AS lo,
+         quantile_cont(l_extendedprice, 0.9) AS hi
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem, b
+WHERE l_extendedprice >= lo AND l_extendedprice <= hi
+"""
+
+
 # ONE dialect-shared statement: the Spark `type: sql` step executes it
 # against the registered input view, and the SAME string IS the DuckDB
 # oracle — the strongest possible parity check for the SQL escape
@@ -3202,7 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder) sit
     in the new-query block, displacing four more r3-green
-    representatives (dedup_exact_content, setop_union,
+    representatives (dedup_exact_content, rollup, setop_union,
     null_split_invalid, roundtrip_parquet, pipeline_e2e, text_stats,
     cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
     its hash family changed this session. All 86 remain
@@ -3251,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "mix": q_mix,
         "sql_step": q_sql_step,
+        "quantile_filter": q_quantile_filter,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3260,13 +3289,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking": q_ranking,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "rollup": q_rollup,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "rollup": q_rollup,
         "setop_union": q_setop_union,
         "null_split_invalid": q_null_split_invalid,
         "roundtrip_parquet": q_roundtrip_parquet,
@@ -3537,5 +3566,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
         "mix": _MIX_ORACLE,
         "sql_step": _SQL_STEP_STATEMENT.format(table="lineitem"),
+        "quantile_filter": _QUANTILE_FILTER_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

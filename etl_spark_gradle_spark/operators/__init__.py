@@ -58,6 +58,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     JoinTransformer,
     MapTransformer,
     PivotTransformer,
+    QuantileFilterTransformer,
     RangeJoinTransformer,
     RankingTransformer,
     RollingTimeTransformer,
@@ -78,6 +79,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     join_view,
     map_columns,
     pivot_table,
+    quantile_filter,
     range_join_points,
     rank_rows,
     salted_aggregate,
@@ -115,6 +117,7 @@ TRANSFORMER_REGISTRY = {
     "split": SplitTransformer(),
     "salted_aggregation": SaltedAggregationTransformer(),
     "diff": DiffTransformer(),
+    "quantile_filter": QuantileFilterTransformer(),
     "sketch": SketchTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),

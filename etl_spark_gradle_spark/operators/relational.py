@@ -954,6 +954,82 @@ def pivot_table(
 # ---------------------------------------------------------------------------
 
 
+def quantile_filter(
+    df: DataFrame,
+    col: str,
+    lower_q: float = 0.0,
+    upper_q: float = 1.0,
+    keep_nulls: bool = False,
+) -> DataFrame:
+    """Keep rows whose ``col`` lies inside the [lower_q, upper_q]
+    quantile band — the standard percentile quality gate ("drop the
+    bottom 10% by LM score, clip the top 1% by length"). Thresholds
+    come from EXACT interpolated percentiles (``percentile``, the
+    sort-based definition DuckDB's ``quantile_cont`` shares bit-for-
+    bit — unlike ``approx_percentile``, whose sketch differs per
+    engine), computed in ONE aggregation job (two scalars to the
+    driver); the gate itself is a scan predicate, no shuffle of the
+    data. At 100 TB prefer sampling or a histogram sketch for the
+    threshold estimate if the exact global sort-aggregate is too heavy
+    — then feed the thresholds to a plain ``filter``.
+    """
+    if not 0.0 <= lower_q <= upper_q <= 1.0:
+        raise TransformationError(
+            f"need 0 <= lower_q <= upper_q <= 1, got ({lower_q}, {upper_q})"
+        )
+    if col not in df.columns:
+        raise TransformationError(f"quantile_filter column not in schema: {col}")
+    row = df.agg(
+        F.expr(f"percentile({col}, {lower_q!r})").alias("lo"),
+        F.expr(f"percentile({col}, {upper_q!r})").alias("hi"),
+    ).collect()[0]
+    if row.lo is None:
+        # all-null column: nothing is inside any band
+        return df if keep_nulls else df.filter(F.col(col).isNotNull())
+    cond = (F.col(col) >= F.lit(row.lo)) & (F.col(col) <= F.lit(row.hi))
+    if keep_nulls:
+        cond = cond | F.col(col).isNull()
+    return df.filter(cond)
+
+
+class QuantileFilterTransformer:
+    """Registry adapter (``type: quantile_filter``). Options:
+    ``column``, ``lowerQuantile``, ``upperQuantile``, ``keepNulls``."""
+
+    def validate(self, df: DataFrame, config) -> ValidationResult:
+        errors = []
+        opts = config.options
+        if opts.get("column", "") not in df.columns:
+            errors.append(f"column not in input schema: {opts.get('column')!r}")
+        try:
+            lo = float(opts.get("lowerQuantile", "0"))
+            hi = float(opts.get("upperQuantile", "1"))
+            if not 0.0 <= lo <= hi <= 1.0:
+                errors.append("need 0 <= lowerQuantile <= upperQuantile <= 1")
+        except ValueError:
+            errors.append("lowerQuantile/upperQuantile must be numeric")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "QuantileFilterTransformer config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return quantile_filter(
+            df,
+            opts["column"],
+            lower_q=float(opts.get("lowerQuantile", "0")),
+            upper_q=float(opts.get("upperQuantile", "1")),
+            keep_nulls=opts.get("keepNulls", "").lower() in ("true", "1", "yes"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"quantile_filter({opts})"
+
+
 def sql_transform(
     df: DataFrame,
     spark: SparkSession,

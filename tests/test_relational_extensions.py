@@ -679,3 +679,53 @@ def test_sql_transformer_registry_and_errors(spark):
             TransformationConfig(type="sql", options={"statement": "SELECT nope FROM input"}),
             RunContext.create("t", spark),
         )
+
+
+def test_quantile_filter_band(spark):
+    from etl_spark_gradle_spark.operators.relational import quantile_filter
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(101)], ["id", "v"])
+    out = sorted(r.id for r in quantile_filter(df, "v", 0.1, 0.9).collect())
+    assert out == list(range(10, 91))  # exact interpolated cutoffs on 0..100
+    # degenerate band keeps only the median
+    med = quantile_filter(df, "v", 0.5, 0.5).collect()
+    assert [r.v for r in med] == [50.0]
+    # full band keeps everything non-null
+    assert quantile_filter(df, "v").count() == 101
+
+
+def test_quantile_filter_nulls_and_errors(spark):
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+        quantile_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id int, v double"
+    )
+    assert sorted(r.id for r in quantile_filter(df, "v", 0, 1).collect()) == [1, 3]
+    assert sorted(
+        r.id for r in quantile_filter(df, "v", 0, 1, keep_nulls=True).collect()
+    ) == [1, 2, 3]
+    allnull = spark.createDataFrame([(1, None)], "id int, v double")
+    assert quantile_filter(allnull, "v", 0, 1).count() == 0
+    assert quantile_filter(allnull, "v", 0, 1, keep_nulls=True).count() == 1
+    with pytest.raises(TransformationError, match="lower_q"):
+        quantile_filter(df, "v", 0.9, 0.1)
+    with pytest.raises(TransformationError, match="not in schema"):
+        quantile_filter(df, "nope")
+
+
+def test_quantile_filter_transformer(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "v"])
+    tf = TRANSFORMER_REGISTRY["quantile_filter"]
+    cfg = TransformationConfig(
+        type="quantile_filter",
+        options={"column": "v", "lowerQuantile": "0.2", "upperQuantile": "0.8"},
+    )
+    assert tf.validate(df, cfg).is_valid
+    assert tf.transform(df, cfg, RunContext.create("t", spark)).count() == 60
+    bad = TransformationConfig(
+        type="quantile_filter", options={"column": "v", "lowerQuantile": "2"}
+    )
+    assert not tf.validate(df, bad).is_valid
