@@ -544,3 +544,37 @@ class TestKafkaDatasourceGap:
 
         with pytest.raises(ConfigError, match="bootstrap.servers"):
             extract_kafka(spark, {})
+
+
+def test_training_set_assembly_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/training-set-assembly.yaml (lm_score ->
+    quantile_filter -> mix -> bpe_tokenize -> compacted parquet) runs
+    end-to-end: the percentile gate actually trims the ppl tail, the
+    mixture lands near 50/25/25, and the tokenization is lossless."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "training_set")
+    monkeypatch.setenv("CORPUS_DIR", sf_dir)
+    monkeypatch.setenv("ASSEMBLY_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/training-set-assembly.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+
+    ts = spark.read.parquet(out)
+    assert {"id", "tokens", "n_tokens", "n_chars"} <= set(ts.columns)
+    rows = ts.collect()
+    assert all(r.n_tokens > 0 and r.n_chars >= r.n_tokens for r in rows)
+    # lossless BPE: tokens partition the non-whitespace chars
+    assert all(len("".join(r.tokens)) == r.n_chars for r in rows)
+    # mixture targeted only src0/src1/src2 and the binding group dominates
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    srcs = {
+        r.source: r.n
+        for r in ts.join(docs, ts.id == docs.doc_id)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(srcs) <= {"src0", "src1", "src2"}
+    assert srcs["src0"] >= max(srcs.get("src1", 0), srcs.get("src2", 0))
