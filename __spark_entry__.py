@@ -2537,6 +2537,40 @@ WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct-and-flatten verification of nested-struct
+    normalization: build two-level structs from orders columns JVM-side,
+    run flatten_structs, and let the oracle select the same values under
+    the flattened names directly — a hash match proves every nested
+    field lands under the right flat column with no loss or shadowing."""
+    from etl_spark_gradle_spark.operators.relational import flatten_structs
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("inner"),
+        ).alias("meta"),
+        F.struct(F.col("o_custkey").alias("k")).alias("extra"),
+    )
+    return flatten_structs(nested)
+
+
+_FLATTEN_ORACLE = """
+SELECT o_orderkey,
+       o_totalprice AS meta_price,
+       o_orderstatus AS meta_inner_status,
+       o_orderpriority AS meta_inner_prio,
+       o_custkey AS extra_k
+FROM orders
+"""
+
+
 def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile quality gate (relational.quantile_filter): keep
     lineitem rows whose extendedprice sits in the [p10, p90] band. The
@@ -3230,9 +3264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder) sit
     in the new-query block, displacing four more r3-green
-    representatives (dedup_exact_content, rollup, setop_union,
-    null_split_invalid, roundtrip_parquet, pipeline_e2e, text_stats,
-    cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
+    representatives (dedup_exact_content, range_join, rollup,
+    setop_union, null_split_invalid, roundtrip_parquet, pipeline_e2e,
+    text_stats, cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
     its hash family changed this session. All 86 remain
     oracle-checked locally by tools/check_oracle.py regardless of
     position."""
@@ -3280,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix": q_mix,
         "sql_step": q_sql_step,
         "quantile_filter": q_quantile_filter,
+        "flatten": q_flatten,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3288,13 +3323,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "ranking": q_ranking,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "range_join": q_range_join,
         "rollup": q_rollup,
         "setop_union": q_setop_union,
         "null_split_invalid": q_null_split_invalid,
@@ -3567,5 +3602,6 @@ def oracle_sql() -> dict[str, str]:
         "mix": _MIX_ORACLE,
         "sql_step": _SQL_STEP_STATEMENT.format(table="lineitem"),
         "quantile_filter": _QUANTILE_FILTER_ORACLE,
+        "flatten": _FLATTEN_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

@@ -55,6 +55,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     DistinctTransformer,
     ExplodeTransformer,
     FilterTransformer,
+    FlattenTransformer,
     JoinTransformer,
     MapTransformer,
     PivotTransformer,
@@ -75,6 +76,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     distinct_rows,
     explode_column,
     filter_rows,
+    flatten_structs,
     hash_split,
     join_view,
     map_columns,
@@ -118,6 +120,7 @@ TRANSFORMER_REGISTRY = {
     "salted_aggregation": SaltedAggregationTransformer(),
     "diff": DiffTransformer(),
     "quantile_filter": QuantileFilterTransformer(),
+    "flatten": FlattenTransformer(),
     "sketch": SketchTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),

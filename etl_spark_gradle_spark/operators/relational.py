@@ -954,6 +954,77 @@ def pivot_table(
 # ---------------------------------------------------------------------------
 
 
+def flatten_structs(
+    df: DataFrame, separator: str = "_", max_depth: int = 10
+) -> DataFrame:
+    """Recursively lift nested struct fields to top-level columns named
+    ``parent<sep>child`` — the standard normalization after reading
+    nested JSON/avro so downstream SQL, joins, and sinks (JDBC has no
+    structs) see a flat relation. Arrays and maps are left intact
+    (explode them explicitly with the ``explode`` step — flattening
+    must never multiply rows). Pure projection: zero shuffles, column
+    pruning still reaches the scan for any subset of the flattened
+    output. Name collisions get a numeric suffix rather than silently
+    shadowing."""
+    from pyspark.sql.types import StructType as _St
+
+    if max_depth < 1:
+        raise TransformationError("flatten max_depth must be >= 1")
+    cols: list[Column] = []
+    names: set[str] = set()
+
+    def unique(name: str) -> str:
+        if name not in names:
+            names.add(name)
+            return name
+        i = 2
+        while f"{name}{separator}{i}" in names:
+            i += 1
+        names.add(f"{name}{separator}{i}")
+        return f"{name}{separator}{i}"
+
+    def walk(prefix: str, qualified: str, dtype, depth: int) -> None:
+        if isinstance(dtype, _St) and depth < max_depth:
+            for f in dtype.fields:
+                walk(f"{prefix}{separator}{f.name}", f"{qualified}.`{f.name}`",
+                     f.dataType, depth + 1)
+        else:
+            cols.append(F.col(qualified).alias(unique(prefix)))
+
+    for field in df.schema.fields:
+        walk(field.name, f"`{field.name}`", field.dataType, 0)
+    return df.select(*cols)
+
+
+class FlattenTransformer:
+    """Registry adapter (``type: flatten``). Options: ``separator``
+    (default ``_``), ``maxDepth``."""
+
+    def validate(self, df: DataFrame, config) -> ValidationResult:
+        try:
+            if int(config.options.get("maxDepth", "10")) < 1:
+                return ValidationResult.fail("maxDepth must be >= 1")
+        except ValueError:
+            return ValidationResult.fail("maxDepth must be an integer")
+        return ValidationResult.ok()
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "FlattenTransformer config invalid: " + "; ".join(result.errors)
+            )
+        return flatten_structs(
+            df,
+            separator=config.options.get("separator", "_"),
+            max_depth=int(config.options.get("maxDepth", "10")),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"flatten({opts})"
+
+
 def quantile_filter(
     df: DataFrame,
     col: str,

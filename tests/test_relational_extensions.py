@@ -729,3 +729,51 @@ def test_quantile_filter_transformer(spark):
         type="quantile_filter", options={"column": "v", "lowerQuantile": "2"}
     )
     assert not tf.validate(df, bad).is_valid
+
+
+def test_flatten_structs_nested_and_collisions(spark):
+    from etl_spark_gradle_spark.operators.relational import flatten_structs
+
+    df = spark.sql("""
+        SELECT 1 AS id,
+               named_struct('a', 10, 'b', named_struct('c', 'x', 'd', 20)) AS s,
+               named_struct('a', 99) AS s2,
+               77 AS s_a,
+               array(1, 2) AS arr
+    """)
+    out = flatten_structs(df)
+    assert out.columns == ["id", "s_a", "s_b_c", "s_b_d", "s2_a", "s_a_2", "arr"]
+    r = out.collect()[0]
+    # collision: first-come-first-served — the struct-derived s.a
+    # (earlier in the schema) keeps the plain name, the later top-level
+    # s_a gets the numeric suffix; no data is shadowed either way
+    assert r.s_a == 10 and r.s_a_2 == 77 and r.s_b_c == "x" and r.s_b_d == 20
+    assert r.s2_a == 99 and r.arr == [1, 2]  # arrays untouched, rows unmultiplied
+    assert out.count() == 1
+
+
+def test_flatten_structs_max_depth_and_separator(spark):
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+        flatten_structs,
+    )
+
+    df = spark.sql("SELECT named_struct('a', named_struct('b', 1)) AS s")
+    deep = flatten_structs(df, separator=".")
+    assert deep.columns == ["s.a.b"]
+    shallow = flatten_structs(df, max_depth=1)
+    assert shallow.columns == ["s_a"]  # depth-1: one level lifted, inner struct kept
+    assert shallow.schema["s_a"].dataType.typeName() == "struct"
+    with pytest.raises(TransformationError, match="max_depth"):
+        flatten_structs(df, max_depth=0)
+
+
+def test_flatten_transformer_registry(spark):
+    df = spark.sql("SELECT 1 AS id, named_struct('x', 'v') AS meta")
+    tf = TRANSFORMER_REGISTRY["flatten"]
+    out = tf.transform(
+        df, TransformationConfig(type="flatten", options={}), RunContext.create("t", spark)
+    )
+    assert out.columns == ["id", "meta_x"]
+    bad = TransformationConfig(type="flatten", options={"maxDepth": "abc"})
+    assert not tf.validate(df, bad).is_valid
