@@ -1541,6 +1541,46 @@ FROM documents
 """
 
 
+def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC cycle hash-verified: diff the synthetic orders
+    snapshots (same construction as `table_diff`), then APPLY the
+    emit='rows' change feed back onto the previous snapshot with
+    apply_changes — the result must equal the current snapshot
+    row-for-row, which the oracle states directly as the current-side
+    definition. Proves the diff feed is a lossless replication format,
+    not just a classifier."""
+    from etl_spark_gradle_spark.operators.delta import apply_changes, table_diff
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    prev = o.filter("o_orderkey % 5 != 0")
+    cur = o.filter("o_orderkey % 3 != 0").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    changes = table_diff(cur, prev, keys=["o_orderkey"], emit="rows")
+    rebuilt = apply_changes(prev, changes, keys=["o_orderkey"])
+    return rebuilt.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+_CDC_ROUNDTRIP_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % 3 != 0
+"""
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-operator end-to-end DAG in ONE plan (the bench q10 shape,
     hash-checked): events filter → map → BROADCAST join nation → 30 s
@@ -3264,9 +3304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder) sit
     in the new-query block, displacing four more r3-green
-    representatives (dedup_exact_content, range_join, rollup,
-    setop_union, null_split_invalid, roundtrip_parquet, pipeline_e2e,
-    text_stats, cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
+    representatives (dedup_exact_content, asof_join, range_join,
+    rollup, setop_union, null_split_invalid, roundtrip_parquet,
+    pipeline_e2e, text_stats, cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
     its hash family changed this session. All 86 remain
     oracle-checked locally by tools/check_oracle.py regardless of
     position."""
@@ -3315,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_step": q_sql_step,
         "quantile_filter": q_quantile_filter,
         "flatten": q_flatten,
+        "cdc_roundtrip": q_cdc_roundtrip,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
@@ -3322,13 +3363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": q_window_tumbling,
         "streaming_window": q_streaming_window,
         "ranking": q_ranking,
-        "asof_join": q_asof_join,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rollup": q_rollup,
         "setop_union": q_setop_union,
@@ -3603,5 +3644,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_step": _SQL_STEP_STATEMENT.format(table="lineitem"),
         "quantile_filter": _QUANTILE_FILTER_ORACLE,
         "flatten": _FLATTEN_ORACLE,
+        "cdc_roundtrip": _CDC_ROUNDTRIP_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

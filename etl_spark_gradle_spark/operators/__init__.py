@@ -33,6 +33,7 @@ from etl_spark_gradle_spark.operators.bpe import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.delta import (  # noqa: F401
     DiffTransformer,
+    apply_changes,
     row_fingerprint,
     table_diff,
 )

@@ -41,7 +41,7 @@ from etl_spark_gradle_spark.plans.config import (
     ValidationResult,
 )
 
-__all__ = ["row_fingerprint", "table_diff", "DiffTransformer"]
+__all__ = ["row_fingerprint", "table_diff", "apply_changes", "DiffTransformer"]
 
 
 def row_fingerprint(cols: list[str]) -> F.Column:
@@ -127,6 +127,47 @@ def table_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def apply_changes(
+    previous: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Consume a ``table_diff(emit="rows")`` feed: produce the NEXT
+    snapshot from the previous one — drop deleted/updated keys, append
+    insert/update images. The algebraic inverse of ``table_diff``:
+    ``apply_changes(prev, table_diff(cur, prev, emit="rows"))`` equals
+    ``cur`` row-for-row (property-tested), which is what makes the
+    diff feed a safe incremental replication format.
+
+    Plan shape: one anti-join of the previous snapshot against the
+    (small) change keys — broadcast when Spark sizes it so — plus a
+    union of the change images; the previous snapshot is never
+    shuffled on its data columns. With bucketed snapshots the anti-join
+    needs no exchange at all.
+    """
+    if not keys:
+        raise ValueError("apply_changes requires at least one key column")
+    if "change_type" not in changes.columns:
+        raise ValueError("changes must come from table_diff (missing change_type)")
+    for k in keys:
+        if k not in previous.columns or k not in changes.columns:
+            raise ValueError(f"key column not on both inputs: {k}")
+    image_cols = [c for c in changes.columns if c != "change_type"]
+    missing = [c for c in previous.columns if c not in image_cols]
+    if missing:
+        raise ValueError(
+            f"changes lack previous-snapshot columns {missing} — diff must be "
+            "emit='rows' over the same compare set"
+        )
+    touched = changes.filter(F.col("change_type") != "unchanged").select(*keys)
+    kept = previous.join(touched, on=keys, how="left_anti")
+    new_images = (
+        changes.filter(F.col("change_type").isin("insert", "update"))
+        .select(*previous.columns)
+    )
+    return kept.unionByName(new_images)
 
 
 class DiffTransformer(_BaseTransformer):

@@ -183,3 +183,60 @@ def test_diff_plan_shape(spark):
     assert len(children) == 2
     for child in children:
         assert "xxhash64" in child and "_fp_" in child
+
+
+def test_apply_changes_roundtrip(spark):
+    """apply_changes(prev, table_diff(cur, prev, emit='rows')) == cur —
+    the algebraic inverse that makes the diff feed a replication
+    format."""
+    from etl_spark_gradle_spark.operators.delta import apply_changes
+
+    cur, prev = _snapshots(spark)
+    changes = table_diff(cur, prev, keys=["k"], emit="rows")
+    rebuilt = apply_changes(prev, changes, keys=["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, cur.collect()))
+
+
+def test_apply_changes_roundtrip_property(spark):
+    """Randomized round-trip: arbitrary overlapping snapshots with
+    updates/inserts/deletes/nulls always reconstruct exactly."""
+    import random
+
+    from etl_spark_gradle_spark.operators.delta import apply_changes
+
+    rng = random.Random(42)
+    for trial in range(5):
+        prev_rows, cur_rows = [], []
+        for k in range(30):
+            in_prev, in_cur = rng.random() < 0.7, rng.random() < 0.7
+            pv = (k, rng.choice(["a", "b", None]), rng.choice([1.0, 2.0, None]))
+            cv = (
+                (k, rng.choice(["a", "b", None]), rng.choice([1.0, 2.0, None]))
+                if rng.random() < 0.5
+                else pv
+            )
+            if in_prev:
+                prev_rows.append(pv)
+            if in_cur:
+                cur_rows.append(cv)
+        schema = "k int, s string, v double"
+        prev = spark.createDataFrame(prev_rows or [(999, None, None)], schema)
+        cur = spark.createDataFrame(cur_rows or [(998, None, None)], schema)
+        changes = table_diff(cur, prev, keys=["k"], emit="rows")
+        rebuilt = apply_changes(prev, changes, keys=["k"])
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, cur.collect())
+        ), f"trial {trial}"
+
+
+def test_apply_changes_validation(spark):
+    from etl_spark_gradle_spark.operators.delta import apply_changes
+
+    cur, prev = _snapshots(spark)
+    keys_only = table_diff(cur, prev, keys=["k"])  # emit='keys'
+    with pytest.raises(ValueError, match="emit='rows'"):
+        apply_changes(prev, keys_only, keys=["k"])
+    with pytest.raises(ValueError, match="change_type"):
+        apply_changes(prev, prev, keys=["k"])
+    with pytest.raises(ValueError, match="at least one key"):
+        apply_changes(prev, keys_only, keys=[])
