@@ -37,6 +37,11 @@ from etl_spark_gradle_spark.operators.delta import (  # noqa: F401
     row_fingerprint,
     table_diff,
 )
+from etl_spark_gradle_spark.operators.layout import (  # noqa: F401
+    ZorderTransformer,
+    z_value,
+    zorder,
+)
 from etl_spark_gradle_spark.operators.lm import (  # noqa: F401
     LmScoreTransformer,
     score_with_bigram_lm,
@@ -122,6 +127,7 @@ TRANSFORMER_REGISTRY = {
     "diff": DiffTransformer(),
     "quantile_filter": QuantileFilterTransformer(),
     "flatten": FlattenTransformer(),
+    "zorder": ZorderTransformer(),
     "sketch": SketchTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scale_to_grid", "z_value", "zorder"]
+__all__ = ["scale_to_grid", "z_value", "zorder", "ZorderTransformer"]
 
 
 def scale_to_grid(
@@ -128,3 +128,43 @@ def zorder(
         else out.repartitionByRange("__z")
     )
     return out.sortWithinPartitions("__z").drop("__z")
+
+
+class ZorderTransformer:
+    """Registry adapter (``type: zorder``): re-cluster the pipeline
+    frame mid-flight (options ``columns`` csv, ``bits``,
+    ``partitions``) — for when the clustering must happen before a
+    non-file sink or further transforms; the file sink's ``zorderBy``
+    option covers the plain write case."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        cols = [c.strip() for c in config.options.get("columns", "").split(",") if c.strip()]
+        if len(cols) < 2:
+            errors.append("zorder requires 'columns' with at least 2 names")
+        for c in cols:
+            if c not in df.columns:
+                errors.append(f"zorder column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            from etl_spark_gradle_spark.operators.relational import TransformationError
+
+            raise TransformationError(
+                "ZorderTransformer config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return zorder(
+            df,
+            [c.strip() for c in opts["columns"].split(",") if c.strip()],
+            bits=int(opts.get("bits", "16")),
+            num_partitions=int(opts["partitions"]) if opts.get("partitions") else None,
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"zorder({opts})"

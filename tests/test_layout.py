@@ -200,3 +200,22 @@ def test_load_file_target_file_size(spark, tmp_path):
     load_file(mem, {"path": nostats, "format": "parquet",
                     "targetFileSizeMB": "1"}, write_mode="overwrite")
     assert spark.read.parquet(nostats).count() == 1
+
+
+def test_zorder_transformer_registry(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10), float(i % 7)) for i in range(100)], ["id", "x", "y"]
+    )
+    tf = TRANSFORMER_REGISTRY["zorder"]
+    cfg = TransformationConfig(
+        type="zorder", options={"columns": "x,y", "bits": "6", "partitions": "4"}
+    )
+    assert tf.validate(df, cfg).is_valid
+    out = tf.transform(df, cfg, RunContext.create("t", spark))
+    assert sorted(r.id for r in out.collect()) == list(range(100))
+    assert "__z" not in out.columns
+    bad = TransformationConfig(type="zorder", options={"columns": "x"})
+    assert not tf.validate(df, bad).is_valid
