@@ -3302,13 +3302,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Entries pushed past 50 all have driver-grade green rows in
     CORRECTNESS_r03; with this rotation every declared query has a
     driver-recorded row across r3 ∪ r4. The session-4 additions
-    (table_diff, incremental_dedup, incremental_minhash, zorder) sit
-    in the new-query block, displacing four more r3-green
-    representatives (dedup_exact_content, asof_join, range_join,
-    rollup, setop_union, null_split_invalid, roundtrip_parquet,
-    pipeline_e2e, text_stats, cosine_topk, image_decode) past 50 — minhash_lsh stays inside the window because
-    its hash family changed this session. All 86 remain
-    oracle-checked locally by tools/check_oracle.py regardless of
+    (table_diff, incremental_dedup, incremental_minhash, zorder,
+    streaming_join, bpe_tokenize, mix, sql_step, quantile_filter,
+    flatten, cdc_roundtrip) sit in the new-query block, displacing
+    eleven r3-green representatives (dedup_exact_content, asof_join,
+    range_join, rollup, setop_union, null_split_invalid,
+    roundtrip_parquet, pipeline_e2e, text_stats, cosine_topk,
+    image_decode) past 50 — minhash_lsh stays inside the window
+    because its hash family changed this session. Audited invariant
+    (see COVERAGE.md): every query with NO r3 driver row sits inside
+    the first 50; every 51+ entry has one. All 93 remain oracle-checked
+    locally by tools/check_oracle.py at both SFs regardless of
     position."""
     return {
         # ---- rotated in: driver-recorded for the first time this round ----
