@@ -25,6 +25,13 @@ def main(argv: list[str] | None = None) -> int:
         metavar="K=V",
         help="extra Spark conf, repeatable",
     )
+    parser.add_argument(
+        "--explain",
+        action="store_true",
+        help="dry run: build the full plan, print the formatted physical "
+        "explain and the resolved lineage chain, execute nothing (no sink "
+        "write, no extract job beyond schema resolution)",
+    )
     args = parser.parse_args(argv)
 
     conf: dict[str, str] = {}
@@ -54,6 +61,26 @@ def main(argv: list[str] | None = None) -> int:
     logger = StructuredLogger(pipeline_id=config.pipeline_id)
     logger.info("pipeline parsed")
     spark = get_spark(app_name=config.pipeline_id, master=args.master, conf=conf)
+
+    if args.explain:
+        # plan-review mode: the exact pre-sink plan the run would
+        # execute — pushed filters, ReadSchema pruning, exchanges, and
+        # broadcasts are all visible BEFORE paying for the job
+        from etl_spark_gradle_spark.plans.config import RunContext
+
+        try:
+            ctx = RunContext.create(config.pipeline_id, spark)
+            _, transformed, steps, _, _ = PipelineExecutor().build_plan(config, ctx)
+            logger.info("lineage chain", steps=steps)
+            transformed.explain("formatted")
+            logger.info("explain complete", status="SUCCESS")
+            return 0
+        except Exception as e:  # noqa: BLE001 — dry-run errors exit cleanly
+            logger.error(
+                "explain failed", status="FAILED", error=f"{type(e).__name__}: {e}"
+            )
+            return 1
+
     collector = MetricsCollector()
     metrics = PipelineExecutor().execute(config, spark, collector=collector)
     run_logger = logger.child(run_id=metrics.run_id)
