@@ -102,6 +102,12 @@ class PerformanceConfig:
     shuffle_partitions: int | None = None
     cache_intermediate: bool = False
     batch_size: int | None = None
+    # skip the extracted-record Observation: its CollectMetrics node
+    # must see pre-filter rows, which blocks predicate pushdown into
+    # the scan — for highly selective pipelines over huge inputs, give
+    # up the records_extracted counter (reported as -1) to let filters
+    # reach the parquet reader
+    skip_extract_count: bool = False
 
 
 @dataclass(frozen=True)
@@ -411,6 +417,7 @@ def parse_pipeline_dict(doc: dict[str, Any]) -> PipelineConfig:
         ),
         cache_intermediate=bool(perf_node.get("cacheIntermediate", False)),
         batch_size=int(perf_node["batchSize"]) if perf_node.get("batchSize") else None,
+        skip_extract_count=bool(perf_node.get("skipExtractCount", False)),
     )
 
     q_node = doc.get("quality") or {}

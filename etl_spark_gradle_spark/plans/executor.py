@@ -135,8 +135,13 @@ class PipelineExecutor:
         if config.performance.repartition:
             df = df.repartition(config.performance.repartition)
 
-        extract_obs = Observation(f"extract_{uuid.uuid4().hex[:8]}")
-        df = df.observe(extract_obs, F.count(F.lit(1)).alias("records_extracted"))
+        if config.performance.skip_extract_count:
+            # no CollectMetrics barrier: downstream filters push all the
+            # way into the scan; records_extracted is reported as -1
+            extract_obs = None
+        else:
+            extract_obs = Observation(f"extract_{uuid.uuid4().hex[:8]}")
+            df = df.observe(extract_obs, F.count(F.lit(1)).alias("records_extracted"))
 
         steps: list[str] = []
         cached: list[DataFrame] = []
@@ -332,6 +337,8 @@ class PipelineExecutor:
             # quarantined rows are added back to get the extracted total.
             metrics.records_extracted = (
                 int(extract_obs.get["records_extracted"]) + metrics.records_failed
+                if extract_obs is not None
+                else -1
             )
             metrics.quality_report = report
             collector.record("extract", metrics.records_extracted)

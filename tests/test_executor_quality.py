@@ -223,3 +223,59 @@ def test_text_sink_roundtrip(spark, sf_dir, tmp_path):
     assert spark.read.text(out).count() == 50
     with pytest.raises(ConfigError, match="one column"):
         load_file(docs, {"path": out, "format": "text"}, "overwrite")
+
+
+def test_skip_extract_count_enables_pushdown(spark, tmp_path):
+    """performance.skipExtractCount drops the CollectMetrics barrier so
+    selective filters reach the parquet scan as PushedFilters; the
+    records_extracted counter honestly reports -1 instead of lying."""
+    import io
+    from contextlib import redirect_stdout
+
+    import yaml
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+    from etl_spark_gradle_spark.plans.config import RunContext
+
+    doc = {
+        "pipelineId": "pushdown-t",
+        "source": {
+            "type": "file",
+            "options": {
+                "path": "/root/testdata/sf0.001/lineitem.parquet",
+                "format": "parquet",
+            },
+        },
+        "performance": {"skipExtractCount": True},
+        "transformations": [
+            {"type": "filter", "options": {"condition": "l_quantity > 45"}}
+        ],
+        "sink": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "out"), "format": "parquet"},
+            "writeMode": "overwrite",
+        },
+    }
+    p = tmp_path / "p.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    config = load_pipeline_yaml(str(p))
+
+    ex = PipelineExecutor()
+    _, transformed, _, obs, _ = ex.build_plan(config, RunContext.create("t", spark))
+    assert obs is None
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        transformed.explain("formatted")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in buf.getvalue()
+
+    metrics = ex.execute(config, spark)
+    assert metrics.status == "SUCCESS"
+    assert metrics.records_extracted == -1            # honest: not counted
+    assert metrics.records_loaded > 0
+    # default path still counts and still blocks pushdown (by design)
+    doc["performance"] = {}
+    p.write_text(yaml.safe_dump(doc))
+    cfg2 = load_pipeline_yaml(str(p))
+    m2 = PipelineExecutor().execute(cfg2, spark)
+    assert m2.records_extracted == 6000
