@@ -386,3 +386,86 @@ def test_media_codecs_total_on_junk(junk):
     mc.wav_decode(junk)
     mc.y4m_parse(junk)
     mc.gif_frame_delays(junk)
+
+
+# -- session-4 operators ----------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=5),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_lossless_and_matches_reference(spark_prop, word_lists, n_merges):
+    """Trainable BPE on arbitrary corpora: the learned merge table and
+    every document's token sequence match the pure-Python reference,
+    and concatenated tokens always reproduce the non-space text."""
+    from etl_spark_gradle_spark.operators.bpe import (
+        bpe_encode_word,
+        bpe_tokenize,
+        train_bpe,
+    )
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    model = train_bpe(df, "text", num_merges=n_merges)
+    ranks = {tuple(m): i for i, m in enumerate(model["merges"])}
+    got = {r.id: r for r in bpe_tokenize(df, "id", "text", model["merges"]).collect()}
+    for i, ws in enumerate(word_lists):
+        expected = [t for w in ws for t in bpe_encode_word(w, ranks)]
+        assert got[i].tokens == expected
+        assert "".join(got[i].tokens) == "".join(ws)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=15, deadline=None)
+def test_z_value_matches_python_reference_property(spark_prop, points, bits):
+    """Morton interleave on arbitrary doubles/bounds agrees with the
+    pure-Python reference bit-for-bit (scaling truncation included)."""
+    import math
+
+    from etl_spark_gradle_spark.operators.layout import z_value
+
+    xs, ys = [p[0] for p in points], [p[1] for p in points]
+    bounds = [(min(xs), max(xs)), (min(ys), max(ys))]
+
+    def ref_scale(v, mn, mx):
+        top = (1 << bits) - 1
+        if mx <= mn:
+            return 0
+        return max(0, min(top, math.floor((v - mn) * float(top) / (mx - mn))))
+
+    def ref_z(x, y):
+        zx, zy = ref_scale(x, *bounds[0]), ref_scale(y, *bounds[1])
+        z = 0
+        for b in range(bits):
+            z += ((zx >> b) & 1) << (2 * b)
+            z += ((zy >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark_prop.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(points)], "id long, x double, y double"
+    )
+    got = {
+        r.id: r.z
+        for r in df.select("id", z_value(["x", "y"], bounds, bits).alias("z")).collect()
+    }
+    for i, (x, y) in enumerate(points):
+        assert got[i] == ref_z(x, y), (i, x, y, bits)
