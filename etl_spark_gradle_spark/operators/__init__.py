@@ -98,6 +98,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     window_aggregate,
 )
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
+from etl_spark_gradle_spark.quality import SchemaAlignTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.text import (  # noqa: F401
     ModelScoreTransformer,
     TextAnalysisTransformer,
@@ -128,6 +129,7 @@ TRANSFORMER_REGISTRY = {
     "quantile_filter": QuantileFilterTransformer(),
     "flatten": FlattenTransformer(),
     "zorder": ZorderTransformer(),
+    "schema_align": SchemaAlignTransformer(),
     "sketch": SketchTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),

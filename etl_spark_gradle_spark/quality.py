@@ -138,6 +138,53 @@ def validate_schema(actual: StructType, expected: StructType) -> ValidationResul
     return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
 
+def schema_align(
+    df: DataFrame,
+    target: StructType,
+    mode: str = "safe",
+) -> DataFrame:
+    """Conform a batch to a target schema before appending into an
+    existing dataset — the schema-drift gate every long-lived table
+    needs (a drifted append silently poisons the table for every later
+    reader; parquet won't even merge incompatible types).
+
+    Output has EXACTLY the target's columns, in target order:
+    - missing nullable columns are added as typed NULLs,
+    - matching columns are cast to the target type,
+    - extra columns are dropped (``mode="safe"``) or rejected
+      (``mode="strict"``, which also rejects missing columns and any
+      cast between incompatible families per ``validate_schema``'s
+      compatibility rules).
+
+    Pure projection — zero shuffle, prunes like any select. Casts are
+    Spark semantics (out-of-range/unparseable → NULL under the engine's
+    non-ANSI default): align BEFORE quality gates so those NULLs hit
+    the null checks.
+    """
+    if mode not in ("safe", "strict"):
+        raise ValueError("schema_align mode must be 'safe' or 'strict'")
+    actual = {f.name: f for f in df.schema.fields}
+    if mode == "strict":
+        result = validate_schema(df.schema, target)
+        if not result.is_valid:
+            raise ValueError(
+                "schema_align strict: batch does not conform: "
+                + "; ".join(result.errors)
+            )
+    cols = []
+    for f in target.fields:
+        if f.name in actual:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.nullable:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(
+                f"schema_align: target column '{f.name}' is non-nullable and "
+                "absent from the batch — cannot fill with NULL"
+            )
+    return df.select(*cols)
+
+
 def quarantine(
     df: DataFrame, path: str, pipeline_id: str, run_id: str
 ) -> int:
@@ -181,3 +228,50 @@ class QualityReport:
     # per-check violation counts keyed "null:<col>" / "rule:<expr>" —
     # observed on the same action as the quarantine write, zero extra jobs
     violations_by_check: dict[str, int] = field(default_factory=dict)
+
+
+class SchemaAlignTransformer:
+    """Registry adapter (``type: schema_align``). Options:
+    ``targetSchema`` (DDL string, e.g. ``"id long, name string"``),
+    ``mode`` safe|strict."""
+
+    def validate(self, df: DataFrame, config) -> ValidationResult:
+        errors = []
+        ddl = (config.options.get("targetSchema") or "").strip()
+        if not ddl:
+            errors.append("schema_align requires 'targetSchema' (DDL string)")
+        else:
+            try:
+                self._parse(ddl)
+            except Exception as e:  # noqa: BLE001 — surfaced as config error
+                errors.append(f"cannot parse targetSchema: {e}")
+        if config.options.get("mode", "safe") not in ("safe", "strict"):
+            errors.append("mode must be safe|strict")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    @staticmethod
+    def _parse(ddl: str) -> StructType:
+        from pyspark.sql.types import _parse_datatype_string
+
+        parsed = _parse_datatype_string(ddl)
+        if not isinstance(parsed, StructType):
+            raise ValueError(f"targetSchema must describe columns, got {parsed}")
+        return parsed
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            from etl_spark_gradle_spark.operators.relational import TransformationError
+
+            raise TransformationError(
+                "SchemaAlignTransformer config invalid: " + "; ".join(result.errors)
+            )
+        return schema_align(
+            df,
+            self._parse(config.options["targetSchema"]),
+            mode=config.options.get("mode", "safe"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"schema_align({opts})"

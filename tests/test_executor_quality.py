@@ -279,3 +279,68 @@ def test_skip_extract_count_enables_pushdown(spark, tmp_path):
     cfg2 = load_pipeline_yaml(str(p))
     m2 = PipelineExecutor().execute(cfg2, spark)
     assert m2.records_extracted == 6000
+
+
+def test_schema_align_safe_and_strict(spark):
+    """schema_align conforms a drifted batch: reorder + cast + fill
+    missing nullable columns with typed NULLs, drop extras; strict mode
+    rejects drift outright."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_spark_gradle_spark.quality import schema_align
+
+    target = StructType(
+        [
+            StructField("id", LongType(), nullable=False),
+            StructField("name", StringType(), nullable=True),
+            StructField("score", DoubleType(), nullable=True),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [("77", 5, "x")], "id string, extra int, name string"
+    )  # wrong order, castable id, extra col, missing score
+    out = schema_align(batch, target)
+    assert out.columns == ["id", "name", "score"]
+    r = out.collect()[0]
+    assert r.id == 77 and r.name == "x" and r.score is None
+    assert out.schema["id"].dataType.typeName() == "long"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strict"):
+        schema_align(batch, target, mode="strict")
+    # conforming batch passes strict untouched
+    ok = spark.createDataFrame([(1, "a", 2.0)], target)
+    assert schema_align(ok, target, mode="strict").collect()[0].id == 1
+    # non-nullable target column missing from the batch -> hard error
+    bad_target = StructType([StructField("must", LongType(), nullable=False)])
+    with _pytest.raises(ValueError, match="non-nullable"):
+        schema_align(batch, bad_target)
+    with _pytest.raises(ValueError, match="mode"):
+        schema_align(batch, target, mode="bogus")
+
+
+def test_schema_align_transformer_registry(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame([("9", "x", 1)], "id string, name string, junk int")
+    tf = TRANSFORMER_REGISTRY["schema_align"]
+    cfg = TransformationConfig(
+        type="schema_align", options={"targetSchema": "id long, name string"}
+    )
+    assert tf.validate(df, cfg).is_valid
+    out = tf.transform(df, cfg, RunContext.create("t", spark))
+    assert out.columns == ["id", "name"]
+    assert out.collect()[0].id == 9
+    bad = TransformationConfig(type="schema_align", options={"targetSchema": "id nonsense"})
+    assert not tf.validate(df, bad).is_valid
+    assert not tf.validate(
+        df, TransformationConfig(type="schema_align", options={})
+    ).is_valid
