@@ -1523,7 +1523,16 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves every character of every document survived the train →
     broadcast-ranks → Arrow-tokenize round trip; token-level exactness
     (the merge table and per-word encodings) is pinned against a pure-
-    Python reference implementation in tests/test_bpe.py."""
+    Python reference implementation in tests/test_bpe.py.
+
+    Known engine-parity constraint (same class as the model_score
+    whitespace note): the UDF lowercases with Python str.lower() while
+    the oracle uses DuckDB lower(); they agree on ASCII and mainstream
+    Unicode but can differ on locale-special codepoints whose lowering
+    changes LENGTH (e.g. U+0130 'İ' → 2 codepoints in Python). Current
+    testdata text is ASCII; a testdata regeneration introducing such
+    codepoints would need a length-preserving normalization pinned on
+    both sides."""
     from etl_spark_gradle_spark.operators.bpe import bpe_tokenize, train_bpe
 
     _prep(spark)
