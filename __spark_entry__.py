@@ -2586,6 +2586,42 @@ WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+def q_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct-and-align verification of the schema-drift gate: build
+    a drifted customer batch (key cast to string, an extra column, a
+    target column missing), conform it with schema_align, and let the
+    oracle state the aligned result directly — string→long cast
+    round-trips exactly on integer keys, the extra column vanishes, the
+    missing nullable column arrives as typed NULL, in target order."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_spark_gradle_spark.quality import schema_align
+
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    drifted = c.select(
+        F.col("c_custkey").cast("string").alias("c_custkey"),
+        F.lit(1).alias("junk"),
+        "c_name",
+    )
+    target = StructType(
+        [
+            StructField("c_custkey", LongType(), nullable=False),
+            StructField("c_name", StringType(), nullable=True),
+            StructField("c_comment", StringType(), nullable=True),
+        ]
+    )
+    return schema_align(drifted, target)
+
+
+_SCHEMA_ALIGN_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       c_name,
+       CAST(NULL AS VARCHAR) AS c_comment
+FROM customer
+"""
+
+
 def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Construct-and-flatten verification of nested-struct
     normalization: build two-level structs from orders columns JVM-side,
@@ -3313,14 +3349,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder,
     streaming_join, bpe_tokenize, mix, sql_step, quantile_filter,
-    flatten, cdc_roundtrip) sit in the new-query block, displacing
-    eleven r3-green representatives (dedup_exact_content, asof_join,
-    range_join, rollup, setop_union, null_split_invalid,
+    flatten, cdc_roundtrip, schema_align) sit in the new-query block, displacing
+    twelve r3-green representatives (dedup_exact_content, ranking,
+    asof_join, range_join, rollup, setop_union, null_split_invalid,
     roundtrip_parquet, pipeline_e2e, text_stats, cosine_topk,
     image_decode) past 50 — minhash_lsh stays inside the window
     because its hash family changed this session. Audited invariant
     (see COVERAGE.md): every query with NO r3 driver row sits inside
-    the first 50; every 51+ entry has one. All 93 remain oracle-checked
+    the first 50; every 51+ entry has one. All 94 remain oracle-checked
     locally by tools/check_oracle.py at both SFs regardless of
     position."""
     return {
@@ -3369,19 +3405,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": q_quantile_filter,
         "flatten": q_flatten,
         "cdc_roundtrip": q_cdc_roundtrip,
+        "schema_align": q_schema_align,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
         "join_inner": q_join_inner,
         "window_tumbling": q_window_tumbling,
         "streaming_window": q_streaming_window,
-        "ranking": q_ranking,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "ranking": q_ranking,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rollup": q_rollup,
@@ -3658,5 +3695,6 @@ def oracle_sql() -> dict[str, str]:
         "quantile_filter": _QUANTILE_FILTER_ORACLE,
         "flatten": _FLATTEN_ORACLE,
         "cdc_roundtrip": _CDC_ROUNDTRIP_ORACLE,
+        "schema_align": _SCHEMA_ALIGN_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }
