@@ -2949,6 +2949,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with spherical-k-means-refined centroids
+    (train_ivf_centroids, 3 Lloyd's iterations — one broadcast-assign
+    scan + one partial-agged (cell,dim) shuffle each): recall@10 rises
+    to 0.79 at both SFs vs 0.73-0.76 sampled-init (measured; the
+    synthetic embeddings are weakly clustered — on genuinely clustered
+    corpora the gap is larger, see the clustered-data unit test where
+    1-probe trained recall is ~1.0). Oracle asserts a 0.7 floor plus
+    exact pair counts."""
+    return _ann_recall_summary(
+        spark,
+        sf_dir,
+        lambda emb, q: sim.ivf_topk(
+            emb, q, k=10, num_cells=16, nprobe=8, train_iterations=3
+        ),
+        recall_floor=0.7,
+    )
+
+
 _ANN_SUMMARY_ORACLE = """
 SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
        CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 10 AS BIGINT) AS n_true_pairs,
@@ -3349,14 +3368,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-recorded row across r3 ∪ r4. The session-4 additions
     (table_diff, incremental_dedup, incremental_minhash, zorder,
     streaming_join, bpe_tokenize, mix, sql_step, quantile_filter,
-    flatten, cdc_roundtrip, schema_align) sit in the new-query block, displacing
-    twelve r3-green representatives (dedup_exact_content, ranking,
+    flatten, cdc_roundtrip, schema_align, ann_ivf_trained) sit in the new-query block, displacing
+    thirteen r3-green representatives (dedup_exact_content,
+    streaming_window, ranking,
     asof_join, range_join, rollup, setop_union, null_split_invalid,
     roundtrip_parquet, pipeline_e2e, text_stats, cosine_topk,
     image_decode) past 50 — minhash_lsh stays inside the window
     because its hash family changed this session. Audited invariant
     (see COVERAGE.md): every query with NO r3 driver row sits inside
-    the first 50; every 51+ entry has one. All 94 remain oracle-checked
+    the first 50; every 51+ entry has one. All 95 remain oracle-checked
     locally by tools/check_oracle.py at both SFs regardless of
     position."""
     return {
@@ -3406,18 +3426,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten": q_flatten,
         "cdc_roundtrip": q_cdc_roundtrip,
         "schema_align": q_schema_align,
+        "ann_ivf_trained": q_ann_ivf_trained,
         # ---- family representatives kept inside the window ----
         "filter": q_filter,
         "aggregation": q_aggregation,
         "join_inner": q_join_inner,
         "window_tumbling": q_window_tumbling,
-        "streaming_window": q_streaming_window,
         "minhash_lsh": q_minhash_lsh,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "image_decode": q_image_decode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
         "dedup_exact_content": q_dedup_exact_content,
+        "streaming_window": q_streaming_window,
         "ranking": q_ranking,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3696,5 +3717,6 @@ def oracle_sql() -> dict[str, str]:
         "flatten": _FLATTEN_ORACLE,
         "cdc_roundtrip": _CDC_ROUNDTRIP_ORACLE,
         "schema_align": _SCHEMA_ALIGN_ORACLE,
+        "ann_ivf_trained": _ANN_SUMMARY_ORACLE,
         "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     }

@@ -197,6 +197,67 @@ def embedding_cosine_dups_lsh(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_cells: int = 16,
+    iterations: int = 3,
+) -> list[list[float]]:
+    """Lloyd's k-means over cosine similarity for IVF cell centroids.
+
+    Init = the same deterministic hash-ordered sample ``ivf_topk`` uses
+    standalone; each iteration is (a) one broadcast-centroid scan
+    assigning every vector to its best cell via ``max_by`` (no window,
+    no shuffle of vectors), then (b) one partial-agged shuffle of
+    ``(cell, dim_pos, value)`` triples to average per-dimension — cost
+    per iteration ~ one groupBy over dims x rows scalars, linear and
+    skew-free (cells are the grouping key). Only ``num_cells x dim``
+    floats ever reach the driver (bounded, same class as the init
+    sample). Empty cells keep their previous centroid. Returns plain
+    Python lists — broadcastable as plan literals, persistable as JSON
+    next to the index.
+    """
+    def unit(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    sampled = c.orderBy(
+        F.pmod(F.xxhash64(F.col("cid")), F.lit(997)), F.col("cid")
+    ).limit(num_cells)
+    # spherical k-means: centroids kept unit-length, so a plain dot
+    # product against them IS the cosine ranking (|v| is constant per
+    # row and cancels in the argmax)
+    centroids = [unit(list(r["cv"])) for r in sampled.collect()]
+    dot_scores = (
+        "transform(__cents, ct -> aggregate(zip_with(cv, ct,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v))"
+    )
+    for _ in range(max(0, iterations)):
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids]
+        )
+        best = c.withColumn("__cents", cent_arr).select(
+            "cv",
+            F.expr(
+                f"CAST(array_position({dot_scores}, array_max({dot_scores})) AS INT) - 1"
+            ).alias("cell"),
+        )
+        means = (
+            best.select("cell", F.posexplode("cv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("mv"))
+            .collect()
+        )
+        updated = {int(r["cell"]): unit([float(x) for x in r["mv"]]) for r in means}
+        centroids = [updated.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -208,6 +269,7 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     include_self: bool = False,
+    train_iterations: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``num_cells`` Voronoi cells around centroid vectors; each query
@@ -231,18 +293,26 @@ def ivf_topk(
     corpus = _ensure_parallelism(corpus)
     c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
 
-    sampled = c.orderBy(F.pmod(F.xxhash64(F.col("cid")), F.lit(997)), F.col("cid")).limit(
-        num_cells
-    )
-    # num_cells rows merged on the driver (deliberate, bounded — see
-    # PLANS.md "driver points"), then re-broadcast with explicit cell
-    # ids: avoids an unpartitioned row_number window entirely
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     vec_type = c.schema["cv"].dataType
-    rows = sampled.collect()
+    if train_iterations > 0:
+        # spherical-k-means-refined centroids (train_ivf_centroids):
+        # tighter cells -> higher recall at the same nprobe
+        cent_lists = train_ivf_centroids(
+            corpus, corpus_vec, corpus_id, num_cells=num_cells,
+            iterations=train_iterations,
+        )
+    else:
+        sampled = c.orderBy(
+            F.pmod(F.xxhash64(F.col("cid")), F.lit(997)), F.col("cid")
+        ).limit(num_cells)
+        # num_cells rows merged on the driver (deliberate, bounded — see
+        # PLANS.md "driver points"), then re-broadcast with explicit cell
+        # ids: avoids an unpartitioned row_number window entirely
+        cent_lists = [list(r["cv"]) for r in sampled.collect()]
     centroids = corpus.sparkSession.createDataFrame(
-        [(i, list(r["cv"])) for i, r in enumerate(rows)],
+        [(i, cv) for i, cv in enumerate(cent_lists)],
         StructType(
             [StructField("cell", IntegerType()), StructField("centroid", vec_type)]
         ),

@@ -345,6 +345,48 @@ def test_ivf_topk_recall_vs_brute_force(emb):
     assert all(len(v) == 5 for v in by_q.values())
 
 
+def test_ivf_trained_centroids_on_clustered_data(spark):
+    """Spherical-k-means refinement: on well-separated clusters the
+    trained cells align with the true clusters, so probing ONE cell
+    recovers near-perfect neighbors; training must not hurt vs the
+    sampled-init baseline."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[5.0, 0, 0, 0], [0, 5.0, 0, 0], [0, 0, 5.0, 0], [0, 0, 0, 5.0]]
+    for i in range(200):
+        cball = centers[i % 4]
+        rows.append((i, [c + rng.gauss(0, 0.2) for c in cball]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(ti):
+        got = {(r.query_id, r.neighbor_id)
+               for r in sim.ivf_topk(emb, queries, k=5, num_cells=4, nprobe=1,
+                                     train_iterations=ti).collect()}
+        return len(got & exact) / len(exact)
+
+    r_trained = recall(3)
+    assert r_trained >= 0.9, f"trained 1-probe recall too low: {r_trained}"
+    assert r_trained >= recall(0) - 1e-9  # training never hurts here
+
+
+def test_train_ivf_centroids_shape_and_determinism(emb):
+    cents = sim.train_ivf_centroids(emb, "embedding", "vec_id", num_cells=6, iterations=2)
+    assert len(cents) == 6 and all(len(c) == 64 for c in cents)
+    # unit-normalized output
+    import math as _m
+    for c in cents:
+        assert abs(_m.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+    again = sim.train_ivf_centroids(emb, "embedding", "vec_id", num_cells=6, iterations=2)
+    assert cents == again  # deterministic init + deterministic means
+
+
 def test_lsh_topk_tuned_config_high_recall(emb):
     """Tuned recall target: at num_bits=32 / bands=16 (r=2 bits/band)
     the band-collision probability for true neighbors is high enough
