@@ -258,6 +258,115 @@ def train_ivf_centroids(
     return centroids
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    num_cells: int = 16,
+    train_iterations: int = 0,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Materializable IVF index: ``(assignments, centroids)`` where
+    assignments is a lazy ``(cid, cell, cv)`` DataFrame and centroids
+    are plain float lists (JSON-persistable beside the index).
+
+    THE point at scale: persist the assignments parquet PARTITIONED BY
+    ``cell`` and every later query batch probes only its nprobe cell
+    partitions via partition pruning — the corpus is assigned ONCE, not
+    once per search, and the scan cost per search drops to
+    nprobe/num_cells of the corpus. Pair with the embedding int8
+    quantizer for another 4x on index bytes.
+    """
+    from etl_spark_gradle_spark.operators.dedup import _ensure_parallelism
+
+    corpus = _ensure_parallelism(corpus)
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+    if train_iterations > 0:
+        cents = train_ivf_centroids(
+            corpus, corpus_vec, corpus_id, num_cells=num_cells,
+            iterations=train_iterations,
+        )
+    else:
+        sampled = c.orderBy(
+            F.pmod(F.xxhash64(F.col("cid")), F.lit(997)), F.col("cid")
+        ).limit(num_cells)
+        cents = [list(r["cv"]) for r in sampled.collect()]
+    cent_df = _centroid_frame(corpus, c.schema["cv"].dataType, cents)
+    assignments = _nearest_cells(cent_df, c, "cv", "cid", 1).select(
+        "cid", "cell", "cv"
+    )
+    return assignments, cents
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    nprobe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """Search a prebuilt (possibly parquet-round-tripped) IVF index:
+    score each query against its ``nprobe`` nearest cells only. With
+    the index partitioned by ``cell`` the probe is a partition-pruned
+    scan; the only moving data is the (tiny) probed-query broadcast.
+    Results are identical to ``ivf_topk`` at the same centroids
+    (equality-tested through a parquet round trip)."""
+    vec_type = assignments.schema["cv"].dataType
+    cent_df = _centroid_frame(assignments, vec_type, centroids)
+    probed = _nearest_cells(
+        cent_df,
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
+        "qv",
+        "qid",
+        nprobe,
+    )
+    cand = F.broadcast(probed).join(assignments, "cell")
+    if not include_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wfin))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _centroid_frame(session_src: DataFrame, vec_type, cents: list[list[float]]) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    return session_src.sparkSession.createDataFrame(
+        [(i, cv) for i, cv in enumerate(cents)],
+        StructType(
+            [StructField("cell", IntegerType()), StructField("centroid", vec_type)]
+        ),
+    )
+
+
+def _nearest_cells(cent_df: DataFrame, vec_frame: DataFrame, vcol: str, idcol: str, n: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = vec_frame.crossJoin(F.broadcast(cent_df)).select(
+        idcol, vcol, "cell", cosine(F.col(vcol), F.col("centroid")).alias("__cs")
+    )
+    ww = Window.partitionBy(idcol).orderBy(F.col("__cs").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__r", F.row_number().over(ww))
+        .filter(F.col("__r") <= n)
+        .select(idcol, vcol, "cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -286,72 +395,22 @@ def ivf_topk(
     cell ids; rescoring is exact cosine within probed cells. Search cost
     ~ nprobe/num_cells of brute force.
     """
-    from pyspark.sql import Window
-
-    from etl_spark_gradle_spark.operators.dedup import _ensure_parallelism
-
-    corpus = _ensure_parallelism(corpus)
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
-
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    vec_type = c.schema["cv"].dataType
-    if train_iterations > 0:
-        # spherical-k-means-refined centroids (train_ivf_centroids):
-        # tighter cells -> higher recall at the same nprobe
-        cent_lists = train_ivf_centroids(
-            corpus, corpus_vec, corpus_id, num_cells=num_cells,
-            iterations=train_iterations,
-        )
-    else:
-        sampled = c.orderBy(
-            F.pmod(F.xxhash64(F.col("cid")), F.lit(997)), F.col("cid")
-        ).limit(num_cells)
-        # num_cells rows merged on the driver (deliberate, bounded — see
-        # PLANS.md "driver points"), then re-broadcast with explicit cell
-        # ids: avoids an unpartitioned row_number window entirely
-        cent_lists = [list(r["cv"]) for r in sampled.collect()]
-    centroids = corpus.sparkSession.createDataFrame(
-        [(i, cv) for i, cv in enumerate(cent_lists)],
-        StructType(
-            [StructField("cell", IntegerType()), StructField("centroid", vec_type)]
-        ),
+    assignments, cents = build_ivf_index(
+        corpus,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        num_cells=num_cells,
+        train_iterations=train_iterations,
     )
-    cent = F.broadcast(centroids)
-
-    def nearest_cells(vec_frame: DataFrame, vcol: str, idcol: str, n: int) -> DataFrame:
-        scored = vec_frame.crossJoin(cent).select(
-            idcol, vcol, "cell", cosine(F.col(vcol), F.col("centroid")).alias("__cs")
-        )
-        ww = Window.partitionBy(idcol).orderBy(F.col("__cs").desc(), F.col("cell"))
-        return (
-            scored.withColumn("__r", F.row_number().over(ww))
-            .filter(F.col("__r") <= n)
-            .select(idcol, vcol, "cell")
-        )
-
-    assigned = nearest_cells(c, "cv", "cid", 1)  # corpus: best cell only
-    probed = nearest_cells(
-        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
-        "qv",
-        "qid",
-        nprobe,
-    )
-    cand = F.broadcast(probed).join(assigned, "cell")
-    if not include_self:
-        cand = cand.filter(F.col("qid") != F.col("cid"))
-    scored = cand.select(
-        F.col("qid").alias("query_id"),
-        F.col("cid").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-    )
-    wfin = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wfin))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    return ivf_search(
+        assignments,
+        cents,
+        queries,
+        k=k,
+        query_id=query_id,
+        query_vec=query_vec,
+        nprobe=nprobe,
+        include_self=include_self,
     )
 
 

@@ -1767,3 +1767,34 @@ def test_embedding_normalize_and_quantize(spark):
     for vid, vec in rows:
         step = max(abs(x) for x in vec) / 127 if any(vec) else 0.0
         assert all(abs(a - b) <= step / 2 + 1e-6 for a, b in zip(deq[vid], vec))
+
+
+def test_ivf_index_persist_and_search(spark, emb, tmp_path):
+    """build once, search many: a parquet-round-tripped IVF index
+    (partitioned by cell) returns EXACTLY what ivf_topk computes from
+    scratch with the same centroids — the corpus is never re-assigned."""
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assignments, cents = sim.build_ivf_index(emb, num_cells=8, train_iterations=2)
+    path = str(tmp_path / "ivf_index")
+    assignments.write.partitionBy("cell").parquet(path)
+    loaded = spark.read.parquet(path)
+
+    fresh = sim.ivf_topk(
+        emb, queries, k=5, num_cells=8, nprobe=4, train_iterations=2
+    ).collect()
+    via_index = sim.ivf_search(loaded, cents, queries, k=5, nprobe=4).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.rank, r.neighbor_id) for r in via_index]) == sorted(
+        [(r.query_id, r.rank, r.neighbor_id) for r in fresh]
+    )
+    # partition pruning: probing cells is a filter on the partition col
+    import json as _json
+
+    probed_cells = {r.cell for r in sim._nearest_cells(
+        sim._centroid_frame(loaded, loaded.schema["cv"].dataType, cents),
+        queries.select(F.col("query_id").alias("qid"), F.col("query_vec").alias("qv")),
+        "qv", "qid", 4,
+    ).collect()}
+    assert len(probed_cells) <= 8
