@@ -285,6 +285,16 @@ def q12_bpe_tokenize(spark):
     return bpe_tokenize(docs, "doc_id", "text", model["merges"])
 
 
+def q13_tpch_star(spark):
+    """TPC-H Q5 — the engine's widest star join (lineitem ⋈ orders ⋈
+    customer facts with supplier/nation/region broadcast) at sf0.1.
+    Exercises multi-join planning + broadcast propagation; the classic
+    warehouse shape the single-operator queries don't cover."""
+    from etl_spark_gradle_spark import tpch as _tpch
+
+    return _tpch.q5(spark, SF_DIR)
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -298,6 +308,7 @@ QUERIES = {
     "q10_composite": q10_composite,
     "q11_table_diff": q11_table_diff,
     "q12_bpe_tokenize": q12_bpe_tokenize,
+    "q13_tpch_star": q13_tpch_star,
 }
 
 
