@@ -33,6 +33,7 @@ from etl_spark_gradle_spark.operators.bpe import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.delta import (  # noqa: F401
     DiffTransformer,
+    Scd2Transformer,
     apply_changes,
     row_fingerprint,
     table_diff,
@@ -126,6 +127,7 @@ TRANSFORMER_REGISTRY = {
     "split": SplitTransformer(),
     "salted_aggregation": SaltedAggregationTransformer(),
     "diff": DiffTransformer(),
+    "scd2": Scd2Transformer(),
     "quantile_filter": QuantileFilterTransformer(),
     "flatten": FlattenTransformer(),
     "zorder": ZorderTransformer(),

@@ -41,7 +41,15 @@ from etl_spark_gradle_spark.plans.config import (
     ValidationResult,
 )
 
-__all__ = ["row_fingerprint", "table_diff", "apply_changes", "DiffTransformer"]
+__all__ = [
+    "row_fingerprint",
+    "table_diff",
+    "apply_changes",
+    "scd2_init",
+    "scd2_apply",
+    "DiffTransformer",
+    "Scd2Transformer",
+]
 
 
 def row_fingerprint(cols: list[str]) -> F.Column:
@@ -212,4 +220,192 @@ class DiffTransformer(_BaseTransformer):
             include_unchanged=opts.get("includeUnchanged", "").lower()
             in ("true", "1", "yes"),
             emit=opts.get("emit", "keys"),
+        )
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    effective_ts,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Bootstrap an SCD Type-2 dimension from a plain snapshot: every
+    row becomes version 1, open-ended and current. ``effective_ts`` is
+    a Column or literal string timestamp."""
+    ts = (
+        F.lit(effective_ts).cast("timestamp")
+        if isinstance(effective_ts, str)
+        else effective_ts
+    )
+    return snapshot.select(
+        *keys,
+        *attr_cols,
+        ts.alias(valid_from_col),
+        F.lit(None).cast("timestamp").alias(valid_to_col),
+        F.lit(True).alias(current_col),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    effective_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: apply a batch of change
+    rows to a versioned dimension, producing the next dimension state.
+
+    Semantics (Delta-Lake-style APPLY CHANGES, fully sequenced): change
+    rows are ordered per key by ``effective_col``; consecutive rows with
+    identical attributes (by :func:`row_fingerprint` — same 2^-64
+    residual as ``table_diff``) collapse to one version, including a
+    leading change equal to the key's CURRENT dimension row. Every
+    surviving change closes its predecessor (``valid_to`` = its
+    effective timestamp, exclusive) and opens a new version; the last
+    one per key stays current. Keys absent from the change feed — and
+    all historical (non-current) rows — pass through untouched. New
+    keys enter at their first change. Deletes are out of scope (route
+    tombstones through ``table_diff``/``apply_changes``).
+
+    Contract: effective timestamps must be unique per key within a
+    batch and later than the key's current ``valid_from`` (late-arriving
+    updates need a reprocessing run over the widened feed, same as any
+    watermarked system).
+
+    Scale design: the ONLY shuffle is the per-key window over
+    ``changes + touched current rows`` — churn-sized, not
+    dimension-sized. Historical rows and untouched current rows are a
+    scan-through union (no exchange); the touched/untouched split is a
+    semi/anti join against the distinct change keys, dimension-sized
+    only in the broadcast-able key column. At 100 TB a daily 0.1% churn
+    batch moves ~0.1% of the dimension through the window, not the
+    dimension itself.
+    """
+    from pyspark.sql.window import Window
+
+    if not keys:
+        raise ValueError("scd2_apply requires at least one key column")
+    if not attr_cols:
+        raise ValueError("scd2_apply requires at least one attribute column")
+    for c in (*keys, *attr_cols, valid_from_col, valid_to_col, current_col):
+        if c not in dim.columns:
+            raise ValueError(f"dimension is missing column: {c}")
+    for c in (*keys, *attr_cols, effective_col):
+        if c not in changes.columns:
+            raise ValueError(f"change feed is missing column: {c}")
+
+    fp = row_fingerprint(list(attr_cols))
+    out_cols = [*keys, *attr_cols, valid_from_col, valid_to_col, current_col]
+
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col)).select(*out_cols)
+    chg_keys = changes.select(*keys).distinct()
+    cur_rest = cur.join(chg_keys, on=keys, how="left_anti").select(*out_cols)
+
+    seed = cur.join(chg_keys, on=keys, how="left_semi").select(
+        *keys,
+        *attr_cols,
+        F.col(valid_from_col).alias("_ts"),
+        F.lit(0).alias("_src"),
+    )
+    feed = changes.select(
+        *keys,
+        *attr_cols,
+        F.col(effective_col).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_src"),
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("_src", "_ts")
+    timeline = (
+        seed.unionByName(feed)
+        .withColumn("_fp", fp)
+        .withColumn("_prev_fp", F.lag("_fp").over(w))
+    )
+    surv = timeline.filter(
+        F.col("_prev_fp").isNull() | (F.col("_fp") != F.col("_prev_fp"))
+    )
+    versions = (
+        surv.withColumn("_next_ts", F.lead("_ts").over(w))
+        .select(
+            *keys,
+            *attr_cols,
+            F.col("_ts").alias(valid_from_col),
+            F.col("_next_ts").alias(valid_to_col),
+            F.col("_next_ts").isNull().alias(current_col),
+        )
+    )
+    return hist.unionByName(cur_rest).unionByName(versions)
+
+
+class Scd2Transformer(_BaseTransformer):
+    """YAML step ``type: scd2``: the pipeline's current DataFrame is the
+    CHANGE FEED; the versioned dimension comes from a registered view
+    (the multi-source ``views:`` block). Output is the next dimension
+    state — route it to the sink that rewrites (or MERGEs) the
+    dimension table.
+
+    Options: ``dimTable`` (view name, required), ``keys`` (csv,
+    required), ``attrColumns`` (csv; defaults to the non-key columns
+    the feed shares with the dimension, minus the SCD bookkeeping
+    columns), ``effectiveColumn`` (required), ``validFromColumn`` /
+    ``validToColumn`` / ``currentColumn`` (default ``valid_from`` /
+    ``valid_to`` / ``is_current``).
+    """
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        if not (opts.get("dimTable") or "").strip():
+            errors.append("scd2 requires 'dimTable' (a registered view)")
+        keys = _split_csv(opts.get("keys"))
+        if not keys:
+            errors.append("scd2 requires 'keys'")
+        for k in keys:
+            if k not in df.columns:
+                errors.append(f"key not in change-feed schema: {k}")
+        eff = (opts.get("effectiveColumn") or "").strip()
+        if not eff:
+            errors.append("scd2 requires 'effectiveColumn'")
+        elif eff not in df.columns:
+            errors.append(f"effectiveColumn not in change-feed schema: {eff}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        try:
+            dim = ctx.spark.table(opts["dimTable"])
+        except Exception as exc:
+            raise TransformationError(
+                f"scd2: dimTable view '{opts['dimTable']}' not found "
+                f"(register it under the pipeline's 'views:' block): {exc}"
+            ) from exc
+        keys = _split_csv(opts.get("keys"))
+        valid_from = opts.get("validFromColumn", "valid_from")
+        valid_to = opts.get("validToColumn", "valid_to")
+        current = opts.get("currentColumn", "is_current")
+        attrs = _split_csv(opts.get("attrColumns"))
+        if not attrs:
+            scd_cols = {valid_from, valid_to, current}
+            attrs = sorted(
+                (set(df.columns) & set(dim.columns)) - set(keys) - scd_cols
+            )
+        if not attrs:
+            raise TransformationError(
+                "scd2: no attribute columns (feed and dimension share only keys)"
+            )
+        return scd2_apply(
+            dim,
+            df,
+            keys=keys,
+            attr_cols=attrs,
+            effective_col=opts["effectiveColumn"],
+            valid_from_col=valid_from,
+            valid_to_col=valid_to,
+            current_col=current,
         )

@@ -173,7 +173,7 @@ def parse_map_expressions(spec: str) -> list[tuple[str, str]]:
     return pairs
 
 
-_GROUPING_MODES = {"groupby", "rollup", "cube"}
+_GROUPING_MODES = {"groupby", "rollup", "cube", "grouping_sets"}
 
 
 def aggregate(
@@ -181,6 +181,7 @@ def aggregate(
     group_by: list[str],
     aggregations: list[AggregateExpr],
     grouping_mode: str = "groupby",
+    grouping_sets: list[list[str]] | None = None,
 ) -> DataFrame:
     """Hash aggregation: ``groupBy(cols).agg(...)`` (parity:
     ``transformer/AggregationTransformer.scala:67-68``).
@@ -193,7 +194,12 @@ def aggregate(
     ``grouping_mode`` extends the surface with ``rollup`` / ``cube``
     multi-level aggregates (SURVEY §2.7 extension — stock Spark; one
     Expand + one shuffle, subtotal rows carry NULL group keys exactly
-    like ANSI SQL ``GROUP BY ROLLUP/CUBE``).
+    like ANSI SQL ``GROUP BY ROLLUP/CUBE``), and
+    ``grouping_mode="grouping_sets"`` takes the explicit set list via
+    ``grouping_sets`` (ANSI ``GROUP BY GROUPING SETS``) — the
+    cheaper-than-cube path when a report needs only SOME of the 2^n
+    cube combinations: Expand replicates each row once per LISTED set,
+    not once per subset, so the shuffle is |sets|/2^n of the cube's.
     """
     if not aggregations:
         raise TransformationError("aggregation requires at least one AggregateExpr")
@@ -204,7 +210,21 @@ def aggregate(
         )
     aggs = [_agg_column(a) for a in aggregations]
     keys = [F.col(c) for c in group_by]
-    if mode == "rollup":
+    if mode == "grouping_sets":
+        if not grouping_sets:
+            raise TransformationError(
+                "groupingMode 'grouping_sets' requires a non-empty groupingSets list"
+            )
+        for gset in grouping_sets:
+            for c in gset:
+                if c not in group_by:
+                    raise TransformationError(
+                        f"grouping set column '{c}' must appear in groupBy"
+                    )
+        grouped = df.groupingSets(
+            [[F.col(c) for c in gset] for gset in grouping_sets], *keys
+        )
+    elif mode == "rollup":
         grouped = df.rollup(*keys)
     elif mode == "cube":
         grouped = df.cube(*keys)
@@ -1246,11 +1266,20 @@ class AggregationTransformer(_BaseTransformer):
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
     def _apply(self, df, config, ctx):
+        # groupingSets YAML form: semicolon-separated csv lists, e.g.
+        # "a,b; a; " (a trailing/empty segment = the grand-total set)
+        gsets_raw = config.options.get("groupingSets")
+        gsets = (
+            [_split_csv(seg) for seg in gsets_raw.split(";")]
+            if gsets_raw is not None
+            else None
+        )
         return aggregate(
             df,
             _split_csv(config.options.get("groupBy")),
             list(config.aggregations),
             grouping_mode=config.options.get("groupingMode", "groupby"),
+            grouping_sets=gsets,
         )
 
 

@@ -240,3 +240,107 @@ def test_apply_changes_validation(spark):
         apply_changes(prev, prev, keys=["k"])
     with pytest.raises(ValueError, match="at least one key"):
         apply_changes(prev, keys_only, keys=[])
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2
+# ---------------------------------------------------------------------------
+
+
+def _scd2_fixtures(spark):
+    from etl_spark_gradle_spark.operators.delta import scd2_init
+
+    dim_src = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], ["k", "tier"]
+    )
+    dim = scd2_init(dim_src, ["k"], ["tier"], "2020-01-01")
+    changes = spark.createDataFrame(
+        [
+            # k=1: gold -> silver -> silver (consecutive dup collapses) -> gold
+            (1, "silver", "2020-02-01 00:00:00"),
+            (1, "silver", "2020-03-01 00:00:00"),
+            (1, "gold", "2020-04-01 00:00:00"),
+            # k=2: leading change equal to current -> fully collapses
+            (2, "silver", "2020-02-15 00:00:00"),
+            # k=4: brand-new key
+            (4, "gold", "2020-05-01 00:00:00"),
+        ],
+        ["k", "tier", "eff"],
+    )
+    return dim, changes
+
+
+def test_scd2_apply_sequencing_and_collapse(spark):
+    from etl_spark_gradle_spark.operators.delta import scd2_apply
+
+    dim, changes = _scd2_fixtures(spark)
+    out = scd2_apply(dim, changes, ["k"], ["tier"], "eff")
+    rows = {
+        (r.k, r.tier, str(r.valid_from)[:10], str(r.valid_to)[:10] if r.valid_to else None, r.is_current)
+        for r in out.collect()
+    }
+    assert rows == {
+        # k=1: three versions (the 03-01 duplicate silver collapsed)
+        (1, "gold", "2020-01-01", "2020-02-01", False),
+        (1, "silver", "2020-02-01", "2020-04-01", False),
+        (1, "gold", "2020-04-01", None, True),
+        # k=2: change identical to current collapsed -> still version 1
+        (2, "silver", "2020-01-01", None, True),
+        # k=3: untouched passthrough
+        (3, "bronze", "2020-01-01", None, True),
+        # k=4: new key enters at its first change
+        (4, "gold", "2020-05-01", None, True),
+    }
+
+
+def test_scd2_apply_preserves_history_rows(spark):
+    from etl_spark_gradle_spark.operators.delta import scd2_apply
+
+    dim, changes = _scd2_fixtures(spark)
+    once = scd2_apply(dim, changes, ["k"], ["tier"], "eff")
+    # second batch touching only k=3: every closed row from batch 1
+    # must pass through bit-identically
+    batch2 = spark.createDataFrame([(3, "gold", "2021-01-01 00:00:00")], ["k", "tier", "eff"])
+    twice = scd2_apply(once, batch2, ["k"], ["tier"], "eff")
+    hist_once = {tuple(map(str, r)) for r in once.where("NOT is_current").collect()}
+    hist_twice = {tuple(map(str, r)) for r in twice.where("NOT is_current").collect()}
+    assert hist_once <= hist_twice
+    assert twice.where("k = 3").count() == 2
+    assert twice.where("k = 3 AND is_current").collect()[0].tier == "gold"
+
+
+def test_scd2_apply_validation(spark):
+    from etl_spark_gradle_spark.operators.delta import scd2_apply
+
+    dim, changes = _scd2_fixtures(spark)
+    with pytest.raises(ValueError, match="at least one key"):
+        scd2_apply(dim, changes, [], ["tier"], "eff")
+    with pytest.raises(ValueError, match="at least one attribute"):
+        scd2_apply(dim, changes, ["k"], [], "eff")
+    with pytest.raises(ValueError, match="missing column"):
+        scd2_apply(dim.drop("valid_to"), changes, ["k"], ["tier"], "eff")
+    with pytest.raises(ValueError, match="missing column"):
+        scd2_apply(dim, changes.drop("eff"), ["k"], ["tier"], "eff")
+
+
+def test_scd2_transformer_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators.delta import Scd2Transformer
+
+    dim, changes = _scd2_fixtures(spark)
+    dim.createOrReplaceTempView("scd2_dim_v")
+    t = Scd2Transformer()
+    cfg = TransformationConfig(
+        type="scd2",
+        options={"dimTable": "scd2_dim_v", "keys": "k", "effectiveColumn": "eff"},
+    )
+    assert t.validate(changes, cfg).is_valid
+    out = t.transform(changes, cfg, RunContext(spark=spark, run_id="t", pipeline_id="t"))
+    # attrColumns defaulted to the shared non-key, non-SCD column: tier
+    assert out.where("is_current").count() == 4
+
+    bad = TransformationConfig(type="scd2", options={"keys": "k", "effectiveColumn": "eff"})
+    assert not t.validate(changes, bad).is_valid
+    missing_eff = TransformationConfig(
+        type="scd2", options={"dimTable": "scd2_dim_v", "keys": "k"}
+    )
+    assert not t.validate(changes, missing_eff).is_valid

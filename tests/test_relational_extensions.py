@@ -198,6 +198,56 @@ def test_rollup_cube_modes(spark, kv):
         aggregate(df, ["g1"], aggs, grouping_mode="bogus")
 
 
+def test_grouping_sets_mode(spark):
+    from etl_spark_gradle_spark.operators.relational import aggregate
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["g1", "g2", "n"]
+    )
+    aggs = [AggregateExpr("n", "sum", "s")]
+    out = aggregate(
+        df,
+        ["g1", "g2"],
+        aggs,
+        grouping_mode="grouping_sets",
+        grouping_sets=[["g1"], ["g2"], []],
+    )
+    rows = {(r.g1, r.g2, r.s) for r in out.collect()}
+    assert rows == {
+        ("a", None, 3),
+        ("b", None, 4),
+        (None, "x", 5),
+        (None, "y", 2),
+        (None, None, 7),
+    }
+    # grouping-set columns must be declared in group_by
+    with pytest.raises(TransformationError, match="must appear in groupBy"):
+        aggregate(df, ["g1"], aggs, grouping_mode="grouping_sets",
+                  grouping_sets=[["g2"]])
+    with pytest.raises(TransformationError, match="non-empty groupingSets"):
+        aggregate(df, ["g1"], aggs, grouping_mode="grouping_sets")
+
+
+def test_grouping_sets_yaml_adapter(spark):
+    ctx = RunContext.create("t", spark)
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["g1", "g2", "n"]
+    )
+    t = TRANSFORMER_REGISTRY["aggregation"]
+    cfg = TransformationConfig(
+        type="aggregation",
+        options={
+            "groupBy": "g1,g2",
+            "groupingMode": "grouping_sets",
+            "groupingSets": "g1; g2; ",
+        },
+        aggregations=[AggregateExpr("n", "sum", "s")],
+    )
+    out = t.transform(df, cfg, ctx)
+    # "g1; g2; " = per-g1, per-g2, grand total
+    assert out.count() == 2 + 2 + 1
+
+
 def test_asof_range_registry_adapters(spark):
     ctx = RunContext.create("t", spark)
     asof = TRANSFORMER_REGISTRY["asof_join"]
