@@ -3392,6 +3392,55 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch, relational form (cells as rows, md5
+    hash flavor so DuckDB replicates every cell): build over lineitem
+    part keys at width 512 (2k distinct keys → real collisions), then
+    point-query the top-15 true keys. Emits (key, true_cnt, cms_count)
+    — the oracle recomputes the identical sketch and estimates, so the
+    value-hash checks both the never-undercount guarantee AND the
+    exact collision pattern."""
+    from etl_spark_gradle_spark.operators import sketch as _sk
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cms = _sk.build_cms(li, "l_partkey", depth=4, width=512, hash_fn="md5")
+    topk = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("l_partkey"))
+        .limit(15)
+    )
+    return _sk.cms_estimate(
+        cms, topk, "l_partkey", depth=4, width=512, hash_fn="md5"
+    ).select("l_partkey", "true_cnt", "cms_count")
+
+
+_CMS_ORACLE = """
+WITH ds AS (SELECT unnest(range(4)) AS d),
+cells AS (
+  SELECT ds.d,
+         CAST(('0x' || substr(md5('cms' || ds.d || ':' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS w,
+         COUNT(*) AS cnt
+  FROM lineitem CROSS JOIN ds
+  WHERE l_partkey IS NOT NULL
+  GROUP BY 1, 2
+), topk AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM lineitem GROUP BY 1
+  ORDER BY true_cnt DESC, l_partkey ASC LIMIT 15
+), probes AS (
+  SELECT k.l_partkey, k.true_cnt, ds.d,
+         CAST(('0x' || substr(md5('cms' || ds.d || ':' || CAST(k.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS w
+  FROM topk k CROSS JOIN ds
+)
+SELECT p.l_partkey, p.true_cnt,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.w = c.w
+GROUP BY p.l_partkey, p.true_cnt
+"""
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension maintenance: bootstrap the customer
     dimension, then apply a sequenced change feed derived from orders
@@ -3558,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: r4 late additions queued for the r5 window ----
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
+        "cms_topk": q_cms,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -3633,6 +3683,7 @@ def oracle_sql() -> dict[str, str]:
         **_tpch.ORACLES,
         "grouping_sets": _GROUPING_SETS_ORACLE,
         "scd2": _SCD2_ORACLE,
+        "cms_topk": _CMS_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

@@ -223,6 +223,145 @@ def histogram_quantile(
     return est.cast(out_type)
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency), relational representation
+# ---------------------------------------------------------------------------
+
+_CMS_HASH_FNS = ("xxhash64", "md5")
+
+
+def _cms_cell(column: str, i: int, width: int, hash_fn: str):
+    """Row index ``i``'s cell for a value: ``h_i(value) mod width``.
+
+    ``xxhash64`` (default) stays in whole-stage codegen and is the fast
+    path; ``md5`` derives the cell from the first 8 hex chars (portable
+    across engines — DuckDB computes the identical cell, which is what
+    makes the driver's value-hash oracle possible). Nulls hash to a
+    reserved per-row cell? No — nulls return null and are EXCLUDED
+    (counted by the caller separately if needed), matching COUNT(x)
+    semantics."""
+    v = F.col(column).cast("string")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(i), v)
+    else:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), v)), 1, 8), 16, 10
+        ).cast("long")
+    return F.when(v.isNull(), F.lit(None)).otherwise(F.pmod(h, F.lit(width)).cast("int"))
+
+
+def build_cms(
+    df: DataFrame,
+    column: str,
+    depth: int = 4,
+    width: int = 8192,
+    group_by: list[str] | None = None,
+    weight_col: str | None = None,
+    counts_col: str = "cnt",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-min frequency sketch as a RELATIONAL table: one row per
+    non-empty cell ``(group..., d, w, cnt)``. The third mergeable
+    sketch beside HLL (distinct) and the fixed-bin histogram
+    (quantiles): persist per-partition/per-day sketches once, answer
+    every later "how often did key X appear" without re-scanning raw
+    data, with the classic CMS guarantee — estimates never undercount,
+    and overcount by at most ``e/width × N`` with probability
+    ``1 − e^−depth``.
+
+    Representing the sketch as rows instead of an opaque binary keeps
+    everything JVM-side and mergeable by plain ``GROUP BY sum`` — no
+    UDAF, no serialization format, and the driver's DuckDB oracle can
+    replicate it cell-for-cell (``hash_fn="md5"``).
+
+    Plan shape: ``posexplode`` multiplies rows by ``depth`` (4×)
+    BEFORE a hash aggregation whose partial collapses each task to at
+    most ``depth × width`` cells — the shuffle carries bounded sketch
+    state, never the corpus. ``weight_col`` sums a weight instead of
+    counting (pre-aggregated input)."""
+    if depth < 1 or width < 2:
+        raise TransformationError("cms requires depth >= 1 and width >= 2")
+    if hash_fn not in _CMS_HASH_FNS:
+        raise TransformationError(
+            f"cms hash_fn must be one of {_CMS_HASH_FNS}, got '{hash_fn}'"
+        )
+    group_by = group_by or []
+    cells = F.array(*[_cms_cell(column, i, width, hash_fn) for i in range(depth)])
+    agg = (
+        F.sum(F.col(weight_col)).cast("long") if weight_col else F.count("*")
+    ).alias(counts_col)
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(*group_by, *( [F.col(weight_col)] if weight_col else [] ), F.posexplode(cells).alias("d", "w"))
+        .groupBy(*group_by, "d", "w")
+        .agg(agg)
+    )
+
+
+def merge_cms(
+    df: DataFrame,
+    group_by: list[str] | None = None,
+    counts_col: str = "cnt",
+) -> DataFrame:
+    """Roll pre-built CMS tables up to a coarser grouping (or to one
+    global sketch): cell-wise sum — exactly mergeable, KB-sized
+    shuffles. Input is the output of :func:`build_cms` (or a union of
+    several)."""
+    group_by = group_by or []
+    for c in (*group_by, "d", "w", counts_col):
+        if c not in df.columns:
+            raise TransformationError(f"merge_cms input is missing column: {c}")
+    return (
+        df.groupBy(*group_by, "d", "w")
+        .agg(F.sum(F.col(counts_col)).cast("long").alias(counts_col))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    column: str,
+    depth: int,
+    width: int,
+    counts_col: str = "cnt",
+    estimate_col: str = "cms_count",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Point-query a CMS: for every row of ``items``, the estimated
+    frequency of ``column``'s value — ``min`` over the ``depth`` probed
+    cells, 0 when a cell is empty (never undercounts the true total
+    the sketch was built over).
+
+    ``depth``/``width``/``hash_fn`` MUST match the build (a relational
+    sketch carries no self-describing header; wrap the three in config
+    where the sketch is persisted). Plan shape: items × depth probe
+    rows hash-join the sketch — broadcast when the sketch is
+    KB/MB-sized (depth × width cells bounded), the items side never
+    moves twice."""
+    if hash_fn not in _CMS_HASH_FNS:
+        raise TransformationError(
+            f"cms hash_fn must be one of {_CMS_HASH_FNS}, got '{hash_fn}'"
+        )
+    for c in ("d", "w", counts_col):
+        if c not in sketch.columns:
+            raise TransformationError(f"cms_estimate sketch is missing column: {c}")
+    cells = F.array(*[_cms_cell(column, i, width, hash_fn) for i in range(depth)])
+    probes = items.select(
+        *items.columns, F.posexplode(cells).alias("d", "w")
+    )
+    joined = probes.join(
+        F.broadcast(sketch.select("d", "w", counts_col)), on=["d", "w"], how="left"
+    )
+    return (
+        joined.groupBy(*items.columns)
+        .agg(
+            F.min(F.coalesce(F.col(counts_col), F.lit(0)))
+            .cast("long")
+            .alias(estimate_col)
+        )
+    )
+
+
 class SketchTransformer:
     """Registry adapter (``type: sketch``).
 
@@ -249,9 +388,12 @@ class SketchTransformer:
     def validate(self, df: DataFrame, config) -> ValidationResult:
         opts = config.options
         strategy = opts.get("strategy", "build").lower()
-        if strategy not in ("build", "merge", "histogram", "merge_histogram"):
+        if strategy not in (
+            "build", "merge", "histogram", "merge_histogram", "cms", "cms_merge"
+        ):
             return ValidationResult.fail(
-                f"sketch strategy must be build|merge|histogram|merge_histogram, got '{strategy}'"
+                "sketch strategy must be build|merge|histogram|merge_histogram"
+                f"|cms|cms_merge, got '{strategy}'"
             )
         missing = [c for c in _split_csv(opts.get("groupBy")) if c not in df.columns]
         if strategy == "histogram":
@@ -266,6 +408,20 @@ class SketchTransformer:
             cc = opts.get("countsColumn", "hist_counts")
             if cc not in df.columns:
                 missing.append(cc)
+        elif strategy == "cms":
+            column = opts.get("column")
+            if not column:
+                return ValidationResult.fail("cms requires 'column'")
+            if column not in df.columns:
+                missing.append(column)
+            if opts.get("hashFn", "xxhash64") not in _CMS_HASH_FNS:
+                return ValidationResult.fail(
+                    f"cms hashFn must be one of {_CMS_HASH_FNS}"
+                )
+        elif strategy == "cms_merge":
+            for c in ("d", "w", opts.get("countsColumn", "cnt")):
+                if c not in df.columns:
+                    missing.append(c)
         elif strategy == "build":
             column = opts.get("column")
             if not column:
@@ -319,6 +475,19 @@ class SketchTransformer:
                     histogram_quantile(cc, float(opts["lo"]), float(opts["hi"]), float(q)),
                 )
             return out
+        if strategy == "cms":
+            return build_cms(
+                df,
+                opts["column"],
+                depth=int(opts.get("depth", 4)),
+                width=int(opts.get("width", 8192)),
+                group_by=group_by,
+                weight_col=opts.get("weightColumn"),
+                counts_col=opts.get("countsColumn", "cnt"),
+                hash_fn=opts.get("hashFn", "xxhash64"),
+            )
+        if strategy == "cms_merge":
+            return merge_cms(df, group_by, counts_col=opts.get("countsColumn", "cnt"))
         if strategy == "merge":
             return merge_sketches(
                 df,

@@ -227,3 +227,105 @@ def test_sketch_transformer_histogram_strategies(spark):
             ),
             ctx,
         )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_often_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.sketch import build_cms, cms_estimate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    true = li.groupBy("l_partkey").agg(F.count("*").alias("true_cnt"))
+    # narrow width -> real collisions; estimates must still never undercount
+    cms = build_cms(li, "l_partkey", depth=4, width=256)
+    est = cms_estimate(cms, true, "l_partkey", depth=4, width=256)
+    rows = est.collect()
+    assert all(r.cms_count >= r.true_cnt for r in rows)
+    # wide sketch -> exact for every key at this cardinality
+    wide = build_cms(li, "l_partkey", depth=4, width=65536)
+    exact = cms_estimate(wide, true, "l_partkey", depth=4, width=65536).collect()
+    assert all(r.cms_count == r.true_cnt for r in exact)
+
+
+def test_cms_merge_equals_single_build(spark, sf_dir):
+    from etl_spark_gradle_spark.operators.sketch import build_cms, merge_cms
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    whole = build_cms(li, "l_suppkey", depth=3, width=1024)
+    a = build_cms(li.where("l_orderkey % 2 = 0"), "l_suppkey", depth=3, width=1024)
+    b = build_cms(li.where("l_orderkey % 2 = 1"), "l_suppkey", depth=3, width=1024)
+    merged = merge_cms(a.unionByName(b))
+    w = {(r.d, r.w): r.cnt for r in whole.collect()}
+    m = {(r.d, r.w): r.cnt for r in merged.collect()}
+    assert w == m
+
+
+def test_cms_absent_key_zero_and_null_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.sketch import build_cms, cms_estimate
+
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",)], ["k"])
+    cms = build_cms(df, "k", depth=3, width=64)
+    # total mass per depth row == non-null rows (nulls excluded)
+    per_d = {r.d: r.total for r in
+             cms.groupBy("d").agg(F.sum("cnt").alias("total")).collect()}
+    assert per_d == {0: 3, 1: 3, 2: 3}
+    items = spark.createDataFrame([("zzz-not-present",)], ["k"])
+    est = cms_estimate(cms, items, "k", depth=3, width=64).collect()
+    # a key that shares no cell with any input estimates 0 (width 64 and
+    # 3 rows of 3 distinct values -> collision on all 3 rows is ~(3/64)^3)
+    assert est[0].cms_count in (0, 1, 2)  # never negative, bounded above by mass
+
+
+def test_cms_weighted_build(spark):
+    from etl_spark_gradle_spark.operators.sketch import build_cms, cms_estimate
+
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 2)], ["k", "n"])
+    cms = build_cms(df, "k", depth=3, width=64, weight_col="n")
+    items = spark.createDataFrame([("a",), ("b",)], ["k"])
+    est = {r.k: r.cms_count for r in
+           cms_estimate(cms, items, "k", depth=3, width=64).collect()}
+    assert est["a"] >= 15 and est["b"] >= 2
+
+
+def test_cms_validation_and_yaml_adapter(spark):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.sketch import build_cms, merge_cms
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    with _pytest.raises(TransformationError, match="depth"):
+        build_cms(df, "k", depth=0)
+    with _pytest.raises(TransformationError, match="hash_fn"):
+        build_cms(df, "k", hash_fn="sha9000")
+    with _pytest.raises(TransformationError, match="missing column"):
+        merge_cms(df)
+
+    t = TRANSFORMER_REGISTRY["sketch"]
+    ctx = RunContext.create("t", spark)
+    cfg = TransformationConfig(
+        type="sketch",
+        options={"strategy": "cms", "column": "k", "depth": "3", "width": "64"},
+    )
+    out = t.transform(df, cfg, ctx)
+    assert set(out.columns) == {"d", "w", "cnt"}
+    assert out.count() == 3
+    merged = t.transform(
+        out,
+        TransformationConfig(type="sketch", options={"strategy": "cms_merge"}),
+        ctx,
+    )
+    assert merged.count() == 3
+    bad = t.validate(
+        df, TransformationConfig(type="sketch", options={"strategy": "cms"})
+    )
+    assert not bad.is_valid
