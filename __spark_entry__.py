@@ -3441,6 +3441,54 @@ GROUP BY p.l_partkey, p.true_cnt
 """
 
 
+def q_cms_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS as a counting Bloom filter: prune lineitem to rows whose
+    part key appears >= 40 times (per a width-256 sketch — narrow
+    enough that collisions are part of what the oracle must replicate),
+    then aggregate survivors per return flag. The probe side is never
+    shuffled: depth broadcast joins + a scan predicate."""
+    from etl_spark_gradle_spark.operators import sketch as _sk
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cms = _sk.build_cms(li, "l_partkey", depth=4, width=256, hash_fn="md5")
+    kept = _sk.cms_prune(
+        li, "l_partkey", cms, depth=4, width=256, min_count=40, hash_fn="md5"
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("kept_rows"),
+        F.countDistinct("l_partkey").alias("kept_parts"),
+    )
+
+
+_CMS_PRUNE_ORACLE = """
+WITH ds AS (SELECT unnest(range(4)) AS d),
+cells AS (
+  SELECT ds.d,
+         CAST(('0x' || substr(md5('cms' || ds.d || ':' || CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS w,
+         COUNT(*) AS cnt
+  FROM lineitem CROSS JOIN ds
+  WHERE l_partkey IS NOT NULL
+  GROUP BY 1, 2
+), keys AS (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL
+), probes AS (
+  SELECT k.l_partkey, ds.d,
+         CAST(('0x' || substr(md5('cms' || ds.d || ':' || CAST(k.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS w
+  FROM keys k CROSS JOIN ds
+), est AS (
+  SELECT p.l_partkey, MIN(COALESCE(c.cnt, 0)) AS e
+  FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.w = c.w
+  GROUP BY p.l_partkey
+), keep AS (SELECT l_partkey FROM est WHERE e >= 40)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS kept_rows,
+       CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS kept_parts
+FROM lineitem l JOIN keep USING (l_partkey)
+GROUP BY l_returnflag
+"""
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension maintenance: bootstrap the customer
     dimension, then apply a sequenced change feed derived from orders
@@ -3608,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
         "cms_topk": q_cms,
+        "cms_prune": q_cms_prune,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -3684,6 +3733,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": _GROUPING_SETS_ORACLE,
         "scd2": _SCD2_ORACLE,
         "cms_topk": _CMS_ORACLE,
+        "cms_prune": _CMS_PRUNE_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

@@ -362,6 +362,63 @@ def cms_estimate(
     )
 
 
+def cms_prune(
+    df: DataFrame,
+    column: str,
+    sketch: DataFrame,
+    depth: int,
+    width: int,
+    min_count: int = 1,
+    counts_col: str = "cnt",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Frequency-gated row pruning against a CMS — the CMS used as a
+    counting Bloom filter. Keeps rows whose ``column`` value's
+    estimated frequency in the sketch's source corpus is
+    ``>= min_count``; because CMS never undercounts there are NO false
+    negatives (every truly-frequent-enough row survives), only bounded
+    false positives from cell collisions.
+
+    The 100 TB use cases: (a) ``min_count=1`` ≈ a Bloom-filtered
+    semi-join — prune a fact scan against a key set too big to
+    broadcast exactly but fixed-size as a sketch (depth × width cells
+    regardless of key count); (b) ``min_count=k`` — vocabulary/entity
+    pruning ("keep tokens seen ≥ k times corpus-wide") without ever
+    materializing the vocabulary. Spark's own runtime bloom-filter
+    rewrite does (a) internally but exposes no API; this is the
+    declarative equivalent with counting on top.
+
+    Plan shape: ``depth`` BROADCAST hash joins (one per sketch row,
+    each ``width`` cells max) and a scan predicate — the input is never
+    shuffled, never row-multiplied; everything stays in whole-stage
+    codegen."""
+    if hash_fn not in _CMS_HASH_FNS:
+        raise TransformationError(
+            f"cms hash_fn must be one of {_CMS_HASH_FNS}, got '{hash_fn}'"
+        )
+    if min_count < 1:
+        raise TransformationError("cms_prune min_count must be >= 1")
+    for c in ("d", "w", counts_col):
+        if c not in sketch.columns:
+            raise TransformationError(f"cms_prune sketch is missing column: {c}")
+    out = df
+    keep = F.lit(True)
+    helpers = []
+    for i in range(depth):
+        w_col, c_col = f"_cms_w{i}", f"_cms_c{i}"
+        helpers += [w_col, c_col]
+        slice_i = sketch.where(F.col("d") == i).select(
+            F.col("w").alias(w_col), F.col(counts_col).alias(c_col)
+        )
+        out = out.join(
+            F.broadcast(slice_i),
+            _cms_cell(column, i, width, hash_fn) == F.col(w_col),
+            "left",
+        )
+        keep = keep & (F.coalesce(F.col(c_col), F.lit(0)) >= min_count)
+    return out.where(keep).drop(*helpers)
+
+
 class SketchTransformer:
     """Registry adapter (``type: sketch``).
 

@@ -329,3 +329,59 @@ def test_cms_validation_and_yaml_adapter(spark):
         df, TransformationConfig(type="sketch", options={"strategy": "cms"})
     )
     assert not bad.is_valid
+
+
+def test_cms_prune_no_false_negatives_and_min_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.sketch import build_cms, cms_prune
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cms = build_cms(li, "l_partkey", depth=4, width=1024)
+    kept = cms_prune(li, "l_partkey", cms, depth=4, width=1024, min_count=30)
+    freq = {
+        r.l_partkey
+        for r in li.groupBy("l_partkey").count().where("count >= 30").collect()
+    }
+    kept_keys = {r.l_partkey for r in kept.select("l_partkey").distinct().collect()}
+    # CMS never undercounts -> every truly-frequent key MUST survive
+    assert freq <= kept_keys
+    # survivors' estimated floor: every kept key has every cell >= 30,
+    # so its TRUE count can be below 30 only via collisions; at width
+    # 1024 over ~200 keys that should be rare (<= a few)
+    assert len(kept_keys - freq) <= 5
+
+
+def test_cms_prune_is_shuffle_free_for_the_probe_side(spark, sf_dir):
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_spark_gradle_spark.operators.sketch import build_cms, cms_prune
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cms = build_cms(li, "l_partkey", depth=3, width=512)
+    kept = cms_prune(li, "l_partkey", cms, depth=3, width=512, min_count=10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        kept.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    # formatted explain lists each node in the tree AND a "(n) Node"
+    # detail block - count the detail headers, one per physical node
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_prune_validation(spark):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.sketch import build_cms, cms_prune
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    cms = build_cms(df, "k", depth=2, width=16)
+    with _pytest.raises(TransformationError, match="min_count"):
+        cms_prune(df, "k", cms, depth=2, width=16, min_count=0)
+    with _pytest.raises(TransformationError, match="missing column"):
+        cms_prune(df, "k", cms.drop("cnt"), depth=2, width=16)
