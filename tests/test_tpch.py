@@ -112,3 +112,25 @@ def test_q7_returns_rows_at_sf001_or_larger(spark, duck):
     ).fetchone()[0]
     sf001.close()
     assert n >= 0 and n_01 > 0
+
+
+def test_q5_survives_big_data_stats(spark, sf_dir):
+    """Simulate 100-TB-scale size statistics by disabling auto-broadcast:
+    the EXPLICIT dim broadcasts (region/nation/supplier chain) must
+    survive, while the fact joins (lineitem⋈orders, orders⋈customer)
+    flip to shuffle joins — the plan the suite would run on a real
+    cluster, reached with zero code change."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(tpch.q5(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M))
+    shuffle_joins = len(
+        re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan, re.M)
+    )
+    assert bhj == 3
+    assert shuffle_joins == 2
