@@ -3441,6 +3441,45 @@ GROUP BY p.l_partkey, p.true_cnt
 """
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval evidence: rank documents against a 3-term probe
+    and emit the INTEGER evidence (match-term count, summed tf, doc
+    length) — exact and order-independent, proving tokenize → posting
+    filter → df/scalar joins → per-doc re-agg end-to-end. The float
+    BM25 score over these same integers is pinned bit-for-bit to a
+    pure-Python reference in tests/test_retrieval.py (same split as
+    lm_score, avoiding cross-engine ln() last-ulp drift). ASCII
+    whitespace + lowercase parity per the model_score oracle note."""
+    from etl_spark_gradle_spark.operators import retrieval as _rt
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = _rt.bm25_scores(docs, "doc_id", "text", ["the", "data", "model"])
+    return out.select("doc_id", "n_match_terms", "sum_tf", "doc_len")
+
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), lens AS (
+  SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY 1
+), hits AS (
+  SELECT * FROM tf WHERE term IN ('the', 'data', 'model')
+)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_match_terms,
+       CAST(SUM(h.tf) AS BIGINT) AS sum_tf,
+       CAST(ANY_VALUE(l.doc_len) AS BIGINT) AS doc_len
+FROM hits h JOIN lens l USING (doc_id)
+GROUP BY h.doc_id
+"""
+
+
 def q_cms_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS as a counting Bloom filter: prune lineitem to rows whose
     part key appears >= 40 times (per a width-256 sketch — narrow
@@ -3657,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "cms_topk": q_cms,
         "cms_prune": q_cms_prune,
+        "bm25": q_bm25,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -3734,6 +3774,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2": _SCD2_ORACLE,
         "cms_topk": _CMS_ORACLE,
         "cms_prune": _CMS_PRUNE_ORACLE,
+        "bm25": _BM25_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

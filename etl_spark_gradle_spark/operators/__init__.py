@@ -98,6 +98,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     sql_transform,
     window_aggregate,
 )
+from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
 from etl_spark_gradle_spark.quality import SchemaAlignTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.text import (  # noqa: F401
@@ -133,6 +134,7 @@ TRANSFORMER_REGISTRY = {
     "zorder": ZorderTransformer(),
     "schema_align": SchemaAlignTransformer(),
     "sketch": SketchTransformer(),
+    "bm25": Bm25Transformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),
