@@ -3441,6 +3441,77 @@ GROUP BY p.l_partkey, p.true_cnt
 """
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations engine: an 8-check battery over
+    lineitem — every row-local check a conditional sum in ONE
+    aggregation job (vs the reference's job-per-metric,
+    quality/DataQualityChecker.scala:61-114), unique as count-distinct
+    state in the same job, referential integrity as anti-join counts
+    (one passing against orders, one with REAL orphans against the
+    positive-balance supplier subset). Report rows are exact integers."""
+    from etl_spark_gradle_spark.quality import expectations_report
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp_pos = _t(spark, sf_dir, "supplier").where("s_acctbal > 0")
+    checks = [
+        {"type": "not_null", "column": "l_orderkey"},
+        {"name": "range:l_quantity:1-30", "type": "range", "column": "l_quantity",
+         "lo": 1, "hi": 30},
+        {"type": "in_set", "column": "l_returnflag", "values": ["A", "N", "R"]},
+        {"type": "pattern", "column": "l_linestatus", "pattern": "^[FO]$"},
+        {"name": "custom:positive_price", "type": "custom",
+         "expr": "l_extendedprice > 0"},
+        {"type": "unique", "column": "l_orderkey"},
+        {"name": "ref:l_orderkey->orders", "type": "ref", "column": "l_orderkey",
+         "ref_df": orders, "ref_column": "o_orderkey"},
+        {"name": "ref:l_suppkey->supp_pos", "type": "ref", "column": "l_suppkey",
+         "ref_df": supp_pos, "ref_column": "s_suppkey"},
+    ]
+    return expectations_report(li, checks)
+
+
+_EXPECTATIONS_ORACLE = """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+SELECT 'not_null:l_orderkey' AS check_name, 'not_null' AS check_type,
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS violations,
+       total, (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) = 0 AS passed FROM t
+UNION ALL
+SELECT 'range:l_quantity:1-30', 'range',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)) AS BIGINT),
+       total, (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)) = 0 FROM t
+UNION ALL
+SELECT 'in_set:l_returnflag', 'in_set',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+       total, (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')) = 0 FROM t
+UNION ALL
+SELECT 'pattern:l_linestatus', 'pattern',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[FO]$')) AS BIGINT),
+       total, (SELECT COUNT(*) FROM lineitem WHERE l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[FO]$')) = 0 FROM t
+UNION ALL
+SELECT 'custom:positive_price', 'custom',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(l_extendedprice > 0, FALSE)) AS BIGINT),
+       total, (SELECT COUNT(*) FROM lineitem WHERE NOT COALESCE(l_extendedprice > 0, FALSE)) = 0 FROM t
+UNION ALL
+SELECT 'unique:l_orderkey', 'unique',
+       CAST((SELECT COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT),
+       total, (SELECT COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) FROM lineitem) = 0 FROM t
+UNION ALL
+SELECT 'ref:l_orderkey->orders', 'ref',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+       total, (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 FROM t
+UNION ALL
+SELECT 'ref:l_suppkey->supp_pos', 'ref',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+             AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)) AS BIGINT),
+       total, (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+             AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)) = 0 FROM t
+"""
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval evidence: rank documents against a 3-term probe
     and emit the INTEGER evidence (match-term count, summed tf, doc
@@ -3697,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms,
         "cms_prune": q_cms_prune,
         "bm25": q_bm25,
+        "expectations": q_expectations,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -3775,6 +3847,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_topk": _CMS_ORACLE,
         "cms_prune": _CMS_PRUNE_ORACLE,
         "bm25": _BM25_ORACLE,
+        "expectations": _EXPECTATIONS_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

@@ -100,7 +100,10 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
-from etl_spark_gradle_spark.quality import SchemaAlignTransformer  # noqa: F401
+from etl_spark_gradle_spark.quality import (  # noqa: F401
+    ExpectTransformer,
+    SchemaAlignTransformer,
+)
 from etl_spark_gradle_spark.operators.text import (  # noqa: F401
     ModelScoreTransformer,
     TextAnalysisTransformer,
@@ -133,6 +136,7 @@ TRANSFORMER_REGISTRY = {
     "flatten": FlattenTransformer(),
     "zorder": ZorderTransformer(),
     "schema_align": SchemaAlignTransformer(),
+    "expect": ExpectTransformer(),
     "sketch": SketchTransformer(),
     "bm25": Bm25Transformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)

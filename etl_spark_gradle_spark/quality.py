@@ -275,3 +275,262 @@ class SchemaAlignTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"schema_align({opts})"
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations (Deequ-style, single-pass)
+# ---------------------------------------------------------------------------
+
+_EXPECTATION_TYPES = (
+    "not_null", "unique", "range", "in_set", "pattern", "custom", "ref"
+)
+
+
+def _check_violation_expr(check: dict):
+    """Violation indicator (1/0) for one non-referential check."""
+    ctype = check["type"]
+    col = check.get("column")
+    if ctype == "not_null":
+        return F.col(col).isNull().cast("long")
+    if ctype == "range":
+        c = F.col(col)
+        cond = F.lit(False)
+        if check.get("lo") is not None:
+            cond = cond | (c < F.lit(check["lo"]))
+        if check.get("hi") is not None:
+            cond = cond | (c > F.lit(check["hi"]))
+        return (c.isNotNull() & cond).cast("long")
+    if ctype == "in_set":
+        c = F.col(col)
+        return (c.isNotNull() & ~c.isin(list(check["values"]))).cast("long")
+    if ctype == "pattern":
+        c = F.col(col).cast("string")
+        return (c.isNotNull() & ~c.rlike(check["pattern"])).cast("long")
+    if ctype == "custom":
+        return (~F.coalesce(F.expr(check["expr"]), F.lit(False))).cast("long")
+    raise TransformationErrorProxy(f"unsupported expectation type: {ctype}")
+
+
+class TransformationErrorProxy(ValueError):
+    """Local error type so quality.py keeps no import on relational.py
+    (which imports nothing from here — avoids a cycle); the executor
+    treats any exception from a transformer as a typed failure."""
+
+
+def _normalize_checks(checks: list[dict]) -> list[dict]:
+    out = []
+    for i, c in enumerate(checks):
+        c = dict(c)
+        ctype = c.get("type")
+        if ctype not in _EXPECTATION_TYPES:
+            raise TransformationErrorProxy(
+                f"expectation type must be one of {_EXPECTATION_TYPES}, got '{ctype}'"
+            )
+        if ctype in ("not_null", "unique", "range", "in_set", "pattern", "ref") and not c.get("column"):
+            raise TransformationErrorProxy(f"expectation #{i} ({ctype}) requires 'column'")
+        if ctype == "custom" and not c.get("expr"):
+            raise TransformationErrorProxy("custom expectation requires 'expr'")
+        if ctype == "in_set" and not c.get("values"):
+            raise TransformationErrorProxy("in_set expectation requires 'values'")
+        if ctype == "pattern" and not c.get("pattern"):
+            raise TransformationErrorProxy("pattern expectation requires 'pattern'")
+        if ctype == "range" and c.get("lo") is None and c.get("hi") is None:
+            raise TransformationErrorProxy("range expectation requires 'lo' and/or 'hi'")
+        if ctype == "ref" and c.get("ref_df") is None:
+            raise TransformationErrorProxy("ref expectation requires 'ref_df'")
+        c.setdefault(
+            "name",
+            f"{ctype}:{c.get('column') or c.get('expr')}",
+        )
+        out.append(c)
+    return out
+
+
+def expectations_report(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Declarative data-expectations engine: evaluate every check and
+    return one report row per check — ``(check_name, check_type,
+    violations, total, passed)``, all exact integers.
+
+    Check specs (dicts):
+    - ``{"type": "not_null", "column": c}``
+    - ``{"type": "unique", "column": c}`` — duplicate rows beyond the
+      first per value (nulls ignored)
+    - ``{"type": "range", "column": c, "lo": x, "hi": y}`` (either bound
+      optional; nulls pass — combine with not_null to forbid)
+    - ``{"type": "in_set", "column": c, "values": [...]}``
+    - ``{"type": "pattern", "column": c, "pattern": regex}``
+    - ``{"type": "custom", "expr": sql_bool}`` — violation when the
+      expression is false OR null
+    - ``{"type": "ref", "column": fk, "ref_df": dim, "ref_column": pk}``
+      — referential integrity: fk values (non-null) absent from the
+      dimension's key set
+
+    Scale design: every row-local check compiles to a conditional sum
+    in ONE aggregation job over a single scan — adding checks adds
+    expressions, not passes (the reference runs a job per metric,
+    ``quality/DataQualityChecker.scala:61-114``). ``unique`` adds
+    count_distinct state to the same job. Each ``ref`` check is one
+    left-anti-join count against the dimension keys (broadcast when
+    small) — the only per-check extra job, unavoidable without
+    co-partitioned inputs.
+    """
+    checks = _normalize_checks(checks)
+    local = [c for c in checks if c["type"] not in ("unique", "ref")]
+    uniques = [c for c in checks if c["type"] == "unique"]
+    refs = [c for c in checks if c["type"] == "ref"]
+
+    aggs = [F.count("*").alias("__total")]
+    for i, c in enumerate(local):
+        aggs.append(F.sum(_check_violation_expr(c)).alias(f"__v{i}"))
+    for j, c in enumerate(uniques):
+        col = c["column"]
+        aggs.append(
+            (
+                F.count(F.col(col)) - F.count_distinct(F.col(col))
+            ).alias(f"__u{j}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    total = row["__total"]
+
+    report = [
+        (c["name"], c["type"], int(row[f"__v{i}"]), total)
+        for i, c in enumerate(local)
+    ] + [
+        (c["name"], c["type"], int(row[f"__u{j}"]), total)
+        for j, c in enumerate(uniques)
+    ]
+    for c in refs:
+        ref_keys = c["ref_df"].select(
+            F.col(c.get("ref_column", c["column"])).alias("__k")
+        )
+        orphans = (
+            df.select(F.col(c["column"]).alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .join(ref_keys, "__k", "left_anti")
+            .count()
+        )
+        report.append((c["name"], "ref", int(orphans), total))
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        report, "check_name string, check_type string, violations long, total long"
+    )
+    return out.withColumn("passed", F.col("violations") == 0)
+
+
+def enforce_expectations(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Gate mode: evaluate, raise on any violation (message lists every
+    failing check with its count), else return ``df`` unchanged. The
+    report evaluation is eager (one agg job + one job per ref check) —
+    the price of a gate; use :func:`expectations_report` to stay lazy."""
+    failing = [
+        (r.check_name, r.violations)
+        for r in expectations_report(df, checks).collect()
+        if not r.passed
+    ]
+    if failing:
+        raise TransformationErrorProxy(
+            "expectations failed: "
+            + "; ".join(f"{n} ({v} violations)" for n, v in failing)
+        )
+    return df
+
+
+def _parse_check_spec(spec: str) -> dict:
+    """Compact YAML form, ``;``-separated specs of ``:``-separated
+    fields: ``not_null:col`` | ``unique:col`` | ``range:col:lo:hi``
+    (empty bound = open) | ``in_set:col:a|b|c`` | ``pattern:col:regex``
+    (regex may contain ':') | ``custom:name:expr`` (expr may contain
+    ':') | ``ref:fk:view:pk``."""
+    parts = spec.strip().split(":")
+    ctype = parts[0].strip()
+    if ctype == "not_null" and len(parts) == 2:
+        return {"type": "not_null", "column": parts[1].strip()}
+    if ctype == "unique" and len(parts) == 2:
+        return {"type": "unique", "column": parts[1].strip()}
+    if ctype == "range" and len(parts) == 4:
+        lo = float(parts[2]) if parts[2].strip() else None
+        hi = float(parts[3]) if parts[3].strip() else None
+        return {"type": "range", "column": parts[1].strip(), "lo": lo, "hi": hi}
+    if ctype == "in_set" and len(parts) == 3:
+        return {
+            "type": "in_set",
+            "column": parts[1].strip(),
+            "values": [v for v in parts[2].split("|") if v != ""],
+        }
+    if ctype == "pattern" and len(parts) >= 3:
+        return {
+            "type": "pattern",
+            "column": parts[1].strip(),
+            "pattern": ":".join(parts[2:]),
+        }
+    if ctype == "custom" and len(parts) >= 3:
+        return {
+            "type": "custom",
+            "name": f"custom:{parts[1].strip()}",
+            "expr": ":".join(parts[2:]),
+        }
+    if ctype == "ref" and len(parts) == 4:
+        return {
+            "type": "ref",
+            "column": parts[1].strip(),
+            "ref_table": parts[2].strip(),
+            "ref_column": parts[3].strip(),
+        }
+    raise TransformationErrorProxy(f"unparseable expectation spec: '{spec}'")
+
+
+class ExpectTransformer:
+    """Registry adapter (``type: expect``). Options: ``checks``
+    (``;``-separated compact specs — see :func:`_parse_check_spec`),
+    ``action`` ``report`` (output = the report table) | ``gate``
+    (raise on any violation, else pass the input through unchanged).
+    ``ref`` checks resolve their dimension from a registered view."""
+
+    def validate(self, df: DataFrame, config) -> ValidationResult:
+        errors = []
+        raw = (config.options.get("checks") or "").strip()
+        if not raw:
+            errors.append("expect requires 'checks'")
+        else:
+            try:
+                specs = [
+                    _parse_check_spec(s) for s in raw.split(";") if s.strip()
+                ]
+                for c in specs:
+                    col = c.get("column")
+                    if col and col not in df.columns:
+                        errors.append(f"check column not in input schema: {col}")
+            except TransformationErrorProxy as exc:
+                errors.append(str(exc))
+        if config.options.get("action", "report") not in ("report", "gate"):
+            errors.append("expect action must be 'report' or 'gate'")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationErrorProxy(
+                "expect config invalid: " + "; ".join(result.errors)
+            )
+        checks = [
+            _parse_check_spec(s)
+            for s in config.options["checks"].split(";")
+            if s.strip()
+        ]
+        for c in checks:
+            if c["type"] == "ref":
+                try:
+                    c["ref_df"] = ctx.spark.table(c.pop("ref_table"))
+                except Exception as exc:
+                    raise TransformationErrorProxy(
+                        f"expect: ref view not found for check on "
+                        f"'{c['column']}': {exc}"
+                    ) from exc
+        if config.options.get("action", "report") == "gate":
+            return enforce_expectations(df, checks)
+        return expectations_report(df, checks)
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"expect({opts})"

@@ -344,3 +344,135 @@ def test_schema_align_transformer_registry(spark):
     assert not tf.validate(
         df, TransformationConfig(type="schema_align", options={})
     ).is_valid
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations engine
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_report_counts(spark):
+    from etl_spark_gradle_spark.quality import expectations_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", -5.0),    # range violation
+            (2, "zz", 20.0),   # duplicate id + in_set violation
+            (None, "a", 1.0),  # null id
+        ],
+        ["id", "tag", "v"],
+    )
+    rep = {
+        r.check_name: (r.violations, r.passed)
+        for r in expectations_report(
+            df,
+            [
+                {"type": "not_null", "column": "id"},
+                {"type": "unique", "column": "id"},
+                {"type": "range", "column": "v", "lo": 0},
+                {"type": "in_set", "column": "tag", "values": ["a", "b"]},
+                {"type": "pattern", "column": "tag", "pattern": "^[a-y]+$"},
+                {"name": "custom:v_small", "type": "custom", "expr": "v < 100"},
+            ],
+        ).collect()
+    }
+    assert rep["not_null:id"] == (1, False)
+    assert rep["unique:id"] == (1, False)       # one extra row beyond first
+    assert rep["range:v"] == (1, False)
+    assert rep["in_set:tag"] == (1, False)
+    assert rep["pattern:tag"] == (1, False)     # "zz" fails [a-y]
+    assert rep["custom:v_small"] == (0, True)
+
+
+def test_expectations_ref_and_gate(spark):
+    from etl_spark_gradle_spark.quality import (
+        TransformationErrorProxy,
+        enforce_expectations,
+        expectations_report,
+    )
+
+    facts = spark.createDataFrame([(1,), (2,), (9,)], ["fk"])
+    dim = spark.createDataFrame([(1,), (2,)], ["pk"])
+    rep = expectations_report(
+        facts,
+        [{"type": "ref", "column": "fk", "ref_df": dim, "ref_column": "pk"}],
+    ).collect()[0]
+    assert rep.violations == 1 and not rep.passed
+
+    clean = spark.createDataFrame([(1,), (2,)], ["fk"])
+    out = enforce_expectations(
+        clean, [{"type": "not_null", "column": "fk"}]
+    )
+    assert out.count() == 2
+    with pytest.raises(TransformationErrorProxy, match="expectations failed"):
+        enforce_expectations(
+            facts,
+            [{"type": "ref", "column": "fk", "ref_df": dim, "ref_column": "pk"}],
+        )
+
+
+def test_expectations_single_job_for_row_local_checks(spark):
+    from etl_spark_gradle_spark.quality import expectations_report
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    sc = spark.sparkContext
+    sc.setJobGroup("expect-jobs", "expect-jobs")
+    try:
+        expectations_report(
+            df,
+            [
+                {"type": "not_null", "column": "id"},
+                {"type": "range", "column": "v", "lo": 0, "hi": 6},
+                {"type": "custom", "expr": "id >= 0"},
+                {"type": "unique", "column": "id"},
+            ],
+        )
+    finally:
+        sc.setJobGroup("", "")
+    jobs = tracker.getJobIdsForGroup("expect-jobs")
+    # 4 checks, ONE aggregation job (AQE may add a zero-task stage but
+    # not extra jobs beyond the single collect action's)
+    assert len(jobs) <= 2
+
+
+def test_expect_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    spark.createDataFrame([(1,), (2,)], ["pk"]).createOrReplaceTempView("dim_ok")
+    t = TRANSFORMER_REGISTRY["expect"]
+    ctx = RunContext.create("t", spark)
+    cfg = TransformationConfig(
+        type="expect",
+        options={
+            "checks": "not_null:id; unique:id; range:id:1:2; "
+                      "in_set:s:x|y; pattern:s:^[a-z]$; "
+                      "custom:id_pos:id > 0; ref:id:dim_ok:pk",
+        },
+    )
+    assert t.validate(df, cfg).is_valid
+    rep = t.transform(df, cfg, ctx)
+    assert rep.count() == 7
+    assert rep.where("NOT passed").count() == 0
+
+    gate = TransformationConfig(
+        type="expect",
+        options={"checks": "range:id:5:", "action": "gate"},
+    )
+    from etl_spark_gradle_spark.quality import TransformationErrorProxy
+
+    with pytest.raises(TransformationErrorProxy):
+        t.transform(df, gate, ctx)
+
+    bad = t.validate(
+        df, TransformationConfig(type="expect", options={"checks": "bogus:x"})
+    )
+    assert not bad.is_valid
+    missing_col = t.validate(
+        df, TransformationConfig(type="expect", options={"checks": "not_null:nope"})
+    )
+    assert not missing_col.is_valid
