@@ -72,9 +72,19 @@ def main() -> int:
                             "spark.driver.memory": "8g"})
 
     def probes(sf_dir: str):
+        from etl_spark_gradle_spark import tpch
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return {
+            "tpch_star": (
+                lambda: tpch.q5(spark, sf_dir),
+                li.count(),
+            ),
+            "bm25": (
+                lambda: _bm25_probe(docs),
+                docs.count(),
+            ),
             "exact_dedup": (
                 lambda: dd.exact_dedup(docs, content_col="text", tiebreak_col="doc_id"),
                 docs.count(),
@@ -291,6 +301,12 @@ def incremental_probe(spark) -> bool:
         print("  FAIL: incremental/index paths did not beat rebuilds "
               "(need exact >=2x, ivf prebuilt >=1.2x)")
     return ok
+
+
+def _bm25_probe(docs):
+    from etl_spark_gradle_spark.operators import retrieval as rt
+
+    return rt.bm25_scores(docs, "doc_id", "text", ["the", "data", "model"])
 
 
 def skew_probe(spark) -> bool:
