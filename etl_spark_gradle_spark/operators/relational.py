@@ -249,6 +249,7 @@ def join_view(
     join_type: str = "inner",
     select_columns: list[str] | None = None,
     broadcast_right: bool = False,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Equi-join the input (left) against a named temp view (parity:
     ``transformer/JoinTransformer.scala:54-81``).
@@ -261,14 +262,31 @@ def join_view(
     explicit broadcast hint for known-small dimensions; otherwise the
     strategy is left to Catalyst/AQE (broadcast vs sort-merge vs
     shuffled-hash), which at scale also handles skew splitting.
+
+    ``strategy`` pins the physical join when the caller knows better
+    than the statistics: ``"shuffle_hash"`` (build a hash table per
+    partition — beats sort-merge when one side is much smaller but too
+    big to broadcast, skips BOTH sorts), ``"merge"`` (force sort-merge
+    — the safe choice when both sides are huge and spill matters), or
+    ``"broadcast"`` (same as ``broadcast_right``). Hints attach to the
+    RIGHT side, matching the broadcast knob's orientation.
     """
     jt = join_type.lower()
     if jt not in _JOIN_TYPES:
         raise TransformationError(
             f"unsupported joinType '{join_type}' (supported: {sorted(_JOIN_TYPES)})"
         )
+    if strategy is not None and strategy not in ("broadcast", "shuffle_hash", "merge"):
+        raise TransformationError(
+            f"unsupported join strategy '{strategy}' "
+            "(supported: broadcast, shuffle_hash, merge)"
+        )
     right = spark.table(right_table)
-    if broadcast_right:
+    if strategy == "shuffle_hash":
+        right = right.hint("shuffle_hash")
+    elif strategy == "merge":
+        right = right.hint("merge")
+    if broadcast_right or strategy == "broadcast":
         right = F.broadcast(right)
     spark_join_type = {
         "left": "left_outer",
@@ -1330,6 +1348,7 @@ class JoinTransformer(_BaseTransformer):
             join_type=opts.get("joinType", "inner"),
             select_columns=_split_csv(opts.get("selectColumns")) or None,
             broadcast_right=opts.get("broadcast", "").lower() in ("true", "1", "yes"),
+            strategy=opts.get("strategy") or None,
         )
 
 

@@ -42,11 +42,6 @@ from etl_spark_gradle_spark.plans.config import (
     RunContext,
     with_resolved_credentials,
 )
-from etl_spark_gradle_spark.quality import (
-    QualityReport,
-    split_valid_invalid,
-    validate_schema,
-)
 
 
 def row_hash_duplicate_stats(df: DataFrame) -> dict[str, int]:
@@ -240,6 +235,16 @@ class PipelineExecutor:
                 raise KeyError(
                     f"no extractor registered for source type '{config.source.type}'"
                 )
+
+            # imported here, not at module top: quality.py itself imports
+            # plans.config, and a module-top import would make
+            # "import etl_spark_gradle_spark.quality" fail standalone
+            # (plans/__init__ -> executor -> partially-initialized quality)
+            from etl_spark_gradle_spark.quality import (
+                QualityReport,
+                split_valid_invalid,
+                validate_schema,
+            )
 
             input_df: DataFrame | None = None
             report: QualityReport | None = None

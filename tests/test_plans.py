@@ -210,3 +210,42 @@ def test_sort_within_partitions_write_produces_sorted_files(spark, sf_dir, tmp_p
         vals = pq.read_table(f, columns=["l_orderkey"])["l_orderkey"].to_pylist()
         assert vals == sorted(vals)
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    import re
+
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+        join_view,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "cust_hint_v"
+    )
+
+    def plan(strategy):
+        return plan_of(
+            join_view(
+                orders, spark, "cust_hint_v", "o_custkey", "c_custkey", "inner",
+                strategy=strategy,
+            )
+        )
+
+    # shuffle_hash: hash-build per partition, BOTH sorts skipped
+    p = plan("shuffle_hash")
+    assert re.search(r"\(\d+\) ShuffledHashJoin", p)
+    assert "SortMergeJoin" not in p
+    # merge: forced sort-merge even though the dim is broadcast-sized
+    p = plan("merge")
+    assert re.search(r"\(\d+\) SortMergeJoin", p)
+    # broadcast strategy == broadcast knob
+    p = plan("broadcast")
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p)
+
+    import pytest as _pytest
+
+    with _pytest.raises(TransformationError, match="join strategy"):
+        join_view(orders, spark, "cust_hint_v", "o_custkey", "c_custkey",
+                  "inner", strategy="bogus")
