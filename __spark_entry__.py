@@ -3441,6 +3441,65 @@ GROUP BY p.l_partkey, p.true_cnt
 """
 
 
+def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: state built on snapshot v1,
+    then maintained to v2 through table_diff(emit='both') insert/
+    update/delete images — sums in exact decimal so the maintained
+    result equals a direct v2 recompute BIT-FOR-BIT, which is exactly
+    what the oracle computes (DuckDB aggregates v2 directly; Spark
+    runs the full incremental machinery). Cost model: three
+    churn-sized aggs + a |groups| outer join, base table untouched."""
+    from etl_spark_gradle_spark.operators import delta as _dl
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    p_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    v1 = orders.where("o_orderkey % 5 != 0").select(
+        "o_orderkey", "o_orderpriority", p_dec.alias("p")
+    )
+    v2 = orders.where("o_orderkey % 7 != 0").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0, p_dec + 10).otherwise(p_dec).alias("p"),
+    )
+    state = v1.groupBy("o_orderpriority").agg(
+        F.sum("p").alias("sum_price"), F.count("*").alias("cnt")
+    )
+    diff = _dl.table_diff(v2, v1, ["o_orderkey"], emit="both")
+    ins = diff.where("change_type IN ('insert','update')").select(
+        "o_orderpriority", "p"
+    )
+    dele = diff.where("change_type IN ('delete','update')").select(
+        F.col("prev_o_orderpriority").alias("o_orderpriority"),
+        F.col("prev_p").alias("p"),
+    )
+    maintained = _dl.incremental_aggregate(
+        state,
+        ["o_orderpriority"],
+        [AggregateExpr("p", "sum", "sum_price"), AggregateExpr("*", "count", "cnt")],
+        inserted=ins,
+        deleted=dele,
+    )
+    return maintained.select(
+        "o_orderpriority", F.col("sum_price").cast("double").alias("sum_price"), "cnt"
+    )
+
+
+_INCR_AGG_ORACLE = """
+WITH v2 AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT o_orderpriority,
+       CAST(SUM(p) AS DOUBLE) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM v2 GROUP BY o_orderpriority
+"""
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative expectations engine: an 8-check battery over
     lineitem — every row-local check a conditional sum in ONE
@@ -3769,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_prune": q_cms_prune,
         "bm25": q_bm25,
         "expectations": q_expectations,
+        "incremental_aggregate": q_incremental_aggregate,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -3848,6 +3908,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_prune": _CMS_PRUNE_ORACLE,
         "bm25": _BM25_ORACLE,
         "expectations": _EXPECTATIONS_ORACLE,
+        "incremental_aggregate": _INCR_AGG_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

@@ -344,3 +344,112 @@ def test_scd2_transformer_yaml_adapter(spark):
         type="scd2", options={"dimTable": "scd2_dim_v", "keys": "k"}
     )
     assert not t.validate(changes, missing_eff).is_valid
+
+
+# ---------------------------------------------------------------------------
+# emit="both" and incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_emit_both_carries_prev_images(spark):
+    cur, prev = _snapshots(spark)
+    out = {r.k: r for r in
+           table_diff(cur, prev, ["k"], emit="both").collect()}
+    # update: both images present
+    assert out[2].v == 21.0 and out[2].prev_v == 20.0
+    # insert: prev image NULL
+    assert out[6].prev_s is None and out[6].s == "f"
+    # delete: current image NULL
+    assert out[4].s is None and out[4].prev_s == "d"
+
+
+def test_incremental_aggregate_equals_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.delta import (
+        incremental_aggregate,
+        table_diff,
+    )
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 5)],
+        ["id", "g", "v"],
+    )
+    # update id=1, delete id=4 (kills group c), insert id=5 (new group d)
+    v2 = spark.createDataFrame(
+        [(1, "a", 11), (2, "a", 20), (3, "b", 30), (5, "d", 7)],
+        ["id", "g", "v"],
+    )
+    state = v1.groupBy("g").agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
+    diff = table_diff(v2, v1, ["id"], emit="both")
+    ins = diff.where("change_type IN ('insert','update')").select("g", "v")
+    dele = diff.where("change_type IN ('delete','update')").select(
+        F.col("prev_g").alias("g"), F.col("prev_v").alias("v")
+    )
+    got = {
+        r.g: (r.s, r.cnt)
+        for r in incremental_aggregate(
+            state, ["g"],
+            [AggregateExpr("v", "sum", "s"), AggregateExpr("*", "count", "cnt")],
+            inserted=ins, deleted=dele,
+        ).collect()
+    }
+    want = {
+        r.g: (r.s, r.cnt)
+        for r in v2.groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want  # group c dropped, group d entered, a updated
+
+
+def test_incremental_aggregate_min_max_inserts_only(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.delta import incremental_aggregate
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    state = spark.createDataFrame([("a", 5, 9, 2)], ["g", "lo", "hi", "cnt"])
+    ins = spark.createDataFrame([("a", 3), ("b", 100)], ["g", "v"])
+    specs = [
+        AggregateExpr("v", "min", "lo"),
+        AggregateExpr("v", "max", "hi"),
+        AggregateExpr("*", "count", "cnt"),
+    ]
+    got = {
+        r.g: (r.lo, r.hi, r.cnt)
+        for r in incremental_aggregate(state, ["g"], specs, inserted=ins).collect()
+    }
+    assert got == {"a": (3, 9, 3), "b": (100, 100, 1)}
+    with _pytest.raises(ValueError, match="not maintainable under deletes"):
+        incremental_aggregate(state, ["g"], specs, inserted=ins, deleted=ins)
+
+
+def test_incremental_aggregate_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.delta import incremental_aggregate
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    state = spark.createDataFrame([("a", 1.0, 1)], ["g", "s", "cnt"])
+    ins = spark.createDataFrame([("a", 2.0)], ["g", "v"])
+    with _pytest.raises(ValueError, match="include count"):
+        incremental_aggregate(
+            state, ["g"], [AggregateExpr("v", "sum", "s")], inserted=ins
+        )
+    with _pytest.raises(ValueError, match="supports"):
+        incremental_aggregate(
+            state, ["g"],
+            [AggregateExpr("v", "median", "s"),
+             AggregateExpr("*", "count", "cnt")],
+            inserted=ins,
+        )
+    with _pytest.raises(ValueError, match="missing aggregate column"):
+        incremental_aggregate(
+            state.drop("s"), ["g"],
+            [AggregateExpr("v", "sum", "s"), AggregateExpr("*", "count", "cnt")],
+            inserted=ins,
+        )
