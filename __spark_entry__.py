@@ -3441,6 +3441,77 @@ GROUP BY p.l_partkey, p.true_cnt
 """
 
 
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → SCD2 dimension fold: the orders-derived change
+    feed (same derivation as q_scd2) staged to scratch, read as a
+    stream, folded into a versioned dimension via foreachBatch +
+    scd2_apply (empty bootstrap), drained with availableNow. The final
+    dimension must equal the batch timeline computed directly over the
+    change feed — which is exactly what the oracle does (window-
+    function timeline with consecutive-dup collapse, no dim seed).
+    Cross-batch sequencing/retry semantics are unit-tested in
+    tests/test_streaming.py."""
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    chg = orders.where("o_totalprice > 350000").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_totalprice") > 450000, "HIGH").otherwise("STD").alias(
+            "c_mktsegment"
+        ),
+        F.expr("o_orderdate + make_dt_interval(0,0,0, o_orderkey % 86400)").alias(
+            "eff"
+        ),
+    )
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"sscd2_src_{run}")
+    dim_path = os.path.join(_SCRATCH, f"sscd2_dim_{run}")
+    ckpt = os.path.join(_SCRATCH, f"sscd2_ckpt_{run}")
+    chg.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = st.stream_scd2_fold(
+        stream, dim_path, ["c_custkey"], ["c_mktsegment"], "eff",
+        checkpoint_location=ckpt,
+    )
+    q.awaitTermination(300)
+    out = st.read_scd2_dimension(spark, dim_path)
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        _fmt_ts("valid_from").alias("valid_from"),
+        _fmt_ts("valid_to").alias("valid_to"),
+        "is_current",
+    )
+
+
+_STREAMING_SCD2_ORACLE = """
+WITH chg AS (
+  SELECT o_custkey AS c_custkey,
+         CASE WHEN o_totalprice > 450000 THEN 'HIGH' ELSE 'STD' END AS c_mktsegment,
+         o_orderdate + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS ts
+  FROM orders WHERE o_totalprice > 350000
+), marked AS (
+  SELECT *,
+         lag(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY ts) AS prev_seg
+  FROM chg
+), surv AS (
+  SELECT c_custkey, c_mktsegment, ts FROM marked
+  WHERE prev_seg IS NULL OR c_mktsegment <> prev_seg
+), ver AS (
+  SELECT c_custkey, c_mktsegment, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS valid_to
+  FROM surv
+)
+SELECT c_custkey, c_mktsegment,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       valid_to IS NULL AS is_current
+FROM ver
+"""
+
+
 def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-rollup maintenance: state built on snapshot v1,
     then maintained to v2 through table_diff(emit='both') insert/
@@ -3829,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "expectations": q_expectations,
         "incremental_aggregate": q_incremental_aggregate,
+        "streaming_scd2": q_streaming_scd2,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -3909,6 +3981,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _BM25_ORACLE,
         "expectations": _EXPECTATIONS_ORACLE,
         "incremental_aggregate": _INCR_AGG_ORACLE,
+        "streaming_scd2": _STREAMING_SCD2_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

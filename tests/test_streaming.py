@@ -500,3 +500,83 @@ def test_stream_dedup_against_store_across_runs(spark, tmp_path):
     hashes = spark.read.parquet(store)
     assert hashes.columns == ["content_hash"]
     assert hashes.distinct().count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC -> SCD2 dimension fold
+# ---------------------------------------------------------------------------
+
+
+def test_stream_scd2_fold_across_runs(spark, tmp_path):
+    """Two availableNow drains: batch 1 bootstraps the dimension from
+    an empty state; batch 2 reads batch 1's version and sequences new
+    changes on top — continuous CDC -> SCD2 with version history."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_spark_gradle_spark import streaming as st
+    from etl_spark_gradle_spark.streaming import (
+        read_scd2_dimension,
+        stream_scd2_fold,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("tier", StringType()),
+            StructField("eff", StringType()),
+        ]
+    )
+    src = tmp_path / "chg"
+    src.mkdir()
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def _drain():
+        stream = st.read_file_stream(
+            spark, {"path": str(src), "format": "json"}, schema
+        ).withColumn("eff", F.col("eff").cast("timestamp"))
+        q = stream_scd2_fold(
+            stream, dim, ["k"], ["tier"], "eff", checkpoint_location=ckpt
+        )
+        q.awaitTermination(120)
+
+    _write("b1.json", [
+        {"k": 1, "tier": "gold", "eff": "2020-01-01 00:00:00"},
+        {"k": 2, "tier": "silver", "eff": "2020-01-01 00:00:00"},
+    ])
+    _drain()
+    d1 = {(r.k, r.tier, r.is_current) for r in
+          read_scd2_dimension(spark, dim).collect()}
+    assert d1 == {(1, "gold", True), (2, "silver", True)}
+
+    _write("b2.json", [
+        {"k": 1, "tier": "silver", "eff": "2020-02-01 00:00:00"},  # real change
+        {"k": 2, "tier": "silver", "eff": "2020-02-01 00:00:00"},  # no-op collapses
+        {"k": 3, "tier": "bronze", "eff": "2020-02-01 00:00:00"},  # new key
+    ])
+    _drain()
+    out = read_scd2_dimension(spark, dim)
+    rows = {(r.k, r.tier, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, "gold", False),
+        (1, "silver", True),
+        (2, "silver", True),   # single version — duplicate change collapsed
+        (3, "bronze", True),
+    }
+    assert out.where("k = 2").count() == 1
+    # version history retained: one dir per micro-batch that ran
+    import os
+    assert len([d for d in os.listdir(dim) if d.startswith("v=")]) >= 2
