@@ -3441,6 +3441,34 @@ GROUP BY p.l_partkey, p.true_cnt
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (inverse of pivot): four lineitem measures into
+    (variable, value) rows — a narrow Expand, zero shuffles."""
+    from etl_spark_gradle_spark.operators.relational import unpivot_columns
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").where("l_orderkey % 100 = 0")
+    return unpivot_columns(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_col="measure",
+        val_col="value",
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+"""
+
+
 def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC → SCD2 dimension fold: the orders-derived change
     feed (same derivation as q_scd2) staged to scratch, read as a
@@ -3901,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "incremental_aggregate": q_incremental_aggregate,
         "streaming_scd2": q_streaming_scd2,
+        "unpivot": q_unpivot,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -3982,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
         "expectations": _EXPECTATIONS_ORACLE,
         "incremental_aggregate": _INCR_AGG_ORACLE,
         "streaming_scd2": _STREAMING_SCD2_ORACLE,
+        "unpivot": _UNPIVOT_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

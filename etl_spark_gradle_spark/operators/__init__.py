@@ -61,6 +61,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AsofJoinTransformer,
     DistinctTransformer,
     ExplodeTransformer,
+    UnpivotTransformer,
     FilterTransformer,
     FlattenTransformer,
     JoinTransformer,
@@ -127,6 +128,7 @@ TRANSFORMER_REGISTRY = {
     "sort": SortTransformer(),
     "distinct": DistinctTransformer(),
     "explode": ExplodeTransformer(),
+    "unpivot": UnpivotTransformer(),
     "sample": SampleTransformer(),
     "split": SplitTransformer(),
     "salted_aggregation": SaltedAggregationTransformer(),

@@ -250,6 +250,7 @@ def join_view(
     select_columns: list[str] | None = None,
     broadcast_right: bool = False,
     strategy: str | None = None,
+    null_safe: bool = False,
 ) -> DataFrame:
     """Equi-join the input (left) against a named temp view (parity:
     ``transformer/JoinTransformer.scala:54-81``).
@@ -295,9 +296,14 @@ def join_view(
         "semi": "left_semi",
         "anti": "left_anti",
     }.get(jt, jt)
+    # null_safe: SQL <=> semantics — NULL keys match each other instead
+    # of silently dropping (needed when the key domain legitimately
+    # contains NULL "unknown" buckets). Costs nothing at plan level:
+    # still an equi-join on both engines.
+    lk, rk = F.col(f"l.{left_key}"), F.col(f"r.{right_key}")
     joined = df.alias("l").join(
         right.alias("r"),
-        F.col(f"l.{left_key}") == F.col(f"r.{right_key}"),
+        lk.eqNullSafe(rk) if null_safe else lk == rk,
         spark_join_type,
     )
     if jt in ("semi", "anti"):
@@ -1349,6 +1355,7 @@ class JoinTransformer(_BaseTransformer):
             select_columns=_split_csv(opts.get("selectColumns")) or None,
             broadcast_right=opts.get("broadcast", "").lower() in ("true", "1", "yes"),
             strategy=opts.get("strategy") or None,
+            null_safe=opts.get("nullSafeEquality", "").lower() in ("true", "1", "yes"),
         )
 
 
@@ -1780,6 +1787,59 @@ class PivotTransformer(_BaseTransformer):
             pivot_column=opts["pivotColumn"].strip(),
             pivot_values=_split_csv(opts.get("pivotValues")),
             aggregations=list(config.aggregations),
+        )
+
+
+def unpivot_columns(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    val_col: str = "value",
+) -> DataFrame:
+    """Wide→long reshape (melt): one output row per (input row ×
+    value column), the inverse of :func:`pivot_table`. Wraps
+    ``DataFrame.unpivot`` — a pure narrow Expand (rows × |value_cols|)
+    with NO shuffle; at 100 TB the cost is the row multiplication
+    itself, so project ``value_cols`` down to what the long format
+    actually needs. Value columns must share a common type (Spark
+    coerces or errors — same rule as SQL UNPIVOT)."""
+    if not value_cols:
+        raise TransformationError("unpivot requires value columns")
+    for c in (*id_cols, *value_cols):
+        if c not in df.columns:
+            raise TransformationError(f"unpivot column not in input schema: {c}")
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_col,
+        val_col,
+    )
+
+
+class UnpivotTransformer(_BaseTransformer):
+    """Extension (``type: unpivot``): wide→long melt. Options:
+    ``idColumns`` (csv), ``valueColumns`` (csv, required),
+    ``variableColumn``/``valueColumn`` output names."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        vals = _split_csv(config.options.get("valueColumns"))
+        if not vals:
+            errors.append("unpivot requires 'valueColumns'")
+        for c in (*_split_csv(config.options.get("idColumns")), *vals):
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return unpivot_columns(
+            df,
+            _split_csv(opts.get("idColumns")),
+            _split_csv(opts.get("valueColumns")),
+            var_col=opts.get("variableColumn", "variable"),
+            val_col=opts.get("valueColumn", "value"),
         )
 
 

@@ -827,3 +827,39 @@ def test_flatten_transformer_registry(spark):
     assert out.columns == ["id", "meta_x"]
     bad = TransformationConfig(type="flatten", options={"maxDepth": "abc"})
     assert not tf.validate(df, bad).is_valid
+
+
+def test_unpivot_and_null_safe_join(spark):
+    from etl_spark_gradle_spark.operators.relational import (
+        join_view,
+        unpivot_columns,
+    )
+
+    df = spark.createDataFrame([(1, 10.0, 20.0), (2, 30.0, 40.0)], ["id", "a", "b"])
+    long = unpivot_columns(df, ["id"], ["a", "b"], var_col="m", val_col="v")
+    rows = {(r.id, r.m, r.v) for r in long.collect()}
+    assert rows == {(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", 40.0)}
+    with pytest.raises(TransformationError, match="value columns"):
+        unpivot_columns(df, ["id"], [])
+    with pytest.raises(TransformationError, match="not in input schema"):
+        unpivot_columns(df, ["id"], ["nope"])
+
+    # registry adapter
+    t = TRANSFORMER_REGISTRY["unpivot"]
+    ctx = RunContext.create("t", spark)
+    cfg = TransformationConfig(
+        type="unpivot",
+        options={"idColumns": "id", "valueColumns": "a,b"},
+    )
+    assert t.transform(df, cfg, ctx).count() == 4
+
+    # null-safe join: NULL keys match each other under <=>
+    left = spark.createDataFrame([(None, "l1"), (1, "l2")], ["k", "lv"])
+    spark.createDataFrame([(None, "r1"), (1, "r2")], ["k", "rv"]).createOrReplaceTempView(
+        "ns_right"
+    )
+    plain = join_view(left, spark, "ns_right", "k", "k", "inner")
+    assert plain.count() == 1  # NULL never equals NULL
+    safe = join_view(left, spark, "ns_right", "k", "k", "inner", null_safe=True)
+    got = {(r.lv, r.rv) for r in safe.collect()}
+    assert got == {("l1", "r1"), ("l2", "r2")}
