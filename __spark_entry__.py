@@ -3441,6 +3441,76 @@ GROUP BY p.l_partkey, p.true_cnt
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase within 2 hours of
+    the first view: k chained step-filtered aggregations keyed by
+    user (reach tables user-sized, event log scanned per step)."""
+    from etl_spark_gradle_spark.operators import events as _ev
+
+    _prep(spark)
+    df = _t(spark, sf_dir, "events")
+    return _ev.funnel_counts(
+        df, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], within_seconds=7200,
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + to_seconds(7200)
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t1.t1 + to_seconds(7200)
+  GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+       CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+"""
+
+
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid over 7-day periods (day-epoch arithmetic,
+    engine-portable week buckets): first-touch agg + distinct
+    user-period agg + one user-keyed join."""
+    from etl_spark_gradle_spark.operators import events as _ev
+
+    _prep(spark)
+    df = _t(spark, sf_dir, "events")
+    return _ev.cohort_retention(df, "user_id", "ts", origin="2024-01-01")
+
+
+_COHORT_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT) AS period
+  FROM events
+), f AS (
+  SELECT user_id, MIN(period) AS cohort_period FROM p GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, period FROM p
+)
+SELECT f.cohort_period,
+       CAST(a.period - f.cohort_period AS INT) AS period_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_period, a.period - f.cohort_period
+"""
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt (inverse of pivot): four lineitem measures into
     (variable, value) rows — a narrow Expand, zero shuffles."""
@@ -3930,6 +4000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_aggregate": q_incremental_aggregate,
         "streaming_scd2": q_streaming_scd2,
         "unpivot": q_unpivot,
+        "funnel": q_funnel,
+        "cohort": q_cohort,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -4012,6 +4084,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_aggregate": _INCR_AGG_ORACLE,
         "streaming_scd2": _STREAMING_SCD2_ORACLE,
         "unpivot": _UNPIVOT_ORACLE,
+        "funnel": _FUNNEL_ORACLE,
+        "cohort": _COHORT_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

@@ -1,0 +1,148 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+Beyond-reference operators over event streams (the reference's only
+event surface is windowed aggregation): the two classic product-
+analytics workloads, expressed as chained aggregations — no sessions
+collected to the driver, no per-user UDFs.
+
+Scale design (100 TB of events):
+
+- ``funnel_steps`` runs ONE step-filtered aggregation per funnel step,
+  each keyed by user: step k's events join the (|users|-sized) step
+  k−1 reach table, take the earliest qualifying timestamp, and emit the
+  next reach table. k steps = k filtered scans + k user-keyed shuffles
+  — the standard formulation; the reach tables are tiny relative to
+  the event log and broadcast when Spark sizes them so.
+- ``cohort_retention`` is two aggregations and one join: first-touch
+  per user (one shuffle), distinct user-periods (one shuffle), joined
+  on the user key. Periods are computed with day-epoch arithmetic
+  (``floor(datediff / 7)``) rather than ``date_trunc('week')`` so the
+  DuckDB oracle computes bit-identical buckets regardless of engine
+  week-start conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators.relational import TransformationError
+
+__all__ = ["funnel_steps", "funnel_counts", "cohort_retention"]
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    steps: list[str],
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Per-user ordered-funnel reach: for each user, the earliest
+    timestamp of step 1, then the earliest step-2 event strictly AFTER
+    it, and so on — one column ``t<i>`` per step (NULL once the user
+    drops out). ``within_seconds`` bounds the WHOLE funnel relative to
+    step 1 (the common "converted within 7 days" contract)."""
+    if len(steps) < 2:
+        raise TransformationError("funnel requires at least 2 steps")
+    for c in (user_col, type_col, time_col):
+        if c not in df.columns:
+            raise TransformationError(f"funnel column not in input schema: {c}")
+    reach = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(time_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.where(F.col(type_col) == step).select(
+            user_col, F.col(time_col).alias("_ts")
+        )
+        cond = F.col("_ts") > F.col(f"t{i - 1}")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("_ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {float(within_seconds)} SECONDS")
+            )
+        # left join keeps dropped-out users (their t<i> aggregates to
+        # NULL via the conditional min); no pre-filter — the condition
+        # must see t1/t(i-1), which only exist post-join
+        reach = (
+            reach.join(ev, on=user_col, how="left")
+            .groupBy(user_col, *[f"t{j}" for j in range(1, i)])
+            .agg(F.min(F.when(cond, F.col("_ts"))).alias(f"t{i}"))
+        )
+    return reach
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    steps: list[str],
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Conversion-funnel summary: one row per step with the number of
+    users who reached it in order — the aggregate the per-user reach
+    table exists to feed. Output (step_index, step, users)."""
+    reach = funnel_steps(df, user_col, type_col, time_col, steps, within_seconds)
+    aggs = [
+        F.count(F.col(f"t{i}")).alias(f"_c{i}") for i in range(1, len(steps) + 1)
+    ]
+    row_df = reach.agg(*aggs)
+    spark = df.sparkSession
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_index int, step string"
+    )
+    long = row_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step_index"),
+                        F.col(f"_c{i}").alias("users"),
+                    )
+                    for i in range(1, len(steps) + 1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.step_index", "s.users")
+    return steps_df.join(long, "step_index").select("step_index", "step", "users")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    origin: str = "2024-01-01",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention grid: users bucketed by first-touch period
+    (day-epoch arithmetic from ``origin`` — engine-portable, no
+    week-start convention), counted distinct in every later period
+    they were active. Output (cohort_period, period_offset, users):
+    offset 0 is the cohort's own size."""
+    if period_days < 1:
+        raise TransformationError("cohort period_days must be >= 1")
+    for c in (user_col, time_col):
+        if c not in df.columns:
+            raise TransformationError(f"cohort column not in input schema: {c}")
+    period = F.floor(
+        F.datediff(F.col(time_col).cast("date"), F.lit(origin).cast("date"))
+        / period_days
+    ).cast("int")
+    first = (
+        df.select(user_col, period.alias("_p"))
+        .groupBy(user_col)
+        .agg(F.min("_p").alias("cohort_period"))
+    )
+    active = df.select(user_col, period.alias("period")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("users"))
+    )

@@ -1,0 +1,78 @@
+"""Funnel / cohort behavioral analytics (operators/events.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators import events as ev
+from etl_spark_gradle_spark.operators.relational import TransformationError
+
+
+@pytest.fixture(scope="module")
+def clickstream(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # u2: purchase BEFORE click -> stops at click... order matters
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "purchase", "2024-01-01 10:01:00"),
+        (2, "click", "2024-01-01 10:02:00"),
+        # u3: view only
+        (3, "view", "2024-01-01 10:00:00"),
+        # u4: click without view -> never enters
+        (4, "click", "2024-01-01 10:00:00"),
+        # u5: full funnel but too slow for a 1h window
+        (5, "view", "2024-01-01 10:00:00"),
+        (5, "click", "2024-01-01 10:30:00"),
+        (5, "purchase", "2024-01-01 12:00:00"),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+def test_funnel_order_and_window(spark, clickstream):
+    steps = ["view", "click", "purchase"]
+    free = {r.step: r.users for r in
+            ev.funnel_counts(clickstream, "user_id", "event_type", "ts", steps).collect()}
+    # u2's purchase precedes its click -> not an ordered conversion
+    assert free == {"view": 4, "click": 3, "purchase": 2}
+
+    bounded = {r.step: r.users for r in
+               ev.funnel_counts(clickstream, "user_id", "event_type", "ts",
+                                steps, within_seconds=3600).collect()}
+    # u5's purchase lands at +2h -> outside the 1h window
+    assert bounded == {"view": 4, "click": 3, "purchase": 1}
+
+
+def test_funnel_steps_timestamps(spark, clickstream):
+    reach = {r.user_id: r for r in
+             ev.funnel_steps(clickstream, "user_id", "event_type", "ts",
+                             ["view", "click", "purchase"]).collect()}
+    assert str(reach[1].t3) == "2024-01-01 10:10:00"
+    assert reach[2].t2 is not None and reach[2].t3 is None
+    assert reach[3].t2 is None
+    assert 4 not in reach
+    with pytest.raises(TransformationError, match="at least 2"):
+        ev.funnel_steps(clickstream, "user_id", "event_type", "ts", ["view"])
+
+
+def test_cohort_retention_grid(spark):
+    rows = [
+        (1, "2024-01-01 08:00:00"),  # cohort 0
+        (1, "2024-01-09 08:00:00"),  # active period 1
+        (2, "2024-01-02 08:00:00"),  # cohort 0, never returns
+        (3, "2024-01-10 08:00:00"),  # cohort 1
+        (3, "2024-01-24 08:00:00"),  # active period 3 -> offset 2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    grid = {(r.cohort_period, r.period_offset): r.users
+            for r in ev.cohort_retention(df, "user_id", "ts").collect()}
+    assert grid == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+    with pytest.raises(TransformationError, match="period_days"):
+        ev.cohort_retention(df, "user_id", "ts", period_days=0)
