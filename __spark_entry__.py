@@ -3511,6 +3511,39 @@ GROUP BY f.cohort_period, a.period - f.cohort_period
 """
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: one
+    window sort + two small aggs; probability = exact-count division
+    (identical IEEE both engines)."""
+    from etl_spark_gradle_spark.operators import events as _ev
+
+    _prep(spark)
+    df = _t(spark, sf_dir, "events")
+    return _ev.transition_matrix(
+        df, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS from_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS transitions
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, SUM(transitions) AS ft FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.transitions,
+       CAST(p.transitions AS DOUBLE) / CAST(t.ft AS DOUBLE) AS probability
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+"""
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt (inverse of pivot): four lineitem measures into
     (variable, value) rows — a narrow Expand, zero shuffles."""
@@ -4002,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "funnel": q_funnel,
         "cohort": q_cohort,
+        "transitions": q_transitions,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -4086,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot": _UNPIVOT_ORACLE,
         "funnel": _FUNNEL_ORACLE,
         "cohort": _COHORT_ORACLE,
+        "transitions": _TRANSITIONS_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

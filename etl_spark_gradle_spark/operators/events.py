@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark.operators.relational import TransformationError
 
-__all__ = ["funnel_steps", "funnel_counts", "cohort_retention"]
+__all__ = [
+    "funnel_steps",
+    "funnel_counts",
+    "cohort_retention",
+    "transition_matrix",
+]
 
 
 def funnel_steps(
@@ -145,4 +150,50 @@ def cohort_retention(
             (F.col("period") - F.col("cohort_period")).alias("period_offset"),
         )
         .agg(F.count_distinct(F.col(user_col)).alias("users"))
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Event-to-event transition counts (Markov path analysis): for
+    each consecutive pair of events per user (ordered by time, with an
+    optional unique tiebreaker for simultaneous events), count
+    (from_type, to_type) occurrences and the transition's share of its
+    source type. One user-keyed window sort + one small aggregation —
+    the |types|² output is dashboard-sized at any corpus scale."""
+    from pyspark.sql.window import Window
+
+    for c in (user_col, type_col, time_col):
+        if c not in df.columns:
+            raise TransformationError(f"transition column not in input schema: {c}")
+    order = [F.col(time_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.select(user_col, F.col(type_col).alias("to_type"), time_col,
+                  *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("transitions"))
+    )
+    from_totals = pairs.groupBy("from_type").agg(
+        F.sum("transitions").alias("_from_total")
+    )
+    return (
+        pairs.join(from_totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "transitions",
+            (F.col("transitions").cast("double") / F.col("_from_total")).alias(
+                "probability"
+            ),
+        )
     )

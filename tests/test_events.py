@@ -76,3 +76,23 @@ def test_cohort_retention_grid(spark):
     assert grid == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
     with pytest.raises(TransformationError, match="period_days"):
         ev.cohort_retention(df, "user_id", "ts", period_days=0)
+
+
+def test_transition_matrix(spark):
+    rows = [
+        (1, "a", "2024-01-01 10:00:00", 1),
+        (1, "b", "2024-01-01 10:01:00", 2),
+        (1, "a", "2024-01-01 10:02:00", 3),
+        (2, "a", "2024-01-01 10:00:00", 4),
+        (2, "b", "2024-01-01 10:01:00", 5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "eid"]).select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "eid"
+    )
+    got = {(r.from_type, r.to_type): (r.transitions, round(r.probability, 6))
+           for r in ev.transition_matrix(df, "user_id", "event_type", "ts",
+                                         tiebreak_col="eid").collect()}
+    # a->b twice (u1, u2), b->a once (u1); P(a->b)=1.0, P(b->a)=1.0
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+    with pytest.raises(TransformationError, match="not in input schema"):
+        ev.transition_matrix(df, "user_id", "nope", "ts")
