@@ -3511,6 +3511,127 @@ GROUP BY f.cohort_period, a.period - f.cohort_period
 """
 
 
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over 4 lineitem measures — 6 pairs
+    from ONE exact-decimal moment aggregation (pairs add expressions,
+    not passes); closing float ops in fixed operand order so DuckDB
+    reproduces every double bit-for-bit."""
+    from etl_spark_gradle_spark.operators import stats as _st
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return _st.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _corr_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in cols:
+        moments.append(
+            f"CAST(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_{c}"
+        )
+        moments.append(
+            f"CAST(CAST(SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            moments.append(
+                f"CAST(CAST(SUM(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy_{a}_{b}"
+            )
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"CASE WHEN (n * ss_{a} - s_{a} * s_{a}) > 0 AND (n * ss_{b} - s_{b} * s_{b}) > 0 "
+                f"THEN (n * sxy_{a}_{b} - s_{a} * s_{b}) "
+                f"/ (sqrt(n * ss_{a} - s_{a} * s_{a}) * sqrt(n * ss_{b} - s_{b} * s_{b})) "
+                f"END AS corr FROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(pairs)
+    )
+
+
+def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS from the same exact moments; r² as r·r
+    (multiplication, not pow — pow's last ulp is engine-defined)."""
+    from etl_spark_gradle_spark.operators import stats as _st
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return _st.linear_fit(
+        li, "l_quantity", "l_extendedprice", group_by=["l_returnflag"]
+    )
+
+
+_LINFIT_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_raw,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_raw AS n,
+       CASE WHEN (n * sxx - sx * sx) > 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+       CASE WHEN (n * sxx - sx * sx) > 0
+            THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END AS intercept,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+       END AS r2
+FROM m
+"""
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row z-scores against the row's group moments (broadcast
+    join-back, input never shuffled); threshold 1.5 sits inside a
+    uniform distribution's |z|max ≈ √3 so both flag values appear."""
+    from etl_spark_gradle_spark.operators import stats as _st
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").where("l_orderkey % 50 = 0")
+    out = _st.zscore_flags(
+        li, "l_extendedprice", group_by=["l_returnflag"], threshold=1.5
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice", "zscore", "is_outlier",
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM src GROUP BY l_returnflag
+), s AS (
+  SELECT l_returnflag, sx / n AS mean,
+         CASE WHEN (n * sxx - sx * sx) / (n * n) > 0
+              THEN sqrt((n * sxx - sx * sx) / (n * n)) END AS std
+  FROM m
+)
+SELECT src.l_orderkey, src.l_linenumber, src.l_returnflag, src.l_extendedprice,
+       CASE WHEN s.std IS NOT NULL
+            THEN (CAST(src.l_extendedprice AS DOUBLE) - s.mean) / s.std END AS zscore,
+       CASE WHEN s.std IS NOT NULL
+            THEN abs((CAST(src.l_extendedprice AS DOUBLE) - s.mean) / s.std) >= 1.5
+            ELSE FALSE END AS is_outlier
+FROM src JOIN s ON src.l_returnflag = s.l_returnflag
+"""
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-user event sequences: one
     window sort + two small aggs; probability = exact-count division
@@ -4036,6 +4157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort": q_cohort,
         "transitions": q_transitions,
+        "correlation": q_correlation,
+        "linear_fit": q_linear_fit,
+        "zscore": q_zscore,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
@@ -4121,6 +4245,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _FUNNEL_ORACLE,
         "cohort": _COHORT_ORACLE,
         "transitions": _TRANSITIONS_ORACLE,
+        "correlation": _corr_oracle(),
+        "linear_fit": _LINFIT_ORACLE,
+        "zscore": _ZSCORE_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

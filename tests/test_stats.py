@@ -1,0 +1,88 @@
+"""Exact-moment statistics (operators/stats.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_spark_gradle_spark.operators import stats as st
+from etl_spark_gradle_spark.operators.relational import TransformationError
+
+
+def test_correlation_matches_numpy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in st.correlation_matrix(li, cols).collect()
+    }
+    pdf = li.select(*cols).toPandas()
+    for (a, b), v in got.items():
+        want = np.corrcoef(pdf[a], pdf[b])[0, 1]
+        assert abs(v - want) < 1e-9, (a, b, v, want)
+    with pytest.raises(TransformationError, match=">= 2"):
+        st.correlation_matrix(li, ["l_quantity"])
+
+
+def test_linear_fit_matches_numpy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = {r.l_returnflag: r for r in
+            st.linear_fit(li, "l_quantity", "l_extendedprice",
+                          group_by=["l_returnflag"]).collect()}
+    pdf = li.select("l_returnflag", "l_quantity", "l_extendedprice").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        slope, intercept = np.polyfit(grp.l_quantity, grp.l_extendedprice, 1)
+        r = rows[flag]
+        assert abs(r.slope - slope) < 1e-6 * max(1, abs(slope))
+        assert abs(r.intercept - intercept) < 1e-6 * max(1, abs(intercept))
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_linear_fit_perfect_line_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [("g", float(x), 2.0 * x + 5.0) for x in range(10)]
+        + [("flat", 1.0, 7.0), ("flat", 1.0, 9.0)],
+        ["g", "x", "y"],
+    )
+    rows = {r.g: r for r in st.linear_fit(df, "x", "y", group_by=["g"]).collect()}
+    assert abs(rows["g"].slope - 2.0) < 1e-12
+    assert abs(rows["g"].intercept - 5.0) < 1e-12
+    assert abs(rows["g"].r2 - 1.0) < 1e-12
+    # zero x-variance -> NULL fit, not a crash or inf
+    assert rows["flat"].slope is None and rows["flat"].r2 is None
+
+
+def test_zscore_flags_semantics(spark):
+    vals = [10.0] * 20 + [100.0]  # one blatant outlier
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    out = st.zscore_flags(df, "v", group_by=["g"], threshold=3.0)
+    flagged = out.where("is_outlier").collect()
+    assert len(flagged) == 1 and flagged[0].v == 100.0
+    # zero-variance group: NULL z, never flagged
+    const = spark.createDataFrame([("c", 5.0), ("c", 5.0)], ["g", "v"])
+    rows = st.zscore_flags(const, "v", group_by=["g"]).collect()
+    assert all(r.zscore is None and r.is_outlier is False for r in rows)
+    with pytest.raises(TransformationError, match="threshold"):
+        st.zscore_flags(df, "v", threshold=0)
+
+
+def test_moment_sums_are_mergeable(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    whole = st.moment_sums(li, ["l_quantity", "l_extendedprice"]).collect()[0]
+    parts = st.moment_sums(
+        li.withColumn("_half", (F.col("l_orderkey") % 2).cast("int")),
+        ["l_quantity", "l_extendedprice"],
+        group_by=["_half"],
+    )
+    merged = parts.groupBy().agg(
+        F.sum("n").alias("n"),
+        *[
+            F.sum(c).alias(c)
+            for c in parts.columns
+            if c.startswith(("sum_", "sumsq_", "sumxy_"))
+        ],
+    ).collect()[0]
+    # decimal sums add EXACTLY: merged partial moments == whole-table moments
+    assert merged.asDict() == whole.asDict()
