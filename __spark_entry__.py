@@ -3511,6 +3511,28 @@ GROUP BY f.cohort_period, a.period - f.cohort_period
 """
 
 
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (k=2) over distinct part
+    names via LOSSLESS PassJoin segment blocking — one bounded-
+    multiplication equi-join, no cartesian product. The oracle is the
+    full QUADRATIC levenshtein join, so the hash match proves the
+    blocking loses no pair."""
+    from etl_spark_gradle_spark.operators import strings as _sj
+
+    _prep(spark)
+    pa = _t(spark, sf_dir, "part")
+    return _sj.edit_distance_join(pa, "p_name", max_distance=2)
+
+
+_EDIT_JOIN_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+SELECT a.p_name AS s_a, b.p_name AS s_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over 4 lineitem measures — 6 pairs
     from ONE exact-decimal moment aggregation (pairs add expressions,
@@ -4158,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort": q_cohort,
         "transitions": q_transitions,
         "correlation": q_correlation,
+        "edit_join": q_edit_join,
         "linear_fit": q_linear_fit,
         "zscore": q_zscore,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
@@ -4246,6 +4269,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort": _COHORT_ORACLE,
         "transitions": _TRANSITIONS_ORACLE,
         "correlation": _corr_oracle(),
+        "edit_join": _EDIT_JOIN_ORACLE,
         "linear_fit": _LINFIT_ORACLE,
         "zscore": _ZSCORE_ORACLE,
         "filter": (
