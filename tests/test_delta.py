@@ -453,3 +453,75 @@ def test_incremental_aggregate_validation(spark):
             [AggregateExpr("v", "sum", "s"), AggregateExpr("*", "count", "cnt")],
             inserted=ins,
         )
+
+
+def test_dimension_maintenance_yaml_pipeline_e2e(spark, tmp_path):
+    """The pipelines/dimension-maintenance.yaml shape end-to-end: gate
+    the change feed with `type: expect`, fold it into the SCD2 dim with
+    `type: scd2`, write the next dimension state."""
+    import yaml
+
+    from etl_spark_gradle_spark.operators.delta import scd2_init
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    dim_src = spark.createDataFrame([(1, "gold"), (2, "silver")], ["k", "tier"])
+    dim = scd2_init(dim_src, ["k"], ["tier"], "2020-01-01")
+    feed = spark.createDataFrame(
+        [(1, "silver", "2020-06-01 00:00:00"), (3, "gold", "2020-06-01 00:00:00")],
+        ["k", "tier", "eff"],
+    )
+    dim_p, feed_p = str(tmp_path / "dim"), str(tmp_path / "feed")
+    dim.write.parquet(dim_p)
+    feed.write.parquet(feed_p)
+
+    doc = {
+        "pipelineId": "dim-maintenance",
+        "source": {"type": "file", "options": {"path": feed_p, "format": "parquet"}},
+        "views": {
+            "customer_dim": {
+                "type": "file", "options": {"path": dim_p, "format": "parquet"},
+            }
+        },
+        "transformations": [
+            {
+                "type": "expect",
+                "options": {
+                    "action": "gate",
+                    "checks": "not_null:k; not_null:eff; in_set:tier:gold|silver",
+                },
+            },
+            {
+                "type": "scd2",
+                "options": {
+                    "dimTable": "customer_dim", "keys": "k", "effectiveColumn": "eff",
+                },
+            },
+        ],
+        "sink": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "next"), "format": "parquet"},
+            "writeMode": "overwrite",
+        },
+    }
+    p = tmp_path / "dim.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    metrics = PipelineExecutor().execute(load_pipeline_yaml(str(p)), spark)
+    assert metrics.status == "SUCCESS"
+    out = spark.read.parquet(str(tmp_path / "next"))
+    rows = {(r.k, r.tier, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, "gold", False), (1, "silver", True),
+        (2, "silver", True), (3, "gold", True),
+    }
+
+    # gate failure path: a feed violating in_set fails the RUN
+    bad = spark.createDataFrame([(9, "platinum", "2020-06-02 00:00:00")],
+                                ["k", "tier", "eff"])
+    bad_p = str(tmp_path / "bad_feed")
+    bad.write.parquet(bad_p)
+    doc["source"]["options"]["path"] = bad_p
+    p.write_text(yaml.safe_dump(doc))
+    metrics = PipelineExecutor().execute(load_pipeline_yaml(str(p)), spark)
+    assert metrics.status == "FAILED"
+    assert "in_set:tier" in (metrics.error_details or "")
