@@ -99,7 +99,14 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     sql_transform,
     window_aggregate,
 )
+from etl_spark_gradle_spark.operators.events import (  # noqa: F401
+    CohortTransformer,
+    FunnelTransformer,
+    TransitionsTransformer,
+)
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
+from etl_spark_gradle_spark.operators.stats import StatsTransformer  # noqa: F401
+from etl_spark_gradle_spark.operators.strings import EditJoinTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
 from etl_spark_gradle_spark.quality import (  # noqa: F401
     ExpectTransformer,
@@ -141,6 +148,11 @@ TRANSFORMER_REGISTRY = {
     "expect": ExpectTransformer(),
     "sketch": SketchTransformer(),
     "bm25": Bm25Transformer(),
+    "funnel": FunnelTransformer(),
+    "cohort": CohortTransformer(),
+    "transitions": TransitionsTransformer(),
+    "edit_join": EditJoinTransformer(),
+    "stats": StatsTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

@@ -197,3 +197,123 @@ def transition_matrix(
             ),
         )
     )
+
+
+class FunnelTransformer:
+    """Registry adapter (``type: funnel``). Options: ``userColumn``,
+    ``typeColumn``, ``timeColumn``, ``steps`` (csv, ordered),
+    ``withinSeconds`` (optional), ``output`` counts|steps."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        errors = []
+        opts = config.options
+        if len(_split_csv(opts.get("steps"))) < 2:
+            errors.append("funnel requires 'steps' (>= 2, ordered csv)")
+        for key in ("userColumn", "typeColumn", "timeColumn"):
+            col = opts.get(key)
+            if not col:
+                errors.append(f"funnel requires '{key}'")
+            elif col not in df.columns:
+                errors.append(f"{key} not in input schema: {col}")
+        if opts.get("output", "counts") not in ("counts", "steps"):
+            errors.append("funnel output must be 'counts' or 'steps'")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "funnel config invalid: " + "; ".join(result.errors)
+            )
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        opts = config.options
+        fn = funnel_counts if opts.get("output", "counts") == "counts" else funnel_steps
+        within = opts.get("withinSeconds")
+        return fn(
+            df,
+            opts["userColumn"],
+            opts["typeColumn"],
+            opts["timeColumn"],
+            _split_csv(opts["steps"]),
+            within_seconds=float(within) if within is not None else None,
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"funnel({opts})"
+
+
+class CohortTransformer:
+    """Registry adapter (``type: cohort``). Options: ``userColumn``,
+    ``timeColumn``, ``origin`` (date), ``periodDays``."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        for key in ("userColumn", "timeColumn"):
+            col = config.options.get(key)
+            if not col:
+                errors.append(f"cohort requires '{key}'")
+            elif col not in df.columns:
+                errors.append(f"{key} not in input schema: {col}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "cohort config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return cohort_retention(
+            df,
+            opts["userColumn"],
+            opts["timeColumn"],
+            origin=opts.get("origin", "2024-01-01"),
+            period_days=int(opts.get("periodDays", 7)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"cohort({opts})"
+
+
+class TransitionsTransformer:
+    """Registry adapter (``type: transitions``). Options: ``userColumn``,
+    ``typeColumn``, ``timeColumn``, ``tiebreakColumn`` (optional)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        for key in ("userColumn", "typeColumn", "timeColumn"):
+            col = config.options.get(key)
+            if not col:
+                errors.append(f"transitions requires '{key}'")
+            elif col not in df.columns:
+                errors.append(f"{key} not in input schema: {col}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "transitions config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return transition_matrix(
+            df,
+            opts["userColumn"],
+            opts["typeColumn"],
+            opts["timeColumn"],
+            tiebreak_col=opts.get("tiebreakColumn"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"transitions({opts})"

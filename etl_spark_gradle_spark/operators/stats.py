@@ -197,3 +197,69 @@ def zscore_flags(
         )
         .drop("_mean", "_std")
     )
+
+
+class StatsTransformer:
+    """Registry adapter (``type: stats``). Options: ``operation``
+    correlation|linear_fit|zscore, ``columns`` (csv — correlation),
+    ``xColumn``/``yColumn`` (linear_fit), ``valueColumn``/``threshold``
+    (zscore), ``groupBy`` (csv, optional for all)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        op = opts.get("operation", "correlation")
+        cols_needed: list[str] = list(_split_csv(opts.get("groupBy")))
+        if op == "correlation":
+            cols = _split_csv(opts.get("columns"))
+            if len(cols) < 2:
+                errors.append("stats correlation requires 'columns' (>= 2)")
+            cols_needed += cols
+        elif op == "linear_fit":
+            for key in ("xColumn", "yColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats linear_fit requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+        elif op == "zscore":
+            if not opts.get("valueColumn"):
+                errors.append("stats zscore requires 'valueColumn'")
+            else:
+                cols_needed.append(opts["valueColumn"])
+        else:
+            errors.append(
+                f"stats operation must be correlation|linear_fit|zscore, got '{op}'"
+            )
+        for c in cols_needed:
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "stats config invalid: " + "; ".join(result.errors)
+            )
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        opts = config.options
+        op = opts.get("operation", "correlation")
+        gb = _split_csv(opts.get("groupBy")) or None
+        if op == "correlation":
+            return correlation_matrix(df, _split_csv(opts["columns"]), group_by=gb)
+        if op == "linear_fit":
+            return linear_fit(df, opts["xColumn"], opts["yColumn"], group_by=gb)
+        return zscore_flags(
+            df,
+            opts["valueColumn"],
+            group_by=gb,
+            threshold=float(opts.get("threshold", 3.0)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"stats({opts})"

@@ -186,3 +186,46 @@ def py_edit_distance(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+class EditJoinTransformer:
+    """Registry adapter (``type: edit_join``): self-join the pipeline
+    frame's ``stringColumn`` (or join against ``rightTable``'s
+    ``rightStringColumn``) within ``maxDistance`` edits. Output is the
+    distinct pair table (s_a, s_b, edit_distance)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        col = config.options.get("stringColumn")
+        if not col:
+            errors.append("edit_join requires 'stringColumn'")
+        elif col not in df.columns:
+            errors.append(f"stringColumn not in input schema: {col}")
+        k = config.options.get("maxDistance", "2")
+        if not str(k).isdigit() or int(k) < 1:
+            errors.append("maxDistance must be an integer >= 1")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "edit_join config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        right = None
+        if opts.get("rightTable"):
+            right = ctx.spark.table(opts["rightTable"])
+        return edit_distance_join(
+            df,
+            opts["stringColumn"],
+            right=right,
+            right_string_col=opts.get("rightStringColumn"),
+            max_distance=int(opts.get("maxDistance", 2)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"edit_join({opts})"

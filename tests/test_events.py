@@ -96,3 +96,46 @@ def test_transition_matrix(spark):
     assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
     with pytest.raises(TransformationError, match="not in input schema"):
         ev.transition_matrix(df, "user_id", "nope", "ts")
+
+
+def test_event_yaml_adapters(spark, clickstream):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    ctx = RunContext.create("t", spark)
+    fun = TRANSFORMER_REGISTRY["funnel"]
+    cfg = TransformationConfig(
+        type="funnel",
+        options={
+            "userColumn": "user_id", "typeColumn": "event_type",
+            "timeColumn": "ts", "steps": "view,click,purchase",
+            "withinSeconds": "3600",
+        },
+    )
+    got = {r.step: r.users for r in fun.transform(clickstream, cfg, ctx).collect()}
+    assert got == {"view": 4, "click": 3, "purchase": 1}
+    assert not fun.validate(
+        clickstream, TransformationConfig(type="funnel", options={"steps": "a"})
+    ).is_valid
+
+    coh = TRANSFORMER_REGISTRY["cohort"]
+    out = coh.transform(
+        clickstream,
+        TransformationConfig(
+            type="cohort", options={"userColumn": "user_id", "timeColumn": "ts"}
+        ),
+        ctx,
+    )
+    assert out.count() >= 1
+
+    tr = TRANSFORMER_REGISTRY["transitions"]
+    out = tr.transform(
+        clickstream,
+        TransformationConfig(
+            type="transitions",
+            options={"userColumn": "user_id", "typeColumn": "event_type",
+                     "timeColumn": "ts"},
+        ),
+        ctx,
+    )
+    assert out.count() >= 1

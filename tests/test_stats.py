@@ -86,3 +86,45 @@ def test_moment_sums_are_mergeable(spark, sf_dir):
     ).collect()[0]
     # decimal sums add EXACTLY: merged partial moments == whole-table moments
     assert merged.asDict() == whole.asDict()
+
+
+def test_stats_yaml_adapter(spark, sf_dir):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = TRANSFORMER_REGISTRY["stats"]
+    ctx = RunContext.create("t", spark)
+    corr = t.transform(
+        li,
+        TransformationConfig(
+            type="stats",
+            options={"operation": "correlation",
+                     "columns": "l_quantity,l_extendedprice"},
+        ),
+        ctx,
+    )
+    assert corr.count() == 1
+    fit = t.transform(
+        li,
+        TransformationConfig(
+            type="stats",
+            options={"operation": "linear_fit", "xColumn": "l_quantity",
+                     "yColumn": "l_extendedprice", "groupBy": "l_returnflag"},
+        ),
+        ctx,
+    )
+    assert fit.count() == 3
+    z = t.transform(
+        li,
+        TransformationConfig(
+            type="stats",
+            options={"operation": "zscore", "valueColumn": "l_extendedprice",
+                     "threshold": "1.5"},
+        ),
+        ctx,
+    )
+    assert "is_outlier" in z.columns
+    assert not t.validate(
+        li, TransformationConfig(type="stats", options={"operation": "bogus"})
+    ).is_valid

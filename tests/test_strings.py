@@ -81,3 +81,24 @@ def test_edit_join_validation(spark):
         sj.edit_distance_join(df, "s", max_distance=0)
     with pytest.raises(TransformationError, match="not in left schema"):
         sj.edit_distance_join(df, "nope")
+
+
+def test_edit_join_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame([("widget",), ("widgets",), ("zzz",)], ["name"])
+    t = TRANSFORMER_REGISTRY["edit_join"]
+    ctx = RunContext.create("t", spark)
+    out = t.transform(
+        df,
+        TransformationConfig(
+            type="edit_join", options={"stringColumn": "name", "maxDistance": "1"}
+        ),
+        ctx,
+    )
+    rows = {(r.s_a, r.s_b) for r in out.collect()}
+    assert rows == {("widget", "widgets")}
+    assert not t.validate(
+        df, TransformationConfig(type="edit_join", options={"maxDistance": "0"})
+    ).is_valid
