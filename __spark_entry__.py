@@ -3511,6 +3511,39 @@ GROUP BY f.cohort_period, a.period - f.cohort_period
 """
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: brands bought together in one
+    order, top-25. Within-basket pair expansion via a higher-order
+    combination expression (no self-join) — quadratic only in basket
+    size."""
+    from etl_spark_gradle_spark.operators import events as _ev
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(pa.select("p_partkey", "p_brand")),
+                     li.l_partkey == F.col("p_partkey"))
+    return _ev.market_basket_pairs(
+        joined, "l_orderkey", "p_brand", min_support=2, top_k=25
+    )
+
+
+_MARKET_BASKET_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IS NOT NULL
+)
+SELECT a.p_brand AS item_a, c.p_brand AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS baskets
+FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY baskets DESC, item_a ASC, item_b ASC
+LIMIT 25
+"""
+
+
 def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity self-join (k=2) over distinct part
     names via LOSSLESS PassJoin segment blocking — one bounded-
@@ -4181,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "correlation": q_correlation,
         "edit_join": q_edit_join,
+        "market_basket": q_market_basket,
         "linear_fit": q_linear_fit,
         "zscore": q_zscore,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
@@ -4270,6 +4304,7 @@ def oracle_sql() -> dict[str, str]:
         "transitions": _TRANSITIONS_ORACLE,
         "correlation": _corr_oracle(),
         "edit_join": _EDIT_JOIN_ORACLE,
+        "market_basket": _MARKET_BASKET_ORACLE,
         "linear_fit": _LINFIT_ORACLE,
         "zscore": _ZSCORE_ORACLE,
         "filter": (

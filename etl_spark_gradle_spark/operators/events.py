@@ -33,6 +33,7 @@ __all__ = [
     "funnel_counts",
     "cohort_retention",
     "transition_matrix",
+    "market_basket_pairs",
 ]
 
 
@@ -317,3 +318,58 @@ class TransitionsTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"transitions({opts})"
+
+
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Item co-occurrence counts ("market basket"): for every pair of
+    distinct items appearing in the same basket, the number of baskets
+    containing both. Output (item_a, item_b, baskets) with
+    item_a < item_b.
+
+    Plan shape: ONE shuffle groups each basket's distinct items into a
+    sorted array, then a higher-order combination expression expands
+    within-basket pairs (the same no-self-join trick as the LSH bucket
+    pairing) — the quadratic term is bounded by basket size, never by
+    item or basket count. A second small aggregation counts pairs;
+    ``top_k`` closes with TakeOrderedAndProject. Giant degenerate
+    baskets are the skew risk — cap them upstream (cap_per_group) the
+    way LSH caps buckets."""
+    for c in (basket_col, item_col):
+        if c not in df.columns:
+            raise TransformationError(f"basket column not in input schema: {c}")
+    if min_support < 1:
+        raise TransformationError("market_basket min_support must be >= 1")
+    baskets = (
+        df.select(basket_col, item_col)
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+        .groupBy(basket_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
+        .where(F.size("_items") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_items"), i + F.lit(2), F.size(F.col("_items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    out = (
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count("*").alias("baskets"))
+        .where(F.col("baskets") >= min_support)
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("baskets"), F.asc("item_a"), F.asc("item_b")
+        ).limit(top_k)
+    return out

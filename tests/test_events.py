@@ -139,3 +139,25 @@ def test_event_yaml_adapters(spark, clickstream):
         ctx,
     )
     assert out.count() >= 1
+
+
+def test_market_basket_pairs(spark):
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "lonely"),
+        (5, "x"), (5, "x"),  # duplicate item in one basket counts once
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {(r.item_a, r.item_b): r.baskets
+           for r in ev.market_basket_pairs(df, "basket", "item").collect()}
+    assert got == {("x", "y"): 3, ("x", "z"): 1, ("y", "z"): 1}
+    sup = {(r.item_a, r.item_b): r.baskets
+           for r in ev.market_basket_pairs(df, "basket", "item",
+                                           min_support=2).collect()}
+    assert sup == {("x", "y"): 3}
+    top = ev.market_basket_pairs(df, "basket", "item", top_k=1).collect()
+    assert [(top[0].item_a, top[0].item_b)] == [("x", "y")]
+    with pytest.raises(TransformationError, match="min_support"):
+        ev.market_basket_pairs(df, "basket", "item", min_support=0)
