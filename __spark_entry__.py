@@ -3511,6 +3511,58 @@ GROUP BY f.cohort_period, a.period - f.cohort_period
 """
 
 
+def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two CMS sketches (count-min
+    inner product, never undercounts): estimate |orders ⋈ lineitem| on
+    the order key from two KB-sized cell tables, emitted next to the
+    TRUE join size — the oracle recomputes both, and the hash match
+    pins the estimate's exact value AND the overcount invariant."""
+    from etl_spark_gradle_spark.operators import sketch as _sk
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ca = _sk.build_cms(orders, "o_orderkey", depth=4, width=512, hash_fn="md5")
+    cb = _sk.build_cms(li, "l_orderkey", depth=4, width=512, hash_fn="md5")
+    est = _sk.cms_join_cardinality(ca, cb)
+    true = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count("*").alias("true_join_rows"))
+    )
+    return est.crossJoin(true).select(
+        "est_join_rows",
+        "true_join_rows",
+        (F.col("est_join_rows") >= F.col("true_join_rows")).alias("never_under"),
+    )
+
+
+_CMS_JOIN_EST_ORACLE = """
+WITH ds AS (SELECT unnest(range(4)) AS d),
+ca AS (
+  SELECT ds.d,
+         CAST(('0x' || substr(md5('cms' || ds.d || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS w,
+         COUNT(*) AS cnt
+  FROM orders CROSS JOIN ds WHERE o_orderkey IS NOT NULL GROUP BY 1, 2
+), cb AS (
+  SELECT ds.d,
+         CAST(('0x' || substr(md5('cms' || ds.d || ':' || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS w,
+         COUNT(*) AS cnt
+  FROM lineitem CROSS JOIN ds WHERE l_orderkey IS NOT NULL GROUP BY 1, 2
+), ip AS (
+  SELECT ca.d, SUM(ca.cnt * cb.cnt) AS v
+  FROM ca JOIN cb ON ca.d = cb.d AND ca.w = cb.w
+  GROUP BY ca.d
+), est AS (SELECT CAST(MIN(v) AS BIGINT) AS est_join_rows FROM ip),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_join_rows
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT est.est_join_rows, t.true_join_rows,
+       est.est_join_rows >= t.true_join_rows AS never_under
+FROM est, t
+"""
+
+
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: brands bought together in one
     order, top-25. Within-basket pair expansion via a higher-order
@@ -4215,6 +4267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation": q_correlation,
         "edit_join": q_edit_join,
         "market_basket": q_market_basket,
+        "cms_join_estimate": q_cms_join_estimate,
         "linear_fit": q_linear_fit,
         "zscore": q_zscore,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
@@ -4305,6 +4358,7 @@ def oracle_sql() -> dict[str, str]:
         "correlation": _corr_oracle(),
         "edit_join": _EDIT_JOIN_ORACLE,
         "market_basket": _MARKET_BASKET_ORACLE,
+        "cms_join_estimate": _CMS_JOIN_EST_ORACLE,
         "linear_fit": _LINFIT_ORACLE,
         "zscore": _ZSCORE_ORACLE,
         "filter": (

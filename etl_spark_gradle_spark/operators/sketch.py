@@ -419,6 +419,38 @@ def cms_prune(
     return out.where(keep).drop(*helpers)
 
 
+def cms_join_cardinality(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    counts_col: str = "cnt",
+    estimate_col: str = "est_join_rows",
+) -> DataFrame:
+    """Equi-join output-size estimate from two CMS tables built on the
+    join keys (same depth/width/hash): the classic count-min
+    inner-product estimate ``min_d Σ_w cntA(d,w)·cntB(d,w)``. True join
+    cardinality is ``Σ_k cntA(k)·cntB(k)``; hashing only MERGES cells,
+    so every depth row's inner product ≥ the truth — the estimate
+    never undercounts, and the min over depth rows tightens it.
+
+    The 100 TB use: size a join's shuffle/output (skew checks, capacity
+    planning, "will this explode?") from two KB-sized sketches —
+    neither table is touched. Plan: one (d,w) equi-join of two
+    depth×width tables + a 1-row aggregate."""
+    for c in ("d", "w", counts_col):
+        if c not in sketch_a.columns:
+            raise TransformationError(f"cms sketch A is missing column: {c}")
+        if c not in sketch_b.columns:
+            raise TransformationError(f"cms sketch B is missing column: {c}")
+    a = sketch_a.select("d", "w", F.col(counts_col).alias("_ca"))
+    b = sketch_b.select("d", "w", F.col(counts_col).alias("_cb"))
+    per_d = (
+        a.join(b, on=["d", "w"])
+        .groupBy("d")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return per_d.agg(F.min("_ip").cast("long").alias(estimate_col))
+
+
 class SketchTransformer:
     """Registry adapter (``type: sketch``).
 

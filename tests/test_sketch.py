@@ -385,3 +385,34 @@ def test_cms_prune_validation(spark):
         cms_prune(df, "k", cms, depth=2, width=16, min_count=0)
     with _pytest.raises(TransformationError, match="missing column"):
         cms_prune(df, "k", cms.drop("cnt"), depth=2, width=16)
+
+
+def test_cms_join_cardinality_never_undercounts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.sketch import (
+        build_cms,
+        cms_join_cardinality,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    true = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    # narrow sketch: collisions inflate, never deflate
+    est_narrow = cms_join_cardinality(
+        build_cms(orders, "o_orderkey", depth=3, width=128),
+        build_cms(li, "l_orderkey", depth=3, width=128),
+    ).collect()[0].est_join_rows
+    assert est_narrow >= true
+    # wide sketch: estimate tightens toward the truth
+    est_wide = cms_join_cardinality(
+        build_cms(orders, "o_orderkey", depth=3, width=65536),
+        build_cms(li, "l_orderkey", depth=3, width=65536),
+    ).collect()[0].est_join_rows
+    assert true <= est_wide <= est_narrow
+    assert est_wide <= true * 1.05  # within 5% at this width
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    import pytest as _pytest
+    with _pytest.raises(TransformationError, match="missing column"):
+        cms_join_cardinality(orders, build_cms(li, "l_orderkey"))
