@@ -102,6 +102,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
 from etl_spark_gradle_spark.operators.events import (  # noqa: F401
     CohortTransformer,
     FunnelTransformer,
+    MarketBasketTransformer,
     TransitionsTransformer,
 )
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
@@ -151,6 +152,7 @@ TRANSFORMER_REGISTRY = {
     "funnel": FunnelTransformer(),
     "cohort": CohortTransformer(),
     "transitions": TransitionsTransformer(),
+    "market_basket": MarketBasketTransformer(),
     "edit_join": EditJoinTransformer(),
     "stats": StatsTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)

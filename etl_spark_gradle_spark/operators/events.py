@@ -373,3 +373,40 @@ def market_basket_pairs(
             F.desc("baskets"), F.asc("item_a"), F.asc("item_b")
         ).limit(top_k)
     return out
+
+
+class MarketBasketTransformer:
+    """Registry adapter (``type: market_basket``). Options:
+    ``basketColumn``, ``itemColumn``, ``minSupport``, ``topK``."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        for key in ("basketColumn", "itemColumn"):
+            col = config.options.get(key)
+            if not col:
+                errors.append(f"market_basket requires '{key}'")
+            elif col not in df.columns:
+                errors.append(f"{key} not in input schema: {col}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "market_basket config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        top_k = opts.get("topK")
+        return market_basket_pairs(
+            df,
+            opts["basketColumn"],
+            opts["itemColumn"],
+            min_support=int(opts.get("minSupport", 1)),
+            top_k=int(top_k) if top_k is not None else None,
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"market_basket({opts})"

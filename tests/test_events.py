@@ -161,3 +161,25 @@ def test_market_basket_pairs(spark):
     assert [(top[0].item_a, top[0].item_b)] == [("x", "y")]
     with pytest.raises(TransformationError, match="min_support"):
         ev.market_basket_pairs(df, "basket", "item", min_support=0)
+
+
+def test_market_basket_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y")], ["basket", "item"]
+    )
+    t = TRANSFORMER_REGISTRY["market_basket"]
+    out = t.transform(
+        df,
+        TransformationConfig(
+            type="market_basket",
+            options={"basketColumn": "basket", "itemColumn": "item"},
+        ),
+        RunContext.create("t", spark),
+    )
+    assert [(r.item_a, r.item_b, r.baskets) for r in out.collect()] == [("x", "y", 2)]
+    assert not t.validate(
+        df, TransformationConfig(type="market_basket", options={})
+    ).is_valid
