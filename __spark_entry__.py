@@ -3511,6 +3511,35 @@ GROUP BY f.cohort_period, a.period - f.cohort_period
 """
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum (md5 flavor — the DuckDB oracle
+    reproduces it bit-for-bit): exact decimal sum of per-row 60-bit
+    hashes + row count over canonical '|'-joined strings. The cheap
+    replication-validation primitive; mergeable like the sketches."""
+    from etl_spark_gradle_spark.operators import delta as _dl
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    out = _dl.table_checksum(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        hash_fn="md5",
+    )
+    # emit the 21-digit checksum as a STRING: pandas renders DuckDB's
+    # wide decimals as float64, mangling the exact value in the compare
+    return out.select(F.col("checksum").cast("string").alias("checksum"), "row_count")
+
+
+_TABLE_CHECKSUM_ORACLE = """
+SELECT CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+              COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+              COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
+              COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT)) AS VARCHAR) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS row_count
+FROM orders
+"""
+
+
 def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from two CMS sketches (count-min
     inner product, never undercounts): estimate |orders ⋈ lineitem| on
@@ -4268,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": q_edit_join,
         "market_basket": q_market_basket,
         "cms_join_estimate": q_cms_join_estimate,
+        "table_checksum": q_table_checksum,
         "linear_fit": q_linear_fit,
         "zscore": q_zscore,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
@@ -4359,6 +4389,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_join": _EDIT_JOIN_ORACLE,
         "market_basket": _MARKET_BASKET_ORACLE,
         "cms_join_estimate": _CMS_JOIN_EST_ORACLE,
+        "table_checksum": _TABLE_CHECKSUM_ORACLE,
         "linear_fit": _LINFIT_ORACLE,
         "zscore": _ZSCORE_ORACLE,
         "filter": (

@@ -47,6 +47,7 @@ __all__ = [
     "apply_changes",
     "scd2_init",
     "scd2_apply",
+    "table_checksum",
     "DiffTransformer",
     "Scd2Transformer",
 ]
@@ -548,3 +549,43 @@ def incremental_aggregate(
         proj.append(merged.alias(alias))
     out = out.select(*proj)
     return out.where(F.col(count_alias) > 0)
+
+
+def table_checksum(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Order-independent table checksum: the exact decimal SUM of
+    per-row 64-bit fingerprints plus the row count — equal checksums
+    (at 2^-64 per-row collision odds) mean equal multisets of rows.
+    The cheap pre-flight for replication/migration validation: compare
+    two checksums before paying for a full :func:`table_diff`, or
+    persist per-partition checksums and ROLL THEM UP (decimal sums
+    add) the way the sketch family does.
+
+    ``hash_fn="xxhash64"`` is the fast JVM path (with the same
+    null-position bitmap as :func:`row_fingerprint`);``"md5"`` derives
+    the row hash from the first 16 hex chars of md5 over a '|'-joined
+    canonical string — engine-portable (the DuckDB oracle reproduces
+    the checksum bit-for-bit), at md5 cost. Plan: one scan, one 1-row
+    aggregate; zero shuffles beyond the final partial-agg gather."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"table_checksum hash_fn must be xxhash64|md5, got '{hash_fn}'")
+    cols = columns if columns is not None else sorted(df.columns)
+    if not cols:
+        raise ValueError("table_checksum requires at least one column")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"checksum column not in schema: {c}")
+    if hash_fn == "xxhash64":
+        row_hash = row_fingerprint(list(cols))
+    else:
+        canon = F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        )
+        row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
+        F.count("*").alias("row_count"),
+    )

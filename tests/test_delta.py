@@ -525,3 +525,36 @@ def test_dimension_maintenance_yaml_pipeline_e2e(spark, tmp_path):
     metrics = PipelineExecutor().execute(load_pipeline_yaml(str(p)), spark)
     assert metrics.status == "FAILED"
     assert "in_set:tier" in (metrics.error_details or "")
+
+
+def test_table_checksum_order_independent_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.delta import table_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], ["k", "s"]
+    )
+    base = table_checksum(df).collect()[0]
+    # order independence: reversed input, same checksum
+    rev = table_checksum(df.orderBy(F.desc("k"))).collect()[0]
+    assert (base.checksum, base.row_count) == (rev.checksum, rev.row_count)
+    # sensitivity: any value change moves the checksum
+    changed = table_checksum(
+        df.withColumn("s", F.when(F.col("k") == 1, "z").otherwise(F.col("s")))
+    ).collect()[0]
+    assert changed.checksum != base.checksum
+    # mergeability: per-half checksums sum to the whole
+    a = table_checksum(df.where("k <= 1")).collect()[0]
+    b = table_checksum(df.where("k > 1")).collect()[0]
+    assert a.checksum + b.checksum == base.checksum
+    assert a.row_count + b.row_count == base.row_count
+    # md5 flavor is deterministic across sessions (fixed algorithm)
+    md5_a = table_checksum(df, hash_fn="md5").collect()[0]
+    md5_b = table_checksum(df, hash_fn="md5").collect()[0]
+    assert md5_a.checksum == md5_b.checksum
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        table_checksum(df, hash_fn="crc")
+    with pytest.raises(ValueError, match="not in schema"):
+        table_checksum(df, ["nope"])
