@@ -4301,6 +4301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_fit": q_linear_fit,
         "zscore": q_zscore,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
+        "tpch_q2": _tpch.QUERIES["tpch_q2"],
+        "tpch_q11": _tpch.QUERIES["tpch_q11"],
+        "tpch_q12": _tpch.QUERIES["tpch_q12"],
         "tpch_q3": _tpch.QUERIES["tpch_q3"],
         "tpch_q4": _tpch.QUERIES["tpch_q4"],
         "tpch_q6": _tpch.QUERIES["tpch_q6"],

@@ -134,3 +134,36 @@ def test_q5_survives_big_data_stats(spark, sf_dir):
     )
     assert bhj == 3
     assert shuffle_joins == 2
+
+
+def test_q2_min_cost_supplier_semantics(spark, sf_dir, duck):
+    # every returned (part, supplier) carries that part's MINIMUM cost
+    got = tpch.QUERIES["tpch_q2"](spark, sf_dir).toPandas()
+    if len(got):
+        mins = got.groupby("p_partkey").supply_cost.transform("min")
+        assert (got.supply_cost == mins).all()
+
+
+def test_q11_threshold_is_exact_decimal(spark, sf_dir):
+    # the share comparison happens in exact decimal (value*10000 > tot):
+    # recompute in Python Decimal and match the row set
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    v = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .where("n_name = 'NATION_5'")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("v"))
+        .collect()
+    )
+    tot = sum((r.v for r in v), Decimal(0))
+    want = {r.l_partkey for r in v if r.v * 10000 > tot}
+    got = {r.p_partkey for r in
+           tpch.QUERIES["tpch_q11"](spark, sf_dir).collect()}
+    assert got == want
