@@ -3768,6 +3768,171 @@ FROM src JOIN s ON src.l_returnflag = s.l_returnflag
 """
 
 
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user 6-hour grid over events
+    with linear interpolation across empty buckets (~45% of the grid
+    at sf0.01). Raw table scanned once (bucket groupBy with map-side
+    partials); spine generated distributed via sequence+explode; fill
+    windows run over grid-sized data only."""
+    from etl_spark_gradle_spark.operators.timeseries import resample
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return resample(
+        ev,
+        time_col="ts",
+        step_seconds=21600,
+        aggregations=[AggregateExpr("value", "avg", "avg_value")],
+        group_by=["user_id"],
+        fill="linear",
+    )
+
+
+_RESAMPLE_LINEAR_ORACLE = """
+WITH obs AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bucket_ts,
+         avg(value) AS avg_value, CAST(count(*) AS BIGINT) AS n_obs
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM obs GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(range(mn, mx + 21600, 21600)) AS bucket_ts FROM bounds
+), grid AS (
+  SELECT s.user_id, s.bucket_ts, o.avg_value,
+         coalesce(o.n_obs, 0) AS n_obs
+  FROM spine s LEFT JOIN obs o USING (user_id, bucket_ts)
+), f AS (
+  SELECT user_id, bucket_ts, avg_value, n_obs,
+    last_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY bucket_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN CAST(bucket_ts AS DOUBLE) END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY bucket_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY bucket_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN CAST(bucket_ts AS DOUBLE) END
+                IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY bucket_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM grid
+)
+SELECT user_id, bucket_ts,
+  CASE WHEN avg_value IS NOT NULL THEN avg_value
+       WHEN pt IS NOT NULL AND nt IS NOT NULL
+       THEN pv + (nv - pv) * ((CAST(bucket_ts AS DOUBLE) - pt) / (nt - pt))
+       ELSE NULL END AS avg_value,
+  n_obs
+FROM f
+"""
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same grid, forward-fill semantics (last observation carries
+    over gaps; leading gaps stay NULL) plus a sum aggregate — the
+    monitoring-dashboard shape."""
+    from etl_spark_gradle_spark.operators.timeseries import resample
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return resample(
+        ev,
+        time_col="ts",
+        step_seconds=21600,
+        aggregations=[AggregateExpr("value", "sum", "sum_value")],
+        group_by=["user_id"],
+        fill="ffill",
+    )
+
+
+_RESAMPLE_FFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bucket_ts,
+         sum(value) AS sum_value, CAST(count(*) AS BIGINT) AS n_obs
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM obs GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(range(mn, mx + 21600, 21600)) AS bucket_ts FROM bounds
+), grid AS (
+  SELECT s.user_id, s.bucket_ts, o.sum_value,
+         coalesce(o.n_obs, 0) AS n_obs
+  FROM spine s LEFT JOIN obs o USING (user_id, bucket_ts)
+)
+SELECT user_id, bucket_ts,
+  last_value(sum_value IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+  n_obs
+FROM grid
+"""
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over lineitem: counts, exact distincts,
+    typed extrema and string-length stats for 5 columns in ONE
+    aggregation job (columns add expressions, not passes)."""
+    from etl_spark_gradle_spark.quality import profile_columns
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
+    )
+
+
+_PROFILE_ORACLE = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+SELECT 'l_orderkey' AS column, 'bigint' AS dtype, n.n_rows,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+       CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+       CAST(NULL AS DOUBLE) AS avg_len
+FROM lineitem, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'l_quantity', 'double', n.n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_quantity) AS BIGINT),
+       min(l_quantity), max(l_quantity),
+       NULL, NULL, NULL
+FROM lineitem, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'l_extendedprice', 'double', n.n_rows,
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       min(l_extendedprice), max(l_extendedprice),
+       NULL, NULL, NULL
+FROM lineitem, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'l_returnflag', 'string', n.n_rows,
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       NULL, NULL,
+       CAST(min(length(l_returnflag)) AS BIGINT),
+       CAST(max(length(l_returnflag)) AS BIGINT),
+       CAST(sum(length(l_returnflag)) AS DOUBLE) /
+         CAST(n.n_rows - sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+FROM lineitem, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'l_shipdate', 'timestamp_ntz', n.n_rows,
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_shipdate) AS BIGINT),
+       CAST(epoch_us(min(l_shipdate)) AS DOUBLE),
+       CAST(epoch_us(max(l_shipdate)) AS DOUBLE),
+       NULL, NULL, NULL
+FROM lineitem, n GROUP BY n.n_rows
+"""
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-user event sequences: one
     window sort + two small aggs; probability = exact-count division
@@ -4222,7 +4387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     or is a TPC-H r4 addition explicitly queued for the r5 rotation;
     every 51+ non-TPC-H entry has an r3 driver row. All queries remain
     oracle-checked locally by tools/check_oracle.py at both SFs
-    regardless of position."""
+    regardless of position. Session-6 late additions (resample_linear,
+    resample_ffill, profile) join the r5 queue with the TPC-H tail."""
     from etl_spark_gradle_spark import tpch as _tpch
 
     return {
@@ -4300,6 +4466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": q_table_checksum,
         "linear_fit": q_linear_fit,
         "zscore": q_zscore,
+        "resample_linear": q_resample_linear,
+        "resample_ffill": q_resample_ffill,
+        "profile": q_profile,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q2": _tpch.QUERIES["tpch_q2"],
         "tpch_q11": _tpch.QUERIES["tpch_q11"],
@@ -4395,6 +4564,9 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": _TABLE_CHECKSUM_ORACLE,
         "linear_fit": _LINFIT_ORACLE,
         "zscore": _ZSCORE_ORACLE,
+        "resample_linear": _RESAMPLE_LINEAR_ORACLE,
+        "resample_ffill": _RESAMPLE_FFILL_ORACLE,
+        "profile": _PROFILE_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

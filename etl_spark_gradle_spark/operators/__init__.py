@@ -109,9 +109,15 @@ from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: 
 from etl_spark_gradle_spark.operators.stats import StatsTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.strings import EditJoinTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
+from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
+    ResampleTransformer,
+    resample,
+)
 from etl_spark_gradle_spark.quality import (  # noqa: F401
     ExpectTransformer,
+    ProfileTransformer,
     SchemaAlignTransformer,
+    profile_columns,
 )
 from etl_spark_gradle_spark.operators.text import (  # noqa: F401
     ModelScoreTransformer,
@@ -155,6 +161,8 @@ TRANSFORMER_REGISTRY = {
     "market_basket": MarketBasketTransformer(),
     "edit_join": EditJoinTransformer(),
     "stats": StatsTransformer(),
+    "resample": ResampleTransformer(),
+    "profile": ProfileTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

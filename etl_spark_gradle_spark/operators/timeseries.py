@@ -1,0 +1,235 @@
+"""Time-series regularization: resample to a fixed grid + gap fill.
+
+Beyond-reference analytics (the reference's windowing stops at
+tumbling/sliding aggregation over OBSERVED rows —
+``transformer/WindowingTransformer.scala:40-77``): monitoring,
+forecasting-feature and sensor workloads need the COMPLETE grid — a row
+for every (series, bucket) between the series' first and last
+observation, with the empty buckets made explicit and then imputed
+(zero / forward-fill / linear interpolation). Pandas calls this
+``resample().asfreq()`` + ``ffill``/``interpolate``; SQL engines call
+it a date spine. This module re-expresses it Spark-first:
+
+1. **Bucket + aggregate** the raw table once —
+   ``groupBy(keys, bucket)`` with map-side partial aggregation, the
+   only pass over full-scale data.
+2. **Spine without a driver loop**: per-series bounds (min/max bucket,
+   a series-count-sized aggregate) → ``sequence(mn, mx, step)`` +
+   ``explode`` — the grid is GENERATED distributed, never enumerated
+   on the driver and never read from a calendar table.
+3. **Left-join observed onto the spine** (grid-sized ⋈ bucket-sized —
+   both keyed the same way; AQE picks broadcast when the grid is
+   small).
+4. **Fill** with window functions over grid-sized data: ``ffill`` =
+   ``last(v, ignorenulls)`` over an unbounded-preceding row frame;
+   ``linear`` finds the bracketing observations with the same
+   last/first ignore-nulls trick in both directions and interpolates
+   ``prev + (next - prev) * ((t - prev_t) / (next_t - prev_t))``
+   (edge gaps — before the first or after the last observation —
+   stay NULL, since there is nothing to bracket them; use ``ffill``
+   when trailing imputation is wanted).
+
+At 100 TB the raw table is touched exactly once (step 1); every later
+stage is grid-sized (|series| × buckets-per-series), so the window
+shuffles and the spine join are orders of magnitude below the scan.
+The grid itself can still be large — a 1-second step over a year is
+31.5M buckets *per series* — so ``step_seconds`` is the knob that
+bounds output size, and the operator refuses non-positive steps.
+Empty ``group_by`` produces ONE global series; the fill windows then
+run in a single partition (documented, same caveat as global
+``analytics``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.plans.config import AggregateExpr
+from etl_spark_gradle_spark.operators.relational import (
+    TransformationError,
+    _agg_column,
+    _split_csv,
+)
+
+__all__ = ["resample", "ResampleTransformer"]
+
+_FILLS = {"null", "zero", "ffill", "linear"}
+
+
+def _bucket_expr(time_col: str, step: int, origin: int) -> Column:
+    # unix_timestamp truncates fractional seconds toward zero (epochs
+    # here are positive, so truncate == floor — matching the oracle's
+    # floor(epoch(ts))); integer DIV keeps the grid exact, no float
+    # boundary wobble at any epoch magnitude.
+    sec = F.unix_timestamp(F.col(time_col))
+    return ((sec - F.lit(origin)).cast("long") / F.lit(step)).cast("long") * F.lit(
+        step
+    ) + F.lit(origin)
+
+
+def resample(
+    df: DataFrame,
+    time_col: str,
+    step_seconds: int,
+    aggregations: list[AggregateExpr],
+    group_by: list[str] | None = None,
+    fill: str = "null",
+    origin: int = 0,
+) -> DataFrame:
+    """Regularize a time series onto a fixed ``step_seconds`` grid.
+
+    Returns one row per (``group_by``…, ``bucket_ts``) for EVERY bucket
+    between each series' first and last observation. ``bucket_ts`` is
+    epoch seconds (bigint — engine-portable, no timezone rendering).
+    ``n_obs`` counts contributing raw rows (0 marks an imputed gap).
+    Aggregate columns are filled per ``fill``:
+
+    - ``null``: gaps stay NULL (``asfreq`` semantics),
+    - ``zero``: gaps become 0 (count-like series),
+    - ``ffill``: last observed value carries forward (leading gaps
+      stay NULL),
+    - ``linear``: linear interpolation between the bracketing
+      observations, values cast to double (edge gaps stay NULL).
+    """
+    if step_seconds <= 0:
+        raise TransformationError("resample requires step_seconds > 0")
+    if fill not in _FILLS:
+        raise TransformationError(
+            f"unsupported fill '{fill}' (supported: {sorted(_FILLS)})"
+        )
+    if not aggregations:
+        raise TransformationError("resample requires at least one AggregateExpr")
+    if time_col not in df.columns:
+        raise TransformationError(f"time column not in input schema: {time_col}")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    value_cols = [a.alias for a in aggregations]
+    step = int(step_seconds)
+
+    # (1) one pass over the raw table: bucket + partial-agg groupBy
+    observed = (
+        df.withColumn("bucket_ts", _bucket_expr(time_col, step, int(origin)))
+        .groupBy(*group_by, "bucket_ts")
+        .agg(
+            *[_agg_column(a) for a in aggregations],
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+    # (2) series-sized bounds -> distributed spine
+    spine = (
+        observed.groupBy(*group_by)
+        .agg(F.min("bucket_ts").alias("_mn"), F.max("bucket_ts").alias("_mx"))
+        .select(
+            *group_by,
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step).cast("long"))
+            ).alias("bucket_ts"),
+        )
+    )
+    # (3) grid-sized left join; gaps surface as NULL value columns
+    grid = spine.join(observed, on=group_by + ["bucket_ts"], how="left").withColumn(
+        "n_obs", F.coalesce(F.col("n_obs"), F.lit(0).cast("long"))
+    )
+
+    if fill == "null":
+        return grid
+    if fill == "zero":
+        out = grid
+        for c, spec in zip(value_cols, aggregations):
+            zero = F.lit(0).cast(dict(grid.dtypes)[c])
+            out = out.withColumn(c, F.coalesce(F.col(c), zero))
+        return out
+
+    w_prev = (
+        Window.partitionBy(*group_by)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if fill == "ffill":
+        out = grid
+        for c in value_cols:
+            out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w_prev))
+        return out
+
+    # linear: bracketing observation on each side via ignore-nulls
+    # last/first; one shuffle by series keys covers both directions.
+    w_next = (
+        Window.partitionBy(*group_by)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col("bucket_ts").cast("double")
+    out = grid
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        marked_t = F.when(F.col(c).isNotNull(), F.col("bucket_ts").cast("double"))
+        prev_v = F.last(v, ignorenulls=True).over(w_prev)
+        prev_t = F.last(marked_t, ignorenulls=True).over(w_prev)
+        next_v = F.first(v, ignorenulls=True).over(w_next)
+        next_t = F.first(marked_t, ignorenulls=True).over(w_next)
+        # fixed operand order — the DuckDB oracle spells the identical
+        # expression, so IEEE-754 results are bit-equal cross-engine
+        interp = prev_v + (next_v - prev_v) * ((t - prev_t) / (next_t - prev_t))
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), v)
+            .when(prev_t.isNotNull() & next_t.isNotNull(), interp)
+            .otherwise(F.lit(None).cast("double")),
+        )
+    return out
+
+
+class ResampleTransformer:
+    """Registry adapter (``type: resample``). Options: ``timeColumn``,
+    ``stepSeconds``, ``groupBy`` (csv, optional), ``fill``
+    null|zero|ffill|linear (default null), ``origin`` (epoch seconds,
+    default 0); plus the standard ``aggregations`` list."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if not opts.get("timeColumn"):
+            errors.append("resample requires 'timeColumn'")
+        elif opts["timeColumn"] not in df.columns:
+            errors.append(f"time column not in input schema: {opts['timeColumn']}")
+        try:
+            if int(opts.get("stepSeconds", 0)) <= 0:
+                errors.append("resample requires integer 'stepSeconds' > 0")
+        except (TypeError, ValueError):
+            errors.append("resample requires integer 'stepSeconds' > 0")
+        if opts.get("fill", "null") not in _FILLS:
+            errors.append(
+                f"fill must be one of {sorted(_FILLS)}, got '{opts.get('fill')}'"
+            )
+        if not config.aggregations:
+            errors.append("resample requires 'aggregations'")
+        for c in _split_csv(opts.get("groupBy")):
+            if c not in df.columns:
+                errors.append(f"group column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "resample config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return resample(
+            df,
+            time_col=opts["timeColumn"],
+            step_seconds=int(opts["stepSeconds"]),
+            aggregations=list(config.aggregations),
+            group_by=_split_csv(opts.get("groupBy")) or None,
+            fill=opts.get("fill", "null"),
+            origin=int(opts.get("origin", 0)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"resample({opts})"

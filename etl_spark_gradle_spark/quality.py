@@ -83,6 +83,142 @@ def null_metrics_df(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+_NUMERIC_PREFIXES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+)
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    distinct: str = "exact",
+) -> DataFrame:
+    """One-pass column profiler: per column, row/null/distinct counts
+    plus typed extrema — the ``DESCRIBE``-style table-health summary a
+    warehouse runs before trusting a feed (beyond-reference; the
+    reference's quality checks stop at nulls/dups).
+
+    Output rows (one per profiled column, stable schema):
+    ``column, n_rows, n_nulls, n_distinct, min_num, max_num`` (numeric
+    columns as double — decimals routed through a string cast, the
+    engine-portable conversion; timestamps as epoch MICROseconds,
+    integer-exact in a double up to year 2255; NULL for strings) and
+    ``min_len, max_len, avg_len`` (string columns only; ``avg_len`` is
+    one double division, same operand order on every engine).
+
+    Everything is ONE aggregation job — columns add expressions, not
+    passes. Caveat the plan makes visible: ``distinct="exact"`` uses
+    multiple ``count(DISTINCT)``s, which Catalyst plans via Expand
+    (input replicated once per distinct aggregate). Exact is the
+    oracle-checkable default; at 100 TB pass ``distinct="approx"``
+    (HLL ``approx_count_distinct``, single non-expanded pass, ±2.3%).
+    """
+    if distinct not in ("exact", "approx"):
+        raise ValueError(f"distinct must be exact|approx, got '{distinct}'")
+    cols = list(columns) if columns else list(df.columns)
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"profile column not in input schema: {c}")
+    distinct_fn = F.countDistinct if distinct == "exact" else F.approx_count_distinct
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        t = dtypes[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__nulls_{c}"))
+        aggs.append(distinct_fn(F.col(c)).cast("long").alias(f"__dist_{c}"))
+        if t.startswith("decimal"):
+            # decimal -> double via string round-trip: exact decimal
+            # rendering + correctly-rounded parse on every engine
+            # (DuckDB's direct cast measured one ulp off — stats.py)
+            num = F.col(c).cast("string").cast("double")
+        elif t == "timestamp" or t == "timestamp_ntz":
+            num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        elif t.startswith(_NUMERIC_PREFIXES):
+            num = F.col(c).cast("double")
+        else:
+            num = None
+        if num is not None:
+            aggs.append(F.min(num).alias(f"__min_{c}"))
+            aggs.append(F.max(num).alias(f"__max_{c}"))
+        if t == "string":
+            aggs.append(F.min(F.length(F.col(c))).cast("long").alias(f"__minlen_{c}"))
+            aggs.append(F.max(F.length(F.col(c))).cast("long").alias(f"__maxlen_{c}"))
+            aggs.append(F.sum(F.length(F.col(c))).cast("long").alias(f"__sumlen_{c}"))
+
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+    structs = []
+    for c in cols:
+        t = dtypes[c]
+        has_num = (
+            t.startswith(_NUMERIC_PREFIXES) or t in ("timestamp", "timestamp_ntz")
+        )
+        nonnull = F.col("__n") - F.col(f"__nulls_{c}")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(t).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if has_num else null_d).alias("min_num"),
+                (F.col(f"__max_{c}") if has_num else null_d).alias("max_num"),
+                (F.col(f"__minlen_{c}") if t == "string" else null_l).alias("min_len"),
+                (F.col(f"__maxlen_{c}") if t == "string" else null_l).alias("max_len"),
+                (
+                    F.col(f"__sumlen_{c}").cast("double") / nonnull.cast("double")
+                    if t == "string"
+                    else null_d
+                ).alias("avg_len"),
+            )
+        )
+    return row.select(F.inline(F.array(*structs)))
+
+
+class ProfileTransformer:
+    """Registry adapter (``type: profile``). Options: ``columns`` (csv,
+    default all), ``distinct`` exact|approx (default exact)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        errors = []
+        opts = config.options
+        if opts.get("distinct", "exact") not in ("exact", "approx"):
+            errors.append("profile distinct must be exact|approx")
+        for c in _split_csv(opts.get("columns")):
+            if c not in df.columns:
+                errors.append(f"profile column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationErrorProxy(
+                "profile config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return profile_columns(
+            df,
+            columns=_split_csv(opts.get("columns")) or None,
+            distinct=opts.get("distinct", "exact"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"profile({opts})"
+
+
 def duplicate_metrics(df: DataFrame) -> dict[str, int]:
     """Full-row duplicate count (parity:
     ``quality/DataQualityChecker.scala:87-96``)."""

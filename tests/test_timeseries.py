@@ -1,0 +1,145 @@
+"""Time-series resample/gap-fill (operators/timeseries.py) and the
+one-pass column profiler (quality.profile_columns)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etl_spark_gradle_spark.operators.timeseries import resample
+from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.plans.config import AggregateExpr
+from etl_spark_gradle_spark.quality import profile_columns
+
+
+def _series(spark):
+    """One series with observations at t=0,60,300 s (gaps at 120,180,240)
+    and a second series with a single observation."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 10.0),
+        ("a", base + dt.timedelta(seconds=60), 20.0),
+        ("a", base + dt.timedelta(seconds=300), 40.0),
+        ("b", base + dt.timedelta(seconds=30), 7.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+AGG = [AggregateExpr("v", "avg", "v")]
+
+
+def _grid(spark, fill):
+    out = resample(_series(spark), "ts", 60, AGG, group_by=["k"], fill=fill)
+    return {(r.k, r.bucket_ts): r for r in out.collect()}
+
+
+def test_resample_emits_complete_grid_with_gap_marker(spark):
+    rows = _grid(spark, "null")
+    # series a: buckets 0..300 -> 6 rows; series b: 1 row
+    assert len(rows) == 7
+    a0 = min(b for (k, b) in rows if k == "a")
+    gaps = [rows[("a", a0 + s * 60)] for s in (2, 3, 4)]
+    assert all(r.n_obs == 0 and r.v is None for r in gaps)
+    assert rows[("a", a0)].v == 10.0 and rows[("a", a0)].n_obs == 1
+    assert rows[("b", a0 + 30 // 60)].n_obs == 1  # single-bucket series survives
+
+
+def test_resample_zero_and_ffill(spark):
+    z = _grid(spark, "zero")
+    a0 = min(b for (k, b) in z if k == "a")
+    assert z[("a", a0 + 120)].v == 0.0
+    f = _grid(spark, "ffill")
+    # gap buckets carry the last observed value (20.0 at t=60)
+    for s in (2, 3, 4):
+        assert f[("a", a0 + s * 60)].v == 20.0
+    assert f[("a", a0 + 300)].v == 40.0
+
+
+def test_resample_linear_interpolation_exact(spark):
+    rows = _grid(spark, "linear")
+    a0 = min(b for (k, b) in rows if k == "a")
+    # between (60 s, 20.0) and (300 s, 40.0): slope = 20/240 per second
+    for s in (2, 3, 4):
+        t = s * 60
+        want = 20.0 + (40.0 - 20.0) * ((t - 60) / (300 - 60))
+        assert rows[("a", a0 + t)].v == pytest.approx(want, abs=1e-12)
+    # observed buckets pass through untouched
+    assert rows[("a", a0)].v == 10.0
+    # single-observation series: nothing to bracket, edge stays itself
+    (b_key,) = [key for key in rows if key[0] == "b"]
+    assert rows[b_key].v == 7.0
+
+
+def test_resample_validation(spark):
+    df = _series(spark)
+    with pytest.raises(TransformationError, match="step_seconds"):
+        resample(df, "ts", 0, AGG)
+    with pytest.raises(TransformationError, match="fill"):
+        resample(df, "ts", 60, AGG, fill="bogus")
+    with pytest.raises(TransformationError, match="time column"):
+        resample(df, "nope", 60, AGG)
+    with pytest.raises(TransformationError, match="AggregateExpr"):
+        resample(df, "ts", 60, [])
+
+
+def test_resample_global_series(spark):
+    out = resample(_series(spark), "ts", 60, AGG, fill="ffill")
+    rows = sorted(out.collect(), key=lambda r: r.bucket_ts)
+    assert len(rows) == 6  # one global series spanning 0..300
+    assert rows[0].v == pytest.approx((10.0 + 7.0) / 2)  # both series in bucket 0
+
+
+def test_resample_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    cfg = TransformationConfig(
+        type="resample",
+        options={"timeColumn": "ts", "stepSeconds": "60", "groupBy": "k",
+                 "fill": "zero"},
+        aggregations=(AggregateExpr("v", "sum", "total"),),
+    )
+    t = TRANSFORMER_REGISTRY["resample"]
+    assert t.validate(_series(spark), cfg).is_valid
+    out = t.transform(_series(spark), cfg, None)
+    assert {r.total for r in out.collect() if r.n_obs == 0} == {0.0}
+    bad = TransformationConfig(type="resample", options={"stepSeconds": "x"})
+    assert not t.validate(_series(spark), bad).is_valid
+
+
+def test_profile_columns_counts_and_extrema(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5), (2, None, -2.0), (2, "bbbb", None)],
+        ["id", "s", "x"],
+    )
+    rows = {r.column: r for r in profile_columns(df).collect()}
+    assert rows["id"].n_rows == 3 and rows["id"].n_nulls == 0
+    assert rows["id"].n_distinct == 2
+    assert rows["id"].min_num == 1.0 and rows["id"].max_num == 2.0
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_len == 2 and rows["s"].max_len == 4
+    assert rows["s"].avg_len == pytest.approx(3.0)
+    assert rows["s"].min_num is None
+    assert rows["x"].n_nulls == 1 and rows["x"].min_num == -2.0
+    # one aggregation job: profile of k columns is still a single plan
+    assert rows["x"].n_rows == 3
+
+
+def test_profile_timestamp_epoch_micros(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(base,), (base + dt.timedelta(seconds=1),)], ["ts"]
+    )
+    r = profile_columns(df).collect()[0]
+    assert r.max_num - r.min_num == 1_000_000.0  # micros
+
+
+def test_profile_approx_distinct_and_validation(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(1000)], ["v"])
+    r = profile_columns(df, distinct="approx").collect()[0]
+    assert 8 <= r.n_distinct <= 12  # HLL estimate of 10
+    with pytest.raises(ValueError, match="distinct"):
+        profile_columns(df, distinct="bogus")
+    with pytest.raises(ValueError, match="not in input schema"):
+        profile_columns(df, columns=["nope"])
