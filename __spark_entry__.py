@@ -3933,6 +3933,125 @@ FROM lineitem, n GROUP BY n.n_rows
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS sampling: keep probability proportional to
+    n_chars (p = min(1, target·w/Σw), md5-uniform draw, exact decimal
+    Σw) — quality-weighted corpus selection as a pure scan predicate;
+    the corpus never shuffles."""
+    from etl_spark_gradle_spark.operators.corpus import weighted_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 300).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH tw AS (
+  SELECT CAST(CAST(SUM(CASE WHEN CAST(n_chars AS DECIMAL(18,6)) > 0
+                            THEN CAST(n_chars AS DECIMAL(18,6)) END)
+              AS VARCHAR) AS DOUBLE) AS tw
+  FROM documents
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d, tw
+WHERE d.n_chars IS NOT NULL AND CAST(d.n_chars AS DOUBLE) > 0.0
+  AND substr(md5('wsample:' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN least(1.0, (300.0 * CAST(d.n_chars AS DOUBLE)) / tw.tw) >= 1.0
+           THEN 'g'
+           ELSE printf('%08x', CAST(floor(least(1.0,
+                (300.0 * CAST(d.n_chars AS DOUBLE)) / tw.tw)
+                * 4294967296.0) AS BIGINT))
+      END
+"""
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase collocation mining: adjacent-bigram PMI from two
+    vocab-sized count shuffles; the hash-gated column is the exact
+    double likelihood RATIO (monotonic with PMI — ln is pinned
+    bitwise in pytest, the bm25/lm_score posture for libm)."""
+    from etl_spark_gradle_spark.operators.collocations import pmi_bigrams
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, "text", min_count=5, top_k=40).select(
+        "a", "b", "c_ab", "c_a", "c_b", "ratio"
+    )
+
+
+_PMI_ORACLE = r"""
+WITH w AS (
+  SELECT list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+                                    x -> lower(x)), x -> x <> '') AS ws
+  FROM documents
+), uc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w
+), bc AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+    SELECT ws[i] AS a, ws[i + 1] AS b
+    FROM w, LATERAL unnest(range(1, len(ws))) t(i)
+    WHERE len(ws) >= 2
+  ) GROUP BY a, b
+), nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS nu FROM uc),
+nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS nb FROM bc)
+SELECT bc.a, bc.b, bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+       (CAST(bc.c_ab AS DOUBLE) / nb.nb) /
+       ((CAST(ua.c AS DOUBLE) / nu.nu) * (CAST(ub.c AS DOUBLE) / nu.nu))
+       AS ratio
+FROM bc JOIN uc ua ON bc.a = ua.w JOIN uc ub ON bc.b = ub.w, nu, nb
+WHERE bc.c_ab >= 5
+ORDER BY ratio DESC, a, b LIMIT 40
+"""
+
+
+def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample categorical drift over the language mix (even vs odd
+    doc ids): per-category counts, rates and χ² contributions — two
+    category-sized count shuffles + one tiny outer join; exact-int
+    counts close as fixed-order doubles."""
+    from etl_spark_gradle_spark.operators.stats import category_drift
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return category_drift(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), "lang"
+    )
+
+
+_DRIFT_ORACLE = """
+WITH a AS (
+  SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_a
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), b AS (
+  SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_b
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+), j AS (
+  SELECT coalesce(a.category, b.category) AS category,
+         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL JOIN b ON a.category = b.category
+), t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j),
+d AS (
+  SELECT category, n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(ta AS DOUBLE) AS ta, CAST(tb AS DOUBLE) AS tb
+  FROM j, t
+)
+SELECT category, n_a, n_b,
+       na / ta AS rate_a,
+       nb / tb AS rate_b,
+       na / ta - nb / tb AS rate_diff,
+       ((na - (ta * (na + nb)) / (ta + tb)) * (na - (ta * (na + nb)) / (ta + tb)))
+         / ((ta * (na + nb)) / (ta + tb))
+       + ((nb - (tb * (na + nb)) / (ta + tb)) * (nb - (tb * (na + nb)) / (ta + tb)))
+         / ((tb * (na + nb)) / (ta + tb)) AS chi2_contrib
+FROM d
+"""
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-user event sequences: one
     window sort + two small aggs; probability = exact-count division
@@ -4388,7 +4507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every 51+ non-TPC-H entry has an r3 driver row. All queries remain
     oracle-checked locally by tools/check_oracle.py at both SFs
     regardless of position. Session-6 late additions (resample_linear,
-    resample_ffill, profile) join the r5 queue with the TPC-H tail."""
+    resample_ffill, profile, weighted_sample, pmi, drift) join the r5
+    queue with the TPC-H tail."""
     from etl_spark_gradle_spark import tpch as _tpch
 
     return {
@@ -4469,6 +4589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_linear": q_resample_linear,
         "resample_ffill": q_resample_ffill,
         "profile": q_profile,
+        "weighted_sample": q_weighted_sample,
+        "pmi": q_pmi,
+        "drift": q_drift,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q2": _tpch.QUERIES["tpch_q2"],
         "tpch_q11": _tpch.QUERIES["tpch_q11"],
@@ -4567,6 +4690,9 @@ def oracle_sql() -> dict[str, str]:
         "resample_linear": _RESAMPLE_LINEAR_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
+        "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
+        "pmi": _PMI_ORACLE,
+        "drift": _DRIFT_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

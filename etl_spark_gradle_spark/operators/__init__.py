@@ -19,12 +19,18 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     MixTransformer,
     PackTransformer,
     TokenFrequencyTransformer,
+    WeightedSampleTransformer,
     cap_per_group,
     chunk_documents,
     hash_sample,
     mix_to_target,
     pack_sequences,
     token_frequency,
+    weighted_sample,
+)
+from etl_spark_gradle_spark.operators.collocations import (  # noqa: F401
+    PmiTransformer,
+    pmi_bigrams,
 )
 from etl_spark_gradle_spark.operators.bpe import (  # noqa: F401
     BpeTokenizeTransformer,
@@ -106,7 +112,11 @@ from etl_spark_gradle_spark.operators.events import (  # noqa: F401
     TransitionsTransformer,
 )
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
-from etl_spark_gradle_spark.operators.stats import StatsTransformer  # noqa: F401
+from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
+    DriftTransformer,
+    StatsTransformer,
+    category_drift,
+)
 from etl_spark_gradle_spark.operators.strings import EditJoinTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
@@ -163,6 +173,9 @@ TRANSFORMER_REGISTRY = {
     "stats": StatsTransformer(),
     "resample": ResampleTransformer(),
     "profile": ProfileTransformer(),
+    "drift": DriftTransformer(),
+    "pmi": PmiTransformer(),
+    "weighted_sample": WeightedSampleTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

@@ -214,6 +214,67 @@ def hash_sample(
     return df.filter(bucket < limit)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_count: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (PPS) Poisson
+    sampling: keep row *i* with probability ``p_i = min(1, target ·
+    w_i / Σw)`` — expected sample size ≈ ``target_count``, higher-weight
+    rows (quality scores, dedup-cluster sizes, citation counts)
+    proportionally more likely to survive. The curation counterpart of
+    :func:`hash_sample`'s uniform thresholds.
+
+    Deterministic end-to-end: the uniform draw is the ``md5`` bucket
+    (``wsample:`` domain tag — independent of sample/split/cap hashes
+    over the same key), and Σw is an EXACT ``decimal(18,6)`` sum (the
+    float total would be partition-order dependent — the same
+    cross-engine hazard stats.py documents), so the kept set is
+    identical on every run and engine. Weights are assumed to carry
+    ≤ 6 decimal digits (the stats.py contract, relaxed to 6);
+    non-positive/null weights get p = 0.
+
+    One tiny aggregate (Σw) broadcast back; the corpus itself is
+    never shuffled — the keep test is a scan predicate.
+    """
+    if target_count < 0:
+        raise TransformationError("weighted_sample requires target_count >= 0")
+    for c in (key_col, weight_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    w = F.col(weight_col).cast("decimal(18,6)")
+    totals = df.agg(
+        F.sum(F.when(w > 0, w)).cast("string").cast("double").alias("_tw")
+    )
+    # fixed operand order (target * w) / tw — the oracle spells the same
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_count)) * F.col(weight_col).cast("double"))
+        / F.col("_tw"),
+    )
+    thr = F.when(p >= 1.0, F.lit("g")).otherwise(
+        F.format_string("%08x", F.floor(p * F.lit(4294967296.0)).cast("long"))
+    )
+    bucket = F.substring(
+        F.md5(
+            F.concat(F.lit("wsample:"), F.col(key_col).cast("string"), F.lit(salt))
+        ),
+        1,
+        8,
+    )
+    keep = (
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0.0)
+        & (bucket < thr)
+    )
+    return (
+        df.crossJoin(F.broadcast(totals)).filter(keep).drop("_tw")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -543,6 +604,44 @@ class MixTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"mix({opts})"
+
+
+class WeightedSampleTransformer:
+    """Registry adapter (``type: weighted_sample``). Options:
+    ``keyColumn``, ``weightColumn``, ``targetCount``, optional
+    ``salt``."""
+
+    def validate(self, df: DataFrame, config):
+        errors = []
+        opts = config.options
+        for key in ("keyColumn", "weightColumn"):
+            if opts.get(key, "") not in df.columns:
+                errors.append(f"{key} not in input schema: {opts.get(key)!r}")
+        try:
+            if int(opts.get("targetCount", -1)) < 0:
+                errors.append("weighted_sample requires integer 'targetCount' >= 0")
+        except (TypeError, ValueError):
+            errors.append("weighted_sample requires integer 'targetCount' >= 0")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "weighted_sample config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return weighted_sample(
+            df,
+            key_col=opts["keyColumn"],
+            weight_col=opts["weightColumn"],
+            target_count=int(opts["targetCount"]),
+            salt=opts.get("salt", ""),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"weighted_sample({opts})"
 
 
 class HashSampleTransformer:

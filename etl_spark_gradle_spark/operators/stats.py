@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark.operators.relational import TransformationError
 
-__all__ = ["moment_sums", "correlation_matrix", "linear_fit", "zscore_flags"]
+__all__ = [
+    "moment_sums",
+    "correlation_matrix",
+    "linear_fit",
+    "zscore_flags",
+    "category_drift",
+]
 
 
 def _d(col: Column) -> Column:
@@ -197,6 +203,109 @@ def zscore_flags(
         )
         .drop("_mean", "_std")
     )
+
+
+def category_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category_col: str,
+) -> DataFrame:
+    """Two-sample categorical drift table: per category, counts and
+    rates on each side plus the category's χ² contribution under the
+    pooled-expectation two-sample test — the feed-monitoring question
+    "did this week's source/language/label mix move?" answered from
+    two count aggregations (map-side partials; shuffles carry
+    |categories| rows) and one |categories|-sized outer join. Neither
+    input is scanned twice or shuffled raw.
+
+    All counts are exact integers; rates and χ² close as doubles in a
+    fixed operand order (engine-portable). A category absent from one
+    side appears with count 0 (its χ² contribution is well-defined via
+    the pooled expectation). The TOTAL χ² statistic is the sum of the
+    contribution column — summed by the CALLER over the small result
+    (float summation order over the full table is engine-dependent;
+    per-category rows are not).
+    """
+    for df, side in ((df_a, "left"), (df_b, "right")):
+        if category_col not in df.columns:
+            raise TransformationError(
+                f"category column not in {side} input schema: {category_col}"
+            )
+    ca = df_a.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    cb = df_b.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    joined = (
+        ca.join(cb, on="category", how="full")
+        .select(
+            "category",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_a").cast("long").alias("_ta"),
+        F.sum("n_b").cast("long").alias("_tb"),
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ta, tb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
+    tot_c = na + nb
+    n_all = ta + tb
+    e_a = (ta * tot_c) / n_all
+    e_b = (tb * tot_c) / n_all
+    chi2 = ((na - e_a) * (na - e_a)) / e_a + ((nb - e_b) * (nb - e_b)) / e_b
+    return j.select(
+        "category",
+        "n_a",
+        "n_b",
+        (na / ta).alias("rate_a"),
+        (nb / tb).alias("rate_b"),
+        (na / ta - nb / tb).alias("rate_diff"),
+        chi2.alias("chi2_contrib"),
+    )
+
+
+class DriftTransformer:
+    """Registry adapter (``type: drift``): compares the pipeline frame
+    against a registered view. Options: ``categoryColumn`` (required),
+    ``otherView`` (required — name registered under ``views:``)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if not opts.get("categoryColumn"):
+            errors.append("drift requires 'categoryColumn'")
+        elif opts["categoryColumn"] not in df.columns:
+            errors.append(
+                f"category column not in input schema: {opts['categoryColumn']}"
+            )
+        if not opts.get("otherView"):
+            errors.append("drift requires 'otherView'")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "drift config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        try:
+            other = ctx.spark.table(opts["otherView"])
+        except Exception as exc:
+            raise TransformationError(
+                f"drift: otherView not found: {opts['otherView']}: {exc}"
+            ) from exc
+        return category_drift(df, other, opts["categoryColumn"])
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"drift({opts})"
 
 
 class StatsTransformer:

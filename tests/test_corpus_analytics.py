@@ -1,0 +1,173 @@
+"""Weighted PPS sampling (corpus.weighted_sample), PMI collocations
+(collocations.pmi_bigrams), categorical drift (stats.category_drift)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_spark_gradle_spark.operators.collocations import pmi_bigrams
+from etl_spark_gradle_spark.operators.corpus import weighted_sample
+from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.operators.stats import category_drift
+
+
+# ---------------------------------------------------------------- weighted
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    # weight 9 vs 1: the heavy stratum should be kept ~9x as often
+    rows = [(i, 9.0 if i % 2 == 0 else 1.0) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    kept = weighted_sample(df, "id", "w", 1000).toPandas()
+    heavy = (kept.w == 9.0).sum()
+    light = (kept.w == 1.0).sum()
+    assert 800 <= len(kept) <= 1200  # expected size ~ target
+    assert heavy / max(light, 1) > 4  # proportionality (9:1 in expectation)
+    again = weighted_sample(df, "id", "w", 1000).toPandas()
+    assert set(kept.id) == set(again.id)  # deterministic
+
+
+def test_weighted_sample_edge_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 1e9)],
+        ["id", "w"],
+    )
+    kept = weighted_sample(df, "id", "w", 2)
+    ids = {r.id for r in kept.collect()}
+    assert 2 not in ids and 3 not in ids and 4 not in ids  # p=0 strata
+    assert 5 in ids  # p capped at 1 keeps the dominant row
+    with pytest.raises(TransformationError, match="target_count"):
+        weighted_sample(df, "id", "w", -1)
+    with pytest.raises(TransformationError, match="not in input schema"):
+        weighted_sample(df, "id", "nope", 1)
+
+
+def test_weighted_sample_domain_separation(spark):
+    # same keys, same target: uniform hash_sample and weighted_sample
+    # must not select the identical key range (different hash domains)
+    from etl_spark_gradle_spark.operators.corpus import hash_sample
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(2000)], ["id", "w"])
+    w = {r.id for r in weighted_sample(df, "id", "w", 500).collect()}
+    u = {r.id for r in hash_sample(df, "id", fraction=0.25).collect()}
+    assert w != u and len(w & u) < len(w)
+
+
+# --------------------------------------------------------------------- pmi
+
+
+def test_pmi_scores_collocation_above_independents(spark):
+    # "new york" always adjacent; "the" everywhere -> PMI(new,york) high,
+    # PMI(the, x) low
+    docs = [
+        ("new york is the city the people the like",),
+        ("the new york subway the runs the late",),
+        ("new york new york the anthem the new era",),
+    ]
+    df = spark.createDataFrame(docs, ["text"])
+    out = {(r.a, r.b): r for r in pmi_bigrams(df, "text", min_count=2).collect()}
+    ny = out[("new", "york")]
+    assert ny.c_ab == 4
+    assert ny.pmi == pytest.approx(math.log(ny.ratio), abs=1e-12)
+    the_pairs = [r for (a, b), r in out.items() if a == "the" or b == "the"]
+    assert the_pairs and all(ny.ratio > r.ratio for r in the_pairs)
+
+
+def test_pmi_denominator_unpruned_by_min_count(spark):
+    df = spark.createDataFrame([("a b a b c d",)], ["text"])
+    # 5 bigrams total; min_count=2 keeps only (a,b) but N_bi stays 5
+    rows = pmi_bigrams(df, "text", min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b, r.c_ab) == ("a", "b", 2)
+    nu = 6.0  # 6 unigram tokens
+    want_ratio = (2 / 5.0) / ((2 / nu) * (2 / nu))
+    assert r.ratio == pytest.approx(want_ratio, rel=1e-12)
+
+
+def test_pmi_validation_and_short_docs(spark):
+    df = spark.createDataFrame([("solo",), ("",)], ["text"])
+    assert pmi_bigrams(df, "text", min_count=1).count() == 0  # no pair, no crash
+    with pytest.raises(TransformationError, match="min_count"):
+        pmi_bigrams(df, "text", min_count=0)
+    with pytest.raises(TransformationError, match="text column"):
+        pmi_bigrams(df, "nope")
+
+
+# ------------------------------------------------------------------- drift
+
+
+def test_category_drift_identical_distributions(spark):
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 10, ["c"])
+    rows = category_drift(a, a, "c").collect()
+    for r in rows:
+        assert r.rate_a == r.rate_b and r.rate_diff == 0.0
+        assert r.chi2_contrib == pytest.approx(0.0, abs=1e-12)
+
+
+def test_category_drift_chi2_matches_textbook(spark):
+    # 2x2 contingency: a = {x:30, y:10}, b = {x:10, y:30}
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 10, ["c"])
+    b = spark.createDataFrame([("x",)] * 10 + [("y",)] * 30, ["c"])
+    rows = {r.category: r for r in category_drift(a, b, "c").collect()}
+    # expected x count each side = 40*40/80 = 20 -> contrib per cell
+    # (30-20)^2/20 + (10-20)^2/20 = 10 per category, total chi2 = 20
+    assert rows["x"].chi2_contrib == pytest.approx(10.0, abs=1e-12)
+    assert rows["y"].chi2_contrib == pytest.approx(10.0, abs=1e-12)
+    assert rows["x"].rate_a == pytest.approx(0.75)
+    assert rows["x"].rate_b == pytest.approx(0.25)
+
+
+def test_category_drift_one_sided_category(spark):
+    a = spark.createDataFrame([("only_a",), ("both",)], ["c"])
+    b = spark.createDataFrame([("both",)], ["c"])
+    rows = {r.category: r for r in category_drift(a, b, "c").collect()}
+    assert rows["only_a"].n_b == 0 and rows["only_a"].n_a == 1
+    assert rows["only_a"].chi2_contrib > 0
+    with pytest.raises(TransformationError, match="right input"):
+        category_drift(a, b.withColumnRenamed("c", "d"), "c")
+
+
+# ----------------------------------------------------------- YAML adapters
+
+
+def test_yaml_adapters(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    df = spark.createDataFrame([(1, 2.0, "a b a b")], ["id", "w", "text"])
+
+    ws = TRANSFORMER_REGISTRY["weighted_sample"]
+    cfg = TransformationConfig(
+        type="weighted_sample",
+        options={"keyColumn": "id", "weightColumn": "w", "targetCount": "1"},
+    )
+    assert ws.validate(df, cfg).is_valid
+    assert ws.transform(df, cfg, None).count() == 1  # p capped at 1
+    assert not ws.validate(
+        df, TransformationConfig(type="weighted_sample", options={})
+    ).is_valid
+
+    pmi = TRANSFORMER_REGISTRY["pmi"]
+    cfg = TransformationConfig(type="pmi", options={"minCount": "2"})
+    assert pmi.transform(df, cfg, None).count() == 1
+
+    class _Ctx:
+        def __init__(self, spark):
+            self.spark = spark
+
+    df.createOrReplaceTempView("drift_other")
+    drift = TRANSFORMER_REGISTRY["drift"]
+    cfg = TransformationConfig(
+        type="drift",
+        options={"categoryColumn": "text", "otherView": "drift_other"},
+    )
+    out = drift.transform(df, cfg, _Ctx(spark))
+    assert out.count() == 1 and out.collect()[0].chi2_contrib == 0.0
+    missing = TransformationConfig(
+        type="drift", options={"categoryColumn": "text", "otherView": "nope_v"}
+    )
+    with pytest.raises(TransformationError, match="otherView"):
+        drift.transform(df, missing, _Ctx(spark))
