@@ -295,6 +295,31 @@ def q13_tpch_star(spark):
     return _tpch.q5(spark, SF_DIR)
 
 
+def q14_resample(spark):
+    """Time-series regularization: per-user 1 h grid over events (100k
+    rows → ~1.08M grid rows at sf0.1) with linear gap interpolation.
+    Exercises the sequence+explode spine, the grid join and the
+    double-direction ignore-nulls fill windows. The fill column is
+    forced through a hash-sum aggregate — under a bare count Catalyst
+    would prune the Window nodes and time fiction (scale_probe rule).
+    """
+    from etl_spark_gradle_spark.operators.timeseries import resample
+
+    ev = load(spark, "events")
+    grid = resample(
+        ev,
+        time_col="ts",
+        step_seconds=3600,
+        aggregations=[AggregateExpr("value", "avg", "avg_value")],
+        group_by=["user_id"],
+        fill="linear",
+    )
+    return grid.agg(
+        F.sum(F.xxhash64(F.col("avg_value"), F.col("n_obs"))).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -309,6 +334,7 @@ QUERIES = {
     "q11_table_diff": q11_table_diff,
     "q12_bpe_tokenize": q12_bpe_tokenize,
     "q13_tpch_star": q13_tpch_star,
+    "q14_resample": q14_resample,
 }
 
 

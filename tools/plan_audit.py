@@ -269,6 +269,45 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["SortMergeJoin", "CartesianProduct", "Exchange",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    (
+        "resample_linear",
+        "time-series grid: distributed sequence+explode spine "
+        "(Generate), grid join, series-keyed fill Window — no python, "
+        "no cartesian; both raw-table branches are pruned aggregates",
+        ["Generate", "Window", "hashpartitioning(user_id"],
+        ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    ),
+    (
+        "weighted_sample",
+        "PPS sampling: corpus side goes scan→filter→1-row-broadcast "
+        "cross join — the corpus itself never shuffles",
+        ["BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "pmi",
+        "collocations: map-side partial counts before every exchange "
+        "(shuffles carry vocab-sized state), broadcast marginal joins",
+        ["partial_count", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "drift",
+        "two-sample drift: partial counts before the category-sized "
+        "exchanges; no python (SMJ on |categories| rows is fine — "
+        "full-outer can't broadcast)",
+        ["partial_count"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "profile",
+        "column profiler: single aggregation job; the exact-distinct "
+        "Expand is the one visible cost (approx mode removes it)",
+        ["Expand"],
+        ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+    ),
 ]
 
 
