@@ -76,6 +76,14 @@ def main() -> int:
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ev = ev.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        else:
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
         return {
             "tpch_star": (
                 lambda: tpch.q5(spark, sf_dir),
@@ -129,6 +137,14 @@ def main() -> int:
                 lambda: _bpe_probe(docs),
                 docs.count(),
             ),
+            "resample": (
+                lambda: _resample_probe(ev),
+                ev.count(),
+            ),
+            "pmi": (
+                lambda: _pmi_probe(docs),
+                docs.count(),
+            ),
         }
 
     # warm python workers + codegen families once
@@ -167,6 +183,34 @@ def main() -> int:
     if "--skip-skew" not in sys.argv:
         skew_ok = skew_probe(spark)
     return 0 if (linear_ok and incr_ok and skew_ok) else 1
+
+
+def _resample_probe(ev):
+    """Per-user hourly grid with linear fill; forced through a hash-sum
+    aggregate — a bare count() would let Catalyst prune the fill
+    Window nodes (same rule as the skew asof probe)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import resample
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    grid = resample(
+        ev,
+        time_col="ts",
+        step_seconds=3600,
+        aggregations=[AggregateExpr("value", "avg", "avg_value")],
+        group_by=["user_id"],
+        fill="linear",
+    )
+    return grid.agg(
+        F.sum(F.xxhash64(F.col("avg_value"), F.col("n_obs"))).alias("h")
+    )
+
+
+def _pmi_probe(docs):
+    from etl_spark_gradle_spark.operators.collocations import pmi_bigrams
+
+    return pmi_bigrams(docs, "text", min_count=2, top_k=100)
 
 
 def _diff_probe(li):
