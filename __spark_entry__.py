@@ -652,6 +652,66 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_streaming_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: heartbeat-gap detection
+    (silences > 2 h between consecutive events of a user) via
+    ``applyInPandasWithState``, drained availableNow. Gaps emit on the
+    next arrival — no event-time timeout, so no watermark-driver event
+    is needed and the batch ``lag()`` oracle replays it exactly."""
+    import shutil
+
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"gaps_src_{run}")
+    out_path = os.path.join(_SCRATCH, f"gaps_out_{run}")
+    ckpt = os.path.join(_SCRATCH, f"gaps_ckpt_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+
+    stream = _normalize_event_ts(
+        spark.readStream.schema(schema).parquet(src_dir)
+    ).select("user_id", "ts")
+    gaps = st.detect_gaps_stream(
+        stream,
+        key_col="user_id",
+        time_col="ts",
+        gap_seconds=7200,
+        watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        gaps,
+        {"path": out_path, "checkpointLocation": ckpt, "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+    out = spark.read.parquet(out_path)
+    return out.select(
+        "user_id",
+        _fmt_ts(F.col("gap_start")).alias("gap_start"),
+        _fmt_ts(F.col("gap_end")).alias("gap_end"),
+        "gap_us",
+    )
+
+
+_STREAMING_GAPS_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT user_id,
+       strftime(prev, '%Y-%m-%d %H:%M:%S') AS gap_start,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+       epoch_us(ts) - epoch_us(prev) AS gap_us
+FROM s
+WHERE prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 7200000000
+"""
+
+
 def q_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ranking: row_number top-3 per partition; Spark ≥3.5 plans the
     top-k filter as WindowGroupLimit. Unique-key tiebreak for
@@ -4507,8 +4567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every 51+ non-TPC-H entry has an r3 driver row. All queries remain
     oracle-checked locally by tools/check_oracle.py at both SFs
     regardless of position. Session-6 late additions (resample_linear,
-    resample_ffill, profile, weighted_sample, pmi, drift) join the r5
-    queue with the TPC-H tail."""
+    resample_ffill, profile, weighted_sample, pmi, drift,
+    streaming_gaps) join the r5 queue with the TPC-H tail."""
     from etl_spark_gradle_spark import tpch as _tpch
 
     return {
@@ -4592,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pmi": q_pmi,
         "drift": q_drift,
+        "streaming_gaps": q_streaming_gaps,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q2": _tpch.QUERIES["tpch_q2"],
         "tpch_q11": _tpch.QUERIES["tpch_q11"],
@@ -4693,6 +4754,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "pmi": _PMI_ORACLE,
         "drift": _DRIFT_ORACLE,
+        "streaming_gaps": _STREAMING_GAPS_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "
             "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"

@@ -166,6 +166,86 @@ def stream_dedup(
     return df.dropDuplicates(keys)
 
 
+def detect_gaps_stream(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator: heartbeat-gap detection —
+    emit one row per silent interval longer than ``gap_seconds``
+    between CONSECUTIVE events of a key (the monitoring question "which
+    sensors went dark, when, and for how long?"). Output:
+    ``(key, gap_start, gap_end, gap_us)`` where ``gap_start``/``gap_end``
+    are the bracketing event times and ``gap_us`` the exact silent
+    micros (LONG — integer-exact cross-engine).
+
+    A gap materializes when the NEXT event arrives (trailing silence is
+    not a gap until something ends it), so unlike sessionization no
+    event-time timeout is involved: no emission depends on watermark
+    TIMING, and for a key-ordered feed (each key's events arrive in
+    event-time order across batches — true for single-drain backfills
+    and log-structured sources) the output replays exactly as a batch
+    ``lag()``, which is what the oracle does. An event that arrives
+    across batches BEHIND its key's high-water mark cannot retrofit a
+    gap that was already emitted (state is one long per key, not a
+    buffer); the watermark bounds both that reordering window and
+    state lifetime.
+
+    100-TB notes: shuffle partitions by key like any streaming agg;
+    Arrow-batched pandas, no event buffering, no per-row Python.
+    """
+    import pandas as pd  # noqa: F401 (worker closure)
+    from pyspark.sql.types import LongType, StructField, TimestampType
+
+    ktype = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, ktype),
+            StructField("gap_start", TimestampType()),
+            StructField("gap_end", TimestampType()),
+            StructField("gap_us", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_us", LongType())])
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        frames = [pdf for pdf in pdf_iter]
+        events = pd.concat(frames, ignore_index=True).sort_values(time_col)
+        times = (events[time_col].astype("int64") // 1000).astype("int64")
+        last = state.get[0] if state.exists else None
+        starts, ends, lens = [], [], []
+        for t_us in times:
+            t_us = int(t_us)
+            if last is not None and t_us - last > gap_us:
+                starts.append(pd.Timestamp(last, unit="us"))
+                ends.append(pd.Timestamp(t_us, unit="us"))
+                lens.append(t_us - last)
+            last = t_us if last is None else max(last, t_us)
+        state.update((last,))
+        if starts:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(starts),
+                    "gap_start": starts,
+                    "gap_end": ends,
+                    "gap_us": lens,
+                }
+            )
+
+    return (
+        df.withWatermark(time_col, watermark_delay)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     key_col: str,

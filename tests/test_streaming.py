@@ -580,3 +580,108 @@ def test_stream_scd2_fold_across_runs(spark, tmp_path):
     # version history retained: one dir per micro-batch that ran
     import os
     assert len([d for d in os.listdir(dim) if d.startswith("v=")]) >= 2
+
+
+# ---------------------------------------------------------------------------
+# detect_gaps_stream (heartbeat-gap detection)
+# ---------------------------------------------------------------------------
+
+
+def _run_gaps(spark, src, out, ckpt, gap=60):
+    stream = st.read_file_stream(
+        spark, {"path": str(src), "format": "json"}, SESS_SCHEMA
+    )
+    gaps = st.detect_gaps_stream(
+        stream, key_col="user", time_col="ts", gap_seconds=gap,
+        watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        gaps,
+        {"path": str(out), "checkpointLocation": str(ckpt), "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+
+
+def test_detect_gaps_in_batch_and_across_batches(spark, tmp_path):
+    src = tmp_path / "gin"
+    src.mkdir()
+    out = tmp_path / "gout"
+    ckpt = tmp_path / "gckpt"
+
+    # batch 1 — A: 00:00, 00:00:30 (no gap), 00:10 (gap 570s);
+    # B: one event (no pair yet -> nothing)
+    _write_sess_batch(
+        src / "b1.json",
+        [
+            ("2024-01-01 00:00:00", "A", 0.0),
+            ("2024-01-01 00:00:30", "A", 0.0),
+            ("2024-01-01 00:10:00", "A", 0.0),
+            ("2024-01-01 00:00:00", "B", 0.0),
+        ],
+    )
+    _run_gaps(spark, src, out, ckpt)
+    got = {
+        (r.user, r.gap_start.strftime("%H:%M:%S"), r.gap_end.strftime("%H:%M:%S")):
+            r.gap_us
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {("A", "00:00:30", "00:10:00"): 570_000_000}
+
+    # batch 2 — the drain boundary: B's next event closes a cross-batch
+    # gap carried in state; A's next event is inside the threshold
+    _write_sess_batch(
+        src / "b2.json",
+        [
+            ("2024-01-01 00:05:00", "B", 0.0),
+            ("2024-01-01 00:10:45", "A", 0.0),
+        ],
+    )
+    _run_gaps(spark, src, out, ckpt)
+    got2 = {
+        (r.user, r.gap_start.strftime("%H:%M:%S"), r.gap_end.strftime("%H:%M:%S")):
+            r.gap_us
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got2 == {
+        ("A", "00:00:30", "00:10:00"): 570_000_000,
+        ("B", "00:00:00", "00:05:00"): 300_000_000,
+    }
+
+
+def test_detect_gaps_matches_batch_lag_replay(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    t0 = 0
+    for user in ("u1", "u2", "u3"):
+        t = t0
+        for _ in range(40):
+            t += rng.choice([10, 20, 30, 90, 400])
+            rows.append((f"2024-01-01 {t // 3600:02d}:{(t % 3600) // 60:02d}:{t % 60:02d}", user, 0.0))
+    src = tmp_path / "rin"
+    src.mkdir()
+    out = tmp_path / "rout"
+    ckpt = tmp_path / "rckpt"
+    _write_sess_batch(src / "b1.json", rows)
+    _run_gaps(spark, src, out, ckpt, gap=60)
+
+    got = {
+        (r.user, str(r.gap_start), str(r.gap_end), r.gap_us)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # batch lag() replay over the same rows
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["ts", "user", "v"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    want = set()
+    for user, grp in pdf.sort_values("ts").groupby("user"):
+        prev = None
+        for ts in grp["ts"]:
+            if prev is not None and (ts - prev).total_seconds() > 60:
+                want.add((user, str(prev), str(ts),
+                          int((ts - prev).total_seconds() * 1_000_000)))
+            prev = ts
+    assert got == want and len(want) > 0
