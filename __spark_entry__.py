@@ -4112,6 +4112,109 @@ FROM d
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift over events.value
+    (click vs purchase): one value-keyed count shuffle, then
+    distributed prefix sums (range-partitioned two-level scan — never
+    a single-partition global window). The KS numerator stays in
+    integer arithmetic (``|cum_a·n_b − cum_b·n_a|``), so the hash gate
+    compares exact integers; D closes as one double division."""
+    from etl_spark_gradle_spark.operators.stats import ks_drift
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ks_drift(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        "value",
+    )
+
+
+_KS_DRIFT_ORACLE = """
+WITH pooled AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY v
+), c AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v) AS cum_a,
+         sum(cb) OVER (ORDER BY v) AS cum_b
+  FROM pooled
+), t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM pooled
+), d AS (
+  SELECT v, abs(cum_a * n_b - cum_b * n_a) AS d_num, n_a, n_b
+  FROM c CROSS JOIN t
+), m AS (SELECT max(d_num) AS mx FROM d)
+SELECT n_a, n_b,
+       CAST(mx AS VARCHAR) AS d_num,
+       CAST(CAST(mx AS VARCHAR) AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d,
+       min(v) AS ks_at
+FROM d CROSS JOIN m
+WHERE d_num = mx
+GROUP BY n_a, n_b, mx
+"""
+
+
+def q_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (gaps-and-islands) per user over synthetic
+    activity intervals [ts, ts + (30 + event_id % 90) min]: one
+    user-keyed window shuffle, running-max-end island detection,
+    grid-sized groupBy close. Touching intervals merge; covered_us is
+    integer-exact epoch micros."""
+    from etl_spark_gradle_spark.operators.timeseries import merge_intervals
+
+    _prep(spark)
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(30 + pmod(event_id, 90) AS INT), ts)"
+        ).alias("e"),
+    )
+    out = merge_intervals(iv, "s", "e", group_by=["user_id"])
+    return out.select(
+        "user_id",
+        _fmt_ts(F.col("island_start")).alias("island_start"),
+        _fmt_ts(F.col("island_end")).alias("island_end"),
+        "n_intervals",
+        (
+            F.unix_micros(F.col("island_end")) - F.unix_micros(F.col("island_start"))
+        ).alias("covered_us"),
+    )
+
+
+_INTERVALS_ORACLE = """
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + ((30 + event_id % 90) * INTERVAL 1 MINUTE) AS e
+  FROM events
+), x AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+), y AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM x
+)
+SELECT user_id,
+       strftime(min(s), '%Y-%m-%d %H:%M:%S') AS island_start,
+       strftime(max(e), '%Y-%m-%d %H:%M:%S') AS island_end,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       epoch_us(max(e)) - epoch_us(min(s)) AS covered_us
+FROM y
+GROUP BY user_id, island
+"""
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-user event sequences: one
     window sort + two small aggs; probability = exact-count division
@@ -4568,7 +4671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-checked locally by tools/check_oracle.py at both SFs
     regardless of position. Session-6 late additions (resample_linear,
     resample_ffill, profile, weighted_sample, pmi, drift,
-    streaming_gaps) join the r5 queue with the TPC-H tail."""
+    streaming_gaps, ks_drift, intervals) join the r5 queue with the
+    TPC-H tail."""
     from etl_spark_gradle_spark import tpch as _tpch
 
     return {
@@ -4652,6 +4756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pmi": q_pmi,
         "drift": q_drift,
+        "ks_drift": q_ks_drift,
+        "intervals": q_intervals,
         "streaming_gaps": q_streaming_gaps,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q2": _tpch.QUERIES["tpch_q2"],
@@ -4754,6 +4860,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "pmi": _PMI_ORACLE,
         "drift": _DRIFT_ORACLE,
+        "ks_drift": _KS_DRIFT_ORACLE,
+        "intervals": _INTERVALS_ORACLE,
         "streaming_gaps": _STREAMING_GAPS_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "

@@ -116,11 +116,14 @@ from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
     DriftTransformer,
     StatsTransformer,
     category_drift,
+    ks_drift,
 )
 from etl_spark_gradle_spark.operators.strings import EditJoinTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
+    IntervalsTransformer,
     ResampleTransformer,
+    merge_intervals,
     resample,
 )
 from etl_spark_gradle_spark.quality import (  # noqa: F401
@@ -172,6 +175,7 @@ TRANSFORMER_REGISTRY = {
     "edit_join": EditJoinTransformer(),
     "stats": StatsTransformer(),
     "resample": ResampleTransformer(),
+    "intervals": IntervalsTransformer(),
     "profile": ProfileTransformer(),
     "drift": DriftTransformer(),
     "pmi": PmiTransformer(),

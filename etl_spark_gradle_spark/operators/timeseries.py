@@ -52,7 +52,12 @@ from etl_spark_gradle_spark.operators.relational import (
     _split_csv,
 )
 
-__all__ = ["resample", "ResampleTransformer"]
+__all__ = [
+    "resample",
+    "merge_intervals",
+    "ResampleTransformer",
+    "IntervalsTransformer",
+]
 
 _FILLS = {"null", "zero", "ffill", "linear"}
 
@@ -180,6 +185,131 @@ def resample(
             .otherwise(F.lit(None).cast("double")),
         )
     return out
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_by: list[str] | None = None,
+    min_gap: int = 0,
+) -> DataFrame:
+    """Interval union (gaps-and-islands): merge overlapping or
+    touching intervals per series into maximal covered "islands" — the
+    batch complement of ``detect_gaps_stream`` (that operator finds
+    the silences; this one finds the coverage). Sessions-with-
+    duration, maintenance windows, sensor uptime, CDN busy periods:
+    "how much wall-clock was covered, in how many contiguous runs?"
+
+    Classic relational formulation, one shuffle: window per series
+    ordered by (start, end); a row OPENS a new island when its start
+    exceeds the running max of all previous ends (by more than
+    ``min_gap``); island ids are the running sum of those open flags;
+    one grid-sized groupBy closes each island. Intervals that merely
+    TOUCH (``start == prev_end``, with ``min_gap`` 0) merge — [1,2]
+    and [2,3] cover [1,3] with no hole.
+
+    ``start_col``/``end_col`` may be numeric (``min_gap`` in the same
+    unit) or timestamps (``min_gap`` in seconds). Output: group
+    columns + ``island_start, island_end, n_intervals``. NULL starts
+    or ends are dropped (an unbounded interval has no union
+    semantics); rows with ``end < start`` are clamped to zero-length
+    points at ``start`` — a pre-flight count to reject them would cost
+    a full extra job at scale, so malformed rows degrade to the least
+    surprising shape instead of extending an island backwards.
+
+    At 100 TB: one hash shuffle on the series keys, window + groupBy
+    reuse the same partitioning. Empty ``group_by`` = ONE global
+    timeline in a single partition (documented, same caveat as the
+    global ``resample``)."""
+    for c in (start_col, end_col):
+        if c not in df.columns:
+            raise TransformationError(f"interval column not in input schema: {c}")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    if int(min_gap) < 0:
+        raise TransformationError("merge_intervals requires min_gap >= 0")
+
+    s, e = F.col(start_col), F.col(end_col)
+    is_ts = dict(df.dtypes)[start_col].startswith("timestamp")
+    base = df.where(s.isNotNull() & e.isNotNull())
+    # degenerate end<start rows: clamp so they never extend an island
+    eff_end = F.when(e < s, s).otherwise(e)
+
+    w_prev = (
+        Window.partitionBy(*group_by)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(eff_end).over(w_prev)
+    if is_ts:
+        threshold = prev_max + F.make_interval(secs=F.lit(int(min_gap)))
+    else:
+        threshold = prev_max + F.lit(int(min_gap))
+    opens = F.when(prev_max.isNull() | (s > threshold), 1).otherwise(0)
+    w_run = (
+        Window.partitionBy(*group_by)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = base.withColumn("_island", F.sum(opens).over(w_run))
+    return (
+        marked.groupBy(*group_by, "_island")
+        .agg(
+            F.min(s).alias("island_start"),
+            F.max(eff_end).alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .drop("_island")
+    )
+
+
+class IntervalsTransformer:
+    """Registry adapter (``type: intervals``). Options:
+    ``startColumn``, ``endColumn`` (required), ``groupBy`` (csv,
+    optional), ``minGap`` (int ≥ 0, default 0 — column units, or
+    seconds for timestamps)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for key in ("startColumn", "endColumn"):
+            if not opts.get(key):
+                errors.append(f"intervals requires '{key}'")
+            elif opts[key] not in df.columns:
+                errors.append(f"interval column not in input schema: {opts[key]}")
+        try:
+            if int(opts.get("minGap", 0)) < 0:
+                errors.append("intervals requires integer 'minGap' >= 0")
+        except (TypeError, ValueError):
+            errors.append("intervals requires integer 'minGap' >= 0")
+        for c in _split_csv(opts.get("groupBy")):
+            if c not in df.columns:
+                errors.append(f"group column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "intervals config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return merge_intervals(
+            df,
+            start_col=opts["startColumn"],
+            end_col=opts["endColumn"],
+            group_by=_split_csv(opts.get("groupBy")) or None,
+            min_gap=int(opts.get("minGap", 0)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"intervals({opts})"
 
 
 class ResampleTransformer:

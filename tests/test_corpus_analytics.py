@@ -171,3 +171,109 @@ def test_yaml_adapters(spark):
     )
     with pytest.raises(TransformationError, match="otherView"):
         drift.transform(df, missing, _Ctx(spark))
+
+
+# ---------------------------------------------------------------- ks_drift
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    from etl_spark_gradle_spark.operators.stats import ks_drift
+
+    a = spark.createDataFrame([(float(v),) for v in range(20)], ["x"])
+    r = ks_drift(a, a, "x").collect()
+    assert len(r) == 1
+    assert r[0].d_num == "0" and r[0].ks_d == 0.0
+    assert r[0].n_a == 20 and r[0].n_b == 20
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from etl_spark_gradle_spark.operators.stats import ks_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["x"])
+    b = spark.createDataFrame([(4.0,), (5.0,), (6.0,)], ["x"])
+    r = ks_drift(a, b, "x").collect()[0]
+    # F_a jumps to 1 by x=3 while F_b is still 0 -> D = 1 at the
+    # smallest value attaining it
+    assert r.d_num == "9" and r.ks_d == 1.0 and r.ks_at == 3.0
+
+
+def test_ks_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators.stats import ks_drift
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.where("l_returnflag = 'R'")
+    b = li.where("l_returnflag = 'N'")
+    r = ks_drift(a, b, "l_extendedprice").collect()[0]
+
+    pdf = li.select("l_returnflag", "l_extendedprice").toPandas()
+    va = np.sort(pdf[pdf.l_returnflag == "R"].l_extendedprice.values)
+    vb = np.sort(pdf[pdf.l_returnflag == "N"].l_extendedprice.values)
+    allv = np.unique(np.concatenate([va, vb]))
+    ca = np.searchsorted(va, allv, side="right")
+    cb = np.searchsorted(vb, allv, side="right")
+    dnum = np.abs(ca.astype("int64") * len(vb) - cb.astype("int64") * len(va))
+    assert r.n_a == len(va) and r.n_b == len(vb)
+    assert int(r.d_num) == int(dnum.max())
+    assert r.ks_d == pytest.approx(dnum.max() / (len(va) * len(vb)), rel=0)
+    assert r.ks_at == float(allv[dnum == dnum.max()].min())
+
+
+def test_ks_deterministic_across_partitioning_and_nulls(spark):
+    from etl_spark_gradle_spark.operators.stats import ks_drift
+
+    import random
+
+    rng = random.Random(13)
+    a = spark.createDataFrame(
+        [(rng.choice([None, float(rng.randint(0, 50))]),) for _ in range(300)],
+        "x double",
+    )
+    b = spark.createDataFrame(
+        [(rng.choice([None, float(rng.randint(10, 60))]),) for _ in range(200)],
+        "x double",
+    )
+    r1 = ks_drift(a, b, "x", num_partitions=1).collect()[0]
+    r7 = ks_drift(a, b, "x", num_partitions=7).collect()[0]
+    r64 = ks_drift(a, b, "x", num_partitions=64).collect()[0]
+    assert r1 == r7 == r64
+    # nulls carry no rank: totals count only non-null rows
+    assert r1.n_a == a.where("x IS NOT NULL").count()
+    assert r1.n_b == b.where("x IS NOT NULL").count()
+
+
+def test_ks_empty_side_and_validation(spark):
+    from etl_spark_gradle_spark.operators.stats import ks_drift
+
+    a = spark.createDataFrame([(1.0,)], ["x"])
+    empty = spark.createDataFrame([], "x double")
+    assert ks_drift(a, empty, "x").count() == 0
+    with pytest.raises(TransformationError, match="side-b"):
+        ks_drift(a, a.withColumnRenamed("x", "y"), "x")
+
+
+def test_drift_adapter_ks_mode(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    class _Ctx:
+        def __init__(self, spark):
+            self.spark = spark
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    df.createOrReplaceTempView("ks_other")
+    drift = TRANSFORMER_REGISTRY["drift"]
+    cfg = TransformationConfig(
+        type="drift", options={"valueColumn": "v", "otherView": "ks_other"}
+    )
+    out = drift.transform(df, cfg, _Ctx(spark)).collect()
+    assert len(out) == 1 and out[0].ks_d == 0.0
+    # exactly one of categoryColumn/valueColumn
+    both = TransformationConfig(
+        type="drift",
+        options={"valueColumn": "v", "categoryColumn": "v", "otherView": "ks_other"},
+    )
+    assert not drift.validate(df, both).is_valid
+    neither = TransformationConfig(type="drift", options={"otherView": "ks_other"})
+    assert not drift.validate(df, neither).is_valid

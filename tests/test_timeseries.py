@@ -143,3 +143,132 @@ def test_profile_approx_distinct_and_validation(spark):
         profile_columns(df, distinct="bogus")
     with pytest.raises(ValueError, match="not in input schema"):
         profile_columns(df, columns=["nope"])
+
+
+# ---------------------------------------------------------- merge_intervals
+
+
+def test_merge_intervals_basic_touching_and_counts(spark):
+    from etl_spark_gradle_spark.operators.timeseries import merge_intervals
+
+    rows = [(1, 0, 10), (1, 10, 20), (1, 25, 30), (2, 0, 1)]
+    d = spark.createDataFrame(rows, "k int, s int, e int")
+    got = {
+        (r.k, r.island_start, r.island_end, r.n_intervals)
+        for r in merge_intervals(d, "s", "e", ["k"]).collect()
+    }
+    # touching intervals merge: [0,10]+[10,20] cover [0,20] with no hole
+    assert got == {(1, 0, 20, 2), (1, 25, 30, 1), (2, 0, 1, 1)}
+
+
+def test_merge_intervals_min_gap_bridges_small_holes(spark):
+    from etl_spark_gradle_spark.operators.timeseries import merge_intervals
+
+    d = spark.createDataFrame(
+        [(1, 0, 10), (1, 14, 20), (1, 40, 50)], "k int, s int, e int"
+    )
+    got = {
+        (r.island_start, r.island_end, r.n_intervals)
+        for r in merge_intervals(d, "s", "e", ["k"], min_gap=5).collect()
+    }
+    assert got == {(0, 20, 2), (40, 50, 1)}
+
+
+def test_merge_intervals_degenerate_and_nulls(spark):
+    from etl_spark_gradle_spark.operators.timeseries import merge_intervals
+
+    # (27, 5): end < start clamps to a point at 27 inside [25,30];
+    # null start/end rows are dropped
+    d = spark.createDataFrame(
+        [(1, 25, 30), (1, 27, 5), (1, None, 99), (1, 99, None)],
+        "k int, s int, e int",
+    )
+    got = [
+        (r.island_start, r.island_end, r.n_intervals)
+        for r in merge_intervals(d, "s", "e", ["k"]).collect()
+    ]
+    assert got == [(25, 30, 2)]
+
+
+def test_merge_intervals_timestamps_with_seconds_gap(spark):
+    from etl_spark_gradle_spark.operators.timeseries import merge_intervals
+
+    d = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+            ("u", "2024-01-01 00:10:30", "2024-01-01 00:20:00"),
+            ("u", "2024-01-01 01:00:00", "2024-01-01 01:05:00"),
+        ],
+        "k string, s string, e string",
+    ).selectExpr("k", "CAST(s AS TIMESTAMP) s", "CAST(e AS TIMESTAMP) e")
+    out = merge_intervals(d, "s", "e", ["k"], min_gap=60).collect()
+    spans = sorted(
+        (str(r.island_start), str(r.island_end), r.n_intervals) for r in out
+    )
+    assert spans == [
+        ("2024-01-01 00:00:00", "2024-01-01 00:20:00", 2),
+        ("2024-01-01 01:00:00", "2024-01-01 01:05:00", 1),
+    ]
+
+
+def test_merge_intervals_matches_python_reference(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.timeseries import merge_intervals
+
+    rng = random.Random(41)
+    rows = [
+        (rng.randint(1, 5), s, s + rng.randint(0, 40))
+        for _ in range(400)
+        for s in [rng.randint(0, 1000)]
+    ]
+    d = spark.createDataFrame(rows, "k int, s int, e int")
+    got = {
+        (r.k, r.island_start, r.island_end, r.n_intervals)
+        for r in merge_intervals(d, "s", "e", ["k"]).collect()
+    }
+    want = set()
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        cur = None
+        for s, e in sorted(ivs):
+            if cur is None or s > cur[1]:
+                if cur:
+                    want.add((k, cur[0], cur[1], cur[2]))
+                cur = [s, max(s, e), 1]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+        want.add((k, cur[0], cur[1], cur[2]))
+    assert got == want
+
+
+def test_intervals_adapter_validation_and_transform(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    tr = TRANSFORMER_REGISTRY["intervals"]
+    d = spark.createDataFrame([(1, 0, 10), (1, 5, 20)], "k int, s int, e int")
+    cfg = TransformationConfig(
+        type="intervals",
+        options={"startColumn": "s", "endColumn": "e", "groupBy": "k"},
+    )
+    assert tr.validate(d, cfg).is_valid
+    out = tr.transform(d, cfg, None).collect()
+    assert len(out) == 1 and out[0].n_intervals == 2
+    for bad in (
+        {"endColumn": "e"},
+        {"startColumn": "s", "endColumn": "nope"},
+        {"startColumn": "s", "endColumn": "e", "minGap": "-1"},
+        {"startColumn": "s", "endColumn": "e", "groupBy": "zz"},
+    ):
+        assert not tr.validate(
+            d, TransformationConfig(type="intervals", options=bad)
+        ).is_valid
+    with pytest.raises(TransformationError, match="invalid"):
+        tr.transform(
+            d, TransformationConfig(type="intervals", options={}), None
+        )
