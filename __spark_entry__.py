@@ -4215,6 +4215,41 @@ GROUP BY user_id, island
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles (type-1 rank semantics) over
+    lineitem prices: value-histogram shuffle + distributed prefix-sum
+    CDF + ONE closing aggregation for all probs — no approx sketch, no
+    executor-memory value buffering, integer-exact ranks."""
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+_QUANTILES_ORACLE = """
+WITH counts AS (
+  SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY v
+), cdf AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM counts
+), t AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM counts
+), p AS (
+  SELECT CAST(prob AS DOUBLE) AS prob
+  FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) AS pr(prob)
+)
+SELECT p.prob,
+       greatest(1, CAST(ceil(p.prob * CAST(n AS DOUBLE)) AS BIGINT)) AS rank,
+       min(CASE WHEN cum >= greatest(1, CAST(ceil(p.prob * CAST(n AS DOUBLE)) AS BIGINT))
+                THEN v END) AS value
+FROM cdf CROSS JOIN t CROSS JOIN p
+GROUP BY p.prob, n
+"""
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over per-user event sequences: one
     window sort + two small aggs; probability = exact-count division
@@ -4671,8 +4706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-checked locally by tools/check_oracle.py at both SFs
     regardless of position. Session-6 late additions (resample_linear,
     resample_ffill, profile, weighted_sample, pmi, drift,
-    streaming_gaps, ks_drift, intervals) join the r5 queue with the
-    TPC-H tail."""
+    streaming_gaps, ks_drift, intervals, quantiles) join the r5 queue
+    with the TPC-H tail."""
     from etl_spark_gradle_spark import tpch as _tpch
 
     return {
@@ -4758,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift": q_drift,
         "ks_drift": q_ks_drift,
         "intervals": q_intervals,
+        "quantiles": q_quantiles,
         "streaming_gaps": q_streaming_gaps,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q2": _tpch.QUERIES["tpch_q2"],
@@ -4862,6 +4898,7 @@ def oracle_sql() -> dict[str, str]:
         "drift": _DRIFT_ORACLE,
         "ks_drift": _KS_DRIFT_ORACLE,
         "intervals": _INTERVALS_ORACLE,
+        "quantiles": _QUANTILES_ORACLE,
         "streaming_gaps": _STREAMING_GAPS_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "

@@ -38,6 +38,7 @@ __all__ = [
     "zscore_flags",
     "category_drift",
     "ks_drift",
+    "exact_quantiles",
 ]
 
 
@@ -430,6 +431,80 @@ def ks_drift(
     )
 
 
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT quantiles at scale — the relational alternative to both
+    ``approx_percentile`` (engine-specific sketch, not reproducible
+    cross-engine) and Spark's exact ``percentile`` aggregate (buffers
+    every value in executor memory — the 100 TB failure mode). Rank
+    semantics (type-1 / lower discrete quantile): the p-quantile is
+    the smallest value whose cumulative count reaches
+    ``ceil(p·n)`` (≥ 1), over non-null values.
+
+    One ``groupBy(value)`` count shuffle reduces the data to its value
+    histogram; ``_prefix_sums`` turns it into an exact CDF without a
+    single-partition window; ALL requested probabilities then close in
+    ONE final aggregation over the CDF (probs add expressions, not
+    passes). Output: one row per prob — ``(prob, rank, value)`` with
+    ``rank`` the exact integer target rank (hash-gateable without
+    float comparison; the ``ceil(p·n)`` double product is spelled
+    identically in the oracle, so any representation wobble lands on
+    the same side cross-engine).
+
+    Returns an empty frame when no non-null values exist."""
+    if not probs:
+        raise TransformationError("exact_quantiles requires at least one prob")
+    for p in probs:
+        if not 0.0 <= float(p) <= 1.0:
+            raise TransformationError(f"prob out of [0, 1]: {p}")
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"exact_quantiles: value column not in schema: {value_col}"
+        )
+    counts = (
+        df.select(F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = _prefix_sums(counts, "v", ["c"], num_partitions)
+    total = counts.agg(F.sum("c").cast("long").alias("_n")).where(F.col("_n") > 0)
+    j = cum.crossJoin(F.broadcast(total))
+    aggs = []
+    for p in probs:
+        rank = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(p)) * F.col("_n").cast("double")).cast("long"),
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("cum_c") >= rank, F.struct(rank.alias("r"), F.col("v")))
+            ).alias(f"_q{len(aggs)}")
+        )
+    one = j.agg(*aggs)
+    picked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("prob"),
+                        F.col(f"_q{i}.r").alias("rank"),
+                        F.col(f"_q{i}.v").alias("value"),
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("q")
+    )
+    return picked.select("q.prob", "q.rank", "q.value").where(
+        F.col("rank").isNotNull()
+    )
+
+
 class DriftTransformer:
     """Registry adapter (``type: drift``): compares the pipeline frame
     against a registered view. Options: ``otherView`` (required — name
@@ -479,9 +554,11 @@ class DriftTransformer:
 
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
-    correlation|linear_fit|zscore, ``columns`` (csv — correlation),
-    ``xColumn``/``yColumn`` (linear_fit), ``valueColumn``/``threshold``
-    (zscore), ``groupBy`` (csv, optional for all)."""
+    correlation|linear_fit|zscore|quantiles, ``columns`` (csv —
+    correlation), ``xColumn``/``yColumn`` (linear_fit),
+    ``valueColumn``/``threshold`` (zscore),
+    ``valueColumn``/``probs`` csv (quantiles — no groupBy: the CDF is
+    global by construction), ``groupBy`` (csv, optional otherwise)."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.operators.relational import _split_csv
@@ -507,9 +584,27 @@ class StatsTransformer:
                 errors.append("stats zscore requires 'valueColumn'")
             else:
                 cols_needed.append(opts["valueColumn"])
+        elif op == "quantiles":
+            if not opts.get("valueColumn"):
+                errors.append("stats quantiles requires 'valueColumn'")
+            else:
+                cols_needed.append(opts["valueColumn"])
+            try:
+                probs = [float(p) for p in _split_csv(opts.get("probs"))]
+                if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+                    errors.append(
+                        "stats quantiles requires 'probs' (csv of floats in [0, 1])"
+                    )
+            except ValueError:
+                errors.append(
+                    "stats quantiles requires 'probs' (csv of floats in [0, 1])"
+                )
+            if opts.get("groupBy"):
+                errors.append("stats quantiles does not support 'groupBy'")
         else:
             errors.append(
-                f"stats operation must be correlation|linear_fit|zscore, got '{op}'"
+                "stats operation must be correlation|linear_fit|zscore|quantiles, "
+                f"got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -531,6 +626,12 @@ class StatsTransformer:
             return correlation_matrix(df, _split_csv(opts["columns"]), group_by=gb)
         if op == "linear_fit":
             return linear_fit(df, opts["xColumn"], opts["yColumn"], group_by=gb)
+        if op == "quantiles":
+            return exact_quantiles(
+                df,
+                opts["valueColumn"],
+                [float(p) for p in _split_csv(opts["probs"])],
+            )
         return zscore_flags(
             df,
             opts["valueColumn"],

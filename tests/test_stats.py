@@ -128,3 +128,82 @@ def test_stats_yaml_adapter(spark, sf_dir):
     assert not t.validate(
         li, TransformationConfig(type="stats", options={"operation": "bogus"})
     ).is_valid
+
+
+# ------------------------------------------------------------ exact_quantiles
+
+
+def test_exact_quantiles_matches_numpy_rank_semantics(spark, sf_dir):
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    probs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {r.prob: (r.rank, r.value) for r in
+           exact_quantiles(li, "l_extendedprice", probs).collect()}
+    vals = np.sort(li.select("l_extendedprice").toPandas().l_extendedprice.values)
+    n = len(vals)
+    for p in probs:
+        rank = max(1, int(np.ceil(p * n)))
+        assert got[p] == (rank, float(vals[rank - 1])), p
+
+
+def test_exact_quantiles_duplicates_nulls_and_edges(spark):
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    # heavy duplication + nulls: CDF over 9 non-null values
+    # sorted: [1,1,1,1,2,2,3,3,3]
+    data = [(1.0,)] * 4 + [(2.0,)] * 2 + [(3.0,)] * 3 + [(None,)] * 5
+    d = spark.createDataFrame(data, "x double")
+    got = {r.prob: (r.rank, r.value) for r in
+           exact_quantiles(d, "x", [0.0, 0.4, 0.5, 0.45, 1.0]).collect()}
+    assert got[0.0] == (1, 1.0)
+    assert got[0.4] == (4, 1.0)   # ceil(0.4*9) = 4 -> still inside the 1s
+    assert got[0.45] == (5, 2.0)  # ceil(4.05) = 5 -> first 2
+    assert got[0.5] == (5, 2.0)
+    assert got[1.0] == (9, 3.0)
+
+
+def test_exact_quantiles_empty_validation_and_determinism(spark):
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles(empty, "x", [0.5]).count() == 0
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    assert exact_quantiles(allnull, "x", [0.5]).count() == 0
+    d = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    a = sorted(map(tuple, exact_quantiles(d, "x", [0.3, 0.7], num_partitions=2).collect()))
+    b = sorted(map(tuple, exact_quantiles(d, "x", [0.3, 0.7], num_partitions=31).collect()))
+    assert a == b
+    with pytest.raises(TransformationError, match="prob"):
+        exact_quantiles(d, "x", [])
+    with pytest.raises(TransformationError, match="out of"):
+        exact_quantiles(d, "x", [-0.1])
+    with pytest.raises(TransformationError, match="not in schema"):
+        exact_quantiles(d, "nope", [0.5])
+
+
+def test_stats_adapter_quantiles_mode(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    tr = TRANSFORMER_REGISTRY["stats"]
+    d = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    cfg = TransformationConfig(
+        type="stats",
+        options={"operation": "quantiles", "valueColumn": "x", "probs": "0.5,0.9"},
+    )
+    assert tr.validate(d, cfg).is_valid
+    got = {r.prob: r.value for r in tr.transform(d, cfg, None).collect()}
+    assert got == {0.5: 4.0, 0.9: 8.0}
+    for bad in (
+        {"operation": "quantiles", "valueColumn": "x"},
+        {"operation": "quantiles", "valueColumn": "x", "probs": "2.0"},
+        {"operation": "quantiles", "valueColumn": "x", "probs": "abc"},
+        {"operation": "quantiles", "probs": "0.5"},
+        {"operation": "quantiles", "valueColumn": "x", "probs": "0.5",
+         "groupBy": "x"},
+    ):
+        assert not tr.validate(
+            d, TransformationConfig(type="stats", options=bad)
+        ).is_valid
