@@ -308,6 +308,33 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["Expand"],
         ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
     ),
+    (
+        "ks_drift",
+        "exact KS: value-count partial agg (side tags summed, so "
+        "partial_sum), range-partitioned prefix sums (no data-sized "
+        "single-partition window), broadcast offsets/totals joins — "
+        "no python, no cartesian",
+        ["rangepartitioning", "partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin"],
+    ),
+    (
+        "intervals",
+        "interval union: ONE user-keyed exchange feeds both island "
+        "windows and the closing agg — no python, no joins",
+        ["hashpartitioning(user_id", "Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "quantiles",
+        "exact quantiles: value-histogram partial agg, prefix-sum CDF, "
+        "one closing aggregation for all probs — no python, no "
+        "cartesian, no sort-merge",
+        ["rangepartitioning", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin"],
+    ),
 ]
 
 
