@@ -435,6 +435,7 @@ def exact_quantiles(
     df: DataFrame,
     value_col: str,
     probs: list[float],
+    group_by: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """EXACT quantiles at scale — the relational alternative to both
@@ -455,6 +456,16 @@ def exact_quantiles(
     identically in the oracle, so any representation wobble lands on
     the same side cross-engine).
 
+    With ``group_by``, quantiles are computed PER GROUP ("median per
+    category"): the per-(group, value) histogram shrinks the data,
+    then group-partitioned windows build each group's CDF and the
+    same one-aggregation close runs per group — ONE group-keyed
+    shuffle reused by the window and the closing agg. Caveat: one
+    group's distinct values sort inside one task's window, so a
+    single giant group degrades to that task (the classic partitioned
+    -window limit); the ungrouped path exists precisely to avoid this
+    and should be used for whole-table quantiles.
+
     Returns an empty frame when no non-null values exist."""
     if not probs:
         raise TransformationError("exact_quantiles requires at least one prob")
@@ -465,15 +476,32 @@ def exact_quantiles(
         raise TransformationError(
             f"exact_quantiles: value column not in schema: {value_col}"
         )
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
     counts = (
-        df.select(F.col(value_col).alias("v"))
+        df.select(*group_by, F.col(value_col).alias("v"))
         .where(F.col("v").isNotNull())
-        .groupBy("v")
+        .groupBy(*group_by, "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    cum = _prefix_sums(counts, "v", ["c"], num_partitions)
-    total = counts.agg(F.sum("c").cast("long").alias("_n")).where(F.col("_n") > 0)
-    j = cum.crossJoin(F.broadcast(total))
+    if group_by:
+        w_cum = (
+            Window.partitionBy(*group_by)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*group_by)
+        j = counts.withColumn("cum_c", F.sum("c").over(w_cum)).withColumn(
+            "_n", F.sum("c").over(w_all).cast("long")
+        )
+    else:
+        cum = _prefix_sums(counts, "v", ["c"], num_partitions)
+        total = counts.agg(F.sum("c").cast("long").alias("_n")).where(
+            F.col("_n") > 0
+        )
+        j = cum.crossJoin(F.broadcast(total))
     aggs = []
     for p in probs:
         rank = F.greatest(
@@ -485,8 +513,9 @@ def exact_quantiles(
                 F.when(F.col("cum_c") >= rank, F.struct(rank.alias("r"), F.col("v")))
             ).alias(f"_q{len(aggs)}")
         )
-    one = j.agg(*aggs)
+    one = j.groupBy(*group_by).agg(*aggs) if group_by else j.agg(*aggs)
     picked = one.select(
+        *group_by,
         F.explode(
             F.array(
                 *[
@@ -498,9 +527,9 @@ def exact_quantiles(
                     for i, p in enumerate(probs)
                 ]
             )
-        ).alias("q")
+        ).alias("q"),
     )
-    return picked.select("q.prob", "q.rank", "q.value").where(
+    return picked.select(*group_by, "q.prob", "q.rank", "q.value").where(
         F.col("rank").isNotNull()
     )
 
@@ -557,8 +586,8 @@ class StatsTransformer:
     correlation|linear_fit|zscore|quantiles, ``columns`` (csv —
     correlation), ``xColumn``/``yColumn`` (linear_fit),
     ``valueColumn``/``threshold`` (zscore),
-    ``valueColumn``/``probs`` csv (quantiles — no groupBy: the CDF is
-    global by construction), ``groupBy`` (csv, optional otherwise)."""
+    ``valueColumn``/``probs`` csv (quantiles), ``groupBy`` (csv,
+    optional for all)."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.operators.relational import _split_csv
@@ -599,8 +628,6 @@ class StatsTransformer:
                 errors.append(
                     "stats quantiles requires 'probs' (csv of floats in [0, 1])"
                 )
-            if opts.get("groupBy"):
-                errors.append("stats quantiles does not support 'groupBy'")
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles, "
@@ -631,6 +658,7 @@ class StatsTransformer:
                 df,
                 opts["valueColumn"],
                 [float(p) for p in _split_csv(opts["probs"])],
+                group_by=gb,
             )
         return zscore_flags(
             df,

@@ -202,8 +202,39 @@ def test_stats_adapter_quantiles_mode(spark):
         {"operation": "quantiles", "valueColumn": "x", "probs": "abc"},
         {"operation": "quantiles", "probs": "0.5"},
         {"operation": "quantiles", "valueColumn": "x", "probs": "0.5",
-         "groupBy": "x"},
+         "groupBy": "zz"},
     ):
         assert not tr.validate(
             d, TransformationConfig(type="stats", options=bad)
         ).is_valid
+
+
+def test_exact_quantiles_grouped_matches_pandas(spark, sf_dir):
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    probs = [0.25, 0.5, 0.9]
+    got = {
+        (r.l_returnflag, r.prob): (r.rank, r.value)
+        for r in exact_quantiles(
+            li, "l_extendedprice", probs, group_by=["l_returnflag"]
+        ).collect()
+    }
+    pdf = li.select("l_returnflag", "l_extendedprice").toPandas()
+    n_checked = 0
+    for flag, grp in pdf.groupby("l_returnflag"):
+        vals = np.sort(grp.l_extendedprice.values)
+        n = len(vals)
+        for p in probs:
+            rank = max(1, int(np.ceil(p * n)))
+            assert got[(flag, p)] == (rank, float(vals[rank - 1])), (flag, p)
+            n_checked += 1
+    assert n_checked == 3 * len(probs)
+    # grouped + ungrouped agree on a single-group frame
+    one = li.where("l_returnflag = 'R'")
+    g = {r.prob: (r.rank, r.value) for r in
+         exact_quantiles(one, "l_extendedprice", probs,
+                         group_by=["l_returnflag"]).collect()}
+    u = {r.prob: (r.rank, r.value) for r in
+         exact_quantiles(one, "l_extendedprice", probs).collect()}
+    assert {p: g[p] for p in probs} == u

@@ -145,6 +145,18 @@ def main() -> int:
                 lambda: _pmi_probe(docs),
                 docs.count(),
             ),
+            "ks_drift": (
+                lambda: _ks_probe(ev),
+                ev.count(),
+            ),
+            "intervals": (
+                lambda: _intervals_probe(ev),
+                ev.count(),
+            ),
+            "quantiles": (
+                lambda: _quantiles_probe(li),
+                li.count(),
+            ),
         }
 
     # warm python workers + codegen families once
@@ -211,6 +223,39 @@ def _pmi_probe(docs):
     from etl_spark_gradle_spark.operators.collocations import pmi_bigrams
 
     return pmi_bigrams(docs, "text", min_count=2, top_k=100)
+
+
+def _ks_probe(ev):
+    from etl_spark_gradle_spark.operators.stats import ks_drift
+
+    return ks_drift(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        "value",
+    )
+
+
+def _intervals_probe(ev):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import merge_intervals
+
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(30 + pmod(event_id, 90) AS INT), ts)"
+        ).alias("e"),
+    )
+    return merge_intervals(iv, "s", "e", group_by=["user_id"])
+
+
+def _quantiles_probe(li):
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    return exact_quantiles(
+        li, "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
 
 
 def _diff_probe(li):
