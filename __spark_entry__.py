@@ -4215,6 +4215,44 @@ GROUP BY user_id, island
 """
 
 
+def q_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U / AUC two-sample test (click vs purchase
+    values): same prefix-sum CDF machinery as ks_drift; 2·U kept in
+    exact integer arithmetic, AUC closes as one fixed-order double
+    expression."""
+    from etl_spark_gradle_spark.operators.stats import rank_sum_drift
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return rank_sum_drift(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        "value",
+    )
+
+
+_RANK_SUM_ORACLE = """
+WITH pooled AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY v
+), c AS (
+  SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cum_b FROM pooled
+), t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM pooled
+)
+SELECT n_a, n_b,
+       CAST(sum(ca * (2 * cum_b - cb)) AS VARCHAR) AS u2,
+       CAST(CAST(sum(ca * (2 * cum_b - cb)) AS VARCHAR) AS DOUBLE)
+         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS auc
+FROM c CROSS JOIN t
+GROUP BY n_a, n_b
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed quantiles (type-1 rank semantics) over
     lineitem prices: value-histogram shuffle + distributed prefix-sum
@@ -4706,8 +4744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-checked locally by tools/check_oracle.py at both SFs
     regardless of position. Session-6 late additions (resample_linear,
     resample_ffill, profile, weighted_sample, pmi, drift,
-    streaming_gaps, ks_drift, intervals, quantiles) join the r5 queue
-    with the TPC-H tail."""
+    streaming_gaps, ks_drift, rank_sum, intervals, quantiles) join the
+    r5 queue with the TPC-H tail."""
     from etl_spark_gradle_spark import tpch as _tpch
 
     return {
@@ -4794,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "intervals": q_intervals,
         "quantiles": q_quantiles,
+        "rank_sum": q_rank_sum,
         "streaming_gaps": q_streaming_gaps,
         "tpch_q1": _tpch.QUERIES["tpch_q1"],
         "tpch_q2": _tpch.QUERIES["tpch_q2"],
@@ -4899,6 +4938,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _KS_DRIFT_ORACLE,
         "intervals": _INTERVALS_ORACLE,
         "quantiles": _QUANTILES_ORACLE,
+        "rank_sum": _RANK_SUM_ORACLE,
         "streaming_gaps": _STREAMING_GAPS_ORACLE,
         "filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag "

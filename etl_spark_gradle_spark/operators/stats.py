@@ -38,6 +38,7 @@ __all__ = [
     "zscore_flags",
     "category_drift",
     "ks_drift",
+    "rank_sum_drift",
     "exact_quantiles",
 ]
 
@@ -290,11 +291,22 @@ def _prefix_sums(
        count, not the data — and broadcast back.
 
     Results are independent of where the sampled range boundaries
-    fall (offsets re-add exactly what the boundary moved), so the
-    output is deterministic run-to-run. Adds ``cum_<c>`` (long) for
-    each ``sum_cols`` entry. Input rows must be unique in
-    ``order_col`` (pre-aggregate first — ties within a rank would
-    make "the" prefix sum ill-defined)."""
+    fall (offsets re-add exactly what the boundary moved) — PROVIDED
+    every downstream branch sees the SAME boundary draw. That is not
+    free: ``repartitionByRange`` samples split points per execution,
+    and the cumsum branch and the totals/offsets branch are separate
+    physical subtrees — when AQE happens to reuse the exchange they
+    agree, but when it does not, each branch draws its own boundaries
+    and the offsets land on the wrong partitions (observed: repeated
+    aggregations over the same frame returning different sums). The
+    range-partitioned frame is therefore pinned with
+    ``localCheckpoint(eager=False)``: materialized once on first use,
+    every branch reads the same partition assignment, and the reduced
+    (histogram-sized) frame is computed once instead of per branch.
+
+    Adds ``cum_<c>`` (long) for each ``sum_cols`` entry. Input rows
+    must be unique in ``order_col`` (pre-aggregate first — ties
+    within a rank would make "the" prefix sum ill-defined)."""
     spark = df.sparkSession
     P = int(
         num_partitions
@@ -304,6 +316,7 @@ def _prefix_sums(
         df.repartitionByRange(P, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_run = (
         Window.partitionBy("_pid")
@@ -372,12 +385,13 @@ def ks_drift(
     but the last ulp may differ; ``d_num`` stays exact always).
 
     At 100 TB: the plan references the pooled count table from four
-    lineages (cumsums, totals, the max, the argmax join), but they all
-    sit above the SAME ``groupBy(v)`` exchange, which AQE's exchange
-    reuse materializes once (verified: 5 ReusedExchange nodes in the
-    executed plan) — the raw inputs are scanned once each. The only
-    sub-distributed pieces are bounded by the PARTITION COUNT, not the
-    data (the ≤P-row offset window and the 1-row totals broadcast)."""
+    lineages (cumsums, totals, the max, the argmax join); the cumsum
+    side is computed ONCE behind ``_prefix_sums``' pinned checkpoint,
+    and the remaining branches sit above the same ``groupBy(v)``
+    exchange (AQE exchange reuse) — the raw inputs are scanned once
+    each. The only sub-distributed pieces are bounded by the
+    PARTITION COUNT, not the data (the ≤P-row offset window and the
+    1-row totals broadcast)."""
     for df, side in ((df_a, "a"), (df_b, "b")):
         if value_col not in df.columns:
             raise TransformationError(
@@ -427,6 +441,80 @@ def ks_drift(
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("ks_d"),
             "ks_at",
+        )
+    )
+
+
+def rank_sum_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact Mann–Whitney U (rank-sum) two-sample statistic — the
+    location-shift complement to ``ks_drift`` (KS asks "did the SHAPE
+    move anywhere"; U asks "does one side stochastically dominate",
+    i.e. did the median shift). Reported as the AUC form
+    ``P(a > b) + ½P(a = b)`` — the probability a random left-side
+    value exceeds a random right-side value, ties split.
+
+    Same machinery as ``ks_drift``: one value-keyed count shuffle to
+    (value, c_a, c_b), distributed prefix sums, then U closes from the
+    tie-safe identity kept in INTEGER arithmetic::
+
+        2·U_a = Σ_v c_a(v) · (2·cum_b(v) − c_b(v))
+
+    (for each a-observation at v: 2·#{b < v} + #{b = v}). Output ONE
+    row: ``n_a, n_b, u2 (string — exact integer 2·U_a), auc (double =
+    u2 / (2·n_a·n_b), fixed operand order)``. AUC 0.5 = no shift,
+    1.0 = every a above every b, 0.0 = the reverse. Empty side →
+    empty frame. Same 100 TB posture as ``ks_drift`` (shared
+    ``_prefix_sums``; the closing sum is |distinct values|-sized)."""
+    for df, side in ((df_a, "a"), (df_b, "b")):
+        if value_col not in df.columns:
+            raise TransformationError(
+                f"rank_sum_drift: value column not in side-{side} schema: "
+                f"{value_col}"
+            )
+    a = df_a.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+    b = df_b.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    pooled = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+    )
+    cum = _prefix_sums(pooled, "v", ["ca", "cb"], num_partitions)
+    totals = pooled.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
+    dec = "decimal(18,0)"
+    term = F.col("ca").cast(dec) * (
+        F.lit(2).cast(dec) * F.col("cum_cb").cast(dec) - F.col("cb").cast(dec)
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(F.sum(term).cast("decimal(38,0)").alias("_u2"))
+        .select(
+            "n_a",
+            "n_b",
+            F.col("_u2").cast("string").alias("u2"),
+            (
+                F.col("_u2").cast("string").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ).alias("auc"),
         )
     )
 
@@ -539,7 +627,8 @@ class DriftTransformer:
     against a registered view. Options: ``otherView`` (required — name
     registered under ``views:``) plus EXACTLY ONE of
     ``categoryColumn`` (categorical χ² table) or ``valueColumn``
-    (exact two-sample KS statistic)."""
+    (continuous two-sample test; ``statistic: ks`` default or
+    ``rank_sum`` for Mann–Whitney AUC)."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -557,6 +646,10 @@ class DriftTransformer:
             errors.append(f"value column not in input schema: {val}")
         if not opts.get("otherView"):
             errors.append("drift requires 'otherView'")
+        if opts.get("statistic", "ks") not in ("ks", "rank_sum"):
+            errors.append(
+                f"drift statistic must be ks|rank_sum, got '{opts['statistic']}'"
+            )
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
     def transform(self, df, config, ctx):
@@ -573,6 +666,8 @@ class DriftTransformer:
                 f"drift: otherView not found: {opts['otherView']}: {exc}"
             ) from exc
         if opts.get("valueColumn"):
+            if opts.get("statistic", "ks") == "rank_sum":
+                return rank_sum_drift(df, other, opts["valueColumn"])
             return ks_drift(df, other, opts["valueColumn"])
         return category_drift(df, other, opts["categoryColumn"])
 

@@ -277,3 +277,62 @@ def test_drift_adapter_ks_mode(spark):
     assert not drift.validate(df, both).is_valid
     neither = TransformationConfig(type="drift", options={"otherView": "ks_other"})
     assert not drift.validate(df, neither).is_valid
+
+
+# ------------------------------------------------------------ rank_sum_drift
+
+
+def test_rank_sum_auc_edges_and_ties(spark):
+    from etl_spark_gradle_spark.operators.stats import rank_sum_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["x"])
+    b = spark.createDataFrame([(4.0,), (5.0,)], ["x"])
+    lo = rank_sum_drift(a, b, "x").collect()[0]
+    assert lo.u2 == "0" and lo.auc == 0.0  # every a below every b
+    hi = rank_sum_drift(b, a, "x").collect()[0]
+    assert hi.u2 == str(2 * 3 * 2) and hi.auc == 1.0
+    same = rank_sum_drift(a, a, "x").collect()[0]
+    assert same.auc == 0.5  # identical distributions, ties split
+
+
+def test_rank_sum_matches_python_reference(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import rank_sum_drift
+
+    rng = random.Random(29)
+    va = [float(rng.randint(0, 30)) for _ in range(150)]
+    vb = [float(rng.randint(5, 40)) for _ in range(120)]
+    a = spark.createDataFrame([(v,) for v in va], "x double")
+    b = spark.createDataFrame([(v,) for v in vb], "x double")
+    r = rank_sum_drift(a, b, "x").collect()[0]
+    # brute-force 2U_a = sum over pairs of 2*(a>b) + 1*(a==b)
+    u2 = sum(2 if x > y else (1 if x == y else 0) for x in va for y in vb)
+    assert (r.n_a, r.n_b, r.u2) == (150, 120, str(u2))
+    assert r.auc == u2 / (2.0 * 150 * 120)
+
+
+def test_rank_sum_adapter_statistic_option(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    class _Ctx:
+        def __init__(self, spark):
+            self.spark = spark
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    df.createOrReplaceTempView("rs_other")
+    drift = TRANSFORMER_REGISTRY["drift"]
+    cfg = TransformationConfig(
+        type="drift",
+        options={"valueColumn": "v", "otherView": "rs_other",
+                 "statistic": "rank_sum"},
+    )
+    out = drift.transform(df, cfg, _Ctx(spark)).collect()
+    assert len(out) == 1 and out[0].auc == 0.5
+    bad = TransformationConfig(
+        type="drift",
+        options={"valueColumn": "v", "otherView": "rs_other",
+                 "statistic": "bogus"},
+    )
+    assert not drift.validate(df, bad).is_valid

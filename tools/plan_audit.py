@@ -311,10 +311,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     (
         "ks_drift",
         "exact KS: value-count partial agg (side tags summed, so "
-        "partial_sum), range-partitioned prefix sums (no data-sized "
-        "single-partition window), broadcast offsets/totals joins — "
-        "no python, no cartesian",
-        ["rangepartitioning", "partial_sum", "BroadcastHashJoin"],
+        "partial_sum), prefix sums over the PINNED range-partitioned "
+        "frame (localCheckpoint — shows as ExistingRDD; the range "
+        "exchange lives inside it, pinned so every branch sees one "
+        "boundary draw), broadcast offsets/totals joins — no python, "
+        "no cartesian",
+        ["ExistingRDD", "partial_sum", "BroadcastHashJoin"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
          "SortMergeJoin"],
     ),
@@ -328,10 +330,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ),
     (
         "quantiles",
-        "exact quantiles: value-histogram partial agg, prefix-sum CDF, "
-        "one closing aggregation for all probs — no python, no "
-        "cartesian, no sort-merge",
-        ["rangepartitioning", "partial_count"],
+        "exact quantiles: value-histogram partial agg, prefix-sum CDF "
+        "over the pinned range-partitioned frame (ExistingRDD "
+        "checkpoint boundary), one closing aggregation for all probs "
+        "— no python, no cartesian, no sort-merge",
+        ["ExistingRDD", "partial_count"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
          "SortMergeJoin"],
     ),
