@@ -20,10 +20,16 @@ And the extension-operator shapes:
 8. q8_pivot         — single-shuffle conditional-agg pivot
 9. q9_image_decode  — Arrow mapInPandas real-header image decode
                       (multimodal hot path; JVM-side header build)
+10. q10_composite   — cross-operator DAG (AQE/broadcast interactions)
+11. q11_table_diff  — fingerprint full-outer CDC diff
+12. q12_bpe_tokenize— BPE train + Arrow encode (heaviest Python stage)
+13. q13_tpch_star   — TPC-H Q5 star join (broadcast propagation)
+14. q14_resample    — per-key grid + linear gap interpolation
+15. q15_cdf_stats   — KS drift via the distributed prefix-sum CDF
 
-Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
-Each query runs once after a shared session warm-up; timing wraps the
-full action (plan → execute → count via write-nothing foreach-noop).
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
+"sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
+Each query runs once untimed, then median-of-3 wall + best-of-3 exec.
 """
 
 from __future__ import annotations
@@ -320,6 +326,22 @@ def q14_resample(spark):
     )
 
 
+def q15_cdf_stats(spark):
+    """Distributed-CDF statistics family: two-sample KS drift between
+    the R/A return-flag populations of lineitem prices. Exercises the
+    `_prefix_sums` two-level scan (range partition → per-partition
+    running sums → P-row offset window) — the most novel plan in the
+    repo — plus the decimal-exact D-statistic peak argmax close. Guards
+    the prefix-sum machinery against plan regressions (VERDICT r4 #5).
+    """
+    from etl_spark_gradle_spark.operators.stats import ks_drift
+
+    li = load(spark, "lineitem")
+    a = li.filter("l_returnflag = 'R'").select("l_extendedprice")
+    b = li.filter("l_returnflag = 'A'").select("l_extendedprice")
+    return ks_drift(a, b, "l_extendedprice")
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -335,6 +357,7 @@ QUERIES = {
     "q12_bpe_tokenize": q12_bpe_tokenize,
     "q13_tpch_star": q13_tpch_star,
     "q14_resample": q14_resample,
+    "q15_cdf_stats": q15_cdf_stats,
 }
 
 
@@ -372,6 +395,7 @@ def main() -> None:
     # best-of-2 lets a single 16% wobble masquerade as a regression;
     # the median of three keeps any one outlier out of the record
     timings: dict[str, float] = {}
+    exec_secs: dict[str, float] = {}
     for name, fn in QUERIES.items():
         rows = fn(spark).count()  # warm-up, untimed
         runs = []
@@ -381,10 +405,23 @@ def main() -> None:
             rows = df.count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        # action-only timing on a PRE-BUILT plan: executor work with
+        # driver-side plan construction/analysis amortized out — the
+        # machine-load-robust number (plan build is the part that
+        # noisy-neighbor CPU steals distort most, VERDICT r4 #7)
+        df = fn(spark)
+        df.count()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        exec_secs[name] = round(best, 3)
         spread = (max(runs) - min(runs)) / max(sorted(runs)[1], 1e-9)
         print(
             f"# {name}: {rows} rows, median {timings[name]}s "
-            f"(runs {[round(r, 3) for r in runs]}, spread {spread:.0%})",
+            f"(runs {[round(r, 3) for r in runs]}, spread {spread:.0%}, "
+            f"exec {exec_secs[name]}s)",
             flush=True,
         )
 
@@ -433,6 +470,7 @@ def main() -> None:
         "window_events_per_sec": round(events_rows / q3_exec, 1),
         "q1_exec_sec": round(q1_exec, 3),
         "q3_exec_sec": round(q3_exec, 3),
+        "exec_sec": exec_secs,
     }
     print(
         json.dumps(
@@ -448,10 +486,12 @@ def main() -> None:
         flush=True,
     )
 
-    _check_regressions(timings)
+    _check_regressions(timings, exec_secs)
 
 
-def _check_regressions(timings: dict[str, float]) -> None:
+def _check_regressions(
+    timings: dict[str, float], exec_secs: dict[str, float] | None = None
+) -> None:
     """Regression guard: fail (exit 1) when any query runs slower than
     ``regression_factor`` x its BENCH_BASELINE.json floor — but only
     when benchmarking the same scale factor the baseline was captured
@@ -472,15 +512,22 @@ def _check_regressions(timings: dict[str, float]) -> None:
     if abs(_sf(SF_DIR) - float(baseline.get("sf", -1))) > 1e-9:
         return
     factor = float(baseline.get("regression_factor", 2.0))
+    # floors keyed on exec_sec when the baseline snapshot has them:
+    # action-only timings exclude driver plan construction, the part a
+    # noisy-neighbor burst distorts most, so exec floors separate real
+    # operator regressions from machine load far better than wall
+    measured, floor_src = timings, baseline.get("queries", {})
+    if exec_secs and baseline.get("exec_sec"):
+        measured, floor_src = exec_secs, baseline["exec_sec"]
     floors = {
         name: float(base)
-        for name, base in baseline.get("queries", {}).items()
-        if name in timings
+        for name, base in floor_src.items()
+        if name in measured
     }
     regressed = [
-        f"{name}: {timings[name]}s > {factor}x baseline {base}s"
+        f"{name}: {measured[name]}s > {factor}x baseline {base}s"
         for name, base in floors.items()
-        if timings[name] > factor * base
+        if measured[name] > factor * base
     ]
     if not regressed:
         return

@@ -116,7 +116,9 @@ from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
     DriftTransformer,
     StatsTransformer,
     category_drift,
+    exact_quantiles,
     ks_drift,
+    mad_outliers,
 )
 from etl_spark_gradle_spark.operators.strings import EditJoinTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401

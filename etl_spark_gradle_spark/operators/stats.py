@@ -40,6 +40,7 @@ __all__ = [
     "ks_drift",
     "rank_sum_drift",
     "exact_quantiles",
+    "mad_outliers",
 ]
 
 
@@ -251,7 +252,11 @@ def category_drift(
     totals = joined.agg(
         F.sum("n_a").cast("long").alias("_ta"),
         F.sum("n_b").cast("long").alias("_tb"),
-    )
+    # An empty side would make rate_a/rate_b/chi2_contrib divide by
+    # zero (IEEE Inf/NaN, silently wrong drift). Match ks_drift /
+    # rank_sum_drift: guard totals with n>0 — drift against an empty
+    # side is undefined, return an empty frame instead (ADVICE r4).
+    ).filter((F.col("_ta") > 0) & (F.col("_tb") > 0))
     j = joined.crossJoin(F.broadcast(totals))
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     ta, tb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
@@ -370,7 +375,7 @@ def ks_drift(
        two-level scan, never a single-partition global window) give
        both cumulative counts in one pass;
     3. the KS numerator is kept in INTEGER arithmetic:
-       ``d_num = |cum_a·n_b − cum_b·n_a|`` (decimal(37,0) — exact),
+       ``d_num = |cum_a·n_b − cum_b·n_a|`` (decimal, exact for any long counts),
        so max-finding and the cross-engine hash gate involve no float
        comparison; D itself closes as ``double(d_num)/(n_a·n_b)`` in
        fixed operand order.
@@ -416,7 +421,7 @@ def ks_drift(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
     ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
-    dec = "decimal(18,0)"
+    dec = "decimal(19,0)"  # full long range: no silent NULL-on-overflow window (ADVICE r4)
     d_num = F.abs(
         F.col("cum_ca").cast(dec) * F.col("n_b").cast(dec)
         - F.col("cum_cb").cast(dec) * F.col("n_a").cast(dec)
@@ -495,7 +500,7 @@ def rank_sum_drift(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
     ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
-    dec = "decimal(18,0)"
+    dec = "decimal(19,0)"  # full long range: no silent NULL-on-overflow window (ADVICE r4)
     term = F.col("ca").cast(dec) * (
         F.lit(2).cast(dec) * F.col("cum_cb").cast(dec) - F.col("cb").cast(dec)
     )
@@ -619,6 +624,94 @@ def exact_quantiles(
     )
     return picked.select(*group_by, "q.prob", "q.rank", "q.value").where(
         F.col("rank").isNotNull()
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str] | None = None,
+    k: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier detection via the Median Absolute Deviation —
+    the scale-safe alternative to mean±k·σ flagging (``zscore_flags``),
+    which a single extreme value can mask (the outlier inflates σ).
+    MAD's breakdown point is 50%: ``median`` and
+    ``MAD = median(|x − median|)`` ignore up to half the data being
+    corrupt. ``scale=1.4826`` makes MAD a consistent σ estimator under
+    normality, so ``k`` reads in "robust sigmas".
+
+    Both medians are EXACT type-1 quantiles computed by
+    ``exact_quantiles`` (value-histogram shuffle + CDF; no
+    executor-memory value buffering, no engine-specific sketch — the
+    100 TB path), so every reported number is cross-engine
+    reproducible: medians are table values, the threshold product is
+    one IEEE double multiply spelled identically in the SQL oracle.
+
+    Returns one summary row per group:
+    ``(group…, n, median, mad, threshold, n_outliers)`` where
+    ``threshold = k·scale·mad`` and ``n_outliers`` counts rows with
+    ``|x − median| > threshold`` (strict: with MAD = 0 in a
+    constant-majority group, only values ≠ median can flag).
+
+    Plan: two histogram shuffles (values, then deviations) + two
+    broadcast joins of the per-group medians (#groups rows) back onto
+    the data — group cardinality is assumed dimension-like; for
+    millions of groups swap the broadcasts for hash joins on the
+    already group-partitioned frame.
+    """
+    if k <= 0 or scale <= 0:
+        raise TransformationError("mad_outliers requires k > 0 and scale > 0")
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"mad_outliers: value column not in schema: {value_col}"
+        )
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    base = df.select(
+        *group_by, F.col(value_col).cast("double").alias("_x")
+    ).where(F.col("_x").isNotNull())
+
+    med = exact_quantiles(base, "_x", [0.5], group_by=group_by).select(
+        *group_by, F.col("value").alias("_med")
+    )
+    j_med = (
+        base.join(F.broadcast(med), on=group_by)
+        if group_by
+        else base.crossJoin(F.broadcast(med))
+    )
+    dev = j_med.select(
+        *group_by, F.abs(F.col("_x") - F.col("_med")).alias("_adev")
+    )
+    mad = exact_quantiles(dev, "_adev", [0.5], group_by=group_by).select(
+        *group_by, F.col("value").alias("_mad")
+    )
+    enriched = (
+        dev.join(F.broadcast(mad), on=group_by)
+        if group_by
+        else dev.crossJoin(F.broadcast(mad))
+    )
+    thr = F.lit(float(k)) * F.lit(float(scale)) * F.col("_mad")
+    summary = enriched.groupBy(*group_by).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("_mad").alias("mad"),
+        F.sum((F.col("_adev") > thr).cast("long")).cast("long").alias("n_outliers"),
+    )
+    out = (
+        summary.join(F.broadcast(med), on=group_by)
+        if group_by
+        else summary.crossJoin(F.broadcast(med))
+    )
+    return out.select(
+        *group_by,
+        "n",
+        F.col("_med").alias("median"),
+        "mad",
+        (F.lit(float(k)) * F.lit(float(scale)) * F.col("mad")).alias("threshold"),
+        "n_outliers",
     )
 
 

@@ -65,12 +65,15 @@ _FILLS = {"null", "zero", "ffill", "linear"}
 def _bucket_expr(time_col: str, step: int, origin: int) -> Column:
     # unix_timestamp truncates fractional seconds toward zero (epochs
     # here are positive, so truncate == floor — matching the oracle's
-    # floor(epoch(ts))); integer DIV keeps the grid exact, no float
-    # boundary wobble at any epoch magnitude.
+    # floor(epoch(ts))). The grid itself needs true FLOOR division:
+    # `pmod` is non-negative for any sign of (sec - origin), so
+    # `delta - pmod(delta, step)` is an exact integer floor-to-multiple
+    # with no float boundary wobble at any epoch magnitude — an event
+    # BEFORE `origin` (or pre-1970 data) still buckets to the grid cell
+    # that starts at-or-before it, matching DuckDB's `//` floor division.
     sec = F.unix_timestamp(F.col(time_col))
-    return ((sec - F.lit(origin)).cast("long") / F.lit(step)).cast("long") * F.lit(
-        step
-    ) + F.lit(origin)
+    delta = (sec - F.lit(origin)).cast("long")
+    return delta - F.pmod(delta, F.lit(step)) + F.lit(origin)
 
 
 def resample(

@@ -83,15 +83,17 @@ def null_metrics_df(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
-_NUMERIC_PREFIXES = (
-    "tinyint",
-    "smallint",
-    "int",
-    "bigint",
-    "float",
-    "double",
-    "decimal",
+_NUMERIC_EXACT = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double"}
 )
+
+
+def _is_numeric_dtype(t: str) -> bool:
+    """Exact-name numeric check. A prefix match on "int" would also
+    catch interval dtypes ("interval day to second", …) and drive an
+    invalid interval→double cast; only decimal keeps a prefix test
+    because its rendering carries precision/scale ("decimal(18,2)")."""
+    return t in _NUMERIC_EXACT or t.startswith("decimal(") or t == "decimal"
 
 
 def profile_columns(
@@ -140,7 +142,7 @@ def profile_columns(
             num = F.col(c).cast("string").cast("double")
         elif t == "timestamp" or t == "timestamp_ntz":
             num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
-        elif t.startswith(_NUMERIC_PREFIXES):
+        elif _is_numeric_dtype(t):
             num = F.col(c).cast("double")
         else:
             num = None
@@ -159,7 +161,7 @@ def profile_columns(
     for c in cols:
         t = dtypes[c]
         has_num = (
-            t.startswith(_NUMERIC_PREFIXES) or t in ("timestamp", "timestamp_ntz")
+            _is_numeric_dtype(t) or t in ("timestamp", "timestamp_ntz")
         )
         nonnull = F.col("__n") - F.col(f"__nulls_{c}")
         structs.append(

@@ -215,9 +215,18 @@ def detect_gaps_stream(
         import pandas as pd
 
         frames = [pdf for pdf in pdf_iter]
-        events = pd.concat(frames, ignore_index=True).sort_values(time_col)
+        # Drop null event times BEFORE the int64 view: NaT.astype(int64)
+        # is INT64_MIN, which would seed state ~year 1677 and make the
+        # next real event emit a bogus multi-century gap (ADVICE r4).
+        events = (
+            pd.concat(frames, ignore_index=True)
+            .dropna(subset=[time_col])
+            .sort_values(time_col)
+        )
         times = (events[time_col].astype("int64") // 1000).astype("int64")
         last = state.get[0] if state.exists else None
+        if events.empty and last is None:
+            return  # batch was all-null times and no prior state
         starts, ends, lens = [], [], []
         for t_us in times:
             t_us = int(t_us)
@@ -319,7 +328,12 @@ def sessionize_stream(
             return
 
         frames = [pdf for pdf in pdf_iter]
-        events = pd.concat(frames, ignore_index=True).sort_values(time_col)
+        # NaT guard, same rationale as detect_gaps_stream above.
+        events = (
+            pd.concat(frames, ignore_index=True)
+            .dropna(subset=[time_col])
+            .sort_values(time_col)
+        )
         times = (events[time_col].astype("int64") // 1000).astype("int64")  # ns -> us
         values = (
             events[value_col].astype("float64")
@@ -327,6 +341,8 @@ def sessionize_stream(
             else pd.Series(0.0, index=events.index)
         )
         cur = state.get if state.exists else None
+        if events.empty and cur is None:
+            return  # batch was all-null times and no prior state
         for t_us, v in zip(times, values):
             t_us = int(t_us)
             if cur is None:

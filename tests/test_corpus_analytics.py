@@ -130,6 +130,17 @@ def test_category_drift_one_sided_category(spark):
         category_drift(a, b.withColumnRenamed("c", "d"), "c")
 
 
+def test_category_drift_empty_side_returns_empty(spark):
+    """Drift against an empty side is undefined: no Inf/NaN rates leak
+    out — the result is an empty frame, matching ks_drift/rank_sum_drift
+    (ADVICE r4)."""
+    a = spark.createDataFrame([("x",)] * 5, ["c"])
+    empty = a.filter("1=0")
+    assert category_drift(a, empty, "c").count() == 0
+    assert category_drift(empty, a, "c").count() == 0
+    assert category_drift(empty, empty, "c").count() == 0
+
+
 # ----------------------------------------------------------- YAML adapters
 
 

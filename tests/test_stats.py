@@ -238,3 +238,44 @@ def test_exact_quantiles_grouped_matches_pandas(spark, sf_dir):
     u = {r.prob: (r.rank, r.value) for r in
          exact_quantiles(one, "l_extendedprice", probs).collect()}
     assert {p: g[p] for p in probs} == u
+
+
+def test_mad_outliers_hand_computed(spark):
+    from etl_spark_gradle_spark.operators.stats import mad_outliers
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 100)] + [
+        ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r for r in mad_outliers(df, "v", group_by=["g"]).collect()}
+    # group a: median(1,2,3,4,100)=3 (type-1 rank 3); |x-3|=[2,1,0,1,97],
+    # MAD = median = 1 -> threshold 3*1.4826 = 4.4478 -> only 100 flags
+    a = got["a"]
+    assert a.median == 3.0 and a.mad == 1.0 and a.n == 5
+    assert a.threshold == 3.0 * 1.4826 * 1.0
+    assert a.n_outliers == 1
+    # group b: constant majority -> median 5, MAD 0, strict > flags the 9
+    b = got["b"]
+    assert b.median == 5.0 and b.mad == 0.0 and b.n_outliers == 1
+
+
+def test_mad_outliers_ungrouped_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (10, 11, 12, 13, 14, 500)], ["v"]
+    )
+    (r,) = mad_outliers(df, "v").collect()
+    # n=6: median rank ceil(3)=3 -> 12; dev [2,1,0,1,2,488] sorted
+    # [0,1,1,2,2,488], rank 3 -> 1; threshold 4.4478 -> 488 flags
+    assert r.n == 6 and r.median == 12.0 and r.mad == 1.0
+    assert r.n_outliers == 1
+    with _pytest.raises(TransformationError, match="value column"):
+        mad_outliers(df, "nope")
+    with _pytest.raises(TransformationError, match="k > 0"):
+        mad_outliers(df, "v", k=0)
+    with _pytest.raises(TransformationError, match="group column"):
+        mad_outliers(df, "v", group_by=["missing"])

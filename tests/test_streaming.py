@@ -582,6 +582,127 @@ def test_stream_scd2_fold_across_runs(spark, tmp_path):
     assert len([d for d in os.listdir(dim) if d.startswith("v=")]) >= 2
 
 
+def test_stream_scd2_chaos_crash_and_resume(spark, tmp_path, monkeypatch):
+    """Chaos drill for the exactly-once-effective claim (VERDICT r4
+    ask #6): a drain is KILLED mid-feed (injected crash in the second
+    micro-batch), a poisoned partial output dir simulates the
+    crash-after-side-effect case, and the resumed drain must still
+    converge to exactly the clean single-drain dimension.
+
+    Protocol under test (stream_scd2_fold): each batch reads the newest
+    version STRICTLY older than its batch id and overwrites its own
+    ``v=<batch_id>`` — so a retried batch re-reads the same input and
+    deterministically clobbers whatever the crashed attempt left."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from etl_spark_gradle_spark import streaming as st
+    from etl_spark_gradle_spark.operators import delta as delta_mod
+    from etl_spark_gradle_spark.streaming import (
+        read_scd2_dimension,
+        stream_scd2_fold,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("tier", StringType()),
+            StructField("eff", StringType()),
+        ]
+    )
+    src = tmp_path / "chg"
+    src.mkdir()
+
+    feed = [
+        ("b1.json", [
+            {"k": 1, "tier": "gold", "eff": "2020-01-01 00:00:00"},
+            {"k": 2, "tier": "silver", "eff": "2020-01-01 00:00:00"},
+        ]),
+        ("b2.json", [
+            {"k": 1, "tier": "silver", "eff": "2020-02-01 00:00:00"},
+            {"k": 3, "tier": "bronze", "eff": "2020-02-01 00:00:00"},
+        ]),
+        ("b3.json", [
+            {"k": 1, "tier": "bronze", "eff": "2020-03-01 00:00:00"},
+            {"k": 2, "tier": "gold", "eff": "2020-03-01 00:00:00"},
+        ]),
+    ]
+    for i, (name, rows) in enumerate(feed):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        # pin the file-source processing order: mtime ascending
+        t = _time.time() - 300 + i * 60
+        os.utime(src / name, (t, t))
+
+    def _drain(dim, ckpt):
+        stream = st.read_file_stream(
+            spark,
+            {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+            schema,
+        ).withColumn("eff", F.col("eff").cast("timestamp"))
+        return stream_scd2_fold(
+            stream, dim, ["k"], ["tier"], "eff", checkpoint_location=ckpt
+        )
+
+    # ---- clean reference: one uninterrupted drain over the same feed
+    ref_dim, ref_ckpt = str(tmp_path / "refdim"), str(tmp_path / "refckpt")
+    _drain(ref_dim, ref_ckpt).awaitTermination(120)
+    want = {
+        (r.k, r.tier, str(r.valid_from), r.is_current)
+        for r in read_scd2_dimension(spark, ref_dim).collect()
+    }
+    assert len(want) == 6  # k1 x3 versions, k2 x2, k3 x1
+
+    # ---- chaos drain: crash inside micro-batch #2 (batch_id == 1)
+    dim, ckpt = str(tmp_path / "dim"), str(tmp_path / "ckpt")
+    real_apply = delta_mod.scd2_apply
+    calls = {"n": 0}
+
+    def poisoned(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("chaos: injected crash in micro-batch 2")
+        return real_apply(*args, **kwargs)
+
+    monkeypatch.setattr(delta_mod, "scd2_apply", poisoned)
+    q = _drain(dim, ckpt)
+    try:
+        q.awaitTermination(120)
+        crashed = False
+    except Exception:
+        crashed = True
+    assert crashed, "injected crash did not surface"
+    monkeypatch.setattr(delta_mod, "scd2_apply", real_apply)
+
+    # batch 0 committed, batch 1 did not: simulate the WORST crash —
+    # the attempt died after writing a (wrong) v=1 output but before
+    # the checkpoint commit
+    poison_dir = os.path.join(dim, "v=1")
+    spark.createDataFrame(
+        [(99, "GARBAGE", "2000-01-01 00:00:00", None, True)],
+        "k int, tier string, valid_from string, valid_to string, is_current boolean",
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp")).withColumn(
+        "valid_to", F.col("valid_to").cast("timestamp")
+    ).write.mode("overwrite").parquet(poison_dir)
+
+    # ---- resume from the same checkpoint: batch 1 re-runs (reading
+    # v=0, overwriting the garbage), then batch 2 runs on top
+    _drain(dim, ckpt).awaitTermination(120)
+    got = {
+        (r.k, r.tier, str(r.valid_from), r.is_current)
+        for r in read_scd2_dimension(spark, dim).collect()
+    }
+    assert got == want
+    # the poisoned partial output was deterministically clobbered
+    v1 = {r.tier for r in spark.read.parquet(poison_dir).collect()}
+    assert "GARBAGE" not in v1
+
+
 # ---------------------------------------------------------------------------
 # detect_gaps_stream (heartbeat-gap detection)
 # ---------------------------------------------------------------------------
@@ -685,3 +806,39 @@ def test_detect_gaps_matches_batch_lag_replay(spark, tmp_path):
                           int((ts - prev).total_seconds() * 1_000_000)))
             prev = ts
     assert got == want and len(want) > 0
+
+
+def test_detect_gaps_ignores_null_event_times(spark, tmp_path):
+    """A key whose first-seen event has a null timestamp must NOT seed
+    state with INT64_MIN (NaT→int64) and emit a bogus year-1677 gap on
+    the next real event (ADVICE r4)."""
+    src = tmp_path / "nin"
+    src.mkdir()
+    out = tmp_path / "nout"
+    ckpt = tmp_path / "nckpt"
+    # batch 1: N's only event has a null ts; M is a control key
+    _write_sess_batch(
+        src / "b1.json",
+        [(None, "N", 0.0), ("2024-01-01 00:00:00", "M", 0.0)],
+    )
+    _run_gaps(spark, src, out, ckpt)
+    assert spark.read.parquet(str(out)).count() == 0
+
+    # batch 2: N's first REAL events — a genuine in-batch gap plus a
+    # stray null that must be ignored mid-stream too
+    _write_sess_batch(
+        src / "b2.json",
+        [
+            ("2024-01-01 00:00:00", "N", 0.0),
+            (None, "N", 0.0),
+            ("2024-01-01 00:10:00", "N", 0.0),
+        ],
+    )
+    _run_gaps(spark, src, out, ckpt)
+    got = {
+        (r.user, str(r.gap_start), str(r.gap_end), r.gap_us)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {
+        ("N", "2024-01-01 00:00:00", "2024-01-01 00:10:00", 600_000_000)
+    }

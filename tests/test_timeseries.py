@@ -71,6 +71,30 @@ def test_resample_linear_interpolation_exact(spark):
     assert rows[b_key].v == 7.0
 
 
+def test_resample_origin_later_than_first_event_floors_correctly(spark):
+    """An origin AFTER the earliest timestamp must still bucket every
+    event to a grid cell that starts at-or-before it (true floor
+    division, not truncate-toward-zero — ADVICE r4 medium)."""
+    base = dt.datetime(2024, 1, 1)
+    df = _series(spark)
+    origin = int(base.timestamp()) + 70  # 70 s after the first event
+    out = resample(df, "ts", 60, AGG, group_by=["k"], fill="null", origin=origin)
+    rows = {(r.k, r.bucket_ts): r for r in out.collect()}
+    base_s = int(base.timestamp())
+    # grid is origin + k*60 => ... origin-120, origin-60, origin, ...
+    # event at t=0 (70 s before origin) belongs to [origin-120, origin-60)
+    assert rows[("a", origin - 120)].n_obs == 1
+    assert rows[("a", origin - 120)].v == 10.0
+    # event at t=60 (10 s before origin) belongs to [origin-60, origin)
+    assert rows[("a", origin - 60)].v == 20.0
+    # event at t=300 belongs to [origin+180, origin+240)
+    assert rows[("a", origin + 180)].v == 40.0
+    # every bucket start is at-or-before an event it contains, and
+    # the grid is exactly aligned to origin mod 60
+    assert all((b - origin) % 60 == 0 for (_, b) in rows)
+    assert all(b <= base_s + 300 for (k, b) in rows if k == "a")
+
+
 def test_resample_validation(spark):
     df = _series(spark)
     with pytest.raises(TransformationError, match="step_seconds"):
@@ -133,6 +157,17 @@ def test_profile_timestamp_epoch_micros(spark):
     )
     r = profile_columns(df).collect()[0]
     assert r.max_num - r.min_num == 1_000_000.0  # micros
+
+
+def test_profile_interval_dtype_is_not_numeric(spark):
+    """Interval dtypes must not fall into the numeric min/max branch —
+    the old prefix match on "int" caught "interval …" and produced an
+    invalid interval→double cast (ADVICE r4)."""
+    df = spark.sql("select interval '1' day as iv, 42 as x")
+    rows = {r.column: r for r in profile_columns(df).collect()}
+    assert rows["iv"].min_num is None and rows["iv"].max_num is None
+    assert rows["iv"].n_nulls == 0
+    assert rows["x"].min_num == 42.0  # real ints still profile
 
 
 def test_profile_approx_distinct_and_validation(spark):

@@ -1,0 +1,96 @@
+"""Generate sf1 testdata by FK-consistent 10x inflation of sf0.1.
+
+The environment has no network (no duckdb tpch extension, no dbgen),
+so sf1-scale inputs for the TPC-H sweep are produced by replicating
+/root/testdata/sf0.1 ten times with per-replica key offsets that keep
+every foreign-key relationship intact:
+
+  customer  c_custkey  += i * 15000      orders    o_custkey follows
+  supplier  s_suppkey  += i * 1000       lineitem  l_suppkey follows
+  part      p_partkey  += i * 20000      lineitem  l_partkey follows
+  orders    o_orderkey += i * 150000     lineitem  l_orderkey follows
+  events    event_id   += i * 100000, user_id += i * 1500
+  documents doc_id     += i * 5000
+  embeddings vec_id    += i * 2000
+  region / nation: fixed dimensions, copied as-is.
+
+This is NOT official TPC-H data (neither is sf0.1 — see TESTDATA.md);
+the correctness gate is cross-engine agreement on the same parquet, so
+value distributions only need to be realistic, not spec-exact. The
+10x replication preserves every per-replica distribution and scales
+join cardinalities linearly — exactly what's needed to surface AQE
+re-plans and broadcast-threshold flips that sf0.1 can't (VERDICT r4
+ask #4).
+
+Output: /root/repo/testdata_sf1/*.parquet (git-ignored; ~1 GB).
+Usage:  python tools/gen_sf1.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+# table -> list of (column, per-replica offset); None offset = copy
+OFFSETS: dict[str, list[tuple[str, int]]] = {
+    "region": [],
+    "nation": [],
+    "customer": [("c_custkey", 15000)],
+    "supplier": [("s_suppkey", 1000)],
+    "part": [("p_partkey", 20000)],
+    "orders": [("o_orderkey", 150000), ("o_custkey", 15000)],
+    "lineitem": [
+        ("l_orderkey", 150000),
+        ("l_partkey", 20000),
+        ("l_suppkey", 1000),
+    ],
+    "events": [("event_id", 100000), ("user_id", 1500)],
+    "documents": [("doc_id", 5000)],
+    "embeddings": [("vec_id", 2000)],
+}
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for table, offs in OFFSETS.items():
+        src = f"{SRC}/{table}.parquet"
+        dst = f"{out_dir}/{table}.parquet"
+        cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        if not offs:  # fixed dimension: plain copy
+            con.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
+        else:
+            off_map = dict(offs)
+            select = ", ".join(
+                # CAST back so the inflated key keeps the source dtype
+                f"CAST({c} + i * {off_map[c]} AS "
+                f"{_dtype(con, src, c)}) AS {c}" if c in off_map else c
+                for c in cols
+            )
+            con.sql(
+                f"COPY (SELECT {select} FROM '{src}' "
+                f"CROSS JOIN (SELECT unnest(range({REPLICAS})) AS i)) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"{table}: {n} rows -> {dst}", flush=True)
+    return 0
+
+
+def _dtype(con, src: str, col: str) -> str:
+    (t,) = [
+        r[1]
+        for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+        if r[0] == col
+    ]
+    return t
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
