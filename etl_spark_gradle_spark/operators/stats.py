@@ -771,10 +771,11 @@ class DriftTransformer:
 
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
-    correlation|linear_fit|zscore|quantiles, ``columns`` (csv —
-    correlation), ``xColumn``/``yColumn`` (linear_fit),
+    correlation|linear_fit|zscore|quantiles|mad_outliers, ``columns``
+    (csv — correlation), ``xColumn``/``yColumn`` (linear_fit),
     ``valueColumn``/``threshold`` (zscore),
-    ``valueColumn``/``probs`` csv (quantiles), ``groupBy`` (csv,
+    ``valueColumn``/``probs`` csv (quantiles),
+    ``valueColumn``/``k``/``scale`` (mad_outliers), ``groupBy`` (csv,
     optional for all)."""
 
     def validate(self, df, config):
@@ -816,10 +817,20 @@ class StatsTransformer:
                 errors.append(
                     "stats quantiles requires 'probs' (csv of floats in [0, 1])"
                 )
+        elif op == "mad_outliers":
+            if not opts.get("valueColumn"):
+                errors.append("stats mad_outliers requires 'valueColumn'")
+            else:
+                cols_needed.append(opts["valueColumn"])
+            try:
+                if float(opts.get("k", 3.0)) <= 0 or float(opts.get("scale", 1.4826)) <= 0:
+                    errors.append("stats mad_outliers requires k > 0 and scale > 0")
+            except ValueError:
+                errors.append("stats mad_outliers requires numeric 'k'/'scale'")
         else:
             errors.append(
-                "stats operation must be correlation|linear_fit|zscore|quantiles, "
-                f"got '{op}'"
+                "stats operation must be correlation|linear_fit|zscore|quantiles"
+                f"|mad_outliers, got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -847,6 +858,14 @@ class StatsTransformer:
                 opts["valueColumn"],
                 [float(p) for p in _split_csv(opts["probs"])],
                 group_by=gb,
+            )
+        if op == "mad_outliers":
+            return mad_outliers(
+                df,
+                opts["valueColumn"],
+                group_by=gb,
+                k=float(opts.get("k", 3.0)),
+                scale=float(opts.get("scale", 1.4826)),
             )
         return zscore_flags(
             df,

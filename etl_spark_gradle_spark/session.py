@@ -44,10 +44,15 @@ _DEFAULTS: dict[str, str] = {
     # launched as local[N,F].
     "spark.task.maxFailures": "4",
     "spark.ui.enabled": "false",
-    # NOTE: spark.driver.memory is deliberately absent — it only takes
-    # effect before the JVM starts, so it must come from spark-submit /
-    # SPARK_DRIVER_MEMORY / spark-defaults, not builder.config on a
-    # possibly-running session (setting it here would silently no-op).
+    # Driver/local-JVM heap. Takes effect whenever THIS process launches
+    # the JVM (verified: builder.config -> Runtime.maxMemory == 8g); it
+    # is silently ignored if a session already exists in the process, and
+    # spark-submit deployments override it per cluster. Matters in local
+    # mode especially, where the driver JVM IS the executor: the pyspark
+    # default 1g heap cannot hold a 64m-threshold broadcast build (the
+    # estimate is compressed-columnar bytes; the in-heap hash relation
+    # runs 5-10x that) — observed as q4/q5/q18 broadcast OOMs at sf1.
+    "spark.driver.memory": "8g",
 }
 
 

@@ -61,6 +61,19 @@ def _dec(col: str) -> Column:
     return F.col(col).cast("decimal(18,2)")
 
 
+def _dbl(col: Column) -> Column:
+    """Decimal → double via a string round-trip (oracle side mirrors it
+    as ``CAST(CAST(x AS VARCHAR) AS DOUBLE)``): decimal→string is exact
+    and string→double is correctly rounded on BOTH engines, whereas
+    DuckDB's direct wide-decimal→double cast is one ulp off once the
+    decimal's digits exceed double's 53 bits (same hazard documented in
+    operators/stats.py). Direct casts were bit-equal up to sf0.1 only
+    because those sums still fit 53 bits; the sf1 sweep caught q1's
+    sum_charge drifting one ulp. At 100 TB every revenue-style sum is
+    past 53 bits, so the round-trip is the only portable spelling."""
+    return col.cast("string").cast("double")
+
+
 # l_extendedprice * (1 - l_discount), exact. The explicit intermediate
 # cast keeps Spark's and DuckDB's decimal type-widening rules out of the
 # picture: the true value has scale <= 4 and magnitude < 10^14, so the
@@ -98,15 +111,15 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= _ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(F.expr(_DISC_PRICE)).cast("double").alias("sum_disc_price"),
-            F.sum(F.expr(_CHARGE)).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias(
+            F.sum(_dec("l_quantity")).cast("string").cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("string").cast("double").alias("sum_base_price"),
+            F.sum(F.expr(_DISC_PRICE)).cast("string").cast("double").alias("sum_disc_price"),
+            F.sum(F.expr(_CHARGE)).cast("string").cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("string").cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("string").cast("double") / F.count("*")).alias(
                 "avg_price"
             ),
-            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            (F.sum(_dec("l_discount")).cast("string").cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -114,13 +127,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -154,7 +167,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum("dp").cast("double").alias("revenue"))
+        .agg(F.sum("dp").cast("string").cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -168,7 +181,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_SQL = """
 SELECT l_orderkey,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
        o_orderpriority
 FROM customer
@@ -262,13 +275,13 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (l.l_suppkey == s.s_suppkey) & (oc.c_nationkey == s.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.sum("dp").cast("double").alias("revenue"))
+        .agg(F.sum("dp").cast("string").cast("double").alias("revenue"))
     )
 
 
 _Q5_SQL = """
 SELECT n_name,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -307,14 +320,14 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))"
                 )
             )
-            .cast("double")
+            .cast("string").cast("double")
             .alias("revenue")
         )
     )
 
 
 _Q6_SQL = """
-SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -368,7 +381,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .where(pair)
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("dp").cast("double").alias("revenue"))
+        .agg(F.sum("dp").cast("string").cast("double").alias("revenue"))
     )
 
 
@@ -376,7 +389,7 @@ _Q7_SQL = """
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -442,9 +455,9 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("dp")).otherwise(
                 F.lit(0).cast("decimal(18,4)")
             ))
-            .cast("double")
+            .cast("string").cast("double")
             .alias("nat_rev"),
-            F.sum("dp").cast("double").alias("tot_rev"),
+            F.sum("dp").cast("string").cast("double").alias("tot_rev"),
         )
         .select(
             "o_year",
@@ -471,8 +484,8 @@ WITH j AS (
     AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
 )
 SELECT CAST(o_year AS INT) AS o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN dp ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-         / CAST(SUM(dp) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN dp ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(dp) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM j
 GROUP BY o_year
 """
@@ -501,13 +514,13 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("n_name", "o_year")
-        .agg(F.sum("dp").cast("double").alias("sum_profit"))
+        .agg(F.sum("dp").cast("string").cast("double").alias("sum_profit"))
     )
 
 
 _Q9_SQL = """
 SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -542,7 +555,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum("dp").cast("double").alias("revenue"))
+        .agg(F.sum("dp").cast("string").cast("double").alias("revenue"))
     )
     c = cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey).select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "n_name"
@@ -557,7 +570,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_SQL = """
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
        c_acctbal, n_name, c_mktsegment
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -631,9 +644,9 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0).cast("decimal(18,4)")
                 )
             )
-            .cast("double")
+            .cast("string").cast("double")
             .alias("promo_rev"),
-            F.sum("dp").cast("double").alias("tot_rev"),
+            F.sum("dp").cast("string").cast("double").alias("tot_rev"),
         )
         .select(
             ((F.lit(100.0) * F.col("promo_rev")) / F.col("tot_rev")).alias(
@@ -644,8 +657,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_SQL = """
-SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE))
-       / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct
+SELECT (100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE))
+       / CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -686,7 +699,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+            F.col("total_rev_dec").cast("string").cast("double").alias("total_revenue"),
         )
     )
 
@@ -700,7 +713,7 @@ WITH rev AS (
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, CAST(CAST(total_rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
 """
@@ -759,7 +772,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy(li.l_partkey)
         .agg(
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_q")
+            (F.sum(_dec("l_quantity")).cast("string").cast("double") / F.count("*")).alias("avg_q")
         )
         .select(F.col("l_partkey").alias("ap_partkey"), "avg_q")
     )
@@ -767,20 +780,20 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(avg_qty), l.l_partkey == F.col("ap_partkey"))
         .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_q"))
-        .agg((F.sum("price_dec").cast("double") / F.lit(7.0)).alias("avg_yearly"))
+        .agg((F.sum("price_dec").cast("string").cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
 _Q17_SQL = """
 WITH pq AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_q
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_q
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   WHERE p_brand = 'Brand#15'
   GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem
 JOIN pq ON lineitem.l_partkey = pq.l_partkey
 WHERE l_quantity < 0.2 * avg_q
@@ -815,7 +828,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             _fmt("o_orderdate").alias("o_orderdate"),
             "o_totalprice",
-            F.col("qty_dec").cast("double").alias("total_qty"),
+            F.col("qty_dec").cast("string").cast("double").alias("total_qty"),
         )
     )
 
@@ -824,7 +837,7 @@ _Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
        o_totalprice,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -867,12 +880,12 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(F.sum("dp").cast("double").alias("revenue"))
+        .agg(F.sum("dp").cast("string").cast("double").alias("revenue"))
     )
 
 
 _Q19_SQL = """
-SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -903,7 +916,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
         .where(F.col("qty_dec") > 100)
-        .select("l_suppkey", F.col("qty_dec").cast("double").alias("red_qty"))
+        .select("l_suppkey", F.col("qty_dec").cast("string").cast("double").alias("red_qty"))
     )
     s = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select(
         "s_suppkey", "s_name", "n_name"
@@ -915,7 +928,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q20_SQL = """
 SELECT s_suppkey, s_name, n_name,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS red_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS red_qty
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1019,7 +1032,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = (
         cu.where(F.col("c_acctbal") > 0.0)
         .agg(
-            (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+            (F.sum(_dec("c_acctbal")).cast("string").cast("double") / F.count("*")).alias("avg_bal")
         )
     )
     recent = orders.where(F.col("o_orderdate") >= _ts("1999-01-01")).select("o_custkey")
@@ -1034,18 +1047,18 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+            F.sum(_dec("c_acctbal")).cast("string").cast("double").alias("totacctbal"),
         )
     )
 
 
 _Q22_SQL = """
 SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > (
-    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
     FROM customer WHERE c_acctbal > 0.0
   )
   AND NOT EXISTS (
@@ -1152,7 +1165,7 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         "s_name",
         "n_name",
-        F.col("cost_dec").cast("double").alias("supply_cost"),
+        F.col("cost_dec").cast("string").cast("double").alias("supply_cost"),
     )
 
 
@@ -1171,7 +1184,7 @@ WITH ps AS (
   WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'ASIA'
 )
 SELECT p_partkey, p_name, s_name, n_name,
-       CAST(cost_dec AS DOUBLE) AS supply_cost
+       CAST(CAST(cost_dec AS VARCHAR) AS DOUBLE) AS supply_cost
 FROM cand
 WHERE cost_dec = (
   SELECT MIN(c2.cost_dec) FROM cand c2 WHERE c2.p_partkey = cand.p_partkey
@@ -1199,7 +1212,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value_dec") * 10000 > F.col("tot_dec"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.col("value_dec").cast("double").alias("part_value"),
+            F.col("value_dec").cast("string").cast("double").alias("part_value"),
         )
     )
 
@@ -1213,7 +1226,7 @@ WITH v AS (
   WHERE n_name = 'NATION_5'
   GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+SELECT l_partkey AS p_partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
 FROM v
 WHERE value_dec * 10000 > (SELECT SUM(value_dec) FROM v)
 """

@@ -279,3 +279,28 @@ def test_mad_outliers_ungrouped_and_validation(spark):
         mad_outliers(df, "v", k=0)
     with _pytest.raises(TransformationError, match="group column"):
         mad_outliers(df, "v", group_by=["missing"])
+
+
+def test_stats_adapter_mad_outliers_mode(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    tr = TRANSFORMER_REGISTRY["stats"]
+    d = spark.createDataFrame(
+        [(float(v),) for v in (10, 11, 12, 13, 14, 500)], ["x"]
+    )
+    cfg = TransformationConfig(
+        type="stats", options={"operation": "mad_outliers", "valueColumn": "x"}
+    )
+    assert tr.validate(d, cfg).is_valid
+    (r,) = tr.transform(d, cfg, None).collect()
+    assert r.median == 12.0 and r.mad == 1.0 and r.n_outliers == 1
+    for bad in (
+        {"operation": "mad_outliers"},
+        {"operation": "mad_outliers", "valueColumn": "x", "k": "0"},
+        {"operation": "mad_outliers", "valueColumn": "x", "scale": "nope"},
+        {"operation": "mad_outliers", "valueColumn": "zz"},
+    ):
+        assert not tr.validate(
+            d, TransformationConfig(type="stats", options=bad)
+        ).is_valid

@@ -14,6 +14,14 @@ every foreign-key relationship intact:
   embeddings vec_id    += i * 2000
   region / nation: fixed dimensions, copied as-is.
 
+Entity-name columns (c_name, s_name, p_name) get a per-replica suffix
+for i > 0 so names stay UNIQUE: duplicated supplier names made TPC-H
+q21's (numwait, s_name) ordering genuinely ambiguous at the LIMIT cut
+(both engines correct, different rows). Suffixing at the END keeps
+substring/LIKE predicates (q9's p_name) intact; categorical columns
+(p_brand, p_type, c_mktsegment, region/nation names) are never touched
+because queries filter on their exact values.
+
 This is NOT official TPC-H data (neither is sf0.1 — see TESTDATA.md);
 the correctness gate is cross-engine agreement on the same parquet, so
 value distributions only need to be realistic, not spec-exact. The
@@ -35,6 +43,13 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
+
+# entity-name columns that must stay unique across replicas
+UNIQUE_NAMES: dict[str, str] = {
+    "customer": "c_name",
+    "supplier": "s_name",
+    "part": "p_name",
+}
 
 # table -> list of (column, per-replica offset); None offset = copy
 OFFSETS: dict[str, list[tuple[str, int]]] = {
@@ -67,12 +82,23 @@ def main() -> int:
             con.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
         else:
             off_map = dict(offs)
-            select = ", ".join(
-                # CAST back so the inflated key keeps the source dtype
-                f"CAST({c} + i * {off_map[c]} AS "
-                f"{_dtype(con, src, c)}) AS {c}" if c in off_map else c
-                for c in cols
-            )
+            name_col = UNIQUE_NAMES.get(table)
+
+            def render(c: str) -> str:
+                if c in off_map:
+                    # CAST back so the inflated key keeps the source dtype
+                    return (
+                        f"CAST({c} + i * {off_map[c]} AS "
+                        f"{_dtype(con, src, c)}) AS {c}"
+                    )
+                if c == name_col:
+                    return (
+                        f"CASE WHEN i = 0 THEN {c} "
+                        f"ELSE {c} || '_r' || CAST(i AS VARCHAR) END AS {c}"
+                    )
+                return c
+
+            select = ", ".join(render(c) for c in cols)
             con.sql(
                 f"COPY (SELECT {select} FROM '{src}' "
                 f"CROSS JOIN (SELECT unnest(range({REPLICAS})) AS i)) "
