@@ -3843,7 +3843,7 @@ def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         time_col="ts",
         step_seconds=21600,
-        aggregations=[AggregateExpr("value", "avg", "avg_value")],
+        aggregations=[AggregateExpr("value", "avg_exact", "avg_value")],
         group_by=["user_id"],
         fill="linear",
     )
@@ -3853,7 +3853,9 @@ _RESAMPLE_LINEAR_ORACLE = """
 WITH obs AS (
   SELECT user_id,
          (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bucket_ts,
-         avg(value) AS avg_value, CAST(count(*) AS BIGINT) AS n_obs
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           / COUNT(value) AS avg_value,
+         CAST(count(*) AS BIGINT) AS n_obs
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM obs GROUP BY 1
@@ -3904,7 +3906,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         time_col="ts",
         step_seconds=21600,
-        aggregations=[AggregateExpr("value", "sum", "sum_value")],
+        aggregations=[AggregateExpr("value", "sum_exact", "sum_value")],
         group_by=["user_id"],
         fill="ffill",
     )
@@ -3914,7 +3916,8 @@ _RESAMPLE_FFILL_ORACLE = """
 WITH obs AS (
   SELECT user_id,
          (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bucket_ts,
-         sum(value) AS sum_value, CAST(count(*) AS BIGINT) AS n_obs
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
+         CAST(count(*) AS BIGINT) AS n_obs
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM obs GROUP BY 1
@@ -3952,7 +3955,7 @@ def q_resample_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         time_col="ts",
         step_seconds=21600,
-        aggregations=[AggregateExpr("value", "avg", "avg_value")],
+        aggregations=[AggregateExpr("value", "avg_exact", "avg_value")],
         group_by=["user_id"],
         fill="null",
         origin=1705276807,  # 2024-01-15 00:00:07 UTC — mid-range, off-grid
@@ -3963,7 +3966,9 @@ _RESAMPLE_ORIGIN_ORACLE = """
 WITH obs AS (
   SELECT user_id,
          d - (((d % 21600) + 21600) % 21600) + 1705276807 AS bucket_ts,
-         avg(value) AS avg_value, CAST(count(*) AS BIGINT) AS n_obs
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           / COUNT(value) AS avg_value,
+         CAST(count(*) AS BIGINT) AS n_obs
   FROM (SELECT user_id, value,
                CAST(floor(epoch(ts)) AS BIGINT) - 1705276807 AS d
         FROM events)
@@ -4027,6 +4032,51 @@ SELECT d.g AS event_type,
             AS BIGINT) AS n_outliers
 FROM dev d JOIN med m USING (g) JOIN mad a USING (g)
 GROUP BY 1, m.med, a.mad
+"""
+
+
+def q_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip lineitem prices to the per-returnflag
+    [0.05, 0.95] exact-quantile band — keep-the-row outlier handling
+    (vs quantile_filter's drop-the-row). Thresholds via the grouped
+    histogram+CDF path, broadcast back; data never re-shuffles."""
+    from etl_spark_gradle_spark.operators.stats import quantile_clip
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = quantile_clip(
+        li, "l_extendedprice", lo=0.05, hi=0.95,
+        group_by=["l_returnflag"], output_col="clipped",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice", "clipped",
+    )
+
+
+_QUANTILE_CLIP_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+), cdf AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM c
+), th AS (
+  SELECT g,
+    min(CASE WHEN cum >= greatest(1,
+        CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS qlo,
+    min(CASE WHEN cum >= greatest(1,
+        CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS qhi
+  FROM cdf GROUP BY g
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       l.l_extendedprice,
+       CASE WHEN l.l_extendedprice IS NULL THEN NULL
+            ELSE least(greatest(CAST(l.l_extendedprice AS DOUBLE), t.qlo), t.qhi)
+       END AS clipped
+FROM lineitem l LEFT JOIN th t ON l.l_returnflag = t.g
 """
 
 
@@ -4885,6 +4935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new this round (2 remaining in-window slots) ----
         "resample_origin": q_resample_origin,
         "mad_outliers": q_mad_outliers,
+        # ---- position 51+: r5 late addition, queued for the r6 window ----
+        "quantile_clip": q_quantile_clip,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5016,6 +5068,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_linear": _RESAMPLE_LINEAR_ORACLE,
         "resample_origin": _RESAMPLE_ORIGIN_ORACLE,
         "mad_outliers": _MAD_OUTLIERS_ORACLE,
+        "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

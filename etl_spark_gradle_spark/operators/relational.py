@@ -60,7 +60,30 @@ _AGG_FUNCTIONS = {
     "stddev": F.stddev,
     "variance": F.variance,
     "median": F.median,
+    # Order-independent exact variants: float sum/avg over doubles is
+    # partition-order dependent (caught by the sf1 oracle sweep — same
+    # values, different partitioning, one-ulp drift). These accumulate
+    # in DECIMAL(18,6) (exact for <= 6-fractional-digit inputs; map a
+    # scaled column first for finer precision), then convert via the
+    # string round-trip (decimal->string exact, string->double
+    # correctly rounded on every engine) so the result is identical
+    # for ANY partitioning and any engine. avg_exact = one double
+    # division of the exact sum by the non-null count. Aggregation
+    # contexts only (the avg_exact expression is a ratio of two
+    # aggregates, so it cannot be used `.over(window)`).
+    "sum_exact": lambda c: F.sum(_to_dec6(c)).cast("string").cast("double"),
+    "avg_exact": lambda c: (
+        F.sum(_to_dec6(c)).cast("string").cast("double") / F.count(_as_col(c))
+    ),
 }
+
+
+def _as_col(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _to_dec6(c):
+    return _as_col(c).cast("decimal(18,6)")
 
 
 def _agg_column(spec: AggregateExpr):

@@ -41,6 +41,7 @@ __all__ = [
     "rank_sum_drift",
     "exact_quantiles",
     "mad_outliers",
+    "quantile_clip",
 ]
 
 
@@ -715,6 +716,78 @@ def mad_outliers(
     )
 
 
+def quantile_clip(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    group_by: list[str] | None = None,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Winsorize: CLIP values to the [lo, hi] quantile band instead of
+    dropping the rows — the keep-everything complement to
+    ``quantile_filter`` (relational.py), for features where tail rows
+    carry signal but tail magnitudes poison downstream statistics.
+
+    Quantiles are EXACT type-1 ranks via ``exact_quantiles`` (histogram
+    + distributed CDF — no ``approx_percentile`` sketch, no
+    executor-memory value buffering), so the clip boundaries are table
+    values and the whole result is hash-reproducible cross-engine.
+    Rows with NULL values pass through unchanged.
+
+    Output: the input frame plus ``output_col`` (default
+    ``<value_col>_clipped``) = ``least(greatest(x, q_lo), q_hi)``.
+
+    Plan: one histogram shuffle for both quantiles (probs share the
+    pass) + one broadcast join of the #groups-row threshold table back
+    onto the data — the frame itself is never re-shuffled.
+    """
+    if not 0.0 <= float(lo) <= float(hi) <= 1.0:
+        raise TransformationError(
+            f"quantile_clip requires 0 <= lo <= hi <= 1, got [{lo}, {hi}]"
+        )
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"quantile_clip: value column not in schema: {value_col}"
+        )
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    out = output_col or f"{value_col}_clipped"
+
+    q = exact_quantiles(
+        df.select(*group_by, F.col(value_col).cast("double").alias(value_col)),
+        value_col,
+        [float(lo), float(hi)],
+        group_by=group_by,
+    )
+    # one row per group: (group..., _qlo, _qhi)
+    thresholds = q.groupBy(*group_by).agg(
+        F.min(F.when(F.col("prob") == float(lo), F.col("value"))).alias("_qlo"),
+        F.min(F.when(F.col("prob") == float(hi), F.col("value"))).alias("_qhi"),
+    )
+    joined = (
+        df.join(F.broadcast(thresholds), on=group_by, how="left")
+        if group_by
+        else df.crossJoin(F.broadcast(thresholds))
+    )
+    # Explicit NULL passthrough: greatest/least SKIP nulls in Spark, so
+    # a bare least(greatest(x, qlo), qhi) would clip NULL x to qlo. A
+    # group with no non-null values has no thresholds row (left join →
+    # NULL bounds) and also passes through unchanged.
+    clipped = F.when(
+        F.col(value_col).isNull() | F.col("_qlo").isNull(),
+        F.col(value_col).cast("double"),
+    ).otherwise(
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("_qlo")),
+            F.col("_qhi"),
+        )
+    )
+    return joined.withColumn(out, clipped).drop("_qlo", "_qhi")
+
+
 class DriftTransformer:
     """Registry adapter (``type: drift``): compares the pipeline frame
     against a registered view. Options: ``otherView`` (required — name
@@ -771,12 +844,13 @@ class DriftTransformer:
 
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
-    correlation|linear_fit|zscore|quantiles|mad_outliers, ``columns``
-    (csv — correlation), ``xColumn``/``yColumn`` (linear_fit),
-    ``valueColumn``/``threshold`` (zscore),
+    correlation|linear_fit|zscore|quantiles|mad_outliers|quantile_clip,
+    ``columns`` (csv — correlation), ``xColumn``/``yColumn``
+    (linear_fit), ``valueColumn``/``threshold`` (zscore),
     ``valueColumn``/``probs`` csv (quantiles),
-    ``valueColumn``/``k``/``scale`` (mad_outliers), ``groupBy`` (csv,
-    optional for all)."""
+    ``valueColumn``/``k``/``scale`` (mad_outliers),
+    ``valueColumn``/``lo``/``hi``/``outputColumn`` (quantile_clip),
+    ``groupBy`` (csv, optional for all)."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.operators.relational import _split_csv
@@ -827,10 +901,24 @@ class StatsTransformer:
                     errors.append("stats mad_outliers requires k > 0 and scale > 0")
             except ValueError:
                 errors.append("stats mad_outliers requires numeric 'k'/'scale'")
+        elif op == "quantile_clip":
+            if not opts.get("valueColumn"):
+                errors.append("stats quantile_clip requires 'valueColumn'")
+            else:
+                cols_needed.append(opts["valueColumn"])
+            try:
+                lo = float(opts.get("lo", 0.05))
+                hi = float(opts.get("hi", 0.95))
+                if not 0.0 <= lo <= hi <= 1.0:
+                    errors.append(
+                        "stats quantile_clip requires 0 <= lo <= hi <= 1"
+                    )
+            except ValueError:
+                errors.append("stats quantile_clip requires numeric 'lo'/'hi'")
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
-                f"|mad_outliers, got '{op}'"
+                f"|mad_outliers|quantile_clip, got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -866,6 +954,15 @@ class StatsTransformer:
                 group_by=gb,
                 k=float(opts.get("k", 3.0)),
                 scale=float(opts.get("scale", 1.4826)),
+            )
+        if op == "quantile_clip":
+            return quantile_clip(
+                df,
+                opts["valueColumn"],
+                lo=float(opts.get("lo", 0.05)),
+                hi=float(opts.get("hi", 0.95)),
+                group_by=gb,
+                output_col=opts.get("outputColumn"),
             )
         return zscore_flags(
             df,

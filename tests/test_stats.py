@@ -304,3 +304,92 @@ def test_stats_adapter_mad_outliers_mode(spark):
         assert not tr.validate(
             d, TransformationConfig(type="stats", options=bad)
         ).is_valid
+
+
+def test_quantile_clip_winsorizes_and_passes_nulls(spark):
+    from etl_spark_gradle_spark.operators.stats import quantile_clip
+
+    vals = [float(v) for v in range(1, 11)]  # 1..10
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "x double")
+    # type-1 ranks over n=10: q0.2 -> rank 2 -> 2.0; q0.8 -> rank 8 -> 8.0
+    out = {r.x: r.x_clipped for r in quantile_clip(df, "x", 0.2, 0.8).collect()}
+    assert out[1.0] == 2.0 and out[2.0] == 2.0
+    assert out[9.0] == 8.0 and out[10.0] == 8.0
+    assert out[5.0] == 5.0
+    assert out[None] is None  # nulls pass through, never clipped to q_lo
+
+
+def test_quantile_clip_grouped_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.stats import quantile_clip
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 100.0), ("b", 200.0)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {(r.g, r.x): r.clip for r in
+           quantile_clip(df, "x", 0.2, 0.8, group_by=["g"],
+                         output_col="clip").collect()}
+    assert got[("a", 1.0)] == 2.0 and got[("a", 10.0)] == 8.0
+    # group b: n=2 -> q0.2 rank 1 -> 100, q0.8 rank 2 -> 200 (no clip)
+    assert got[("b", 100.0)] == 100.0 and got[("b", 200.0)] == 200.0
+    with _pytest.raises(TransformationError, match="lo <= hi"):
+        quantile_clip(df, "x", 0.9, 0.1)
+    with _pytest.raises(TransformationError, match="value column"):
+        quantile_clip(df, "nope")
+    with _pytest.raises(TransformationError, match="group column"):
+        quantile_clip(df, "x", group_by=["zz"])
+
+
+def test_stats_adapter_quantile_clip_mode(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    tr = TRANSFORMER_REGISTRY["stats"]
+    d = spark.createDataFrame([(float(v),) for v in range(1, 11)], ["x"])
+    cfg = TransformationConfig(
+        type="stats",
+        options={"operation": "quantile_clip", "valueColumn": "x",
+                 "lo": "0.2", "hi": "0.8"},
+    )
+    assert tr.validate(d, cfg).is_valid
+    out = {r.x: r.x_clipped for r in tr.transform(d, cfg, None).collect()}
+    assert out[1.0] == 2.0 and out[10.0] == 8.0
+    for bad in (
+        {"operation": "quantile_clip"},
+        {"operation": "quantile_clip", "valueColumn": "x", "lo": "0.9", "hi": "0.1"},
+        {"operation": "quantile_clip", "valueColumn": "x", "lo": "abc"},
+    ):
+        assert not tr.validate(
+            d, TransformationConfig(type="stats", options=bad)
+        ).is_valid
+
+
+def test_exact_aggregate_functions_order_independent(spark):
+    """sum_exact/avg_exact must return identical doubles for ANY
+    partitioning (float sum over doubles is partition-order dependent —
+    the exact variants accumulate in decimal and round-trip through a
+    string)."""
+    from etl_spark_gradle_spark.operators.relational import aggregate
+    from etl_spark_gradle_spark.plans.config import AggregateExpr
+
+    rows = [(i % 3, 0.1 + i * 0.0001) for i in range(3000)]
+    aggs = [
+        AggregateExpr("v", "sum_exact", "s"),
+        AggregateExpr("v", "avg_exact", "a"),
+    ]
+    results = []
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, ["g", "v"]).repartition(parts)
+        got = {r.g: (r.s, r.a) for r in aggregate(df, ["g"], aggs).collect()}
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    # and the exact sum equals the true rational sum rendered as double
+    import decimal as _dec
+    want = {}
+    for g in (0, 1, 2):
+        tot = sum((_dec.Decimal(str(round(0.1 + i * 0.0001, 6)))
+                   for i in range(3000) if i % 3 == g), _dec.Decimal(0))
+        n = sum(1 for i in range(3000) if i % 3 == g)
+        want[g] = (float(str(tot)), float(str(tot)) / n)
+    assert results[0] == want

@@ -338,6 +338,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
          "SortMergeJoin"],
     ),
+    (
+        "mad_outliers",
+        "MAD outliers: both medians via grouped histogram+CDF, the "
+        "#groups-row median/MAD tables come back as BROADCAST joins — "
+        "the data is never re-shuffled for the enrichment, no python, "
+        "no cartesian, no sort-merge",
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin"],
+    ),
 ]
 
 
