@@ -4080,6 +4080,53 @@ FROM lineitem l LEFT JOIN th t ON l.l_returnflag = t.g
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the supplier→part bipartite graph
+    derived from lineitem (prefixed node ids keep the key spaces
+    apart). Integer mass units (1e-12) + floor division make every
+    iteration exact under any partitioning; the oracle unrolls the same
+    3 iterations as CTEs with DuckDB's integer `//` (truncate == floor
+    for the non-negative masses)."""
+    from etl_spark_gradle_spark.operators.graph import pagerank
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, "src", "dst", damping=0.85, iterations=3)
+
+
+def _pagerank_oracle(iterations: int = 3, d100: int = 85) -> str:
+    scale = 10**12
+    ctes = [
+        "e AS (SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS s, "
+        "'p:' || CAST(l_partkey AS VARCHAR) AS t FROM lineitem)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s)",
+        f"pr0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS pr "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"pr{i - 1}"
+        ctes.append(
+            f"pr{i} AS (SELECT nodes.node, "
+            f"CAST(({100 - d100} * {scale}) // (100 * nn.n) "
+            f"+ ({d100} * COALESCE(i.insum, 0)) // 100 AS BIGINT) AS pr "
+            "FROM nodes CROSS JOIN nn LEFT JOIN ("
+            "SELECT e.t AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS insum "
+            f"FROM e JOIN {prev} p ON e.s = p.node JOIN deg d ON e.s = d.s "
+            "GROUP BY e.t) i ON nodes.node = i.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, pr AS pr_int, "
+        f"CAST(pr AS DOUBLE) / {float(scale)} AS pr FROM pr{iterations}"
+    )
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiler over lineitem: counts, exact distincts,
     typed extrema and string-length stats for 5 columns in ONE
@@ -4935,8 +4982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new this round (2 remaining in-window slots) ----
         "resample_origin": q_resample_origin,
         "mad_outliers": q_mad_outliers,
-        # ---- position 51+: r5 late addition, queued for the r6 window ----
+        # ---- position 51+: r5 late additions, queued for the r6 window ----
         "quantile_clip": q_quantile_clip,
+        "pagerank": q_pagerank,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5069,6 +5117,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_origin": _RESAMPLE_ORIGIN_ORACLE,
         "mad_outliers": _MAD_OUTLIERS_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
+        "pagerank": _pagerank_oracle(),
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

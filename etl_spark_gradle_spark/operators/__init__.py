@@ -111,6 +111,10 @@ from etl_spark_gradle_spark.operators.events import (  # noqa: F401
     MarketBasketTransformer,
     TransitionsTransformer,
 )
+from etl_spark_gradle_spark.operators.graph import (  # noqa: F401
+    PagerankTransformer,
+    pagerank,
+)
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
 from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
     DriftTransformer,
@@ -182,6 +186,7 @@ TRANSFORMER_REGISTRY = {
     "drift": DriftTransformer(),
     "pmi": PmiTransformer(),
     "weighted_sample": WeightedSampleTransformer(),
+    "pagerank": PagerankTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

@@ -1,0 +1,181 @@
+"""Graph analytics over relational edge lists.
+
+The other iterative-graph primitive in the engine is
+``dedup.connected_components`` (min-label propagation for duplicate
+clusters). This module adds PageRank — the canonical "importance over
+a link graph" ranking used in corpus curation (page/domain quality
+weighting for crawl sampling, e.g. the Common-Crawl-style pipelines
+the LLM-operator family targets).
+
+Design for determinism AND scale (the two constraints that rule out
+the textbook float implementation):
+
+- **Fixed-point integer arithmetic.** Float PageRank sums incoming
+  contributions per node — partition-order-dependent at any scale (the
+  one-ulp class of bug the sf1 sweep caught in the resample family).
+  Here every rank is an integer number of 1e-12 "mass units": per-edge
+  contributions use integer floor division (``pr DIV outdeg``), the
+  per-node sum is an exact BIGINT sum, and the damping multiply is
+  ``(d100 · sum) DIV 100``. Every operation is exact and identical on
+  any engine and any partitioning; the oracle replays it verbatim.
+  Flooring leaks ≤ 1 unit (1e-12) per edge per iteration — bounded,
+  deterministic, and irrelevant at ranking granularity.
+- **One shuffle per iteration** (edges ⋈ ranks on the source key, then
+  a dst-keyed sum), ranks ``localCheckpoint``-ed per round so the plan
+  stays fixed-size instead of replaying all prior rounds (same posture
+  as ``connected_components``). Edge count, not node count, drives the
+  cost — at 100 TB of edges each iteration is one join + one agg.
+- **Dangling nodes** (no out-edges) keep receiving the teleport term
+  but their mass is NOT redistributed (the "ignore dangling" PageRank
+  variant). This keeps the iteration a pure edge join — the classic
+  redistribution needs a global 1-row sum per iteration, which is a
+  broadcast away if ever needed; for ranking (ordinal use) the variant
+  is standard. Total mass therefore shrinks slightly each round; ranks
+  remain comparable within an iteration count.
+
+Reference parity anchor: the reference engine has no graph operators
+(SURVEY.md §2 — transformers are filter/map/agg/join/window only);
+this is beyond-reference surface for the 100 TB curation use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators.relational import TransformationError
+
+__all__ = ["pagerank", "PagerankTransformer"]
+
+SCALE = 10**12  # rank mass units per 1.0 of probability
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list.
+
+    Returns ``(node, pr_int, pr)``: the integer rank in 1e-12 mass
+    units (hash-gateable, exact) and its double rendering
+    ``pr_int / 1e12`` (exact: pr_int < 2^53). Multi-edges collapse to
+    one edge (standard). ``damping`` must be expressible in hundredths
+    (0.85 → 85) so the damping multiply stays integer-exact.
+
+    Iteration (all integer):
+        teleport  = ((100 − d100) · SCALE) DIV (100 · N)
+        contrib_e = pr[src] DIV outdeg[src]            (per edge)
+        pr'[v]    = teleport + (d100 · Σ contrib_e→v) DIV 100
+    """
+    d100 = int(round(float(damping) * 100))
+    if not 0 < d100 < 100 or abs(d100 / 100.0 - float(damping)) > 1e-9:
+        raise TransformationError(
+            f"pagerank damping must be in (0, 1) with 2-decimal precision, "
+            f"got {damping}"
+        )
+    if int(iterations) < 1:
+        raise TransformationError("pagerank requires iterations >= 1")
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise TransformationError(f"edge column not in input schema: {c}")
+
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .where(F.col("s").isNotNull() & F.col("t").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()  # driver point: ONE long, bounded
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(None).cast("long").alias("pr_int"),
+            F.lit(None).cast("double").alias("pr"),
+        )
+    teleport = ((100 - d100) * SCALE) // (100 * n_nodes)
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+
+    ranks = nodes.select("node", (F.lit(SCALE // n_nodes)).cast("long").alias("pr_int"))
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(outdeg, "s")
+            .select(
+                F.col("t").alias("node"),
+                F.expr("pr_int DIV outdeg").cast("long").alias("c"),
+            )
+        )
+        in_sum = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("in_sum"))
+        ranks = (
+            nodes.join(in_sum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(f"({d100} * coalesce(in_sum, 0L)) DIV 100").cast("long")
+                ).alias("pr_int"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "pr_int",
+        (F.col("pr_int").cast("double") / F.lit(float(SCALE))).alias("pr"),
+    )
+
+
+class PagerankTransformer:
+    """Registry adapter (``type: pagerank``). Options: ``srcColumn``,
+    ``dstColumn`` (required), ``damping`` (default 0.85, hundredths
+    precision), ``iterations`` (default 5)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for key in ("srcColumn", "dstColumn"):
+            if not opts.get(key):
+                errors.append(f"pagerank requires '{key}'")
+            elif opts[key] not in df.columns:
+                errors.append(f"column not in input schema: {opts[key]}")
+        try:
+            d = float(opts.get("damping", 0.85))
+            if not 0 < d < 1:
+                errors.append("pagerank damping must be in (0, 1)")
+        except ValueError:
+            errors.append("pagerank damping must be numeric")
+        try:
+            if int(opts.get("iterations", 5)) < 1:
+                errors.append("pagerank requires iterations >= 1")
+        except ValueError:
+            errors.append("pagerank iterations must be an integer")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "pagerank config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return pagerank(
+            df,
+            opts["srcColumn"],
+            opts["dstColumn"],
+            damping=float(opts.get("damping", 0.85)),
+            iterations=int(opts.get("iterations", 5)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"pagerank({opts})"
