@@ -4080,6 +4080,70 @@ FROM lineitem l LEFT JOIN th t ON l.l_returnflag = t.g
 """
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time temporal join: orders pick up the customer-segment
+    VERSION valid at their order date from a two-version SCD2 timeline
+    constructed deterministically from customer (v1 until 1996-01-01,
+    v2 = segment+'_V2' open-ended). Joining facts to is_current rows
+    would rewrite history — this is the correct time-travel read.
+    Pre-1992 orders (none in the data) and unknown keys would keep
+    NULL segments under the LEFT semantics the oracle mirrors."""
+    from etl_spark_gradle_spark.operators.delta import scd2_lookup
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    mid = "1996-01-01 00:00:00"
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(mid).cast("timestamp").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        F.lit(mid).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim = v1.unionByName(v2)
+    facts = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("ts"),
+    )
+    out = scd2_lookup(facts, dim, ["c_custkey"], "ts")
+    return out.select(
+        "o_orderkey",
+        "c_custkey",
+        F.date_format("ts", "yyyy-MM-dd").alias("order_date"),
+        "segment",
+    )
+
+
+_SCD2_LOOKUP_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '1992-01-01 00:00:00' AS vf,
+         TIMESTAMP '1996-01-01 00:00:00' AS vt
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_V2' AS segment,
+         TIMESTAMP '1996-01-01 00:00:00' AS vf,
+         CAST(NULL AS TIMESTAMP) AS vt
+  FROM customer
+)
+SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       d.segment
+FROM orders o LEFT JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.vf
+ AND (d.vt IS NULL OR o.o_orderdate < d.vt)
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the supplier→part bipartite graph
     derived from lineitem (prefixed node ids keep the key spaces
@@ -4985,6 +5049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: r5 late additions, queued for the r6 window ----
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
+        "scd2_lookup": q_scd2_lookup,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5118,6 +5183,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _MAD_OUTLIERS_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
+        "scd2_lookup": _SCD2_LOOKUP_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

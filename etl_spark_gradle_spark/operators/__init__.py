@@ -39,9 +39,11 @@ from etl_spark_gradle_spark.operators.bpe import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.delta import (  # noqa: F401
     DiffTransformer,
+    Scd2LookupTransformer,
     Scd2Transformer,
     apply_changes,
     row_fingerprint,
+    scd2_lookup,
     table_diff,
 )
 from etl_spark_gradle_spark.operators.layout import (  # noqa: F401
@@ -167,6 +169,7 @@ TRANSFORMER_REGISTRY = {
     "salted_aggregation": SaltedAggregationTransformer(),
     "diff": DiffTransformer(),
     "scd2": Scd2Transformer(),
+    "scd2_lookup": Scd2LookupTransformer(),
     "quantile_filter": QuantileFilterTransformer(),
     "flatten": FlattenTransformer(),
     "zorder": ZorderTransformer(),

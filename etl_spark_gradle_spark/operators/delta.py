@@ -433,6 +433,125 @@ class Scd2Transformer(_BaseTransformer):
         )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    time_col: str,
+    dim_cols: list[str] | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    include_valid_from: bool = False,
+) -> DataFrame:
+    """Point-in-time (temporal) join: attach to every fact row the
+    dimension attributes of the version that was valid AT THE FACT'S
+    EVENT TIME — ``valid_from <= t < valid_to`` (open version:
+    ``valid_to IS NULL``). The query-side complement of
+    :func:`scd2_apply`: that operator maintains the version timeline,
+    this one reads it correctly (joining facts to ``is_current`` rows
+    is the classic time-travel bug — it rewrites history with today's
+    attributes).
+
+    LEFT join semantics: facts before the key's first version (or with
+    an unknown key) keep NULL dimension columns. Versions produced by
+    ``scd2_apply`` are non-overlapping per key by construction, so each
+    fact matches at most one version (guaranteed one output row per
+    fact row).
+
+    Scale design: one equi-join shuffle on the key (or a dim broadcast
+    when it fits) with the interval predicate evaluated inside the
+    join — the row multiplication BEFORE the interval filter is
+    facts × versions-per-key, and version counts are churn-bounded
+    (per-key change counts), not data-sized. For pathological per-key
+    version histories, route through ``asof_join`` on ``valid_from``
+    (union-merge, no multiplication) and post-filter ``valid_to`` —
+    same result, different constant.
+    """
+    if not keys:
+        raise TransformationError("scd2_lookup requires at least one key column")
+    for c in (*keys, time_col):
+        if c not in facts.columns:
+            raise TransformationError(f"fact column not in input schema: {c}")
+    for c in (*keys, valid_from_col, valid_to_col):
+        if c not in dim.columns:
+            raise TransformationError(f"dimension is missing column: {c}")
+    scd_cols = {valid_from_col, valid_to_col, "is_current"}
+    dim_cols = dim_cols or sorted(set(dim.columns) - set(keys) - scd_cols)
+    for c in dim_cols:
+        if c not in dim.columns:
+            raise TransformationError(f"dimension is missing column: {c}")
+    clash = [c for c in dim_cols if c in facts.columns]
+    if clash:
+        raise TransformationError(
+            f"dimension columns collide with fact columns: {clash} — "
+            "rename on one side or pass dim_cols"
+        )
+
+    d = dim.select(
+        *keys,
+        *dim_cols,
+        F.col(valid_from_col).alias("_vf"),
+        F.col(valid_to_col).alias("_vt"),
+    )
+    t = F.col(time_col)
+    cond = (t >= F.col("_vf")) & (F.col("_vt").isNull() | (t < F.col("_vt")))
+    for k in keys:
+        cond = cond & (facts[k] == d[k])
+    out = facts.join(d, cond, "left").drop(*[d[k] for k in keys])
+    if include_valid_from:
+        out = out.withColumn(valid_from_col, F.col("_vf"))
+    return out.drop("_vf", "_vt")
+
+
+class Scd2LookupTransformer(_BaseTransformer):
+    """YAML step ``type: scd2_lookup``: the pipeline's current frame is
+    the FACT table; the versioned dimension comes from a registered
+    view. Options: ``dimTable`` (view name, required), ``keys`` (csv,
+    required), ``timeColumn`` (required), ``dimColumns`` (csv; default
+    = all non-key non-SCD dimension columns), ``validFromColumn`` /
+    ``validToColumn``, ``includeValidFrom`` (attach the matched
+    version's start for provenance)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        if not (opts.get("dimTable") or "").strip():
+            errors.append("scd2_lookup requires 'dimTable' (a registered view)")
+        keys = _split_csv(opts.get("keys"))
+        if not keys:
+            errors.append("scd2_lookup requires 'keys'")
+        for k in keys:
+            if k not in df.columns:
+                errors.append(f"key not in fact schema: {k}")
+        tc = (opts.get("timeColumn") or "").strip()
+        if not tc:
+            errors.append("scd2_lookup requires 'timeColumn'")
+        elif tc not in df.columns:
+            errors.append(f"timeColumn not in fact schema: {tc}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        try:
+            dim = ctx.spark.table(opts["dimTable"])
+        except Exception as exc:
+            raise TransformationError(
+                f"scd2_lookup: dimTable view '{opts['dimTable']}' not found "
+                f"(register it under the pipeline's 'views:' block): {exc}"
+            ) from exc
+        return scd2_lookup(
+            df,
+            dim,
+            keys=_split_csv(opts.get("keys")),
+            time_col=opts["timeColumn"],
+            dim_cols=_split_csv(opts.get("dimColumns")) or None,
+            valid_from_col=opts.get("validFromColumn", "valid_from"),
+            valid_to_col=opts.get("validToColumn", "valid_to"),
+            include_valid_from=str(opts.get("includeValidFrom", "false")).lower()
+            == "true",
+        )
+
+
 _INCR_AGG_FNS = ("sum", "count", "min", "max")
 
 

@@ -558,3 +558,93 @@ def test_table_checksum_order_independent_and_mergeable(spark):
         table_checksum(df, hash_fn="crc")
     with pytest.raises(ValueError, match="not in schema"):
         table_checksum(df, ["nope"])
+
+
+# ---------------------------------------------------------------------------
+# scd2_lookup (point-in-time temporal join)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.delta import scd2_apply, scd2_lookup
+
+    dim, changes = _scd2_fixtures(spark)
+    timeline = scd2_apply(dim, changes, ["k"], ["tier"], "eff")
+    facts = spark.createDataFrame(
+        [
+            (1, "2020-01-15 00:00:00", 10.0),  # k=1 inside gold v1
+            (2, "2020-02-20 00:00:00", 20.0),  # k=1 inside silver v2... k=2 v1
+            (1, "2020-03-15 00:00:00", 30.0),  # k=1 inside silver v2
+            (1, "2020-06-01 00:00:00", 40.0),  # k=1 inside current gold v3
+            (1, "2019-12-01 00:00:00", 50.0),  # before any version -> NULL
+            (9, "2020-06-01 00:00:00", 60.0),  # unknown key -> NULL
+        ],
+        ["k", "ts", "amount"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_lookup(facts, timeline, ["k"], "ts")
+    rows = {(r.k, r.amount): r.tier for r in out.collect()}
+    assert out.count() == facts.count()  # at-most-one version per fact
+    assert rows[(1, 10.0)] == "gold"
+    assert rows[(2, 20.0)] == "silver"
+    assert rows[(1, 30.0)] == "silver"
+    assert rows[(1, 40.0)] == "gold"
+    assert rows[(1, 50.0)] is None
+    assert rows[(9, 60.0)] is None
+    # boundary semantics: valid_from inclusive, valid_to exclusive
+    edge = spark.createDataFrame(
+        [(1, "2020-02-01 00:00:00", 1.0), (1, "2020-04-01 00:00:00", 2.0)],
+        ["k", "ts", "amount"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    e = {r.amount: r.tier for r in scd2_lookup(edge, timeline, ["k"], "ts").collect()}
+    assert e[1.0] == "silver" and e[2.0] == "gold"
+    # provenance column
+    pv = scd2_lookup(facts, timeline, ["k"], "ts", include_valid_from=True)
+    assert "valid_from" in pv.columns
+
+
+def test_scd2_lookup_validation_and_adapter(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.delta import (
+        Scd2LookupTransformer,
+        scd2_apply,
+        scd2_lookup,
+    )
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    dim, changes = _scd2_fixtures(spark)
+    timeline = scd2_apply(dim, changes, ["k"], ["tier"], "eff")
+    facts = spark.createDataFrame(
+        [(1, "2020-06-01 00:00:00")], ["k", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(TransformationError, match="fact column"):
+        scd2_lookup(facts, timeline, ["k"], "nope")
+    with _pytest.raises(TransformationError, match="missing column"):
+        scd2_lookup(facts, timeline.drop("valid_to"), ["k"], "ts")
+    with _pytest.raises(TransformationError, match="collide"):
+        scd2_lookup(facts.withColumn("tier", F.lit("x")), timeline, ["k"], "ts")
+
+    timeline.createOrReplaceTempView("scd2_lookup_dim_v")
+    t = Scd2LookupTransformer()
+    cfg = TransformationConfig(
+        type="scd2_lookup",
+        options={"dimTable": "scd2_lookup_dim_v", "keys": "k", "timeColumn": "ts"},
+    )
+    assert t.validate(facts, cfg).is_valid
+    out = t.transform(
+        facts, cfg, RunContext(spark=spark, run_id="t", pipeline_id="t")
+    )
+    assert out.collect()[0].tier == "gold"
+    for bad in (
+        {"keys": "k", "timeColumn": "ts"},
+        {"dimTable": "scd2_lookup_dim_v", "timeColumn": "ts"},
+        {"dimTable": "scd2_lookup_dim_v", "keys": "k"},
+        {"dimTable": "scd2_lookup_dim_v", "keys": "k", "timeColumn": "zz"},
+    ):
+        assert not t.validate(
+            facts, TransformationConfig(type="scd2_lookup", options=bad)
+        ).is_valid
