@@ -155,9 +155,13 @@ def q6_cosine_topk(spark):
 
 def q7_analytics(spark):
     """lag + running sum per user over events, ordered by time — the
-    high-cardinality (~10k keys/100k rows at sf0.1) windowed shape."""
+    high-cardinality (~10k keys/100k rows at sf0.1) windowed shape.
+    The analytic columns are forced through a hash-sum aggregate:
+    under a bare count() Catalyst PRUNES the unused Window node and
+    the timing measures a scan-count (caught at sf1 when 1M rows
+    "ran" faster than 100k — the scale_probe rule, now applied here)."""
     ev = load(spark, "events")
-    return analytic_columns(
+    out = analytic_columns(
         ev,
         partition_by=["user_id"],
         order_by=["ts", "event_id"],
@@ -166,6 +170,12 @@ def q7_analytics(spark):
             ("run_value", "running_sum", ["value"]),
             ("run_events", "running_count", ["event_id"]),
         ],
+    )
+    return out.agg(
+        F.sum(
+            F.xxhash64(F.col("prev_value"), F.col("run_value"), F.col("run_events"))
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
