@@ -339,6 +339,24 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "SortMergeJoin"],
     ),
     (
+        "pagerank",
+        "fixed-point PageRank: final plan reads the checkpointed ranks "
+        "(ExistingRDD boundary — the per-iteration join+agg live behind "
+        "it, truncated so the plan stays fixed-size across rounds) — "
+        "no python, no cartesian",
+        ["ExistingRDD"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "scd2_lookup",
+        "point-in-time join: interval predicate INSIDE the key join "
+        "(dim broadcast at this size; flips to shuffle join on stats "
+        "with no code change), one row out per fact — no cartesian, "
+        "no python",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "
