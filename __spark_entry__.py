@@ -4191,6 +4191,36 @@ def _pagerank_oracle(iterations: int = 3, d100: int = 85) -> str:
     )
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: orders ⋈ customer on custkey with hot keys
+    auto-detected at count >= 19 (the top ~1% of customers at every
+    SF), salt 8. The hot path joins on (key, salt) with the dimension's
+    hot rows replicated ×8; the cold path stays a plain join; results
+    are row-identical to the unsalted join — only the physical
+    distribution changes, which is exactly what the plain-join oracle
+    proves."""
+    from etl_spark_gradle_spark.operators.skew import skew_join
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return skew_join(
+        orders, cust, on=["o_custkey"], how="left",
+        salt_buckets=8, hot_threshold=19,
+    )
+
+
+_SKEW_JOIN_ORACLE = """
+SELECT o.o_custkey, o.o_orderkey, o.o_orderpriority,
+       c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiler over lineitem: counts, exact distincts,
     typed extrema and string-length stats for 5 columns in ONE
@@ -5050,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
+        "skew_join": q_skew_join,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5184,6 +5215,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,
+        "skew_join": _SKEW_JOIN_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -117,6 +117,10 @@ from etl_spark_gradle_spark.operators.graph import (  # noqa: F401
     PagerankTransformer,
     pagerank,
 )
+from etl_spark_gradle_spark.operators.skew import (  # noqa: F401
+    SkewJoinTransformer,
+    skew_join,
+)
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
 from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
     DriftTransformer,
@@ -190,6 +194,7 @@ TRANSFORMER_REGISTRY = {
     "pmi": PmiTransformer(),
     "weighted_sample": WeightedSampleTransformer(),
     "pagerank": PagerankTransformer(),
+    "skew_join": SkewJoinTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

@@ -357,6 +357,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "skew_join",
+        "salted skew join: hot/cold splits run as BROADCAST semi/anti "
+        "joins against the frozen KB hot-key set, the hot path joins on "
+        "(key, salt) so the hot key spreads across salt_buckets "
+        "reducers, and the two paths reunite under Union — no python, "
+        "no cartesian",
+        ["BroadcastHashJoin", "__skew_salt", "Union"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "
