@@ -4221,6 +4221,52 @@ FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization: lineitem prices into 8 exact
+    per-returnflag quantile bins — the distributed replacement for a
+    global ntile(8) (whose empty PARTITION BY funnels the table
+    through one task). Edges via the grouped histogram+CDF pass,
+    broadcast back; bin = #edges strictly below the value."""
+    from etl_spark_gradle_spark.operators.stats import discretize
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = discretize(
+        li, "l_extendedprice", bins=8, mode="equal_freq",
+        group_by=["l_returnflag"], output_col="bin",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"), "bin",
+    )
+
+
+_DISCRETIZE_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+), cdf AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM c
+), probs AS (
+  SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS p
+), th AS (
+  SELECT g, p,
+    min(CASE WHEN cum >= greatest(1,
+        CAST(ceil(p * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS t
+  FROM cdf CROSS JOIN probs GROUP BY g, p
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       CAST(l.l_extendedprice AS DOUBLE) AS price,
+       CAST(sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) > th.t
+                THEN 1 ELSE 0 END) AS INT) AS bin
+FROM lineitem l JOIN th ON th.g = l.l_returnflag
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiler over lineitem: counts, exact distincts,
     typed extrema and string-length stats for 5 columns in ONE
@@ -5081,6 +5127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
         "skew_join": q_skew_join,
+        "discretize": q_discretize,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5216,6 +5263,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,
         "skew_join": _SKEW_JOIN_ORACLE,
+        "discretize": _DISCRETIZE_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -123,9 +123,11 @@ from etl_spark_gradle_spark.operators.skew import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
 from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
+    DiscretizeTransformer,
     DriftTransformer,
     StatsTransformer,
     category_drift,
+    discretize,
     exact_quantiles,
     ks_drift,
     mad_outliers,
@@ -195,6 +197,7 @@ TRANSFORMER_REGISTRY = {
     "weighted_sample": WeightedSampleTransformer(),
     "pagerank": PagerankTransformer(),
     "skew_join": SkewJoinTransformer(),
+    "discretize": DiscretizeTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.operators.relational import (
+    TransformationError,
+    _split_csv,
+)
 
 __all__ = [
     "moment_sums",
@@ -786,6 +789,148 @@ def quantile_clip(
         )
     )
     return joined.withColumn(out, clipped).drop("_qlo", "_qhi")
+
+
+def discretize(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    mode: str = "equal_freq",
+    group_by: list[str] | None = None,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Bin a numeric column into ``bins`` integer buckets — the
+    feature-engineering discretization primitive, and the DISTRIBUTED
+    replacement for a global ``ntile(bins) OVER (ORDER BY x)``: that
+    window has an empty PARTITION BY, so Spark funnels the entire
+    table through ONE task — the classic 100-TB scale killer this
+    module's CDF machinery exists to avoid.
+
+    ``mode="equal_freq"`` (quantile binning, pandas ``qcut``
+    analogue): bin edges are the EXACT type-1 quantiles at
+    ``i/bins`` (i = 1..bins-1) via :func:`exact_quantiles`
+    (histogram + distributed CDF, all edges in one pass); a row's bin
+    is the number of edges strictly below its value. When heavy
+    duplicates make adjacent edges EQUAL, the in-between bins are
+    simply never assigned (deterministic collapse — same convention
+    both engines; pandas ``qcut`` raises here instead).
+
+    ``mode="equal_width"`` (pandas ``cut`` analogue): per-group
+    ``lo``/``hi`` from one min/max aggregation; bin =
+    ``least(floor((x - lo) / width), bins - 1)``, both engines closing
+    the identical IEEE double expression. A constant group
+    (``lo == hi``) puts everything in bin 0.
+
+    NULL values (and rows of groups with no non-null values) get a
+    NULL bin. Plan: one stats shuffle (histogram or min/max) + one
+    broadcast join of the #groups-row edge table back; the frame
+    itself is never re-shuffled.
+    """
+    if bins < 2:
+        raise TransformationError("discretize requires bins >= 2")
+    if mode not in ("equal_freq", "equal_width"):
+        raise TransformationError(
+            f"discretize mode must be equal_freq or equal_width, got '{mode}'"
+        )
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"discretize: value column not in schema: {value_col}"
+        )
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    out = output_col or f"{value_col}_bin"
+    v = F.col(value_col).cast("double")
+
+    if mode == "equal_width":
+        stats = df.groupBy(*[F.col(c) for c in group_by]).agg(
+            F.min(v).alias("_lo"), F.max(v).alias("_hi")
+        )
+        joined = (
+            df.join(F.broadcast(stats), on=group_by, how="left")
+            if group_by
+            else df.crossJoin(F.broadcast(stats))
+        )
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        bin_expr = F.when(v.isNull() | F.col("_lo").isNull(), F.lit(None)).otherwise(
+            F.when(F.col("_lo") == F.col("_hi"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((v - F.col("_lo")) / width), F.lit(bins - 1)
+                )
+            )
+        )
+        return joined.withColumn(out, bin_expr.cast("int")).drop("_lo", "_hi")
+
+    probs = [i / bins for i in range(1, bins)]
+    q = exact_quantiles(
+        df.select(*group_by, v.alias(value_col)), value_col, probs,
+        group_by=group_by,
+    )
+    edges = q.groupBy(*group_by).agg(
+        F.array_sort(F.collect_list(F.col("value"))).alias("_edges")
+    )
+    joined = (
+        df.join(F.broadcast(edges), on=group_by, how="left")
+        if group_by
+        else df.crossJoin(F.broadcast(edges))
+    )
+    bin_expr = F.when(v.isNull() | F.col("_edges").isNull(), F.lit(None)).otherwise(
+        F.aggregate(
+            "_edges",
+            F.lit(0),
+            lambda acc, t: acc + F.when(v > t, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    return joined.withColumn(out, bin_expr.cast("int")).drop("_edges")
+
+
+class DiscretizeTransformer:
+    """Registry adapter (``type: discretize``). Options: ``column``
+    (required), ``bins`` (default 10), ``mode`` equal_freq|equal_width,
+    ``groupBy`` csv, ``outputColumn``."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        col = opts.get("column")
+        if not col:
+            errors.append("discretize requires 'column'")
+        elif col not in df.columns:
+            errors.append(f"column not in input schema: {col}")
+        try:
+            if int(opts.get("bins", 10)) < 2:
+                errors.append("discretize bins must be >= 2")
+        except (TypeError, ValueError):
+            errors.append("discretize bins must be an integer")
+        if opts.get("mode", "equal_freq") not in ("equal_freq", "equal_width"):
+            errors.append("discretize mode must be equal_freq or equal_width")
+        for c in _split_csv(opts.get("groupBy")):
+            if c not in df.columns:
+                errors.append(f"group column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        res = self.validate(df, config)
+        if not res.is_valid:
+            raise TransformationError(
+                "DiscretizeTransformer config invalid: " + "; ".join(res.errors)
+            )
+        opts = config.options
+        return discretize(
+            df,
+            opts["column"],
+            bins=int(opts.get("bins", 10)),
+            mode=opts.get("mode", "equal_freq"),
+            group_by=_split_csv(opts.get("groupBy")) or None,
+            output_col=opts.get("outputColumn"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"discretize({opts})"
 
 
 class DriftTransformer:

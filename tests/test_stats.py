@@ -393,3 +393,116 @@ def test_exact_aggregate_functions_order_independent(spark):
         n = sum(1 for i in range(3000) if i % 3 == g)
         want[g] = (float(str(tot)), float(str(tot)) / n)
     assert results[0] == want
+
+
+# ---------------------------------------------------------------- discretize
+
+
+def test_discretize_equal_freq_matches_rank_reference(spark):
+    """Quantile binning vs a python type-1 reference: bin = number of
+    exact i/bins quantile edges strictly below the value."""
+    import math
+
+    from etl_spark_gradle_spark.operators.stats import discretize
+
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(5)
+    got = {
+        r["x"]: r["x_bin"]
+        for r in discretize(df, "x", bins=4).select("x", "x_bin").collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    edges = [s[max(1, math.ceil(i / 4 * n)) - 1] for i in (1, 2, 3)]
+    for v in vals:
+        assert got[v] == sum(1 for t in edges if v > t), (v, edges)
+
+
+def test_discretize_equal_freq_duplicate_edges_collapse(spark):
+    """Heavy duplicates -> equal adjacent edges; in-between bins are
+    never assigned, deterministically (pandas qcut would raise)."""
+    from etl_spark_gradle_spark.operators.stats import discretize
+
+    df = spark.createDataFrame(
+        [(5.0,)] * 30 + [(1.0,), (9.0,)], "x double"
+    )
+    rows = discretize(df, "x", bins=4).select("x", "x_bin").distinct().collect()
+    by_val = {r["x"]: r["x_bin"] for r in rows}
+    assert by_val[1.0] == 0
+    assert by_val[5.0] == 0  # edges [5,5,5]: none strictly below 5.0
+    assert by_val[9.0] == 3  # all three edges below
+
+
+def test_discretize_equal_width_and_constant_group(spark):
+    from etl_spark_gradle_spark.operators.stats import discretize
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 2.5), ("a", 5.0), ("a", 9.99), ("a", 10.0),
+         ("b", 7.0), ("b", 7.0), ("c", None)],
+        "g string, x double",
+    )
+    got = {
+        (r["g"], r["x"]): r["b"]
+        for r in discretize(
+            df, "x", bins=4, mode="equal_width", group_by=["g"], output_col="b"
+        ).collect()
+    }
+    # group a: lo=0, hi=10, width=2.5
+    assert got[("a", 0.0)] == 0
+    assert got[("a", 2.5)] == 1
+    assert got[("a", 5.0)] == 2
+    assert got[("a", 9.99)] == 3
+    assert got[("a", 10.0)] == 3  # clamped to bins-1
+    assert got[("b", 7.0)] == 0  # constant group
+    assert got[("c", None)] is None  # null value, all-null group
+
+
+def test_discretize_grouped_equal_freq_and_nulls(spark):
+    from etl_spark_gradle_spark.operators.stats import discretize
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 9)]
+        + [("b", 100.0), ("b", 200.0), ("a", None)],
+        "g string, x double",
+    )
+    out = discretize(df, "x", bins=2, group_by=["g"]).collect()
+    got = {(r["g"], r["x"]): r["x_bin"] for r in out}
+    assert got[("a", 1.0)] == 0 and got[("a", 4.0)] == 0
+    assert got[("a", 5.0)] == 1 and got[("a", 8.0)] == 1
+    assert got[("b", 100.0)] == 0 and got[("b", 200.0)] == 1
+    assert got[("a", None)] is None
+    assert len(out) == 11  # row count preserved
+
+
+def test_discretize_validation_and_adapter(spark):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.stats import (
+        DiscretizeTransformer,
+        discretize,
+    )
+    from etl_spark_gradle_spark.plans.config import (
+        RunContext,
+        TransformationConfig,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with _pytest.raises(TransformationError, match="bins"):
+        discretize(df, "x", bins=1)
+    with _pytest.raises(TransformationError, match="mode"):
+        discretize(df, "x", mode="kmeans")
+    with _pytest.raises(TransformationError, match="not in schema"):
+        discretize(df, "y")
+
+    tf = DiscretizeTransformer()
+    assert type(TRANSFORMER_REGISTRY["discretize"]) is DiscretizeTransformer
+    cfg = TransformationConfig(
+        type="discretize",
+        options={"column": "x", "bins": "2", "outputColumn": "bucket"},
+    )
+    out = tf.transform(df, cfg, RunContext.create("t", spark))
+    assert {r["bucket"] for r in out.collect()} == {0, 1}
+    bad = tf.validate(df, TransformationConfig(type="discretize", options={}))
+    assert not bad.is_valid

@@ -367,6 +367,17 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "discretize",
+        "equal-frequency binning: quantile edges via the grouped "
+        "histogram+CDF pass come back as a BROADCAST join (#groups "
+        "rows); the per-row bin closes as an array-aggregate "
+        "expression — the fact side is never re-shuffled, no python, "
+        "no cartesian, no sort-merge, no single-partition ntile window",
+        ["BroadcastHashJoin", "aggregate("],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "
