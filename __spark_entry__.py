@@ -4267,6 +4267,57 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable KMV distinct sketch, build + EXACT rollup: k=64
+    sketches of l_partkey per (returnflag, linestatus), merged up to
+    returnflag — the merged sketch must equal a fresh build over the
+    union (KMV's mergeability), and the oracle rebuilds every hash
+    cell-for-cell in DuckDB, estimate double bit-identical."""
+    from etl_spark_gradle_spark.operators.sketch import build_kmv, merge_kmv
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    per_pair = build_kmv(
+        li, ["l_returnflag", "l_linestatus"], "l_partkey", k=64,
+        estimate_col=None,
+    )
+    rolled = merge_kmv(per_pair, ["l_returnflag"], k=64, sketch_col="kmv")
+    return rolled.select(
+        "l_returnflag",
+        F.size("kmv").cast("int").alias("sk_size"),
+        F.array_join("kmv", ",").alias("sketch"),
+        F.col("distinct_est"),
+    )
+
+
+_KMV_DISTINCT_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT l_returnflag AS g, l_linestatus AS s,
+         md5('kmv:' || CAST(l_partkey AS VARCHAR)) AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL
+), r AS (
+  SELECT g, s, h, row_number() OVER (PARTITION BY g, s ORDER BY h) AS rn
+  FROM d
+), sk AS (
+  SELECT g, s, list_sort(array_agg(h)) AS kmv FROM r WHERE rn <= 64
+  GROUP BY g, s
+), mg AS (
+  SELECT g,
+         list_slice(list_sort(list_distinct(flatten(array_agg(kmv)))), 1, 64)
+           AS kmv
+  FROM sk GROUP BY g
+)
+SELECT g AS l_returnflag,
+       CAST(len(kmv) AS INT) AS sk_size,
+       array_to_string(kmv, ',') AS sketch,
+       CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+            ELSE 63.0 / (CAST(CAST(('0x' || substr(kmv[64], 1, 12)) AS BIGINT)
+                         AS DOUBLE) / 281474976710656.0)
+       END AS distinct_est
+FROM mg
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiler over lineitem: counts, exact distincts,
     typed extrema and string-length stats for 5 columns in ONE
@@ -5128,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "skew_join": q_skew_join,
         "discretize": q_discretize,
+        "kmv_distinct": q_kmv_distinct,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5264,6 +5316,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,
         "skew_join": _SKEW_JOIN_ORACLE,
         "discretize": _DISCRETIZE_ORACLE,
+        "kmv_distinct": _KMV_DISTINCT_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

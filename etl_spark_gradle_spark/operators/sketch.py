@@ -102,6 +102,138 @@ def distinct_estimate(
     ).drop("sketch")
 
 
+# ---------------------------------------------------------------- KMV
+#
+# K-minimum-values sketch: the k smallest md5 hashes of a column's
+# distinct values, stored as a SORTED ARRAY OF HEX STRINGS — plain
+# relational cells, no binary format. The HLL surface above is the
+# fast path (JVM DataSketches, smaller state); KMV complements it with
+# the two things HLL can't do here: (a) the sketch is replayable
+# cell-for-cell on any engine that has md5 (the driver's DuckDB oracle
+# rebuilds it bit-identically), and (b) SET ALGEBRA — intersection /
+# Jaccard estimates between sketches (Spark's hll_* builtins expose
+# union only). Estimator: E = (k-1) / U_k with U_k the kth smallest
+# hash as a fraction of the hash space (Bar-Yossef et al. 2002,
+# Beyer et al. 2007 — RSE ≈ 1/sqrt(k-2)).
+#
+# 100-TB notes: the (group, hash) dedup aggregation is map-side
+# combined (each task ships its distinct hashes once), and the top-k
+# per group runs as row_number ≤ k — Spark's WindowGroupLimit rule
+# inserts a PARTIAL group limit before the exchange, so the group
+# shuffle carries ≤ k hashes per group per map task, never the full
+# distinct set. A global sketch (empty group_by) funnels those ≤
+# k×tasks survivors into one task — bounded and cheap, unlike a global
+# exact distinct. Sketches merge EXACTLY (k smallest of the union of
+# two KMVs = KMV of the union), so persist per-shard sketches once and
+# answer every rollup from KBs.
+
+KMV_HASH_SPACE = 281474976710656.0  # 2^48: md5's first 12 hex chars
+
+
+def _kmv_hash(column: str):
+    return F.md5(F.concat(F.lit("kmv:"), F.col(column).cast("string")))
+
+
+def kmv_estimate_expr(sketch, k: int):
+    """Distinct-count estimate from a KMV array column: exact size when
+    the sketch never filled (|sketch| < k, the group had fewer distinct
+    values), else ``(k-1) / U_k`` — spelled in fixed operand order so
+    DuckDB closes the identical IEEE doubles."""
+    kth = F.element_at(sketch, k)
+    frac = (
+        F.conv(F.substring(kth, 1, 12), 16, 10).cast("long").cast("double")
+        / F.lit(KMV_HASH_SPACE)
+    )
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+
+
+def kmv_jaccard_expr(a, b, k: int):
+    """Jaccard estimate between two KMV arrays: over the k smallest
+    hashes of the UNION (itself the KMV of the union), the fraction
+    present in BOTH input sketches. All Catalyst array expressions —
+    no shuffle, no python."""
+    merged = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    inter = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains(a, x) & F.array_contains(b, x),
+        )
+    )
+    return inter.cast("double") / F.size(merged).cast("double")
+
+
+def build_kmv(
+    df: DataFrame,
+    group_by: list[str],
+    column: str,
+    k: int = 256,
+    sketch_col: str = "kmv",
+    estimate_col: str | None = "distinct_est",
+) -> DataFrame:
+    """Per-group KMV sketch of ``column`` (sorted array of the k
+    smallest distinct-value hashes) plus optionally its distinct
+    estimate. NULL values are excluded (COUNT(x) semantics, matching
+    the HLL and CMS builders above)."""
+    if k < 2:
+        raise TransformationError("kmv requires k >= 2")
+    if column not in df.columns:
+        raise TransformationError(f"kmv column not in input schema: {column}")
+    from pyspark.sql import Window
+
+    dedup = (
+        df.filter(F.col(column).isNotNull())
+        .select(*group_by, _kmv_hash(column).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_by]).orderBy(F.col("_h"))
+    ranked = dedup.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    grouped = (
+        ranked.groupBy(*[F.col(c) for c in group_by])
+        if group_by
+        else ranked.groupBy()
+    )
+    out = grouped.agg(F.array_sort(F.collect_list("_h")).alias(sketch_col))
+    if estimate_col:
+        out = out.withColumn(
+            estimate_col, kmv_estimate_expr(F.col(sketch_col), k)
+        )
+    return out
+
+
+def merge_kmv(
+    df: DataFrame,
+    group_by: list[str],
+    k: int,
+    sketch_col: str = "kmv",
+    estimate_col: str = "distinct_est",
+    keep_sketch: bool = True,
+) -> DataFrame:
+    """Roll KMV sketches up to a coarser grouping: the k smallest of
+    the union of each group's sketches — EXACTLY the sketch a direct
+    build over the union would produce, so rollup chains (shard → day
+    → global) never lose accuracy relative to a fresh build."""
+    if k < 2:
+        raise TransformationError("kmv requires k >= 2")
+    if sketch_col not in df.columns:
+        raise TransformationError(f"kmv sketch column not in schema: {sketch_col}")
+    grouped = (
+        df.groupBy(*[F.col(c) for c in group_by]) if group_by else df.groupBy()
+    )
+    out = grouped.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+            1,
+            k,
+        ).alias(sketch_col)
+    )
+    out = out.withColumn(estimate_col, kmv_estimate_expr(F.col(sketch_col), k))
+    return out if keep_sketch else out.drop(sketch_col)
+
+
 def _bin_of(column: str, lo: float, hi: float, bins: int):
     """Bin index with explicit floor arithmetic (NOT width_bucket) so the
     DuckDB oracle can replicate the exact same IEEE double operations:
@@ -471,6 +603,14 @@ class SketchTransformer:
     histogram build; options ``groupBy``, ``countsColumn`` (default
     "hist_counts"), ``lo``/``hi`` + ``quantiles`` for estimates.
 
+    ``strategy: kmv`` — engine-portable k-minimum-values distinct
+    sketch; options ``column`` (required), ``groupBy``, ``k`` (default
+    256), ``sketchColumn`` (default "kmv"), ``keepSketch``.
+
+    ``strategy: kmv_merge`` — exact rollup of prior kmv builds; options
+    ``groupBy``, ``k`` (required — same k as the build), 
+    ``sketchColumn``, ``keepSketch``.
+
     Validates like the relational transformers (parity contract:
     ``core/DataTransformer.scala:36-40``)."""
 
@@ -478,11 +618,12 @@ class SketchTransformer:
         opts = config.options
         strategy = opts.get("strategy", "build").lower()
         if strategy not in (
-            "build", "merge", "histogram", "merge_histogram", "cms", "cms_merge"
+            "build", "merge", "histogram", "merge_histogram", "cms",
+            "cms_merge", "kmv", "kmv_merge",
         ):
             return ValidationResult.fail(
                 "sketch strategy must be build|merge|histogram|merge_histogram"
-                f"|cms|cms_merge, got '{strategy}'"
+                f"|cms|cms_merge|kmv|kmv_merge, got '{strategy}'"
             )
         missing = [c for c in _split_csv(opts.get("groupBy")) if c not in df.columns]
         if strategy == "histogram":
@@ -511,6 +652,20 @@ class SketchTransformer:
             for c in ("d", "w", opts.get("countsColumn", "cnt")):
                 if c not in df.columns:
                     missing.append(c)
+        elif strategy == "kmv":
+            column = opts.get("column")
+            if not column:
+                return ValidationResult.fail("kmv requires 'column'")
+            if column not in df.columns:
+                missing.append(column)
+            if not str(opts.get("k", 256)).isdigit():
+                return ValidationResult.fail("kmv k must be an integer")
+        elif strategy == "kmv_merge":
+            if opts.get("k") is None or not str(opts["k"]).isdigit():
+                return ValidationResult.fail("kmv_merge requires integer 'k'")
+            sc = opts.get("sketchColumn", "kmv")
+            if sc not in df.columns:
+                missing.append(sc)
         elif strategy == "build":
             column = opts.get("column")
             if not column:
@@ -577,6 +732,23 @@ class SketchTransformer:
             )
         if strategy == "cms_merge":
             return merge_cms(df, group_by, counts_col=opts.get("countsColumn", "cnt"))
+        if strategy == "kmv":
+            out = build_kmv(
+                df,
+                group_by,
+                opts["column"],
+                k=int(opts.get("k", 256)),
+                sketch_col=opts.get("sketchColumn", "kmv"),
+            )
+            return out if keep else out.drop(opts.get("sketchColumn", "kmv"))
+        if strategy == "kmv_merge":
+            return merge_kmv(
+                df,
+                group_by,
+                k=int(opts["k"]),
+                sketch_col=opts.get("sketchColumn", "kmv"),
+                keep_sketch=keep,
+            )
         if strategy == "merge":
             return merge_sketches(
                 df,

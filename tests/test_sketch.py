@@ -416,3 +416,175 @@ def test_cms_join_cardinality_never_undercounts(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(TransformationError, match="missing column"):
         cms_join_cardinality(orders, build_cms(li, "l_orderkey"))
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _py_kmv(values, k):
+    import hashlib
+
+    hs = sorted({hashlib.md5(f"kmv:{v}".encode()).hexdigest() for v in values})
+    return hs[:k]
+
+
+def _py_kmv_estimate(sketch, k):
+    if len(sketch) < k:
+        return float(len(sketch))
+    return float(k - 1) / (int(sketch[k - 1][:12], 16) / 281474976710656.0)
+
+
+def test_kmv_matches_python_reference_exactly(spark):
+    """The sketch is deterministic relational state: array and estimate
+    equal a straight python replay of the same md5 math."""
+    from etl_spark_gradle_spark.operators.sketch import build_kmv
+
+    vals = [(f"g{i % 2}", i * 7) for i in range(500)]
+    df = spark.createDataFrame(vals, "g string, v int").repartition(7)
+    got = {
+        r["g"]: (r["kmv"], r["distinct_est"])
+        for r in build_kmv(df, ["g"], "v", k=32).collect()
+    }
+    for g in ("g0", "g1"):
+        expect = _py_kmv([v for gg, v in vals if gg == g], 32)
+        assert got[g][0] == expect
+        assert got[g][1] == _py_kmv_estimate(expect, 32)
+
+
+def test_kmv_estimate_accuracy_and_small_groups(spark):
+    from etl_spark_gradle_spark.operators.sketch import build_kmv
+
+    df = spark.createDataFrame(
+        [("big", i) for i in range(5000)] + [("tiny", i) for i in range(9)],
+        "g string, v int",
+    )
+    got = {r["g"]: r for r in build_kmv(df, ["g"], "v", k=128).collect()}
+    # RSE ~ 1/sqrt(126) ~ 9%; allow 4 sigma
+    assert abs(got["big"]["distinct_est"] - 5000) < 5000 * 0.36
+    # under-filled sketch -> exact
+    assert got["tiny"]["distinct_est"] == 9.0
+    assert len(got["tiny"]["kmv"]) == 9
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    """k smallest of the union of per-shard KMVs == KMV of the union:
+    rollups never lose accuracy vs a fresh build."""
+    from etl_spark_gradle_spark.operators.sketch import build_kmv, merge_kmv
+
+    df = spark.createDataFrame(
+        [(f"s{i % 4}", "x", i % 700) for i in range(3000)],
+        "shard string, g string, v int",
+    )
+    per_shard = build_kmv(df, ["shard", "g"], "v", k=48)
+    rolled = merge_kmv(per_shard, ["g"], k=48, sketch_col="kmv")
+    direct = build_kmv(df, ["g"], "v", k=48)
+    r, d = rolled.collect()[0], direct.collect()[0]
+    assert r["kmv"] == d["kmv"]
+    assert r["distinct_est"] == d["distinct_est"]
+
+
+def test_kmv_jaccard_estimate(spark):
+    from etl_spark_gradle_spark.operators.sketch import (
+        build_kmv,
+        kmv_jaccard_expr,
+    )
+    from pyspark.sql import functions as F
+
+    # |A|=1200, |B|=1200, |A∩B|=600 -> true J = 600/1800 = 1/3
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1200)] + [("b", i + 600) for i in range(1200)],
+        "g string, v int",
+    )
+    sk = build_kmv(df, ["g"], "v", k=128)
+    a = sk.filter("g = 'a'").selectExpr("kmv AS ka")
+    b = sk.filter("g = 'b'").selectExpr("kmv AS kb")
+    est = (
+        a.crossJoin(b)
+        .select(kmv_jaccard_expr(F.col("ka"), F.col("kb"), 128).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert abs(est - 1 / 3) < 0.15
+
+
+def test_kmv_nulls_excluded_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.sketch import build_kmv, merge_kmv
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2)], "g string, v int"
+    )
+    row = build_kmv(df, ["g"], "v", k=8).collect()[0]
+    assert len(row["kmv"]) == 2 and row["distinct_est"] == 2.0
+    with _pytest.raises(TransformationError, match="k >= 2"):
+        build_kmv(df, ["g"], "v", k=1)
+    with _pytest.raises(TransformationError, match="not in"):
+        build_kmv(df, ["g"], "zzz")
+    with _pytest.raises(TransformationError, match="sketch column"):
+        merge_kmv(df, ["g"], k=8, sketch_col="nope")
+
+
+def test_kmv_topk_prunes_before_the_group_shuffle(spark):
+    """WindowGroupLimit must run in Partial mode before the exchange —
+    the property that bounds the shuffle to k hashes per group per map
+    task at 100 TB."""
+    from etl_spark_gradle_spark.operators.sketch import build_kmv
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(2000)], "g string, v int"
+    ).repartition(6)
+    plan = build_kmv(df, ["g"], "v", k=16)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_kmv_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators.sketch import SketchTransformer, build_kmv
+    from etl_spark_gradle_spark.plans.config import (
+        RunContext,
+        TransformationConfig,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"s{i % 5}", i % 40) for i in range(400)],
+        "g string, s string, v int",
+    )
+    tf = SketchTransformer()
+    ctx = RunContext.create("t", spark)
+    built = tf.transform(
+        df,
+        TransformationConfig(
+            type="sketch",
+            options={
+                "strategy": "kmv", "column": "v", "groupBy": "g,s",
+                "k": "16", "keepSketch": "true",
+            },
+        ),
+        ctx,
+    )
+    merged = tf.transform(
+        built,
+        TransformationConfig(
+            type="sketch",
+            options={
+                "strategy": "kmv_merge", "groupBy": "g", "k": "16",
+                "keepSketch": "true",
+            },
+        ),
+        ctx,
+    )
+    direct = build_kmv(df, ["g"], "v", k=16)
+    got = {r["g"]: r["kmv"] for r in merged.collect()}
+    want = {r["g"]: r["kmv"] for r in direct.collect()}
+    assert got == want
+
+    bad = tf.validate(
+        df, TransformationConfig(type="sketch", options={"strategy": "kmv"})
+    )
+    assert not bad.is_valid
+    bad2 = tf.validate(
+        df,
+        TransformationConfig(type="sketch", options={"strategy": "kmv_merge"}),
+    )
+    assert not bad2.is_valid

@@ -378,6 +378,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "SortMergeJoin"],
     ),
     (
+        "kmv_distinct",
+        "KMV sketch: the per-group top-k hash cut runs as a PARTIAL "
+        "WindowGroupLimit before the exchange, so the group shuffle "
+        "carries <= k hashes per group per map task — never the full "
+        "distinct set; merge + estimate close as array expressions, no "
+        "python, no cartesian",
+        ["WindowGroupLimit", "Partial"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "
