@@ -4318,6 +4318,62 @@ FROM mg
 """
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan per event_type: both one-sided
+    statistics via the prefix-sum identity (running sum + running min
+    over ONE series-keyed sort — no recursion), target = exact decimal
+    per-series mean, slack 0.1, alarm at 5. Doubles accumulate in the
+    same (ts, event_id) order on both engines, so every cusum value
+    hash-matches bit-for-bit."""
+    from etl_spark_gradle_spark.operators.timeseries import cusum_changepoints
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_changepoints(
+        ev.select("event_id", "event_type", "ts", "value"),
+        value_col="value",
+        time_col="ts",
+        threshold=5.0,
+        series_by=["event_type"],
+        slack=0.1,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type", "event_id", "value", "cusum_pos", "cusum_neg", "alarm"
+    )
+
+
+_CUSUM_ORACLE = """
+WITH e AS (
+  SELECT event_type, event_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), m AS (
+  SELECT event_type,
+         CAST(CAST(sum(CAST(v AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+           / count(v) AS target
+  FROM e GROUP BY event_type
+), p AS (
+  SELECT e.event_type, e.event_id, e.v, e.ts,
+         sum(CAST(floor((e.v - m.target - 0.1) * 1000000) AS BIGINT))
+           OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id) AS p_hi,
+         sum(CAST(floor((m.target - e.v - 0.1) * 1000000) AS BIGINT))
+           OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id) AS p_lo
+  FROM e JOIN m USING (event_type)
+), u AS (
+  SELECT event_type, event_id, v,
+         p_hi - least(min(p_hi) OVER w, 0) AS s_hi,
+         p_lo - least(min(p_lo) OVER w, 0) AS s_lo
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, event_id, v AS value,
+       CAST(s_hi AS DOUBLE) / 1000000 AS cusum_pos,
+       CAST(s_lo AS DOUBLE) / 1000000 AS cusum_neg,
+       s_hi > 5000000 OR s_lo > 5000000 AS alarm
+FROM u
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiler over lineitem: counts, exact distincts,
     typed extrema and string-length stats for 5 columns in ONE
@@ -5180,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "discretize": q_discretize,
         "kmv_distinct": q_kmv_distinct,
+        "cusum": q_cusum,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5317,6 +5374,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": _SKEW_JOIN_ORACLE,
         "discretize": _DISCRETIZE_ORACLE,
         "kmv_distinct": _KMV_DISTINCT_ORACLE,
+        "cusum": _CUSUM_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

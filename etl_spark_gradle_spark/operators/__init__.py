@@ -135,8 +135,10 @@ from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
 from etl_spark_gradle_spark.operators.strings import EditJoinTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
+    CusumTransformer,
     IntervalsTransformer,
     ResampleTransformer,
+    cusum_changepoints,
     merge_intervals,
     resample,
 )
@@ -191,6 +193,7 @@ TRANSFORMER_REGISTRY = {
     "stats": StatsTransformer(),
     "resample": ResampleTransformer(),
     "intervals": IntervalsTransformer(),
+    "changepoint": CusumTransformer(),
     "profile": ProfileTransformer(),
     "drift": DriftTransformer(),
     "pmi": PmiTransformer(),

@@ -55,8 +55,10 @@ from etl_spark_gradle_spark.operators.relational import (
 __all__ = [
     "resample",
     "merge_intervals",
+    "cusum_changepoints",
     "ResampleTransformer",
     "IntervalsTransformer",
+    "CusumTransformer",
 ]
 
 _FILLS = {"null", "zero", "ffill", "linear"}
@@ -366,3 +368,175 @@ class ResampleTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"resample({opts})"
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    threshold: float,
+    series_by: list[str] | None = None,
+    target: float | None = None,
+    slack: float = 0.0,
+    tiebreak_cols: list[str] | None = None,
+    resolution: int = 6,
+) -> DataFrame:
+    """Tabular CUSUM change-point detection per series (Page 1954): the
+    sequential complement to the two-sample drift family
+    (``stats.ks_drift`` compares two FINISHED samples; CUSUM watches
+    ONE ordered stream for the point where its mean shifts).
+
+    Definition (both one-sided statistics, absolute units):
+    ``s+_i = max(0, s+_{i-1} + (x_i - target - slack))`` and
+    ``s-_i = max(0, s-_{i-1} + (target - x_i - slack))``; a row alarms
+    when either exceeds ``threshold``. The recursion LOOKS inherently
+    sequential, but the classic identity turns it into two window
+    passes: with ``P_i`` the ordered prefix sum of the increments,
+    ``s+_i = P_i - min(0, min_{j<=i} P_j)`` — a running sum and a
+    running min over the SAME (series, time) sort, so the whole
+    operator is ONE series-keyed shuffle with the sort reused by all
+    four window columns. No recursion, no python, no iteration.
+
+    Increments accumulate as EXACT INTEGERS in ``10^-resolution``
+    units (``floor(d * 10^resolution)`` — floor of a double is a
+    single deterministic IEEE op), the same posture as the integer
+    PageRank: a float prefix sum is NOT reproducible even at fixed row
+    order, because engines are free to reassociate window sums (DuckDB
+    uses a segment tree, Spark accumulates sequentially — measured
+    ~1e-12 divergence at 2k rows, which is enough to flip a
+    hash-gated comparison or a threshold decision near the line). The
+    quantization floor costs at most ``10^-resolution`` per increment
+    and is applied identically everywhere; ``threshold`` is floored
+    into the same units.
+
+    ``target`` defaults to the per-series mean, computed as an EXACT
+    decimal sum + string round-trip (the ``sum_exact`` posture —
+    a plain float mean drifts with partition order and would make
+    every downstream cusum value irreproducible). ``slack`` (the
+    reference value k, typically 0.5σ) absorbs in-control wander;
+    ``threshold`` (h, typically 4-5σ) sets the alarm line. Both are
+    ABSOLUTE values here — compute σ upstream (``type: stats``) if
+    sigma-relative tuning is wanted; keeping the operator free of an
+    internal σ estimate is what keeps it bit-reproducible cross-engine.
+
+    Rows with a NULL value or NULL time are dropped (they can neither
+    shift nor reset the statistic; filtering them beats silently
+    poisoning every subsequent prefix). Ordering within a series must
+    be total for reproducibility: ties on ``time_col`` break on
+    ``tiebreak_cols`` (give a unique id column when times can repeat).
+
+    Scale: the per-series window is the usual partitioned-window
+    contract (a single giant series degrades to one task — bucket the
+    series key upstream if that is the shape); the mean pass is one
+    map-side-combined aggregation broadcast back at #series rows.
+    """
+    series_by = series_by or []
+    for c in [value_col, time_col, *series_by, *(tiebreak_cols or [])]:
+        if c not in df.columns:
+            raise TransformationError(f"cusum: column not in input schema: {c}")
+    if threshold is None or float(threshold) <= 0:
+        raise TransformationError("cusum requires threshold > 0")
+    if float(slack) < 0:
+        raise TransformationError("cusum slack must be >= 0")
+    if not 0 <= int(resolution) <= 9:
+        raise TransformationError("cusum resolution must be in [0, 9]")
+
+    data = df.filter(
+        F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
+    )
+    v = F.col(value_col).cast("double")
+
+    if target is None:
+        mean_exact = (
+            F.sum(v.cast("decimal(27,6)")).cast("string").cast("double")
+            / F.count(v)
+        ).alias("_target")
+        stats = data.groupBy(*[F.col(c) for c in series_by]).agg(mean_exact)
+        data = (
+            data.join(F.broadcast(stats), on=series_by, how="inner")
+            if series_by
+            else data.crossJoin(F.broadcast(stats))
+        )
+        tgt = F.col("_target")
+    else:
+        tgt = F.lit(float(target))
+
+    order = [F.col(time_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_by])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scale = 10 ** int(resolution)
+    d_hi = F.floor((v - tgt - F.lit(float(slack))) * scale).cast("long")
+    d_lo = F.floor((tgt - v - F.lit(float(slack))) * scale).cast("long")
+    thr_units = int(float(threshold) * scale)
+    data = data.withColumn("_p_hi", F.sum(d_hi).over(w)).withColumn(
+        "_p_lo", F.sum(d_lo).over(w)
+    )
+    # same partitioning + sort: the second Window rides the first's
+    # exchange and ordering, no extra shuffle; integer state makes the
+    # sums reassociation-proof
+    s_hi = F.col("_p_hi") - F.least(F.min("_p_hi").over(w), F.lit(0).cast("long"))
+    s_lo = F.col("_p_lo") - F.least(F.min("_p_lo").over(w), F.lit(0).cast("long"))
+    out = (
+        data.withColumn("cusum_pos", (s_hi.cast("double") / scale))
+        .withColumn("cusum_neg", (s_lo.cast("double") / scale))
+        .withColumn("alarm", (s_hi > thr_units) | (s_lo > thr_units))
+        .drop("_p_hi", "_p_lo")
+    )
+    return out.drop("_target") if target is None else out
+
+
+class CusumTransformer:
+    """Registry adapter (``type: changepoint``). Options:
+    ``valueColumn``, ``timeColumn``, ``threshold`` (required),
+    ``seriesBy`` csv, ``target`` (default: exact per-series mean),
+    ``slack`` (default 0), ``tiebreakColumns`` csv, ``resolution``
+    (quantization decimal places, default 6)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for key in ("valueColumn", "timeColumn"):
+            if not opts.get(key):
+                errors.append(f"changepoint requires '{key}'")
+            elif opts[key] not in df.columns:
+                errors.append(f"column not in input schema: {opts[key]}")
+        try:
+            if float(opts.get("threshold", 0)) <= 0:
+                errors.append("changepoint requires threshold > 0")
+        except (TypeError, ValueError):
+            errors.append("changepoint threshold must be numeric")
+        for c in _split_csv(opts.get("seriesBy")) + _split_csv(
+            opts.get("tiebreakColumns")
+        ):
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        res = self.validate(df, config)
+        if not res.is_valid:
+            raise TransformationError(
+                "CusumTransformer config invalid: " + "; ".join(res.errors)
+            )
+        opts = config.options
+        tgt = opts.get("target")
+        return cusum_changepoints(
+            df,
+            value_col=opts["valueColumn"],
+            time_col=opts["timeColumn"],
+            threshold=float(opts["threshold"]),
+            series_by=_split_csv(opts.get("seriesBy")) or None,
+            target=float(tgt) if tgt is not None else None,
+            slack=float(opts.get("slack", 0.0)),
+            tiebreak_cols=_split_csv(opts.get("tiebreakColumns")) or None,
+            resolution=int(opts.get("resolution", 6)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"changepoint({opts})"

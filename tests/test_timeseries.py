@@ -307,3 +307,138 @@ def test_intervals_adapter_validation_and_transform(spark):
         tr.transform(
             d, TransformationConfig(type="intervals", options={}), None
         )
+
+
+# ---------------------------------------------------------------- cusum
+
+
+def _py_cusum(xs, target, slack, res=6):
+    import math
+
+    scale = 10**res
+    sp = sn = 0
+    out = []
+    for x in xs:
+        sp = max(0, sp + math.floor((x - target - slack) * scale))
+        sn = max(0, sn + math.floor((target - x - slack) * scale))
+        out.append((sp / scale, sn / scale))
+    return out
+
+
+def test_cusum_matches_recursive_reference(spark):
+    """The window prefix-sum identity must equal the literal max(0, ..)
+    recursion, including a level shift that alarms."""
+    from etl_spark_gradle_spark.operators.timeseries import cusum_changepoints
+
+    xs = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 13.0, 13.2, 12.8, 13.1]
+    df = spark.createDataFrame(
+        [("s", i, x) for i, x in enumerate(xs)], "g string, t int, x double"
+    ).repartition(4)
+    got = (
+        cusum_changepoints(
+            df, "x", "t", threshold=4.0, series_by=["g"],
+            target=10.0, slack=0.5,
+        )
+        .orderBy("t")
+        .collect()
+    )
+    want = _py_cusum(xs, 10.0, 0.5)
+    for row, (sp, sn) in zip(got, want):
+        assert abs(row["cusum_pos"] - sp) < 1e-12, (row["t"], row["cusum_pos"], sp)
+        assert abs(row["cusum_neg"] - sn) < 1e-12
+        assert row["alarm"] == (sp > 4.0 or sn > 4.0)
+    # the shift at t=6 must alarm within a few observations
+    assert [r["t"] for r in got if r["alarm"]] == [7, 8, 9]
+
+
+def test_cusum_downward_shift_and_default_target(spark):
+    from etl_spark_gradle_spark.operators.timeseries import cusum_changepoints
+
+    xs = [5.0] * 20 + [1.0] * 5
+    df = spark.createDataFrame(
+        [("s", i, x) for i, x in enumerate(xs)], "g string, t int, x double"
+    )
+    # default target = exact series mean = (100+5)/25 = 4.2
+    got = (
+        cusum_changepoints(df, "x", "t", threshold=6.0, series_by=["g"])
+        .orderBy("t")
+        .collect()
+    )
+    want = _py_cusum(xs, 4.2, 0.0)
+    for row, (sp, sn) in zip(got, want):
+        assert abs(row["cusum_pos"] - sp) < 1e-9
+        assert abs(row["cusum_neg"] - sn) < 1e-9
+    assert any(r["alarm"] and r["x"] == 1.0 for r in got)
+
+
+def test_cusum_grouped_nulls_and_partition_determinism(spark):
+    from etl_spark_gradle_spark.operators.timeseries import cusum_changepoints
+
+    rows = []
+    for g in ("a", "b"):
+        base = 10.0 if g == "a" else 50.0
+        for i in range(60):
+            rows.append((g, i, base + (i % 7) - 3 + (20 if g == "a" and i > 40 else 0)))
+    rows.append(("a", 100, None))  # dropped
+    rows.append(("b", None, 1.0))  # dropped
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+
+    outs = []
+    for parts in (1, 5, 32):
+        out = cusum_changepoints(
+            df.repartition(parts), "x", "t", threshold=15.0, series_by=["g"]
+        )
+        outs.append(
+            sorted(
+                (r["g"], r["t"], r["cusum_pos"], r["cusum_neg"], r["alarm"])
+                for r in out.collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 120  # null value + null time rows dropped
+    # the injected level shift in series a alarms; series b never does
+    assert any(g == "a" and a for g, t, p, n, a in outs[0])
+    assert not any(g == "b" and a for g, t, p, n, a in outs[0])
+
+
+def test_cusum_validation_and_adapter(spark):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.timeseries import (
+        CusumTransformer,
+        cusum_changepoints,
+    )
+    from etl_spark_gradle_spark.plans.config import (
+        RunContext,
+        TransformationConfig,
+    )
+
+    df = spark.createDataFrame([("s", 1, 1.0)], "g string, t int, x double")
+    with _pytest.raises(TransformationError, match="threshold"):
+        cusum_changepoints(df, "x", "t", threshold=0)
+    with _pytest.raises(TransformationError, match="slack"):
+        cusum_changepoints(df, "x", "t", threshold=1.0, slack=-1)
+    with _pytest.raises(TransformationError, match="not in input schema"):
+        cusum_changepoints(df, "zzz", "t", threshold=1.0)
+
+    tf = CusumTransformer()
+    assert type(TRANSFORMER_REGISTRY["changepoint"]) is CusumTransformer
+    out = tf.transform(
+        df,
+        TransformationConfig(
+            type="changepoint",
+            options={
+                "valueColumn": "x", "timeColumn": "t", "threshold": "2.5",
+                "seriesBy": "g", "target": "0.0",
+            },
+        ),
+        RunContext.create("t", spark),
+    )
+    row = out.collect()[0]
+    assert row["cusum_pos"] == 1.0 and row["alarm"] is False
+    bad = tf.validate(
+        df, TransformationConfig(type="changepoint", options={"threshold": "x"})
+    )
+    assert not bad.is_valid

@@ -388,6 +388,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "cusum",
+        "CUSUM change-points: exact-mean table comes back as a "
+        "BROADCAST join; all four window columns (2 prefix sums + 2 "
+        "running mins, integer units) share ONE series-keyed sort — "
+        "no python, no cartesian, no sort-merge join, no recursion",
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "

@@ -532,6 +532,59 @@ def skew_probe(spark) -> bool:
     if not same:
         print("FAIL skew distinct: value-hash salted distinct must match native")
         ok = False
+
+    # 4. fact⋈dim equi-join under the same 50%-hot key, dim forced past
+    # the broadcast threshold (the 100-TB shape: dims routinely exceed
+    # it). Three variants, all row-identical:
+    #   a) plain join, AQE skew split ON  — Spark's native post-shuffle
+    #      fix for sort-merge plans (the baseline a user gets for free)
+    #   b) plain join, AQE skew split OFF — the unprotected plan
+    #      (stands in for the strategies AQE cannot re-split)
+    #   c) skew_join salted, AQE split OFF — the explicit operator must
+    #      recover (b)'s loss: >= 1.15x over (b), overhead vs (a) <= 2x
+    from etl_spark_gradle_spark.operators.skew import skew_join
+
+    dim = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("dv"),
+        )
+    )
+    dim.write.mode("overwrite").parquet(f"{SKEW_DIR}/dim")
+    dim = spark.read.parquet(f"{SKEW_DIR}/dim")
+    bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    aqe_skew0 = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe_t, aqe_r = timed(lambda: ev.join(dim, on=["k"]), ["v", "dv"])
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        pl_t, pl_r = timed(lambda: ev.join(dim, on=["k"]), ["v", "dv"])
+        # hot set frozen explicitly: the probe measures the join, not
+        # the (one-off, map-side-combined) detection aggregation
+        sj_t, sj_r = timed(
+            lambda: skew_join(ev, dim, on=["k"], hot_keys=[0], salt_buckets=8),
+            ["v", "dv"],
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew0)
+    same = aqe_r == pl_r == sj_r
+    print(
+        f"skew join      aqe-split={aqe_t:6.3f}s unprotected={pl_t:6.3f}s "
+        f"salted8={sj_t:6.3f}s recover=x{pl_t / sj_t:4.2f} "
+        f"vs-aqe=x{sj_t / aqe_t:4.2f} identical={same}"
+    )
+    if not same:
+        print("FAIL skew join: salted join must be row-identical to plain")
+        ok = False
+    if pl_t / sj_t < 1.15 and sj_t > aqe_t * 2.0:
+        print(
+            "FAIL skew join: salted path must beat the unprotected plan "
+            "(>=1.15x) or stay within 2x of the AQE-split baseline"
+        )
+        ok = False
     return ok
 
 
