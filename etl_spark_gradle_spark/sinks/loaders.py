@@ -161,14 +161,38 @@ def load_file(
             buckets = int(options.get("buckets", "0") or 0)
             if buckets <= 0:
                 raise ConfigError("bucketed write requires 'buckets' > 0")
-            writer = writer.bucketBy(buckets, *bucket_cols)
             sort_cols = [
                 c.strip() for c in (options.get("sortBy") or "").split(",") if c.strip()
             ]
             if sort_cols:
-                # sorted buckets additionally remove the per-task Sort
-                # under sort-merge joins on the bucket key
+                # Sorted buckets remove the per-task Sort under
+                # sort-merge joins on the bucket key — but Spark only
+                # trusts the ordering when each bucket is ONE file
+                # (sortBy is a per-file guarantee), so route every
+                # bucket's rows through a single writer task first.
+                # bucketBy and repartition share the same Murmur3 hash
+                # partitioning, so this adds no extra data movement
+                # beyond the one shuffle the layout needs anyway.
+                # Trade-off at extreme scale: one task per bucket —
+                # size `buckets` to the cluster, or skip sortBy and
+                # keep multi-file buckets (join stays Exchange-free
+                # either way; only the Sort elision needs single-file).
+                # The READ session must additionally opt in with
+                # spark.sql.legacy.bucketedTableScan.outputOrdering=true
+                # (Spark >= 3.0 ignores sortBy metadata by default);
+                # proven end-to-end in tests/test_bucketed_join.py.
+                out = out.repartition(buckets, *[out[c] for c in bucket_cols])
+                writer = out.write.format(fmt).mode(write_mode)
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                if options.get("compression"):
+                    writer = writer.option("compression", options["compression"])
+                if fmt == "csv":
+                    writer = writer.option("header", options.get("header", "true"))
+                writer = writer.bucketBy(buckets, *bucket_cols)
                 writer = writer.sortBy(*sort_cols)
+            else:
+                writer = writer.bucketBy(buckets, *bucket_cols)
             writer.option("path", path).saveAsTable(table)
         else:
             writer.save(path)
