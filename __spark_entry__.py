@@ -4318,6 +4318,59 @@ FROM mg
 """
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra: pairwise Jaccard estimates between the three
+    returnflags' part-key sets from their k=128 sketches alone — the
+    capability HLL lacks (union-only). 3 sketch rows self-join into 3
+    pairs; the estimate closes as array expressions over KB state, the
+    lineitem table is scanned exactly twice (once per sketch build side
+    — and the build is shared, so once)."""
+    from etl_spark_gradle_spark.operators.sketch import (
+        build_kmv,
+        kmv_jaccard_expr,
+    )
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_kmv(li, ["l_returnflag"], "l_partkey", k=128, estimate_col=None)
+    a = sk.select(F.col("l_returnflag").alias("g1"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("l_returnflag").alias("g2"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    return pairs.select(
+        "g1",
+        "g2",
+        F.size(
+            F.slice(
+                F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, 128
+            )
+        ).cast("int").alias("merged_size"),
+        kmv_jaccard_expr(F.col("ka"), F.col("kb"), 128).alias("jaccard_est"),
+    )
+
+
+_KMV_JACCARD_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT l_returnflag AS g,
+         md5('kmv:' || CAST(l_partkey AS VARCHAR)) AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL
+), r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d
+), sk AS (
+  SELECT g, list_sort(array_agg(h)) AS kmv FROM r WHERE rn <= 128 GROUP BY g
+), pairs AS (
+  SELECT a.g AS g1, b.g AS g2, a.kmv AS ka, b.kmv AS kb,
+         list_slice(list_sort(list_distinct(a.kmv || b.kmv)), 1, 128) AS m
+  FROM sk a JOIN sk b ON a.g < b.g
+)
+SELECT g1, g2,
+       CAST(len(m) AS INT) AS merged_size,
+       CAST(len(list_filter(m,
+              x -> list_contains(ka, x) AND list_contains(kb, x)))
+            AS DOUBLE) / CAST(len(m) AS DOUBLE) AS jaccard_est
+FROM pairs
+"""
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point scan per event_type: both one-sided
     statistics via the prefix-sum identity (running sum + running min
@@ -5237,6 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discretize": q_discretize,
         "kmv_distinct": q_kmv_distinct,
         "cusum": q_cusum,
+        "kmv_jaccard": q_kmv_jaccard,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5375,6 +5429,7 @@ def oracle_sql() -> dict[str, str]:
         "discretize": _DISCRETIZE_ORACLE,
         "kmv_distinct": _KMV_DISTINCT_ORACLE,
         "cusum": _CUSUM_ORACLE,
+        "kmv_jaccard": _KMV_JACCARD_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
