@@ -4318,6 +4318,85 @@ FROM mg
 """
 
 
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM monitor: per-user mean-shift alarms over the
+    events feed (target 50, slack 25 ≈ 0.5σ, threshold 200 ≈ 4σ),
+    drained availableNow through applyInPandasWithState with TWO LONGS
+    of state per user. Alarm rows replay exactly as the batch operator
+    filtered to alarm — which is what the oracle computes."""
+    import shutil
+
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"cusum_src_{run}")
+    out_path = os.path.join(_SCRATCH, f"cusum_out_{run}")
+    ckpt = os.path.join(_SCRATCH, f"cusum_ckpt_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+
+    stream = _normalize_event_ts(
+        spark.readStream.schema(schema).parquet(src_dir)
+    ).select("user_id", "ts", "event_id", "value")
+    alarms = st.cusum_stream(
+        stream,
+        key_col="user_id",
+        time_col="ts",
+        value_col="value",
+        threshold=200.0,
+        target=50.0,
+        slack=25.0,
+        tiebreak_col="event_id",
+        watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        alarms,
+        {"path": out_path, "checkpointLocation": ckpt, "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+    out = spark.read.parquet(out_path)
+    return out.select(
+        "user_id",
+        _fmt_ts(F.col("ts")).alias("ts"),
+        "value",
+        "cusum_pos",
+        "cusum_neg",
+        "high_side",
+    )
+
+
+_STREAMING_CUSUM_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), p AS (
+  SELECT user_id, event_id, ts, v,
+         sum(CAST(floor((v - 50.0 - 25.0) * 1000000) AS BIGINT)) OVER w AS p_hi,
+         sum(CAST(floor((50.0 - v - 25.0) * 1000000) AS BIGINT)) OVER w AS p_lo
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), u AS (
+  SELECT user_id, ts, v,
+         p_hi - least(min(p_hi) OVER w2, 0) AS s_hi,
+         p_lo - least(min(p_lo) OVER w2, 0) AS s_lo
+  FROM p
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       v AS value,
+       CAST(s_hi AS DOUBLE) / 1000000 AS cusum_pos,
+       CAST(s_lo AS DOUBLE) / 1000000 AS cusum_neg,
+       s_hi > 200000000 AS high_side
+FROM u
+WHERE s_hi > 200000000 OR s_lo > 200000000
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5291,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "cusum": q_cusum,
         "kmv_jaccard": q_kmv_jaccard,
+        "streaming_cusum": q_streaming_cusum,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5430,6 +5510,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _KMV_DISTINCT_ORACLE,
         "cusum": _CUSUM_ORACLE,
         "kmv_jaccard": _KMV_JACCARD_ORACLE,
+        "streaming_cusum": _STREAMING_CUSUM_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

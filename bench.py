@@ -26,6 +26,8 @@ And the extension-operator shapes:
 13. q13_tpch_star   — TPC-H Q5 star join (broadcast propagation)
 14. q14_resample    — per-key grid + linear gap interpolation
 15. q15_cdf_stats   — KS drift via the distributed prefix-sum CDF
+16. q16_discretize  — exact quantile binning (grouped CDF edges +
+                      broadcast + array-aggregate bin close)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -352,6 +354,30 @@ def q15_cdf_stats(spark):
     return ks_drift(a, b, "l_extendedprice")
 
 
+def q16_discretize(spark):
+    """Equal-frequency binning of lineitem prices into 16 per-flag
+    quantile bins: grouped histogram + distributed CDF for the edges,
+    broadcast back, per-row bin via an array-aggregate expression —
+    the distributed ntile replacement added in round 5. Forced through
+    a hash-sum aggregate (bin is otherwise prunable: the edges join is
+    unique-per-key, so Catalyst would eliminate it under a bare
+    count)."""
+    from etl_spark_gradle_spark.operators.stats import discretize
+
+    li = load(spark, "lineitem")
+    out = discretize(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_extendedprice",
+        bins=16,
+        group_by=["l_returnflag"],
+        output_col="bin",
+    )
+    return out.agg(
+        F.sum(F.xxhash64(F.col("bin"))).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -368,6 +394,7 @@ QUERIES = {
     "q13_tpch_star": q13_tpch_star,
     "q14_resample": q14_resample,
     "q15_cdf_stats": q15_cdf_stats,
+    "q16_discretize": q16_discretize,
 }
 
 

@@ -803,3 +803,122 @@ def read_scd2_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
     if not versions:
         raise ConfigError(f"no dimension versions under {dim_path}")
     return spark.read.parquet(f"{dim_path}/v={max(versions)}")
+
+
+def cusum_stream(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    threshold: float,
+    target: float,
+    slack: float = 0.0,
+    resolution: int = 6,
+    tiebreak_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming CUSUM mean-shift monitor: the stateful twin of
+    ``operators.timeseries.cusum_changepoints``, emitting ONE row per
+    alarm (a key whose one-sided statistic crossed ``threshold``).
+
+    State per key is exactly TWO LONGS — the current (s+, s-) in
+    integer ``10^-resolution`` units, the same quantization the batch
+    operator uses, so for a key-ordered feed the alarm rows replay
+    EXACTLY as the batch operator filtered to ``alarm`` (the oracle).
+    ``target`` is REQUIRED here (absolute units, from a training
+    window): a stream cannot know its own full-series mean, which is
+    the honest version of the batch operator's default.
+
+    Within a batch the statistics vectorize as the same prefix-sum
+    identity (cumsum + running min over int64 — no per-row python
+    loop); the incoming state seeds the sequence as a synthetic first
+    increment, which is algebraically identical to resuming the
+    recursion. Rows with null time/value are dropped, like the batch
+    side.
+    """
+    import pandas as pd  # noqa: F401 (worker closure)
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        TimestampType,
+    )
+
+    if threshold is None or float(threshold) <= 0:
+        raise ConfigError("cusum_stream requires threshold > 0")
+    if target is None:
+        raise ConfigError(
+            "cusum_stream requires an explicit target (absolute units, "
+            "e.g. from a training window) — a stream cannot compute its "
+            "own full-series mean"
+        )
+    ktype = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, ktype),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("cusum_pos", DoubleType()),
+            StructField("cusum_neg", DoubleType()),
+            StructField("high_side", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("s_hi", LongType()), StructField("s_lo", LongType())]
+    )
+    scale = 10 ** int(resolution)
+    thr_units = int(float(threshold) * scale)
+    tgt = float(target)
+    slk = float(slack)
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        frames = [pdf for pdf in pdf_iter]
+        events = (
+            pd.concat(frames, ignore_index=True)
+            .dropna(subset=[time_col, value_col])
+            .sort_values(
+                [time_col] + ([tiebreak_col] if tiebreak_col else [])
+            )
+        )
+        if events.empty:
+            return
+        s_hi0, s_lo0 = state.get if state.exists else (0, 0)
+        v = events[value_col].to_numpy(dtype="float64")
+        d_hi = np.floor((v - tgt - slk) * scale).astype("int64")
+        d_lo = np.floor((tgt - v - slk) * scale).astype("int64")
+
+        def run(d, s0):
+            # resume-from-state via a synthetic first increment: the
+            # recursion from s0 equals the prefix-sum identity over
+            # [s0, d_1, ..., d_n] started from zero
+            p = np.concatenate(([np.int64(s0)], d)).cumsum()
+            s = p - np.minimum(np.minimum.accumulate(p), 0)
+            return s[1:]
+
+        s_hi = run(d_hi, s_hi0)
+        s_lo = run(d_lo, s_lo0)
+        state.update((int(s_hi[-1]), int(s_lo[-1])))
+        mask = (s_hi > thr_units) | (s_lo > thr_units)
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * int(mask.sum()),
+                    "ts": events[time_col].to_numpy()[mask],
+                    "value": v[mask],
+                    "cusum_pos": s_hi[mask].astype("float64") / scale,
+                    "cusum_neg": s_lo[mask].astype("float64") / scale,
+                    "high_side": (s_hi > thr_units)[mask],
+                }
+            )
+
+    return (
+        df.withWatermark(time_col, watermark_delay)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

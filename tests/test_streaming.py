@@ -842,3 +842,122 @@ def test_detect_gaps_ignores_null_event_times(spark, tmp_path):
     assert got == {
         ("N", "2024-01-01 00:00:00", "2024-01-01 00:10:00", 600_000_000)
     }
+
+
+# ---------------------------------------------------------------------------
+# cusum_stream (streaming mean-shift monitor)
+# ---------------------------------------------------------------------------
+
+
+def _run_cusum(spark, src, out, ckpt, threshold=5.0, target=10.0, slack=0.5):
+    stream = st.read_file_stream(
+        spark, {"path": str(src), "format": "json"}, SESS_SCHEMA
+    )
+    alarms = st.cusum_stream(
+        stream,
+        key_col="user",
+        time_col="ts",
+        value_col="value",
+        threshold=threshold,
+        target=target,
+        slack=slack,
+        watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        alarms,
+        {"path": str(out), "checkpointLocation": str(ckpt), "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+
+
+def test_cusum_stream_matches_batch_replay(spark, tmp_path):
+    """Random key-ordered feed drained in TWO batches must emit exactly
+    the batch operator's alarm rows (state carries the two longs)."""
+    import random
+
+    from etl_spark_gradle_spark.operators.timeseries import cusum_changepoints
+
+    rng = random.Random(7)
+    rows = []
+    t0 = 1704067200  # 2024-01-01
+    for u in ("A", "B", "C"):
+        shift = {"A": 0.0, "B": 4.0, "C": -4.0}[u]
+        for i in range(80):
+            base = 10.0 + (shift if i >= 50 else 0.0)
+            ts = t0 + i * 60
+            rows.append(
+                (
+                    __import__("datetime").datetime.utcfromtimestamp(ts).strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    ),
+                    u,
+                    round(base + rng.uniform(-1, 1), 3),
+                )
+            )
+    rows.sort(key=lambda r: r[0])
+    cut = len(rows) // 2
+    src = tmp_path / "cin"
+    src.mkdir()
+    out, ckpt = tmp_path / "cout", tmp_path / "cckpt"
+    _write_sess_batch(src / "b1.json", rows[:cut])
+    _run_cusum(spark, src, out, ckpt)
+    _write_sess_batch(src / "b2.json", rows[cut:])
+    _run_cusum(spark, src, out, ckpt)
+
+    got = sorted(
+        (r.user, r.ts, round(r.cusum_pos, 6), round(r.cusum_neg, 6), r.high_side)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+
+    batch_df = spark.createDataFrame(
+        [(u, ts, v) for ts, u, v in rows], "user string, ts string, value double"
+    ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    replay = cusum_changepoints(
+        batch_df, "value", "ts", threshold=5.0, series_by=["user"],
+        target=10.0, slack=0.5,
+    ).filter("alarm")
+    want = sorted(
+        (
+            r.user,
+            r.ts,
+            round(r.cusum_pos, 6),
+            round(r.cusum_neg, 6),
+            r.cusum_pos > 5.0,
+        )
+        for r in replay.collect()
+    )
+    assert got == want
+    # the planted shifts must actually fire, on the right sides
+    users_high = {u for u, *_rest, hi in got if hi}
+    users_low = {u for u, *_rest, hi in got if not hi}
+    assert "B" in users_high and "C" in users_low and "A" not in users_high | users_low
+
+
+def test_cusum_stream_null_drops_and_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.plans.config import ConfigError
+
+    src = tmp_path / "vin"
+    src.mkdir()
+    out, ckpt = tmp_path / "vout", tmp_path / "vckpt"
+    _write_sess_batch(
+        src / "b1.json",
+        [
+            ("2024-01-01 00:00:00", "A", 20.0),  # d=+9.5 -> s_hi=9.5 > 5: alarm
+            (None, "A", 99.0),                   # null ts dropped
+            ("2024-01-01 00:02:00", "A", None),  # null value dropped
+        ],
+    )
+    _run_cusum(spark, src, out, ckpt)
+    got = [tuple(r) for r in spark.read.parquet(str(out)).collect()]
+    assert len(got) == 1 and got[0][0] == "A" and abs(got[0][3] - 9.5) < 1e-9
+
+    stream = st.read_file_stream(
+        spark, {"path": str(src), "format": "json"}, SESS_SCHEMA
+    )
+    with _pytest.raises(ConfigError, match="threshold"):
+        st.cusum_stream(stream, "user", "ts", "value", threshold=0, target=1.0)
+    with _pytest.raises(ConfigError, match="target"):
+        st.cusum_stream(stream, "user", "ts", "value", threshold=1.0, target=None)
