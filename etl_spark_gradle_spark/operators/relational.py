@@ -762,6 +762,28 @@ def hash_split(
     return out.filter(F.col(out_col) == keep) if keep is not None else out
 
 
+def broadcast_group_join(df, small, group_by, how: str = "left"):
+    """Null-safe broadcast join of a #groups-row table back onto the
+    frame. A plain ``on=group_by`` equi-join silently DROPS rows whose
+    group key is NULL — but a NULL group (the unmatched side of an
+    upstream left join, an "unknown" bucket) is a legitimate group
+    that the aggregation produced a row for; ``<=>`` keeps those rows
+    attached. EqualNullSafe is a hashable join key, so the plan is
+    still a BroadcastHashJoin."""
+    if not group_by:
+        return df.crossJoin(F.broadcast(small))
+    renamed = small
+    for c in group_by:
+        renamed = renamed.withColumnRenamed(c, f"__bg_{c}")
+    cond = None
+    for c in group_by:
+        e = F.col(c).eqNullSafe(F.col(f"__bg_{c}"))
+        cond = e if cond is None else cond & e
+    return df.join(F.broadcast(renamed), cond, how).drop(
+        *[f"__bg_{c}" for c in group_by]
+    )
+
+
 _SALTABLE = {"sum", "count", "min", "max"}
 
 

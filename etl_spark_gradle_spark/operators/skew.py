@@ -153,8 +153,42 @@ def skew_join(
             "skew_join requires exactly one of hot_keys / hot_threshold"
         )
 
+    # NULL join keys can never equi-match, so (a) they are excluded from
+    # hot candidacy (membership semi-joins couldn't route them anyway),
+    # (b) null-key RIGHT rows are dropped up front (they contribute
+    # nothing under inner/left), and (c) null-key LEFT rows BYPASS the
+    # join entirely: dropped for inner (matching the plain join) or
+    # null-padded directly for left — which means the classic "NULL
+    # sentinel owns 10% of the facts" hot spot never even enters the
+    # join shuffle, stronger than any salting.
+    null_key = None
+    for c in on:
+        e = F.col(c).isNull()
+        null_key = e if null_key is None else null_key | e
+    left_nullpad = left.filter(null_key) if how == "left" else None
+    left = left.filter(~null_key)
+    right = right.filter(~null_key)
+
+    out_cols_early = (
+        on
+        + [c for c in left.columns if c not in on]
+        + [c for c in right.columns if c not in on]
+    )
+
+    def _with_null_rows(joined):
+        if left_nullpad is None:
+            return joined
+        padded = left_nullpad
+        for c in right.columns:
+            if c not in on:
+                padded = padded.withColumn(
+                    c, F.lit(None).cast(right.schema[c].dataType)
+                )
+        return joined.unionByName(padded.select(*out_cols_early))
+
     if hot_keys is not None:
         rows = [k if isinstance(k, (tuple, list)) else (k,) for k in hot_keys]
+        rows = [r for r in rows if all(v is not None for v in r)]
     else:
         rows = [
             tuple(r)
@@ -163,7 +197,7 @@ def skew_join(
             )
         ]
     if not rows:
-        return left.join(right, on=on, how=how)
+        return _with_null_rows(left.join(right, on=on, how=how))
 
     spark = left.sparkSession
     key_schema = left.select(*on).schema
@@ -192,7 +226,7 @@ def skew_join(
         salted_left.join(replicated_right, on=on + [_SALT], how=how)
         .select(*out_cols)
     )
-    return cold.unionByName(hot_joined)
+    return _with_null_rows(cold.unionByName(hot_joined))
 
 
 class SkewJoinTransformer(_BaseTransformer):
@@ -237,6 +271,11 @@ class SkewJoinTransformer(_BaseTransformer):
                     int(opts[num_key])
                 except (TypeError, ValueError):
                     errors.append(f"{num_key} must be an integer")
+        if opts.get("sampleFraction") is not None:
+            try:
+                float(opts["sampleFraction"])
+            except (TypeError, ValueError):
+                errors.append("sampleFraction must be numeric")
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
     def _apply(self, df, config, ctx):

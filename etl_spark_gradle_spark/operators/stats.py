@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from etl_spark_gradle_spark.operators.relational import (
     TransformationError,
     _split_csv,
+    broadcast_group_join,
 )
 
 __all__ = [
@@ -194,11 +195,7 @@ def zscore_flags(
         mean.alias("_mean"),
         F.when(var > 0, F.sqrt(var)).alias("_std"),
     )
-    joined = (
-        df.join(F.broadcast(stats), on=group_by)
-        if group_by
-        else df.crossJoin(F.broadcast(stats))
-    )
+    joined = broadcast_group_join(df, stats, group_by)
     z = F.when(
         F.col("_std").isNotNull(),
         (F.col(value_col).cast("double") - F.col("_mean")) / F.col("_std"),
@@ -682,33 +679,21 @@ def mad_outliers(
     med = exact_quantiles(base, "_x", [0.5], group_by=group_by).select(
         *group_by, F.col("value").alias("_med")
     )
-    j_med = (
-        base.join(F.broadcast(med), on=group_by)
-        if group_by
-        else base.crossJoin(F.broadcast(med))
-    )
+    j_med = broadcast_group_join(base, med, group_by)
     dev = j_med.select(
         *group_by, F.abs(F.col("_x") - F.col("_med")).alias("_adev")
     )
     mad = exact_quantiles(dev, "_adev", [0.5], group_by=group_by).select(
         *group_by, F.col("value").alias("_mad")
     )
-    enriched = (
-        dev.join(F.broadcast(mad), on=group_by)
-        if group_by
-        else dev.crossJoin(F.broadcast(mad))
-    )
+    enriched = broadcast_group_join(dev, mad, group_by)
     thr = F.lit(float(k)) * F.lit(float(scale)) * F.col("_mad")
     summary = enriched.groupBy(*group_by).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.first("_mad").alias("mad"),
         F.sum((F.col("_adev") > thr).cast("long")).cast("long").alias("n_outliers"),
     )
-    out = (
-        summary.join(F.broadcast(med), on=group_by)
-        if group_by
-        else summary.crossJoin(F.broadcast(med))
-    )
+    out = broadcast_group_join(summary, med, group_by, how="inner")
     return out.select(
         *group_by,
         "n",
@@ -770,11 +755,7 @@ def quantile_clip(
         F.min(F.when(F.col("prob") == float(lo), F.col("value"))).alias("_qlo"),
         F.min(F.when(F.col("prob") == float(hi), F.col("value"))).alias("_qhi"),
     )
-    joined = (
-        df.join(F.broadcast(thresholds), on=group_by, how="left")
-        if group_by
-        else df.crossJoin(F.broadcast(thresholds))
-    )
+    joined = broadcast_group_join(df, thresholds, group_by)
     # Explicit NULL passthrough: greatest/least SKIP nulls in Spark, so
     # a bare least(greatest(x, qlo), qhi) would clip NULL x to qlo. A
     # group with no non-null values has no thresholds row (left join →
@@ -841,17 +822,18 @@ def discretize(
         if c not in df.columns:
             raise TransformationError(f"group column not in input schema: {c}")
     out = output_col or f"{value_col}_bin"
+    clash = {"_edges", "_lo", "_hi"} & set(df.columns)
+    if clash:
+        raise TransformationError(
+            f"column names reserved by discretize: {sorted(clash)}"
+        )
     v = F.col(value_col).cast("double")
 
     if mode == "equal_width":
         stats = df.groupBy(*[F.col(c) for c in group_by]).agg(
             F.min(v).alias("_lo"), F.max(v).alias("_hi")
         )
-        joined = (
-            df.join(F.broadcast(stats), on=group_by, how="left")
-            if group_by
-            else df.crossJoin(F.broadcast(stats))
-        )
+        joined = broadcast_group_join(df, stats, group_by)
         width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
         bin_expr = F.when(v.isNull() | F.col("_lo").isNull(), F.lit(None)).otherwise(
             F.when(F.col("_lo") == F.col("_hi"), F.lit(0)).otherwise(
@@ -870,11 +852,7 @@ def discretize(
     edges = q.groupBy(*group_by).agg(
         F.array_sort(F.collect_list(F.col("value"))).alias("_edges")
     )
-    joined = (
-        df.join(F.broadcast(edges), on=group_by, how="left")
-        if group_by
-        else df.crossJoin(F.broadcast(edges))
-    )
+    joined = broadcast_group_join(df, edges, group_by)
     bin_expr = F.when(v.isNull() | F.col("_edges").isNull(), F.lit(None)).otherwise(
         F.aggregate(
             "_edges",

@@ -50,6 +50,7 @@ from etl_spark_gradle_spark.operators.relational import (
     TransformationError,
     _agg_column,
     _split_csv,
+    broadcast_group_join,
 )
 
 __all__ = [
@@ -419,9 +420,13 @@ def cusum_changepoints(
     sigma-relative tuning is wanted; keeping the operator free of an
     internal σ estimate is what keeps it bit-reproducible cross-engine.
 
-    Rows with a NULL value or NULL time are dropped (they can neither
-    shift nor reset the statistic; filtering them beats silently
-    poisoning every subsequent prefix). Ordering within a series must
+    Rows with a NULL or NaN value or a NULL time are dropped (they can
+    neither shift nor reset the statistic; filtering them beats
+    silently poisoning every subsequent prefix — and pandas treats NaN
+    as NA, so the streaming twin's parity depends on the batch side
+    agreeing). A NULL series key is a legitimate series (the unmatched
+    side of an upstream left join) and is monitored like any other.
+    Ordering within a series must
     be total for reproducibility: ties on ``time_col`` break on
     ``tiebreak_cols`` (give a unique id column when times can repeat).
 
@@ -440,11 +445,19 @@ def cusum_changepoints(
         raise TransformationError("cusum slack must be >= 0")
     if not 0 <= int(resolution) <= 9:
         raise TransformationError("cusum resolution must be in [0, 9]")
+    reserved = {"_target", "_p_hi", "_p_lo", "cusum_pos", "cusum_neg", "alarm"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise TransformationError(
+            f"column names reserved by cusum: {sorted(clash)}"
+        )
 
-    data = df.filter(
-        F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
-    )
     v = F.col(value_col).cast("double")
+    data = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(v)
+        & F.col(time_col).isNotNull()
+    )
 
     if target is None:
         mean_exact = (
@@ -452,11 +465,7 @@ def cusum_changepoints(
             / F.count(v)
         ).alias("_target")
         stats = data.groupBy(*[F.col(c) for c in series_by]).agg(mean_exact)
-        data = (
-            data.join(F.broadcast(stats), on=series_by, how="inner")
-            if series_by
-            else data.crossJoin(F.broadcast(stats))
-        )
+        data = broadcast_group_join(data, stats, series_by)
         tgt = F.col("_target")
     else:
         tgt = F.lit(float(target))
@@ -510,6 +519,12 @@ class CusumTransformer:
                 errors.append("changepoint requires threshold > 0")
         except (TypeError, ValueError):
             errors.append("changepoint threshold must be numeric")
+        for num_key in ("target", "slack", "resolution"):
+            if opts.get(num_key) is not None:
+                try:
+                    float(opts[num_key])
+                except (TypeError, ValueError):
+                    errors.append(f"changepoint {num_key} must be numeric")
         for c in _split_csv(opts.get("seriesBy")) + _split_csv(
             opts.get("tiebreakColumns")
         ):

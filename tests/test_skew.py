@@ -135,3 +135,43 @@ def test_skew_join_yaml_adapter(spark):
     from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
 
     assert type(TRANSFORMER_REGISTRY["skew_join"]) is SkewJoinTransformer
+
+
+def test_skew_join_null_keys_bypass_and_null_hot_sentinel(spark):
+    """NULL join keys: excluded from hot candidacy, right-null rows
+    dropped, left-null rows bypass the join entirely (null-padded for
+    left, dropped for inner) — results still identical to the plain
+    join even when NULL is the dominant 'sentinel' key."""
+    fact = spark.createDataFrame(
+        [(None, f"n{i}") for i in range(300)]
+        + [(i % 20, f"c{i}") for i in range(100)],
+        "k int, payload string",
+    ).repartition(6)
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(20)] + [(None, "dnull")],
+        "k int, attr string",
+    )
+    for how in ("inner", "left"):
+        got = skew_join(fact, dim, on=["k"], how=how, hot_threshold=50)
+        want = fact.join(dim, on=["k"], how=how)
+        assert _sorted_rows(got) == _sorted_rows(want), how
+    # explicit NULL hot key is silently ignored, not crashed on
+    got = skew_join(fact, dim, on=["k"], how="left", hot_keys=[None, 3])
+    want = fact.join(dim, on=["k"], how="left")
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_skew_join_adapter_rejects_bad_sample_fraction(spark):
+    fact, dim = _skewed_frames(spark, n_hot=5, n_cold=5)
+    dim.createOrReplaceTempView("skew_dim_sf")
+    res = SkewJoinTransformer().validate(
+        fact,
+        TransformationConfig(
+            type="skew_join",
+            options={
+                "rightTable": "skew_dim_sf", "joinKeys": "k",
+                "hotThreshold": "5", "sampleFraction": "ten-percent",
+            },
+        ),
+    )
+    assert not res.is_valid and any("sampleFraction" in e for e in res.errors)

@@ -506,3 +506,43 @@ def test_discretize_validation_and_adapter(spark):
     assert {r["bucket"] for r in out.collect()} == {0, 1}
     bad = tf.validate(df, TransformationConfig(type="discretize", options={}))
     assert not bad.is_valid
+
+
+def test_discretize_and_clip_keep_null_group_rows(spark):
+    """A NULL group key (the unmatched side of an upstream left join)
+    is a legitimate group: its rows must get real bins/clip values, not
+    NULLs (the plain on=[cols] join dropped them silently)."""
+    from etl_spark_gradle_spark.operators.stats import discretize, quantile_clip
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 9)]
+        + [(None, float(10 * i)) for i in range(1, 9)],
+        "g string, x double",
+    )
+    bins = {
+        (r["g"], r["x"]): r["x_bin"]
+        for r in discretize(df, "x", bins=2, group_by=["g"]).collect()
+    }
+    assert bins[(None, 10.0)] == 0 and bins[(None, 80.0)] == 1
+    clipped = {
+        (r["g"], r["x"]): r["c"]
+        for r in quantile_clip(
+            df, "x", lo=0.25, hi=0.75, group_by=["g"], output_col="c"
+        ).collect()
+    }
+    assert clipped[(None, 10.0)] == 20.0  # clipped up to the NULL group's q25
+    assert clipped[(None, 80.0)] == 60.0  # clipped down to its q75
+
+
+def test_discretize_reserved_column_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.stats import discretize
+
+    df = spark.createDataFrame([(1.0,)], "x double").withColumn(
+        "_edges", _F.lit(1)
+    )
+    with _pytest.raises(TransformationError, match="reserved"):
+        discretize(df, "x")

@@ -442,3 +442,47 @@ def test_cusum_validation_and_adapter(spark):
         df, TransformationConfig(type="changepoint", options={"threshold": "x"})
     )
     assert not bad.is_valid
+
+
+def test_cusum_null_series_key_nan_values_and_guards(spark):
+    """NULL series keys are monitored like any series (in BOTH target
+    modes — the defaulted-mean join is null-safe); NaN values are
+    dropped like NULLs; reserved/validation guards fire."""
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.timeseries import (
+        CusumTransformer,
+        cusum_changepoints,
+    )
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    rows = [(None, i, 10.0 + (5.0 if i >= 5 else 0.0)) for i in range(10)]
+    rows += [("a", i, 10.0) for i in range(10)]
+    rows += [("a", 100, float("nan"))]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+
+    for target in (None, 10.0):
+        out = cusum_changepoints(
+            df, "x", "t", threshold=3.0, series_by=["g"], target=target
+        ).collect()
+        by_key = {(r["g"], r["t"]): r for r in out}
+        assert len(out) == 20  # NaN row dropped, NULL-series rows kept
+        assert ("a", 100) not in by_key
+        assert any(g is None and r["alarm"] for (g, t), r in by_key.items())
+
+    with _pytest.raises(TransformationError, match="reserved"):
+        cusum_changepoints(
+            df.withColumnRenamed("x", "cusum_pos"), "cusum_pos", "t", threshold=1.0
+        )
+    res = CusumTransformer().validate(
+        df,
+        TransformationConfig(
+            type="changepoint",
+            options={
+                "valueColumn": "x", "timeColumn": "t", "threshold": "2",
+                "slack": "abc",
+            },
+        ),
+    )
+    assert not res.is_valid and any("slack" in e for e in res.errors)
