@@ -4397,6 +4397,63 @@ WHERE s_hi > 200000000 OR s_lo > 200000000
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of order priority by order value: smoothed
+    posterior mean (m=20 empirical-Bayes shrinkage toward the exact
+    global prior) AND the leave-one-out anti-leakage variant — both
+    from ONE aggregate state, LOO closing as row-local arithmetic.
+    Exact decimal sums make every encoded double bit-reproducible."""
+    from etl_spark_gradle_spark.operators.features import target_encode
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    enc = target_encode(
+        orders, ["o_orderpriority"], "o_totalprice",
+        smoothing=20.0, output_col="te_mean",
+    )
+    enc = target_encode(
+        enc, ["o_orderpriority"], "o_totalprice",
+        smoothing=20.0, method="loo", output_col="te_loo",
+    )
+    return enc.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "te_mean",
+        "te_loo",
+    )
+
+
+_TARGET_ENCODE_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority AS p,
+         sum(CAST(o_totalprice AS DECIMAL(27,6))) AS s,
+         CAST(count(o_totalprice) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), pr AS (
+  SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS VARCHAR)
+              AS DOUBLE) / CAST(count(o_totalprice) AS DOUBLE) AS prior
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(o.o_totalprice AS DOUBLE) AS price,
+       (CAST(CAST(g.s AS VARCHAR) AS DOUBLE) + 20.0 * pr.prior)
+         / (CAST(g.n AS DOUBLE) + 20.0) AS te_mean,
+       CASE WHEN o.o_totalprice IS NULL
+            THEN (CAST(CAST(g.s AS VARCHAR) AS DOUBLE) + 20.0 * pr.prior)
+                 / (CAST(g.n AS DOUBLE) + 20.0)
+            WHEN CAST(g.n AS DOUBLE) + 20.0 > 1.0
+            THEN (CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                  - CAST(o.o_totalprice AS DOUBLE) + 20.0 * pr.prior)
+                 / (CAST(g.n AS DOUBLE) - 1.0 + 20.0)
+            ELSE pr.prior
+       END AS te_loo
+FROM orders o JOIN g ON o.o_orderpriority = g.p CROSS JOIN pr
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5371,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "kmv_jaccard": q_kmv_jaccard,
         "streaming_cusum": q_streaming_cusum,
+        "target_encode": q_target_encode,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5511,6 +5569,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum": _CUSUM_ORACLE,
         "kmv_jaccard": _KMV_JACCARD_ORACLE,
         "streaming_cusum": _STREAMING_CUSUM_ORACLE,
+        "target_encode": _TARGET_ENCODE_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

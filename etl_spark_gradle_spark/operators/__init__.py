@@ -121,6 +121,12 @@ from etl_spark_gradle_spark.operators.skew import (  # noqa: F401
     SkewJoinTransformer,
     skew_join,
 )
+from etl_spark_gradle_spark.operators.features import (  # noqa: F401
+    OneHotTransformer,
+    TargetEncodeTransformer,
+    one_hot,
+    target_encode,
+)
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
 from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
     DiscretizeTransformer,
@@ -201,6 +207,8 @@ TRANSFORMER_REGISTRY = {
     "pagerank": PagerankTransformer(),
     "skew_join": SkewJoinTransformer(),
     "discretize": DiscretizeTransformer(),
+    "target_encode": TargetEncodeTransformer(),
+    "one_hot": OneHotTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

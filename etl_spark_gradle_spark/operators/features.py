@@ -1,0 +1,236 @@
+"""ML feature-engineering transforms: target encoding and one-hot.
+
+Beyond-reference operators (the reference has no feature surface at
+all — its transformers stop at relational shapes, SURVEY.md §2.3):
+these are the last-mile transforms between a curated table and a
+training job, and they are exactly the ops that go subtly wrong at
+scale — target leakage, high-cardinality blowups, irreproducible
+float means.
+
+Design notes (100 TB):
+
+- ``target_encode`` is ONE map-side-combined aggregation over
+  (category → exact decimal Σy, n) plus a null-safe broadcast join
+  back; the frame itself never shuffles. The encoded value is the
+  smoothed posterior mean ``(Σy + m·prior) / (n + m)`` (the classic
+  empirical-Bayes shrinkage: rare categories pull toward the global
+  prior instead of memorizing noise).
+- ``method="loo"`` (leave-one-out) excludes the ROW'S OWN target from
+  its encoding — ``(Σy − y_i + m·prior) / (n − 1 + m)`` — the exact
+  algebraic fix for target leakage, at zero extra passes: the same
+  aggregate state serves every row because the correction is row-local
+  arithmetic. A category with a single row falls back to the prior
+  (its LOO sample is empty).
+- All means close from EXACT decimal sums via the string round-trip
+  (the `sum_exact` posture): a float Σy is partition-order dependent,
+  which would make the same feature table encode differently across
+  runs — poison for training reproducibility.
+- Unseen-at-encode-time categories (NULL category keys included —
+  they ride the null-safe join as their own legitimate group) and the
+  cold-start path are governed by the same smoothing formula, so
+  serving-time behavior is a continuous function of the statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators.relational import (
+    TransformationError,
+    _BaseTransformer,
+    _split_csv,
+    broadcast_group_join,
+)
+from etl_spark_gradle_spark.plans.config import (
+    TransformationConfig,
+    ValidationResult,
+)
+
+__all__ = ["target_encode", "one_hot", "TargetEncodeTransformer", "OneHotTransformer"]
+
+
+def _exact_mean(sum_col, n_col):
+    """decimal Σ → double via string round-trip, / n in fixed order."""
+    return sum_col.cast("string").cast("double") / n_col.cast("double")
+
+
+def target_encode(
+    df: DataFrame,
+    category_cols: list[str],
+    target_col: str,
+    smoothing: float = 20.0,
+    method: str = "mean",
+    output_col: str | None = None,
+) -> DataFrame:
+    """Encode a categorical key as the smoothed mean of a numeric
+    target: ``(Σy + m·prior) / (n + m)`` with ``prior`` the exact
+    global target mean. ``method="loo"`` additionally removes each
+    row's own target from its statistic (leave-one-out — the standard
+    anti-leakage encoding for training folds); rows whose target is
+    NULL receive the plain (non-LOO) encoding, since they contributed
+    nothing to the sums.
+
+    One aggregation + one broadcast-sized join; NULL category keys are
+    encoded as their own group (null-safe join), not dropped.
+    """
+    if not category_cols:
+        raise TransformationError("target_encode requires category columns")
+    for c in [*category_cols, target_col]:
+        if c not in df.columns:
+            raise TransformationError(f"target_encode column not in schema: {c}")
+    if method not in ("mean", "loo"):
+        raise TransformationError(
+            f"target_encode method must be mean or loo, got '{method}'"
+        )
+    if float(smoothing) < 0:
+        raise TransformationError("target_encode smoothing must be >= 0")
+    reserved = {"_te_sum", "_te_n", "_te_prior"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise TransformationError(
+            f"column names reserved by target_encode: {sorted(clash)}"
+        )
+    out = output_col or f"{'_'.join(category_cols)}_te"
+    m = float(smoothing)
+    y = F.col(target_col).cast("double")
+    # accumulate from the ORIGINAL column: decimal→decimal(27,6) is
+    # exact for ≤6-dp inputs, while double→decimal rounding differs
+    # between engines in the last digit (targets are quantized to 6 dp
+    # — the cusum resolution posture)
+    ydec = F.col(target_col).cast("decimal(27,6)")
+
+    stats = df.groupBy(*[F.col(c) for c in category_cols]).agg(
+        F.sum(ydec).alias("_te_sum"),
+        F.count(y).alias("_te_n"),
+    )
+    prior_df = F.broadcast(
+        df.agg(
+            _exact_mean(F.sum(ydec), F.count(y)).alias("_te_prior")
+        )
+    )
+    joined = broadcast_group_join(df, stats, category_cols).crossJoin(prior_df)
+
+    s = F.col("_te_sum").cast("string").cast("double")
+    n = F.col("_te_n").cast("double")
+    prior = F.col("_te_prior")
+    plain = (s + F.lit(m) * prior) / (n + F.lit(m))
+    if method == "loo":
+        # exclude the row's own target; single-row categories (and
+        # rows with a NULL target) degrade gracefully
+        loo = (s - y + F.lit(m) * prior) / (n - F.lit(1.0) + F.lit(m))
+        enc = F.when(y.isNull() | F.isnan(y), plain).otherwise(
+            F.when(n + F.lit(m) > 1.0, loo).otherwise(prior)
+        )
+    else:
+        enc = plain
+    # a category whose every target is NULL has n=0: pure prior (when
+    # m > 0) or NULL (m == 0, nothing to encode from)
+    enc = F.when(F.col("_te_n").isNull(), prior).otherwise(enc)
+    return joined.withColumn(out, enc).drop("_te_sum", "_te_n", "_te_prior")
+
+
+def one_hot(
+    df: DataFrame,
+    column: str,
+    values: list[str],
+    prefix: str | None = None,
+    other_col: str | None = None,
+) -> DataFrame:
+    """Explicit-vocabulary one-hot: one 0/1 int column per listed
+    value (static schema — the vocabulary is part of the pipeline
+    config, never inferred from data, so the output schema cannot
+    drift between runs; same stance as the pivot operator). Values
+    outside the vocabulary (and NULLs) get all-zero flags and set
+    ``other_col`` when given — flags are null-safe 0/1, never NULL
+    (a NULL feature cell poisons most trainers). Pure narrow
+    expressions — zero shuffles."""
+    if not values:
+        raise TransformationError("one_hot requires an explicit value list")
+    if column not in df.columns:
+        raise TransformationError(f"one_hot column not in schema: {column}")
+    if len(set(values)) != len(values):
+        raise TransformationError("one_hot values must be unique")
+    pre = prefix if prefix is not None else column
+    col = F.col(column).cast("string")
+    out = df
+    for v in values:
+        safe = "".join(ch if ch.isalnum() else "_" for ch in str(v))
+        out = out.withColumn(
+            f"{pre}_{safe}", col.eqNullSafe(F.lit(str(v))).cast("int")
+        )
+    if other_col:
+        out = out.withColumn(
+            other_col,
+            (col.isNull() | ~col.isin([str(v) for v in values])).cast("int"),
+        )
+    return out
+
+
+class TargetEncodeTransformer(_BaseTransformer):
+    """Registry adapter (``type: target_encode``). Options:
+    ``categoryColumns`` csv (required), ``targetColumn`` (required),
+    ``smoothing`` (default 20), ``method`` mean|loo, ``outputColumn``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        cats = _split_csv(opts.get("categoryColumns"))
+        if not cats:
+            errors.append("target_encode requires 'categoryColumns'")
+        tgt = opts.get("targetColumn")
+        if not tgt:
+            errors.append("target_encode requires 'targetColumn'")
+        for c in [*cats, *( [tgt] if tgt else [] )]:
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        if opts.get("method", "mean") not in ("mean", "loo"):
+            errors.append("target_encode method must be mean or loo")
+        if opts.get("smoothing") is not None:
+            try:
+                if float(opts["smoothing"]) < 0:
+                    errors.append("target_encode smoothing must be >= 0")
+            except (TypeError, ValueError):
+                errors.append("target_encode smoothing must be numeric")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return target_encode(
+            df,
+            _split_csv(opts["categoryColumns"]),
+            opts["targetColumn"],
+            smoothing=float(opts.get("smoothing", 20.0)),
+            method=opts.get("method", "mean"),
+            output_col=opts.get("outputColumn"),
+        )
+
+
+class OneHotTransformer(_BaseTransformer):
+    """Registry adapter (``type: one_hot``). Options: ``column``
+    (required), ``values`` csv (required, the explicit vocabulary),
+    ``prefix``, ``otherColumn``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        if not opts.get("column"):
+            errors.append("one_hot requires 'column'")
+        elif opts["column"] not in df.columns:
+            errors.append(f"column not in input schema: {opts['column']}")
+        vals = _split_csv(opts.get("values"))
+        if not vals:
+            errors.append("one_hot requires 'values' (explicit vocabulary)")
+        elif len(set(vals)) != len(vals):
+            errors.append("one_hot values must be unique")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return one_hot(
+            df,
+            opts["column"],
+            _split_csv(opts["values"]),
+            prefix=opts.get("prefix"),
+            other_col=opts.get("otherColumn"),
+        )

@@ -1,0 +1,144 @@
+"""Feature-engineering transforms (operators/features.py): target
+encoding (smoothed / leave-one-out) and explicit-vocabulary one-hot."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from etl_spark_gradle_spark.operators.features import (
+    OneHotTransformer,
+    TargetEncodeTransformer,
+    one_hot,
+    target_encode,
+)
+from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+
+def _exact_mean(vals):
+    return float(str(sum(Decimal(str(v)) for v in vals))) / len(vals)
+
+
+def test_target_encode_smoothed_mean_matches_reference(spark):
+    rows = (
+        [("a", 10.0)] * 8
+        + [("a", 20.0)] * 2
+        + [("b", 100.0)] * 3
+        + [("c", 50.0)]  # rare category -> pulled toward the prior
+    )
+    df = spark.createDataFrame(rows, "g string, y double").repartition(5)
+    m = 5.0
+    all_y = [y for _, y in rows]
+    prior = _exact_mean(all_y)
+    got = {
+        (r["g"], r["y"]): r["g_te"]
+        for r in target_encode(df, ["g"], "y", smoothing=m).collect()
+    }
+    for g in ("a", "b", "c"):
+        ys = [y for gg, y in rows if gg == g]
+        want = (float(str(sum(Decimal(str(v)) for v in ys))) + m * prior) / (
+            len(ys) + m
+        )
+        for y in set(ys):
+            assert abs(got[(g, y)] - want) < 1e-12, g
+    # rare category sits between its own mean and the prior
+    assert prior < got[("c", 50.0)] < 50.0
+
+
+def test_target_encode_loo_removes_own_target(spark):
+    rows = [("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, y double")
+    prior = _exact_mean([1.0, 3.0, 5.0, 7.0])
+    got = {
+        (r["g"], r["y"]): r["enc"]
+        for r in target_encode(
+            df, ["g"], "y", smoothing=0.0, method="loo", output_col="enc"
+        ).collect()
+    }
+    # LOO mean of the OTHER two rows
+    assert abs(got[("a", 1.0)] - 4.0) < 1e-12
+    assert abs(got[("a", 3.0)] - 3.0) < 1e-12
+    assert abs(got[("a", 5.0)] - 2.0) < 1e-12
+    # singleton category: empty LOO sample -> prior
+    assert abs(got[("b", 7.0)] - prior) < 1e-12
+
+
+def test_target_encode_null_category_null_target(spark):
+    rows = [("a", 2.0), ("a", 4.0), (None, 8.0), (None, 10.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, y double")
+    got = {
+        (r["g"], r["y"]): r["g_te"]
+        for r in target_encode(df, ["g"], "y", smoothing=0.0).collect()
+    }
+    # NULL category is its own group (null-safe join), mean 9.0
+    assert abs(got[(None, 8.0)] - 9.0) < 1e-12
+    # NULL target row still receives its category's encoding
+    assert abs(got[("a", None)] - 3.0) < 1e-12
+
+
+def test_target_encode_validation_and_adapter(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, y double")
+    with pytest.raises(TransformationError, match="method"):
+        target_encode(df, ["g"], "y", method="kfold")
+    with pytest.raises(TransformationError, match="smoothing"):
+        target_encode(df, ["g"], "y", smoothing=-1)
+    with pytest.raises(TransformationError, match="not in schema"):
+        target_encode(df, ["zz"], "y")
+    with pytest.raises(TransformationError, match="reserved"):
+        target_encode(df.withColumnRenamed("y", "_te_n"), ["g"], "_te_n")
+
+    tf = TargetEncodeTransformer()
+    out = tf.transform(
+        df,
+        TransformationConfig(
+            type="target_encode",
+            options={
+                "categoryColumns": "g", "targetColumn": "y",
+                "smoothing": "0", "outputColumn": "enc",
+            },
+        ),
+        RunContext.create("t", spark),
+    )
+    assert out.collect()[0]["enc"] == 1.0
+    bad = tf.validate(
+        df,
+        TransformationConfig(
+            type="target_encode",
+            options={"categoryColumns": "g", "targetColumn": "y",
+                     "smoothing": "much"},
+        ),
+    )
+    assert not bad.is_valid
+
+
+def test_one_hot_vocab_other_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("red",), ("blue",), ("green",), (None,)], "c string"
+    )
+    out = one_hot(df, "c", ["red", "blue"], other_col="c_other")
+    got = {r["c"]: (r["c_red"], r["c_blue"], r["c_other"]) for r in out.collect()}
+    assert got["red"] == (1, 0, 0)
+    assert got["blue"] == (0, 1, 0)
+    assert got["green"] == (0, 0, 1)
+    assert got[None] == (0, 0, 1)  # null-safe flags: 0, never NULL
+    # zero shuffles: no Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(TransformationError, match="unique"):
+        one_hot(df, "c", ["x", "x"])
+    with pytest.raises(TransformationError, match="value list"):
+        one_hot(df, "c", [])
+
+    tf = OneHotTransformer()
+    out2 = tf.transform(
+        df,
+        TransformationConfig(
+            type="one_hot",
+            options={"column": "c", "values": "red,blue", "prefix": "is"},
+        ),
+        RunContext.create("t", spark),
+    )
+    assert "is_red" in out2.columns and "is_blue" in out2.columns

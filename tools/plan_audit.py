@@ -398,6 +398,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "SortMergeJoin"],
     ),
     (
+        "target_encode",
+        "target encoding: category statistics and the 1-row prior come "
+        "back as BROADCAST joins (null-safe keys stay hashable); the "
+        "frame itself is never re-shuffled; LOO closes as row-local "
+        "arithmetic — no python, no cartesian, no sort-merge",
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "
