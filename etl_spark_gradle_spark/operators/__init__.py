@@ -115,7 +115,9 @@ from etl_spark_gradle_spark.operators.events import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.graph import (  # noqa: F401
     PagerankTransformer,
+    TriangleCountTransformer,
     pagerank,
+    triangle_count,
 )
 from etl_spark_gradle_spark.operators.skew import (  # noqa: F401
     SkewJoinTransformer,
@@ -205,6 +207,7 @@ TRANSFORMER_REGISTRY = {
     "pmi": PmiTransformer(),
     "weighted_sample": WeightedSampleTransformer(),
     "pagerank": PagerankTransformer(),
+    "triangle_count": TriangleCountTransformer(),
     "skew_join": SkewJoinTransformer(),
     "discretize": DiscretizeTransformer(),
     "target_encode": TargetEncodeTransformer(),

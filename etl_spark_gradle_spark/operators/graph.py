@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark.operators.relational import TransformationError
 
-__all__ = ["pagerank", "PagerankTransformer"]
+__all__ = ["pagerank", "triangle_count", "PagerankTransformer", "TriangleCountTransformer"]
 
 SCALE = 10**12  # rank mass units per 1.0 of probability
 
@@ -179,3 +179,117 @@ class PagerankTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"pagerank({opts})"
+
+
+def triangle_count(
+    df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    per_vertex: bool = True,
+) -> DataFrame:
+    """Exact triangle counting over an undirected edge list — the
+    standard cohesion metric (clustering coefficients, spam/community
+    detection, link-farm discovery in a crawl graph).
+
+    Spark-first re-expression of the degree-ordered algorithm (Cohen
+    2009 / Suri & Vassilvitskii WWW'11 "MapReduce clustering"): edges
+    canonicalize to ``least/greatest`` pairs (self-loops and
+    multi-edges dropped), every edge is ORIENTED from its
+    lower-(degree, id) endpoint to the higher, wedges are generated by
+    joining the oriented list with itself on the center vertex, and a
+    final join against the oriented edges closes each wedge. The
+    orientation is the whole scale story: out-degree after orienting
+    by degree is O(sqrt m), so the wedge table — the intermediate that
+    explodes under a naive formulation (a celebrity vertex with 10M
+    neighbors yields 5·10^13 naive wedges) — is bounded by O(m^1.5)
+    TOTAL, evenly spread. Three equi-join shuffles, no cartesian, no
+    iteration, each triangle counted exactly once.
+
+    ``per_vertex=True`` (default) returns ``(vertex, triangles)`` for
+    every vertex of at least one triangle (each triangle credits all
+    three corners); ``False`` returns the single global count row
+    ``(triangles)``.
+    """
+    for c in (src_col, dst_col):
+        if c not in df.columns:
+            raise TransformationError(f"triangle_count column not in schema: {c}")
+    a, b = F.col(src_col), F.col(dst_col)
+    edges = (
+        df.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    ranked = edges.join(dx, "x").join(dy, "y")
+    # orient low-(degree, id) -> high-(degree, id)
+    low_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    directed = ranked.select(
+        F.when(low_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(low_first, F.col("y")).otherwise(F.col("x")).alias("w"),
+    )
+    d1 = directed.select(F.col("u"), F.col("w").alias("v1"))
+    d2 = directed.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = d1.join(d2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = directed.select(
+        F.least("u", "w").alias("c1"), F.greatest("u", "w").alias("c2")
+    ).distinct()
+    tris = wedges.join(
+        closing,
+        (F.least("v1", "v2") == F.col("c1"))
+        & (F.greatest("v1", "v2") == F.col("c2")),
+    ).select("u", "v1", "v2")
+    if not per_vertex:
+        return tris.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    corners = (
+        tris.select(F.col("u").alias("vertex"))
+        .unionAll(tris.select(F.col("v1").alias("vertex")))
+        .unionAll(tris.select(F.col("v2").alias("vertex")))
+    )
+    return corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+
+
+class TriangleCountTransformer:
+    """Registry adapter (``type: triangle_count``). Options:
+    ``srcColumn``, ``dstColumn`` (required), ``perVertex``
+    (default true)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for key in ("srcColumn", "dstColumn"):
+            if not opts.get(key):
+                errors.append(f"triangle_count requires '{key}'")
+            elif opts[key] not in df.columns:
+                errors.append(f"column not in input schema: {opts[key]}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        res = self.validate(df, config)
+        if not res.is_valid:
+            raise TransformationError(
+                "TriangleCountTransformer config invalid: " + "; ".join(res.errors)
+            )
+        opts = config.options
+        return triangle_count(
+            df,
+            opts["srcColumn"],
+            opts["dstColumn"],
+            per_vertex=str(opts.get("perVertex", "true")).lower() == "true",
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"triangle_count({opts})"

@@ -99,3 +99,118 @@ def test_pagerank_validation_and_adapter(spark):
         assert not tr.validate(
             df, TransformationConfig(type="pagerank", options=bad)
         ).is_valid
+
+
+# ------------------------------------------------------------ triangle_count
+
+
+def _py_triangles(edges):
+    import itertools
+
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b or a is None or b is None:
+            continue
+        x, y = min(a, b), max(a, b)
+        if (x, y) in es:
+            continue
+        es.add((x, y))
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    per_v = {}
+    total = 0
+    for x, y in es:
+        for z in adj[x] & adj[y]:
+            if z > y:  # canonical x < y < z counts each once
+                total += 1
+                for v in (x, y, z):
+                    per_v[v] = per_v.get(v, 0) + 1
+    return total, per_v
+
+
+def test_triangle_count_matches_python_reference(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    edges += [(1, 2), (2, 3), (1, 3)]  # guarantee at least one triangle
+    df = spark.createDataFrame(edges, "a int, b int").repartition(5)
+    total, per_v = _py_triangles(edges)
+    assert total > 0
+
+    got_total = triangle_count(df, "a", "b", per_vertex=False).collect()[0][
+        "triangles"
+    ]
+    assert got_total == total
+
+    got_pv = {
+        r["vertex"]: r["triangles"]
+        for r in triangle_count(df, "a", "b").collect()
+    }
+    assert got_pv == per_v
+
+
+def test_triangle_count_self_loops_multiedges_nulls(spark):
+    from etl_spark_gradle_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (None, 2), (3, None)],
+        "a int, b int",
+    )
+    rows = triangle_count(df, "a", "b").collect()
+    assert {r["vertex"]: r["triangles"] for r in rows} == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_skewed_hub_and_plan(spark):
+    """A hub vertex connected to everyone: the degree orientation must
+    point every hub edge INTO the hub, so the hub generates no wedges
+    itself (the O(m^1.5) bound in action); plan stays equi-join only."""
+    from etl_spark_gradle_spark.operators.graph import triangle_count
+
+    n = 60
+    edges = [(0, i) for i in range(1, n)] + [(i, i + 1) for i in range(1, n - 1)]
+    df = spark.createDataFrame(edges, "a int, b int")
+    # each path edge (i, i+1) forms a triangle with the hub
+    got = triangle_count(df, "a", "b", per_vertex=False).collect()[0]["triangles"]
+    assert got == n - 2
+    plan = (
+        triangle_count(df, "a", "b")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_triangle_count_validation_and_adapter(spark):
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.graph import (
+        TriangleCountTransformer,
+        triangle_count,
+    )
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.plans.config import (
+        RunContext,
+        TransformationConfig,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with _pytest.raises(TransformationError, match="not in schema"):
+        triangle_count(df, "a", "zzz")
+    assert triangle_count(df, "a", "b").count() == 0  # no triangle
+
+    tf = TRANSFORMER_REGISTRY["triangle_count"]
+    assert type(tf) is TriangleCountTransformer
+    out = tf.transform(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "a int, b int"),
+        TransformationConfig(
+            type="triangle_count",
+            options={"srcColumn": "a", "dstColumn": "b", "perVertex": "false"},
+        ),
+        RunContext.create("t", spark),
+    )
+    assert out.collect()[0]["triangles"] == 1
+    bad = tf.validate(df, TransformationConfig(type="triangle_count", options={}))
+    assert not bad.is_valid

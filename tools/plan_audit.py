@@ -408,6 +408,15 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "SortMergeJoin"],
     ),
     (
+        "triangle_count",
+        "degree-ordered triangles: three equi-join shuffles "
+        "(hashpartitioning), the wedge intermediate bounded O(m^1.5) "
+        "by the orientation — no cartesian, no nested loop, no python",
+        ["hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "
