@@ -4493,6 +4493,51 @@ FROM corners GROUP BY vertex
 """
 
 
+def q_quantiles_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-7 (numpy/pandas-default) interpolated quantiles per
+    returnflag: two bracketing CDF lookups per prob in ONE closing
+    aggregation, the lerp closing in fixed IEEE order — bit-identical
+    doubles cross-engine."""
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    return exact_quantiles(
+        li, "price", [0.25, 0.5, 0.9], group_by=["l_returnflag"],
+        interpolation="linear",
+    )
+
+
+_QUANTILES_LINEAR_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+), cdf AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM c
+), probs AS (SELECT unnest([0.25, 0.5, 0.9]) AS p), hx AS (
+  SELECT g, p, v, cum, n,
+         1.0 + (CAST(n AS DOUBLE) - 1.0) * p AS h
+  FROM cdf CROSS JOIN probs
+), picked AS (
+  SELECT g, p,
+         CAST(floor(h) AS BIGINT) AS rank,
+         h - floor(h) AS f,
+         min(CASE WHEN cum >= CAST(floor(h) AS BIGINT) THEN v END) AS vlo,
+         min(CASE WHEN cum >= least(CAST(floor(h) AS BIGINT) + 1, n)
+              THEN v END) AS vhi
+  FROM hx GROUP BY g, p, 3, 4
+)
+SELECT g AS l_returnflag, p AS prob, rank,
+       vlo + f * (vhi - vlo) AS value
+FROM picked
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5469,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cusum": q_streaming_cusum,
         "target_encode": q_target_encode,
         "triangle_count": q_triangle_count,
+        "quantiles_linear": q_quantiles_linear,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5611,6 +5657,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cusum": _STREAMING_CUSUM_ORACLE,
         "target_encode": _TARGET_ENCODE_ORACLE,
         "triangle_count": _TRIANGLE_COUNT_ORACLE,
+        "quantiles_linear": _QUANTILES_LINEAR_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -531,6 +531,7 @@ def exact_quantiles(
     probs: list[float],
     group_by: list[str] | None = None,
     num_partitions: int | None = None,
+    interpolation: str = "lower",
 ) -> DataFrame:
     """EXACT quantiles at scale — the relational alternative to both
     ``approx_percentile`` (engine-specific sketch, not reproducible
@@ -560,7 +561,20 @@ def exact_quantiles(
     -window limit); the ungrouped path exists precisely to avoid this
     and should be used for whole-table quantiles.
 
+    ``interpolation="linear"`` switches to type-7 semantics (the
+    numpy/pandas default): ``h = 1 + (n−1)·p``, value =
+    ``v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`` over the two bracketing order
+    statistics — TWO CDF lookups per prob in the SAME single closing
+    aggregation, and the lerp closes in fixed IEEE order (identical
+    doubles cross-engine). The ``rank`` column then reports the lower
+    bracketing rank ⌊h⌋.
+
     Returns an empty frame when no non-null values exist."""
+    if interpolation not in ("lower", "linear"):
+        raise TransformationError(
+            f"exact_quantiles interpolation must be lower or linear, "
+            f"got '{interpolation}'"
+        )
     if not probs:
         raise TransformationError("exact_quantiles requires at least one prob")
     for p in probs:
@@ -597,31 +611,65 @@ def exact_quantiles(
         )
         j = cum.crossJoin(F.broadcast(total))
     aggs = []
-    for p in probs:
-        rank = F.greatest(
-            F.lit(1).cast("long"),
-            F.ceil(F.lit(float(p)) * F.col("_n").cast("double")).cast("long"),
-        )
-        aggs.append(
-            F.min(
-                F.when(F.col("cum_c") >= rank, F.struct(rank.alias("r"), F.col("v")))
-            ).alias(f"_q{len(aggs)}")
-        )
+    if interpolation == "lower":
+        for p in probs:
+            rank = F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.lit(float(p)) * F.col("_n").cast("double")).cast("long"),
+            )
+            aggs.append(
+                F.min(
+                    F.when(
+                        F.col("cum_c") >= rank,
+                        F.struct(rank.alias("r"), F.col("v")),
+                    )
+                ).alias(f"_q{len(aggs)}")
+            )
+        structs = [
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.col(f"_q{i}.r").alias("rank"),
+                F.col(f"_q{i}.v").alias("value"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    else:
+        nd = F.col("_n").cast("double")
+        vd = F.col("v").cast("double")  # the lerp must close on doubles
+        for p in probs:
+            h = F.lit(1.0) + (nd - F.lit(1.0)) * F.lit(float(p))
+            lo = F.floor(h).cast("long")
+            hi = F.least(lo + F.lit(1).cast("long"), F.col("_n"))
+            aggs.append(
+                F.min(
+                    F.when(
+                        F.col("cum_c") >= lo,
+                        F.struct(lo.alias("r"), (h - F.floor(h)).alias("f"),
+                                 vd.alias("v")),
+                    )
+                ).alias(f"_ql{len(aggs) // 2}")
+            )
+            aggs.append(
+                F.min(F.when(F.col("cum_c") >= hi, vd)).alias(
+                    f"_qh{len(aggs) // 2}"
+                )
+            )
+        structs = [
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.col(f"_ql{i}.r").alias("rank"),
+                (
+                    F.col(f"_ql{i}.v")
+                    + F.col(f"_ql{i}.f")
+                    * (F.col(f"_qh{i}") - F.col(f"_ql{i}.v"))
+                ).alias("value"),
+            )
+            for i, p in enumerate(probs)
+        ]
     one = j.groupBy(*group_by).agg(*aggs) if group_by else j.agg(*aggs)
     picked = one.select(
         *group_by,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(float(p)).alias("prob"),
-                        F.col(f"_q{i}.r").alias("rank"),
-                        F.col(f"_q{i}.v").alias("value"),
-                    )
-                    for i, p in enumerate(probs)
-                ]
-            )
-        ).alias("q"),
+        F.explode(F.array(*structs)).alias("q"),
     )
     return picked.select(*group_by, "q.prob", "q.rank", "q.value").where(
         F.col("rank").isNotNull()
@@ -1069,6 +1117,7 @@ class StatsTransformer:
                 opts["valueColumn"],
                 [float(p) for p in _split_csv(opts["probs"])],
                 group_by=gb,
+                interpolation=opts.get("interpolation", "lower"),
             )
         if op == "mad_outliers":
             return mad_outliers(

@@ -546,3 +546,39 @@ def test_discretize_reserved_column_guard(spark):
     )
     with _pytest.raises(TransformationError, match="reserved"):
         discretize(df, "x")
+
+
+def test_exact_quantiles_linear_matches_numpy(spark):
+    """interpolation='linear' == numpy type-7 (the numpy/pandas
+    default), incl. duplicate-heavy data and grouped mode."""
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.5]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(4)
+    probs = [0.0, 0.25, 0.5, 0.77, 1.0]
+    got = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(df, "x", probs, interpolation="linear").collect()
+    }
+    for p in probs:
+        assert abs(got[p] - float(np.quantile(vals, p))) < 1e-12, p
+
+    gdf = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", 10.0), ("b", 20.0)],
+        "g string, x double",
+    )
+    grows = exact_quantiles(
+        gdf, "x", [0.5], group_by=["g"], interpolation="linear"
+    ).collect()
+    gm = {r["g"]: r["value"] for r in grows}
+    assert abs(gm["a"] - float(np.quantile(vals, 0.5))) < 1e-12
+    assert gm["b"] == 15.0  # midpoint of the two bracketing values
+
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    with _pytest.raises(TransformationError, match="interpolation"):
+        exact_quantiles(df, "x", [0.5], interpolation="nearest")
