@@ -4538,6 +4538,50 @@ FROM picked
 """
 
 
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles per returnflag: the CDF
+    accumulates each price's total quantity in exact integer
+    micro-units (float weight sums are partition-order dependent), so
+    the weighted median is the smallest price covering half the
+    shipped quantity — reused unweighted CDF machinery, same single
+    closing aggregation."""
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        "l_quantity",
+    )
+    return exact_quantiles(
+        li, "price", [0.25, 0.5, 0.9], group_by=["l_returnflag"],
+        weight_col="l_quantity",
+    )
+
+
+_WEIGHTED_QUANTILES_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(sum(CAST(floor(CAST(l_quantity AS DECIMAL(27,6)) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND CAST(floor(CAST(l_quantity AS DECIMAL(27,6)) * 1000000) AS BIGINT) > 0
+  GROUP BY 1, 2
+), cdf AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM c
+), probs AS (SELECT unnest([0.25, 0.5, 0.9]) AS p)
+SELECT g AS l_returnflag, p AS prob,
+       greatest(1, CAST(ceil(p * CAST(n AS DOUBLE)) AS BIGINT)) AS rank,
+       min(CASE WHEN cum >= greatest(1,
+           CAST(ceil(p * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS value
+FROM cdf CROSS JOIN probs
+GROUP BY 1, 2, 3
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5515,6 +5559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "triangle_count": q_triangle_count,
         "quantiles_linear": q_quantiles_linear,
+        "weighted_quantiles": q_weighted_quantiles,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5658,6 +5703,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": _TARGET_ENCODE_ORACLE,
         "triangle_count": _TRIANGLE_COUNT_ORACLE,
         "quantiles_linear": _QUANTILES_LINEAR_ORACLE,
+        "weighted_quantiles": _WEIGHTED_QUANTILES_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

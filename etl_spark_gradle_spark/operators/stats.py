@@ -532,6 +532,7 @@ def exact_quantiles(
     group_by: list[str] | None = None,
     num_partitions: int | None = None,
     interpolation: str = "lower",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT quantiles at scale — the relational alternative to both
     ``approx_percentile`` (engine-specific sketch, not reproducible
@@ -569,7 +570,26 @@ def exact_quantiles(
     doubles cross-engine). The ``rank`` column then reports the lower
     bracketing rank ⌊h⌋.
 
+    ``weight_col`` computes WEIGHTED quantiles (PPS-sampled corpora,
+    importance-weighted feature stats): the CDF accumulates each
+    value's total weight instead of its count, in EXACT decimal(27,6)
+    (a float weight sum is partition-order dependent), and the type-1
+    target rank becomes the smallest value whose cumulative weight
+    reaches ``p·W``. Rows with NULL/non-positive weights are excluded;
+    the reported ``rank`` column carries the integer micro-unit target
+    (weights quantized at 1e-6, the cusum resolution posture).
+    Weighted + linear interpolation is refused (bracketing order
+    statistics are count-rank concepts).
+
     Returns an empty frame when no non-null values exist."""
+    if weight_col is not None and interpolation != "lower":
+        raise TransformationError(
+            "weighted quantiles support interpolation='lower' only"
+        )
+    if weight_col is not None and weight_col not in df.columns:
+        raise TransformationError(
+            f"exact_quantiles: weight column not in schema: {weight_col}"
+        )
     if interpolation not in ("lower", "linear"):
         raise TransformationError(
             f"exact_quantiles interpolation must be lower or linear, "
@@ -588,12 +608,26 @@ def exact_quantiles(
     for c in group_by:
         if c not in df.columns:
             raise TransformationError(f"group column not in input schema: {c}")
-    counts = (
-        df.select(*group_by, F.col(value_col).alias("v"))
-        .where(F.col("v").isNotNull())
-        .groupBy(*group_by, "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    if weight_col is None:
+        counts = (
+            df.select(*group_by, F.col(value_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy(*group_by, "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+    else:
+        # exact integer micro-units: decimal accumulation would also be
+        # exact, but integer cells reuse the unweighted CDF machinery
+        # (longs sum, compare, and prefix identically)
+        wu = F.floor(
+            F.col(weight_col).cast("decimal(27,6)") * F.lit(1_000_000)
+        ).cast("long")
+        counts = (
+            df.select(*group_by, F.col(value_col).alias("v"), wu.alias("_wu"))
+            .where(F.col("v").isNotNull() & (F.col("_wu") > 0))
+            .groupBy(*group_by, "v")
+            .agg(F.sum("_wu").cast("long").alias("c"))
+        )
     if group_by:
         w_cum = (
             Window.partitionBy(*group_by)
@@ -1118,6 +1152,7 @@ class StatsTransformer:
                 [float(p) for p in _split_csv(opts["probs"])],
                 group_by=gb,
                 interpolation=opts.get("interpolation", "lower"),
+                weight_col=opts.get("weightColumn"),
             )
         if op == "mad_outliers":
             return mad_outliers(

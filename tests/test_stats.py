@@ -582,3 +582,69 @@ def test_exact_quantiles_linear_matches_numpy(spark):
 
     with _pytest.raises(TransformationError, match="interpolation"):
         exact_quantiles(df, "x", [0.5], interpolation="nearest")
+
+
+def test_exact_quantiles_weighted_matches_reference(spark):
+    """Weighted type-1: smallest value whose cumulative weight reaches
+    p·W — python reference over exact micro-unit weights; grouped and
+    ungrouped, zero/negative/null weights excluded."""
+    import math
+
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    rows = [
+        ("a", 10.0, 1.0), ("a", 20.0, 5.0), ("a", 30.0, 1.0),
+        ("a", 5.0, 0.0), ("a", 7.0, -2.0), ("a", 9.0, None),
+        ("b", 1.0, 0.25), ("b", 2.0, 0.75),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double").repartition(3)
+
+    def ref(pairs, p):
+        pairs = sorted((v, w) for v, w in pairs if w and w > 0)
+        total = sum(int(w * 1_000_000) for _, w in pairs)
+        target = max(1, math.ceil(p * total))
+        cum = 0
+        for v, w in pairs:
+            cum += int(w * 1_000_000)
+            if cum >= target:
+                return v
+        return pairs[-1][0]
+
+    got = {
+        (r["g"], r["prob"]): r["value"]
+        for r in exact_quantiles(
+            df, "v", [0.1, 0.5, 0.9], group_by=["g"], weight_col="w"
+        ).collect()
+    }
+    for g in ("a", "b"):
+        pairs = [(v, w) for gg, v, w in rows if gg == g]
+        for p in (0.1, 0.5, 0.9):
+            assert got[(g, p)] == ref(pairs, p), (g, p)
+    # the heavy middle weight dominates group a's median
+    assert got[("a", 0.5)] == 20.0
+
+    with _pytest.raises(TransformationError, match="lower"):
+        exact_quantiles(df, "v", [0.5], weight_col="w", interpolation="linear")
+    with _pytest.raises(TransformationError, match="weight column"):
+        exact_quantiles(df, "v", [0.5], weight_col="nope")
+
+    # adapter surface
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import (
+        RunContext,
+        TransformationConfig,
+    )
+
+    out = TRANSFORMER_REGISTRY["stats"].transform(
+        df,
+        TransformationConfig(
+            type="stats",
+            options={"operation": "quantiles", "valueColumn": "v",
+                     "probs": "0.5", "groupBy": "g", "weightColumn": "w"},
+        ),
+        RunContext.create("t", spark),
+    )
+    assert {(r["g"], r["value"]) for r in out.collect()} == {("a", 20.0), ("b", 2.0)}
