@@ -4582,6 +4582,39 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level GLOBAL empirical CDF of order totals — the
+    distributed replacement for cume_dist() with an empty PARTITION
+    BY (which funnels the whole table through one task): value
+    histogram → prefix-sum CDF → join back on the value. Integer
+    cum/n close as one fixed-order division."""
+    from etl_spark_gradle_spark.operators.stats import ecdf
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    return ecdf(orders, "price", rank_col="min_rank")
+
+
+_ECDF_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+), c AS (
+  SELECT price AS v, CAST(count(*) AS BIGINT) AS c
+  FROM o WHERE price IS NOT NULL GROUP BY 1
+), cdf AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, c,
+         sum(c) OVER () AS n
+  FROM c
+)
+SELECT o.o_orderkey, o.price,
+       CAST(cdf.cum AS DOUBLE) / CAST(cdf.n AS DOUBLE) AS ecdf,
+       cdf.cum - cdf.c + 1 AS min_rank
+FROM o LEFT JOIN cdf ON o.price = cdf.v
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5560,6 +5593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "quantiles_linear": q_quantiles_linear,
         "weighted_quantiles": q_weighted_quantiles,
+        "ecdf": q_ecdf,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5704,6 +5738,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _TRIANGLE_COUNT_ORACLE,
         "quantiles_linear": _QUANTILES_LINEAR_ORACLE,
         "weighted_quantiles": _WEIGHTED_QUANTILES_ORACLE,
+        "ecdf": _ECDF_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -44,6 +44,7 @@ __all__ = [
     "ks_drift",
     "rank_sum_drift",
     "exact_quantiles",
+    "ecdf",
     "mad_outliers",
     "quantile_clip",
 ]
@@ -710,6 +711,92 @@ def exact_quantiles(
     )
 
 
+def ecdf(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str] | None = None,
+    output_col: str = "ecdf",
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Row-level empirical CDF / percent rank: for each row,
+    ``F(x) = (#values <= x) / n`` over its group (or globally) — the
+    DISTRIBUTED replacement for ``cume_dist() OVER (ORDER BY x)``,
+    whose empty PARTITION BY funnels the entire table through one
+    task. NULL values keep a NULL ecdf.
+
+    Plan: the value histogram collapses the data to its distinct
+    values (map-side combined), the CDF comes from ``_prefix_sums``
+    (global) or group-partitioned windows (grouped), and the ≤
+    |distinct values|-row CDF table joins back on (group, value) —
+    strategy left to Catalyst/AQE, since a distinct-value table can be
+    anything from broadcastable to huge. ``rank_col`` additionally
+    emits the integer min-rank (``#values < x``, plus one).
+
+    The division closes as one fixed-order IEEE op from exact integer
+    counts — cross-engine reproducible (contrast ``cume_dist``, whose
+    result this matches exactly when values are unique per group)."""
+    if value_col not in df.columns:
+        raise TransformationError(f"ecdf: value column not in schema: {value_col}")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    reserved = {"_ecdf_cum", "_ecdf_n", "_ecdf_c"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise TransformationError(
+            f"column names reserved by ecdf: {sorted(clash)}"
+        )
+    counts = (
+        df.select(*group_by, F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy(*group_by, "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ecdf_c"))
+    )
+    if group_by:
+        w_cum = (
+            Window.partitionBy(*group_by)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cdf = counts.withColumn(
+            "_ecdf_cum", F.sum("_ecdf_c").over(w_cum)
+        ).withColumn(
+            "_ecdf_n",
+            F.sum("_ecdf_c").over(Window.partitionBy(*group_by)).cast("long"),
+        )
+    else:
+        cum = _prefix_sums(counts, "v", ["_ecdf_c"], num_partitions)
+        cum = cum.withColumnRenamed("cum__ecdf_c", "_ecdf_cum")
+        total = counts.agg(F.sum("_ecdf_c").cast("long").alias("_ecdf_n"))
+        cdf = cum.crossJoin(F.broadcast(total))
+    cdf = cdf.select(
+        *[F.col(c).alias(f"__bg_{c}") for c in group_by],
+        F.col("v").alias("__bg_v"),
+        "_ecdf_cum",
+        "_ecdf_c",
+        "_ecdf_n",
+    )
+    # null-safe on the group keys (a NULL group is a legitimate group);
+    # plain equality on the value (NULL values keep a NULL ecdf)
+    cond = F.col(value_col) == F.col("__bg_v")
+    for c in group_by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__bg_{c}"))
+    joined = df.join(cdf, cond, "left").drop(
+        "__bg_v", *[f"__bg_{c}" for c in group_by]
+    )
+    out = joined.withColumn(
+        output_col,
+        F.col("_ecdf_cum").cast("double") / F.col("_ecdf_n").cast("double"),
+    )
+    if rank_col:
+        out = out.withColumn(
+            rank_col, F.col("_ecdf_cum") - F.col("_ecdf_c") + F.lit(1).cast("long")
+        )
+    return out.drop("_ecdf_cum", "_ecdf_n", "_ecdf_c")
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,
@@ -1106,6 +1193,11 @@ class StatsTransformer:
                     errors.append("stats mad_outliers requires k > 0 and scale > 0")
             except ValueError:
                 errors.append("stats mad_outliers requires numeric 'k'/'scale'")
+        elif op == "ecdf":
+            if not opts.get("valueColumn"):
+                errors.append("stats ecdf requires 'valueColumn'")
+            else:
+                cols_needed.append(opts["valueColumn"])
         elif op == "quantile_clip":
             if not opts.get("valueColumn"):
                 errors.append("stats quantile_clip requires 'valueColumn'")
@@ -1123,7 +1215,7 @@ class StatsTransformer:
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
-                f"|mad_outliers|quantile_clip, got '{op}'"
+                f"|mad_outliers|quantile_clip|ecdf, got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -1161,6 +1253,14 @@ class StatsTransformer:
                 group_by=gb,
                 k=float(opts.get("k", 3.0)),
                 scale=float(opts.get("scale", 1.4826)),
+            )
+        if op == "ecdf":
+            return ecdf(
+                df,
+                opts["valueColumn"],
+                group_by=gb,
+                output_col=opts.get("outputColumn", "ecdf"),
+                rank_col=opts.get("rankColumn"),
             )
         if op == "quantile_clip":
             return quantile_clip(

@@ -648,3 +648,46 @@ def test_exact_quantiles_weighted_matches_reference(spark):
         RunContext.create("t", spark),
     )
     assert {(r["g"], r["value"]) for r in out.collect()} == {("a", 20.0), ("b", 2.0)}
+
+
+def test_ecdf_matches_cume_dist_and_handles_null_groups(spark):
+    """Row-level ECDF equals cume_dist within groups (ties included);
+    NULL groups are legitimate; NULL values stay NULL; min-rank column;
+    and the GLOBAL path (prefix-sum CDF) agrees across partitionings."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as _F
+
+    from etl_spark_gradle_spark.operators.stats import ecdf
+
+    rows = (
+        [("a", float(v)) for v in [1, 2, 2, 3, 10]]
+        + [(None, 5.0), (None, 7.0), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        (r["g"], r["x"]): (r["ecdf"], r["rnk"])
+        for r in ecdf(df, "x", group_by=["g"], rank_col="rnk").collect()
+    }
+    want = {
+        (r["g"], r["x"]): r["cd"]
+        for r in df.where("x IS NOT NULL")
+        .withColumn("cd", _F.cume_dist().over(W.partitionBy("g").orderBy("x")))
+        .collect()
+    }
+    for k, cd in want.items():
+        assert abs(got[k][0] - cd) < 1e-15, k
+    assert got[("a", 2.0)] == (0.6, 2)  # ties share cum, min-rank
+    assert got[(None, 5.0)] == (0.5, 1)
+    assert got[("a", None)][0] is None
+
+    big = spark.createDataFrame(
+        [(float(i % 100),) for i in range(5000)], "x double"
+    )
+    outs = []
+    for parts in (2, 17):
+        o = ecdf(big.repartition(parts), "x", num_partitions=7).collect()
+        outs.append(sorted((r["x"], r["ecdf"]) for r in o))
+    assert outs[0] == outs[1]
+    assert ("g", 5000) not in outs[0]
+    # x = 0 appears 50 times of 5000 -> F(0) = 0.01
+    assert outs[0][0] == (0.0, 0.01)

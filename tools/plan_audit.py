@@ -417,6 +417,17 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "ArrowEvalPython"],
     ),
     (
+        "ecdf",
+        "global percent-rank: prefix-sum CDF over the value histogram "
+        "(range partitioning + pinned checkpoint boundary), CDF joined "
+        "back on the value — the full-data single-partition cume_dist "
+        "window never appears (the only SinglePartition node is the "
+        "documented <=P-row offsets window inside _prefix_sums), no "
+        "python, no cartesian",
+        ["ExistingRDD"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "
