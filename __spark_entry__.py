@@ -4615,6 +4615,32 @@ FROM o LEFT JOIN cdf ON o.price = cdf.v
 """
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: lineitem rows of URGENT orders. The
+    fact side is pre-filtered by a relational blocked-Bloom bitmap
+    (3 broadcast bitmap probes, zero fact shuffle) so only survivors
+    reach the exact verify join — the explicit form of Spark's
+    runtime-bloom-filter optimization. The plain IN-subquery oracle
+    proves the bitmap is correctness-transparent."""
+    from etl_spark_gradle_spark.operators.bloom import bloom_semi_join
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    od = _t(spark, sf_dir, "orders").where("o_orderpriority = '1-URGENT'")
+    return bloom_semi_join(li, od, "l_orderkey", "o_orderkey", num_bits=1 << 20)
+
+
+_BLOOM_SEMI_JOIN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5594,6 +5620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_linear": q_quantiles_linear,
         "weighted_quantiles": q_weighted_quantiles,
         "ecdf": q_ecdf,
+        "bloom_semi_join": q_bloom_semi_join,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5739,6 +5766,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_linear": _QUANTILES_LINEAR_ORACLE,
         "weighted_quantiles": _WEIGHTED_QUANTILES_ORACLE,
         "ecdf": _ECDF_ORACLE,
+        "bloom_semi_join": _BLOOM_SEMI_JOIN_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -28,6 +28,12 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     token_frequency,
     weighted_sample,
 )
+from etl_spark_gradle_spark.operators.bloom import (  # noqa: F401
+    BloomSemiJoinTransformer,
+    bloom_filter_rows,
+    bloom_semi_join,
+    build_bloom,
+)
 from etl_spark_gradle_spark.operators.collocations import (  # noqa: F401
     PmiTransformer,
     pmi_bigrams,
@@ -209,6 +215,7 @@ TRANSFORMER_REGISTRY = {
     "pagerank": PagerankTransformer(),
     "triangle_count": TriangleCountTransformer(),
     "skew_join": SkewJoinTransformer(),
+    "bloom_semi_join": BloomSemiJoinTransformer(),
     "discretize": DiscretizeTransformer(),
     "target_encode": TargetEncodeTransformer(),
     "one_hot": OneHotTransformer(),

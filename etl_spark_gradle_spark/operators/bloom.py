@@ -1,0 +1,246 @@
+"""Bloom-pruned semi join: filter a huge probe side with a relational
+blocked Bloom bitmap BEFORE the exact join shuffles it.
+
+Beyond-reference operator (the reference's only join is the plain
+equi-join of ``transformer/JoinTransformer.scala:31-95``; nothing in
+``src/main`` pre-prunes a probe side). The classic 100 TB shape this
+serves: ``fact ⋈ (selective slice of a big dimension)`` where the
+build side's ROWS are too many to broadcast (so Catalyst picks a
+sort-merge join and shuffles the full fact table) but its KEY-SET
+DIGEST fits in under a megabyte. Spark's own runtime bloom filter
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``, SPARK-32268)
+exists for exactly this reason, but it is an optimizer heuristic —
+thresholds, creation-side size caps, and join-type support decide
+whether it fires, and the ``bloom_filter_agg`` / ``might_contain``
+expressions it uses are not registered for SQL/DataFrame use (checked:
+``UNRESOLVED_ROUTINE`` on pyspark 4.1). This operator is the explicit,
+always-on counterpart, built from plain Catalyst bit expressions so it
+runs JVM-side inside whole-stage codegen on ANY Spark:
+
+1. **Build** (``build_bloom``): distinct build keys → ``num_hashes``
+   positions each (``pmod(xxhash64(key, seed_i), num_bits)``) → fold
+   into a bitmap RELATION ``(word_idx, word)`` via ``shiftleft`` +
+   ``bit_or`` aggregation. One shuffle whose payload is two longs per
+   position, output bounded by ``num_bits/64`` rows (= bitmap bytes/8,
+   e.g. 64 KiB of words for the default 2^22 bits) regardless of build
+   cardinality.
+2. **Probe** (``bloom_filter_rows``): the probe side computes the same
+   ``num_hashes`` (word_idx, mask) pairs per row and checks them with
+   ``num_hashes`` BROADCAST hash joins against the bitmap — all narrow
+   stages: the probe side never shuffles, never leaves codegen. A row
+   survives iff every probed word has its mask bit set.
+3. **Verify** (``bloom_semi_join``): the surviving rows — true matches
+   plus the Bloom's false positives — run through an EXACT left-semi
+   join against the distinct build keys. Only survivors reach this
+   shuffle: at 1% join selectivity that is a ~99% cut of the fact-side
+   shuffle, the whole point of the operator. The final result is
+   row-identical to the plain semi join (the bitmap is correctness-
+   transparent; property-tested in ``tests/test_bloom.py``), so the
+   cross-engine oracle is ordinary ``WHERE key IN (SELECT …)`` SQL.
+
+False-positive arithmetic (document, don't guess): with ``n`` distinct
+build keys, ``m = num_bits``, ``k = num_hashes``, FP rate ≈
+``(1 - e^(-k·n/m))^k`` — the default m=2^22, k=3 holds ~1% FPs to
+n ≈ 500k keys; size ``num_bits`` at roughly 10× the expected distinct
+build keys and the verify join stays survivor-sized. Oversubscribing
+(n ≫ m) only costs pruning power, never correctness.
+
+Nulls: ``xxhash64(NULL, seed)`` is NULL, so null probe keys miss the
+bitmap and are dropped — identical to equi-join semantics (NULL never
+equals anything), keeping bloom_semi_join ≡ plain semi join even on
+dirty keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators.relational import (
+    TransformationError,
+    _BaseTransformer,
+)
+from etl_spark_gradle_spark.plans.config import (
+    TransformationConfig,
+    ValidationResult,
+)
+
+__all__ = [
+    "build_bloom",
+    "bloom_filter_rows",
+    "bloom_semi_join",
+    "BloomSemiJoinTransformer",
+]
+
+DEFAULT_NUM_BITS = 1 << 22  # 4M bits = 512 KiB bitmap = 64Ki word rows
+DEFAULT_NUM_HASHES = 3
+
+_WORD_IDX = "__bloom_word_idx"
+_WORD = "__bloom_word"
+
+
+def _check_params(num_bits: int, num_hashes: int) -> None:
+    if num_bits < 64:
+        raise TransformationError("bloom num_bits must be >= 64")
+    if not 1 <= num_hashes <= 8:
+        raise TransformationError("bloom num_hashes must be in 1..8")
+
+
+def _position(key_col: str, seed: int, num_bits: int):
+    """Bit position for hash ``seed``: non-negative via pmod; NULL keys
+    propagate NULL (handled as a guaranteed miss at probe time)."""
+    return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(num_bits))
+
+
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Fold ``df[key_col]``'s distinct values into a blocked-Bloom
+    bitmap relation ``(word_idx: long, word: long)``.
+
+    Only words with at least one set bit are materialized (absent
+    word_idx ⇒ all-zero word ⇒ probe miss), so the result is at most
+    ``min(num_bits/64, num_hashes·|keys|)`` rows. ``shiftleft(1, 63)``
+    wraps negative — irrelevant, the words are opaque two's-complement
+    bit buckets consumed only by ``&``.
+    """
+    _check_params(num_bits, num_hashes)
+    if key_col not in df.columns:
+        raise TransformationError(f"bloom key column not in schema: {key_col}")
+    positions = (
+        df.select(F.col(key_col))
+        .where(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_position(key_col, i, num_bits) for i in range(num_hashes)])
+            ).alias("__pos")
+        )
+    )
+    return (
+        positions.select(
+            F.expr("__pos DIV 64").alias(_WORD_IDX),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))").alias("__bit"),
+        )
+        .groupBy(_WORD_IDX)
+        .agg(F.bit_or("__bit").alias(_WORD))
+    )
+
+
+def bloom_filter_rows(
+    probe: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Keep probe rows the bitmap MIGHT contain (true matches + false
+    positives; null keys always dropped). ``num_hashes`` broadcast
+    joins, zero probe-side shuffle; schema is unchanged.
+
+    The probe key's TYPE must match the build key's type —
+    ``xxhash64`` hashes the binary representation, so ``int 5`` and
+    ``bigint 5`` digest differently (``bloom_semi_join`` validates
+    this; direct callers align types themselves).
+    """
+    _check_params(num_bits, num_hashes)
+    if key_col not in probe.columns:
+        raise TransformationError(f"bloom key column not in schema: {key_col}")
+    for c in (_WORD_IDX, _WORD, "__pos", "__mask"):
+        if c in probe.columns:
+            raise TransformationError(f"column name '{c}' is reserved by bloom_filter_rows")
+    out_cols = [F.col(c) for c in probe.columns]
+    filtered = probe
+    for i in range(num_hashes):
+        filtered = (
+            filtered.withColumn("__pos", _position(key_col, i, num_bits))
+            .withColumn(_WORD_IDX, F.expr("__pos DIV 64"))
+            .withColumn(
+                "__mask",
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"),
+            )
+            .join(F.broadcast(bitmap), on=_WORD_IDX, how="left")
+            .where(
+                F.col(_WORD).isNotNull()
+                & (F.col(_WORD).bitwiseAND(F.col("__mask")) != F.lit(0))
+            )
+            .drop("__pos", _WORD_IDX, _WORD, "__mask")
+        )
+    return filtered.select(*out_cols)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str | None = None,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    exact: bool = True,
+) -> DataFrame:
+    """Rows of ``fact`` whose ``fact_key`` appears in ``build[build_key]``
+    — a left-semi join whose fact-side shuffle carries only Bloom
+    survivors. With ``exact=False`` the verify join is skipped and the
+    result is the raw Bloom superset (true matches + FPs): useful as a
+    cheap pre-filter feeding a later exact stage, never as a final
+    answer.
+    """
+    build_key = build_key or fact_key
+    if fact_key not in fact.columns:
+        raise TransformationError(f"fact key not in schema: {fact_key}")
+    if build_key not in build.columns:
+        raise TransformationError(f"build key not in schema: {build_key}")
+    f_type = dict(fact.dtypes)[fact_key]
+    b_type = dict(build.dtypes)[build_key]
+    if f_type != b_type:
+        raise TransformationError(
+            f"bloom_semi_join key types differ (fact {fact_key}: {f_type}, "
+            f"build {build_key}: {b_type}) — xxhash64 digests the binary "
+            "representation, so cast both sides to one type first"
+        )
+    keys = build.select(F.col(build_key).alias(fact_key)).where(
+        F.col(fact_key).isNotNull()
+    )
+    bitmap = build_bloom(keys, fact_key, num_bits, num_hashes)
+    pruned = bloom_filter_rows(fact, fact_key, bitmap, num_bits, num_hashes)
+    if not exact:
+        return pruned
+    return pruned.join(keys.distinct(), on=fact_key, how="left_semi")
+
+
+class BloomSemiJoinTransformer(_BaseTransformer):
+    """YAML type ``bloom_semi_join``: build side is a registered temp
+    view (same convention as ``join``'s ``rightTable``)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        if not opts.get("leftKey"):
+            errors.append("bloom_semi_join requires 'leftKey'")
+        elif opts["leftKey"] not in df.columns:
+            errors.append(f"leftKey not in input schema: {opts['leftKey']}")
+        if not opts.get("rightTable"):
+            errors.append("bloom_semi_join requires 'rightTable'")
+        try:
+            _check_params(
+                int(opts.get("numBits", DEFAULT_NUM_BITS)),
+                int(opts.get("numHashes", DEFAULT_NUM_HASHES)),
+            )
+        except (TransformationError, ValueError) as exc:
+            errors.append(str(exc))
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        build = ctx.spark.table(opts["rightTable"])
+        return bloom_semi_join(
+            df,
+            build,
+            fact_key=opts["leftKey"],
+            build_key=opts.get("rightKey") or opts["leftKey"],
+            num_bits=int(opts.get("numBits", DEFAULT_NUM_BITS)),
+            num_hashes=int(opts.get("numHashes", DEFAULT_NUM_HASHES)),
+            exact=str(opts.get("exact", "true")).lower() != "false",
+        )
