@@ -4641,6 +4641,35 @@ WHERE l_orderkey IN (
 """
 
 
+_KEYWORD_PHRASES = [
+    "the", "data", "model", "training", "of the", "qqq-no-such-phrase",
+]
+
+
+def q_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary keyword tagging over documents via the Aho-Corasick
+    Arrow path (the large-dictionary scale engine — deliberately
+    chosen over the Catalyst expr path so the oracle cross-checks the
+    Python automaton): one row per (doc_id, distinct phrase contained
+    in text), set semantics with nested/overlapping occurrences
+    reported. DuckDB replays it with list_filter + contains."""
+    from etl_spark_gradle_spark.operators.keywords import keyword_matches
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_matches(
+        docs, "text", _KEYWORD_PHRASES, id_cols=["doc_id"], engine="automaton"
+    )
+
+
+_KEYWORD_TAG_ORACLE = f"""
+SELECT doc_id,
+       unnest(list_filter({_KEYWORD_PHRASES!r}, x -> contains(text, x))) AS keyword
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5621,6 +5650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "ecdf": q_ecdf,
         "bloom_semi_join": q_bloom_semi_join,
+        "keyword_tag": q_keyword_tag,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5767,6 +5797,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_quantiles": _WEIGHTED_QUANTILES_ORACLE,
         "ecdf": _ECDF_ORACLE,
         "bloom_semi_join": _BLOOM_SEMI_JOIN_ORACLE,
+        "keyword_tag": _KEYWORD_TAG_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -34,6 +34,11 @@ from etl_spark_gradle_spark.operators.bloom import (  # noqa: F401
     bloom_semi_join,
     build_bloom,
 )
+from etl_spark_gradle_spark.operators.keywords import (  # noqa: F401
+    AhoCorasick,
+    KeywordTagTransformer,
+    keyword_matches,
+)
 from etl_spark_gradle_spark.operators.collocations import (  # noqa: F401
     PmiTransformer,
     pmi_bigrams,
@@ -216,6 +221,7 @@ TRANSFORMER_REGISTRY = {
     "triangle_count": TriangleCountTransformer(),
     "skew_join": SkewJoinTransformer(),
     "bloom_semi_join": BloomSemiJoinTransformer(),
+    "keyword_tag": KeywordTagTransformer(),
     "discretize": DiscretizeTransformer(),
     "target_encode": TargetEncodeTransformer(),
     "one_hot": OneHotTransformer(),

@@ -1,0 +1,223 @@
+"""Dictionary keyword tagging: which blocklist/topic phrases does each
+document contain?
+
+Beyond-reference operator (the reference has no text surface at all —
+SURVEY.md §2.3 stops at relational shapes): the curation primitive
+behind blocklist filtering, topic routing, licensing-string detection,
+and "flag documents mentioning any of these N entities" sweeps over a
+training corpus. Output is the FLAT match relation ``(…keys, keyword)``
+— one row per (document, distinct matched phrase) — which feeds
+directly into a semi/anti join (drop matches), an aggregation (phrase
+frequency report), or a tag-array collect.
+
+Two engines, same results (property-tested against each other):
+
+- ``engine='expr'`` (default to 256 phrases): the dictionary becomes an
+  ARRAY of literals and the scan evaluates ``filter(array, p ->
+  contains(text, p))`` + ``explode`` — pure Catalyst, rides the
+  parquet scan inside whole-stage codegen, zero shuffle, zero Python.
+  Cost is O(|phrases| · |text|) per row — the right trade while the
+  dictionary is small enough to live in the instruction stream.
+- ``engine='automaton'``: a pure-Python Aho-Corasick automaton
+  (Aho & Corasick 1975, CACM 18(6)) built ONCE per executor from the
+  broadcast dictionary, streamed over Arrow batches with
+  ``mapInPandas`` — O(|text| + matches) per row regardless of
+  dictionary size, the scale path for 10^4..10^6-phrase dictionaries
+  where the literal array would blow past codegen limits and the
+  per-phrase rescan would dominate. Still zero shuffle: the only data
+  movement is the dictionary broadcast (bytes per phrase).
+
+Both engines report SET semantics — each phrase at most once per
+document, every phrase that occurs anywhere (overlapping and nested
+occurrences included: the automaton's dict-suffix links are what make
+"a" inside "ab" reportable, the exact case a one-pass regex
+alternation silently drops). Matching is raw substring containment;
+pass ``lowercase=True`` to fold both sides for case-insensitive tags.
+At 100 TB this is a scan-riding narrow stage: partition count and
+pushdown are untouched, so it composes freely with any downstream
+dedup/filter plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from etl_spark_gradle_spark.operators.relational import (
+    TransformationError,
+    _BaseTransformer,
+    _split_csv,
+)
+from etl_spark_gradle_spark.plans.config import (
+    TransformationConfig,
+    ValidationResult,
+)
+
+__all__ = ["keyword_matches", "KeywordTagTransformer", "AhoCorasick"]
+
+_EXPR_MAX = 256
+
+
+class AhoCorasick:
+    """Minimal Aho-Corasick matcher: goto trie + fail links + dict-suffix
+    output sets. ``find_set`` returns the DISTINCT patterns occurring in
+    a text. Pure stdlib on purpose (no C extension in this env); a
+    drop-in like ``pyahocorasick`` slots in behind the same method."""
+
+    def __init__(self, patterns: list[str]):
+        self.patterns = patterns
+        # trie: list of dicts char -> state; output: pattern indexes
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[set[int]] = [set()]
+        for idx, pat in enumerate(patterns):
+            state = 0
+            for ch in pat:
+                nxt = self.goto[state].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append(set())
+                    nxt = len(self.goto) - 1
+                    self.goto[state][ch] = nxt
+                state = nxt
+            self.out[state].add(idx)
+        # BFS fail links; merge output sets along fails (dict-suffix links)
+        from collections import deque
+
+        self.fail = [0] * len(self.goto)
+        queue = deque()
+        for ch, s in self.goto[0].items():
+            queue.append(s)
+        while queue:
+            state = queue.popleft()
+            for ch, nxt in self.goto[state].items():
+                queue.append(nxt)
+                f = self.fail[state]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0)
+                self.out[nxt] |= self.out[self.fail[nxt]]
+
+    def find_set(self, text: str) -> set[str]:
+        state = 0
+        found: set[int] = set()
+        for ch in text:
+            while state and ch not in self.goto[state]:
+                state = self.fail[state]
+            state = self.goto[state].get(ch, 0)
+            if self.out[state]:
+                found |= self.out[state]
+        return {self.patterns[i] for i in found}
+
+
+def keyword_matches(
+    df: DataFrame,
+    text_col: str,
+    phrases: list[str],
+    id_cols: list[str] | None = None,
+    lowercase: bool = False,
+    engine: str | None = None,
+    keyword_col: str = "keyword",
+) -> DataFrame:
+    """Flat match relation: one row per (``id_cols``…, distinct phrase
+    contained in ``text_col``). Documents matching nothing emit no rows
+    (anti-join against this relation = the clean corpus). ``engine``
+    defaults to ``'expr'`` up to 256 phrases, ``'automaton'`` above.
+    """
+    if text_col not in df.columns:
+        raise TransformationError(f"text column not in schema: {text_col}")
+    if not phrases:
+        raise TransformationError("keyword_matches requires a non-empty phrase list")
+    if any(not p for p in phrases):
+        raise TransformationError("empty string is not a valid phrase")
+    if len(set(phrases)) != len(phrases):
+        raise TransformationError("duplicate phrases in dictionary")
+    id_cols = id_cols if id_cols is not None else [c for c in df.columns if c != text_col]
+    for c in id_cols:
+        if c not in df.columns:
+            raise TransformationError(f"id column not in schema: {c}")
+    if keyword_col in id_cols:
+        raise TransformationError(f"keyword column name collides with id column: {keyword_col}")
+    engine = engine or ("expr" if len(phrases) <= _EXPR_MAX else "automaton")
+    if engine not in ("expr", "automaton"):
+        raise TransformationError(f"unknown engine '{engine}' (expr | automaton)")
+
+    if engine == "expr":
+        text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        needles = [p.lower() for p in phrases] if lowercase else phrases
+        matched = F.filter(
+            F.array(*[F.lit(p) for p in needles]),
+            lambda p: text.contains(p),
+        )
+        # null text → null predicate → element dropped by filter() →
+        # empty array → explode emits nothing: null docs match nothing.
+        return df.select(*id_cols, F.explode(matched).alias(keyword_col))
+
+    needles = [p.lower() for p in phrases] if lowercase else phrases
+    schema = StructType(
+        [df.schema[c] for c in id_cols] + [StructField(keyword_col, StringType(), False)]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = AhoCorasick(needles)  # built once per task from the closure
+        for pdf in batches:
+            out_ids: dict[str, list] = {c: [] for c in id_cols}
+            out_kw: list[str] = []
+            texts = pdf[text_col]
+            if lowercase:
+                texts = texts.str.lower()
+            for i, text in enumerate(texts):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
+                for kw in sorted(ac.find_set(text)):
+                    for c in id_cols:
+                        out_ids[c].append(pdf[c].iloc[i])
+                    out_kw.append(kw)
+            out = pd.DataFrame(out_ids)
+            out[keyword_col] = pd.Series(out_kw, dtype="object")
+            yield out[[*id_cols, keyword_col]]
+
+    return df.select(*id_cols, text_col).mapInPandas(scan, schema=schema)
+
+
+class KeywordTagTransformer(_BaseTransformer):
+    """YAML type ``keyword_tag``: ``column`` (text), ``phrases`` (CSV
+    or list), optional ``idColumns`` CSV, ``lowercase``, ``engine``."""
+
+    @staticmethod
+    def _phrases(opts: dict) -> list[str]:
+        raw = opts.get("phrases")
+        if isinstance(raw, list):
+            return [str(p) for p in raw]
+        return _split_csv(raw or "")
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        col = opts.get("column")
+        if not col:
+            errors.append("keyword_tag requires 'column'")
+        elif col not in df.columns:
+            errors.append(f"column not in input schema: {col}")
+        if not self._phrases(opts):
+            errors.append("keyword_tag requires 'phrases' (CSV or list)")
+        eng = opts.get("engine")
+        if eng and eng not in ("expr", "automaton"):
+            errors.append(f"unknown engine '{eng}' (expr | automaton)")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        id_cols = _split_csv(opts.get("idColumns")) or None
+        return keyword_matches(
+            df,
+            text_col=opts["column"],
+            phrases=self._phrases(opts),
+            id_cols=id_cols,
+            lowercase=str(opts.get("lowercase", "false")).lower() == "true",
+            engine=opts.get("engine"),
+            keyword_col=opts.get("keywordColumn", "keyword"),
+        )
