@@ -4670,6 +4670,49 @@ WHERE text IS NOT NULL
 """
 
 
+def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the language mixes of even-
+    vs odd-id documents — ½Σ|p−q| computed over exact decimal(38,0)
+    cross-products summed order-independently, closed by ONE
+    string-roundtrip double division (the only float op). DuckDB
+    replays the integer arithmetic in HUGEINT."""
+    from etl_spark_gradle_spark.operators.stats import tv_distance
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return tv_distance(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), "lang"
+    )
+
+
+_TV_DRIFT_ORACLE = """
+WITH a AS (
+  SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_a
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), b AS (
+  SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_b
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+), j AS (
+  SELECT coalesce(a.category, b.category) AS category,
+         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL JOIN b ON a.category = b.category
+), t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j
+), s AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_categories,
+         SUM(abs(CAST(n_a AS HUGEINT) * CAST(tb AS HUGEINT)
+                 - CAST(n_b AS HUGEINT) * CAST(ta AS HUGEINT))) AS numer,
+         CAST(2 AS HUGEINT) * CAST(ta AS HUGEINT) * CAST(tb AS HUGEINT) AS denom
+  FROM j, t WHERE ta > 0 AND tb > 0 GROUP BY ta, tb
+)
+SELECT ta AS n_a, tb AS n_b, n_categories,
+       CAST(CAST(numer AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(denom AS VARCHAR) AS DOUBLE) AS tv
+FROM s
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5651,6 +5694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecdf": q_ecdf,
         "bloom_semi_join": q_bloom_semi_join,
         "keyword_tag": q_keyword_tag,
+        "tv_drift": q_tv_drift,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5798,6 +5842,7 @@ def oracle_sql() -> dict[str, str]:
         "ecdf": _ECDF_ORACLE,
         "bloom_semi_join": _BLOOM_SEMI_JOIN_ORACLE,
         "keyword_tag": _KEYWORD_TAG_ORACLE,
+        "tv_drift": _TV_DRIFT_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

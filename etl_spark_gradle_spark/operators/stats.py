@@ -41,6 +41,7 @@ __all__ = [
     "linear_fit",
     "zscore_flags",
     "category_drift",
+    "tv_distance",
     "ks_drift",
     "rank_sum_drift",
     "exact_quantiles",
@@ -232,6 +233,36 @@ def category_drift(
     (float summation order over the full table is engine-dependent;
     per-category rows are not).
     """
+    j = _two_sample_counts(df_a, df_b, category_col)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ta, tb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
+    tot_c = na + nb
+    n_all = ta + tb
+    e_a = (ta * tot_c) / n_all
+    e_b = (tb * tot_c) / n_all
+    chi2 = ((na - e_a) * (na - e_a)) / e_a + ((nb - e_b) * (nb - e_b)) / e_b
+    return j.select(
+        "category",
+        "n_a",
+        "n_b",
+        (na / ta).alias("rate_a"),
+        (nb / tb).alias("rate_b"),
+        (na / ta - nb / tb).alias("rate_diff"),
+        chi2.alias("chi2_contrib"),
+    )
+
+
+def _two_sample_counts(
+    df_a: DataFrame, df_b: DataFrame, category_col: str
+) -> DataFrame:
+    """Shared two-sample scaffolding: per-category exact counts from
+    each side (map-side-combined; shuffles carry |categories| rows),
+    full-outer joined with absent-side counts as 0, cross-joined with
+    the broadcast 1-row totals ``_ta``/``_tb``. An empty side would
+    make every downstream rate divide by zero (IEEE Inf/NaN, silently
+    wrong drift) — the totals row is guarded with n>0 on BOTH sides,
+    so drift against an empty side yields an EMPTY frame (ADVICE r4,
+    same contract as ks_drift / rank_sum_drift)."""
     for df, side in ((df_a, "left"), (df_b, "right")):
         if category_col not in df.columns:
             raise TransformationError(
@@ -254,27 +285,71 @@ def category_drift(
     totals = joined.agg(
         F.sum("n_a").cast("long").alias("_ta"),
         F.sum("n_b").cast("long").alias("_tb"),
-    # An empty side would make rate_a/rate_b/chi2_contrib divide by
-    # zero (IEEE Inf/NaN, silently wrong drift). Match ks_drift /
-    # rank_sum_drift: guard totals with n>0 — drift against an empty
-    # side is undefined, return an empty frame instead (ADVICE r4).
     ).filter((F.col("_ta") > 0) & (F.col("_tb") > 0))
-    j = joined.crossJoin(F.broadcast(totals))
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    ta, tb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
-    tot_c = na + nb
-    n_all = ta + tb
-    e_a = (ta * tot_c) / n_all
-    e_b = (tb * tot_c) / n_all
-    chi2 = ((na - e_a) * (na - e_a)) / e_a + ((nb - e_b) * (nb - e_b)) / e_b
-    return j.select(
-        "category",
-        "n_a",
-        "n_b",
-        (na / ta).alias("rate_a"),
-        (nb / tb).alias("rate_b"),
-        (na / ta - nb / tb).alias("rate_diff"),
-        chi2.alias("chi2_contrib"),
+    return joined.crossJoin(F.broadcast(totals))
+
+
+def tv_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category_col: str,
+    per_category: bool = False,
+) -> DataFrame:
+    """Total-variation distance between two categorical distributions —
+    ``TV = ½ Σ_c |p(c) − q(c)|``, the "what fraction of probability
+    mass moved" number (0 = identical mixes, 1 = disjoint), the
+    standard one-glance companion to ``category_drift``'s χ² (which
+    grows with N even for tiny shifts; TV is scale-free).
+
+    Exactness contract (what makes this hash-reproducible across
+    engines where a naive float formulation is not): per-category
+    ``|p−q| = |n_a·tb − n_b·ta| / (ta·tb)`` is computed over EXACT
+    ``decimal(38,0)`` integer products (two full longs multiply
+    without overflow), the numerators are SUMMED as exact decimals —
+    order-independent, unlike any float sum — and ONE string-roundtrip
+    double division closes the statistic. Default output is the 1-row
+    summary ``(n_a, n_b, n_categories, tv)``; ``per_category=True``
+    returns instead the |categories|-sized contribution table with
+    ``tv_contrib`` (this category's share of TV) and ``bc_contrib``
+    (Bhattacharyya coefficient term ``sqrt(p·q)`` — sum ≤ 1 and
+    Hellinger² = 1 − ΣBC; the TOTAL is left to the caller because a
+    float sum's order is engine-dependent, same caller contract as
+    ``category_drift``'s χ²).
+
+    Scale: identical plan to ``category_drift`` — two map-side-combined
+    count shuffles carrying |categories| rows, one tiny outer join, a
+    broadcast 1-row totals; neither input scanned twice or shuffled
+    raw. Empty side ⇒ empty frame (see ``_two_sample_counts``).
+    """
+    j = _two_sample_counts(df_a, df_b, category_col)
+    dl = "decimal(19,0)"
+    cross_a = (F.col("n_a").cast(dl) * F.col("_tb").cast(dl)).cast("decimal(38,0)")
+    cross_b = (F.col("n_b").cast(dl) * F.col("_ta").cast(dl)).cast("decimal(38,0)")
+    abs_diff = F.abs(cross_a - cross_b)
+    denom = (
+        F.lit(2).cast(dl) * F.col("_ta").cast(dl) * F.col("_tb").cast(dl)
+    ).cast("decimal(38,0)")
+    if per_category:
+        na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+        ta, tb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
+        return j.select(
+            "category",
+            "n_a",
+            "n_b",
+            (na / ta).alias("rate_a"),
+            (nb / tb).alias("rate_b"),
+            (_d(abs_diff) / _d(denom)).alias("tv_contrib"),
+            F.sqrt((na / ta) * (nb / tb)).alias("bc_contrib"),
+        )
+    agg = j.groupBy("_ta", "_tb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(abs_diff).cast("decimal(38,0)").alias("_numer"),
+    )
+    return agg.select(
+        F.col("_ta").alias("n_a"),
+        F.col("_tb").alias("n_b"),
+        "n_categories",
+        (_d(F.col("_numer")) / _d(denom)).alias("tv"),
     )
 
 
@@ -1086,7 +1161,10 @@ class DriftTransformer:
     registered under ``views:``) plus EXACTLY ONE of
     ``categoryColumn`` (categorical χ² table) or ``valueColumn``
     (continuous two-sample test; ``statistic: ks`` default or
-    ``rank_sum`` for Mann–Whitney AUC)."""
+    ``rank_sum`` for Mann–Whitney AUC). With ``categoryColumn``,
+    ``statistic: tv`` selects the total-variation summary
+    (``perCategory: true`` for the contribution table) instead of the
+    default χ² table."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -1104,9 +1182,14 @@ class DriftTransformer:
             errors.append(f"value column not in input schema: {val}")
         if not opts.get("otherView"):
             errors.append("drift requires 'otherView'")
-        if opts.get("statistic", "ks") not in ("ks", "rank_sum"):
+        stat = opts.get("statistic")
+        if val and stat not in (None, "ks", "rank_sum"):
             errors.append(
-                f"drift statistic must be ks|rank_sum, got '{opts['statistic']}'"
+                f"drift statistic for valueColumn must be ks|rank_sum, got '{stat}'"
+            )
+        if cat and stat not in (None, "chi2", "tv"):
+            errors.append(
+                f"drift statistic for categoryColumn must be chi2|tv, got '{stat}'"
             )
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
@@ -1127,6 +1210,13 @@ class DriftTransformer:
             if opts.get("statistic", "ks") == "rank_sum":
                 return rank_sum_drift(df, other, opts["valueColumn"])
             return ks_drift(df, other, opts["valueColumn"])
+        if opts.get("statistic") == "tv":
+            return tv_distance(
+                df,
+                other,
+                opts["categoryColumn"],
+                per_category=str(opts.get("perCategory", "false")).lower() == "true",
+            )
         return category_drift(df, other, opts["categoryColumn"])
 
     def lineage_step(self, config) -> str:

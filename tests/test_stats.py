@@ -691,3 +691,66 @@ def test_ecdf_matches_cume_dist_and_handles_null_groups(spark):
     assert ("g", 5000) not in outs[0]
     # x = 0 appears 50 times of 5000 -> F(0) = 0.01
     assert outs[0][0] == (0.0, 0.01)
+
+
+def test_tv_distance_hand_computed(spark):
+    from etl_spark_gradle_spark.operators.stats import tv_distance
+
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 4, "c string")
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 8, "c string")
+    # p = {x:.6, y:.4}; q = {x:.2, z:.8} -> TV = .5*(|.6-.2|+.4+.8) = 0.8
+    row = tv_distance(a, b, "c").collect()[0]
+    assert row["n_a"] == 10 and row["n_b"] == 10 and row["n_categories"] == 3
+    assert abs(row["tv"] - 0.8) < 1e-15
+    per = {r["category"]: r for r in tv_distance(a, b, "c", per_category=True).collect()}
+    assert abs(per["x"]["tv_contrib"] - 0.2) < 1e-15
+    assert abs(per["y"]["tv_contrib"] - 0.2) < 1e-15
+    assert abs(per["z"]["tv_contrib"] - 0.4) < 1e-15
+    # Bhattacharyya terms: only the shared category contributes
+    assert abs(per["x"]["bc_contrib"] - (0.6 * 0.2) ** 0.5) < 1e-15
+    assert per["y"]["bc_contrib"] == 0.0 and per["z"]["bc_contrib"] == 0.0
+
+
+def test_tv_distance_identity_disjoint_and_empty(spark):
+    from etl_spark_gradle_spark.operators.stats import tv_distance
+
+    a = spark.createDataFrame([("x",), ("y",)], "c string")
+    assert tv_distance(a, a, "c").collect()[0]["tv"] == 0.0
+    b = spark.createDataFrame([("z",)], "c string")
+    assert tv_distance(a, b, "c").collect()[0]["tv"] == 1.0
+    empty = a.where("1=0")
+    assert tv_distance(a, empty, "c").count() == 0  # empty-side guard
+    assert tv_distance(empty, a, "c").count() == 0
+
+
+def test_tv_distance_contributions_sum_to_total(spark, sf_dir):
+    from etl_spark_gradle_spark.operators.stats import tv_distance
+    from tests.conftest import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    a, b = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    total = tv_distance(a, b, "lang").collect()[0]["tv"]
+    contribs = [r["tv_contrib"] for r in tv_distance(a, b, "lang", per_category=True).collect()]
+    assert abs(sum(contribs) - total) < 1e-12
+    assert 0.0 <= total <= 1.0
+
+
+def test_drift_adapter_tv_mode(spark):
+    from etl_spark_gradle_spark.operators.stats import DriftTransformer
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    a = spark.createDataFrame([("x",), ("y",)], "c string")
+    b = spark.createDataFrame([("x",), ("x",)], "c string")
+    b.createOrReplaceTempView("tv_other")
+    cfg = TransformationConfig(
+        type="drift",
+        options={"otherView": "tv_other", "categoryColumn": "c", "statistic": "tv"},
+    )
+    out = DriftTransformer().transform(a, cfg, RunContext.create("t-tv", spark))
+    assert out.columns == ["n_a", "n_b", "n_categories", "tv"]
+    assert abs(out.collect()[0]["tv"] - 0.5) < 1e-15
+    bad = TransformationConfig(
+        type="drift",
+        options={"otherView": "tv_other", "categoryColumn": "c", "statistic": "ks"},
+    )
+    assert not DriftTransformer().validate(a, bad).is_valid
