@@ -28,6 +28,8 @@ And the extension-operator shapes:
 15. q15_cdf_stats   — KS drift via the distributed prefix-sum CDF
 16. q16_discretize  — exact quantile binning (grouped CDF edges +
                       broadcast + array-aggregate bin close)
+17. q17_bloom_join  — Bloom-pruned semi join (bitmap bit_or build +
+                      broadcast bit probes + survivor-only verify)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -378,6 +380,25 @@ def q16_discretize(spark):
     )
 
 
+def q17_bloom_join(spark):
+    """Bloom-pruned semi join: lineitem rows of URGENT orders via the
+    blocked-Bloom bitmap relation (bit_or bitmap build + 3 broadcast
+    bit-probe joins + survivor-only exact verify join) — the round-5
+    prune-before-shuffle plan. Forced through a hash-sum aggregate so
+    the join payload can't be pruned to a count."""
+    from etl_spark_gradle_spark.operators.bloom import bloom_semi_join
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    od = load(spark, "orders").where("o_orderpriority = '1-URGENT'")
+    out = bloom_semi_join(li, od, "l_orderkey", "o_orderkey", num_bits=1 << 20)
+    return out.agg(
+        F.sum(F.xxhash64("l_orderkey", "l_linenumber", "l_returnflag")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -395,6 +416,7 @@ QUERIES = {
     "q14_resample": q14_resample,
     "q15_cdf_stats": q15_cdf_stats,
     "q16_discretize": q16_discretize,
+    "q17_bloom_join": q17_bloom_join,
 }
 
 
