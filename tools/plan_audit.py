@@ -43,6 +43,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["SortMergeJoin"],
     ),
     (
+        "bloom_semi_join",
+        "bitmap bit-probes broadcast; fact side never sort-merges",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    (
         "ranking",
         "top-k pushed below the shuffle as WindowGroupLimit",
         ["WindowGroupLimit"],
