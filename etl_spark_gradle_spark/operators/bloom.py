@@ -179,6 +179,7 @@ def bloom_semi_join(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
     exact: bool = True,
+    materialize_bitmap: bool = True,
 ) -> DataFrame:
     """Rows of ``fact`` whose ``fact_key`` appears in ``build[build_key]``
     — a left-semi join whose fact-side shuffle carries only Bloom
@@ -186,6 +187,17 @@ def bloom_semi_join(
     result is the raw Bloom superset (true matches + FPs): useful as a
     cheap pre-filter feeding a later exact stage, never as a final
     answer.
+
+    ``materialize_bitmap`` (default on) eagerly ``localCheckpoint``s
+    the bitmap before the probes: the ``num_hashes`` probe joins each
+    reference the bitmap subtree and Spark does NOT reuse the broadcast
+    exchange across them (measured: the build side was scanned once per
+    probe, zero ReusedExchange), so without materialization the build
+    side is re-scanned ``num_hashes`` times. The checkpoint is bounded
+    — at most ``num_bits/64`` rows of two longs (512 KiB of words at
+    the 2^22 default) — and turned the probe from 0.77 s to 0.46 s
+    against a 0.66 s plain sort-merge join at sf1 local[32]. Pass
+    ``False`` only when the caller manages its own persistence.
     """
     build_key = build_key or fact_key
     if fact_key not in fact.columns:
@@ -204,6 +216,8 @@ def bloom_semi_join(
         F.col(fact_key).isNotNull()
     )
     bitmap = build_bloom(keys, fact_key, num_bits, num_hashes)
+    if materialize_bitmap:
+        bitmap = bitmap.localCheckpoint(eager=True)
     pruned = bloom_filter_rows(fact, fact_key, bitmap, num_bits, num_hashes)
     if not exact:
         return pruned
