@@ -4713,6 +4713,57 @@ FROM s
 """
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust standardization of event values per event type:
+    (x − median)/(1.4826·MAD) with BOTH statistics as exact type-1
+    quantiles via the histogram+CDF path — row-level output, the frame
+    never re-shuffles (stats come back as #groups-row broadcast
+    joins). NULL scaled marks unscalable (MAD=0) groups and NULL
+    inputs."""
+    from etl_spark_gradle_spark.operators.features import robust_scale
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return robust_scale(ev, "value", group_by=["event_type"])
+
+
+_ROBUST_SCALE_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+), c1 AS (
+  SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), cdf1 AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM c1
+), med AS (
+  SELECT g, min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS med
+  FROM cdf1 GROUP BY g
+), dev AS (
+  SELECT b.g, abs(b.x - m.med) AS adev FROM base b JOIN med m USING (g)
+), c2 AS (
+  SELECT g, adev AS v, CAST(count(*) AS BIGINT) AS c FROM dev GROUP BY 1, 2
+), cdf2 AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM c2
+), mad AS (
+  SELECT g, min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS mad
+  FROM cdf2 GROUP BY g
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN 1.4826 * a.mad > 0
+            THEN (CAST(e.value AS DOUBLE) - m.med) / (1.4826 * a.mad)
+       END AS value_scaled
+FROM events e
+LEFT JOIN med m ON e.event_type = m.g
+LEFT JOIN mad a ON e.event_type = a.g
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5695,6 +5746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "keyword_tag": q_keyword_tag,
         "tv_drift": q_tv_drift,
+        "robust_scale": q_robust_scale,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5843,6 +5895,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": _BLOOM_SEMI_JOIN_ORACLE,
         "keyword_tag": _KEYWORD_TAG_ORACLE,
         "tv_drift": _TV_DRIFT_ORACLE,
+        "robust_scale": _ROBUST_SCALE_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

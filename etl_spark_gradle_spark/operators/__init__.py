@@ -136,8 +136,10 @@ from etl_spark_gradle_spark.operators.skew import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.features import (  # noqa: F401
     OneHotTransformer,
+    RobustScaleTransformer,
     TargetEncodeTransformer,
     one_hot,
+    robust_scale,
     target_encode,
 )
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
@@ -225,6 +227,7 @@ TRANSFORMER_REGISTRY = {
     "discretize": DiscretizeTransformer(),
     "target_encode": TargetEncodeTransformer(),
     "one_hot": OneHotTransformer(),
+    "robust_scale": RobustScaleTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

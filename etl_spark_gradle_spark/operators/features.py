@@ -47,7 +47,14 @@ from etl_spark_gradle_spark.plans.config import (
     ValidationResult,
 )
 
-__all__ = ["target_encode", "one_hot", "TargetEncodeTransformer", "OneHotTransformer"]
+__all__ = [
+    "target_encode",
+    "one_hot",
+    "robust_scale",
+    "TargetEncodeTransformer",
+    "OneHotTransformer",
+    "RobustScaleTransformer",
+]
 
 
 def _exact_mean(sum_col, n_col):
@@ -165,6 +172,129 @@ def one_hot(
             (col.isNull() | ~col.isin([str(v) for v in values])).cast("int"),
         )
     return out
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str] | None = None,
+    method: str = "mad",
+    scale: float = 1.4826,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Outlier-resistant standardization — the robust counterpart of
+    z-scoring (``stats.zscore_flags`` uses mean/σ, which one extreme
+    value drags; median and MAD/IQR have a 50%/25% breakdown point).
+    Adds ``output_col`` (default ``<value_col>_scaled``) to the frame:
+
+    - ``method='mad'``: ``(x − median) / (scale·MAD)`` with
+      ``scale=1.4826`` making MAD a consistent σ estimator under
+      normality (sklearn's RobustScaler analog in robust sigmas),
+    - ``method='iqr'``: ``(x − median) / (Q3 − Q1)`` (sklearn
+      RobustScaler's default quantile_range).
+
+    A zero denominator (constant-majority group) yields NULL — a
+    documented "cannot scale" sentinel, never ±Inf. NULL inputs stay
+    NULL; rows are never dropped or reordered.
+
+    Every statistic is an EXACT type-1 quantile through the
+    ``exact_quantiles`` histogram+CDF path (no executor value
+    buffering, no engine sketch — the 100 TB route, same machinery as
+    ``mad_outliers``), and the closing arithmetic is fixed-order IEEE
+    on table values, so the scaled column reproduces bit-for-bit
+    cross-engine. Plan: one or two histogram shuffles for the
+    statistics + #groups-row broadcast joins back; the frame itself is
+    NEVER re-shuffled (group cardinality assumed dimension-like).
+    """
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    if method not in ("mad", "iqr"):
+        raise TransformationError(
+            f"robust_scale method must be mad|iqr, got '{method}'"
+        )
+    if scale <= 0:
+        raise TransformationError("robust_scale requires scale > 0")
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"robust_scale: value column not in schema: {value_col}"
+        )
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    out_col = output_col or f"{value_col}_scaled"
+    if out_col in df.columns:
+        raise TransformationError(
+            f"robust_scale output column already in schema: {out_col}"
+        )
+
+    vals = df.select(
+        *group_by, F.col(value_col).cast("double").alias("_x")
+    ).where(F.col("_x").isNotNull())
+    med = exact_quantiles(vals, "_x", [0.5], group_by=group_by).select(
+        *group_by, F.col("value").alias("_med")
+    )
+    if method == "mad":
+        dev = broadcast_group_join(vals, med, group_by).select(
+            *group_by, F.abs(F.col("_x") - F.col("_med")).alias("_adev")
+        )
+        mad = exact_quantiles(dev, "_adev", [0.5], group_by=group_by).select(
+            *group_by, F.col("value").alias("_mad")
+        )
+        stats = broadcast_group_join(med, mad, group_by, how="inner")
+        denom = F.lit(float(scale)) * F.col("_mad")
+    else:
+        qs = exact_quantiles(vals, "_x", [0.25, 0.75], group_by=group_by)
+        spread = qs.groupBy(*[F.col(c) for c in group_by]).agg(
+            F.min(F.when(F.col("prob") == 0.25, F.col("value"))).alias("_q1"),
+            F.min(F.when(F.col("prob") == 0.75, F.col("value"))).alias("_q3"),
+        )
+        stats = broadcast_group_join(med, spread, group_by, how="inner")
+        denom = F.col("_q3") - F.col("_q1")
+
+    enriched = broadcast_group_join(df, stats, group_by)
+    scaled = F.when(
+        denom > 0,
+        (F.col(value_col).cast("double") - F.col("_med")) / denom,
+    )
+    drop = ["_med", "_mad"] if method == "mad" else ["_med", "_q1", "_q3"]
+    return enriched.withColumn(out_col, scaled).drop(*drop)
+
+
+class RobustScaleTransformer(_BaseTransformer):
+    """YAML type ``robust_scale``: ``column`` (required), ``groupBy``
+    csv, ``method`` mad|iqr, ``scale``, ``outputColumn``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        col = opts.get("column")
+        if not col:
+            errors.append("robust_scale requires 'column'")
+        elif col not in df.columns:
+            errors.append(f"column not in input schema: {col}")
+        if opts.get("method", "mad") not in ("mad", "iqr"):
+            errors.append(f"method must be mad|iqr, got '{opts['method']}'")
+        try:
+            if float(opts.get("scale", 1.4826)) <= 0:
+                errors.append("scale must be > 0")
+        except ValueError:
+            errors.append(f"scale is not a number: {opts['scale']}")
+        for c in _split_csv(opts.get("groupBy")):
+            if c not in df.columns:
+                errors.append(f"group column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return robust_scale(
+            df,
+            value_col=opts["column"],
+            group_by=_split_csv(opts.get("groupBy")) or None,
+            method=opts.get("method", "mad"),
+            scale=float(opts.get("scale", 1.4826)),
+            output_col=opts.get("outputColumn"),
+        )
 
 
 class TargetEncodeTransformer(_BaseTransformer):

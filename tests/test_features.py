@@ -142,3 +142,82 @@ def test_one_hot_vocab_other_and_nulls(spark):
         RunContext.create("t", spark),
     )
     assert "is_red" in out2.columns and "is_blue" in out2.columns
+
+
+class TestRobustScale:
+    def test_mad_mode_hand_computed(self, spark):
+        from etl_spark_gradle_spark.operators.features import robust_scale
+
+        vals = list(range(1, 10)) + [1000]
+        df = spark.createDataFrame([("g", float(v)) for v in vals], "grp string, x double")
+        out = {r.x: r.x_scaled for r in robust_scale(df, "x", group_by=["grp"]).collect()}
+        med, mad = 5.0, 2.0  # type-1 medians of values / abs deviations
+        for v in vals:
+            assert abs(out[float(v)] - (v - med) / (1.4826 * mad)) < 1e-12
+        # the outlier is far out in robust sigmas yet did not drag the scale
+        assert out[1000.0] > 300
+
+    def test_iqr_mode(self, spark):
+        from etl_spark_gradle_spark.operators.features import robust_scale
+
+        vals = list(range(1, 10)) + [1000]
+        df = spark.createDataFrame([("g", float(v)) for v in vals], "grp string, x double")
+        out = {r.x: r.x_scaled for r in
+               robust_scale(df, "x", group_by=["grp"], method="iqr").collect()}
+        # type-1: q1 = 3rd of 10 -> 3, q3 = 8th -> 8, med = 5th -> 5
+        for v in vals:
+            assert abs(out[float(v)] - (v - 5.0) / 5.0) < 1e-12
+
+    def test_degenerate_and_null_inputs(self, spark):
+        from etl_spark_gradle_spark.operators.features import robust_scale
+
+        df = spark.createDataFrame(
+            [("c", 7.0), ("c", 7.0), ("c", None), ("d", 1.0), ("d", 2.0), ("d", 3.0)],
+            "grp string, x double",
+        )
+        rows = robust_scale(df, "x", group_by=["grp"]).collect()
+        c = [r for r in rows if r.grp == "c"]
+        assert len(c) == 3 and all(r.x_scaled is None for r in c)  # MAD=0 + null x
+        d = {r.x: r.x_scaled for r in rows if r.grp == "d"}
+        assert abs(d[3.0] - 1.0 / 1.4826) < 1e-12
+
+    def test_rows_never_dropped_and_frame_not_reshuffled(self, spark, sf_dir):
+        from etl_spark_gradle_spark.operators.features import robust_scale
+        from tests.conftest import load_table
+
+        ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+        out = robust_scale(ev, "value", group_by=["event_type"])
+        assert out.count() == ev.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the row-level enrichment join must be broadcast, not a shuffle
+        # of the frame (histogram shuffles for the stats are expected)
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation_and_adapter(self, spark):
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.features import (
+            RobustScaleTransformer,
+            robust_scale,
+        )
+        from etl_spark_gradle_spark.operators.relational import TransformationError
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+        df = spark.createDataFrame([("g", 1.0)], "grp string, x double")
+        with _pytest.raises(TransformationError, match="method"):
+            robust_scale(df, "x", method="bogus")
+        with _pytest.raises(TransformationError, match="not in schema"):
+            robust_scale(df, "nope")
+        with _pytest.raises(TransformationError, match="already in schema"):
+            robust_scale(df.withColumn("x_scaled", df.x), "x")
+        assert "robust_scale" in TRANSFORMER_REGISTRY
+        cfg = TransformationConfig(
+            type="robust_scale",
+            options={"column": "x", "groupBy": "grp", "method": "iqr"},
+        )
+        out = RobustScaleTransformer().transform(df, cfg, RunContext.create("t", spark))
+        assert "x_scaled" in out.columns
+        bad = TransformationConfig(type="robust_scale", options={"scale": "abc"})
+        res = RobustScaleTransformer().validate(df, bad)
+        assert not res.is_valid and any("scale" in e for e in res.errors)
