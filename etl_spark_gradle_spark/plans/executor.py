@@ -340,11 +340,25 @@ class PipelineExecutor:
             # the observation rode the sink action — no extra job ran.
             # In the quality path it observes the valid branch, so the
             # quarantined rows are added back to get the extracted total.
-            metrics.records_extracted = (
-                int(extract_obs.get["records_extracted"]) + metrics.records_failed
-                if extract_obs is not None
-                else -1
-            )
+            # Observation.get raises a JVM assertion when the observed
+            # node's metrics never materialized — AQE can eliminate the
+            # observed subtree entirely (seen: an EMPTY keyword-match
+            # relation empty-propagated through a LEFT ANTI join whose
+            # other side re-reads the source, leaving no executed task
+            # containing the observe node). The pipeline's OUTPUT is
+            # correct in that case; failing the run over a lost counter
+            # would be wrong, so degrade to the documented -1 sentinel
+            # (same contract as performance.skipExtractCount).
+            if extract_obs is not None:
+                try:
+                    metrics.records_extracted = (
+                        int(extract_obs.get["records_extracted"])
+                        + metrics.records_failed
+                    )
+                except Exception:  # noqa: BLE001 — lost-observation fallback
+                    metrics.records_extracted = -1
+            else:
+                metrics.records_extracted = -1
             metrics.quality_report = report
             collector.record("extract", metrics.records_extracted)
             collector.record("load", metrics.records_loaded)

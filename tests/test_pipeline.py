@@ -578,3 +578,67 @@ def test_training_set_assembly_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatc
     }
     assert set(srcs) <= {"src0", "src1", "src2"}
     assert srcs["src0"] >= max(srcs.get("src1", 0), srcs.get("src2", 0))
+
+
+def test_lost_observation_degrades_to_sentinel_not_failure(spark, sf_dir, tmp_path):
+    """AQE can eliminate the observed extract subtree entirely — seen
+    when an EMPTY keyword-match relation empty-propagates through a
+    LEFT ANTI join whose other side re-reads the source. The output is
+    correct; the run must SUCCEED with records_extracted = -1 (the
+    skipExtractCount sentinel), not fail on Observation.get's JVM
+    assertion."""
+    import yaml
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    doc = {
+        "pipelineId": "lost-observation",
+        "source": {
+            "type": "file",
+            "options": {"path": f"{sf_dir}/documents.parquet", "format": "parquet"},
+        },
+        "views": {
+            "corpus_v": {
+                "type": "file",
+                "options": {"path": f"{sf_dir}/documents.parquet", "format": "parquet"},
+            }
+        },
+        "transformations": [
+            {
+                "type": "keyword_tag",
+                "options": {
+                    "column": "text",
+                    "phrases": "qqq-no-phrase-matches-this-zz",
+                    "idColumns": "doc_id",
+                },
+            },
+            {
+                "type": "sql",
+                "options": {
+                    "inputView": "matches_v",
+                    "statement": (
+                        "SELECT c.* FROM corpus_v c LEFT ANTI JOIN "
+                        "(SELECT DISTINCT doc_id FROM matches_v) m "
+                        "ON c.doc_id = m.doc_id"
+                    ),
+                },
+            },
+        ],
+        "sink": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "out"), "format": "parquet"},
+            "writeMode": "overwrite",
+        },
+    }
+    p = tmp_path / "p.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    metrics = PipelineExecutor().execute(load_pipeline_yaml(str(p)), spark)
+    assert metrics.status == "SUCCESS", metrics.error_details
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert metrics.records_loaded == n_docs  # nothing matched -> nothing dropped
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_docs
+    # today the counter is lost (-1 sentinel); if a future Spark keeps
+    # the observe node alive under empty-relation propagation the real
+    # count is equally acceptable — the contract is "never FAILED"
+    assert metrics.records_extracted in (-1, n_docs)
