@@ -469,3 +469,95 @@ def test_z_value_matches_python_reference_property(spark_prop, points, bits):
     }
     for i, (x, y) in enumerate(points):
         assert got[i] == ref_z(x, y), (i, x, y, bits)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1, max_size=8, unique=True,
+    ),
+    st.text(alphabet="ab", max_size=60),
+)
+def test_aho_corasick_matches_bruteforce(patterns, text):
+    """The automaton (goto/fail/dict-suffix links) must report exactly
+    the brute-force `p in text` set. The 2-letter alphabet maximizes
+    nested/overlapping/shared-prefix patterns — the cases where fail
+    and dict-suffix links actually fire."""
+    from etl_spark_gradle_spark.operators.keywords import AhoCorasick
+
+    assert AhoCorasick(patterns).find_set(text) == {
+        p for p in patterns if p in text
+    }
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", categories=("Lu", "Ll", "Nd")),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=6, unique=True,
+    ),
+    st.text(
+        alphabet=st.characters(codec="utf-8", categories=("Lu", "Ll", "Nd", "Zs")),
+        max_size=40,
+    ),
+)
+def test_aho_corasick_matches_bruteforce_unicode(patterns, text):
+    from etl_spark_gradle_spark.operators.keywords import AhoCorasick
+
+    assert AhoCorasick(patterns).find_set(text) == {
+        p for p in patterns if p in text
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=20),
+)
+def test_bloom_semi_join_matches_set_semantics(spark_prop, fact_keys, build_keys):
+    """Exact-mode bloom semi join over arbitrary (duplicated, negative)
+    keys must equal plain key-membership filtering — multiplicity of
+    the fact side preserved, build-side duplicates irrelevant."""
+    from etl_spark_gradle_spark.operators.bloom import bloom_semi_join
+
+    fact = spark_prop.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "k long, rowid long"
+    )
+    build = spark_prop.createDataFrame([(k,) for k in build_keys], "k long")
+    got = sorted(
+        (r.k, r.rowid)
+        for r in bloom_semi_join(fact, build, "k", num_bits=256).collect()
+    )
+    bset = set(build_keys)
+    want = sorted((k, i) for i, k in enumerate(fact_keys) if k in bset)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from("uvwxyz"), min_size=1, max_size=30),
+    st.lists(st.sampled_from("uvwxyz"), min_size=1, max_size=30),
+)
+def test_tv_distance_matches_python_reference(spark_prop, cats_a, cats_b):
+    """TV total matches the Counter-based reference, is symmetric, and
+    sits in [0, 1]."""
+    from collections import Counter
+
+    from etl_spark_gradle_spark.operators.stats import tv_distance
+
+    df_a = spark_prop.createDataFrame([(c,) for c in cats_a], "c string")
+    df_b = spark_prop.createDataFrame([(c,) for c in cats_b], "c string")
+    tv = tv_distance(df_a, df_b, "c").collect()[0]["tv"]
+    tv_rev = tv_distance(df_b, df_a, "c").collect()[0]["tv"]
+    ca, cb = Counter(cats_a), Counter(cats_b)
+    ta, tb = len(cats_a), len(cats_b)
+    want = 0.5 * sum(
+        abs(ca.get(c, 0) / ta - cb.get(c, 0) / tb) for c in set(ca) | set(cb)
+    )
+    assert abs(tv - want) < 1e-12
+    assert tv == tv_rev
+    assert 0.0 <= tv <= 1.0
