@@ -133,8 +133,16 @@ def keyword_matches(
         raise TransformationError("keyword_matches requires a non-empty phrase list")
     if any(not p for p in phrases):
         raise TransformationError("empty string is not a valid phrase")
-    if len(set(phrases)) != len(phrases):
-        raise TransformationError("duplicate phrases in dictionary")
+    # duplicates are checked on the MATCHED form: with lowercase=True,
+    # "The" and "the" fold to one needle — left in, the expr path's
+    # literal array would emit the row twice while the automaton's
+    # output set dedups, silently diverging the two engines
+    folded = [p.lower() for p in phrases] if lowercase else phrases
+    if len(set(folded)) != len(folded):
+        raise TransformationError(
+            "duplicate phrases in dictionary"
+            + (" after lowercase folding" if lowercase else "")
+        )
     id_cols = id_cols if id_cols is not None else [c for c in df.columns if c != text_col]
     for c in id_cols:
         if c not in df.columns:

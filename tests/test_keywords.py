@@ -130,3 +130,21 @@ class TestKeywordTagTransformer:
         from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
 
         assert "keyword_tag" in TRANSFORMER_REGISTRY
+
+
+def test_case_folded_duplicates_refused(spark):
+    """With lowercase=True, 'The' and 'the' fold to one needle; left
+    in, the expr path's literal array would emit the match twice while
+    the automaton's output set dedups — so the fold-duplicate is
+    refused up front."""
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.keywords import keyword_matches
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    df = spark.createDataFrame([(1, "the thing")], "id long, body string")
+    with _pytest.raises(TransformationError, match="lowercase folding"):
+        keyword_matches(df, "body", ["The", "the"], id_cols=["id"], lowercase=True)
+    # without folding the same dictionary is two distinct phrases
+    out = keyword_matches(df, "body", ["The", "the"], id_cols=["id"])
+    assert [r.keyword for r in out.collect()] == ["the"]
