@@ -193,6 +193,17 @@ class TestRobustScale:
         # of the frame (histogram shuffles for the stats are expected)
         assert "BroadcastHashJoin" in plan
 
+    def test_global_ungrouped_both_methods(self, spark):
+        from etl_spark_gradle_spark.operators.features import robust_scale
+
+        df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "x double")
+        mad = {r.x: r.x_scaled for r in robust_scale(df, "x").collect()}
+        # type-1: median of 1..10 -> 5; adev median -> 2
+        assert abs(mad[10.0] - (10 - 5.0) / (1.4826 * 2.0)) < 1e-12
+        iqr = {r.x: r.x_scaled for r in robust_scale(df, "x", method="iqr").collect()}
+        # q1 = 3rd -> 3, q3 = 8th -> 8
+        assert abs(iqr[10.0] - (10 - 5.0) / 5.0) < 1e-12
+
     def test_validation_and_adapter(self, spark):
         import pytest as _pytest
 
