@@ -4764,6 +4764,54 @@ LEFT JOIN mad a ON e.event_type = a.g
 """
 
 
+def q_fold_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latin accent→ASCII folding (café→cafe, straße→strasse) — the
+    normalization step before fingerprint/exact dedup. The testdata is
+    ASCII, so the query SYNTHESIZES accent-bearing strings per row
+    (fixed accented prefix + table values) and folds them; both
+    engines build the same input and apply the SAME codepoint map, so
+    the hash match proves the translate table character-for-character."""
+    from etl_spark_gradle_spark.operators.text import fold_accents
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Çàfé ÀÉÎÕÜ ß Æon Œuvre Þing đǽ-"),
+        F.col("lang"),
+        F.lit(" №"),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("raw"),
+        fold_accents(raw).alias("folded"),
+    )
+
+
+def _fold_accents_oracle() -> str:
+    from etl_spark_gradle_spark.operators.text import (
+        _ACCENT_DST,
+        _ACCENT_EXPANSIONS,
+        _ACCENT_SRC,
+    )
+
+    expr = "raw"
+    for src, dst in _ACCENT_EXPANSIONS:
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    expr = f"translate({expr}, '{_ACCENT_SRC}', '{_ACCENT_DST}')"
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         'Çàfé ÀÉÎÕÜ ß Æon Œuvre Þing đǽ-' || lang || ' №' ||
+         CAST(doc_id AS VARCHAR) || ' ' || substring(text, 1, 40) AS raw
+  FROM documents
+)
+SELECT doc_id, raw, {expr} AS folded FROM r
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5747,6 +5795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_tag": q_keyword_tag,
         "tv_drift": q_tv_drift,
         "robust_scale": q_robust_scale,
+        "fold_accents": q_fold_accents,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5896,6 +5945,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_tag": _KEYWORD_TAG_ORACLE,
         "tv_drift": _TV_DRIFT_ORACLE,
         "robust_scale": _ROBUST_SCALE_ORACLE,
+        "fold_accents": _fold_accents_oracle(),
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -293,6 +293,41 @@ def clean_html(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"(?U)\s+", " "))
 
 
+# Latin accent → ASCII fold map as two parallel strings (consumed by
+# `translate`, a 1:1 codepoint map — NOT full Unicode NFKD, which needs
+# a real normalizer; this covers the Latin-1 Supplement + Latin
+# Extended-A letters that dominate European-language crawl text).
+# ß/Æ/Œ-style 1:N expansions cannot ride a 1:1 translate and are
+# handled as explicit replaces in fold_accents.
+_ACCENT_SRC = (
+    "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝŸýÿÑñÇç"
+    "ĀāĂăĄąĆćĈĉĊċČčĎďĐđĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĦħĨĩĪīĬĭĮįİıĴĵĶķĹĺĻļĽľŁł"
+    "ŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŦŧŨũŪūŬŭŮůŰűŲųŴŵŶŷŹźŻżŽž"
+)
+_ACCENT_DST = (
+    "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOOooooooUUUUuuuuYYyyNnCc"
+    "AaAaAaCcCcCcCcDdDdEeEeEeEeEeGgGgGgGgHhHhIiIiIiIiIiJjKkLlLlLlLl"
+    "NnNnNnOoOoOoRrRrRrSsSsSsSsTtTtTtUuUuUuUuUuUuWwYyZzZzZz"
+)
+_ACCENT_EXPANSIONS = [("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"), ("Ð", "D"), ("ð", "d"), ("Þ", "Th"), ("þ", "th")]
+
+
+def fold_accents(text: Column | str) -> Column:
+    """Fold Latin accented letters to ASCII (café→cafe, Ñoño→Nono,
+    straße→strasse) — the normalization step before fingerprinting /
+    exact dedup so visually-identical crawl variants hash together.
+    Pure Catalyst (`translate` + a few 1:N `replace`s), zero shuffle,
+    rides the scan; the SAME codepoint map is spelled in the DuckDB
+    oracle, so folded text is engine-identical by construction.
+    Characters outside the map (Greek, Cyrillic, CJK, emoji) pass
+    through untouched — this is Latin folding, not transliteration.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for src, dst in _ACCENT_EXPANSIONS:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+
+
 def drop_boilerplate_lines(
     text: Column | str,
     min_chars: int = 10,
@@ -535,7 +570,9 @@ class TextAnalysisTransformer:
     ``textColumn`` (default ``text``), ``stats`` / ``languageId`` /
     ``fingerprint`` / ``repetition`` booleans selecting which column
     families to add; ``topNgram: <n>`` (requires ``idColumn``) adds the
-    most-frequent-n-gram coverage columns; ``clean`` / ``boilerplate``
+    most-frequent-n-gram coverage columns; ``foldAccents`` folds Latin
+    accents to ASCII FIRST (into ``foldOutputColumn``, default in
+    place) so every later family reads normalized text; ``clean`` / ``boilerplate``
     booleans run HTML stripping / line-boilerplate removal into
     ``cleanOutputColumn`` (default ``clean_text``; knobs
     ``minLineChars``, ``minAlphaRatio``) BEFORE the analysis columns,
@@ -564,6 +601,13 @@ class TextAnalysisTransformer:
             return opts.get(name, default).lower() in ("true", "1", "yes")
 
         out = df
+        if flag("foldAccents"):
+            # fold BEFORE clean/stats so every later family reads the
+            # normalized form; writes foldOutputColumn (default: in
+            # place) — Latin accent→ASCII, non-Latin passes through
+            fold_out = opts.get("foldOutputColumn", tc)
+            out = out.withColumn(fold_out, fold_accents(tc))
+            tc = fold_out
         if flag("clean") or flag("boilerplate"):
             out = with_clean_text(
                 out,

@@ -1798,3 +1798,52 @@ def test_ivf_index_persist_and_search(spark, emb, tmp_path):
         "qv", "qid", 4,
     ).collect()}
     assert len(probed_cells) <= 8
+
+
+class TestFoldAccents:
+    def test_latin_folding_and_expansions(self, spark):
+        from etl_spark_gradle_spark.operators.text import fold_accents
+
+        df = spark.createDataFrame(
+            [("café déjà-vu Ñoño straße Æon Œuvre Þing ĆČĐŁŻ",)], "t string"
+        )
+        out = df.select(fold_accents("t").alias("f")).collect()[0].f
+        assert out == "cafe deja-vu Nono strasse AEon OEuvre Thing CCDLZ"
+
+    def test_non_latin_passthrough_and_null(self, spark):
+        from etl_spark_gradle_spark.operators.text import fold_accents
+
+        df = spark.createDataFrame(
+            [("Ελληνικά Кириллица 中文 🙂 plain",), (None,)], "t string"
+        )
+        rows = df.select(fold_accents("t").alias("f")).collect()
+        assert rows[0].f == "Ελληνικά Кириллица 中文 🙂 plain"
+        assert rows[1].f is None
+
+    def test_map_strings_are_parallel(self):
+        from etl_spark_gradle_spark.operators.text import _ACCENT_DST, _ACCENT_SRC
+
+        assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+        assert len(set(_ACCENT_SRC)) == len(_ACCENT_SRC)  # no double-mapping
+
+    def test_adapter_fold_before_stats(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+        df = spark.createDataFrame([(1, "Çafé déjà vu")], "id long, text string")
+        cfg = TransformationConfig(
+            type="text_analysis",
+            options={
+                "textColumn": "text",
+                "foldAccents": "true",
+                "foldOutputColumn": "text_ascii",
+                "stats": "true",
+            },
+        )
+        out = TRANSFORMER_REGISTRY["text_analysis"].transform(
+            df, cfg, RunContext.create("t-fold", spark)
+        )
+        row = out.collect()[0]
+        assert row.text_ascii == "Cafe deja vu"
+        assert row.text == "Çafé déjà vu"  # original intact
+        assert "n_tokens" in out.columns  # stats read the folded column
