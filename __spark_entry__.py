@@ -4812,6 +4812,45 @@ SELECT doc_id, raw, {expr} AS folded FROM r
 """
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 first-4-event user journeys: row_number window + per-user
+    bounded collect + path-count agg + deterministic top-k (count desc,
+    path asc). The tiebreak column is mandatory so the path string is
+    a total-order function of the data on every engine."""
+    from etl_spark_gradle_spark.operators import events as _ev
+
+    _prep(spark)
+    df = _t(spark, sf_dir, "events")
+    return _ev.top_paths(
+        df, "user_id", "event_type", "ts", "event_id", max_steps=4, k=20
+    )
+
+
+_TOP_PATHS_ORACLE = """
+WITH stepped AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS rn
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM stepped WHERE rn <= 4 GROUP BY user_id
+), totals AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM paths GROUP BY path
+), grand AS (
+  SELECT CAST(sum(n_users) AS BIGINT) AS total FROM totals
+)
+SELECT path, n_users,
+       CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM totals, grand
+ORDER BY n_users DESC, path ASC
+LIMIT 20
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5796,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tv_drift": q_tv_drift,
         "robust_scale": q_robust_scale,
         "fold_accents": q_fold_accents,
+        "top_paths": q_top_paths,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5946,6 +5986,7 @@ def oracle_sql() -> dict[str, str]:
         "tv_drift": _TV_DRIFT_ORACLE,
         "robust_scale": _ROBUST_SCALE_ORACLE,
         "fold_accents": _fold_accents_oracle(),
+        "top_paths": _TOP_PATHS_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

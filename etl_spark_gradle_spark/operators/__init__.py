@@ -120,6 +120,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.events import (  # noqa: F401
     CohortTransformer,
+    TopPathsTransformer,
     FunnelTransformer,
     MarketBasketTransformer,
     TransitionsTransformer,
@@ -209,6 +210,7 @@ TRANSFORMER_REGISTRY = {
     "funnel": FunnelTransformer(),
     "cohort": CohortTransformer(),
     "transitions": TransitionsTransformer(),
+    "top_paths": TopPathsTransformer(),
     "market_basket": MarketBasketTransformer(),
     "edit_join": EditJoinTransformer(),
     "stats": StatsTransformer(),

@@ -34,6 +34,8 @@ __all__ = [
     "cohort_retention",
     "transition_matrix",
     "market_basket_pairs",
+    "TopPathsTransformer",
+    "top_paths",
 ]
 
 
@@ -410,3 +412,122 @@ class MarketBasketTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"market_basket({opts})"
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    max_steps: int = 5,
+    k: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Most common first-``max_steps`` event journeys: order each
+    user's events by (time, tiebreak), keep the first ``max_steps``,
+    join the types into a path string ("view>cart>purchase"), and
+    return the ``k`` most frequent paths with user counts and share —
+    the "how do users actually move" companion to ``funnel_counts``
+    (which tests ONE hypothesized order) and ``transition_matrix``
+    (which forgets everything beyond one hop).
+
+    The tiebreak column is REQUIRED (not optional like
+    transition_matrix's): simultaneous events with no total order
+    would make the path string nondeterministic — different runs,
+    different engines, different paths — and a frequency table over
+    nondeterministic strings is noise.
+
+    Scale: one user-keyed shuffle shared by the row_number window and
+    the per-user collect (each user contributes ≤ max_steps rows to
+    the collect — bounded state, not the user's full history), one
+    map-side-combined path-count aggregation over |users| rows, and a
+    TakeOrdered top-k close (count desc, path asc — deterministic
+    under ties). Nothing driver-side scales with users or events.
+    """
+    from pyspark.sql.window import Window
+
+    for c in (user_col, type_col, time_col, tiebreak_col):
+        if c not in df.columns:
+            raise TransformationError(f"top_paths column not in input schema: {c}")
+    if max_steps < 1:
+        raise TransformationError("top_paths requires max_steps >= 1")
+    if k < 1:
+        raise TransformationError("top_paths requires k >= 1")
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col(tiebreak_col).asc()
+    )
+    stepped = (
+        df.select(user_col, type_col, time_col, tiebreak_col)
+        .where(F.col(type_col).isNotNull() & F.col(time_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_steps)
+    )
+    paths = stepped.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", type_col))),
+                lambda s: s[type_col],
+            ),
+            sep,
+        ).alias("path"),
+        F.count(F.lit(1)).cast("long").alias("_steps"),
+    )
+    totals = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    grand = totals.agg(F.sum("n_users").cast("long").alias("_total"))
+    ranked = (
+        totals.crossJoin(F.broadcast(grand))
+        .select(
+            "path",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(k)
+    )
+    return ranked
+
+
+class TopPathsTransformer:
+    """Registry adapter (``type: top_paths``). Options: ``userColumn``,
+    ``typeColumn``, ``timeColumn``, ``tiebreakColumn`` (all required),
+    ``maxSteps`` (default 5), ``k`` (default 20), ``separator``."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        for opt in ("userColumn", "typeColumn", "timeColumn", "tiebreakColumn"):
+            col = config.options.get(opt)
+            if not col:
+                errors.append(f"top_paths requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "top_paths config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return top_paths(
+            df,
+            user_col=opts["userColumn"],
+            type_col=opts["typeColumn"],
+            time_col=opts["timeColumn"],
+            tiebreak_col=opts["tiebreakColumn"],
+            max_steps=int(opts.get("maxSteps", 5)),
+            k=int(opts.get("k", 20)),
+            sep=opts.get("separator", ">"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"top_paths({opts})"

@@ -183,3 +183,72 @@ def test_market_basket_yaml_adapter(spark):
     assert not t.validate(
         df, TransformationConfig(type="market_basket", options={})
     ).is_valid
+
+
+class TestTopPaths:
+    def test_hand_computed_paths(self, spark):
+        from etl_spark_gradle_spark.operators.events import top_paths
+
+        rows = [
+            # u1: a > b > c   u2: a > b > c   u3: b > a
+            ("u1", "a", 1, 10), ("u1", "b", 2, 11), ("u1", "c", 3, 12),
+            ("u2", "a", 1, 20), ("u2", "b", 2, 21), ("u2", "c", 3, 22),
+            ("u3", "b", 1, 30), ("u3", "a", 2, 31),
+        ]
+        df = spark.createDataFrame(rows, "u string, t string, ts long, eid long")
+        out = top_paths(df, "u", "t", "ts", "eid", max_steps=5, k=10).collect()
+        assert [(r.path, r.n_users) for r in out] == [("a>b>c", 2), ("b>a", 1)]
+        assert abs(out[0].share - 2 / 3) < 1e-15
+
+    def test_max_steps_truncates_and_tiebreak_orders(self, spark):
+        from etl_spark_gradle_spark.operators.events import top_paths
+
+        rows = [  # same ts: event id must break the tie -> x before y
+            ("u", "x", 5, 1), ("u", "y", 5, 2), ("u", "z", 6, 3),
+        ]
+        df = spark.createDataFrame(rows, "u string, t string, ts long, eid long")
+        out = top_paths(df, "u", "t", "ts", "eid", max_steps=2, k=5).collect()
+        assert [(r.path, r.n_users) for r in out] == [("x>y", 1)]
+
+    def test_null_type_and_time_excluded(self, spark):
+        from etl_spark_gradle_spark.operators.events import top_paths
+
+        rows = [("u", None, 1, 1), ("u", "a", None, 2), ("u", "b", 3, 3)]
+        df = spark.createDataFrame(rows, "u string, t string, ts long, eid long")
+        out = top_paths(df, "u", "t", "ts", "eid").collect()
+        assert [(r.path, r.n_users) for r in out] == [("b", 1)]
+
+    def test_deterministic_top_k_ties(self, spark):
+        from etl_spark_gradle_spark.operators.events import top_paths
+
+        rows = [("u1", "a", 1, 1), ("u2", "b", 1, 2), ("u3", "c", 1, 3)]
+        df = spark.createDataFrame(rows, "u string, t string, ts long, eid long")
+        out = top_paths(df, "u", "t", "ts", "eid", k=2).collect()
+        # all counts tie at 1: path asc decides -> a, b
+        assert [r.path for r in out] == ["a", "b"]
+
+    def test_validation_and_adapter(self, spark):
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.events import top_paths
+        from etl_spark_gradle_spark.operators.relational import TransformationError
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+        df = spark.createDataFrame([("u", "a", 1, 1)], "u string, t string, ts long, eid long")
+        with _pytest.raises(TransformationError, match="max_steps"):
+            top_paths(df, "u", "t", "ts", "eid", max_steps=0)
+        with _pytest.raises(TransformationError, match="not in input schema"):
+            top_paths(df, "u", "t", "ts", "nope")
+        assert "top_paths" in TRANSFORMER_REGISTRY
+        cfg = TransformationConfig(
+            type="top_paths",
+            options={"userColumn": "u", "typeColumn": "t",
+                     "timeColumn": "ts", "tiebreakColumn": "eid", "k": "3"},
+        )
+        out = TRANSFORMER_REGISTRY["top_paths"].transform(
+            df, cfg, RunContext.create("t-paths", spark)
+        )
+        assert out.columns == ["path", "n_users", "share"]
+        bad = TransformationConfig(type="top_paths", options={})
+        assert not TRANSFORMER_REGISTRY["top_paths"].validate(df, bad).is_valid
