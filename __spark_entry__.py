@@ -4851,6 +4851,36 @@ LIMIT 20
 """
 
 
+def q_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: downsample every language to the smallest
+    language's document count — deterministic md5-rank survivors per
+    class (cap_per_group's WindowGroupLimit plan with the budget read
+    from one bounded count aggregation)."""
+    from etl_spark_gradle_spark.operators.corpus import balance_classes
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balance_classes(docs, ["lang"], "doc_id")
+
+
+_BALANCE_CLASSES_ORACLE = """
+WITH m AS (
+  SELECT min(n) AS budget FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+  )
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)) ASC,
+                    CAST(doc_id AS VARCHAR) ASC
+         ) AS rn
+  FROM documents
+), m WHERE rn <= budget
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5836,6 +5866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": q_robust_scale,
         "fold_accents": q_fold_accents,
         "top_paths": q_top_paths,
+        "balance_classes": q_balance_classes,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -5987,6 +6018,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale": _ROBUST_SCALE_ORACLE,
         "fold_accents": _fold_accents_oracle(),
         "top_paths": _TOP_PATHS_ORACLE,
+        "balance_classes": _BALANCE_CLASSES_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

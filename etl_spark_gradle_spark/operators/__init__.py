@@ -13,6 +13,7 @@ from etl_spark_gradle_spark.operators.dedup import (  # noqa: F401
     DedupTransformer,
 )
 from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
+    BalanceClassesTransformer,
     CapPerGroupTransformer,
     ChunkTransformer,
     HashSampleTransformer,
@@ -20,6 +21,7 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     PackTransformer,
     TokenFrequencyTransformer,
     WeightedSampleTransformer,
+    balance_classes,
     cap_per_group,
     chunk_documents,
     hash_sample,
@@ -244,6 +246,7 @@ TRANSFORMER_REGISTRY = {
     "hash_sample": HashSampleTransformer(),
     "mix": MixTransformer(),
     "cap_per_group": CapPerGroupTransformer(),
+    "balance_classes": BalanceClassesTransformer(),
     "multimodal": MultimodalTransformer(),
 }
 

@@ -41,7 +41,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.operators.relational import (
+    TransformationError,
+    _split_csv,
+)
 from etl_spark_gradle_spark.plans.config import ValidationResult
 from etl_spark_gradle_spark.operators.text import tokens
 
@@ -717,3 +720,99 @@ class HashSampleTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"hash_sample({opts})"
+
+
+def balance_classes(
+    df: DataFrame,
+    class_cols: list[str],
+    order_col: str,
+    target: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample every class to the SMALLEST class's row count (or an
+    explicit ``target`` cap, whichever is lower) — the classic
+    imbalanced-training-set fix ("1000 fraud rows, 10M clean rows")
+    made deterministic: survivors are the lowest ``md5('cap:'||key)``
+    ranks per class, so the balanced set is identical on every run and
+    every engine, and re-running after an append keeps previously
+    chosen rows stable except where the minority count shrank the
+    budget.
+
+    NULL class labels form their own class, consistent with groupBy
+    semantics everywhere else in the engine.
+
+    Scale: one map-side-combined count aggregation to find the
+    minority size (|classes| rows, one value to the driver — bounded),
+    then exactly ``cap_per_group``'s WindowGroupLimit plan: each task
+    keeps only its local top-``target`` per class BEFORE the exchange,
+    so the shuffle carries ≤ |classes|·target rows however large the
+    majority class is. The count pass does NOT cache the input —
+    at 100 TB, two cheap column-pruned scans beat materializing the
+    frame.
+    """
+    if not class_cols:
+        raise TransformationError("balance_classes requires class columns")
+    for c in class_cols:
+        if c not in df.columns:
+            raise TransformationError(f"class column not in input schema: {c}")
+    if target is not None and target < 1:
+        raise TransformationError("balance_classes target must be >= 1")
+    counts = (
+        df.groupBy(*[F.col(c) for c in class_cols])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.min("__n").alias("__m"))
+        .collect()
+    )
+    if not counts or counts[0]["__m"] is None:
+        return df  # empty input: nothing to balance
+    budget = int(counts[0]["__m"])
+    if target is not None:
+        budget = min(budget, int(target))
+    return cap_per_group(df, class_cols, budget, order_col, salt=salt)
+
+
+class BalanceClassesTransformer:
+    """Registry adapter (``type: balance_classes``). Options:
+    ``classBy`` (comma list, required), ``orderColumn`` (required —
+    per-row key varying within each class), ``target`` (optional
+    explicit cap), ``salt``."""
+
+    def validate(self, df: DataFrame, config) -> ValidationResult:
+        errors = []
+        opts = config.options
+        cols = _split_csv(opts.get("classBy", ""))
+        if not cols:
+            errors.append("balance_classes requires 'classBy'")
+        for c in cols:
+            if c not in df.columns:
+                errors.append(f"class column not in input schema: {c}")
+        if not opts.get("orderColumn"):
+            errors.append("balance_classes requires 'orderColumn'")
+        elif opts["orderColumn"] not in df.columns:
+            errors.append(f"orderColumn not in input schema: {opts['orderColumn']}")
+        if "target" in opts:
+            try:
+                if int(opts["target"]) < 1:
+                    errors.append("target must be >= 1")
+            except ValueError:
+                errors.append(f"target is not an integer: {opts['target']}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "balance_classes config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return balance_classes(
+            df,
+            class_cols=_split_csv(opts["classBy"]),
+            order_col=opts["orderColumn"],
+            target=int(opts["target"]) if "target" in opts else None,
+            salt=opts.get("salt", ""),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"balance_classes({opts})"

@@ -347,3 +347,71 @@ def test_rank_sum_adapter_statistic_option(spark):
                  "statistic": "bogus"},
     )
     assert not drift.validate(df, bad).is_valid
+
+
+class TestBalanceClasses:
+    def test_downsamples_to_minority(self, spark):
+        from etl_spark_gradle_spark.operators.corpus import balance_classes
+
+        df = spark.createDataFrame(
+            [("pos", i) for i in range(3)] + [("neg", i) for i in range(100, 150)],
+            "y string, id long",
+        )
+        out = balance_classes(df, ["y"], "id")
+        counts = {r.y: r["count"] for r in out.groupBy("y").count().collect()}
+        assert counts == {"pos": 3, "neg": 3}
+
+    def test_deterministic_and_target_cap(self, spark):
+        from etl_spark_gradle_spark.operators.corpus import balance_classes
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(20)] + [("b", i) for i in range(50, 60)],
+            "y string, id long",
+        )
+        a = sorted((r.y, r.id) for r in balance_classes(df, ["y"], "id").collect())
+        b = sorted((r.y, r.id) for r in balance_classes(df, ["y"], "id").collect())
+        assert a == b and len(a) == 20
+        capped = balance_classes(df, ["y"], "id", target=4)
+        assert capped.count() == 8
+
+    def test_null_class_is_its_own_class(self, spark):
+        from etl_spark_gradle_spark.operators.corpus import balance_classes
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), (None, 10)], "y string, id long"
+        )
+        out = balance_classes(df, ["y"], "id")
+        # null class has 1 row -> budget 1 -> one 'a' survivor + the null row
+        assert out.count() == 2
+        assert sum(1 for r in out.collect() if r.y is None) == 1
+
+    def test_empty_input_passthrough(self, spark):
+        from etl_spark_gradle_spark.operators.corpus import balance_classes
+
+        df = spark.createDataFrame([], "y string, id long")
+        assert balance_classes(df, ["y"], "id").count() == 0
+
+    def test_validation_and_adapter(self, spark):
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.corpus import balance_classes
+        from etl_spark_gradle_spark.operators.relational import TransformationError
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+        df = spark.createDataFrame([("a", 1)], "y string, id long")
+        with _pytest.raises(TransformationError, match="class columns"):
+            balance_classes(df, [], "id")
+        with _pytest.raises(TransformationError, match="target"):
+            balance_classes(df, ["y"], "id", target=0)
+        t = TRANSFORMER_REGISTRY["balance_classes"]
+        cfg = TransformationConfig(
+            type="balance_classes",
+            options={"classBy": "y", "orderColumn": "id"},
+        )
+        assert t.transform(df, cfg, RunContext.create("t-bal", spark)).count() == 1
+        bad = TransformationConfig(
+            type="balance_classes", options={"classBy": "y", "target": "zero"}
+        )
+        res = t.validate(df, bad)
+        assert not res.is_valid and any("orderColumn" in e for e in res.errors)
