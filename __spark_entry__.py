@@ -4881,6 +4881,42 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing UP: replicate every language to the largest
+    language's count — floor(budget/n) copies per row, remainder to
+    the lowest md5-rank rows. Duplicate rows are the POINT here; the
+    hash gate verifies the exact replication multiset."""
+    from etl_spark_gradle_spark.operators.corpus import balance_classes
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balance_classes(docs, ["lang"], "doc_id", mode="up")
+
+
+_OVERSAMPLE_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), m AS (
+  SELECT max(n) AS budget FROM c
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)) ASC,
+                    CAST(doc_id AS VARCHAR) ASC
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM r JOIN c ON r.lang = c.lang, m,
+     LATERAL UNNEST(generate_series(1,
+       CASE WHEN c.n >= m.budget THEN 1
+            ELSE m.budget // c.n
+                 + CASE WHEN r.rn <= m.budget % c.n THEN 1 ELSE 0 END
+       END)) AS g(i)
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5867,6 +5903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_accents": q_fold_accents,
         "top_paths": q_top_paths,
         "balance_classes": q_balance_classes,
+        "oversample": q_oversample,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6019,6 +6056,7 @@ def oracle_sql() -> dict[str, str]:
         "fold_accents": _fold_accents_oracle(),
         "top_paths": _TOP_PATHS_ORACLE,
         "balance_classes": _BALANCE_CLASSES_ORACLE,
+        "oversample": _OVERSAMPLE_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

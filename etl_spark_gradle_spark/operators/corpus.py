@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from etl_spark_gradle_spark.operators.relational import (
     TransformationError,
     _split_csv,
+    broadcast_group_join,
 )
 from etl_spark_gradle_spark.plans.config import ValidationResult
 from etl_spark_gradle_spark.operators.text import tokens
@@ -728,15 +729,21 @@ def balance_classes(
     order_col: str,
     target: int | None = None,
     salt: str = "",
+    mode: str = "down",
 ) -> DataFrame:
-    """Downsample every class to the SMALLEST class's row count (or an
-    explicit ``target`` cap, whichever is lower) — the classic
-    imbalanced-training-set fix ("1000 fraud rows, 10M clean rows")
-    made deterministic: survivors are the lowest ``md5('cap:'||key)``
-    ranks per class, so the balanced set is identical on every run and
-    every engine, and re-running after an append keeps previously
-    chosen rows stable except where the minority count shrank the
-    budget.
+    """Equalize class sizes, deterministically. ``mode='down'``
+    (default) downsamples every class to the SMALLEST class's row
+    count (or an explicit ``target`` cap, whichever is lower) — the
+    classic imbalanced-training-set fix ("1000 fraud rows, 10M clean
+    rows"): survivors are the lowest ``md5('cap:'||key)`` ranks per
+    class, so the balanced set is identical on every run and every
+    engine, and re-running after an append keeps previously chosen
+    rows stable except where the minority count shrank the budget.
+    ``mode='up'`` instead REPLICATES every class to the LARGEST
+    class's count (or ``target``): each row gets
+    ``floor(budget/n)`` copies and the ``budget % n`` remainder goes
+    to the lowest-rank rows — same determinism contract, no data
+    dropped (a class already at/above budget is left untouched).
 
     NULL class labels form their own class, consistent with groupBy
     semantics everywhere else in the engine.
@@ -757,25 +764,58 @@ def balance_classes(
             raise TransformationError(f"class column not in input schema: {c}")
     if target is not None and target < 1:
         raise TransformationError("balance_classes target must be >= 1")
-    counts = (
-        df.groupBy(*[F.col(c) for c in class_cols])
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(F.min("__n").alias("__m"))
-        .collect()
+    if mode not in ("down", "up"):
+        raise TransformationError(
+            f"balance_classes mode must be down|up, got '{mode}'"
+        )
+    if order_col not in df.columns:
+        raise TransformationError(f"order column not in input schema: {order_col}")
+    per_class = df.groupBy(*[F.col(c) for c in class_cols]).agg(
+        F.count(F.lit(1)).alias("__n")
     )
+    agg_fn = F.min if mode == "down" else F.max
+    counts = per_class.agg(agg_fn("__n").alias("__m")).collect()
     if not counts or counts[0]["__m"] is None:
         return df  # empty input: nothing to balance
     budget = int(counts[0]["__m"])
     if target is not None:
-        budget = min(budget, int(target))
-    return cap_per_group(df, class_cols, budget, order_col, salt=salt)
+        budget = min(budget, int(target)) if mode == "down" else int(target)
+    if mode == "down":
+        return cap_per_group(df, class_cols, budget, order_col, salt=salt)
+
+    # ---- mode == "up": replicate every class to exactly `budget` rows.
+    # Each row gets floor(budget/n) copies; the budget%n remainder goes
+    # to the lowest md5-rank rows — deterministic on any engine, so the
+    # oversampled set is a pure function of the data. Unlike the down
+    # path there is no WindowGroupLimit shortcut (every row survives),
+    # so this pays one full class-keyed window shuffle — unavoidable:
+    # upsampling must touch and rank every row anyway. A class larger
+    # than `budget` (possible only with an explicit target) is NOT cut
+    # — this mode only adds rows; chain a down pass to trim.
+    key = F.col(order_col)
+    rank_key = F.md5(F.concat(F.lit("cap:"), key.cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*[F.col(c) for c in class_cols]).orderBy(
+        rank_key.asc(), key.cast("string").asc()
+    )
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    with_n = broadcast_group_join(ranked, per_class, class_cols)
+    copies = F.when(
+        F.col("__n") >= F.lit(budget), F.lit(1)
+    ).otherwise(
+        (F.lit(budget) - F.pmod(F.lit(budget), F.col("__n"))) / F.col("__n")
+        + F.when(F.col("__rn") <= F.pmod(F.lit(budget), F.col("__n")), 1).otherwise(0)
+    ).cast("int")
+    return (
+        with_n.withColumn("__copy", F.explode(F.sequence(F.lit(1), copies)))
+        .drop("__rn", "__n", "__copy")
+    )
 
 
 class BalanceClassesTransformer:
     """Registry adapter (``type: balance_classes``). Options:
     ``classBy`` (comma list, required), ``orderColumn`` (required —
     per-row key varying within each class), ``target`` (optional
-    explicit cap), ``salt``."""
+    explicit cap), ``mode`` down|up (default down), ``salt``."""
 
     def validate(self, df: DataFrame, config) -> ValidationResult:
         errors = []
@@ -796,6 +836,8 @@ class BalanceClassesTransformer:
                     errors.append("target must be >= 1")
             except ValueError:
                 errors.append(f"target is not an integer: {opts['target']}")
+        if opts.get("mode", "down") not in ("down", "up"):
+            errors.append(f"mode must be down|up, got '{opts['mode']}'")
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
     def transform(self, df: DataFrame, config, ctx) -> DataFrame:
@@ -811,6 +853,7 @@ class BalanceClassesTransformer:
             order_col=opts["orderColumn"],
             target=int(opts["target"]) if "target" in opts else None,
             salt=opts.get("salt", ""),
+            mode=opts.get("mode", "down"),
         )
 
     def lineage_step(self, config) -> str:

@@ -415,3 +415,54 @@ class TestBalanceClasses:
         )
         res = t.validate(df, bad)
         assert not res.is_valid and any("orderColumn" in e for e in res.errors)
+
+
+class TestBalanceClassesUp:
+    def test_upsamples_to_majority_with_deterministic_remainder(self, spark):
+        from collections import Counter
+
+        from etl_spark_gradle_spark.operators.corpus import balance_classes
+
+        df = spark.createDataFrame(
+            [("pos", i) for i in range(3)] + [("neg", i) for i in range(100, 107)],
+            "y string, id long",
+        )
+        up = balance_classes(df, ["y"], "id", mode="up")
+        counts = {r.y: r["count"] for r in up.groupBy("y").count().collect()}
+        assert counts == {"pos": 7, "neg": 7}
+        # 3 rows -> budget 7: replication multiset is {3, 2, 2}
+        reps = Counter(r.id for r in up.where("y = 'pos'").collect())
+        assert sorted(reps.values()) == [2, 2, 3]
+        again = balance_classes(df, ["y"], "id", mode="up")
+        assert sorted((r.y, r.id) for r in up.collect()) == sorted(
+            (r.y, r.id) for r in again.collect()
+        )
+
+    def test_up_never_cuts_a_class_above_target(self, spark):
+        from etl_spark_gradle_spark.operators.corpus import balance_classes
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(2)] + [("b", i) for i in range(10, 16)],
+            "y string, id long",
+        )
+        out = balance_classes(df, ["y"], "id", mode="up", target=4)
+        counts = {r.y: r["count"] for r in out.groupBy("y").count().collect()}
+        assert counts == {"a": 4, "b": 6}  # b already above target: untouched
+
+    def test_mode_validation(self, spark):
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.corpus import balance_classes
+        from etl_spark_gradle_spark.operators.relational import TransformationError
+        from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+        df = spark.createDataFrame([("a", 1)], "y string, id long")
+        with _pytest.raises(TransformationError, match="mode"):
+            balance_classes(df, ["y"], "id", mode="sideways")
+        bad = TransformationConfig(
+            type="balance_classes",
+            options={"classBy": "y", "orderColumn": "id", "mode": "sideways"},
+        )
+        res = TRANSFORMER_REGISTRY["balance_classes"].validate(df, bad)
+        assert not res.is_valid and any("mode" in e for e in res.errors)
