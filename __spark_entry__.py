@@ -4917,6 +4917,60 @@ FROM r JOIN c ON r.lang = c.lang, m,
 """
 
 
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: top-3 event types per daily tumbling window
+    ("what's trending each day") — window_aggregate feeding rank_rows,
+    the windowing→ranking operator chain a dashboard pipeline runs.
+    One window-count shuffle (map-side combined) + a WindowGroupLimit
+    top-k over the already-aggregated window-sized table; ties broken
+    by event_type so the cut is total on both engines."""
+    from etl_spark_gradle_spark.operators.relational import rank_rows
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    counts = window_aggregate(
+        ev,
+        time_column="ts",
+        window_duration="1 day",
+        aggregations=[AggregateExpr("*", "count", "cnt")],
+        window_type="tumbling",
+        group_by=["event_type"],
+    )
+    flat = counts.select(
+        _fmt_ts(F.col("window.start")).alias("day"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    ranked = rank_rows(
+        flat,
+        partition_by=["day"],
+        order_by=["cnt DESC", "event_type"],
+        top_k=3,
+        rank_alias="rnk",
+    )
+    return ranked.select("day", "rnk", "event_type", "cnt")
+
+
+_TRENDING_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket
+  FROM events WHERE ts IS NOT NULL
+), c AS (
+  SELECT bucket, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2
+), r AS (
+  SELECT strftime(to_timestamp(bucket), '%Y-%m-%d %H:%M:%S') AS day,
+         event_type, cnt,
+         CAST(row_number() OVER (
+           PARTITION BY bucket ORDER BY cnt DESC, event_type ASC
+         ) AS BIGINT) AS rnk
+  FROM c
+)
+SELECT day, rnk, event_type, cnt FROM r WHERE rnk <= 3
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5904,6 +5958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "balance_classes": q_balance_classes,
         "oversample": q_oversample,
+        "trending": q_trending,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6057,6 +6112,7 @@ def oracle_sql() -> dict[str, str]:
         "top_paths": _TOP_PATHS_ORACLE,
         "balance_classes": _BALANCE_CLASSES_ORACLE,
         "oversample": _OVERSAMPLE_ORACLE,
+        "trending": _TRENDING_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
