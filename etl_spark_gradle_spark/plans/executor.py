@@ -362,6 +362,13 @@ class PipelineExecutor:
             metrics.quality_report = report
             collector.record("extract", metrics.records_extracted)
             collector.record("load", metrics.records_loaded)
+            # incremental sources (file_incremental) stage their batch
+            # at extract time and only mark it processed HERE, after
+            # the sink action succeeded — a failed run re-discovers the
+            # same files next time (at-least-once)
+            commit = getattr(extractor, "commit_processed", None)
+            if commit is not None:
+                commit(config.source)
             metrics.status = "SUCCESS"
         except Exception as e:  # noqa: BLE001 — failure contract returns metrics
             metrics.status = "FAILED"

@@ -9,10 +9,15 @@ from etl_spark_gradle_spark.sources.extractors import (  # noqa: F401
     extract_jdbc,
     extract_kafka,
 )
+from etl_spark_gradle_spark.sources.incremental import (  # noqa: F401
+    IncrementalFileExtractor,
+    list_data_files,
+)
 
 EXTRACTOR_REGISTRY = {
     "s3": FileExtractor(),
     "file": FileExtractor(),  # alias: local/HDFS paths use the same reader
+    "file_incremental": IncrementalFileExtractor(),
     "postgres": JdbcExtractor("org.postgresql.Driver"),
     "mysql": JdbcExtractor("com.mysql.cj.jdbc.Driver"),
     "jdbc": JdbcExtractor(None),

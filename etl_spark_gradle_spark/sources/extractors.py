@@ -40,7 +40,11 @@ def _is_missing_datasource(e: Exception, name: str) -> bool:
     return name in s and ("find" in s or "data_source_not_found" in s)
 
 
-def extract_file(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+def extract_file(
+    spark: SparkSession,
+    options: dict[str, str],
+    paths_override: list[str] | None = None,
+) -> DataFrame:
     """Read ``avro|parquet|json|csv|orc|text`` from a path (parity:
     ``extractor/S3Extractor.scala:45-65``): CSV honors ``header`` /
     ``delimiter`` / ``inferSchema`` (header+infer default true), JSON
@@ -75,7 +79,7 @@ def extract_file(spark: SparkSession, options: dict[str, str]) -> DataFrame:
     if passthrough:
         reader = reader.options(**passthrough)
     try:
-        return reader.load(path)
+        return reader.load(paths_override if paths_override is not None else path)
     except Exception as e:  # noqa: BLE001 — rewrap only the avro-package gap
         if fmt == "avro" and "avro" in str(e).lower() and "find" in str(e).lower():
             raise ConfigError(

@@ -1,0 +1,146 @@
+"""Incremental file ingestion (sources/incremental.py): only-new-files
+discovery, the two-phase commit protocol (state advances ONLY on
+SUCCESS), changed-file reprocessing, hidden-file exclusion, and the
+empty-batch schema short-circuit."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+import yaml
+
+from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+from etl_spark_gradle_spark.sources.incremental import (
+    IncrementalFileExtractor,
+    list_data_files,
+)
+
+
+def _drop_file(spark, tmp_path, name, lo, hi):
+    staging = tmp_path / f"_stage_{name}"
+    spark.range(lo, hi).withColumnRenamed("id", "v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(staging))
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    landing = tmp_path / "landing"
+    landing.mkdir(exist_ok=True)
+    shutil.copy(staging / part, landing / name)
+    return str(landing / name)
+
+
+def _config(tmp_path, transformations=None):
+    doc = {
+        "pipelineId": "incr",
+        "source": {
+            "type": "file_incremental",
+            "options": {
+                "path": str(tmp_path / "landing"),
+                "format": "parquet",
+                "stateDir": str(tmp_path / "state"),
+            },
+        },
+        "transformations": transformations or [],
+        "sink": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "out"), "format": "parquet"},
+            "writeMode": "append",
+        },
+    }
+    p = tmp_path / "p.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    return load_pipeline_yaml(str(p))
+
+
+def test_only_new_files_processed_across_runs(spark, tmp_path):
+    _drop_file(spark, tmp_path, "f1.parquet", 0, 10)
+    cfg = _config(tmp_path)
+    ex = PipelineExecutor()
+
+    m1 = ex.execute(cfg, spark)
+    assert m1.status == "SUCCESS" and m1.records_loaded == 10
+
+    # idle rerun: nothing new, zero rows, no duplicate output
+    m2 = ex.execute(cfg, spark)
+    assert m2.status == "SUCCESS" and m2.records_loaded == 0
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+
+    # second arrival: only its rows append
+    _drop_file(spark, tmp_path, "f2.parquet", 100, 105)
+    m3 = ex.execute(cfg, spark)
+    assert m3.status == "SUCCESS" and m3.records_loaded == 5
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 15
+    assert out.where("v >= 100").count() == 5
+
+
+def test_failed_run_does_not_commit_state(spark, tmp_path):
+    """The crash-safety core: a run whose sink never succeeds must
+    leave processed.json untouched so the batch re-discovers."""
+    _drop_file(spark, tmp_path, "f1.parquet", 0, 10)
+    bad = _config(
+        tmp_path,
+        transformations=[{"type": "filter", "options": {"condition": "no_such_col > 1"}}],
+    )
+    m = PipelineExecutor().execute(bad, spark)
+    assert m.status == "FAILED"
+    assert not os.path.exists(tmp_path / "state" / "processed.json")
+
+    good = _config(tmp_path)
+    m2 = PipelineExecutor().execute(good, spark)
+    assert m2.status == "SUCCESS" and m2.records_loaded == 10
+
+
+def test_changed_file_is_reprocessed(spark, tmp_path):
+    path = _drop_file(spark, tmp_path, "f1.parquet", 0, 10)
+    cfg = _config(tmp_path)
+    ex = PipelineExecutor()
+    assert ex.execute(cfg, spark).records_loaded == 10
+
+    # rewrite the same file name with different content (size changes)
+    _drop_file(spark, tmp_path, "f1.parquet", 0, 3)
+    assert os.path.exists(path)
+    m = ex.execute(cfg, spark)
+    assert m.status == "SUCCESS" and m.records_loaded == 3
+
+
+def test_hidden_files_and_dirs_excluded(spark, tmp_path):
+    _drop_file(spark, tmp_path, "f1.parquet", 0, 4)
+    landing = tmp_path / "landing"
+    (landing / "_SUCCESS").write_text("")
+    (landing / ".hidden.parquet").write_text("junk")
+    hidden_dir = landing / "_spark_metadata"
+    hidden_dir.mkdir()
+    (hidden_dir / "0").write_text("junk")
+    files = list_data_files(spark, str(landing))
+    assert [os.path.basename(f["path"]) for f in files] == ["f1.parquet"]
+
+
+def test_torn_pending_is_ignored_on_commit(spark, tmp_path):
+    _drop_file(spark, tmp_path, "f1.parquet", 0, 4)
+    cfg = _config(tmp_path)
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "pending.json").write_text("{not json")  # crash debris
+    ext = IncrementalFileExtractor()
+    assert ext.commit_processed(cfg.source) == 0  # torn file: no-op
+    m = PipelineExecutor().execute(cfg, spark)
+    assert m.status == "SUCCESS" and m.records_loaded == 4
+    committed = json.load(open(state / "processed.json"))
+    assert len(committed["files"]) == 1
+
+
+def test_validation_and_missing_path(spark, tmp_path):
+    from etl_spark_gradle_spark.plans.config import ConfigError, SourceConfig
+
+    ext = IncrementalFileExtractor()
+    bad = SourceConfig(type="file_incremental", options={"format": "parquet"})
+    res = ext.validate(bad)
+    assert not res.is_valid
+    joined = "; ".join(res.errors)
+    assert "path" in joined and "stateDir" in joined
+    with pytest.raises(ConfigError, match="does not exist"):
+        list_data_files(spark, str(tmp_path / "nope"))
