@@ -144,6 +144,28 @@ def load_file(
             writer = writer.partitionBy(*partition_by)
         if options.get("compression"):
             writer = writer.option("compression", options["compression"])
+    pom = options.get("partitionOverwriteMode")
+    if pom:
+        # Dynamic partition overwrite: replace ONLY the partitions the
+        # batch writes, leave every other partition intact — the
+        # idempotent-rerun primitive. Paired with file_incremental's
+        # at-least-once re-discovery this upgrades reruns to
+        # exactly-once-EFFECTIVE: a reprocessed batch clobbers its own
+        # partitions with identical content instead of duplicating
+        # rows (append) or erasing history (static overwrite). The
+        # per-write DataFrameWriter option overrides the session conf,
+        # so nothing global mutates.
+        if pom not in ("static", "dynamic"):
+            raise ConfigError(
+                f"partitionOverwriteMode must be static|dynamic, got '{pom}'"
+            )
+        if pom == "dynamic" and (write_mode != "overwrite" or not partition_by):
+            raise ConfigError(
+                "partitionOverwriteMode=dynamic requires writeMode=overwrite "
+                "AND partitionBy columns — without partitions there is "
+                "nothing to scope the overwrite to"
+            )
+        writer = writer.option("partitionOverwriteMode", pom)
     try:
         if bucket_cols:
             # Bucketed write (beyond-reference; 100 TB path): pre-hash the
