@@ -4971,6 +4971,73 @@ SELECT day, rnk, event_type, cnt FROM r WHERE rnk <= 3
 """
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: model-score reliability table — ecdf
+    percent-rank as the score, floor(score·10) deciles, per-bin
+    positive rate from exact integer counts (ONE double division).
+    The ecdf→bin→rate chain is the standard calibration diagnostic a
+    scoring pipeline runs; every number is integer-derived so the
+    table hash-matches cross-engine."""
+    from etl_spark_gradle_spark.operators.stats import ecdf
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    scored = ecdf(orders, "price")
+    binned = scored.withColumn(
+        "bin", F.least(F.floor(F.col("ecdf") * 10), F.lit(9)).cast("long")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+_CALIBRATION_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+         CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+  FROM orders
+), c AS (
+  SELECT price AS v, CAST(count(*) AS BIGINT) AS c
+  FROM o WHERE price IS NOT NULL GROUP BY 1
+), cdf AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+  FROM c
+), scored AS (
+  SELECT o.y, o.price,
+         CAST(cdf.cum AS DOUBLE) / CAST(cdf.n AS DOUBLE) AS ecdf
+  FROM o LEFT JOIN cdf ON o.price = cdf.v
+), binned AS (
+  SELECT y, price,
+         least(CAST(floor(ecdf * 10) AS BIGINT), 9) AS bin
+  FROM scored
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+       min(price) AS min_price, max(price) AS max_price
+FROM binned GROUP BY bin
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -5959,6 +6026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_classes": q_balance_classes,
         "oversample": q_oversample,
         "trending": q_trending,
+        "calibration": q_calibration,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6113,6 +6181,7 @@ def oracle_sql() -> dict[str, str]:
         "balance_classes": _BALANCE_CLASSES_ORACLE,
         "oversample": _OVERSAMPLE_ORACLE,
         "trending": _TRENDING_ORACLE,
+        "calibration": _CALIBRATION_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
