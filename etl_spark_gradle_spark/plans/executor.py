@@ -123,6 +123,17 @@ class PipelineExecutor:
                 raise KeyError(
                     f"no extractor registered for views.{view_name} type '{view_src.type}'"
                 )
+            if hasattr(view_extractor, "commit_processed"):
+                # only the MAIN source participates in the post-success
+                # state commit; an incremental view would stage pending
+                # batches that never commit — every run silently
+                # re-reading the same files while appearing to work
+                raise KeyError(
+                    f"views.{view_name}: incremental source type "
+                    f"'{view_src.type}' is only supported as the main "
+                    "pipeline source (views never commit processed-file "
+                    "state) — use type 'file' for the view"
+                )
             view_extractor.extract(
                 with_resolved_credentials(view_src), ctx.spark
             ).createOrReplaceTempView(view_name)

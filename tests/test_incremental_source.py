@@ -230,3 +230,38 @@ class TestDynamicPartitionOverwrite:
         assert m.status == "SUCCESS" and m.records_loaded == 10
         out = spark.read.parquet(str(tmp_path / "out"))
         assert out.count() == 10  # no duplicates: partitions replaced
+
+
+def test_incremental_source_refused_in_views(spark, tmp_path):
+    """Views never participate in the post-success state commit; an
+    incremental view would re-read the same batch forever while
+    appearing to work — refused with a guided error."""
+    _drop_file(spark, tmp_path, "f1.parquet", 0, 4)
+    doc = {
+        "pipelineId": "incr-view",
+        "source": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "landing"), "format": "parquet"},
+        },
+        "views": {
+            "bad_view": {
+                "type": "file_incremental",
+                "options": {
+                    "path": str(tmp_path / "landing"),
+                    "format": "parquet",
+                    "stateDir": str(tmp_path / "state"),
+                },
+            }
+        },
+        "transformations": [],
+        "sink": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "out"), "format": "parquet"},
+            "writeMode": "overwrite",
+        },
+    }
+    p = tmp_path / "p.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    m = PipelineExecutor().execute(load_pipeline_yaml(str(p)), spark)
+    assert m.status == "FAILED"
+    assert "only supported as the main" in (m.error_details or "")
