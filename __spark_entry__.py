@@ -5038,6 +5038,73 @@ FROM binned GROUP BY bin
 """
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system profile over SYNTHESIZED multi-script strings
+    (the testdata is ASCII — same pattern as fold_accents): per lang
+    bucket the string mixes a known count of Cyrillic / Han / Arabic /
+    Greek letters with table-derived Latin text, so the oracle can
+    predict letters, dominant script, and ratio from the same
+    construction arithmetic while Spark measures them with real
+    \\p{IsScript} regex counting."""
+    from etl_spark_gradle_spark.operators.text import with_script_profile
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # per-row: (doc_id % 4) picks a non-Latin block, repeated
+    # (doc_id % 5 + 1) times; Latin tail from the text column
+    block = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("привет"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("中文字"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("مرحبا"))
+        .otherwise(F.lit("αβγδ"))
+    )
+    raw = F.concat(
+        F.repeat(block, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.lit(" "),
+        F.substring(F.col("text"), 1, 30),
+    )
+    out = with_script_profile(
+        docs.select("doc_id", raw.alias("synth")), "synth"
+    )
+    return out.select(
+        "doc_id", "script_letters", "script_name", "script_ratio"
+    )
+
+
+_SCRIPT_PROFILE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 6 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 4 END
+           AS block_letters,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'cyrillic' WHEN 1 THEN 'han'
+           WHEN 2 THEN 'arabic' ELSE 'greek' END AS block_script,
+         CAST(doc_id % 5 + 1 AS BIGINT) AS reps,
+         substring(text, 1, 30) AS tail
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         block_letters * reps AS n_block,
+         CAST(length(regexp_extract_all(tail, '[A-Za-z]')) AS BIGINT)
+           AS n_latin,
+         block_script
+  FROM base
+)
+SELECT doc_id,
+       n_block + n_latin AS script_letters,
+       -- Spark's (count, name) struct max breaks ties to the
+       -- alphabetically-LAST name; 'latin' sorts after all four block
+       -- scripts, so an exact tie goes to latin
+       CASE WHEN n_block > n_latin THEN block_script
+            WHEN n_latin > 0 THEN 'latin'
+            ELSE block_script END AS script_name,
+       CAST(greatest(n_block, n_latin) AS DOUBLE)
+         / CAST(n_block + n_latin AS DOUBLE) AS script_ratio
+FROM m
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -6027,6 +6094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oversample": q_oversample,
         "trending": q_trending,
         "calibration": q_calibration,
+        "script_profile": q_script_profile,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6182,6 +6250,7 @@ def oracle_sql() -> dict[str, str]:
         "oversample": _OVERSAMPLE_ORACLE,
         "trending": _TRENDING_ORACLE,
         "calibration": _CALIBRATION_ORACLE,
+        "script_profile": _SCRIPT_PROFILE_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -262,6 +262,77 @@ def with_language_id(
     return df.withColumn(out_col, expr.otherwise(F.lit("und")))
 
 
+# Writing-system classes for script profiling: (name, Java-regex class,
+# the oracle uses RE2's \p{Name}). Membership tables are Unicode-version
+# sensitive for RARE codepoints; the oracle synthesizes inputs from
+# stable well-known characters, and production routing only needs the
+# dominant script of real text — version skew on exotic codepoints is
+# noise there.
+_SCRIPTS: list[tuple[str, str]] = [
+    ("arabic", r"\p{IsArabic}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("devanagari", r"\p{IsDevanagari}"),
+    ("greek", r"\p{IsGreek}"),
+    ("han", r"\p{IsHan}"),
+    ("hangul", r"\p{IsHangul}"),
+    ("hebrew", r"\p{IsHebrew}"),
+    ("hiragana", r"\p{IsHiragana}"),
+    ("katakana", r"\p{IsKatakana}"),
+    ("latin", r"\p{IsLatin}"),
+]
+
+
+def with_script_profile(
+    df: DataFrame, text_col: str = "text", prefix: str = "script_"
+) -> DataFrame:
+    """Writing-system profile — the orthography-level complement to
+    ``with_language_id`` (which needs stopword vocabulary and covers 5
+    languages; the SCRIPT of a document is detectable for every
+    language at once and is what multilingual corpus ROUTING keys on:
+    Han → CJK pipeline, Cyrillic → Slavic models, mixed → segmenter).
+
+    Adds three columns:
+
+    - ``{prefix}letters``: total Unicode letters (``\\p{L}``),
+    - ``{prefix}name``: dominant script of 10 majors (arabic, cyrillic,
+      devanagari, greek, han, hangul, hebrew, hiragana, katakana,
+      latin) — ties break to the alphabetically-LAST name via a
+      (count, name) struct max, documented and engine-stable; ``none``
+      when no profiled-script letters occur,
+    - ``{prefix}ratio``: dominant-script chars / letters (0.0 when
+      none) — one fixed-order double division.
+
+    Scale: ten ``regexp_count`` expressions riding the scan — zero
+    shuffle, zero Python, a free rider like the rest of this module.
+    """
+    c = F.col(text_col)
+    counts = {name: F.regexp_count(c, F.lit(pat)) for name, pat in _SCRIPTS}
+    letters = F.regexp_count(c, F.lit(r"\p{L}"))
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(cnt.alias("n"), F.lit(name).alias("s"))
+                for name, cnt in counts.items()
+            ]
+        )
+    )
+    p = prefix
+    return (
+        df.withColumn(p + "letters", letters.cast("long"))
+        .withColumn(
+            p + "name",
+            F.when(best["n"] > 0, best["s"]).otherwise(F.lit("none")),
+        )
+        .withColumn(
+            p + "ratio",
+            F.when(
+                (best["n"] > 0) & (letters > 0),
+                best["n"].cast("double") / letters.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 # HTML entity decode pairs, applied in THIS order on both engines (the
 # oracle mirrors the sequence; &amp; must come after the others would
 # double-decode, so it is last-but-one by convention here)
@@ -625,6 +696,8 @@ class TextAnalysisTransformer:
             out = with_language_id(out, tc)
         if flag("fingerprint"):
             out = with_fingerprint(out, tc)
+        if flag("scriptProfile"):
+            out = with_script_profile(out, tc)
         if flag("repetition"):
             out = with_repetition_stats(out, tc)
         if "topNgram" in opts:

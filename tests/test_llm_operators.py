@@ -1847,3 +1847,59 @@ class TestFoldAccents:
         assert row.text_ascii == "Cafe deja vu"
         assert row.text == "Çafé déjà vu"  # original intact
         assert "n_tokens" in out.columns  # stats read the folded column
+
+
+class TestScriptProfile:
+    def test_dominant_scripts(self, spark):
+        from etl_spark_gradle_spark.operators.text import with_script_profile
+
+        df = spark.createDataFrame(
+            [
+                ("hello world",),
+                ("Привет мир hello",),
+                ("中文文本测试",),
+                ("مرحبا بالعالم",),
+                ("한국어 텍스트",),
+                ("नमस्ते दुनिया",),
+            ],
+            "t string",
+        )
+        out = {r.t: (r.script_name, r.script_letters) for r in
+               with_script_profile(df, "t").collect()}
+        assert out["hello world"] == ("latin", 10)
+        assert out["Привет мир hello"][0] == "cyrillic"
+        assert out["中文文本测试"] == ("han", 6)
+        assert out["مرحبا بالعالم"][0] == "arabic"
+        assert out["한국어 텍스트"][0] == "hangul"
+        assert out["नमस्ते दुनिया"][0] == "devanagari"
+
+    def test_no_letters_and_null(self, spark):
+        from etl_spark_gradle_spark.operators.text import with_script_profile
+
+        df = spark.createDataFrame([("123 !!!",), (None,)], "t string")
+        rows = with_script_profile(df, "t").collect()
+        assert rows[0].script_name == "none" and rows[0].script_ratio == 0.0
+        assert rows[0].script_letters == 0
+        assert rows[1].script_name == "none" and rows[1].script_letters is None
+
+    def test_tie_breaks_to_alphabetically_last(self, spark):
+        from etl_spark_gradle_spark.operators.text import with_script_profile
+
+        # 3 Cyrillic + 3 Latin: tie -> 'latin' (sorts after 'cyrillic')
+        df = spark.createDataFrame([("абв abc",)], "t string")
+        r = with_script_profile(df, "t").collect()[0]
+        assert r.script_name == "latin" and abs(r.script_ratio - 0.5) < 1e-15
+
+    def test_adapter_flag(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+        df = spark.createDataFrame([(1, "Привет")], "id long, text string")
+        cfg = TransformationConfig(
+            type="text_analysis",
+            options={"textColumn": "text", "scriptProfile": "true", "stats": "false"},
+        )
+        out = TRANSFORMER_REGISTRY["text_analysis"].transform(
+            df, cfg, RunContext.create("t-script", spark)
+        )
+        assert out.collect()[0].script_name == "cyrillic"
