@@ -5105,6 +5105,40 @@ FROM m
 """
 
 
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing distinct actives per day (WAU curve) — the
+    sliding count-DISTINCT no window function can express: dedup to
+    (user, day), explode each pair to the 7 window ends it feeds, one
+    count-distinct per end, zero-filled onto the min..max day spine."""
+    from etl_spark_gradle_spark.operators.events import rolling_active
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active(ev, "user_id", "ts", window_days=7)
+
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), contrib AS (
+  SELECT u, d + g.i AS wd
+  FROM pairs, LATERAL UNNEST(generate_series(0, 6)) AS g(i)
+), counts AS (
+  SELECT wd, CAST(count(DISTINCT u) AS BIGINT) AS n FROM contrib GROUP BY wd
+), bounds AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM pairs
+), spine AS (
+  SELECT lo + g.i AS wd FROM bounds,
+         LATERAL UNNEST(generate_series(0, CAST(hi - lo AS BIGINT))) AS g(i)
+)
+SELECT CAST(s.wd * 86400 AS BIGINT) AS day,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS active_users
+FROM spine s LEFT JOIN counts c ON s.wd = c.wd
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -6095,6 +6129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending": q_trending,
         "calibration": q_calibration,
         "script_profile": q_script_profile,
+        "rolling_active": q_rolling_active,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6251,6 +6286,7 @@ def oracle_sql() -> dict[str, str]:
         "trending": _TRENDING_ORACLE,
         "calibration": _CALIBRATION_ORACLE,
         "script_profile": _SCRIPT_PROFILE_ORACLE,
+        "rolling_active": _ROLLING_ACTIVE_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

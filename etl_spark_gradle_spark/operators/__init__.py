@@ -122,6 +122,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.events import (  # noqa: F401
     CohortTransformer,
+    RollingActiveTransformer,
     TopPathsTransformer,
     FunnelTransformer,
     MarketBasketTransformer,
@@ -213,6 +214,7 @@ TRANSFORMER_REGISTRY = {
     "cohort": CohortTransformer(),
     "transitions": TransitionsTransformer(),
     "top_paths": TopPathsTransformer(),
+    "rolling_active": RollingActiveTransformer(),
     "market_basket": MarketBasketTransformer(),
     "edit_join": EditJoinTransformer(),
     "stats": StatsTransformer(),

@@ -36,6 +36,8 @@ __all__ = [
     "market_basket_pairs",
     "TopPathsTransformer",
     "top_paths",
+    "RollingActiveTransformer",
+    "rolling_active",
 ]
 
 
@@ -531,3 +533,120 @@ class TopPathsTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"top_paths({opts})"
+
+
+def rolling_active(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    window_days: int = 7,
+    out_col: str = "active_users",
+) -> DataFrame:
+    """Trailing-window distinct actives per day — DAU/WAU/MAU: for
+    every day in the observed range, how many distinct users had at
+    least one event in the ``window_days`` ending that day (inclusive).
+    Output ``(day, <out_col>)`` with ``day`` as epoch-second bigints
+    (midnight UTC — engine-portable like resample's grid), one row per
+    day from the first to the last observed day, zero-activity days
+    included.
+
+    The sliding-distinct trap this avoids: a window function cannot
+    compute ``count(DISTINCT)`` over a moving frame, and per-day
+    self-joins re-scan the table once per window day. Instead each
+    (user, active-day) pair is EXPLODED to the ``window_days`` window
+    ends it contributes to — a bounded ×window_days row multiplication
+    of the already-deduplicated (user, day) table, NOT of raw events —
+    then one distinct aggregation counts each user once per window.
+    Plan: dedup to (user, day) [shuffle #1, map-side combined],
+    explode ×w, count-distinct per window end [shuffle #2 via Spark's
+    two-phase distinct], left-join onto the min..max day spine
+    (generated distributed via sequence+explode from a 1-row bounds
+    aggregate, same spine machinery as resample). At 100 TB the
+    ×w blow-up is of |users·days|, orders below raw events; for very
+    large w (365-day MAU-style windows) switch to the mergeable HLL
+    sketch family and trade exactness for a ×1 pass.
+
+    NULL users/timestamps are excluded (an anonymous event is not an
+    active user).
+    """
+    for c in (user_col, time_col):
+        if c not in df.columns:
+            raise TransformationError(f"rolling_active column not in input schema: {c}")
+    if window_days < 1:
+        raise TransformationError("rolling_active requires window_days >= 1")
+
+    day = (
+        F.floor(F.unix_timestamp(F.col(time_col)) / F.lit(86400))
+    ).cast("long")
+    pairs = (
+        df.where(F.col(user_col).isNotNull() & F.col(time_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__d"))
+        .distinct()
+    )
+    contrib = pairs.select(
+        "__u",
+        F.explode(
+            F.sequence(F.col("__d"), F.col("__d") + F.lit(int(window_days) - 1))
+        ).alias("__wd"),
+    )
+    bounds = pairs.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    ).where(F.col("__lo").isNotNull())
+    counts = (
+        contrib.groupBy("__wd")
+        .agg(F.countDistinct("__u").cast("long").alias(out_col))
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__wd")
+    )
+    return (
+        spine.join(counts, on="__wd", how="left")
+        .select(
+            (F.col("__wd") * 86400).cast("long").alias("day"),
+            F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col),
+        )
+    )
+
+
+class RollingActiveTransformer:
+    """Registry adapter (``type: rolling_active``). Options:
+    ``userColumn``, ``timeColumn`` (required), ``windowDays`` (default
+    7), ``outputColumn`` (default ``active_users``)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        for opt in ("userColumn", "timeColumn"):
+            col = config.options.get(opt)
+            if not col:
+                errors.append(f"rolling_active requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        try:
+            if int(config.options.get("windowDays", 7)) < 1:
+                errors.append("windowDays must be >= 1")
+        except ValueError:
+            errors.append(
+                f"windowDays is not an integer: {config.options['windowDays']}"
+            )
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "rolling_active config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return rolling_active(
+            df,
+            user_col=opts["userColumn"],
+            time_col=opts["timeColumn"],
+            window_days=int(opts.get("windowDays", 7)),
+            out_col=opts.get("outputColumn", "active_users"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"rolling_active({opts})"

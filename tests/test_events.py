@@ -252,3 +252,85 @@ class TestTopPaths:
         assert out.columns == ["path", "n_users", "share"]
         bad = TransformationConfig(type="top_paths", options={})
         assert not TRANSFORMER_REGISTRY["top_paths"].validate(df, bad).is_valid
+
+
+class TestRollingActive:
+    def test_hand_computed_window(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_spark_gradle_spark.operators.events import rolling_active
+
+        rows = [
+            ("u1", "1970-01-01 05:00:00"), ("u2", "1970-01-01 23:00:00"),
+            ("u1", "1970-01-02 01:00:00"), ("u3", "1970-01-04 12:00:00"),
+            (None, "1970-01-01 00:00:00"), ("u9", None),
+        ]
+        df = spark.createDataFrame(rows, "u string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {r.day // 86400: r.active_users for r in
+               rolling_active(df, "u", "ts", window_days=2).collect()}
+        # trailing-2: d0 {u1,u2}; d1 {u1,u2}; d2 {u1}; d3 {u3}
+        assert out == {0: 2, 1: 2, 2: 1, 3: 1}
+
+    def test_window_one_is_plain_dau_and_gaps_zero_filled(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_spark_gradle_spark.operators.events import rolling_active
+
+        rows = [("a", "1970-01-01 01:00:00"), ("b", "1970-01-05 01:00:00")]
+        df = spark.createDataFrame(rows, "u string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {r.day // 86400: r.active_users for r in
+               rolling_active(df, "u", "ts", window_days=1).collect()}
+        assert out == {0: 1, 1: 0, 2: 0, 3: 0, 4: 1}
+
+    def test_matches_bruteforce_on_events(self, spark, sf_dir):
+        from tests.conftest import load_table
+        from etl_spark_gradle_spark.operators.events import rolling_active
+
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, "events", sf_dir)
+        if dict(ev.dtypes)["ts"] == "bigint":  # nanos-shipped testdata
+            ev = ev.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        got = {r.day: r.active_users for r in
+               rolling_active(ev, "user_id", "ts", window_days=3).collect()}
+        pdf = ev.select("user_id", "ts").toPandas().dropna()
+        pdf["d"] = (pdf["ts"].astype("int64") // 1_000_000_000 // 86400).astype("int64")
+        days = range(int(pdf["d"].min()), int(pdf["d"].max()) + 1)
+        want = {
+            d * 86400: pdf[(pdf["d"] >= d - 2) & (pdf["d"] <= d)]["user_id"].nunique()
+            for d in days
+        }
+        assert got == {k: int(v) for k, v in want.items()}
+
+    def test_validation_and_adapter(self, spark):
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.events import rolling_active
+        from etl_spark_gradle_spark.operators.relational import TransformationError
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("u", "1970-01-01 00:00:00")], "u string, ts string")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        with _pytest.raises(TransformationError, match="window_days"):
+            rolling_active(df, "u", "ts", window_days=0)
+        with _pytest.raises(TransformationError, match="not in input schema"):
+            rolling_active(df, "nope", "ts")
+        assert "rolling_active" in TRANSFORMER_REGISTRY
+        cfg = TransformationConfig(
+            type="rolling_active",
+            options={"userColumn": "u", "timeColumn": "ts", "windowDays": "7"},
+        )
+        out = TRANSFORMER_REGISTRY["rolling_active"].transform(
+            df, cfg, RunContext.create("t-ra", spark)
+        )
+        assert out.columns == ["day", "active_users"]
+        bad = TransformationConfig(type="rolling_active", options={"windowDays": "x"})
+        assert not TRANSFORMER_REGISTRY["rolling_active"].validate(df, bad).is_valid
