@@ -5139,6 +5139,70 @@ FROM spine s LEFT JOIN counts c ON s.wd = c.wd
 """
 
 
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: EXACT vocabulary overlap between the even-
+    and odd-id subcorpora — token_frequency on each side, full-outer
+    join on token, one closing row: |A|, |B|, |A∩B|, exact Jaccard
+    (integer counts, one double division). The exact ground truth the
+    KMV sketch's `kmv_jaccard` estimates; the pair documents the
+    exact-vs-sketch trade."""
+    from etl_spark_gradle_spark.operators.corpus import token_frequency
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    va = token_frequency(
+        docs.where("doc_id % 2 = 0"), "text", lowercase=True
+    ).select(F.col("token").alias("t"), F.lit(1).alias("a"))
+    vb = token_frequency(
+        docs.where("doc_id % 2 = 1"), "text", lowercase=True
+    ).select(F.col("token").alias("t"), F.lit(1).alias("b"))
+    j = va.join(vb, on="t", how="full")
+    return j.agg(
+        F.count("a").cast("long").alias("vocab_a"),
+        F.count("b").cast("long").alias("vocab_b"),
+        F.sum((F.col("a").isNotNull() & F.col("b").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("vocab_both"),
+    ).select(
+        "vocab_a",
+        "vocab_b",
+        "vocab_both",
+        (
+            F.col("vocab_both").cast("double")
+            / (F.col("vocab_a") + F.col("vocab_b") - F.col("vocab_both")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
+    )
+
+
+_VOCAB_OVERLAP_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT lower(unnest(
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         )) AS token
+  FROM documents WHERE doc_id % 2 = 0
+), b AS (
+  SELECT DISTINCT lower(unnest(
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         )) AS token
+  FROM documents WHERE doc_id % 2 = 1
+), j AS (
+  SELECT a.token AS ta, b.token AS tb FROM a FULL JOIN b ON a.token = b.token
+)
+SELECT CAST(count(ta) AS BIGINT) AS vocab_a,
+       CAST(count(tb) AS BIGINT) AS vocab_b,
+       CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS vocab_both,
+       CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / CAST(count(ta) + count(tb)
+                - sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) AS jaccard
+FROM j
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -6130,6 +6194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "script_profile": q_script_profile,
         "rolling_active": q_rolling_active,
+        "vocab_overlap": q_vocab_overlap,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6287,6 +6352,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration": _CALIBRATION_ORACLE,
         "script_profile": _SCRIPT_PROFILE_ORACLE,
         "rolling_active": _ROLLING_ACTIVE_ORACLE,
+        "vocab_overlap": _VOCAB_OVERLAP_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
