@@ -5203,6 +5203,55 @@ FROM j
 """
 
 
+def q_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-statistics losslessness: write orders through the engine
+    loader (single file ⇒ single row group at gate sizes), read the
+    parquet FOOTER back with the distributed pyarrow stats operator,
+    and compare against table-level truth computed by the oracle —
+    row-group pruning is only as good as these stats, and the hash
+    match proves min/max/null-count survive the write bit-for-bit."""
+    from etl_spark_gradle_spark.operators.layout import parquet_stats
+    from etl_spark_gradle_spark.plans.config import SinkConfig
+    from etl_spark_gradle_spark.sinks import LOADER_REGISTRY
+
+    _prep(spark)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    orders = _t(spark, sf_dir, "orders").select(*cols).coalesce(1)
+    path = os.path.join(_SCRATCH, f"pqstats_{uuid.uuid4()}")
+    LOADER_REGISTRY["s3"].load(
+        orders,
+        SinkConfig(type="s3", options={"path": path, "format": "parquet"},
+                   write_mode="overwrite"),
+        run_id="pqstats",
+    )
+    out = parquet_stats(spark, path, columns=cols)
+    return out.select("column", "n_rows", "n_nulls", "min_value", "max_value")
+
+
+_PARQUET_STATS_ORACLE = """
+SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -6195,6 +6244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "rolling_active": q_rolling_active,
         "vocab_overlap": q_vocab_overlap,
+        "parquet_stats": q_parquet_stats,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6353,6 +6403,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _SCRIPT_PROFILE_ORACLE,
         "rolling_active": _ROLLING_ACTIVE_ORACLE,
         "vocab_overlap": _VOCAB_OVERLAP_ORACLE,
+        "parquet_stats": _PARQUET_STATS_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -72,6 +72,7 @@ def list_data_files(spark: SparkSession, path: str) -> list[dict]:
     if not fs.exists(jpath):
         raise ConfigError(f"file_incremental path does not exist: {path}")
     out: list[dict] = []
+    root = fs.makeQualified(jpath).toString().rstrip("/")
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         st = it.next()
@@ -79,9 +80,11 @@ def list_data_files(spark: SparkSession, path: str) -> list[dict]:
         name = p.getName()
         if name.startswith(("_", ".")):
             continue
-        # a hidden ancestor directory hides its files too
+        # a hidden ancestor directory hides its files too — but only
+        # BELOW the listing root (a root the caller explicitly named
+        # may itself be dot-prefixed, e.g. a .scratch workspace)
         parent, hidden = p.getParent(), False
-        while parent is not None and parent.getName():
+        while parent is not None and parent.toString().rstrip("/") != root:
             if parent.getName().startswith(("_", ".")):
                 hidden = True
                 break

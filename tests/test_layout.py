@@ -219,3 +219,57 @@ def test_zorder_transformer_registry(spark):
     assert "__z" not in out.columns
     bad = TransformationConfig(type="zorder", options={"columns": "x"})
     assert not tf.validate(df, bad).is_valid
+
+
+class TestParquetStats:
+    def test_footer_stats_match_data(self, spark, tmp_path):
+        from etl_spark_gradle_spark.operators.layout import parquet_stats
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", 1.5), (9, "z", -2.25), (None, None, None)],
+            "k int, s string, v double",
+        ).coalesce(1).write.parquet(p)
+        rows = {r.column: r for r in parquet_stats(spark, p).collect()}
+        assert rows["k"].min_value == "1" and rows["k"].max_value == "9"
+        assert rows["k"].n_nulls == 1 and rows["k"].n_rows == 3
+        assert rows["s"].min_value == "a" and rows["s"].max_value == "z"
+        assert rows["v"].min_value == "-2.25" and rows["v"].max_value == "1.5"
+
+    def test_column_filter_and_multi_file(self, spark, tmp_path):
+        from etl_spark_gradle_spark.operators.layout import parquet_stats
+
+        p = str(tmp_path / "t")
+        spark.range(100).repartition(4).write.parquet(p)
+        out = parquet_stats(spark, p, columns=["id"])
+        rows = out.collect()
+        assert len(rows) == 4  # one per file (single row group each)
+        assert {r.column for r in rows} == {"id"}
+        assert sum(r.n_rows for r in rows) == 100
+
+    def test_sorted_write_gives_disjoint_ranges(self, spark, tmp_path):
+        """The observability claim itself: a range-partitioned sorted
+        write must show tight DISJOINT per-file min/max on the sort
+        key — exactly what row-group pruning needs."""
+        from etl_spark_gradle_spark.operators.layout import parquet_stats
+
+        p = str(tmp_path / "sorted")
+        spark.range(1000).repartitionByRange(4, "id").sortWithinPartitions(
+            "id"
+        ).write.parquet(p)
+        rows = sorted(
+            ((int(r.min_value), int(r.max_value)) for r in
+             parquet_stats(spark, p, columns=["id"]).collect())
+        )
+        for (lo1, hi1), (lo2, hi2) in zip(rows, rows[1:]):
+            assert hi1 < lo2  # disjoint ascending ranges
+
+    def test_empty_dir_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators.layout import parquet_stats
+        from etl_spark_gradle_spark.operators.relational import TransformationError
+
+        (tmp_path / "empty").mkdir()
+        with _pytest.raises(TransformationError, match="no data files"):
+            parquet_stats(spark, str(tmp_path / "empty"))
