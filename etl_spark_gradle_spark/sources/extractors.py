@@ -65,16 +65,32 @@ def extract_file(
         # map: "ts:timestamp_micros(CAST(ts_nanos DIV 1000 AS BIGINT))"
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read.format(fmt)
+    if options.get("schema"):
+        # Explicit DDL schema ("id INT, name STRING"): at scale this is
+        # the difference between one metadata-only open and an
+        # inferSchema SAMPLING PASS over the data; it is also the
+        # prerequisite for PERMISSIVE corrupt-record capture (the
+        # corrupt column must be declared). A bad DDL fails fast here
+        # with a guided error instead of a deep Catalyst parse trace.
+        try:
+            reader = reader.schema(options["schema"])
+        except Exception as e:  # noqa: BLE001 — rewrap the DDL parse error
+            raise ConfigError(
+                f"invalid 'schema' DDL for file source: {options['schema']!r}: {e}"
+            ) from e
     if fmt == "csv":
         reader = reader.option("header", options.get("header", "true"))
         reader = reader.option("sep", options.get("delimiter", ","))
-        reader = reader.option("inferSchema", options.get("inferSchema", "true"))
+        if not options.get("schema"):
+            reader = reader.option(
+                "inferSchema", options.get("inferSchema", "true")
+            )
     if fmt == "json" and "multiLine" in options:
         reader = reader.option("multiLine", options["multiLine"])
     passthrough = {
         k: v for k, v in options.items()
         if k not in {"path", "format", "header", "delimiter", "inferSchema",
-                     "multiLine", "nanosAsLong"}
+                     "multiLine", "nanosAsLong", "schema"}
     }
     if passthrough:
         reader = reader.options(**passthrough)

@@ -642,3 +642,68 @@ def test_lost_observation_degrades_to_sentinel_not_failure(spark, sf_dir, tmp_pa
     # the observe node alive under empty-relation propagation the real
     # count is equally acceptable — the contract is "never FAILED"
     assert metrics.records_extracted in (-1, n_docs)
+
+
+def test_malformed_records_quarantined_via_schema_and_permissive(spark, tmp_path):
+    """Messy-ingest recipe: explicit DDL schema + PERMISSIVE corrupt-
+    record capture + a customRules gate — malformed source lines land
+    in quarantine carrying their RAW text while clean rows flow
+    through, counted honestly."""
+    import yaml
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "id,name,qty\n1,alpha,10\n2,beta,notanumber\n3,gamma,30\n"
+    )
+    doc = {
+        "pipelineId": "corrupt-quarantine",
+        "source": {
+            "type": "file",
+            "options": {
+                "path": str(csv),
+                "format": "csv",
+                "header": "true",
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt",
+                "schema": "id INT, name STRING, qty INT, _corrupt STRING",
+            },
+        },
+        "quality": {
+            "customRules": ["_corrupt IS NULL"],
+            "quarantinePath": str(tmp_path / "quar"),
+        },
+        "transformations": [
+            {"type": "map", "options": {"expressions": "qty2:qty*2"}}
+        ],
+        "sink": {
+            "type": "file",
+            "options": {"path": str(tmp_path / "out"), "format": "parquet"},
+            "writeMode": "overwrite",
+        },
+    }
+    p = tmp_path / "p.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    m = PipelineExecutor().execute(load_pipeline_yaml(str(p)), spark)
+    assert m.status == "SUCCESS"
+    assert m.records_loaded == 2 and m.records_failed == 1
+    good = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    assert [r["_corrupt"] for r in quar.collect()] == ["2,beta,notanumber"]
+
+
+def test_bad_schema_ddl_fails_fast(spark, tmp_path):
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.sources.extractors import extract_file
+
+    csv = tmp_path / "x.csv"
+    csv.write_text("a\n1\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError, match="invalid 'schema' DDL"):
+        extract_file(
+            spark, {"path": str(csv), "format": "csv", "schema": "id NOTATYPE,"}
+        )
