@@ -4828,7 +4828,7 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_PATHS_ORACLE = """
 WITH stepped AS (
-  SELECT user_id, event_type,
+  SELECT user_id, replace(event_type, '>', '\\>') AS event_type,
          row_number() OVER (
            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
          ) AS rn

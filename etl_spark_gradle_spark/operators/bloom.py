@@ -188,16 +188,19 @@ def bloom_semi_join(
     cheap pre-filter feeding a later exact stage, never as a final
     answer.
 
-    ``materialize_bitmap`` (default on) eagerly ``localCheckpoint``s
-    the bitmap before the probes: the ``num_hashes`` probe joins each
+    ``materialize_bitmap`` (default on) eagerly materializes the
+    bitmap before the probes: the ``num_hashes`` probe joins each
     reference the bitmap subtree and Spark does NOT reuse the broadcast
     exchange across them (measured: the build side was scanned once per
     probe, zero ReusedExchange), so without materialization the build
-    side is re-scanned ``num_hashes`` times. The checkpoint is bounded
-    — at most ``num_bits/64`` rows of two longs (512 KiB of words at
-    the 2^22 default) — and turned the probe from 0.77 s to 0.46 s
-    against a 0.66 s plain sort-merge join at sf1 local[32]. Pass
-    ``False`` only when the caller manages its own persistence.
+    side is re-scanned ``num_hashes`` times. Materialization is a
+    collect + re-parallelize up to 2^26 bits (≤ 8 MiB of (long, long)
+    rows on the driver — crash-safe: a lost executor cannot strand the
+    bitmap, unlike ``localCheckpoint`` whose blocks die with their
+    node), falling back to ``localCheckpoint`` above the cap. Measured
+    effect: probe exec 0.77 s → 0.46 s against a 0.66 s plain
+    sort-merge join at sf1 local[32]. Pass ``False`` only when the
+    caller manages its own persistence.
     """
     build_key = build_key or fact_key
     if fact_key not in fact.columns:
@@ -217,7 +220,21 @@ def bloom_semi_join(
     )
     bitmap = build_bloom(keys, fact_key, num_bits, num_hashes)
     if materialize_bitmap:
-        bitmap = bitmap.localCheckpoint(eager=True)
+        if num_bits <= (1 << 26):
+            # collect + re-parallelize: one eager job, and the bitmap
+            # then lives on the DRIVER (≤ 8 MiB of (long, long) rows at
+            # this bound) — crash-SAFE, unlike localCheckpoint whose
+            # blocks die with their executor (a decommissioned spot
+            # node between build and probe would fail the job instead
+            # of recomputing; review finding)
+            rows = bitmap.collect()
+            spark = fact.sparkSession
+            bitmap = spark.createDataFrame(rows, schema=bitmap.schema)
+        else:
+            # past the driver-bound cap fall back to executor-local
+            # materialization; callers on preemptible clusters should
+            # size num_bits within the cap or manage persistence
+            bitmap = bitmap.localCheckpoint(eager=True)
     pruned = bloom_filter_rows(fact, fact_key, bitmap, num_bits, num_hashes)
     if not exact:
         return pruned

@@ -460,8 +460,15 @@ def top_paths(
     w = Window.partitionBy(user_col).orderBy(
         F.col(time_col).asc(), F.col(tiebreak_col).asc()
     )
+    # a type containing the separator would make ['a>b'] and ['a','b']
+    # render identically and silently merge their counts — escaping the
+    # separator inside types (backslash-prefix) keeps the path a total
+    # function of the journey (review finding)
+    esc_type = F.replace(
+        F.col(type_col), F.lit(sep), F.lit("\\" + sep)
+    ).alias(type_col)
     stepped = (
-        df.select(user_col, type_col, time_col, tiebreak_col)
+        df.select(user_col, esc_type, time_col, tiebreak_col)
         .where(F.col(type_col).isNotNull() & F.col(time_col).isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_steps)
@@ -474,7 +481,6 @@ def top_paths(
             ),
             sep,
         ).alias("path"),
-        F.count(F.lit(1)).cast("long").alias("_steps"),
     )
     totals = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")

@@ -150,11 +150,16 @@ def load_file(
         # batch writes, leave every other partition intact — the
         # idempotent-rerun primitive. Paired with file_incremental's
         # at-least-once re-discovery this upgrades reruns to
-        # exactly-once-EFFECTIVE: a reprocessed batch clobbers its own
-        # partitions with identical content instead of duplicating
-        # rows (append) or erasing history (static overwrite). The
-        # per-write DataFrameWriter option overrides the session conf,
-        # so nothing global mutates.
+        # exactly-once-EFFECTIVE *when each batch exclusively owns the
+        # partitions it writes* (e.g. partitioning by batch/ingest
+        # date): a reprocessed batch then clobbers its own partitions
+        # with identical content. CAVEAT — if LATE data can land in a
+        # partition an earlier batch already wrote (event-date
+        # partitioning with stragglers), the overwrite REPLACES that
+        # partition with only the new batch's rows; use append, or
+        # read-merge-write, for late-arrival layouts. The per-write
+        # DataFrameWriter option overrides the session conf, so
+        # nothing global mutates.
         if pom not in ("static", "dynamic"):
             raise ConfigError(
                 f"partitionOverwriteMode must be static|dynamic, got '{pom}'"
@@ -164,6 +169,16 @@ def load_file(
                 "partitionOverwriteMode=dynamic requires writeMode=overwrite "
                 "AND partitionBy columns — without partitions there is "
                 "nothing to scope the overwrite to"
+            )
+        if bucket_cols:
+            # the bucketed saveAsTable path rebuilds its writer below
+            # and catalog-table overwrite has its own semantics — a
+            # silently DROPPED dynamic mode here would static-overwrite
+            # and delete untouched partitions (review finding)
+            raise ConfigError(
+                "partitionOverwriteMode is not supported together with "
+                "bucketBy (catalog-table overwrite semantics differ); "
+                "drop one of the two options"
             )
         writer = writer.option("partitionOverwriteMode", pom)
     try:

@@ -172,6 +172,18 @@ class IncrementalFileExtractor(_BaseExtractor):
             k: v for k, v in config.options.items() if k != "stateDir"
         }
         if not batch:
+            if not listing and not config.options.get("schema"):
+                # a landing dir that has never held a data file cannot
+                # be schema-probed — Spark's "Unable to infer schema"
+                # would fail what should be a clean zero-row first run
+                # (review finding); an explicit DDL schema removes the
+                # inference and with it this restriction
+                raise ConfigError(
+                    "file_incremental: landing path has no data files yet "
+                    f"({config.options['path']}) — provide an explicit "
+                    "'schema' DDL so empty first runs can emit a typed "
+                    "zero-row frame"
+                )
             # schema-only probe of the full directory; zero-row frame
             return extract_file(spark, reader_opts).limit(0)
         return extract_file(

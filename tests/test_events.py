@@ -334,3 +334,18 @@ class TestRollingActive:
         assert out.columns == ["day", "active_users"]
         bad = TransformationConfig(type="rolling_active", options={"windowDays": "x"})
         assert not TRANSFORMER_REGISTRY["rolling_active"].validate(df, bad).is_valid
+
+
+def test_top_paths_separator_in_type_does_not_collide(spark):
+    """['a>b'] and ['a','b'] must stay distinct paths: the separator
+    inside a type is escaped, keeping the path string a total function
+    of the journey (review finding)."""
+    from etl_spark_gradle_spark.operators.events import top_paths
+
+    rows = [
+        ("u1", "a>b", 1, 1),           # one-step journey of type 'a>b'
+        ("u2", "a", 1, 2), ("u2", "b", 2, 3),  # two-step journey a, b
+    ]
+    df = spark.createDataFrame(rows, "u string, t string, ts long, eid long")
+    out = sorted((r.path, r.n_users) for r in top_paths(df, "u", "t", "ts", "eid").collect())
+    assert out == [("a>b", 1), ("a\\>b", 1)]

@@ -232,3 +232,17 @@ class TestRobustScale:
         bad = TransformationConfig(type="robust_scale", options={"scale": "abc"})
         res = RobustScaleTransformer().validate(df, bad)
         assert not res.is_valid and any("scale" in e for e in res.errors)
+
+
+def test_robust_scale_all_null_global_keeps_rows(spark):
+    """All-NULL value column on the UNGROUPED path: the stats frame is
+    empty and a crossJoin would erase the input — rows must survive
+    with a NULL scaled column (review finding)."""
+    from etl_spark_gradle_spark.operators.features import robust_scale
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, x double")
+    rows = robust_scale(df, "x").collect()
+    assert len(rows) == 2
+    assert all(r.x_scaled is None for r in rows)
+    rows2 = robust_scale(df, "x", method="iqr").collect()
+    assert len(rows2) == 2 and all(r.x_scaled is None for r in rows2)

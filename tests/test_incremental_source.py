@@ -265,3 +265,43 @@ def test_incremental_source_refused_in_views(spark, tmp_path):
     m = PipelineExecutor().execute(load_pipeline_yaml(str(p)), spark)
     assert m.status == "FAILED"
     assert "only supported as the main" in (m.error_details or "")
+
+
+def test_empty_landing_dir_requires_schema(spark, tmp_path):
+    """First run against a never-populated landing dir: guided error
+    without a schema (Spark cannot infer one from nothing), clean
+    zero-row SUCCESS with an explicit DDL schema."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cfg = _config(tmp_path)
+    m = PipelineExecutor().execute(cfg, spark)
+    assert m.status == "FAILED"
+    assert "schema" in (m.error_details or "")
+
+    doc = yaml.safe_load((tmp_path / "p.yaml").read_text())
+    doc["source"]["options"]["schema"] = "v BIGINT"
+    (tmp_path / "p2.yaml").write_text(yaml.safe_dump(doc))
+    m2 = PipelineExecutor().execute(load_pipeline_yaml(str(tmp_path / "p2.yaml")), spark)
+    assert m2.status == "SUCCESS", m2.error_details
+    assert m2.records_loaded == 0
+
+
+def test_pom_refused_with_bucketed_write(spark, tmp_path):
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.sinks.loaders import load_file
+
+    df = spark.createDataFrame([("a", 1)], "p string, v int")
+    with pytest.raises(ConfigError, match="bucketBy"):
+        load_file(
+            df,
+            {
+                "path": str(tmp_path / "t"),
+                "format": "parquet",
+                "partitionOverwriteMode": "dynamic",
+                "bucketBy": "v",
+                "buckets": "4",
+                "table": "pom_bucket_t",
+            },
+            write_mode="overwrite",
+            partition_by=("p",),
+        )
