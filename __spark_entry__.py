@@ -5252,6 +5252,66 @@ FROM orders
 """
 
 
+def q_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal robust-anomaly summary: MAD outlier statistics per
+    (event_type, hour-of-day) — the hour-of-day baseline is how
+    monitoring separates 'traffic is always high at 14:00' from 'this
+    value is wrong FOR 14:00'. Pure composition: a derived time key
+    feeding the grouped exact-quantile MAD machinery."""
+    from etl_spark_gradle_spark.operators.stats import mad_outliers
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return mad_outliers(ev, "value", group_by=["event_type", "hr"], k=3.0)
+
+
+_SEASONAL_MAD_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g1, CAST(hour(ts) AS INT) AS g2,
+         CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+), c1 AS (
+  SELECT g1, g2, x AS v, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3
+), cdf1 AS (
+  SELECT g1, g2, v, sum(c) OVER (PARTITION BY g1, g2 ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g1, g2) AS n
+  FROM c1
+), med AS (
+  SELECT g1, g2, min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS med
+  FROM cdf1 GROUP BY g1, g2
+), dev AS (
+  SELECT b.g1, b.g2, abs(b.x - m.med) AS adev
+  FROM base b JOIN med m ON b.g1 = m.g1 AND b.g2 = m.g2
+), c2 AS (
+  SELECT g1, g2, adev AS v, CAST(count(*) AS BIGINT) AS c
+  FROM dev GROUP BY 1, 2, 3
+), cdf2 AS (
+  SELECT g1, g2, v, sum(c) OVER (PARTITION BY g1, g2 ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g1, g2) AS n
+  FROM c2
+), mad AS (
+  SELECT g1, g2, min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS mad
+  FROM cdf2 GROUP BY g1, g2
+)
+SELECT d.g1 AS event_type, d.g2 AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       m.med AS median,
+       a.mad AS mad,
+       3.0 * 1.4826 * a.mad AS threshold,
+       CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d
+JOIN med m ON d.g1 = m.g1 AND d.g2 = m.g2
+JOIN mad a ON d.g1 = a.g1 AND d.g2 = a.g2
+GROUP BY 1, 2, m.med, a.mad
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -6245,6 +6305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active": q_rolling_active,
         "vocab_overlap": q_vocab_overlap,
         "parquet_stats": q_parquet_stats,
+        "seasonal_mad": q_seasonal_mad,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6404,6 +6465,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active": _ROLLING_ACTIVE_ORACLE,
         "vocab_overlap": _VOCAB_OVERLAP_ORACLE,
         "parquet_stats": _PARQUET_STATS_ORACLE,
+        "seasonal_mad": _SEASONAL_MAD_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
