@@ -5312,6 +5312,59 @@ GROUP BY 1, 2, m.med, a.mad
 """
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: view→purchase conversion-latency quantiles —
+    funnel_steps gives each user's earliest view and the earliest
+    purchase strictly after it; latencies close as exact integer
+    seconds feeding the distributed exact-quantile CDF (p25/p50/p90
+    are table values, hash-exact cross-engine)."""
+    from etl_spark_gradle_spark.operators.events import funnel_steps
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    reach = funnel_steps(ev, "user_id", "event_type", "ts", ["view", "purchase"])
+    lat = reach.where(F.col("t2").isNotNull()).select(
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).cast("long").alias(
+            "latency_s"
+        )
+    )
+    return exact_quantiles(lat, "latency_s", [0.25, 0.5, 0.9])
+
+
+_CONVERSION_LATENCY_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT v.user_id,
+         min(CASE WHEN e.ts > v.t1 THEN e.ts END) AS t2, v.t1
+  FROM v LEFT JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'purchase'
+  GROUP BY v.user_id, v.t1
+), lat AS (
+  -- floor EACH side (Spark's unix_timestamp truncates per timestamp;
+  -- flooring only the difference drifts one second on fractional ts)
+  SELECT CAST(floor(epoch(t2)) AS BIGINT)
+         - CAST(floor(epoch(t1)) AS BIGINT) AS latency_s
+  FROM p WHERE t2 IS NOT NULL
+), c AS (
+  SELECT latency_s AS value, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY 1
+), cdf AS (
+  SELECT value, sum(c) OVER (ORDER BY value) AS cum, sum(c) OVER () AS n
+  FROM c
+)
+SELECT prob,
+       CAST(greatest(1, CAST(ceil(prob * CAST(n AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS rank,
+       min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(prob * CAST(n AS DOUBLE)) AS BIGINT)) THEN value END)
+         AS value
+FROM cdf, (SELECT unnest([0.25, 0.5, 0.9]) AS prob)
+GROUP BY prob, n
+"""
+
+
 def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: pairwise Jaccard estimates between the three
     returnflags' part-key sets from their k=128 sketches alone — the
@@ -6306,6 +6359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "parquet_stats": q_parquet_stats,
         "seasonal_mad": q_seasonal_mad,
+        "conversion_latency": q_conversion_latency,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
@@ -6466,6 +6520,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_overlap": _VOCAB_OVERLAP_ORACLE,
         "parquet_stats": _PARQUET_STATS_ORACLE,
         "seasonal_mad": _SEASONAL_MAD_ORACLE,
+        "conversion_latency": _CONVERSION_LATENCY_ORACLE,
         "resample_ffill": _RESAMPLE_FFILL_ORACLE,
         "profile": _PROFILE_ORACLE,
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
