@@ -30,6 +30,8 @@ And the extension-operator shapes:
                       broadcast + array-aggregate bin close)
 17. q17_bloom_join  — Bloom-pruned semi join (bitmap bit_or build +
                       broadcast bit probes + survivor-only verify)
+18. q18_keyword_tag — 300-phrase Aho-Corasick Arrow tagging (the
+                      large-dictionary curation hot loop)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -380,6 +382,27 @@ def q16_discretize(spark):
     )
 
 
+def q18_keyword_tag(spark):
+    """Dictionary keyword tagging over documents via the Aho-Corasick
+    Arrow path — the large-dictionary curation hot loop (per-task
+    automaton build + per-row Python matching over Arrow batches).
+    A 300-phrase dictionary forces the automaton engine; the closing
+    hash-sum aggregate pins the full match relation."""
+    from etl_spark_gradle_spark.operators.keywords import keyword_matches
+
+    docs = load(spark, "documents")
+    phrases = [f"w{i:03d}" for i in range(280)] + [
+        "the", "data", "model", "training", "spark", "join", "batch",
+        "stream", "merge", "table", "order", "customer", "of the",
+        "a big", "column", "group", "window", "small", "error", "value",
+    ]
+    out = keyword_matches(docs, "text", phrases, id_cols=["doc_id"])
+    return out.agg(
+        F.sum(F.xxhash64("doc_id", "keyword")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q17_bloom_join(spark):
     """Bloom-pruned semi join: lineitem rows of URGENT orders via the
     blocked-Bloom bitmap relation (bit_or bitmap build + 3 broadcast
@@ -417,6 +440,7 @@ QUERIES = {
     "q15_cdf_stats": q15_cdf_stats,
     "q16_discretize": q16_discretize,
     "q17_bloom_join": q17_bloom_join,
+    "q18_keyword_tag": q18_keyword_tag,
 }
 
 
