@@ -4828,7 +4828,7 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_PATHS_ORACLE = """
 WITH stepped AS (
-  SELECT user_id, replace(event_type, '>', '\\>') AS event_type,
+  SELECT user_id, replace(replace(event_type, '\\', '\\\\'), '>', '\\>') AS event_type,
          row_number() OVER (
            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
          ) AS rn
@@ -5285,7 +5285,8 @@ WITH base AS (
   FROM cdf1 GROUP BY g1, g2
 ), dev AS (
   SELECT b.g1, b.g2, abs(b.x - m.med) AS adev
-  FROM base b JOIN med m ON b.g1 = m.g1 AND b.g2 = m.g2
+  FROM base b JOIN med m
+    ON b.g1 IS NOT DISTINCT FROM m.g1 AND b.g2 IS NOT DISTINCT FROM m.g2
 ), c2 AS (
   SELECT g1, g2, adev AS v, CAST(count(*) AS BIGINT) AS c
   FROM dev GROUP BY 1, 2, 3
@@ -5306,8 +5307,10 @@ SELECT d.g1 AS event_type, d.g2 AS hr,
        CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END)
             AS BIGINT) AS n_outliers
 FROM dev d
-JOIN med m ON d.g1 = m.g1 AND d.g2 = m.g2
-JOIN mad a ON d.g1 = a.g1 AND d.g2 = a.g2
+JOIN med m
+  ON d.g1 IS NOT DISTINCT FROM m.g1 AND d.g2 IS NOT DISTINCT FROM m.g2
+JOIN mad a
+  ON d.g1 IS NOT DISTINCT FROM a.g1 AND d.g2 IS NOT DISTINCT FROM a.g2
 GROUP BY 1, 2, m.med, a.mad
 """
 

@@ -220,16 +220,19 @@ def bloom_semi_join(
     )
     bitmap = build_bloom(keys, fact_key, num_bits, num_hashes)
     if materialize_bitmap:
-        if num_bits <= (1 << 26):
-            # collect + re-parallelize: one eager job, and the bitmap
-            # then lives on the DRIVER (≤ 8 MiB of (long, long) rows at
-            # this bound) — crash-SAFE, unlike localCheckpoint whose
+        if num_bits <= (1 << 23):
+            # collect (via Arrow) + re-parallelize: one eager job, and
+            # the bitmap then lives on the DRIVER (≤ 128Ki (long,long)
+            # rows at this cap — a few MB as pandas, cheap to
+            # round-trip) — crash-SAFE, unlike localCheckpoint whose
             # blocks die with their executor (a decommissioned spot
             # node between build and probe would fail the job instead
-            # of recomputing; review finding)
-            rows = bitmap.collect()
+            # of recomputing; review finding). The cap is deliberately
+            # modest: python Row materialization cost grows linearly
+            # and would erode the probe speedup the materialization
+            # exists to buy (second review finding).
             spark = fact.sparkSession
-            bitmap = spark.createDataFrame(rows, schema=bitmap.schema)
+            bitmap = spark.createDataFrame(bitmap.toPandas(), schema=bitmap.schema)
         else:
             # past the driver-bound cap fall back to executor-local
             # materialization; callers on preemptible clusters should

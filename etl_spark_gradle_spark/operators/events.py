@@ -461,11 +461,15 @@ def top_paths(
         F.col(time_col).asc(), F.col(tiebreak_col).asc()
     )
     # a type containing the separator would make ['a>b'] and ['a','b']
-    # render identically and silently merge their counts — escaping the
-    # separator inside types (backslash-prefix) keeps the path a total
-    # function of the journey (review finding)
+    # render identically and silently merge their counts — escape the
+    # ESCAPE CHARACTER first, then the separator, so the path is a
+    # total (injective) function of the journey: without the first
+    # step, ['a\\'] + ['b'] would render as 'a\\>b', colliding with
+    # the escaped one-step journey ['a>b'] (review findings x2)
     esc_type = F.replace(
-        F.col(type_col), F.lit(sep), F.lit("\\" + sep)
+        F.replace(F.col(type_col), F.lit("\\"), F.lit("\\\\")),
+        F.lit(sep),
+        F.lit("\\" + sep),
     ).alias(type_col)
     stepped = (
         df.select(user_col, esc_type, time_col, tiebreak_col)
@@ -632,9 +636,9 @@ class RollingActiveTransformer:
         try:
             if int(config.options.get("windowDays", 7)) < 1:
                 errors.append("windowDays must be >= 1")
-        except ValueError:
+        except (TypeError, ValueError):
             errors.append(
-                f"windowDays is not an integer: {config.options['windowDays']}"
+                f"windowDays is not an integer: {config.options['windowDays']!r}"
             )
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 

@@ -227,8 +227,6 @@ def robust_scale(
         raise TransformationError(
             f"robust_scale output column already in schema: {out_col}"
         )
-    if "__rs_k" in df.columns:
-        raise TransformationError("column name '__rs_k' is reserved by robust_scale")
 
     vals = df.select(
         *group_by, F.col(value_col).cast("double").alias("_x")
@@ -257,20 +255,14 @@ def robust_scale(
     if group_by:
         enriched = broadcast_group_join(df, stats, group_by)
     else:
-        # global path via a dummy-key LEFT join, NOT a crossJoin: with
-        # an all-NULL value column exact_quantiles returns an EMPTY
-        # stats frame and df.crossJoin(empty) would erase every input
-        # row — the left join keeps them with NULL statistics, honoring
-        # the rows-are-never-dropped contract (review finding)
-        enriched = (
-            df.withColumn("__rs_k", F.lit(1))
-            .join(
-                F.broadcast(stats.withColumn("__rs_k", F.lit(1))),
-                on="__rs_k",
-                how="left",
-            )
-            .drop("__rs_k")
-        )
+        # global path via a literal-true LEFT join, NOT a crossJoin:
+        # with an all-NULL value column exact_quantiles returns an
+        # EMPTY stats frame and df.crossJoin(empty) would erase every
+        # input row — the left join keeps them with NULL statistics,
+        # honoring the rows-are-never-dropped contract, and the
+        # literal condition needs no reserved dummy column (review
+        # findings x2)
+        enriched = df.join(F.broadcast(stats), F.lit(True), "left")
     scaled = F.when(
         denom > 0,
         (F.col(value_col).cast("double") - F.col("_med")) / denom,
