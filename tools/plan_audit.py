@@ -43,6 +43,18 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["SortMergeJoin"],
     ),
     (
+        "robust_scale",
+        "row-level robust scaling: statistics come back as BROADCAST joins, the frame is never re-shuffled for enrichment",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    (
+        "keyword_tag",
+        "dictionary tagging (automaton engine): one Arrow mapInPandas stage riding the scan, no joins, no shuffles of the corpus",
+        ["MapInPandas"],
+        ["SortMergeJoin", "CartesianProduct", "Exchange"],
+    ),
+    (
         "bloom_semi_join",
         "bitmap bit-probes broadcast; fact side never sort-merges",
         ["BroadcastHashJoin"],
