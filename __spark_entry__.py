@@ -6281,6 +6281,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ---- first 50: driver-recorded for the first time this round ----
+        # r5 late additions (judge-verified green at sf0.01 + sf0.1),
+        # rotated to the front per VERDICT r5 ask #1.
+        "quantile_clip": q_quantile_clip,
+        "pagerank": q_pagerank,
+        "scd2_lookup": q_scd2_lookup,
+        "skew_join": q_skew_join,
+        "discretize": q_discretize,
+        "kmv_distinct": q_kmv_distinct,
+        "cusum": q_cusum,
+        "kmv_jaccard": q_kmv_jaccard,
+        "streaming_cusum": q_streaming_cusum,
+        "target_encode": q_target_encode,
+        "triangle_count": q_triangle_count,
+        "quantiles_linear": q_quantiles_linear,
+        "weighted_quantiles": q_weighted_quantiles,
+        "ecdf": q_ecdf,
+        "bloom_semi_join": q_bloom_semi_join,
+        "keyword_tag": q_keyword_tag,
+        "tv_drift": q_tv_drift,
+        "robust_scale": q_robust_scale,
+        "fold_accents": q_fold_accents,
+        "top_paths": q_top_paths,
+        "balance_classes": q_balance_classes,
+        "oversample": q_oversample,
+        "trending": q_trending,
+        "calibration": q_calibration,
+        "script_profile": q_script_profile,
+        "rolling_active": q_rolling_active,
+        "vocab_overlap": q_vocab_overlap,
+        "parquet_stats": q_parquet_stats,
+        "seasonal_mad": q_seasonal_mad,
+        "conversion_latency": q_conversion_latency,
+        # ---- r6 new queries fill the remaining window slots (31-50) ----
+        # ---- position 51+: driver-recorded green in CORRECTNESS_r05 ----
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
         "cms_topk": q_cms,
@@ -6332,37 +6366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new this round (2 remaining in-window slots) ----
         "resample_origin": q_resample_origin,
         "mad_outliers": q_mad_outliers,
-        # ---- position 51+: r5 late additions, queued for the r6 window ----
-        "quantile_clip": q_quantile_clip,
-        "pagerank": q_pagerank,
-        "scd2_lookup": q_scd2_lookup,
-        "skew_join": q_skew_join,
-        "discretize": q_discretize,
-        "kmv_distinct": q_kmv_distinct,
-        "cusum": q_cusum,
-        "kmv_jaccard": q_kmv_jaccard,
-        "streaming_cusum": q_streaming_cusum,
-        "target_encode": q_target_encode,
-        "triangle_count": q_triangle_count,
-        "quantiles_linear": q_quantiles_linear,
-        "weighted_quantiles": q_weighted_quantiles,
-        "ecdf": q_ecdf,
-        "bloom_semi_join": q_bloom_semi_join,
-        "keyword_tag": q_keyword_tag,
-        "tv_drift": q_tv_drift,
-        "robust_scale": q_robust_scale,
-        "fold_accents": q_fold_accents,
-        "top_paths": q_top_paths,
-        "balance_classes": q_balance_classes,
-        "oversample": q_oversample,
-        "trending": q_trending,
-        "calibration": q_calibration,
-        "script_profile": q_script_profile,
-        "rolling_active": q_rolling_active,
-        "vocab_overlap": q_vocab_overlap,
-        "parquet_stats": q_parquet_stats,
-        "seasonal_mad": q_seasonal_mad,
-        "conversion_latency": q_conversion_latency,
         # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
