@@ -364,42 +364,68 @@ def _prefix_sums(
     scale (Spark plans it as a single partition holding the whole
     frame). Classic two-level scan instead:
 
-    1. ``repartitionByRange`` on ``order_col`` (equal keys land in the
-       same range partition), sort within partitions;
-    2. per-partition running sums via a window keyed on the partition
-       id (one exchange of the already-reduced frame);
-    3. per-partition TOTALS (≤ P rows) get their running offsets via a
-       single-partition window over P rows — bounded by the partition
+    1. assign each row a range-bucket id ``_pid`` that is MONOTONE in
+       ``order_col`` (bucket boundaries below);
+    2. per-bucket running sums via a window keyed on ``_pid`` (one
+       exchange of the already-reduced frame);
+    3. per-bucket TOTALS (≤ P rows) get their running offsets via a
+       single-partition window over P rows — bounded by the bucket
        count, not the data — and broadcast back.
 
-    Results are independent of where the sampled range boundaries
-    fall (offsets re-add exactly what the boundary moved) — PROVIDED
-    every downstream branch sees the SAME boundary draw. That is not
-    free: ``repartitionByRange`` samples split points per execution,
-    and the cumsum branch and the totals/offsets branch are separate
-    physical subtrees — when AQE happens to reuse the exchange they
-    agree, but when it does not, each branch draws its own boundaries
-    and the offsets land on the wrong partitions (observed: repeated
-    aggregations over the same frame returning different sums). The
-    range-partitioned frame is therefore pinned with
-    ``localCheckpoint(eager=False)``: materialized once on first use,
-    every branch reads the same partition assignment, and the reduced
-    (histogram-sized) frame is computed once instead of per branch.
+    DETERMINISM (the load-bearing design point): an earlier version
+    derived ``_pid`` from ``repartitionByRange`` +
+    ``spark_partition_id()``. ``repartitionByRange`` SAMPLES its split
+    points per physical execution (seeded by the RDD id), and the
+    cumsum branch and the totals/offsets branch are separate physical
+    subtrees — so unless the exchange happened to be reused, each
+    branch could draw different boundaries and the offsets landed on
+    the wrong buckets (observed: repeated aggregations over the same
+    frame returning different sums; a ``localCheckpoint`` pin reduced
+    but did not eliminate the hazard — a lost checkpoint block or
+    stage retry re-executes with a fresh draw, routine at 100 TB).
+    Now the split points are computed ONCE via ``approxQuantile`` over
+    the (histogram-sized) input and collected to the driver as a plain
+    Python list; ``_pid`` is a pure expression over that literal array
+    — ``size(filter(bounds, b -> b <= v))`` — so every subtree, every
+    retry, and every re-execution assigns identical bucket ids by
+    construction. No checkpoint, no sampled shuffle, nothing to pin.
 
     Adds ``cum_<c>`` (long) for each ``sum_cols`` entry. Input rows
     must be unique in ``order_col`` (pre-aggregate first — ties
     within a rank would make "the" prefix sum ill-defined)."""
+    from pyspark.sql.types import NumericType
+
     spark = df.sparkSession
     P = int(
         num_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    d = (
-        df.repartitionByRange(P, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    dtype = df.schema[order_col].dataType
+    bounds: list[float] = []
+    if isinstance(dtype, NumericType) and P > 1:
+        probs = [i / P for i in range(1, P)]
+        # one tiny extra job over the reduced frame; result is a
+        # driver-side literal, shared by ALL downstream subtrees
+        bounds = sorted(
+            set(
+                df.where(F.col(order_col).isNotNull()).approxQuantile(
+                    order_col, probs, max(0.0001, 1.0 / (8 * P))
+                )
+            )
+        )
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        v = F.col(order_col).cast("double")
+        # count of boundaries ≤ v: monotone in order_col (double cast
+        # is order-preserving), deterministic, O(P) comparisons per
+        # row of an already-reduced frame
+        pid = F.size(F.filter(arr, lambda b: b <= v))
+        d = df.withColumn("_pid", pid)
+    else:
+        # non-numeric order column or degenerate distribution: the
+        # frame is histogram-sized with few distinct keys — a single
+        # bucket keeps the window bounded and fully deterministic
+        d = df.withColumn("_pid", F.lit(0))
     w_run = (
         Window.partitionBy("_pid")
         .orderBy(order_col)

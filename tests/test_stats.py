@@ -754,3 +754,78 @@ def test_drift_adapter_tv_mode(spark):
         options={"otherView": "tv_other", "categoryColumn": "c", "statistic": "ks"},
     )
     assert not DriftTransformer().validate(a, bad).is_valid
+
+
+def test_prefix_sums_deterministic_across_reexecutions(spark):
+    """The _prefix_sums two-level scan must yield IDENTICAL results on
+    every physical execution — including forced full recomputes — so a
+    stage retry or lost cache block at scale cannot silently mix bucket
+    boundaries between the cumsum and offsets subtrees (the hazard the
+    old repartitionByRange-sampled design carried).  Bucket ids are now
+    a pure expression over driver-collected split points, so N repeated
+    actions on the SAME DataFrame object must hash identically."""
+    import hashlib
+
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    base = spark.createDataFrame(
+        [(float(i), (i * 7919) % 1000 + 1) for i in range(4000)],
+        "v double, c long",
+    ).repartition(13)
+    out = _prefix_sums(base, "v", ["c"], num_partitions=7)
+
+    def h(df):
+        rows = sorted((r["v"], r["cum_c"]) for r in df.collect())
+        return hashlib.sha256(repr(rows).encode()).hexdigest()
+
+    hashes = {h(out) for _ in range(5)}
+    assert len(hashes) == 1
+
+    # forced recompute: fresh logical plan each round, same data
+    fresh = {
+        h(_prefix_sums(base, "v", ["c"], num_partitions=7)) for _ in range(3)
+    }
+    assert fresh == hashes
+
+    # exactness: prefix sums equal a driver-side cumsum reference
+    rows = sorted((r["v"], r["cum_c"]) for r in out.collect())
+    run = 0
+    want = []
+    for i in range(4000):
+        run += (i * 7919) % 1000 + 1
+        want.append((float(i), run))
+    assert rows == want
+
+
+def test_ecdf_and_weighted_quantiles_hash_stable(spark):
+    """Driver-gate stability: ecdf and weighted exact_quantiles (both
+    riding _prefix_sums) must produce the same value-hash across ≥5
+    executions in one session, including after unpersisting everything
+    (forced-recompute variant of the CORRECTNESS_r06 ecdf flake)."""
+    import hashlib
+
+    from etl_spark_gradle_spark.operators.stats import ecdf, exact_quantiles
+
+    df = spark.createDataFrame(
+        [(float((i * 31) % 500), 1.0 + (i % 9)) for i in range(6000)],
+        "x double, w double",
+    ).repartition(11)
+
+    def hash_df(frame):
+        rows = sorted(repr(r.asDict()) for r in frame.collect())
+        return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+    e_hashes, q_hashes = set(), set()
+    for i in range(5):
+        e_hashes.add(hash_df(ecdf(df, "x", num_partitions=7)))
+        q_hashes.add(
+            hash_df(
+                exact_quantiles(
+                    df, "x", [0.1, 0.5, 0.9], weight_col="w", num_partitions=7
+                )
+            )
+        )
+        if i == 2:  # forced recompute: drop every cached/checkpointed block
+            spark.catalog.clearCache()
+    assert len(e_hashes) == 1, e_hashes
+    assert len(q_hashes) == 1, q_hashes
