@@ -487,20 +487,28 @@ def scd2_lookup(
             "rename on one side or pass dim_cols"
         )
 
+    # internal interval-bound aliases must not collide with ANY fact
+    # or selected dimension column — a fact column literally named
+    # "_vf" would otherwise be silently dropped at the end
+    taken = set(facts.columns) | set(dim_cols) | set(keys)
+    vf, vt, i = "_vf", "_vt", 0
+    while vf in taken or vt in taken:
+        i += 1
+        vf, vt = f"_vf{i}", f"_vt{i}"
     d = dim.select(
         *keys,
         *dim_cols,
-        F.col(valid_from_col).alias("_vf"),
-        F.col(valid_to_col).alias("_vt"),
+        F.col(valid_from_col).alias(vf),
+        F.col(valid_to_col).alias(vt),
     )
     t = F.col(time_col)
-    cond = (t >= F.col("_vf")) & (F.col("_vt").isNull() | (t < F.col("_vt")))
+    cond = (t >= F.col(vf)) & (F.col(vt).isNull() | (t < F.col(vt)))
     for k in keys:
         cond = cond & (facts[k] == d[k])
     out = facts.join(d, cond, "left").drop(*[d[k] for k in keys])
     if include_valid_from:
-        out = out.withColumn(valid_from_col, F.col("_vf"))
-    return out.drop("_vf", "_vt")
+        out = out.withColumn(valid_from_col, F.col(vf))
+    return out.drop(vf, vt)
 
 
 class Scd2LookupTransformer(_BaseTransformer):

@@ -160,11 +160,29 @@ def one_hot(
         raise TransformationError("one_hot values must be unique")
     pre = prefix if prefix is not None else column
     col = F.col(column).cast("string")
-    out = df
+    # column names sanitize non-alnum to "_": distinct vocabulary
+    # values like "a.b" and "a_b" would collide and the later flag
+    # would silently overwrite the earlier — disambiguate with a
+    # stable ordinal suffix on every post-sanitization duplicate
+    names: list[str] = []
+    used: set[str] = set()
     for v in values:
         safe = "".join(ch if ch.isalnum() else "_" for ch in str(v))
+        name, i = f"{pre}_{safe}", 1
+        while name in used:
+            name = f"{pre}_{safe}__{i}"
+            i += 1
+        used.add(name)
+        names.append(name)
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise TransformationError(
+            f"one_hot output column(s) already in schema: {clash}"
+        )
+    out = df
+    for v, name in zip(values, names):
         out = out.withColumn(
-            f"{pre}_{safe}", col.eqNullSafe(F.lit(str(v))).cast("int")
+            name, col.eqNullSafe(F.lit(str(v))).cast("int")
         )
     if other_col:
         out = out.withColumn(

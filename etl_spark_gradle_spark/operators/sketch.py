@@ -171,6 +171,7 @@ def build_kmv(
     k: int = 256,
     sketch_col: str = "kmv",
     estimate_col: str | None = "distinct_est",
+    k_col: str | None = None,
 ) -> DataFrame:
     """Per-group KMV sketch of ``column`` (sorted array of the k
     smallest distinct-value hashes) plus optionally its distinct
@@ -201,6 +202,10 @@ def build_kmv(
         out = out.withColumn(
             estimate_col, kmv_estimate_expr(F.col(sketch_col), k)
         )
+    if k_col:
+        # carry the build parameter alongside the sketch so a later
+        # merge_kmv can VALIDATE its declared k instead of trusting it
+        out = out.withColumn(k_col, F.lit(int(k)))
     return out
 
 
@@ -211,26 +216,69 @@ def merge_kmv(
     sketch_col: str = "kmv",
     estimate_col: str = "distinct_est",
     keep_sketch: bool = True,
+    k_col: str | None = None,
 ) -> DataFrame:
     """Roll KMV sketches up to a coarser grouping: the k smallest of
     the union of each group's sketches — EXACTLY the sketch a direct
     build over the union would produce, so rollup chains (shard → day
-    → global) never lose accuracy relative to a fresh build."""
+    → global) never lose accuracy relative to a fresh build.
+
+    The declared ``k`` must equal the k the inputs were BUILT with:
+    merging a filled smaller-k sketch under a larger declared k makes
+    the estimator read a truncated union as an exact one (silent
+    underestimate). Two runtime guards:
+
+    - any input sketch LARGER than ``k`` (provable larger-k build)
+      raises during execution;
+    - when ``k_col`` names the build-parameter column recorded by
+      ``build_kmv(..., k_col=...)``, any recorded build k SMALLER than
+      the declared ``k`` raises too — closing the undetectable-from-
+      data-alone direction. Pass ``k_col`` whenever the sketches
+      travel through storage between build and merge."""
     if k < 2:
         raise TransformationError("kmv requires k >= 2")
     if sketch_col not in df.columns:
         raise TransformationError(f"kmv sketch column not in schema: {sketch_col}")
+    if k_col is not None and k_col not in df.columns:
+        raise TransformationError(f"kmv k column not in schema: {k_col}")
     grouped = (
         df.groupBy(*[F.col(c) for c in group_by]) if group_by else df.groupBy()
     )
-    out = grouped.agg(
+    aggs = [
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
             1,
             k,
-        ).alias(sketch_col)
+        ).alias(sketch_col),
+        F.max(F.size(F.col(sketch_col))).alias("_kmv_max_sz"),
+    ]
+    if k_col is not None:
+        aggs.append(F.min(F.col(k_col).cast("int")).alias("_kmv_min_k"))
+    out = grouped.agg(*aggs)
+    guard = F.assert_true(
+        F.coalesce(F.col("_kmv_max_sz"), F.lit(0)) <= F.lit(k),
+        F.lit(
+            f"merge_kmv: input sketch exceeds declared k={k} — "
+            "inputs were built with a larger k"
+        ),
     )
-    out = out.withColumn(estimate_col, kmv_estimate_expr(F.col(sketch_col), k))
+    if k_col is not None:
+        guard_small = F.assert_true(
+            F.coalesce(F.col("_kmv_min_k"), F.lit(k)) >= F.lit(k),
+            F.lit(
+                f"merge_kmv: input built with smaller k than declared k={k}"
+                " — the merged estimate would silently underestimate"
+            ),
+        )
+        guard = F.when(guard.isNull(), guard_small)
+    # fold the guard into the kept estimate column so Catalyst cannot
+    # prune it away unevaluated (assert_true yields NULL on pass)
+    out = out.withColumn(
+        estimate_col,
+        F.when(guard.isNull(), kmv_estimate_expr(F.col(sketch_col), k)),
+    ).drop("_kmv_max_sz", *(["_kmv_min_k"] if k_col is not None else []))
+    if k_col is not None:
+        out = out.withColumn(k_col, F.lit(int(k)))
     return out if keep_sketch else out.drop(sketch_col)
 
 

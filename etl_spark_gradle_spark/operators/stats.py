@@ -1252,7 +1252,7 @@ class DriftTransformer:
 
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
-    correlation|linear_fit|zscore|quantiles|mad_outliers|quantile_clip,
+    correlation|linear_fit|zscore|quantiles|mad_outliers|ecdf|quantile_clip,
     ``columns`` (csv — correlation), ``xColumn``/``yColumn``
     (linear_fit), ``valueColumn``/``threshold`` (zscore),
     ``valueColumn``/``probs`` csv (quantiles),

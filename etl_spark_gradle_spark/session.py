@@ -52,8 +52,50 @@ _DEFAULTS: dict[str, str] = {
     # default 1g heap cannot hold a 64m-threshold broadcast build (the
     # estimate is compressed-columnar bytes; the in-heap hash relation
     # runs 5-10x that) — observed as q4/q5/q18 broadcast OOMs at sf1.
+    # Sized at import time below: 8g where the host can afford it, a
+    # fraction of detected RAM on small-cgroup hosts (an unconditional
+    # 8g heap on a 4 GiB container gets the JVM OOM-killed).
     "spark.driver.memory": "8g",
 }
+
+
+def _detected_ram_bytes() -> int | None:
+    """Best-effort host/cgroup RAM detection (None when unknowable)."""
+    candidates = []
+    for p in (
+        "/sys/fs/cgroup/memory.max",  # cgroup v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+    ):
+        try:
+            with open(p) as fh:
+                raw = fh.read().strip()
+            if raw != "max":
+                v = int(raw)
+                if 0 < v < 1 << 48:  # v1 reports ~2^63 for "no limit"
+                    candidates.append(v)
+        except (OSError, ValueError):
+            pass
+    try:
+        candidates.append(
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        )
+    except (OSError, ValueError, AttributeError):
+        pass
+    return min(candidates) if candidates else None
+
+
+def _default_driver_memory() -> str:
+    ram = _detected_ram_bytes()
+    if ram is None:
+        return "8g"
+    gib = ram / (1 << 30)
+    if gib >= 16:
+        return "8g"
+    # leave headroom for Python workers + OS: half of RAM, floor 1g
+    return f"{max(1, int(gib / 2))}g"
+
+
+_DEFAULTS["spark.driver.memory"] = _default_driver_memory()
 
 
 def get_spark(

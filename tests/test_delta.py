@@ -648,3 +648,21 @@ def test_scd2_lookup_validation_and_adapter(spark):
         assert not t.validate(
             facts, TransformationConfig(type="scd2_lookup", options=bad)
         ).is_valid
+
+
+def test_scd2_lookup_fact_vf_vt_columns_survive(spark):
+    """A fact table that legitimately owns columns named _vf/_vt must
+    not have them silently dropped by scd2_lookup's internal interval
+    aliases (regression: reserved names were hardcoded)."""
+    from etl_spark_gradle_spark.operators.delta import scd2_lookup
+
+    facts = spark.createDataFrame(
+        [(1, 5, "keep_a", "keep_b")], "k int, ts int, _vf string, _vt string"
+    )
+    dim = spark.createDataFrame(
+        [(1, 0, 10, "gold")], "k int, valid_from int, valid_to int, tier string"
+    )
+    out = scd2_lookup(facts, dim, ["k"], "ts")
+    assert {"_vf", "_vt", "tier"} <= set(out.columns)
+    r = out.collect()[0]
+    assert (r["_vf"], r["_vt"], r["tier"]) == ("keep_a", "keep_b", "gold")

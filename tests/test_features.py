@@ -246,3 +246,30 @@ def test_robust_scale_all_null_global_keeps_rows(spark):
     assert all(r.x_scaled is None for r in rows)
     rows2 = robust_scale(df, "x", method="iqr").collect()
     assert len(rows2) == 2 and all(r.x_scaled is None for r in rows2)
+
+
+def test_one_hot_sanitized_name_collision_disambiguated(spark):
+    """Distinct vocabulary values that sanitize to the same column name
+    ('a.b' vs 'a_b') must get DISTINCT flag columns — the old behavior
+    silently overwrote the first flag with the second."""
+    from etl_spark_gradle_spark.operators.features import one_hot
+
+    df = spark.createDataFrame(
+        [("a.b",), ("a_b",), ("c",)], "v string"
+    )
+    out = one_hot(df, "v", ["a.b", "a_b", "c"])
+    flag_cols = [c for c in out.columns if c != "v"]
+    assert len(flag_cols) == 3, flag_cols
+    rows = {r["v"]: r.asDict() for r in out.collect()}
+    # each value lights exactly its own flag
+    assert rows["a.b"]["v_a_b"] == 1 and rows["a.b"]["v_a_b__1"] == 0
+    assert rows["a_b"]["v_a_b"] == 0 and rows["a_b"]["v_a_b__1"] == 1
+    assert sum(rows["c"][c] for c in flag_cols) == 1
+
+    # pre-existing output column name is an error, not an overwrite
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    import pytest as _pytest
+
+    clash = spark.createDataFrame([("x", 9)], "v string, v_x int")
+    with _pytest.raises(TransformationError, match="already in schema"):
+        one_hot(clash, "v", ["x"])

@@ -588,3 +588,35 @@ def test_kmv_yaml_adapter(spark):
         TransformationConfig(type="sketch", options={"strategy": "kmv_merge"}),
     )
     assert not bad2.is_valid
+
+
+def test_merge_kmv_rejects_mismatched_k(spark):
+    """merge_kmv must not silently produce a wrong estimate when the
+    declared k disagrees with the build k: larger-k inputs are caught
+    from sketch sizes; smaller-k inputs are caught via the recorded
+    k_col metadata."""
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.sketch import build_kmv, merge_kmv
+
+    rows = [(f"s{i % 4}", f"u{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "shard string, user string")
+
+    # larger-k build merged under a smaller declared k: sketch sizes
+    # exceed k -> runtime error instead of a silent estimate
+    big = build_kmv(df, ["shard"], "user", k=64)
+    with _pytest.raises(Exception, match="larger k"):
+        merge_kmv(big, [], k=16).collect()
+
+    # smaller-k build merged under larger declared k: undetectable
+    # from sizes alone (union may stay under k), caught by k_col
+    small = build_kmv(df, ["shard"], "user", k=16, k_col="build_k")
+    with _pytest.raises(Exception, match="smaller k"):
+        merge_kmv(small, [], k=64, k_col="build_k").collect()
+
+    # matched k with metadata: merge equals a direct global build
+    ok = merge_kmv(small, [], k=16, k_col="build_k").collect()[0]
+    direct = build_kmv(df, [], "user", k=16).collect()[0]
+    assert ok["kmv"] == direct["kmv"]
+    assert ok["distinct_est"] == direct["distinct_est"]
+    assert ok["build_k"] == 16
