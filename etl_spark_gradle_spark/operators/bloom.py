@@ -1,5 +1,5 @@
 """Bloom-pruned semi join: filter a huge probe side with a relational
-blocked Bloom bitmap BEFORE the exact join shuffles it.
+split-block Bloom bitmap BEFORE the exact join shuffles it.
 
 Beyond-reference operator (the reference's only join is the plain
 equi-join of ``transformer/JoinTransformer.scala:31-95``; nothing in
@@ -15,20 +15,35 @@ whether it fires, and the ``bloom_filter_agg`` / ``might_contain``
 expressions it uses are not registered for SQL/DataFrame use (checked:
 ``UNRESOLVED_ROUTINE`` on pyspark 4.1). This operator is the explicit,
 always-on counterpart, built from plain Catalyst bit expressions so it
-runs JVM-side inside whole-stage codegen on ANY Spark:
+runs JVM-side inside whole-stage codegen on ANY Spark.
 
-1. **Build** (``build_bloom``): distinct build keys → ``num_hashes``
-   positions each (``pmod(xxhash64(key, seed_i), num_bits)``) → fold
-   into a bitmap RELATION ``(word_idx, word)`` via ``shiftleft`` +
-   ``bit_or`` aggregation. One shuffle whose payload is two longs per
-   position, output bounded by ``num_bits/64`` rows (= bitmap bytes/8,
-   e.g. 64 KiB of words for the default 2^22 bits) regardless of build
-   cardinality.
+Layout: SPLIT-BLOCK Bloom (the design Parquet's SBBF and Impala use —
+Putze/Sanders/Singler 2007 "Cache-, Hash- and Space-Efficient Bloom
+Filters"): each key hashes to exactly ONE 64-bit word (its block) and
+sets ``num_hashes`` bits WITHIN that word. An earlier revision used a
+classic Bloom over the whole bit domain, whose ``num_hashes``
+independent positions forced ``num_hashes`` sequential broadcast
+probe joins (and Spark does not reuse the broadcast exchange across
+them — measured: build side re-scanned per probe, zero
+ReusedExchange, plus a collect/re-parallelize materialization
+workaround whose cost exceeded what it saved at bench scale; two
+rounds of worst-in-suite bench drift). The block layout needs ONE
+equi-join however many bits are set — probe cost is independent of
+``num_hashes``:
+
+1. **Build** (``build_bloom``): distinct build keys → one
+   ``(word_idx, mask)`` pair each — ``word_idx = pmod(xxhash64(key,
+   seed_a), num_bits/64)``, ``mask`` = OR of ``num_hashes`` bits
+   drawn from 6-bit slices of ``xxhash64(key, seed_b)`` — folded into
+   a bitmap RELATION ``(word_idx, word)`` via ``bit_or`` aggregation.
+   One shuffle whose payload is two longs per key, output bounded by
+   ``num_bits/64`` rows (= bitmap bytes/8, e.g. 64 Ki word rows for
+   the default 2^22 bits) regardless of build cardinality.
 2. **Probe** (``bloom_filter_rows``): the probe side computes the same
-   ``num_hashes`` (word_idx, mask) pairs per row and checks them with
-   ``num_hashes`` BROADCAST hash joins against the bitmap — all narrow
-   stages: the probe side never shuffles, never leaves codegen. A row
-   survives iff every probed word has its mask bit set.
+   (word_idx, mask) pair per row and checks it with a SINGLE broadcast
+   hash join against the bitmap — all narrow stages: the probe side
+   never shuffles, never leaves codegen. A row survives iff its whole
+   mask is set in its word: ``word & mask == mask``.
 3. **Verify** (``bloom_semi_join``): the surviving rows — true matches
    plus the Bloom's false positives — run through an EXACT left-semi
    join against the distinct build keys. Only survivors reach this
@@ -39,16 +54,20 @@ runs JVM-side inside whole-stage codegen on ANY Spark:
    cross-engine oracle is ordinary ``WHERE key IN (SELECT …)`` SQL.
 
 False-positive arithmetic (document, don't guess): with ``n`` distinct
-build keys, ``m = num_bits``, ``k = num_hashes``, FP rate ≈
-``(1 - e^(-k·n/m))^k`` — the default m=2^22, k=3 holds ~1% FPs to
-n ≈ 500k keys; size ``num_bits`` at roughly 10× the expected distinct
-build keys and the verify join stays survivor-sized. Oversubscribing
-(n ≫ m) only costs pruning power, never correctness.
+build keys, ``B = num_bits/64`` blocks, ``k = num_hashes``, a block
+holding ``j`` keys has ≤ ``jk`` of 64 bits set, so FP(j) ≤ (jk/64)^k;
+summed over the Poisson block load (λ = n/B) the default 2^22 bits,
+k=3 holds FPs under ~1% to n ≈ 400k keys — a whisker above the classic
+Bloom's bound at equal size (the block constraint costs a small
+constant; Putze et al. §3). Size ``num_bits`` at roughly 10× the
+expected distinct build keys and the verify join stays survivor-sized.
+Oversubscribing (n ≫ num_bits) only costs pruning power, never
+correctness.
 
-Nulls: ``xxhash64(NULL, seed)`` is NULL, so null probe keys miss the
-bitmap and are dropped — identical to equi-join semantics (NULL never
-equals anything), keeping bloom_semi_join ≡ plain semi join even on
-dirty keys.
+Nulls: ``xxhash64(NULL, seed)`` is NULL, so null probe keys get a NULL
+word_idx and drop out of the inner probe join — identical to equi-join
+semantics (NULL never equals anything), keeping bloom_semi_join ≡
+plain semi join even on dirty keys.
 """
 
 from __future__ import annotations
@@ -78,6 +97,10 @@ DEFAULT_NUM_HASHES = 3
 _WORD_IDX = "__bloom_word_idx"
 _WORD = "__bloom_word"
 
+# independent xxhash64 seeds: block selector / in-block bit generator
+_SEED_BLOCK = 0xB10C
+_SEED_BITS = 0x5EED
+
 
 def _check_params(num_bits: int, num_hashes: int) -> None:
     if num_bits < 64:
@@ -86,10 +109,25 @@ def _check_params(num_bits: int, num_hashes: int) -> None:
         raise TransformationError("bloom num_hashes must be in 1..8")
 
 
-def _position(key_col: str, seed: int, num_bits: int):
-    """Bit position for hash ``seed``: non-negative via pmod; NULL keys
-    propagate NULL (handled as a guaranteed miss at probe time)."""
-    return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(num_bits))
+def _block_idx(key_col: str, num_bits: int):
+    """Word (block) index for a key; NULL keys propagate NULL (a
+    guaranteed probe miss through the inner join)."""
+    return F.pmod(
+        F.xxhash64(F.col(key_col), F.lit(_SEED_BLOCK)), F.lit(num_bits // 64)
+    ).cast("long")
+
+
+def _block_mask(key_col: str, num_hashes: int):
+    """In-block bit mask: ``num_hashes`` bits, each a 6-bit slice of a
+    second xxhash64 (8 hashes consume 48 of its 64 bits). Pure SQL bit
+    expressions — stays inside whole-stage codegen."""
+    h = f"xxhash64(`{key_col}`, {_SEED_BITS})"
+    parts = [
+        f"shiftleft(CAST(1 AS BIGINT),"
+        f" CAST((shiftright({h}, {6 * i}) & 63) AS INT))"
+        for i in range(num_hashes)
+    ]
+    return F.expr(" | ".join(parts))
 
 
 def build_bloom(
@@ -98,34 +136,27 @@ def build_bloom(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """Fold ``df[key_col]``'s distinct values into a blocked-Bloom
+    """Fold ``df[key_col]``'s distinct values into a split-block Bloom
     bitmap relation ``(word_idx: long, word: long)``.
 
     Only words with at least one set bit are materialized (absent
     word_idx ⇒ all-zero word ⇒ probe miss), so the result is at most
-    ``min(num_bits/64, num_hashes·|keys|)`` rows. ``shiftleft(1, 63)``
-    wraps negative — irrelevant, the words are opaque two's-complement
-    bit buckets consumed only by ``&``.
+    ``min(num_bits/64, |keys|)`` rows. ``shiftleft(1, 63)`` wraps
+    negative — irrelevant, the words are opaque two's-complement bit
+    buckets consumed only by ``&``.
     """
     _check_params(num_bits, num_hashes)
     if key_col not in df.columns:
         raise TransformationError(f"bloom key column not in schema: {key_col}")
-    positions = (
+    return (
         df.select(F.col(key_col))
         .where(F.col(key_col).isNotNull())
         .select(
-            F.explode(
-                F.array(*[_position(key_col, i, num_bits) for i in range(num_hashes)])
-            ).alias("__pos")
-        )
-    )
-    return (
-        positions.select(
-            F.expr("__pos DIV 64").alias(_WORD_IDX),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))").alias("__bit"),
+            _block_idx(key_col, num_bits).alias(_WORD_IDX),
+            _block_mask(key_col, num_hashes).alias("__mask"),
         )
         .groupBy(_WORD_IDX)
-        .agg(F.bit_or("__bit").alias(_WORD))
+        .agg(F.bit_or("__mask").alias(_WORD))
     )
 
 
@@ -137,38 +168,32 @@ def bloom_filter_rows(
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """Keep probe rows the bitmap MIGHT contain (true matches + false
-    positives; null keys always dropped). ``num_hashes`` broadcast
-    joins, zero probe-side shuffle; schema is unchanged.
+    positives; null keys always dropped). ONE broadcast join, zero
+    probe-side shuffle; schema is unchanged.
 
     The probe key's TYPE must match the build key's type —
     ``xxhash64`` hashes the binary representation, so ``int 5`` and
     ``bigint 5`` digest differently (``bloom_semi_join`` validates
-    this; direct callers align types themselves).
+    this; direct callers align types themselves). ``num_bits`` and
+    ``num_hashes`` must equal the build-side parameters or probes
+    address the wrong blocks/bits.
     """
     _check_params(num_bits, num_hashes)
     if key_col not in probe.columns:
         raise TransformationError(f"bloom key column not in schema: {key_col}")
-    for c in (_WORD_IDX, _WORD, "__pos", "__mask"):
+    for c in (_WORD_IDX, _WORD, "__mask"):
         if c in probe.columns:
-            raise TransformationError(f"column name '{c}' is reserved by bloom_filter_rows")
+            raise TransformationError(
+                f"column name '{c}' is reserved by bloom_filter_rows"
+            )
     out_cols = [F.col(c) for c in probe.columns]
-    filtered = probe
-    for i in range(num_hashes):
-        filtered = (
-            filtered.withColumn("__pos", _position(key_col, i, num_bits))
-            .withColumn(_WORD_IDX, F.expr("__pos DIV 64"))
-            .withColumn(
-                "__mask",
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"),
-            )
-            .join(F.broadcast(bitmap), on=_WORD_IDX, how="left")
-            .where(
-                F.col(_WORD).isNotNull()
-                & (F.col(_WORD).bitwiseAND(F.col("__mask")) != F.lit(0))
-            )
-            .drop("__pos", _WORD_IDX, _WORD, "__mask")
-        )
-    return filtered.select(*out_cols)
+    return (
+        probe.withColumn(_WORD_IDX, _block_idx(key_col, num_bits))
+        .withColumn("__mask", _block_mask(key_col, num_hashes))
+        .join(F.broadcast(bitmap), on=_WORD_IDX, how="inner")
+        .where(F.col(_WORD).bitwiseAND(F.col("__mask")) == F.col("__mask"))
+        .select(*out_cols)
+    )
 
 
 def bloom_semi_join(
@@ -179,7 +204,7 @@ def bloom_semi_join(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
     exact: bool = True,
-    materialize_bitmap: bool = True,
+    materialize_bitmap: bool = False,
 ) -> DataFrame:
     """Rows of ``fact`` whose ``fact_key`` appears in ``build[build_key]``
     — a left-semi join whose fact-side shuffle carries only Bloom
@@ -188,19 +213,18 @@ def bloom_semi_join(
     cheap pre-filter feeding a later exact stage, never as a final
     answer.
 
-    ``materialize_bitmap`` (default on) eagerly materializes the
-    bitmap before the probes: the ``num_hashes`` probe joins each
-    reference the bitmap subtree and Spark does NOT reuse the broadcast
-    exchange across them (measured: the build side was scanned once per
-    probe, zero ReusedExchange), so without materialization the build
-    side is re-scanned ``num_hashes`` times. Materialization is a
-    collect + re-parallelize up to 2^26 bits (≤ 8 MiB of (long, long)
-    rows on the driver — crash-safe: a lost executor cannot strand the
-    bitmap, unlike ``localCheckpoint`` whose blocks die with their
-    node), falling back to ``localCheckpoint`` above the cap. Measured
-    effect: probe exec 0.77 s → 0.46 s against a 0.66 s plain
-    sort-merge join at sf1 local[32]. Pass ``False`` only when the
-    caller manages its own persistence.
+    ``materialize_bitmap`` (default OFF): the single-join block layout
+    references the bitmap subtree exactly once, so the build side is
+    scanned once per plan and there is nothing to reuse — the
+    materialization the old multi-probe layout needed (collect +
+    re-parallelize to stop ``num_hashes`` rebuild scans) is obsolete
+    for the common case. Pass ``True`` only when the RETURNED frame
+    will be executed several times (e.g. a bench harness re-collecting
+    the same plan) and the build scan is expensive: the bitmap is then
+    collected to the driver (≤ 2^26 bits ⇒ ≤ 8 MiB of (long, long)
+    rows — crash-safe, a lost executor cannot strand it) and
+    re-parallelized, or pinned with ``localCheckpoint`` above that
+    cap.
     """
     build_key = build_key or fact_key
     if fact_key not in fact.columns:
@@ -220,23 +244,10 @@ def bloom_semi_join(
     )
     bitmap = build_bloom(keys, fact_key, num_bits, num_hashes)
     if materialize_bitmap:
-        if num_bits <= (1 << 23):
-            # collect (via Arrow) + re-parallelize: one eager job, and
-            # the bitmap then lives on the DRIVER (≤ 128Ki (long,long)
-            # rows at this cap — a few MB as pandas, cheap to
-            # round-trip) — crash-SAFE, unlike localCheckpoint whose
-            # blocks die with their executor (a decommissioned spot
-            # node between build and probe would fail the job instead
-            # of recomputing; review finding). The cap is deliberately
-            # modest: python Row materialization cost grows linearly
-            # and would erode the probe speedup the materialization
-            # exists to buy (second review finding).
+        if num_bits <= (1 << 26):
             spark = fact.sparkSession
             bitmap = spark.createDataFrame(bitmap.toPandas(), schema=bitmap.schema)
         else:
-            # past the driver-bound cap fall back to executor-local
-            # materialization; callers on preemptible clusters should
-            # size num_bits within the cap or manage persistence
             bitmap = bitmap.localCheckpoint(eager=True)
     pruned = bloom_filter_rows(fact, fact_key, bitmap, num_bits, num_hashes)
     if not exact:

@@ -358,6 +358,7 @@ def _prefix_sums(
     order_col: str,
     sum_cols: list[str],
     num_partitions: int | None = None,
+    assume_pinned: bool = False,
 ) -> DataFrame:
     """Distributed prefix sums over a globally ordered frame — the
     building block a global ``Window.orderBy`` can NOT provide at
@@ -400,12 +401,23 @@ def _prefix_sums(
         num_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    # Pin the (histogram-sized) reduced frame ONCE: the boundary job
+    # below plus the cumsum and totals subtrees would otherwise each
+    # recompute it (measured 2x the q15_cdf_stats exec time). This
+    # checkpoint is purely a compute-once device — determinism does
+    # NOT depend on it (the boundaries are driver-side constants):
+    # eager=True means lost blocks fail the job loudly instead of
+    # recomputing with different partitioning, never silently wrong.
+    # Callers that already materialized the frame (to share it across
+    # their OWN extra branches) pass assume_pinned=True.
+    if not assume_pinned:
+        df = df.localCheckpoint(eager=True)
     dtype = df.schema[order_col].dataType
     bounds: list[float] = []
     if isinstance(dtype, NumericType) and P > 1:
         probs = [i / P for i in range(1, P)]
-        # one tiny extra job over the reduced frame; result is a
-        # driver-side literal, shared by ALL downstream subtrees
+        # one tiny job over the pinned frame; result is a driver-side
+        # literal, shared by ALL downstream subtrees
         bounds = sorted(
             set(
                 df.where(F.col(order_col).isNotNull()).approxQuantile(
@@ -518,8 +530,14 @@ def ks_drift(
             F.sum("ca").cast("long").alias("ca"),
             F.sum("cb").cast("long").alias("cb"),
         )
+        # materialize ONCE: the count table feeds several lineages
+        # (cumsums, totals, peak/argmax) — without the pin each branch
+        # would replay the union + groupBy shuffle
+        .localCheckpoint(eager=True)
     )
-    cum = _prefix_sums(pooled, "v", ["ca", "cb"], num_partitions)
+    cum = _prefix_sums(
+        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True
+    )
     totals = pooled.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
@@ -597,8 +615,14 @@ def rank_sum_drift(
             F.sum("ca").cast("long").alias("ca"),
             F.sum("cb").cast("long").alias("cb"),
         )
+        # materialize ONCE: the count table feeds several lineages
+        # (cumsums, totals, peak/argmax) — without the pin each branch
+        # would replay the union + groupBy shuffle
+        .localCheckpoint(eager=True)
     )
-    cum = _prefix_sums(pooled, "v", ["ca", "cb"], num_partitions)
+    cum = _prefix_sums(
+        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True
+    )
     totals = pooled.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
@@ -741,7 +765,11 @@ def exact_quantiles(
             "_n", F.sum("c").over(w_all).cast("long")
         )
     else:
-        cum = _prefix_sums(counts, "v", ["c"], num_partitions)
+        # pin once: counts feeds the cumsum AND the totals branch
+        counts = counts.localCheckpoint(eager=True)
+        cum = _prefix_sums(
+            counts, "v", ["c"], num_partitions, assume_pinned=True
+        )
         total = counts.agg(F.sum("c").cast("long").alias("_n")).where(
             F.col("_n") > 0
         )
@@ -868,7 +896,11 @@ def ecdf(
             F.sum("_ecdf_c").over(Window.partitionBy(*group_by)).cast("long"),
         )
     else:
-        cum = _prefix_sums(counts, "v", ["_ecdf_c"], num_partitions)
+        # pin once: counts feeds the cumsum AND the totals branch
+        counts = counts.localCheckpoint(eager=True)
+        cum = _prefix_sums(
+            counts, "v", ["_ecdf_c"], num_partitions, assume_pinned=True
+        )
         cum = cum.withColumnRenamed("cum__ecdf_c", "_ecdf_cum")
         total = counts.agg(F.sum("_ecdf_c").cast("long").alias("_ecdf_n"))
         cdf = cum.crossJoin(F.broadcast(total))

@@ -348,11 +348,14 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ),
     (
         "quantiles",
-        "exact quantiles: value-histogram partial agg, prefix-sum CDF "
-        "over the pinned range-partitioned frame (ExistingRDD "
-        "checkpoint boundary), one closing aggregation for all probs "
-        "— no python, no cartesian, no sort-merge",
-        ["ExistingRDD", "partial_count"],
+        "exact quantiles: the value-histogram partial agg runs once "
+        "into an eager checkpoint (ExistingRDD boundary — its "
+        "partial_count lives in the checkpoint job, not this plan); "
+        "the final plan is the prefix-sum CDF over deterministic "
+        "driver-collected bucket boundaries plus one closing "
+        "aggregation for all probs — no python, no cartesian, no "
+        "sort-merge",
+        ["ExistingRDD"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
          "SortMergeJoin"],
     ),
