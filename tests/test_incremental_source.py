@@ -305,3 +305,142 @@ def test_pom_refused_with_bucketed_write(spark, tmp_path):
             write_mode="overwrite",
             partition_by=("p",),
         )
+
+
+class TestCrashInjection:
+    """True crash-POINT injection for the two-phase commit (VERDICT r5
+    ask #6): kill the run at each window of the protocol and prove the
+    resume neither loses nor double-ingests a file."""
+
+    def _dpo_cfg(self, tmp_path):
+        doc = {
+            "pipelineId": "incr-chaos",
+            "source": {
+                "type": "file_incremental",
+                "options": {
+                    "path": str(tmp_path / "landing"),
+                    "format": "parquet",
+                    "stateDir": str(tmp_path / "state"),
+                },
+            },
+            "transformations": [
+                # batches land in DISJOINT partitions (f1: v<100 ->
+                # bucket 0, f2: v>=100 -> bucket 1), the real-world
+                # ingest-date layout dynamic overwrite is safe under
+                {"type": "map",
+                 "options": {"expressions": "bucket:CAST(v DIV 100 AS INT)"}}
+            ],
+            "sink": {
+                "type": "file",
+                "options": {
+                    "path": str(tmp_path / "out"),
+                    "format": "parquet",
+                    "partitionOverwriteMode": "dynamic",
+                },
+                "writeMode": "overwrite",
+                "partitionBy": ["bucket"],
+            },
+        }
+        p = tmp_path / "p.yaml"
+        p.write_text(yaml.safe_dump(doc))
+        return load_pipeline_yaml(str(p))
+
+    def test_crash_in_sink_after_pending_staged(self, spark, tmp_path,
+                                                monkeypatch):
+        """Crash WINDOW 1: pending.json staged, sink dies mid-write.
+        processed.json must stay untouched, and the resume must ingest
+        the batch exactly once."""
+        from etl_spark_gradle_spark.sinks import LOADER_REGISTRY
+
+        _drop_file(spark, tmp_path, "f1.parquet", 0, 10)
+        cfg = self._dpo_cfg(tmp_path)
+
+        real_file_loader = LOADER_REGISTRY["file"]
+
+        class _Boom:
+            def validate(self, *a, **k):
+                return real_file_loader.validate(*a, **k)
+
+            def load(self, *a, **k):
+                raise RuntimeError("chaos: sink died mid-write")
+
+        poisoned = dict(LOADER_REGISTRY)
+        poisoned["file"] = _Boom()
+        m = PipelineExecutor(loaders=poisoned).execute(cfg, spark)
+        assert m.status == "FAILED" and "chaos" in m.error_details
+        # 2PC guarantee: nothing committed, pending staged
+        assert not os.path.exists(tmp_path / "state" / "processed.json")
+        assert os.path.exists(tmp_path / "state" / "pending.json")
+
+        ex = PipelineExecutor()
+        m2 = ex.execute(cfg, spark)
+        assert m2.status == "SUCCESS" and m2.records_loaded == 10
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+        # and the file is now committed: a third run ingests nothing new
+        m3 = ex.execute(cfg, spark)
+        assert m3.status == "SUCCESS" and m3.records_extracted == 0
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+
+    def test_crash_inside_commit_between_state_write_and_cleanup(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash WINDOW 2: processed.json replaced, crash BEFORE the
+        pending.json unlink. The stale pending file must not cause a
+        re-ingest on the next run (it is recomputed at extract time
+        from listing minus processed)."""
+        from etl_spark_gradle_spark.sources import incremental as inc_mod
+
+        _drop_file(spark, tmp_path, "f1.parquet", 0, 10)
+        cfg = self._dpo_cfg(tmp_path)
+        ex = PipelineExecutor()
+
+        real_unlink = os.unlink
+        pending = str(tmp_path / "state" / "pending.json")
+
+        def chaotic_unlink(path, *a, **k):
+            if str(path) == pending:
+                raise RuntimeError("chaos: killed before pending cleanup")
+            return real_unlink(path, *a, **k)
+
+        monkeypatch.setattr(inc_mod.os, "unlink", chaotic_unlink)
+        # commit_processed swallows OSError but not RuntimeError — the
+        # run surfaces FAILED even though the state DID commit: the
+        # at-least-once side of the contract
+        m = ex.execute(cfg, spark)
+        monkeypatch.setattr(inc_mod.os, "unlink", real_unlink)
+        st = json.load(open(tmp_path / "state" / "processed.json"))
+        assert len(st["files"]) == 1  # state committed
+        assert os.path.exists(pending)  # cleanup never ran
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+
+        # next run: stale pending ignored, nothing re-ingested
+        m2 = ex.execute(cfg, spark)
+        assert m2.status == "SUCCESS" and m2.records_extracted == 0
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+
+        # new file later: only IT is ingested (old file not re-read)
+        _drop_file(spark, tmp_path, "f2.parquet", 100, 105)
+        m3 = ex.execute(cfg, spark)
+        assert m3.status == "SUCCESS" and m3.records_extracted == 5
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 15
+
+    def test_torn_processed_state_rediscovers_idempotently(
+        self, spark, tmp_path
+    ):
+        """Crash WINDOW 3: processed.json torn mid-write (half a JSON
+        document on disk). The torn state reads as absent, the batch
+        re-discovers, and the dynamic-partition-overwrite sink makes
+        the re-ingest idempotent."""
+        _drop_file(spark, tmp_path, "f1.parquet", 0, 10)
+        cfg = self._dpo_cfg(tmp_path)
+        ex = PipelineExecutor()
+        assert ex.execute(cfg, spark).status == "SUCCESS"
+
+        with open(tmp_path / "state" / "processed.json", "w") as f:
+            f.write('{"version": 1, "files": {"/some/pa')  # torn write
+
+        m = ex.execute(cfg, spark)
+        assert m.status == "SUCCESS" and m.records_loaded == 10
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+        st = json.load(open(tmp_path / "state" / "processed.json"))
+        assert len(st["files"]) == 1  # state healed
