@@ -32,6 +32,8 @@ And the extension-operator shapes:
                       broadcast bit probes + survivor-only verify)
 18. q18_keyword_tag — 300-phrase Aho-Corasick Arrow tagging (the
                       large-dictionary curation hot loop)
+19. q19_skew_asof   — hot-key (50%) salted as-of join — the skewed
+                      window-shuffle guard (scale_probe skew section)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -422,6 +424,51 @@ def q17_bloom_join(spark):
     )
 
 
+def q19_skew_asof(spark):
+    """Skewed-shuffle guard (VERDICT r5 ask #4): as-of join where ONE
+    hot key owns half the fact rows — the per-key window sort that
+    serializes in a single task unless salted (`relational.asof_join`
+    salt_buckets path, same shape as tools/scale_probe.py's skew
+    section, which asserts the salted plan beats unsalted ≥1.2x with
+    identical results). Left = events ×5 with 50% of rows collapsed
+    onto key 0; right = a generated 20k-row timeline over the same key
+    domain; salt_buckets=8 scatters the hot partition. Forced through
+    a hash-sum aggregate so the window payload can't be pruned."""
+    from etl_spark_gradle_spark.operators.relational import asof_join
+
+    ev = load(spark, "events")
+    left = (
+        ev.select(
+            F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("user_id"), F.lit(5000)))
+            .cast("long")
+            .alias("k"),
+            "ts",
+            "value",
+        )
+        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(5))))
+        .withColumn(
+            "ts", F.col("ts") + F.make_interval(secs=F.col("_r").cast("double"))
+        )
+        .drop("_r")
+    )
+    right = spark.range(20000).select(
+        F.pmod(F.col("id"), F.lit(5000)).cast("long").alias("k"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=(F.col("id") % 40320).cast("double"))
+        ).alias("rts"),
+        (F.col("id") % 97).cast("double").alias("rv"),
+    )
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", ["rv"], salt_buckets=8
+    )
+    return out.agg(
+        F.sum(F.xxhash64("k", "rv")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -441,6 +488,7 @@ QUERIES = {
     "q16_discretize": q16_discretize,
     "q17_bloom_join": q17_bloom_join,
     "q18_keyword_tag": q18_keyword_tag,
+    "q19_skew_asof": q19_skew_asof,
 }
 
 
