@@ -6261,6 +6261,198 @@ FROM dim d ANTI JOIN touched t ON d.c_custkey = t.c_custkey
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous aggregate (hypertable rollup): events
+    bucketed per event_type at 1h, then 6h and 1d derived by
+    RE-AGGREGATING the next-finer bucket table (mergeable cnt/decimal-
+    sum/min/max; coarse steps are exact multiples of fine) — raw data
+    scanned once, coarser levels shuffle only bucket tables. All
+    closings are exact counts, string-roundtrip decimal sums, and one
+    fixed-order division — fully oracle-gated."""
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return time_rollup(
+        ev, "ts", ["value"], levels=[3600, 21600, 86400],
+        group_by=["event_type"],
+    )
+
+
+_TIME_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  FROM events
+), lv AS (SELECT unnest([3600, 21600, 86400]) AS step)
+SELECT event_type,
+       CAST(step AS BIGINT) AS level_seconds,
+       (sec // step) * step AS bucket_ts,
+       CAST(count(value) AS BIGINT) AS value_cnt,
+       CASE WHEN count(value) > 0 THEN
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       END AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       CASE WHEN count(value) > 0 THEN
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+           / CAST(count(value) AS DOUBLE)
+       END AS value_avg
+FROM base, lv
+GROUP BY event_type, step, (sec // step) * step
+"""
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language diversity profile of document sources: exact
+    counts, Shannon entropy (nats) and the log-free Gini-Simpson
+    index. Log closings are rounded to 9 decimals for the cross-engine
+    gate (libm vs JVM ln may differ in the last ulp — the pmi
+    posture); full-precision values are pinned against pure python in
+    tests/test_infotheory.py."""
+    from etl_spark_gradle_spark.operators.infotheory import category_entropy
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = category_entropy(docs, "source", group_by=["lang"])
+    return out.select(
+        "lang", "n", "n_categories",
+        F.round("entropy_nats", 9).alias("entropy_nats"),
+        F.round("simpson", 9).alias("simpson"),
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
+), g AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_categories,
+         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc,
+         SUM(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS pairs
+  FROM c GROUP BY 1
+)
+SELECT lang, n, n_categories,
+  CASE WHEN n > 1
+       THEN round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 9)
+       ELSE 0.0 END AS entropy_nats,
+  CASE WHEN n > 1
+       THEN round(1.0 - CAST(CAST(pairs AS VARCHAR) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 9)
+       ELSE 0.0 END AS simpson
+FROM g
+"""
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the language mixes of even-
+    vs odd-id documents (the symmetric, [0, ln 2]-bounded counterpart
+    of tv_drift over the same split). Exact counts; the log summary is
+    rounded to 9 decimals for the gate, full precision pinned in
+    pytest."""
+    from etl_spark_gradle_spark.operators.infotheory import js_divergence
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = js_divergence(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), "lang"
+    )
+    return out.select(
+        "n_a", "n_b", "n_categories", F.round("js_nats", 9).alias("js_nats")
+    )
+
+
+_JS_DIVERGENCE_ORACLE = """
+WITH a AS (
+  SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_a
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), b AS (
+  SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_b
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+), j AS (
+  SELECT coalesce(a.category, b.category) AS category,
+         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL JOIN b ON a.category = b.category
+), t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j
+), terms AS (
+  SELECT ta, tb,
+         CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+         CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS q,
+         n_a, n_b
+  FROM j, t WHERE ta > 0 AND tb > 0
+)
+SELECT ta AS n_a, tb AS n_b,
+       CAST(count(*) AS BIGINT) AS n_categories,
+       round(SUM(
+         (CASE WHEN n_a > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+          + CASE WHEN n_b > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+         / 2.0
+       ), 9) AS js_nats
+FROM terms GROUP BY ta, tb
+"""
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependence profile of event_type x user-bucket from ONE joint
+    groupBy (marginals derived from the joint table, raw frame scanned
+    once): MI (nats), the algebraic full-grid chi-square (sum c^2/e -
+    n, log-free) and Cramer's V. Log/accumulation closings rounded for
+    the gate (9 / 6 / 9 decimals), full precision pinned in pytest."""
+    from etl_spark_gradle_spark.operators.infotheory import mutual_information
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ub", (F.col("user_id") % 4).cast("string")
+    )
+    out = mutual_information(ev, "event_type", "ub")
+    return out.select(
+        "n", "k_x", "k_y", "n_observed_pairs",
+        F.round("mi_nats", 9).alias("mi_nats"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round("cramers_v", 9).alias("cramers_v"),
+    )
+
+
+_MUTUAL_INFORMATION_ORACLE = """
+WITH j AS (
+  SELECT event_type AS x, CAST(user_id % 4 AS VARCHAR) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+), mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM mx) AS kx,
+         (SELECT CAST(count(*) AS BIGINT) FROM my) AS ky
+  FROM j
+), cells AS (
+  SELECT j.c, mx.cx, my.cy, t.n, t.kx, t.ky
+  FROM j JOIN mx USING (x) JOIN my USING (y), t
+)
+SELECT n, kx AS k_x, ky AS k_y,
+       CAST(count(*) AS BIGINT) AS n_observed_pairs,
+       round(SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln((CAST(n AS DOUBLE) * CAST(c AS DOUBLE))
+                      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))), 9)
+         AS mi_nats,
+       round(SUM((CAST(c AS DOUBLE) * CAST(c AS DOUBLE))
+                 / ((CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))
+                    / CAST(n AS DOUBLE)))
+             - CAST(n AS DOUBLE), 6) AS chi2,
+       round(CASE WHEN least(kx, ky) > 1 THEN
+         sqrt((SUM((CAST(c AS DOUBLE) * CAST(c AS DOUBLE))
+                   / ((CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))
+                      / CAST(n AS DOUBLE)))
+               - CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(least(kx, ky) AS DOUBLE) - 1.0)))
+       ELSE 0.0 END, 9) AS cramers_v
+FROM cells GROUP BY n, kx, ky
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness gate records the
     FIRST 50 dict entries. Round-6 rotation (VERDICT r5 ask #1) put
@@ -6317,6 +6509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slots 31-50: r5-window carryover, driver-recorded green
         # in CORRECTNESS_r05 and again in r06; r7 additions insert
         # HERE (displaced entries stay green past position 50) ----
+        # r7 new operators (time_rollup hierarchical continuous
+        # aggregate; info-theory family):
+        "time_rollup": q_time_rollup,
+        "entropy": q_entropy,
+        "js_divergence": q_js_divergence,
+        "mutual_information": q_mutual_information,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
         "cms_topk": q_cms,
@@ -6498,6 +6696,10 @@ def oracle_sql() -> dict[str, str]:
         "linear_fit": _LINFIT_ORACLE,
         "zscore": _ZSCORE_ORACLE,
         "resample_linear": _RESAMPLE_LINEAR_ORACLE,
+        "time_rollup": _TIME_ROLLUP_ORACLE,
+        "entropy": _ENTROPY_ORACLE,
+        "js_divergence": _JS_DIVERGENCE_ORACLE,
+        "mutual_information": _MUTUAL_INFORMATION_ORACLE,
         "resample_origin": _RESAMPLE_ORIGIN_ORACLE,
         "mad_outliers": _MAD_OUTLIERS_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,

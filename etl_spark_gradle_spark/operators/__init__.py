@@ -163,9 +163,18 @@ from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
     CusumTransformer,
     IntervalsTransformer,
     ResampleTransformer,
+    TimeRollupTransformer,
     cusum_changepoints,
     merge_intervals,
     resample,
+    time_rollup,
+)
+from etl_spark_gradle_spark.operators.infotheory import (  # noqa: F401
+    InfoTheoryTransformer,
+    category_entropy,
+    js_divergence,
+    kl_divergence,
+    mutual_information,
 )
 from etl_spark_gradle_spark.quality import (  # noqa: F401
     ExpectTransformer,
@@ -219,6 +228,8 @@ TRANSFORMER_REGISTRY = {
     "edit_join": EditJoinTransformer(),
     "stats": StatsTransformer(),
     "resample": ResampleTransformer(),
+    "time_rollup": TimeRollupTransformer(),
+    "infotheory": InfoTheoryTransformer(),
     "intervals": IntervalsTransformer(),
     "changepoint": CusumTransformer(),
     "profile": ProfileTransformer(),

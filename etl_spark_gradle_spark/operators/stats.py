@@ -1220,9 +1220,11 @@ class DriftTransformer:
     ``categoryColumn`` (categorical χ² table) or ``valueColumn``
     (continuous two-sample test; ``statistic: ks`` default or
     ``rank_sum`` for Mann–Whitney AUC). With ``categoryColumn``,
-    ``statistic: tv`` selects the total-variation summary
-    (``perCategory: true`` for the contribution table) instead of the
-    default χ² table."""
+    ``statistic: tv`` selects the total-variation summary,
+    ``js`` the Jensen-Shannon divergence (both take ``perCategory:
+    true`` for the contribution table), and ``kl`` the add-α smoothed
+    KL divergence (``smoothing``, default 0.5) instead of the default
+    χ² table."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -1245,9 +1247,10 @@ class DriftTransformer:
             errors.append(
                 f"drift statistic for valueColumn must be ks|rank_sum, got '{stat}'"
             )
-        if cat and stat not in (None, "chi2", "tv"):
+        if cat and stat not in (None, "chi2", "tv", "js", "kl"):
             errors.append(
-                f"drift statistic for categoryColumn must be chi2|tv, got '{stat}'"
+                "drift statistic for categoryColumn must be "
+                f"chi2|tv|js|kl, got '{stat}'"
             )
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
@@ -1274,6 +1277,24 @@ class DriftTransformer:
                 other,
                 opts["categoryColumn"],
                 per_category=str(opts.get("perCategory", "false")).lower() == "true",
+            )
+        if opts.get("statistic") == "js":
+            from etl_spark_gradle_spark.operators.infotheory import js_divergence
+
+            return js_divergence(
+                df,
+                other,
+                opts["categoryColumn"],
+                per_category=str(opts.get("perCategory", "false")).lower() == "true",
+            )
+        if opts.get("statistic") == "kl":
+            from etl_spark_gradle_spark.operators.infotheory import kl_divergence
+
+            return kl_divergence(
+                df,
+                other,
+                opts["categoryColumn"],
+                smoothing=float(opts.get("smoothing", 0.5)),
             )
         return category_drift(df, other, opts["categoryColumn"])
 

@@ -486,3 +486,116 @@ def test_cusum_null_series_key_nan_values_and_guards(spark):
         ),
     )
     assert not res.is_valid and any("slack" in e for e in res.errors)
+
+
+# ---------------------------------------------------------------------------
+# time_rollup (hierarchical continuous aggregate)
+# ---------------------------------------------------------------------------
+
+
+def test_time_rollup_levels_match_direct_groupby(spark, sf_dir):
+    """Every coarser level — computed by re-aggregating the finer
+    bucket table — must EQUAL a direct groupBy of the raw data at that
+    level (the mergeability claim, checked value-for-value)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = time_rollup(
+        ev, "ts", ["value"], levels=[3600, 21600, 86400],
+        group_by=["event_type"],
+    ).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level_seconds"], {})[
+            (r["event_type"], r["bucket_ts"])
+        ] = r
+    assert set(by_level) == {3600, 21600, 86400}
+
+    for step in (3600, 21600, 86400):
+        direct = (
+            ev.groupBy(
+                "event_type",
+                (
+                    (F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(step)))
+                ).alias("bucket_ts"),
+            )
+            .agg(
+                F.count("value").alias("cnt"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        )
+        got = by_level[step]
+        assert len(direct) == len(got)
+        for d in direct:
+            r = got[(d["event_type"], d["bucket_ts"])]
+            assert r["value_cnt"] == d["cnt"]
+            assert abs(r["value_sum"] - float(d["s"])) < 1e-9
+            assert r["value_min"] == d["mn"] and r["value_max"] == d["mx"]
+            assert abs(r["value_avg"] - float(d["s"]) / d["cnt"]) < 1e-12
+
+
+def test_time_rollup_null_values_and_validation(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:30", 1.5), ("2024-01-01 00:01:30", None),
+         ("2024-01-01 00:02:30", 2.5)],
+        "ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {
+        (r["level_seconds"], r["bucket_ts"]): r
+        for r in time_rollup(df, "ts", ["v"], levels=[60, 180]).collect()
+    }
+    # minute buckets: the null-valued bucket has cnt 0 and NULL stats
+    base = 1704067200
+    assert rows[(60, base)]["v_cnt"] == 1
+    assert rows[(60, base + 60)]["v_cnt"] == 0
+    assert rows[(60, base + 60)]["v_sum"] is None
+    assert rows[(60, base + 60)]["v_avg"] is None
+    # 3-minute rollup merges across the null bucket correctly
+    top = rows[(180, base)]
+    assert top["v_cnt"] == 2 and abs(top["v_sum"] - 4.0) < 1e-12
+    assert top["v_min"] == 1.5 and top["v_max"] == 2.5
+
+    with pytest.raises(TransformationError, match="divide the next"):
+        time_rollup(df, "ts", ["v"], levels=[60, 90])
+    with pytest.raises(TransformationError, match="ascending"):
+        time_rollup(df, "ts", ["v"], levels=[120, 60])
+    with pytest.raises(TransformationError, match="value column|column not in"):
+        time_rollup(df, "ts", ["nope"], levels=[60])
+
+
+def test_time_rollup_yaml_adapter(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:30", 1.0), ("2024-01-01 02:10:00", 3.0)],
+        "ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tr = TRANSFORMER_REGISTRY["time_rollup"]
+    cfg = TransformationConfig(
+        type="time_rollup",
+        options={"timeColumn": "ts", "valueColumns": "value",
+                 "levels": "3600,7200"},
+    )
+    assert tr.validate(df, cfg).is_valid
+    out = tr.transform(df, cfg, None)
+    assert {r["level_seconds"] for r in out.collect()} == {3600, 7200}
+    bad = TransformationConfig(
+        type="time_rollup",
+        options={"timeColumn": "ts", "valueColumns": "value", "levels": "60,90"},
+    )
+    assert not tr.validate(df, bad).is_valid
