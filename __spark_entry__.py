@@ -6394,6 +6394,51 @@ FROM terms GROUP BY ta, tb
 """
 
 
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed KL divergence KL(even-docs || odd-docs) over language
+    mixes — the directional companion of js_divergence (add-0.5
+    Jeffreys smoothing over the union support keeps it finite when a
+    side lacks a category). Log summary rounded to 9 decimals for the
+    gate; full precision pinned in pytest."""
+    from etl_spark_gradle_spark.operators.infotheory import kl_divergence
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = kl_divergence(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), "lang"
+    )
+    return out.select(
+        "n_a", "n_b", "n_categories", F.round("kl_nats", 9).alias("kl_nats")
+    )
+
+
+_KL_DIVERGENCE_ORACLE = """
+WITH a AS (
+  SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_a
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), b AS (
+  SELECT lang AS category, CAST(count(*) AS BIGINT) AS n_b
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+), j AS (
+  SELECT coalesce(a.category, b.category) AS category,
+         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL JOIN b ON a.category = b.category
+), t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM j
+)
+SELECT ta AS n_a, tb AS n_b, k AS n_categories,
+  round(SUM(
+    ((CAST(n_a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+    * ln(((CAST(n_a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+         / ((CAST(n_b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * CAST(k AS DOUBLE))))
+  ), 9) AS kl_nats
+FROM j, t WHERE ta > 0 AND tb > 0 GROUP BY ta, tb, k
+"""
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependence profile of event_type x user-bucket from ONE joint
     groupBy (marginals derived from the joint table, raw frame scanned
@@ -6514,6 +6559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "entropy": q_entropy,
         "js_divergence": q_js_divergence,
+        "kl_divergence": q_kl_divergence,
         "mutual_information": q_mutual_information,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
@@ -6699,6 +6745,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _TIME_ROLLUP_ORACLE,
         "entropy": _ENTROPY_ORACLE,
         "js_divergence": _JS_DIVERGENCE_ORACLE,
+        "kl_divergence": _KL_DIVERGENCE_ORACLE,
         "mutual_information": _MUTUAL_INFORMATION_ORACLE,
         "resample_origin": _RESAMPLE_ORIGIN_ORACLE,
         "mad_outliers": _MAD_OUTLIERS_ORACLE,
