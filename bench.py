@@ -28,8 +28,9 @@ And the extension-operator shapes:
 15. q15_cdf_stats   — KS drift via the distributed prefix-sum CDF
 16. q16_discretize  — exact quantile binning (grouped CDF edges +
                       broadcast + array-aggregate bin close)
-17. q17_bloom_join  — Bloom-pruned semi join (bitmap bit_or build +
-                      broadcast bit probes + survivor-only verify)
+17. q17_bloom_join  — Bloom-pruned semi join (split-block bitmap
+                      build + ONE broadcast word-probe join +
+                      survivor-only verify)
 18. q18_keyword_tag — 300-phrase Aho-Corasick Arrow tagging (the
                       large-dictionary curation hot loop)
 19. q19_skew_asof   — hot-key (50%) salted as-of join — the skewed
@@ -407,9 +408,9 @@ def q18_keyword_tag(spark):
 
 def q17_bloom_join(spark):
     """Bloom-pruned semi join: lineitem rows of URGENT orders via the
-    blocked-Bloom bitmap relation (bit_or bitmap build + 3 broadcast
-    bit-probe joins + survivor-only exact verify join) — the round-5
-    prune-before-shuffle plan. Forced through a hash-sum aggregate so
+    split-block Bloom bitmap relation (bit_or word build + ONE
+    broadcast word-probe join + survivor-only exact verify join) — the
+    prune-before-shuffle plan, redesigned round 7. Forced through a hash-sum aggregate so
     the join payload can't be pruned to a count."""
     from etl_spark_gradle_spark.operators.bloom import bloom_semi_join
 
