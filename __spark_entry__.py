@@ -6439,6 +6439,74 @@ FROM j, t WHERE ta > 0 AND tb > 0 GROUP BY ta, tb, k
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of A-flag lineitem prices against
+    the R-flag reference: edges = the reference's exact type-1 deciles
+    (histogram + distributed CDF), both sides binned identically,
+    add-0.5 smoothed rates over the fixed nominal bin count. Exact
+    totals; the log summary rounded to 9 decimals for the gate, full
+    precision pinned in pytest."""
+    from etl_spark_gradle_spark.operators.infotheory import psi_drift
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = psi_drift(
+        li.where("l_returnflag = 'R'"),
+        li.where("l_returnflag = 'A'"),
+        "l_extendedprice",
+        bins=10,
+    )
+    return out.select(
+        "n_a", "n_b", "n_bins", F.round("psi", 9).alias("psi")
+    )
+
+
+_PSI_DRIFT_ORACLE = """
+WITH av AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL
+), bv AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL
+), c AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM av GROUP BY 1
+), cdf AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM c
+), probs AS (
+  SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p
+), th AS (
+  SELECT p, min(CASE WHEN cum >= greatest(1,
+      CAST(ceil(p * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS t
+  FROM cdf CROSS JOIN probs GROUP BY p
+), abin AS (
+  SELECT (SELECT CAST(sum(CASE WHEN av.v > th.t THEN 1 ELSE 0 END) AS INT)
+          FROM th) AS bin
+  FROM av
+), bbin AS (
+  SELECT (SELECT CAST(sum(CASE WHEN bv.v > th.t THEN 1 ELSE 0 END) AS INT)
+          FROM th) AS bin
+  FROM bv
+), ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_a FROM abin GROUP BY 1),
+cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b FROM bbin GROUP BY 1),
+j AS (
+  SELECT coalesce(ca.bin, cb.bin) AS bin,
+         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM ca FULL JOIN cb ON ca.bin = cb.bin
+), t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j
+)
+SELECT ta AS n_a, tb AS n_b, CAST(10 AS BIGINT) AS n_bins,
+  round(SUM(
+    (((CAST(n_a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * 10.0))
+     - ((CAST(n_b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * 10.0)))
+    * ln(((CAST(n_a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * 10.0))
+         / ((CAST(n_b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * 10.0)))
+  ), 9) AS psi
+FROM j, t WHERE ta > 0 AND tb > 0 GROUP BY ta, tb
+"""
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependence profile of event_type x user-bucket from ONE joint
     groupBy (marginals derived from the joint table, raw frame scanned
@@ -6560,6 +6628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "js_divergence": q_js_divergence,
         "kl_divergence": q_kl_divergence,
+        "psi_drift": q_psi_drift,
         "mutual_information": q_mutual_information,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
@@ -6746,6 +6815,7 @@ def oracle_sql() -> dict[str, str]:
         "entropy": _ENTROPY_ORACLE,
         "js_divergence": _JS_DIVERGENCE_ORACLE,
         "kl_divergence": _KL_DIVERGENCE_ORACLE,
+        "psi_drift": _PSI_DRIFT_ORACLE,
         "mutual_information": _MUTUAL_INFORMATION_ORACLE,
         "resample_origin": _RESAMPLE_ORIGIN_ORACLE,
         "mad_outliers": _MAD_OUTLIERS_ORACLE,

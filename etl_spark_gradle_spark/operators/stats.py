@@ -1218,8 +1218,10 @@ class DriftTransformer:
     against a registered view. Options: ``otherView`` (required — name
     registered under ``views:``) plus EXACTLY ONE of
     ``categoryColumn`` (categorical χ² table) or ``valueColumn``
-    (continuous two-sample test; ``statistic: ks`` default or
-    ``rank_sum`` for Mann–Whitney AUC). With ``categoryColumn``,
+    (continuous two-sample test; ``statistic: ks`` default,
+    ``rank_sum`` for Mann–Whitney AUC, or ``psi`` for the Population
+    Stability Index over the reference side's exact decile bins —
+    ``bins``, ``smoothing``, ``perBin``). With ``categoryColumn``,
     ``statistic: tv`` selects the total-variation summary,
     ``js`` the Jensen-Shannon divergence (both take ``perCategory:
     true`` for the contribution table), and ``kl`` the add-α smoothed
@@ -1243,9 +1245,10 @@ class DriftTransformer:
         if not opts.get("otherView"):
             errors.append("drift requires 'otherView'")
         stat = opts.get("statistic")
-        if val and stat not in (None, "ks", "rank_sum"):
+        if val and stat not in (None, "ks", "rank_sum", "psi"):
             errors.append(
-                f"drift statistic for valueColumn must be ks|rank_sum, got '{stat}'"
+                "drift statistic for valueColumn must be "
+                f"ks|rank_sum|psi, got '{stat}'"
             )
         if cat and stat not in (None, "chi2", "tv", "js", "kl"):
             errors.append(
@@ -1270,6 +1273,17 @@ class DriftTransformer:
         if opts.get("valueColumn"):
             if opts.get("statistic", "ks") == "rank_sum":
                 return rank_sum_drift(df, other, opts["valueColumn"])
+            if opts.get("statistic", "ks") == "psi":
+                from etl_spark_gradle_spark.operators.infotheory import psi_drift
+
+                return psi_drift(
+                    df,
+                    other,
+                    opts["valueColumn"],
+                    bins=int(opts.get("bins", 10)),
+                    smoothing=float(opts.get("smoothing", 0.5)),
+                    per_bin=str(opts.get("perBin", "false")).lower() == "true",
+                )
             return ks_drift(df, other, opts["valueColumn"])
         if opts.get("statistic") == "tv":
             return tv_distance(

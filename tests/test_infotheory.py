@@ -215,3 +215,58 @@ def test_infotheory_yaml_adapter_and_drift_routes(spark):
                  "statistic": "nope"},
     )
     assert not dr.validate(df, badstat).is_valid
+
+
+def test_psi_drift_matches_python(spark, sf_dir):
+    """PSI over lineitem prices (R-flag reference vs A-flag current):
+    edges = exact type-1 deciles of the reference, both sides binned
+    identically, add-alpha smoothed rates — pinned against a pure
+    python replay."""
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators.infotheory import psi_drift
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.where("l_returnflag = 'R'").select("l_extendedprice")
+    b = li.where("l_returnflag = 'A'").select("l_extendedprice")
+    bins, alpha = 10, 0.5
+    got = psi_drift(a, b, "l_extendedprice", bins=bins, smoothing=alpha).collect()[0]
+
+    av = np.sort(np.array([float(r[0]) for r in a.collect()]))
+    bv = np.array([float(r[0]) for r in b.collect()])
+    n = len(av)
+    # type-1 (lower) quantile: smallest value whose cum count >= ceil(p n)
+    edges = [av[max(1, math.ceil(i / bins * n)) - 1] for i in range(1, bins)]
+    def bin_of(x):
+        return sum(1 for e in edges if x > e)
+    ca = Counter(bin_of(x) for x in av)
+    cb = Counter(bin_of(x) for x in bv)
+    na, nb = len(av), len(bv)
+    psi = 0.0
+    for i in set(ca) | set(cb):
+        p = (ca.get(i, 0) + alpha) / (na + alpha * bins)
+        q = (cb.get(i, 0) + alpha) / (nb + alpha * bins)
+        psi += (p - q) * math.log(p / q)
+    assert got["n_a"] == na and got["n_b"] == nb and got["n_bins"] == bins
+    assert abs(got["psi"] - psi) < 1e-9
+
+    per = psi_drift(a, b, "l_extendedprice", bins=bins, per_bin=True).collect()
+    assert abs(sum(r["psi_contrib"] for r in per) - psi) < 1e-9
+
+
+def test_psi_drift_identity_and_validation(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.infotheory import psi_drift
+
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    r = psi_drift(df, df, "v", bins=5).collect()[0]
+    assert abs(r["psi"]) < 1e-12  # identical distributions -> 0
+    empty = spark.createDataFrame([], "v double")
+    assert psi_drift(df, empty, "v").count() == 0
+    with pytest.raises(TransformationError, match="bins"):
+        psi_drift(df, df, "v", bins=1)
+    with pytest.raises(TransformationError, match="smoothing"):
+        psi_drift(df, df, "v", smoothing=0)
+    with pytest.raises(TransformationError, match="value column"):
+        psi_drift(df, df, "nope")
