@@ -651,6 +651,13 @@ def time_rollup(
                 )
             ]
         )
+        # each level's bucket table is read by TWO lineages (its own
+        # close() branch of the union and the next-coarser groupBy);
+        # eager-pinning the (histogram-sized) table makes "raw data
+        # scanned once" a plan property instead of an AQE
+        # exchange-reuse hope (verified: unpinned, the final adaptive
+        # plan still held one raw scan per level)
+        .localCheckpoint(eager=True)
     )
     out = close(fine, steps[0])
     cur = fine
@@ -668,7 +675,7 @@ def time_rollup(
                     F.max(f"_max_{c}").alias(f"_max_{c}"),
                 )
             ]
-        )
+        ).localCheckpoint(eager=True)
         out = out.unionByName(close(cur, step))
     return out
 

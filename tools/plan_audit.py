@@ -347,6 +347,33 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "time_rollup",
+        "hierarchical rollup: every level reads a PINNED bucket table "
+        "(ExistingRDD boundaries) — the raw scan ran exactly once in "
+        "the finest level's checkpoint job; no parquet scan, no joins, "
+        "no python in the final plan",
+        ["ExistingRDD", "Union"],
+        ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "mutual_information",
+        "MI/chi2/CramersV from ONE joint groupBy: marginals via windows "
+        "over the joint (category-product-sized) table — one scan, no "
+        "second pass over raw data, no python",
+        ["partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "entropy",
+        "entropy/Simpson: one category groupBy then a group-level agg — "
+        "no joins at all, no python",
+        ["partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "quantiles",
         "exact quantiles: the value-histogram partial agg runs once "
         "into an eager checkpoint (ExistingRDD boundary — its "
