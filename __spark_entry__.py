@@ -6439,6 +6439,67 @@ FROM j, t WHERE ta > 0 AND tb > 0 GROUP BY ta, tb, k
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (set vs set — the companion of range_join's
+    point-vs-interval): 7-day shipping windows of heavy R-flag lines
+    overlapped against light A-flag lines of the SAME supplier. Binned
+    equi-join on (supplier, 7-day bin) with the residual overlap
+    predicate inside the join; each pair is emitted only in the
+    canonical bin holding its overlap start, so no distinct shuffle is
+    ever needed."""
+    from etl_spark_gradle_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_returnflag",
+        "l_quantity",
+        F.to_date("l_shipdate").alias("w_start"),
+        F.date_add(F.to_date("l_shipdate"), 7).alias("w_end"),
+    )
+    a = base.where("l_returnflag = 'R' AND l_quantity > 45").drop(
+        "l_returnflag", "l_quantity"
+    )
+    b = base.where("l_returnflag = 'A' AND l_quantity < 5").drop(
+        "l_returnflag", "l_quantity"
+    )
+    out = interval_overlap_join(
+        a, b, "w_start", "w_end", "w_start", "w_end",
+        bin_size=7, keys=["l_suppkey"],
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey_right").alias("r_orderkey"),
+        F.col("l_linenumber_right").alias("r_linenumber"),
+        F.date_format("w_start", "yyyy-MM-dd").alias("w_start"),
+        F.date_format("w_end_right", "yyyy-MM-dd").alias("r_w_end"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag, l_quantity,
+         CAST(l_shipdate AS DATE) AS w_start,
+         CAST(l_shipdate AS DATE) + 7 AS w_end
+  FROM lineitem
+), a AS (SELECT * FROM base WHERE l_returnflag = 'R' AND l_quantity > 45),
+b AS (SELECT * FROM base WHERE l_returnflag = 'A' AND l_quantity < 5)
+SELECT a.l_suppkey, a.l_orderkey, a.l_linenumber,
+       b.l_orderkey AS r_orderkey, b.l_linenumber AS r_linenumber,
+       strftime(a.w_start, '%Y-%m-%d') AS w_start,
+       strftime(b.w_end, '%Y-%m-%d') AS r_w_end
+FROM a JOIN b ON a.l_suppkey = b.l_suppkey
+ AND a.w_start <= b.w_end AND b.w_start <= a.w_end
+"""
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of A-flag lineitem prices against
     the R-flag reference: edges = the reference's exact type-1 deciles
@@ -6629,6 +6690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence": q_js_divergence,
         "kl_divergence": q_kl_divergence,
         "psi_drift": q_psi_drift,
+        "interval_join": q_interval_join,
         "mutual_information": q_mutual_information,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
@@ -6816,6 +6878,7 @@ def oracle_sql() -> dict[str, str]:
         "js_divergence": _JS_DIVERGENCE_ORACLE,
         "kl_divergence": _KL_DIVERGENCE_ORACLE,
         "psi_drift": _PSI_DRIFT_ORACLE,
+        "interval_join": _INTERVAL_JOIN_ORACLE,
         "mutual_information": _MUTUAL_INFORMATION_ORACLE,
         "resample_origin": _RESAMPLE_ORIGIN_ORACLE,
         "mad_outliers": _MAD_OUTLIERS_ORACLE,

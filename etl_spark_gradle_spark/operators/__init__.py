@@ -90,6 +90,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     PivotTransformer,
     QuantileFilterTransformer,
     RangeJoinTransformer,
+    IntervalJoinTransformer,
     RankingTransformer,
     RollingTimeTransformer,
     SaltedAggregationTransformer,
@@ -201,6 +202,7 @@ TRANSFORMER_REGISTRY = {
     "pivot": PivotTransformer(),
     "asof_join": AsofJoinTransformer(),
     "range_join": RangeJoinTransformer(),
+    "interval_join": IntervalJoinTransformer(),
     "setop": SetOpTransformer(),
     "sort": SortTransformer(),
     "distinct": DistinctTransformer(),

@@ -524,6 +524,143 @@ def range_join_points(
     return joined.select(*out_cols)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lower: str,
+    left_upper: str,
+    right_lower: str,
+    right_upper: str,
+    bin_size: float,
+    keys: list[str] | None = None,
+    min_overlap: float = 0.0,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) pair whose closed
+    intervals intersect — ``l_lower <= r_upper AND r_lower <= l_upper``
+    — optionally restricted to equal ``keys`` columns and to overlaps
+    of at least ``min_overlap`` (column units). The set-vs-set
+    companion of :func:`range_join_points` (point vs interval):
+    sessions x outages, shifts x incidents, shipping windows x
+    promotion windows.
+
+    Scale design: a naive non-equi join is a nested loop. Both sides
+    explode onto the fixed ``bin_size`` grid they cover and the join
+    becomes an EQUI-join on (keys..., bin) with the residual overlap
+    predicate applied inside it. An overlapping pair shares EVERY bin
+    their intersection covers — deduplication is built into the join
+    condition instead of a distinct shuffle: a pair is emitted ONLY in
+    the canonical bin holding ``greatest(l_lower, r_lower)`` (the
+    overlap start, which by definition lies in both intervals), so
+    each pair appears exactly once. Explode factor per side ≈
+    width/bin_size + 1 — pick ``bin_size`` near the typical interval
+    width. DATE columns bin by day index, TIMESTAMP by epoch seconds
+    (``bin_size`` is then days / seconds respectively); the residual
+    predicate always compares the ORIGINAL columns.
+
+    Output = left columns + right columns, name collisions on the
+    right suffixed ``_right`` (both sides legitimately carry interval
+    columns — the left-wins drop rule of equi-joins would silently
+    lose the right interval)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if bin_size <= 0:
+        raise TransformationError("interval join bin_size must be positive")
+    if min_overlap < 0:
+        raise TransformationError("interval join min_overlap must be >= 0")
+    keys = keys or []
+    for c, df_, side in (
+        (left_lower, left, "left"),
+        (left_upper, left, "left"),
+        (right_lower, right, "right"),
+        (right_upper, right, "right"),
+        *[(k, left, "left") for k in keys],
+        *[(k, right, "right") for k in keys],
+    ):
+        if c not in df_.columns:
+            raise TransformationError(
+                f"interval join: column '{c}' not in {side} schema"
+            )
+
+    def _num(df_, c):
+        t = df_.schema[c].dataType
+        if isinstance(t, DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
+    # suffix-rename colliding right columns so the joined schema is flat
+    left_names = set(left.columns)
+    renames = {c: f"{c}_right" for c in right.columns
+               if c in left_names and c not in keys}
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    r_lower = renames.get(right_lower, right_lower)
+    r_upper = renames.get(right_upper, right_upper)
+
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(_num(left, left_lower) / F.lit(bin_size)).cast("long"),
+                F.floor(_num(left, left_upper) / F.lit(bin_size)).cast("long"),
+            )
+        ),
+    )
+    rb = r.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(_num(r, r_lower) / F.lit(bin_size)).cast("long"),
+                F.floor(_num(r, r_upper) / F.lit(bin_size)).cast("long"),
+            )
+        ),
+    )
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    ll, lu = F.col(f"l.{left_lower}"), F.col(f"l.{left_upper}")
+    rl, ru = F.col(f"r.{r_lower}"), F.col(f"r.{r_upper}")
+    cond = (F.col("l.__bin") == F.col("r.__bin")) & (ll <= ru) & (rl <= lu)
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    # canonical-bin dedup: emit only where the bin holds the overlap start
+    lo_num_l = F.floor(
+        F.greatest(
+            _num_aliased(left, left_lower, "l"), _num_aliased(r, r_lower, "r")
+        )
+        / F.lit(bin_size)
+    ).cast("long")
+    cond = cond & (F.col("l.__bin") == lo_num_l)
+    if min_overlap > 0:
+        overlap = F.least(
+            _num_aliased(left, left_upper, "l"), _num_aliased(r, r_upper, "r")
+        ) - F.greatest(
+            _num_aliased(left, left_lower, "l"), _num_aliased(r, r_lower, "r")
+        )
+        cond = cond & (overlap >= F.lit(float(min_overlap)))
+    joined = lb.alias("l").join(rb.alias("r"), cond, "inner")
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in r.columns if c not in keys
+    ]
+    return joined.select(*out_cols)
+
+
+def _num_aliased(df_, c: str, alias: str):
+    """Numeric view of an aliased column (same mapping as the binner:
+    DATE -> day index, TIMESTAMP -> epoch seconds, else double)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    t = df_.schema[c].dataType
+    col = F.col(f"{alias}.{c}")
+    if isinstance(t, DateType):
+        return F.unix_date(col).cast("double")
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
 _WINDOW_TYPES = {"tumbling", "sliding", "session"}
 
 
@@ -1474,6 +1611,50 @@ class RangeJoinTransformer(_BaseTransformer):
             lower_col=opts["lowerColumn"],
             upper_col=opts["upperColumn"],
             bin_size=float(opts["binSize"]),
+            broadcast_right=opts.get("broadcast", "").lower() in ("true", "1", "yes"),
+        )
+
+
+class IntervalJoinTransformer(_BaseTransformer):
+    """Extension (``type: interval_join``): binned interval-OVERLAP join
+    against a named temp view (see :func:`interval_overlap_join`).
+    Options: ``rightTable``, ``leftLower``/``leftUpper``,
+    ``rightLower``/``rightUpper``, ``binSize``, ``keys`` (csv),
+    ``minOverlap``, ``broadcast``."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        for req in ("rightTable", "leftLower", "leftUpper",
+                    "rightLower", "rightUpper"):
+            if not opts.get(req):
+                errors.append(f"interval_join requires '{req}'")
+        try:
+            if float(opts.get("binSize", "0")) <= 0:
+                errors.append("interval_join requires positive numeric 'binSize'")
+        except ValueError:
+            errors.append("interval_join requires positive numeric 'binSize'")
+        for key in ("leftLower", "leftUpper"):
+            c = opts.get(key)
+            if c and c not in df.columns:
+                errors.append(f"{key} not in input schema: {c}")
+        for k in _split_csv(opts.get("keys")):
+            if k not in df.columns:
+                errors.append(f"key not in input schema: {k}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return interval_overlap_join(
+            df,
+            ctx.spark.table(opts["rightTable"]),
+            left_lower=opts["leftLower"],
+            left_upper=opts["leftUpper"],
+            right_lower=opts["rightLower"],
+            right_upper=opts["rightUpper"],
+            bin_size=float(opts["binSize"]),
+            keys=_split_csv(opts.get("keys")) or None,
+            min_overlap=float(opts.get("minOverlap", 0.0)),
             broadcast_right=opts.get("broadcast", "").lower() in ("true", "1", "yes"),
         )
 

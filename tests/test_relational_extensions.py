@@ -863,3 +863,124 @@ def test_unpivot_and_null_safe_join(spark):
     safe = join_view(left, spark, "ns_right", "k", "k", "inner", null_safe=True)
     got = {(r.lv, r.rv) for r in safe.collect()}
     assert got == {("l1", "r1"), ("l2", "r2")}
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join (set-vs-set interval intersection)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Binned interval-overlap join must equal the naive non-equi join
+    exactly — including pairs spanning many bins (dedup is built into
+    the canonical-bin condition, no distinct)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), float(i * 7 % 50), float(i * 7 % 50 + i % 13))
+         for i in range(200)],
+        "lid int, k string, lo double, hi double",
+    )
+    right = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), float(i * 11 % 60), float(i * 11 % 60 + i % 9))
+         for i in range(150)],
+        "rid int, k string, lo double, hi double",
+    )
+    got = interval_overlap_join(
+        left, right, "lo", "hi", "lo", "hi", bin_size=5.0, keys=["k"]
+    )
+    got_pairs = sorted((r.lid, r.rid) for r in got.collect())
+    naive = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & (F.col("l.lo") <= F.col("r.hi"))
+        & (F.col("r.lo") <= F.col("l.hi")),
+        "inner",
+    )
+    want = sorted((r["lid"], r["rid"]) for r in naive.collect())
+    assert got_pairs == want and len(got_pairs) == len(set(got_pairs))
+
+    # colliding interval columns come back suffixed, never dropped
+    assert {"lo", "hi", "lo_right", "hi_right"} <= set(got.columns)
+
+    # min_overlap prunes to the naive filtered set
+    got2 = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "lo", "hi", "lo", "hi",
+            bin_size=5.0, keys=["k"], min_overlap=4.0,
+        ).collect()
+    )
+    want2 = sorted(
+        (r["lid"], r["rid"])
+        for r in naive.where(
+            F.least(F.col("l.hi"), F.col("r.hi"))
+            - F.greatest(F.col("l.lo"), F.col("r.lo"))
+            >= 4.0
+        ).collect()
+    )
+    assert got2 == want2 and len(got2) < len(got_pairs)
+
+
+def test_interval_overlap_join_dates_and_validation(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+        interval_overlap_join,
+    )
+
+    shifts = spark.createDataFrame(
+        [("s1", "2024-01-01", "2024-01-10"), ("s2", "2024-02-01", "2024-02-05")],
+        "sid string, lo string, hi string",
+    ).select("sid", F.to_date("lo").alias("lo"), F.to_date("hi").alias("hi"))
+    incidents = spark.createDataFrame(
+        [("i1", "2024-01-08", "2024-01-12"), ("i2", "2024-03-01", "2024-03-02")],
+        "iid string, lo string, hi string",
+    ).select("iid", F.to_date("lo").alias("lo"), F.to_date("hi").alias("hi"))
+    out = interval_overlap_join(
+        shifts, incidents, "lo", "hi", "lo", "hi", bin_size=7
+    ).collect()
+    assert [(r.sid, r.iid) for r in out] == [("s1", "i1")]
+
+    with _pytest.raises(TransformationError, match="bin_size"):
+        interval_overlap_join(shifts, incidents, "lo", "hi", "lo", "hi", 0)
+    with _pytest.raises(TransformationError, match="not in right"):
+        interval_overlap_join(shifts, incidents, "lo", "hi", "nope", "hi", 7)
+
+
+def test_interval_join_yaml_adapter(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 10.0, 12.0)], "lid int, lo double, hi double"
+    )
+    right = spark.createDataFrame(
+        [(7, 4.0, 6.0), (8, 20.0, 21.0)], "rid int, lo double, hi double"
+    )
+    right.createOrReplaceTempView("iv_right")
+
+    class _Ctx:
+        def __init__(self, s):
+            self.spark = s
+
+    tr = TRANSFORMER_REGISTRY["interval_join"]
+    cfg = TransformationConfig(
+        type="interval_join",
+        options={"rightTable": "iv_right", "leftLower": "lo", "leftUpper": "hi",
+                 "rightLower": "lo", "rightUpper": "hi", "binSize": "5"},
+    )
+    assert tr.validate(left, cfg).is_valid
+    out = tr._apply(left, cfg, _Ctx(spark)).collect()
+    assert [(r.lid, r.rid) for r in out] == [(1, 7)]
+    bad = TransformationConfig(type="interval_join", options={"binSize": "0"})
+    assert not tr.validate(left, bad).is_valid
