@@ -270,3 +270,34 @@ def test_psi_drift_identity_and_validation(spark):
         psi_drift(df, df, "v", smoothing=0)
     with pytest.raises(TransformationError, match="value column"):
         psi_drift(df, df, "nope")
+
+
+def test_drift_adapter_psi_route(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    df = spark.range(500).select((F.col("id") % 50).cast("double").alias("v"))
+    df.createOrReplaceTempView("psi_other")
+
+    class _Ctx:
+        def __init__(self, s):
+            self.spark = s
+
+    dr = TRANSFORMER_REGISTRY["drift"]
+    cfg = TransformationConfig(
+        type="drift",
+        options={"otherView": "psi_other", "valueColumn": "v",
+                 "statistic": "psi", "bins": "5"},
+    )
+    assert dr.validate(df, cfg).is_valid
+    out = dr.transform(df, cfg, _Ctx(spark)).collect()[0]
+    assert out["n_bins"] == 5 and abs(out["psi"]) < 1e-12  # same frame
+    per = TransformationConfig(
+        type="drift",
+        options={"otherView": "psi_other", "valueColumn": "v",
+                 "statistic": "psi", "bins": "5", "perBin": "true"},
+    )
+    rows = dr.transform(df, per, _Ctx(spark)).collect()
+    assert abs(sum(r["psi_contrib"] for r in rows)) < 1e-12
