@@ -1337,6 +1337,14 @@ def q_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+def q_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip through the engine loader/extractor — Spark 4
+    ships the XML datasource natively (SPARK-44265), so unlike avro
+    this is a REAL write+read: nation out as <rows><row>…</row></rows>,
+    back in via rowTag, oracle = the same nation projection."""
+    return _roundtrip(spark, sf_dir, "xml")
+
+
 def q_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro degradation contract: pyspark does not bundle the spark-avro
     datasource (only avro-core jars), so both the file sink and the file
@@ -6692,6 +6700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "interval_join": q_interval_join,
         "mutual_information": q_mutual_information,
+        "roundtrip_xml": q_roundtrip_xml,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
         "cms_topk": q_cms,
@@ -7103,6 +7112,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "roundtrip_parquet": _NATION_ORACLE,
         "roundtrip_csv": _NATION_ORACLE,
+        "roundtrip_xml": _NATION_ORACLE,
         "roundtrip_json": _NATION_ORACLE,
         "roundtrip_orc": _NATION_ORACLE,
         "pipeline_e2e": _E2E_ORACLE,

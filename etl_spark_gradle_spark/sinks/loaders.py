@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark.plans.config import ConfigError, LoadResult, SinkConfig, ValidationResult
 
-_FILE_FORMATS = {"parquet", "avro", "json", "csv", "orc", "text"}
+_FILE_FORMATS = {"parquet", "avro", "json", "csv", "orc", "text", "xml"}
 
 
 def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
@@ -39,7 +39,7 @@ def load_file(
     write_mode: str = "append",
     partition_by: tuple[str, ...] = (),
 ) -> LoadResult:
-    """Write avro/parquet/json/csv/orc (parity: ``loader/S3Loader.scala:27-119``):
+    """Write avro/parquet/json/csv/orc/xml (parity: ``loader/S3Loader.scala:27-119``):
     ``append``/``overwrite``, ``partitionBy`` columns, ``compression``
     codec, ``coalesce`` N output files, ``sortWithinPartitions``
     columns (shuffle-free local sort → tight row-group min/max stats →
@@ -130,6 +130,9 @@ def load_file(
         writer = writer.option("compression", options["compression"])
     if fmt == "csv":
         writer = writer.option("header", options.get("header", "true"))
+    if fmt == "xml":
+        writer = writer.option("rowTag", options.get("rowTag", "row"))
+        writer = writer.option("rootTag", options.get("rootTag", "rows"))
     if fmt == "text":
         # corpus-export path: text files hold exactly one string column;
         # single-column frames are cast rather than rejected

@@ -28,7 +28,7 @@ from etl_spark_gradle_spark.plans.config import (
     ValidationResult,
 )
 
-_FILE_FORMATS = {"parquet", "avro", "json", "csv", "orc", "text"}
+_FILE_FORMATS = {"parquet", "avro", "json", "csv", "orc", "text", "xml"}
 
 
 def _is_missing_datasource(e: Exception, name: str) -> bool:
@@ -45,12 +45,13 @@ def extract_file(
     options: dict[str, str],
     paths_override: list[str] | None = None,
 ) -> DataFrame:
-    """Read ``avro|parquet|json|csv|orc|text`` from a path (parity:
+    """Read ``avro|parquet|json|csv|orc|text|xml`` from a path (parity:
     ``extractor/S3Extractor.scala:45-65``): CSV honors ``header`` /
     ``delimiter`` / ``inferSchema`` (header+infer default true), JSON
-    honors ``multiLine``. Extra reader options pass straight through so
-    Spark-native knobs (``recursiveFileLookup``, ``pathGlobFilter``,
-    ``mergeSchema``) stay available.
+    honors ``multiLine``, XML honors ``rowTag`` (default ``row`` —
+    Spark 4 ships the reader natively). Extra reader options pass
+    straight through so Spark-native knobs (``recursiveFileLookup``,
+    ``pathGlobFilter``, ``mergeSchema``) stay available.
     """
     path = options.get("path")
     fmt = options.get("format", "parquet").lower()
@@ -87,10 +88,12 @@ def extract_file(
             )
     if fmt == "json" and "multiLine" in options:
         reader = reader.option("multiLine", options["multiLine"])
+    if fmt == "xml":
+        reader = reader.option("rowTag", options.get("rowTag", "row"))
     passthrough = {
         k: v for k, v in options.items()
         if k not in {"path", "format", "header", "delimiter", "inferSchema",
-                     "multiLine", "nanosAsLong", "schema"}
+                     "multiLine", "nanosAsLong", "schema", "rowTag"}
     }
     if passthrough:
         reader = reader.options(**passthrough)
