@@ -347,6 +347,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "interval_join",
+        "binned interval-overlap join: EQUI hash join on (supplier, "
+        "bin) with the residual overlap predicate inside it (broadcast "
+        "at this SF; shuffled-hash/sort-merge at scale) — never a "
+        "nested loop or cartesian product over the interval sets",
+        ["HashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "time_rollup",
         "hierarchical rollup: every level reads a PINNED bucket table "
         "(ExistingRDD boundaries) — the raw scan ran exactly once in "
