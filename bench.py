@@ -35,6 +35,8 @@ And the extension-operator shapes:
                       large-dictionary curation hot loop)
 19. q19_skew_asof   — hot-key (50%) salted as-of join — the skewed
                       window-shuffle guard (scale_probe skew section)
+20. q20_time_rollup — hierarchical continuous aggregate (1h→6h→1d
+                      mergeable rollup; raw scan exactly once)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -470,6 +472,26 @@ def q19_skew_asof(spark):
     )
 
 
+def q20_time_rollup(spark):
+    """Hierarchical continuous aggregate: events bucketed per event
+    type at 1h, 6h and 1d derived by re-aggregating the finer bucket
+    table (raw scan runs ONCE, in the finest level's eager pin).
+    Forced through a hash-sum aggregate over all stacked levels."""
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+
+    ev = load(spark, "events")
+    out = time_rollup(
+        ev, "ts", ["value"], levels=[3600, 21600, 86400],
+        group_by=["event_type"],
+    )
+    return out.agg(
+        F.sum(
+            F.xxhash64("event_type", "level_seconds", "bucket_ts", "value_cnt")
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -490,6 +512,7 @@ QUERIES = {
     "q17_bloom_join": q17_bloom_join,
     "q18_keyword_tag": q18_keyword_tag,
     "q19_skew_asof": q19_skew_asof,
+    "q20_time_rollup": q20_time_rollup,
 }
 
 
