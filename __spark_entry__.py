@@ -4704,7 +4704,7 @@ WITH a AS (
   SELECT coalesce(a.category, b.category) AS category,
          CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
          CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
-  FROM a FULL JOIN b ON a.category = b.category
+  FROM a FULL JOIN b ON a.category IS NOT DISTINCT FROM b.category
 ), t AS (
   SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j
 ), s AS (
@@ -5643,7 +5643,7 @@ WITH a AS (
   SELECT coalesce(a.category, b.category) AS category,
          CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
          CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
-  FROM a FULL JOIN b ON a.category = b.category
+  FROM a FULL JOIN b ON a.category IS NOT DISTINCT FROM b.category
 ), t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j),
 d AS (
   SELECT category, n_a, n_b,
@@ -6381,7 +6381,7 @@ WITH a AS (
   SELECT coalesce(a.category, b.category) AS category,
          CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
          CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
-  FROM a FULL JOIN b ON a.category = b.category
+  FROM a FULL JOIN b ON a.category IS NOT DISTINCT FROM b.category
 ), t AS (
   SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j
 ), terms AS (
@@ -6431,7 +6431,7 @@ WITH a AS (
   SELECT coalesce(a.category, b.category) AS category,
          CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
          CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
-  FROM a FULL JOIN b ON a.category = b.category
+  FROM a FULL JOIN b ON a.category IS NOT DISTINCT FROM b.category
 ), t AS (
   SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
          CAST(count(*) AS BIGINT) AS k
@@ -6557,11 +6557,13 @@ WITH av AS (
   FROM bv
 ), ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_a FROM abin GROUP BY 1),
 cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b FROM bbin GROUP BY 1),
+spine AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
 j AS (
-  SELECT coalesce(ca.bin, cb.bin) AS bin,
+  SELECT spine.bin,
          CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
          CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
-  FROM ca FULL JOIN cb ON ca.bin = cb.bin
+  FROM spine LEFT JOIN ca ON spine.bin = ca.bin
+             LEFT JOIN cb ON spine.bin = cb.bin
 ), t AS (
   SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j
 )

@@ -112,6 +112,7 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     map_columns,
     pivot_table,
     quantile_filter,
+    interval_overlap_join,
     range_join_points,
     rank_rows,
     salted_aggregate,
@@ -176,6 +177,7 @@ from etl_spark_gradle_spark.operators.infotheory import (  # noqa: F401
     js_divergence,
     kl_divergence,
     mutual_information,
+    psi_drift,
 )
 from etl_spark_gradle_spark.quality import (  # noqa: F401
     ExpectTransformer,

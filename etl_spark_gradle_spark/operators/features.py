@@ -175,6 +175,8 @@ def one_hot(
         used.add(name)
         names.append(name)
     clash = [n for n in names if n in df.columns]
+    if other_col and other_col in df.columns:
+        clash.append(other_col)
     if clash:
         raise TransformationError(
             f"one_hot output column(s) already in schema: {clash}"

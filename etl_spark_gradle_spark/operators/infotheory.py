@@ -344,8 +344,17 @@ def psi_drift(
 
     ca = bin_counts(a_vals, "n_a")
     cb = bin_counts(b_vals, "n_b")
+    # full nominal-bin spine: bins empty on BOTH sides (structurally
+    # unoccupiable between duplicate edges, or simply unpopulated)
+    # still carry their smoothed (p − q)·ln(p/q) term whenever
+    # n_a != n_b — the documented fixed-denominator formula (review
+    # finding: dropping them understated PSI on skewed references)
+    spine = a_vals.sparkSession.range(int(bins)).select(
+        F.col("id").cast("int").alias("bin")
+    )
     j = (
-        ca.join(cb, on="bin", how="full")
+        spine.join(ca, on="bin", how="left")
+        .join(cb, on="bin", how="left")
         .select(
             "bin",
             F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),

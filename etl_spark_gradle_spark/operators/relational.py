@@ -581,6 +581,32 @@ def interval_overlap_join(
             raise TransformationError(
                 f"interval join: column '{c}' not in {side} schema"
             )
+    for df_, side in ((left, "left"), (right, "right")):
+        if "__bin" in df_.columns:
+            raise TransformationError(
+                f"column name '__bin' is reserved by interval_overlap_join "
+                f"({side} side) — rename it first"
+            )
+
+    def _unit(df_, c):
+        t = df_.schema[c].dataType
+        if isinstance(t, DateType):
+            return "days"
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            return "seconds"
+        return "numeric"
+
+    units = {
+        _unit(left, left_lower), _unit(left, left_upper),
+        _unit(right, right_lower), _unit(right, right_upper),
+    }
+    if len(units) > 1:
+        raise TransformationError(
+            "interval join: interval columns mix incompatible units "
+            f"({sorted(units)}) — DATE bins by day index, TIMESTAMP by "
+            "epoch seconds, so mixed grids would never line up (a "
+            "silently-empty join); cast both sides to one type first"
+        )
 
     def _num(df_, c):
         t = df_.schema[c].dataType
@@ -1634,6 +1660,11 @@ class IntervalJoinTransformer(_BaseTransformer):
                 errors.append("interval_join requires positive numeric 'binSize'")
         except ValueError:
             errors.append("interval_join requires positive numeric 'binSize'")
+        try:
+            if float(opts.get("minOverlap", 0.0)) < 0:
+                errors.append("interval_join 'minOverlap' must be >= 0")
+        except (TypeError, ValueError):
+            errors.append("interval_join 'minOverlap' must be numeric")
         for key in ("leftLower", "leftUpper"):
             c = opts.get(key)
             if c and c not in df.columns:

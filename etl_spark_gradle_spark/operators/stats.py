@@ -262,7 +262,13 @@ def _two_sample_counts(
     make every downstream rate divide by zero (IEEE Inf/NaN, silently
     wrong drift) — the totals row is guarded with n>0 on BOTH sides,
     so drift against an empty side yields an EMPTY frame (ADVICE r4,
-    same contract as ks_drift / rank_sum_drift)."""
+    same contract as ks_drift / rank_sum_drift).
+
+    NULL is ONE legitimate category: the full join is NULL-SAFE
+    (``<=>``). A plain equality join split each side's NULL bucket
+    into two phantom one-sided categories — two IDENTICAL frames with
+    NULL rows then reported large fake drift (review finding; SQL
+    oracles must join with IS NOT DISTINCT FROM to match)."""
     for df, side in ((df_a, "left"), (df_b, "right")):
         if category_col not in df.columns:
             raise TransformationError(
@@ -271,13 +277,13 @@ def _two_sample_counts(
     ca = df_a.groupBy(F.col(category_col).alias("category")).agg(
         F.count(F.lit(1)).cast("long").alias("n_a")
     )
-    cb = df_b.groupBy(F.col(category_col).alias("category")).agg(
+    cb = df_b.groupBy(F.col(category_col).alias("_cat_b")).agg(
         F.count(F.lit(1)).cast("long").alias("n_b")
     )
     joined = (
-        ca.join(cb, on="category", how="full")
+        ca.join(cb, F.col("category").eqNullSafe(F.col("_cat_b")), "full")
         .select(
-            "category",
+            F.coalesce("category", "_cat_b").alias("category"),
             F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
             F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
         )
@@ -412,31 +418,51 @@ def _prefix_sums(
     # their OWN extra branches) pass assume_pinned=True.
     if not assume_pinned:
         df = df.localCheckpoint(eager=True)
+    from pyspark.sql.types import (
+        DateType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
     dtype = df.schema[order_col].dataType
+    # monotone numeric view of the order column for bucketing: dates
+    # map to their day index, timestamps to epoch seconds — so the
+    # two-level scan stays distributed for temporal order columns
+    # (median event time etc.), not just plain numerics (review
+    # finding: the earlier numeric-only check silently collapsed
+    # temporal frames to one bucket)
+    if isinstance(dtype, DateType):
+        v_num = F.unix_date(F.col(order_col)).cast("double")
+    elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+        v_num = F.col(order_col).cast("timestamp").cast("double")
+    elif isinstance(dtype, NumericType):
+        v_num = F.col(order_col).cast("double")
+    else:
+        v_num = None
     bounds: list[float] = []
-    if isinstance(dtype, NumericType) and P > 1:
+    if v_num is not None and P > 1:
         probs = [i / P for i in range(1, P)]
         # one tiny job over the pinned frame; result is a driver-side
         # literal, shared by ALL downstream subtrees
         bounds = sorted(
             set(
-                df.where(F.col(order_col).isNotNull()).approxQuantile(
-                    order_col, probs, max(0.0001, 1.0 / (8 * P))
-                )
+                df.select(v_num.alias("_v"))
+                .where(F.col("_v").isNotNull())
+                .approxQuantile("_v", probs, max(0.0001, 1.0 / (8 * P)))
             )
         )
     if bounds:
         arr = F.array(*[F.lit(float(b)) for b in bounds])
-        v = F.col(order_col).cast("double")
-        # count of boundaries ≤ v: monotone in order_col (double cast
-        # is order-preserving), deterministic, O(P) comparisons per
-        # row of an already-reduced frame
-        pid = F.size(F.filter(arr, lambda b: b <= v))
+        # count of boundaries ≤ v: monotone in order_col (the numeric
+        # views above are order-preserving), deterministic, O(P)
+        # comparisons per row of an already-reduced frame
+        pid = F.size(F.filter(arr, lambda b: b <= v_num))
         d = df.withColumn("_pid", pid)
     else:
-        # non-numeric order column or degenerate distribution: the
-        # frame is histogram-sized with few distinct keys — a single
-        # bucket keeps the window bounded and fully deterministic
+        # non-orderable-as-numeric column (e.g. strings) or degenerate
+        # distribution: single bucket — bounded only by the reduced
+        # frame's size; fine for low-cardinality keys, callers with
+        # huge non-numeric domains should pre-map them to a rank
         d = df.withColumn("_pid", F.lit(0))
     w_run = (
         Window.partitionBy("_pid")
@@ -1255,6 +1281,18 @@ class DriftTransformer:
                 "drift statistic for categoryColumn must be "
                 f"chi2|tv|js|kl, got '{stat}'"
             )
+        if stat in ("psi", "kl"):
+            try:
+                if float(opts.get("smoothing", 0.5)) <= 0:
+                    errors.append("drift 'smoothing' must be > 0")
+            except (TypeError, ValueError):
+                errors.append("drift 'smoothing' must be numeric")
+        if stat == "psi":
+            try:
+                if int(opts.get("bins", 10)) < 2:
+                    errors.append("drift 'bins' must be an integer >= 2")
+            except (TypeError, ValueError):
+                errors.append("drift 'bins' must be an integer >= 2")
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
     def transform(self, df, config, ctx):

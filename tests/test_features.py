@@ -273,3 +273,16 @@ def test_one_hot_sanitized_name_collision_disambiguated(spark):
     clash = spark.createDataFrame([("x", 9)], "v string, v_x int")
     with _pytest.raises(TransformationError, match="already in schema"):
         one_hot(clash, "v", ["x"])
+
+
+def test_one_hot_other_col_clash_refused(spark):
+    """Regression (code-review): other_col overwriting an existing
+    column is the same silent-overwrite class as the flag columns."""
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.features import one_hot
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    df = spark.createDataFrame([("x", 1)], "v string, flags int")
+    with _pytest.raises(TransformationError, match="already in schema"):
+        one_hot(df, "v", ["x"], other_col="flags")

@@ -243,7 +243,7 @@ def test_psi_drift_matches_python(spark, sf_dir):
     cb = Counter(bin_of(x) for x in bv)
     na, nb = len(av), len(bv)
     psi = 0.0
-    for i in set(ca) | set(cb):
+    for i in range(bins):  # full nominal grid, incl. empty bins
         p = (ca.get(i, 0) + alpha) / (na + alpha * bins)
         q = (cb.get(i, 0) + alpha) / (nb + alpha * bins)
         psi += (p - q) * math.log(p / q)
@@ -301,3 +301,51 @@ def test_drift_adapter_psi_route(spark):
     )
     rows = dr.transform(df, per, _Ctx(spark)).collect()
     assert abs(sum(r["psi_contrib"] for r in rows)) < 1e-12
+
+
+def test_divergences_treat_null_as_one_category(spark):
+    """Regression (code-review): the two-sample full join must be
+    NULL-SAFE — identical frames with NULL categories previously split
+    the NULL bucket into two phantom one-sided categories and reported
+    large fake drift."""
+    from etl_spark_gradle_spark.operators.stats import category_drift, tv_distance
+
+    rows = [("x",), ("x",), ("y",), (None,), (None,)]
+    df = spark.createDataFrame(rows, "c string")
+    js = js_divergence(df, df, "c").collect()[0]
+    assert js["n_categories"] == 3  # x, y, NULL — not 4
+    assert abs(js["js_nats"]) < 1e-15
+    kl = kl_divergence(df, df, "c").collect()[0]
+    assert kl["n_categories"] == 3 and abs(kl["kl_nats"]) < 1e-15
+    tv = tv_distance(df, df, "c").collect()[0]
+    assert tv["n_categories"] == 3 and abs(tv["tv"]) < 1e-15
+    chi = category_drift(df, df, "c").collect()
+    assert len(chi) == 3
+    assert all(abs(r["chi2_contrib"]) < 1e-15 for r in chi)
+
+
+def test_psi_includes_structurally_empty_bins(spark):
+    """Regression (code-review): bins empty on BOTH sides still carry
+    their smoothed (p-q)ln(p/q) term when n_a != n_b — a near-constant
+    reference (duplicate decile edges) must not understate PSI."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.infotheory import psi_drift
+
+    # constant reference: all 9 decile edges equal -> only bins 0 and 9
+    # are occupiable; bins 1-8 are structurally empty for BOTH sides
+    a = spark.range(100).select(F.lit(5.0).alias("v"))
+    b = spark.range(40).select(F.lit(7.0).alias("v"))  # all above edges
+    bins, alpha = 10, 0.5
+    got = psi_drift(a, b, "v", bins=bins, smoothing=alpha).collect()[0]
+    na, nb = 100, 40
+    ca = {0: 100}   # v == edge -> not strictly greater -> bin 0
+    cb = {9: 40}    # v > all 9 edges -> bin 9
+    want = 0.0
+    for i in range(bins):
+        p = (ca.get(i, 0) + alpha) / (na + alpha * bins)
+        q = (cb.get(i, 0) + alpha) / (nb + alpha * bins)
+        want += (p - q) * math.log(p / q)
+    assert abs(got["psi"] - want) < 1e-12
+    per = psi_drift(a, b, "v", bins=bins, per_bin=True).collect()
+    assert len(per) == bins  # full nominal spine materialized

@@ -984,3 +984,32 @@ def test_interval_join_yaml_adapter(spark):
     assert [(r.lid, r.rid) for r in out] == [(1, 7)]
     bad = TransformationConfig(type="interval_join", options={"binSize": "0"})
     assert not tr.validate(left, bad).is_valid
+
+
+def test_interval_overlap_join_guards(spark):
+    """Regression (code-review): mixed DATE/TIMESTAMP interval columns
+    would bin on incomparable grids (silently empty join) — refused;
+    a pre-existing __bin column is reserved."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+        interval_overlap_join,
+    )
+
+    dates = spark.createDataFrame(
+        [("2024-01-01", "2024-01-10")], "lo string, hi string"
+    ).select(F.to_date("lo").alias("lo"), F.to_date("hi").alias("hi"))
+    ts = spark.createDataFrame(
+        [("2024-01-05 00:00:00", "2024-01-06 00:00:00")], "lo string, hi string"
+    ).select(F.col("lo").cast("timestamp").alias("lo"),
+             F.col("hi").cast("timestamp").alias("hi"))
+    with _pytest.raises(TransformationError, match="incompatible units"):
+        interval_overlap_join(dates, ts, "lo", "hi", "lo", "hi", 86400)
+
+    binned = spark.createDataFrame([(1, 0.0, 1.0)], "__bin int, lo double, hi double")
+    other = spark.createDataFrame([(0.5, 1.5)], "lo double, hi double")
+    with _pytest.raises(TransformationError, match="__bin.*reserved"):
+        interval_overlap_join(binned, other, "lo", "hi", "lo", "hi", 1.0)
