@@ -29,7 +29,7 @@ testdata can't show): a 10M-row events table whose hottest key carries
    Expand-based distinct rewrite already spreads the hot key's distinct
    state; recorded to document that the native plan survives.
 
-Usage: python tools/scale_probe.py [--skip-skew] [--skip-incremental]
+Usage: python tools/scale_probe.py [--skip-skew] [--skip-incremental] [--skip-bloom] [--skip-rollup]
 Prints one line per (operator, sf) plus the incremental-economics and
 skew sections; exit 1 if any 10x throughput step drops below 0.8x, the
 incremental exact-dedup path fails to beat a full corpus rerun >=2x,
@@ -198,7 +198,99 @@ def main() -> int:
     bloom_ok = True
     if "--skip-bloom" not in sys.argv:
         bloom_ok = bloom_probe(spark)
-    return 0 if (linear_ok and incr_ok and skew_ok and bloom_ok) else 1
+
+    rollup_ok = True
+    if "--skip-rollup" not in sys.argv:
+        rollup_ok = rollup_probe(spark)
+    return 0 if (linear_ok and incr_ok and skew_ok and bloom_ok and rollup_ok) else 1
+
+
+def rollup_probe(spark) -> bool:
+    """time_rollup economics: the hierarchical plan (raw scanned once,
+    coarser levels re-aggregate the pinned finer bucket table) must
+    beat L direct groupBys over the raw data, with IDENTICAL results.
+    10M synthetic events (reuses the skew table's shape), 4 levels —
+    the deeper the hierarchy, the bigger the claimed saving, so assert
+    the hierarchy is at least not SLOWER (>= 0.9x) and report the
+    measured ratio; results compared value-for-value."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+
+    n = 10_000_000
+    ev = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 8).cast("string").alias("g"),
+            F.timestamp_micros(
+                F.lit(1700000000) * 1_000_000 + (F.col("id") * 37) % (90 * 86400) * 1_000_000
+            ).alias("ts"),
+            (F.pmod(F.col("id") * 7919, F.lit(10000)) / 100.0).alias("v"),
+        )
+    )
+    ev.write.mode("overwrite").parquet(f"{SKEW_DIR}/rollup_events")
+    ev = spark.read.parquet(f"{SKEW_DIR}/rollup_events")
+    levels = [3600, 21600, 86400, 7 * 86400]
+
+    def force(df):
+        return tuple(
+            df.agg(
+                F.sum(F.xxhash64("g", "level_seconds", "bucket_ts", "value_cnt")).alias("h"),
+                F.sum(F.hash("value_sum")).alias("hs"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+        )
+
+    def hierarchical():
+        return force(time_rollup(ev, "ts", ["v"], levels=levels, group_by=["g"])
+                     .withColumnRenamed("v_cnt", "value_cnt")
+                     .withColumnRenamed("v_sum", "value_sum"))
+
+    def direct():
+        frames = []
+        for step in levels:
+            sec = F.unix_timestamp("ts")
+            b = (sec - F.pmod(sec, F.lit(step))).alias("bucket_ts")
+            frames.append(
+                ev.groupBy("g", b)
+                .agg(
+                    F.count("v").cast("long").alias("value_cnt"),
+                    F.sum(F.col("v").cast("decimal(38,6)"))
+                    .cast("decimal(38,6)").cast("string").cast("double")
+                    .alias("value_sum"),
+                )
+                .withColumn("level_seconds", F.lit(step).cast("long"))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return force(out)
+
+    # warm both, then best-of-2 each
+    h_r = hierarchical()
+    d_r = direct()
+    best_h = best_d = 1e18
+    for _ in range(2):
+        t0 = time.perf_counter()
+        h_r = hierarchical()
+        best_h = min(best_h, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        d_r = direct()
+        best_d = min(best_d, time.perf_counter() - t0)
+    same = h_r == d_r
+    ratio = best_d / best_h
+    print(
+        chr(10)
+        + f"rollup probe   hierarchical={best_h:6.3f}s direct-{len(levels)}-"
+        f"scans={best_d:6.3f}s speedup=x{ratio:4.2f} identical={same}"
+    )
+    if not same:
+        print("FAIL rollup: hierarchical result != direct per-level groupBys")
+        return False
+    if ratio < 0.9:
+        print("FAIL rollup: hierarchy slower than 0.9x the L-scan plan")
+        return False
+    return True
 
 
 def _resample_probe(ev):
