@@ -5900,6 +5900,58 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
 """
 
 
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous-aggregate maintenance: the events table
+    staged to scratch, read as a stream, its MERGEABLE hierarchical
+    bucket deltas (1h + 1d levels per event type) folded per
+    micro-batch into a versioned rollup store, then read back CLOSED.
+    Because the store merges exact count/DECIMAL-sum/min/max, the
+    maintained state equals a direct batch rollup over all data —
+    which is exactly what the oracle computes in SQL. Multi-batch
+    partitioning equality + incremental continuation are unit-tested
+    in tests/test_streaming.py."""
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"sroll_src_{run}")
+    store = os.path.join(_SCRATCH, f"sroll_store_{run}")
+    ckpt = os.path.join(_SCRATCH, f"sroll_ckpt_{run}")
+    ev.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = st.stream_time_rollup(
+        stream, store, "ts", ["value"], levels=[3600, 86400],
+        checkpoint_location=ckpt, group_by=["event_type"],
+    )
+    q.awaitTermination(300)
+    return st.read_time_rollup(spark, store)
+
+
+_STREAMING_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  FROM events
+), lv AS (SELECT unnest([3600, 86400]) AS step)
+SELECT event_type,
+       CAST(step AS BIGINT) AS level_seconds,
+       (sec // step) * step AS bucket_ts,
+       CAST(count(value) AS BIGINT) AS value_cnt,
+       CASE WHEN count(value) > 0 THEN
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       END AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       CASE WHEN count(value) > 0 THEN
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+           / CAST(count(value) AS DOUBLE)
+       END AS value_avg
+FROM base, lv
+GROUP BY event_type, step, (sec // step) * step
+"""
+
+
 def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC → SCD2 dimension fold: the orders-derived change
     feed (same derivation as q_scd2) staged to scratch, read as a
@@ -6703,6 +6755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "mutual_information": q_mutual_information,
         "roundtrip_xml": q_roundtrip_xml,
+        "streaming_rollup": q_streaming_rollup,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
         "cms_topk": q_cms,
@@ -6885,6 +6938,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore": _ZSCORE_ORACLE,
         "resample_linear": _RESAMPLE_LINEAR_ORACLE,
         "time_rollup": _TIME_ROLLUP_ORACLE,
+        "streaming_rollup": _STREAMING_ROLLUP_ORACLE,
         "entropy": _ENTROPY_ORACLE,
         "js_divergence": _JS_DIVERGENCE_ORACLE,
         "kl_divergence": _KL_DIVERGENCE_ORACLE,

@@ -566,6 +566,7 @@ def time_rollup(
     levels: list[int],
     group_by: list[str] | None = None,
     origin: int = 0,
+    closed: bool = True,
 ) -> DataFrame:
     """Hierarchical time-bucket rollup — the hypertable / continuous-
     aggregate pattern (TimescaleDB continuous aggregates, Druid
@@ -592,6 +593,14 @@ def time_rollup(
     the previous BUCKET TABLE (a ~|buckets| frame, orders of magnitude
     below the data). The classic alternative — one groupBy per level
     over raw data — scans L times; this scans once.
+
+    ``closed=False`` returns the MERGEABLE representation instead
+    (``<c>_cnt`` long, ``<c>_sum`` DECIMAL(38,6), ``<c>_min``,
+    ``<c>_max`` — no avg, no double closing): two mergeable frames
+    over disjoint data union+re-aggregate to exactly the direct
+    build over the union — the store format for
+    :func:`~etl_spark_gradle_spark.streaming.stream_time_rollup`'s
+    continuous maintenance.
     """
     group_by = group_by or []
     if not value_cols:
@@ -623,8 +632,16 @@ def time_rollup(
         cols.append(F.lit(step).cast("long").alias("level_seconds"))
         cols.append(F.col("_rb").alias("bucket_ts"))
         for c in value_cols:
-            sum_d = F.col(f"_sum_{c}").cast("string").cast("double")
             cnt = F.col(f"_cnt_{c}")
+            if not closed:
+                cols += [
+                    cnt.alias(f"{c}_cnt"),
+                    F.col(f"_sum_{c}").alias(f"{c}_sum"),
+                    F.col(f"_min_{c}").alias(f"{c}_min"),
+                    F.col(f"_max_{c}").alias(f"{c}_max"),
+                ]
+                continue
+            sum_d = F.col(f"_sum_{c}").cast("string").cast("double")
             cols += [
                 cnt.alias(f"{c}_cnt"),
                 F.when(cnt > 0, sum_d).alias(f"{c}_sum"),

@@ -922,3 +922,126 @@ def cusum_stream(
             fn, out_schema, state_schema, "append", "NoTimeout"
         )
     )
+
+
+def stream_time_rollup(
+    stream: DataFrame,
+    store_path: str,
+    time_col: str,
+    value_cols: list[str],
+    levels: list[int],
+    checkpoint_location: str,
+    group_by: list[str] | None = None,
+    origin: int = 0,
+    trigger: str = "availableNow",
+    query_name: str | None = None,
+):
+    """Continuously MAINTAIN a hierarchical time rollup from a stream —
+    the streaming half of the hypertable continuous-aggregate story
+    (:func:`~etl_spark_gradle_spark.operators.timeseries.time_rollup`
+    is the batch build): every micro-batch's MERGEABLE bucket deltas
+    (count / exact DECIMAL sum / min / max per level) fold into a
+    versioned parquet store; :func:`read_time_rollup` closes the
+    maintained state to the same schema the batch operator emits.
+
+    Exactness: the store holds the mergeable representation, and
+    count/decimal-sum/min/max merging is associative+commutative, so
+    after ANY batch partitioning of the feed the store equals the
+    batch operator run over all data at once (asserted in pytest and
+    the ``streaming_rollup`` oracle). Versioning protocol = the
+    ``stream_scd2_fold`` exactly-once-effective scheme: each batch
+    writes ``<store>/v=<batch_id>`` after reading the newest version
+    STRICTLY older than its own id, so foreachBatch retries re-read
+    the same input and deterministically overwrite their own output.
+
+    At 100 TB: per batch, one batch-sized fine-bucket groupBy + level
+    re-aggregations of bucket tables + a store-sized merge groupBy —
+    the historical raw data is NEVER re-scanned (the store is
+    bucket-table-sized, bounded by |groups| x |observed buckets|).
+    """
+    import os
+
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+
+    group_by = group_by or []
+
+    def _latest_version(before: int) -> int | None:
+        if not os.path.isdir(store_path):
+            return None
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_path)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        ]
+        older = [v for v in versions if v < before]
+        return max(older) if older else None
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = time_rollup(
+            batch_df, time_col, value_cols, levels,
+            group_by=group_by, origin=origin, closed=False,
+        )
+        prev = _latest_version(batch_id)
+        if prev is not None:
+            state = spark.read.parquet(f"{store_path}/v={prev}")
+            delta = state.unionByName(delta)
+        merged = delta.groupBy(
+            *group_by, "level_seconds", "bucket_ts"
+        ).agg(
+            *[
+                a
+                for c in value_cols
+                for a in (
+                    F.sum(f"{c}_cnt").cast("long").alias(f"{c}_cnt"),
+                    F.sum(f"{c}_sum").cast("decimal(38,6)").alias(f"{c}_sum"),
+                    F.min(f"{c}_min").alias(f"{c}_min"),
+                    F.max(f"{c}_max").alias(f"{c}_max"),
+                )
+            ]
+        )
+        merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger == "availableNow":
+        writer = writer.trigger(availableNow=True)
+    elif trigger.startswith("processingTime="):
+        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    return writer.start()
+
+
+def read_time_rollup(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the newest maintained rollup version and CLOSE it to the
+    batch operator's output schema (``<c>_cnt/_sum/_min/_max/_avg``
+    with the string-roundtrip decimal→double sums and the fixed-order
+    avg — byte-identical to a fresh batch ``time_rollup`` over the
+    same data)."""
+    import os
+
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    if not versions:
+        raise ConfigError(f"no rollup versions under {store_path}")
+    state = spark.read.parquet(f"{store_path}/v={max(versions)}")
+    value_cols = [c[: -len("_cnt")] for c in state.columns if c.endswith("_cnt")]
+    keep = [c for c in state.columns
+            if not any(c.startswith(f"{v}_") for v in value_cols)]
+    cols = [F.col(c) for c in keep]
+    for c in value_cols:
+        cnt = F.col(f"{c}_cnt")
+        sum_d = F.col(f"{c}_sum").cast("string").cast("double")
+        cols += [
+            cnt.alias(f"{c}_cnt"),
+            F.when(cnt > 0, sum_d).alias(f"{c}_sum"),
+            F.col(f"{c}_min").alias(f"{c}_min"),
+            F.col(f"{c}_max").alias(f"{c}_max"),
+            F.when(cnt > 0, sum_d / cnt.cast("double")).alias(f"{c}_avg"),
+        ]
+    return state.select(*cols)

@@ -1182,3 +1182,92 @@ def test_stream_stream_join_chaos_crash_and_resume(spark, tmp_path):
     assert got == want
     assert {m for m, _, _ in got} == {"ad1", "ad3", "ad5"}
     assert len([1 for m, _, _ in got if m == "ad5"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# stream_time_rollup (continuous hierarchical aggregate maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_time_rollup_equals_batch_build(spark, tmp_path):
+    """The maintained store after a multi-batch drain must EQUAL the
+    batch time_rollup over the full feed — count/decimal-sum/min/max
+    merging is exact under any batch partitioning."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+    from etl_spark_gradle_spark.streaming import (
+        read_time_rollup,
+        stream_time_rollup,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    feed = [
+        ("b1.json", [("2024-01-01T00:10:00", "view", 1.25),
+                     ("2024-01-01T01:20:00", "click", 2.5)]),
+        ("b2.json", [("2024-01-01T00:40:00", "view", 3.75),
+                     ("2024-01-02T05:00:00", "view", 10.0)]),
+        ("b3.json", [("2024-01-01T00:55:00", "view", 0.5),
+                     ("2024-01-02T06:30:00", "click", 7.25)]),
+    ]
+    for i, (name, rows) in enumerate(feed):
+        with open(src / name, "w") as f:
+            for ts, m, v in rows:
+                f.write(_json.dumps({"ts": ts, "metric": m, "value": v}) + "\n")
+        t = _time.time() - 300 + i * 60
+        os.utime(src / name, (t, t))
+
+    store = str(tmp_path / "rollup_store")
+    stream = st.read_file_stream(
+        spark,
+        {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+        SCHEMA,
+    )
+    stream_time_rollup(
+        stream, store, "ts", ["value"], levels=[3600, 86400],
+        checkpoint_location=str(tmp_path / "ckpt"),
+        group_by=["metric"],
+    ).awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in read_time_rollup(spark, store).collect()
+    )
+    full = spark.read.schema(SCHEMA).json(str(src))
+    want = sorted(
+        tuple(r)
+        for r in time_rollup(
+            full, "ts", ["value"], levels=[3600, 86400], group_by=["metric"]
+        ).collect()
+    )
+    assert got == want
+    # three versions persisted (one per micro-batch)
+    assert len([d for d in os.listdir(store) if d.startswith("v=")]) == 3
+
+    # incremental continuation: a later file folds on top
+    with open(src / "b4.json", "w") as f:
+        f.write(_json.dumps(
+            {"ts": "2024-01-01T00:59:00", "metric": "view", "value": 4.0}) + "\n")
+    stream2 = st.read_file_stream(
+        spark,
+        {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+        SCHEMA,
+    )
+    stream_time_rollup(
+        stream2, store, "ts", ["value"], levels=[3600, 86400],
+        checkpoint_location=str(tmp_path / "ckpt"),
+        group_by=["metric"],
+    ).awaitTermination(120)
+    got2 = sorted(tuple(r) for r in read_time_rollup(spark, store).collect())
+    full2 = spark.read.schema(SCHEMA).json(str(src))
+    want2 = sorted(
+        tuple(r)
+        for r in time_rollup(
+            full2, "ts", ["value"], levels=[3600, 86400], group_by=["metric"]
+        ).collect()
+    )
+    assert got2 == want2
