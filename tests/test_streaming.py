@@ -1271,3 +1271,86 @@ def test_stream_time_rollup_equals_batch_build(spark, tmp_path):
         ).collect()
     )
     assert got2 == want2
+
+
+def test_stream_time_rollup_chaos_crash_and_resume(spark, tmp_path, monkeypatch):
+    """Chaos drill: kill the rollup drain inside micro-batch #2 and
+    poison the store with a partial v=1 write; the resumed drain must
+    deterministically clobber the debris and converge to the clean
+    single-drain state (the scd2-fold versioning protocol)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators import timeseries as ts_mod
+    from etl_spark_gradle_spark.streaming import (
+        read_time_rollup,
+        stream_time_rollup,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    feed = [
+        ("b1.json", [("2024-01-01T00:10:00", "view", 1.0)]),
+        ("b2.json", [("2024-01-01T00:20:00", "view", 2.0)]),
+        ("b3.json", [("2024-01-01T02:00:00", "click", 4.0)]),
+    ]
+    for i, (name, rows) in enumerate(feed):
+        with open(src / name, "w") as f:
+            for t, m, v in rows:
+                f.write(_json.dumps({"ts": t, "metric": m, "value": v}) + "\n")
+        t0 = _time.time() - 300 + i * 60
+        os.utime(src / name, (t0, t0))
+
+    store = str(tmp_path / "store")
+
+    def _drain():
+        stream = st.read_file_stream(
+            spark,
+            {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+            SCHEMA,
+        )
+        return stream_time_rollup(
+            stream, store, "ts", ["value"], levels=[3600],
+            checkpoint_location=str(tmp_path / "ckpt"),
+            group_by=["metric"],
+        )
+
+    real = ts_mod.time_rollup
+    calls = {"n": 0}
+
+    def poisoned(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("chaos: crash in micro-batch 2")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ts_mod, "time_rollup", poisoned)
+    q = _drain()
+    try:
+        q.awaitTermination(120)
+        crashed = False
+    except Exception:
+        crashed = True
+    assert crashed
+    monkeypatch.setattr(ts_mod, "time_rollup", real)
+
+    # worst case: the crashed attempt left a garbage v=1 before the
+    # checkpoint committed
+    spark.createDataFrame(
+        [("GARBAGE", 3600, 0, 99, None, None, None)],
+        "metric string, level_seconds long, bucket_ts long, "
+        "value_cnt long, value_sum decimal(38,6), value_min double, "
+        "value_max double",
+    ).write.mode("overwrite").parquet(os.path.join(store, "v=1"))
+
+    _drain().awaitTermination(120)
+    rows = read_time_rollup(spark, store).collect()
+    got = {(r["metric"], r["bucket_ts"]): (r["value_cnt"], r["value_sum"])
+           for r in rows}
+    base = 1704067200
+    assert got[("view", base)] == (2, 3.0)       # batches 1+2 merged once
+    assert got[("click", base + 7200)] == (1, 4.0)
+    assert "GARBAGE" not in {m for m, _ in got}
