@@ -679,10 +679,15 @@ def _check_regressions(
         for name, base in floor_src.items()
         if name in measured
     }
+    # +50 ms absolute slack: sub-100ms floors (q7/q16/q19/q20 exec)
+    # measure scheduler jitter as much as operator work — a 2x trip on
+    # a 40 ms floor is one bad context switch, not a regression; the
+    # slack is invisible at the scales where regressions matter
+    slack = 0.05
     regressed = [
-        f"{name}: {measured[name]}s > {factor}x baseline {base}s"
+        f"{name}: {measured[name]}s > {factor}x baseline {base}s (+{slack}s slack)"
         for name, base in floors.items()
-        if measured[name] > factor * base
+        if measured[name] > factor * base + slack
     ]
     if not regressed:
         return
