@@ -5952,6 +5952,66 @@ GROUP BY event_type, step, (sec // step) * step
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first LINE dedup (C4 / RefinedWeb style) over
+    a multi-line view of the documents corpus: each doc's body plus
+    three boilerplate metadata lines ("source: …", "lang: …",
+    "quote: N") — the metadata lines repeat across thousands of docs
+    exactly like nav bars / cookie banners, so the operator's hot-key
+    path (agg-side map combine + AQE-splittable join-back) is
+    exercised for real. The oracle replays the same keep-first rule
+    as a window over the exploded lines, so the hash match proves the
+    agg+join formulation equals the textbook row_number semantics."""
+    from etl_spark_gradle_spark.operators.dedup import line_dedup
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.coalesce(F.col("text"), F.lit("")),
+            F.concat(F.lit("source: "), F.coalesce("source", F.lit(""))),
+            F.concat(F.lit("lang: "), F.coalesce("lang", F.lit(""))),
+            F.concat(
+                F.lit("quote: "),
+                (F.coalesce(F.col("n_chars"), F.lit(0)) % 7).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(multi, "doc_id", "text", min_chars=5)
+
+
+_LINE_DEDUP_ORACLE = """
+WITH src AS (
+  SELECT doc_id,
+         concat(coalesce(text, ''), chr(10),
+                'source: ', coalesce(source, ''), chr(10),
+                'lang: ', coalesce(lang, ''), chr(10),
+                'quote: ', CAST(coalesce(n_chars, 0) % 7 AS VARCHAR)) AS t
+  FROM documents
+), lx AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+  FROM src
+), ranked AS (
+  SELECT doc_id, pos, line,
+         length(regexp_replace(line, '\\s', '', 'g')) >= 5 AS elig,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lx
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN (NOT elig) OR rn = 1 THEN line END,
+                           chr(10) ORDER BY pos), '') AS text_dedup,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN (NOT elig) OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_lines
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC → SCD2 dimension fold: the orders-derived change
     feed (same derivation as q_scd2) staged to scratch, read as a
@@ -6756,6 +6816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "roundtrip_xml": q_roundtrip_xml,
         "streaming_rollup": q_streaming_rollup,
+        "line_dedup": q_line_dedup,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
         "cms_topk": q_cms,
@@ -6939,6 +7000,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_linear": _RESAMPLE_LINEAR_ORACLE,
         "time_rollup": _TIME_ROLLUP_ORACLE,
         "streaming_rollup": _STREAMING_ROLLUP_ORACLE,
+        "line_dedup": _LINE_DEDUP_ORACLE,
         "entropy": _ENTROPY_ORACLE,
         "js_divergence": _JS_DIVERGENCE_ORACLE,
         "kl_divergence": _KL_DIVERGENCE_ORACLE,

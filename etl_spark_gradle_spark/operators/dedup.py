@@ -1234,3 +1234,101 @@ def remove_duplicated_spans(
         out_col,
         F.when(F.col("dup_positions").isNull(), F.col(text_col)).otherwise(cleaned),
     ).drop("dup_positions")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line dedup (C4 / RefinedWeb / MassiveText style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 5,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup with keep-first semantics — the
+    line-level pass every web-corpus pipeline runs between HTML
+    cleaning and document dedup (C4's span dedup, RefinedWeb /
+    MassiveText "remove duplicated lines across documents"). A line
+    survives iff it is the globally FIRST occurrence of its exact
+    text, ordered by (``id_col``, position); all later copies —
+    across documents AND within one document — are dropped, then each
+    document is reassembled in original line order. The reference has
+    no line-level operator (its dedup surface is full-row
+    ``distinct().count()``, ``quality/DataQualityChecker.scala:87-96``);
+    this extends the dedup family per SURVEY §7.2 step 8.
+
+    Output: ``id_col``, ``out_col`` (deduped text, defaults to
+    ``<text_col>_dedup``), ``n_lines``, ``kept_lines``.
+
+    100 TB design — three keyed exchanges, none on document bodies
+    unless the body IS the line payload:
+
+    1. ``posexplode(split(text, '\\n'))`` — narrow, rides the scan.
+    2. First-occurrence table: ``groupBy(md5(line))`` with
+       ``min(struct(id, pos))`` — partial aggregation combines
+       map-side, so hot boilerplate lines ("cookie banner" repeated
+       in 10^9 docs) arrive at the reducer already reduced to one row
+       per (hash, map partition); the shuffle payload is a 32-char
+       hash + (id, pos), never the line text.
+    3. Join the exploded frame back on the hash (build side = one row
+       per DISTINCT line) — AQE skew-join splits the hot-hash probe
+       partitions, which a window-over-hash formulation (the obvious
+       one-shuffle alternative) could not, because AQE does not split
+       window skew. That asymmetry is why this is agg+join, not
+       ``row_number() OVER (PARTITION BY hash)``.
+    4. Reassembly: ``groupBy(id)`` collecting (pos, line) structs —
+       shuffle keyed on the document id, payload exactly one copy of
+       each kept line.
+
+    SHORT-LINE GUARD (the skew point): lines with fewer than
+    ``min_chars`` non-space characters (blank separators, ".", list
+    markers) are ALWAYS KEPT and excluded from hashing — they are
+    semantically void for dedup but would be the hottest keys in the
+    corpus by orders of magnitude. RefinedWeb applies the same
+    exemption. Matching is on the exact line text (not trimmed):
+    whitespace variants of a line are distinct, which keeps the
+    operator lossless w.r.t. the bytes it emits.
+
+    Keep-first needs a total order: ``id_col`` must be orderable and
+    (id, pos) unique, which holds for any primary-keyed corpus. md5
+    is 128-bit, so a collision merging two distinct lines is ~2^-64
+    per pair — negligible even at 10^12 lines (birthday bound)."""
+    out_col = out_col or f"{text_col}_dedup"
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines).alias("_pos", "_line")
+    ).withColumn(
+        "_h",
+        F.when(
+            F.length(F.regexp_replace("_line", r"\s", "")) >= min_chars,
+            F.md5(F.col("_line")),
+        ),
+    )
+    firsts = (
+        ex.where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min(F.struct(id_col, "_pos")).alias("_first"))
+    )
+    keep = F.col("_h").isNull() | (
+        (F.col(id_col) == F.col("_first")[id_col])
+        & (F.col("_pos") == F.col("_first")["_pos"])
+    )
+    kept = ex.join(firsts, "_h", "left").withColumn("_keep", keep)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_line"))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("kept_lines"),
+    )

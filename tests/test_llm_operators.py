@@ -1903,3 +1903,66 @@ class TestScriptProfile:
             df, cfg, RunContext.create("t-script", spark)
         )
         assert out.collect()[0].script_name == "cyrillic"
+
+
+class TestLineDedup:
+    """Corpus-wide keep-first line dedup (dedup.line_dedup)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta gamma\nCOOKIE BANNER TEXT\nunique one"),
+                (2, "COOKIE BANNER TEXT\nunique two\nunique two"),
+                (3, "..\nCOOKIE BANNER TEXT\n.."),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_keep_first_across_and_within_docs(self, spark):
+        from etl_spark_gradle_spark.operators.dedup import line_dedup
+
+        out = {
+            r.doc_id: r
+            for r in line_dedup(self._docs(spark), min_chars=5).collect()
+        }
+        # doc 1 holds the first occurrence of the banner -> intact
+        assert out[1].text_dedup == (
+            "alpha beta gamma\nCOOKIE BANNER TEXT\nunique one"
+        )
+        assert (out[1].n_lines, out[1].kept_lines) == (3, 3)
+        # doc 2: banner copy dropped AND the within-doc repeat of
+        # "unique two" dropped (keep-first is global over (id, pos))
+        assert out[2].text_dedup == "unique two"
+        assert (out[2].n_lines, out[2].kept_lines) == (3, 1)
+
+    def test_short_line_guard_always_keeps(self, spark):
+        from etl_spark_gradle_spark.operators.dedup import line_dedup
+
+        out = {
+            r.doc_id: r
+            for r in line_dedup(self._docs(spark), min_chars=5).collect()
+        }
+        # ".." is under min_chars: both copies in doc 3 survive even
+        # though the text repeats; only the banner line is dropped
+        assert out[3].text_dedup == "..\n.."
+        assert (out[3].n_lines, out[3].kept_lines) == (3, 2)
+
+    def test_null_text_is_empty_single_line(self, spark):
+        from etl_spark_gradle_spark.operators.dedup import line_dedup
+
+        out = {
+            r.doc_id: r
+            for r in line_dedup(self._docs(spark), min_chars=5).collect()
+        }
+        assert out[4].text_dedup == ""
+        assert (out[4].n_lines, out[4].kept_lines) == (1, 1)
+
+    def test_deterministic_across_runs(self, spark):
+        from etl_spark_gradle_spark.operators.dedup import line_dedup
+
+        frames = [
+            sorted(map(tuple, line_dedup(self._docs(spark)).collect()))
+            for _ in range(3)
+        ]
+        assert frames[0] == frames[1] == frames[2]
