@@ -6012,6 +6012,109 @@ GROUP BY doc_id
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al. 2021 Table A1)
+    over the documents corpus, enriched with deterministic bullet /
+    ellipsis tail lines (keyed on n_chars mod 5 / mod 7) so every rule
+    path — not just word count and stopwords — is exercised against
+    the oracle. Zero-shuffle scan-riding expressions; every ratio is
+    one division of two exact integer counts, so the doubles hash
+    bit-identical cross-engine."""
+    from etl_spark_gradle_spark.operators.text import with_gopher_rules
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.coalesce(F.col("n_chars"), F.lit(0)) % 5 == 0,
+                F.lit("\n- bullet item"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.coalesce(F.col("n_chars"), F.lit(0)) % 7 == 0,
+                F.lit("\nto be continued..."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    # min_stop_hits=1: the synthetic word-soup corpus carries 'the'
+    # but rarely two of the 8 Gopher stopwords; at the paper default
+    # the keep column would be all-zero here (the operator default
+    # stays 2, per the paper)
+    return with_gopher_rules(enriched, min_stop_hits=1)
+
+
+def _gopher_oracle() -> str:
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         concat(coalesce(text, ''),
+                CASE WHEN coalesce(n_chars, 0) % 5 = 0
+                     THEN chr(10) || '- bullet item' ELSE '' END,
+                CASE WHEN coalesce(n_chars, 0) % 7 = 0
+                     THEN chr(10) || 'to be continued...' ELSE '' END) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+                     x -> x != '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM src
+), m AS (
+  SELECT doc_id, text,
+         len(toks) AS n_words,
+         greatest(len(toks), 1) AS safe_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS sum_word_len,
+         len(regexp_extract_all(text, '#|\\.{{3}}|…')) AS n_symbols,
+         greatest(len(lines), 1) AS safe_lines,
+         len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*•‣▪]')))
+           AS bullets,
+         len(list_filter(lines, l -> regexp_matches(l, '(\\.{{3}}|…)[ \\t]*$')))
+           AS ellipses,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+           AS alpha_words,
+         {stop_sum} AS stop_hits
+  FROM base
+), r AS (
+  SELECT doc_id, text,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST(sum_word_len AS DOUBLE) / safe_words AS mean_word_len,
+         CAST(n_symbols AS DOUBLE) / safe_words AS symbol_ratio,
+         CAST(bullets AS DOUBLE) / safe_lines AS bullet_frac,
+         CAST(ellipses AS DOUBLE) / safe_lines AS ellipsis_frac,
+         CAST(alpha_words AS DOUBLE) / safe_words AS alpha_frac,
+         CAST(stop_hits AS BIGINT) AS stop_hits
+  FROM m
+)
+SELECT doc_id, text, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits,
+       CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_words,
+       CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS r_word_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+       CAST(bullet_frac <= 0.9 AS INT) AS r_bullet,
+       CAST(ellipsis_frac <= 0.3 AS INT) AS r_ellipsis,
+       CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
+       CAST(stop_hits >= 1 AS INT) AS r_stop,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3
+            AND alpha_frac >= 0.8
+            AND stop_hits >= 1 AS INT) AS gopher_keep
+FROM r
+"""
+
+
+_GOPHER_RULES_ORACLE = _gopher_oracle()
+
+
 def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC → SCD2 dimension fold: the orders-derived change
     feed (same derivation as q_scd2) staged to scratch, read as a
@@ -6817,6 +6920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_xml": q_roundtrip_xml,
         "streaming_rollup": q_streaming_rollup,
         "line_dedup": q_line_dedup,
+        "gopher_rules": q_gopher_rules,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
         "cms_topk": q_cms,
@@ -7001,6 +7105,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _TIME_ROLLUP_ORACLE,
         "streaming_rollup": _STREAMING_ROLLUP_ORACLE,
         "line_dedup": _LINE_DEDUP_ORACLE,
+        "gopher_rules": _GOPHER_RULES_ORACLE,
         "entropy": _ENTROPY_ORACLE,
         "js_divergence": _JS_DIVERGENCE_ORACLE,
         "kl_divergence": _KL_DIVERGENCE_ORACLE,

@@ -716,3 +716,105 @@ class TextAnalysisTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"text_analysis({opts})"
+
+
+# Gopher quality-filter rules (Rae et al. 2021, Table A1) — the 8-word
+# stop list is part of the rule definition, distinct from the langid
+# lists above.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Table A1) as pure
+    Catalyst expressions — the document-level rule battery between the
+    line-level pass (:func:`drop_boilerplate_lines` /
+    ``dedup.line_dedup``) and model-based scoring
+    (:func:`score_with_model`):
+
+    1. ``min_words <= word count <= max_words``
+    2. ``min_mean_word_len <= mean word length <= max_mean_word_len``
+    3. symbol-to-word ratio (``#`` and ellipsis) ``<= max_symbol_ratio``
+    4. fraction of lines starting with a bullet ``<= max_bullet_frac``
+    5. fraction of lines ending in an ellipsis ``<= max_ellipsis_frac``
+    6. fraction of words with >=1 ASCII-alphabetic char
+       ``>= min_alpha_frac``
+    7. >= ``min_stop_hits`` DISTINCT hits in the Gopher 8-word stop
+       list (the, be, to, of, and, that, have, with)
+
+    (The paper's repetition rules — dup line/n-gram fractions — live in
+    :func:`with_repetition_stats`; compose both for the full battery.)
+
+    Adds integer/ratio metric columns plus per-rule ``r_*`` int flags
+    and ``gopher_keep``. Every ratio is ONE division of two exact
+    integer counts, so the doubles are bit-identical across engines
+    (the cross-engine float gate this repo's oracles enforce). Zero
+    shuffles: at 100 TB this rides the scan inside whole-stage codegen
+    exactly like ``with_text_stats``. Bullet/ellipsis line matching is
+    ASCII-whitespace anchored (``[ \\t]``) and alpha means ASCII
+    letters — deterministic, documented narrowing of the paper's prose
+    (reference parity anchor: the reference's quality surface is
+    null/duplicate checks only, ``quality/DataQualityChecker.scala``)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_word_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.{3}|…"))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullets = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^[ \t]*[-*•‣▪]"))
+    )
+    ellipses = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.{3}|…)[ \t]*$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        (
+            F.array_contains(toks, w).cast("int")
+            for w in GOPHER_STOPWORDS
+        ),
+        start=F.lit(0),
+    )
+    mean_word_len = (sum_word_len / safe_words).cast("double")
+    symbol_ratio = (n_symbols / safe_words).cast("double")
+    bullet_frac = (bullets / safe_lines).cast("double")
+    ellipsis_frac = (ellipses / safe_lines).cast("double")
+    alpha_frac = (alpha_words / safe_words).cast("double")
+    r = {
+        "r_words": (n_words >= min_words) & (n_words <= max_words),
+        "r_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "r_symbol": symbol_ratio <= max_symbol_ratio,
+        "r_bullet": bullet_frac <= max_bullet_frac,
+        "r_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "r_alpha": alpha_frac >= min_alpha_frac,
+        "r_stop": stop_hits >= min_stop_hits,
+    }
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_frac", ellipsis_frac)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("stop_hits", stop_hits.cast("long"))
+    )
+    keep = F.lit(True)
+    for name, cond in r.items():
+        out = out.withColumn(name, cond.cast("int"))
+        keep = keep & cond
+    return out.withColumn("gopher_keep", keep.cast("int"))

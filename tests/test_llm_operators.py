@@ -1966,3 +1966,45 @@ class TestLineDedup:
             for _ in range(3)
         ]
         assert frames[0] == frames[1] == frames[2]
+
+
+class TestGopherRules:
+    """Gopher quality-filter rule battery (text.with_gopher_rules)."""
+
+    def test_rules_fire_individually(self, spark):
+        from etl_spark_gradle_spark.operators.text import with_gopher_rules
+
+        good = "the quick brown fox jumps to be sure of and that have " \
+               "with many more plain words " + "word " * 40
+        df = spark.createDataFrame(
+            [
+                (1, good),                          # passes everything
+                (2, "too short to keep the be"),    # r_words
+                (3, good + " ##### ### # # # # # # # # # # # # #"),  # r_symbol
+                (4, good + "\n- b\n- b\n- b\n- b\n- b\n- b\n- b\n- b\n- b\n- b"),
+                (5, good + "\nwait..."),            # r_ellipsis (1/2 lines)
+                (6, ("123 456 789 " * 20) + "the be"),  # r_alpha
+                (7, "zz yy xx ww vv " * 20),        # r_stop
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in with_gopher_rules(df).collect()}
+        assert out[1].gopher_keep == 1
+        assert out[2].r_words == 0 and out[2].gopher_keep == 0
+        assert out[3].r_symbol == 0
+        assert out[4].r_bullet == 0  # 10/11 lines bulleted > 0.9
+        assert out[5].r_ellipsis == 0  # 1/2 lines > 0.3
+        assert out[6].r_alpha == 0
+        assert out[7].r_stop == 0 and out[7].stop_hits == 0
+        # distinct-hit counting: repeated 'the' counts once
+        df2 = spark.createDataFrame(
+            [(8, "the the the the")], "doc_id long, text string"
+        )
+        assert with_gopher_rules(df2).collect()[0].stop_hits == 1
+
+    def test_zero_shuffle_plan(self, spark):
+        from etl_spark_gradle_spark.operators.text import with_gopher_rules
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = with_gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
