@@ -6909,7 +6909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in CORRECTNESS_r05 and again in r06; r7 additions insert
         # HERE (displaced entries stay green past position 50) ----
         # r7 new operators (time_rollup hierarchical continuous
-        # aggregate; info-theory family):
+        # aggregate; info-theory family; line dedup + Gopher rules):
         "time_rollup": q_time_rollup,
         "entropy": q_entropy,
         "js_divergence": q_js_divergence,

@@ -893,18 +893,24 @@ class DedupTransformer:
     ``windowTokens``, ``minOccurrences``, ``outputColumn`` (default:
     rewrite ``contentColumn`` in place).
 
+    ``strategy: lines`` — corpus-wide keep-first exact line dedup
+    (``line_dedup``, C4/RefinedWeb style). Options: ``idColumn``,
+    ``contentColumn``, ``minLineChars`` (5; shorter lines are always
+    kept and never hashed — the hot-key guard), ``outputColumn``
+    (default ``<contentColumn>_dedup``).
+
     Validates like the relational transformers (parity contract:
     ``core/DataTransformer.scala:36-40``)."""
 
     def validate(self, df: DataFrame, config) -> ValidationResult:
         opts = config.options
         strategy = opts.get("strategy", "exact").lower()
-        if strategy not in ("exact", "fuzzy", "substring"):
+        if strategy not in ("exact", "fuzzy", "substring", "lines"):
             return ValidationResult.fail(
-                f"dedup strategy must be exact|fuzzy|substring, got '{strategy}'"
+                f"dedup strategy must be exact|fuzzy|substring|lines, got '{strategy}'"
             )
         missing = []
-        if strategy in ("fuzzy", "substring"):
+        if strategy in ("fuzzy", "substring", "lines"):
             if not opts.get("idColumn") or not opts.get("contentColumn"):
                 return ValidationResult.fail(
                     f"{strategy} dedup requires 'idColumn' and 'contentColumn'"
@@ -936,6 +942,23 @@ class DedupTransformer:
 
             raise TransformationError("dedup config invalid: " + "; ".join(result.errors))
         opts = config.options
+        if opts.get("strategy", "exact").lower() == "lines":
+            # the operator returns the lean (id, deduped, counts)
+            # relation; the ADAPTER joins it back so YAML compositions
+            # keep their other columns (same pass-through contract as
+            # strategy: substring) — one extra id-keyed exchange,
+            # explicit here rather than hidden in the operator
+            id_col, tc = opts["idColumn"], opts["contentColumn"]
+            out_col = opts.get("outputColumn") or f"{tc}_dedup"
+            deduped = line_dedup(
+                df,
+                id_col=id_col,
+                text_col=tc,
+                min_chars=int(opts.get("minLineChars", 5)),
+                out_col=out_col,
+            )
+            base = df.drop(out_col) if out_col in df.columns else df
+            return base.join(deduped, id_col, "inner")
         if opts.get("strategy", "exact").lower() == "substring":
             return remove_duplicated_spans(
                 df,

@@ -647,7 +647,9 @@ class TextAnalysisTransformer:
     booleans run HTML stripping / line-boilerplate removal into
     ``cleanOutputColumn`` (default ``clean_text``; knobs
     ``minLineChars``, ``minAlphaRatio``) BEFORE the analysis columns,
-    which then read the cleaned column."""
+    which then read the cleaned column; ``gopherRules`` adds the
+    Gopher quality-filter metric/flag columns (knobs
+    ``gopherMinWords``, ``gopherMinStopHits``)."""
 
     def validate(self, df: DataFrame, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -700,6 +702,13 @@ class TextAnalysisTransformer:
             out = with_script_profile(out, tc)
         if flag("repetition"):
             out = with_repetition_stats(out, tc)
+        if flag("gopherRules"):
+            out = with_gopher_rules(
+                out,
+                tc,
+                min_words=int(opts.get("gopherMinWords", 50)),
+                min_stop_hits=int(opts.get("gopherMinStopHits", 2)),
+            )
         if "topNgram" in opts:
             id_col = opts.get("idColumn", "")
             if id_col not in df.columns:

@@ -2008,3 +2008,67 @@ class TestGopherRules:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         plan = with_gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestNewAdapterRoutes:
+    """Registry adapter routes for line_dedup and gopher rules."""
+
+    def test_dedup_lines_strategy(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+        df = spark.createDataFrame(
+            [(1, "dup line here\nkeep a", "en"), (2, "dup line here\nkeep b", "de")],
+            "doc_id long, text string, lang string",
+        )
+        cfg = TransformationConfig(
+            type="dedup",
+            options={
+                "strategy": "lines",
+                "idColumn": "doc_id",
+                "contentColumn": "text",
+                "outputColumn": "text",
+            },
+        )
+        out = {
+            r.doc_id: r
+            for r in TRANSFORMER_REGISTRY["dedup"]
+            .transform(df, cfg, RunContext.create("t-ld", spark))
+            .collect()
+        }
+        assert out[1].text == "dup line here\nkeep a" and out[2].text == "keep b"
+        # adapter pass-through contract: non-text columns survive
+        assert out[1].lang == "en" and out[2].lang == "de"
+        assert (out[2].n_lines, out[2].kept_lines) == (2, 1)
+
+    def test_dedup_lines_validation(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        cfg = TransformationConfig(type="dedup", options={"strategy": "lines"})
+        res = TRANSFORMER_REGISTRY["dedup"].validate(df, cfg)
+        assert not res.is_valid and "idColumn" in res.errors[0]
+
+    def test_text_analysis_gopher_route(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox " * 20)], "doc_id long, text string"
+        )
+        cfg = TransformationConfig(
+            type="text_analysis",
+            options={
+                "textColumn": "text",
+                "stats": "false",
+                "gopherRules": "true",
+                "gopherMinStopHits": "1",
+            },
+        )
+        r = (
+            TRANSFORMER_REGISTRY["text_analysis"]
+            .transform(df, cfg, RunContext.create("t-gr", spark))
+            .collect()[0]
+        )
+        assert r.gopher_keep == 1 and r.n_words == 80
