@@ -49,6 +49,18 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct"],
     ),
     (
+        "line_dedup",
+        "corpus line dedup: first-occurrence agg partial-combines map-side (min-struct before the exchange); no window over the hash (AQE can split join skew, not window skew)",
+        ["partial_min", "hashpartitioning"],
+        ["Window", "CartesianProduct"],
+    ),
+    (
+        "gopher_rules",
+        "Gopher rule battery rides the scan: zero exchanges, whole-stage codegen",
+        ["codegen id"],
+        ["Exchange", "SortMergeJoin", "CartesianProduct"],
+    ),
+    (
         "keyword_tag",
         "dictionary tagging (automaton engine): one Arrow mapInPandas stage riding the scan, no joins, no shuffles of the corpus",
         ["MapInPandas"],
