@@ -2072,3 +2072,32 @@ class TestNewAdapterRoutes:
             .collect()[0]
         )
         assert r.gopher_keep == 1 and r.n_words == 80
+
+
+class TestLineDedupSkew:
+    """Hot-key behavior: one boilerplate line shared by every doc."""
+
+    def test_hot_line_keeps_exactly_one(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_spark_gradle_spark.operators.dedup import line_dedup
+
+        n = 2000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("COOKIE BANNER SHARED BY EVERY DOC\nunique-"),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        out = line_dedup(df, "doc_id", "text")
+        agg = out.agg(
+            F.sum("kept_lines").cast("long").alias("k"),
+            F.sum("n_lines").cast("long").alias("t"),
+        ).collect()[0]
+        # n unique lines + exactly ONE surviving banner copy
+        assert (agg.k, agg.t) == (n + 1, 2 * n)
+        first = out.where("doc_id = 0").collect()[0]
+        assert first.text_dedup.startswith("COOKIE BANNER")
+        rest = out.where("doc_id = 1").collect()[0]
+        assert rest.text_dedup == "unique-1"
