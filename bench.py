@@ -37,6 +37,9 @@ And the extension-operator shapes:
                       window-shuffle guard (scale_probe skew section)
 20. q20_time_rollup — hierarchical continuous aggregate (1h→6h→1d
                       mergeable rollup; raw scan exactly once)
+21. q21_line_dedup  — corpus-wide keep-first line dedup over a
+                      boilerplate-enriched documents view (hot-key
+                      agg combine + join-back + reassembly)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -492,6 +495,36 @@ def q20_time_rollup(spark):
     )
 
 
+def q21_line_dedup(spark):
+    """Corpus-wide keep-first line dedup over the documents corpus
+    enriched with three boilerplate metadata lines per doc (the same
+    shape as the line_dedup oracle query): first-occurrence agg with
+    map-side min-struct combine on hot boilerplate hashes, hash
+    join-back, per-doc reassembly. Forced through a hash-sum over the
+    reassembled text so the full dedup payload is computed."""
+    from etl_spark_gradle_spark.operators.dedup import line_dedup
+
+    docs = load(spark, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.coalesce(F.col("text"), F.lit("")),
+            F.concat(F.lit("source: "), F.coalesce("source", F.lit(""))),
+            F.concat(F.lit("lang: "), F.coalesce("lang", F.lit(""))),
+            F.concat(
+                F.lit("quote: "),
+                (F.coalesce(F.col("n_chars"), F.lit(0)) % 7).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    out = line_dedup(multi, "doc_id", "text", min_chars=5)
+    return out.agg(
+        F.sum(F.xxhash64("doc_id", "text_dedup", "kept_lines")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -513,6 +546,7 @@ QUERIES = {
     "q18_keyword_tag": q18_keyword_tag,
     "q19_skew_asof": q19_skew_asof,
     "q20_time_rollup": q20_time_rollup,
+    "q21_line_dedup": q21_line_dedup,
 }
 
 
