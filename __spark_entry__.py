@@ -1951,6 +1951,22 @@ WHERE len(list_intersect(a.s, b.s)) > 0
 """
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS prefix-filter Jaccard join (AllPairs/PPJoin family):
+    same exact-pairs contract as ngram_jaccard (n=3, t=0.2) computed
+    via a THIRD independent algorithm — candidates only from each
+    doc's rarest-shingle prefix, no df cap, provably no lost pairs —
+    against the same quadratic ground-truth oracle. Hash equality here
+    means three routes (capped inverted index, prefix filter, SQL
+    cross join) agree pair-for-pair and value-for-value."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.prefix_jaccard_join(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.2,
+        use_tokens=True,
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (the daily-crawl append path): the even
     doc_ids play the existing corpus — reduced to its content-hash
@@ -6921,6 +6937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup": q_streaming_rollup,
         "line_dedup": q_line_dedup,
         "gopher_rules": q_gopher_rules,
+        "prefix_jaccard": q_prefix_jaccard,
         "grouping_sets": q_grouping_sets,
         "scd2": q_scd2,
         "cms_topk": q_cms,
@@ -7106,6 +7123,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_rollup": _STREAMING_ROLLUP_ORACLE,
         "line_dedup": _LINE_DEDUP_ORACLE,
         "gopher_rules": _GOPHER_RULES_ORACLE,
+        # same ground truth as ngram_jaccard by design: the operator is
+        # a lossless re-computation of the identical pair relation
+        "prefix_jaccard": _NGRAM_JACCARD_ORACLE,
         "entropy": _ENTROPY_ORACLE,
         "js_divergence": _JS_DIVERGENCE_ORACLE,
         "kl_divergence": _KL_DIVERGENCE_ORACLE,

@@ -261,6 +261,113 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_tokens: bool = True,
+) -> DataFrame:
+    """LOSSLESS prefix-filter Jaccard self-join (the AllPairs / PPJoin
+    family — Bayardo et al. 2007, Xiao et al. 2008): exact
+    ``(id_a, id_b, jaccard)`` pairs with shingle-set Jaccard >=
+    ``threshold``, same contract as :func:`ngram_jaccard_pairs`, but
+    the candidate join indexes only each document's PREFIX — its
+    ``|x| - ceil(t*|x|) + 1`` globally rarest shingles — instead of
+    every shingle. Provably lossless: order all shingles by global
+    (doc-frequency, shingle); if ``J(x, y) >= t`` then
+    ``|x ∩ y| >= t*|x|`` (J <= inter/|x|), so the shared shingles
+    occupy at least ``ceil(t*|x|)`` of x's sorted positions and the
+    globally SMALLEST shared shingle must sit within the first
+    ``|x| - ceil(t*|x|) + 1`` — and, being the minimum of the same
+    shared set, within y's prefix too: the candidate join on
+    prefix-to-prefix shingle equality misses no qualifying pair.
+
+    100 TB shape vs the plain inverted index: only ``(1 - t)``-ish of
+    the shingle postings enter the self-join, and because prefixes
+    hold each doc's RAREST shingles, hot stop-shingles (the quadratic
+    bucket hazard ``max_shingle_df`` exists to cap) almost never get
+    indexed — a doc puts a hot shingle in its prefix only when nearly
+    all its other shingles are even hotter. No cap, no loss. A length
+    filter (``t*|a| <= |b|`` both ways) prunes size-incompatible
+    candidates inside the join condition. The shingle frame is
+    materialized once (eager ``localCheckpoint``, the
+    ``_minhash_signatures`` precedent) and reused by the
+    doc-frequency, prefix and verification branches; verification
+    computes exact Jaccard via ``array_intersect`` on the two
+    candidate docs only. Reference anchor: the reference has no
+    similarity join at all (dedup surface =
+    ``quality/DataQualityChecker.scala:87-96``)."""
+    t = float(threshold)
+    df = _ensure_parallelism(df)
+    shingles = (
+        token_shingles(text_col, n) if use_tokens else char_shingles(text_col, n)
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+        .where(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    ex = base.select("id", F.explode("sh").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = (
+        ex.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dfreq", "tok"))),
+                lambda s: s["tok"],
+            ).alias("sorted_sh")
+        )
+    )
+    nn = F.size("sorted_sh")
+    # ceil(t*n) with a tiny epsilon DOWN: float error can only lengthen
+    # the prefix (safe); shortening it would silently drop pairs
+    need = F.ceil(F.lit(t) * nn - F.lit(1e-9)).cast("int")
+    pre = ranked.select(
+        "id",
+        nn.alias("pn"),
+        F.explode(F.slice("sorted_sh", F.lit(1), nn - need + 1)).alias("tok"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    length_ok = (
+        F.col("b.pn") >= F.ceil(F.lit(t) * F.col("a.pn") - F.lit(1e-9))
+    ) & (F.col("a.pn") >= F.ceil(F.lit(t) * F.col("b.pn") - F.lit(1e-9)))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & length_ok,
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.size("sh").alias("sz_a"),
+    )
+    sb = base.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.size("sh").alias("sz_b"),
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

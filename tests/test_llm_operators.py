@@ -2101,3 +2101,66 @@ class TestLineDedupSkew:
         assert first.text_dedup.startswith("COOKIE BANNER")
         rest = out.where("doc_id = 1").collect()[0]
         assert rest.text_dedup == "unique-1"
+
+
+class TestPrefixJaccardJoin:
+    """Lossless prefix-filter Jaccard join equals the full index."""
+
+    def test_equals_uncapped_inverted_index(self, spark):
+        import random
+
+        from etl_spark_gradle_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_jaccard_join,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(60):
+            body = " ".join(rng.choices(vocab, k=rng.randint(5, 40)))
+            rows.append((i, body))
+            if i % 4 == 0:  # inject near-dups: light tail edits
+                rows.append((1000 + i, body + " w0 w1"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (0.2, 0.5, 0.8):
+            want = sorted(
+                map(
+                    tuple,
+                    ngram_jaccard_pairs(
+                        df, "doc_id", "text", n=3, threshold=t
+                    ).collect(),
+                )
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    prefix_jaccard_join(
+                        df, "doc_id", "text", n=3, threshold=t
+                    ).collect(),
+                )
+            )
+            assert got == want, f"threshold {t}: {len(got)} vs {len(want)}"
+            assert want, f"degenerate fixture at t={t}"  # pairs exist
+
+    def test_identical_docs_and_boundary_threshold(self, spark):
+        from etl_spark_gradle_spark.operators.dedup import prefix_jaccard_join
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "a b c d e f"),          # jaccard 1.0 with 1
+                (3, "a b c d e g"),          # 3 of 5 shingles shared
+                (4, "zz yy xx ww vv uu"),    # disjoint
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_jaccard_join(
+                df, "doc_id", "text", n=3, threshold=0.4
+            ).collect()
+        }
+        assert out[(1, 2)] == 1.0
+        assert abs(out[(1, 3)] - 3 / 5) < 1e-15  # exactly (4+4-3)=5 union? no: 3/(4+4-3)
+        assert (1, 4) not in out and (2, 4) not in out

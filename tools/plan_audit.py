@@ -61,6 +61,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["Exchange", "SortMergeJoin", "CartesianProduct"],
     ),
     (
+        "prefix_jaccard",
+        "lossless prefix-filter Jaccard: keyed shingle joins only (doc-frequency agg partial-combined), never a cartesian pair expansion",
+        ["partial_count", "hashpartitioning"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    (
         "keyword_tag",
         "dictionary tagging (automaton engine): one Arrow mapInPandas stage riding the scan, no joins, no shuffles of the corpus",
         ["MapInPandas"],
