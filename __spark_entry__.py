@@ -4634,7 +4634,7 @@ WITH o AS (
 )
 SELECT o.o_orderkey, o.price,
        CAST(cdf.cum AS DOUBLE) / CAST(cdf.n AS DOUBLE) AS ecdf,
-       cdf.cum - cdf.c + 1 AS min_rank
+       CAST(cdf.cum - cdf.c + 1 AS BIGINT) AS min_rank
 FROM o LEFT JOIN cdf ON o.price = cdf.v
 """
 
@@ -6876,15 +6876,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     31-50 filled by carried-over r5-window entries (grouping_sets …)
     whose green rows live in CORRECTNESS_r05 and again in r06. After
     r6 EVERY declared query has a driver-recorded row across
-    r3 ∪ r4 ∪ r5 ∪ r6 (178/179 green; the one red row was the r6
-    `ecdf` hash flake, root-caused to sampled repartitionByRange
-    boundaries and fixed in stats._prefix_sums this round — ecdf
-    stays inside the window so r7 re-records it green). Round-7
-    additions slot into the front window so they get driver rows
-    immediately. All queries remain oracle-checked locally by
-    tools/check_oracle.py at both SFs regardless of position
-    (re-check the invariant with the snippet in COVERAGE.md if you
-    reorder)."""
+    r3 ∪ r4 ∪ r5 ∪ r6. The one recurring red row (`ecdf`, r6 AND r7,
+    hash_match=false with rows/schema green) had TWO causes: the r7
+    round fixed a real nondeterminism hazard (sampled
+    repartitionByRange boundaries in stats._prefix_sums) but the
+    driver row stayed red because the actual mismatch was in the
+    ORACLE — `cdf.cum - cdf.c + 1` is a DuckDB HUGEINT (sum(BIGINT)
+    returns INT128), which pandas renders as float64, so the driver's
+    representation-sensitive value hash saw `3356.0` vs Spark's int64
+    `3356` on every run while value-equality compares passed locally.
+    Fixed in r8 with an explicit CAST AS BIGINT;
+    tests/test_gate_window.py now statically rejects any HUGEINT
+    oracle output column, and tools/check_oracle.py flags dtype-CLASS
+    mismatches. Round-8 window: ecdf stays first so the green row
+    lands, followed by the r8 additions. All queries remain
+    oracle-checked locally by tools/check_oracle.py at both SFs
+    regardless of position (re-check the invariant with the snippet
+    in COVERAGE.md if you reorder)."""
     from etl_spark_gradle_spark import tpch as _tpch
 
     return {

@@ -1057,6 +1057,23 @@ class DedupTransformer:
             # explicit here rather than hidden in the operator
             id_col, tc = opts["idColumn"], opts["contentColumn"]
             out_col = opts.get("outputColumn") or f"{tc}_dedup"
+            # a NULL id would (a) lump every null-id document into one
+            # group inside line_dedup and (b) vanish from the inner
+            # join below — both silent. Fail loudly at execution time
+            # instead (zero-shuffle expression guard, no extra action).
+            df = df.withColumn(
+                id_col,
+                F.when(
+                    F.assert_true(
+                        F.col(id_col).isNotNull(),
+                        F.lit(
+                            f"dedup strategy=lines: NULL {id_col} — "
+                            "line dedup needs a non-null document id"
+                        ),
+                    ).isNull(),
+                    F.col(id_col),
+                ),
+            )
             deduped = line_dedup(
                 df,
                 id_col=id_col,
@@ -1064,7 +1081,9 @@ class DedupTransformer:
                 min_chars=int(opts.get("minLineChars", 5)),
                 out_col=out_col,
             )
-            base = df.drop(out_col) if out_col in df.columns else df
+            # drop any pre-existing output-name collisions (out_col AND
+            # the count columns) so the join-back schema stays flat
+            base = df.drop(out_col, "n_lines", "kept_lines")
             return base.join(deduped, id_col, "inner")
         if opts.get("strategy", "exact").lower() == "substring":
             return remove_duplicated_spans(

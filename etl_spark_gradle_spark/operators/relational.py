@@ -626,24 +626,24 @@ def interval_overlap_join(
     r_lower = renames.get(right_lower, right_lower)
     r_upper = renames.get(right_upper, right_upper)
 
-    lb = left.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(_num(left, left_lower) / F.lit(bin_size)).cast("long"),
-                F.floor(_num(left, left_upper) / F.lit(bin_size)).cast("long"),
+    def _bins(df_, lo_c, hi_c):
+        # inverted (lower > upper) or null-bounded intervals emit NO
+        # bins: F.sequence(a, b) with a > b yields a DESCENDING
+        # sequence, so without the guard a dirty inverted interval
+        # would still land on bins and pair unpredictably downstream
+        lo_n, hi_n = _num(df_, lo_c), _num(df_, hi_c)
+        return F.explode(
+            F.when(
+                lo_n <= hi_n,
+                F.sequence(
+                    F.floor(lo_n / F.lit(bin_size)).cast("long"),
+                    F.floor(hi_n / F.lit(bin_size)).cast("long"),
+                ),
             )
-        ),
-    )
-    rb = r.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(_num(r, r_lower) / F.lit(bin_size)).cast("long"),
-                F.floor(_num(r, r_upper) / F.lit(bin_size)).cast("long"),
-            )
-        ),
-    )
+        )
+
+    lb = left.withColumn("__bin", _bins(left, left_lower, left_upper))
+    rb = r.withColumn("__bin", _bins(r, r_lower, r_upper))
     if broadcast_right:
         rb = F.broadcast(rb)
     ll, lu = F.col(f"l.{left_lower}"), F.col(f"l.{left_upper}")

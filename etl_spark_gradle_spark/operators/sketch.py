@@ -271,12 +271,18 @@ def merge_kmv(
             ),
         )
         guard = F.when(guard.isNull(), guard_small)
-    # fold the guard into the kept estimate column so Catalyst cannot
-    # prune it away unevaluated (assert_true yields NULL on pass)
-    out = out.withColumn(
-        estimate_col,
-        F.when(guard.isNull(), kmv_estimate_expr(F.col(sketch_col), k)),
-    ).drop("_kmv_max_sz", *(["_kmv_min_k"] if k_col is not None else []))
+    # fold the guard into BOTH kept columns (assert_true yields NULL on
+    # pass): estimate alone is not enough — a caller that selects just
+    # the sketch column lets Catalyst prune the unevaluated estimate
+    # expression and an invalid merge would pass silently
+    out = (
+        out.withColumn(
+            estimate_col,
+            F.when(guard.isNull(), kmv_estimate_expr(F.col(sketch_col), k)),
+        )
+        .withColumn(sketch_col, F.when(guard.isNull(), F.col(sketch_col)))
+        .drop("_kmv_max_sz", *(["_kmv_min_k"] if k_col is not None else []))
+    )
     if k_col is not None:
         out = out.withColumn(k_col, F.lit(int(k)))
     return out if keep_sketch else out.drop(sketch_col)

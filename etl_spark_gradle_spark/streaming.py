@@ -739,33 +739,27 @@ def stream_scd2_fold(
     and reads the newest version STRICTLY OLDER than its own batch id
     — a retried batch re-reads the same input version and overwrites
     its own output deterministically, so duplicates cannot compound.
-    Version dirs are discovered by listing; on an object store, swap
-    the listing for a manifest/catalog pointer (documented trade —
-    this module targets file/local parity like the reference's tests).
+    Version dirs are discovered through the Hadoop FileSystem API (so
+    HDFS/S3A stores list correctly, not just local paths); on an
+    eventually-consistent object store, swap the listing for a
+    manifest/catalog pointer (documented trade). Superseded versions
+    (older than the one the latest batch read) are pruned after each
+    successful write, bounding the store at two versions.
 
     Ordering: micro-batches arrive in order per the source's offsets;
     WITHIN a batch ``scd2_apply``'s contract applies (unique effective
     timestamps per key). Late rows older than the key's current
     ``valid_from`` need a reprocessing run, same as the batch path.
     """
-    import os
-
     from etl_spark_gradle_spark.operators.delta import scd2_apply, scd2_init
 
-    def _latest_version(before: int) -> int | None:
-        if not os.path.isdir(dim_path):
-            return None
-        versions = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(dim_path)
-            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-        ]
-        older = [v for v in versions if v < before]
+    def _latest_version(spark: SparkSession, before: int) -> int | None:
+        older = [v for v in _rollup_versions(spark, dim_path) if v < before]
         return max(older) if older else None
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev = _latest_version(batch_id)
+        prev = _latest_version(spark, batch_id)
         if prev is None:
             dim = scd2_init(
                 batch_df.select(*keys, *attr_cols).limit(0),
@@ -777,6 +771,18 @@ def stream_scd2_fold(
             dim = spark.read.parquet(f"{dim_path}/v={prev}")
         nxt = scd2_apply(dim, batch_df, keys, attr_cols, effective_col)
         nxt.write.mode("overwrite").parquet(f"{dim_path}/v={batch_id}")
+        # prune versions older than the one just read (never prev
+        # itself — a retried batch must still find it); bounds the
+        # store at two versions instead of one per batch forever
+        if prev is not None:
+            fs, _ = _hadoop_fs(spark, dim_path)
+            jvm = spark._jvm
+            for v in _rollup_versions(spark, dim_path):
+                if v < prev:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(f"{dim_path}/v={v}"),
+                        True,
+                    )
 
     writer = changes.writeStream.foreachBatch(_handle).option(
         "checkpointLocation", checkpoint_location
@@ -793,13 +799,7 @@ def stream_scd2_fold(
 def read_scd2_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
     """Read the newest persisted version written by
     :func:`stream_scd2_fold`."""
-    import os
-
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(dim_path)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    ]
+    versions = _rollup_versions(spark, dim_path)
     if not versions:
         raise ConfigError(f"no dimension versions under {dim_path}")
     return spark.read.parquet(f"{dim_path}/v={max(versions)}")
@@ -959,21 +959,12 @@ def stream_time_rollup(
     the historical raw data is NEVER re-scanned (the store is
     bucket-table-sized, bounded by |groups| x |observed buckets|).
     """
-    import os
-
     from etl_spark_gradle_spark.operators.timeseries import time_rollup
 
     group_by = group_by or []
 
-    def _latest_version(before: int) -> int | None:
-        if not os.path.isdir(store_path):
-            return None
-        versions = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(store_path)
-            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-        ]
-        older = [v for v in versions if v < before]
+    def _latest_version(spark: SparkSession, before: int) -> int | None:
+        older = [v for v in _rollup_versions(spark, store_path) if v < before]
         return max(older) if older else None
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -982,7 +973,7 @@ def stream_time_rollup(
             batch_df, time_col, value_cols, levels,
             group_by=group_by, origin=origin, closed=False,
         )
-        prev = _latest_version(batch_id)
+        prev = _latest_version(spark, batch_id)
         if prev is not None:
             state = spark.read.parquet(f"{store_path}/v={prev}")
             delta = state.unionByName(delta)
@@ -1001,6 +992,22 @@ def stream_time_rollup(
             ]
         )
         merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+        # prune versions SUPERSEDED BY THE ONE WE JUST READ (v < prev),
+        # never prev itself: a foreachBatch retry of this same batch_id
+        # (crash after this write, before the checkpoint commit)
+        # re-resolves _latest_version(batch_id) == prev and must find
+        # it intact to deterministically rewrite v=batch_id. The store
+        # therefore holds at most two versions at any instant instead
+        # of growing unboundedly.
+        if prev is not None:
+            fs, _ = _hadoop_fs(spark, store_path)
+            jvm = spark._jvm
+            for v in _rollup_versions(spark, store_path):
+                if v < prev:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(f"{store_path}/v={v}"),
+                        True,
+                    )
 
     writer = stream.writeStream.foreachBatch(_handle).option(
         "checkpointLocation", checkpoint_location
@@ -1014,19 +1021,39 @@ def stream_time_rollup(
     return writer.start()
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` resolved through the
+    session's Hadoop conf — so version listing/pruning works on ANY
+    store the executors can write (HDFS, S3A, file:). The earlier
+    driver-local ``os.listdir`` silently saw nothing on non-local
+    stores, so every batch thought it was the first — silent rollup
+    corruption, the worst failure mode of a continuous aggregate."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _rollup_versions(spark: SparkSession, store_path: str) -> list[int]:
+    """Sorted ``v=<n>`` version ids under the store, [] if absent."""
+    fs, p = _hadoop_fs(spark, store_path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name.split("=", 1)[1].isdigit():
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
 def read_time_rollup(spark: SparkSession, store_path: str) -> DataFrame:
     """Read the newest maintained rollup version and CLOSE it to the
     batch operator's output schema (``<c>_cnt/_sum/_min/_max/_avg``
     with the string-roundtrip decimal→double sums and the fixed-order
     avg — byte-identical to a fresh batch ``time_rollup`` over the
     same data)."""
-    import os
-
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(store_path)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    ]
+    versions = _rollup_versions(spark, store_path)
     if not versions:
         raise ConfigError(f"no rollup versions under {store_path}")
     state = spark.read.parquet(f"{store_path}/v={max(versions)}")

@@ -55,3 +55,33 @@ def test_gate_window_spends_slots_on_unrecorded_queries():
         assert not missing, (
             f"never-recorded queries outside the first-50 window: {missing}"
         )
+
+
+def test_oracle_output_types_never_hugeint():
+    """The r6/r7 `ecdf` red row root cause: DuckDB's sum(BIGINT)
+    returns HUGEINT, which pandas renders as float64 — so an uncast
+    integer expression hash-mismatches the int64 Spark column
+    (`3356` vs `3356.0`) even though every value compares equal.
+    Statically DESCRIBE every oracle at sf0.001 and reject any
+    HUGEINT output column: they all need an explicit CAST AS BIGINT."""
+    import duckdb
+
+    _, oracles = _declared()
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    offenders = []
+    for name, sql in oracles.items():
+        try:
+            desc = con.sql(f"DESCRIBE {sql}").fetchall()
+        except Exception:
+            continue  # oracles needing runtime temp tables: sweep covers them
+        for col, typ, *_ in desc:
+            if "INT128" in typ.upper() or "HUGEINT" in typ.upper():
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle columns that DuckDB will render as float64 (driver "
+        f"hash mismatch vs Spark int64): {offenders} — CAST AS BIGINT"
+    )

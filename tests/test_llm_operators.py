@@ -2041,6 +2041,46 @@ class TestNewAdapterRoutes:
         assert out[1].lang == "en" and out[2].lang == "de"
         assert (out[2].n_lines, out[2].kept_lines) == (2, 1)
 
+    def test_dedup_lines_null_id_and_count_collisions(self, spark):
+        """Round-8 ADVICE hardening: (a) a NULL idColumn row fails
+        loudly instead of silently vanishing through the inner
+        join-back; (b) pre-existing n_lines/kept_lines columns are
+        replaced, not duplicated, in the joined schema."""
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+        cfg = TransformationConfig(
+            type="dedup",
+            options={
+                "strategy": "lines",
+                "idColumn": "doc_id",
+                "contentColumn": "text",
+                "outputColumn": "text",
+            },
+        )
+        bad = spark.createDataFrame(
+            [(1, "a line here"), (None, "b line here")],
+            "doc_id long, text string",
+        )
+        with _pytest.raises(Exception, match="NULL doc_id"):
+            TRANSFORMER_REGISTRY["dedup"].transform(
+                bad, cfg, RunContext.create("t-ld-null", spark)
+            ).collect()
+
+        dirty = spark.createDataFrame(
+            [(1, "keep one\nkeep two", 99, 99)],
+            "doc_id long, text string, n_lines long, kept_lines long",
+        )
+        out = TRANSFORMER_REGISTRY["dedup"].transform(
+            dirty, cfg, RunContext.create("t-ld-cols", spark)
+        )
+        assert out.columns.count("n_lines") == 1
+        assert out.columns.count("kept_lines") == 1
+        row = out.collect()[0]
+        assert (row.n_lines, row.kept_lines) == (2, 2)
+
     def test_dedup_lines_validation(self, spark):
         from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
         from etl_spark_gradle_spark.plans.config import TransformationConfig

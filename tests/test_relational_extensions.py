@@ -1013,3 +1013,30 @@ def test_interval_overlap_join_guards(spark):
     other = spark.createDataFrame([(0.5, 1.5)], "lo double, hi double")
     with _pytest.raises(TransformationError, match="__bin.*reserved"):
         interval_overlap_join(binned, other, "lo", "hi", "lo", "hi", 1.0)
+
+
+def test_interval_overlap_join_excludes_inverted_and_null_intervals(spark):
+    """Dirty intervals must emit NO bins: F.sequence(a, b) with a > b
+    yields a DESCENDING sequence (not empty), so un-guarded inverted
+    intervals would still land on bins and pair unpredictably
+    (round-8 ADVICE finding). Null-bounded intervals also drop."""
+    from etl_spark_gradle_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10.0, 20.0),      # clean
+            (2, 30.0, 5.0),       # inverted — must never pair
+            (3, None, 15.0),      # null lower — must never pair
+            (4, 12.0, None),      # null upper — must never pair
+        ],
+        "lid int, lo double, hi double",
+    )
+    right = spark.createDataFrame(
+        [(1, 0.0, 100.0)], "rid int, lo double, hi double"
+    )
+    got = interval_overlap_join(
+        left, right, "lo", "hi", "lo", "hi", bin_size=5.0
+    )
+    assert sorted(r.lid for r in got.collect()) == [1]

@@ -620,3 +620,20 @@ def test_merge_kmv_rejects_mismatched_k(spark):
     assert ok["kmv"] == direct["kmv"]
     assert ok["distinct_est"] == direct["distinct_est"]
     assert ok["build_k"] == 16
+
+
+def test_merge_kmv_guard_survives_sketch_only_projection(spark):
+    """The k-mismatch guard must fire even when the caller projects
+    ONLY the sketch column (dropping the estimate): Catalyst prunes
+    unevaluated expressions, so a guard folded solely into the
+    estimate column would vanish and an invalid merge pass silently
+    (round-8 ADVICE finding)."""
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.sketch import build_kmv, merge_kmv
+
+    rows = [(f"s{i % 4}", f"u{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "shard string, user string")
+    big = build_kmv(df, ["shard"], "user", k=64)
+    with _pytest.raises(Exception, match="larger k"):
+        merge_kmv(big, [], k=16).select("kmv").collect()

@@ -47,6 +47,29 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     s, d = canon(spark_pdf), canon(duck_pdf)
     for c in s.columns:
+        # dtype-CLASS parity (int vs float vs bool vs object): the
+        # driver's value hash is representation-sensitive — an int64
+        # Spark column vs a float64 DuckDB column hash-mismatches even
+        # when every value compares equal (`3356` vs `3356.0`). That is
+        # exactly how the r6/r7 `ecdf` red row hid from this checker:
+        # DuckDB renders sum(BIGINT) window results as HUGEINT → pandas
+        # float64, and the oracle lacked a CAST AS BIGINT. A value-only
+        # compare passes int==float, so flag the class mismatch itself.
+        def _cls(dt):
+            if pd.api.types.is_bool_dtype(dt):
+                return "bool"
+            if pd.api.types.is_integer_dtype(dt):
+                return "int"
+            if pd.api.types.is_float_dtype(dt):
+                return "float"
+            return "other"
+        sk, dk = _cls(s[c].dtype), _cls(d[c].dtype)
+        if sk != dk and not (s[c].isna().any() or d[c].isna().any()):
+            problems.append(
+                f"col {c}: dtype class spark={s[c].dtype}({sk}) "
+                f"duck={d[c].dtype}({dk}) — driver hash would mismatch"
+            )
+    for c in s.columns:
         # vectorized equality (the old per-cell python loop would crawl
         # at sf>=1): equal when values compare equal OR both sides null
         sv, dv = s[c], d[c]
