@@ -4104,6 +4104,97 @@ FROM lineitem l LEFT JOIN th t ON l.l_returnflag = t.g
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location per return flag: the mean of lineitem prices
+    inside the [0.05, 0.95] exact-quantile band (tails DROPPED) — the
+    aggregate companion to quantile_clip. Band edges are type-1
+    quantile table values; the band sum accumulates in decimal(38,6)
+    and closes through the string round-trip (the cross-engine float
+    posture), so the whole row is hash-gateable."""
+    from etl_spark_gradle_spark.operators.stats import trimmed_mean
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return trimmed_mean(
+        li, "l_extendedprice", lo=0.05, hi=0.95, group_by=["l_returnflag"]
+    )
+
+
+_TRIMMED_MEAN_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), c AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+), cdf AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM c
+), th AS (
+  SELECT g,
+    min(CASE WHEN cum >= greatest(1,
+        CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS qlo,
+    min(CASE WHEN cum >= greatest(1,
+        CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS qhi
+  FROM cdf GROUP BY g
+)
+SELECT d.g AS l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN d.v >= t.qlo AND d.v <= t.qhi THEN 1 END)
+            AS BIGINT) AS n_used,
+       t.qlo AS q_lo, t.qhi AS q_hi,
+       CAST(CAST(sum(CASE WHEN d.v >= t.qlo AND d.v <= t.qhi
+                          THEN CAST(d.v AS DECIMAL(38,6)) END) AS VARCHAR)
+            AS DOUBLE)
+         / CAST(count(CASE WHEN d.v >= t.qlo AND d.v <= t.qhi THEN 1 END)
+                AS DOUBLE) AS mean
+FROM d JOIN th t USING (g)
+GROUP BY 1, t.qlo, t.qhi
+"""
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing rolling statistics over the last 7 events:
+    exact interpolated median AND type-1 p90 — the robust anomaly
+    baseline Spark's percentile_approx window can't give exactly.
+    Values quantize to integer micro-units so the windowed order
+    statistics are exact longs; both closes are fixed IEEE order."""
+    from etl_spark_gradle_spark.operators.timeseries import rolling_median
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_median(
+        ev, ["user_id"], "ts", "value", 7,
+        out_col="roll_med", tiebreak=["event_id"],
+    )
+    out = rolling_median(
+        out, ["user_id"], "ts", "value", 7,
+        out_col="roll_p90", tiebreak=["event_id"], prob=0.9,
+    )
+    return out.select("event_id", "user_id", "value", "roll_med", "roll_p90")
+
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH q AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value,
+         CAST(floor(CAST(value AS DECIMAL(27,6)) * 1000000) AS BIGINT) AS vq
+  FROM events
+), w AS (
+  SELECT event_id, user_id, value,
+         list_sort(list(vq) FILTER (vq IS NOT NULL) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+  FROM q
+)
+SELECT event_id, user_id, value,
+       CAST(l[(len(l)+1)//2] + l[len(l)//2 + 1] AS DOUBLE)
+         * 0.5 * 1e-6 AS roll_med,
+       CAST(l[greatest(1, CAST(ceil(0.9 * CAST(len(l) AS DOUBLE))
+                               AS BIGINT))] AS DOUBLE) * 1e-6 AS roll_p90
+FROM w
+"""
+
+
 def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time temporal join: orders pick up the customer-segment
     VERSION valid at their order date from a two-version SCD2 timeline
@@ -6899,6 +6990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slots 1-30: r5 late additions, rotated to the front in
         # r6 and driver-recorded green in CORRECTNESS_r06 (ecdf's red
         # r6 row is re-recorded here after the _prefix_sums fix) ----
+        # ---- r8 additions: front of the window so the driver records
+        # them immediately (ecdf below re-records green after the
+        # oracle HUGEINT cast fix) ----
+        "trimmed_mean": q_trimmed_mean,
+        "rolling_median": q_rolling_median,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7142,6 +7238,8 @@ def oracle_sql() -> dict[str, str]:
         "mutual_information": _MUTUAL_INFORMATION_ORACLE,
         "resample_origin": _RESAMPLE_ORIGIN_ORACLE,
         "mad_outliers": _MAD_OUTLIERS_ORACLE,
+        "trimmed_mean": _TRIMMED_MEAN_ORACLE,
+        "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,

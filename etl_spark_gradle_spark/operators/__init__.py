@@ -165,6 +165,7 @@ from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
     CusumTransformer,
     IntervalsTransformer,
     ResampleTransformer,
+    RollingMedianTransformer,
     TimeRollupTransformer,
     cusum_changepoints,
     merge_intervals,
@@ -232,6 +233,7 @@ TRANSFORMER_REGISTRY = {
     "edit_join": EditJoinTransformer(),
     "stats": StatsTransformer(),
     "resample": ResampleTransformer(),
+    "rolling_median": RollingMedianTransformer(),
     "time_rollup": TimeRollupTransformer(),
     "infotheory": InfoTheoryTransformer(),
     "intervals": IntervalsTransformer(),

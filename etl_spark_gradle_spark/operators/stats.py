@@ -1132,6 +1132,85 @@ def quantile_clip(
     return joined.withColumn(out, clipped).drop("_qlo", "_qhi")
 
 
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    group_by: list[str] | None = None,
+    winsorize: bool = False,
+) -> DataFrame:
+    """Robust location estimate per group: the mean over the
+    [lo, hi] EXACT-quantile band. ``winsorize=False`` (trimmed mean)
+    DROPS tail values; ``winsorize=True`` (winsorized mean) CLIPS
+    them to the band edges first — every row still contributes, tails
+    just stop dominating. The aggregate companion to
+    :func:`quantile_clip` (which returns per-row clipped values) and
+    the parametric sibling of the median/MAD family — heavy-tailed
+    feed metrics (latency, spend, token counts) where a plain mean is
+    one outlier away from useless. Reference parity anchor: the
+    reference's aggregation surface is plain avg
+    (``transformer/Aggregator.scala:41-58``); this extends SURVEY §2.7
+    beyond-reference robust statistics.
+
+    Exactness (cross-engine hash gate): band edges are type-1
+    exact-quantile TABLE VALUES (``exact_quantiles`` histogram+CDF, no
+    sketch); the band sum accumulates in ``decimal(38,6)`` (exact for
+    fixed-point-decimal doubles; a float sum is partition-order
+    dependent) and closes to double through the string round-trip in
+    one fixed-order division.
+
+    Plan at 100 TB: one histogram shuffle for both quantiles, the
+    #groups-row threshold table broadcast back, then ONE map-side
+    combined aggregation — the frame is never re-shuffled and no
+    executor buffers raw values.
+
+    Output per group: ``n`` (non-null count), ``n_used`` (values
+    contributing), ``q_lo``, ``q_hi``, ``mean`` (double; NULL when the
+    band is empty)."""
+    if not 0.0 <= float(lo) <= float(hi) <= 1.0:
+        raise TransformationError(
+            f"trimmed_mean requires 0 <= lo <= hi <= 1, got [{lo}, {hi}]"
+        )
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"trimmed_mean: value column not in schema: {value_col}"
+        )
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    data = df.select(
+        *group_by, F.col(value_col).cast("double").alias("_tm_v")
+    ).where(F.col("_tm_v").isNotNull())
+    q = exact_quantiles(data, "_tm_v", [float(lo), float(hi)], group_by=group_by)
+    thresholds = q.groupBy(*group_by).agg(
+        F.min(F.when(F.col("prob") == float(lo), F.col("value"))).alias("_qlo"),
+        F.min(F.when(F.col("prob") == float(hi), F.col("value"))).alias("_qhi"),
+    )
+    j = broadcast_group_join(data, thresholds, group_by)
+    v = F.col("_tm_v")
+    if winsorize:
+        contrib = F.least(F.greatest(v, F.col("_qlo")), F.col("_qhi"))
+    else:
+        contrib = F.when(
+            (v >= F.col("_qlo")) & (v <= F.col("_qhi")), v
+        )
+    agg = j.groupBy(*group_by).agg(
+        F.count(v).cast("long").alias("n"),
+        F.count(contrib).cast("long").alias("n_used"),
+        F.min("_qlo").alias("q_lo"),
+        F.min("_qhi").alias("q_hi"),
+        F.sum(contrib.cast("decimal(38,6)")).alias("_s"),
+    )
+    mean = F.when(
+        F.col("n_used") > 0,
+        F.col("_s").cast("string").cast("double")
+        / F.col("n_used").cast("double"),
+    )
+    return agg.withColumn("mean", mean).drop("_s")
+
+
 def discretize(
     df: DataFrame,
     value_col: str,
@@ -1389,12 +1468,14 @@ class DriftTransformer:
 
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
-    correlation|linear_fit|zscore|quantiles|mad_outliers|ecdf|quantile_clip,
+    correlation|linear_fit|zscore|quantiles|mad_outliers|ecdf|
+    quantile_clip|trimmed_mean,
     ``columns`` (csv — correlation), ``xColumn``/``yColumn``
     (linear_fit), ``valueColumn``/``threshold`` (zscore),
     ``valueColumn``/``probs`` csv (quantiles),
     ``valueColumn``/``k``/``scale`` (mad_outliers),
     ``valueColumn``/``lo``/``hi``/``outputColumn`` (quantile_clip),
+    ``valueColumn``/``lo``/``hi``/``winsorize`` (trimmed_mean),
     ``groupBy`` (csv, optional for all)."""
 
     def validate(self, df, config):
@@ -1451,9 +1532,9 @@ class StatsTransformer:
                 errors.append("stats ecdf requires 'valueColumn'")
             else:
                 cols_needed.append(opts["valueColumn"])
-        elif op == "quantile_clip":
+        elif op in ("quantile_clip", "trimmed_mean"):
             if not opts.get("valueColumn"):
-                errors.append("stats quantile_clip requires 'valueColumn'")
+                errors.append(f"stats {op} requires 'valueColumn'")
             else:
                 cols_needed.append(opts["valueColumn"])
             try:
@@ -1461,14 +1542,14 @@ class StatsTransformer:
                 hi = float(opts.get("hi", 0.95))
                 if not 0.0 <= lo <= hi <= 1.0:
                     errors.append(
-                        "stats quantile_clip requires 0 <= lo <= hi <= 1"
+                        f"stats {op} requires 0 <= lo <= hi <= 1"
                     )
             except ValueError:
-                errors.append("stats quantile_clip requires numeric 'lo'/'hi'")
+                errors.append(f"stats {op} requires numeric 'lo'/'hi'")
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
-                f"|mad_outliers|quantile_clip|ecdf, got '{op}'"
+                f"|mad_outliers|quantile_clip|ecdf|trimmed_mean, got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -1523,6 +1604,16 @@ class StatsTransformer:
                 hi=float(opts.get("hi", 0.95)),
                 group_by=gb,
                 output_col=opts.get("outputColumn"),
+            )
+        if op == "trimmed_mean":
+            return trimmed_mean(
+                df,
+                opts["valueColumn"],
+                lo=float(opts.get("lo", 0.05)),
+                hi=float(opts.get("hi", 0.95)),
+                group_by=gb,
+                winsorize=str(opts.get("winsorize", "false")).lower()
+                == "true",
             )
         return zscore_flags(
             df,

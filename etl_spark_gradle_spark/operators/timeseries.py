@@ -195,6 +195,94 @@ def resample(
     return out
 
 
+def rolling_median(
+    df: DataFrame,
+    partition_by: list[str],
+    time_column: str,
+    value_col: str,
+    window_rows: int,
+    out_col: str | None = None,
+    tiebreak: list[str] | None = None,
+    prob: float | None = None,
+) -> DataFrame:
+    """Per-row trailing EXACT rolling median (or rolling quantile) over
+    the last ``window_rows`` observations of the same key — the robust
+    sibling of :func:`~...relational.rolling_time_aggregate`'s
+    sum/avg: the standard anomaly/trend baseline for heavy-tailed
+    series (latency p50/p95 over the last N requests, spend baselines)
+    where one spike poisons a rolling mean for the whole window.
+    Spark has no built-in windowed median (``percentile_approx`` is a
+    sketch and not cross-engine reproducible); this is the exact,
+    hash-gateable form. Beyond-reference per SURVEY §2.7 (the
+    reference's windowing is bucketed aggregation only,
+    ``transformer/WindowingTransformer.scala:40-77``).
+
+    ``prob=None`` → interpolated median of the two middle order
+    statistics; ``prob=p`` → the type-1 lower quantile at ``p``
+    (smallest value whose rank reaches ``ceil(p·n)``), e.g. a rolling
+    p95.
+
+    Exactness: values quantize to integer micro-units
+    (``floor(decimal(27,6) · 1e6)`` — the cusum resolution posture) so
+    the windowed order statistics are exact longs; the close is fixed
+    IEEE order (``double(lo+hi) · 0.5 · 1e-6``), byte-identical in any
+    engine spelling the same ops. NULL values are EXCLUDED from every
+    window (the row still gets the median of its surviving
+    neighbours); a window with no non-null values yields NULL.
+
+    Ordering: rows windows need a TOTAL order — pass ``tiebreak``
+    columns unless (keys, time) is known unique, or equal-timestamp
+    rows make the window contents nondeterministic.
+
+    Scale: one hash exchange on ``partition_by`` + sort, state per row
+    = ``window_rows`` longs (the sorted array is per-row, bounded by
+    the window width, NOT the partition) — safe at any corpus size
+    for the window widths this is meant for (tens..thousands). Empty
+    ``partition_by`` funnels the table through one task — fine for a
+    single series, wrong for a corpus."""
+    if window_rows <= 0:
+        raise TransformationError("rolling_median requires window_rows > 0")
+    if prob is not None and not 0.0 <= float(prob) <= 1.0:
+        raise TransformationError(f"rolling_median prob out of [0, 1]: {prob}")
+    for c in [time_column, value_col, *(partition_by or []), *(tiebreak or [])]:
+        if c not in df.columns:
+            raise TransformationError(
+                f"rolling_median: column not in schema: {c}"
+            )
+    out = out_col or (
+        f"{value_col}_rolling_median" if prob is None
+        else f"{value_col}_rolling_q"
+    )
+    vq = F.floor(
+        F.col(value_col).cast("decimal(27,6)") * F.lit(1_000_000)
+    ).cast("long")
+    epoch = F.unix_micros(F.col(time_column).cast("timestamp"))
+    order = [epoch] + [F.col(c) for c in (tiebreak or [])]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in (partition_by or [])])
+        .orderBy(*order)
+        .rowsBetween(-(int(window_rows) - 1), Window.currentRow)
+    )
+    s = F.array_sort(F.collect_list(vq).over(w))
+    n = F.size(s)
+    if prob is None:
+        lo_i = ((n + F.lit(1)) / F.lit(2)).cast("int")
+        hi_i = (n / F.lit(2)).cast("int") + F.lit(1)
+        med = (
+            (F.try_element_at(s, lo_i) + F.try_element_at(s, hi_i))
+            .cast("double")
+            * F.lit(0.5)
+            * F.lit(1e-6)
+        )
+    else:
+        rank = F.greatest(
+            F.lit(1),
+            F.ceil(F.lit(float(prob)) * n.cast("double")).cast("int"),
+        )
+        med = F.try_element_at(s, rank).cast("double") * F.lit(1e-6)
+    return df.withColumn(out, F.when(n > 0, med))
+
+
 def merge_intervals(
     df: DataFrame,
     start_col: str,
@@ -371,6 +459,65 @@ class ResampleTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"resample({opts})"
+
+
+class RollingMedianTransformer:
+    """Registry adapter (``type: rolling_median``). Options:
+    ``timeColumn``, ``valueColumn``, ``windowRows`` (required),
+    ``partitionBy`` (csv), ``tiebreak`` (csv), ``prob`` (float —
+    type-1 rolling quantile instead of the interpolated median),
+    ``outputColumn``."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for key in ("timeColumn", "valueColumn"):
+            if not opts.get(key):
+                errors.append(f"rolling_median requires '{key}'")
+            elif opts[key] not in df.columns:
+                errors.append(f"column not in input schema: {opts[key]}")
+        try:
+            if int(opts.get("windowRows", 0)) <= 0:
+                errors.append("rolling_median requires integer 'windowRows' > 0")
+        except (TypeError, ValueError):
+            errors.append("rolling_median requires integer 'windowRows' > 0")
+        if opts.get("prob") is not None:
+            try:
+                if not 0.0 <= float(opts["prob"]) <= 1.0:
+                    errors.append("rolling_median prob must be in [0, 1]")
+            except (TypeError, ValueError):
+                errors.append("rolling_median prob must be a float in [0, 1]")
+        for c in (
+            *_split_csv(opts.get("partitionBy")),
+            *_split_csv(opts.get("tiebreak")),
+        ):
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "rolling_median config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return rolling_median(
+            df,
+            partition_by=_split_csv(opts.get("partitionBy")),
+            time_column=opts["timeColumn"],
+            value_col=opts["valueColumn"],
+            window_rows=int(opts["windowRows"]),
+            out_col=opts.get("outputColumn"),
+            tiebreak=_split_csv(opts.get("tiebreak")) or None,
+            prob=float(opts["prob"]) if opts.get("prob") is not None else None,
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"rolling_median({opts})"
 
 
 def cusum_changepoints(

@@ -829,3 +829,44 @@ def test_ecdf_and_weighted_quantiles_hash_stable(spark):
             spark.catalog.clearCache()
     assert len(e_hashes) == 1, e_hashes
     assert len(q_hashes) == 1, q_hashes
+
+
+def test_trimmed_mean_matches_pandas_and_winsorize(spark):
+    """Trimmed mean drops tails outside the exact [lo, hi] quantile
+    band; winsorized mean clips them instead. Both verified against a
+    direct pandas computation with the same type-1 band edges; NULL
+    values and NULL groups handled."""
+    import math
+
+    from etl_spark_gradle_spark.operators.stats import trimmed_mean
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [
+        ("a", 10_000.0),          # tail outlier
+        ("b", 5.0), ("b", None),  # null value excluded from n
+        (None, 7.0),              # NULL group is a legitimate group
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in trimmed_mean(df, "v", 0.1, 0.9, ["g"]).collect()}
+
+    vals = sorted(range(1, 101)) + [10_000]
+    n = len(vals)
+    qlo = vals[max(1, math.ceil(0.1 * n)) - 1]
+    qhi = vals[max(1, math.ceil(0.9 * n)) - 1]
+    band = [v for v in vals if qlo <= v <= qhi]
+    assert out["a"].n == n and out["a"].n_used == len(band)
+    assert (out["a"].q_lo, out["a"].q_hi) == (qlo, qhi)
+    assert abs(out["a"].mean - sum(band) / len(band)) < 1e-9
+    # the 10k outlier is OUTSIDE the band: trimmed mean unaffected
+    assert out["a"].mean < 100
+    assert out["b"].n == 1 and out["b"].mean == 5.0
+    assert out[None].mean == 7.0
+
+    w = {r.g: r for r in
+         trimmed_mean(df, "v", 0.1, 0.9, ["g"], winsorize=True).collect()}
+    clipped = [min(max(v, qlo), qhi) for v in vals]
+    assert w["a"].n_used == n
+    assert abs(w["a"].mean - sum(clipped) / n) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="0 <= lo <= hi <= 1"):
+        trimmed_mean(df, "v", 0.9, 0.1, ["g"])

@@ -599,3 +599,92 @@ def test_time_rollup_yaml_adapter(spark):
         options={"timeColumn": "ts", "valueColumns": "value", "levels": "60,90"},
     )
     assert not tr.validate(df, bad).is_valid
+
+
+def test_rolling_median_exact_and_prob(spark):
+    """Rolling median over the last N rows per key: interpolated
+    median of the two middle order statistics, NULLs excluded from
+    the window, type-1 quantile via prob, window narrower at the
+    partition head."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import rolling_median
+
+    rows = [
+        ("u1", 1, 10.0), ("u1", 2, 20.0), ("u1", 3, None),
+        ("u1", 4, 40.0), ("u1", 5, 1000.0),
+        ("u2", 1, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "t", "v"
+    )
+    out = {
+        (r.k, r.t): r.v_rolling_median
+        for r in rolling_median(df, ["k"], "ts", "v", 3,
+                                tiebreak=["t"]).collect()
+    }
+    assert out[("u1", 1)] == 10.0
+    assert out[("u1", 2)] == 15.0            # (10+20)/2
+    assert out[("u1", 3)] == 15.0            # NULL excluded, window={10,20}
+    assert out[("u1", 4)] == 30.0            # {20,40} (3-row window, 1 null)
+    assert out[("u1", 5)] == 520.0           # {40,1000}
+    assert out[("u2", 1)] == 5.0
+
+    p = {
+        (r.k, r.t): r.v_rolling_q
+        for r in rolling_median(df, ["k"], "ts", "v", 3,
+                                tiebreak=["t"], prob=1.0).collect()
+    }
+    assert p[("u1", 5)] == 1000.0 and p[("u1", 2)] == 20.0
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="window_rows > 0"):
+        rolling_median(df, ["k"], "ts", "v", 0)
+
+
+def test_rolling_median_yaml_adapter(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [("u", 1, 1.0), ("u", 2, 9.0), ("u", 3, 5.0)],
+        "k string, t long, v double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "t", "v")
+    cfg = TransformationConfig(
+        type="rolling_median",
+        options={
+            "timeColumn": "ts", "valueColumn": "v", "windowRows": "2",
+            "partitionBy": "k", "tiebreak": "t", "outputColumn": "rm",
+        },
+    )
+    t = TRANSFORMER_REGISTRY["rolling_median"]
+    out = {r.t: r.rm for r in
+           t.transform(df, cfg, RunContext.create("t-rm", spark)).collect()}
+    assert out == {1: 1.0, 2: 5.0, 3: 7.0}
+
+    bad = TransformationConfig(type="rolling_median",
+                               options={"timeColumn": "ts"})
+    res = t.validate(df, bad)
+    assert not res.is_valid
+
+
+def test_trimmed_mean_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.sparkSession.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], "g string, v double"
+    ) if hasattr(spark, "sparkSession") else spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], "g string, v double"
+    )
+    cfg = TransformationConfig(
+        type="stats",
+        options={"operation": "trimmed_mean", "valueColumn": "v",
+                 "lo": "0.1", "hi": "0.9", "groupBy": "g"},
+    )
+    t = TRANSFORMER_REGISTRY["stats"]
+    row = t.transform(df, cfg, RunContext.create("t-tm", spark)).collect()[0]
+    assert row.n == 10 and row.q_lo == 1.0 and row.q_hi == 9.0
+    assert abs(row.mean - sum(range(1, 10)) / 9) < 1e-9
