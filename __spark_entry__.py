@@ -4195,6 +4195,54 @@ FROM w
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution matching: map each order total onto the lineitem
+    price distribution's type-1 quantile at the order's own percent
+    rank — afterwards the normalized column is distributed exactly
+    like lineitem prices. The target rank is pure integer arithmetic
+    (ceil(cum_x*n_ref/n_x) via decimal DIV) and the output is literal
+    reference table values, so every cell is hash-exact."""
+    from etl_spark_gradle_spark.operators.stats import quantile_normalize
+
+    _prep(spark)
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("p")
+    )
+    return quantile_normalize(od, "price", li, "p", out_col="norm")
+
+
+_QUANTILE_NORMALIZE_ORACLE = """
+WITH x AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+), cx AS (
+  SELECT price AS v, CAST(count(*) AS BIGINT) AS c
+  FROM x WHERE price IS NOT NULL GROUP BY 1
+), cdx AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM cx
+), rr AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), cr AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM rr GROUP BY 1
+), cdr AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, c FROM cr
+), t AS (
+  SELECT cdx.v,
+         greatest(1, CAST((cdx.cum * nr.n + cdx.n - 1) // cdx.n
+                          AS BIGINT)) AS rank
+  FROM cdx CROSS JOIN (SELECT sum(c) AS n FROM cr) nr
+), m AS (
+  SELECT t.v, r.v AS norm
+  FROM t JOIN cdr r ON t.rank > r.cum - r.c AND t.rank <= r.cum
+)
+SELECT x.o_orderkey, x.price, m.norm
+FROM x LEFT JOIN m ON x.price = m.v
+"""
+
+
 def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time temporal join: orders pick up the customer-segment
     VERSION valid at their order date from a two-version SCD2 timeline
@@ -6995,6 +7043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle HUGEINT cast fix) ----
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
+        "quantile_normalize": q_quantile_normalize,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7240,6 +7289,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _MAD_OUTLIERS_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
+        "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,

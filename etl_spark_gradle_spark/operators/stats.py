@@ -988,6 +988,128 @@ def ecdf(
     return out.drop("_ecdf_cum", "_ecdf_n", "_ecdf_c")
 
 
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    ref: DataFrame,
+    ref_col: str,
+    out_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distribution matching / quantile normalization: replace each
+    value ``x`` with the REFERENCE distribution's type-1 quantile at
+    ``x``'s own percent rank — afterwards the column's empirical
+    distribution equals the reference's (up to tie granularity). The
+    feature-alignment / domain-adaptation staple (microarray quantile
+    normalization, matching a score column across model versions,
+    aligning a new data source's spend distribution to the corpus).
+    Beyond-reference per SURVEY §2.7 (the reference has no
+    distributional operator surface at all).
+
+    Semantics: ``out = Q_ref(F_x(x))`` with ``F_x(x) = cum_x(x)/n_x``
+    (inclusive ecdf) and ``Q_ref(p)`` the smallest reference value
+    whose cumulative count reaches ``ceil(p·n_ref)`` — both sides the
+    same type-1 machinery as :func:`exact_quantiles`/:func:`ecdf`.
+
+    Exactness: the target rank is computed ENTIRELY in integer
+    arithmetic — ``ceil(cum_x·n_ref / n_x) = (cum_x·n_ref + n_x − 1)
+    div n_x`` over decimal(38,0) products — so no float ever enters
+    the lookup and the output column is literal reference table
+    values: hash-identical cross-engine by construction.
+
+    Plan at 100 TB: both tables reduce to value histograms (map-side
+    combined groupBy — the only full-scale shuffles); CDFs via
+    ``_prefix_sums`` (no single-partition window); the rank lookup is
+    a bounded range-bucket join between the two histogram-sized CDF
+    tables (each target rank hits exactly one reference interval, ref
+    expansion ≤ |distinct ref values| + 4·shuffle partitions); the
+    #distinct-row mapping joins back on the value (broadcast or
+    shuffle — Catalyst/AQE picks). Rows with NULL values keep NULL.
+    Raises when the reference has no non-null values (no distribution
+    to map onto)."""
+    from etl_spark_gradle_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"quantile_normalize: value column not in schema: {value_col}"
+        )
+    if ref_col not in ref.columns:
+        raise TransformationError(
+            f"quantile_normalize: reference column not in schema: {ref_col}"
+        )
+    out = out_col or f"{value_col}_qnorm"
+    if out in df.columns:
+        raise TransformationError(
+            f"quantile_normalize: output column already in schema: {out}"
+        )
+    spark = df.sparkSession
+    P = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+    def _hist(frame: DataFrame, col: str) -> DataFrame:
+        return (
+            frame.select(F.col(col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    hx = _hist(df, value_col)
+    hr = _hist(ref, ref_col)
+    cum_x = _prefix_sums(hx, "v", ["c"], num_partitions, assume_pinned=True)
+    cum_r = _prefix_sums(hr, "v", ["c"], num_partitions, assume_pinned=True)
+    n_x = hx.agg(F.sum("c").cast("long").alias("_nx"))
+    n_r = hr.agg(F.sum("c").cast("long").alias("_nr"))
+    n_r_val = n_r.collect()[0]["_nr"] if True else None
+    if not n_r_val:
+        raise TransformationError(
+            "quantile_normalize: reference has no non-null values"
+        )
+    # integer ceil-division: rank = (cum_x·n_ref + n_x − 1) div n_x —
+    # decimal(38,0) products cannot overflow for any pair of long
+    # counts, and DIV is the exact integral quotient (no float, no
+    # decimal-scale rounding hazard near integer boundaries)
+    targets = (
+        cum_x.crossJoin(F.broadcast(n_x))
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            F.col("v").alias("_qn_v"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    "CAST((CAST(cum_c AS DECIMAL(38,0)) * CAST(_nr AS "
+                    "DECIMAL(38,0)) + CAST(_nx AS DECIMAL(38,0)) - 1) DIV "
+                    "CAST(_nx AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            ).alias("_qn_rank"),
+        )
+        .withColumn("_qn_rank_hi", F.col("_qn_rank"))
+    )
+    ref_iv = cum_r.select(
+        F.col("v").alias("_qn_ref_v"),
+        (F.col("cum_c") - F.col("c") + F.lit(1)).cast("long").alias("_qn_lo"),
+        F.col("cum_c").alias("_qn_hi"),
+    )
+    mapping = interval_overlap_join(
+        targets,
+        ref_iv,
+        "_qn_rank",
+        "_qn_rank_hi",
+        "_qn_lo",
+        "_qn_hi",
+        bin_size=max(1.0, float(n_r_val) / (4 * P)),
+    ).select("_qn_v", F.col("_qn_ref_v").alias("_qn_out"))
+    joined = df.join(
+        mapping, df[value_col] == mapping["_qn_v"], "left"
+    ).drop("_qn_v")
+    return joined.withColumn(out, F.col("_qn_out")).drop("_qn_out")
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

@@ -870,3 +870,36 @@ def test_trimmed_mean_matches_pandas_and_winsorize(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="0 <= lo <= hi <= 1"):
         trimmed_mean(df, "v", 0.9, 0.1, ["g"])
+
+
+def test_quantile_normalize_matches_reference_distribution(spark):
+    """quantile_normalize maps each value to the reference's type-1
+    quantile at the value's percent rank: afterwards the column's
+    empirical distribution equals the reference's. NULLs keep NULL;
+    an all-null reference raises."""
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.stats import quantile_normalize
+
+    # x uniform 1..10, ref = {100, 200, 300, 400, 500} each twice
+    x = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)] + [(99, None)],
+        "id long, v double",
+    )
+    ref = spark.createDataFrame(
+        [(float(100 * k),) for k in range(1, 6) for _ in range(2)],
+        "r double",
+    )
+    out = {r.id: r.v_qnorm
+           for r in quantile_normalize(x, "v", ref, "r").collect()}
+    # p(i) = i/10; rank = ceil(i/10 * 10) = i; ref value at rank i
+    want = {i: float(100 * ((i + 1) // 2)) for i in range(1, 11)}
+    assert {k: v for k, v in out.items() if k != 99} == want
+    assert out[99] is None
+
+    empty_ref = spark.createDataFrame([(None,)], "r double")
+    with _pytest.raises(Exception, match="no non-null values"):
+        quantile_normalize(x, "v", empty_ref, "r")
+
+    with _pytest.raises(Exception, match="output column"):
+        quantile_normalize(x.withColumn("v_qnorm", x.v), "v", ref, "r")
