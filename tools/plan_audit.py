@@ -504,6 +504,33 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "trimmed_mean",
+        "trimmed mean: quantile thresholds come back as BROADCAST "
+        "joins, map-side partial aggregation, the frame is never "
+        "re-shuffled; no python, no cartesian",
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin"],
+    ),
+    (
+        "rolling_median",
+        "rolling median: ONE key exchange feeds both window passes; "
+        "the sorted-window array is a single materialized column "
+        "(one collect_list buffer per pass, not one per order-"
+        "statistic reference); no joins, no python",
+        ["Window", "hashpartitioning"],
+        ["BroadcastHashJoin", "SortMergeJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "quantile_normalize",
+        "quantile normalization: totals broadcast (1-row nested-loop "
+        "is fine), rank lookup via the binned range join, no "
+        "cartesian, no python",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "mad_outliers",
         "MAD outliers: both medians via grouped histogram+CDF, the "
         "#groups-row median/MAD tables come back as BROADCAST joins — "
