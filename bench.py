@@ -40,6 +40,9 @@ And the extension-operator shapes:
 21. q21_line_dedup  — corpus-wide keep-first line dedup over a
                       boilerplate-enriched documents view (hot-key
                       agg combine + join-back + reassembly)
+22. q22_rolling_median — per-user exact rolling median + p90 over the
+                      last 25 events (sorted-window order statistics,
+                      one collect_list buffer per pass)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -525,6 +528,33 @@ def q21_line_dedup(spark):
     )
 
 
+def q22_rolling_median(spark):
+    """Per-user exact rolling median + rolling p90 over the last 25
+    events (100k rows, 1500 users at sf0.1): one key exchange feeding
+    two sorted-window passes with a single collect_list buffer each —
+    the bounded-window order-statistic shape whose naive form (one
+    buffer per order-statistic reference) costs 5x. Forced through a
+    hash-sum so both window payloads are fully computed."""
+    from etl_spark_gradle_spark.operators.timeseries import rolling_median
+
+    ev = load(spark, "events")
+    out = rolling_median(
+        ev, ["user_id"], "ts", "value", 25,
+        out_col="rm", tiebreak=["event_id"],
+    )
+    out = rolling_median(
+        out, ["user_id"], "ts", "value", 25,
+        out_col="rq", tiebreak=["event_id"], prob=0.9,
+    )
+    return out.agg(
+        F.sum(
+            F.xxhash64((F.col("rm") * 1000000).cast("long"),
+                       (F.col("rq") * 1000000).cast("long"))
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -547,6 +577,7 @@ QUERIES = {
     "q19_skew_asof": q19_skew_asof,
     "q20_time_rollup": q20_time_rollup,
     "q21_line_dedup": q21_line_dedup,
+    "q22_rolling_median": q22_rolling_median,
 }
 
 
