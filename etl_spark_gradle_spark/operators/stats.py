@@ -988,6 +988,110 @@ def ecdf(
     return out.drop("_ecdf_cum", "_ecdf_n", "_ecdf_c")
 
 
+def impute(
+    df: DataFrame,
+    value_col: str,
+    strategy: str = "mean",
+    group_by: list[str] | None = None,
+    fill_value=None,
+    out_col: str | None = None,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """NULL imputation — fill missing values with a per-group (or
+    global) statistic: ``mean`` (decimal-exact, string-roundtrip
+    close), ``median`` (exact type-1 via the distributed-CDF quantile
+    path — never ``percentile_approx``), ``mode`` (most frequent
+    value; ties break to the SMALLEST value so the result is
+    deterministic), or ``constant`` (``fill_value``). The
+    feature-prep staple every sklearn ``SimpleImputer`` pipeline runs,
+    re-expressed Spark-first; beyond-reference per SURVEY §2.7 (the
+    reference's null handling is split/quarantine only,
+    ``quality/NullValueHandler.scala:31-58``).
+
+    A group with NO non-null values keeps its NULLs (there is nothing
+    to impute from) — they stay visible rather than silently becoming
+    a global statistic. ``flag_col`` optionally records which rows
+    were filled (imputation indicators are themselves a standard
+    model feature).
+
+    Plan at 100 TB: ONE reduced-state shuffle builds the statistic
+    (map-side-combined agg for mean/mode, value histogram + CDF for
+    median), the #groups-row table comes back as a null-safe
+    BROADCAST join, and the fill is a row-local ``coalesce`` — the
+    frame itself is never re-shuffled."""
+    if strategy not in ("mean", "median", "mode", "constant"):
+        raise TransformationError(
+            f"impute strategy must be mean|median|mode|constant, "
+            f"got '{strategy}'"
+        )
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"impute: value column not in schema: {value_col}"
+        )
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    out = out_col or value_col
+    if strategy == "constant":
+        if fill_value is None:
+            raise TransformationError(
+                "impute strategy=constant requires fill_value"
+            )
+        filled = F.coalesce(F.col(value_col), F.lit(fill_value))
+        res = df
+        if flag_col:
+            res = res.withColumn(flag_col, F.col(value_col).isNull())
+        return res.withColumn(out, filled)
+    if strategy == "mean":
+        stat = df.groupBy(*group_by).agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(38,6)"))
+                .cast("string")
+                .cast("double")
+                / F.count(value_col).cast("double")
+            ).alias("_imp_fill")
+        )
+    elif strategy == "median":
+        q = exact_quantiles(
+            df.select(*group_by, F.col(value_col).cast("double").alias("_v")),
+            "_v",
+            [0.5],
+            group_by=group_by,
+        )
+        stat = q.groupBy(*group_by).agg(F.min("value").alias("_imp_fill"))
+    else:  # mode — deterministic: max count, then smallest value
+        counts = (
+            df.select(*group_by, F.col(value_col).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .groupBy(*group_by, "_v")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        w = Window.partitionBy(*[F.col(c) for c in group_by]).orderBy(
+            F.col("_c").desc(), F.col("_v").asc()
+        )
+        stat = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*group_by, F.col("_v").alias("_imp_fill"))
+        )
+    j = broadcast_group_join(df, stat, group_by)
+    cast_fill = (
+        F.col("_imp_fill").cast(df.schema[value_col].dataType)
+        if strategy == "mode"
+        else F.col("_imp_fill")
+    )
+    res = j
+    if flag_col:
+        res = res.withColumn(
+            flag_col,
+            F.col(value_col).isNull() & F.col("_imp_fill").isNotNull(),
+        )
+    return res.withColumn(
+        out, F.coalesce(F.col(value_col), cast_fill)
+    ).drop("_imp_fill")
+
+
 def quantile_normalize(
     df: DataFrame,
     value_col: str,
