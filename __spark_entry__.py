@@ -4195,6 +4195,52 @@ FROM w
 """
 
 
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null imputation: events with every 7th value masked NULL get
+    per-event-type EXACT-median fills plus an imputation-indicator
+    column — the SimpleImputer staple. The median rides the
+    distributed-CDF quantile path (no percentile_approx sketch), so
+    the filled values are reference table values and hash-exact."""
+    from etl_spark_gradle_spark.operators.stats import impute
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 != 0, F.col("value"))
+        .cast("double")
+        .alias("v"),
+    )
+    return impute(
+        ev, "v", "median", ["event_type"],
+        out_col="v_filled", flag_col="was_imputed",
+    )
+
+
+_IMPUTE_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 != 0 THEN CAST(value AS DOUBLE) END AS v
+  FROM events
+), c AS (
+  SELECT event_type AS g, v, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE v IS NOT NULL GROUP BY 1, 2
+), cdf AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM c
+), med AS (
+  SELECT g, min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS m
+  FROM cdf GROUP BY g
+)
+SELECT e.event_id, e.event_type, e.v,
+       (e.v IS NULL AND m.m IS NOT NULL) AS was_imputed,
+       coalesce(e.v, m.m) AS v_filled
+FROM e LEFT JOIN med m ON e.event_type = m.g
+"""
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution matching: map each order total onto the lineitem
     price distribution's type-1 quantile at the order's own percent
@@ -7044,6 +7090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
+        "impute": q_impute,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7290,6 +7337,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
+        "impute": _IMPUTE_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,

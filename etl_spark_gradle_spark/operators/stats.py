@@ -1695,7 +1695,7 @@ class DriftTransformer:
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
     correlation|linear_fit|zscore|quantiles|mad_outliers|ecdf|
-    quantile_clip|trimmed_mean,
+    quantile_clip|trimmed_mean|impute,
     ``columns`` (csv — correlation), ``xColumn``/``yColumn``
     (linear_fit), ``valueColumn``/``threshold`` (zscore),
     ``valueColumn``/``probs`` csv (quantiles),
@@ -1772,10 +1772,22 @@ class StatsTransformer:
                     )
             except ValueError:
                 errors.append(f"stats {op} requires numeric 'lo'/'hi'")
+        elif op == "impute":
+            if not opts.get("valueColumn"):
+                errors.append("stats impute requires 'valueColumn'")
+            else:
+                cols_needed.append(opts["valueColumn"])
+            strat = opts.get("strategy", "mean")
+            if strat not in ("mean", "median", "mode", "constant"):
+                errors.append(
+                    "stats impute strategy must be mean|median|mode|constant"
+                )
+            if strat == "constant" and opts.get("fillValue") is None:
+                errors.append("stats impute strategy=constant requires 'fillValue'")
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
-                f"|mad_outliers|quantile_clip|ecdf|trimmed_mean, got '{op}'"
+                f"|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute, got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -1830,6 +1842,16 @@ class StatsTransformer:
                 hi=float(opts.get("hi", 0.95)),
                 group_by=gb,
                 output_col=opts.get("outputColumn"),
+            )
+        if op == "impute":
+            return impute(
+                df,
+                opts["valueColumn"],
+                strategy=opts.get("strategy", "mean"),
+                group_by=gb,
+                fill_value=opts.get("fillValue"),
+                out_col=opts.get("outputColumn"),
+                flag_col=opts.get("flagColumn"),
             )
         if op == "trimmed_mean":
             return trimmed_mean(

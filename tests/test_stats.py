@@ -903,3 +903,58 @@ def test_quantile_normalize_matches_reference_distribution(spark):
 
     with _pytest.raises(Exception, match="output column"):
         quantile_normalize(x.withColumn("v_qnorm", x.v), "v", ref, "r")
+
+
+def test_impute_strategies_and_adapter(spark):
+    """impute fills NULLs with per-group mean/median/deterministic
+    mode/constant; all-null groups keep their NULLs; flag column
+    records which rows were filled."""
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.stats import impute
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 1.0), ("a", None),
+         ("b", 10.0), ("b", None), ("c", None)],
+        "g string, v double",
+    )
+
+    def got(strategy, **kw):
+        out = impute(df, "v", strategy, ["g"], flag_col="f", **kw)
+        return sorted((r.g, r.v, r.f) for r in out.collect())
+
+    assert got("mean")[2] == ("a", (1 + 3 + 1) / 3, True)
+    assert got("median").count(("a", 1.0, True)) == 1
+    assert got("mode").count(("a", 1.0, True)) == 1  # fill = mode 1.0
+    # all-null group keeps NULL and is NOT flagged as imputed
+    assert got("mean")[-1] == ("c", None, False)
+
+    const = impute(df, "v", "constant", fill_value=-1.0)
+    assert sorted(r.v for r in const.collect())[:2] == [-1.0, -1.0]
+
+    with _pytest.raises(Exception, match="requires fill_value"):
+        impute(df, "v", "constant")
+    with _pytest.raises(Exception, match="strategy must be"):
+        impute(df, "v", "nope")
+
+    # deterministic mode tiebreak: equal counts -> smallest value
+    tie = spark.createDataFrame(
+        [("g", 5.0), ("g", 2.0), ("g", None)], "g string, v double"
+    )
+    assert impute(tie, "v", "mode", ["g"]).where(
+        "v = 2.0"
+    ).count() == 2
+
+    # YAML adapter route
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    cfg = TransformationConfig(
+        type="stats",
+        options={"operation": "impute", "valueColumn": "v",
+                 "strategy": "median", "groupBy": "g"},
+    )
+    out = TRANSFORMER_REGISTRY["stats"].transform(
+        df, cfg, RunContext.create("t-imp", spark)
+    )
+    assert out.where("g = 'a' AND v IS NULL").count() == 0
