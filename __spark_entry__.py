@@ -4195,6 +4195,68 @@ FROM w
 """
 
 
+def q_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-evaluation closeout: per-nation recall@10 of a
+    LOSSY ranking (customers by balance bucketed to $100) against the
+    exact balance ranking — the same topk_recall operator that grades
+    the ANN paths (LSH/IVF vs brute force, pytest-asserted), here on
+    integer-exact data so every hit count is hash-gateable."""
+    from pyspark.sql import Window
+
+    from etl_spark_gradle_spark.operators.similarity import topk_recall
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    w_t = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_c = Window.partitionBy("c_nationkey").orderBy(
+        F.floor(F.col("c_acctbal") / F.lit(100)).desc(),
+        F.col("c_custkey").asc(),
+    )
+    truth = cust.select(
+        F.col("c_nationkey").alias("query_id"),
+        F.col("c_custkey").alias("neighbor_id"),
+        F.row_number().over(w_t).alias("rank"),
+    )
+    cand = cust.select(
+        F.col("c_nationkey").alias("query_id"),
+        F.col("c_custkey").alias("neighbor_id"),
+        F.row_number().over(w_c).alias("rank"),
+    )
+    return topk_recall(cand, truth, k=10)
+
+
+_TOPK_RECALL_ORACLE = """
+WITH t AS (
+  SELECT c_nationkey AS q, c_custkey AS nb,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS r
+  FROM customer
+), c AS (
+  SELECT c_nationkey AS q, c_custkey AS nb,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY floor(c_acctbal / 100) DESC,
+                                     c_custkey) AS r
+  FROM customer
+), tt AS (SELECT q, nb FROM t WHERE r <= 10),
+   cc AS (SELECT q, nb FROM c WHERE r <= 10),
+   h AS (
+  SELECT tt.q, CAST(count(*) AS BIGINT) AS hits
+  FROM tt JOIN cc ON tt.q = cc.q AND tt.nb = cc.nb GROUP BY 1
+)
+SELECT nt.q AS query_id,
+       nt.n_truth, nc.n_candidates,
+       coalesce(h.hits, 0) AS hits,
+       CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+         AS recall
+FROM (SELECT q, CAST(count(*) AS BIGINT) AS n_truth FROM tt GROUP BY 1) nt
+JOIN (SELECT q, CAST(count(*) AS BIGINT) AS n_candidates FROM cc GROUP BY 1) nc
+  ON nt.q = nc.q
+LEFT JOIN h ON nt.q = h.q
+"""
+
+
 def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null imputation: events with every 7th value masked NULL get
     per-event-type EXACT-median fills plus an imputation-indicator
@@ -7091,6 +7153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
         "impute": q_impute,
+        "topk_recall": q_topk_recall,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7338,6 +7401,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
         "impute": _IMPUTE_ORACLE,
+        "topk_recall": _TOPK_RECALL_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,

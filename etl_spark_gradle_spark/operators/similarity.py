@@ -414,6 +414,86 @@ def ivf_topk(
     )
 
 
+def topk_recall(
+    candidates: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    k: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall@k of a CANDIDATE
+    top-k table against a ground-truth top-k table — the metric that
+    closes the ANN loop (how much exact top-k does the
+    LSH/IVF/quantized path actually return?). Both inputs are
+    ``(query, neighbor[, rank])`` relations, exactly the shape
+    :func:`brute_force_topk` / :func:`ivf_topk` /
+    :func:`lsh_bucketed_topk` emit.
+
+    ``k`` truncates BOTH sides to ``rank <= k`` first (when a
+    ``rank_col`` is present); pass ``k=None`` to compare the tables as
+    given. Output per query: ``n_truth``, ``n_candidates``, ``hits``
+    (|intersection|), ``recall = hits / n_truth`` (double, one
+    fixed-order division; NULL when the query has no truth rows).
+    Queries appearing on either side appear in the output
+    (full-outer on the query key), so silent candidate drop-outs are
+    visible rather than averaged away.
+
+    Plan at 100 TB of result pairs: one (query, neighbor)-keyed
+    LEFT SEMI join finds hits, then three map-side-combined counts
+    keyed on the query — no raw re-shuffle, no python, and the
+    intersection never materializes wider than the hit count."""
+    for side, df in (("candidates", candidates), ("truth", truth)):
+        for c in (query_col, neighbor_col):
+            if c not in df.columns:
+                raise ValueError(
+                    f"topk_recall: column '{c}' not in {side} schema"
+                )
+    cand = candidates.select(
+        F.col(query_col).alias("q"), F.col(neighbor_col).alias("nb"),
+        *([F.col(rank_col).alias("_r")] if rank_col in candidates.columns else []),
+    )
+    tru = truth.select(
+        F.col(query_col).alias("q"), F.col(neighbor_col).alias("nb"),
+        *([F.col(rank_col).alias("_r")] if rank_col in truth.columns else []),
+    )
+    if k is not None:
+        if "_r" in cand.columns:
+            cand = cand.where(F.col("_r") <= int(k))
+        if "_r" in tru.columns:
+            tru = tru.where(F.col("_r") <= int(k))
+    cand = cand.select("q", "nb")
+    tru = tru.select("q", "nb")
+    hits = (
+        tru.join(cand, ["q", "nb"], "left_semi")
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    n_t = tru.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_c = cand.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    out = (
+        n_t.join(n_c, "q", "full_outer")
+        .join(hits, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            F.coalesce("n_truth", F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+    return out.withColumn(
+        "recall",
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("hits").cast("double") / F.col("n_truth").cast("double"),
+        ),
+    )
+
+
 def random_hyperplanes(dim: int, num_bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit hyperplanes for sign-random-projection LSH.
 

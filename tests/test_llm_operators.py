@@ -2204,3 +2204,37 @@ class TestPrefixJaccardJoin:
         assert out[(1, 2)] == 1.0
         assert abs(out[(1, 3)] - 3 / 5) < 1e-15  # exactly (4+4-3)=5 union? no: 3/(4+4-3)
         assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_topk_recall_operator(emb, spark):
+    """topk_recall distributes the eval the earlier driver-side recall
+    tests compute by hand: identical tables give recall 1.0, the LSH
+    path lands in (0, 1], missing queries and empty-truth queries are
+    visible instead of averaged away."""
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.lsh_bucketed_topk(
+        emb, queries, k=5, dim=64, num_bits=16, bands=8
+    )
+    perfect = sim.topk_recall(exact, exact, k=5).collect()
+    assert all(r.recall == 1.0 and r.hits == 5 for r in perfect)
+    lsh = {r.query_id: r for r in sim.topk_recall(approx, exact, k=5).collect()}
+    assert len(lsh) == 10
+    assert all(0.0 <= r.recall <= 1.0 for r in lsh.values())
+    # aggregate recall consistent with the set-based hand computation
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    hand = len(exact_set & approx_set) / len(exact_set)
+    agg = sum(r.hits for r in lsh.values()) / sum(r.n_truth for r in lsh.values())
+    assert abs(agg - hand) < 1e-12
+
+    # a query present only in truth surfaces with recall 0, not dropped
+    t = spark.createDataFrame([(1, 100), (2, 200)], "query_id int, neighbor_id int")
+    c = spark.createDataFrame([(1, 100)], "query_id int, neighbor_id int")
+    rows = {r.query_id: r for r in sim.topk_recall(c, t).collect()}
+    assert rows[2].recall == 0.0 and rows[2].n_candidates == 0
+    # candidate-only query: n_truth 0, recall NULL (not 0/0)
+    rows2 = {r.query_id: r for r in sim.topk_recall(t, c).collect()}
+    assert rows2[2].n_truth == 0 and rows2[2].recall is None
