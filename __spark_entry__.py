@@ -4195,6 +4195,162 @@ FROM w
 """
 
 
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: feed-volume anomaly monitor — daily event
+    counts per type → trailing-7-day exact rolling-median baseline →
+    spike flag (count > 2x baseline). The operator chain every
+    ingestion pipeline runs to catch a doubled feed or a dead
+    producer; composes resample-style bucketing with the r8
+    rolling_median operator on integer-exact counts."""
+    from etl_spark_gradle_spark.operators.timeseries import rolling_median
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = rolling_median(
+        daily, ["event_type"], "day", "n", 7, out_col="baseline"
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        "n",
+        "baseline",
+        (F.col("n").cast("double") > F.lit(2.0) * F.col("baseline")).alias(
+            "is_spike"
+        ),
+    )
+
+
+_VOLUME_ANOMALY_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT *, CAST(floor(CAST(n AS DECIMAL(27,6)) * 1000000) AS BIGINT) AS vq
+  FROM d
+), w AS (
+  SELECT event_type, day, n,
+         list_sort(list(vq) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+  FROM q
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+       CAST(l[(len(l)+1)//2] + l[len(l)//2 + 1] AS DOUBLE)
+         * 0.5 * 1e-6 AS baseline,
+       CAST(n AS DOUBLE) > 2.0 * (CAST(l[(len(l)+1)//2] + l[len(l)//2 + 1]
+         AS DOUBLE) * 0.5 * 1e-6) AS is_spike
+FROM w
+"""
+
+
+def q_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: the standard numeric feature-prep chain —
+    impute(median) → quantile_clip[0.05, 0.95] → robust_scale(MAD) per
+    return flag, on prices with every 11th value masked NULL. Each
+    stage consumes the previous stage's output (fills are clipped,
+    clipped values feed the scaling statistics), so the oracle replay
+    is cross-operator evidence no single-operator row gives."""
+    from etl_spark_gradle_spark.operators.features import robust_scale
+    from etl_spark_gradle_spark.operators.stats import impute, quantile_clip
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.when(
+            (F.col("l_orderkey") + F.col("l_linenumber")) % 11 != 0,
+            F.col("l_extendedprice"),
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    filled = impute(li, "v", "median", ["l_returnflag"], out_col="v_f")
+    clipped = quantile_clip(
+        filled, "v_f", lo=0.05, hi=0.95,
+        group_by=["l_returnflag"], output_col="v_c",
+    )
+    scaled = robust_scale(
+        clipped, "v_c", group_by=["l_returnflag"], output_col="v_s"
+    )
+    return scaled.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "v", "v_f", "v_c", "v_s"
+    )
+
+
+_FEATURE_PIPELINE_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+         CASE WHEN (l_orderkey + l_linenumber) % 11 != 0
+              THEN CAST(l_extendedprice AS DOUBLE) END AS v
+  FROM lineitem
+), c1 AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS c
+  FROM li WHERE v IS NOT NULL GROUP BY 1, 2
+), cdf1 AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n FROM c1
+), med AS (
+  SELECT g, min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS m
+  FROM cdf1 GROUP BY g
+), filled AS (
+  SELECT li.l_orderkey, li.l_linenumber, li.g, li.v,
+         coalesce(li.v, med.m) AS v_f
+  FROM li LEFT JOIN med ON li.g = med.g
+), c2 AS (
+  SELECT g, v_f AS v, CAST(count(*) AS BIGINT) AS c
+  FROM filled WHERE v_f IS NOT NULL GROUP BY 1, 2
+), cdf2 AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n FROM c2
+), th AS (
+  SELECT g,
+    min(CASE WHEN cum >= greatest(1,
+        CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS qlo,
+    min(CASE WHEN cum >= greatest(1,
+        CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS qhi
+  FROM cdf2 GROUP BY g
+), clipped AS (
+  SELECT f.*, CASE WHEN f.v_f IS NULL THEN NULL
+                   ELSE least(greatest(f.v_f, t.qlo), t.qhi) END AS v_c
+  FROM filled f LEFT JOIN th t ON f.g = t.g
+), c3 AS (
+  SELECT g, v_c AS v, CAST(count(*) AS BIGINT) AS c
+  FROM clipped WHERE v_c IS NOT NULL GROUP BY 1, 2
+), cdf3 AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n FROM c3
+), med2 AS (
+  SELECT g, min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS m
+  FROM cdf3 GROUP BY g
+), dev AS (
+  SELECT cl.g, abs(cl.v_c - m2.m) AS adev
+  FROM clipped cl JOIN med2 m2 ON cl.g = m2.g WHERE cl.v_c IS NOT NULL
+), c4 AS (
+  SELECT g, adev AS v, CAST(count(*) AS BIGINT) AS c FROM dev GROUP BY 1, 2
+), cdf4 AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n FROM c4
+), mad AS (
+  SELECT g, min(CASE WHEN cum >= greatest(1,
+             CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END) AS mad
+  FROM cdf4 GROUP BY g
+)
+SELECT cl.l_orderkey, cl.l_linenumber, cl.g AS l_returnflag,
+       cl.v, cl.v_f, cl.v_c,
+       CASE WHEN 1.4826 * a.mad > 0
+            THEN (cl.v_c - m2.m) / (1.4826 * a.mad) END AS v_s
+FROM clipped cl
+LEFT JOIN med2 m2 ON cl.g = m2.g
+LEFT JOIN mad a ON cl.g = a.g
+"""
+
+
 def q_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-evaluation closeout: per-nation recall@10 of a
     LOSSY ranking (customers by balance bucketed to $100) against the
@@ -7154,6 +7310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "impute": q_impute,
         "topk_recall": q_topk_recall,
+        "volume_anomaly": q_volume_anomaly,
+        "feature_pipeline": q_feature_pipeline,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7402,6 +7560,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
         "impute": _IMPUTE_ORACLE,
         "topk_recall": _TOPK_RECALL_ORACLE,
+        "volume_anomaly": _VOLUME_ANOMALY_ORACLE,
+        "feature_pipeline": _FEATURE_PIPELINE_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,
