@@ -707,3 +707,53 @@ def test_bad_schema_ddl_fails_fast(spark, tmp_path):
         extract_file(
             spark, {"path": str(csv), "format": "csv", "schema": "id NOTATYPE,"}
         )
+
+
+def test_ml_feature_prep_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/ml-feature-prep.yaml (join -> label ->
+    balance -> r8 median-impute with indicator -> robust scale ->
+    target encode -> binning) runs end-to-end and the imputation
+    stage actually fills every masked (negative) balance."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "features")
+    monkeypatch.setenv("DATA_DIR", sf_dir)
+    monkeypatch.setenv("FEATURES_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/ml-feature-prep.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.status == "SUCCESS", metrics.error_details
+
+    feats = spark.read.parquet(out)
+    for col in ("bal_filled", "bal_was_missing", "acctbal_robust",
+                "segment_te", "price_decile"):
+        assert col in feats.columns
+    # masked (negative) balances all filled; indicator set exactly there
+    assert feats.filter("bal_filled IS NULL").count() == 0
+    assert (
+        feats.filter("bal_was_missing").count()
+        == feats.filter("bal IS NULL").count()
+    )
+
+
+def test_timeseries_monitoring_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/timeseries-monitoring.yaml (resample ->
+    r8 rolling-median baseline -> health gate) runs end-to-end; the
+    baseline exists wherever the window saw any observation."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "grid")
+    monkeypatch.setenv("EVENTS_SRC", f"{sf_dir}/events.parquet")
+    monkeypatch.setenv("GRID_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/timeseries-monitoring.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.status == "SUCCESS", metrics.error_details
+
+    grid = spark.read.parquet(out)
+    assert "baseline_median" in grid.columns
+    # every bucket with an observed value has a baseline (the window
+    # includes the bucket itself)
+    assert grid.filter(
+        "avg_value IS NOT NULL AND baseline_median IS NULL"
+    ).count() == 0
