@@ -157,6 +157,10 @@ def main() -> int:
                 lambda: _quantiles_probe(li),
                 li.count(),
             ),
+            "rolling_med": (
+                lambda: _rolling_median_probe(ev),
+                ev.count(),
+            ),
         }
 
     # warm python workers + codegen families once
@@ -312,6 +316,30 @@ def _resample_probe(ev):
     )
     return grid.agg(
         F.sum(F.xxhash64(F.col("avg_value"), F.col("n_obs"))).alias("h")
+    )
+
+
+def _rolling_median_probe(ev):
+    """Per-user trailing rolling median + p90 over the last 25 events;
+    forced through a hash-sum aggregate (a bare count() would prune
+    the sorted-window projection entirely)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import rolling_median
+
+    out = rolling_median(
+        ev, ["user_id"], "ts", "value", 25,
+        out_col="rm", tiebreak=["event_id"],
+    )
+    out = rolling_median(
+        out, ["user_id"], "ts", "value", 25,
+        out_col="rq", tiebreak=["event_id"], prob=0.9,
+    )
+    return out.agg(
+        F.sum(
+            F.xxhash64((F.col("rm") * 1000000).cast("long"),
+                       (F.col("rq") * 1000000).cast("long"))
+        ).alias("h")
     )
 
 
