@@ -4195,6 +4195,53 @@ FROM w
 """
 
 
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sampling without replacement: 5 customers
+    per market segment, balance-weighted, via the deterministic
+    Efraimidis-Spirakis scheme (md5-derived uniforms, ln(u)/w log
+    form in fixed IEEE order) — the 'exactly 10k docs per source,
+    quality-weighted' curation shape. The oracle replays the same
+    arithmetic, so the winning SET is hash-exact."""
+    from etl_spark_gradle_spark.operators.corpus import weighted_reservoir
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        (F.col("c_acctbal").cast("double") + F.lit(1000.0)).alias("w"),
+    )
+    out = weighted_reservoir(
+        cust, "c_custkey", "w", 5, strata_col="c_mktsegment"
+    )
+    return out.select("c_custkey", "c_mktsegment", "bal")
+
+
+_WEIGHTED_RESERVOIR_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS bal,
+         CAST(c_acctbal AS DOUBLE) + 1000.0 AS w
+  FROM customer
+), p AS (
+  SELECT *,
+    (CAST(CAST('0x' || substring(
+        md5('wres:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+      AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM c
+), r AS (
+  SELECT c_custkey, c_mktsegment, bal,
+         CASE WHEN w > 0 THEN ln(u) / w END AS pri,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY CASE WHEN w > 0 THEN ln(u) / w END DESC NULLS LAST,
+                    CAST(c_custkey AS VARCHAR)) AS rn
+  FROM p
+)
+SELECT c_custkey, c_mktsegment, bal
+FROM r WHERE rn <= 5 AND pri IS NOT NULL
+"""
+
+
 def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition query: feed-volume anomaly monitor — daily event
     counts per type → trailing-7-day exact rolling-median baseline →
@@ -7310,6 +7357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "impute": q_impute,
         "topk_recall": q_topk_recall,
+        "weighted_reservoir": q_weighted_reservoir,
         "volume_anomaly": q_volume_anomaly,
         "feature_pipeline": q_feature_pipeline,
         "quantile_clip": q_quantile_clip,
@@ -7560,6 +7608,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
         "impute": _IMPUTE_ORACLE,
         "topk_recall": _TOPK_RECALL_ORACLE,
+        "weighted_reservoir": _WEIGHTED_RESERVOIR_ORACLE,
         "volume_anomaly": _VOLUME_ANOMALY_ORACLE,
         "feature_pipeline": _FEATURE_PIPELINE_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,

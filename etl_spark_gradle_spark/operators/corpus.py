@@ -279,6 +279,73 @@ def weighted_sample(
     )
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    salt: str = "",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme (Inf. Proc. Letters 2006): each
+    row draws priority ``u^(1/w)`` and the top-``k`` priorities win,
+    yielding EXACTLY ``min(k, n_positive)`` rows (per stratum with
+    ``strata_col``) where :func:`weighted_sample`'s Poisson-PPS design
+    only hits the target in expectation. The curation shape for "give
+    me exactly 10k docs per source, quality-weighted".
+
+    Deterministic end-to-end: the uniform draw is the md5 bucket
+    (``wres:`` domain tag, independent of the sample/split/cap/wsample
+    hashes over the same key) mapped to ``(bucket + 0.5) / 2^32`` ∈
+    (0, 1); the comparison key is the monotone log form ``ln(u)/w``
+    (maximized — for w>0, u^(1/w) order ≡ ln(u)/w order), computed in
+    two fixed IEEE ops so any engine spelling the same arithmetic
+    ranks identically; ties (only possible on md5 collisions) break by
+    key. Null/non-positive weights never win a slot.
+
+    Plan at 100 TB: priorities are scan-riding expressions; the
+    top-k is ``row_number`` over (strata) — a PARTIAL WindowGroupLimit
+    keeps ≤k rows per map task before the single strata-keyed
+    exchange, so the shuffle carries ≤ k·tasks rows, never the
+    corpus."""
+    if k <= 0:
+        raise TransformationError("weighted_reservoir requires k > 0")
+    for c in (key_col, weight_col, *( [strata_col] if strata_col else [] )):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("wres:"), F.col(key_col).cast("string"), F.lit(salt)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    pri = F.when(w > 0.0, F.log(u) / w)
+    parts = [F.col(strata_col)] if strata_col else []
+    win = Window.partitionBy(*parts).orderBy(
+        pri.desc_nulls_last(), F.col(key_col).cast("string").asc()
+    )
+    out = df.withColumn("_wr_pri", pri).withColumn(
+        "_wr_rn", F.row_number().over(win)
+    )
+    out = out.where(F.col("_wr_rn") <= int(k)).where(
+        F.col("_wr_pri").isNotNull()
+    )
+    if priority_col:
+        out = out.withColumn(priority_col, F.col("_wr_pri"))
+    return out.drop("_wr_pri", "_wr_rn")
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -466,3 +466,42 @@ class TestBalanceClassesUp:
         )
         res = TRANSFORMER_REGISTRY["balance_classes"].validate(df, bad)
         assert not res.is_valid and any("mode" in e for e in res.errors)
+
+
+def test_weighted_reservoir_exact_k_and_bias(spark):
+    """Efraimidis-Spirakis: exactly min(k, n_positive) rows per
+    stratum, deterministic across runs, higher weights win more
+    often, non-positive weights never win."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.corpus import weighted_reservoir
+
+    # heavy rows split across BOTH strata (i%20 in {0,1}: 20 heavy per
+    # stratum, exactly the slot count)
+    rows = [(f"k{i}", "s%d" % (i % 2), 100.0 if i % 20 in (0, 1) else 1.0)
+            for i in range(400)] + [("dead", "s0", 0.0), ("neg", "s1", -5.0)]
+    df = spark.createDataFrame(rows, "key string, s string, w double")
+    out = weighted_reservoir(df, "key", "w", 20, strata_col="s")
+    got = out.groupBy("s").count().collect()
+    assert {r.s: r["count"] for r in got} == {"s0": 20, "s1": 20}
+    keys = {r.key for r in out.collect()}
+    assert "dead" not in keys and "neg" not in keys
+    # deterministic across invocations
+    again = {r.key for r in
+             weighted_reservoir(df, "key", "w", 20, strata_col="s").collect()}
+    assert keys == again
+    # weight bias: the 40 weight-100 rows (10% of rows, ~91% of mass)
+    # should dominate the 40 winners
+    heavy = sum(
+        1 for k in keys if k.startswith("k") and int(k[1:]) % 20 in (0, 1)
+    )
+    assert heavy >= 25, f"heavy rows underrepresented: {heavy}/40"
+    # k larger than the stratum: every positive-weight row survives
+    small = spark.createDataFrame(
+        [("a", "x", 1.0), ("b", "x", 2.0)], "key string, s string, w double"
+    )
+    assert weighted_reservoir(small, "key", "w", 10, strata_col="s").count() == 2
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="k > 0"):
+        weighted_reservoir(df, "key", "w", 0)
