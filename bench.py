@@ -397,8 +397,10 @@ def q18_keyword_tag(spark):
     """Dictionary keyword tagging over documents via the Aho-Corasick
     Arrow path — the large-dictionary curation hot loop (per-task
     automaton build + per-row Python matching over Arrow batches).
-    A 300-phrase dictionary forces the automaton engine; the closing
-    hash-sum aggregate pins the full match relation."""
+    The engine is PINNED to the automaton so this floor keeps guarding
+    the Python path: since round 8 the 300-phrase default would pick
+    the (faster-at-this-size) JVM contains-array engine, whose
+    crossover vs the automaton was measured at ~450 phrases."""
     from etl_spark_gradle_spark.operators.keywords import keyword_matches
 
     docs = load(spark, "documents")
@@ -407,7 +409,9 @@ def q18_keyword_tag(spark):
         "stream", "merge", "table", "order", "customer", "of the",
         "a big", "column", "group", "window", "small", "error", "value",
     ]
-    out = keyword_matches(docs, "text", phrases, id_cols=["doc_id"])
+    out = keyword_matches(
+        docs, "text", phrases, id_cols=["doc_id"], engine="automaton"
+    )
     return out.agg(
         F.sum(F.xxhash64("doc_id", "keyword")).alias("h"),
         F.count(F.lit(1)).alias("n"),

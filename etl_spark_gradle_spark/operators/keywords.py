@@ -59,7 +59,13 @@ from etl_spark_gradle_spark.plans.config import (
 
 __all__ = ["keyword_matches", "KeywordTagTransformer", "AhoCorasick"]
 
-_EXPR_MAX = 256
+# engine-selection threshold, MEASURED at sf0.1 documents (5k docs,
+# ~3 KB texts, local[32]): the JVM contains-array path scales linearly
+# with dictionary size (300→0.79s, 600→1.53s, 1500→3.2s, 4000→7.6s)
+# while the per-task Python automaton is flat (~1.0s at every size) —
+# crossover ≈ 450 phrases. Below it the zero-Python codegen path wins;
+# above it the single-pass automaton does.
+_EXPR_MAX = 400
 
 
 class AhoCorasick:
