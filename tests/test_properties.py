@@ -561,3 +561,129 @@ def test_tv_distance_matches_python_reference(spark_prop, cats_a, cats_b):
     assert abs(tv - want) < 1e-12
     assert tv == tv_rev
     assert 0.0 <= tv <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def py_rolling_median(vals: list[float | None], w: int) -> list[float | None]:
+    """Reference: trailing window of w rows, NULLs excluded, median in
+    integer micro-units with the same fixed-order close as the op."""
+    import math
+
+    out = []
+    for i in range(len(vals)):
+        window = [v for v in vals[max(0, i - w + 1): i + 1] if v is not None]
+        q = sorted(math.floor(round(v * 10**6, 6)) for v in window)
+        n = len(q)
+        if n == 0:
+            out.append(None)
+            continue
+        lo, hi = q[(n + 1) // 2 - 1], q[n // 2]
+        out.append(float(lo + hi) * 0.5 * 1e-6)
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(-1e6, 1e6, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    w=st.integers(1, 8),
+)
+def test_rolling_median_matches_python(spark_prop, vals, w):
+    from datetime import datetime, timedelta
+
+    from etl_spark_gradle_spark.operators.timeseries import rolling_median
+
+    base = datetime(2024, 1, 1)
+    df = spark_prop.createDataFrame(
+        [(i, base + timedelta(seconds=i), v) for i, v in enumerate(vals)],
+        "i INT, ts TIMESTAMP, v DOUBLE",
+    )
+    got = {
+        r.i: r.out
+        for r in rolling_median(df, [], "ts", "v", w, out_col="out",
+                                tiebreak=["i"]).collect()
+    }
+    want = py_rolling_median(vals, w)
+    for i, exp in enumerate(want):
+        if exp is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(exp, abs=2e-6)
+
+
+def py_trimmed_mean(vals: list[float], lo: float, hi: float):
+    import math
+
+    s = sorted(vals)
+    n = len(s)
+    qlo = s[max(1, math.ceil(lo * n)) - 1]
+    qhi = s[max(1, math.ceil(hi * n)) - 1]
+    band = [v for v in s if qlo <= v <= qhi]
+    return (sum(band) / len(band)) if band else None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=40,
+    ),
+    bounds=st.tuples(st.floats(0, 1), st.floats(0, 1)).map(sorted),
+)
+def test_trimmed_mean_matches_python(spark_prop, vals, bounds):
+    from etl_spark_gradle_spark.operators.stats import trimmed_mean
+
+    lo, hi = bounds
+    df = spark_prop.createDataFrame([(v,) for v in vals], "v double")
+    row = trimmed_mean(df, "v", lo, hi).collect()[0]
+    exp = py_trimmed_mean(vals, lo, hi)
+    assert row.n == len(vals)
+    if exp is None:
+        assert row.mean is None
+    else:
+        assert row.mean == pytest.approx(exp, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    xs=st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1, max_size=25,
+    ),
+    refs=st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1, max_size=25,
+    ),
+)
+def test_quantile_normalize_matches_python(spark_prop, xs, refs):
+    """out(x) = smallest ref value whose cumulative count reaches
+    ceil(rank_x(x)/n_x * n_ref) — checked against a direct Python
+    computation with exact integer rank arithmetic."""
+    import bisect
+    import math
+
+    from etl_spark_gradle_spark.operators.stats import quantile_normalize
+
+    xdf = spark_prop.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "i INT, v DOUBLE"
+    )
+    rdf = spark_prop.createDataFrame([(v,) for v in refs], "r DOUBLE")
+    got = {r.i: r.v_qnorm
+           for r in quantile_normalize(xdf, "v", rdf, "r").collect()}
+
+    sx, sr, nx, nr = sorted(xs), sorted(refs), len(xs), len(refs)
+    for i, v in enumerate(xs):
+        cum = bisect.bisect_right(sx, v)          # inclusive ecdf count
+        rank = max(1, -((-cum * nr) // nx))       # ceil(cum*nr/nx)
+        assert got[i] == sr[rank - 1], (v, cum, rank)
