@@ -3811,6 +3811,65 @@ FROM m
 """
 
 
+def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag two-regressor OLS with intercept (price on quantity
+    + discount): 3x3 normal equations by Cramer's rule over the exact
+    decimal moment table — coefficients match numpy lstsq to the
+    printed precision and reproduce bit-for-bit cross-engine because
+    every determinant closes in fixed IEEE order from exact sums."""
+    from etl_spark_gradle_spark.operators import stats as _st
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return _st.multiple_regression(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        group_by=["l_returnflag"],
+    )
+
+
+_MULTIPLE_REGRESSION_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n_raw,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
+    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s2,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS s11,
+    CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS s22,
+    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS s12,
+    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS s1y,
+    CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS s2y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL
+  GROUP BY l_returnflag
+), d AS (
+  SELECT *,
+    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det_a,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS det1,
+    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM m
+)
+SELECT l_returnflag, n_raw AS n,
+  CASE WHEN det_a != 0.0 THEN det0 / det_a END AS intercept,
+  CASE WHEN det_a != 0.0 THEN det1 / det_a END AS beta_l_quantity,
+  CASE WHEN det_a != 0.0 THEN det2 / det_a END AS beta_l_discount,
+  CASE WHEN det_a != 0.0 AND (syy - (sy * sy) / n) > 0
+       THEN 1.0 - (syy - ((det0 / det_a) * sy + (det1 / det_a) * s1y
+                          + (det2 / det_a) * s2y))
+                / (syy - (sy * sy) / n)
+  END AS r2
+FROM d
+"""
+
+
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row z-scores against the row's group moments (broadcast
     join-back, input never shuffled); threshold 1.5 sits inside a
@@ -7358,6 +7417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute": q_impute,
         "topk_recall": q_topk_recall,
         "weighted_reservoir": q_weighted_reservoir,
+        "multiple_regression": q_multiple_regression,
         "volume_anomaly": q_volume_anomaly,
         "feature_pipeline": q_feature_pipeline,
         "quantile_clip": q_quantile_clip,
@@ -7609,6 +7669,7 @@ def oracle_sql() -> dict[str, str]:
         "impute": _IMPUTE_ORACLE,
         "topk_recall": _TOPK_RECALL_ORACLE,
         "weighted_reservoir": _WEIGHTED_RESERVOIR_ORACLE,
+        "multiple_regression": _MULTIPLE_REGRESSION_ORACLE,
         "volume_anomaly": _VOLUME_ANOMALY_ORACLE,
         "feature_pipeline": _FEATURE_PIPELINE_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,

@@ -169,6 +169,97 @@ def linear_fit(
     )
 
 
+def multiple_regression(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Per-group TWO-feature OLS with intercept,
+    ``y = b0 + b1·x1 + b2·x2``, in closed form — the multivariate
+    step past :func:`linear_fit` (one regressor) that still needs NO
+    iterative solver, no MLlib, and no per-group value buffering: the
+    3×3 normal equations solve by Cramer's rule over the SAME exact
+    decimal moment table (one hash aggregation; the shuffle carries
+    one short row per group). More regressors need a matrix solver —
+    use Spark MLlib's LinearRegression there; two features with an
+    intercept covers the bulk of per-segment elasticity / trend-plus-
+    control analyses warehouses actually run.
+
+    Determinism: every moment is an exact decimal sum (order-free);
+    the determinant arithmetic closes in FIXED IEEE order from
+    string-roundtripped doubles, so any engine spelling the same
+    cofactor expansion reproduces each coefficient bit-for-bit.
+    Rows with a NULL in y or any regressor are excluded (standard
+    listwise deletion). A singular normal matrix (collinear or
+    constant regressors, n < 3) yields NULL coefficients. ``r2`` is
+    ``1 − SSE/SST`` in the same fixed-order spelling; SST ≤ 0 (all y
+    equal) yields NULL r2."""
+    if len(x_cols) != 2:
+        raise TransformationError(
+            "multiple_regression solves the 2-regressor closed form; "
+            f"got {len(x_cols)} regressors (use linear_fit for 1, an "
+            "iterative/matrix solver for >2)"
+        )
+    x1, x2 = x_cols
+    for c in (y_col, x1, x2):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    group_by = group_by or []
+    data = df.where(
+        F.col(y_col).isNotNull()
+        & F.col(x1).isNotNull()
+        & F.col(x2).isNotNull()
+    )
+    m = moment_sums(data, [x1, x2, y_col], group_by)
+    n = F.col("n").cast("double")
+    s1 = _d(F.col(f"sum_{x1}"))
+    s2 = _d(F.col(f"sum_{x2}"))
+    sy = _d(F.col(f"sum_{y_col}"))
+    s11 = _d(F.col(f"sumsq_{x1}"))
+    s22 = _d(F.col(f"sumsq_{x2}"))
+    syy = _d(F.col(f"sumsq_{y_col}"))
+    s12 = _d(F.col(f"sumxy_{x1}_{x2}"))
+    s1y = _d(F.col(f"sumxy_{x1}_{y_col}"))
+    s2y = _d(F.col(f"sumxy_{x2}_{y_col}"))
+    det_a = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = det_a != F.lit(0.0)
+    b0 = F.when(ok, det0 / det_a)
+    b1 = F.when(ok, det1 / det_a)
+    b2 = F.when(ok, det2 / det_a)
+    sst = syy - (sy * sy) / n
+    sse = syy - ((det0 / det_a) * sy + (det1 / det_a) * s1y
+                 + (det2 / det_a) * s2y)
+    r2 = F.when(ok & (sst > 0), F.lit(1.0) - sse / sst)
+    return m.select(
+        *group_by,
+        F.col("n"),
+        b0.alias("intercept"),
+        b1.alias(f"beta_{x1}"),
+        b2.alias(f"beta_{x2}"),
+        r2.alias("r2"),
+    )
+
+
 def zscore_flags(
     df: DataFrame,
     value_col: str,

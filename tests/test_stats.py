@@ -958,3 +958,39 @@ def test_impute_strategies_and_adapter(spark):
         df, cfg, RunContext.create("t-imp", spark)
     )
     assert out.where("g = 'a' AND v IS NULL").count() == 0
+
+
+def test_multiple_regression_matches_numpy(spark):
+    """Two-feature OLS via exact-moment Cramer's rule equals numpy
+    lstsq; collinear regressors and n < 3 yield NULL coefficients."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_spark_gradle_spark.operators.stats import multiple_regression
+
+    rng = [(float(i % 13), float((i * 7) % 5), ) for i in range(200)]
+    rows = [
+        ("g", x1, x2, round(3.0 + 2.5 * x1 - 1.25 * x2 + ((i * 31) % 9 - 4) * 0.25, 2))
+        for i, (x1, x2) in enumerate(rng)
+    ]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    r = multiple_regression(df, "y", ["x1", "x2"], ["g"]).collect()[0]
+    X = np.column_stack(
+        [np.ones(len(rows)), [a for _, a, _, _ in rows], [b for _, _, b, _ in rows]]
+    )
+    beta, *_ = np.linalg.lstsq(X, np.array([y for *_, y in rows]), rcond=None)
+    assert r.intercept == _pytest.approx(beta[0], rel=1e-9)
+    assert r.beta_x1 == _pytest.approx(beta[1], rel=1e-9)
+    assert r.beta_x2 == _pytest.approx(beta[2], rel=1e-9)
+    assert 0.9 < r.r2 <= 1.0
+
+    # perfectly collinear regressors -> singular -> NULLs
+    col = spark.createDataFrame(
+        [("g", float(i), 2.0 * i, float(i)) for i in range(10)],
+        "g string, x1 double, x2 double, y double",
+    )
+    rc = multiple_regression(col, "y", ["x1", "x2"], ["g"]).collect()[0]
+    assert rc.intercept is None and rc.beta_x1 is None
+
+    with _pytest.raises(Exception, match="2-regressor"):
+        multiple_regression(df, "y", ["x1"], ["g"])
