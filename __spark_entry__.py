@@ -3811,6 +3811,54 @@ FROM m
 """
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals per priority class —
+    the fabricated-numbers detector. Digits come from the decimal
+    string of the integer micro-unit value (identical on every
+    engine, no libm log10); chi2 closes as a fixed nine-term chain
+    over exact counts with literal expected proportions."""
+    from etl_spark_gradle_spark.operators.stats import benford_test
+
+    _prep(spark)
+    od = _t(spark, sf_dir, "orders")
+    return benford_test(od, "o_totalprice", group_by=["o_orderpriority"])
+
+
+def _benford_oracle() -> str:
+    from etl_spark_gradle_spark.operators.stats import _BENFORD_P
+
+    counts = ",\n".join(
+        f"    CAST(count(CASE WHEN d = {d} THEN 1 END) AS BIGINT) AS d{d}"
+        for d in range(1, 10)
+    )
+    chi_terms = " + ".join(
+        f"((CAST(d{d} AS DOUBLE) - CAST(n AS DOUBLE) * {_BENFORD_P[d-1]!r})"
+        f" * (CAST(d{d} AS DOUBLE) - CAST(n AS DOUBLE) * {_BENFORD_P[d-1]!r}))"
+        f" / (CAST(n AS DOUBLE) * {_BENFORD_P[d-1]!r})"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(floor(CAST(abs(CAST(o_totalprice AS DOUBLE)) AS DECIMAL(27,6))
+                    * 1000000) AS BIGINT) AS vu
+  FROM orders
+), d AS (
+  SELECT o_orderpriority,
+         CASE WHEN vu > 0
+              THEN CAST(substring(CAST(vu AS VARCHAR), 1, 1) AS INT) END AS d
+  FROM v
+), agg AS (
+  SELECT o_orderpriority,
+    CAST(count(d) AS BIGINT) AS n,
+{counts}
+  FROM d GROUP BY 1
+)
+SELECT *, CASE WHEN n > 0 THEN {chi_terms} END AS chi2
+FROM agg
+"""
+
+
 def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-flag two-regressor OLS with intercept (price on quantity
     + discount): 3x3 normal equations by Cramer's rule over the exact
@@ -7418,6 +7466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_recall": q_topk_recall,
         "weighted_reservoir": q_weighted_reservoir,
         "multiple_regression": q_multiple_regression,
+        "benford": q_benford,
         "volume_anomaly": q_volume_anomaly,
         "feature_pipeline": q_feature_pipeline,
         "quantile_clip": q_quantile_clip,
@@ -7670,6 +7719,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_recall": _TOPK_RECALL_ORACLE,
         "weighted_reservoir": _WEIGHTED_RESERVOIR_ORACLE,
         "multiple_regression": _MULTIPLE_REGRESSION_ORACLE,
+        "benford": _benford_oracle(),
         "volume_anomaly": _VOLUME_ANOMALY_ORACLE,
         "feature_pipeline": _FEATURE_PIPELINE_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,

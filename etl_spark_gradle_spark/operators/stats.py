@@ -169,6 +169,80 @@ def linear_fit(
     )
 
 
+# Benford expected first-digit proportions log10(1 + 1/d), d = 1..9,
+# as EXPLICIT double literals so Spark and any oracle engine use the
+# same bits (computing log10 at query time would lean on each
+# engine's libm, whose last ulp is implementation-defined)
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """First-digit (Benford's law) audit — the classic
+    fabricated-or-degenerate-numbers detector for financial feeds and
+    synthetic-data screens: naturally occurring multi-scale positive
+    amounts follow ``P(d) = log10(1 + 1/d)``; keyed-in, capped, or
+    template-generated numbers don't. Beyond-reference per SURVEY
+    §2.7 (the reference has no distributional audit surface).
+
+    Determinism (cross-engine hash gate): the leading digit comes
+    from the DECIMAL STRING of the integer micro-unit value
+    (``first char of cast(floor(|x|·1e6) as string)``) — integer
+    formatting is identical on every engine, where a
+    ``floor(x/10^floor(log10 x))`` extraction would ride each libm's
+    last-ulp ``log10``. The expected proportions are explicit double
+    literals, and the χ² statistic closes as a FIXED nine-term
+    left-to-right chain over the exact per-digit counts, so every
+    output cell reproduces bit-for-bit. Zero, NULL, and |x| < 1e-6
+    values are excluded (no leading digit).
+
+    Output per group: ``n``, ``d1``..``d9`` (exact long counts),
+    ``chi2`` (8 degrees of freedom; NULL when n = 0). Plan: ONE
+    map-side-combined aggregation; the shuffle carries an 11-field
+    row per group."""
+    if value_col not in df.columns:
+        raise TransformationError(
+            f"benford_test: value column not in schema: {value_col}"
+        )
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    vu = F.floor(
+        F.abs(F.col(value_col).cast("double")).cast("decimal(27,6)")
+        * F.lit(1_000_000)
+    ).cast("long")
+    digit = F.when(
+        vu > 0, F.substring(vu.cast("string"), 1, 1).cast("int")
+    )
+    base = df.select(*group_by, digit.alias("_bf_d"))
+    agg = base.groupBy(*group_by).agg(
+        F.count("_bf_d").cast("long").alias("n"),
+        *[
+            F.count(F.when(F.col("_bf_d") == d, F.lit(1)))
+            .cast("long")
+            .alias(f"d{d}")
+            for d in range(1, 10)
+        ],
+    )
+    n = F.col("n").cast("double")
+    chi2 = None
+    for d in range(1, 10):
+        exp = n * F.lit(_BENFORD_P[d - 1])
+        diff = F.col(f"d{d}").cast("double") - exp
+        # diff*diff, never pow(): pow's last ulp is engine-defined
+        term = (diff * diff) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    return agg.withColumn("chi2", F.when(F.col("n") > 0, chi2))
+
+
 def multiple_regression(
     df: DataFrame,
     y_col: str,

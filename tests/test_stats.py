@@ -994,3 +994,42 @@ def test_multiple_regression_matches_numpy(spark):
 
     with _pytest.raises(Exception, match="2-regressor"):
         multiple_regression(df, "y", ["x1"], ["g"])
+
+
+def test_benford_counts_and_chi2(spark):
+    """Benford audit: leading digits from the micro-unit decimal
+    string (no libm log10); exact counts; chi2 against the literal
+    expected proportions; zero/null/sub-resolution values excluded."""
+    from etl_spark_gradle_spark.operators.stats import _BENFORD_P, benford_test
+
+    rows = [
+        ("a", 123.45), ("a", 19.99), ("a", 0.5), ("a", 9000.0),
+        ("a", None), ("a", 0.0), ("a", -234.5), ("a", 0.0000001),
+        ("b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in benford_test(df, "v", ["g"]).collect()}
+    a = out["a"]
+    # digits: 123.45->1, 19.99->1, 0.5->5, 9000->9, -234.5->2; null,
+    # zero, 1e-7 (below micro-unit resolution) excluded
+    assert a.n == 5
+    assert (a.d1, a.d2, a.d5, a.d9) == (2, 1, 1, 1)
+    exp_chi = 0.0
+    obs = {1: 2, 2: 1, 5: 1, 9: 1}
+    for d in range(1, 10):
+        e = 5 * _BENFORD_P[d - 1]
+        diff = obs.get(d, 0) - e
+        exp_chi = exp_chi + (diff * diff) / e
+    assert abs(a.chi2 - exp_chi) < 1e-9
+    assert out["b"].n == 1 and out["b"].d1 == 1
+
+    # a benford-conforming sample scores lower chi2 than a flat one
+    import math
+    conforming = [(float(10 ** (i % 3)) * d, ) for d in range(1, 10)
+                  for i in range(int(100 * math.log10(1 + 1 / d)))]
+    flat = [(float(d * 100 + 7),) for d in range(1, 10) for _ in range(11)]
+    cdf = spark.createDataFrame(conforming, "v double")
+    fdf = spark.createDataFrame(flat, "v double")
+    chi_c = benford_test(cdf, "v").collect()[0].chi2
+    chi_f = benford_test(fdf, "v").collect()[0].chi2
+    assert chi_c < chi_f
