@@ -1860,7 +1860,7 @@ class DriftTransformer:
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
     correlation|linear_fit|zscore|quantiles|mad_outliers|ecdf|
-    quantile_clip|trimmed_mean|impute,
+    quantile_clip|trimmed_mean|impute|multiple_regression|benford,
     ``columns`` (csv — correlation), ``xColumn``/``yColumn``
     (linear_fit), ``valueColumn``/``threshold`` (zscore),
     ``valueColumn``/``probs`` csv (quantiles),
@@ -1949,10 +1949,28 @@ class StatsTransformer:
                 )
             if strat == "constant" and opts.get("fillValue") is None:
                 errors.append("stats impute strategy=constant requires 'fillValue'")
+        elif op == "multiple_regression":
+            xs = _split_csv(opts.get("xColumns"))
+            if len(xs) != 2:
+                errors.append(
+                    "stats multiple_regression requires 'xColumns' (csv of "
+                    "exactly 2)"
+                )
+            cols_needed += xs
+            if not opts.get("yColumn"):
+                errors.append("stats multiple_regression requires 'yColumn'")
+            else:
+                cols_needed.append(opts["yColumn"])
+        elif op == "benford":
+            if not opts.get("valueColumn"):
+                errors.append("stats benford requires 'valueColumn'")
+            else:
+                cols_needed.append(opts["valueColumn"])
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
-                f"|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute, got '{op}'"
+                "|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute"
+                f"|multiple_regression|benford, got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -2008,6 +2026,15 @@ class StatsTransformer:
                 group_by=gb,
                 output_col=opts.get("outputColumn"),
             )
+        if op == "multiple_regression":
+            return multiple_regression(
+                df,
+                opts["yColumn"],
+                _split_csv(opts["xColumns"]),
+                group_by=gb,
+            )
+        if op == "benford":
+            return benford_test(df, opts["valueColumn"], group_by=gb)
         if op == "impute":
             return impute(
                 df,

@@ -1033,3 +1033,38 @@ def test_benford_counts_and_chi2(spark):
     chi_c = benford_test(cdf, "v").collect()[0].chi2
     chi_f = benford_test(fdf, "v").collect()[0].chi2
     assert chi_c < chi_f
+
+
+def test_multiple_regression_and_benford_yaml_adapters(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import RunContext, TransformationConfig
+
+    df = spark.createDataFrame(
+        [("g", float(i), float(i % 4), 1.0 + 2.0 * i + 0.5 * (i % 4))
+         for i in range(30)],
+        "g string, x1 double, x2 double, y double",
+    )
+    t = TRANSFORMER_REGISTRY["stats"]
+    cfg = TransformationConfig(
+        type="stats",
+        options={"operation": "multiple_regression", "yColumn": "y",
+                 "xColumns": "x1,x2", "groupBy": "g"},
+    )
+    row = t.transform(df, cfg, RunContext.create("t-mr", spark)).collect()[0]
+    import pytest as _pytest
+    assert row.beta_x1 == _pytest.approx(2.0, rel=1e-9)
+    assert row.beta_x2 == _pytest.approx(0.5, rel=1e-9)
+    assert row.intercept == _pytest.approx(1.0, rel=1e-9)
+
+    bad = TransformationConfig(
+        type="stats",
+        options={"operation": "multiple_regression", "yColumn": "y",
+                 "xColumns": "x1"},
+    )
+    assert not t.validate(df, bad).is_valid
+
+    bcfg = TransformationConfig(
+        type="stats", options={"operation": "benford", "valueColumn": "y"},
+    )
+    brow = t.transform(df, bcfg, RunContext.create("t-bf", spark)).collect()[0]
+    assert brow.n == 30 and brow.chi2 is not None
