@@ -4772,6 +4772,99 @@ def _pagerank_oracle(iterations: int = 3, d100: int = 85) -> str:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point k-means (k=8, 3 Lloyd iterations) over the
+    embeddings table — the SemDeDup clustering core. Components
+    quantize as floor(x * 2^20) (exact: float32 -> double is lossless
+    and a power-of-two multiply only shifts the exponent), so every
+    distance and centroid is pure BIGINT arithmetic; assignment is a
+    zero-shuffle literal-centroid projection, the update is one
+    explode shuffle reduced map-side to k*dim partials. The oracle
+    unrolls the same 3 iterations as CTEs with the floor-mod identity
+    standing in for Python's floor division."""
+    from etl_spark_gradle_spark.operators.clustering import kmeans
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(emb, "vec_id", "embedding", k=8, iterations=3)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-one-per-cluster: cluster the embeddings (same
+    k=8 x 3 iterations as `kmeans`), then keep each cluster's row
+    closest to its centroid (ties -> smallest id). One extra
+    cluster-keyed window on top of the clustering plan."""
+    from etl_spark_gradle_spark.operators.clustering import (
+        kmeans,
+        semantic_representatives,
+    )
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_representatives(
+        kmeans(emb, "vec_id", "embedding", k=8, iterations=3), "vec_id"
+    )
+
+
+def _kmeans_oracle(
+    k: int = 8, iterations: int = 3, scale_bits: int = 20,
+    representatives: bool = False,
+) -> str:
+    scale = float(2 ** scale_bits)
+    ctes = [
+        # point components, quantized exactly like Spark's
+        # floor(cast(float as double) * 2^20)
+        "pdim AS (SELECT vec_id, unnest(range(len(embedding))) AS dim, "
+        f"CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale!r}) AS BIGINT) AS v "
+        "FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL "
+        "AND len(list_filter(embedding, x -> x IS NULL)) = 0)",
+        f"ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster "
+        f"FROM (SELECT DISTINCT vec_id FROM pdim ORDER BY vec_id LIMIT {k}))",
+        "cent0 AS (SELECT i.cluster, p.dim, p.v FROM ids i JOIN pdim p USING (vec_id))",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"cent{i - 1}"
+        ctes += [
+            f"dist{i} AS (SELECT p.vec_id, c.cluster, "
+            "CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS dist "
+            f"FROM pdim p JOIN {prev} c ON p.dim = c.dim "
+            "GROUP BY p.vec_id, c.cluster)",
+            f"asg{i} AS (SELECT vec_id, cluster, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn "
+            f"FROM dist{i})",
+            f"sums{i} AS (SELECT a.cluster, p.dim, "
+            "CAST(SUM(p.v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n "
+            f"FROM asg{i} a JOIN pdim p ON a.vec_id = p.vec_id AND a.rn = 1 "
+            "GROUP BY a.cluster, p.dim)",
+            # floor division via the floor-mod identity (SQL // truncates
+            # toward zero; Python // floors — sums can be negative)
+            f"cent{i} AS (SELECT c.cluster, c.dim, CAST(COALESCE("
+            "(s.s - (((s.s % s.n) + s.n) % s.n)) // s.n, c.v) AS BIGINT) AS v "
+            f"FROM {prev} c LEFT JOIN sums{i} s "
+            "ON c.cluster = s.cluster AND c.dim = s.dim)",
+        ]
+    ctes += [
+        "fdist AS (SELECT p.vec_id, c.cluster, "
+        "CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS dist "
+        f"FROM pdim p JOIN cent{iterations} c ON p.dim = c.dim "
+        "GROUP BY p.vec_id, c.cluster)",
+        "fasg AS (SELECT vec_id, cluster, dist, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn "
+        "FROM fdist)",
+        "assigned AS (SELECT vec_id, CAST(cluster AS INT) AS cluster, "
+        "dist AS dist_int FROM fasg WHERE rn = 1)",
+    ]
+    if representatives:
+        final = (
+            "SELECT cluster, vec_id, dist_int FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY cluster ORDER BY dist_int, vec_id)"
+            " AS rrn FROM assigned) WHERE rrn = 1"
+        )
+    else:
+        final = "SELECT vec_id, cluster, dist_int FROM assigned"
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -7469,6 +7562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "volume_anomaly": q_volume_anomaly,
         "feature_pipeline": q_feature_pipeline,
+        "kmeans": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7722,6 +7817,8 @@ def oracle_sql() -> dict[str, str]:
         "benford": _benford_oracle(),
         "volume_anomaly": _VOLUME_ANOMALY_ORACLE,
         "feature_pipeline": _FEATURE_PIPELINE_ORACLE,
+        "kmeans": _kmeans_oracle(),
+        "semantic_dedup": _kmeans_oracle(representatives=True),
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,

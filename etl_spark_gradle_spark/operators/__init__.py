@@ -136,6 +136,11 @@ from etl_spark_gradle_spark.operators.graph import (  # noqa: F401
     pagerank,
     triangle_count,
 )
+from etl_spark_gradle_spark.operators.clustering import (  # noqa: F401
+    KMeansTransformer,
+    kmeans,
+    semantic_representatives,
+)
 from etl_spark_gradle_spark.operators.skew import (  # noqa: F401
     SkewJoinTransformer,
     skew_join,
@@ -244,6 +249,7 @@ TRANSFORMER_REGISTRY = {
     "weighted_sample": WeightedSampleTransformer(),
     "pagerank": PagerankTransformer(),
     "triangle_count": TriangleCountTransformer(),
+    "kmeans": KMeansTransformer(),
     "skew_join": SkewJoinTransformer(),
     "bloom_semi_join": BloomSemiJoinTransformer(),
     "keyword_tag": KeywordTagTransformer(),

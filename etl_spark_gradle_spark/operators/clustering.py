@@ -1,0 +1,229 @@
+"""Distributed k-means clustering over embedding columns.
+
+The LLM-curation use case is SemDeDup-style *semantic* dedup and
+corpus stratification (Abbas et al. 2023): cluster document embeddings
+with k-means, then act per cluster (keep one representative, sample
+per cluster, diversity-balance a mixture). This module provides the
+clustering core; ``semantic_representatives`` picks the per-cluster
+survivor.
+
+Design for determinism AND scale — the same two constraints that
+shaped ``graph.pagerank`` (float accumulation is partition-order
+dependent; a naive crossJoin of points x centroids explodes):
+
+- **Power-of-two fixed-point quantization.** Components quantize as
+  ``floor(x * 2^scale_bits)``: a float32 value is exactly
+  representable in double and multiplying by a power of two only
+  shifts the exponent, so the product is EXACT and ``floor`` is
+  engine-independent — no round-half-to-even vs half-away hazard at
+  all. Every subsequent operation (squared distances, component sums,
+  floor-divided means) is pure BIGINT arithmetic, identical on any
+  engine under any partitioning.
+- **Zero-shuffle assignment.** Centroids live on the driver (k x dim
+  integers, a few KB); each iteration builds the k squared-distance
+  expressions as literals, so the assignment is a pure projection that
+  rides the scan — no crossJoin, no shuffle, full codegen. Argmin =
+  ``array_position(d, array_min(d))``, which breaks distance ties
+  toward the smallest cluster id deterministically.
+- **One shuffle per iteration.** The centroid update explodes points
+  to ``(cluster, dim, component)`` and sums — map-side combine
+  reduces each partition to at most k*dim partials, so the shuffle
+  moves O(P * k * dim) rows regardless of data size. The k*dim sums
+  are collected to the driver (bounded, like pagerank's node count)
+  and the new centroids are computed there with Python's exact
+  floor division. Empty clusters keep their previous centroid.
+- **Deterministic init.** Initial centroids are the quantized vectors
+  of the k smallest ids (rank order = cluster id). k-means++ would
+  need a seeded RNG that an oracle engine can't replay; for
+  correctness-gated clustering the deterministic seed is the point.
+  Callers who want better seeds pass ``init_ids``.
+
+Reference parity anchor: the reference engine has no clustering
+operators (SURVEY.md §2 — transformers are filter/map/agg/join/window
+only); this is beyond-reference surface for the 100 TB curation use
+case, same family as dedup.py's MinHash-LSH and similarity.py's IVF
+(whose cell-assignment step is the float cousin of the assignment
+here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators.relational import TransformationError
+
+__all__ = [
+    "kmeans",
+    "semantic_representatives",
+    "KMeansTransformer",
+]
+
+
+def _dist_expr(qcol, centroid):
+    """Exact integer squared L2 distance from ``qcol`` (array<long>)
+    to a driver-side centroid (list[int]), as a literal expression."""
+    carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(qcol, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 3,
+    scale_bits: int = 20,
+    init_ids: list | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an ``array<float|double>`` column with
+    exact fixed-point arithmetic.
+
+    Returns ``(id_col, cluster int, dist_int long)``: the final
+    cluster assignment and the exact integer squared distance to the
+    final centroid (in quantized units^2) — both hash-gateable.
+
+    Rows with a NULL id/vector, a vector whose length differs from
+    the inferred dimension, or NULL components are dropped (same
+    posture as similarity.py's ANN operators).
+
+    Overflow bounds (BIGINT): |component| <= 2^scale_bits * max|x|;
+    per-dim squared diff <= (2*that)^2; the distance sum adds dim of
+    them. At the default scale_bits=20 this is safe for |x| <= 500
+    and dim <= 4096.
+    """
+    if int(k) < 1:
+        raise TransformationError("kmeans requires k >= 1")
+    if int(iterations) < 1:
+        raise TransformationError("kmeans requires iterations >= 1")
+    if not 1 <= int(scale_bits) <= 30:
+        raise TransformationError("kmeans scale_bits must be in [1, 30]")
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+
+    scale = float(2 ** int(scale_bits))
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
+    )
+    pts = (
+        df.select(F.col(id_col).alias("_kid"), q.alias("_q"))
+        .where(F.col("_kid").isNotNull() & F.col("_q").isNotNull())
+        .where(~F.exists("_q", lambda x: x.isNull()))
+    )
+    # Infer dimension from the smallest-id row (one tiny driver point,
+    # deterministic), then drop ragged rows.
+    first = pts.orderBy("_kid").limit(1).collect()
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` string, cluster int, dist_int long"
+        )
+    dim = len(first[0]["_q"])
+    pts = pts.where(F.size("_q") == dim).localCheckpoint(eager=False)
+
+    if init_ids is not None:
+        seed_rows = (
+            pts.where(F.col("_kid").isin(list(init_ids)))
+            .orderBy("_kid")
+            .collect()
+        )
+    else:
+        seed_rows = pts.orderBy("_kid").limit(int(k)).collect()
+    if not seed_rows:
+        raise TransformationError("kmeans: no usable seed rows")
+    centroids = [list(r["_q"]) for r in seed_rows]  # cluster j = j-th seed
+
+    for _ in range(int(iterations)):
+        darr = F.array(*[_dist_expr(F.col("_q"), c) for c in centroids])
+        cl = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        sums = (
+            pts.select(cl.alias("cluster"), F.posexplode("_q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum("v").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()  # bounded: k * dim rows
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cluster keeps old
+        for r in sums:
+            # Python // is exact floor division (the oracle replays it
+            # with the floor-mod identity, since SQL // truncates).
+            new_centroids[r["cluster"]][r["dim"]] = r["s"] // r["n"]
+        centroids = new_centroids
+
+    darr = F.array(*[_dist_expr(F.col("_q"), c) for c in centroids])
+    return pts.select(
+        F.col("_kid").alias(id_col),
+        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("cluster"),
+        F.array_min(darr).cast("long").alias("dist_int"),
+    )
+
+
+def semantic_representatives(assigned: DataFrame, id_col: str) -> DataFrame:
+    """SemDeDup keep-one-per-cluster: from a ``kmeans`` output, keep
+    the row closest to its centroid (ties -> smallest id). One
+    cluster-keyed window; survivors carry their cluster and distance."""
+    from pyspark.sql import Window
+
+    for c in (id_col, "cluster", "dist_int"):
+        if c not in assigned.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    w = Window.partitionBy("cluster").orderBy("dist_int", id_col)
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+class KMeansTransformer:
+    """Registry adapter (``type: kmeans``). Options: ``idColumn``,
+    ``vectorColumn`` (required), ``k`` (default 8), ``iterations``
+    (default 3), ``scaleBits`` (default 20), ``representativesOnly``
+    (default false -> full assignment; true -> SemDeDup survivors)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for key in ("idColumn", "vectorColumn"):
+            if not opts.get(key):
+                errors.append(f"kmeans requires '{key}'")
+            elif opts[key] not in df.columns:
+                errors.append(f"column not in input schema: {opts[key]}")
+        for key, lo in (("k", 1), ("iterations", 1), ("scaleBits", 1)):
+            try:
+                if int(opts.get(key, lo)) < lo:
+                    errors.append(f"kmeans {key} must be >= {lo}")
+            except (TypeError, ValueError):
+                errors.append(f"kmeans {key} must be an integer")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "kmeans config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        out = kmeans(
+            df,
+            opts["idColumn"],
+            opts["vectorColumn"],
+            k=int(opts.get("k", 8)),
+            iterations=int(opts.get("iterations", 3)),
+            scale_bits=int(opts.get("scaleBits", 20)),
+        )
+        if str(opts.get("representativesOnly", "false")).lower() == "true":
+            out = semantic_representatives(out, opts["idColumn"])
+        return out
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"kmeans({opts})"
