@@ -4772,6 +4772,70 @@ def _pagerank_oracle(iterations: int = 3, d100: int = 85) -> str:
     )
 
 
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t per return flag: does
+    mean extended price differ between linestatus F and O? Exact
+    decimal moments close in fixed IEEE order (the moment_sums
+    posture), so t and the Welch–Satterthwaite df reproduce
+    bit-for-bit cross-engine."""
+    from etl_spark_gradle_spark.operators.stats import welch_ttest
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return welch_ttest(
+        li, "l_extendedprice", "l_linestatus", group_by=["l_returnflag"]
+    )
+
+
+_WELCH_TTEST_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(count(CASE WHEN l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+               THEN 1 END) AS BIGINT) AS n_a,
+    CAST(count(CASE WHEN l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+               THEN 1 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN l_linestatus = 'F'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sum_a,
+    SUM(CASE WHEN l_linestatus = 'F'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))
+                  AS DECIMAL(38,4)) END) AS sumsq_a,
+    SUM(CASE WHEN l_linestatus = 'O'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sum_b,
+    SUM(CASE WHEN l_linestatus = 'O'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))
+                  AS DECIMAL(38,4)) END) AS sumsq_b
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, n_a, n_b,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(CAST(sum_a AS VARCHAR) AS DOUBLE) AS sa,
+    CAST(CAST(sumsq_a AS VARCHAR) AS DOUBLE) AS sqa,
+    CAST(CAST(sum_b AS VARCHAR) AS DOUBLE) AS sb,
+    CAST(CAST(sumsq_b AS VARCHAR) AS DOUBLE) AS sqb
+  FROM m
+), v AS (
+  SELECT l_returnflag, n_a, n_b, na, nb,
+    CASE WHEN n_a > 0 THEN sa / na END AS mean_a,
+    CASE WHEN n_b > 0 THEN sb / nb END AS mean_b,
+    CASE WHEN n_a >= 2
+         THEN (na * sqa - sa * sa) / (na * (na - 1.0)) END AS var_a,
+    CASE WHEN n_b >= 2
+         THEN (nb * sqb - sb * sb) / (nb * (nb - 1.0)) END AS var_b
+  FROM c
+), s AS (
+  SELECT *, var_a / na + var_b / nb AS se2 FROM v
+)
+SELECT l_returnflag, n_a, n_b, mean_a, mean_b, var_a, var_b,
+  CASE WHEN se2 > 0 THEN (mean_a - mean_b) / sqrt(se2) END AS t_stat,
+  CASE WHEN se2 > 0 THEN (se2 * se2) /
+       ((var_a / na) * (var_a / na) / (na - 1.0)
+        + (var_b / nb) * (var_b / nb) / (nb - 1.0)) END AS df_welch
+FROM s
+"""
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point k-means (k=8, 3 Lloyd iterations) over the
     embeddings table — the SemDeDup clustering core. Components
@@ -7564,6 +7628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_pipeline": q_feature_pipeline,
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
+        "welch_ttest": q_welch_ttest,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7819,6 +7884,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_pipeline": _FEATURE_PIPELINE_ORACLE,
         "kmeans": _kmeans_oracle(),
         "semantic_dedup": _kmeans_oracle(representatives=True),
+        "welch_ttest": _WELCH_TTEST_ORACLE,
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,

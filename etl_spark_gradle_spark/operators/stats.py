@@ -44,6 +44,7 @@ __all__ = [
     "tv_distance",
     "ks_drift",
     "rank_sum_drift",
+    "welch_ttest",
     "exact_quantiles",
     "ecdf",
     "mad_outliers",
@@ -871,6 +872,131 @@ def rank_sum_drift(
                 )
             ).alias("auc"),
         )
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a=None,
+    side_b=None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Welch's two-sample t-test — the parametric location-shift
+    complement to ``rank_sum_drift`` (U asks "does one side dominate";
+    Welch asks "did the MEAN move, scaled by per-side variance",
+    without the equal-variance assumption of Student's t).
+
+    One conditional moment aggregation per group (single shuffle on
+    ``group_by``, one short row per group): exact decimal ``n/Σx/Σx²``
+    per side, closed in fixed IEEE order through the string round-trip
+    (the ``moment_sums`` posture — cross-engine bit-identical)::
+
+        t  = (mean_a − mean_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        df = se2² / ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+
+    ``side_col`` must carry exactly two non-null values; omit
+    ``side_a``/``side_b`` to auto-detect them (sorted ascending — one
+    bounded distinct scan). Rows with NULL value or side are ignored.
+    Groups with n < 2 on either side or zero pooled variance yield
+    NULL ``t_stat``/``df_welch``.
+
+    Reference parity anchor: the reference engine has no statistical
+    tests (SURVEY.md §2); beyond-reference surface in the drift-
+    monitoring family (category_drift χ², ks_drift, rank_sum_drift).
+    """
+    for c in (value_col, side_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    if (side_a is None) != (side_b is None):
+        raise TransformationError(
+            "welch_ttest: pass both side_a and side_b or neither"
+        )
+    if side_a is None:
+        sides = [
+            r[0]
+            for r in df.select(side_col)
+            .where(F.col(side_col).isNotNull())
+            .distinct()
+            .orderBy(side_col)
+            .limit(3)
+            .collect()
+        ]
+        if len(sides) != 2:
+            raise TransformationError(
+                f"welch_ttest: side column '{side_col}' must carry exactly "
+                f"two distinct non-null values, found {len(sides)}"
+            )
+        side_a, side_b = sides
+    if side_a == side_b:
+        raise TransformationError("welch_ttest: side_a and side_b must differ")
+
+    aggs = []
+    for tag, side in (("a", side_a), ("b", side_b)):
+        cond = F.col(side_col) == F.lit(side)
+        aggs += [
+            F.count(
+                F.when(cond & F.col(value_col).isNotNull(), F.lit(1))
+            ).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(cond, _dec(value_col))).alias(f"sum_{tag}"),
+            F.sum(F.when(cond, _prod(value_col, value_col))).alias(f"sumsq_{tag}"),
+        ]
+    grouped = df.groupBy(*group_by) if group_by else df.groupBy()
+    m = grouped.agg(*aggs)
+
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = _d(F.col("sum_a")), _d(F.col("sum_b"))
+    sqa, sqb = _d(F.col("sumsq_a")), _d(F.col("sumsq_b"))
+    mean_a = F.when(F.col("n_a") > 0, sa / na)
+    mean_b = F.when(F.col("n_b") > 0, sb / nb)
+    var_a = F.when(
+        F.col("n_a") >= 2, (na * sqa - sa * sa) / (na * (na - F.lit(1.0)))
+    )
+    var_b = F.when(
+        F.col("n_b") >= 2, (nb * sqb - sb * sb) / (nb * (nb - F.lit(1.0)))
+    )
+    out = m.select(
+        *group_by,
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a").cast("double") + F.col("var_b") / F.col(
+        "n_b"
+    ).cast("double")
+    out = out.withColumn("_se2", se2)
+    va_n = F.col("var_a") / F.col("n_a").cast("double")
+    vb_n = F.col("var_b") / F.col("n_b").cast("double")
+    t_stat = F.when(
+        F.col("_se2") > 0,
+        (F.col("mean_a") - F.col("mean_b")) / F.sqrt(F.col("_se2")),
+    )
+    df_welch = F.when(
+        F.col("_se2") > 0,
+        (F.col("_se2") * F.col("_se2"))
+        / (
+            va_n * va_n / (F.col("n_a").cast("double") - F.lit(1.0))
+            + vb_n * vb_n / (F.col("n_b").cast("double") - F.lit(1.0))
+        ),
+    )
+    return out.select(
+        *group_by,
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        t_stat.alias("t_stat"),
+        df_welch.alias("df_welch"),
     )
 
 
@@ -1860,7 +1986,8 @@ class DriftTransformer:
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
     correlation|linear_fit|zscore|quantiles|mad_outliers|ecdf|
-    quantile_clip|trimmed_mean|impute|multiple_regression|benford,
+    quantile_clip|trimmed_mean|impute|multiple_regression|benford|
+    welch_ttest,
     ``columns`` (csv — correlation), ``xColumn``/``yColumn``
     (linear_fit), ``valueColumn``/``threshold`` (zscore),
     ``valueColumn``/``probs`` csv (quantiles),
@@ -1966,11 +2093,22 @@ class StatsTransformer:
                 errors.append("stats benford requires 'valueColumn'")
             else:
                 cols_needed.append(opts["valueColumn"])
+        elif op == "welch_ttest":
+            for key in ("valueColumn", "sideColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats welch_ttest requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            if (opts.get("sideA") is None) != (opts.get("sideB") is None):
+                errors.append(
+                    "stats welch_ttest requires both 'sideA' and 'sideB' "
+                    "or neither"
+                )
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
                 "|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute"
-                f"|multiple_regression|benford, got '{op}'"
+                f"|multiple_regression|benford|welch_ttest, got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -2035,6 +2173,15 @@ class StatsTransformer:
             )
         if op == "benford":
             return benford_test(df, opts["valueColumn"], group_by=gb)
+        if op == "welch_ttest":
+            return welch_ttest(
+                df,
+                opts["valueColumn"],
+                opts["sideColumn"],
+                side_a=opts.get("sideA"),
+                side_b=opts.get("sideB"),
+                group_by=gb,
+            )
         if op == "impute":
             return impute(
                 df,

@@ -1068,3 +1068,98 @@ def test_multiple_regression_and_benford_yaml_adapters(spark):
     )
     brow = t.transform(df, bcfg, RunContext.create("t-bf", spark)).collect()[0]
     assert brow.n == 30 and brow.chi2 is not None
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = {
+        r.l_returnflag: r
+        for r in st.welch_ttest(
+            li, "l_extendedprice", "l_linestatus", group_by=["l_returnflag"]
+        ).collect()
+    }
+    pdf = li.select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    ).toPandas()
+    # the engine works on the decimal(18,2) projection of the value
+    pdf["v"] = np.floor(pdf["l_extendedprice"] * 100 + 0.5) / 100
+    for flag, r in rows.items():
+        g = pdf[pdf.l_returnflag == flag]
+        a = g[g.l_linestatus == "F"]["v"].to_numpy()
+        b = g[g.l_linestatus == "O"]["v"].to_numpy()
+        if len(a) < 2 or len(b) < 2:
+            continue
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        dof = se2 * se2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert abs(r.mean_a - a.mean()) < 1e-6
+        assert abs(r.var_a - va) < max(1e-6 * va, 1e-6)
+        assert abs(r.t_stat - t) < 1e-8 * max(1.0, abs(t))
+        assert abs(r.df_welch - dof) < 1e-6 * dof
+
+
+def test_welch_ttest_edges_and_validation(spark):
+    # explicit sides, null values/sides ignored, n<2 -> NULL stats
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", 5.0), (None, 9.0)],
+        "side string, v double",
+    )
+    r = st.welch_ttest(df, "v", "side").collect()[0]
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert r.var_b is None and r.t_stat is None and r.df_welch is None
+    assert abs(r.mean_a - 1.5) < 1e-12 and abs(r.mean_b - 5.0) < 1e-12
+    # zero variance on both sides -> NULL t (se2 == 0)
+    z = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+        "side string, v double",
+    )
+    rz = st.welch_ttest(z, "v", "side").collect()[0]
+    assert rz.t_stat is None and rz.var_a == 0.0
+    # explicit side values restrict the comparison
+    three = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0), ("a", 2.0), ("b", 4.0)],
+        "side string, v double",
+    )
+    re = st.welch_ttest(three, "v", "side", side_a="a", side_b="b").collect()[0]
+    assert (re.n_a, re.n_b) == (2, 2)
+    with pytest.raises(TransformationError, match="exactly"):
+        st.welch_ttest(three, "v", "side")
+    with pytest.raises(TransformationError, match="both"):
+        st.welch_ttest(three, "v", "side", side_a="a")
+    with pytest.raises(TransformationError, match="differ"):
+        st.welch_ttest(three, "v", "side", side_a="a", side_b="a")
+    with pytest.raises(TransformationError, match="not in input schema"):
+        st.welch_ttest(three, "nope", "side")
+
+
+def test_welch_ttest_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    df = spark.createDataFrame(
+        [("x", "a", 1.0), ("x", "a", 3.0), ("x", "b", 2.0), ("x", "b", 6.0)],
+        "g string, side string, v double",
+    )
+    t = TRANSFORMER_REGISTRY["stats"]
+    cfg = TransformationConfig(
+        type="stats",
+        options={"operation": "welch_ttest", "valueColumn": "v",
+                 "sideColumn": "side", "groupBy": "g"},
+    )
+    assert t.validate(df, cfg).is_valid
+    out = t.transform(df, cfg, None)
+    assert set(out.columns) == {
+        "g", "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        "t_stat", "df_welch",
+    }
+    assert out.count() == 1
+    bad = TransformationConfig(
+        type="stats",
+        options={"operation": "welch_ttest", "valueColumn": "v",
+                 "sideColumn": "side", "sideA": "a"},
+    )
+    assert not t.validate(df, bad).is_valid
