@@ -4772,6 +4772,80 @@ def _pagerank_oracle(iterations: int = 3, d100: int = 85) -> str:
     )
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile of the daily event-count series per
+    event type at lags 1/2/7 — the seasonality fingerprint (is volume
+    persistent day-over-day? weekly-periodic?). Counts are integers so
+    the decimal quantization is exact by construction; all three lags
+    ride one series-keyed window and close in one aggregation."""
+    from etl_spark_gradle_spark.operators.timeseries import acf
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return acf(daily, "day", "cnt", [1, 2, 7], group_by=["event_type"])
+
+
+def _acf_oracle(lags=(1, 2, 7)) -> str:
+    lag_cols = ",\n    ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y{k}"
+        for k in lags
+    )
+    sums = []
+    for k in lags:
+        pair = f"(x IS NOT NULL AND y{k} IS NOT NULL)"
+        sums.append(
+            f"CAST(count(CASE WHEN {pair} THEN 1 END) AS BIGINT) AS n_{k},\n"
+            f"    SUM(CASE WHEN {pair} THEN x END) AS sx_{k},\n"
+            f"    SUM(CASE WHEN {pair} THEN y{k} END) AS sy_{k},\n"
+            f"    SUM(CASE WHEN {pair} THEN CAST(x * x AS DECIMAL(38,12)) END) AS sxx_{k},\n"
+            f"    SUM(CASE WHEN {pair} THEN CAST(y{k} * y{k} AS DECIMAL(38,12)) END) AS syy_{k},\n"
+            f"    SUM(CASE WHEN {pair} THEN CAST(x * y{k} AS DECIMAL(38,12)) END) AS sxy_{k}"
+        )
+    branches = []
+    for k in lags:
+        branches.append(
+            f"SELECT event_type, CAST({k} AS INT) AS lag, n_{k} AS n_pairs,\n"
+            "  CASE WHEN n_{k} >= 2 AND vx_{k} > 0 AND vy_{k} > 0\n"
+            "       THEN cov_{k} / sqrt(vx_{k} * vy_{k}) END AS acf_val\n"
+            "FROM closed".replace("{k}", str(k))
+        )
+    closes = ",\n    ".join(
+        f"CAST(n_{k} AS DOUBLE) * CAST(CAST(sxx_{k} AS VARCHAR) AS DOUBLE)"
+        f" - CAST(CAST(sx_{k} AS VARCHAR) AS DOUBLE)"
+        f" * CAST(CAST(sx_{k} AS VARCHAR) AS DOUBLE) AS vx_{k},\n"
+        f"    CAST(n_{k} AS DOUBLE) * CAST(CAST(syy_{k} AS VARCHAR) AS DOUBLE)"
+        f" - CAST(CAST(sy_{k} AS VARCHAR) AS DOUBLE)"
+        f" * CAST(CAST(sy_{k} AS VARCHAR) AS DOUBLE) AS vy_{k},\n"
+        f"    CAST(n_{k} AS DOUBLE) * CAST(CAST(sxy_{k} AS VARCHAR) AS DOUBLE)"
+        f" - CAST(CAST(sx_{k} AS VARCHAR) AS DOUBLE)"
+        f" * CAST(CAST(sy_{k} AS VARCHAR) AS DOUBLE) AS cov_{k}"
+        for k in lags
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(count(*) AS BIGINT) AS DECIMAL(18,6)) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, x,
+    {lag_cols}
+  FROM daily
+), m AS (
+  SELECT event_type,
+    {",".join(sums)}
+  FROM l GROUP BY event_type
+), closed AS (
+  SELECT *,
+    {closes}
+  FROM m
+)
+{" UNION ALL ".join(branches)}
+"""
+
+
 def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance two-sample t per return flag: does
     mean extended price differ between linestatus F and O? Exact
@@ -7629,6 +7703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
+        "acf": q_acf,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7885,6 +7960,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _kmeans_oracle(),
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
+        "acf": _acf_oracle(),
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,

@@ -167,11 +167,13 @@ from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
 from etl_spark_gradle_spark.operators.strings import EditJoinTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.sketch import SketchTransformer  # noqa: F401
 from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
+    AcfTransformer,
     CusumTransformer,
     IntervalsTransformer,
     ResampleTransformer,
     RollingMedianTransformer,
     TimeRollupTransformer,
+    acf,
     cusum_changepoints,
     merge_intervals,
     resample,
@@ -243,6 +245,7 @@ TRANSFORMER_REGISTRY = {
     "infotheory": InfoTheoryTransformer(),
     "intervals": IntervalsTransformer(),
     "changepoint": CusumTransformer(),
+    "acf": AcfTransformer(),
     "profile": ProfileTransformer(),
     "drift": DriftTransformer(),
     "pmi": PmiTransformer(),

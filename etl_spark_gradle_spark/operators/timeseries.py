@@ -59,6 +59,8 @@ __all__ = [
     "TimeRollupTransformer",
     "merge_intervals",
     "cusum_changepoints",
+    "acf",
+    "AcfTransformer",
     "ResampleTransformer",
     "IntervalsTransformer",
     "CusumTransformer",
@@ -651,6 +653,160 @@ def cusum_changepoints(
         .drop("_p_hi", "_p_lo")
     )
     return out.drop("_target") if target is None else out
+
+
+def acf(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    lags: list[int],
+    group_by: list[str] | None = None,
+    resolution: int = 6,
+) -> DataFrame:
+    """Per-series lag-k autocorrelation (ACF) — the seasonality /
+    persistence profile of a metric series (does today's volume
+    correlate with yesterday's? with the same weekday last week?).
+
+    Semantics: for each lag k, Pearson correlation over the aligned
+    overlapping pairs ``(x_t, x_{t-k})`` — pandas'
+    ``Series.autocorr(k)``. All requested lags ride ONE series-keyed
+    window shuffle (each lag is one more ``lag()`` over the same
+    sorted frame, no extra exchange) and close in ONE aggregation
+    (per-lag conditional exact-decimal moments; the shuffle carries
+    one short row per series). Output long form:
+    ``(group..., lag, n_pairs, acf_val)``; lags with < 2 pairs or a
+    zero-variance side yield NULL.
+
+    Exactness: values quantize to ``decimal(18,resolution)`` (the
+    cusum posture) so Σx/Σx²/Σxy are exact; the close runs in fixed
+    IEEE order through the string round-trip — cross-engine
+    bit-identical. ``order_col`` must be unique per series (ties make
+    ``lag()`` order-dependent; pre-aggregate to a grid first — see
+    ``resample``).
+
+    At 100 TB: the window shuffle is the unavoidable sort; everything
+    after is per-row expressions plus a series-count-sized aggregate.
+    """
+    if not lags or any(int(k) < 1 for k in lags):
+        raise TransformationError("acf requires lags >= 1")
+    lags = [int(k) for k in lags]
+    if len(set(lags)) != len(lags):
+        raise TransformationError("acf lags must be distinct")
+    if not 0 <= int(resolution) <= 9:
+        raise TransformationError("acf resolution must be in [0, 9]")
+    group_by = group_by or []
+    for c in (order_col, value_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+
+    dec_t = f"decimal(18,{int(resolution)})"
+    prod_t = f"decimal(38,{2 * int(resolution)})"
+    w = Window.partitionBy(*group_by).orderBy("_o")
+    base = df.where(F.col(order_col).isNotNull()).select(
+        *group_by,
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast(dec_t).alias("_x"),
+    )
+    for k in lags:
+        base = base.withColumn(f"_y{k}", F.lag("_x", k).over(w))
+
+    aggs = []
+    for k in lags:
+        pair = F.col("_x").isNotNull() & F.col(f"_y{k}").isNotNull()
+        x = F.when(pair, F.col("_x"))
+        y = F.when(pair, F.col(f"_y{k}"))
+        aggs += [
+            F.count(F.when(pair, F.lit(1))).cast("long").alias(f"n_{k}"),
+            F.sum(x).alias(f"sx_{k}"),
+            F.sum(y).alias(f"sy_{k}"),
+            F.sum((x * x).cast(prod_t)).alias(f"sxx_{k}"),
+            F.sum((y * y).cast(prod_t)).alias(f"syy_{k}"),
+            F.sum((x * y).cast(prod_t)).alias(f"sxy_{k}"),
+        ]
+    grouped = base.groupBy(*group_by) if group_by else base.groupBy()
+    m = grouped.agg(*aggs)
+
+    def _sd(c):
+        return F.col(c).cast("string").cast("double")
+
+    structs = []
+    for k in lags:
+        n = F.col(f"n_{k}").cast("double")
+        sx, sy = _sd(f"sx_{k}"), _sd(f"sy_{k}")
+        sxx, syy, sxy = _sd(f"sxx_{k}"), _sd(f"syy_{k}"), _sd(f"sxy_{k}")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        r = F.when(
+            (F.col(f"n_{k}") >= 2) & (vx > 0) & (vy > 0),
+            cov / F.sqrt(vx * vy),
+        )
+        structs.append(
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.col(f"n_{k}").alias("n_pairs"),
+                r.alias("acf_val"),
+            )
+        )
+    return m.select(
+        *group_by, F.explode(F.array(*structs)).alias("_s")
+    ).select(*group_by, "_s.lag", "_s.n_pairs", "_s.acf_val")
+
+
+class AcfTransformer:
+    """Registry adapter (``type: acf``). Options: ``orderColumn``,
+    ``valueColumn``, ``lags`` (csv of ints, required); ``groupBy``
+    (csv), ``resolution`` (default 6)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        cols_needed = list(_split_csv(opts.get("groupBy")))
+        for key in ("orderColumn", "valueColumn"):
+            if not opts.get(key):
+                errors.append(f"acf requires '{key}'")
+            else:
+                cols_needed.append(opts[key])
+        try:
+            lags = [int(k) for k in _split_csv(opts.get("lags"))]
+            if not lags or any(k < 1 for k in lags) or len(set(lags)) != len(lags):
+                errors.append("acf requires 'lags' (csv of distinct ints >= 1)")
+        except ValueError:
+            errors.append("acf requires 'lags' (csv of distinct ints >= 1)")
+        try:
+            if not 0 <= int(opts.get("resolution", 6)) <= 9:
+                errors.append("acf resolution must be in [0, 9]")
+        except ValueError:
+            errors.append("acf resolution must be an integer")
+        for c in cols_needed:
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "acf config invalid: " + "; ".join(result.errors)
+            )
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        opts = config.options
+        return acf(
+            df,
+            opts["orderColumn"],
+            opts["valueColumn"],
+            [int(k) for k in _split_csv(opts["lags"])],
+            group_by=_split_csv(opts.get("groupBy")) or None,
+            resolution=int(opts.get("resolution", 6)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"acf({opts})"
 
 
 class CusumTransformer:

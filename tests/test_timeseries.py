@@ -688,3 +688,84 @@ def test_trimmed_mean_yaml_adapter(spark):
     row = t.transform(df, cfg, RunContext.create("t-tm", spark)).collect()[0]
     assert row.n == 10 and row.q_lo == 1.0 and row.q_hi == 9.0
     assert abs(row.mean - sum(range(1, 10)) / 9) < 1e-9
+
+
+def test_acf_matches_pandas(spark):
+    import pandas as pd
+
+    rng = __import__("random").Random(5)
+    rows = []
+    for g in ("s1", "s2"):
+        v = 0.0
+        for t in range(60):
+            v = 0.7 * v + rng.uniform(-1, 1)
+            rows.append((g, t, round(v, 6)))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    from etl_spark_gradle_spark.operators.timeseries import acf
+
+    got = {
+        (r.g, r.lag): r
+        for r in acf(df, "t", "v", [1, 2, 7], group_by=["g"]).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "t", "v"])
+    for g in ("s1", "s2"):
+        s = pdf[pdf.g == g].sort_values("t")["v"].reset_index(drop=True)
+        for k in (1, 2, 7):
+            r = got[(g, k)]
+            assert r.n_pairs == 60 - k
+            assert abs(r.acf_val - s.autocorr(k)) < 1e-9, (g, k)
+    # lag-1 of an AR(0.7) series is strongly positive
+    assert got[("s1", 1)].acf_val > 0.3
+
+
+def test_acf_edges_and_validation(spark):
+    from etl_spark_gradle_spark.operators.timeseries import acf
+    from etl_spark_gradle_spark.operators.relational import TransformationError
+
+    # constant series -> zero variance -> NULL; short series -> NULL
+    df = spark.createDataFrame(
+        [("c", t, 5.0) for t in range(10)] + [("s", 0, 1.0)],
+        "g string, t int, v double",
+    )
+    got = {(r.g, r.lag): r for r in
+           acf(df, "t", "v", [1], group_by=["g"]).collect()}
+    assert got[("c", 1)].acf_val is None and got[("c", 1)].n_pairs == 9
+    assert got[("s", 1)].acf_val is None and got[("s", 1)].n_pairs == 0
+    # null values drop out of pairs; null order rows are excluded
+    dfn = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0), (3, 4.0), (None, 9.0)],
+        "t int, v double",
+    )
+    r1 = acf(dfn, "t", "v", [1]).collect()[0]
+    assert r1.n_pairs == 1  # only (t=3, t=2) pair has both sides
+    with pytest.raises(TransformationError):
+        acf(dfn, "t", "v", [])
+    with pytest.raises(TransformationError):
+        acf(dfn, "t", "v", [0])
+    with pytest.raises(TransformationError):
+        acf(dfn, "t", "v", [1, 1])
+    with pytest.raises(TransformationError):
+        acf(dfn, "nope", "v", [1])
+    with pytest.raises(TransformationError):
+        acf(dfn, "t", "v", [1], resolution=12)
+
+
+def test_acf_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    df = spark.createDataFrame(
+        [(t, float(t % 3)) for t in range(12)], "t int, v double"
+    )
+    t = TRANSFORMER_REGISTRY["acf"]
+    cfg = TransformationConfig(
+        type="acf",
+        options={"orderColumn": "t", "valueColumn": "v", "lags": "1,3"},
+    )
+    assert t.validate(df, cfg).is_valid
+    out = {r.lag: r for r in t.transform(df, cfg, None).collect()}
+    assert out[3].acf_val == pytest.approx(1.0)  # period-3 series
+    assert set(out) == {1, 3}
+    bad = TransformationConfig(type="acf", options={"orderColumn": "t"})
+    assert not t.validate(df, bad).is_valid
+    assert "acf" in t.lineage_step(cfg)
