@@ -5003,6 +5003,52 @@ def _kmeans_oracle(
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from a seed set over the supplier↔part co-supply
+    graph (undirected): nation-0 suppliers at 0, their parts at 1,
+    co-suppliers of those parts at 2, those suppliers' other parts at
+    3 — the "link distance from trusted sources" curation signal.
+    Integer distances are partition-order-free; the oracle unrolls
+    the same 3 frontier expansions as min-over-union CTEs."""
+    from etl_spark_gradle_spark.operators.graph import bfs_distances
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    edges = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    seeds = sup.where(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("seed")
+    )
+    return bfs_distances(
+        edges, "src", "dst", seeds, "seed", max_hops=3, directed=False
+    )
+
+
+def _bfs_oracle(max_hops: int = 3) -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS s, "
+        "'p:' || CAST(l_partkey AS VARCHAR) AS t FROM lineitem)",
+        "e AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0)",
+        "d0 AS (SELECT DISTINCT 's:' || CAST(s_suppkey AS VARCHAR) AS node, "
+        "CAST(0 AS INT) AS dist FROM supplier WHERE s_nationkey = 0)",
+    ]
+    for h in range(1, max_hops + 1):
+        prev = f"d{h - 1}"
+        ctes.append(
+            f"d{h} AS (SELECT node, CAST(MIN(dist) AS INT) AS dist FROM ("
+            f"SELECT node, dist FROM {prev} "
+            f"UNION ALL SELECT e.t AS node, {h} AS dist "
+            f"FROM {prev} f JOIN e ON f.node = e.s WHERE f.dist = {h - 1}"
+            ") GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM d{max_hops}"
+    )
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -7704,6 +7750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
+        "bfs_distance": q_bfs_distance,
         "quantile_clip": q_quantile_clip,
         "pagerank": q_pagerank,
         "scd2_lookup": q_scd2_lookup,
@@ -7961,6 +8008,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),
+        "bfs_distance": _bfs_oracle(),
         "quantile_clip": _QUANTILE_CLIP_ORACLE,
         "pagerank": _pagerank_oracle(),
         "scd2_lookup": _SCD2_LOOKUP_ORACLE,

@@ -131,8 +131,10 @@ from etl_spark_gradle_spark.operators.events import (  # noqa: F401
     TransitionsTransformer,
 )
 from etl_spark_gradle_spark.operators.graph import (  # noqa: F401
+    BfsDistancesTransformer,
     PagerankTransformer,
     TriangleCountTransformer,
+    bfs_distances,
     pagerank,
     triangle_count,
 )
@@ -253,6 +255,7 @@ TRANSFORMER_REGISTRY = {
     "pagerank": PagerankTransformer(),
     "triangle_count": TriangleCountTransformer(),
     "kmeans": KMeansTransformer(),
+    "bfs": BfsDistancesTransformer(),
     "skew_join": SkewJoinTransformer(),
     "bloom_semi_join": BloomSemiJoinTransformer(),
     "keyword_tag": KeywordTagTransformer(),

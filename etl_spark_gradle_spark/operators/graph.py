@@ -45,7 +45,14 @@ from pyspark.sql import functions as F
 
 from etl_spark_gradle_spark.operators.relational import TransformationError
 
-__all__ = ["pagerank", "triangle_count", "PagerankTransformer", "TriangleCountTransformer"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "bfs_distances",
+    "PagerankTransformer",
+    "TriangleCountTransformer",
+    "BfsDistancesTransformer",
+]
 
 SCALE = 10**12  # rank mass units per 1.0 of probability
 
@@ -293,3 +300,135 @@ class TriangleCountTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"triangle_count({opts})"
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds: DataFrame,
+    seed_col: str,
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum hop distance from a SEED SET over an edge list —
+    the "link distance from trusted domains" signal corpus-curation
+    pipelines use to weight crawl quality (seeds at 0, their direct
+    neighbors 1, ...). Returns ``(node, dist int)`` for every node
+    reachable within ``max_hops``; unreachable nodes are absent.
+
+    The third iterative-graph primitive beside ``pagerank`` and
+    ``dedup.connected_components``, with the same determinism-and-
+    scale posture: distances are small integers (exact under any
+    partitioning — min of a set is order-free), each hop is ONE
+    frontier ⋈ edges join plus an anti-join against the settled set,
+    and the settled frame is ``localCheckpoint``-ed per round so the
+    plan stays fixed-size. The frontier count per hop is the early-
+    exit driver point (bounded: one long per hop). Frontier-keyed
+    joins mean cost tracks the frontier size, not the full node set —
+    at 100 TB of edges each hop shuffles edges once on the join key.
+
+    ``directed=False`` (default) walks edges both ways (the union is
+    computed once, before iteration). Seed values not present in the
+    graph still report dist 0 (they are legitimate query points).
+    """
+    if int(max_hops) < 0:
+        raise TransformationError("bfs_distances requires max_hops >= 0")
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise TransformationError(f"edge column not in input schema: {c}")
+    if seed_col not in seeds.columns:
+        raise TransformationError(f"seed column not in input schema: {seed_col}")
+
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .where(F.col("s").isNotNull() & F.col("t").isNotNull())
+    )
+    if not directed:
+        e = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    e = e.distinct().localCheckpoint(eager=False)
+
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for hop in range(1, int(max_hops) + 1):
+        nbr = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+        )
+        new = nbr.join(dist, "node", "left_anti").select(
+            "node", F.lit(hop).cast("int").alias("dist")
+        )
+        new = new.localCheckpoint(eager=False)
+        if new.count() == 0:  # driver point: one long per hop
+            break
+        dist = dist.union(new).localCheckpoint(eager=False)
+        frontier = new
+    return dist
+
+
+class BfsDistancesTransformer:
+    """Registry adapter (``type: bfs``). Options: ``srcColumn``,
+    ``dstColumn``, ``seedValues`` (csv of seed node ids — or use a
+    ``views:``-registered seed table via ``seedView``/``seedColumn``),
+    ``maxHops`` (default 3), ``directed`` (default false)."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for key in ("srcColumn", "dstColumn"):
+            if not opts.get(key):
+                errors.append(f"bfs requires '{key}'")
+            elif opts[key] not in df.columns:
+                errors.append(f"column not in input schema: {opts[key]}")
+        if not opts.get("seedValues") and not opts.get("seedView"):
+            errors.append("bfs requires 'seedValues' (csv) or 'seedView'")
+        if opts.get("seedView") and not opts.get("seedColumn"):
+            errors.append("bfs seedView requires 'seedColumn'")
+        try:
+            if int(opts.get("maxHops", 3)) < 0:
+                errors.append("bfs maxHops must be >= 0")
+        except ValueError:
+            errors.append("bfs maxHops must be an integer")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def transform(self, df, config, ctx):
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        res = self.validate(df, config)
+        if not res.is_valid:
+            raise TransformationError(
+                "bfs config invalid: " + "; ".join(res.errors)
+            )
+        opts = config.options
+        spark = df.sparkSession
+        if opts.get("seedView"):
+            seeds = spark.table(opts["seedView"])
+            seed_col = opts["seedColumn"]
+        else:
+            values = _split_csv(opts["seedValues"])
+            seeds = spark.createDataFrame(
+                [(v,) for v in values], ["seed"]
+            )
+            seed_col = "seed"
+        return bfs_distances(
+            df,
+            opts["srcColumn"],
+            opts["dstColumn"],
+            seeds,
+            seed_col,
+            max_hops=int(opts.get("maxHops", 3)),
+            directed=str(opts.get("directed", "false")).lower() == "true",
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"bfs({opts})"

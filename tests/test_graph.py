@@ -214,3 +214,88 @@ def test_triangle_count_validation_and_adapter(spark):
     assert out.collect()[0]["triangles"] == 1
     bad = tf.validate(df, TransformationConfig(type="triangle_count", options={}))
     assert not bad.is_valid
+
+
+def py_bfs(edges, seeds, max_hops, directed=False):
+    adj = {}
+    for s, t in set(edges):
+        adj.setdefault(s, set()).add(t)
+        if not directed:
+            adj.setdefault(t, set()).add(s)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_distances_matches_reference(spark):
+    from etl_spark_gradle_spark.operators.graph import bfs_distances
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    df = spark.createDataFrame(edges, ["s", "t"])
+    seeds = spark.createDataFrame([("a",), ("zz",)], ["n"])
+    got = {r.node: r.dist
+           for r in bfs_distances(df, "s", "t", seeds, "n", max_hops=2).collect()}
+    want = py_bfs(edges, ["a", "zz"], 2)
+    assert got == want           # zz absent from graph still dist 0
+    assert got["c"] == 2 and "d" not in got and "x" not in got
+    # directed: nothing reaches back to a
+    gd = {r.node: r.dist
+          for r in bfs_distances(df, "s", "t",
+                                 spark.createDataFrame([("c",)], ["n"]),
+                                 "n", max_hops=3, directed=True).collect()}
+    assert gd == {"c": 0, "d": 1, "e": 2}
+
+
+def test_bfs_distances_partitioning_and_early_exit(spark):
+    from etl_spark_gradle_spark.operators.graph import bfs_distances
+
+    edges = [(i, i + 1) for i in range(20)]
+    want = py_bfs(edges, [0], 50)
+    for parts in (1, 8):
+        df = spark.createDataFrame(edges, ["s", "t"]).repartition(parts)
+        seeds = spark.createDataFrame([(0,)], ["n"])
+        got = {r.node: r.dist
+               for r in bfs_distances(df, "s", "t", seeds, "n",
+                                      max_hops=50).collect()}
+        assert got == want, parts
+    # max_hops=0 -> seeds only
+    df = spark.createDataFrame(edges, ["s", "t"])
+    seeds = spark.createDataFrame([(5,)], ["n"])
+    got = bfs_distances(df, "s", "t", seeds, "n", max_hops=0).collect()
+    assert [(r.node, r.dist) for r in got] == [(5, 0)]
+
+
+def test_bfs_yaml_adapter_and_validation(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+    from etl_spark_gradle_spark.operators.graph import bfs_distances
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["s", "t"])
+    t = TRANSFORMER_REGISTRY["bfs"]
+    cfg = TransformationConfig(
+        type="bfs",
+        options={"srcColumn": "s", "dstColumn": "t", "seedValues": "a",
+                 "maxHops": "1"},
+    )
+    assert t.validate(df, cfg).is_valid
+    got = {r.node: r.dist for r in t.transform(df, cfg, None).collect()}
+    assert got == {"a": 0, "b": 1}
+    for opts in (
+        {"srcColumn": "s"},
+        {"srcColumn": "s", "dstColumn": "t"},
+        {"srcColumn": "s", "dstColumn": "t", "seedView": "v"},
+        {"srcColumn": "s", "dstColumn": "t", "seedValues": "a", "maxHops": "-1"},
+    ):
+        assert not t.validate(df, TransformationConfig(type="bfs", options=opts)).is_valid
+    with pytest.raises(TransformationError):
+        bfs_distances(df, "s", "nope", df.select("s"), "s")
