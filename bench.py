@@ -43,6 +43,9 @@ And the extension-operator shapes:
 22. q22_rolling_median — per-user exact rolling median + p90 over the
                       last 25 events (sorted-window order statistics,
                       one collect_list buffer per pass)
+23. q23_kmeans      — fixed-point k-means over the embeddings (3
+                      iterations of zero-shuffle literal-centroid
+                      assignment + one k*dim partial-sum shuffle)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -559,6 +562,22 @@ def q22_rolling_median(spark):
     )
 
 
+def q23_kmeans(spark):
+    """Fixed-point k-means (k=8, 3 Lloyd iterations) over the 2k x 64
+    embeddings: per iteration a zero-shuffle literal-centroid
+    assignment projection plus one posexplode shuffle reduced map-side
+    to k*dim partials (the SemDeDup clustering core). Forced through a
+    hash-sum over the final assignment so the whole chain executes."""
+    from etl_spark_gradle_spark.operators.clustering import kmeans
+
+    emb = load(spark, "embeddings")
+    out = kmeans(emb, "vec_id", "embedding", k=8, iterations=3)
+    return out.agg(
+        F.sum(F.xxhash64("vec_id", "cluster", "dist_int")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -582,6 +601,7 @@ QUERIES = {
     "q20_time_rollup": q20_time_rollup,
     "q21_line_dedup": q21_line_dedup,
     "q22_rolling_median": q22_rolling_median,
+    "q23_kmeans": q23_kmeans,
 }
 
 
