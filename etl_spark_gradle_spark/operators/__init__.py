@@ -129,6 +129,7 @@ from etl_spark_gradle_spark.operators.events import (  # noqa: F401
     FunnelTransformer,
     MarketBasketTransformer,
     TransitionsTransformer,
+    association_rules,
 )
 from etl_spark_gradle_spark.operators.graph import (  # noqa: F401
     BfsDistancesTransformer,
@@ -148,9 +149,11 @@ from etl_spark_gradle_spark.operators.skew import (  # noqa: F401
     skew_join,
 )
 from etl_spark_gradle_spark.operators.features import (  # noqa: F401
+    FeatureHashTransformer,
     OneHotTransformer,
     RobustScaleTransformer,
     TargetEncodeTransformer,
+    feature_hash,
     one_hot,
     robust_scale,
     target_encode,
@@ -263,6 +266,7 @@ TRANSFORMER_REGISTRY = {
     "target_encode": TargetEncodeTransformer(),
     "one_hot": OneHotTransformer(),
     "robust_scale": RobustScaleTransformer(),
+    "feature_hash": FeatureHashTransformer(),
     # LLM-data-pipeline operators (SURVEY §7.2 step 8)
     "dedup": DedupTransformer(),
     "contamination": ContaminationTransformer(),

@@ -34,6 +34,7 @@ __all__ = [
     "cohort_retention",
     "transition_matrix",
     "market_basket_pairs",
+    "association_rules",
     "TopPathsTransformer",
     "top_paths",
     "RollingActiveTransformer",
@@ -379,9 +380,106 @@ def market_basket_pairs(
     return out
 
 
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Directed association rules over baskets — the classic
+    support/confidence/lift closure on top of
+    :func:`market_basket_pairs`. For every ordered pair
+    (antecedent → consequent) of items co-occurring in ≥
+    ``min_support`` baskets:
+
+    - ``support``    = pair_baskets / n_baskets,
+    - ``confidence`` = pair_baskets / antecedent_baskets,
+    - ``lift``       = confidence / (consequent_baskets / n_baskets),
+
+    spelled in exactly that operand order so any engine computing the
+    same IEEE divisions over the same exact integer counts reproduces
+    the doubles bit-for-bit. ``n_baskets`` counts every basket with at
+    least one non-null item (single-item baskets count toward item and
+    total frequencies even though they produce no pairs — standard
+    basket-analysis convention). ``top_k`` keeps the highest-lift
+    rules (ties → confidence desc, antecedent, consequent asc).
+
+    Plan at 100 TB: the heavy lifting is the within-basket pair
+    expansion inside ``market_basket_pairs`` (one basket-keyed
+    shuffle, quadratic only in basket size); everything here is
+    item-vocabulary-sized — per-item basket counts broadcast onto the
+    pair table twice, the total is a 1-row broadcast cross join. No
+    driver collects, no re-scan of the raw feed.
+    """
+    pairs = market_basket_pairs(
+        df, basket_col, item_col, min_support=min_support
+    )
+    base = (
+        df.select(basket_col, item_col)
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+    item_counts = base.groupBy(F.col(item_col).alias("_it")).agg(
+        F.count("*").cast("long").alias("_ib")
+    )
+    total = base.select(
+        F.count_distinct(F.col(basket_col)).cast("long").alias("n_baskets")
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("baskets").cast("long").alias("pair_baskets"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("baskets").cast("long").alias("pair_baskets"),
+        )
+    )
+    joined = (
+        directed.join(
+            F.broadcast(item_counts.withColumnRenamed("_ib", "antecedent_baskets")),
+            directed["antecedent"] == F.col("_it"),
+        )
+        .drop("_it")
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("_ib", "consequent_baskets")),
+            F.col("consequent") == F.col("_it"),
+        )
+        .drop("_it")
+        .crossJoin(F.broadcast(total))
+    )
+    pair_d = F.col("pair_baskets").cast("double")
+    ant_d = F.col("antecedent_baskets").cast("double")
+    cons_d = F.col("consequent_baskets").cast("double")
+    tot_d = F.col("n_baskets").cast("double")
+    out = joined.select(
+        "antecedent",
+        "consequent",
+        "pair_baskets",
+        "antecedent_baskets",
+        "consequent_baskets",
+        "n_baskets",
+        (pair_d / tot_d).alias("support"),
+        (pair_d / ant_d).alias("confidence"),
+        ((pair_d / ant_d) / (cons_d / tot_d)).alias("lift"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("lift"),
+            F.desc("confidence"),
+            F.asc("antecedent"),
+            F.asc("consequent"),
+        ).limit(top_k)
+    return out
+
+
 class MarketBasketTransformer:
     """Registry adapter (``type: market_basket``). Options:
-    ``basketColumn``, ``itemColumn``, ``minSupport``, ``topK``."""
+    ``basketColumn``, ``itemColumn``, ``minSupport``, ``topK``,
+    ``rules`` (true → emit directed association rules with
+    support/confidence/lift instead of undirected pair counts)."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -403,7 +501,8 @@ class MarketBasketTransformer:
             )
         opts = config.options
         top_k = opts.get("topK")
-        return market_basket_pairs(
+        fn = association_rules if opts.get("rules") else market_basket_pairs
+        return fn(
             df,
             opts["basketColumn"],
             opts["itemColumn"],

@@ -51,9 +51,11 @@ __all__ = [
     "target_encode",
     "one_hot",
     "robust_scale",
+    "feature_hash",
     "TargetEncodeTransformer",
     "OneHotTransformer",
     "RobustScaleTransformer",
+    "FeatureHashTransformer",
 ]
 
 
@@ -366,6 +368,82 @@ class TargetEncodeTransformer(_BaseTransformer):
         )
 
 
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 256,
+    lowercase: bool = True,
+    alternate_sign: bool = False,
+    salt: str = "fh:",
+) -> DataFrame:
+    """Hashing-trick term-frequency vectorizer (sklearn
+    ``HashingVectorizer`` / Spark MLlib ``HashingTF`` semantics,
+    re-expressed as pure Catalyst expressions): map each token to a
+    bucket in ``[0, n_features)`` via an ENGINE-PORTABLE hash
+    (``md5`` prefix → integer, the same portable-hash posture as
+    ``hash_sample``/``weighted_reservoir`` — Spark's ``hash()`` is
+    Murmur3-with-Spark-seeding, unreplicable in other engines) and
+    emit the sparse long form ``(id, feature, tf)``.
+
+    ``text_col`` may be a raw string column (whitespace-tokenized via
+    :func:`~etl_spark_gradle_spark.operators.text.tokens`) or an
+    already-tokenized ``array<string>`` column — pre-tokenized input
+    skips the split. ``alternate_sign=True`` applies sklearn's
+    hash-sign trick (±1 from an independent hash bit, making bucket
+    collisions cancel in expectation rather than accumulate); signed
+    sums that cancel to 0 are kept as explicit 0 rows (dropping them
+    would make "collided to zero" indistinguishable from "absent").
+    NULL ids are kept (a legitimate group); NULL/empty texts emit no
+    rows (an empty document has an empty sparse vector).
+
+    Plan at 100 TB: tokenize+hash are scan-riding expressions, the
+    explode is narrow, and the single shuffle is the map-side-combined
+    groupBy on (id, feature) — output bounded by
+    ``docs × min(doc_vocab, n_features)``. No UDFs, no vocabulary
+    state, no driver collects: the defining property of the hashing
+    trick is that (unlike one_hot/BPE) it needs NO fitted dictionary,
+    so it composes with streaming and incremental ingestion unchanged.
+    """
+    if n_features <= 0:
+        raise TransformationError("feature_hash requires n_features > 0")
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    from pyspark.sql.types import ArrayType
+
+    from etl_spark_gradle_spark.operators.text import tokens as _tokens
+
+    if isinstance(df.schema[text_col].dataType, ArrayType):
+        toks = F.col(text_col)
+    else:
+        toks = _tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    h = F.md5(F.concat(F.lit(salt), F.col("_tok")))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_features))
+    ).cast("long")
+    if alternate_sign:
+        sign = F.when(
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+    else:
+        sign = F.lit(1)
+    return (
+        exploded.select(
+            F.col(id_col),
+            bucket.alias("feature"),
+            sign.cast("long").alias("_sgn"),
+        )
+        .groupBy(id_col, "feature")
+        .agg(F.sum("_sgn").cast("long").alias("tf"))
+    )
+
+
 class OneHotTransformer(_BaseTransformer):
     """Registry adapter (``type: one_hot``). Options: ``column``
     (required), ``values`` csv (required, the explicit vocabulary),
@@ -393,4 +471,38 @@ class OneHotTransformer(_BaseTransformer):
             _split_csv(opts["values"]),
             prefix=opts.get("prefix"),
             other_col=opts.get("otherColumn"),
+        )
+
+
+class FeatureHashTransformer(_BaseTransformer):
+    """Registry adapter (``type: feature_hash``). Options:
+    ``idColumn`` (required), ``textColumn`` (required),
+    ``numFeatures`` (default 256), ``lowercase`` (default true),
+    ``alternateSign`` (default false)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        for key in ("idColumn", "textColumn"):
+            col = opts.get(key)
+            if not col:
+                errors.append(f"feature_hash requires '{key}'")
+            elif col not in df.columns:
+                errors.append(f"{key} not in input schema: {col}")
+        try:
+            if int(opts.get("numFeatures", 256)) <= 0:
+                errors.append("numFeatures must be > 0")
+        except (TypeError, ValueError):
+            errors.append(f"numFeatures is not an int: {opts['numFeatures']}")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        return feature_hash(
+            df,
+            opts["idColumn"],
+            opts["textColumn"],
+            n_features=int(opts.get("numFeatures", 256)),
+            lowercase=bool(opts.get("lowercase", True)),
+            alternate_sign=bool(opts.get("alternateSign", False)),
         )

@@ -349,3 +349,75 @@ def test_top_paths_separator_in_type_does_not_collide(spark):
     df = spark.createDataFrame(rows, "u string, t string, ts long, eid long")
     out = sorted((r.path, r.n_users) for r in top_paths(df, "u", "t", "ts", "eid").collect())
     assert out == [("a>b", 1), ("a\\>b", 1)]
+
+
+def test_association_rules_metrics(spark):
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "lonely"),  # single-item basket: counts in totals, no pairs
+        (5, "x"), (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in ev.association_rules(df, "basket", "item").collect()
+    }
+    # 5 baskets total; x in {1,2,3,5} = 4, y in 3, z in 1, lonely in 1
+    assert set(got) == {
+        ("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"), ("y", "z"), ("z", "y")
+    }
+    xy = got[("x", "y")]
+    assert (xy.pair_baskets, xy.antecedent_baskets,
+            xy.consequent_baskets, xy.n_baskets) == (3, 4, 3, 5)
+    assert xy.support == 3.0 / 5.0
+    assert xy.confidence == 3.0 / 4.0
+    assert xy.lift == (3.0 / 4.0) / (3.0 / 5.0)
+    yx = got[("y", "x")]
+    assert yx.confidence == 3.0 / 3.0  # every y-basket also holds x
+    assert yx.lift == (3.0 / 3.0) / (4.0 / 5.0)
+    zy = got[("z", "y")]
+    assert zy.support == 1.0 / 5.0 and zy.confidence == 1.0
+    # min_support prunes pairs before the rule closure
+    pruned = {
+        (r.antecedent, r.consequent)
+        for r in ev.association_rules(
+            df, "basket", "item", min_support=2
+        ).collect()
+    }
+    assert pruned == {("x", "y"), ("y", "x")}
+    # top_k keeps the highest-lift rules deterministically
+    top = ev.association_rules(df, "basket", "item", top_k=2).collect()
+    assert len(top) == 2
+    assert all(r.lift >= 1.0 for r in top)
+
+
+def test_association_rules_yaml_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import (
+        RunContext,
+        TransformationConfig,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a")],
+        ["basket", "item"],
+    )
+    cfg = TransformationConfig(
+        type="market_basket",
+        options={
+            "basketColumn": "basket",
+            "itemColumn": "item",
+            "rules": True,
+        },
+    )
+    out = TRANSFORMER_REGISTRY["market_basket"].transform(
+        df, cfg, RunContext(pipeline_id="t", run_id="r", spark=spark)
+    )
+    rows = {(r.antecedent, r.consequent): r for r in out.collect()}
+    assert rows[("b", "a")].confidence == 1.0
+    assert set(out.columns) == {
+        "antecedent", "consequent", "pair_baskets", "antecedent_baskets",
+        "consequent_baskets", "n_baskets", "support", "confidence", "lift",
+    }

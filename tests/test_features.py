@@ -286,3 +286,93 @@ def test_one_hot_other_col_clash_refused(spark):
     df = spark.createDataFrame([("x", 1)], "v string, flags int")
     with _pytest.raises(TransformationError, match="already in schema"):
         one_hot(df, "v", ["x"], other_col="flags")
+
+
+def _py_feature_hash(docs, n_features, lowercase=True, signed=False):
+    """Pure-python reference of the md5-prefix hashing trick."""
+    import hashlib
+    import re as _re
+
+    out = {}
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        for tok in [t for t in _re.split(r"\s+", text) if t != ""]:
+            if lowercase:
+                tok = tok.lower()
+            h = hashlib.md5(("fh:" + tok).encode()).hexdigest()
+            bucket = int(h[:8], 16) % n_features
+            sgn = 1 if (not signed or int(h[8], 16) % 2 == 0) else -1
+            out[(doc_id, bucket)] = out.get((doc_id, bucket), 0) + sgn
+    return out
+
+
+def test_feature_hash_matches_python_reference(spark):
+    from etl_spark_gradle_spark.operators.features import feature_hash
+
+    docs = [
+        (1, "The quick brown fox the QUICK fox"),
+        (2, "hello   world\thello"),
+        (3, None),          # null text -> no rows
+        (4, ""),            # empty text -> no rows
+        (None, "orphan"),   # null id is a legitimate group
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+    got = {
+        (r.doc_id, r.feature): r.tf
+        for r in feature_hash(df, "doc_id", "text", n_features=16).collect()
+    }
+    assert got == _py_feature_hash(docs, 16)
+    assert all(0 <= f < 16 for _, f in got)
+    # per-doc token counts survive the bucketing (no tokens lost)
+    assert sum(tf for (d, _), tf in got.items() if d == 1) == 7
+    assert sum(tf for (d, _), tf in got.items() if d == 2) == 3
+
+
+def test_feature_hash_signed_and_pretokenized(spark):
+    from etl_spark_gradle_spark.operators.features import feature_hash
+
+    docs = [(1, "a b c d e f g h i j k l"), (2, "a a a a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.feature): r.tf
+        for r in feature_hash(
+            df, "doc_id", "text", n_features=4, alternate_sign=True
+        ).collect()
+    }
+    assert got == _py_feature_hash(docs, 4, signed=True)
+    # pre-tokenized array input skips the split (and the lowercase
+    # option still applies to the array elements)
+    arr = spark.createDataFrame(
+        [(1, ["The", "the", "fox"])], "doc_id long, toks array<string>"
+    )
+    got_arr = {
+        (r.doc_id, r.feature): r.tf
+        for r in feature_hash(arr, "doc_id", "toks", n_features=16).collect()
+    }
+    assert got_arr == _py_feature_hash([(1, "The the fox")], 16)
+
+
+def test_feature_hash_validation_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.features import feature_hash
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(TransformationError, match="n_features"):
+        feature_hash(df, "doc_id", "text", n_features=0)
+    with pytest.raises(TransformationError, match="not in input schema"):
+        feature_hash(df, "doc_id", "missing")
+    tf = TRANSFORMER_REGISTRY["feature_hash"]
+    cfg = TransformationConfig(
+        type="feature_hash",
+        options={"idColumn": "doc_id", "textColumn": "text",
+                 "numFeatures": 8},
+    )
+    assert tf.validate(df, cfg).is_valid
+    out = tf.transform(df, cfg, RunContext(pipeline_id="t", run_id="r", spark=spark))
+    assert set(out.columns) == {"doc_id", "feature", "tf"}
+    assert out.count() == 2
+    bad = TransformationConfig(
+        type="feature_hash", options={"idColumn": "doc_id"}
+    )
+    assert not tf.validate(df, bad).is_valid
