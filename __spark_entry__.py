@@ -5277,6 +5277,86 @@ FROM w
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events feed (30-minute
+    inactivity gap, event_id as the total-order tiebreak), rolled up
+    to one row per session with integer epoch-micro bounds and a
+    duration closed by ONE fixed division — the batch gaps-and-islands
+    counterpart of the streaming sessionizer. One user-keyed shuffle
+    carries the boundary flags, the running session index AND the
+    per-session rollup."""
+    from etl_spark_gradle_spark.operators.events import sessionize
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    return sessionize(
+        events, "user_id", "ts", gap_seconds=1800,
+        tiebreak_col="event_id", output="sessions",
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH b AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS tn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), f AS (
+  SELECT user_id, event_id, ts, tn,
+         CASE WHEN lag(tn) OVER w IS NULL
+                OR tn - lag(tn) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS nf
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, tn,
+         CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                            event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(tn) AS BIGINT) AS start_units,
+       CAST(MAX(tn) AS BIGINT) AS end_units,
+       CAST(MAX(tn) - MIN(tn) AS DOUBLE) / 1000000.0 AS duration_seconds
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst deduplication: within each (user, event_type), keep only
+    events arriving strictly more than 5 minutes after the previous
+    raw event — the first-of-burst guard ahead of count features.
+    Zero joins: one key-keyed window shuffle, then a scan predicate."""
+    from etl_spark_gradle_spark.operators.events import debounce
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return debounce(
+        events, ["user_id", "event_type"], "ts",
+        gap_seconds=300, tiebreak_col="event_id",
+    )
+
+
+_DEBOUNCE_ORACLE = """
+WITH b AS (
+  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS tn
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL
+), f AS (
+  SELECT event_id, user_id, event_type, ts, tn,
+         lag(tn) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC) AS pv
+  FROM b
+)
+SELECT event_id, user_id, event_type, ts
+FROM f WHERE pv IS NULL OR tn - pv > 300000000
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -7972,6 +8052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "rfm": q_rfm,
         "pareto": q_pareto,
+        "sessionize": q_sessionize,
+        "debounce": q_debounce,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8234,6 +8316,8 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _FEATURE_HASH_ORACLE,
         "rfm": _RFM_ORACLE,
         "pareto": _PARETO_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
+        "debounce": _DEBOUNCE_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

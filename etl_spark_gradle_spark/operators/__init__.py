@@ -124,12 +124,16 @@ from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.events import (  # noqa: F401
     CohortTransformer,
+    DebounceTransformer,
     RollingActiveTransformer,
+    SessionizeTransformer,
     TopPathsTransformer,
     FunnelTransformer,
     MarketBasketTransformer,
     TransitionsTransformer,
     association_rules,
+    debounce,
+    sessionize,
 )
 from etl_spark_gradle_spark.operators.graph import (  # noqa: F401
     BfsDistancesTransformer,
@@ -242,6 +246,8 @@ TRANSFORMER_REGISTRY = {
     "top_paths": TopPathsTransformer(),
     "rolling_active": RollingActiveTransformer(),
     "market_basket": MarketBasketTransformer(),
+    "sessionize": SessionizeTransformer(),
+    "debounce": DebounceTransformer(),
     "edit_join": EditJoinTransformer(),
     "stats": StatsTransformer(),
     "resample": ResampleTransformer(),

@@ -39,6 +39,10 @@ __all__ = [
     "top_paths",
     "RollingActiveTransformer",
     "rolling_active",
+    "sessionize",
+    "debounce",
+    "SessionizeTransformer",
+    "DebounceTransformer",
 ]
 
 
@@ -759,3 +763,279 @@ class RollingActiveTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"rolling_active({opts})"
+
+
+def _time_units(df: DataFrame, time_col: str):
+    """Integer time view for gap arithmetic: TIMESTAMP → exact epoch
+    micros (plus a 1e6 unit scale for second-denominated gaps),
+    numeric → the column's own units (scale 1). Mirrors the
+    ``merge_intervals`` convention."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    t = df.schema[time_col].dataType
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(time_col).cast("timestamp")), 1_000_000
+    return F.col(time_col).cast("long"), 1
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    gap_seconds: float,
+    tiebreak_col: str,
+    output: str = "events",
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): order each user's
+    events by (time, tiebreak) and start a NEW session whenever the
+    gap to the previous event exceeds ``gap_seconds`` — the batch
+    counterpart of :func:`~etl_spark_gradle_spark.streaming.sessionize_stream`
+    and the row-level complement of the session-window AGGREGATION in
+    ``relational.windowing`` (which returns one row per session, not a
+    session id per event).
+
+    - ``output='events'``: every input row (NULL user/time rows
+      dropped — they have no position in any ordering) plus
+      ``session_seq`` (1-based per-user session index) and
+      ``event_seq`` (1-based position within the session).
+    - ``output='sessions'``: one row per (user, session_seq) with
+      ``n_events``, ``start_<unit>``/``end_<unit>`` integer bounds
+      (epoch micros for timestamps, column units for numerics) and
+      ``duration_seconds`` for timestamps / ``duration`` otherwise.
+
+    ``tiebreak_col`` is REQUIRED (same posture as ``top_paths``):
+    simultaneous events without a total order would make session
+    boundaries nondeterministic. A gap EXACTLY equal to
+    ``gap_seconds`` stays in the session (strict > starts a new one),
+    matching the streaming operator and Spark's own
+    ``session_window`` timeout semantics.
+
+    Plan at 100 TB: ONE user-keyed shuffle; the boundary flag, the
+    running session index (a cumulative sum over the same window) and
+    the per-session stats all ride it — no self-joins, no second
+    exchange for the ``sessions`` rollup (it groups by (user,
+    session_seq), a prefix of the existing clustering).
+    """
+    for c in (user_col, time_col, tiebreak_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"sessionize column not in input schema: {c}"
+            )
+    if gap_seconds <= 0:
+        raise TransformationError("sessionize requires gap_seconds > 0")
+    if output not in ("events", "sessions"):
+        raise TransformationError(
+            f"sessionize output must be events|sessions, got '{output}'"
+        )
+    from pyspark.sql.window import Window
+
+    tnum, unit = _time_units(df, time_col)
+    gap_units = int(round(float(gap_seconds) * unit))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col(tiebreak_col).asc()
+    )
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(time_col).isNotNull()
+    ).withColumn("_tn", tnum)
+    new_flag = F.when(
+        F.lag("_tn").over(w).isNull()
+        | (F.col("_tn") - F.lag("_tn").over(w) > F.lit(gap_units)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = base.withColumn("_new", new_flag).withColumn(
+        "session_seq",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    if output == "events":
+        we = Window.partitionBy(user_col, "session_seq").orderBy(
+            F.col(time_col).asc(), F.col(tiebreak_col).asc()
+        )
+        return marked.withColumn(
+            "event_seq", F.row_number().over(we).cast("long")
+        ).drop("_tn", "_new")
+    dur_unit = "duration_seconds" if unit != 1 else "duration"
+    sess = marked.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("_tn").alias("_start"),
+        F.max("_tn").alias("_end"),
+    )
+    return sess.select(
+        user_col,
+        "session_seq",
+        "n_events",
+        F.col("_start").alias("start_units"),
+        F.col("_end").alias("end_units"),
+        # integer difference first, ONE division last: exact and
+        # identically rounded on any engine spelling the same ops
+        (
+            (F.col("_end") - F.col("_start")).cast("double")
+            / F.lit(float(unit))
+        ).alias(dur_unit),
+    )
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    gap_seconds: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Burst deduplication ("debounce"): within each key, keep only
+    the FIRST event of every burst — an event survives iff it is the
+    key's first event or arrived strictly more than ``gap_seconds``
+    after the previous KEPT-OR-DROPPED event. Equivalent to
+    sessionizing on (key…) and keeping each session's first row,
+    which is exactly how it is implemented — one key-keyed shuffle,
+    no joins. The classic guard against double-clicks, retry storms
+    and sensor chatter ahead of count-based features.
+
+    Note the gap is measured to the previous RAW event (standard
+    trailing-debounce / sessionization semantics): a burst that keeps
+    re-firing every second suppresses everything after its first
+    event for as long as it lasts, even past ``gap_seconds`` total.
+    """
+    if not key_cols:
+        raise TransformationError("debounce requires at least one key column")
+    for c in (*key_cols, time_col, tiebreak_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"debounce column not in input schema: {c}"
+            )
+    if gap_seconds <= 0:
+        raise TransformationError("debounce requires gap_seconds > 0")
+    from pyspark.sql.window import Window
+
+    tnum, unit = _time_units(df, time_col)
+    gap_units = int(round(float(gap_seconds) * unit))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(time_col).asc(), F.col(tiebreak_col).asc()
+    )
+    base = df
+    for c in key_cols:
+        base = base.where(F.col(c).isNotNull())
+    base = (
+        base.where(F.col(time_col).isNotNull())
+        .withColumn("_tn", tnum)
+        .withColumn("_pv", F.lag("_tn").over(w))
+    )
+    keep = F.col("_pv").isNull() | (
+        F.col("_tn") - F.col("_pv") > F.lit(gap_units)
+    )
+    return base.where(keep).drop("_tn", "_pv")
+
+
+class SessionizeTransformer:
+    """Registry adapter (``type: sessionize``). Options:
+    ``userColumn``, ``timeColumn``, ``tiebreakColumn`` (all required),
+    ``gapSeconds`` (default 1800), ``output`` events|sessions."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        for opt in ("userColumn", "timeColumn", "tiebreakColumn"):
+            col = config.options.get(opt)
+            if not col:
+                errors.append(f"sessionize requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        try:
+            if float(config.options.get("gapSeconds", 1800)) <= 0:
+                errors.append("gapSeconds must be > 0")
+        except (TypeError, ValueError):
+            errors.append(
+                f"gapSeconds is not a number: {config.options['gapSeconds']}"
+            )
+        if config.options.get("output", "events") not in (
+            "events",
+            "sessions",
+        ):
+            errors.append(
+                f"output must be events|sessions, got "
+                f"'{config.options['output']}'"
+            )
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "sessionize config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return sessionize(
+            df,
+            user_col=opts["userColumn"],
+            time_col=opts["timeColumn"],
+            gap_seconds=float(opts.get("gapSeconds", 1800)),
+            tiebreak_col=opts["tiebreakColumn"],
+            output=opts.get("output", "events"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"sessionize({opts})"
+
+
+class DebounceTransformer:
+    """Registry adapter (``type: debounce``). Options: ``keyColumns``
+    csv (required), ``timeColumn``, ``tiebreakColumn`` (required),
+    ``gapSeconds`` (default 60)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        keys = _split_csv(config.options.get("keyColumns"))
+        if not keys:
+            errors.append("debounce requires 'keyColumns'")
+        for c in keys:
+            if c not in df.columns:
+                errors.append(f"key column not in input schema: {c}")
+        for opt in ("timeColumn", "tiebreakColumn"):
+            col = config.options.get(opt)
+            if not col:
+                errors.append(f"debounce requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        try:
+            if float(config.options.get("gapSeconds", 60)) <= 0:
+                errors.append("gapSeconds must be > 0")
+        except (TypeError, ValueError):
+            errors.append(
+                f"gapSeconds is not a number: {config.options['gapSeconds']}"
+            )
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "debounce config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return debounce(
+            df,
+            key_cols=_split_csv(opts["keyColumns"]),
+            time_col=opts["timeColumn"],
+            gap_seconds=float(opts.get("gapSeconds", 60)),
+            tiebreak_col=opts["tiebreakColumn"],
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"debounce({opts})"

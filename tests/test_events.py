@@ -421,3 +421,128 @@ def test_association_rules_yaml_adapter(spark):
         "antecedent", "consequent", "pair_baskets", "antecedent_baskets",
         "consequent_baskets", "n_baskets", "support", "confidence", "lift",
     }
+
+
+def _sess_df(spark):
+    rows = [
+        # user A: events at 0, 10, 25, 100, 130 with gap 20 ->
+        # sessions {0,10,25?}: 25-10=15 <= 20 stays; 100-25=75 > 20 new;
+        # 130-100=30 > 20 new  => sessions [0,10,25], [100], [130]
+        ("A", 0, 1), ("A", 10, 2), ("A", 25, 3),
+        ("A", 100, 4), ("A", 130, 5),
+        # user B: boundary case — gap EXACTLY 20 stays in session
+        ("B", 0, 6), ("B", 20, 7), ("B", 41, 8),
+        # dropped rows
+        (None, 5, 9), ("C", None, 10),
+    ]
+    return spark.createDataFrame(rows, "u string, t long, eid long")
+
+
+def test_sessionize_events_and_sessions(spark):
+    out = {
+        (r.u, r.eid): (r.session_seq, r.event_seq)
+        for r in ev.sessionize(
+            _sess_df(spark), "u", "t", gap_seconds=20, tiebreak_col="eid"
+        ).collect()
+    }
+    assert out == {
+        ("A", 1): (1, 1), ("A", 2): (1, 2), ("A", 3): (1, 3),
+        ("A", 4): (2, 1), ("A", 5): (3, 1),
+        ("B", 6): (1, 1), ("B", 7): (1, 2), ("B", 8): (2, 1),
+    }
+    sess = {
+        (r.u, r.session_seq): (r.n_events, r.start_units, r.end_units,
+                               r.duration)
+        for r in ev.sessionize(
+            _sess_df(spark), "u", "t", gap_seconds=20,
+            tiebreak_col="eid", output="sessions",
+        ).collect()
+    }
+    assert sess[("A", 1)] == (3, 0, 25, 25.0)
+    assert sess[("A", 2)] == (1, 100, 100, 0.0)
+    assert sess[("B", 1)] == (2, 0, 20, 20.0)
+    assert sess[("B", 2)] == (1, 41, 41, 0.0)
+
+
+def test_sessionize_timestamp_units_and_partition_independence(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("A", base, 1),
+        ("A", base + dt.timedelta(seconds=1800), 2),   # exactly gap: stays
+        ("A", base + dt.timedelta(seconds=3601), 3),   # 1801s after #2: new
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, eid long")
+    for parts in (1, 7):
+        got = {
+            r.eid: r.session_seq
+            for r in ev.sessionize(
+                df.repartition(parts), "u", "ts", 1800, "eid"
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 2}
+    sess = ev.sessionize(
+        df, "u", "ts", 1800, "eid", output="sessions"
+    ).collect()
+    d = {r.session_seq: r.duration_seconds for r in sess}
+    assert d == {1: 1800.0, 2: 0.0}
+    with pytest.raises(TransformationError, match="gap_seconds"):
+        ev.sessionize(df, "u", "ts", 0, "eid")
+    with pytest.raises(TransformationError, match="output"):
+        ev.sessionize(df, "u", "ts", 10, "eid", output="bogus")
+
+
+def test_debounce_keeps_first_of_burst(spark):
+    rows = [
+        # chattering burst: fires every 5s for 30s — only the first
+        # survives even though the burst outlasts the 10s gap in total
+        ("A", "click", 0, 1), ("A", "click", 5, 2), ("A", "click", 10, 3),
+        ("A", "click", 15, 4), ("A", "click", 24, 5),
+        ("A", "click", 50, 6),          # 20s after the last raw -> kept
+        ("A", "view", 1, 7),            # independent key
+        ("B", "click", 2, 8),
+        ("B", "click", 13, 9),          # 11 > 10 -> kept
+        ("B", None, 3, 10),             # null key dropped
+    ]
+    df = spark.createDataFrame(rows, "u string, et string, t long, eid long")
+    kept = sorted(
+        r.eid
+        for r in ev.debounce(
+            df, ["u", "et"], "t", gap_seconds=10, tiebreak_col="eid"
+        ).collect()
+    )
+    assert kept == [1, 6, 7, 8, 9]
+    with pytest.raises(TransformationError, match="not in input schema"):
+        ev.debounce(df, ["missing"], "t", 10, "eid")
+
+
+def test_sessionize_debounce_yaml_adapters(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import (
+        RunContext,
+        TransformationConfig,
+    )
+
+    df = _sess_df(spark)
+    ctx = RunContext(pipeline_id="t", run_id="r", spark=spark)
+    s_cfg = TransformationConfig(
+        type="sessionize",
+        options={"userColumn": "u", "timeColumn": "t",
+                 "tiebreakColumn": "eid", "gapSeconds": 20,
+                 "output": "sessions"},
+    )
+    out = TRANSFORMER_REGISTRY["sessionize"].transform(df, s_cfg, ctx)
+    assert set(out.columns) == {
+        "u", "session_seq", "n_events", "start_units", "end_units",
+        "duration",
+    }
+    bad = TransformationConfig(type="sessionize", options={"userColumn": "u"})
+    assert not TRANSFORMER_REGISTRY["sessionize"].validate(df, bad).is_valid
+    d_cfg = TransformationConfig(
+        type="debounce",
+        options={"keyColumns": "u", "timeColumn": "t",
+                 "tiebreakColumn": "eid", "gapSeconds": 15},
+    )
+    kept = TRANSFORMER_REGISTRY["debounce"].transform(df, d_cfg, ctx)
+    assert kept.count() >= 1
