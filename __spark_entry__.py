@@ -5357,6 +5357,85 @@ FROM f WHERE pv IS NULL OR tn - pv > 300000000
 """
 
 
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type over the events feed —
+    open/close selected by lexicographic struct min/max over
+    (epoch_micros, event_id, value), which Spark and DuckDB both
+    compare field-by-field, so the oracle replays the selection
+    exactly. ONE map-side-combined groupBy, no windows or joins."""
+    from etl_spark_gradle_spark.operators.timeseries import ohlc_bars
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    return ohlc_bars(
+        events, "ts", "value", 3600, "event_id", group_by=["event_type"]
+    )
+
+
+_OHLC_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts,
+         epoch_us(ts) AS tn,
+         event_id,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT event_type, bucket_ts,
+       (min(struct_pack(t := tn, b := event_id, v := v))).v AS open,
+       MAX(v) AS high,
+       MIN(v) AS low,
+       (max(struct_pack(t := tn, b := event_id, v := v))).v AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean
+FROM b GROUP BY event_type, bucket_ts
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value — the
+    left-constant integral over irregular samples (Σ v·Δt / Σ Δt),
+    with exact decimal value·Δt products so the accumulation is
+    partition-order free; the single closing division is the only
+    float op. One user-keyed lead() window + one aggregation."""
+    from etl_spark_gradle_spark.operators.timeseries import twap
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    return twap(
+        events, "ts", "value", group_by=["user_id"],
+        tiebreak_col="event_id",
+    )
+
+
+_TWAP_ORACLE = """
+WITH b AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS tn,
+         CAST(value AS DECIMAL(18,6)) AS vq
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), l AS (
+  SELECT user_id, tn, vq,
+         lead(tn) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM b
+), a AS (
+  SELECT user_id,
+         SUM(CASE WHEN nxt IS NOT NULL THEN vq * (nxt - tn) END) AS wsum,
+         CAST(SUM(CASE WHEN nxt IS NOT NULL THEN nxt - tn END) AS BIGINT)
+           AS wtot,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM l GROUP BY user_id
+)
+SELECT user_id, n_obs, wtot AS span_micros,
+       CASE WHEN wtot > 0
+            THEN CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+                   / CAST(wtot AS DOUBLE)
+       END AS twap
+FROM a
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8054,6 +8133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto": q_pareto,
         "sessionize": q_sessionize,
         "debounce": q_debounce,
+        "ohlc": q_ohlc,
+        "twap": q_twap,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8318,6 +8399,8 @@ def oracle_sql() -> dict[str, str]:
         "pareto": _PARETO_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "debounce": _DEBOUNCE_ORACLE,
+        "ohlc": _OHLC_ORACLE,
+        "twap": _TWAP_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

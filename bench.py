@@ -46,6 +46,9 @@ And the extension-operator shapes:
 23. q23_kmeans      — fixed-point k-means over the embeddings (3
                       iterations of zero-shuffle literal-centroid
                       assignment + one k*dim partial-sum shuffle)
+24. q24_sessionize  — gap-based sessionization of the events feed
+                      rolled up to per-session stats (one user-keyed
+                      shuffle: lag flag + running index + rollup)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -562,6 +565,30 @@ def q22_rolling_median(spark):
     )
 
 
+def q24_sessionize(spark):
+    """Gap-based sessionization of 100k events (30-min gap) rolled up
+    to per-session stats — the gaps-and-islands shape: ONE user-keyed
+    shuffle carries the lag flag, the running session index and the
+    per-session rollup. Forced through a hash-sum so the full session
+    payload executes."""
+    from etl_spark_gradle_spark.operators.events import sessionize
+
+    ev = load(spark, "events")
+    out = sessionize(
+        ev, "user_id", "ts", gap_seconds=1800,
+        tiebreak_col="event_id", output="sessions",
+    )
+    return out.agg(
+        F.sum(
+            F.xxhash64(
+                "user_id", "session_seq", "n_events",
+                "start_units", "end_units",
+            )
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q23_kmeans(spark):
     """Fixed-point k-means (k=8, 3 Lloyd iterations) over the 2k x 64
     embeddings: per iteration a zero-shuffle literal-centroid
@@ -602,6 +629,7 @@ QUERIES = {
     "q21_line_dedup": q21_line_dedup,
     "q22_rolling_median": q22_rolling_median,
     "q23_kmeans": q23_kmeans,
+    "q24_sessionize": q24_sessionize,
 }
 
 

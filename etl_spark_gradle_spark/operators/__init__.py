@@ -179,13 +179,17 @@ from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
     AcfTransformer,
     CusumTransformer,
     IntervalsTransformer,
+    OhlcTransformer,
     ResampleTransformer,
     RollingMedianTransformer,
     TimeRollupTransformer,
+    TwapTransformer,
     acf,
     cusum_changepoints,
     merge_intervals,
+    ohlc_bars,
     resample,
+    twap,
     time_rollup,
 )
 from etl_spark_gradle_spark.operators.infotheory import (  # noqa: F401
@@ -257,6 +261,8 @@ TRANSFORMER_REGISTRY = {
     "intervals": IntervalsTransformer(),
     "changepoint": CusumTransformer(),
     "acf": AcfTransformer(),
+    "ohlc": OhlcTransformer(),
+    "twap": TwapTransformer(),
     "profile": ProfileTransformer(),
     "drift": DriftTransformer(),
     "pmi": PmiTransformer(),

@@ -60,10 +60,14 @@ __all__ = [
     "merge_intervals",
     "cusum_changepoints",
     "acf",
+    "ohlc_bars",
+    "twap",
     "AcfTransformer",
     "ResampleTransformer",
     "IntervalsTransformer",
     "CusumTransformer",
+    "OhlcTransformer",
+    "TwapTransformer",
 ]
 
 _FILLS = {"null", "zero", "ffill", "linear"}
@@ -1064,3 +1068,248 @@ class TimeRollupTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"time_rollup({opts})"
+
+
+def ohlc_bars(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    tiebreak_col: str,
+    group_by: list[str] | None = None,
+    origin: int = 0,
+) -> DataFrame:
+    """OHLC candlestick bars: per (series…, bucket) the Open (first
+    value by time), High, Low, Close (last value by time) plus
+    ``n_obs`` and an exact-decimal mean — the canonical market-data /
+    metrics downsampling shape.
+
+    Open/close come from ONE aggregation via lexicographic struct
+    min/max over ``(epoch_micros, tiebreak, value)`` — both Spark and
+    DuckDB compare structs field-by-field in declaration order, so the
+    oracle replays the selection exactly; ``tiebreak_col`` is REQUIRED
+    because simultaneous observations without a total order would make
+    open/close nondeterministic. NULL values are excluded entirely
+    (they carry no price); NULL timestamps have no bucket and drop.
+
+    Plan at 100 TB: ONE map-side-combined groupBy on (series, bucket)
+    — no windows, no joins, no second exchange. The struct min/max
+    partials are constant-size per group, so the shuffle carries
+    exactly one candle per (task, group)."""
+    for c in (time_col, value_col, tiebreak_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"ohlc column not in input schema: {c}"
+            )
+    if bucket_seconds <= 0:
+        raise TransformationError("ohlc requires bucket_seconds > 0")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    tn = F.unix_micros(F.col(time_col).cast("timestamp"))
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(time_col).isNotNull() & v.isNotNull()
+    ).select(
+        *group_by,
+        _bucket_expr(time_col, int(bucket_seconds), int(origin)).alias(
+            "bucket_ts"
+        ),
+        tn.alias("_tn"),
+        F.col(tiebreak_col).alias("_tb"),
+        v.alias("_v"),
+    )
+    key = F.struct(
+        F.col("_tn").alias("t"), F.col("_tb").alias("b"),
+        F.col("_v").alias("v"),
+    )
+    return base.groupBy(*group_by, "bucket_ts").agg(
+        F.min(key)["v"].alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(key)["v"].alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (
+            F.sum(F.col("_v").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_by: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average (TWAP): per series, integrate the
+    left-constant step function through its samples —
+    ``Σ value_i · (t_{i+1} − t_i) / (t_N − t_0)`` — the correct mean
+    for irregularly-sampled series, where the plain row mean
+    over-weights bursts (the classic sensor/price-feed trap).
+
+    Exactness: durations are exact integer epoch MICROS from a lead()
+    window; values quantize to decimal(18,6), so every
+    ``value·Δt`` product and the running sum are EXACT decimals under
+    any partitioning (a float Σ would be partition-order dependent);
+    the single closing division is the only float op. The last sample
+    of each series bounds the integral (contributes no width —
+    standard left-constant integration); series with one sample (zero
+    total width) return NULL. NULL values/timestamps are dropped
+    before pairing so the step function skips them.
+
+    Plan at 100 TB: one series-keyed window shuffle for ``lead``
+    (+ a required tiebreak when (series, time) can tie), then one
+    map-side-combined aggregation. Output is series-count-sized."""
+    for c in (time_col, value_col):
+        if c not in df.columns:
+            raise TransformationError(f"twap column not in input schema: {c}")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"group column not in input schema: {c}")
+    if tiebreak_col is not None and tiebreak_col not in df.columns:
+        raise TransformationError(
+            f"twap column not in input schema: {tiebreak_col}"
+        )
+    order = [F.col(time_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*group_by).orderBy(*order)
+    tn = F.unix_micros(F.col(time_col).cast("timestamp"))
+    base = (
+        df.where(
+            F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            *group_by,
+            F.col(time_col),
+            *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
+            tn.alias("_tn"),
+            F.col(value_col).cast("decimal(18,6)").alias("_vq"),
+        )
+        .withColumn("_next", F.lead("_tn").over(w))
+    )
+    dt = F.col("_next") - F.col("_tn")
+    agg = base.groupBy(*group_by).agg(
+        F.sum(
+            F.when(F.col("_next").isNotNull(), F.col("_vq") * dt)
+        ).alias("_wsum"),
+        F.sum(F.when(F.col("_next").isNotNull(), dt))
+        .cast("long")
+        .alias("_wtot"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    return agg.select(
+        *group_by,
+        "n_obs",
+        F.col("_wtot").alias("span_micros"),
+        F.when(
+            F.col("_wtot") > 0,
+            F.col("_wsum").cast("string").cast("double")
+            / F.col("_wtot").cast("double"),
+        ).alias("twap"),
+    )
+
+
+class OhlcTransformer:
+    """Registry adapter (``type: ohlc``). Options: ``timeColumn``,
+    ``valueColumn``, ``tiebreakColumn`` (required), ``bucketSeconds``
+    (required), ``groupBy`` csv, ``origin``."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        for opt in ("timeColumn", "valueColumn", "tiebreakColumn"):
+            col = config.options.get(opt)
+            if not col:
+                errors.append(f"ohlc requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        try:
+            if int(config.options.get("bucketSeconds", 0)) <= 0:
+                errors.append("bucketSeconds must be a positive int")
+        except (TypeError, ValueError):
+            errors.append(
+                f"bucketSeconds is not an int: {config.options['bucketSeconds']}"
+            )
+        for c in _split_csv(config.options.get("groupBy")):
+            if c not in df.columns:
+                errors.append(f"group column not in input schema: {c}")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "ohlc config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return ohlc_bars(
+            df,
+            time_col=opts["timeColumn"],
+            value_col=opts["valueColumn"],
+            bucket_seconds=int(opts["bucketSeconds"]),
+            tiebreak_col=opts["tiebreakColumn"],
+            group_by=_split_csv(opts.get("groupBy")) or None,
+            origin=int(opts.get("origin", 0)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"ohlc({opts})"
+
+
+class TwapTransformer:
+    """Registry adapter (``type: twap``). Options: ``timeColumn``,
+    ``valueColumn`` (required), ``groupBy`` csv, ``tiebreakColumn``."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        for opt in ("timeColumn", "valueColumn"):
+            col = config.options.get(opt)
+            if not col:
+                errors.append(f"twap requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        tb = config.options.get("tiebreakColumn")
+        if tb and tb not in df.columns:
+            errors.append(f"tiebreakColumn not in input schema: {tb}")
+        for c in _split_csv(config.options.get("groupBy")):
+            if c not in df.columns:
+                errors.append(f"group column not in input schema: {c}")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "twap config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return twap(
+            df,
+            time_col=opts["timeColumn"],
+            value_col=opts["valueColumn"],
+            group_by=_split_csv(opts.get("groupBy")) or None,
+            tiebreak_col=opts.get("tiebreakColumn"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"twap({opts})"

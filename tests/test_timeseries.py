@@ -769,3 +769,160 @@ def test_acf_yaml_adapter(spark):
     bad = TransformationConfig(type="acf", options={"orderColumn": "t"})
     assert not t.validate(df, bad).is_valid
     assert "acf" in t.lineage_step(cfg)
+
+
+class TestOhlcTwap:
+    def test_ohlc_hand_computed(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # bucket 0: open=10 (t=5), high=40, low=10, close=25 (t=50)
+            ("A", base + dt.timedelta(seconds=5), 10.0, 1),
+            ("A", base + dt.timedelta(seconds=20), 40.0, 2),
+            ("A", base + dt.timedelta(seconds=50), 25.0, 3),
+            # bucket 60: single obs
+            ("A", base + dt.timedelta(seconds=65), 7.0, 4),
+            # simultaneous obs: tiebreak decides open/close
+            ("B", base, 1.0, 6),
+            ("B", base, 2.0, 5),
+            # null value dropped entirely
+            ("B", base + dt.timedelta(seconds=10), None, 7),
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, v double, eid long"
+        )
+        from etl_spark_gradle_spark.operators.timeseries import ohlc_bars
+
+        got = {
+            (r.g, r.bucket_ts): (r.open, r.high, r.low, r.close, r.n_obs,
+                                 r.mean)
+            for r in ohlc_bars(
+                df, "ts", "v", 60, "eid", group_by=["g"]
+            ).collect()
+        }
+        b0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+        assert got[("A", b0)] == (10.0, 40.0, 10.0, 25.0, 3, 25.0)
+        assert got[("A", b0 + 60)] == (7.0, 7.0, 7.0, 7.0, 1, 7.0)
+        # eid 5 sorts before eid 6 at the same timestamp
+        assert got[("B", b0)] == (2.0, 2.0, 1.0, 1.0, 2, 1.5)
+
+    def test_ohlc_partition_independence_and_validation(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("A", base + dt.timedelta(seconds=i * 7), float((i * 13) % 31), i)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, v double, eid long"
+        )
+        from etl_spark_gradle_spark.operators.timeseries import ohlc_bars
+
+        ref = sorted(
+            tuple(r)
+            for r in ohlc_bars(
+                df.repartition(1), "ts", "v", 120, "eid", group_by=["g"]
+            ).collect()
+        )
+        for parts in (3, 16):
+            got = sorted(
+                tuple(r)
+                for r in ohlc_bars(
+                    df.repartition(parts), "ts", "v", 120, "eid",
+                    group_by=["g"],
+                ).collect()
+            )
+            assert got == ref
+        with pytest.raises(TransformationError, match="bucket_seconds"):
+            ohlc_bars(df, "ts", "v", 0, "eid")
+
+    def test_twap_hand_computed(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # A: 10 for 10s, 20 for 20s -> (100+400)/30 = 16.666...
+            ("A", base, 10.0),
+            ("A", base + dt.timedelta(seconds=10), 20.0),
+            ("A", base + dt.timedelta(seconds=30), 30.0),
+            # B: single sample -> NULL twap
+            ("B", base, 99.0),
+            # C: null value skipped -> step function 5 for 8s
+            ("C", base, 5.0),
+            ("C", base + dt.timedelta(seconds=4), None),
+            ("C", base + dt.timedelta(seconds=8), 6.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+        from etl_spark_gradle_spark.operators.timeseries import twap
+
+        got = {
+            r.g: (r.n_obs, r.span_micros, r.twap)
+            for r in twap(df, "ts", "v", group_by=["g"]).collect()
+        }
+        assert got["A"] == (3, 30_000_000, (10.0 * 10_000_000 + 20.0 * 20_000_000) / 30_000_000)
+        assert got["B"] == (1, None, None)
+        assert got["C"] == (2, 8_000_000, 5.0)
+        # the row mean would be 20 for A; twap weights the long 20s span
+        assert abs(got["A"][2] - 16.666666666666668) < 1e-12
+
+    def test_twap_partition_independence(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("A", base + dt.timedelta(seconds=(i * 37) % 1000), float(i % 17))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+        from etl_spark_gradle_spark.operators.timeseries import twap
+
+        vals = set()
+        for parts in (1, 5, 32):
+            rows_out = twap(
+                df.repartition(parts), "ts", "v", group_by=["g"],
+            ).collect()
+            vals.add(rows_out[0].twap)
+        assert len(vals) == 1  # exact decimal accumulation -> bit-equal
+
+    def test_ohlc_twap_yaml_adapters(self, spark):
+        import datetime as dt
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.plans.config import (
+            RunContext,
+            TransformationConfig,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("A", base, 1.0, 1), ("A", base + dt.timedelta(seconds=5), 2.0, 2)],
+            "g string, ts timestamp, v double, eid long",
+        )
+        ctx = RunContext(pipeline_id="t", run_id="r", spark=spark)
+        out = TRANSFORMER_REGISTRY["ohlc"].transform(
+            df,
+            TransformationConfig(
+                type="ohlc",
+                options={"timeColumn": "ts", "valueColumn": "v",
+                         "tiebreakColumn": "eid", "bucketSeconds": 60,
+                         "groupBy": "g"},
+            ),
+            ctx,
+        )
+        assert set(out.columns) == {
+            "g", "bucket_ts", "open", "high", "low", "close", "n_obs", "mean"
+        }
+        bad = TransformationConfig(type="ohlc", options={"timeColumn": "ts"})
+        assert not TRANSFORMER_REGISTRY["ohlc"].validate(df, bad).is_valid
+        out2 = TRANSFORMER_REGISTRY["twap"].transform(
+            df,
+            TransformationConfig(
+                type="twap",
+                options={"timeColumn": "ts", "valueColumn": "v",
+                         "groupBy": "g"},
+            ),
+            ctx,
+        )
+        assert {r.g: r.twap for r in out2.collect()} == {"A": 1.0}
