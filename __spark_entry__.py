@@ -5436,6 +5436,41 @@ FROM a
 """
 
 
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting lag-feature block over the events feed: per-user
+    value lags 1/2/3 plus first differences, all riding ONE
+    user-keyed window shuffle (each extra lag is another lag()
+    expression over the same sorted frame, not an exchange). The
+    per-series partition is the no-cross-user-leak guarantee."""
+    from etl_spark_gradle_spark.operators.timeseries import lag_features
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return lag_features(
+        events, ["user_id"], "ts", "value",
+        lags=[1, 2, 3], tiebreak=["event_id"], deltas=True,
+    )
+
+
+_LAG_FEATURES_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         lag(value, 1) OVER win AS value_lag1,
+         lag(value, 2) OVER win AS value_lag2,
+         lag(value, 3) OVER win AS value_lag3
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id, ts, value,
+       value_lag1, value - value_lag1 AS value_delta1,
+       value_lag2, value - value_lag2 AS value_delta2,
+       value_lag3, value - value_lag3 AS value_delta3
+FROM w
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8135,6 +8170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce": q_debounce,
         "ohlc": q_ohlc,
         "twap": q_twap,
+        "lag_features": q_lag_features,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8401,6 +8437,7 @@ def oracle_sql() -> dict[str, str]:
         "debounce": _DEBOUNCE_ORACLE,
         "ohlc": _OHLC_ORACLE,
         "twap": _TWAP_ORACLE,
+        "lag_features": _LAG_FEATURES_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

@@ -179,6 +179,7 @@ from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
     AcfTransformer,
     CusumTransformer,
     IntervalsTransformer,
+    LagFeaturesTransformer,
     OhlcTransformer,
     ResampleTransformer,
     RollingMedianTransformer,
@@ -186,6 +187,7 @@ from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
     TwapTransformer,
     acf,
     cusum_changepoints,
+    lag_features,
     merge_intervals,
     ohlc_bars,
     resample,
@@ -263,6 +265,7 @@ TRANSFORMER_REGISTRY = {
     "acf": AcfTransformer(),
     "ohlc": OhlcTransformer(),
     "twap": TwapTransformer(),
+    "lag_features": LagFeaturesTransformer(),
     "profile": ProfileTransformer(),
     "drift": DriftTransformer(),
     "pmi": PmiTransformer(),

@@ -62,6 +62,8 @@ __all__ = [
     "acf",
     "ohlc_bars",
     "twap",
+    "lag_features",
+    "LagFeaturesTransformer",
     "AcfTransformer",
     "ResampleTransformer",
     "IntervalsTransformer",
@@ -1313,3 +1315,140 @@ class TwapTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"twap({opts})"
+
+
+def lag_features(
+    df: DataFrame,
+    series_by: list[str],
+    time_col: str,
+    value_col: str,
+    lags: list[int],
+    tiebreak: list[str] | None = None,
+    deltas: bool = False,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Supervised-learning lag features: for every row, the value
+    ``k`` observations earlier in its own series, one column
+    ``<value>_lag<k>`` per requested lag — the standard forecasting /
+    sequence-model feature block (plus optional ``<value>_delta<k>``
+    first differences). Rows near a series' start get NULLs (no
+    history), never a cross-series leak: each series is its own
+    window partition, so a model trained on the output cannot see a
+    neighboring key's values — the silent bug hand-rolled SQL lag
+    features are famous for when the PARTITION BY is forgotten.
+
+    ``tiebreak`` columns are required whenever (series, time) can tie
+    (same posture as ``rolling_median``): without a total order the
+    lag assignment is nondeterministic. NULL times sort engine-
+    dependently (Spark ASC is nulls-first, standard SQL nulls-last) —
+    keep the ordering columns non-null if cross-engine reproducibility
+    matters. Values pass through untyped
+    and untouched (lag is pure row plumbing — exactness concerns only
+    arise in ``deltas``, which subtracts the ORIGINAL values so
+    integer/decimal inputs difference exactly; double inputs
+    difference in one IEEE op any engine reproduces).
+
+    Plan at 100 TB: ALL lags ride ONE series-keyed window shuffle —
+    each extra lag adds a ``lag()`` expression over the same sorted
+    frame, not an exchange. Output is row-for-row the input plus the
+    feature columns (no rows dropped: the NULL-history rows are the
+    caller's train/serve filter decision, not ours)."""
+    if not lags:
+        raise TransformationError("lag_features requires at least one lag")
+    for k in lags:
+        if int(k) < 1:
+            raise TransformationError(f"lags must be >= 1, got {k}")
+    if len(set(int(k) for k in lags)) != len(lags):
+        raise TransformationError("lags must be unique")
+    if not series_by:
+        raise TransformationError(
+            "lag_features requires series_by (a global series would "
+            "funnel the table through one window task — repartition "
+            "intent must be explicit)"
+        )
+    tiebreak = tiebreak or []
+    for c in (*series_by, time_col, value_col, *tiebreak):
+        if c not in df.columns:
+            raise TransformationError(
+                f"lag_features column not in input schema: {c}"
+            )
+    base = prefix if prefix is not None else value_col
+    for k in lags:
+        for stem in ("lag", "delta") if deltas else ("lag",):
+            name = f"{base}_{stem}{int(k)}"
+            if name in df.columns:
+                raise TransformationError(
+                    f"lag_features output column already in schema: {name}"
+                )
+    w = Window.partitionBy(*series_by).orderBy(
+        F.col(time_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    out = df
+    for k in sorted(int(k) for k in lags):
+        lagged = F.lag(F.col(value_col), k).over(w)
+        out = out.withColumn(f"{base}_lag{k}", lagged)
+        if deltas:
+            out = out.withColumn(
+                f"{base}_delta{k}", F.col(value_col) - lagged
+            )
+    return out
+
+
+class LagFeaturesTransformer:
+    """Registry adapter (``type: lag_features``). Options:
+    ``seriesBy`` csv (required), ``timeColumn``, ``valueColumn``
+    (required), ``lags`` csv of ints (default "1"), ``tiebreak`` csv,
+    ``deltas`` bool, ``prefix``."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if not _split_csv(opts.get("seriesBy")):
+            errors.append("lag_features requires 'seriesBy'")
+        for c in _split_csv(opts.get("seriesBy")):
+            if c not in df.columns:
+                errors.append(f"series column not in input schema: {c}")
+        for opt in ("timeColumn", "valueColumn"):
+            col = opts.get(opt)
+            if not col:
+                errors.append(f"lag_features requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        for c in _split_csv(opts.get("tiebreak")):
+            if c not in df.columns:
+                errors.append(f"tiebreak column not in input schema: {c}")
+        try:
+            lags = [int(s) for s in _split_csv(opts.get("lags", "1"))]
+            if any(k < 1 for k in lags):
+                errors.append("lags must be >= 1")
+        except ValueError:
+            errors.append(f"lags is not an int csv: {opts['lags']}")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "lag_features config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return lag_features(
+            df,
+            series_by=_split_csv(opts["seriesBy"]),
+            time_col=opts["timeColumn"],
+            value_col=opts["valueColumn"],
+            lags=[int(s) for s in _split_csv(opts.get("lags", "1"))],
+            tiebreak=_split_csv(opts.get("tiebreak")) or None,
+            deltas=bool(opts.get("deltas", False)),
+            prefix=opts.get("prefix"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"lag_features({opts})"

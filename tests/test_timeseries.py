@@ -926,3 +926,72 @@ class TestOhlcTwap:
             ctx,
         )
         assert {r.g: r.twap for r in out2.collect()} == {"A": 1.0}
+
+
+class TestLagFeatures:
+    def test_hand_computed_lags_and_deltas(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("A", base + dt.timedelta(seconds=i), float(v), i)
+            for i, v in enumerate([10, 20, 40, 80])
+        ] + [("B", base, 7.0, 0)]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, v double, eid long"
+        )
+        from etl_spark_gradle_spark.operators.timeseries import lag_features
+
+        out = {
+            (r.g, r.eid): (r.v_lag1, r.v_lag2, r.v_delta1, r.v_delta2)
+            for r in lag_features(
+                df, ["g"], "ts", "v", lags=[1, 2],
+                tiebreak=["eid"], deltas=True,
+            ).collect()
+        }
+        assert out[("A", 0)] == (None, None, None, None)
+        assert out[("A", 1)] == (10.0, None, 10.0, None)
+        assert out[("A", 2)] == (20.0, 10.0, 20.0, 30.0)
+        assert out[("A", 3)] == (40.0, 20.0, 40.0, 60.0)
+        # no cross-series leak: B's only row has no history
+        assert out[("B", 0)] == (None, None, None, None)
+        # row count preserved
+        assert len(out) == 5
+
+    def test_validation_and_adapter(self, spark):
+        import datetime as dt
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.timeseries import lag_features
+        from etl_spark_gradle_spark.plans.config import (
+            RunContext,
+            TransformationConfig,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("A", base, 1.0), ("A", base + dt.timedelta(seconds=1), 2.0)],
+            "g string, ts timestamp, v double",
+        )
+        with pytest.raises(TransformationError, match="series_by"):
+            lag_features(df, [], "ts", "v", [1])
+        with pytest.raises(TransformationError, match="unique"):
+            lag_features(df, ["g"], "ts", "v", [1, 1])
+        with pytest.raises(TransformationError, match=">= 1"):
+            lag_features(df, ["g"], "ts", "v", [0])
+        clash = df.withColumn("v_lag1", df.v)
+        with pytest.raises(TransformationError, match="already in schema"):
+            lag_features(clash, ["g"], "ts", "v", [1])
+        out = TRANSFORMER_REGISTRY["lag_features"].transform(
+            df,
+            TransformationConfig(
+                type="lag_features",
+                options={"seriesBy": "g", "timeColumn": "ts",
+                         "valueColumn": "v", "lags": "1,3"},
+            ),
+            RunContext(pipeline_id="t", run_id="r", spark=spark),
+        )
+        assert {"v_lag1", "v_lag3"} <= set(out.columns)
+        assert not TRANSFORMER_REGISTRY["lag_features"].validate(
+            df, TransformationConfig(type="lag_features", options={})
+        ).is_valid
