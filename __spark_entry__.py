@@ -5471,6 +5471,68 @@ FROM w
 """
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling: 3 pseudo-random part negatives
+    per customer anchor from md5-derived bucket/rank draws — the
+    contrastive-training pair builder. The whole construction is
+    relational (bucket-local ranks, a dense bucket side table, two
+    hash draws per slot), so the oracle replays every draw
+    cell-for-cell; no rand(), no driver-side candidate list."""
+    from etl_spark_gradle_spark.operators.corpus import negative_sample
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    return negative_sample(
+        cust, "c_custkey", part, "p_partkey", k=3, buckets=16
+    )
+
+
+_NEGATIVE_SAMPLE_ORACLE = """
+WITH pool AS (
+  SELECT DISTINCT p_partkey AS cand FROM part WHERE p_partkey IS NOT NULL
+), bucketed AS (
+  SELECT cand,
+         CAST(('0x' || substr(md5('negb:' || CAST(cand AS VARCHAR)), 1, 8))
+              AS BIGINT) % 16 AS b
+  FROM pool
+), ranked AS (
+  SELECT cand, b,
+         row_number() OVER (
+           PARTITION BY b
+           ORDER BY md5('negr:' || CAST(cand AS VARCHAR)) ASC,
+                    CAST(cand AS VARCHAR) ASC
+         ) - 1 AS r
+  FROM bucketed
+), dense AS (
+  SELECT b AS db, COUNT(*) AS sz FROM ranked GROUP BY b
+), dense2 AS (
+  SELECT db, sz, row_number() OVER (ORDER BY db ASC) - 1 AS j FROM dense
+), nb AS (
+  SELECT COUNT(*) AS n FROM dense2
+), slots AS (
+  SELECT c_custkey AS anchor,
+         CAST(i.neg_index AS INT) AS neg_index,
+         CAST(('0x' || substr(md5('negq:' || CAST(c_custkey AS VARCHAR)
+               || ':' || CAST(i.neg_index AS VARCHAR)), 1, 8))
+              AS BIGINT) % nb.n AS jpick,
+         CAST(('0x' || substr(md5('negi:' || CAST(c_custkey AS VARCHAR)
+               || ':' || CAST(i.neg_index AS VARCHAR)), 1, 8))
+              AS BIGINT) AS rh
+  FROM customer
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS neg_index) i
+  CROSS JOIN nb
+), picked AS (
+  SELECT s.anchor, s.neg_index, d.db, s.rh % d.sz AS rpick
+  FROM slots s JOIN dense2 d ON s.jpick = d.j
+)
+SELECT p.anchor AS c_custkey, p.neg_index, rk.cand AS negative
+FROM picked p
+JOIN ranked rk ON p.db = rk.b AND p.rpick = rk.r
+WHERE CAST(rk.cand AS VARCHAR) <> CAST(p.anchor AS VARCHAR)
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8171,6 +8233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": q_ohlc,
         "twap": q_twap,
         "lag_features": q_lag_features,
+        "negative_sample": q_negative_sample,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8438,6 +8501,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc": _OHLC_ORACLE,
         "twap": _TWAP_ORACLE,
         "lag_features": _LAG_FEATURES_ORACLE,
+        "negative_sample": _NEGATIVE_SAMPLE_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

@@ -18,6 +18,7 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     ChunkTransformer,
     HashSampleTransformer,
     MixTransformer,
+    NegativeSampleTransformer,
     PackTransformer,
     TokenFrequencyTransformer,
     WeightedSampleTransformer,
@@ -26,6 +27,7 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     chunk_documents,
     hash_sample,
     mix_to_target,
+    negative_sample,
     pack_sequences,
     token_frequency,
     weighted_sample,
@@ -294,6 +296,7 @@ TRANSFORMER_REGISTRY = {
     "pack": PackTransformer(),
     "token_frequency": TokenFrequencyTransformer(),
     "hash_sample": HashSampleTransformer(),
+    "negative_sample": NegativeSampleTransformer(),
     "mix": MixTransformer(),
     "cap_per_group": CapPerGroupTransformer(),
     "balance_classes": BalanceClassesTransformer(),

@@ -926,3 +926,216 @@ class BalanceClassesTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"balance_classes({opts})"
+
+
+def negative_sample(
+    df: DataFrame,
+    key_col: str,
+    candidates: DataFrame,
+    cand_col: str,
+    k: int = 5,
+    buckets: int = 64,
+    salt: str = "",
+    exclude_equal: bool = True,
+    index_col: str = "neg_index",
+    output_col: str = "negative",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / ranking
+    training: attach ``k`` pseudo-random negatives from a candidate
+    pool to every anchor row — ``(anchor…, neg_index, negative)`` —
+    with the SAME negatives on every run and engine (md5-derived
+    choices, the ``hash_sample`` reproducibility posture; seeded
+    ``rand()`` would re-draw per execution and per partitioning).
+
+    Mechanism (all relational, no driver-side candidate list): the
+    distinct candidate pool hashes into ``buckets`` groups, each
+    bucket ranks its members by an independent md5 (a bucket-local
+    ``row_number``, never a global one — a global rank would funnel
+    the pool through a single window task); non-empty buckets get a
+    dense index in a buckets-sized side table. Each (anchor, i)
+    slot picks a dense bucket via one hash and a rank inside it via
+    another, then joins on (bucket, rank). Sampling is near-uniform:
+    a candidate's inclusion odds deviate from 1/N only by the
+    bucket-size spread (the standard hashing-trick tradeoff — raise
+    ``buckets`` toward √N to tighten it).
+
+    ``exclude_equal=True`` drops slots whose drawn negative equals the
+    anchor key (string-compared), so those anchors carry < k
+    negatives — the caller's re-draw policy is a second pass with a
+    different ``salt``. NULL keys keep their slots (a legitimate
+    anchor); NULL candidates never enter the pool.
+
+    Plan at 100 TB: the pool is scanned once (one buckets-keyed
+    window over |pool| rows); anchors explode ×k and broadcast-join
+    the TINY dense-bucket table, then join the ranked pool on
+    (bucket, rank) — a shuffle join bounded by max(anchors·k, |pool|),
+    with AQE free to broadcast a dimension-sized pool."""
+    if k < 1:
+        raise TransformationError("negative_sample requires k >= 1")
+    if buckets < 1:
+        raise TransformationError("negative_sample requires buckets >= 1")
+    if key_col not in df.columns:
+        raise TransformationError(
+            f"negative_sample key column not in input schema: {key_col}"
+        )
+    if cand_col not in candidates.columns:
+        raise TransformationError(
+            f"negative_sample candidate column not in schema: {cand_col}"
+        )
+    for c in (index_col, output_col):
+        if c in df.columns:
+            raise TransformationError(
+                f"negative_sample output column already in schema: {c}"
+            )
+    from pyspark.sql.window import Window
+
+    def _h(tag: str, col: Column) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), col.cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pool = (
+        candidates.select(F.col(cand_col).alias("_cand"))
+        .where(F.col("_cand").isNotNull())
+        .distinct()
+        .withColumn("_b", _h("negb:", F.col("_cand")) % F.lit(int(buckets)))
+    )
+    ranked = pool.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("_b").orderBy(
+                F.md5(F.concat(F.lit("negr:"), F.col("_cand").cast("string"),
+                               F.lit(salt))).asc(),
+                F.col("_cand").cast("string").asc(),
+            )
+        )
+        - 1,
+    )
+    # `_db` (not `_b`): the dense table derives from `ranked`, and the
+    # final join touches `ranked` again — a shared `_b` would be an
+    # ambiguous self-join column
+    sizes = ranked.groupBy(F.col("_b").alias("_db")).agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    dense = sizes.withColumn(
+        "_j",
+        F.row_number().over(Window.partitionBy().orderBy(F.col("_db").asc()))
+        - 1,
+    )
+    n_buckets = dense.agg(F.count(F.lit(1)).alias("_nb"))
+    slots = (
+        df.withColumn(
+            index_col, F.explode(F.sequence(F.lit(1), F.lit(int(k))))
+        )
+        .withColumn(index_col, F.col(index_col).cast("int"))
+        .crossJoin(F.broadcast(n_buckets))
+        .withColumn(
+            "_jpick",
+            F.when(
+                F.col("_nb") > 0,
+                _h(
+                    "negq:",
+                    F.concat(
+                        F.col(key_col).cast("string"), F.lit(":"),
+                        F.col(index_col).cast("string"),
+                    ),
+                )
+                % F.col("_nb"),
+            ),
+        )
+        .drop("_nb")
+    )
+    slots = (
+        slots.join(F.broadcast(dense), slots["_jpick"] == dense["_j"])
+        .withColumn(
+            "_rpick",
+            _h(
+                "negi:",
+                F.concat(
+                    F.col(key_col).cast("string"), F.lit(":"),
+                    F.col(index_col).cast("string"),
+                ),
+            )
+            % F.col("_sz"),
+        )
+        .drop("_j", "_jpick", "_sz")
+    )
+    out = (
+        slots.join(
+            ranked,
+            (slots["_db"] == ranked["_b"])
+            & (slots["_rpick"] == ranked["_r"]),
+        )
+        .drop("_db", "_b", "_r", "_rpick")
+        .withColumnRenamed("_cand", output_col)
+    )
+    if exclude_equal:
+        out = out.where(
+            ~F.col(output_col)
+            .cast("string")
+            .eqNullSafe(F.col(key_col).cast("string"))
+        )
+    return out
+
+
+class NegativeSampleTransformer:
+    """Registry adapter (``type: negative_sample``). Options:
+    ``keyColumn`` (required), ``candidatesTable`` (a ``views:`` entry,
+    required), ``candidateColumn`` (required), ``k`` (default 5),
+    ``buckets`` (default 64), ``salt``, ``excludeEqual`` (default
+    true), ``indexColumn``, ``outputColumn``."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if not opts.get("keyColumn"):
+            errors.append("negative_sample requires 'keyColumn'")
+        elif opts["keyColumn"] not in df.columns:
+            errors.append(f"keyColumn not in input schema: {opts['keyColumn']}")
+        for opt in ("candidatesTable", "candidateColumn"):
+            if not opts.get(opt):
+                errors.append(f"negative_sample requires '{opt}'")
+        for opt, lo in (("k", 1), ("buckets", 1)):
+            try:
+                if int(opts.get(opt, lo)) < lo:
+                    errors.append(f"{opt} must be >= {lo}")
+            except (TypeError, ValueError):
+                errors.append(f"{opt} is not an int: {opts[opt]}")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "negative_sample config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        cands = ctx.spark.table(opts["candidatesTable"])
+        return negative_sample(
+            df,
+            key_col=opts["keyColumn"],
+            candidates=cands,
+            cand_col=opts["candidateColumn"],
+            k=int(opts.get("k", 5)),
+            buckets=int(opts.get("buckets", 64)),
+            salt=str(opts.get("salt", "")),
+            exclude_equal=bool(opts.get("excludeEqual", True)),
+            index_col=opts.get("indexColumn", "neg_index"),
+            output_col=opts.get("outputColumn", "negative"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"negative_sample({opts})"

@@ -505,3 +505,117 @@ def test_weighted_reservoir_exact_k_and_bias(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="k > 0"):
         weighted_reservoir(df, "key", "w", 0)
+
+
+class TestNegativeSample:
+    @staticmethod
+    def _py_reference(keys, cands, k, buckets, salt="", exclude_equal=True):
+        import hashlib
+
+        def h(tag, s):
+            return int(
+                hashlib.md5((tag + str(s) + salt).encode()).hexdigest()[:8],
+                16,
+            )
+
+        by_bucket = {}
+        for c in sorted({c for c in cands if c is not None}, key=str):
+            by_bucket.setdefault(h("negb:", c) % buckets, []).append(c)
+        for b in by_bucket:
+            by_bucket[b].sort(
+                key=lambda c: (
+                    hashlib.md5(("negr:" + str(c) + salt).encode()).hexdigest(),
+                    str(c),
+                )
+            )
+        dense = sorted(by_bucket)
+        out = set()
+        for key in keys:
+            for i in range(1, k + 1):
+                if not dense:
+                    continue
+                b = dense[h("negq:", f"{key}:{i}") % len(dense)]
+                neg = by_bucket[b][h("negi:", f"{key}:{i}") % len(by_bucket[b])]
+                if exclude_equal and str(neg) == str(key):
+                    continue
+                out.add((key, i, neg))
+        return out
+
+    def test_matches_python_reference_and_determinism(self, spark):
+        from etl_spark_gradle_spark.operators.corpus import negative_sample
+
+        keys = list(range(30))
+        cands = list(range(100, 140))
+        kdf = spark.createDataFrame([(k,) for k in keys], "anchor long")
+        cdf = spark.createDataFrame([(c,) for c in cands], "cand long")
+        want = self._py_reference(keys, cands, k=4, buckets=8)
+        for parts in (1, 8):
+            got = {
+                (r.anchor, r.neg_index, r.negative)
+                for r in negative_sample(
+                    kdf.repartition(parts), "anchor",
+                    cdf.repartition(parts), "cand", k=4, buckets=8,
+                ).collect()
+            }
+            assert got == want
+        # every negative is from the pool; every anchor has exactly k
+        # slots here (no anchor key is in the candidate domain)
+        assert all(n in set(cands) for _, _, n in want)
+        assert len(want) == 30 * 4
+
+    def test_exclude_equal_and_salt(self, spark):
+        from etl_spark_gradle_spark.operators.corpus import negative_sample
+
+        # anchors drawn FROM the candidate pool: self-draws must vanish
+        ids = list(range(40))
+        kdf = spark.createDataFrame([(k,) for k in ids], "anchor long")
+        cdf = spark.createDataFrame([(c,) for c in ids], "cand long")
+        rows = negative_sample(
+            kdf, "anchor", cdf, "cand", k=3, buckets=4
+        ).collect()
+        assert all(r.negative != r.anchor for r in rows)
+        assert self._py_reference(ids, ids, k=3, buckets=4) == {
+            (r.anchor, r.neg_index, r.negative) for r in rows
+        }
+        # a different salt re-draws
+        salted = {
+            (r.anchor, r.neg_index, r.negative)
+            for r in negative_sample(
+                kdf, "anchor", cdf, "cand", k=3, buckets=4, salt="s2"
+            ).collect()
+        }
+        assert salted == self._py_reference(ids, ids, 3, 4, salt="s2")
+        assert salted != {(r.anchor, r.neg_index, r.negative) for r in rows}
+
+    def test_validation_and_adapter(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.corpus import negative_sample
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+        from etl_spark_gradle_spark.plans.config import (
+            RunContext,
+            TransformationConfig,
+        )
+
+        kdf = spark.createDataFrame([(1,)], "anchor long")
+        cdf = spark.createDataFrame([(2,)], "cand long")
+        with pytest.raises(TransformationError, match="k >= 1"):
+            negative_sample(kdf, "anchor", cdf, "cand", k=0)
+        with pytest.raises(TransformationError, match="not in input schema"):
+            negative_sample(kdf, "missing", cdf, "cand")
+        cdf.createOrReplaceTempView("neg_pool")
+        t = TRANSFORMER_REGISTRY["negative_sample"]
+        cfg = TransformationConfig(
+            type="negative_sample",
+            options={"keyColumn": "anchor", "candidatesTable": "neg_pool",
+                     "candidateColumn": "cand", "k": 2},
+        )
+        assert t.validate(kdf, cfg).is_valid
+        out = t.transform(
+            kdf, cfg, RunContext(pipeline_id="t", run_id="r", spark=spark)
+        )
+        assert {(r.anchor, r.negative) for r in out.collect()} == {(1, 2)}
+        assert not t.validate(
+            kdf, TransformationConfig(type="negative_sample", options={})
+        ).is_valid
