@@ -540,6 +540,77 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
          "SortMergeJoin"],
     ),
+    (
+        "sessionize",
+        "sessionization: boundary flag, running session index and the "
+        "per-session rollup all ride ONE user-keyed exchange (the "
+        "rollup groups a prefix of the window clustering) — no joins, "
+        "no cartesian, no python",
+        ["Window", "hashpartitioning(user_id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "debounce",
+        "debounce: one key-keyed window shuffle + scan predicate — "
+        "no joins, no python",
+        ["Window", "hashpartitioning(user_id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "ohlc",
+        "OHLC bars: ONE map-side-combined aggregation (struct min/max "
+        "partials before the exchange) — no windows, no joins, no "
+        "python",
+        ["partial_min", "hashpartitioning"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "twap",
+        "TWAP: one lead() window on the series key + one "
+        "map-side-combined aggregation of exact decimal products — "
+        "no joins, no python",
+        ["Window", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "lag_features",
+        "lag features: all lags + deltas ride one series-keyed window "
+        "(no extra exchange per lag), rows pass through — no joins, "
+        "no python",
+        ["Window", "hashpartitioning(user_id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "negative_sample",
+        "negative sampling: the dense bucket table and the 1-row "
+        "bucket count come back BROADCAST (nested-loop on the 1-row "
+        "cross join is fine); the candidate rank is bucket-local — "
+        "no cartesian, no python",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "association_rules",
+        "association rules: item stats broadcast onto the pair table, "
+        "total as a 1-row broadcast — the raw feed shuffles only for "
+        "the basket grouping, no cartesian, no python",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "feature_hash",
+        "feature hashing: tokenize+hash ride the scan, ONE "
+        "map-side-combined shuffle on (id, feature) — no windows, no "
+        "joins, no python",
+        ["partial_sum", "hashpartitioning"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
 ]
 
 
