@@ -757,3 +757,38 @@ def test_timeseries_monitoring_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatc
     assert grid.filter(
         "avg_value IS NOT NULL AND baseline_median IS NULL"
     ).count() == 0
+
+
+def test_session_analytics_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/session-analytics.yaml runs end-to-end:
+    debounce per (user, type) -> 30-minute sessionization -> per-session
+    rollup -> expectation gate -> parquet."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "sessions")
+    monkeypatch.setenv("EVENTS_SRC", f"{sf_dir}/events.parquet")
+    monkeypatch.setenv("SESSIONS_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/session-analytics.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+
+    sess = spark.read.parquet(out)
+    assert {"user_id", "session_seq", "n_events", "start_units",
+            "end_units", "duration_seconds"} <= set(sess.columns)
+    # sessions are well-formed: positive sizes, ordered bounds,
+    # contiguous 1-based per-user numbering
+    bad = sess.filter(
+        "n_events < 1 OR end_units < start_units OR session_seq < 1"
+    )
+    assert bad.count() == 0
+    per_user = sess.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.max("session_seq").alias("mx")
+    )
+    assert per_user.filter("n <> mx").count() == 0
+    # debounce only removes rows: session event total <= raw events
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    total_events = sess.agg(F.sum("n_events")).collect()[0][0]
+    assert total_events <= raw
