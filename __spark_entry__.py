@@ -5533,6 +5533,53 @@ WHERE CAST(rk.cand AS VARCHAR) <> CAST(p.anchor AS VARCHAR)
 """
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-chart anomaly scores: each event's value standardized
+    against its user's previous 20 observations (baseline EXCLUDES the
+    current row — no self-dilution). Window Σv/Σv² accumulate as exact
+    decimals; the close is fixed IEEE with a correctly-rounded sqrt,
+    so scores hash bit-identical against the SQL replay."""
+    from etl_spark_gradle_spark.operators.timeseries import rolling_zscore
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_zscore(
+        events, ["user_id"], "ts", "value",
+        window_rows=20, tiebreak=["event_id"],
+    )
+
+
+_ROLLING_ZSCORE_ORACLE = """
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+           OVER w AS ss,
+         COUNT(CAST(value AS DECIMAL(18,6))) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(ts) ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), c AS (
+  SELECT event_id, user_id, ts, value, n,
+         CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(CAST(ss AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS msq
+  FROM b
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN n >= 2
+             AND (msq - m * m)
+                 * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) > 0
+            THEN (value - m)
+                 / sqrt((msq - m * m)
+                        * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)))
+       END AS value_rzscore
+FROM c
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8234,6 +8281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "lag_features": q_lag_features,
         "negative_sample": q_negative_sample,
+        "rolling_zscore": q_rolling_zscore,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8502,6 +8550,7 @@ def oracle_sql() -> dict[str, str]:
         "twap": _TWAP_ORACLE,
         "lag_features": _LAG_FEATURES_ORACLE,
         "negative_sample": _NEGATIVE_SAMPLE_ORACLE,
+        "rolling_zscore": _ROLLING_ZSCORE_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

@@ -185,6 +185,7 @@ from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
     OhlcTransformer,
     ResampleTransformer,
     RollingMedianTransformer,
+    RollingZscoreTransformer,
     TimeRollupTransformer,
     TwapTransformer,
     acf,
@@ -193,6 +194,7 @@ from etl_spark_gradle_spark.operators.timeseries import (  # noqa: F401
     merge_intervals,
     ohlc_bars,
     resample,
+    rolling_zscore,
     twap,
     time_rollup,
 )
@@ -268,6 +270,7 @@ TRANSFORMER_REGISTRY = {
     "ohlc": OhlcTransformer(),
     "twap": TwapTransformer(),
     "lag_features": LagFeaturesTransformer(),
+    "rolling_zscore": RollingZscoreTransformer(),
     "profile": ProfileTransformer(),
     "drift": DriftTransformer(),
     "pmi": PmiTransformer(),

@@ -64,6 +64,8 @@ __all__ = [
     "twap",
     "lag_features",
     "LagFeaturesTransformer",
+    "rolling_zscore",
+    "RollingZscoreTransformer",
     "AcfTransformer",
     "ResampleTransformer",
     "IntervalsTransformer",
@@ -1452,3 +1454,136 @@ class LagFeaturesTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"lag_features({opts})"
+
+
+def rolling_zscore(
+    df: DataFrame,
+    partition_by: list[str],
+    time_column: str,
+    value_col: str,
+    window_rows: int,
+    tiebreak: list[str] | None = None,
+    out_col: str | None = None,
+    min_obs: int = 2,
+    include_current: bool = False,
+) -> DataFrame:
+    """Trailing-window anomaly score: each row's value standardized
+    against the mean/σ of its own key's PREVIOUS ``window_rows``
+    observations — "is this point ≥3σ off its recent baseline", the
+    control-chart complement of ``rolling_median`` (σ-based, so it
+    reacts to spread changes the median ignores) and of the global
+    ``zscore`` (windowed, so regime changes age out).
+
+    The baseline EXCLUDES the current row by default
+    (``include_current=False``): scoring a point against a window that
+    contains it dilutes every spike by 1/n — the classic
+    self-contamination bug in hand-rolled monitoring SQL.
+
+    Exactness: window Σv and Σv² accumulate as EXACT decimals (a float
+    window sum is engine-dependent — DuckDB's segment tree vs Spark's
+    sequential fold); the close is fixed IEEE order
+    ``var = (Σv²/n − m²)·(n/(n−1))`` with a correctly-rounded sqrt, so
+    the score reproduces bit-for-bit cross-engine. Rows with fewer
+    than ``min_obs`` baseline points or zero variance get NULL (a
+    documented "no baseline" sentinel, never ±Inf). NULL values never
+    enter a window and score NULL themselves.
+
+    Scale: one hash exchange on ``partition_by`` + sort; both running
+    sums and the count ride the same frame. Empty ``partition_by``
+    funnels the table through one task — single-series only."""
+    if window_rows <= 0:
+        raise TransformationError("rolling_zscore requires window_rows > 0")
+    if min_obs < 2:
+        raise TransformationError("rolling_zscore requires min_obs >= 2")
+    for c in [time_column, value_col, *(partition_by or []),
+              *(tiebreak or [])]:
+        if c not in df.columns:
+            raise TransformationError(
+                f"rolling_zscore: column not in schema: {c}"
+            )
+    out = out_col or f"{value_col}_rzscore"
+    if out in df.columns:
+        raise TransformationError(
+            f"rolling_zscore output column already in schema: {out}"
+        )
+    epoch = F.unix_micros(F.col(time_column).cast("timestamp"))
+    order = [epoch] + [F.col(c) for c in (tiebreak or [])]
+    lo = -(int(window_rows) - 1) if include_current else -int(window_rows)
+    hi = Window.currentRow if include_current else -1
+    w = (
+        Window.partitionBy(*[F.col(c) for c in (partition_by or [])])
+        .orderBy(*order)
+        .rowsBetween(lo, hi)
+    )
+    vd = F.col(value_col).cast("decimal(18,6)")
+    x = F.col(value_col).cast("double")
+    tmp = (
+        df.withColumn("__rz_s", F.sum(vd).over(w))
+        .withColumn("__rz_ss", F.sum(vd * vd).over(w))
+        .withColumn("__rz_n", F.count(vd).over(w))
+    )
+    n = F.col("__rz_n").cast("double")
+    m = F.col("__rz_s").cast("string").cast("double") / n
+    msq = F.col("__rz_ss").cast("string").cast("double") / n
+    var = (msq - m * m) * (n / (n - F.lit(1.0)))
+    z = F.when(
+        (F.col("__rz_n") >= F.lit(int(min_obs))) & (var > 0),
+        (x - m) / F.sqrt(var),
+    )
+    return tmp.withColumn(out, z).drop("__rz_s", "__rz_ss", "__rz_n")
+
+
+class RollingZscoreTransformer:
+    """Registry adapter (``type: rolling_zscore``). Options:
+    ``partitionBy`` csv, ``timeColumn``, ``valueColumn``,
+    ``windowRows`` (required), ``tiebreak`` csv, ``outputColumn``,
+    ``minObs`` (default 2), ``includeCurrent`` (default false)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for opt in ("timeColumn", "valueColumn"):
+            col = opts.get(opt)
+            if not col:
+                errors.append(f"rolling_zscore requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        try:
+            if int(opts.get("windowRows", 0)) <= 0:
+                errors.append("windowRows must be a positive int")
+        except (TypeError, ValueError):
+            errors.append(f"windowRows is not an int: {opts['windowRows']}")
+        for key in ("partitionBy", "tiebreak"):
+            for c in _split_csv(opts.get(key)):
+                if c not in df.columns:
+                    errors.append(f"{key} column not in input schema: {c}")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "rolling_zscore config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return rolling_zscore(
+            df,
+            partition_by=_split_csv(opts.get("partitionBy")),
+            time_column=opts["timeColumn"],
+            value_col=opts["valueColumn"],
+            window_rows=int(opts["windowRows"]),
+            tiebreak=_split_csv(opts.get("tiebreak")) or None,
+            out_col=opts.get("outputColumn"),
+            min_obs=int(opts.get("minObs", 2)),
+            include_current=bool(opts.get("includeCurrent", False)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"rolling_zscore({opts})"

@@ -995,3 +995,140 @@ class TestLagFeatures:
         assert not TRANSFORMER_REGISTRY["lag_features"].validate(
             df, TransformationConfig(type="lag_features", options={})
         ).is_valid
+
+
+class TestRollingZscore:
+    def test_hand_computed_trailing_baseline(self, spark):
+        import datetime as dt
+        import math
+
+        base = dt.datetime(2024, 1, 1)
+        vals = [10.0, 12.0, 11.0, 50.0, 11.0]
+        rows = [
+            ("A", base + dt.timedelta(seconds=i), v, i)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, v double, eid long"
+        )
+        from etl_spark_gradle_spark.operators.timeseries import rolling_zscore
+
+        got = {
+            r.eid: r.v_rzscore
+            for r in rolling_zscore(
+                df, ["g"], "ts", "v", window_rows=3, tiebreak=["eid"]
+            ).collect()
+        }
+        # rows 0 and 1 lack min_obs=2 baseline points
+        assert got[0] is None and got[1] is None
+
+        def ref(x, window):
+            n = len(window)
+            m = sum(window) / n
+            var = (sum(w * w for w in window) / n - m * m) * (n / (n - 1))
+            return (x - m) / math.sqrt(var)
+
+        assert abs(got[2] - ref(11.0, [10.0, 12.0])) < 1e-9
+        # the spike scores against [10,12,11] — and does NOT dilute
+        # itself (excluded from its own baseline)
+        assert abs(got[3] - ref(50.0, [10.0, 12.0, 11.0])) < 1e-9
+        assert got[3] > 30
+        # after the spike the baseline contains it -> negative score
+        assert abs(got[4] - ref(11.0, [12.0, 11.0, 50.0])) < 1e-9
+
+    def test_zero_variance_nulls_and_include_current(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("A", base + dt.timedelta(seconds=i), v, i)
+            for i, v in enumerate([5.0, 6.0, 5.0, None, 7.0])
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, v double, eid long"
+        )
+        from etl_spark_gradle_spark.operators.timeseries import rolling_zscore
+
+        got = {
+            r.eid: r.v_rzscore
+            for r in rolling_zscore(
+                df, ["g"], "ts", "v", window_rows=3, tiebreak=["eid"]
+            ).collect()
+        }
+        assert got[3] is None        # NULL value -> NULL score
+        # the NULL row never enters row 4's window: baseline is
+        # [6.0, 5.0] (rows 1-2), variance > 0 -> a real score
+        assert got[4] is not None
+        # zero-variance baseline -> NULL sentinel, never +/-Inf
+        const = spark.createDataFrame(
+            [("A", base + dt.timedelta(seconds=i), v, i)
+             for i, v in enumerate([5.0, 5.0, 5.0, 9.0])],
+            "g string, ts timestamp, v double, eid long",
+        )
+        gz = {
+            r.eid: r.v_rzscore
+            for r in rolling_zscore(
+                const, ["g"], "ts", "v", window_rows=3, tiebreak=["eid"]
+            ).collect()
+        }
+        assert gz[3] is None
+        inc = {
+            r.eid: r.v_rzscore
+            for r in rolling_zscore(
+                df, ["g"], "ts", "v", window_rows=3, tiebreak=["eid"],
+                include_current=True,
+            ).collect()
+        }
+        # with the current row in its own window the spike self-dilutes
+        assert inc[4] < got[4]
+        with pytest.raises(TransformationError, match="window_rows"):
+            rolling_zscore(df, ["g"], "ts", "v", 0, tiebreak=["eid"])
+        with pytest.raises(TransformationError, match="min_obs"):
+            rolling_zscore(df, ["g"], "ts", "v", 3, min_obs=1)
+
+    def test_partition_independence_and_adapter(self, spark):
+        import datetime as dt
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.timeseries import rolling_zscore
+        from etl_spark_gradle_spark.plans.config import (
+            RunContext,
+            TransformationConfig,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u%d" % (i % 5), base + dt.timedelta(seconds=i),
+             float((i * 17) % 29), i)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, v double, eid long"
+        )
+        ref = None
+        for parts in (1, 16):
+            got = sorted(
+                (r.eid, r.v_rzscore)
+                for r in rolling_zscore(
+                    df.repartition(parts), ["g"], "ts", "v", 10,
+                    tiebreak=["eid"],
+                ).collect()
+            )
+            if ref is None:
+                ref = got
+            else:
+                assert got == ref  # bit-equal: decimal window sums
+        out = TRANSFORMER_REGISTRY["rolling_zscore"].transform(
+            df,
+            TransformationConfig(
+                type="rolling_zscore",
+                options={"partitionBy": "g", "timeColumn": "ts",
+                         "valueColumn": "v", "windowRows": 10,
+                         "tiebreak": "eid"},
+            ),
+            RunContext(pipeline_id="t", run_id="r", spark=spark),
+        )
+        assert "v_rzscore" in out.columns and out.count() == 400
+        assert not TRANSFORMER_REGISTRY["rolling_zscore"].validate(
+            df, TransformationConfig(type="rolling_zscore", options={})
+        ).is_valid
