@@ -5580,6 +5580,75 @@ FROM c
 """
 
 
+def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming burst dedup: the events feed drained availableNow
+    through debounce_stream (ONE LONG of state per (user, type) — the
+    last raw event's epoch micros), keeping only first-of-burst events
+    at a 5-minute gap. On a key-time-ordered feed the kept rows replay
+    exactly as the batch debounce — which is what the oracle
+    computes."""
+    import shutil
+
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"deb_src_{run}")
+    out_path = os.path.join(_SCRATCH, f"deb_out_{run}")
+    ckpt = os.path.join(_SCRATCH, f"deb_ckpt_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(
+        f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet")
+    )
+
+    stream = _normalize_event_ts(
+        spark.readStream.schema(schema).parquet(src_dir)
+    ).select("user_id", "event_type", "ts", "event_id")
+    kept = st.debounce_stream(
+        stream,
+        key_cols=["user_id", "event_type"],
+        time_col="ts",
+        gap_seconds=300,
+        tiebreak_col="event_id",
+        carry_cols=["event_id"],
+        watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        kept,
+        {"path": out_path, "checkpointLocation": ckpt, "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+    out = spark.read.parquet(out_path)
+    return out.select(
+        "user_id",
+        "event_type",
+        _fmt_ts(F.col("ts")).alias("ts"),
+        "event_id",
+    )
+
+
+_STREAMING_DEBOUNCE_ORACLE = """
+WITH b AS (
+  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS tn
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL
+), f AS (
+  SELECT event_id, user_id, event_type, ts, tn,
+         lag(tn) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC) AS pv
+  FROM b
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_id
+FROM f WHERE pv IS NULL OR tn - pv > 300000000
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8282,6 +8351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_features": q_lag_features,
         "negative_sample": q_negative_sample,
         "rolling_zscore": q_rolling_zscore,
+        "streaming_debounce": q_streaming_debounce,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8551,6 +8621,7 @@ def oracle_sql() -> dict[str, str]:
         "lag_features": _LAG_FEATURES_ORACLE,
         "negative_sample": _NEGATIVE_SAMPLE_ORACLE,
         "rolling_zscore": _ROLLING_ZSCORE_ORACLE,
+        "streaming_debounce": _STREAMING_DEBOUNCE_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

@@ -1072,3 +1072,89 @@ def read_time_rollup(spark: SparkSession, store_path: str) -> DataFrame:
             F.when(cnt > 0, sum_d / cnt.cast("double")).alias(f"{c}_avg"),
         ]
     return state.select(*cols)
+
+
+def debounce_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    gap_seconds: float,
+    tiebreak_col: str | None = None,
+    carry_cols: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming burst deduplication: the stateful twin of
+    ``operators.events.debounce`` — emit only the first event of every
+    burst per key, where an event survives iff it arrives strictly
+    more than ``gap_seconds`` after the previous RAW event on the same
+    key (trailing semantics: a chattering burst stays suppressed for
+    its whole lifetime, matching the batch operator row-for-row on a
+    key-time-ordered feed, which is the oracle in pytest).
+
+    State per key is exactly ONE LONG — the last raw event's epoch
+    micros. Within a micro-batch the keep mask vectorizes as a shifted
+    diff (no per-row python loop); the incoming state seeds the first
+    diff. Rows with null time are dropped (they have no position).
+    Output: ``(keys…, ts, carry_cols…)``.
+    """
+    import pandas as pd  # noqa: F401 (worker closure)
+    from pyspark.sql.types import LongType, StructField, TimestampType
+
+    if not key_cols:
+        raise ConfigError("debounce_stream requires key_cols")
+    if gap_seconds <= 0:
+        raise ConfigError("debounce_stream requires gap_seconds > 0")
+    carry_cols = carry_cols or []
+    for c in (*key_cols, time_col, *( [tiebreak_col] if tiebreak_col else [] ),
+              *carry_cols):
+        if c not in df.columns:
+            raise ConfigError(f"debounce_stream column not in schema: {c}")
+    out_schema = StructType(
+        [StructField(c, df.schema[c].dataType) for c in key_cols]
+        + [StructField(time_col, TimestampType())]
+        + [StructField(c, df.schema[c].dataType) for c in carry_cols]
+    )
+    state_schema = StructType([StructField("last_us", LongType())])
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        frames = [pdf for pdf in pdf_iter]
+        events = (
+            pd.concat(frames, ignore_index=True)
+            .dropna(subset=[time_col])
+            .sort_values(
+                [time_col] + ([tiebreak_col] if tiebreak_col else [])
+            )
+        )
+        if events.empty:
+            return
+        t = (events[time_col].astype("int64") // 1000).to_numpy(
+            dtype="int64"
+        )  # ns -> us
+        (last0,) = state.get if state.exists else (None,)
+        prev = np.concatenate(
+            (
+                [np.int64(last0) if last0 is not None else np.int64(-(1 << 62))],
+                t[:-1],
+            )
+        )
+        keep = (t - prev) > gap_us
+        state.update((int(t[-1]),))
+        if keep.any():
+            kept = events.loc[keep]
+            out = {c: kept[c].to_numpy() for c in key_cols}
+            out[time_col] = kept[time_col].to_numpy()
+            for c in carry_cols:
+                out[c] = kept[c].to_numpy()
+            yield pd.DataFrame(out)
+
+    return (
+        df.withWatermark(time_col, watermark_delay)
+        .groupBy(*[F.col(c) for c in key_cols])
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

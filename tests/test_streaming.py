@@ -1361,3 +1361,105 @@ def test_stream_time_rollup_chaos_crash_and_resume(spark, tmp_path, monkeypatch)
     assert got[("view", base)] == (2, 3.0)       # batches 1+2 merged once
     assert got[("click", base + 7200)] == (1, 4.0)
     assert "GARBAGE" not in {m for m, _ in got}
+
+
+# ---------------------------------------------------------------------------
+# debounce_stream (streaming burst dedup)
+# ---------------------------------------------------------------------------
+
+
+def _run_debounce(spark, src, out, ckpt, gap=60):
+    stream = st.read_file_stream(
+        spark, {"path": str(src), "format": "json"}, SESS_SCHEMA
+    )
+    kept = st.debounce_stream(
+        stream,
+        key_cols=["user"],
+        time_col="ts",
+        gap_seconds=gap,
+        carry_cols=["value"],
+        watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        kept,
+        {"path": str(out), "checkpointLocation": str(ckpt), "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+
+
+def test_debounce_stream_matches_batch_replay(spark, tmp_path):
+    """A key-time-ordered feed drained in TWO batches keeps exactly the
+    batch debounce's rows — the single-long state carries the last raw
+    event time across the batch boundary (incl. a burst that straddles
+    it and must stay suppressed)."""
+    import datetime as dt
+
+    from etl_spark_gradle_spark.operators.events import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user A: bursts every 10s for 2 minutes, then a 2-minute silence,
+    # then one more event; gap=60 keeps only the burst head + the late one
+    for i in range(13):
+        rows.append(
+            ((t0 + dt.timedelta(seconds=10 * i)).strftime("%Y-%m-%d %H:%M:%S"),
+             "A", float(i))
+        )
+    rows.append(
+        ((t0 + dt.timedelta(seconds=360)).strftime("%Y-%m-%d %H:%M:%S"),
+         "A", 99.0)
+    )
+    # user B: two events 61s apart -> both kept
+    rows.append((t0.strftime("%Y-%m-%d %H:%M:%S"), "B", 1.0))
+    rows.append(
+        ((t0 + dt.timedelta(seconds=61)).strftime("%Y-%m-%d %H:%M:%S"),
+         "B", 2.0)
+    )
+    rows.sort(key=lambda r: r[0])
+    # split MID-BURST so the state must carry the trailing timestamp
+    cut = 7
+    src = tmp_path / "din"
+    src.mkdir()
+    out, ckpt = tmp_path / "dout", tmp_path / "dckpt"
+    _write_sess_batch(src / "b1.json", rows[:cut])
+    _run_debounce(spark, src, out, ckpt)
+    _write_sess_batch(src / "b2.json", rows[cut:])
+    _run_debounce(spark, src, out, ckpt)
+
+    got = sorted(
+        (r.user, str(r.ts), r.value)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    batch_df = spark.createDataFrame(
+        [(u, ts, v) for ts, u, v in rows],
+        "user string, ts string, value double",
+    ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    want = sorted(
+        (r.user, str(r.ts), r.value)
+        for r in debounce(
+            batch_df, ["user"], "ts", gap_seconds=60, tiebreak_col="value"
+        ).collect()
+    )
+    assert got == want
+    # semantic spot-checks: the straddling burst emitted ONE head row;
+    # B kept both
+    assert [g for g in got if g[0] == "A"][0][2] == 0.0
+    assert len([g for g in got if g[0] == "A"]) == 2
+    assert len([g for g in got if g[0] == "B"]) == 2
+
+
+def test_debounce_stream_validation(spark, tmp_path):
+    import pytest
+
+    from etl_spark_gradle_spark.plans.config import ConfigError
+
+    stream = st.read_file_stream(
+        spark, {"path": str(tmp_path), "format": "json"}, SESS_SCHEMA
+    )
+    with pytest.raises(ConfigError, match="key_cols"):
+        st.debounce_stream(stream, [], "ts", 60)
+    with pytest.raises(ConfigError, match="gap_seconds"):
+        st.debounce_stream(stream, ["user"], "ts", 0)
+    with pytest.raises(ConfigError, match="not in schema"):
+        st.debounce_stream(stream, ["user"], "ts", 60, carry_cols=["nope"])
