@@ -5649,6 +5649,38 @@ FROM f WHERE pv IS NULL OR tn - pv > 300000000
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers (market
+    segment × nation × account-balance band): every combination shared
+    by fewer than 12 customers — the joint-distribution
+    re-identification risk a per-cell PII scrub can't see. ONE
+    map-side-combined groupBy; the balance band is a single floor
+    division both engines compute identically."""
+    from etl_spark_gradle_spark.operators.pii import k_anonymity
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0)).cast(
+            "long"
+        ),
+    )
+    return k_anonymity(
+        cust, ["c_mktsegment", "c_nationkey", "bal_band"], k=12
+    )
+
+
+_K_ANONYMITY_ORACLE = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+         AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 12
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8352,6 +8384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample": q_negative_sample,
         "rolling_zscore": q_rolling_zscore,
         "streaming_debounce": q_streaming_debounce,
+        "k_anonymity": q_k_anonymity,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8622,6 +8655,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_sample": _NEGATIVE_SAMPLE_ORACLE,
         "rolling_zscore": _ROLLING_ZSCORE_ORACLE,
         "streaming_debounce": _STREAMING_DEBOUNCE_ORACLE,
+        "k_anonymity": _K_ANONYMITY_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

@@ -77,7 +77,11 @@ from etl_spark_gradle_spark.operators.multimodal import (  # noqa: F401
     decode_images,
     with_media_metadata,
 )
-from etl_spark_gradle_spark.operators.pii import PiiTransformer  # noqa: F401
+from etl_spark_gradle_spark.operators.pii import (  # noqa: F401
+    KAnonymityTransformer,
+    PiiTransformer,
+    k_anonymity,
+)
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
     AnalyticsTransformer,
@@ -294,6 +298,7 @@ TRANSFORMER_REGISTRY = {
     "model_score": ModelScoreTransformer(),
     "lm_score": LmScoreTransformer(),
     "pii": PiiTransformer(),
+    "k_anonymity": KAnonymityTransformer(),
     "chunk": ChunkTransformer(),
     "bpe_tokenize": BpeTokenizeTransformer(),
     "pack": PackTransformer(),

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_spark_gradle_spark.operators.relational import TransformationError
+
 # Ordered dict: redaction applies in this order, so e.g. the digits of an
 # already-redacted email can't later match the phone pattern.
 PII_PATTERNS: dict[str, str] = {
@@ -137,3 +139,143 @@ class PiiTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"pii({opts})"
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+    output: str = "violations",
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns — the standard
+    re-identification risk check before a dataset with demographic-ish
+    attributes ships: a (QI…) combination shared by fewer than ``k``
+    rows singles its members out even with direct identifiers removed
+    (regex PII scrubbing above can't see this — it is a JOINT-
+    distribution property, not a per-cell one).
+
+    - ``output='violations'``: one row per violating combination —
+      ``(qi…, n)`` with ``n < k`` (NULL QI values are legitimate
+      combinations and are audited too, matching the grouping
+      semantics of every SQL engine).
+    - ``output='summary'``: a 1-row risk report — total rows, rows in
+      violating groups, violating/total group counts, and
+      ``at_risk_share`` (one exact-integer division).
+    - ``output='annotate'``: the input plus ``qi_group_n`` and a
+      ``k_anonymous`` flag per row (group sizes broadcast back; the
+      frame itself is never re-shuffled).
+
+    Plan at 100 TB: ONE map-side-combined groupBy on the QI columns;
+    ``summary`` adds a second aggregation over the (bounded,
+    combination-count-sized) group table; ``annotate`` joins the group
+    table back null-safely. No windows, no self-joins.
+    """
+    if k < 2:
+        raise TransformationError("k_anonymity requires k >= 2")
+    if not quasi_identifiers:
+        raise TransformationError(
+            "k_anonymity requires at least one quasi-identifier column"
+        )
+    for c in quasi_identifiers:
+        if c not in df.columns:
+            raise TransformationError(
+                f"quasi-identifier not in input schema: {c}"
+            )
+    if output not in ("violations", "summary", "annotate"):
+        raise TransformationError(
+            f"k_anonymity output must be violations|summary|annotate, "
+            f"got '{output}'"
+        )
+    groups = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    if output == "violations":
+        return groups.where(F.col("n") < k)
+    if output == "summary":
+        viol = F.col("n") < k
+        return groups.agg(
+            F.sum("n").cast("long").alias("total_rows"),
+            F.sum(F.when(viol, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("at_risk_rows"),
+            F.count(F.lit(1)).cast("long").alias("total_groups"),
+            F.sum(F.when(viol, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("violating_groups"),
+            F.min("n").cast("long").alias("min_group_size"),
+        ).select(
+            "total_rows",
+            "at_risk_rows",
+            "total_groups",
+            "violating_groups",
+            "min_group_size",
+            (
+                F.col("at_risk_rows").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("at_risk_share"),
+        )
+    from etl_spark_gradle_spark.operators.relational import (
+        broadcast_group_join,
+    )
+
+    joined = broadcast_group_join(
+        df, groups.withColumnRenamed("n", "qi_group_n"), quasi_identifiers
+    )
+    return joined.withColumn("k_anonymous", F.col("qi_group_n") >= k)
+
+
+class KAnonymityTransformer:
+    """Registry adapter (``type: k_anonymity``). Options:
+    ``quasiIdentifiers`` csv (required), ``k`` (default 5),
+    ``output`` violations|summary|annotate (default violations)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        qis = _split_csv(opts.get("quasiIdentifiers"))
+        if not qis:
+            errors.append("k_anonymity requires 'quasiIdentifiers'")
+        for c in qis:
+            if c not in df.columns:
+                errors.append(f"quasi-identifier not in input schema: {c}")
+        try:
+            if int(opts.get("k", 5)) < 2:
+                errors.append("k must be >= 2")
+        except (TypeError, ValueError):
+            errors.append(f"k is not an int: {opts['k']}")
+        if opts.get("output", "violations") not in (
+            "violations", "summary", "annotate",
+        ):
+            errors.append(
+                f"output must be violations|summary|annotate, got "
+                f"'{opts['output']}'"
+            )
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "k_anonymity config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return k_anonymity(
+            df,
+            quasi_identifiers=_split_csv(opts["quasiIdentifiers"]),
+            k=int(opts.get("k", 5)),
+            output=opts.get("output", "violations"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"k_anonymity({opts})"

@@ -2238,3 +2238,72 @@ def test_topk_recall_operator(emb, spark):
     # candidate-only query: n_truth 0, recall NULL (not 0/0)
     rows2 = {r.query_id: r for r in sim.topk_recall(t, c).collect()}
     assert rows2[2].n_truth == 0 and rows2[2].recall is None
+
+
+class TestKAnonymity:
+    def _df(self, spark):
+        rows = [
+            # (age_band, zip3) quasi-identifiers
+            ("30-39", "941", 1), ("30-39", "941", 2), ("30-39", "941", 3),
+            ("40-49", "941", 4), ("40-49", "941", 5),
+            ("50-59", "100", 6),             # singleton -> at risk
+            (None, "100", 7), (None, "100", 8),  # NULL QI is a real group
+        ]
+        return spark.createDataFrame(rows, "age string, zip3 string, id long")
+
+    def test_violations_summary_annotate(self, spark):
+        from etl_spark_gradle_spark.operators.pii import k_anonymity
+
+        df = self._df(spark)
+        viol = {
+            (r.age, r.zip3): r.n
+            for r in k_anonymity(df, ["age", "zip3"], k=3).collect()
+        }
+        assert viol == {("40-49", "941"): 2, ("50-59", "100"): 1,
+                        (None, "100"): 2}
+        s = k_anonymity(df, ["age", "zip3"], k=3, output="summary").collect()[0]
+        assert (s.total_rows, s.at_risk_rows, s.total_groups,
+                s.violating_groups, s.min_group_size) == (8, 5, 4, 3, 1)
+        assert s.at_risk_share == 5.0 / 8.0
+        ann = {
+            r.id: (r.qi_group_n, r.k_anonymous)
+            for r in k_anonymity(
+                df, ["age", "zip3"], k=3, output="annotate"
+            ).collect()
+        }
+        assert ann[1] == (3, True) and ann[6] == (1, False)
+        assert ann[7] == (2, False)  # NULL group joined null-safely
+        assert len(ann) == 8         # annotate never drops rows
+
+    def test_validation_and_adapter(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.pii import k_anonymity
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+        from etl_spark_gradle_spark.plans.config import (
+            RunContext,
+            TransformationConfig,
+        )
+
+        df = self._df(spark)
+        with pytest.raises(TransformationError, match="k >= 2"):
+            k_anonymity(df, ["age"], k=1)
+        with pytest.raises(TransformationError, match="not in input schema"):
+            k_anonymity(df, ["nope"])
+        with pytest.raises(TransformationError, match="output"):
+            k_anonymity(df, ["age"], output="bogus")
+        t = TRANSFORMER_REGISTRY["k_anonymity"]
+        cfg = TransformationConfig(
+            type="k_anonymity",
+            options={"quasiIdentifiers": "age,zip3", "k": 3,
+                     "output": "summary"},
+        )
+        assert t.validate(df, cfg).is_valid
+        out = t.transform(
+            df, cfg, RunContext(pipeline_id="t", run_id="r", spark=spark)
+        )
+        assert out.collect()[0].violating_groups == 3
+        assert not t.validate(
+            df, TransformationConfig(type="k_anonymity", options={})
+        ).is_valid
