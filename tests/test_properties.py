@@ -687,3 +687,168 @@ def test_quantile_normalize_matches_python(spark_prop, xs, refs):
         cum = bisect.bisect_right(sx, v)          # inclusive ecdf count
         rank = max(1, -((-cum * nr) // nx))       # ceil(cum*nr/nx)
         assert got[i] == sr[rank - 1], (v, cum, rank)
+
+
+# ---------------------------------------------------------------------------
+# round-8 continuation operators vs pure-python references
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                  # key
+            st.integers(0, 10_000),             # time (integer units)
+            st.integers(0, 10**6),              # unique-ish id source
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 500),
+)
+def test_sessionize_matches_python_reference(spark_prop, rows, gap):
+    """Gap sessionization over arbitrary integer event streams equals
+    a sequential pure-python fold (total order via a synthetic
+    tiebreak)."""
+    from etl_spark_gradle_spark.operators import events as ev
+
+    data = [(k, t, i) for i, (k, t, _) in enumerate(rows)]
+    df = spark_prop.createDataFrame(data, "k long, t long, eid long")
+    got = {
+        (r.k, r.eid): (r.session_seq, r.event_seq)
+        for r in ev.sessionize(df, "k", "t", gap, "eid").collect()
+    }
+    want = {}
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, eid in data:
+        by_key.setdefault(k, []).append((t, eid))
+    for k, evs in by_key.items():
+        evs.sort()
+        sess, in_sess, last = 0, 0, None
+        for t, eid in evs:
+            if last is None or t - last > gap:
+                sess += 1
+                in_sess = 1
+            else:
+                in_sess += 1
+            last = t
+            want[(k, eid)] = (sess, in_sess)
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 300),
+)
+def test_debounce_matches_python_reference(spark_prop, rows, gap):
+    from etl_spark_gradle_spark.operators import events as ev
+
+    data = [(k, t, i) for i, (k, t) in enumerate(rows)]
+    df = spark_prop.createDataFrame(data, "k long, t long, eid long")
+    got = sorted(
+        r.eid
+        for r in ev.debounce(df, ["k"], "t", gap, tiebreak_col="eid").collect()
+    )
+    want = []
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, eid in data:
+        by_key.setdefault(k, []).append((t, eid))
+    for k, evs in by_key.items():
+        evs.sort()
+        last = None
+        for t, eid in evs:
+            if last is None or t - last > gap:
+                want.append(eid)
+            last = t  # trailing: gap measured to the previous RAW event
+    assert got == sorted(want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 10**6),
+            st.integers(-10**6, 10**6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_twap_matches_python_reference(spark_prop, rows):
+    """TWAP over integer-quantized values/times equals the pure-python
+    left-constant integral (values are x/1000 so the decimal(18,6)
+    quantization is exact)."""
+    import datetime as dt
+
+    from etl_spark_gradle_spark.operators.timeseries import twap
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(seconds=t, microseconds=i), v / 1000.0)
+        for i, (k, t, v) in enumerate(rows)
+    ]
+    df = spark_prop.createDataFrame(data, "k long, ts timestamp, v double")
+    got = {
+        r.k: (r.n_obs, r.span_micros, r.twap)
+        for r in twap(df, "ts", "v", group_by=["k"]).collect()
+    }
+    by_key: dict[int, list[tuple]] = {}
+    for k, ts, v in data:
+        by_key.setdefault(k, []).append((ts, v))
+    for k, evs in by_key.items():
+        evs.sort(key=lambda e: e[0])
+        n = len(evs)
+        if n < 2:
+            assert got[k] == (n, None, None)
+            continue
+        us = [
+            int(e[0].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            for e in evs
+        ]
+        span = us[-1] - us[0]
+        # exact integer accumulation: v quantizes to micro-units
+        wsum_micro = sum(
+            round(evs[i][1] * 1_000_000) * (us[i + 1] - us[i])
+            for i in range(n - 1)
+        )
+        assert got[k][0] == n and got[k][1] == span
+        if span == 0:
+            assert got[k][2] is None
+        else:
+            assert abs(got[k][2] - (wsum_micro / 1e6) / span) < 1e-9
+
+
+_FH_TOKEN = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("Lu", "Ll", "Nd", "Po", "Sm")
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_FH_TOKEN, min_size=1, max_size=25), st.integers(1, 32))
+def test_feature_hash_total_mass_conserved(spark_prop, tokens, n_features):
+    """The hashing trick never loses tokens: per-doc tf sums equal the
+    token count, and buckets stay in range, for any vocabulary and any
+    n_features. (Alphabet excludes control chars: Python and Java
+    disagree on whether \\x1c-\\x1f are whitespace — a reference-
+    implementation artifact, not an operator property.)"""
+    from etl_spark_gradle_spark.operators.features import feature_hash
+
+    text = " ".join(tokens)
+    df = spark_prop.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = feature_hash(df, "doc_id", "text", n_features=n_features).collect()
+    import re as _re
+
+    n_tok = len([t for t in _re.split(r"\s+", text) if t != ""])
+    assert sum(r.tf for r in rows) == n_tok
+    assert all(0 <= r.feature < n_features for r in rows)
