@@ -5277,7 +5277,7 @@ FROM w
 """
 
 
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events feed (30-minute
     inactivity gap, event_id as the total-order tiebreak), rolled up
     to one row per session with integer epoch-micro bounds and a
@@ -5295,7 +5295,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSIONIZE_ORACLE = """
+_BATCH_SESSIONIZE_ORACLE = """
 WITH b AS (
   SELECT user_id, event_id, ts, epoch_us(ts) AS tn
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -8376,7 +8376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "rfm": q_rfm,
         "pareto": q_pareto,
-        "sessionize": q_sessionize,
+        "batch_sessionize": q_batch_sessionize,
         "debounce": q_debounce,
         "ohlc": q_ohlc,
         "twap": q_twap,
@@ -8647,7 +8647,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _FEATURE_HASH_ORACLE,
         "rfm": _RFM_ORACLE,
         "pareto": _PARETO_ORACLE,
-        "sessionize": _SESSIONIZE_ORACLE,
+        "batch_sessionize": _BATCH_SESSIONIZE_ORACLE,
         "debounce": _DEBOUNCE_ORACLE,
         "ohlc": _OHLC_ORACLE,
         "twap": _TWAP_ORACLE,

@@ -85,3 +85,34 @@ def test_oracle_output_types_never_hugeint():
         "oracle columns that DuckDB will render as float64 (driver "
         f"hash mismatch vs Spark int64): {offenders} — CAST AS BIGINT"
     )
+
+
+def test_no_duplicate_dict_keys_in_query_registries():
+    """A duplicate key in the queries()/oracle_sql() dict LITERALS
+    silently shadows an earlier query (python keeps the last value) —
+    the round-8 `sessionize` near-miss: a new batch query reused the
+    streaming sessionizer's key and knocked it out of the registry
+    without any test noticing. Parse the source, not the dict."""
+    import ast
+
+    src = open("/root/repo/__spark_entry__.py", encoding="utf-8").read()
+    tree = ast.parse(src)
+    offenders = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.FunctionDef):
+            continue
+        if node.name not in ("queries", "oracle_sql"):
+            continue
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Dict):
+                keys = [
+                    k.value
+                    for k in sub.keys
+                    if isinstance(k, ast.Constant) and isinstance(k.value, str)
+                ]
+                from collections import Counter
+
+                dups = [k for k, c in Counter(keys).items() if c > 1]
+                if dups:
+                    offenders.append(f"{node.name}: {dups}")
+    assert not offenders, f"duplicate registry keys shadow queries: {offenders}"

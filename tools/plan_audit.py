@@ -541,7 +541,7 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "SortMergeJoin"],
     ),
     (
-        "sessionize",
+        "batch_sessionize",
         "sessionization: boundary flag, running session index and the "
         "per-session rollup all ride ONE user-keyed exchange (the "
         "rollup groups a prefix of the window clustering) — no joins, "
