@@ -5681,6 +5681,72 @@ HAVING COUNT(*) < 12
 """
 
 
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B two-proportion z-test per order priority: customers split
+    into even/odd variants, conversion = order finalized. Four exact
+    longs per group close in fixed IEEE order, so the z statistic
+    hashes bit-identical against the SQL replay."""
+    from etl_spark_gradle_spark.operators.stats import prop_ztest
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("variant"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("converted"),
+    )
+    return prop_ztest(
+        df, "converted", "variant", group_by=["o_orderpriority"]
+    )
+
+
+_PROP_ZTEST_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS variant,
+         CASE WHEN o_orderstatus IS NULL THEN NULL
+              WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ok
+  FROM orders
+), m AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(CASE WHEN variant = 'even' AND ok IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN variant = 'even' THEN ok END), 0)
+              AS BIGINT) AS x_a,
+         CAST(COUNT(CASE WHEN variant = 'odd' AND ok IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(CASE WHEN variant = 'odd' THEN ok END), 0)
+              AS BIGINT) AS x_b
+  FROM b GROUP BY o_orderpriority
+), c AS (
+  SELECT o_orderpriority, n_a, x_a, n_b, x_b,
+         CASE WHEN n_a > 0
+              THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+         CASE WHEN n_b > 0
+              THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+         CASE WHEN n_a + n_b > 0
+              THEN CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE) END AS xs,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+  FROM m
+), d AS (
+  SELECT o_orderpriority, n_a, x_a, n_b, x_b, p_a, p_b,
+         CASE WHEN n_a + n_b > 0 THEN xs / (nad + nbd) END AS p_pool,
+         nad, nbd
+  FROM c
+)
+SELECT o_orderpriority, n_a, x_a, n_b, x_b, p_a, p_b, p_pool,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND (p_pool * (1.0 - p_pool)) * (1.0 / nad + 1.0 / nbd) > 0
+            THEN (p_a - p_b)
+                 / sqrt((p_pool * (1.0 - p_pool))
+                        * (1.0 / nad + 1.0 / nbd))
+       END AS z_stat
+FROM d
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8385,6 +8451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "streaming_debounce": q_streaming_debounce,
         "k_anonymity": q_k_anonymity,
+        "prop_ztest": q_prop_ztest,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8656,6 +8723,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": _ROLLING_ZSCORE_ORACLE,
         "streaming_debounce": _STREAMING_DEBOUNCE_ORACLE,
         "k_anonymity": _K_ANONYMITY_ORACLE,
+        "prop_ztest": _PROP_ZTEST_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

@@ -45,6 +45,7 @@ __all__ = [
     "ks_drift",
     "rank_sum_drift",
     "welch_ttest",
+    "prop_ztest",
     "exact_quantiles",
     "ecdf",
     "mad_outliers",
@@ -997,6 +998,106 @@ def welch_ttest(
         "var_b",
         t_stat.alias("t_stat"),
         df_welch.alias("df_welch"),
+    )
+
+
+def prop_ztest(
+    df: DataFrame,
+    flag_col: str,
+    side_col: str,
+    side_a=None,
+    side_b=None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Two-proportion z-test — THE A/B-test statistic: did the
+    conversion RATE move between two variants, against the pooled
+    null. Complements ``welch_ttest`` (continuous means) and
+    ``rank_sum_drift`` (distribution shift) with the binary-outcome
+    case::
+
+        z = (p_a − p_b) / sqrt(p·(1−p)·(1/n_a + 1/n_b)),
+        p = (x_a + x_b) / (n_a + n_b)   (pooled)
+
+    ``flag_col`` is the success indicator (boolean or 0/1 numeric;
+    NULL flags are excluded from both n and x — an unobserved outcome
+    is not a failure). All counts are exact integers from ONE
+    conditional aggregation per group; the close is fixed IEEE order,
+    so the statistic hashes bit-identical cross-engine. Either side
+    empty, or a degenerate pooled rate (p ∈ {0, 1} — zero variance),
+    yields NULL ``z_stat``. Side detection and validation follow
+    ``welch_ttest`` exactly.
+
+    Plan at 100 TB: one map-side-combined shuffle carrying four longs
+    per group — the cheapest possible experiment read."""
+    for c in (flag_col, side_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    if (side_a is None) != (side_b is None):
+        raise TransformationError(
+            "prop_ztest: pass both side_a and side_b or neither"
+        )
+    if side_a is None:
+        sides = [
+            r[0]
+            for r in df.select(side_col)
+            .where(F.col(side_col).isNotNull())
+            .distinct()
+            .orderBy(side_col)
+            .limit(3)
+            .collect()
+        ]
+        if len(sides) != 2:
+            raise TransformationError(
+                f"prop_ztest: side column '{side_col}' must carry exactly "
+                f"two distinct non-null values, found {len(sides)}"
+            )
+        side_a, side_b = sides
+    if side_a == side_b:
+        raise TransformationError("prop_ztest: side_a and side_b must differ")
+
+    flag = F.col(flag_col).cast("int")
+    aggs = []
+    for tag, side in (("a", side_a), ("b", side_b)):
+        cond = (F.col(side_col) == F.lit(side)) & flag.isNotNull()
+        aggs += [
+            F.count(F.when(cond, F.lit(1))).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(cond, flag)).cast("long").alias(f"x_{tag}"),
+        ]
+    grouped = df.groupBy(*group_by) if group_by else df.groupBy()
+    m = grouped.agg(*aggs)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa = F.coalesce(F.col("x_a"), F.lit(0)).cast("double")
+    xb = F.coalesce(F.col("x_b"), F.lit(0)).cast("double")
+    p_a = F.when(F.col("n_a") > 0, xa / na)
+    p_b = F.when(F.col("n_b") > 0, xb / nb)
+    pool = F.when(
+        F.col("n_a") + F.col("n_b") > 0, (xa + xb) / (na + nb)
+    )
+    se2 = (pool * (F.lit(1.0) - pool)) * (
+        F.lit(1.0) / na + F.lit(1.0) / nb
+    )
+    out = m.select(
+        *group_by,
+        "n_a",
+        F.coalesce(F.col("x_a"), F.lit(0)).cast("long").alias("x_a"),
+        "n_b",
+        F.coalesce(F.col("x_b"), F.lit(0)).cast("long").alias("x_b"),
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        pool.alias("p_pool"),
+        se2.alias("_se2"),
+    )
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("_se2") > 0),
+        (F.col("p_a") - F.col("p_b")) / F.sqrt(F.col("_se2")),
+    )
+    return out.select(
+        *group_by, "n_a", "x_a", "n_b", "x_b", "p_a", "p_b", "p_pool",
+        z.alias("z_stat"),
     )
 
 
@@ -2104,11 +2205,23 @@ class StatsTransformer:
                     "stats welch_ttest requires both 'sideA' and 'sideB' "
                     "or neither"
                 )
+        elif op == "prop_ztest":
+            for key in ("flagColumn", "sideColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats prop_ztest requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            if (opts.get("sideA") is None) != (opts.get("sideB") is None):
+                errors.append(
+                    "stats prop_ztest requires both 'sideA' and 'sideB' "
+                    "or neither"
+                )
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
                 "|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute"
-                f"|multiple_regression|benford|welch_ttest, got '{op}'"
+                "|multiple_regression|benford|welch_ttest|prop_ztest, "
+                f"got '{op}'"
             )
         for c in cols_needed:
             if c not in df.columns:
@@ -2177,6 +2290,15 @@ class StatsTransformer:
             return welch_ttest(
                 df,
                 opts["valueColumn"],
+                opts["sideColumn"],
+                side_a=opts.get("sideA"),
+                side_b=opts.get("sideB"),
+                group_by=gb,
+            )
+        if op == "prop_ztest":
+            return prop_ztest(
+                df,
+                opts["flagColumn"],
                 opts["sideColumn"],
                 side_a=opts.get("sideA"),
                 side_b=opts.get("sideB"),

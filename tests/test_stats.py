@@ -1163,3 +1163,78 @@ def test_welch_ttest_yaml_adapter(spark):
                  "sideColumn": "side", "sideA": "a"},
     )
     assert not t.validate(df, bad).is_valid
+
+
+class TestPropZtest:
+    def test_matches_formula_and_handles_edges(self, spark):
+        import math
+
+        from etl_spark_gradle_spark.operators.stats import prop_ztest
+
+        rows = (
+            [("A", True)] * 120 + [("A", False)] * 80      # p_a = 0.6
+            + [("B", True)] * 60 + [("B", False)] * 90     # p_b = 0.4
+            + [("A", None)] * 7                            # excluded
+        )
+        df = spark.createDataFrame(rows, "v string, ok boolean").repartition(5)
+        r = prop_ztest(df, "ok", "v").collect()[0]
+        assert (r.n_a, r.x_a, r.n_b, r.x_b) == (200, 120, 150, 60)
+        assert r.p_a == 120 / 200 and r.p_b == 60 / 150
+        p = (120 + 60) / (200 + 150)
+        se = math.sqrt(p * (1 - p) * (1 / 200 + 1 / 150))
+        assert abs(r.z_stat - (0.6 - 0.4) / se) < 1e-12
+        # degenerate pooled rate (all successes) -> NULL z
+        const = spark.createDataFrame(
+            [("A", 1)] * 5 + [("B", 1)] * 5, "v string, ok int"
+        )
+        assert prop_ztest(const, "ok", "v").collect()[0].z_stat is None
+        # one side empty (explicit sides) -> NULL z, zero counts
+        lone = spark.createDataFrame([("A", 1), ("A", 0)], "v string, ok int")
+        r2 = prop_ztest(lone, "ok", "v", side_a="A", side_b="B").collect()[0]
+        assert (r2.n_b, r2.x_b, r2.z_stat) == (0, 0, None)
+
+    def test_grouped_validation_and_adapter(self, spark):
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+        from etl_spark_gradle_spark.operators.stats import prop_ztest
+        from etl_spark_gradle_spark.plans.config import (
+            RunContext,
+            TransformationConfig,
+        )
+
+        rows = [
+            ("g1", "A", 1), ("g1", "A", 0), ("g1", "B", 0), ("g1", "B", 0),
+            ("g2", "A", 1), ("g2", "B", 1), ("g2", "A", 0), ("g2", "B", 0),
+        ]
+        df = spark.createDataFrame(rows, "g string, v string, ok int")
+        got = {
+            r.g: (r.n_a, r.x_a, r.n_b, r.x_b)
+            for r in prop_ztest(df, "ok", "v", group_by=["g"]).collect()
+        }
+        assert got == {"g1": (2, 1, 2, 0), "g2": (2, 1, 2, 1)}
+        with _pytest.raises(TransformationError, match="both side_a"):
+            prop_ztest(df, "ok", "v", side_a="A")
+        three = spark.createDataFrame(
+            [("A", 1), ("B", 0), ("C", 1)], "v string, ok int"
+        )
+        with _pytest.raises(TransformationError, match="exactly"):
+            prop_ztest(three, "ok", "v")
+        t = TRANSFORMER_REGISTRY["stats"]
+        cfg = TransformationConfig(
+            type="stats",
+            options={"operation": "prop_ztest", "flagColumn": "ok",
+                     "sideColumn": "v", "groupBy": "g"},
+        )
+        assert t.validate(df, cfg).is_valid
+        out = t.transform(
+            df, cfg, RunContext(pipeline_id="t", run_id="r", spark=spark)
+        )
+        assert out.count() == 2
+        bad = TransformationConfig(
+            type="stats", options={"operation": "prop_ztest"}
+        )
+        assert not t.validate(df, bad).is_valid
