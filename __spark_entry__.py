@@ -5747,6 +5747,47 @@ FROM d
 """
 
 
+def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation of each customer's orders: first
+    status by (date, orderkey), latest observed priority, exact total
+    spend, max single order — one survivorship row per customer from
+    ONE map-side-combined groupBy. First/last ride lexicographic
+    struct min/max, which the oracle replays field-for-field."""
+    from etl_spark_gradle_spark.operators.delta import consolidate
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return consolidate(
+        orders,
+        keys=["o_custkey"],
+        rules={
+            "o_orderstatus": "first",
+            "o_orderpriority": "last_non_null",
+            "o_totalprice": "sum_exact",
+            "o_orderdate": "max",
+        },
+        order_by=["o_orderdate", "o_orderkey"],
+    )
+
+
+_CONSOLIDATE_ORACLE = """
+SELECT o_custkey,
+       (min(struct_pack(o0 := CAST(o_orderdate AS TIMESTAMP),
+                        o1 := o_orderkey,
+                        v := o_orderstatus))).v AS o_orderstatus,
+       (max(CASE WHEN o_orderpriority IS NOT NULL THEN
+              struct_pack(o0 := CAST(o_orderdate AS TIMESTAMP),
+                          o1 := o_orderkey,
+                          v := o_orderpriority) END)).v AS o_orderpriority,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+            AS DOUBLE) AS o_totalprice,
+       MAX(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8452,6 +8493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_debounce": q_streaming_debounce,
         "k_anonymity": q_k_anonymity,
         "prop_ztest": q_prop_ztest,
+        "consolidate": q_consolidate,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8724,6 +8766,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_debounce": _STREAMING_DEBOUNCE_ORACLE,
         "k_anonymity": _K_ANONYMITY_ORACLE,
         "prop_ztest": _PROP_ZTEST_ORACLE,
+        "consolidate": _CONSOLIDATE_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

@@ -53,10 +53,12 @@ from etl_spark_gradle_spark.operators.bpe import (  # noqa: F401
     train_bpe,
 )
 from etl_spark_gradle_spark.operators.delta import (  # noqa: F401
+    ConsolidateTransformer,
     DiffTransformer,
     Scd2LookupTransformer,
     Scd2Transformer,
     apply_changes,
+    consolidate,
     row_fingerprint,
     scd2_lookup,
     table_diff,
@@ -246,6 +248,7 @@ TRANSFORMER_REGISTRY = {
     "salted_aggregation": SaltedAggregationTransformer(),
     "diff": DiffTransformer(),
     "scd2": Scd2Transformer(),
+    "consolidate": ConsolidateTransformer(),
     "scd2_lookup": Scd2LookupTransformer(),
     "quantile_filter": QuantileFilterTransformer(),
     "flatten": FlattenTransformer(),

@@ -48,8 +48,10 @@ __all__ = [
     "scd2_init",
     "scd2_apply",
     "table_checksum",
+    "consolidate",
     "DiffTransformer",
     "Scd2Transformer",
+    "ConsolidateTransformer",
 ]
 
 
@@ -716,3 +718,171 @@ def table_checksum(
         F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
         F.count("*").alias("row_count"),
     )
+
+
+_CONSOLIDATE_STRATEGIES = (
+    "max", "min", "first", "last", "first_non_null", "last_non_null",
+    "sum_exact", "collect_set",
+)
+
+
+def consolidate(
+    df: DataFrame,
+    keys: list[str],
+    rules: dict[str, str],
+    order_by: list[str] | None = None,
+    count_col: str | None = "n_rows",
+) -> DataFrame:
+    """Golden-record consolidation (MDM survivorship): collapse every
+    entity's duplicate rows into ONE row, choosing each output column
+    by an explicit per-column rule — the step after duplicate
+    detection (``dedup_from_pairs`` keeps one *source row*; this
+    *merges* the cluster field-by-field, which is what master-data
+    pipelines actually ship):
+
+    - ``max`` / ``min``: extreme value,
+    - ``first`` / ``last``: value of the first/last row in ``order_by``
+      order (NULL if that row's value is NULL — positional semantics),
+    - ``first_non_null`` / ``last_non_null``: earliest/latest OBSERVED
+      value in ``order_by`` order (the classic "most recent known
+      email" rule),
+    - ``sum_exact``: exact decimal(18,6) sum closed to double via the
+      string round-trip (partition-order free),
+    - ``collect_set``: sorted array of distinct values (lossless
+      audit column).
+
+    Ordered rules need ``order_by`` — and it must be a TOTAL order per
+    entity (include a unique tiebreak column), or first/last are
+    nondeterministic; the operator refuses ordered rules without it.
+    First/last are selected via lexicographic struct min/max over
+    ``(order_by…, value)`` — both Spark and DuckDB compare structs
+    field-by-field, so the oracle replays the survivorship exactly.
+
+    Plan at 100 TB: ONE map-side-combined groupBy on the entity keys —
+    every rule is an aggregate expression with constant-size partials
+    (``collect_set`` bounded by per-entity distinct values); no
+    windows, no self-joins, no second pass.
+    """
+    if not keys:
+        raise TransformationError("consolidate requires entity key columns")
+    if not rules:
+        raise TransformationError("consolidate requires at least one rule")
+    for c in keys:
+        if c not in df.columns:
+            raise TransformationError(f"key column not in input schema: {c}")
+    order_by = order_by or []
+    for c in order_by:
+        if c not in df.columns:
+            raise TransformationError(
+                f"order column not in input schema: {c}"
+            )
+    ordered_rules = {"first", "last", "first_non_null", "last_non_null"}
+    aggs = []
+    for col, strat in rules.items():
+        if col not in df.columns:
+            raise TransformationError(
+                f"rule column not in input schema: {col}"
+            )
+        if col in keys:
+            raise TransformationError(
+                f"rule column is an entity key: {col}"
+            )
+        if strat not in _CONSOLIDATE_STRATEGIES:
+            raise TransformationError(
+                f"unknown consolidate strategy '{strat}' for {col} "
+                f"(supported: {sorted(_CONSOLIDATE_STRATEGIES)})"
+            )
+        if strat in ordered_rules and not order_by:
+            raise TransformationError(
+                f"consolidate strategy '{strat}' needs order_by "
+                "(a TOTAL order per entity — include a tiebreak)"
+            )
+        v = F.col(col)
+        if strat == "max":
+            aggs.append(F.max(v).alias(col))
+        elif strat == "min":
+            aggs.append(F.min(v).alias(col))
+        elif strat == "sum_exact":
+            aggs.append(
+                F.sum(v.cast("decimal(18,6)"))
+                .cast("string")
+                .cast("double")
+                .alias(col)
+            )
+        elif strat == "collect_set":
+            aggs.append(F.array_sort(F.collect_set(v)).alias(col))
+        else:
+            key = F.struct(
+                *[F.col(o).alias(f"o{i}") for i, o in enumerate(order_by)],
+                v.alias("v"),
+            )
+            if strat == "first":
+                aggs.append(F.min(key)["v"].alias(col))
+            elif strat == "last":
+                aggs.append(F.max(key)["v"].alias(col))
+            elif strat == "first_non_null":
+                aggs.append(
+                    F.min(F.when(v.isNotNull(), key))["v"].alias(col)
+                )
+            else:  # last_non_null
+                aggs.append(
+                    F.max(F.when(v.isNotNull(), key))["v"].alias(col)
+                )
+    if count_col:
+        aggs.append(F.count(F.lit(1)).cast("long").alias(count_col))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+class ConsolidateTransformer(_BaseTransformer):
+    """Registry adapter (``type: consolidate``). Options: ``keys`` csv
+    (required), ``rules`` csv of ``column:strategy`` (required),
+    ``orderBy`` csv (required when any ordered rule is used),
+    ``countColumn`` (default ``n_rows``; empty string drops it)."""
+
+    @staticmethod
+    def _parse_rules(spec: str | None) -> dict[str, str]:
+        rules: dict[str, str] = {}
+        for part in _split_csv(spec):
+            if ":" not in part:
+                raise TransformationError(
+                    f"consolidate rule must be column:strategy, got '{part}'"
+                )
+            col, strat = part.split(":", 1)
+            rules[col.strip()] = strat.strip()
+        return rules
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        if not _split_csv(opts.get("keys")):
+            errors.append("consolidate requires 'keys'")
+        try:
+            rules = self._parse_rules(opts.get("rules"))
+            if not rules:
+                errors.append("consolidate requires 'rules'")
+            for col, strat in rules.items():
+                if strat not in _CONSOLIDATE_STRATEGIES:
+                    errors.append(f"unknown strategy '{strat}' for {col}")
+                elif col not in df.columns:
+                    errors.append(f"rule column not in input schema: {col}")
+        except TransformationError as e:
+            errors.append(str(e))
+        for c in _split_csv(opts.get("keys")) + _split_csv(opts.get("orderBy")):
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        count_col = opts.get("countColumn", "n_rows") or None
+        return consolidate(
+            df,
+            keys=_split_csv(opts["keys"]),
+            rules=self._parse_rules(opts["rules"]),
+            order_by=_split_csv(opts.get("orderBy")) or None,
+            count_col=count_col,
+        )

@@ -666,3 +666,108 @@ def test_scd2_lookup_fact_vf_vt_columns_survive(spark):
     assert {"_vf", "_vt", "tier"} <= set(out.columns)
     r = out.collect()[0]
     assert (r["_vf"], r["_vt"], r["tier"]) == ("keep_a", "keep_b", "gold")
+
+
+class TestConsolidate:
+    def _dups(self, spark):
+        rows = [
+            # entity 1: three source rows, email observed then lost
+            (1, 10, "a@x.com", 100.0, "crm"),
+            (1, 20, None, 50.0, "web"),
+            (1, 30, "b@x.com", 25.0, "app"),
+            # entity 2: single row
+            (2, 5, None, 10.0, "crm"),
+        ]
+        return spark.createDataFrame(
+            rows, "eid long, seq long, email string, spend double, src string"
+        )
+
+    def test_survivorship_rules(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_spark_gradle_spark.operators.delta import consolidate
+
+        out = {
+            r.eid: r
+            for r in consolidate(
+                self._dups(spark),
+                keys=["eid"],
+                rules={
+                    "email": "last_non_null",
+                    "spend": "sum_exact",
+                    "src": "first",
+                    "seq": "max",
+                },
+                order_by=["seq"],
+            ).collect()
+        }
+        e1 = out[1]
+        assert e1.email == "b@x.com"      # latest OBSERVED email
+        assert e1.spend == 175.0          # exact decimal sum
+        assert e1.src == "crm"            # first row's source
+        assert e1.seq == 30 and e1.n_rows == 3
+        e2 = out[2]
+        assert e2.email is None and e2.n_rows == 1
+        # positional 'last' vs 'last_non_null': last row's email is
+        # b@x.com here, but with entity-1 rows reordered so the NULL is
+        # last, positional 'last' yields NULL while last_non_null holds
+        reordered = self._dups(spark).withColumn(
+            "seq2",
+            F.when(F.col("seq") == 20, 99).otherwise(F.col("seq")),
+        )
+        from etl_spark_gradle_spark.operators.delta import (
+            consolidate as cons,
+        )
+
+        got = {
+            r.eid: (r.email,)
+            for r in cons(
+                reordered, ["eid"], {"email": "last"}, order_by=["seq2"]
+            ).collect()
+        }
+        assert got[1] == (None,)
+        got_nn = {
+            r.eid: r.email
+            for r in cons(
+                reordered, ["eid"], {"email": "last_non_null"},
+                order_by=["seq2"],
+            ).collect()
+        }
+        assert got_nn[1] == "b@x.com"
+
+    def test_collect_set_validation_and_adapter(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.delta import consolidate
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+
+        df = self._dups(spark)
+        srcs = {
+            r.eid: list(r.src)
+            for r in consolidate(
+                df, ["eid"], {"src": "collect_set"}
+            ).collect()
+        }
+        assert srcs[1] == ["app", "crm", "web"]  # sorted, deterministic
+        with pytest.raises(TransformationError, match="needs order_by"):
+            consolidate(df, ["eid"], {"src": "first"})
+        with pytest.raises(TransformationError, match="unknown consolidate"):
+            consolidate(df, ["eid"], {"src": "bogus"})
+        with pytest.raises(TransformationError, match="entity key"):
+            consolidate(df, ["eid"], {"eid": "max"})
+        t = TRANSFORMER_REGISTRY["consolidate"]
+        cfg = TransformationConfig(
+            type="consolidate",
+            options={"keys": "eid", "orderBy": "seq",
+                     "rules": "email:last_non_null,spend:sum_exact"},
+        )
+        assert t.validate(df, cfg).is_valid
+        out = t.transform(
+            df, cfg, RunContext(pipeline_id="t", run_id="r", spark=spark)
+        )
+        assert set(out.columns) == {"eid", "email", "spend", "n_rows"}
+        bad = TransformationConfig(
+            type="consolidate", options={"keys": "eid", "rules": "email"}
+        )
+        assert not t.validate(df, bad).is_valid
