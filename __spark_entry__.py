@@ -5788,6 +5788,51 @@ GROUP BY o_custkey
 """
 
 
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: churn labeling — per user, days since last
+    event vs the corpus max timestamp, event count, and the
+    inactive-≥7-days churn flag (the standard retention-model label
+    builder). One user aggregation + a 1-row broadcast of the corpus
+    max; day arithmetic on integer epoch days, no floats at all."""
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    per = events.where(F.col("user_id").isNotNull()).groupBy(
+        "user_id"
+    ).agg(
+        F.max(F.col("ts").cast("date")).alias("_last"),
+        F.count(F.when(F.col("ts").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_events"),
+    )
+    gmax = events.select(F.max(F.col("ts").cast("date")).alias("_gmax"))
+    return per.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        F.datediff(F.col("_gmax"), F.col("_last"))
+        .cast("long")
+        .alias("days_inactive"),
+        "n_events",
+        (F.datediff(F.col("_gmax"), F.col("_last")) >= 7).alias("churned"),
+    )
+
+
+_CHURN_LABELS_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE)) AS last_d,
+         CAST(COUNT(CASE WHEN ts IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_events
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), g AS (
+  SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events
+)
+SELECT user_id,
+       CAST(date_diff('day', last_d, gmax) AS BIGINT) AS days_inactive,
+       n_events,
+       date_diff('day', last_d, gmax) >= 7 AS churned
+FROM per CROSS JOIN g
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8494,6 +8539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "prop_ztest": q_prop_ztest,
         "consolidate": q_consolidate,
+        "churn_labels": q_churn_labels,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8767,6 +8813,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _K_ANONYMITY_ORACLE,
         "prop_ztest": _PROP_ZTEST_ORACLE,
         "consolidate": _CONSOLIDATE_ORACLE,
+        "churn_labels": _CHURN_LABELS_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
