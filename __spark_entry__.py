@@ -5833,6 +5833,48 @@ FROM per CROSS JOIN g
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over orders: the top-5 heaviest values of
+    three candidate key columns with exact counts, table shares and
+    per-column ranks — the report that decides which keys need
+    skew_join/salted_aggregation. ONE stacked-pairs groupBy +
+    per-column WindowGroupLimit + a 1-row broadcast total."""
+    from etl_spark_gradle_spark.operators.skew import skew_report
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return skew_report(
+        orders, ["o_custkey", "o_orderpriority", "o_orderstatus"], top_k=5
+    )
+
+
+_SKEW_REPORT_ORACLE = """
+WITH pairs AS (
+  SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+), counts AS (
+  SELECT col, value, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY col, value
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders
+), r AS (
+  SELECT col, value, n,
+         CAST(row_number() OVER (
+           PARTITION BY col ORDER BY n DESC, value ASC NULLS FIRST
+         ) AS INT) AS rank
+  FROM counts
+)
+SELECT col AS "column", value, n,
+       CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       rank
+FROM r CROSS JOIN t WHERE rank <= 5
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8540,6 +8582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_ztest": q_prop_ztest,
         "consolidate": q_consolidate,
         "churn_labels": q_churn_labels,
+        "skew_report": q_skew_report,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8814,6 +8857,7 @@ def oracle_sql() -> dict[str, str]:
         "prop_ztest": _PROP_ZTEST_ORACLE,
         "consolidate": _CONSOLIDATE_ORACLE,
         "churn_labels": _CHURN_LABELS_ORACLE,
+        "skew_report": _SKEW_REPORT_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

@@ -158,7 +158,9 @@ from etl_spark_gradle_spark.operators.clustering import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.skew import (  # noqa: F401
     SkewJoinTransformer,
+    SkewReportTransformer,
     skew_join,
+    skew_report,
 )
 from etl_spark_gradle_spark.operators.features import (  # noqa: F401
     FeatureHashTransformer,
@@ -287,6 +289,7 @@ TRANSFORMER_REGISTRY = {
     "kmeans": KMeansTransformer(),
     "bfs": BfsDistancesTransformer(),
     "skew_join": SkewJoinTransformer(),
+    "skew_report": SkewReportTransformer(),
     "bloom_semi_join": BloomSemiJoinTransformer(),
     "keyword_tag": KeywordTagTransformer(),
     "discretize": DiscretizeTransformer(),

@@ -71,7 +71,7 @@ from etl_spark_gradle_spark.plans.config import (
     ValidationResult,
 )
 
-__all__ = ["skew_join", "SkewJoinTransformer"]
+__all__ = ["skew_join", "skew_report", "SkewJoinTransformer", "SkewReportTransformer"]
 
 _SALT = "__skew_salt"
 
@@ -308,4 +308,100 @@ class SkewJoinTransformer(_BaseTransformer):
             hot_threshold=int(ht) if ht is not None else None,
             max_hot_keys=int(opts.get("maxHotKeys", 1000)),
             sample_fraction=float(sf) if sf is not None else None,
+        )
+
+
+def skew_report(
+    df: DataFrame,
+    columns: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostics: for each candidate key column, the top-k
+    heaviest values with exact counts and their share of the table —
+    the report that decides WHICH keys need `skew_join`/
+    `salted_aggregation` before a 100 TB run melts one reducer.
+    Output (column, value, n, share, rank), values rendered as
+    strings so heterogeneous columns stack in one relation (NULL keys
+    reported as a real value — they are the most common hot key in
+    the wild).
+
+    Plan: ONE pass — the candidate columns stack via a narrow
+    ``explode`` into (column, value) pairs, then a single
+    map-side-combined groupBy; the total is a 1-row broadcast and the
+    top-k close is a per-column WindowGroupLimit (partial limits run
+    map-side, the exchange carries ≤ k·tasks rows per column).
+    """
+    from pyspark.sql.window import Window
+
+    if not columns:
+        raise TransformationError("skew_report requires candidate columns")
+    if top_k < 1:
+        raise TransformationError("skew_report requires top_k >= 1")
+    for c in columns:
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value")
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = df.select(F.count(F.lit(1)).cast("long").alias("_total"))
+    w = Window.partitionBy("column").orderBy(
+        F.desc("n"), F.asc_nulls_first("value")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(top_k))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "column",
+            "value",
+            "n",
+            (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            "rank",
+        )
+    )
+
+
+class SkewReportTransformer(_BaseTransformer):
+    """Registry adapter (``type: skew_report``). Options: ``columns``
+    csv (required), ``topK`` (default 10)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        cols = _split_csv(config.options.get("columns"))
+        if not cols:
+            errors.append("skew_report requires 'columns'")
+        for c in cols:
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        try:
+            if int(config.options.get("topK", 10)) < 1:
+                errors.append("topK must be >= 1")
+        except (TypeError, ValueError):
+            errors.append(f"topK is not an int: {config.options['topK']}")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def _apply(self, df, config, ctx):
+        return skew_report(
+            df,
+            columns=_split_csv(config.options["columns"]),
+            top_k=int(config.options.get("topK", 10)),
         )

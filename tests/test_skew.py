@@ -175,3 +175,63 @@ def test_skew_join_adapter_rejects_bad_sample_fraction(spark):
         ),
     )
     assert not res.is_valid and any("sampleFraction" in e for e in res.errors)
+
+
+class TestSkewReport:
+    def test_counts_share_rank_and_nulls(self, spark):
+        from etl_spark_gradle_spark.operators.skew import skew_report
+
+        rows = (
+            [("hot", "x")] * 6 + [("warm", "x")] * 3
+            + [(None, "y")] * 2 + [("cold", None)]
+        )
+        df = spark.createDataFrame(rows, "k string, c string").repartition(4)
+        got = {
+            (r.column, r.value): (r.n, r.rank, r.share)
+            for r in skew_report(df, ["k", "c"], top_k=2).collect()
+        }
+        assert got[("k", "hot")] == (6, 1, 6 / 12)
+        assert got[("k", "warm")] == (3, 2, 3 / 12)
+        # NULL is reported as a real (stringified-to-None) hot key
+        assert got[("c", "x")] == (9, 1, 9 / 12)
+        assert got[("c", "y")] == (2, 2, 2 / 12)
+        # the NULL value (1 row) falls past top_k=2 here; raise top_k
+        # and it must surface as a real reported key
+        full = {
+            (r.column, r.value): r.n
+            for r in skew_report(df, ["c"], top_k=5).collect()
+        }
+        assert full[("c", None)] == 1
+        # top_k cuts per column
+        assert all(r <= 2 for (_, _), (_, r, _) in
+                   [((a, b), v) for (a, b), v in got.items()])
+        assert len([1 for (col, _) in got if col == "k"]) == 2
+
+    def test_validation_and_adapter(self, spark):
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+        from etl_spark_gradle_spark.operators.skew import skew_report
+        from etl_spark_gradle_spark.plans.config import (
+            RunContext,
+            TransformationConfig,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        with pytest.raises(TransformationError, match="columns"):
+            skew_report(df, [])
+        with pytest.raises(TransformationError, match="top_k"):
+            skew_report(df, ["k"], top_k=0)
+        t = TRANSFORMER_REGISTRY["skew_report"]
+        cfg = TransformationConfig(
+            type="skew_report", options={"columns": "k,v", "topK": 3}
+        )
+        assert t.validate(df, cfg).is_valid
+        out = t.transform(
+            df, cfg, RunContext(pipeline_id="t", run_id="r", spark=spark)
+        )
+        assert set(out.columns) == {"column", "value", "n", "share", "rank"}
+        assert not t.validate(
+            df, TransformationConfig(type="skew_report", options={})
+        ).is_valid
