@@ -5875,6 +5875,93 @@ FROM r CROSS JOIN t WHERE rank <= 5
 """
 
 
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: event-type trigram counts — the order-3
+    journey fragments between `transitions` (bigrams) and `top_paths`
+    (full prefixes), built by composing lag_features over the event
+    TYPE column (lags are pure row plumbing, so they lag strings as
+    happily as numbers) with one count aggregation. |types|³-bounded
+    output; one user-keyed window shuffle + one tiny groupBy."""
+    from etl_spark_gradle_spark.operators.timeseries import lag_features
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    lagged = lag_features(
+        events, ["user_id"], "ts", "event_type",
+        lags=[1, 2], tiebreak=["event_id"],
+    )
+    return (
+        lagged.where(
+            F.col("event_type_lag2").isNotNull()
+            & F.col("event_type_lag1").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("event_type_lag2").alias("step1"),
+            F.col("event_type_lag1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_EVENT_TRIGRAMS_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER win AS l1,
+         lag(event_type, 2) OVER win AS l2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT l2 AS step1, l1 AS step2, event_type AS step3,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w
+WHERE l2 IS NOT NULL AND l1 IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: weekly activity heatmap — event counts and
+    shares per (day-of-week, hour-of-day) cell, the operations
+    dashboard every event system renders. Day-of-week normalized to
+    0=Sunday on both engines (Spark's dayofweek is 1-based); one
+    map-side-combined groupBy + a 1-row broadcast total."""
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cells = events.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = events.select(F.count(F.lit(1)).cast("long").alias("_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+_ACTIVITY_HEATMAP_ORACLE = """
+WITH c AS (
+  SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+         CAST(date_part('hour', ts) AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT dow, hour, n,
+       CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM c CROSS JOIN t
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8583,6 +8670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consolidate": q_consolidate,
         "churn_labels": q_churn_labels,
         "skew_report": q_skew_report,
+        "event_trigrams": q_event_trigrams,
+        "activity_heatmap": q_activity_heatmap,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8858,6 +8947,8 @@ def oracle_sql() -> dict[str, str]:
         "consolidate": _CONSOLIDATE_ORACLE,
         "churn_labels": _CHURN_LABELS_ORACLE,
         "skew_report": _SKEW_REPORT_ORACLE,
+        "event_trigrams": _EVENT_TRIGRAMS_ORACLE,
+        "activity_heatmap": _ACTIVITY_HEATMAP_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
