@@ -5962,6 +5962,63 @@ FROM c CROSS JOIN t
 """
 
 
+def q_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: seasonal-naive forecast baseline — hourly
+    event counts per type, "predict this hour = the same hour
+    yesterday" (lag 24 via lag_features over the bucket table), and
+    the per-type MAE of that baseline: the denominator every real
+    forecasting model must beat (MASE's yardstick). Counts and
+    absolute errors are exact integers; only the final mean divides.
+    """
+    from etl_spark_gradle_spark.operators.timeseries import lag_features
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    hourly = events.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(3600)))
+        .cast("long")
+        .alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lagged = lag_features(
+        hourly, ["event_type"], "bucket_ts", "n", lags=[24],
+    )
+    scored = lagged.where(F.col("n_lag24").isNotNull())
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.abs(F.col("n") - F.col("n_lag24")))
+        .cast("long")
+        .alias("abs_err_total"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("n_lag24")))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mae"),
+    )
+
+
+_NAIVE_FORECAST_ERROR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, n,
+         lag(n, 24) OVER (PARTITION BY event_type
+                          ORDER BY bucket_ts ASC) AS n_lag24
+  FROM hourly
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(abs(n - n_lag24)) AS BIGINT) AS abs_err_total,
+       CAST(SUM(abs(n - n_lag24)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mae
+FROM lagged WHERE n_lag24 IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8672,6 +8729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "event_trigrams": q_event_trigrams,
         "activity_heatmap": q_activity_heatmap,
+        "naive_forecast_error": q_naive_forecast_error,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -8949,6 +9007,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _SKEW_REPORT_ORACLE,
         "event_trigrams": _EVENT_TRIGRAMS_ORACLE,
         "activity_heatmap": _ACTIVITY_HEATMAP_ORACLE,
+        "naive_forecast_error": _NAIVE_FORECAST_ERROR_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,

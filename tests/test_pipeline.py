@@ -792,3 +792,38 @@ def test_session_analytics_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
     raw = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     total_events = sess.agg(F.sum("n_events")).collect()[0][0]
     assert total_events <= raw
+
+
+def test_training_pairs_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/training-pairs.yaml runs end-to-end:
+    deterministic negative sampling over documents (pool via a views:
+    entry) -> self-pair gate -> parquet; a second run produces the
+    byte-identical pair table (the reproducibility contract)."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "pairs")
+    monkeypatch.setenv("CORPUS_DIR", sf_dir)
+    monkeypatch.setenv("PAIRS_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/training-pairs.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+
+    pairs = spark.read.parquet(out)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # k=2 slots per anchor, minus any self-draws the gate's operator
+    # already excluded
+    assert n_docs < pairs.count() <= 2 * n_docs
+    assert pairs.filter("negative = doc_id").count() == 0
+    first = sorted(
+        (r.doc_id, r.neg_index, r.negative) for r in pairs.collect()
+    )
+    out2 = str(tmp_path / "pairs2")
+    monkeypatch.setenv("PAIRS_OUT", out2)
+    PipelineExecutor().execute(load_pipeline_yaml(
+        "pipelines/training-pairs.yaml"), spark)
+    second = sorted(
+        (r.doc_id, r.neg_index, r.negative)
+        for r in spark.read.parquet(out2).collect()
+    )
+    assert first == second
