@@ -6019,6 +6019,82 @@ GROUP BY event_type
 """
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: cohort lifetime value — customers bucketed
+    by first-order period (30-day day-epoch cohorts, the
+    engine-portable arithmetic the cohort operator uses), revenue per
+    (cohort, period offset) as EXACT decimals, and the running
+    cumulative LTV per cohort (decimal window sum — float running
+    sums diverge cross-engine) closed to double via the string
+    round-trip."""
+    from pyspark.sql import Window as W
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    period = F.floor(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        / 30
+    ).cast("int")
+    base = orders.select(
+        "o_custkey",
+        period.alias("_p"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("_rev"),
+    )
+    first = base.groupBy("o_custkey").agg(F.min("_p").alias("cohort_period"))
+    j = base.join(first, "o_custkey").select(
+        "cohort_period",
+        (F.col("_p") - F.col("cohort_period")).alias("period_offset"),
+        "_rev",
+    )
+    per = j.groupBy("cohort_period", "period_offset").agg(
+        F.sum("_rev").alias("_prev"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = W.partitionBy("cohort_period").orderBy("period_offset")
+    cum = F.sum("_prev").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per.select(
+        "cohort_period",
+        "period_offset",
+        "n_orders",
+        F.col("_prev").cast("string").cast("double").alias("revenue"),
+        cum.cast("string").cast("double").alias("cum_revenue"),
+    )
+
+
+_COHORT_LTV_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(FLOOR(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) / 30) AS INT)
+           AS p,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+  FROM orders
+), first AS (
+  SELECT o_custkey, MIN(p) AS cohort_period FROM base GROUP BY o_custkey
+), j AS (
+  SELECT f.cohort_period, b.p - f.cohort_period AS period_offset, b.rev
+  FROM base b JOIN first f ON b.o_custkey = f.o_custkey
+), per AS (
+  SELECT cohort_period, period_offset,
+         SUM(rev) AS prev,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM j GROUP BY cohort_period, period_offset
+)
+SELECT cohort_period, period_offset, n_orders,
+       CAST(CAST(prev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(prev) OVER (PARTITION BY cohort_period
+                                 ORDER BY period_offset ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         AS cum_revenue
+FROM per
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8730,6 +8806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": q_event_trigrams,
         "activity_heatmap": q_activity_heatmap,
         "naive_forecast_error": q_naive_forecast_error,
+        "cohort_ltv": q_cohort_ltv,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -9008,6 +9085,7 @@ def oracle_sql() -> dict[str, str]:
         "event_trigrams": _EVENT_TRIGRAMS_ORACLE,
         "activity_heatmap": _ACTIVITY_HEATMAP_ORACLE,
         "naive_forecast_error": _NAIVE_FORECAST_ERROR_ORACLE,
+        "cohort_ltv": _COHORT_LTV_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
