@@ -6095,6 +6095,67 @@ FROM per
 """
 
 
+def q_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: repeat-purchase interval distribution —
+    per-customer day gaps between consecutive orders (lag over a
+    total order), then the type-7 exact-quantile CDF over all gaps:
+    the replenishment-cadence metric retail forecasting starts from.
+    Gaps are exact integer days; the quantile lerp closes in fixed
+    IEEE order, bit-identical against the SQL replay."""
+    from pyspark.sql import Window as W
+
+    from etl_spark_gradle_spark.operators.stats import exact_quantiles
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    d = F.col("o_orderdate").cast("date")
+    gaps = (
+        orders.withColumn("_gap", F.datediff(d, F.lag(d).over(w)))
+        .where(F.col("_gap").isNotNull())
+        .select(F.col("_gap").cast("double").alias("gap_days"))
+    )
+    return exact_quantiles(
+        gaps, "gap_days", [0.25, 0.5, 0.9], interpolation="linear"
+    )
+
+
+_REORDER_INTERVALS_ORACLE = """
+WITH g0 AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders
+), gaps AS (
+  SELECT date_diff('day',
+                   lag(d) OVER (PARTITION BY o_custkey
+                                ORDER BY d ASC, o_orderkey ASC),
+                   d) AS gap
+  FROM g0
+), c AS (
+  SELECT CAST(gap AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+), cdf AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+         sum(c) OVER () AS n
+  FROM c
+), probs AS (SELECT unnest([0.25, 0.5, 0.9]) AS p), hx AS (
+  SELECT p, v, cum, n,
+         1.0 + (CAST(n AS DOUBLE) - 1.0) * p AS h
+  FROM cdf CROSS JOIN probs
+), picked AS (
+  SELECT p,
+         CAST(floor(h) AS BIGINT) AS rank,
+         h - floor(h) AS f,
+         min(CASE WHEN cum >= CAST(floor(h) AS BIGINT) THEN v END) AS vlo,
+         min(CASE WHEN cum >= least(CAST(floor(h) AS BIGINT) + 1, n)
+              THEN v END) AS vhi
+  FROM hx GROUP BY p, 2, 3
+)
+SELECT p AS prob, rank, vlo + f * (vhi - vlo) AS value
+FROM picked
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8807,6 +8868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_heatmap": q_activity_heatmap,
         "naive_forecast_error": q_naive_forecast_error,
         "cohort_ltv": q_cohort_ltv,
+        "reorder_intervals": q_reorder_intervals,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -9086,6 +9148,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_heatmap": _ACTIVITY_HEATMAP_ORACLE,
         "naive_forecast_error": _NAIVE_FORECAST_ERROR_ORACLE,
         "cohort_ltv": _COHORT_LTV_ORACLE,
+        "reorder_intervals": _REORDER_INTERVALS_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
