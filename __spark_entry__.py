@@ -6156,6 +6156,96 @@ FROM picked
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: embedding-centroid drift — cosine similarity
+    between the mean vectors of two corpus halves (vec_id parity), the
+    "did my embedding distribution shift" monitor an embedding
+    pipeline runs between snapshots. Components quantize to
+    floor(x·2^20) BIGINTs (the kmeans posture), per-dim sums stay
+    exact integers, the dot product and squared norms accumulate in
+    DECIMAL(38,0) (2^80-scale products), and ONE fixed-order float
+    close produces the cosine — bit-identical cross-engine."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(2 ** 20))),
+    )
+    side = F.when(F.col("vec_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    ex = emb.select(
+        side.alias("_s"), F.posexplode(q).alias("dim", "v")
+    )
+    per_dim = ex.groupBy("dim").agg(
+        F.sum(F.when(F.col("_s") == "a", F.col("v"))).alias("sa"),
+        F.sum(F.when(F.col("_s") == "b", F.col("v"))).alias("sb"),
+    )
+    closed = per_dim.agg(
+        F.sum(
+            F.col("sa").cast("decimal(38,0)") * F.col("sb").cast("decimal(38,0)")
+        ).alias("_dot"),
+        F.sum(
+            F.col("sa").cast("decimal(38,0)") * F.col("sa").cast("decimal(38,0)")
+        ).alias("_na"),
+        F.sum(
+            F.col("sb").cast("decimal(38,0)") * F.col("sb").cast("decimal(38,0)")
+        ).alias("_nb"),
+    )
+    counts = emb.agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, F.lit(1)))
+        .cast("long")
+        .alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 != 0, F.lit(1)))
+        .cast("long")
+        .alias("n_b"),
+    )
+    dot = F.col("_dot").cast("string").cast("double")
+    na = F.col("_na").cast("string").cast("double")
+    nb = F.col("_nb").cast("string").cast("double")
+    return closed.crossJoin(F.broadcast(counts)).select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            dot / (F.sqrt(na) * F.sqrt(nb)),
+        ).alias("centroid_cosine"),
+    )
+
+
+_EMBEDDING_DRIFT_ORACLE = """
+WITH ex AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS s,
+         unnest(range(len(embedding))) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS v
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), per_dim AS (
+  SELECT dim,
+         SUM(CASE WHEN s = 'a' THEN v END) AS sa,
+         SUM(CASE WHEN s = 'b' THEN v END) AS sb
+  FROM ex GROUP BY dim
+), closed AS (
+  SELECT SUM(CAST(sa AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0))) AS dot,
+         SUM(CAST(sa AS DECIMAL(38,0)) * CAST(sa AS DECIMAL(38,0))) AS na,
+         SUM(CAST(sb AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0))) AS nb
+  FROM per_dim
+), counts AS (
+  SELECT CAST(COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_b
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+)
+SELECT n_a, n_b,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+           / (sqrt(CAST(CAST(na AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(CAST(nb AS VARCHAR) AS DOUBLE)))
+       END AS centroid_cosine
+FROM closed CROSS JOIN counts
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8869,6 +8959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_forecast_error": q_naive_forecast_error,
         "cohort_ltv": q_cohort_ltv,
         "reorder_intervals": q_reorder_intervals,
+        "embedding_drift": q_embedding_drift,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -9149,6 +9240,7 @@ def oracle_sql() -> dict[str, str]:
         "naive_forecast_error": _NAIVE_FORECAST_ERROR_ORACLE,
         "cohort_ltv": _COHORT_LTV_ORACLE,
         "reorder_intervals": _REORDER_INTERVALS_ORACLE,
+        "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
