@@ -6246,6 +6246,119 @@ FROM closed CROSS JOIN counts
 """
 
 
+def q_rule_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: association-rule significance — the full
+    2×2 contingency (derived by pure integer arithmetic from the
+    rule table's exact counts) and its χ² statistic per rule, the
+    filter that separates real affinities from spurious lift on thin
+    support. χ² = N·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)
+    (n11+n01)(n10+n00)) with every product exact in DECIMAL(38,0)
+    and ONE closing float division."""
+    from etl_spark_gradle_spark.operators.events import association_rules
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    bi = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    rules = association_rules(bi, "basket", "item", min_support=1)
+    n11 = F.col("pair_baskets")
+    n10 = F.col("antecedent_baskets") - n11
+    n01 = F.col("consequent_baskets") - n11
+    n00 = F.col("n_baskets") - F.col("antecedent_baskets") - F.col(
+        "consequent_baskets"
+    ) + n11
+    # det stays EXACT: decimal(19,0) products (within every engine's
+    # 38-digit multiply cap), and |det| <= n^2 < 2^53 so the
+    # string-roundtrip double is exact; the marginals are longs < 2^53
+    # so their direct double casts are exact too — the only rounding
+    # is the fixed-order float close.
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    det_d = (
+        (d19(n11) * d19(n00) - d19(n10) * d19(n01))
+        .cast("string")
+        .cast("double")
+    )
+    f1 = F.col("antecedent_baskets").cast("double")
+    f2 = (F.col("n_baskets") - F.col("antecedent_baskets")).cast("double")
+    f3 = F.col("consequent_baskets").cast("double")
+    f4 = (F.col("n_baskets") - F.col("consequent_baskets")).cast("double")
+    denom = (f1 * f2) * (f3 * f4)
+    chi2 = F.when(
+        denom > 0,
+        F.col("n_baskets").cast("double") * ((det_d * det_d) / denom),
+    )
+    return rules.select(
+        "antecedent",
+        "consequent",
+        "pair_baskets",
+        n10.cast("long").alias("only_antecedent"),
+        n01.cast("long").alias("only_consequent"),
+        n00.cast("long").alias("neither"),
+        "lift",
+        chi2.alias("chi2"),
+    )
+
+
+_RULE_SIGNIFICANCE_ORACLE = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IS NOT NULL
+), ic AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS ib FROM bi GROUP BY i
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi
+), pairs AS (
+  SELECT x.i AS ia, y.i AS ic2, CAST(COUNT(*) AS BIGINT) AS pb
+  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i
+), directed AS (
+  SELECT ia AS a, ic2 AS c, pb FROM pairs
+  UNION ALL
+  SELECT ic2 AS a, ia AS c, pb FROM pairs
+), r AS (
+  SELECT d.a AS antecedent, d.c AS consequent,
+         d.pb AS n11, ia.ib AS ab, ca.ib AS cb, t.n AS n,
+         (CAST(d.pb AS DOUBLE) / CAST(ia.ib AS DOUBLE))
+           / (CAST(ca.ib AS DOUBLE) / CAST(t.n AS DOUBLE)) AS lift
+  FROM directed d
+  JOIN ic ia ON d.a = ia.i
+  JOIN ic ca ON d.c = ca.i
+  CROSS JOIN tot t
+), cells AS (
+  SELECT antecedent, consequent, n11,
+         ab - n11 AS n10, cb - n11 AS n01,
+         n - ab - cb + n11 AS n00, ab, cb, n, lift
+  FROM r
+)
+SELECT antecedent, consequent,
+       n11 AS pair_baskets,
+       n10 AS only_antecedent,
+       n01 AS only_consequent,
+       n00 AS neither,
+       lift,
+       CASE WHEN (CAST(ab AS DOUBLE) * CAST(n - ab AS DOUBLE))
+                 * (CAST(cb AS DOUBLE) * CAST(n - cb AS DOUBLE)) > 0
+            THEN CAST(n AS DOUBLE)
+                 * ((CAST(CAST(CAST(n11 AS DECIMAL(19,0))
+                               * CAST(n00 AS DECIMAL(19,0))
+                               - CAST(n10 AS DECIMAL(19,0))
+                               * CAST(n01 AS DECIMAL(19,0))
+                          AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(CAST(n11 AS DECIMAL(19,0))
+                                 * CAST(n00 AS DECIMAL(19,0))
+                                 - CAST(n10 AS DECIMAL(19,0))
+                                 * CAST(n01 AS DECIMAL(19,0))
+                            AS VARCHAR) AS DOUBLE))
+                    / ((CAST(ab AS DOUBLE) * CAST(n - ab AS DOUBLE))
+                       * (CAST(cb AS DOUBLE) * CAST(n - cb AS DOUBLE))))
+       END AS chi2
+FROM cells
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -8960,6 +9073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "reorder_intervals": q_reorder_intervals,
         "embedding_drift": q_embedding_drift,
+        "rule_significance": q_rule_significance,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -9241,6 +9355,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_ltv": _COHORT_LTV_ORACLE,
         "reorder_intervals": _REORDER_INTERVALS_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
+        "rule_significance": _RULE_SIGNIFICANCE_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
