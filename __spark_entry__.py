@@ -6359,6 +6359,78 @@ FROM cells
 """
 
 
+def q_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: referential-integrity coverage report — the
+    share of lineitem rows whose orderkey/partkey/suppkey resolve in
+    their dimension tables, in ONE fact scan (keys-only dimensions
+    broadcast-left-joined, matches counted as non-null probes). The
+    reporting complement of `expect`'s ref: gate — a gate tells you it
+    broke, this tells you HOW MUCH."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ok = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("_ok")
+    ).distinct()
+    pk = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("_pk")
+    ).distinct()
+    sk = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("_sk")
+    ).distinct()
+    j = (
+        li.join(F.broadcast(ok), li["l_orderkey"] == F.col("_ok"), "left")
+        .join(F.broadcast(pk), li["l_partkey"] == F.col("_pk"), "left")
+        .join(F.broadcast(sk), li["l_suppkey"] == F.col("_sk"), "left")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("_ok").cast("long").alias("order_matched"),
+        F.count("_pk").cast("long").alias("part_matched"),
+        F.count("_sk").cast("long").alias("supplier_matched"),
+    )
+    return agg.select(
+        "n_rows",
+        "order_matched",
+        "part_matched",
+        "supplier_matched",
+        (F.col("order_matched").cast("double") / F.col("n_rows").cast("double"))
+        .alias("order_share"),
+        (F.col("part_matched").cast("double") / F.col("n_rows").cast("double"))
+        .alias("part_share"),
+        (
+            F.col("supplier_matched").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("supplier_share"),
+    )
+
+
+_FK_COVERAGE_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_matched,
+         CAST(COUNT(p.p_partkey) AS BIGINT) AS part_matched,
+         CAST(COUNT(s.s_suppkey) AS BIGINT) AS supplier_matched
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
+  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+    ON l.l_suppkey = s.s_suppkey
+)
+SELECT n_rows, order_matched, part_matched, supplier_matched,
+       CAST(order_matched AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS order_share,
+       CAST(part_matched AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS part_share,
+       CAST(supplier_matched AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS supplier_share
+FROM m
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -9074,6 +9146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reorder_intervals": q_reorder_intervals,
         "embedding_drift": q_embedding_drift,
         "rule_significance": q_rule_significance,
+        "fk_coverage": q_fk_coverage,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -9356,6 +9429,7 @@ def oracle_sql() -> dict[str, str]:
         "reorder_intervals": _REORDER_INTERVALS_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "rule_significance": _RULE_SIGNIFICANCE_ORACLE,
+        "fk_coverage": _FK_COVERAGE_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
