@@ -6431,6 +6431,116 @@ FROM m
 """
 
 
+def q_co_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: top-3 co-purchase recommendations per brand
+    — the directed rule table cut to each antecedent's highest-lift
+    consequents (lift desc, confidence desc, consequent asc: a total
+    order because the metrics are bit-deterministic doubles). The
+    'customers also bought' table, straight from association_rules +
+    one per-antecedent WindowGroupLimit."""
+    from pyspark.sql import Window as W
+
+    from etl_spark_gradle_spark.operators.events import association_rules
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    bi = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    rules = association_rules(bi, "basket", "item", min_support=1)
+    w = W.partitionBy("antecedent").orderBy(
+        F.desc("lift"), F.desc("confidence"), F.asc("consequent")
+    )
+    return (
+        rules.withColumn("rec_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rec_rank") <= 3)
+        .select("antecedent", "rec_rank", "consequent", "lift", "confidence")
+    )
+
+
+_CO_ITEM_RECS_ORACLE = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IS NOT NULL
+), ic AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS ib FROM bi GROUP BY i
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi
+), pairs AS (
+  SELECT x.i AS ia, y.i AS ic2, CAST(COUNT(*) AS BIGINT) AS pb
+  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i
+), directed AS (
+  SELECT ia AS a, ic2 AS c, pb FROM pairs
+  UNION ALL
+  SELECT ic2 AS a, ia AS c, pb FROM pairs
+), r AS (
+  SELECT d.a AS antecedent, d.c AS consequent,
+         (CAST(d.pb AS DOUBLE) / CAST(ia.ib AS DOUBLE))
+           / (CAST(ca.ib AS DOUBLE) / CAST(t.n AS DOUBLE)) AS lift,
+         CAST(d.pb AS DOUBLE) / CAST(ia.ib AS DOUBLE) AS confidence
+  FROM directed d
+  JOIN ic ia ON d.a = ia.i
+  JOIN ic ca ON d.c = ca.i
+  CROSS JOIN tot t
+), ranked AS (
+  SELECT antecedent, consequent, lift, confidence,
+         CAST(row_number() OVER (
+           PARTITION BY antecedent
+           ORDER BY lift DESC, confidence DESC, consequent ASC
+         ) AS INT) AS rec_rank
+  FROM r
+)
+SELECT antecedent, rec_rank, consequent, lift, confidence
+FROM ranked WHERE rec_rank <= 3
+"""
+
+
+def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: fulfillment-delay stats per supplier — days
+    from order to line shipment (integer day diffs), exact total and
+    max, and the mean as ONE closing division; the ops metric behind
+    every supplier scorecard. One fact⋈orders join (orders keys +
+    date only) and one supplier aggregation."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", F.col("l_shipdate").cast("date").alias("_sd")
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("_od")
+    )
+    j = li.join(od, li["l_orderkey"] == od["o_orderkey"]).select(
+        "l_suppkey", F.datediff(F.col("_sd"), F.col("_od")).alias("_delay")
+    )
+    return j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("_delay").cast("long").alias("total_delay_days"),
+        F.max("_delay").cast("long").alias("max_delay_days"),
+        (
+            F.sum("_delay").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_delay_days"),
+    )
+
+
+_SHIP_DELAY_ORACLE = """
+WITH j AS (
+  SELECT l_suppkey,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(delay) AS BIGINT) AS total_delay_days,
+       CAST(MAX(delay) AS BIGINT) AS max_delay_days,
+       CAST(SUM(delay) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_delay_days
+FROM j GROUP BY l_suppkey
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -9147,6 +9257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "rule_significance": q_rule_significance,
         "fk_coverage": q_fk_coverage,
+        "co_item_recs": q_co_item_recs,
+        "ship_delay": q_ship_delay,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -9430,6 +9542,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "rule_significance": _RULE_SIGNIFICANCE_ORACLE,
         "fk_coverage": _FK_COVERAGE_ORACLE,
+        "co_item_recs": _CO_ITEM_RECS_ORACLE,
+        "ship_delay": _SHIP_DELAY_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
