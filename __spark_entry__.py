@@ -6541,6 +6541,143 @@ FROM j GROUP BY l_suppkey
 """
 
 
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: discount→quantity correlation per brand —
+    the pricing team's first elasticity screen, straight from the
+    grouped exact-moment correlation (one moment aggregation per
+    brand, decimal(18,2) quantization identical on both engines)."""
+    from etl_spark_gradle_spark.operators.stats import correlation_matrix
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    j = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand", "l_discount", "l_quantity"
+    )
+    return correlation_matrix(
+        j, ["l_discount", "l_quantity"], group_by=["p_brand"]
+    )
+
+
+_DISCOUNT_ELASTICITY_ORACLE = """
+WITH j AS (
+  SELECT p_brand, l_discount, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), m AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR)
+              AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+              AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM j GROUP BY p_brand
+)
+SELECT p_brand,
+       'l_discount' AS col_a, 'l_quantity' AS col_b,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       END AS corr
+FROM m
+"""
+
+
+def q_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: weekly event volume with week-over-week
+    deltas — 7-day day-epoch weeks (engine-portable, no ISO week-start
+    convention), counts exact, the WoW ratio one fixed division over
+    a lag. The growth chart every feed dashboard opens with."""
+    from pyspark.sql import Window as W
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("int")
+    per = events.groupBy(week.alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = W.orderBy(F.asc("week"))
+    prev = F.lag("n").over(w)
+    return per.select(
+        "week",
+        "n",
+        prev.alias("prev_n"),
+        F.when(
+            prev > 0, F.col("n").cast("double") / prev.cast("double")
+        ).alias("wow_ratio"),
+    )
+
+
+_WEEKLY_TREND_ORACLE = """
+WITH per AS (
+  SELECT CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) / 7) AS INT) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT week, n,
+       lag(n) OVER (ORDER BY week ASC) AS prev_n,
+       CASE WHEN lag(n) OVER (ORDER BY week ASC) > 0
+            THEN CAST(n AS DOUBLE)
+                 / CAST(lag(n) OVER (ORDER BY week ASC) AS DOUBLE)
+       END AS wow_ratio
+FROM per
+"""
+
+
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: basket-size distribution — baskets counted
+    by their distinct-item count, with the share of baskets per size:
+    the sanity histogram behind every market-basket analysis (and the
+    skew bound for the pair expansion)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_partkey").cast("long").alias("basket_size")
+    )
+    dist = sizes.groupBy("basket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    total = sizes.select(
+        F.count(F.lit(1)).cast("long").alias("_total")
+    )
+    return dist.crossJoin(F.broadcast(total)).select(
+        "basket_size",
+        "n_baskets",
+        (
+            F.col("n_baskets").cast("double") / F.col("_total").cast("double")
+        ).alias("share"),
+    )
+
+
+_BASKET_SIZE_DIST_ORACLE = """
+WITH sizes AS (
+  SELECT l_orderkey,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS basket_size
+  FROM lineitem GROUP BY l_orderkey
+), dist AS (
+  SELECT basket_size, CAST(COUNT(*) AS BIGINT) AS n_baskets
+  FROM sizes GROUP BY basket_size
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM sizes
+)
+SELECT basket_size, n_baskets,
+       CAST(n_baskets AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM dist CROSS JOIN t
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -9259,6 +9396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_coverage": q_fk_coverage,
         "co_item_recs": q_co_item_recs,
         "ship_delay": q_ship_delay,
+        "discount_elasticity": q_discount_elasticity,
+        "weekly_trend": q_weekly_trend,
+        "basket_size_dist": q_basket_size_dist,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -9544,6 +9684,9 @@ def oracle_sql() -> dict[str, str]:
         "fk_coverage": _FK_COVERAGE_ORACLE,
         "co_item_recs": _CO_ITEM_RECS_ORACLE,
         "ship_delay": _SHIP_DELAY_ORACLE,
+        "discount_elasticity": _DISCOUNT_ELASTICITY_ORACLE,
+        "weekly_trend": _WEEKLY_TREND_ORACLE,
+        "basket_size_dist": _BASKET_SIZE_DIST_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
