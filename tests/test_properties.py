@@ -852,3 +852,87 @@ def test_feature_hash_total_mass_conserved(spark_prop, tokens, n_features):
     n_tok = len([t for t in _re.split(r"\s+", text) if t != ""])
     assert sum(r.tf for r in rows) == n_tok
     assert all(0 <= r.feature < n_features for r in rows)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                 # entity
+            st.integers(0, 50),                # order key (may tie -> eid)
+            st.one_of(st.none(), st.integers(-5, 5)),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_consolidate_matches_python_survivorship(spark_prop, rows):
+    """first/last/first_non_null/last_non_null/max survivorship over
+    arbitrary duplicate clusters equals a sequential pure-python fold
+    (total order via a synthetic eid tiebreak)."""
+    from etl_spark_gradle_spark.operators.delta import consolidate
+
+    data = [(e, o, i, v) for i, (e, o, v) in enumerate(rows)]
+    df = spark_prop.createDataFrame(
+        data, "e long, o long, eid long, v long"
+    )
+    got = {
+        r.e: (r.v, r.n_rows)
+        for r in consolidate(
+            df, ["e"], {"v": "last_non_null"}, order_by=["o", "eid"]
+        ).collect()
+    }
+    by_e: dict[int, list] = {}
+    for e, o, eid, v in data:
+        by_e.setdefault(e, []).append((o, eid, v))
+    for e, evs in by_e.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        want = None
+        for _, _, v in evs:
+            if v is not None:
+                want = v
+        assert got[e] == (want, len(evs))
+    # positional first == the first row's value even when NULL
+    got_first = {
+        r.e: r.v
+        for r in consolidate(
+            df, ["e"], {"v": "first"}, order_by=["o", "eid"]
+        ).collect()
+    }
+    for e, evs in by_e.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        assert got_first[e] == evs[0][2]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.integers(0, 6)), min_size=1,
+             max_size=60),
+    st.integers(1, 5),
+)
+def test_skew_report_matches_python_topk(spark_prop, values, top_k):
+    """Top-k heaviest values (count desc, stringified value asc with
+    NULL first) equal a pure-python counter for any value stream."""
+    from collections import Counter
+
+    from etl_spark_gradle_spark.operators.skew import skew_report
+
+    df = spark_prop.createDataFrame([(v,) for v in values], "k int")
+    nkey = lambda t: (t[0] is not None, t[0] or "", t[1], t[2])  # noqa: E731
+    got = sorted(
+        (
+            (r.value, r.n, r.rank)
+            for r in skew_report(df, ["k"], top_k=top_k).collect()
+        ),
+        key=nkey,
+    )
+    cnt = Counter(str(v) if v is not None else None for v in values)
+    ordered = sorted(
+        cnt.items(),
+        key=lambda kv: (-kv[1], kv[0] is not None, kv[0] or ""),
+    )[:top_k]
+    want = sorted(
+        ((val, n, rank + 1) for rank, (val, n) in enumerate(ordered)),
+        key=nkey,
+    )
+    assert got == want
