@@ -6678,6 +6678,72 @@ FROM dist CROSS JOIN t
 """
 
 
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: Gini coefficient of customer spend — the
+    inequality summary behind `pareto`'s concentration curve
+    (G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending spend with a
+    custkey tiebreak for a total order). Per-customer spend is an
+    exact decimal; the rank-weighted sum stays decimal (rank ≤ n, so
+    decimal(18,6)·int products fit); TWO fixed divisions and one
+    subtraction close it. The window is customer-count-sized
+    (dimension scale)."""
+    from pyspark.sql import Window as W
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_x")
+    )
+    w = W.orderBy(F.asc("_x"), F.asc("o_custkey"))
+    ranked = spend.withColumn("_i", F.row_number().over(w).cast("long"))
+    # narrow the per-customer sum back to decimal(18,6) before the
+    # rank product: a (38,6)·bigint multiply exceeds the 38-digit
+    # decimal cap on strict engines; per-customer spend fits (18,6)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("_x").cast("decimal(18,6)")).alias("_sx"),
+        F.sum(F.col("_x").cast("decimal(18,6)") * F.col("_i")).alias("_six"),
+    )
+    n = F.col("n_customers").cast("double")
+    sx = F.col("_sx").cast("string").cast("double")
+    six = F.col("_six").cast("string").cast("double")
+    gini = (F.lit(2.0) * six) / (n * sx) - (n + F.lit(1.0)) / n
+    return agg.select(
+        "n_customers",
+        sx.alias("total_spend"),
+        F.when((F.col("n_customers") > 0) & (sx > 0), gini).alias("gini"),
+    )
+
+
+_SPEND_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x,
+         CAST(row_number() OVER (ORDER BY x ASC, o_custkey ASC)
+              AS BIGINT) AS i
+  FROM spend
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+         SUM(CAST(x AS DECIMAL(18,6)) * i) AS six
+  FROM ranked
+)
+SELECT n_customers,
+       CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS total_spend,
+       CASE WHEN n_customers > 0
+             AND CAST(CAST(sx AS VARCHAR) AS DOUBLE) > 0
+            THEN (2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE))
+                   / (CAST(n_customers AS DOUBLE)
+                      * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                 - (CAST(n_customers AS DOUBLE) + 1.0)
+                   / CAST(n_customers AS DOUBLE)
+       END AS gini
+FROM a
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join: orders ⋈ customer on custkey with hot keys
     auto-detected at count >= 19 (the top ~1% of customers at every
@@ -9399,6 +9465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_elasticity": q_discount_elasticity,
         "weekly_trend": q_weekly_trend,
         "basket_size_dist": q_basket_size_dist,
+        "spend_gini": q_spend_gini,
         "trimmed_mean": q_trimmed_mean,
         "rolling_median": q_rolling_median,
         "quantile_normalize": q_quantile_normalize,
@@ -9687,6 +9754,7 @@ def oracle_sql() -> dict[str, str]:
         "discount_elasticity": _DISCOUNT_ELASTICITY_ORACLE,
         "weekly_trend": _WEEKLY_TREND_ORACLE,
         "basket_size_dist": _BASKET_SIZE_DIST_ORACLE,
+        "spend_gini": _SPEND_GINI_ORACLE,
         "trimmed_mean": _TRIMMED_MEAN_ORACLE,
         "rolling_median": _ROLLING_MEDIAN_ORACLE,
         "quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
