@@ -9397,44 +9397,107 @@ FROM cells GROUP BY n, kx, ky
 """
 
 
+# Round-9 gate window (the driver's correctness gate records the FIRST
+# 50 entries of queries()). Computed by ``python tools/rotation.py
+# --emit-window`` under the staleness policy documented in COVERAGE.md:
+# slots 1-3 are PINNED to ecdf + its _prefix_sums co-witnesses (VERDICT
+# r8 ask #1 — ecdf was red in r6 AND r7, the r8 HUGEINT-oracle fix
+# never got a driver row because the r8 rotation put the 50 new
+# queries ahead of it; this window finally adjudicates it). Slots 4-50
+# are the 47 stalest queries: largest (last-code-touch − last-driver-
+# record) gap, i.e. green rows whose underlying operator code was
+# edited after the driver last saw it (mostly r3/r4 rows over modules
+# touched in r7/r8). Regenerate per round; do not hand-edit order.
+_GATE_WINDOW: list[str] = [
+    "ecdf",
+    "quantiles_linear",
+    "weighted_quantiles",
+    "pii_scan",
+    "sketch_distinct",
+    "chunk_docs",
+    "pack_sequences",
+    "token_frequency",
+    "asof_join",
+    "distinct",
+    "explode",
+    "hash_split",
+    "range_join",
+    "rolling_time",
+    "salted_aggregation",
+    "setop_union",
+    "sort_limit",
+    "frame_sample",
+    "histogram_sketch",
+    "cdc_roundtrip",
+    "table_diff",
+    "cap_per_group",
+    "hash_sample",
+    "mix",
+    "pipeline_e2e",
+    "embedding_quantize",
+    "asof_nearest",
+    "composite",
+    "flatten",
+    "quantile_filter",
+    "setop_except",
+    "setop_intersect",
+    "sql_step",
+    "substring_dedup",
+    "drift",
+    "ks_drift",
+    "mad_outliers",
+    "quantiles",
+    "rank_sum",
+    "cms_join_estimate",
+    "cohort",
+    "correlation",
+    "edit_join",
+    "funnel",
+    "linear_fit",
+    "market_basket",
+    "table_checksum",
+    "transitions",
+    "zscore",
+    "intervals",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness gate records the
-    FIRST 50 dict entries. Round-6 rotation (VERDICT r5 ask #1) put
-    the 30 r5 late additions (quantile_clip … conversion_latency) at
-    the front — all driver-recorded in CORRECTNESS_r06 — with slots
-    31-50 filled by carried-over r5-window entries (grouping_sets …)
-    whose green rows live in CORRECTNESS_r05 and again in r06. After
-    r6 EVERY declared query has a driver-recorded row across
-    r3 ∪ r4 ∪ r5 ∪ r6. The one recurring red row (`ecdf`, r6 AND r7,
-    hash_match=false with rows/schema green) had TWO causes: the r7
-    round fixed a real nondeterminism hazard (sampled
-    repartitionByRange boundaries in stats._prefix_sums) but the
-    driver row stayed red because the actual mismatch was in the
-    ORACLE — `cdf.cum - cdf.c + 1` is a DuckDB HUGEINT (sum(BIGINT)
-    returns INT128), which pandas renders as float64, so the driver's
-    representation-sensitive value hash saw `3356.0` vs Spark's int64
-    `3356` on every run while value-equality compares passed locally.
-    Addressed in r8 with an explicit CAST AS BIGINT;
-    tests/test_gate_window.py now statically rejects any HUGEINT
-    oracle output column, and tools/check_oracle.py flags dtype-CLASS
-    mismatches. NOTE: the HUGEINT diagnosis fits all observed
-    evidence (deterministic driver red + local value-equality green)
-    but is CONFIRMED only when a driver-recorded green `ecdf` row
-    lands in CORRECTNESS_r08 — until then treat it as the leading
-    hypothesis, not a closed root cause. Round-8 window: ecdf stays
-    first so the confirming row lands, followed by the r8 additions. All queries remain
-    oracle-checked locally by tools/check_oracle.py at both SFs
-    regardless of position (re-check the invariant with the snippet
-    in COVERAGE.md if you reorder)."""
+    FIRST 50 dict entries, so the returned dict is the full registry
+    reordered to put ``_GATE_WINDOW`` first. The window is rotated
+    each round by ``tools/rotation.py`` under a staleness policy
+    (see COVERAGE.md "Gate-window rotation"): pinned adjudication
+    targets first, then the queries whose operator code was touched
+    most recently AFTER their last driver-recorded row.
+
+    Round-9 window: ``ecdf`` leads (slots 1-3 with its prefix-sum
+    siblings). History: ecdf was hash-red in r6 and r7 with
+    rows/schema green. Root cause (diagnosed r8): the ORACLE emitted
+    a DuckDB HUGEINT (`sum(BIGINT)` → INT128 → pandas float64), so
+    the driver's representation-sensitive hash saw `3356.0` vs
+    Spark's int64 `3356` while value-equality compares passed
+    locally. Fixed in r8 with an explicit CAST AS BIGINT
+    (tests/test_gate_window.py statically rejects HUGEINT oracle
+    columns; tools/check_oracle.py flags dtype-CLASS mismatches) —
+    but the r8 window rotation slipped and never recorded it, so the
+    fix remains driver-unconfirmed until a green ``ecdf`` row lands
+    in CORRECTNESS_r09. All 237 queries remain oracle-checked locally
+    by tools/check_oracle.py at both SFs regardless of position."""
+    reg = _registry()
+    out = {name: reg[name] for name in _GATE_WINDOW}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every declared query, grouped by the round that introduced it
+    (ordering here is NOT the gate window — queries() applies
+    _GATE_WINDOW on top)."""
     from etl_spark_gradle_spark import tpch as _tpch
 
     return {
-        # ---- slots 1-30: r5 late additions, rotated to the front in
-        # r6 and driver-recorded green in CORRECTNESS_r06 (ecdf's red
-        # r6 row is re-recorded here after the _prefix_sums fix) ----
-        # ---- r8 additions: front of the window so the driver records
-        # them immediately (ecdf below re-records green after the
-        # oracle HUGEINT cast fix) ----
+        # ---- r8 additions ----
         "association_rules": q_association_rules,
         "feature_hash": q_feature_hash,
         "rfm": q_rfm,
@@ -9511,11 +9574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_stats": q_parquet_stats,
         "seasonal_mad": q_seasonal_mad,
         "conversion_latency": q_conversion_latency,
-        # ---- slots 31-50: r5-window carryover, driver-recorded green
-        # in CORRECTNESS_r05 and again in r06; r7 additions insert
-        # HERE (displaced entries stay green past position 50) ----
-        # r7 new operators (time_rollup hierarchical continuous
-        # aggregate; info-theory family; line dedup + Gopher rules):
+        # ---- r7 additions (time_rollup hierarchical continuous
+        # aggregate; info-theory family; line dedup + Gopher rules)
+        # and r5-window carryover ----
         "time_rollup": q_time_rollup,
         "entropy": q_entropy,
         "js_divergence": q_js_divergence,
@@ -9576,11 +9637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _tpch.QUERIES["tpch_q19"],
         "tpch_q20": _tpch.QUERIES["tpch_q20"],
         "tpch_q22": _tpch.QUERIES["tpch_q22"],
-        # ---- driver-recorded green in CORRECTNESS_r05 (now past the
-        # 50-entry window after the r6 rotation) ----
+        # ---- driver-recorded green in CORRECTNESS_r05 ----
         "resample_origin": q_resample_origin,
         "mad_outliers": q_mad_outliers,
-        # ---- position 51+: driver-recorded green in CORRECTNESS_r04 ----
+        # ---- driver-recorded green in CORRECTNESS_r04 ----
         "join_anti": q_join_anti,
         "join_right": q_join_right,
         "join_full": q_join_full,
@@ -9631,7 +9691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _tpch.QUERIES["tpch_q17"],
         "tpch_q18": _tpch.QUERIES["tpch_q18"],
         "tpch_q21": _tpch.QUERIES["tpch_q21"],
-        # ---- position 51+: driver-recorded green in CORRECTNESS_r03 ----
+        # ---- driver-recorded green in CORRECTNESS_r03 ----
         "filter": q_filter,
         "aggregation": q_aggregation,
         "join_inner": q_join_inner,

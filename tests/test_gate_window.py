@@ -87,6 +87,32 @@ def test_oracle_output_types_never_hugeint():
     )
 
 
+def test_gate_window_is_the_declared_rotation():
+    """Round-9 contract (VERDICT r8 asks #1/#2): queries() must put
+    _GATE_WINDOW first, the window must be exactly 50 unique declared
+    names, and slots 1-3 must stay pinned to ecdf + its
+    stats._prefix_sums co-witnesses until a driver-recorded green
+    `ecdf` row exists in CORRECTNESS_r09+ (it was red in r6 AND r7;
+    the r8 HUGEINT-oracle fix has never been driver-adjudicated)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    window = mod._GATE_WINDOW
+    assert len(window) == 50 and len(set(window)) == 50
+    assert list(mod.queries())[:50] == window
+    ecdf_confirmed = any(
+        json.load(open(p)).get("ecdf", {}).get("hash_match") is True
+        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+        if int(p.rsplit("_r", 1)[1][:2]) >= 9
+    )
+    if not ecdf_confirmed:
+        assert window[:3] == ["ecdf", "quantiles_linear", "weighted_quantiles"]
+
+
 def test_no_duplicate_dict_keys_in_query_registries():
     """A duplicate key in the queries()/oracle_sql() dict LITERALS
     silently shadows an earlier query (python keeps the last value) —
@@ -101,7 +127,7 @@ def test_no_duplicate_dict_keys_in_query_registries():
     for node in ast.walk(tree):
         if not isinstance(node, ast.FunctionDef):
             continue
-        if node.name not in ("queries", "oracle_sql"):
+        if node.name not in ("queries", "_registry", "oracle_sql"):
             continue
         for sub in ast.walk(node):
             if isinstance(sub, ast.Dict):
