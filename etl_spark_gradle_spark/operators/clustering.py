@@ -112,8 +112,15 @@ def kmeans(
 
     Overflow bounds (BIGINT): |component| <= 2^scale_bits * max|x|;
     per-dim squared diff <= (2*that)^2; the distance sum adds dim of
-    them. At the default scale_bits=20 this is safe for |x| <= 500
-    and dim <= 4096.
+    them, so safety requires dim * (2 * 2^scale_bits * max|x|)^2 <
+    2^63. At the default scale_bits=20 that is max|x| <= 22 at
+    dim 4096, or dim <= 8 at max|x| = 500 — NOT both large at once.
+    Rather than trust the caller's arithmetic, the function measures
+    the actual max quantized magnitude (one column-pruned aggregate
+    over the cleaned points) and raises TransformationError with the
+    largest safe scale_bits when the bound would be exceeded —
+    distance sums would otherwise wrap silently (Spark BIGINT
+    arithmetic is non-ANSI by default) and produce wrong clusters.
     """
     if int(k) < 1:
         raise TransformationError("kmeans requires k >= 1")
@@ -138,11 +145,45 @@ def kmeans(
     # deterministic), then drop ragged rows.
     first = pts.orderBy("_kid").limit(1).collect()
     if not first:
+        # Preserve the input id type (ADVICE r8): a hardcoded string id
+        # here would give the empty path a different schema from the
+        # non-empty path, breaking unions/joins over empty inputs.
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
         return df.sparkSession.createDataFrame(
-            [], f"`{id_col}` string, cluster int, dist_int long"
+            [],
+            StructType(
+                [
+                    StructField(id_col, df.schema[id_col].dataType, True),
+                    StructField("cluster", IntegerType(), True),
+                    StructField("dist_int", LongType(), True),
+                ]
+            ),
         )
     dim = len(first[0]["_q"])
     pts = pts.where(F.size("_q") == dim).localCheckpoint(eager=False)
+
+    # Overflow guard (ADVICE r8): measure the real max quantized
+    # magnitude and refuse to run if the distance sum could exceed
+    # BIGINT — dim * (2 * maxc)^2 must stay under 2^63.
+    maxc = pts.agg(
+        F.max(F.array_max(F.transform("_q", lambda x: F.abs(x)))).alias("m")
+    ).collect()[0]["m"]
+    if maxc and dim * (2 * int(maxc)) ** 2 >= 2**63:
+        import math
+
+        mag = int(maxc) / scale  # ≈ max|x| of the raw vectors
+        safe = int(0.5 * math.log2(2**61 / (dim * max(mag, 1e-300) ** 2)))
+        raise TransformationError(
+            f"kmeans scale_bits={int(scale_bits)} overflows BIGINT at "
+            f"dim={dim}, max|x|~={mag:.4g}: distance sums would wrap "
+            f"silently. Use scale_bits <= {max(safe, 1)}."
+        )
 
     if init_ids is not None:
         seed_rows = (

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_spark_gradle_spark.options import parse_bool
 from etl_spark_gradle_spark.operators.relational import (
     TransformationError,
     _split_csv,
@@ -1131,7 +1132,7 @@ class NegativeSampleTransformer:
             k=int(opts.get("k", 5)),
             buckets=int(opts.get("buckets", 64)),
             salt=str(opts.get("salt", "")),
-            exclude_equal=bool(opts.get("excludeEqual", True)),
+            exclude_equal=parse_bool(opts.get("excludeEqual"), default=True),
             index_col=opts.get("indexColumn", "neg_index"),
             output_col=opts.get("outputColumn", "negative"),
         )

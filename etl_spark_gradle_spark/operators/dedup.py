@@ -1081,9 +1081,24 @@ class DedupTransformer:
                 min_chars=int(opts.get("minLineChars", 5)),
                 out_col=out_col,
             )
-            # drop any pre-existing output-name collisions (out_col AND
-            # the count columns) so the join-back schema stays flat
-            base = df.drop(out_col, "n_lines", "kept_lines")
+            # out_col is the caller-chosen output name: replacing a
+            # pre-existing column of that name is the documented
+            # semantics. n_lines/kept_lines are NOT caller-chosen —
+            # silently dropping a legitimate user column with those
+            # names would lose data, so fail loudly (same posture as
+            # the other operators' output-column-collision errors).
+            clash = [c for c in ("n_lines", "kept_lines") if c in df.columns]
+            if clash:
+                from etl_spark_gradle_spark.operators.relational import (
+                    TransformationError,
+                )
+
+                raise TransformationError(
+                    f"dedup strategy=lines emits count columns {clash} "
+                    "which already exist in the input — rename them "
+                    "upstream or project them away first"
+                )
+            base = df.drop(out_col)
             return base.join(deduped, id_col, "inner")
         if opts.get("strategy", "exact").lower() == "substring":
             return remove_duplicated_spans(

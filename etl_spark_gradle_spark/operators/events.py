@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_spark_gradle_spark.options import parse_bool
 from etl_spark_gradle_spark.operators.relational import TransformationError
 
 __all__ = [
@@ -505,7 +506,7 @@ class MarketBasketTransformer:
             )
         opts = config.options
         top_k = opts.get("topK")
-        fn = association_rules if opts.get("rules") else market_basket_pairs
+        fn = association_rules if parse_bool(opts.get("rules")) else market_basket_pairs
         return fn(
             df,
             opts["basketColumn"],

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_spark_gradle_spark.options import parse_bool
 from etl_spark_gradle_spark.operators.relational import (
     TransformationError,
     _BaseTransformer,
@@ -503,6 +504,6 @@ class FeatureHashTransformer(_BaseTransformer):
             opts["idColumn"],
             opts["textColumn"],
             n_features=int(opts.get("numFeatures", 256)),
-            lowercase=bool(opts.get("lowercase", True)),
-            alternate_sign=bool(opts.get("alternateSign", False)),
+            lowercase=parse_bool(opts.get("lowercase"), default=True),
+            alternate_sign=parse_bool(opts.get("alternateSign")),
         )

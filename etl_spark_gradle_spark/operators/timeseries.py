@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_spark_gradle_spark.options import parse_bool
 from etl_spark_gradle_spark.plans.config import AggregateExpr
 from etl_spark_gradle_spark.operators.relational import (
     TransformationError,
@@ -1447,7 +1448,7 @@ class LagFeaturesTransformer:
             value_col=opts["valueColumn"],
             lags=[int(s) for s in _split_csv(opts.get("lags", "1"))],
             tiebreak=_split_csv(opts.get("tiebreak")) or None,
-            deltas=bool(opts.get("deltas", False)),
+            deltas=parse_bool(opts.get("deltas")),
             prefix=opts.get("prefix"),
         )
 
@@ -1581,7 +1582,7 @@ class RollingZscoreTransformer:
             tiebreak=_split_csv(opts.get("tiebreak")) or None,
             out_col=opts.get("outputColumn"),
             min_obs=int(opts.get("minObs", 2)),
-            include_current=bool(opts.get("includeCurrent", False)),
+            include_current=parse_bool(opts.get("includeCurrent")),
         )
 
     def lineage_step(self, config) -> str:

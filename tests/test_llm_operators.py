@@ -2044,8 +2044,9 @@ class TestNewAdapterRoutes:
     def test_dedup_lines_null_id_and_count_collisions(self, spark):
         """Round-8 ADVICE hardening: (a) a NULL idColumn row fails
         loudly instead of silently vanishing through the inner
-        join-back; (b) pre-existing n_lines/kept_lines columns are
-        replaced, not duplicated, in the joined schema."""
+        join-back; (b) pre-existing n_lines/kept_lines columns raise a
+        TransformationError (round-9 ADVICE: replacing them silently
+        dropped legitimate user columns)."""
         import pytest as _pytest
 
         from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
@@ -2073,11 +2074,15 @@ class TestNewAdapterRoutes:
             [(1, "keep one\nkeep two", 99, 99)],
             "doc_id long, text string, n_lines long, kept_lines long",
         )
+        with _pytest.raises(Exception, match="n_lines"):
+            TRANSFORMER_REGISTRY["dedup"].transform(
+                dirty, cfg, RunContext.create("t-ld-cols", spark)
+            )
         out = TRANSFORMER_REGISTRY["dedup"].transform(
-            dirty, cfg, RunContext.create("t-ld-cols", spark)
+            dirty.drop("n_lines", "kept_lines"),
+            cfg,
+            RunContext.create("t-ld-cols2", spark),
         )
-        assert out.columns.count("n_lines") == 1
-        assert out.columns.count("kept_lines") == 1
         row = out.collect()[0]
         assert (row.n_lines, row.kept_lines) == (2, 2)
 
