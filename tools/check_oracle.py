@@ -5,15 +5,26 @@ column names, and values (order-insensitive, exact for non-floats).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
        python tools/check_oracle.py --all-sfs [query ...]
+       python tools/check_oracle.py --timings [sf_dir] [query ...]
 
 ``--all-sfs`` sweeps BOTH sf0.01 and sf0.1 in one invocation (exit 1 if
 either has any mismatch) so the per-round verification can't silently
 narrow to one scale factor.
+
+``--timings`` (VERDICT r8 ask #4) additionally records per-query
+Spark-side wall seconds to ``SWEEP_TIMINGS.json`` and gates each query
+at ``TIMING_GATE_X`` x its floor in ``SWEEP_FLOORS.json`` (committed
+snapshot; exit 1 on any breach). Only 24 of 237 queries have bench.py
+floors — this catches a 10x plan regression in the other 213, which
+correctness sweeps alone would never see. The floor file is created on
+first run; re-snapshot deliberately (delete + rerun) after an
+intentional plan change, as bench floors are.
 """
 
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -91,8 +102,55 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+FLOORS_PATH = "/root/repo/SWEEP_FLOORS.json"
+TIMINGS_PATH = "/root/repo/SWEEP_TIMINGS.json"
+# coarse gate: the sweep runs one query at a time on a machine with
+# noisy-neighbor bursts (observed ~1.3-1.5x drift on bench floors), so
+# gate at 3x — this is a 10x-plan-regression tripwire, not a benchmark.
+TIMING_GATE_X = 3.0
+# floors below this are pure fixed-cost noise (session scheduling,
+# toPandas overhead); gate those on an absolute budget instead.
+TIMING_MIN_FLOOR_S = 0.5
+
+
+def check_timings(timings: dict[str, float]) -> list[str]:
+    """Compare a sweep's per-query seconds against the committed
+    floors; return breach messages. Missing floors are added (the
+    file is the snapshot) rather than failed."""
+    import json
+    import os
+
+    floors: dict[str, float] = {}
+    if os.path.exists(FLOORS_PATH):
+        with open(FLOORS_PATH, encoding="utf-8") as f:
+            floors = json.load(f)
+    breaches = []
+    new = dict(floors)
+    for name, sec in timings.items():
+        floor = floors.get(name)
+        if floor is None:
+            new[name] = round(sec, 3)
+            continue
+        limit = max(floor * TIMING_GATE_X, TIMING_MIN_FLOOR_S * TIMING_GATE_X)
+        if sec > limit:
+            breaches.append(
+                f"{name}: {sec:.2f}s > {TIMING_GATE_X}x floor {floor:.2f}s"
+            )
+    if new != floors:
+        with open(FLOORS_PATH, "w", encoding="utf-8") as f:
+            json.dump(dict(sorted(new.items())), f, indent=1, sort_keys=True)
+        added = len(new) - len(floors)
+        print(f"snapshotted {added} new floor(s) into {FLOORS_PATH}")
+    with open(TIMINGS_PATH, "w", encoding="utf-8") as f:
+        json.dump(dict(sorted(timings.items())), f, indent=1, sort_keys=True)
+    return breaches
+
+
 def main() -> int:
     args = sys.argv[1:]
+    timed = "--timings" in args
+    if timed:
+        args.remove("--timings")
     if args and args[0] == "--all-sfs":
         only = set(args[1:])
         rc = 0
@@ -101,10 +159,22 @@ def main() -> int:
             rc |= run_sweep(sf, only)
         return rc
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    return run_sweep(sf_dir, set(args[1:]))
+    timings: dict[str, float] | None = {} if timed else None
+    rc = run_sweep(sf_dir, set(args[1:]), timings=timings)
+    if timed:
+        breaches = check_timings(timings)
+        for b in breaches:
+            print(f"SLOW  {b}")
+        if breaches:
+            return 1
+        print(f"timings: {len(timings)} queries within "
+              f"{TIMING_GATE_X}x of their floors")
+    return rc
 
 
-def run_sweep(sf_dir: str, only: set[str]) -> int:
+def run_sweep(
+    sf_dir: str, only: set[str], timings: dict[str, float] | None = None
+) -> int:
     import __spark_entry__ as entrymod
     from etl_spark_gradle_spark.session import get_spark
 
@@ -121,8 +191,11 @@ def run_sweep(sf_dir: str, only: set[str]) -> int:
         if only and name not in only:
             continue
         try:
+            t0 = time.monotonic()
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
+            if timings is not None:
+                timings[name] = round(time.monotonic() - t0, 3)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)

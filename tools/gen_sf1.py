@@ -30,6 +30,14 @@ join cardinalities linearly — exactly what's needed to surface AQE
 re-plans and broadcast-threshold flips that sf0.1 can't (VERDICT r4
 ask #4).
 
+The customer table additionally carries a PLANTED 5-row cohort
+(c_custkey 150000-150004, one shared quasi-identifier cell in an
+otherwise-unoccupied balance band) so the k_anonymity audit provably
+detects a violation at sf1 — with only real data the k=12 threshold is
+SF-relative and sf1 returns 0 rows, which exercises the plan but not
+the detection (VERDICT r8 ask #5). Customer row count is therefore
+10x + 5, not exactly 10x.
+
 Output: /root/repo/testdata_sf1/*.parquet (git-ignored; ~1 GB).
 Usage:  python tools/gen_sf1.py [out_dir]
 """
@@ -99,11 +107,32 @@ def main() -> int:
                 return c
 
             select = ", ".join(render(c) for c in cols)
-            con.sql(
-                f"COPY (SELECT {select} FROM '{src}' "
-                f"CROSS JOIN (SELECT unnest(range({REPLICAS})) AS i)) "
-                f"TO '{dst}' (FORMAT PARQUET)"
+            inflated = (
+                f"SELECT {select} FROM '{src}' "
+                f"CROSS JOIN (SELECT unnest(range({REPLICAS})) AS i)"
             )
+            if table == "customer":
+                # Planted k-anonymity cohort (VERDICT r8 ask #5): five
+                # customers sharing one quasi-identifier cell
+                # (MACHINERY, nation 0, bal_band 99 — the 99xxx balance
+                # band is unoccupied by real data, whose bands span
+                # -1..9) so the sf1 audit provably DETECTS a violation
+                # instead of legitimately returning 0 rows under the
+                # SF-relative k=12 threshold. Keys 150000+ sit past the
+                # inflated range; no orders reference them (customers
+                # without orders are legal — TPC-H q22 is about them,
+                # but it filters phone country codes these rows avoid
+                # by construction: c_name has no phone column here).
+                inflated += (
+                    " UNION ALL SELECT"
+                    " CAST(150000 + j AS BIGINT) AS c_custkey,"
+                    " 'Customer#PLANTED' || CAST(j AS VARCHAR) AS c_name,"
+                    " CAST(0 AS INTEGER) AS c_nationkey,"
+                    " CAST(99000.0 + j AS DOUBLE) AS c_acctbal,"
+                    " 'MACHINERY' AS c_mktsegment"
+                    " FROM (SELECT unnest(range(5)) AS j)"
+                )
+            con.sql(f"COPY ({inflated}) TO '{dst}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{table}: {n} rows -> {dst}", flush=True)
     return 0
