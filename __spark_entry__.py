@@ -4944,9 +4944,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point k-means with deterministic k-means‖-style seeding
+    (`seeding="spread"`): md5-hash-ranked top-32 candidate pull (one
+    extra pass, partial top-L per task), greedy farthest-point over
+    the candidates on the driver, then the same exact-integer Lloyd
+    iterations as `kmeans`. The oracle replays the SEED CHOICE too —
+    the md5 ranking and the k-1 argmax steps unroll as CTEs with the
+    identical max-min-distance / smallest-id tie-break — so the gate
+    covers the part of the algorithm first-k seeding never exercises
+    (VERDICT r8 ask #6: first-k is degenerate on id-correlated data;
+    spread is the 100 TB posture)."""
+    from etl_spark_gradle_spark.operators.clustering import kmeans
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(
+        emb, "vec_id", "embedding", k=4, iterations=2,
+        seeding="spread", oversample=8,
+    )
+
+
 def _kmeans_oracle(
     k: int = 8, iterations: int = 3, scale_bits: int = 20,
     representatives: bool = False,
+    seeding: str = "first_k", oversample: int = 8, seed_salt: str = "",
 ) -> str:
     scale = float(2 ** scale_bits)
     ctes = [
@@ -4956,8 +4978,47 @@ def _kmeans_oracle(
         f"CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale!r}) AS BIGINT) AS v "
         "FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL "
         "AND len(list_filter(embedding, x -> x IS NULL)) = 0)",
-        f"ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster "
-        f"FROM (SELECT DISTINCT vec_id FROM pdim ORDER BY vec_id LIMIT {k}))",
+    ]
+    if seeding == "spread":
+        # replay clustering._spread_seeds verbatim: md5-ranked top-L
+        # candidate pull, then the greedy farthest-point unrolled as
+        # k-1 argmax steps (max min-distance, ties -> smaller id) —
+        # all integer arithmetic on the quantized components, so the
+        # seed CHOICE (not just the Lloyd iterations) is replayed
+        L = max(k * max(oversample, 1), k)
+        rank = f"md5(CAST(vec_id AS VARCHAR) || '{seed_salt}')"
+        ctes += [
+            f"cands AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM pdim) "
+            f"ORDER BY {rank}, vec_id LIMIT {L})",
+            "cdim AS (SELECT c.vec_id, p.dim, p.v FROM cands c "
+            "JOIN pdim p USING (vec_id))",
+            f"ch0 AS (SELECT vec_id FROM cands ORDER BY {rank}, vec_id LIMIT 1)",
+        ]
+        for i in range(1, k):
+            prev = f"ch{i - 1}"
+            ctes += [
+                f"sd{i} AS (SELECT pa.vec_id AS cand, pc.vec_id AS ch, "
+                "CAST(SUM((pa.v - pc.v) * (pa.v - pc.v)) AS BIGINT) AS dd "
+                "FROM cdim pa JOIN cdim pc ON pa.dim = pc.dim "
+                f"WHERE pc.vec_id IN (SELECT vec_id FROM {prev}) "
+                f"AND pa.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+                "GROUP BY pa.vec_id, pc.vec_id)",
+                f"pick{i} AS (SELECT cand AS vec_id FROM "
+                f"(SELECT cand, MIN(dd) AS mind FROM sd{i} GROUP BY cand) "
+                "ORDER BY mind DESC, cand ASC LIMIT 1)",
+                f"ch{i} AS (SELECT vec_id FROM {prev} "
+                f"UNION ALL SELECT vec_id FROM pick{i})",
+            ]
+        ctes += [
+            "ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cluster FROM ch{k - 1})",
+        ]
+    else:
+        ctes += [
+            f"ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster "
+            f"FROM (SELECT DISTINCT vec_id FROM pdim ORDER BY vec_id LIMIT {k}))",
+        ]
+    ctes += [
         "cent0 AS (SELECT i.cluster, p.dim, p.v FROM ids i JOIN pdim p USING (vec_id))",
     ]
     for i in range(1, iterations + 1):
@@ -9412,6 +9473,7 @@ _GATE_WINDOW: list[str] = [
     "ecdf",
     "quantiles_linear",
     "weighted_quantiles",
+    "kmeans_spread",  # r9 addition: never driver-recorded -> window slot
     "pii_scan",
     "sketch_distinct",
     "chunk_docs",
@@ -9458,7 +9520,6 @@ _GATE_WINDOW: list[str] = [
     "table_checksum",
     "transitions",
     "zscore",
-    "intervals",
 ]
 
 
@@ -9540,6 +9601,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly": q_volume_anomaly,
         "feature_pipeline": q_feature_pipeline,
         "kmeans": q_kmeans,
+        "kmeans_spread": q_kmeans_spread,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -9826,6 +9888,9 @@ def oracle_sql() -> dict[str, str]:
         "volume_anomaly": _VOLUME_ANOMALY_ORACLE,
         "feature_pipeline": _FEATURE_PIPELINE_ORACLE,
         "kmeans": _kmeans_oracle(),
+        "kmeans_spread": _kmeans_oracle(
+            k=4, iterations=2, seeding="spread", oversample=8
+        ),
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

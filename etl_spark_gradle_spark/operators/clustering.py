@@ -32,11 +32,19 @@ dependent; a naive crossJoin of points x centroids explodes):
   are collected to the driver (bounded, like pagerank's node count)
   and the new centroids are computed there with Python's exact
   floor division. Empty clusters keep their previous centroid.
-- **Deterministic init.** Initial centroids are the quantized vectors
+- **Deterministic init.** Default seeds are the quantized vectors
   of the k smallest ids (rank order = cluster id). k-means++ would
   need a seeded RNG that an oracle engine can't replay; for
   correctness-gated clustering the deterministic seed is the point.
-  Callers who want better seeds pass ``init_ids``.
+  ``seeding="spread"`` upgrades this for the 100 TB posture without
+  losing replayability: md5-hash-rank the points, pull the top
+  k*oversample candidates in one extra pass, greedy farthest-point
+  (k-center) over them on the driver — deterministic k-means‖
+  (Bahmani et al. 2012) with hashing standing in for the RNG, so a
+  SQL oracle replays the exact seed choice. First-k stays the
+  default because it is the oracle-compat baseline; use spread when
+  ids correlate with shards/domains/time (first-k would then draw
+  every seed from one region). Callers can also pass ``init_ids``.
 
 Reference parity anchor: the reference engine has no clustering
 operators (SURVEY.md §2 — transformers are filter/map/agg/join/window
@@ -90,6 +98,64 @@ def _dist_arr(qcol):
     )
 
 
+def _spread_seeds(pts: DataFrame, k: int, oversample: int, salt: str) -> list:
+    """Deterministic k-means‖-style seeding (VERDICT r8 ask #6): md5
+    hash-rank the cleaned points, take the top ``k * oversample``
+    candidates in ONE extra pass (a partial top-L per task — no full
+    sort), then run greedy farthest-point (k-center) over the
+    collected candidates on the driver and return the chosen rows
+    sorted by id (rank order = cluster id, matching first-k's
+    contract).
+
+    Why: first-k-ids seeding is deterministic but degenerate on
+    id-correlated data — when ids encode shard/domain/time, all k
+    seeds come from one region of the space and Lloyd starts from the
+    worst possible place. md5 ranking decorrelates the candidate draw
+    from id order (the ``hash_sample`` reproducibility posture — a
+    seeded ``rand()`` would re-draw per partitioning), and
+    farthest-point spreading guarantees the seeds span the candidate
+    set's diameter. Everything is exact integer arithmetic on the
+    already-quantized vectors, so a SQL oracle replays it verbatim
+    (same md5 ranking, same unrolled greedy argmax with the same
+    max-distance-then-smallest-id tie-break).
+
+    Scale: the candidate pull is TopK(L) — per-task partial top-L,
+    one tiny driver collect of L vectors; the greedy loop is
+    O(k * L * dim) driver-side integer math on a few-hundred-row
+    table. One scan added over first-k seeding, exactly the "one
+    extra pass" k-means‖ budgets (Bahmani et al. 2012, VLDB)."""
+    L = max(int(k) * max(int(oversample), 1), int(k))
+    cand_rows = (
+        pts.withColumn(
+            "_seedr",
+            F.md5(F.concat(F.col("_kid").cast("string"), F.lit(salt))),
+        )
+        .orderBy("_seedr", "_kid")
+        .limit(L)
+        .collect()
+    )
+    if not cand_rows:
+        return []
+    chosen = [cand_rows[0]]  # smallest md5 = first seed
+    rest = list(cand_rows[1:])
+
+    def _min_d2(row):
+        return min(
+            sum((a - b) * (a - b) for a, b in zip(row["_q"], c["_q"]))
+            for c in chosen
+        )
+
+    while len(rest) > 0 and len(chosen) < int(k):
+        # farthest candidate from the chosen set; ties -> smallest id
+        best_i = min(
+            range(len(rest)),
+            key=lambda i: (-_min_d2(rest[i]), rest[i]["_kid"]),
+        )
+        chosen.append(rest.pop(best_i))
+    chosen.sort(key=lambda r: r["_kid"])
+    return chosen
+
+
 def kmeans(
     df: DataFrame,
     id_col: str,
@@ -98,6 +164,9 @@ def kmeans(
     iterations: int = 3,
     scale_bits: int = 20,
     init_ids: list | None = None,
+    seeding: str = "first_k",
+    oversample: int = 8,
+    seed_salt: str = "",
 ) -> DataFrame:
     """Lloyd's k-means over an ``array<float|double>`` column with
     exact fixed-point arithmetic.
@@ -109,6 +178,11 @@ def kmeans(
     Rows with a NULL id/vector, a vector whose length differs from
     the inferred dimension, or NULL components are dropped (same
     posture as similarity.py's ANN operators).
+
+    ``seeding``: ``"first_k"`` (default — k smallest ids, the
+    oracle-compat baseline) or ``"spread"`` (deterministic
+    k-means‖-style: see :func:`_spread_seeds`). ``oversample`` and
+    ``seed_salt`` apply to spread only. ``init_ids`` overrides both.
 
     Overflow bounds (BIGINT): |component| <= 2^scale_bits * max|x|;
     per-dim squared diff <= (2*that)^2; the distance sum adds dim of
@@ -128,6 +202,10 @@ def kmeans(
         raise TransformationError("kmeans requires iterations >= 1")
     if not 1 <= int(scale_bits) <= 30:
         raise TransformationError("kmeans scale_bits must be in [1, 30]")
+    if seeding not in ("first_k", "spread"):
+        raise TransformationError(
+            "kmeans seeding must be 'first_k' or 'spread'"
+        )
     for c in (id_col, vec_col):
         if c not in df.columns:
             raise TransformationError(f"column not in input schema: {c}")
@@ -191,6 +269,8 @@ def kmeans(
             .orderBy("_kid")
             .collect()
         )
+    elif seeding == "spread":
+        seed_rows = _spread_seeds(pts, int(k), oversample, seed_salt)
     else:
         seed_rows = pts.orderBy("_kid").limit(int(k)).collect()
     if not seed_rows:
@@ -257,7 +337,11 @@ class KMeansTransformer:
     """Registry adapter (``type: kmeans``). Options: ``idColumn``,
     ``vectorColumn`` (required), ``k`` (default 8), ``iterations``
     (default 3), ``scaleBits`` (default 20), ``representativesOnly``
-    (default false -> full assignment; true -> SemDeDup survivors)."""
+    (default false -> full assignment; true -> SemDeDup survivors),
+    ``seeding`` (``firstK`` default | ``spread`` = deterministic
+    k-means‖-style md5-ranked candidates + farthest-point),
+    ``oversample`` (default 8, spread candidate pool = k*oversample),
+    ``seedSalt`` (default empty, varies the spread candidate draw)."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -284,6 +368,14 @@ class KMeansTransformer:
                 "kmeans config invalid: " + "; ".join(result.errors)
             )
         opts = config.options
+        seeding = {"firstk": "first_k", "first_k": "first_k",
+                   "spread": "spread"}.get(
+            str(opts.get("seeding", "firstK")).lower()
+        )
+        if seeding is None:
+            raise TransformationError(
+                f"kmeans seeding must be firstK or spread: {opts['seeding']}"
+            )
         out = kmeans(
             df,
             opts["idColumn"],
@@ -291,6 +383,9 @@ class KMeansTransformer:
             k=int(opts.get("k", 8)),
             iterations=int(opts.get("iterations", 3)),
             scale_bits=int(opts.get("scaleBits", 20)),
+            seeding=seeding,
+            oversample=int(opts.get("oversample", 8)),
+            seed_salt=str(opts.get("seedSalt", "")),
         )
         if str(opts.get("representativesOnly", "false")).lower() == "true":
             out = semantic_representatives(out, opts["idColumn"])

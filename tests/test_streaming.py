@@ -1463,3 +1463,179 @@ def test_debounce_stream_validation(spark, tmp_path):
         st.debounce_stream(stream, ["user"], "ts", 0)
     with pytest.raises(ConfigError, match="not in schema"):
         st.debounce_stream(stream, ["user"], "ts", 60, carry_cols=["nope"])
+
+
+# ---------------------------------------------------------------------------
+# combined chaos: debounce_stream + stream_time_rollup (VERDICT r8 ask #7)
+# ---------------------------------------------------------------------------
+
+
+def test_debounce_and_rollup_combined_chaos(spark, tmp_path, monkeypatch):
+    """Interrupt-resume drill over the r8 stateful twin-op pair ON THE
+    SAME FEED: a burst straddles the batch split, then BOTH drains are
+    killed mid-micro-batch — the debounce crash lands AFTER its
+    applyInPandasWithState state deltas are written (materialized via
+    collect) but before the sink write; the rollup crash lands AFTER
+    the store version bump (v=<batch_id> written) but before the
+    checkpoint commit. The resumed drains must replay the failed batch
+    id, discard the uncommitted state version, deterministically
+    overwrite the bumped store version, and converge to EXACT equality
+    with the batch operators over the full feed."""
+    import json as _json
+    import os
+    import time as _time
+
+    from etl_spark_gradle_spark.operators.events import debounce
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+    from etl_spark_gradle_spark.streaming import (
+        read_time_rollup,
+        stream_time_rollup,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    t0 = "2024-01-01 00:0{m}:{s:02d}"
+
+    def ts(sec):
+        return f"2024-01-01 {sec // 3600:02d}:{(sec % 3600) // 60:02d}:{sec % 60:02d}"
+
+    # user A: one burst every 10 s from 0..60 s that STRADDLES the
+    # b1/b2 file split at 40 s, then isolated events at 360 s and 600 s
+    # user B: events at 0 / 61 / 500 s (every one outside gap=60)
+    b1 = [(ts(i * 10), "A", float(i)) for i in range(4)] + [(ts(0), "B", 1.0)]
+    b2 = ([(ts(i * 10), "A", float(i)) for i in range(4, 7)]
+          + [(ts(61), "B", 2.0), (ts(360), "A", 99.0)])
+    b3 = [(ts(600), "A", 100.0), (ts(500), "B", 3.0)]
+    for i, (name, rows) in enumerate([("b1.json", b1), ("b2.json", b2),
+                                      ("b3.json", b3)]):
+        if name == "b3.json":
+            continue  # written later, after the chaos phase
+        _write_sess_batch(src / name, rows)
+        m = _time.time() - 300 + i * 60
+        os.utime(src / name, (m, m))
+
+    deb_out = tmp_path / "deb_out"
+    deb_out.mkdir()
+    deb_ckpt = str(tmp_path / "deb_ckpt")
+    store = str(tmp_path / "rollup_store")
+    roll_ckpt = str(tmp_path / "roll_ckpt")
+    chaos = {"debounce": False}
+
+    def drain_debounce():
+        stream = st.read_file_stream(
+            spark,
+            {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+            SESS_SCHEMA,
+        )
+        kept = st.debounce_stream(
+            stream, key_cols=["user"], time_col="ts", gap_seconds=60,
+            carry_cols=["value"], watermark_delay="0 seconds",
+        )
+
+        def fb(bdf, bid):
+            rows = bdf.collect()  # force state-store deltas to exist
+            if chaos["debounce"] and bid >= 1:
+                # batch 0 (b1, the burst head) COMMITS; the crash hits
+                # batch 1 (b2) mid-burst, after its state deltas exist
+                raise RuntimeError("chaos: debounce crash mid-batch")
+            if rows:
+                bdf.sparkSession.createDataFrame(rows, bdf.schema).write.mode(
+                    "append"
+                ).parquet(str(deb_out / f"b{bid}"))
+
+        return (
+            kept.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", deb_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def drain_rollup():
+        stream = st.read_file_stream(
+            spark,
+            {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+            SESS_SCHEMA,
+        )
+        return stream_time_rollup(
+            stream, store, "ts", ["value"], levels=[3600],
+            checkpoint_location=roll_ckpt, group_by=["user"],
+        )
+
+    # ---- phase 1: clean drain of b1+b2 planned, but CRASH in batch 2
+    chaos["debounce"] = True
+    q = drain_debounce()
+    try:
+        q.awaitTermination(120)
+        deb_crashed = False
+    except Exception:
+        deb_crashed = True
+    # batch 0 (b1) may or may not commit before the crash depending on
+    # which file lands first; the crash itself must have happened
+    assert deb_crashed
+
+    import etl_spark_gradle_spark.streaming as st_mod
+
+    real_fs = st_mod._hadoop_fs
+    calls = {"n": 0}
+
+    def poisoned_fs(spark_, path_str):
+        calls["n"] += 1
+        # batch 0 (prev=None): 1 lookup call. batch 1: lookup (2nd),
+        # then the PRUNE call right after v=1 is written -> crash there
+        if calls["n"] == 3:
+            raise RuntimeError("chaos: rollup crash after version bump")
+        return real_fs(spark_, path_str)
+
+    monkeypatch.setattr(st_mod, "_hadoop_fs", poisoned_fs)
+    q = drain_rollup()
+    try:
+        q.awaitTermination(120)
+        roll_crashed = False
+    except Exception:
+        roll_crashed = True
+    assert roll_crashed
+    monkeypatch.setattr(st_mod, "_hadoop_fs", real_fs)
+    # the store version WAS bumped by the crashed attempt (v=0 and the
+    # uncommitted v=1 both present — the exactly-once window)
+    vs = sorted(int(d.split("=")[1]) for d in os.listdir(store))
+    assert vs == [0, 1]
+
+    # ---- phase 2: resume BOTH with the full feed (b3 arrives too)
+    chaos["debounce"] = False
+    _write_sess_batch(src / "b3.json", b3)
+    drain_debounce().awaitTermination(120)
+    drain_rollup().awaitTermination(120)
+
+    full_rows = [(u, t, v) for t, u, v in b1 + b2 + b3]
+    full = spark.createDataFrame(
+        full_rows, "user string, ts string, value double"
+    ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "value")
+
+    got_deb = sorted(
+        (r.user, str(r.ts), r.value)
+        for r in spark.read.parquet(str(deb_out / "b*")).collect()
+    )
+    want_deb = sorted(
+        (r.user, str(r.ts), r.value)
+        for r in debounce(full, ["user"], "ts", gap_seconds=60,
+                          tiebreak_col="value").collect()
+    )
+    assert got_deb == want_deb  # no replay duplicates, no lost rows
+    # the straddling burst emitted exactly ONE head row for A
+    assert [g for g in got_deb if g[0] == "A"][0][2] == 0.0
+    assert len([g for g in got_deb if g[0] == "A"]) == 3
+    assert len([g for g in got_deb if g[0] == "B"]) == 3
+
+    got_roll = sorted(
+        tuple(r) for r in read_time_rollup(spark, store).collect()
+    )
+    want_roll = sorted(
+        tuple(r)
+        for r in time_rollup(full, "ts", ["value"], levels=[3600],
+                             group_by=["user"]).collect()
+    )
+    assert got_roll == want_roll
+    # the bumped version was clobbered by the replayed batch id and the
+    # store converged to the two-version steady state
+    vs = sorted(int(d.split("=")[1]) for d in os.listdir(store))
+    assert len(vs) <= 2 and vs[-1] == 2
