@@ -4965,6 +4965,227 @@ def q_kmeans_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC per order priority via the Mann-Whitney rank
+    identity with average ranks for ties (operators/evaluation.py):
+    score = floor(o_totalprice) % 97 (deliberately coarse so ties are
+    dense and the average-rank path is exercised), label =
+    order-finalized. Raw rows reduce map-side to one row per distinct
+    (group, score) before the rank window runs — the window input is
+    score-cardinality-sized, not data-sized. Integer rank sums close
+    in ONE division."""
+    from etl_spark_gradle_spark.operators.evaluation import auc
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority",
+        (F.floor(F.col("o_totalprice")).cast("long") % 97).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return auc(scored, "score", "label", group_by=["o_orderpriority"])
+
+
+_AUC_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice) AS BIGINT) % 97 AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+), per_score AS (
+  SELECT o_orderpriority, s,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(pos) AS BIGINT) AS p
+  FROM base GROUP BY o_orderpriority, s
+), ranked AS (
+  SELECT o_orderpriority, cnt, p,
+         CAST(COALESCE(SUM(cnt) OVER (
+           PARTITION BY o_orderpriority ORDER BY s ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM per_score
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(p * (2 * cum + cnt + 1)) AS BIGINT) AS r2
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+         CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+           / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)
+       END AS auc
+FROM agg
+"""
+
+
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 over orders: true label =
+    o_orderstatus, 'prediction' = a deterministic totalprice rule
+    (floor % 3 mapped onto the status alphabet) so the confusion
+    matrix has real off-diagonal mass. One contingency pass; the
+    class table derives from the bounded cell relation (full-outer on
+    the class key so predict-only / label-only classes keep rows)."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    m = F.floor(F.col("o_totalprice")).cast("long") % 3
+    scored = orders.select(
+        F.col("o_orderstatus").alias("label"),
+        F.when(m == 0, F.lit("F"))
+        .when(m == 1, F.lit("O"))
+        .otherwise(F.lit("P"))
+        .alias("pred"),
+    )
+    return classification_report(scored, "label", "pred")
+
+
+_CLASSIFICATION_REPORT_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus AS l,
+         CASE CAST(FLOOR(o_totalprice) AS BIGINT) % 3
+           WHEN 0 THEN 'F' WHEN 1 THEN 'O' ELSE 'P' END AS p
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+), cells AS (
+  SELECT l, p, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY l, p
+), lt AS (
+  SELECT l AS cls, CAST(SUM(c) AS BIGINT) AS lt FROM cells GROUP BY l
+), pt AS (
+  SELECT p AS cls, CAST(SUM(c) AS BIGINT) AS pt FROM cells GROUP BY p
+), dg AS (
+  SELECT l AS cls, c AS tp FROM cells WHERE l = p
+), joined AS (
+  SELECT COALESCE(lt.cls, pt.cls) AS cls,
+         COALESCE(lt.lt, 0) AS lt, COALESCE(pt.pt, 0) AS pt
+  FROM lt FULL OUTER JOIN pt ON lt.cls = pt.cls
+), f AS (
+  SELECT j.cls, CAST(COALESCE(d.tp, 0) AS BIGINT) AS tp,
+         CAST(j.pt - COALESCE(d.tp, 0) AS BIGINT) AS fp,
+         CAST(j.lt - COALESCE(d.tp, 0) AS BIGINT) AS fn
+  FROM joined j LEFT JOIN dg d ON j.cls = d.cls
+)
+SELECT cls AS "class", tp, fp, fn,
+       CASE WHEN tp + fp > 0
+         THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+         AS "precision",
+       CASE WHEN tp + fn > 0
+         THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+         THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END
+         AS f1
+FROM f
+"""
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table over orders, scored by a deterministic
+    totalprice hash band with o_orderkey as the NTILE tie-break (ties
+    are dense by construction — a bare score NTILE would be
+    partition-order dependent, the repo determinism rule). Cumulative
+    lift is the cross-multiplied single division, exact integers up
+    to the one IEEE divide."""
+    from etl_spark_gradle_spark.operators.evaluation import lift_table
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.col("o_orderkey").alias("id"),
+        (F.floor(F.col("o_totalprice")).cast("long") % 1000).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return lift_table(scored, "score", "label", "id", buckets=10)
+
+
+_LIFT_TABLE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS id,
+         CAST(FLOOR(o_totalprice) AS BIGINT) % 1000 AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_orderkey IS NOT NULL
+), b AS (
+  SELECT NTILE(10) OVER (ORDER BY s DESC, id ASC) AS bucket, pos FROM base
+), g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM b GROUP BY bucket
+), c AS (
+  SELECT bucket, n, n_pos,
+         CAST(SUM(n) OVER (ORDER BY bucket
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY bucket
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+         CAST(SUM(n) OVER () AS BIGINT) AS tn,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tp
+  FROM g
+)
+SELECT CAST(bucket AS INT) AS bucket, n, n_pos, cum_n, cum_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS cum_rate,
+       CASE WHEN tp > 0 AND cum_n > 0 THEN
+         CAST(cum_pos * tn AS DOUBLE) / CAST(cum_n * tp AS DOUBLE)
+       END AS lift
+FROM c
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between o_orderstatus and a synthetic second
+    'rater' that copies it on 70% of keys and answers 'O' otherwise —
+    the inter-annotator agreement read for label-quality audits. One
+    contingency pass; marginal chance term and the kappa close are
+    exact integer cross-multiplications with one division each."""
+    from etl_spark_gradle_spark.operators.evaluation import cohens_kappa
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.col("o_orderstatus").alias("rater_a"),
+        F.when(F.col("o_orderkey") % 10 < 7, F.col("o_orderstatus"))
+        .otherwise(F.lit("O"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(labeled, "rater_a", "rater_b")
+
+
+_COHENS_KAPPA_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus AS a,
+         CASE WHEN o_orderkey % 10 < 7 THEN o_orderstatus ELSE 'O' END AS b
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderkey IS NOT NULL
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY a, b
+), ra AS (
+  SELECT a AS cls, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY a
+), rb AS (
+  SELECT b AS cls, CAST(SUM(c) AS BIGINT) AS rb FROM cells GROUP BY b
+), chance AS (
+  SELECT CAST(SUM(COALESCE(ra.ra, 0) * COALESCE(rb.rb, 0)) AS BIGINT)
+           AS chance
+  FROM ra FULL OUTER JOIN rb ON ra.cls = rb.cls
+), totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+)
+SELECT n, agree,
+       CASE WHEN n > 0 THEN CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) END
+         AS po,
+       CASE WHEN n > 0 THEN CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE) END
+         AS pe,
+       CASE WHEN n * n - chance != 0 THEN
+         CAST(n * agree - chance AS DOUBLE) / CAST(n * n - chance AS DOUBLE)
+       END AS kappa
+FROM totals, chance
+"""
+
+
 def _kmeans_oracle(
     k: int = 8, iterations: int = 3, scale_bits: int = 20,
     representatives: bool = False,
@@ -9473,7 +9694,12 @@ _GATE_WINDOW: list[str] = [
     "ecdf",
     "quantiles_linear",
     "weighted_quantiles",
-    "kmeans_spread",  # r9 addition: never driver-recorded -> window slot
+    # r9 additions: never driver-recorded -> window slots
+    "kmeans_spread",
+    "auc",
+    "classification_report",
+    "lift_table",
+    "cohens_kappa",
     "pii_scan",
     "sketch_distinct",
     "chunk_docs",
@@ -9516,10 +9742,6 @@ _GATE_WINDOW: list[str] = [
     "edit_join",
     "funnel",
     "linear_fit",
-    "market_basket",
-    "table_checksum",
-    "transitions",
-    "zscore",
 ]
 
 
@@ -9602,6 +9824,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_pipeline": q_feature_pipeline,
         "kmeans": q_kmeans,
         "kmeans_spread": q_kmeans_spread,
+        "auc": q_auc,
+        "classification_report": q_classification_report,
+        "lift_table": q_lift_table,
+        "cohens_kappa": q_cohens_kappa,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -9891,6 +10117,10 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_spread": _kmeans_oracle(
             k=4, iterations=2, seeding="spread", oversample=8
         ),
+        "auc": _AUC_ORACLE,
+        "classification_report": _CLASSIFICATION_REPORT_ORACLE,
+        "lift_table": _LIFT_TABLE_ORACLE,
+        "cohens_kappa": _COHENS_KAPPA_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

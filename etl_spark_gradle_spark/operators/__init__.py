@@ -173,6 +173,13 @@ from etl_spark_gradle_spark.operators.features import (  # noqa: F401
     target_encode,
 )
 from etl_spark_gradle_spark.operators.retrieval import Bm25Transformer  # noqa: F401
+from etl_spark_gradle_spark.operators.evaluation import (  # noqa: F401
+    EvaluationTransformer,
+    auc,
+    classification_report,
+    cohens_kappa,
+    lift_table,
+)
 from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
     DiscretizeTransformer,
     DriftTransformer,
@@ -268,6 +275,7 @@ TRANSFORMER_REGISTRY = {
     "sessionize": SessionizeTransformer(),
     "debounce": DebounceTransformer(),
     "edit_join": EditJoinTransformer(),
+    "evaluation": EvaluationTransformer(),
     "stats": StatsTransformer(),
     "resample": ResampleTransformer(),
     "rolling_median": RollingMedianTransformer(),

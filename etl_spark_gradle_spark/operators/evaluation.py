@@ -1,0 +1,451 @@
+"""Model-evaluation aggregates over scored tables.
+
+A training-data pipeline doesn't stop at producing examples — every
+curation choice (dedup threshold, quality gate, mixture weight) is
+judged by evaluating a model scored over held-out rows, and at 100 TB
+that evaluation is itself a Spark job. This module provides the four
+canonical evaluation reads as exact, oracle-gateable aggregates:
+
+- :func:`auc` — ROC AUC via the Mann-Whitney rank identity with
+  average ranks for ties, computed on the DISTINCT-SCORE table (the
+  raw rows reduce map-side to one (score, cnt, pos) row per distinct
+  score before any window runs).
+- :func:`classification_report` — per-class tp/fp/fn and
+  precision/recall/F1 from one (label, pred) contingency pass.
+- :func:`lift_table` — decile gains/lift table over a deterministic
+  NTILE (ties broken by an explicit id column — a bare score NTILE
+  would be partition-order dependent).
+- :func:`cohens_kappa` — inter-annotator agreement between two label
+  columns, chance-corrected from the same contingency representation.
+
+Determinism contract (the repo-wide hash-gate posture, see
+``stats.py``): every statistic is exact 64-bit integer arithmetic up
+to ONE final IEEE division (or a fixed short sequence of independent
+divisions), so Spark and a SQL oracle agree bit-for-bit under any
+partitioning. Integer bounds: AUC's rank sum is < 2n² and kappa's
+chance term is <= n², so per-group row counts must stay below ~2·10^9
+— beyond that, pre-aggregate or shard the group (the statistics
+themselves are mergeable only via the contingency/rank tables, which
+is exactly what the implementations shuffle).
+
+Reference parity anchor: the reference engine has no evaluation
+operators (SURVEY.md §2 — transformers are filter/map/agg/join/window
+only, ``pipeline/TransformerRegistry.scala:13-19``); this module is
+beyond-reference surface mandated by the LLM-pipeline brief, same
+family as stats.py's hypothesis tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark_gradle_spark.operators.relational import (
+    TransformationError,
+    _split_csv,
+)
+
+__all__ = [
+    "auc",
+    "classification_report",
+    "lift_table",
+    "cohens_kappa",
+    "EvaluationTransformer",
+]
+
+
+def _check_cols(df: DataFrame, cols) -> None:
+    for c in cols:
+        if c and c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+
+
+def auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC AUC per group via the Mann-Whitney identity::
+
+        AUC = (R_pos - n_pos*(n_pos+1)/2) / (n_pos * n_neg)
+
+    where ``R_pos`` is the sum of the positives' AVERAGE ranks under
+    ascending score (ties share their rank-range midpoint — the
+    textbook definition, and the only one that is partition-order
+    free). Internally tracks ``2*R_pos`` so everything stays integer:
+    for each distinct score with ``cnt`` rows (``pos`` of them
+    positive) at cumulative offset ``cum`` rows below it, the
+    positives contribute ``pos * (2*cum + cnt + 1)``.
+
+    NULL score or NULL label rows are excluded. ``label_col`` is a
+    boolean or 0/1 numeric. Groups with no positives or no negatives
+    return NULL ``auc`` (undefined, not 0).
+
+    Plan at 100 TB: raw rows reduce map-side to ONE row per distinct
+    (group, score) before anything else — the window and the final
+    re-aggregation run on the distinct-score table, which is bounded
+    by score cardinality, not data size. One raw-sized exchange + two
+    tiny ones.
+
+    Output: group cols + ``n``/``n_pos``/``n_neg`` (long) + ``auc``
+    (double, one exact-integer division)."""
+    group_by = group_by or []
+    _check_cols(df, [score_col, label_col, *group_by])
+    pos = F.col(label_col).cast("int")
+    per_score = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*group_by, F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"),
+            F.sum(pos).cast("long").alias("_pos"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_by])
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "_cum", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).cast("long")
+    )
+    agg = ranked.groupBy(*group_by).agg(
+        F.sum("_cnt").cast("long").alias("n"),
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("_pos")
+            * (F.lit(2) * F.col("_cum") + F.col("_cnt") + F.lit(1))
+        )
+        .cast("long")
+        .alias("_r2"),
+    )
+    n_pos, n_neg = F.col("n_pos"), (F.col("n") - F.col("n_pos"))
+    return agg.select(
+        *group_by,
+        "n",
+        "n_pos",
+        n_neg.cast("long").alias("n_neg"),
+        F.when(
+            (n_pos > 0) & (n_neg > 0),
+            (F.col("_r2") - n_pos * (n_pos + F.lit(1))).cast("double")
+            / (F.lit(2) * n_pos * n_neg).cast("double"),
+        ).alias("auc"),
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Per-class precision/recall/F1 from ONE contingency pass: raw
+    rows reduce map-side to (label, pred) cells; per-class totals and
+    the diagonal derive from that bounded cell table (|classes|^2
+    rows), never from the raw data again. A class appearing only as a
+    label (recall-side) or only as a prediction (precision-side)
+    still gets a row — the full-outer class join is the point.
+
+    NULL label or NULL pred rows are excluded (an unlabeled row has
+    no cell). F1 = 2*tp / (2*tp + fp + fn) in ONE division (the
+    harmonic-mean form would divide twice and lose bit-identity).
+    Zero denominators yield NULL, not 0.
+
+    Output: group cols + ``class`` (string) + ``tp``/``fp``/``fn``
+    (long) + ``precision``/``recall``/``f1`` (double)."""
+    group_by = group_by or []
+    _check_cols(df, [label_col, pred_col, *group_by])
+    cells = (
+        df.where(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            *group_by,
+            F.col(label_col).cast("string").alias("_l"),
+            F.col(pred_col).cast("string").alias("_p"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        # the cell table feeds THREE branches (label totals, pred
+        # totals, diagonal); without this, each branch re-scans the
+        # RAW data — Spark does not dedupe identical subtrees across
+        # DataFrame references (repo-wide lesson, see bloom_semi_join).
+        # Lazy localCheckpoint shares ONE bounded |classes|^2 RDD.
+        .localCheckpoint(eager=False)
+    )
+    label_tot = cells.groupBy(*group_by, F.col("_l").alias("class")).agg(
+        F.sum("_c").cast("long").alias("_lt")
+    )
+    pred_tot = cells.groupBy(*group_by, F.col("_p").alias("class")).agg(
+        F.sum("_c").cast("long").alias("_pt")
+    )
+    diag = cells.where(F.col("_l") == F.col("_p")).select(
+        *group_by, F.col("_l").alias("class"), F.col("_c").alias("_tp")
+    )
+    keys = [*group_by, "class"]
+    full = (
+        label_tot.join(pred_tot, keys, "full_outer")
+        .join(diag, keys, "left")
+        .na.fill(0, ["_lt", "_pt", "_tp"])
+    )
+    tp, fp, fn = (
+        F.col("_tp"),
+        (F.col("_pt") - F.col("_tp")),
+        (F.col("_lt") - F.col("_tp")),
+    )
+    return full.select(
+        *group_by,
+        "class",
+        tp.alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.when(tp + fp > 0, tp.cast("double") / (tp + fp).cast("double"))
+        .alias("precision"),
+        F.when(tp + fn > 0, tp.cast("double") / (tp + fn).cast("double"))
+        .alias("recall"),
+        F.when(
+            F.lit(2) * tp + fp + fn > 0,
+            (F.lit(2) * tp).cast("double")
+            / (F.lit(2) * tp + fp + fn).cast("double"),
+        ).alias("f1"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    buckets: int = 10,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Decile (or n-tile) gains/lift table per group: rank rows by
+    score DESCENDING with ``id_col`` as the explicit tie-break (a bare
+    score NTILE over tied scores is partition-order dependent —
+    the repo-wide determinism rule), bucket with SQL NTILE, then per
+    bucket report count, positives, the bucket rate, and the
+    CUMULATIVE capture rate and lift vs the base rate. Lift is the
+    cross-multiplied single division
+    ``(cum_pos * total_n) / (cum_n * total_pos)`` — exact integers
+    until the one IEEE divide.
+
+    Plan note: exact n-tiles require a total order per group — ONE
+    range-partitioned sort of the raw rows (Spark's Window NTILE).
+    That is inherent to the statistic; for an approximate table at
+    extreme scale, pre-bucket scores and aggregate instead.
+
+    Output: group cols + ``bucket`` (int, 1 = highest scores) +
+    ``n``/``n_pos``/``cum_n``/``cum_pos`` (long) + ``rate``/
+    ``cum_rate``/``lift`` (double)."""
+    group_by = group_by or []
+    if int(buckets) < 1:
+        raise TransformationError("lift_table requires buckets >= 1")
+    _check_cols(df, [score_col, label_col, id_col, *group_by])
+    pos = F.col(label_col).cast("int")
+    w = Window.partitionBy(*[F.col(c) for c in group_by]).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    bucketed = (
+        df.where(
+            F.col(score_col).isNotNull()
+            & F.col(label_col).isNotNull()
+            & F.col(id_col).isNotNull()
+        )
+        .withColumn("bucket", F.ntile(int(buckets)).over(w))
+        .groupBy(*group_by, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(pos).cast("long").alias("n_pos"),
+        )
+    )
+    wc = (
+        Window.partitionBy(*[F.col(c) for c in group_by])
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*[F.col(c) for c in group_by])
+    cum = bucketed.select(
+        *group_by,
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        F.sum("n").over(wt).cast("long").alias("_tn"),
+        F.sum("n_pos").over(wt).cast("long").alias("_tp"),
+    )
+    return cum.select(
+        *group_by,
+        "bucket",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "rate"
+        ),
+        (
+            F.col("cum_pos").cast("double") / F.col("cum_n").cast("double")
+        ).alias("cum_rate"),
+        F.when(
+            (F.col("_tp") > 0) & (F.col("cum_n") > 0),
+            (F.col("cum_pos") * F.col("_tn")).cast("double")
+            / (F.col("cum_n") * F.col("_tp")).cast("double"),
+        ).alias("lift"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns — THE
+    inter-annotator agreement read for label-quality auditing::
+
+        kappa = (n*agree - chance) / (n^2 - chance),
+        chance = sum_c row_c * col_c
+
+    computed entirely from the (a, b) contingency cells (one map-side
+    combined pass over the raw rows; marginals and the chance term
+    derive from the bounded cell table). The cross-multiplied form
+    needs just ONE division; ``po`` (observed agreement) and ``pe``
+    (chance agreement) are each one more independent division —
+    fixed IEEE order, hash-gateable. Rows with either label NULL are
+    excluded. A degenerate group (n = 0 or chance = n^2, i.e. zero
+    expected disagreement) yields NULL kappa.
+
+    Output: group cols + ``n``/``agree`` (long) + ``po``/``pe``/
+    ``kappa`` (double)."""
+    group_by = group_by or []
+    _check_cols(df, [rater_a_col, rater_b_col, *group_by])
+    cells = (
+        df.where(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .groupBy(
+            *group_by,
+            F.col(rater_a_col).cast("string").alias("_a"),
+            F.col(rater_b_col).cast("string").alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        # three downstream branches (totals, row marginals, col
+        # marginals) — lazy localCheckpoint keeps the raw scan at ONE
+        # (see classification_report for the rationale)
+        .localCheckpoint(eager=False)
+    )
+    row_tot = cells.groupBy(*group_by, F.col("_a").alias("_cls")).agg(
+        F.sum("_c").cast("long").alias("_ra")
+    )
+    col_tot = cells.groupBy(*group_by, F.col("_b").alias("_cls")).agg(
+        F.sum("_c").cast("long").alias("_rb")
+    )
+    keys = [*group_by, "_cls"]
+    chance = (
+        row_tot.join(col_tot, keys, "full_outer")
+        .na.fill(0, ["_ra", "_rb"])
+        .groupBy(*group_by)
+        .agg(F.sum(F.col("_ra") * F.col("_rb")).cast("long").alias("_chance"))
+    )
+    totals = cells.groupBy(*group_by).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    joined = (
+        totals.join(chance, group_by) if group_by
+        else totals.crossJoin(chance)
+    )
+    n, agree, ch = F.col("n"), F.col("agree"), F.col("_chance")
+    return joined.select(
+        *group_by,
+        "n",
+        "agree",
+        F.when(n > 0, agree.cast("double") / n.cast("double")).alias("po"),
+        F.when(n > 0, ch.cast("double") / (n * n).cast("double")).alias("pe"),
+        F.when(
+            n * n - ch != 0,
+            (n * agree - ch).cast("double") / (n * n - ch).cast("double"),
+        ).alias("kappa"),
+    )
+
+
+class EvaluationTransformer:
+    """Registry adapter (``type: evaluation``). Options:
+    ``operation`` auc|classification_report|lift_table|cohens_kappa,
+    ``scoreColumn``/``labelColumn`` (auc, lift_table),
+    ``idColumn``/``buckets`` (lift_table, buckets default 10),
+    ``labelColumn``/``predictionColumn`` (classification_report),
+    ``raterAColumn``/``raterBColumn`` (cohens_kappa),
+    ``groupBy`` (csv, optional for all)."""
+
+    _REQUIRED = {
+        "auc": ("scoreColumn", "labelColumn"),
+        "classification_report": ("labelColumn", "predictionColumn"),
+        "lift_table": ("scoreColumn", "labelColumn", "idColumn"),
+        "cohens_kappa": ("raterAColumn", "raterBColumn"),
+    }
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        op = opts.get("operation", "")
+        if op not in self._REQUIRED:
+            errors.append(
+                "evaluation operation must be one of "
+                + "|".join(sorted(self._REQUIRED))
+            )
+            return ValidationResult.fail(*errors)
+        needed = list(self._REQUIRED[op])
+        for key in needed:
+            if not opts.get(key):
+                errors.append(f"evaluation {op} requires '{key}'")
+        for c in [opts.get(k) for k in needed if opts.get(k)] + list(
+            _split_csv(opts.get("groupBy"))
+        ):
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        if op == "lift_table":
+            try:
+                if int(opts.get("buckets", 10)) < 1:
+                    errors.append("evaluation lift_table buckets must be >= 1")
+            except (TypeError, ValueError):
+                errors.append("evaluation lift_table buckets must be an int")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(
+            *errors
+        )
+
+    def transform(self, df, config, ctx):
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "evaluation config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        group_by = list(_split_csv(opts.get("groupBy"))) or None
+        op = opts["operation"]
+        if op == "auc":
+            return auc(df, opts["scoreColumn"], opts["labelColumn"], group_by)
+        if op == "classification_report":
+            return classification_report(
+                df, opts["labelColumn"], opts["predictionColumn"], group_by
+            )
+        if op == "lift_table":
+            return lift_table(
+                df,
+                opts["scoreColumn"],
+                opts["labelColumn"],
+                opts["idColumn"],
+                buckets=int(opts.get("buckets", 10)),
+                group_by=group_by,
+            )
+        return cohens_kappa(
+            df, opts["raterAColumn"], opts["raterBColumn"], group_by
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(
+            f"{k}={v}" for k, v in sorted(config.options.items())
+        )
+        return f"evaluation({opts})"

@@ -1,0 +1,185 @@
+"""Model-evaluation operators vs hand-computed / pure-Python references."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark_gradle_spark.operators.evaluation import (
+    auc,
+    classification_report,
+    cohens_kappa,
+    lift_table,
+)
+from etl_spark_gradle_spark.operators.relational import TransformationError
+
+
+def _py_auc(pairs):
+    """Pure-python Mann-Whitney AUC with average ranks for ties."""
+    pairs = sorted(pairs)  # by score asc
+    ranks: dict[int, float] = {}
+    i = 0
+    rank_sum_pos = 0.0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0  # ranks are 1-based i+1 .. j
+        for kk in range(i, j):
+            if pairs[kk][1]:
+                rank_sum_pos += avg_rank
+        i = j
+    np_ = sum(1 for _, l in pairs if l)
+    nn = len(pairs) - np_
+    if np_ == 0 or nn == 0:
+        return None
+    return (rank_sum_pos - np_ * (np_ + 1) / 2.0) / (np_ * nn)
+
+
+def test_auc_matches_pure_python_with_ties(spark):
+    pairs = [
+        (0.1, 0), (0.1, 1), (0.2, 0), (0.35, 0), (0.35, 1), (0.35, 1),
+        (0.5, 0), (0.8, 1), (0.8, 0), (0.9, 1), (0.9, 1), (0.95, 0),
+    ]
+    df = spark.createDataFrame(
+        [(s, l) for s, l in pairs], "score double, label int"
+    )
+    row = auc(df, "score", "label").collect()[0]
+    assert row["n"] == 12 and row["n_pos"] == 6 and row["n_neg"] == 6
+    assert row["auc"] == pytest.approx(_py_auc(pairs), abs=1e-12)
+
+
+def test_auc_groups_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [("g1", 0.2, 0), ("g1", 0.7, 1), ("g1", 0.5, 1),
+         ("g2", 0.3, 1), ("g2", 0.9, 1),          # all positive
+         ("g3", 0.4, None), ("g3", None, 1), ("g3", 0.1, 0), ("g3", 0.6, 1)],
+        "g string, score double, label int",
+    )
+    rows = {r["g"]: r for r in auc(df, "score", "label", ["g"]).collect()}
+    assert rows["g1"]["auc"] == pytest.approx(1.0)  # perfect separation
+    assert rows["g2"]["auc"] is None                # no negatives
+    assert rows["g3"]["n"] == 2                     # nulls excluded
+    assert rows["g3"]["auc"] == pytest.approx(1.0)
+
+
+def test_classification_report_hand_computed(spark):
+    # labels: a,a,a,b,b,c ; preds: a,b,a,b,b,a  (c never predicted,
+    # and nothing is labeled d but d is predicted once)
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "b"),
+         ("c", "a"), ("x", None), (None, "a"), ("d_lbl", "d")],
+        "label string, pred string",
+    )
+    rows = {r["class"]: r for r in
+            classification_report(df, "label", "pred").collect()}
+    a = rows["a"]
+    assert (a["tp"], a["fp"], a["fn"]) == (2, 1, 1)
+    assert a["precision"] == pytest.approx(2 / 3)
+    assert a["recall"] == pytest.approx(2 / 3)
+    assert a["f1"] == pytest.approx(2 * 2 / (2 * 2 + 1 + 1))
+    b = rows["b"]
+    assert (b["tp"], b["fp"], b["fn"]) == (2, 1, 0)
+    assert b["recall"] == pytest.approx(1.0)
+    c = rows["c"]  # never predicted: precision undefined, recall 0
+    assert (c["tp"], c["fp"], c["fn"]) == (0, 0, 1)
+    assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] == 0.0
+    d = rows["d"]  # predicted but never labeled
+    assert (d["tp"], d["fp"], d["fn"]) == (0, 1, 0)
+    assert d["recall"] is None
+    assert "x" not in {r for r in rows if rows[r]["fn"] > 0 and rows[r]["tp"] > 0}
+
+
+def test_lift_table_exact(spark):
+    # 8 rows, 4 buckets of 2; positives concentrated at high scores
+    rows = [(i, 1.0 - i * 0.1, 1 if i < 3 else 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    out = {r["bucket"]: r for r in
+           lift_table(df, "score", "label", "id", buckets=4).collect()}
+    assert [out[b]["n"] for b in (1, 2, 3, 4)] == [2, 2, 2, 2]
+    assert [out[b]["n_pos"] for b in (1, 2, 3, 4)] == [2, 1, 0, 0]
+    # base rate = 3/8; bucket1 cum_rate = 1.0 -> lift = 8/3
+    assert out[1]["lift"] == pytest.approx((2 * 8) / (2 * 3))
+    assert out[2]["cum_pos"] == 3 and out[2]["cum_n"] == 4
+    assert out[2]["lift"] == pytest.approx((3 * 8) / (4 * 3))
+    assert out[4]["lift"] == pytest.approx(1.0)  # full-capture lift is 1
+    # deterministic tie-break: equal scores split by id, stable reruns
+    tie = spark.createDataFrame(
+        [(i, 0.5, i % 2) for i in range(10)], "id long, score double, label int"
+    )
+    a = sorted(map(tuple, lift_table(tie, "score", "label", "id", 5).collect()))
+    b = sorted(map(tuple, lift_table(tie, "score", "label", "id", 5).collect()))
+    assert a == b
+
+
+def test_cohens_kappa_textbook(spark):
+    # classic 2x2: raters agree on 20 yes + 15 no of 50; marginals
+    # yes: A=25, B=30 -> pe = (25*30 + 25*20)/2500 = 0.5, po = 0.7,
+    # kappa = 0.4
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15
+        + [("y", "n")] * 5 + [("n", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 50 and r["agree"] == 35
+    assert r["po"] == pytest.approx(0.7)
+    assert r["pe"] == pytest.approx(0.5)
+    assert r["kappa"] == pytest.approx(0.4)
+
+
+def test_cohens_kappa_degenerate_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("g1", "y", "y"), ("g1", "y", "y"),      # chance == n^2
+         ("g2", "y", "y"), ("g2", "n", "n"), ("g2", None, "y")],
+        "g string, a string, b string",
+    )
+    rows = {r["g"]: r for r in cohens_kappa(df, "a", "b", ["g"]).collect()}
+    assert rows["g1"]["kappa"] is None  # zero expected disagreement
+    assert rows["g2"]["n"] == 2         # null rater excluded
+    assert rows["g2"]["kappa"] == pytest.approx(1.0)
+
+
+def test_evaluation_adapter_routes_and_validation(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 1, "a", "a"), (2, 0.1, 0, "b", "a")],
+        "id long, score double, label int, la string, lb string",
+    )
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    out = t.transform(
+        df,
+        TransformationConfig(
+            type="evaluation",
+            options={"operation": "auc", "scoreColumn": "score",
+                     "labelColumn": "label"},
+        ),
+        None,
+    )
+    assert out.collect()[0]["auc"] == pytest.approx(1.0)
+    for op, opts in [
+        ("classification_report",
+         {"labelColumn": "la", "predictionColumn": "lb"}),
+        ("lift_table",
+         {"scoreColumn": "score", "labelColumn": "label",
+          "idColumn": "id", "buckets": "2"}),
+        ("cohens_kappa", {"raterAColumn": "la", "raterBColumn": "lb"}),
+    ]:
+        cfg = TransformationConfig(
+            type="evaluation", options={"operation": op, **opts}
+        )
+        assert t.validate(df, cfg).is_valid
+        assert t.transform(df, cfg, None).count() >= 1
+    bad = TransformationConfig(
+        type="evaluation", options={"operation": "nope"}
+    )
+    assert not t.validate(df, bad).is_valid
+    with pytest.raises(TransformationError, match="evaluation"):
+        t.transform(df, bad, None)
+    missing = TransformationConfig(
+        type="evaluation",
+        options={"operation": "auc", "scoreColumn": "absent",
+                 "labelColumn": "label"},
+    )
+    assert not t.validate(df, missing).is_valid
