@@ -5963,6 +5963,43 @@ HAVING COUNT(*) < 12
 """
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit over the same quasi-identifier cell
+    as `k_anonymity` (segment × nation × balance band), sensitive
+    attribute = the balance parity: QI groups whose members all share
+    one sensitive value leak it to anyone who can place a person in
+    the group — the homogeneity attack k-anonymity can't see. ONE
+    count_distinct groupBy; Spark's Expand rewrite spreads the
+    distinct state map-side."""
+    from etl_spark_gradle_spark.operators.pii import l_diversity
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+        (F.floor(F.col("c_acctbal")).cast("long") % 2).alias("bal_parity"),
+    )
+    return l_diversity(
+        cust, ["c_mktsegment", "c_nationkey", "bal_band"], "bal_parity", l=2
+    )
+
+
+_L_DIVERSITY_ORACLE = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+         AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal) AS BIGINT) % 2) AS BIGINT)
+         AS distinct_sensitive
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(DISTINCT CAST(FLOOR(c_acctbal) AS BIGINT) % 2) < 2
+"""
+
+
 def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B two-proportion z-test per order priority: customers split
     into even/odd variants, conversion = order finalized. Four exact
@@ -9700,6 +9737,7 @@ _GATE_WINDOW: list[str] = [
     "classification_report",
     "lift_table",
     "cohens_kappa",
+    "l_diversity",
     "pii_scan",
     "sketch_distinct",
     "chunk_docs",
@@ -9741,7 +9779,6 @@ _GATE_WINDOW: list[str] = [
     "correlation",
     "edit_join",
     "funnel",
-    "linear_fit",
 ]
 
 
@@ -9794,6 +9831,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "streaming_debounce": q_streaming_debounce,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
         "prop_ztest": q_prop_ztest,
         "consolidate": q_consolidate,
         "churn_labels": q_churn_labels,
@@ -10085,6 +10123,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": _ROLLING_ZSCORE_ORACLE,
         "streaming_debounce": _STREAMING_DEBOUNCE_ORACLE,
         "k_anonymity": _K_ANONYMITY_ORACLE,
+        "l_diversity": _L_DIVERSITY_ORACLE,
         "prop_ztest": _PROP_ZTEST_ORACLE,
         "consolidate": _CONSOLIDATE_ORACLE,
         "churn_labels": _CHURN_LABELS_ORACLE,

@@ -81,6 +81,8 @@ from etl_spark_gradle_spark.operators.multimodal import (  # noqa: F401
 )
 from etl_spark_gradle_spark.operators.pii import (  # noqa: F401
     KAnonymityTransformer,
+    LDiversityTransformer,
+    l_diversity,
     PiiTransformer,
     k_anonymity,
 )
@@ -313,6 +315,7 @@ TRANSFORMER_REGISTRY = {
     "lm_score": LmScoreTransformer(),
     "pii": PiiTransformer(),
     "k_anonymity": KAnonymityTransformer(),
+    "l_diversity": LDiversityTransformer(),
     "chunk": ChunkTransformer(),
     "bpe_tokenize": BpeTokenizeTransformer(),
     "pack": PackTransformer(),

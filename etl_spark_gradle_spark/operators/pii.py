@@ -224,6 +224,80 @@ def k_anonymity(
     return joined.withColumn("k_anonymous", F.col("qi_group_n") >= k)
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 - the statistic's canonical name
+    output: str = "violations",
+) -> DataFrame:
+    """Distinct l-diversity audit — the companion check
+    :func:`k_anonymity` cannot make: a QI combination can be large
+    enough to be k-anonymous yet still leak the SENSITIVE attribute
+    because every member shares one value (the classic homogeneity
+    attack, Machanavajjhala et al. 2007). A group is l-diverse when
+    its members carry at least ``l`` DISTINCT non-null sensitive
+    values.
+
+    - ``output='violations'``: one row per violating combination —
+      ``(qi…, n, distinct_sensitive)`` with ``distinct_sensitive < l``
+      (NULL sensitive values do not count toward diversity; a group
+      whose sensitive column is entirely NULL audits as 0-diverse).
+    - ``output='summary'``: 1-row report — total rows, rows in
+      violating groups, violating/total group counts,
+      ``min_diversity``, and ``at_risk_share`` (one exact division).
+
+    Plan at 100 TB: ONE groupBy on the QI columns with
+    ``count_distinct(sensitive)`` (Spark's Expand-based rewrite
+    spreads the distinct state map-side — the same native plan the
+    skew probes pinned for count_distinct); ``summary`` re-aggregates
+    the bounded group table. No windows, no self-joins.
+    """
+    if l < 2:
+        raise TransformationError("l_diversity requires l >= 2")
+    if not quasi_identifiers:
+        raise TransformationError(
+            "l_diversity requires at least one quasi-identifier column"
+        )
+    for c in [*quasi_identifiers, sensitive_col]:
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    if output not in ("violations", "summary"):
+        raise TransformationError(
+            f"l_diversity output must be violations|summary, got '{output}'"
+        )
+    groups = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct(F.col(sensitive_col))
+        .cast("long")
+        .alias("distinct_sensitive"),
+    )
+    if output == "violations":
+        return groups.where(F.col("distinct_sensitive") < l)
+    viol = F.col("distinct_sensitive") < l
+    return groups.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.sum(F.when(viol, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("at_risk_rows"),
+        F.count(F.lit(1)).cast("long").alias("total_groups"),
+        F.sum(F.when(viol, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("violating_groups"),
+        F.min("distinct_sensitive").cast("long").alias("min_diversity"),
+    ).select(
+        "total_rows",
+        "at_risk_rows",
+        "total_groups",
+        "violating_groups",
+        "min_diversity",
+        (
+            F.col("at_risk_rows").cast("double")
+            / F.col("total_rows").cast("double")
+        ).alias("at_risk_share"),
+    )
+
+
 class KAnonymityTransformer:
     """Registry adapter (``type: k_anonymity``). Options:
     ``quasiIdentifiers`` csv (required), ``k`` (default 5),
@@ -279,3 +353,62 @@ class KAnonymityTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"k_anonymity({opts})"
+
+
+class LDiversityTransformer:
+    """Registry adapter (``type: l_diversity``). Options:
+    ``quasiIdentifiers`` csv (required), ``sensitiveColumn``
+    (required), ``l`` (default 2), ``output`` violations|summary
+    (default violations)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        qis = _split_csv(opts.get("quasiIdentifiers"))
+        if not qis:
+            errors.append("l_diversity requires 'quasiIdentifiers'")
+        if not opts.get("sensitiveColumn"):
+            errors.append("l_diversity requires 'sensitiveColumn'")
+        for c in qis + (
+            [opts["sensitiveColumn"]] if opts.get("sensitiveColumn") else []
+        ):
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        try:
+            if int(opts.get("l", 2)) < 2:
+                errors.append("l must be >= 2")
+        except (TypeError, ValueError):
+            errors.append(f"l is not an int: {opts['l']}")
+        if opts.get("output", "violations") not in ("violations", "summary"):
+            errors.append(
+                f"output must be violations|summary, got '{opts['output']}'"
+            )
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "l_diversity config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return l_diversity(
+            df,
+            quasi_identifiers=_split_csv(opts["quasiIdentifiers"]),
+            sensitive_col=opts["sensitiveColumn"],
+            l=int(opts.get("l", 2)),
+            output=opts.get("output", "violations"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"l_diversity({opts})"

@@ -2312,3 +2312,77 @@ class TestKAnonymity:
         assert not t.validate(
             df, TransformationConfig(type="k_anonymity", options={})
         ).is_valid
+
+
+class TestLDiversity:
+    """Distinct l-diversity — the homogeneity-attack audit k-anonymity
+    can't make (a large group whose members all share one sensitive
+    value is k-anonymous yet fully leaky)."""
+
+    def _df(self, spark):
+        # group (A, 1): 3 rows, all sensitive 'x'  -> 1-diverse VIOLATION
+        # group (A, 2): 2 rows, 'x' and 'y'        -> 2-diverse ok at l=2
+        # group (B, 1): 3 rows, sensitive all NULL -> 0-diverse VIOLATION
+        # group (B, 2): 2 rows, 'x' and NULL       -> 1-diverse VIOLATION
+        rows = [
+            ("A", 1, "x"), ("A", 1, "x"), ("A", 1, "x"),
+            ("A", 2, "x"), ("A", 2, "y"),
+            ("B", 1, None), ("B", 1, None), ("B", 1, None),
+            ("B", 2, "x"), ("B", 2, None),
+        ]
+        return spark.createDataFrame(rows, "seg string, band int, diag string")
+
+    def test_violations_hand_computed(self, spark):
+        from etl_spark_gradle_spark.operators.pii import l_diversity
+
+        out = {
+            (r["seg"], r["band"]): (r["n"], r["distinct_sensitive"])
+            for r in l_diversity(
+                self._df(spark), ["seg", "band"], "diag", l=2
+            ).collect()
+        }
+        assert out == {("A", 1): (3, 1), ("B", 1): (3, 0), ("B", 2): (2, 1)}
+
+    def test_summary_and_higher_l(self, spark):
+        from etl_spark_gradle_spark.operators.pii import l_diversity
+
+        s = l_diversity(
+            self._df(spark), ["seg", "band"], "diag", l=2, output="summary"
+        ).collect()[0]
+        assert s["total_rows"] == 10 and s["at_risk_rows"] == 8
+        assert s["total_groups"] == 4 and s["violating_groups"] == 3
+        assert s["min_diversity"] == 0
+        assert s["at_risk_share"] == 8 / 10
+        # at l=3 even the (A,2) group violates
+        s3 = l_diversity(
+            self._df(spark), ["seg", "band"], "diag", l=3, output="summary"
+        ).collect()[0]
+        assert s3["violating_groups"] == 4
+
+    def test_validation_and_adapter(self, spark):
+        import pytest as _pytest
+
+        from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+        from etl_spark_gradle_spark.operators.pii import l_diversity
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+        from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+        df = self._df(spark)
+        with _pytest.raises(TransformationError, match="l >= 2"):
+            l_diversity(df, ["seg"], "diag", l=1)
+        with _pytest.raises(TransformationError, match="not in input"):
+            l_diversity(df, ["nope"], "diag")
+        t = TRANSFORMER_REGISTRY["l_diversity"]
+        cfg = TransformationConfig(
+            type="l_diversity",
+            options={"quasiIdentifiers": "seg,band",
+                     "sensitiveColumn": "diag", "l": "2"},
+        )
+        assert t.validate(df, cfg).is_valid
+        assert t.transform(df, cfg, None).count() == 3
+        bad = TransformationConfig(
+            type="l_diversity", options={"quasiIdentifiers": "seg"}
+        )
+        assert not t.validate(df, bad).is_valid
