@@ -611,6 +611,51 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["Window", "CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    (
+        "auc",
+        "exact AUC: raw rows partial-agg map-side onto the distinct-"
+        "score table BEFORE the rank window; filters pushed; no "
+        "python, no joins",
+        ["partial_count", "PushedFilters: [IsNotNull(o_totalprice)",
+         "Window"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "cohens_kappa",
+        "kappa contingency: the shared cell table is checkpointed so "
+        "the raw table is scanned ONCE (no duplicate parquet scans "
+        "across the three marginal branches)",
+        ["ExistingRDD"],
+        ["Scan parquet", "CartesianProduct"],
+    ),
+    (
+        "lift_table",
+        "decile lift: one NTILE window over the range-sorted rows, "
+        "bucket-level cumulative windows run on the 10-row bucket "
+        "table; no python, no joins",
+        ["ntile", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "l_diversity",
+        "l-diversity: single-distinct two-phase rewrite — "
+        "partial_count on (QI, sensitive) BEFORE the first exchange, "
+        "merged then re-keyed on QI (map-side distinct state, no "
+        "Expand needed for one distinct agg); no windows, no joins, "
+        "no python",
+        ["partial_count", "merge_count", "hashpartitioning"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "kmeans_spread",
+        "spread-seeded kmeans keeps the first-k posture: broadcast "
+        "centroid attach, zero python, no cartesian blowup",
+        ["BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    ),
 ]
 
 
