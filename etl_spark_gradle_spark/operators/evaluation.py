@@ -12,9 +12,12 @@ canonical evaluation reads as exact, oracle-gateable aggregates:
   score before any window runs).
 - :func:`classification_report` — per-class tp/fp/fn and
   precision/recall/F1 from one (label, pred) contingency pass.
-- :func:`lift_table` — decile gains/lift table over a deterministic
-  NTILE (ties broken by an explicit id column — a bare score NTILE
-  would be partition-order dependent).
+- :func:`lift_table` — decile gains/lift table with SQL NTILE
+  semantics over a deterministic (score desc, id) order, computed by
+  a two-level global-rank scan (literal range bounds + per-range
+  row_number + closed-form bucket arithmetic) instead of the
+  single-partition window a bare ``ntile().over(orderBy(...))``
+  plans.
 - :func:`cohens_kappa` — inter-annotator agreement between two label
   columns, chance-corrected from the same contingency representation.
 
@@ -208,6 +211,78 @@ def classification_report(
     )
 
 
+def _global_rank_desc(pts: DataFrame, num_partitions: int | None = None):
+    """Attach a GLOBAL dense row rank ``_rank`` (1-based, ordered by
+    ``_s`` desc then ``_id`` asc) and the total count ``_n`` to a
+    ``(_s, _id, ...)`` frame WITHOUT a single-partition window — the
+    ``stats._prefix_sums`` two-level scan adapted to row ranking:
+
+    1. score split points from ONE ``approxQuantile`` job, collected
+       to the driver as literals (deterministic across subtrees and
+       stage retries by construction);
+    2. ``_pid`` = count of bounds >= score — monotone in the DESC
+       order; all ties of a score share a _pid, so ranks never
+       straddle ranges;
+    3. per-_pid counts (<= P rows) collect to the driver; each _pid's
+       offset (rows in earlier ranges) attaches as a literal array
+       lookup; ``_rank`` = offset + per-_pid ``row_number`` — the
+       only window, P-way parallel.
+    """
+    spark = pts.sparkSession
+    P = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # one tiny job for split points; eager pin so the bounds job, the
+    # count job and the main pass share one scan of the cleaned frame
+    pts = pts.localCheckpoint(eager=True)
+    from pyspark.sql.types import NumericType
+
+    bounds: list[float] = []
+    # only NUMERIC scores get range-bucketed: a string's double cast
+    # is not monotone in its lexicographic sort order, and _pid MUST
+    # be monotone in the rank order (same guard as stats._prefix_sums)
+    if P > 1 and isinstance(pts.schema["_s"].dataType, NumericType):
+        probs = [i / P for i in range(1, P)]
+        bounds = sorted(
+            set(
+                pts.select(F.col("_s").cast("double").alias("_v"))
+                .approxQuantile("_v", probs, max(0.0001, 1.0 / (8 * P)))
+            )
+        )
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(
+            F.filter(arr, lambda b: b >= F.col("_s").cast("double"))
+        )
+    else:  # degenerate distribution: one range (documented fallback)
+        pid = F.lit(0)
+    d = pts.withColumn("_pid", pid)
+    cnts = {
+        row["_pid"]: row["c"]
+        for row in d.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    n = sum(cnts.values())
+    offsets = []
+    acc = 0
+    for p in range(len(bounds) + 1):
+        offsets.append(acc)
+        acc += cnts.get(p, 0)
+    off_arr = F.array(*[F.lit(int(o)) for o in offsets])
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("_s").desc(), F.col("_id").asc()
+    )
+    return d.withColumn(
+        "_rank",
+        (
+            F.element_at(off_arr, F.col("_pid") + 1)
+            + F.row_number().over(w)
+        ).cast("long"),
+    ).withColumn("_n", F.lit(int(n)).cast("long"))
+
+
 def lift_table(
     df: DataFrame,
     score_col: str,
@@ -216,20 +291,31 @@ def lift_table(
     buckets: int = 10,
     group_by: list[str] | None = None,
 ) -> DataFrame:
-    """Decile (or n-tile) gains/lift table per group: rank rows by
-    score DESCENDING with ``id_col`` as the explicit tie-break (a bare
+    """Decile (or n-tile) gains/lift table: rank rows by score
+    DESCENDING with ``id_col`` as the explicit tie-break (a bare
     score NTILE over tied scores is partition-order dependent —
-    the repo-wide determinism rule), bucket with SQL NTILE, then per
-    bucket report count, positives, the bucket rate, and the
+    the repo-wide determinism rule), bucket with SQL NTILE semantics,
+    then per bucket report count, positives, the bucket rate, and the
     CUMULATIVE capture rate and lift vs the base rate. Lift is the
     cross-multiplied single division
     ``(cum_pos * total_n) / (cum_n * total_pos)`` — exact integers
     until the one IEEE divide.
 
-    Plan note: exact n-tiles require a total order per group — ONE
-    range-partitioned sort of the raw rows (Spark's Window NTILE).
-    That is inherent to the statistic; for an approximate table at
-    extreme scale, pre-bucket scores and aggregate instead.
+    Scale design (``group_by=None``, the common whole-table case): a
+    naive ``ntile().over(Window.orderBy(...))`` funnels EVERY row
+    through one task — exactly the failure mode ``stats.ecdf`` exists
+    to avoid. Instead the global rank is a two-level scan in the
+    ``stats._prefix_sums`` style: score split points are computed
+    ONCE via ``approxQuantile`` and collected as driver-side literals
+    (deterministic under retries by construction — a sampled
+    ``repartitionByRange`` is not), every row gets a range-bucket
+    ``_pid`` that is monotone in the (score desc, id) order (ties
+    share a score, hence a _pid — they never straddle ranges), rank =
+    per-_pid ``row_number`` + the _pid's driver-computed offset, and
+    the SQL NTILE bucket is closed-form in (rank, n). The heavy
+    window is per-_pid, P-way parallel. With ``group_by`` the window
+    partitions on the group keys (parallel across groups) and the
+    closed form uses per-group totals.
 
     Output: group cols + ``bucket`` (int, 1 = highest scores) +
     ``n``/``n_pos``/``cum_n``/``cum_pos`` (long) + ``rate``/
@@ -239,20 +325,53 @@ def lift_table(
         raise TransformationError("lift_table requires buckets >= 1")
     _check_cols(df, [score_col, label_col, id_col, *group_by])
     pos = F.col(label_col).cast("int")
-    w = Window.partitionBy(*[F.col(c) for c in group_by]).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+    pts = df.where(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        *group_by,
+        F.col(score_col).alias("_s"),
+        F.col(id_col).alias("_id"),
+        pos.alias("_pos"),
+    )
+    B = int(buckets)
+    if group_by:
+        # groups parallelize the window on their own; rank per group
+        w = Window.partitionBy(*[F.col(c) for c in group_by]).orderBy(
+            F.col("_s").desc(), F.col("_id").asc()
+        )
+        ranked = pts.withColumn("_rank", F.row_number().over(w))
+        wt = Window.partitionBy(*[F.col(c) for c in group_by])
+        ranked = ranked.withColumn(
+            "_n", F.count(F.lit(1)).over(wt).cast("long")
+        )
+    else:
+        ranked = _global_rank_desc(pts)
+    # closed-form SQL NTILE(B) over (rank, n): q = n div B, r = n mod
+    # B; the first r buckets carry q+1 rows. Integer division is done
+    # as (a - a%b)/b — the double divide of an EXACT multiple, exact
+    # for counts < 2^53 (a bare (a/b).cast('long') truncates a double
+    # quotient and can misassign ranks at bucket boundaries).
+    def _idiv(a, b):
+        return ((a - a % b) / b).cast("long")
+
+    q = _idiv(F.col("_n"), F.lit(B))
+    r = F.col("_n") % B
+    head = r * (q + 1)
+    bucket = F.when(
+        F.col("_rank") <= head,
+        _idiv(F.col("_rank") - 1, q + 1) + 1,
+    ).otherwise(
+        # q is 0 only when n < B, and then every rank sits in `head`
+        r + _idiv(F.col("_rank") - head - 1, F.greatest(q, F.lit(1))) + 1
     )
     bucketed = (
-        df.where(
-            F.col(score_col).isNotNull()
-            & F.col(label_col).isNotNull()
-            & F.col(id_col).isNotNull()
-        )
-        .withColumn("bucket", F.ntile(int(buckets)).over(w))
+        ranked.withColumn("bucket", bucket.cast("int"))
         .groupBy(*group_by, "bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(pos).cast("long").alias("n_pos"),
+            F.sum("_pos").cast("long").alias("n_pos"),
         )
     )
     wc = (

@@ -183,3 +183,41 @@ def test_evaluation_adapter_routes_and_validation(spark):
                  "labelColumn": "label"},
     )
     assert not t.validate(df, missing).is_valid
+
+
+def test_lift_table_matches_native_ntile_and_stays_distributed(spark):
+    """The scale rewrite (literal-bounds two-level rank + closed-form
+    NTILE) must EQUAL Spark's native ntile window on a tie-heavy
+    fixture at every bucket count, while the executed plan contains
+    no single-partition ntile window (the ecdf rule: an unpartitioned
+    Window funnels the table through one task)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [(i, float((i * 7) % 13), (i * 3) % 2) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    for b in (1, 3, 7, 10, 499, 500, 501):
+        got = {
+            r["bucket"]: (r["n"], r["n_pos"])
+            for r in lift_table(df, "score", "label", "id", buckets=b)
+            .collect()
+        }
+        native = (
+            df.withColumn(
+                "bucket",
+                F.ntile(b).over(
+                    W.orderBy(F.col("score").desc(), F.col("id").asc())
+                ),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("label").cast("long").alias("n_pos"),
+            )
+        )
+        want = {r["bucket"]: (r["n"], r["n_pos"]) for r in native.collect()}
+        assert got == want, f"buckets={b}"
+    plan = lift_table(df, "score", "label", "id", 10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ntile(" not in plan
+    assert "hashpartitioning(_pid" in plan

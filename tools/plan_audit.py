@@ -631,11 +631,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ),
     (
         "lift_table",
-        "decile lift: one NTILE window over the range-sorted rows, "
+        "decile lift: NO single-partition ntile — global rank is the "
+        "two-level scan (literal range bounds -> per-_pid row_number, "
+        "P-way parallel) with the closed-form NTILE in (rank, n); "
         "bucket-level cumulative windows run on the 10-row bucket "
-        "table; no python, no joins",
-        ["ntile", "partial_count"],
-        ["CartesianProduct", "SortMergeJoin",
+        "table; no python, no joins of the raw rows",
+        ["row_number", "hashpartitioning(_pid", "partial_count"],
+        ["ntile(", "CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (

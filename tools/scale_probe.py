@@ -157,6 +157,10 @@ def main() -> int:
                 lambda: _quantiles_probe(li),
                 li.count(),
             ),
+            "auc": (
+                lambda: _auc_probe(li),
+                li.count(),
+            ),
             "rolling_med": (
                 lambda: _rolling_median_probe(ev),
                 ev.count(),
@@ -372,6 +376,31 @@ def _intervals_probe(ev):
         ).alias("e"),
     )
     return merge_intervals(iv, "s", "e", group_by=["user_id"])
+
+
+def _auc_probe(li):
+    """Round-9 evaluation family: exact AUC throughput. Score
+    cardinality is FIXED (l_quantity: 50 distinct), so the rank window
+    input stays constant while raw rows grow 10x — the probe verifies
+    the map-side distinct-score reduction holds (throughput should not
+    degrade with size). The hash-sum close forces the auc column
+    (under a bare count() Catalyst prunes the rank window and the
+    timing is fiction — the repo-wide window-benchmark rule)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.evaluation import auc
+
+    out = auc(
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("score"),
+            (F.col("l_linestatus") == "F").cast("int").alias("label"),
+        ),
+        "score",
+        "label",
+        group_by=["l_returnflag"],
+    )
+    return out.agg(F.sum(F.hash("l_returnflag", "auc", "n")).alias("h"))
 
 
 def _quantiles_probe(li):
