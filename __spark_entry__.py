@@ -9722,10 +9722,13 @@ FROM cells GROUP BY n, kx, ky
 # slots 1-3 are PINNED to ecdf + its _prefix_sums co-witnesses (VERDICT
 # r8 ask #1 — ecdf was red in r6 AND r7, the r8 HUGEINT-oracle fix
 # never got a driver row because the r8 rotation put the 50 new
-# queries ahead of it; this window finally adjudicates it). Slots 4-50
-# are the 47 stalest queries: largest (last-code-touch − last-driver-
-# record) gap, i.e. green rows whose underlying operator code was
-# edited after the driver last saw it (mostly r3/r4 rows over modules
+# queries ahead of it; this window finally adjudicates it). Slots 4-9
+# are the six never-recorded round-9 additions (kmeans_spread, the
+# evaluation family, l_diversity — the invariant test requires every
+# unrecorded query inside the window). The remaining slots are the
+# stalest queries: largest (last-code-touch − last-driver-record)
+# gap, i.e. green rows whose underlying operator code was edited
+# after the driver last saw it (mostly r3/r4 rows over modules
 # touched in r7/r8). Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
     "ecdf",
@@ -9802,7 +9805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     columns; tools/check_oracle.py flags dtype-CLASS mismatches) —
     but the r8 window rotation slipped and never recorded it, so the
     fix remains driver-unconfirmed until a green ``ecdf`` row lands
-    in CORRECTNESS_r09. All 237 queries remain oracle-checked locally
+    in CORRECTNESS_r09. All 243 queries remain oracle-checked locally
     by tools/check_oracle.py at both SFs regardless of position."""
     reg = _registry()
     out = {name: reg[name] for name in _GATE_WINDOW}
