@@ -41,11 +41,20 @@ from pathlib import Path
 REPO = Path("/root/repo")
 sys.path.insert(0, str(REPO))
 
-# queries that must lead the round-9 window regardless of staleness:
-# ecdf is the only historically-red row (r6+r7) and its HUGEINT-oracle
-# fix has never been driver-adjudicated; its prefix-sum siblings ride
-# along as co-witnesses of the shared stats._prefix_sums path.
-PINNED = ["ecdf", "quantiles_linear", "weighted_quantiles"]
+# queries that must lead the window regardless of staleness: ecdf is
+# the only historically-red row (r6+r7) and its HUGEINT-oracle fix has
+# never been driver-adjudicated; its prefix-sum siblings ride along as
+# co-witnesses of the shared stats._prefix_sums path. The pins release
+# automatically once any CORRECTNESS_r09+ file shows ecdf green
+# (mirroring tests/test_gate_window.py's pin lock).
+def _pinned() -> list[str]:
+    for f in REPO.glob("CORRECTNESS_r*.json"):
+        n = int(re.search(r"r(\d+)", f.name).group(1))
+        if n >= 9:
+            row = json.loads(f.read_text()).get("ecdf", {})
+            if row.get("hash_match") is True:
+                return []
+    return ["ecdf", "quantiles_linear", "weighted_quantiles"]
 
 
 def _git(*args: str) -> str:
@@ -165,7 +174,7 @@ def main() -> int:
     if "--top" in args:
         top = int(args[args.index("--top") + 1])
     rows = build_queue()
-    window = list(PINNED)
+    window = _pinned()
     for row in rows:
         if len(window) >= top:
             break
