@@ -936,3 +936,82 @@ def test_skew_report_matches_python_topk(spark_prop, values, top_k):
         key=nkey,
     )
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=-5, max_value=5),
+                  st.booleans()),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_auc_matches_python_mann_whitney(spark_prop, pairs):
+    """Round-9 evaluation family: exact AUC must equal the pure-python
+    Mann-Whitney computation with average ranks for ties, for ANY
+    score/label multiset (tiny score domain forces dense ties)."""
+    from etl_spark_gradle_spark.operators.evaluation import auc
+
+    df = spark_prop.createDataFrame(
+        [(float(s), int(l)) for s, l in pairs], "score double, label int"
+    )
+    row = auc(df, "score", "label").collect()[0]
+
+    srt = sorted(pairs)
+    rank_sum_pos, i = 0.0, 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j][0] == srt[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        rank_sum_pos += avg * sum(1 for kk in range(i, j) if srt[kk][1])
+        i = j
+    np_ = sum(1 for _, l in pairs if l)
+    nn = len(pairs) - np_
+    if np_ == 0 or nn == 0:
+        assert row["auc"] is None
+    else:
+        want = (rank_sum_pos - np_ * (np_ + 1) / 2.0) / (np_ * nn)
+        assert row["auc"] == pytest.approx(want, abs=1e-12)
+    assert (row["n"], row["n_pos"], row["n_neg"]) == (len(pairs), np_, nn)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6),
+                  st.booleans()),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_lift_table_buckets_match_python_ntile(spark_prop, rows, buckets):
+    """lift_table's closed-form bucket arithmetic must equal the SQL
+    NTILE definition (first n%B buckets get the extra row) over the
+    (score desc, id asc) order for any multiset and bucket count."""
+    from etl_spark_gradle_spark.operators.evaluation import lift_table
+
+    df = spark_prop.createDataFrame(
+        [(i, float(s), int(l)) for i, (s, l) in enumerate(rows)],
+        "id long, score double, label int",
+    )
+    got = {
+        r["bucket"]: (r["n"], r["n_pos"])
+        for r in lift_table(df, "score", "label", "id", buckets).collect()
+    }
+    ordered = sorted(enumerate(rows), key=lambda t: (-t[1][0], t[0]))
+    n, B = len(ordered), buckets
+    q, r = divmod(n, B)
+    want: dict[int, list[int]] = {}
+    pos_in = 0
+    for rank, (_i, (_s, l)) in enumerate(ordered, start=1):
+        if rank <= r * (q + 1):
+            b = (rank - 1) // (q + 1) + 1
+        else:
+            b = r + (rank - r * (q + 1) - 1) // max(q, 1) + 1
+        acc = want.setdefault(b, [0, 0])
+        acc[0] += 1
+        acc[1] += int(l)
+    assert got == {b: tuple(v) for b, v in want.items()}
