@@ -5862,6 +5862,76 @@ FROM c
 """
 
 
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality maintenance: the events feed drained in
+    TWO overlapping micro-batches (the same parquet twice —
+    deliberately duplicated input) through `stream_kmv_distinct`,
+    maintaining a per-event-type KMV sketch store of distinct users.
+    The fold is idempotent by algebra (duplicate values hash to the
+    same cell), so the maintained store must equal a fresh batch
+    build over the deduplicated feed — which is exactly what the
+    oracle replays hash-for-hash in SQL."""
+    import shutil
+    import time as _time
+
+    from etl_spark_gradle_spark.streaming import (
+        read_kmv_store,
+        stream_kmv_distinct,
+    )
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"kmv_src_{run}")
+    store = os.path.join(_SCRATCH, f"kmv_store_{run}")
+    ckpt = os.path.join(_SCRATCH, f"kmv_ckpt_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, name in enumerate(("a.parquet", "b.parquet")):
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, name))
+        t = _time.time() - 300 + i * 60
+        os.utime(os.path.join(src_dir, name), (t, t))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir).select("event_type", "user_id")
+    stream_kmv_distinct(
+        stream, store, ["event_type"], "user_id", k=64,
+        checkpoint_location=ckpt,
+    ).awaitTermination(120)
+    out = read_kmv_store(spark, store)
+    return out.select(
+        "event_type",
+        F.size("kmv").cast("int").alias("sk_size"),
+        F.array_join("kmv", ",").alias("sketch"),
+        F.col("distinct_est"),
+    )
+
+
+_STREAMING_KMV_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type AS g,
+         md5('kmv:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM d
+), sk AS (
+  SELECT g, list_sort(array_agg(h)) AS kmv,
+         CAST(COUNT(*) AS BIGINT) AS full_n
+  FROM r WHERE rn <= 64 GROUP BY g
+)
+SELECT sk.g AS event_type,
+       CAST(len(sk.kmv) AS INT) AS sk_size,
+       array_to_string(sk.kmv, ',') AS sketch,
+       CASE WHEN len(sk.kmv) < 64 THEN CAST(len(sk.kmv) AS DOUBLE)
+            ELSE 63.0 / (CAST(CAST(('0x' || substr(sk.kmv[64], 1, 12))
+                         AS BIGINT) AS DOUBLE) / 281474976710656.0)
+       END AS distinct_est
+FROM sk
+"""
+
+
 def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming burst dedup: the events feed drained availableNow
     through debounce_stream (ONE LONG of state per (user, type) — the
@@ -9741,6 +9811,7 @@ _GATE_WINDOW: list[str] = [
     "lift_table",
     "cohens_kappa",
     "l_diversity",
+    "streaming_kmv",
     "pii_scan",
     "sketch_distinct",
     "chunk_docs",
@@ -9781,7 +9852,6 @@ _GATE_WINDOW: list[str] = [
     "cohort",
     "correlation",
     "edit_join",
-    "funnel",
 ]
 
 
@@ -9833,6 +9903,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample": q_negative_sample,
         "rolling_zscore": q_rolling_zscore,
         "streaming_debounce": q_streaming_debounce,
+        "streaming_kmv": q_streaming_kmv,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "prop_ztest": q_prop_ztest,
@@ -10125,6 +10196,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_sample": _NEGATIVE_SAMPLE_ORACLE,
         "rolling_zscore": _ROLLING_ZSCORE_ORACLE,
         "streaming_debounce": _STREAMING_DEBOUNCE_ORACLE,
+        "streaming_kmv": _STREAMING_KMV_ORACLE,
         "k_anonymity": _K_ANONYMITY_ORACLE,
         "l_diversity": _L_DIVERSITY_ORACLE,
         "prop_ztest": _PROP_ZTEST_ORACLE,

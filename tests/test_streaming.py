@@ -1639,3 +1639,122 @@ def test_debounce_and_rollup_combined_chaos(spark, tmp_path, monkeypatch):
     # store converged to the two-version steady state
     vs = sorted(int(d.split("=")[1]) for d in os.listdir(store))
     assert len(vs) <= 2 and vs[-1] == 2
+
+
+# ---------------------------------------------------------------------------
+# stream_kmv_distinct (streaming cardinality sketch maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_kmv_equals_batch_build_and_is_replay_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """The maintained KMV store after a multi-batch drain (with
+    OVERLAPPING batches — the same values recur) must EQUAL the batch
+    build over the distinct union: the fold is idempotent by algebra,
+    so replays/dups cannot inflate the estimate. Then a chaos leg:
+    crash the drain after the store version bump, resume, and the
+    store still converges with versions pruned."""
+    import json as _json
+    import os
+    import time as _time
+
+    from etl_spark_gradle_spark.operators.sketch import build_kmv
+    from etl_spark_gradle_spark.streaming import (
+        read_kmv_store,
+        stream_kmv_distinct,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    feed = [
+        ("b1.json", [("A", "u1"), ("A", "u2"), ("B", "u1")]),
+        ("b2.json", [("A", "u2"), ("A", "u3"), ("B", "u1")]),  # overlaps b1
+        ("b3.json", [("C", "u9"), ("A", "u1")]),
+    ]
+    for i, (name, rows) in enumerate(feed):
+        with open(src / name, "w") as f:
+            for g, v in rows:
+                f.write(_json.dumps({"grp": g, "val": v}) + "\n")
+        t0 = _time.time() - 300 + i * 60
+        os.utime(src / name, (t0, t0))
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("val", StringType())]
+    )
+    store = str(tmp_path / "kmv_store")
+
+    def _drain(ck="ck"):
+        stream = st.read_file_stream(
+            spark,
+            {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+            schema,
+        )
+        return stream_kmv_distinct(
+            stream, store, ["grp"], "val", k=8,
+            checkpoint_location=str(tmp_path / ck),
+        )
+
+    _drain().awaitTermination(120)
+    got = {
+        r["grp"]: (tuple(r["kmv"]), r["distinct_est"], r["kmv_k"])
+        for r in read_kmv_store(spark, store).collect()
+    }
+    full = spark.read.schema(schema).json(str(src))
+    want = {
+        r["grp"]: (tuple(r["kmv"]), r["distinct_est"], r["kmv_k"])
+        for r in build_kmv(full, ["grp"], "val", k=8, k_col="kmv_k").collect()
+    }
+    assert got == want
+    assert got["A"][1] == 3.0 and got["B"][1] == 1.0  # exact below k
+    vs = sorted(int(d.split("=")[1]) for d in os.listdir(store))
+    assert len(vs) <= 2 and vs[-1] == 2
+
+    # chaos: new file, crash AFTER the version bump (prune-phase fs
+    # call), resume with a fresh query -> converges, debris clobbered
+    with open(src / "b4.json", "w") as f:
+        f.write(_json.dumps({"grp": "A", "val": "u4"}) + "\n")
+    import etl_spark_gradle_spark.streaming as st_mod
+
+    real_fs = st_mod._hadoop_fs
+    calls = {"n": 0}
+
+    def poisoned(spark_, path_str):
+        calls["n"] += 1
+        if calls["n"] == 2:  # batch's lookup is call 1, prune is call 2
+            raise RuntimeError("chaos: kmv crash after version bump")
+        return real_fs(spark_, path_str)
+
+    monkeypatch.setattr(st_mod, "_hadoop_fs", poisoned)
+    q = _drain()
+    try:
+        q.awaitTermination(120)
+        crashed = False
+    except Exception:
+        crashed = True
+    assert crashed
+    monkeypatch.setattr(st_mod, "_hadoop_fs", real_fs)
+    _drain().awaitTermination(120)
+    got2 = {
+        r["grp"]: r["distinct_est"]
+        for r in read_kmv_store(spark, store).collect()
+    }
+    assert got2["A"] == 4.0 and got2["C"] == 1.0
+    vs = sorted(int(d.split("=")[1]) for d in os.listdir(store))
+    assert len(vs) <= 2 and vs[-1] == 3
+
+
+def test_stream_kmv_validation(spark, tmp_path):
+    import pytest
+
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.streaming import stream_kmv_distinct
+
+    stream = st.read_file_stream(
+        spark, {"path": str(tmp_path), "format": "json"}, SESS_SCHEMA
+    )
+    with pytest.raises(ConfigError, match="k >= 2"):
+        stream_kmv_distinct(stream, "s", ["user"], "value", 1, "c")
+    with pytest.raises(ConfigError, match="not in schema"):
+        stream_kmv_distinct(stream, "s", ["nope"], "value", 8, "c")
