@@ -9875,7 +9875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     columns; tools/check_oracle.py flags dtype-CLASS mismatches) —
     but the r8 window rotation slipped and never recorded it, so the
     fix remains driver-unconfirmed until a green ``ecdf`` row lands
-    in CORRECTNESS_r09. All 243 queries remain oracle-checked locally
+    in CORRECTNESS_r09. All declared queries remain oracle-checked locally
     by tools/check_oracle.py at both SFs regardless of position."""
     reg = _registry()
     out = {name: reg[name] for name in _GATE_WINDOW}
