@@ -827,3 +827,40 @@ def test_training_pairs_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
         for r in spark.read.parquet(out2).collect()
     )
     assert first == second
+
+
+def test_model_evaluation_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/model-evaluation.yaml runs end-to-end:
+    map-derived score/label -> per-segment exact AUC (evaluation
+    family) -> range gate -> parquet; the output equals a direct call
+    of the operator over the same derivation."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.evaluation import auc
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "eval")
+    monkeypatch.setenv("ORDERS_SRC", f"{sf_dir}/orders.parquet")
+    monkeypatch.setenv("EVAL_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/model-evaluation.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+
+    got = {
+        r["o_orderpriority"]: (r["n"], r["n_pos"], r["auc"])
+        for r in spark.read.parquet(out).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    scored = orders.select(
+        "o_orderpriority",
+        (F.floor("o_totalprice").cast("long") % 97).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    want = {
+        r["o_orderpriority"]: (r["n"], r["n_pos"], r["auc"])
+        for r in auc(scored, "score", "label",
+                     ["o_orderpriority"]).collect()
+    }
+    assert got == want
+    assert all(v[2] is None or 0.0 <= v[2] <= 1.0 for v in got.values())
