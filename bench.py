@@ -565,6 +565,32 @@ def q22_rolling_median(spark):
     )
 
 
+def q25_eval_auc(spark):
+    """Exact grouped ROC AUC over 600k lineitem rows with DENSE ties
+    (l_quantity: 50 distinct values) — the Mann-Whitney average-rank
+    identity computed on the distinct-score table, so the rank window
+    input is 50 x groups rows regardless of data size. Forced through
+    a hash-sum so the rank window and the integer close execute
+    (under a bare count() Catalyst prunes them)."""
+    from etl_spark_gradle_spark.operators.evaluation import auc
+
+    li = load(spark, "lineitem")
+    out = auc(
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("score"),
+            (F.col("l_linestatus") == "F").cast("int").alias("label"),
+        ),
+        "score",
+        "label",
+        group_by=["l_returnflag"],
+    )
+    return out.agg(
+        F.sum(F.xxhash64("l_returnflag", "auc", "n", "n_pos")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q24_sessionize(spark):
     """Gap-based sessionization of 100k events (30-min gap) rolled up
     to per-session stats — the gaps-and-islands shape: ONE user-keyed
@@ -630,6 +656,7 @@ QUERIES = {
     "q22_rolling_median": q22_rolling_median,
     "q23_kmeans": q23_kmeans,
     "q24_sessionize": q24_sessionize,
+    "q25_eval_auc": q25_eval_auc,
 }
 
 

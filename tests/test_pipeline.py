@@ -864,3 +864,47 @@ def test_model_evaluation_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
     }
     assert got == want
     assert all(v[2] is None or 0.0 <= v[2] <= 1.0 for v in got.values())
+
+
+def test_privacy_audit_pipeline_yaml(spark, sf_dir, tmp_path, monkeypatch):
+    """The shipped pipelines/privacy-audit.yaml runs end-to-end:
+    QI derivation -> l-diversity summary -> risk-budget gate ->
+    parquet; the summary equals a direct operator call, and a
+    too-strict budget (risk share above threshold) FAILS the gate."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.pii import l_diversity
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "audit")
+    monkeypatch.setenv("CUSTOMER_SRC", f"{sf_dir}/customer.parquet")
+    monkeypatch.setenv("AUDIT_OUT", out)
+    monkeypatch.setenv("RISK_BUDGET", "1.0")  # sf0.001 cells are tiny
+    cfg = load_pipeline_yaml("pipelines/privacy-audit.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded == 1
+
+    got_df = spark.read.parquet(out).drop("_lineage")
+    got = got_df.collect()[0]
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / 1000.0)
+        .cast("long")
+        .alias("bal_band"),
+        (F.floor("c_acctbal").cast("long") % 2).alias("bal_parity"),
+    )
+    want = l_diversity(
+        cust, ["c_mktsegment", "c_nationkey", "bal_band"], "bal_parity",
+        l=2, output="summary",
+    ).collect()[0]
+    assert {c: got[c] for c in want.asDict()} == want.asDict()
+
+    # a zero risk budget must trip the gate on this (leaky) testdata
+    monkeypatch.setenv("RISK_BUDGET", "0.0")
+    monkeypatch.setenv("AUDIT_OUT", str(tmp_path / "audit2"))
+    strict = load_pipeline_yaml("pipelines/privacy-audit.yaml")
+    failed = PipelineExecutor().execute(strict, spark)
+    assert failed.status == "FAILED"
+    assert "risk_budget" in failed.error_details
