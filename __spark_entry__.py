@@ -5186,6 +5186,78 @@ FROM totals, chance
 """
 
 
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of a synthetic model score (order
+    total's fractional band) against the finalized label, 20 bins.
+    Spark runs the driver-side pool-adjacent-violators sweep over the
+    binned exact counts; the oracle replays the SAME function through
+    the minimax characterization iso[i] = max_{j<=i} min_{k>=i}
+    (sum pos / sum n over bins j..k) — a pure-SQL triple join over the
+    <= 20-row bin table. Equal rationals round to equal doubles, so
+    the two formulations hash identically."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        (
+            (F.floor(F.col("o_totalprice")).cast("long") % 1000).cast(
+                "double"
+            )
+            / F.lit(1000.0)
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return isotonic_calibration(scored, "score", "label", bins=20)
+
+
+_ISOTONIC_ORACLE = """
+WITH base AS (
+  SELECT CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 1000 AS DOUBLE)
+           / 1000.0 AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+), binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((x - 0.0) / CAST(0.05 AS DOUBLE))
+           AS INT), 0), 19)
+           AS bin, pos
+  FROM base
+), perbin AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM binned GROUP BY bin
+), seq AS (
+  SELECT bin, n, np,
+         CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i
+  FROM perbin
+), iv AS (
+  SELECT j.i AS j, k.i AS k,
+         (SELECT CAST(SUM(s.n) AS BIGINT) FROM seq s
+          WHERE s.i BETWEEN j.i AND k.i) AS sn,
+         (SELECT CAST(SUM(s.np) AS BIGINT) FROM seq s
+          WHERE s.i BETWEEN j.i AND k.i) AS sp
+  FROM seq j, seq k WHERE j.i <= k.i
+), vals AS (
+  SELECT t.i AS i, iv.j AS j,
+         MIN(CAST(iv.sp AS DOUBLE) / CAST(iv.sn AS DOUBLE)) AS mn
+  FROM seq t JOIN iv ON iv.j <= t.i AND iv.k >= t.i
+  GROUP BY t.i, iv.j
+), iso AS (
+  SELECT i, MAX(mn) AS rate_iso FROM vals GROUP BY i
+)
+SELECT CAST(seq.bin AS INT) AS bin,
+       seq.bin * CAST(0.05 AS DOUBLE) AS bin_lo,
+       (seq.bin + 1) * CAST(0.05 AS DOUBLE) AS bin_hi,
+       seq.n, seq.np AS n_pos,
+       CAST(seq.np AS DOUBLE) / CAST(seq.n AS DOUBLE) AS rate_raw,
+       iso.rate_iso
+FROM seq JOIN iso ON seq.i = iso.i
+"""
+
+
 def _kmeans_oracle(
     k: int = 8, iterations: int = 3, scale_bits: int = 20,
     representatives: bool = False,
@@ -9812,6 +9884,7 @@ _GATE_WINDOW: list[str] = [
     "cohens_kappa",
     "l_diversity",
     "streaming_kmv",
+    "isotonic",
     "pii_scan",
     "sketch_distinct",
     "chunk_docs",
@@ -9851,7 +9924,6 @@ _GATE_WINDOW: list[str] = [
     "cms_join_estimate",
     "cohort",
     "correlation",
-    "edit_join",
 ]
 
 
@@ -9940,6 +10012,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report": q_classification_report,
         "lift_table": q_lift_table,
         "cohens_kappa": q_cohens_kappa,
+        "isotonic": q_isotonic,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -10235,6 +10308,7 @@ def oracle_sql() -> dict[str, str]:
         "classification_report": _CLASSIFICATION_REPORT_ORACLE,
         "lift_table": _LIFT_TABLE_ORACLE,
         "cohens_kappa": _COHENS_KAPPA_ORACLE,
+        "isotonic": _ISOTONIC_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

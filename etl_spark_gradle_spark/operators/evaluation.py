@@ -53,6 +53,7 @@ __all__ = [
     "classification_report",
     "lift_table",
     "cohens_kappa",
+    "isotonic_calibration",
     "EvaluationTransformer",
 ]
 
@@ -495,13 +496,16 @@ class EvaluationTransformer:
     ``idColumn``/``buckets`` (lift_table, buckets default 10),
     ``labelColumn``/``predictionColumn`` (classification_report),
     ``raterAColumn``/``raterBColumn`` (cohens_kappa),
-    ``groupBy`` (csv, optional for all)."""
+    ``scoreColumn``/``labelColumn`` + ``bins``/``lo``/``hi``
+    (isotonic — PAV calibration, groupBy not applicable),
+    ``groupBy`` (csv, optional otherwise)."""
 
     _REQUIRED = {
         "auc": ("scoreColumn", "labelColumn"),
         "classification_report": ("labelColumn", "predictionColumn"),
         "lift_table": ("scoreColumn", "labelColumn", "idColumn"),
         "cohens_kappa": ("raterAColumn", "raterBColumn"),
+        "isotonic": ("scoreColumn", "labelColumn"),
     }
 
     def validate(self, df, config):
@@ -559,6 +563,15 @@ class EvaluationTransformer:
                 buckets=int(opts.get("buckets", 10)),
                 group_by=group_by,
             )
+        if op == "isotonic":
+            return isotonic_calibration(
+                df,
+                opts["scoreColumn"],
+                opts["labelColumn"],
+                bins=int(opts.get("bins", 20)),
+                lo=float(opts.get("lo", 0.0)),
+                hi=float(opts.get("hi", 1.0)),
+            )
         return cohens_kappa(
             df, opts["raterAColumn"], opts["raterBColumn"], group_by
         )
@@ -568,3 +581,105 @@ class EvaluationTransformer:
             f"{k}={v}" for k, v in sorted(config.options.items())
         )
         return f"evaluation({opts})"
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration over a binned score —
+    the standard monotone recalibration step between a quality/reward
+    model's raw score and the keep-probability a curation pipeline
+    actually uses. Scores bin into ``bins`` equal-width cells on
+    [lo, hi) (underflow/overflow clamp to the edge cells); per-bin
+    exact counts (n, positives) reduce map-side in ONE aggregation;
+    the pool-adjacent-violators sweep then runs DRIVER-SIDE over the
+    <= bins rows (the kmeans-centroid posture: bounded driver work on
+    an already-reduced relation), merging any bin whose raw rate
+    exceeds its successor's until the sequence is nondecreasing.
+
+    Everything is exact integer arithmetic: pools compare rates as
+    cross-products (pos_i * n_j vs pos_j * n_i — no division until
+    the close), and the fitted rate is the ONE division
+    pooled_pos/pooled_n, so the result is bit-identical on any engine
+    and replayable in SQL through the minimax characterization
+    ``iso[i] = max_{j<=i} min_{k>=i} (sum pos[j..k] / sum n[j..k])``
+    — equal rationals round to the same double, so the oracle's
+    interval form and the pool form agree exactly (the optimizing
+    interval IS the pool).
+
+    Returns one row per non-empty bin: ``bin`` (int), ``bin_lo``/
+    ``bin_hi`` (double bin edges), ``n``/``n_pos`` (long),
+    ``rate_raw`` and ``rate_iso`` (double). Rows with NULL score or
+    label are excluded.
+    """
+    if int(bins) < 1:
+        raise TransformationError("isotonic_calibration requires bins >= 1")
+    if not hi > lo:
+        raise TransformationError("isotonic_calibration requires hi > lo")
+    _check_cols(df, [score_col, label_col])
+    B = int(bins)
+    x = F.col(score_col).cast("double")
+    idx = F.least(
+        F.greatest(
+            F.floor((x - F.lit(lo)) / F.lit((hi - lo) / B)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(B - 1),
+    )
+    per_bin = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("int")).cast("long").alias("n_pos"),
+        )
+    )
+    rows = sorted(per_bin.collect(), key=lambda r: r["bin"])
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [],
+            "bin int, bin_lo double, bin_hi double, n long, n_pos long, "
+            "rate_raw double, rate_iso double",
+        )
+    # PAV: stack of pools as (bins, n, pos); merge while decreasing
+    pools: list[list] = []
+    for r in rows:
+        cur = [[r["bin"]], int(r["n"]), int(r["n_pos"])]
+        pools.append(cur)
+        # rate(prev) > rate(cur)  <=>  pos_p * n_c > pos_c * n_p
+        while (
+            len(pools) >= 2
+            and pools[-2][2] * pools[-1][1] > pools[-1][2] * pools[-2][1]
+        ):
+            b2, n2, p2 = pools.pop()
+            pools[-1][0] += b2
+            pools[-1][1] += n2
+            pools[-1][2] += p2
+    width = (hi - lo) / B
+    out_rows = []
+    raw = {r["bin"]: (int(r["n"]), int(r["n_pos"])) for r in rows}
+    for bin_list, pn, pp in pools:
+        iso = float(pp) / float(pn)
+        for b in bin_list:
+            n_b, p_b = raw[b]
+            out_rows.append(
+                (
+                    int(b),
+                    lo + b * width,
+                    lo + (b + 1) * width,
+                    n_b,
+                    p_b,
+                    float(p_b) / float(n_b),
+                    iso,
+                )
+            )
+    return df.sparkSession.createDataFrame(
+        sorted(out_rows),
+        "bin int, bin_lo double, bin_hi double, n long, n_pos long, "
+        "rate_raw double, rate_iso double",
+    )

@@ -221,3 +221,85 @@ def test_lift_table_matches_native_ntile_and_stays_distributed(spark):
     ).executedPlan().toString()
     assert "ntile(" not in plan
     assert "hashpartitioning(_pid" in plan
+
+
+def _py_pav(pairs):
+    """Pure-python PAV over (n, pos) bins -> iso rate per bin index."""
+    pools = []
+    for b, (n, p) in enumerate(pairs):
+        pools.append([[b], n, p])
+        while len(pools) >= 2 and pools[-2][2] * pools[-1][1] > \
+                pools[-1][2] * pools[-2][1]:
+            bs, n2, p2 = pools.pop()
+            pools[-1][0] += bs
+            pools[-1][1] += n2
+            pools[-1][2] += p2
+    out = {}
+    for bs, n, p in pools:
+        for b in bs:
+            out[b] = p / n
+    return out
+
+
+def test_isotonic_calibration_hand_computed(spark):
+    from etl_spark_gradle_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    # 4 bins with a violation: rates .8, .2, .5, .9 -> bins 0..2 pool
+    # when needed; PAV: [.8], [.2] violates -> pool(0,1)=.5; then .5
+    # vs .5 ok (not strict); final: .5 .5 .5 .9
+    rows = []
+    spec = [(0.1, 10, 8), (0.3, 10, 2), (0.6, 10, 5), (0.9, 10, 9)]
+    for center, n, p in spec:
+        rows += [(center, 1)] * p + [(center, 0)] * (n - p)
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in
+           isotonic_calibration(df, "score", "label", bins=4).collect()}
+    assert [out[b]["rate_raw"] for b in range(4)] == [0.8, 0.2, 0.5, 0.9]
+    want = _py_pav([(10, 8), (10, 2), (10, 5), (10, 9)])
+    got = {b: out[b]["rate_iso"] for b in out}
+    assert got == want
+    # monotone nondecreasing by construction
+    iso = [out[b]["rate_iso"] for b in sorted(out)]
+    assert all(a <= b for a, b in zip(iso, iso[1:]))
+    # mass preserved: sum n*iso == total positives (PAV invariant)
+    assert sum(out[b]["n"] * out[b]["rate_iso"] for b in out) == \
+        pytest.approx(sum(p for _, _, p in spec))
+
+
+def test_isotonic_calibration_edges_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    # out-of-range scores clamp to edge bins; nulls excluded
+    df = spark.createDataFrame(
+        [(-5.0, 0), (0.05, 1), (99.0, 1), (None, 1), (0.5, None)],
+        "score double, label int",
+    )
+    out = {r["bin"]: r for r in
+           isotonic_calibration(df, "score", "label", bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["n"] == 2 and out[9]["n"] == 1
+    # already-monotone input is untouched
+    mono = spark.createDataFrame(
+        [(0.1, 0), (0.1, 0), (0.9, 1), (0.9, 1)], "score double, label int"
+    )
+    m = {r["bin"]: r for r in
+         isotonic_calibration(mono, "score", "label", bins=2).collect()}
+    assert m[0]["rate_iso"] == 0.0 and m[1]["rate_iso"] == 1.0
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    cfg = TransformationConfig(
+        type="evaluation",
+        options={"operation": "isotonic", "scoreColumn": "score",
+                 "labelColumn": "label", "bins": "2"},
+    )
+    assert t.validate(mono, cfg).is_valid
+    assert t.transform(mono, cfg, None).count() == 2
+    # empty input keeps the declared schema
+    empty = spark.createDataFrame([], "score double, label int")
+    e = isotonic_calibration(empty, "score", "label")
+    assert e.count() == 0 and "rate_iso" in e.columns
