@@ -185,6 +185,7 @@ from etl_spark_gradle_spark.operators.evaluation import (  # noqa: F401
 from etl_spark_gradle_spark.operators.stats import (  # noqa: F401
     DiscretizeTransformer,
     DriftTransformer,
+    QuantileNormalizeTransformer,
     StatsTransformer,
     category_drift,
     discretize,
@@ -278,6 +279,7 @@ TRANSFORMER_REGISTRY = {
     "debounce": DebounceTransformer(),
     "edit_join": EditJoinTransformer(),
     "evaluation": EvaluationTransformer(),
+    "quantile_normalize": QuantileNormalizeTransformer(),
     "stats": StatsTransformer(),
     "resample": ResampleTransformer(),
     "rolling_median": RollingMedianTransformer(),

@@ -2334,3 +2334,63 @@ class StatsTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"stats({opts})"
+
+
+class QuantileNormalizeTransformer:
+    """Registry adapter (``type: quantile_normalize``). Options:
+    ``valueColumn`` (required), ``referenceTable`` (a ``views:``
+    entry, required), ``referenceColumn`` (defaults to
+    ``valueColumn``), ``outputColumn`` (default in-place). Completes
+    the YAML surface for :func:`quantile_normalize` — the operator
+    itself predates the adapter (round 8); the reference distribution
+    arrives as a named secondary source, the ``negative_sample``
+    pattern."""
+
+    def validate(self, df, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if not opts.get("valueColumn"):
+            errors.append("quantile_normalize requires 'valueColumn'")
+        elif opts["valueColumn"] not in df.columns:
+            errors.append(
+                f"column not in input schema: {opts['valueColumn']}"
+            )
+        if not opts.get("referenceTable"):
+            errors.append(
+                "quantile_normalize requires 'referenceTable' "
+                "(a views: entry)"
+            )
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df, config, ctx):
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "quantile_normalize config invalid: "
+                + "; ".join(result.errors)
+            )
+        opts = config.options
+        ref = ctx.spark.table(opts["referenceTable"])
+        return quantile_normalize(
+            df,
+            opts["valueColumn"],
+            ref,
+            opts.get("referenceColumn", opts["valueColumn"]),
+            out_col=opts.get("outputColumn"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(
+            f"{k}={v}" for k, v in sorted(config.options.items())
+        )
+        return f"quantile_normalize({opts})"

@@ -1238,3 +1238,44 @@ class TestPropZtest:
             type="stats", options={"operation": "prop_ztest"}
         )
         assert not t.validate(df, bad).is_valid
+
+
+def test_quantile_normalize_yaml_adapter(spark):
+    """Round-9 YAML surface completion: quantile_normalize gets a
+    registry route (referenceTable via views, the negative_sample
+    pattern) — output equals the direct operator call."""
+    import types
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.stats import quantile_normalize
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (1, 2, 2, 5, 9)], "x double"
+    )
+    ref = spark.createDataFrame(
+        [(float(v),) for v in (10, 20, 30, 40, 50)], "r double"
+    )
+    ref.createOrReplaceTempView("_qn_ref")
+    t = TRANSFORMER_REGISTRY["quantile_normalize"]
+    cfg = TransformationConfig(
+        type="quantile_normalize",
+        options={"valueColumn": "x", "referenceTable": "_qn_ref",
+                 "referenceColumn": "r", "outputColumn": "xn"},
+    )
+    assert t.validate(df, cfg).is_valid
+    got = sorted(
+        (r["x"], r["xn"])
+        for r in t.transform(df, cfg, types.SimpleNamespace(spark=spark))
+        .collect()
+    )
+    want = sorted(
+        (r["x"], r["xn"])
+        for r in quantile_normalize(df, "x", ref, "r", out_col="xn")
+        .collect()
+    )
+    assert got == want and {v for _, v in got} <= {10, 20, 30, 40, 50}
+    bad = TransformationConfig(
+        type="quantile_normalize", options={"valueColumn": "x"}
+    )
+    assert not t.validate(df, bad).is_valid
