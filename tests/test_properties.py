@@ -1015,3 +1015,49 @@ def test_lift_table_buckets_match_python_ntile(spark_prop, rows, buckets):
         acc[0] += 1
         acc[1] += int(l)
     assert got == {b: tuple(v) for b, v in want.items()}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=9),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_isotonic_matches_pure_python_pav(spark_prop, spec):
+    """isotonic_calibration must equal a pure-python PAV over any
+    per-bin (n, pos<=n) profile: monotone fitted rates, exact pooled
+    fractions, mass preserved."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    spec = [(n, min(p, n)) for n, p in spec]
+    B = len(spec)
+    rows = []
+    for b, (n, p) in enumerate(spec):
+        center = (b + 0.5) / B
+        rows += [(center, 1)] * p + [(center, 0)] * (n - p)
+    df = spark_prop.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in
+           isotonic_calibration(df, "score", "label", bins=B).collect()}
+
+    pools = []
+    for b, (n, p) in enumerate(spec):
+        pools.append([[b], n, p])
+        while len(pools) >= 2 and pools[-2][2] * pools[-1][1] > \
+                pools[-1][2] * pools[-2][1]:
+            bs, n2, p2 = pools.pop()
+            pools[-1][0] += bs
+            pools[-1][1] += n2
+            pools[-1][2] += p2
+    want = {}
+    for bs, n, p in pools:
+        for b in bs:
+            want[b] = p / n
+    got = {b: out[b]["rate_iso"] for b in out}
+    assert got == want
+    iso = [got[b] for b in sorted(got)]
+    assert all(a <= c for a, c in zip(iso, iso[1:]))
