@@ -5186,6 +5186,67 @@ FROM totals, chance
 """
 
 
+def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority regression-model evaluation (MAE/MSE/RMSE/bias/R²)
+    of a synthetic price predictor against o_totalprice. Exact
+    decimal(18,2) error moments from ONE map-side-combined
+    aggregation, string-roundtrip decimal→double close, fixed-order
+    statistics; RMSE is the single correctly-rounded sqrt of the
+    already-agreed MSE."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        regression_metrics,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("y"),
+        # floor()*0.5 keeps the prediction EXACTLY representable at
+        # two decimals: a generic double product rounds to decimal(18,2)
+        # differently across engines at half-way points (Spark
+        # HALF_UP vs DuckDB's rounding of the binary expansion)
+        (
+            F.floor(F.col("o_totalprice")).cast("double") * F.lit(0.5)
+            + F.lit(1000.0)
+        ).alias("pred"),
+    )
+    return regression_metrics(scored, "y", "pred", ["o_orderpriority"])
+
+
+_REGRESSION_METRICS_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+         CAST(CAST(FLOOR(o_totalprice) AS DOUBLE) * CAST(0.5 AS DOUBLE)
+              + 1000.0 AS DECIMAL(18,2)) AS p
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(y - p) AS VARCHAR) AS DOUBLE) AS se,
+         CAST(CAST(SUM(ABS(y - p)) AS VARCHAR) AS DOUBLE) AS sae,
+         CAST(CAST(SUM(CAST((y - p) * (y - p) AS DECIMAL(38,4)))
+              AS VARCHAR) AS DOUBLE) AS see,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS VARCHAR)
+              AS DOUBLE) AS syy
+  FROM base GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       sae / CAST(n AS DOUBLE) AS mae,
+       see / CAST(n AS DOUBLE) AS mse,
+       sqrt(see / CAST(n AS DOUBLE)) AS rmse,
+       se / CAST(n AS DOUBLE) AS bias,
+       CASE WHEN CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+         1.0 - (CAST(n AS DOUBLE) * see)
+                 / (CAST(n AS DOUBLE) * syy - sy * sy)
+       END AS r2
+FROM agg
+"""
+
+
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of a synthetic model score (order
     total's fractional band) against the finalized label, 20 bins.
@@ -9885,6 +9946,7 @@ _GATE_WINDOW: list[str] = [
     "l_diversity",
     "streaming_kmv",
     "isotonic",
+    "regression_metrics",
     "pii_scan",
     "sketch_distinct",
     "chunk_docs",
@@ -9923,7 +9985,6 @@ _GATE_WINDOW: list[str] = [
     "rank_sum",
     "cms_join_estimate",
     "cohort",
-    "correlation",
 ]
 
 
@@ -10013,6 +10074,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_table": q_lift_table,
         "cohens_kappa": q_cohens_kappa,
         "isotonic": q_isotonic,
+        "regression_metrics": q_regression_metrics,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -10309,6 +10371,7 @@ def oracle_sql() -> dict[str, str]:
         "lift_table": _LIFT_TABLE_ORACLE,
         "cohens_kappa": _COHENS_KAPPA_ORACLE,
         "isotonic": _ISOTONIC_ORACLE,
+        "regression_metrics": _REGRESSION_METRICS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

@@ -54,6 +54,7 @@ __all__ = [
     "lift_table",
     "cohens_kappa",
     "isotonic_calibration",
+    "regression_metrics",
     "EvaluationTransformer",
 ]
 
@@ -506,6 +507,7 @@ class EvaluationTransformer:
         "lift_table": ("scoreColumn", "labelColumn", "idColumn"),
         "cohens_kappa": ("raterAColumn", "raterBColumn"),
         "isotonic": ("scoreColumn", "labelColumn"),
+        "regression_metrics": ("labelColumn", "predictionColumn"),
     }
 
     def validate(self, df, config):
@@ -571,6 +573,10 @@ class EvaluationTransformer:
                 bins=int(opts.get("bins", 20)),
                 lo=float(opts.get("lo", 0.0)),
                 hi=float(opts.get("hi", 1.0)),
+            )
+        if op == "regression_metrics":
+            return regression_metrics(
+                df, opts["labelColumn"], opts["predictionColumn"], group_by
             )
         return cohens_kappa(
             df, opts["raterAColumn"], opts["raterBColumn"], group_by
@@ -682,4 +688,63 @@ def isotonic_calibration(
         sorted(out_rows),
         "bin int, bin_lo double, bin_hi double, n long, n_pos long, "
         "rate_raw double, rate_iso double",
+    )
+
+
+def regression_metrics(
+    df: DataFrame,
+    y_col: str,
+    pred_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Per-group regression-model evaluation — MAE, MSE, RMSE, mean
+    error (bias) and the coefficient of determination R² = 1 −
+    SS_res/SS_tot — the continuous-target counterpart of :func:`auc`.
+
+    Exactness follows ``stats.linear_fit``: values quantize to the
+    repo-wide decimal(18,2) resolution, every sum (Σe, Σ|e|, Σe², Σy,
+    Σy²) accumulates as exact decimal in ONE map-side-combined
+    aggregation, the decimal→double close is the string round-trip,
+    and each statistic is a short fixed-order double expression (RMSE
+    is the single correctly-rounded sqrt of the already-agreed MSE,
+    identical bits on every IEEE engine). Rows with NULL y or pred are
+    excluded; zero-variance targets yield NULL r2 (undefined, not 0).
+
+    Plan at 100 TB: one shuffle carrying seven numbers per group —
+    the cheapest possible model read, and the moment row is mergeable
+    across shards/days by plain addition.
+
+    Output: group cols + ``n`` (long) + ``mae``/``mse``/``rmse``/
+    ``bias``/``r2`` (double)."""
+    from etl_spark_gradle_spark.operators.stats import _d, _dec
+
+    group_by = group_by or []
+    _check_cols(df, [y_col, pred_col, *group_by])
+    e = (_dec(y_col) - _dec(pred_col)).cast("decimal(19,2)")
+    y = _dec(y_col)
+    agg = (
+        df.where(F.col(y_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(*group_by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(e).alias("_se"),
+            F.sum(F.abs(e)).alias("_sae"),
+            F.sum((e * e).cast("decimal(38,4)")).alias("_see"),
+            F.sum(y).alias("_sy"),
+            F.sum((y * y).cast("decimal(38,4)")).alias("_syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    se, sae, see = _d(F.col("_se")), _d(F.col("_sae")), _d(F.col("_see"))
+    sy, syy = _d(F.col("_sy")), _d(F.col("_syy"))
+    ss_tot = n * syy - sy * sy
+    mse = see / n
+    return agg.select(
+        *group_by,
+        "n",
+        (sae / n).alias("mae"),
+        mse.alias("mse"),
+        F.sqrt(mse).alias("rmse"),
+        (se / n).alias("bias"),
+        F.when(ss_tot > 0, F.lit(1.0) - (n * see) / ss_tot).alias("r2"),
     )

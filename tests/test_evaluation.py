@@ -303,3 +303,47 @@ def test_isotonic_calibration_edges_and_adapter(spark):
     empty = spark.createDataFrame([], "score double, label int")
     e = isotonic_calibration(empty, "score", "label")
     assert e.count() == 0 and "rate_iso" in e.columns
+
+
+def test_regression_metrics_hand_computed(spark):
+    from etl_spark_gradle_spark.operators.evaluation import (
+        regression_metrics,
+    )
+
+    # y: 1,2,3,4 ; p: 1,1,4,6 -> e = 0,1,-1,-2
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 4.0), (4.0, 6.0), (None, 9.0)],
+        "y double, p double",
+    )
+    r = regression_metrics(df, "y", "p").collect()[0]
+    assert r["n"] == 4
+    assert r["mae"] == pytest.approx(4 / 4)
+    assert r["mse"] == pytest.approx(6 / 4)
+    assert r["rmse"] == pytest.approx((6 / 4) ** 0.5)
+    assert r["bias"] == pytest.approx(-2 / 4)
+    # SS_tot = sum (y - 2.5)^2 = 5 ; r2 = 1 - 6/5
+    assert r["r2"] == pytest.approx(1 - 6 / 5)
+
+    # perfect prediction per group; constant-target group -> NULL r2
+    g = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 5.0, 5.0), ("b", 3.0, 2.0),
+         ("b", 3.0, 4.0)],
+        "g string, y double, p double",
+    )
+    rows = {r["g"]: r for r in
+            regression_metrics(g, "y", "p", ["g"]).collect()}
+    assert rows["a"]["mse"] == 0.0 and rows["a"]["r2"] == 1.0
+    assert rows["b"]["r2"] is None  # zero target variance
+    assert rows["b"]["mae"] == pytest.approx(1.0)
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    cfg = TransformationConfig(
+        type="evaluation",
+        options={"operation": "regression_metrics", "labelColumn": "y",
+                 "predictionColumn": "p", "groupBy": "g"},
+    )
+    assert t.validate(g, cfg).is_valid
+    assert t.transform(g, cfg, None).count() == 2
