@@ -66,11 +66,18 @@ def test_window_pins_and_unrecorded_first():
 
 def test_pins_release_on_green_ecdf(tmp_path, monkeypatch):
     tool = _tool()
-    # with only the real (r<=8) history the pins are active
+    # hermetic: point REPO at a synthetic fixture BEFORE the first
+    # assertion — the old version read the real repo state, whose
+    # precondition expired the moment the driver wrote
+    # CORRECTNESS_r09.json (VERDICT r9 "What's wrong" #1)
+    monkeypatch.setattr(tool, "REPO", tmp_path)
+    # synthetic r<=8 history only: pins active
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        json.dumps({"ecdf": {"hash_match": False}})
+    )
     assert tool._pinned() == ["ecdf", "quantiles_linear",
                               "weighted_quantiles"]
     # a synthetic r09 green row releases them
-    monkeypatch.setattr(tool, "REPO", tmp_path)
     (tmp_path / "CORRECTNESS_r09.json").write_text(
         json.dumps({"ecdf": {"rows_match": True, "schema_match": True,
                              "hash_match": True}})
@@ -82,3 +89,21 @@ def test_pins_release_on_green_ecdf(tmp_path, monkeypatch):
     )
     assert tool._pinned() == ["ecdf", "quantiles_linear",
                               "weighted_quantiles"]
+
+
+def test_record_ts_falls_back_to_file_mtime(tmp_path, monkeypatch):
+    """An on-disk CORRECTNESS file with NO record commit must use the
+    file's mtime, never epoch 0 — the r9 epoch fallback ranked the 50
+    just-verified queries as the stalest in the catalog and would have
+    hijacked the next gate window (VERDICT r9 "What's wrong" #2)."""
+    tool = _tool()
+    monkeypatch.setattr(tool, "REPO", tmp_path)
+    f = tmp_path / "CORRECTNESS_r42.json"
+    f.write_text(json.dumps({"ecdf": {"hash_match": True}}))
+    # no 'round 42: verdict/' commit anywhere -> mtime fallback
+    ts = tool.record_ts(42, {})
+    assert ts == int(f.stat().st_mtime) and ts > 0
+    # a real record commit still wins over the mtime
+    assert tool.record_ts(42, {42: 1234567890}) == 1234567890
+    # a round with neither commit nor file -> 0 (genuinely unrecorded)
+    assert tool.record_ts(7, {}) == 0

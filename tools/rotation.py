@@ -74,6 +74,25 @@ def round_record_commits() -> dict[int, int]:
     return rounds
 
 
+def record_ts(r: int, rounds: dict[int, int]) -> int:
+    """Timestamp of round *r*'s driver record.
+
+    Prefers the ``round N: verdict/...`` record commit. When the
+    CORRECTNESS file exists on disk but the record commit hasn't landed
+    yet (mid-round: the driver drops CORRECTNESS_r0N.json BEFORE its
+    verdict commit), fall back to the file's mtime — never 0. The r9
+    epoch-0 fallback ranked the 50 just-verified queries as the
+    catalog's STALEST (≈496,000 h) and would have burned the entire
+    next gate window re-testing them (VERDICT r9 "What's wrong").
+    """
+    if r in rounds:
+        return rounds[r]
+    f = REPO / f"CORRECTNESS_r{r:02d}.json"
+    if f.exists():
+        return int(f.stat().st_mtime)
+    return 0
+
+
 def last_recorded() -> dict[str, int]:
     """query name -> last round with a driver row (any color)."""
     last: dict[str, int] = {}
@@ -153,7 +172,7 @@ def build_queue() -> list[dict]:
     rows = []
     for name, t_touch in touched.items():
         r = recorded.get(name, 0)
-        t_rec = rounds.get(r, 0)
+        t_rec = record_ts(r, rounds) if r else 0
         rows.append(
             {
                 "query": name,
