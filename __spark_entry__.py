@@ -5247,6 +5247,73 @@ FROM agg
 """
 
 
+def q_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Brier score + expected calibration error of a
+    synthetic on-grid probability (cents band of the order total,
+    exactly representable at decimal(18,2)) against the finalized
+    label, 20 bins on [0,1). ECE's textbook per-bin weighted gap
+    collapses to Σ|Σp − pos|/N — exact decimal until ONE division —
+    so Spark and the oracle agree bit-for-bit."""
+    from etl_spark_gradle_spark.operators.evaluation import brier_ece
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority",
+        # k/100 for k in 0..99: ON the decimal(18,2) grid, so the
+        # quantization never hits a cross-engine half-way point
+        (
+            (F.floor(F.col("o_totalprice")).cast("long") % 100).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return brier_ece(
+        scored, "score", "label", bins=20, group_by=["o_orderpriority"]
+    )
+
+
+_BRIER_ECE_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 100 AS DOUBLE)
+           / 100.0 AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+), pts AS (
+  SELECT o_orderpriority,
+         LEAST(GREATEST(CAST(FLOOR((x - 0.0) / CAST(0.05 AS DOUBLE))
+           AS INT), 0), 19) AS bin,
+         CAST(x AS DECIMAL(18,2)) AS p, y
+  FROM base
+), perbin AS (
+  SELECT o_orderpriority, bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         SUM(p) AS sp,
+         SUM(CAST(CAST(p - y AS DECIMAL(19,2))
+                  * CAST(p - y AS DECIMAL(19,2)) AS DECIMAL(38,4)))
+           AS sqe
+  FROM pts GROUP BY o_orderpriority, bin
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(CAST(SUM(sqe) AS VARCHAR) AS DOUBLE) AS tsqe,
+         CAST(CAST(SUM(ABS(CAST(sp - pos AS DECIMAL(38,2))))
+              AS VARCHAR) AS DOUBLE) AS tgap
+  FROM perbin GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, n_bins,
+       tsqe / CAST(n AS DOUBLE) AS brier,
+       tgap / CAST(n AS DOUBLE) AS ece
+FROM agg
+"""
+
+
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of a synthetic model score (order
     total's fractional band) against the finalized label, 20 bins.
@@ -10075,6 +10142,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "isotonic": q_isotonic,
         "regression_metrics": q_regression_metrics,
+        "brier_ece": q_brier_ece,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -10372,6 +10440,7 @@ def oracle_sql() -> dict[str, str]:
         "cohens_kappa": _COHENS_KAPPA_ORACLE,
         "isotonic": _ISOTONIC_ORACLE,
         "regression_metrics": _REGRESSION_METRICS_ORACLE,
+        "brier_ece": _BRIER_ECE_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

@@ -152,6 +152,17 @@ def main() -> int:
     if timed:
         args.remove("--timings")
     if args and args[0] == "--all-sfs":
+        if timed:
+            # ADVICE r9: this combination used to silently drop the
+            # timings gate — the flag was stripped and this branch
+            # returned before any timing was collected, so a sweep
+            # intending to gate both SFs gated nothing
+            print(
+                "error: --timings cannot be combined with --all-sfs "
+                "(SWEEP_TIMINGS.json floors are single-SF); run "
+                "--timings per sf_dir instead"
+            )
+            return 2
         only = set(args[1:])
         rc = 0
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):

@@ -22,6 +22,64 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def unpartitioned_window_count(df) -> int:
+    """Number of Window nodes with an EMPTY partition spec in the
+    optimized logical plan. Each one plans as a single-partition
+    WindowExec — the whole frame funnels through ONE task, the scale
+    cliff that hit ecdf (r6), lift_table v1 (r9) and ungrouped auc
+    (r9). Parsed from the plan's JSON form, not the explain string
+    (the formatted text is ambiguous about empty partition specs)."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return sum(
+        1
+        for nd in nodes
+        if nd.get("class", "").endswith(".Window")
+        and not nd.get("partitionSpec")
+    )
+
+
+# Queries ALLOWED to plan N unpartitioned windows because each such
+# window provably runs on a BOUNDED frame (size independent of data
+# scale) — the only legitimate use. Everything else must have ZERO.
+# Bounded classes in this repo:
+#   - stats._prefix_sums offsets: Window.orderBy(_pid) over the <=P-row
+#     per-bucket totals table (P = shuffle partitions);
+#   - lift_table bucket close: cumulative window over the <=B-row
+#     bucket table (B = ntile count, default 10);
+#   - driver-literal attach frames: 1-row or <=k-row tables (tpch Q
+#     share-of-total, infotheory totals, corpus mixture boundaries).
+# Update this list ONLY with a boundedness argument in the comment.
+BOUNDED_WINDOW_EXEMPT: dict[str, int] = {}
+
+
+def window_sweep(spark, entrymod, sf_dir: str) -> int:
+    """Battery rule (VERDICT r9 ask #3): every registered query's plan
+    must be free of unpartitioned windows except the annotated-bounded
+    exemptions above. Manual audits caught auc; this catches the next
+    one for free."""
+    failed = 0
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            cnt = unpartitioned_window_count(fn(spark, sf_dir))
+        except Exception as exc:  # plan construction itself failed
+            failed += 1
+            print(f"FAIL {name}: plan construction error: {exc!r}")
+            continue
+        allowed = BOUNDED_WINDOW_EXEMPT.get(name, 0)
+        if cnt > allowed:
+            failed += 1
+            print(
+                f"FAIL {name}: {cnt} unpartitioned Window(s), "
+                f"{allowed} exempt — single-partition scale cliff"
+            )
+        elif cnt:
+            print(f"PASS {name}: {cnt} unpartitioned (bounded, exempt)")
+    print(f"window sweep: {failed} failures")
+    return failed
+
+
 CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     # (query, description, must_contain, must_not_contain)
     (
@@ -662,13 +720,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entrymod
     from etl_spark_gradle_spark.session import get_spark
 
     spark = get_spark(app_name="plan-audit", master="local[4]",
                       conf={"spark.sql.shuffle.partitions": "4"})
+    if "--window-sweep" in sys.argv[1:]:
+        return 1 if window_sweep(spark, entrymod, sf_dir) else 0
     qs = entrymod.queries()
     failed = 0
     for name, desc, must, must_not in CHECKS:
