@@ -5621,10 +5621,23 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order count), monetary (EXACT decimal spend, closed to double via
     the string round-trip), then ntile(5) quintile scores with
     custkey tiebreaks so the ranking is total and engine-independent.
-    The quintile windows are global but CUSTOMER-count-sized
-    (dimension scale); for fact-scale percentiles use the distributed
-    `ecdf` path instead."""
+
+    r10 scale rewrite: three global ``ntile().over(orderBy(...))``
+    windows each funneled the customer table through one task. Now a
+    FUSED three-order two-level rank scan: ONE multi-column
+    ``approxQuantile`` job yields range split points for all three
+    metrics (ASC orders mirror through negation, custkey-ASC is every
+    tiebreak), ONE exploded (metric, _pid) count job yields all three
+    literal offset tables (≤ 3·P rows), and the three per-_pid
+    ``row_number`` windows evaluate in a single pass over the frame —
+    rank = offset + local row_number, bucket = the closed-form
+    ``ntile_from_rank``. No joins, no single-partition windows,
+    values identical to the old plan."""
     from pyspark.sql import Window as W
+
+    from etl_spark_gradle_spark.operators.evaluation import (
+        ntile_from_rank,
+    )
 
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
@@ -5644,20 +5657,90 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         F.col("_mon").cast("string").cast("double").alias("monetary"),
     )
-    r5 = F.ntile(5).over(
-        W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    # DESC-order proxies: double casts are exact (longs < 2^53) and
+    # order-preserving, so (proxy desc, custkey asc) reproduces each
+    # original ntile order; one materialization feeds every job below
+    metrics = {"r": "-recency_days", "f": "frequency", "m": "monetary"}
+    wide = base.select(
+        "*",
+        *[
+            F.expr(e).cast("double").alias(f"_s_{k}")
+            for k, e in metrics.items()
+        ],
+    ).localCheckpoint(eager=True)
+    P = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    probs = [i / P for i in range(1, P)] or [0.5]
+    # ONE quantile job covers all three order columns
+    all_bounds = wide.approxQuantile(
+        [f"_s_{k}" for k in metrics], probs, max(0.0001, 1.0 / (8 * P))
     )
-    f5 = F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-    m5 = F.ntile(5).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-    return base.select(
+    pid_exprs = {}
+    for (k, _), bs in zip(metrics.items(), all_bounds):
+        bs = sorted(set(bs))
+        if len(bs) > 1:
+            arr = F.array(*[F.lit(float(b)) for b in bs])
+            pid_exprs[k] = F.size(
+                F.filter(arr, lambda b: b >= F.col(f"_s_{k}"))
+            )
+        else:  # degenerate distribution: one range
+            pid_exprs[k] = F.lit(0)
+    tagged = wide.select(
+        "*", *[pid_exprs[k].alias(f"_pid_{k}") for k in metrics]
+    )
+    # ONE count job yields every metric's per-range totals (≤ 3·P rows)
+    cnt_rows = (
+        tagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("m"),
+                            F.col(f"_pid_{k}").alias("p"),
+                        )
+                        for k in metrics
+                    ]
+                )
+            ).alias("x")
+        )
+        .groupBy("x.m", "x.p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cnts: dict[str, dict[int, int]] = {k: {} for k in metrics}
+    for row in cnt_rows:
+        cnts[row["m"]][row["p"]] = row["c"]
+    n_total = sum(cnts["r"].values())
+    score_cols = {}
+    for k in metrics:
+        offs, acc = [], 0
+        for p in range(max(cnts[k], default=0) + 1):
+            offs.append(acc)
+            acc += cnts[k].get(p, 0)
+        off_arr = F.array(*[F.lit(int(o)) for o in offs])
+        w = W.partitionBy(f"_pid_{k}").orderBy(
+            F.col(f"_s_{k}").desc(), F.col("o_custkey").asc()
+        )
+        rank = (
+            F.element_at(off_arr, F.col(f"_pid_{k}") + 1)
+            + F.row_number().over(w)
+        ).cast("long")
+        score_cols[k] = ntile_from_rank(
+            rank, F.lit(int(n_total)), 5
+        ).cast("int")
+    scored = tagged.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        r5.alias("r"),
-        f5.alias("f"),
-        m5.alias("m"),
-        (r5 * 100 + f5 * 10 + m5).cast("long").alias("rfm_segment"),
+        score_cols["r"].alias("r"),
+        score_cols["f"].alias("f"),
+        score_cols["m"].alias("m"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("long")
+        .alias("rfm_segment"),
     )
 
 
@@ -5696,12 +5779,20 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition query: revenue concentration (Pareto / ABC
     analysis) by supplier — exact decimal revenue per supplier, rank,
     cumulative revenue share, and the top-80% flag. Cumulative sums
-    stay DECIMAL inside the window (float running sums diverge
-    cross-engine, the documented segment-tree-vs-sequential hazard);
-    only the final share closes to double through the string
-    round-trip. The ranking window is global but SUPPLIER-count-sized
-    (dimension scale)."""
-    from pyspark.sql import Window as W
+    stay DECIMAL end to end (float running sums diverge cross-engine,
+    the documented segment-tree-vs-sequential hazard); only the final
+    share closes to double through the string round-trip.
+
+    r10 scale rewrite: the old global ``Window.orderBy`` rank/cumsum/
+    total funneled the supplier table (10K·SF rows) through ONE task.
+    Now rank = ``_global_rank_desc`` (two-level range-bucketed scan),
+    the cumulative revenue = decimal-exact ``_prefix_sums`` over that
+    unique rank, and the total attaches as a 1-row broadcast — every
+    stage P-way parallel, output values identical."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        _global_rank_desc,
+    )
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
@@ -5714,18 +5805,23 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_rev")
     )
-    w_ord = W.orderBy(F.desc("_rev"), F.asc("l_suppkey"))
-    cum = F.sum("_rev").over(
-        w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts = rev.select(
+        F.col("_rev").alias("_s"), F.col("l_suppkey").alias("_id")
     )
-    total = F.sum("_rev").over(W.partitionBy())
-    share = cum.cast("string").cast("double") / total.cast("string").cast(
-        "double"
+    # rank over (rev desc, suppkey asc); _global_rank_desc pins pts,
+    # so the total below reuses the same materialized relation
+    ranked = _global_rank_desc(pts)
+    cum = _prefix_sums(
+        ranked.select("_s", "_id", "_rank"), "_rank", ["_s"]
     )
-    return rev.select(
-        "l_suppkey",
-        F.col("_rev").cast("string").cast("double").alias("revenue"),
-        F.row_number().over(w_ord).alias("rev_rank"),
+    total = ranked.agg(F.sum("_s").alias("_tot"))
+    share = F.col("cum__s").cast("string").cast("double") / F.col(
+        "_tot"
+    ).cast("string").cast("double")
+    return cum.crossJoin(F.broadcast(total)).select(
+        F.col("_id").alias("l_suppkey"),
+        F.col("_s").cast("string").cast("double").alias("revenue"),
+        F.col("_rank").cast("int").alias("rev_rank"),
         share.alias("cum_share"),
         (share <= 0.8).alias("is_top80"),
     )
@@ -7274,17 +7370,30 @@ def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey tiebreak for a total order). Per-customer spend is an
     exact decimal; the rank-weighted sum stays decimal (rank ≤ n, so
     decimal(18,6)·int products fit); TWO fixed divisions and one
-    subtraction close it. The window is customer-count-sized
-    (dimension scale)."""
-    from pyspark.sql import Window as W
+    subtraction close it.
+
+    r10 scale rewrite: the ascending rank used to be a global
+    ``Window.orderBy`` — one task holding the whole customer table.
+    Now it derives from ``_global_rank_desc``'s two-level scan via
+    the exact reversal i_asc = n + 1 − rank_desc, where the DESC
+    order (spend desc, custkey desc) is the mirror of (spend asc,
+    custkey asc) — custkey desc spelled as _id = −custkey since the
+    rank helper fixes _id ASC as its tiebreak. Values identical."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        _global_rank_desc,
+    )
 
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_x")
     )
-    w = W.orderBy(F.asc("_x"), F.asc("o_custkey"))
-    ranked = spend.withColumn("_i", F.row_number().over(w).cast("long"))
+    pts = spend.select(
+        F.col("_x").alias("_s"), (-F.col("o_custkey")).alias("_id"), "_x"
+    )
+    ranked = _global_rank_desc(pts).withColumn(
+        "_i", (F.col("_n") + 1 - F.col("_rank")).cast("long")
+    )
     # narrow the per-customer sum back to decimal(18,6) before the
     # rank product: a (38,6)·bigint multiply exceeds the 38-digit
     # decimal cap on strict engines; per-customer spend fits (18,6)

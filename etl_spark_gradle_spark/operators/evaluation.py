@@ -56,6 +56,7 @@ __all__ = [
     "isotonic_calibration",
     "regression_metrics",
     "brier_ece",
+    "ntile_from_rank",
     "EvaluationTransformer",
 ]
 
@@ -303,6 +304,33 @@ def _global_rank_desc(pts: DataFrame, num_partitions: int | None = None):
     ).withColumn("_n", F.lit(int(n)).cast("long"))
 
 
+def ntile_from_rank(rank, n, B: int):
+    """Closed-form SQL NTILE(B) bucket from a 1-based row rank and the
+    total count ``n`` — the distributed replacement for
+    ``ntile().over(orderBy(...))``'s single-partition window once a
+    global rank exists (``_global_rank_desc`` / a group window):
+    q = n div B, r = n mod B; the first r buckets carry q+1 rows.
+    Integer division is spelled (a - a%b)/b — the double divide of an
+    EXACT multiple, exact for counts < 2^53 (a bare (a/b)
+    .cast('long') truncates a double quotient and can misassign ranks
+    at bucket boundaries). Shared by ``lift_table`` and the RFM
+    quintile scoring."""
+
+    def _idiv(a, b):
+        return ((a - a % b) / b).cast("long")
+
+    q = _idiv(n, F.lit(B))
+    r = n % B
+    head = r * (q + 1)
+    return F.when(
+        rank <= head,
+        _idiv(rank - 1, q + 1) + 1,
+    ).otherwise(
+        # q is 0 only when n < B, and then every rank sits in `head`
+        r + _idiv(rank - head - 1, F.greatest(q, F.lit(1))) + 1
+    )
+
+
 def lift_table(
     df: DataFrame,
     score_col: str,
@@ -368,24 +396,7 @@ def lift_table(
         )
     else:
         ranked = _global_rank_desc(pts)
-    # closed-form SQL NTILE(B) over (rank, n): q = n div B, r = n mod
-    # B; the first r buckets carry q+1 rows. Integer division is done
-    # as (a - a%b)/b — the double divide of an EXACT multiple, exact
-    # for counts < 2^53 (a bare (a/b).cast('long') truncates a double
-    # quotient and can misassign ranks at bucket boundaries).
-    def _idiv(a, b):
-        return ((a - a % b) / b).cast("long")
-
-    q = _idiv(F.col("_n"), F.lit(B))
-    r = F.col("_n") % B
-    head = r * (q + 1)
-    bucket = F.when(
-        F.col("_rank") <= head,
-        _idiv(F.col("_rank") - 1, q + 1) + 1,
-    ).otherwise(
-        # q is 0 only when n < B, and then every rank sits in `head`
-        r + _idiv(F.col("_rank") - head - 1, F.greatest(q, F.lit(1))) + 1
-    )
+    bucket = ntile_from_rank(F.col("_rank"), F.col("_n"), B)
     bucketed = (
         ranked.withColumn("bucket", bucket.cast("int"))
         .groupBy(*group_by, "bucket")

@@ -564,10 +564,20 @@ def _prefix_sums(
     retry, and every re-execution assigns identical bucket ids by
     construction. No checkpoint, no sampled shuffle, nothing to pin.
 
-    Adds ``cum_<c>`` (long) for each ``sum_cols`` entry. Input rows
-    must be unique in ``order_col`` (pre-aggregate first — ties
-    within a rank would make "the" prefix sum ill-defined)."""
-    from pyspark.sql.types import NumericType
+    Adds ``cum_<c>`` for each ``sum_cols`` entry — long for integral
+    columns, exact ``decimal(38, scale)`` for decimal columns (a
+    float running sum would be partition-order dependent; widening to
+    38 digits keeps the per-bucket totals and offsets overflow-safe
+    at any SF). Input rows must be unique in ``order_col``
+    (pre-aggregate first — ties within a rank would make "the" prefix
+    sum ill-defined)."""
+    from pyspark.sql.types import DecimalType, NumericType
+
+    def _acc_type(c: str) -> str:
+        t = df.schema[c].dataType
+        if isinstance(t, DecimalType):
+            return f"decimal(38,{t.scale})"
+        return "long"
 
     spark = df.sparkSession
     P = int(
@@ -639,7 +649,7 @@ def _prefix_sums(
     for c in sum_cols:
         d = d.withColumn(f"_loc_{c}", F.sum(c).over(w_run))
     tot = d.groupBy("_pid").agg(
-        *[F.sum(c).cast("long").alias(f"_t_{c}") for c in sum_cols]
+        *[F.sum(c).cast(_acc_type(c)).alias(f"_t_{c}") for c in sum_cols]
     )
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -648,7 +658,7 @@ def _prefix_sums(
         "_pid",
         *[
             F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0))
-            .cast("long")
+            .cast(_acc_type(c))
             .alias(f"_off_{c}")
             for c in sum_cols
         ],
@@ -657,7 +667,7 @@ def _prefix_sums(
     for c in sum_cols:
         d = d.withColumn(
             f"cum_{c}",
-            (F.col(f"_loc_{c}") + F.col(f"_off_{c}")).cast("long"),
+            (F.col(f"_loc_{c}") + F.col(f"_off_{c}")).cast(_acc_type(c)),
         )
     return d.drop(
         "_pid", *[f"_loc_{c}" for c in sum_cols], *[f"_off_{c}" for c in sum_cols]

@@ -40,18 +40,42 @@ def unpartitioned_window_count(df) -> int:
     )
 
 
-# Queries ALLOWED to plan N unpartitioned windows because each such
-# window provably runs on a BOUNDED frame (size independent of data
-# scale) — the only legitimate use. Everything else must have ZERO.
+# Queries ALLOWED to plan N unpartitioned Window NODES because each
+# such node provably runs on a BOUNDED frame (size independent of
+# data scale) — the only legitimate use. Everything else must have
+# ZERO. Counts are optimized-plan node counts: a bounded subtree
+# referenced from k branches appears k times (Spark does not dedupe
+# logical subtrees), so the number encodes plan shape too — a count
+# increase means either a NEW unpartitioned window (audit it) or a
+# new reference to a bounded lineage (cheap, but worth knowing).
 # Bounded classes in this repo:
-#   - stats._prefix_sums offsets: Window.orderBy(_pid) over the <=P-row
-#     per-bucket totals table (P = shuffle partitions);
-#   - lift_table bucket close: cumulative window over the <=B-row
-#     bucket table (B = ntile count, default 10);
-#   - driver-literal attach frames: 1-row or <=k-row tables (tpch Q
-#     share-of-total, infotheory totals, corpus mixture boundaries).
-# Update this list ONLY with a boundedness argument in the comment.
-BOUNDED_WINDOW_EXEMPT: dict[str, int] = {}
+#   [PS] stats._prefix_sums offsets: Window.orderBy(_pid) over the
+#        <=P-row per-bucket totals table (P = shuffle partitions);
+#   [LT] lift_table bucket close: cumulative/total windows over the
+#        <=B-row bucket table (B = ntile count, default 10);
+#   [CT] category-cell tables: mutual_information's marginal windows
+#        over the |X|x|Y| joint-cell table;
+#   [BK] negative_sample's dense-bucket index: row_number over the
+#        per-frequency-bucket size table (<= #buckets rows);
+#   [WK] weekly_trend's lag over the per-WEEK count table (bounded by
+#        calendar span / 7).
+# Update ONLY with a boundedness argument in the comment.
+BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
+    "calibration": 1,          # [PS] via stats.ecdf
+    "conversion_latency": 1,   # [PS] via exact_quantiles
+    "ecdf": 1,                 # [PS]
+    "ks_drift": 1,             # [PS]
+    "lift_table": 2,           # [PS] + [LT]
+    "mutual_information": 1,   # [CT]
+    "negative_sample": 1,      # [BK]
+    "pareto": 1,               # [PS] (cum revenue over the rank)
+    "psi_drift": 4,            # [PS] edges lineage referenced 4x
+    "quantile_normalize": 2,   # [PS] both sides' CDFs
+    "quantiles": 1,            # [PS] via exact_quantiles
+    "rank_sum": 1,             # [PS]
+    "reorder_intervals": 1,    # [PS] via exact_quantiles
+    "weekly_trend": 1,         # [WK]
+}
 
 
 def window_sweep(spark, entrymod, sf_dir: str) -> int:
