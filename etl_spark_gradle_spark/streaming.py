@@ -437,6 +437,23 @@ def stream_stream_join(
     return left.join(right, cond, jt)
 
 
+def _apply_trigger(writer, trigger: str):
+    """Translate the string ``trigger`` option onto a stream writer.
+
+    ADVICE r9: an unrecognized value (e.g. 'once', or a typo of
+    'availableNow') used to fall through BOTH branches silently, so an
+    intended bounded drain started as the default ASAP micro-batch
+    trigger — an unbounded continuous query. Fail loudly instead."""
+    if trigger == "availableNow":
+        return writer.trigger(availableNow=True)
+    if trigger.startswith("processingTime="):
+        return writer.trigger(processingTime=trigger.split("=", 1)[1])
+    raise ConfigError(
+        "stream trigger must be 'availableNow' or "
+        f"'processingTime=<interval>', got '{trigger}'"
+    )
+
+
 def write_stream(
     df: DataFrame,
     options: dict[str, str],
@@ -475,10 +492,7 @@ def write_stream(
     if options.get("checkpointLocation"):
         writer = writer.option("checkpointLocation", options["checkpointLocation"])
     trigger = options.get("trigger", "availableNow")
-    if trigger == "availableNow":
-        writer = writer.trigger(availableNow=True)
-    elif trigger.startswith("processingTime="):
-        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    writer = _apply_trigger(writer, trigger)
     query = writer.start()
     if await_termination:
         query.awaitTermination()
@@ -672,10 +686,7 @@ def stream_dedup_against_store(
     )
     if query_name:
         writer = writer.queryName(query_name)
-    if trigger == "availableNow":
-        writer = writer.trigger(availableNow=True)
-    elif trigger.startswith("processingTime="):
-        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    writer = _apply_trigger(writer, trigger)
     return writer.start()
 
 
@@ -711,10 +722,7 @@ def stream_to_batch_sink(
     )
     if query_name:
         writer = writer.queryName(query_name)
-    if trigger == "availableNow":
-        writer = writer.trigger(availableNow=True)
-    elif trigger.startswith("processingTime="):
-        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    writer = _apply_trigger(writer, trigger)
     return writer.start()
 
 
@@ -789,10 +797,7 @@ def stream_scd2_fold(
     )
     if query_name:
         writer = writer.queryName(query_name)
-    if trigger == "availableNow":
-        writer = writer.trigger(availableNow=True)
-    elif trigger.startswith("processingTime="):
-        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    writer = _apply_trigger(writer, trigger)
     return writer.start()
 
 
@@ -1014,10 +1019,7 @@ def stream_time_rollup(
     )
     if query_name:
         writer = writer.queryName(query_name)
-    if trigger == "availableNow":
-        writer = writer.trigger(availableNow=True)
-    elif trigger.startswith("processingTime="):
-        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    writer = _apply_trigger(writer, trigger)
     return writer.start()
 
 
@@ -1241,10 +1243,7 @@ def stream_kmv_distinct(
     )
     if query_name:
         writer = writer.queryName(query_name)
-    if trigger == "availableNow":
-        writer = writer.trigger(availableNow=True)
-    elif trigger.startswith("processingTime="):
-        writer = writer.trigger(processingTime=trigger.split("=", 1)[1])
+    writer = _apply_trigger(writer, trigger)
     return writer.start()
 
 
