@@ -10097,70 +10097,66 @@ FROM cells GROUP BY n, kx, ky
 
 # Round-9 gate window (the driver's correctness gate records the FIRST
 # 50 entries of queries()). Computed by ``python tools/rotation.py
-# --emit-window`` under the staleness policy documented in COVERAGE.md:
-# slots 1-3 are PINNED to ecdf + its _prefix_sums co-witnesses (VERDICT
-# r8 ask #1 — ecdf was red in r6 AND r7, the r8 HUGEINT-oracle fix
-# never got a driver row because the r8 rotation put the 50 new
-# queries ahead of it; this window finally adjudicates it). Slots 4-9
-# are the six never-recorded round-9 additions (kmeans_spread, the
-# evaluation family, l_diversity — the invariant test requires every
-# unrecorded query inside the window). The remaining slots are the
-# stalest queries: largest (last-code-touch − last-driver-record)
-# gap, i.e. green rows whose underlying operator code was edited
-# after the driver last saw it (mostly r3/r4 rows over modules
-# touched in r7/r8). Regenerate per round; do not hand-edit order.
+# --emit-window`` under the staleness policy documented in COVERAGE.md.
+# Round-10 window: the ecdf pins auto-released (CORRECTNESS_r09 shows
+# ecdf green), so slot 1 is the sole never-recorded addition
+# (brier_ece) and the rest are the stalest recorded queries — the
+# full TPC-H suite (r4 rows; tpch.py was touched this round for the
+# q11 scale-free threshold and the q15 broadcast-max rewrite) and
+# r5-r7 rows over modules touched since. The r10-rewritten
+# rfm/pareto/spend_gini rank just below the cut (r8 rows, ~8 h stale)
+# and queue for r11. Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "ecdf",
-    "quantiles_linear",
-    "weighted_quantiles",
-    # r9 additions: never driver-recorded -> window slots
-    "kmeans_spread",
-    "auc",
-    "classification_report",
-    "lift_table",
-    "cohens_kappa",
-    "l_diversity",
-    "streaming_kmv",
-    "isotonic",
-    "regression_metrics",
-    "pii_scan",
-    "sketch_distinct",
-    "chunk_docs",
-    "pack_sequences",
-    "token_frequency",
-    "asof_join",
-    "distinct",
-    "explode",
-    "hash_split",
-    "range_join",
-    "rolling_time",
-    "salted_aggregation",
-    "setop_union",
-    "sort_limit",
-    "frame_sample",
-    "histogram_sketch",
-    "cdc_roundtrip",
-    "table_diff",
-    "cap_per_group",
-    "hash_sample",
-    "mix",
-    "pipeline_e2e",
-    "embedding_quantize",
-    "asof_nearest",
-    "composite",
-    "flatten",
-    "quantile_filter",
-    "setop_except",
-    "setop_intersect",
-    "sql_step",
-    "substring_dedup",
-    "drift",
-    "ks_drift",
-    "mad_outliers",
-    "quantiles",
-    "rank_sum",
-    "cms_join_estimate",
-    "cohort",
+    "brier_ece",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q5",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "correlation",
+    "edit_join",
+    "funnel",
+    "linear_fit",
+    "market_basket",
+    "table_checksum",
+    "transitions",
+    "zscore",
+    "calibration",
+    "conversion_latency",
+    "discretize",
+    "seasonal_mad",
+    "tv_drift",
+    "intervals",
+    "resample_ffill",
+    "resample_origin",
+    "weighted_sample",
+    "resample_linear",
+    "bm25",
+    "cms_prune",
+    "cms_topk",
+    "incremental_aggregate",
+    "scd2",
+    "top_paths",
+    "balance_classes",
+    "cusum",
+    "line_dedup",
 ]
 
 

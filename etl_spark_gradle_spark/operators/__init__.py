@@ -82,9 +82,11 @@ from etl_spark_gradle_spark.operators.multimodal import (  # noqa: F401
 from etl_spark_gradle_spark.operators.pii import (  # noqa: F401
     KAnonymityTransformer,
     LDiversityTransformer,
+    TClosenessTransformer,
     l_diversity,
     PiiTransformer,
     k_anonymity,
+    t_closeness,
 )
 from etl_spark_gradle_spark.operators.relational import (  # noqa: F401
     AggregationTransformer,
@@ -318,6 +320,7 @@ TRANSFORMER_REGISTRY = {
     "pii": PiiTransformer(),
     "k_anonymity": KAnonymityTransformer(),
     "l_diversity": LDiversityTransformer(),
+    "t_closeness": TClosenessTransformer(),
     "chunk": ChunkTransformer(),
     "bpe_tokenize": BpeTokenizeTransformer(),
     "pack": PackTransformer(),

@@ -56,6 +56,7 @@ __all__ = [
     "isotonic_calibration",
     "regression_metrics",
     "brier_ece",
+    "ndcg",
     "ntile_from_rank",
     "EvaluationTransformer",
 ]
@@ -539,6 +540,7 @@ class EvaluationTransformer:
         "isotonic": ("scoreColumn", "labelColumn"),
         "brier_ece": ("scoreColumn", "labelColumn"),
         "regression_metrics": ("labelColumn", "predictionColumn"),
+        "ndcg": ("queryColumn", "scoreColumn", "relevanceColumn"),
     }
 
     def validate(self, df, config):
@@ -568,6 +570,16 @@ class EvaluationTransformer:
                     errors.append("evaluation lift_table buckets must be >= 1")
             except (TypeError, ValueError):
                 errors.append("evaluation lift_table buckets must be an int")
+        if op == "ndcg":
+            try:
+                if int(opts.get("k", 10)) < 1:
+                    errors.append("evaluation ndcg k must be >= 1")
+            except (TypeError, ValueError):
+                errors.append("evaluation ndcg k must be an int")
+            if opts.get("idColumn") and opts["idColumn"] not in df.columns:
+                errors.append(
+                    f"column not in input schema: {opts['idColumn']}"
+                )
         if op in ("isotonic", "brier_ece"):
             # ADVICE r9: isotonic silently dropped groupBy (PAV has no
             # group support) and bins/lo/hi failed with raw ValueError
@@ -638,6 +650,15 @@ class EvaluationTransformer:
         if op == "regression_metrics":
             return regression_metrics(
                 df, opts["labelColumn"], opts["predictionColumn"], group_by
+            )
+        if op == "ndcg":
+            return ndcg(
+                df,
+                opts["queryColumn"],
+                opts["scoreColumn"],
+                opts["relevanceColumn"],
+                k=int(opts.get("k", 10)),
+                id_col=opts.get("idColumn"),
             )
         return cohens_kappa(
             df, opts["raterAColumn"], opts["raterBColumn"], group_by
@@ -833,6 +854,78 @@ def brier_ece(
         "n_bins",
         (_d(F.col("_tsqe")) / n).alias("brier"),
         (_d(F.col("_tgap")) / n).alias("ece"),
+    )
+
+
+def ndcg(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-query NDCG@k — the ranking-quality read for retrieval /
+    reranker evaluation (the list-aware complement to ``topk_recall``):
+    ``DCG@k = Σ_{i<=k} rel_i / log2(i+1)`` over items ordered by model
+    score (descending, ``id_col`` tiebreak for a total order), IDCG@k
+    the same over the ideal (relevance-descending) order, and
+    ``ndcg = DCG/IDCG`` (NULL when the query has no relevant items —
+    undefined, not 0).
+
+    Determinism: the log-weighted sums are double accumulations, so
+    the outputs are ROUNDED to 9 decimals (the ``psi_drift`` gate
+    posture — cross-engine log/sum wobble lives at 1e-16, seven
+    orders below the rounding grain); pytest pins full precision
+    against a pure-python reference.
+
+    Plan at 100 TB: both rank windows partition on the QUERY key —
+    parallel across queries, per-query item lists are retrieval-sized
+    (k·O(100)); one pass, one aggregation, no joins. Rows with NULL
+    score or relevance are excluded.
+
+    Output: ``query_col`` + ``n_items`` (long) + ``dcg``/``idcg``/
+    ``ndcg`` (double, 9 dp)."""
+    if int(k) < 1:
+        raise TransformationError("ndcg requires k >= 1")
+    _check_cols(df, [query_col, score_col, rel_col])
+    if id_col is not None:
+        _check_cols(df, [id_col])
+    tie = [F.col(id_col).asc()] if id_col else []
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    )
+    w_model = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), *tie
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), *tie
+    )
+    rel = F.col(rel_col).cast("double")
+    ranked = base.withColumn(
+        "_r", F.row_number().over(w_model)
+    ).withColumn("_ir", F.row_number().over(w_ideal))
+    K = int(k)
+    agg = ranked.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.when(F.col("_r") <= K, rel / F.log2(F.col("_r") + 1))
+            .otherwise(F.lit(0.0))
+        ).alias("_dcg"),
+        F.sum(
+            F.when(F.col("_ir") <= K, rel / F.log2(F.col("_ir") + 1))
+            .otherwise(F.lit(0.0))
+        ).alias("_idcg"),
+    )
+    return agg.select(
+        query_col,
+        "n_items",
+        F.round(F.col("_dcg"), 9).alias("dcg"),
+        F.round(F.col("_idcg"), 9).alias("idcg"),
+        F.when(
+            F.col("_idcg") > 0,
+            F.round(F.col("_dcg") / F.col("_idcg"), 9),
+        ).alias("ndcg"),
     )
 
 

@@ -298,6 +298,150 @@ def l_diversity(
     )
 
 
+def t_closeness(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    distance: str = "emd",
+    output: str = "violations",
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third rung of the privacy ladder after :func:`k_anonymity`
+    (group size) and :func:`l_diversity` (distinct sensitive values):
+    a QI group can be large AND diverse yet still leak because its
+    sensitive-value DISTRIBUTION differs from the corpus (skewness
+    attack — "this zip code is mostly high-salary"). A group is
+    t-close when the distance between its sensitive distribution and
+    the global distribution is <= t.
+
+    ``distance='emd'`` (ordered attributes — the paper's numeric
+    form): Earth Mover's Distance with the ordered ground metric,
+    ``EMD = (1/(m-1)) * Σ_i |Σ_{j<=i} (p_j - q_j)|`` over the m
+    globally-observed values in sort order. ``distance='tv'``
+    (categorical): total-variation ``½ Σ |p_j - q_j|``.
+
+    Exactness: both collapse to integer arithmetic via the common
+    denominator n_g·N — per-value numerators ``c_gj·N − C_j·n_g``
+    accumulate as decimal(38,0) (products bounded by n_g·N < 10^38
+    at any conceivable corpus), and the statistic closes in ONE
+    division: ``Σ|cum| / (n_g·N·(m−1))`` resp. ``Σ|…| / (2·n_g·N)``.
+    Hash-gateable cross-engine by construction. m = 1 (single global
+    value) defines distance 0.
+
+    Plan at 100 TB: ONE map-side-combined groupBy on (QI, value);
+    the global distribution derives FROM that cell table (no second
+    raw scan); each group joins the broadcast m-row value spine so
+    values ABSENT from the group still move mass (they must — that is
+    the attack); the EMD cumulative window partitions on the QI
+    group (parallel across groups, m rows each). The sensitive
+    domain must therefore be LOW-CARDINALITY — bin/band numeric
+    attributes first, exactly as the paper assumes. Rows with NULL
+    sensitive values are excluded from both distributions.
+
+    ``output='violations'``: (qi…, n, distance) rows with distance
+    > t, highest first. ``output='summary'``: 1-row report — total/
+    at-risk rows, group counts, ``max_distance``, ``at_risk_share``.
+    """
+    if not 0.0 <= float(t) <= 1.0:
+        raise TransformationError("t_closeness requires 0 <= t <= 1")
+    if not quasi_identifiers:
+        raise TransformationError(
+            "t_closeness requires at least one quasi-identifier column"
+        )
+    for c in [*quasi_identifiers, sensitive_col]:
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    if distance not in ("emd", "tv"):
+        raise TransformationError(
+            f"t_closeness distance must be emd|tv, got '{distance}'"
+        )
+    if output not in ("violations", "summary"):
+        raise TransformationError(
+            f"t_closeness output must be violations|summary, got '{output}'"
+        )
+    from pyspark.sql import Window
+
+    qi = list(quasi_identifiers)
+    cells = (
+        df.where(F.col(sensitive_col).isNotNull())
+        .groupBy(*qi, F.col(sensitive_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        # the cell table feeds the global spine, the group totals and
+        # the per-group expansion — pin it once (bounded: |groups|·m)
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        cells.groupBy("_v")
+        .agg(F.sum("_c").cast("long").alias("_gc"))
+        .localCheckpoint(eager=False)
+    )
+    totals = spine.agg(
+        F.sum("_gc").cast("long").alias("_N"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    groups = cells.groupBy(*qi).agg(F.sum("_c").cast("long").alias("n"))
+    # every (group, global value) pair: absent values carry c = 0
+    expanded = (
+        groups.crossJoin(F.broadcast(spine.crossJoin(F.broadcast(totals))))
+        .join(cells, [*qi, "_v"], "left")
+        .na.fill(0, ["_c"])
+    )
+    dec = "decimal(38,0)"
+    num = F.col("_c").cast(dec) * F.col("_N").cast(dec) - F.col(
+        "_gc"
+    ).cast(dec) * F.col("n").cast(dec)
+    if distance == "emd":
+        w = (
+            Window.partitionBy(*qi)
+            .orderBy(F.col("_v").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        contrib = F.abs(F.sum(num).over(w))
+        denom_extra = (F.col("_m") - 1).cast("double")
+    else:
+        contrib = F.abs(num)
+        denom_extra = F.lit(2.0)
+    per_group = (
+        expanded.withColumn("_contrib", contrib)
+        .groupBy(*qi, "n", "_N", "_m")
+        .agg(F.sum("_contrib").alias("_sum"))
+    )
+    dist = F.when(F.col("_m") <= 1, F.lit(0.0)).otherwise(
+        F.col("_sum").cast("string").cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("_N").cast("double")
+            * denom_extra
+        )
+    )
+    scored = per_group.select(*qi, "n", dist.alias("distance"))
+    if output == "violations":
+        return scored.where(F.col("distance") > float(t))
+    viol = F.col("distance") > float(t)
+    return scored.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.sum(F.when(viol, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("at_risk_rows"),
+        F.count(F.lit(1)).cast("long").alias("total_groups"),
+        F.sum(F.when(viol, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("violating_groups"),
+        F.max("distance").alias("max_distance"),
+    ).select(
+        "total_rows",
+        "at_risk_rows",
+        "total_groups",
+        "violating_groups",
+        "max_distance",
+        (
+            F.col("at_risk_rows").cast("double")
+            / F.col("total_rows").cast("double")
+        ).alias("at_risk_share"),
+    )
+
+
 class KAnonymityTransformer:
     """Registry adapter (``type: k_anonymity``). Options:
     ``quasiIdentifiers`` csv (required), ``k`` (default 5),
@@ -412,3 +556,67 @@ class LDiversityTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"l_diversity({opts})"
+
+
+class TClosenessTransformer:
+    """Registry adapter (``type: t_closeness``). Options:
+    ``quasiIdentifiers`` csv (required), ``sensitiveColumn``
+    (required), ``t`` (default 0.2), ``distance`` emd|tv (default
+    emd), ``output`` violations|summary (default violations)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        qis = _split_csv(opts.get("quasiIdentifiers"))
+        if not qis:
+            errors.append("t_closeness requires 'quasiIdentifiers'")
+        if not opts.get("sensitiveColumn"):
+            errors.append("t_closeness requires 'sensitiveColumn'")
+        for c in qis + (
+            [opts["sensitiveColumn"]] if opts.get("sensitiveColumn") else []
+        ):
+            if c not in df.columns:
+                errors.append(f"column not in input schema: {c}")
+        try:
+            if not 0.0 <= float(opts.get("t", 0.2)) <= 1.0:
+                errors.append("t must be in [0, 1]")
+        except (TypeError, ValueError):
+            errors.append(f"t is not a float: {opts['t']}")
+        if opts.get("distance", "emd") not in ("emd", "tv"):
+            errors.append(
+                f"distance must be emd|tv, got '{opts['distance']}'"
+            )
+        if opts.get("output", "violations") not in ("violations", "summary"):
+            errors.append(
+                f"output must be violations|summary, got '{opts['output']}'"
+            )
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        from etl_spark_gradle_spark.operators.relational import _split_csv
+
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "t_closeness config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return t_closeness(
+            df,
+            quasi_identifiers=_split_csv(opts["quasiIdentifiers"]),
+            sensitive_col=opts["sensitiveColumn"],
+            t=float(opts.get("t", 0.2)),
+            distance=opts.get("distance", "emd"),
+            output=opts.get("output", "violations"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"t_closeness({opts})"

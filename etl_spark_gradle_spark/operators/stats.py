@@ -674,6 +674,92 @@ def _prefix_sums(
     )
 
 
+def spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact Spearman rank correlation with AVERAGE ranks for ties —
+    the monotone-dependence complement to ``correlation_matrix``'s
+    Pearson (feature screening over heavy-tailed columns, where a
+    single outlier saturates Pearson but barely moves a rank).
+
+    Both columns rank through their VALUE HISTOGRAMS: the average
+    rank of a value with ``cnt`` occurrences at cumulative offset
+    ``cum`` is tracked as the integer ``r2 = 2·cum + cnt + 1`` (2×
+    the textbook fractional rank — the :func:`~etl_spark_gradle_spark.
+    operators.evaluation.auc` identity), so every moment
+    (Σr2, Σr2², Σr2x·r2y) accumulates as exact decimal(38,0) and
+    ``rho = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²)·sqrt(n·Syy − Sy²))``
+    closes in the same fixed IEEE order as Pearson (the 2× factors
+    cancel). r2 ≤ 2n keeps products inside 38 digits to n ≈ 10^11.
+
+    Plan at 100 TB: rows with either side NULL drop once; each side
+    reduces to its value histogram (map-side combined), the
+    cumulative counts ride ``_prefix_sums`` (no single-partition
+    window), the per-value rank maps join back histogram-sized
+    (broadcast or shuffle — Catalyst picks), and ONE moment
+    aggregation closes. Zero-variance sides (all values tied) yield
+    NULL rho.
+
+    Output: one row — ``n`` (long), ``rho`` (double)."""
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"spearman: column not in schema: {c}"
+            )
+    pts = (
+        df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        # feeds both histograms AND the final join — one materialization
+        .localCheckpoint(eager=True)
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        hist = (
+            pts.groupBy(F.col(col).alias("_v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        cum = _prefix_sums(hist, "_v", ["_c"], num_partitions)
+        return cum.select(
+            F.col("_v").alias(col),
+            (
+                F.lit(2) * (F.col("cum__c") - F.col("_c"))
+                + F.col("_c")
+                + 1
+            )
+            .cast("long")
+            .alias(out),
+        )
+
+    joined = pts.join(rank_map("_x", "_r2x"), "_x").join(
+        rank_map("_y", "_r2y"), "_y"
+    )
+    dec = "decimal(19,0)"
+    r2x, r2y = F.col("_r2x").cast(dec), F.col("_r2y").cast(dec)
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_r2x")).cast("decimal(38,0)").alias("_sx"),
+        F.sum(F.col("_r2y")).cast("decimal(38,0)").alias("_sy"),
+        F.sum(r2x * r2x).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(r2y * r2y).cast("decimal(38,0)").alias("_syy"),
+        F.sum(r2x * r2y).cast("decimal(38,0)").alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = _d(F.col("_sx")), _d(F.col("_sy"))
+    sxx, syy, sxy = _d(F.col("_sxx")), _d(F.col("_syy")), _d(F.col("_sxy"))
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return agg.select(
+        "n",
+        F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))).alias(
+            "rho"
+        ),
+    )
+
+
 def ks_drift(
     df_a: DataFrame,
     df_b: DataFrame,
