@@ -5314,6 +5314,195 @@ FROM agg
 """
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (ordered-EMD form) over customer quasi-
+    identifiers (market segment × nation) against the account-balance
+    band distribution — the skewness-attack check completing the
+    k_anonymity → l_diversity privacy ladder. Integer numerators over
+    the common n_g·N denominator, ONE division per group; t = 0.04
+    returns violations at every SF (distances shrink as groups
+    converge to the corpus distribution, so the threshold sits below
+    the sf0.1/sf1 tail)."""
+    from etl_spark_gradle_spark.operators.pii import t_closeness
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0)).cast(
+            "long"
+        ),
+    )
+    return t_closeness(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_band", t=0.04
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+_T_CLOSENESS_ORACLE = """
+WITH base AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+           AS band
+  FROM customer WHERE c_acctbal IS NOT NULL
+), cells AS (
+  SELECT c_mktsegment, c_nationkey, band,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3
+), spine AS (
+  SELECT band, CAST(SUM(c) AS BIGINT) AS gc FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(gc) AS BIGINT) AS grand_n,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM spine
+), grp AS (
+  SELECT c_mktsegment, c_nationkey, CAST(SUM(c) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2
+), expanded AS (
+  SELECT g.c_mktsegment, g.c_nationkey, g.n, s.band, s.gc, t.grand_n, t.m,
+         COALESCE(c.c, 0) AS c
+  FROM grp g CROSS JOIN spine s CROSS JOIN tot t
+  LEFT JOIN cells c
+    ON c.c_mktsegment = g.c_mktsegment
+   AND c.c_nationkey = g.c_nationkey AND c.band = s.band
+), cum AS (
+  SELECT c_mktsegment, c_nationkey, n, grand_n, m,
+         SUM(c * grand_n - gc * n) OVER (
+           PARTITION BY c_mktsegment, c_nationkey ORDER BY band
+         ) AS cumdiff
+  FROM expanded
+), per AS (
+  SELECT c_mktsegment, c_nationkey, n,
+         CASE WHEN m <= 1 THEN 0.0 ELSE
+           CAST(CAST(SUM(ABS(cumdiff)) AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(grand_n AS DOUBLE)
+                * CAST(m - 1 AS DOUBLE))
+         END AS distance
+  FROM cum GROUP BY c_mktsegment, c_nationkey, n, grand_n, m
+)
+SELECT c_mktsegment, c_nationkey, n, distance
+FROM per WHERE distance > 0.04
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (average ranks for ties) of
+    lineitem quantity vs extended price — rank maps from value
+    histograms + distributed prefix sums (the 2·rank integer identity
+    shared with auc), exact decimal(38,0) moments, one fixed-order
+    IEEE close."""
+    from etl_spark_gradle_spark.operators.stats import spearman
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman(li, "l_quantity", "l_extendedprice")
+
+
+_SPEARMAN_ORACLE = """
+WITH pts AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), hx AS (
+  SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1
+), rx AS (
+  SELECT v,
+         CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS BIGINT)
+           AS r2
+  FROM hx
+), hy AS (
+  SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1
+), ry AS (
+  SELECT v,
+         CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS BIGINT)
+           AS r2
+  FROM hy
+), joined AS (
+  SELECT rx.r2 AS a, ry.r2 AS b
+  FROM pts JOIN rx ON pts.x = rx.v JOIN ry ON pts.y = ry.v
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(a AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(b AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(a AS HUGEINT) * a) AS VARCHAR) AS DOUBLE)
+           AS sxx,
+         CAST(CAST(SUM(CAST(b AS HUGEINT) * b) AS VARCHAR) AS DOUBLE)
+           AS syy,
+         CAST(CAST(SUM(CAST(a AS HUGEINT) * b) AS VARCHAR) AS DOUBLE)
+           AS sxy
+  FROM joined
+)
+SELECT n,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+       END AS rho
+FROM agg
+"""
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user NDCG@10 treating each user's event stream as a
+    retrieval list: a deterministic pseudo-score ranks events, graded
+    relevance comes from the event type (purchase 3, click 2, view 1,
+    else 0). Log-weighted sums round to 9 decimals for the gate (the
+    psi_drift posture); pytest pins full precision vs pure python."""
+    from etl_spark_gradle_spark.operators.evaluation import ndcg
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        ((F.col("event_id") % 997).cast("double") / F.lit(997.0)).alias(
+            "score"
+        ),
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rel"),
+    )
+    return ndcg(
+        scored, "user_id", "score", "rel", k=10, id_col="event_id"
+    )
+
+
+_NDCG_ORACLE = """
+WITH scored AS (
+  SELECT user_id, event_id,
+         CAST(event_id % 997 AS DOUBLE) / 997.0 AS score,
+         CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+              WHEN 'view' THEN 1 ELSE 0 END AS rel
+  FROM events
+  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+), ranked AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_id ASC) AS r,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY rel DESC, event_id ASC) AS ir
+  FROM scored
+), agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(CASE WHEN r <= 10
+                  THEN CAST(rel AS DOUBLE) / log2(r + 1) ELSE 0 END)
+           AS dcg,
+         SUM(CASE WHEN ir <= 10
+                  THEN CAST(rel AS DOUBLE) / log2(ir + 1) ELSE 0 END)
+           AS idcg
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id, n_items,
+       ROUND(dcg, 9) AS dcg,
+       ROUND(idcg, 9) AS idcg,
+       CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 9) END AS ndcg
+FROM agg
+"""
+
+
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of a synthetic model score (order
     total's fractional band) against the finalized label, 20 bins.
@@ -10108,6 +10297,9 @@ FROM cells GROUP BY n, kx, ky
 # and queue for r11. Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
     "brier_ece",
+    "ndcg",
+    "spearman",
+    "t_closeness",
     "tpch_q17",
     "tpch_q18",
     "tpch_q21",
@@ -10138,25 +10330,22 @@ _GATE_WINDOW: list[str] = [
     "table_checksum",
     "transitions",
     "zscore",
+    "bm25",
     "calibration",
+    "cms_prune",
+    "cms_topk",
     "conversion_latency",
     "discretize",
+    "incremental_aggregate",
+    "interval_join",
+    "psi_drift",
+    "scd2",
     "seasonal_mad",
+    "top_paths",
     "tv_drift",
     "intervals",
     "resample_ffill",
     "resample_origin",
-    "weighted_sample",
-    "resample_linear",
-    "bm25",
-    "cms_prune",
-    "cms_topk",
-    "incremental_aggregate",
-    "scd2",
-    "top_paths",
-    "balance_classes",
-    "cusum",
-    "line_dedup",
 ]
 
 
@@ -10248,6 +10437,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic": q_isotonic,
         "regression_metrics": q_regression_metrics,
         "brier_ece": q_brier_ece,
+        "t_closeness": q_t_closeness,
+        "spearman": q_spearman,
+        "ndcg": q_ndcg,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -10546,6 +10738,9 @@ def oracle_sql() -> dict[str, str]:
         "isotonic": _ISOTONIC_ORACLE,
         "regression_metrics": _REGRESSION_METRICS_ORACLE,
         "brier_ece": _BRIER_ECE_ORACLE,
+        "t_closeness": _T_CLOSENESS_ORACLE,
+        "spearman": _SPEARMAN_ORACLE,
+        "ndcg": _NDCG_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

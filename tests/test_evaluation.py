@@ -535,3 +535,72 @@ def test_brier_ece_groups_and_adapter_validation(spark):
         brier_ece(g, "score", "label", bins=0)
     with pytest.raises(TransformationError):
         brier_ece(g, "score", "label", lo=2.0, hi=1.0)
+
+
+def _py_ndcg(items, k):
+    import math
+
+    model = sorted(items, key=lambda t: (-t[0], t[1]))[:k]
+    ideal = sorted(items, key=lambda t: (-t[2], t[1]))[:k]
+    dcg = sum(g / math.log2(r + 2) for r, (_, _, g) in enumerate(model))
+    idcg = sum(g / math.log2(r + 2) for r, (_, _, g) in enumerate(ideal))
+    return dcg, idcg, (dcg / idcg if idcg > 0 else None)
+
+
+def test_ndcg_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import ndcg
+
+    random.seed(5)
+    rows = [(q, i, random.random(), random.randint(0, 3))
+            for q in range(6) for i in range(15)]
+    rows += [(9, 0, 0.5, 0), (9, 1, 0.9, 0)]  # all-zero relevance query
+    df = spark.createDataFrame(rows, "q int, item int, score double, rel int")
+    out = {r["q"]: r for r in
+           ndcg(df, "q", "score", "rel", k=5, id_col="item").collect()}
+    for q in range(6):
+        items = [(s, i, g) for (qq, i, s, g) in rows if qq == q]
+        dcg, idcg, nd = _py_ndcg(items, 5)
+        assert out[q]["n_items"] == 15
+        assert out[q]["dcg"] == pytest.approx(dcg, abs=1e-9)
+        assert out[q]["ndcg"] == pytest.approx(nd, abs=1e-9)
+    # zero-relevance query: NULL ndcg, not 0
+    assert out[9]["ndcg"] is None
+    # k larger than the list degrades to full-list NDCG
+    full = {r["q"]: r for r in
+            ndcg(df, "q", "score", "rel", k=99, id_col="item").collect()}
+    items = [(s, i, g) for (qq, i, s, g) in rows if qq == 0]
+    assert full[0]["ndcg"] == pytest.approx(
+        _py_ndcg(items, 99)[2], abs=1e-9
+    )
+    with pytest.raises(TransformationError):
+        ndcg(df, "q", "score", "rel", k=0)
+
+
+def test_ndcg_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.9, 2), (1, 2, 0.5, 3)],
+        "q int, item int, score double, rel int",
+    )
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    ok = TransformationConfig(
+        type="evaluation",
+        options={"operation": "ndcg", "queryColumn": "q",
+                 "scoreColumn": "score", "relevanceColumn": "rel",
+                 "k": "1", "idColumn": "item"},
+    )
+    assert t.validate(df, ok).is_valid
+    row = t.transform(df, ok, None).collect()[0]
+    # model top-1 = item 1 (rel 2); ideal top-1 = item 2 (rel 3)
+    assert row["ndcg"] == pytest.approx(2 / 3, abs=1e-9)
+    bad = TransformationConfig(
+        type="evaluation",
+        options={"operation": "ndcg", "queryColumn": "q",
+                 "scoreColumn": "score", "relevanceColumn": "rel",
+                 "k": "zero"},
+    )
+    assert not t.validate(df, bad).is_valid

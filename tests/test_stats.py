@@ -1279,3 +1279,51 @@ def test_quantile_normalize_yaml_adapter(spark):
         type="quantile_normalize", options={"valueColumn": "x"}
     )
     assert not t.validate(df, bad).is_valid
+
+
+def test_spearman_matches_pure_python(spark):
+    import collections
+    import math
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import spearman
+
+    random.seed(11)
+    pts = [(random.randint(0, 50) / 3.0, random.gauss(0, 1))
+           for _ in range(400)]
+    pts = [(x, x * 0.5 + e) for x, e in pts]
+    pts += [(None, 1.0), (2.0, None)]
+    df = spark.createDataFrame(pts, "x double, y double").repartition(8)
+    r = spearman(df, "x", "y").collect()[0]
+    clean = [(x, y) for x, y in pts if x is not None and y is not None]
+
+    def avg_ranks(vs):
+        c = collections.Counter(vs)
+        out, cum = {}, 0
+        for v in sorted(c):
+            out[v] = cum + (c[v] + 1) / 2.0
+            cum += c[v]
+        return out
+
+    rx = avg_ranks([x for x, _ in clean])
+    ry = avg_ranks([y for _, y in clean])
+    xs = [rx[x] for x, _ in clean]
+    ys = [ry[y] for _, y in clean]
+    n = len(clean)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert r["n"] == n
+    assert r["rho"] == pytest.approx(rho, abs=1e-12)
+    # monotone transform invariance: rho(x, exp(y)) == rho(x, y)
+    import pyspark.sql.functions as F
+
+    r2 = spearman(df.withColumn("y", F.exp("y")), "x", "y").collect()[0]
+    assert r2["rho"] == pytest.approx(r["rho"], abs=1e-12)
+    # degenerate: constant column -> NULL rho
+    const = spark.createDataFrame([(1.0, 2.0), (2.0, 2.0)], "x double, y double")
+    assert spearman(const, "x", "y").collect()[0]["rho"] is None
