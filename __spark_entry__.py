@@ -5503,6 +5503,58 @@ FROM agg
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: documents with doc_id % 19 == 0
+    play the EVAL benchmark, the rest the training corpus; a training
+    doc is contaminated when it shares any distinct 4-gram with an
+    eval doc (n = 4 discriminates on the ~54-token synthetic docs —
+    3-grams collide by chance, 5-grams only on true near-dups). The
+    eval shingles broadcast; the corpus is never shuffled before the
+    per-doc aggregation."""
+    from etl_spark_gradle_spark.operators.corpus import decontaminate
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 19 != 0)
+    ev = docs.where(F.col("doc_id") % 19 == 0)
+    return decontaminate(
+        train, ev, id_col="doc_id", text_col="text", n=4, min_hits=1
+    )
+
+
+_DECONTAMINATE_ORACLE = """
+WITH tr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id % 19 <> 0 AND text IS NOT NULL
+), ev AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id % 19 = 0 AND text IS NOT NULL
+), tg AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+                               FOR i IN range(1, len(tk) - 2)])) AS g
+  FROM tr
+), eg AS (
+  SELECT doc_id AS eval_id,
+         unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+                               FOR i IN range(1, len(tk) - 2)])) AS g
+  FROM ev
+), hits AS (
+  SELECT tg.doc_id, eg.eval_id, tg.g FROM tg JOIN eg USING (g)
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS overlapping_ngrams,
+       CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS eval_docs_hit
+FROM hits GROUP BY doc_id
+HAVING COUNT(DISTINCT g) >= 1
+"""
+
+
+
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of a synthetic model score (order
     total's fractional band) against the finalized label, 20 bins.
@@ -10296,10 +10348,11 @@ FROM cells GROUP BY n, kx, ky
 # rfm/pareto/spend_gini rank just below the cut (r8 rows, ~8 h stale)
 # and queue for r11. Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "brier_ece",
     "ndcg",
     "spearman",
     "t_closeness",
+    "brier_ece",
+    "decontaminate",
     "tpch_q17",
     "tpch_q18",
     "tpch_q21",
@@ -10337,8 +10390,7 @@ _GATE_WINDOW: list[str] = [
     "conversion_latency",
     "discretize",
     "incremental_aggregate",
-    "interval_join",
-    "psi_drift",
+    "mutual_information",
     "scd2",
     "seasonal_mad",
     "top_paths",
@@ -10440,6 +10492,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "spearman": q_spearman,
         "ndcg": q_ndcg,
+        "decontaminate": q_decontaminate,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -10741,6 +10794,7 @@ def oracle_sql() -> dict[str, str]:
         "t_closeness": _T_CLOSENESS_ORACLE,
         "spearman": _SPEARMAN_ORACLE,
         "ndcg": _NDCG_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

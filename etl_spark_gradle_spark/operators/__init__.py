@@ -16,6 +16,7 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     BalanceClassesTransformer,
     CapPerGroupTransformer,
     ChunkTransformer,
+    DecontaminateTransformer,
     HashSampleTransformer,
     MixTransformer,
     NegativeSampleTransformer,
@@ -25,6 +26,7 @@ from etl_spark_gradle_spark.operators.corpus import (  # noqa: F401
     balance_classes,
     cap_per_group,
     chunk_documents,
+    decontaminate,
     hash_sample,
     mix_to_target,
     negative_sample,
@@ -327,6 +329,7 @@ TRANSFORMER_REGISTRY = {
     "token_frequency": TokenFrequencyTransformer(),
     "hash_sample": HashSampleTransformer(),
     "negative_sample": NegativeSampleTransformer(),
+    "decontaminate": DecontaminateTransformer(),
     "mix": MixTransformer(),
     "cap_per_group": CapPerGroupTransformer(),
     "balance_classes": BalanceClassesTransformer(),

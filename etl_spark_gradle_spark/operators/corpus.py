@@ -929,6 +929,184 @@ class BalanceClassesTransformer:
         return f"balance_classes({opts})"
 
 
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+    mode: str = "report",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Training-set decontamination against an evaluation set via
+    exact token n-gram collision — the GPT-3-style leakage check
+    (Brown et al. 2020 appendix C uses 13-gram overlap; Gao et al.
+    2021 The Pile uses the same family): a training document is
+    CONTAMINATED when it shares at least ``min_hits`` distinct token
+    ``n``-grams with any eval document. Without this, benchmark
+    answers inside the corpus silently inflate eval scores — the
+    failure every serious LLM data pipeline screens for.
+
+    Tokenization is the repo's shingle normalization
+    (:func:`~etl_spark_gradle_spark.operators.dedup.token_shingles`:
+    lowercase, unicode-whitespace split, space-joined windows,
+    per-document distinct) so the collision predicate is replayable
+    in SQL. Documents shorter than ``n`` tokens produce no shingles
+    and can never be flagged.
+
+    ``mode``:
+    - ``'report'`` — one row per contaminated training doc:
+      ``(id_col, overlapping_ngrams, eval_docs_hit)`` (distinct
+      shared n-grams / distinct eval docs hit; hits >= min_hits);
+    - ``'matches'`` — the (train, eval) pair table with
+      ``shared_ngrams`` per pair (attribution view);
+    - ``'clean'`` — the training frame with contaminated docs
+      REMOVED (left-anti join on the flagged ids).
+
+    Plan at 100 TB: the eval side is benchmark-sized, so its distinct
+    shingles BROADCAST (default) and the training corpus is never
+    shuffled for the probe — shingling rides the scan, the collision
+    is a broadcast hash join, and the only exchange is the final
+    per-train-doc aggregation (map-side combined). Set
+    ``broadcast_eval=False`` for an eval set too large to broadcast
+    (falls back to a shuffle join on the shingle key).
+
+    Reference parity: beyond-reference surface (SURVEY.md §2 — the
+    reference has no corpus operators), same family as dedup/mix."""
+    from etl_spark_gradle_spark.operators.dedup import token_shingles
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+    )
+
+    if int(n) < 1:
+        raise TransformationError("decontaminate requires n >= 1")
+    if int(min_hits) < 1:
+        raise TransformationError("decontaminate requires min_hits >= 1")
+    if mode not in ("report", "matches", "clean"):
+        raise TransformationError(
+            f"decontaminate mode must be report|matches|clean, got '{mode}'"
+        )
+    e_id = eval_id_col or id_col
+    e_text = eval_text_col or text_col
+    for c, frame, side in (
+        (id_col, train_df, "train"),
+        (text_col, train_df, "train"),
+        (e_id, eval_df, "eval"),
+        (e_text, eval_df, "eval"),
+    ):
+        if c not in frame.columns:
+            raise TransformationError(
+                f"decontaminate: column not in {side} schema: {c}"
+            )
+    tg = train_df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(token_shingles(text_col, int(n))).alias("_g"),
+    )
+    eg = eval_df.where(F.col(e_text).isNotNull()).select(
+        F.col(e_id).alias("_eval_id"),
+        F.explode(token_shingles(e_text, int(n))).alias("_g"),
+    )
+    probe = F.broadcast(eg) if broadcast_eval else eg
+    hits = tg.join(probe, "_g")
+    if mode == "matches":
+        return hits.groupBy(id_col, "_eval_id").agg(
+            F.count_distinct("_g").cast("long").alias("shared_ngrams")
+        ).select(
+            id_col,
+            F.col("_eval_id").alias("eval_id"),
+            "shared_ngrams",
+        )
+    report = (
+        hits.groupBy(id_col)
+        .agg(
+            F.count_distinct("_g").cast("long").alias("overlapping_ngrams"),
+            F.count_distinct("_eval_id").cast("long").alias("eval_docs_hit"),
+        )
+        .where(F.col("overlapping_ngrams") >= int(min_hits))
+    )
+    if mode == "report":
+        return report
+    return train_df.join(report.select(id_col), id_col, "left_anti")
+
+
+class DecontaminateTransformer:
+    """Registry adapter (``type: decontaminate``): screens the
+    pipeline frame (the TRAINING corpus) against a registered view
+    (the EVAL set). Options: ``evalView`` (required — name registered
+    under ``views:``), ``idColumn``/``textColumn`` (required),
+    ``evalIdColumn``/``evalTextColumn`` (default: same names),
+    ``n`` (default 13), ``minHits`` (default 1), ``mode``
+    report|matches|clean (default report), ``broadcastEval``
+    (default true)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        if not opts.get("evalView"):
+            errors.append("decontaminate requires 'evalView'")
+        for key in ("idColumn", "textColumn"):
+            if not opts.get(key):
+                errors.append(f"decontaminate requires '{key}'")
+            elif opts[key] not in df.columns:
+                errors.append(f"column not in input schema: {opts[key]}")
+        for key, lo in (("n", 1), ("minHits", 1)):
+            try:
+                if int(opts.get(key, lo)) < lo:
+                    errors.append(f"decontaminate {key} must be >= {lo}")
+            except (TypeError, ValueError):
+                errors.append(f"decontaminate {key} must be an int")
+        if opts.get("mode", "report") not in ("report", "matches", "clean"):
+            errors.append(
+                f"mode must be report|matches|clean, got '{opts['mode']}'"
+            )
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+        from etl_spark_gradle_spark.options import parse_bool
+
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "decontaminate config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        try:
+            eval_df = ctx.spark.table(opts["evalView"])
+        except Exception as exc:
+            raise TransformationError(
+                f"decontaminate: evalView not found: {opts['evalView']}: "
+                f"{exc}"
+            ) from exc
+        return decontaminate(
+            df,
+            eval_df,
+            id_col=opts["idColumn"],
+            text_col=opts["textColumn"],
+            eval_id_col=opts.get("evalIdColumn"),
+            eval_text_col=opts.get("evalTextColumn"),
+            n=int(opts.get("n", 13)),
+            min_hits=int(opts.get("minHits", 1)),
+            mode=opts.get("mode", "report"),
+            broadcast_eval=parse_bool(opts.get("broadcastEval", True)),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
+        return f"decontaminate({opts})"
+
+
 def negative_sample(
     df: DataFrame,
     key_col: str,
