@@ -1657,7 +1657,7 @@ def quantile_normalize(
     cum_r = _prefix_sums(hr, "v", ["c"], num_partitions, assume_pinned=True)
     n_x = hx.agg(F.sum("c").cast("long").alias("_nx"))
     n_r = hr.agg(F.sum("c").cast("long").alias("_nr"))
-    n_r_val = n_r.collect()[0]["_nr"] if True else None
+    n_r_val = n_r.collect()[0]["_nr"]
     if not n_r_val:
         raise TransformationError(
             "quantile_normalize: reference has no non-null values"

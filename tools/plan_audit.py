@@ -740,6 +740,75 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["BroadcastNestedLoopJoin"],
         ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     ),
+    (
+        "brier_ece",
+        "Brier+ECE: one map-side-combined (group, bin) shuffle then a "
+        "bounded second agg — no windows, no joins, no python",
+        ["partial_sum", "partial_count"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "t_closeness",
+        "t-closeness: global value spine broadcast onto the group "
+        "table (1-row totals via nested-loop attach), cell join "
+        "broadcast, EMD window partitioned on the QI group; no python",
+        ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "spearman",
+        "spearman: rank maps from value histograms + distributed "
+        "prefix sums (per-_pid windows), histogram-sized joins come "
+        "back broadcast; no python, no cartesian",
+        ["hashpartitioning(_pid", "partial_count", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "ndcg",
+        "ndcg: both rank windows partition on the query key, one "
+        "aggregation, no joins of the scored rows, no python",
+        ["Window", "row_number", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "decontaminate",
+        "decontaminate: eval shingles broadcast — the training corpus "
+        "is never shuffled before the per-doc aggregation; no python",
+        ["BroadcastHashJoin", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "rfm",
+        "rfm (r10 rewrite): fused three-order two-level rank — "
+        "per-_pid row_number windows, closed-form NTILE, no "
+        "single-partition ntile, no joins back, no python",
+        ["hashpartitioning(_pid", "row_number"],
+        ["ntile(", "SortMergeJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "pareto",
+        "pareto (r10 rewrite): _global_rank_desc + decimal prefix "
+        "sums over the rank, total as a 1-row broadcast attach — "
+        "every stage P-way parallel",
+        ["hashpartitioning(_pid", "partial_sum",
+         "BroadcastNestedLoopJoin"],
+        ["ntile(", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "spend_gini",
+        "spend_gini (r10 rewrite): ascending rank via the two-level "
+        "scan mirror (i = n+1-rank_desc); the Gini close is one "
+        "exact-decimal aggregation",
+        ["hashpartitioning(_pid", "row_number", "partial_sum"],
+        ["ntile(", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
 ]
 
 

@@ -161,6 +161,10 @@ def main() -> int:
                 lambda: _auc_probe(li),
                 li.count(),
             ),
+            "auc_continuous": (
+                lambda: _auc_continuous_probe(li),
+                li.count(),
+            ),
             "rolling_med": (
                 lambda: _rolling_median_probe(ev),
                 ev.count(),
@@ -401,6 +405,30 @@ def _auc_probe(li):
         group_by=["l_returnflag"],
     )
     return out.agg(F.sum(F.hash("l_returnflag", "auc", "n")).alias("h"))
+
+
+def _auc_continuous_probe(li):
+    """VERDICT r9 ask #2: the fixed-cardinality `auc` probe is exactly
+    why the ungrouped single-partition window slipped through — its
+    distinct-score table never grew. This probe is the adversarial
+    complement: UNGROUPED auc over a CONTINUOUS synthetic score
+    (near-unique per row), so the distinct-score table is O(n) and the
+    cumulative prefix sum MUST be distributed (stats._prefix_sums) for
+    throughput to hold as rows grow 100x."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.evaluation import auc
+
+    scored = li.select(
+        # hash-derived double: near-unique, deterministic
+        (
+            F.abs(F.hash("l_orderkey", "l_linenumber")).cast("double")
+            / F.lit(2147483647.0)
+        ).alias("score"),
+        (F.col("l_linestatus") == "F").cast("int").alias("label"),
+    )
+    out = auc(scored, "score", "label")
+    return out.agg(F.sum(F.hash("auc", "n")).alias("h"))
 
 
 def _quantiles_probe(li):
