@@ -5554,6 +5554,114 @@ HAVING COUNT(DISTINCT g) >= 1
 """
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full precision-recall curve over lineitem extended price as the
+    model score (near-unique -> the distinct-threshold table is
+    O(rows), forcing the distributed prefix-sum path) against the
+    R-returnflag label. Integer cumulative tp/fp; per-row divisions
+    only."""
+    from etl_spark_gradle_spark.operators.evaluation import pr_curve
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_extendedprice").cast("double").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return pr_curve(scored, "score", "label")
+
+
+_PR_CURVE_ORACLE = """
+WITH pts AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), per AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_n,
+         CAST(SUM(pos) AS BIGINT) AS total_p
+  FROM per
+), cum AS (
+  SELECT s, cnt, pos,
+         CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS ccnt,
+         CAST(SUM(pos) OVER (ORDER BY s) AS BIGINT) AS cpos
+  FROM per
+), rowed AS (
+  SELECT s, CAST(total_p - (cpos - pos) AS BIGINT) AS tp,
+         CAST((total_n - (ccnt - cnt)) - (total_p - (cpos - pos))
+              AS BIGINT) AS fp,
+         CAST(cpos - pos AS BIGINT) AS fn,
+         CAST(total_n - (ccnt - cnt) AS BIGINT) AS above,
+         total_p
+  FROM cum CROSS JOIN tot
+)
+SELECT s AS threshold, tp, fp, fn,
+       CASE WHEN above > 0
+            THEN CAST(tp AS DOUBLE) / CAST(above AS DOUBLE) END
+         AS precision,
+       CASE WHEN total_p > 0
+            THEN CAST(tp AS DOUBLE) / CAST(total_p AS DOUBLE) END
+         AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE)
+                   / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+FROM rowed
+"""
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over one synthetic p-value per
+    order (LCG-derived uniform; URGENT orders carry a planted 5000x
+    smaller signal so the procedure provably DISCOVERS at every SF).
+    Ascending rank via the two-level scan; the p*m <= rank*q
+    comparison is division-free and identical cross-engine."""
+    from etl_spark_gradle_spark.operators.stats import fdr_bh
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    tests = orders.select(
+        F.col("o_orderkey").alias("test_id"),
+        (
+            ((F.col("o_orderkey") * 1103515245 + 12345) % 1000003)
+            .cast("double")
+            / F.lit(1000003.0)
+            * F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.lit(0.0002)
+            ).otherwise(F.lit(1.0))
+        ).alias("p"),
+    )
+    return fdr_bh(tests, "p", "test_id", q=0.05)
+
+
+_FDR_BH_ORACLE = """
+WITH tests AS (
+  SELECT o_orderkey AS test_id,
+         CAST((o_orderkey * 1103515245 + 12345) % 1000003 AS DOUBLE)
+           / 1000003.0
+           * (CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 0.0002 ELSE 1.0 END) AS p
+  FROM orders
+), ranked AS (
+  SELECT test_id, p,
+         CAST(row_number() OVER (ORDER BY p ASC, test_id ASC)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM tests WHERE p IS NOT NULL
+), kk AS (
+  SELECT COALESCE(MAX(CASE WHEN p * m <= CAST(r AS DOUBLE) * 0.05
+                           THEN r END), 0) AS k
+  FROM ranked
+)
+SELECT test_id, p, r AS rank, m, (r <= k) AS significant
+FROM ranked CROSS JOIN kk
+"""
+
+
+
 
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration of a synthetic model score (order
@@ -10348,15 +10456,18 @@ FROM cells GROUP BY n, kx, ky
 # rfm/pareto/spend_gini rank just below the cut (r8 rows, ~8 h stale)
 # and queue for r11. Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "ndcg",
+    "fdr_bh",
     "spearman",
+    "decontaminate",
+    "pr_curve",
+    "ndcg",
     "t_closeness",
     "brier_ece",
-    "decontaminate",
     "tpch_q17",
     "tpch_q18",
     "tpch_q21",
     "tpch_q5",
+    "weighted_sample",
     "tpch_q1",
     "tpch_q10",
     "tpch_q11",
@@ -10383,21 +10494,18 @@ _GATE_WINDOW: list[str] = [
     "table_checksum",
     "transitions",
     "zscore",
-    "bm25",
     "calibration",
-    "cms_prune",
-    "cms_topk",
     "conversion_latency",
     "discretize",
+    "seasonal_mad",
+    "tv_drift",
+    "balance_classes",
+    "bm25",
+    "cms_prune",
+    "cms_topk",
     "incremental_aggregate",
     "mutual_information",
-    "scd2",
-    "seasonal_mad",
-    "top_paths",
-    "tv_drift",
-    "intervals",
-    "resample_ffill",
-    "resample_origin",
+    "oversample",
 ]
 
 
@@ -10493,6 +10601,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "ndcg": q_ndcg,
         "decontaminate": q_decontaminate,
+        "pr_curve": q_pr_curve,
+        "fdr_bh": q_fdr_bh,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -10795,6 +10905,8 @@ def oracle_sql() -> dict[str, str]:
         "spearman": _SPEARMAN_ORACLE,
         "ndcg": _NDCG_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
+        "pr_curve": _PR_CURVE_ORACLE,
+        "fdr_bh": _FDR_BH_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

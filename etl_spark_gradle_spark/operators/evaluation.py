@@ -57,6 +57,7 @@ __all__ = [
     "regression_metrics",
     "brier_ece",
     "ndcg",
+    "pr_curve",
     "ntile_from_rank",
     "EvaluationTransformer",
 ]
@@ -541,6 +542,7 @@ class EvaluationTransformer:
         "brier_ece": ("scoreColumn", "labelColumn"),
         "regression_metrics": ("labelColumn", "predictionColumn"),
         "ndcg": ("queryColumn", "scoreColumn", "relevanceColumn"),
+        "pr_curve": ("scoreColumn", "labelColumn"),
     }
 
     def validate(self, df, config):
@@ -651,6 +653,12 @@ class EvaluationTransformer:
             return regression_metrics(
                 df, opts["labelColumn"], opts["predictionColumn"], group_by
             )
+        if op == "pr_curve":
+            if group_by:
+                raise TransformationError(
+                    "evaluation pr_curve does not support groupBy"
+                )
+            return pr_curve(df, opts["scoreColumn"], opts["labelColumn"])
         if op == "ndcg":
             return ndcg(
                 df,
@@ -854,6 +862,84 @@ def brier_ece(
         "n_bins",
         (_d(F.col("_tsqe")) / n).alias("brier"),
         (_d(F.col("_tgap")) / n).alias("ece"),
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full precision–recall curve: one row per DISTINCT score,
+    treating that score as the decision threshold (predict positive
+    when ``score >= threshold``) — the curve behind average-precision
+    / PR-AUC reads, and the operating-point table a curation pipeline
+    consults to pick its keep-threshold.
+
+    For each distinct score t (descending):
+    ``tp = #positives with score >= t``, ``fp`` likewise for
+    negatives, ``precision = tp/(tp+fp)``, ``recall = tp/P``, plus
+    ``f1`` in the single-division form 2·tp/(2·tp+fp+fn).
+
+    Exactness: the cumulative tp/fp are INTEGER prefix sums over the
+    distinct-score table; each output row then makes a fixed short
+    sequence of independent divisions — hash-gateable (per-row
+    division, never a float accumulation).
+
+    Plan at 100 TB: raw rows reduce map-side to one (score, cnt, pos)
+    row per distinct score — the ``auc`` reduction — then the
+    cumulative counts ride ``stats._prefix_sums``' two-level scan
+    (continuous scores make the distinct table O(n); a bare
+    ``Window.orderBy`` would single-partition it, the exact cliff the
+    r9 ungrouped-auc audit found). Totals attach as a 1-row
+    broadcast. NULL score/label rows are excluded.
+
+    Output: ``threshold`` (the score, original type) + ``tp``/``fp``/
+    ``fn`` (long) + ``precision``/``recall``/``f1`` (double)."""
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    _check_cols(df, [score_col, label_col])
+    pos = F.col(label_col).cast("int")
+    per_score = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"),
+            F.sum(pos).cast("long").alias("_pos"),
+        )
+        # feeds the prefix-sum scan AND the 1-row totals branch
+        .localCheckpoint(eager=True)
+    )
+    # prefix sums ASCENDING in score; >= t cumulative = total - below(t)
+    cum = _prefix_sums(
+        per_score, "_s", ["_cnt", "_pos"], num_partitions,
+        assume_pinned=True,
+    )
+    totals = per_score.agg(
+        F.sum("_cnt").cast("long").alias("_n"),
+        F.sum("_pos").cast("long").alias("_p"),
+    )
+    j = cum.crossJoin(F.broadcast(totals))
+    tp = F.col("_p") - (F.col("cum__pos") - F.col("_pos"))
+    at_or_above = F.col("_n") - (F.col("cum__cnt") - F.col("_cnt"))
+    fp = at_or_above - tp
+    fn = F.col("_p") - tp
+    return j.select(
+        F.col("_s").alias("threshold"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.when(
+            at_or_above > 0, tp.cast("double") / at_or_above.cast("double")
+        ).alias("precision"),
+        F.when(F.col("_p") > 0, tp.cast("double") / F.col("_p").cast("double"))
+        .alias("recall"),
+        F.when(
+            F.lit(2) * tp + fp + fn > 0,
+            (F.lit(2) * tp).cast("double")
+            / (F.lit(2) * tp + fp + fn).cast("double"),
+        ).alias("f1"),
     )
 
 

@@ -760,6 +760,69 @@ def spearman(
     )
 
 
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    id_col: str,
+    q: float = 0.05,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a p-value column — the
+    multiple-comparisons close for the repo's own hypothesis-test
+    family (``welch_ttest``/``prop_ztest``/``rank_sum`` emit one
+    p-value per group; run ten thousand A/B reads and ~500 of the
+    "significant" ones at α=0.05 are false — BH caps the expected
+    false-discovery RATE at ``q`` instead; Benjamini & Hochberg 1995).
+
+    Procedure: rank p ascending (``id_col`` tiebreak for a total
+    order), find the largest rank k with ``p_(k) <= (k/m)·q``, reject
+    every test ranked <= k. The comparison is spelled
+    ``p·m <= rank·q`` — two double products in identical expression
+    shape on both engines, no division.
+
+    Plan at 100 TB: the ascending rank derives from
+    ``_global_rank_desc``'s two-level scan (mirrored via _s = −p), so
+    a million-test table never funnels through one task; k attaches
+    as a 1-row broadcast max. NULL p-values are excluded (they carry
+    no evidence either way).
+
+    Output: ``id_col`` + ``p_col`` + ``rank`` (long) + ``m`` (long)
+    + ``significant`` (boolean)."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        _global_rank_desc,
+    )
+
+    for c in (p_col, id_col):
+        if c not in df.columns:
+            raise TransformationError(f"fdr_bh: column not in schema: {c}")
+    if not 0.0 < float(q) < 1.0:
+        raise TransformationError("fdr_bh requires 0 < q < 1")
+    pts = (
+        df.where(F.col(p_col).isNotNull())
+        .select(
+            (-F.col(p_col).cast("double")).alias("_s"),
+            F.col(id_col).alias("_id"),
+            F.col(p_col).cast("double").alias("_p"),
+        )
+    )
+    ranked = _global_rank_desc(pts, num_partitions)
+    passing = F.col("_p") * F.col("_n").cast("double") <= F.col(
+        "_rank"
+    ).cast("double") * F.lit(float(q))
+    k = ranked.agg(
+        F.coalesce(
+            F.max(F.when(passing, F.col("_rank"))), F.lit(0)
+        ).cast("long").alias("_k")
+    )
+    return ranked.crossJoin(F.broadcast(k)).select(
+        F.col("_id").alias(id_col),
+        F.col("_p").alias(p_col),
+        F.col("_rank").alias("rank"),
+        F.col("_n").alias("m"),
+        (F.col("_rank") <= F.col("_k")).alias("significant"),
+    )
+
+
 def ks_drift(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -604,3 +604,34 @@ def test_ndcg_adapter(spark):
                  "k": "zero"},
     )
     assert not t.validate(df, bad).is_valid
+
+
+def test_pr_curve_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import pr_curve
+
+    random.seed(9)
+    rows = [(round(random.random(), 2), random.randint(0, 1))
+            for _ in range(500)]
+    rows += [(0.5, 1), (0.5, 0), (None, 1), (0.3, None)]
+    df = spark.createDataFrame(rows, "score double, label int").repartition(4)
+    out = {r["threshold"]: r for r in
+           pr_curve(df, "score", "label").collect()}
+    clean = [(s, l) for s, l in rows if s is not None and l is not None]
+    P = sum(l for _, l in clean)
+    assert set(out) == set(s for s, _ in clean)
+    for t in sorted(set(s for s, _ in clean)):
+        tp = sum(l for s, l in clean if s >= t)
+        above = sum(1 for s, _ in clean if s >= t)
+        r = out[t]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, above - tp, P - tp)
+        assert r["precision"] == pytest.approx(tp / above, abs=1e-15)
+        assert r["recall"] == pytest.approx(tp / P, abs=1e-15)
+    # recall is monotone nonincreasing in threshold; max recall is 1
+    rs = [out[t]["recall"] for t in sorted(out)]
+    assert all(a >= b for a, b in zip(rs, rs[1:]))
+    assert out[min(out)]["recall"] == 1.0
+    # distributed: no unpartitioned window beyond the bounded
+    # _prefix_sums offsets table
+    assert _unpartitioned_windows(pr_curve(df, "score", "label")) <= 1

@@ -1327,3 +1327,43 @@ def test_spearman_matches_pure_python(spark):
     # degenerate: constant column -> NULL rho
     const = spark.createDataFrame([(1.0, 2.0), (2.0, 2.0)], "x double, y double")
     assert spearman(const, "x", "y").collect()[0]["rho"] is None
+
+
+def test_fdr_bh_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import fdr_bh
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+    )
+
+    random.seed(4)
+    tests = [(i, random.random()) for i in range(300)]
+    tests += [(1000 + i, random.random() * 0.0005) for i in range(25)]
+    tests += [(2000, None)]
+    df = spark.createDataFrame(tests, "test_id long, p double").repartition(4)
+    got = {r["test_id"]: r for r in
+           fdr_bh(df, "p", "test_id", q=0.05).collect()}
+    clean = sorted((p, i) for i, p in tests if p is not None)
+    m = len(clean)
+    k = 0
+    for idx, (p, _) in enumerate(clean, start=1):
+        if p * m <= idx * 0.05:
+            k = idx
+    want = {i for idx, (_, i) in enumerate(clean, start=1) if idx <= k}
+    assert {i for i, r in got.items() if r["significant"]} == want
+    assert all(got[i]["rank"] == idx and got[i]["m"] == m
+               for idx, (_, i) in enumerate(clean, start=1))
+    assert 2000 not in got  # NULL p excluded
+    # the planted low-p block is discovered
+    assert want >= {1000 + i for i in range(25)}
+    # all-null-signal input: uniform ps, q tiny -> nothing significant
+    nulls = spark.createDataFrame(
+        [(i, 0.5 + i / 1000.0) for i in range(100)], "test_id long, p double"
+    )
+    out = fdr_bh(nulls, "p", "test_id", q=0.01).collect()
+    assert not any(r["significant"] for r in out)
+    with pytest.raises(TransformationError):
+        fdr_bh(df, "p", "test_id", q=1.5)
+    with pytest.raises(TransformationError):
+        fdr_bh(df, "missing", "test_id")
