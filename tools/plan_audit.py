@@ -69,11 +69,13 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
     "mutual_information": 1,   # [CT]
     "negative_sample": 1,      # [BK]
     "pareto": 1,               # [PS] (cum revenue over the rank)
+    "pr_curve": 1,             # [PS] cumulative tp/fp counts
     "psi_drift": 4,            # [PS] edges lineage referenced 4x
     "quantile_normalize": 2,   # [PS] both sides' CDFs
     "quantiles": 1,            # [PS] via exact_quantiles
     "rank_sum": 1,             # [PS]
     "reorder_intervals": 1,    # [PS] via exact_quantiles
+    "spearman": 2,             # [PS] one CDF per rank map (x and y)
     "weekly_trend": 1,         # [WK]
 }
 
