@@ -5661,6 +5661,44 @@ FROM ranked CROSS JOIN kk
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs |A∩B|/|A| >= 0.6 over 3-gram
+    shingles — the quote/subset near-dup read Jaccard misses (a short
+    doc inside a long one has tiny Jaccard, containment ~1). Exact
+    inverted-index form = the oracle baseline; integer intersection
+    and size counts, one division."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.6
+    )
+
+
+_CONTAINMENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ')
+                        FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM t
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         CAST(len(a.s) AS BIGINT) AS sz_a,
+         CAST(len(b.s) AS BIGINT) AS sz_b
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0 AND len(a.s) > 0
+)
+SELECT id_a, id_b, inter, sz_a, sz_b,
+       CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) >= 0.6
+"""
+
+
+
 
 
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10456,13 +10494,14 @@ FROM cells GROUP BY n, kx, ky
 # rfm/pareto/spend_gini rank just below the cut (r8 rows, ~8 h stale)
 # and queue for r11. Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
+    "brier_ece",
+    "containment",
     "fdr_bh",
+    "ndcg",
+    "pr_curve",
     "spearman",
     "decontaminate",
-    "pr_curve",
-    "ndcg",
     "t_closeness",
-    "brier_ece",
     "tpch_q17",
     "tpch_q18",
     "tpch_q21",
@@ -10504,7 +10543,6 @@ _GATE_WINDOW: list[str] = [
     "cms_prune",
     "cms_topk",
     "incremental_aggregate",
-    "mutual_information",
     "oversample",
 ]
 
@@ -10603,6 +10641,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pr_curve": q_pr_curve,
         "fdr_bh": q_fdr_bh,
+        "containment": q_containment,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -10907,6 +10946,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_ORACLE,
         "pr_curve": _PR_CURVE_ORACLE,
         "fdr_bh": _FDR_BH_ORACLE,
+        "containment": _CONTAINMENT_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

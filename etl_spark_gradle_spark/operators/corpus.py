@@ -957,6 +957,16 @@ def decontaminate(
     in SQL. Documents shorter than ``n`` tokens produce no shingles
     and can never be flagged.
 
+    Relationship to :func:`~etl_spark_gradle_spark.operators.dedup.
+    contamination_check` (``type: contamination``): that scan
+    annotates EVERY corpus row with a matched-count flag against the
+    benchmark's distinct shingle SET (ids deliberately dropped so the
+    broadcast stays minimal). This operator keeps the eval ids in the
+    probe for ATTRIBUTION — which eval doc leaked, through how many
+    n-grams — and adds the pair table and the anti-join removal the
+    flag scan can't produce. Same tokenization, same broadcast
+    posture; pick by output contract.
+
     ``mode``:
     - ``'report'`` — one row per contaminated training doc:
       ``(id_col, overlapping_ngrams, eval_docs_hit)`` (distinct

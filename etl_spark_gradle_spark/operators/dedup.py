@@ -261,6 +261,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    use_tokens: bool = True,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise shingle CONTAINMENT ``C(A→B) = |A ∩ B| / |A|`` —
+    the ASYMMETRIC near-dup read Jaccard cannot make: a tweet quoted
+    inside an article has tiny Jaccard (the union is article-sized)
+    but containment ≈ 1. This is the quote / subset / boilerplate-
+    inclusion detector (Broder 1997 introduced containment alongside
+    resemblance for exactly this case), and the dedup policy question
+    it answers — "is the SHORT doc redundant given the long one?" —
+    is one every corpus curation pass hits.
+
+    Returns ``(id_a, id_b, inter, sz_a, sz_b, containment)`` for
+    ORDERED pairs (a ≠ b, a is the contained candidate) with
+    ``containment >= threshold``; both directions of a pair appear
+    when both qualify (the sizes let a dedup policy drop the shorter
+    side deterministically). Exactness: ``inter`` and the sizes are
+    integer shingle counts; containment is their one division.
+
+    Same inverted-index plan (and the same ``max_shingle_df``
+    stop-shingle cap) as :func:`ngram_jaccard_pairs` — this exact
+    form is the oracle baseline; at corpus scale run it over
+    LSH-bucketed candidates, not all pairs. Documents with zero
+    shingles (shorter than ``n`` tokens) can never appear on either
+    side."""
+    if not 0.0 < float(threshold) <= 1.0:
+        from etl_spark_gradle_spark.operators.relational import (
+            TransformationError,
+        )
+
+        raise TransformationError(
+            "containment_pairs requires 0 < threshold <= 1"
+        )
+    df = _ensure_parallelism(df)
+    shingles = (
+        token_shingles(text_col, n) if use_tokens else char_shingles(text_col, n)
+    )
+    base = df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    exploded = base.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        doc_freq = exploded.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        exploded = (
+            exploded.join(doc_freq, "shingle")
+            .filter(F.col("df") <= max_shingle_df)
+            .select("id", "shingle")
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.col("sz_a").cast("double"),
+        )
+        .filter(F.col("containment") >= float(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            "containment",
+        )
+    )
+
+
 def prefix_jaccard_join(
     df: DataFrame,
     id_col: str,
@@ -383,7 +470,11 @@ def contamination_check(
     set — the standard train/test-overlap scan run before training.
 
     Returns ``(id, n_shingles, matched, contaminated)`` where
-    ``contaminated = matched >= min_matches``.
+    ``contaminated = matched >= min_matches``. For per-eval-doc
+    ATTRIBUTION (which benchmark doc leaked, the pair table) or the
+    anti-join removal form, use :func:`~etl_spark_gradle_spark.
+    operators.corpus.decontaminate` — same tokenization and broadcast
+    posture, richer output contract.
 
     100-TB notes: the benchmark side (eval sets — MBs, not TBs) reduces
     to a DISTINCT shingle set and is explicitly ``broadcast()``, so the
@@ -1006,18 +1097,27 @@ class DedupTransformer:
     kept and never hashed — the hot-key guard), ``outputColumn``
     (default ``<contentColumn>_dedup``).
 
+    ``strategy: containment`` — drop documents whose shingle set is
+    >= ``threshold`` (default 0.8) CONTAINED in a LARGER document's
+    (quote/subset redundancy, the asymmetric case Jaccard misses;
+    equal-size mutual containments drop the larger id). Options:
+    ``idColumn``, ``contentColumn``, ``threshold``, ``shingleSize``
+    (3), ``maxShingleDf`` (stop-shingle cap).
+
     Validates like the relational transformers (parity contract:
     ``core/DataTransformer.scala:36-40``)."""
 
     def validate(self, df: DataFrame, config) -> ValidationResult:
         opts = config.options
         strategy = opts.get("strategy", "exact").lower()
-        if strategy not in ("exact", "fuzzy", "substring", "lines"):
+        if strategy not in ("exact", "fuzzy", "substring", "lines",
+                            "containment"):
             return ValidationResult.fail(
-                f"dedup strategy must be exact|fuzzy|substring|lines, got '{strategy}'"
+                "dedup strategy must be "
+                f"exact|fuzzy|substring|lines|containment, got '{strategy}'"
             )
         missing = []
-        if strategy in ("fuzzy", "substring", "lines"):
+        if strategy in ("fuzzy", "substring", "lines", "containment"):
             if not opts.get("idColumn") or not opts.get("contentColumn"):
                 return ValidationResult.fail(
                     f"{strategy} dedup requires 'idColumn' and 'contentColumn'"
@@ -1049,6 +1149,27 @@ class DedupTransformer:
 
             raise TransformationError("dedup config invalid: " + "; ".join(result.errors))
         opts = config.options
+        if opts.get("strategy", "exact").lower() == "containment":
+            pairs = containment_pairs(
+                df,
+                id_col=opts["idColumn"],
+                text_col=opts["contentColumn"],
+                n=int(opts.get("shingleSize", 3)),
+                threshold=float(opts.get("threshold", 0.8)),
+                max_shingle_df=(
+                    int(opts["maxShingleDf"])
+                    if opts.get("maxShingleDf") is not None
+                    else None
+                ),
+            )
+            # drop the CONTAINED side: a is redundant when b is larger,
+            # or same-size mutual containment and a has the larger id
+            drop = pairs.where(
+                (F.col("sz_a") < F.col("sz_b"))
+                | ((F.col("sz_a") == F.col("sz_b"))
+                   & (F.col("id_a") > F.col("id_b")))
+            ).select(F.col("id_a").alias(opts["idColumn"])).distinct()
+            return df.join(drop, opts["idColumn"], "left_anti")
         if opts.get("strategy", "exact").lower() == "lines":
             # the operator returns the lean (id, deduped, counts)
             # relation; the ADAPTER joins it back so YAML compositions

@@ -2386,3 +2386,50 @@ class TestLDiversity:
             type="l_diversity", options={"quasiIdentifiers": "seg"}
         )
         assert not t.validate(df, bad).is_valid
+
+
+def test_containment_pairs_asymmetric(spark):
+    """containment_pairs: the quote/subset detector — a short doc
+    fully inside a long one has containment 1.0 forward but small
+    backward; Jaccard alone would miss it."""
+    import pytest as _pt
+
+    from etl_spark_gradle_spark.operators.dedup import containment_pairs
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = (
+        "yesterday a witness said " + quote +
+        " and then everyone went home to think about what happened"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "totally different content here")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in
+           containment_pairs(df, "doc_id", "text", n=3,
+                             threshold=0.5).collect()}
+    # quote (7 trigrams) fully contained in article -> containment 1.0
+    assert out[(1, 2)]["containment"] == 1.0
+    assert out[(1, 2)]["inter"] == out[(1, 2)]["sz_a"] == 7
+    # backward direction is weak and filtered at 0.5
+    assert (2, 1) not in out
+    assert all(k[0] != 3 and k[1] != 3 for k in out)
+    with _pt.raises(TransformationError):
+        containment_pairs(df, "doc_id", "text", threshold=0.0)
+
+    # dedup adapter: strategy containment drops the CONTAINED doc
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+    t = TRANSFORMER_REGISTRY["dedup"]
+    cfg = TransformationConfig(
+        type="dedup",
+        options={"strategy": "containment", "idColumn": "doc_id",
+                 "contentColumn": "text", "threshold": "0.5"},
+    )
+    assert t.validate(df, cfg).is_valid
+    kept = {r["doc_id"] for r in t.transform(df, cfg, None).collect()}
+    assert kept == {2, 3}  # the quote is redundant given the article

@@ -80,30 +80,108 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
 }
 
 
-def window_sweep(spark, entrymod, sf_dir: str) -> int:
-    """Battery rule (VERDICT r9 ask #3): every registered query's plan
-    must be free of unpartitioned windows except the annotated-bounded
-    exemptions above. Manual audits caught auc; this catches the next
-    one for free."""
+# Queries allowed a CartesianProduct / BroadcastNestedLoopJoin with a
+# DATA-SIZED side. Most BNLJ uses in the repo are 1-row or k-row
+# broadcast attaches (totals, centroids, edges) — those are fine and
+# NOT flagged; this list is for queries whose plan contains a genuine
+# pair expansion, each a documented ORACLE BASELINE, never the scale
+# path (the LSH/prefix-filter variants are the production routes).
+# Empty by construction — the r10 sweep proved NO registered query
+# plans a CartesianProduct node: even the documented quadratic oracle
+# baselines (edit_join, ngram_jaccard, embedding_cosine_dups, the ANN
+# recall joins) expand pairs through KEYED shingle/bucket joins, never
+# a physical cartesian. Any future entry needs a boundedness argument.
+CARTESIAN_EXEMPT: dict[str, str] = {}
+
+# Queries allowed Arrow-batched python stages (ArrowEvalPython /
+# MapInPandas / FlatMapGroupsInPandas) — the operators whose semantics
+# Spark's built-ins genuinely can't express (the brief's sanctioned
+# escape hatch). Row-at-a-time BatchEvalPython is NEVER allowed.
+ARROW_EXEMPT: dict[str, str] = {
+    "keyword_tag": "Aho-Corasick automaton over Arrow batches",
+    "image_decode": "media codec decode (real codecs, Arrow batches)",
+    "image_resize": "same codec path (decode + resample)",
+    "audio_decode": "same codec path (WAV/PCM)",
+    "frame_sample": "video frame sampling over Arrow batches",
+    "embed_media": "deterministic media embedding over decoded bytes",
+    "bpe_tokenize": "trained-vocab BPE encoding over Arrow batches",
+    "model_score": "pluggable python scorer (documented escape hatch)",
+    "simhash": "64-bit simhash signature fold over Arrow batches",
+    "incremental_minhash": "store fold reuses the simhash/minhash "
+                           "Arrow signature path",
+    "parquet_stats": "footer/row-group statistics reader (pyarrow "
+                     "metadata, not a data scan)",
+}
+
+
+def battery_sweep(spark, entrymod, sf_dir: str) -> int:
+    """Battery rules over EVERY registered query's plan (VERDICT r9
+    ask #3 generalized): manual audits caught auc's unpartitioned
+    window; these catch the next one for free.
+
+    1. no unpartitioned Window beyond the annotated-bounded
+       exemptions (single-partition scale cliff);
+    2. no CartesianProduct beyond the documented quadratic oracle
+       baselines;
+    3. no row-at-a-time python (BatchEvalPython) EVER; Arrow python
+       stages only where annotated."""
     failed = 0
     for name, fn in sorted(entrymod.queries().items()):
         try:
-            cnt = unpartitioned_window_count(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            cnt = unpartitioned_window_count(df)
+            plan = plan_of(df)
         except Exception as exc:  # plan construction itself failed
             failed += 1
             print(f"FAIL {name}: plan construction error: {exc!r}")
             continue
+        problems = []
+        used = []
         allowed = BOUNDED_WINDOW_EXEMPT.get(name, 0)
         if cnt > allowed:
-            failed += 1
-            print(
-                f"FAIL {name}: {cnt} unpartitioned Window(s), "
-                f"{allowed} exempt — single-partition scale cliff"
+            problems.append(
+                f"{cnt} unpartitioned Window(s), {allowed} exempt"
             )
         elif cnt:
-            print(f"PASS {name}: {cnt} unpartitioned (bounded, exempt)")
-    print(f"window sweep: {failed} failures")
+            used.append(f"window({cnt})")
+        has_cart = "CartesianProduct" in plan
+        if has_cart and name not in CARTESIAN_EXEMPT:
+            problems.append("CartesianProduct (pair expansion)")
+        elif has_cart:
+            used.append("cartesian")
+        if "BatchEvalPython" in plan:
+            problems.append("BatchEvalPython (row-at-a-time python)")
+        has_arrow = any(
+            m in plan
+            for m in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+            )
+        )
+        if has_arrow and name not in ARROW_EXEMPT:
+            problems.append("unannotated Arrow python stage")
+        elif has_arrow:
+            used.append("arrow")
+        # stale-annotation hygiene: an exemption the plan no longer
+        # needs is a dormant loophole — fail it so the list stays true
+        if name in CARTESIAN_EXEMPT and not has_cart:
+            problems.append("stale CARTESIAN_EXEMPT entry (unused)")
+        if name in ARROW_EXEMPT and not has_arrow:
+            problems.append("stale ARROW_EXEMPT entry (unused)")
+        if allowed and cnt == 0:
+            problems.append("stale BOUNDED_WINDOW_EXEMPT entry (unused)")
+        if problems:
+            failed += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        elif used:
+            print(f"PASS {name}: {', '.join(used)} within annotation")
+    print(f"battery sweep: {failed} failures")
     return failed
+
+
+# backwards-compatible alias (r10 ask #3 shipped as --window-sweep)
+window_sweep = battery_sweep
 
 
 CHECKS: list[tuple[str, str, list[str], list[str]]] = [
