@@ -591,6 +591,31 @@ def q25_eval_auc(spark):
     )
 
 
+def q26_pr_curve(spark):
+    """Full precision-recall curve over 600k lineitem rows with a
+    NEAR-UNIQUE score (l_extendedprice) — the adversarial complement
+    to q25's dense-tie AUC: the distinct-threshold table is O(rows),
+    so the cumulative tp/fp MUST ride the distributed two-level
+    prefix-sum scan (a bare Window.orderBy would funnel the whole
+    table through one task). Forced through a hash-sum so the scan
+    and every per-row division execute."""
+    from etl_spark_gradle_spark.operators.evaluation import pr_curve
+
+    li = load(spark, "lineitem")
+    out = pr_curve(
+        li.select(
+            F.col("l_extendedprice").cast("double").alias("score"),
+            (F.col("l_returnflag") == "R").cast("int").alias("label"),
+        ),
+        "score",
+        "label",
+    )
+    return out.agg(
+        F.sum(F.xxhash64("threshold", "tp", "fp", "f1")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q24_sessionize(spark):
     """Gap-based sessionization of 100k events (30-min gap) rolled up
     to per-session stats — the gaps-and-islands shape: ONE user-keyed
@@ -657,6 +682,7 @@ QUERIES = {
     "q23_kmeans": q23_kmeans,
     "q24_sessionize": q24_sessionize,
     "q25_eval_auc": q25_eval_auc,
+    "q26_pr_curve": q26_pr_curve,
 }
 
 
