@@ -5698,6 +5698,63 @@ WHERE CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) >= 0.6
 """
 
 
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of order totals across the five priority
+    levels, per order status — exact decimal per-level moments; the
+    one cross-level float accumulation closes by an ordered
+    sequential fold that DuckDB replays verbatim via list_reduce
+    (same operand order, bit-identical doubles)."""
+    from etl_spark_gradle_spark.operators.stats import anova_f
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return anova_f(
+        orders, "o_totalprice", "o_orderpriority",
+        group_by=["o_orderstatus"],
+    )
+
+
+_ANOVA_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority AS lvl,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), per AS (
+  SELECT o_orderstatus, lvl,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s,
+         SUM(CAST(x * x AS DECIMAL(38,4))) AS sq
+  FROM base GROUP BY 1, 2
+), terms AS (
+  SELECT o_orderstatus, lvl, n, s, sq,
+         (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+           / CAST(n AS DOUBLE) AS t
+  FROM per
+), agg AS (
+  SELECT o_orderstatus,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k_levels,
+         CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS gs,
+         CAST(CAST(SUM(sq) AS VARCHAR) AS DOUBLE) AS gsq,
+         list_reduce(list_prepend(0.0, list(t ORDER BY lvl)),
+                     (a, b) -> a + b) AS fold_a
+  FROM terms GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n, k_levels,
+       fold_a - gs * gs / CAST(n AS DOUBLE) AS ss_between,
+       gsq - fold_a AS ss_within,
+       CASE WHEN k_levels >= 2 AND n > k_levels AND gsq - fold_a > 0
+            THEN ((fold_a - gs * gs / CAST(n AS DOUBLE))
+                    / CAST(k_levels - 1 AS DOUBLE))
+                 / ((gsq - fold_a) / CAST(n - k_levels AS DOUBLE))
+       END AS f_stat
+FROM agg
+"""
+
+
+
 
 
 
@@ -10494,13 +10551,14 @@ FROM cells GROUP BY n, kx, ky
 # rfm/pareto/spend_gini rank just below the cut (r8 rows, ~8 h stale)
 # and queue for r11. Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "brier_ece",
+    "anova",
     "containment",
+    "decontaminate",
+    "brier_ece",
     "fdr_bh",
     "ndcg",
     "pr_curve",
     "spearman",
-    "decontaminate",
     "t_closeness",
     "tpch_q17",
     "tpch_q18",
@@ -10533,17 +10591,16 @@ _GATE_WINDOW: list[str] = [
     "table_checksum",
     "transitions",
     "zscore",
+    "balance_classes",
+    "line_dedup",
+    "mutual_information",
+    "oversample",
+    "vocab_overlap",
     "calibration",
     "conversion_latency",
     "discretize",
     "seasonal_mad",
     "tv_drift",
-    "balance_classes",
-    "bm25",
-    "cms_prune",
-    "cms_topk",
-    "incremental_aggregate",
-    "oversample",
 ]
 
 
@@ -10642,6 +10699,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "fdr_bh": q_fdr_bh,
         "containment": q_containment,
+        "anova": q_anova,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -10947,6 +11005,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_curve": _PR_CURVE_ORACLE,
         "fdr_bh": _FDR_BH_ORACLE,
         "containment": _CONTAINMENT_ORACLE,
+        "anova": _ANOVA_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

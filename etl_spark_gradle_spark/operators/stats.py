@@ -760,6 +760,92 @@ def spearman(
     )
 
 
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """One-way ANOVA F statistic — the k-group extension of
+    :func:`welch_ttest` (two groups ask "did the mean move"; ANOVA
+    asks "do ANY of the k factor levels differ in mean", the screen
+    you run before pairwise tests, with :func:`fdr_bh` closing the
+    multiple-comparisons loop)::
+
+        SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N      (between groups)
+        SSW = Σx² − Σ_g (Σx_g)²/n_g          (within groups)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    Exactness: per-level moments (n, Σx, Σx²) are exact decimal; the
+    grand Σx/Σx² stay exact by decimal addition. The one float
+    accumulation — Σ_g (Σx_g)²/n_g across levels — is closed by an
+    ORDERED SEQUENTIAL FOLD over the level-sorted term list
+    (``aggregate(sort_array(collect_list(...)), 0.0, +)``), which
+    DuckDB replays verbatim as ``list_reduce(list_prepend(0.0,
+    list(t ORDER BY lvl)), +)`` — same operand order, bit-identical
+    result (a bare SUM over doubles is engine-order dependent: the
+    segment-tree-vs-sequential hazard documented at cusum).
+
+    Plan at 100 TB: ONE map-side-combined shuffle on
+    (group, factor level); the fold runs on the ≤-k-row per-group
+    level table (factor cardinality must be modest — it is a factor).
+    NULL value or level rows are excluded. Degenerate groups (k < 2,
+    N ≤ k, or zero within-group variance) yield NULL ``f_stat``.
+
+    Output: group cols + ``n``/``k_levels`` (long) +
+    ``ss_between``/``ss_within``/``f_stat`` (double)."""
+    for c in (value_col, factor_col, *(group_by or [])):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    group_by = group_by or []
+    per_level = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(factor_col).isNotNull()
+        )
+        .groupBy(
+            *group_by, F.col(factor_col).cast("string").alias("_lvl")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(_dec(value_col)).alias("_sum"),
+            F.sum(_prod(value_col, value_col)).alias("_sumsq"),
+        )
+    )
+    term = (
+        (_d(F.col("_sum")) * _d(F.col("_sum")))
+        / F.col("_n").cast("double")
+    ).alias("_t")
+    agg = per_level.select(*group_by, "_lvl", "_n", "_sum", "_sumsq",
+                           term).groupBy(*group_by).agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_levels"),
+        F.sum("_sum").alias("_gsum"),
+        F.sum("_sumsq").alias("_gsumsq"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_lvl", "_t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_t"],
+        ).alias("_a"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k_levels").cast("double")
+    ssb = F.col("_a") - (_d(F.col("_gsum")) * _d(F.col("_gsum"))) / n
+    ssw = _d(F.col("_gsumsq")) - F.col("_a")
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return agg.select(
+        *group_by,
+        "n",
+        "k_levels",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.when(
+            (F.col("k_levels") >= 2) & (F.col("n") > F.col("k_levels"))
+            & (ssw > 0),
+            f_stat,
+        ).alias("f_stat"),
+    )
+
+
 def fdr_bh(
     df: DataFrame,
     p_col: str,

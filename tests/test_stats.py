@@ -1367,3 +1367,54 @@ def test_fdr_bh_matches_pure_python(spark):
         fdr_bh(df, "p", "test_id", q=1.5)
     with pytest.raises(TransformationError):
         fdr_bh(df, "missing", "test_id")
+
+
+def test_anova_f_matches_pure_python(spark):
+    import random
+    from decimal import Decimal
+
+    from etl_spark_gradle_spark.operators.stats import anova_f
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+    )
+
+    random.seed(2)
+    rows = []
+    for lvl, mu in (("a", 10.0), ("b", 12.0), ("c", 10.5)):
+        rows += [(lvl, round(mu + random.gauss(0, 1), 2))
+                 for _ in range(60)]
+    rows += [("a", None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "lvl string, x double").repartition(4)
+    r = anova_f(df, "x", "lvl").collect()[0]
+    # exact-decimal reference with the SAME ordered fold
+    from collections import defaultdict
+
+    data = defaultdict(list)
+    for lvl, x in rows:
+        if lvl is not None and x is not None:
+            data[lvl].append(Decimal(repr(x)))
+    N = sum(len(v) for v in data.values())
+    k = len(data)
+    gs = float(sum(sum(v) for v in data.values()))
+    gsq = float(sum(x * x for v in data.values() for x in v))
+    a = 0.0
+    for lvl in sorted(data):
+        s = float(sum(data[lvl]))
+        a = a + (s * s) / len(data[lvl])
+    ssb = a - gs * gs / N
+    ssw = gsq - a
+    fref = (ssb / (k - 1)) / (ssw / (N - k))
+    assert r["n"] == N and r["k_levels"] == k
+    assert r["ss_between"] == pytest.approx(ssb, abs=1e-9)
+    assert r["f_stat"] == pytest.approx(fref, rel=1e-12)
+    # identical group means -> F near 0; single level -> NULL
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "lvl string, x double",
+    )
+    rf = anova_f(flat, "x", "lvl").collect()[0]
+    assert rf["f_stat"] == pytest.approx(0.0, abs=1e-12)
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "lvl string, x double")
+    assert anova_f(one, "x", "lvl").collect()[0]["f_stat"] is None
+    with pytest.raises(TransformationError):
+        anova_f(df, "missing", "lvl")
