@@ -2461,11 +2461,39 @@ class StatsTransformer:
                     "stats prop_ztest requires both 'sideA' and 'sideB' "
                     "or neither"
                 )
+        elif op == "spearman":
+            for key in ("xColumn", "yColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats spearman requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            if opts.get("groupBy"):
+                errors.append("stats spearman does not support groupBy")
+        elif op == "anova":
+            for key in ("valueColumn", "factorColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats anova requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+        elif op == "fdr_bh":
+            for key in ("pColumn", "idColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats fdr_bh requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            try:
+                if not 0.0 < float(opts.get("q", 0.05)) < 1.0:
+                    errors.append("stats fdr_bh requires 0 < q < 1")
+            except (TypeError, ValueError):
+                errors.append("stats fdr_bh q must be numeric")
+            if opts.get("groupBy"):
+                errors.append("stats fdr_bh does not support groupBy")
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
                 "|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute"
-                "|multiple_regression|benford|welch_ttest|prop_ztest, "
+                "|multiple_regression|benford|welch_ttest|prop_ztest"
+                "|spearman|anova|fdr_bh, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -2521,6 +2549,19 @@ class StatsTransformer:
                 hi=float(opts.get("hi", 0.95)),
                 group_by=gb,
                 output_col=opts.get("outputColumn"),
+            )
+        if op == "spearman":
+            return spearman(df, opts["xColumn"], opts["yColumn"])
+        if op == "anova":
+            return anova_f(
+                df, opts["valueColumn"], opts["factorColumn"], group_by=gb
+            )
+        if op == "fdr_bh":
+            return fdr_bh(
+                df,
+                opts["pColumn"],
+                opts["idColumn"],
+                q=float(opts.get("q", 0.05)),
             )
         if op == "multiple_regression":
             return multiple_regression(
