@@ -5754,6 +5754,70 @@ FROM agg
 """
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H of order totals across the five priority
+    levels — the nonparametric twin of q_anova over the same frame.
+    Near-unique totals make the pooled rank histogram O(rows), so the
+    cumulative ranks MUST ride the distributed prefix-sum scan; rank
+    sums and the tie term stay exact integers; the cross-level fold
+    replays via list_reduce."""
+    from etl_spark_gradle_spark.operators.stats import kruskal_wallis
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return kruskal_wallis(orders, "o_totalprice", "o_orderpriority")
+
+
+_KRUSKAL_WALLIS_ORACLE = """
+WITH pts AS (
+  SELECT o_totalprice AS v, o_orderpriority AS lvl FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), hist AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1
+), rm AS (
+  SELECT v,
+         CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS BIGINT)
+           AS r2,
+         CAST(c AS HUGEINT) * c * c - c AS tie
+  FROM hist
+), cells AS (
+  SELECT lvl, v, CAST(COUNT(*) AS BIGINT) AS cv FROM pts GROUP BY 1, 2
+), per AS (
+  SELECT lvl, CAST(SUM(cv) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(cv AS HUGEINT) * r2) AS VARCHAR) AS DOUBLE)
+           AS s2
+  FROM cells JOIN rm USING (v) GROUP BY lvl
+), terms AS (
+  SELECT lvl, n, (s2 * s2) / (4.0 * CAST(n AS DOUBLE)) AS t FROM per
+), agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k_levels,
+         list_reduce(list_prepend(0.0, list(t ORDER BY lvl)),
+                     (a, b) -> a + b) AS fold_a
+  FROM terms
+), ties AS (
+  SELECT CAST(CAST(SUM(tie) AS VARCHAR) AS DOUBLE) AS ts FROM rm
+)
+SELECT n, k_levels,
+       CASE WHEN k_levels >= 2
+             AND 1.0 - ts / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+            THEN (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)))
+                   * fold_a - 3.0 * (CAST(n AS DOUBLE) + 1)
+       END AS h,
+       CASE WHEN k_levels >= 2
+             AND 1.0 - ts / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+            THEN ((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)))
+                    * fold_a - 3.0 * (CAST(n AS DOUBLE) + 1))
+                 / (1.0 - ts / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+       END AS h_adj
+FROM agg CROSS JOIN ties
+"""
+
+
+
 
 
 
@@ -10552,13 +10616,14 @@ FROM cells GROUP BY n, kx, ky
 # and queue for r11. Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
     "anova",
+    "fdr_bh",
+    "kruskal_wallis",
+    "spearman",
     "containment",
     "decontaminate",
     "brier_ece",
-    "fdr_bh",
     "ndcg",
     "pr_curve",
-    "spearman",
     "t_closeness",
     "tpch_q17",
     "tpch_q18",
@@ -10591,16 +10656,15 @@ _GATE_WINDOW: list[str] = [
     "table_checksum",
     "transitions",
     "zscore",
-    "balance_classes",
-    "line_dedup",
-    "mutual_information",
-    "oversample",
-    "vocab_overlap",
     "calibration",
     "conversion_latency",
     "discretize",
     "seasonal_mad",
     "tv_drift",
+    "mutual_information",
+    "balance_classes",
+    "line_dedup",
+    "oversample",
 ]
 
 
@@ -10700,6 +10764,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_bh": q_fdr_bh,
         "containment": q_containment,
         "anova": q_anova,
+        "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
         "acf": q_acf,
@@ -11006,6 +11071,7 @@ def oracle_sql() -> dict[str, str]:
         "fdr_bh": _FDR_BH_ORACLE,
         "containment": _CONTAINMENT_ORACLE,
         "anova": _ANOVA_ORACLE,
+        "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,
         "acf": _acf_oracle(),

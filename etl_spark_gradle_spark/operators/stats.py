@@ -846,6 +846,118 @@ def anova_f(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H — the rank-based (nonparametric) one-way
+    ANOVA, pairing :func:`anova_f` exactly as :func:`rank_sum_drift`
+    pairs :func:`welch_ttest`: k groups, no normality assumption,
+    average ranks for ties::
+
+        H     = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        H_adj = H / (1 − Σ_v (t_v³ − t_v)/(N³ − N))   (tie correction)
+
+    Exactness: ranks come from the POOLED value histogram as the
+    integer ``r2 = 2·cum + cnt + 1`` (2× the average rank — the
+    auc/spearman identity), so each group's rank sum ``S2_g = Σ c·r2``
+    and the tie sum ``Σ (t³ − t)`` accumulate as exact decimal(38,0);
+    the one cross-group float accumulation Σ S2_g²/(4·n_g) closes by
+    the SAME ordered sequential fold as ``anova_f`` (level-sorted,
+    replayed verbatim by DuckDB ``list_reduce`` — bit-identical
+    operand order), and H/H_adj are a fixed short double expression.
+
+    Plan at 100 TB: the pooled histogram reduces the data map-side;
+    cumulative counts ride ``_prefix_sums`` (continuous values make
+    the histogram O(rows) — never a single-partition window); the
+    per-(level, value) cell table joins the histogram-sized rank map
+    back (broadcast or shuffle, Catalyst picks); ONE bounded fold per
+    level table. NULL value or level rows are excluded. Degenerate
+    inputs (k < 2 or all values tied) yield NULL ``h``/``h_adj``.
+
+    Output: one row — ``n``/``k_levels`` (long), ``h``/``h_adj``
+    (double)."""
+    for c in (value_col, factor_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"kruskal_wallis: column not in schema: {c}"
+            )
+    pts = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(factor_col).isNotNull()
+        )
+        .select(
+            F.col(value_col).alias("_v"),
+            F.col(factor_col).cast("string").alias("_lvl"),
+        )
+        # feeds the pooled histogram AND the per-level cells
+        .localCheckpoint(eager=True)
+    )
+    hist = pts.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    cum = _prefix_sums(hist, "_v", ["_c"], num_partitions)
+    rank_map = cum.select(
+        "_v",
+        (F.lit(2) * (F.col("cum__c") - F.col("_c")) + F.col("_c") + 1)
+        .cast("long")
+        .alias("_r2"),
+        # per-value tie term t^3 - t, exact decimal
+        (
+            F.col("_c").cast("decimal(38,0)")
+            * F.col("_c").cast("decimal(38,0)")
+            * F.col("_c").cast("decimal(38,0)")
+            - F.col("_c").cast("decimal(38,0)")
+        ).alias("_tie"),
+    )
+    cells = pts.groupBy("_lvl", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_cv")
+    )
+    per_level = (
+        cells.join(rank_map.select("_v", "_r2"), "_v")
+        .groupBy("_lvl")
+        .agg(
+            F.sum("_cv").cast("long").alias("_n"),
+            F.sum(
+                F.col("_cv").cast("decimal(19,0)")
+                * F.col("_r2").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("_s2"),
+        )
+    )
+    term = (
+        (_d(F.col("_s2")) * _d(F.col("_s2")))
+        / (F.lit(4.0) * F.col("_n").cast("double"))
+    ).alias("_t")
+    agg = per_level.select("_lvl", "_n", term).agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_levels"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_lvl", "_t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_t"],
+        ).alias("_a"),
+    )
+    ties = rank_map.agg(F.sum("_tie").alias("_ts"))
+    j = agg.crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h = (F.lit(12.0) / (n * (n + 1))) * F.col("_a") - F.lit(3.0) * (
+        n + 1
+    )
+    corr = F.lit(1.0) - _d(F.col("_ts")) / (n * n * n - n)
+    return j.select(
+        "n",
+        "k_levels",
+        F.when((F.col("k_levels") >= 2) & (corr > 0), h).alias("h"),
+        F.when(
+            (F.col("k_levels") >= 2) & (corr > 0), h / corr
+        ).alias("h_adj"),
+    )
+
+
 def fdr_bh(
     df: DataFrame,
     p_col: str,
@@ -2469,12 +2581,16 @@ class StatsTransformer:
                     cols_needed.append(opts[key])
             if opts.get("groupBy"):
                 errors.append("stats spearman does not support groupBy")
-        elif op == "anova":
+        elif op in ("anova", "kruskal_wallis"):
             for key in ("valueColumn", "factorColumn"):
                 if not opts.get(key):
-                    errors.append(f"stats anova requires '{key}'")
+                    errors.append(f"stats {op} requires '{key}'")
                 else:
                     cols_needed.append(opts[key])
+            if op == "kruskal_wallis" and opts.get("groupBy"):
+                errors.append(
+                    "stats kruskal_wallis does not support groupBy"
+                )
         elif op == "fdr_bh":
             for key in ("pColumn", "idColumn"):
                 if not opts.get(key):
@@ -2493,7 +2609,7 @@ class StatsTransformer:
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
                 "|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute"
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
-                "|spearman|anova|fdr_bh, "
+                "|spearman|anova|kruskal_wallis|fdr_bh, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -2555,6 +2671,10 @@ class StatsTransformer:
         if op == "anova":
             return anova_f(
                 df, opts["valueColumn"], opts["factorColumn"], group_by=gb
+            )
+        if op == "kruskal_wallis":
+            return kruskal_wallis(
+                df, opts["valueColumn"], opts["factorColumn"]
             )
         if op == "fdr_bh":
             return fdr_bh(

@@ -1418,3 +1418,54 @@ def test_anova_f_matches_pure_python(spark):
     assert anova_f(one, "x", "lvl").collect()[0]["f_stat"] is None
     with pytest.raises(TransformationError):
         anova_f(df, "missing", "lvl")
+
+
+def test_kruskal_wallis_matches_pure_python(spark):
+    import collections
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import kruskal_wallis
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+    )
+
+    random.seed(6)
+    rows = []
+    for lvl, mu in (("a", 10.0), ("b", 12.0), ("c", 10.5)):
+        rows += [(lvl, round(mu + random.gauss(0, 1), 1))
+                 for _ in range(70)]  # 1 dp -> heavy ties
+    rows += [("a", None), (None, 3.0)]
+    df = spark.createDataFrame(rows, "lvl string, x double").repartition(4)
+    r = kruskal_wallis(df, "x", "lvl").collect()[0]
+    clean = [(l, x) for l, x in rows if l is not None and x is not None]
+    cnt = collections.Counter(x for _, x in clean)
+    cum, avg_rank = 0, {}
+    for v in sorted(cnt):
+        avg_rank[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    N = len(clean)
+    groups = collections.defaultdict(list)
+    for l, x in clean:
+        groups[l].append(x)
+    a = 0.0
+    for l in sorted(groups):
+        R = sum(avg_rank[x] for x in groups[l])
+        a = a + (R * R) / len(groups[l])
+    H = 12.0 / (N * (N + 1)) * a - 3 * (N + 1)
+    C = 1 - sum(c ** 3 - c for c in cnt.values()) / (N ** 3 - N)
+    assert r["n"] == N and r["k_levels"] == 3
+    assert r["h"] == pytest.approx(H, rel=1e-12)
+    assert r["h_adj"] == pytest.approx(H / C, rel=1e-12)
+    # identical distributions -> H_adj near 0; all-tied values -> NULL
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "lvl string, x double",
+    )
+    rs = kruskal_wallis(same, "x", "lvl").collect()[0]
+    assert abs(rs["h_adj"]) < 1e-9
+    tied = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 5.0)], "lvl string, x double"
+    )
+    assert kruskal_wallis(tied, "x", "lvl").collect()[0]["h_adj"] is None
+    with pytest.raises(TransformationError):
+        kruskal_wallis(df, "missing", "lvl")

@@ -64,6 +64,7 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
     "calibration": 1,          # [PS] via stats.ecdf
     "conversion_latency": 1,   # [PS] via exact_quantiles
     "ecdf": 1,                 # [PS]
+    "kruskal_wallis": 1,       # [PS] pooled-rank CDF
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
