@@ -890,6 +890,32 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["ntile(", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    (
+        "anova",
+        "one-way ANOVA: one map-side-combined (group, level) shuffle; "
+        "the cross-level fold runs on the bounded level table; no "
+        "windows, no joins, no python",
+        ["partial_count", "hashpartitioning"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "kruskal_wallis",
+        "Kruskal-Wallis: pooled ranks from the value histogram via "
+        "the distributed prefix-sum scan (per-_pid windows), the "
+        "rank map joins back broadcast; no python, no cartesian",
+        ["hashpartitioning(_pid", "partial_count", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "fdr_bh",
+        "BH FDR: ascending p-rank via the two-level scan; the cutoff "
+        "is a 1-row broadcast max; no python",
+        ["hashpartitioning(_pid", "row_number",
+         "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
 ]
 
 
