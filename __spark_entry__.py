@@ -5451,6 +5451,12 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
+    # match the oracle's event_type IS NOT NULL predicate — without it
+    # the when-chain's .otherwise(0) would keep NULL-typed rows as
+    # rel=0 while the oracle drops them (ADVICE r10)
+    ev = ev.where(
+        F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     scored = ev.select(
         "user_id",
         "event_id",

@@ -972,7 +972,11 @@ def decontaminate(
       ``(id_col, overlapping_ngrams, eval_docs_hit)`` (distinct
       shared n-grams / distinct eval docs hit; hits >= min_hits);
     - ``'matches'`` — the (train, eval) pair table with
-      ``shared_ngrams`` per pair (attribution view);
+      ``shared_ngrams`` per pair (attribution view), filtered to
+      pairs with ``shared_ngrams >= min_hits`` (NOTE: per-PAIR, so a
+      train doc can clear report's cross-eval total while every one
+      of its pairs falls below the per-pair bar — matches is the
+      stricter read per row);
     - ``'clean'`` — the training frame with contaminated docs
       REMOVED (left-anti join on the flagged ids).
 
@@ -1022,12 +1026,19 @@ def decontaminate(
     probe = F.broadcast(eg) if broadcast_eval else eg
     hits = tg.join(probe, "_g")
     if mode == "matches":
-        return hits.groupBy(id_col, "_eval_id").agg(
-            F.count_distinct("_g").cast("long").alias("shared_ngrams")
-        ).select(
-            id_col,
-            F.col("_eval_id").alias("eval_id"),
-            "shared_ngrams",
+        return (
+            hits.groupBy(id_col, "_eval_id")
+            .agg(
+                F.count_distinct("_g").cast("long").alias("shared_ngrams")
+            )
+            # min_hits applies here too (per PAIR — ADVICE r10: a
+            # minHits=5 pipeline must not get every 1-shingle pair)
+            .where(F.col("shared_ngrams") >= int(min_hits))
+            .select(
+                id_col,
+                F.col("_eval_id").alias("eval_id"),
+                "shared_ngrams",
+            )
         )
     report = (
         hits.groupBy(id_col)

@@ -291,7 +291,14 @@ def containment_pairs(
     form is the oracle baseline; at corpus scale run it over
     LSH-bucketed candidates, not all pairs. Documents with zero
     shingles (shorter than ``n`` tokens) can never appear on either
-    side."""
+    side.
+
+    When ``max_shingle_df`` is set, BOTH the intersection and the
+    sizes are computed over the pruned shingle universe (stop-shingles
+    removed from numerator AND denominator) — containment stays an
+    exact ratio of consistent counts instead of being silently
+    deflated by frequent shingles that only the numerator lost
+    (ADVICE r10). ``max_shingle_df=None`` is untouched."""
     if not 0.0 < float(threshold) <= 1.0:
         from etl_spark_gradle_spark.operators.relational import (
             TransformationError,
@@ -305,7 +312,6 @@ def containment_pairs(
         token_shingles(text_col, n) if use_tokens else char_shingles(text_col, n)
     )
     base = df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
-    sizes = base.select("id", F.size("sh").alias("sz"))
     exploded = base.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         doc_freq = exploded.groupBy("shingle").agg(
@@ -316,6 +322,14 @@ def containment_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("id", "shingle")
         )
+        # sizes over the SAME pruned universe as the intersection —
+        # shingles are already distinct per doc (token_shingles /
+        # char_shingles apply array_distinct), so count == set size
+        sizes = exploded.groupBy("id").agg(
+            F.count(F.lit(1)).cast("int").alias("sz")
+        )
+    else:
+        sizes = base.select("id", F.size("sh").alias("sz"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -1140,6 +1154,44 @@ class DedupTransformer:
                 missing.append(tb)
         if missing:
             return ValidationResult.fail(*[f"column not in input schema: {c}" for c in missing])
+        if strategy == "containment":
+            # numeric options fail HERE, not as a raw ValueError at
+            # transform time — the same validate-cleanly retrofit the
+            # evaluation transformer got for bins/lo/hi (ADVICE r9/r10)
+            errors = []
+            try:
+                thr = float(opts.get("threshold", 0.8))
+                if not (0.0 < thr <= 1.0):
+                    errors.append(
+                        "containment threshold must be in (0, 1], "
+                        f"got {thr}"
+                    )
+            except (TypeError, ValueError):
+                errors.append(
+                    "containment threshold must be a number, got "
+                    f"'{opts.get('threshold')}'"
+                )
+            try:
+                if int(opts.get("shingleSize", 3)) < 1:
+                    errors.append("containment shingleSize must be >= 1")
+            except (TypeError, ValueError):
+                errors.append(
+                    "containment shingleSize must be an int, got "
+                    f"'{opts.get('shingleSize')}'"
+                )
+            if opts.get("maxShingleDf") is not None:
+                try:
+                    if int(opts["maxShingleDf"]) < 1:
+                        errors.append(
+                            "containment maxShingleDf must be >= 1"
+                        )
+                except (TypeError, ValueError):
+                    errors.append(
+                        "containment maxShingleDf must be an int, got "
+                        f"'{opts.get('maxShingleDf')}'"
+                    )
+            if errors:
+                return ValidationResult.fail(*errors)
         return ValidationResult.ok()
 
     def transform(self, df: DataFrame, config, ctx) -> DataFrame:

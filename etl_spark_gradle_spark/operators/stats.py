@@ -740,8 +740,12 @@ def spearman(
     r2x, r2y = F.col("_r2x").cast(dec), F.col("_r2y").cast(dec)
     agg = joined.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("_r2x")).cast("decimal(38,0)").alias("_sx"),
-        F.sum(F.col("_r2y")).cast("decimal(38,0)").alias("_sy"),
+        # cast BEFORE the sum: sum(2·rank) ≈ n(n+1) overflows the
+        # long accumulator (non-ANSI wraparound) past n ~ 3e9, which
+        # small-SF gates can't see; decimal-in matches the DuckDB
+        # oracle's HUGEINT accumulation and the _sxx/_syy/_sxy path.
+        F.sum(F.col("_r2x").cast("decimal(38,0)")).alias("_sx"),
+        F.sum(F.col("_r2y").cast("decimal(38,0)")).alias("_sy"),
         F.sum(r2x * r2x).cast("decimal(38,0)").alias("_sxx"),
         F.sum(r2y * r2y).cast("decimal(38,0)").alias("_syy"),
         F.sum(r2x * r2y).cast("decimal(38,0)").alias("_sxy"),
