@@ -169,6 +169,91 @@ def token_frequency(
     return out
 
 
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    top_k: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — OLS of
+    ``ln(freq)`` on ``ln(rank)``. Natural text follows
+    ``freq ∝ rank^s`` with ``s ≈ −1``; a slope far from −1 (or a low
+    r²) is a corpus-health smell: template/boilerplate floods flatten
+    the head, synthetic or deduplicated-to-death text steepens it.
+    The standard one-number diagnostic next to
+    :func:`~etl_spark_gradle_spark.operators.text.with_text_stats`'
+    per-document signals.
+
+    Ranks (1 = most frequent, ties broken token-ascending) come from
+    ``evaluation._global_rank_desc``'s two-level scan — vocabulary-
+    sized input, NO single-partition window. Both logs are rounded to
+    9 dp and cast to exact ``decimal(12,9)`` so the OLS moment sums
+    are exact decimal (the module's cross-engine posture — a float
+    Σln accumulates partition-order dependently); the closed form
+    applies float math only to the final ≤6 scalars, string-round-
+    tripped (``stats._d``). ``min_count`` trims the hapax tail
+    (default 2 — rank-frequency fits conventionally drop count-1
+    types); ``top_k`` optionally fits the head only.
+
+    Plan at 100 TB: one explode + token count shuffle (map-side
+    combined) reduces the corpus to its vocabulary; everything after
+    is vocabulary-sized. One row out: ``n_types`` (long),
+    ``slope``/``intercept``/``r2`` (double).
+
+    Reference parity: beyond-reference surface (SURVEY.md §2)."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        _global_rank_desc,
+    )
+    from etl_spark_gradle_spark.operators.stats import _d
+
+    if int(min_count) < 1:
+        raise TransformationError("zipf_fit requires min_count >= 1")
+    if top_k is not None and int(top_k) < 2:
+        raise TransformationError("zipf_fit requires top_k >= 2")
+    if text_col not in df.columns:
+        raise TransformationError(
+            f"zipf_fit: column not in schema: {text_col}"
+        )
+    freqs = token_frequency(
+        df, text_col, min_count=int(min_count), lowercase=lowercase
+    )
+    ranked = _global_rank_desc(
+        freqs.select(
+            F.col("freq").alias("_s"), F.col("token").alias("_id")
+        )
+    )
+    if top_k is not None:
+        ranked = ranked.where(F.col("_rank") <= int(top_k))
+    dec = "decimal(12,9)"
+    lx = F.round(F.log(F.col("_rank").cast("double")), 9).cast(dec)
+    ly = F.round(F.log(F.col("_s").cast("double")), 9).cast(dec)
+    m = ranked.select(lx.alias("_lx"), ly.alias("_ly")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+        F.sum(F.col("_ly") * F.col("_ly")).alias("_syy"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+    )
+    n = F.col("n_types").cast("double")
+    sx, sy = _d(F.col("_sx")), _d(F.col("_sy"))
+    sxx, syy = _d(F.col("_sxx")), _d(F.col("_syy"))
+    sxy = _d(F.col("_sxy"))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    # sqrt-free r² — the linear_fit posture (fixed operand order)
+    return m.select(
+        "n_types",
+        F.when(vx > 0, cov / vx).alias("slope"),
+        F.when(vx > 0, (sy - (cov / vx) * sx) / n).alias("intercept"),
+        F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy)).alias(
+            "r2"
+        ),
+    )
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str,

@@ -46,6 +46,9 @@ __all__ = [
     "rank_sum_drift",
     "welch_ttest",
     "prop_ztest",
+    "chi_square",
+    "mcnemar_test",
+    "brown_forsythe",
     "exact_quantiles",
     "ecdf",
     "mad_outliers",
@@ -1023,6 +1026,255 @@ def fdr_bh(
         F.col("_n").alias("m"),
         (F.col("_rank") <= F.col("_k")).alias("significant"),
     )
+
+
+def chi_square(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Pearson χ² test of INDEPENDENCE between two categorical
+    columns of one frame, with Cramér's V effect size — the
+    two-column complement to :func:`category_drift` (that one asks
+    "did a distribution move between two frames"; this asks "are two
+    attributes of the SAME frame associated"), feeding
+    :func:`fdr_bh` when screened across many column pairs::
+
+        χ² = Σ_ij (o_ij − e_ij)²/e_ij,   e_ij = r_i·c_j/N
+        V  = sqrt(χ² / (N·min(r−1, c−1)))
+
+    Exactness: observed cells, row totals, column totals and N are
+    exact longs from one ``groupBy(x, y)`` count; each cell term is
+    rewritten integer-first as ``(o·N − r·c)² / (r·c·N)`` so the only
+    float steps per cell are one string-round-trip decimal→double
+    conversion of each exact factor, one square, one division — and
+    the cross-cell accumulation closes by an ordered fold over the
+    (x, y)-sorted cell list (the :func:`anova_f` posture, replayed
+    verbatim by DuckDB ``list_reduce``). ZERO-observed cells of the
+    row×column grid are included (their term is e_ij), via a
+    row-totals × column-totals cross join.
+
+    Plan at 100 TB: ONE (x, y) count shuffle reduces the data to its
+    contingency cells; everything after runs on r·c rows. The r×c
+    grid must be BOUNDED (categorical columns — the test is undefined
+    for continuous data; discretize first). ``group_by`` computes an
+    independent test per group (cells carry the group key; the fold
+    closes per group). NULL x or y rows are excluded. Degenerate
+    grids (r < 2 or c < 2) yield NULL ``chi2``/``cramers_v``.
+
+    Output per group: ``n`` (long), ``n_rows``/``n_cols``/``dof``
+    (long), ``chi2``/``cramers_v`` (double)."""
+    group_by = group_by or []
+    for c in (x_col, y_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(
+                f"chi_square: column not in schema: {c}"
+            )
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            *group_by,
+            F.col(x_col).cast("string").alias("_x"),
+            F.col(y_col).cast("string").alias("_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+        # feeds row totals, col totals AND the grid join — one pin
+        .localCheckpoint(eager=True)
+    )
+    rows = cells.groupBy(*group_by, "_x").agg(
+        F.sum("_o").cast("long").alias("_r")
+    )
+    cols = cells.groupBy(*group_by, "_y").agg(
+        F.sum("_o").cast("long").alias("_c")
+    )
+    # full grid: every observed x × every observed y (per group) —
+    # bounded by the categorical-cardinality contract; zero-observed
+    # cells still contribute e_ij to the statistic. All joins ride
+    # null-safe group keys (a NULL group is a legitimate group —
+    # the broadcast_group_join contract).
+    grid = broadcast_group_join(rows, cols, group_by, how="inner")
+    full = broadcast_group_join(
+        grid, cells, [*group_by, "_x", "_y"]
+    ).withColumn("_o", F.coalesce(F.col("_o"), F.lit(0)))
+    dec = "decimal(38,0)"
+    o, r, c = (F.col(x).cast(dec) for x in ("_o", "_r", "_c"))
+    # totals are per group; N = Σ r_i over the group's row table —
+    # attach via one more bounded aggregation
+    totals = rows.groupBy(*group_by).agg(
+        F.sum("_r").cast("long").alias("_n_tot"),
+        F.count(F.lit(1)).cast("long").alias("_nr"),
+    )
+    ctot = cols.groupBy(*group_by).agg(
+        F.count(F.lit(1)).cast("long").alias("_nc")
+    )
+    full = broadcast_group_join(full, totals, group_by, how="inner")
+    full = broadcast_group_join(full, ctot, group_by, how="inner")
+    ndec = F.col("_n_tot").cast(dec)
+    # (o·N − r·c) fits decimal(38,0) up to N ~ 1e18; squaring would
+    # not (1e44 at N = 1e11), so square AFTER the exact diff converts
+    # to double via the string round-trip — same rewrite both engines
+    diff = _d((o * ndec - r * c).cast(dec))
+    den = _d((r * c * ndec).cast(dec))
+    term = F.when(den > 0, diff * diff / den).otherwise(F.lit(0.0))
+    per = full.select(
+        *group_by,
+        "_x",
+        "_y",
+        "_n_tot",
+        "_nr",
+        "_nc",
+        term.alias("_t"),
+    )
+    agg = per.groupBy(*group_by).agg(
+        F.max("_n_tot").cast("long").alias("n"),
+        F.max("_nr").cast("long").alias("n_rows"),
+        F.max("_nc").cast("long").alias("n_cols"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_x", "_y", "_t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_t"],
+        ).alias("_chi2"),
+    )
+    nr, nc = F.col("n_rows"), F.col("n_cols")
+    ok = (nr >= 2) & (nc >= 2) & (F.col("n") > 0)
+    mindim = F.least(nr - 1, nc - 1).cast("double")
+    return agg.select(
+        *group_by,
+        "n",
+        "n_rows",
+        "n_cols",
+        ((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+        F.when(ok, F.col("_chi2")).alias("chi2"),
+        F.when(
+            ok,
+            F.sqrt(
+                F.col("_chi2") / (F.col("n").cast("double") * mindim)
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    flag_a_col: str,
+    flag_b_col: str,
+    group_by: list[str] | None = None,
+    correction: bool = True,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — "did the flag flip
+    between condition A and condition B on the SAME units" (model A
+    vs model B correct/incorrect on the same eval rows, before/after
+    flags on the same accounts). χ² of independence is wrong here:
+    the two columns are paired, and only the DISCORDANT cells carry
+    information::
+
+        χ²_M = (|n01 − n10| − 1)² / (n01 + n10)   (continuity corr.)
+
+    ``correction=False`` drops the −1 (the asymptotic form). Both
+    flags are truthy casts to int (non-zero/true → 1); rows with
+    either flag NULL are excluded. Exactness: the four cell counts
+    are exact longs from ONE conditional aggregation (no shuffle
+    beyond the group key); the statistic is a fixed three-op double
+    expression. n01 + n10 = 0 yields NULL ``chi2_mcnemar``.
+
+    Output per group: ``n, n00, n01, n10, n11`` (long),
+    ``chi2_mcnemar`` (double)."""
+    group_by = group_by or []
+    for c in (flag_a_col, flag_b_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(
+                f"mcnemar_test: column not in schema: {c}"
+            )
+    a = F.col(flag_a_col).cast("boolean").cast("int")
+    b = F.col(flag_b_col).cast("boolean").cast("int")
+    ok = a.isNotNull() & b.isNotNull()
+
+    def cell(av: int, bv: int) -> Column:
+        return F.count(
+            F.when(ok & (a == av) & (b == bv), F.lit(1))
+        ).cast("long")
+
+    grouped = df.groupBy(*group_by) if group_by else df.groupBy()
+    m = grouped.agg(
+        cell(0, 0).alias("n00"),
+        cell(0, 1).alias("n01"),
+        cell(1, 0).alias("n10"),
+        cell(1, 1).alias("n11"),
+    )
+    disc = (F.col("n01") + F.col("n10")).cast("double")
+    delta = F.abs(F.col("n01") - F.col("n10")).cast("double")
+    num = (delta - 1) * (delta - 1) if correction else delta * delta
+    return m.select(
+        *group_by,
+        (F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11"))
+        .cast("long")
+        .alias("n"),
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.when(disc > 0, num / disc).alias("chi2_mcnemar"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Brown–Forsythe test of VARIANCE homogeneity across k factor
+    levels — the check :func:`anova_f` assumes away (ANOVA's F
+    compares means under equal variances; Brown–Forsythe asks whether
+    the variances themselves differ, robustly, as Levene's test with
+    the median center): an ANOVA on the absolute deviations from each
+    level's median::
+
+        z_ij = |x_ij − median(x_·j)|,   W = anova_f(z over levels)
+
+    Median semantics: the repo's type-1 lower discrete quantile
+    (:func:`exact_quantiles` ``interpolation='lower'`` — the exact,
+    cross-engine-reproducible choice; the classical interpolated
+    median differs by at most half a value gap and the test's
+    robustness is insensitive to it). Because inputs carry ≤ 2
+    decimal digits (the module contract), both the median and the
+    deviations are EXACT decimals — no float enters before
+    ``anova_f``'s own closing expression.
+
+    Plan at 100 TB: one value-histogram shuffle for the per-level
+    medians (``exact_quantiles`` grouped path — levels partition the
+    window), one broadcast join of the ≤k-row median table back onto
+    the frame, then ``anova_f``'s single moment shuffle. With
+    ``group_by``, medians and the ANOVA both key on (group, level).
+
+    Output per group: ``anova_f``'s columns with the statistic as
+    ``f_stat`` (the Brown–Forsythe W)."""
+    group_by = group_by or []
+    for c in (value_col, factor_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(
+                f"brown_forsythe: column not in schema: {c}"
+            )
+    pts = df.where(
+        F.col(value_col).isNotNull() & F.col(factor_col).isNotNull()
+    ).select(
+        *group_by,
+        F.col(factor_col).cast("string").alias("_lvl"),
+        F.col(value_col).alias("_v"),
+    )
+    med = exact_quantiles(
+        pts, "_v", [0.5], group_by=[*group_by, "_lvl"],
+        interpolation="lower",
+    ).select(
+        *group_by, "_lvl", F.col("value").alias("_med")
+    )
+    dev = broadcast_group_join(pts, med, [*group_by, "_lvl"]).select(
+        *group_by,
+        "_lvl",
+        F.abs(F.col("_v") - F.col("_med")).alias("_dev"),
+    )
+    return anova_f(dev, "_dev", "_lvl", group_by=group_by)
 
 
 def ks_drift(
@@ -2449,7 +2701,10 @@ class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
     correlation|linear_fit|zscore|quantiles|mad_outliers|ecdf|
     quantile_clip|trimmed_mean|impute|multiple_regression|benford|
-    welch_ttest,
+    welch_ttest|prop_ztest|spearman|anova|kruskal_wallis|fdr_bh|
+    chi_square (``xColumn``/``yColumn``)|mcnemar (``flagAColumn``/
+    ``flagBColumn``/``correction``)|brown_forsythe (``valueColumn``/
+    ``factorColumn``),
     ``columns`` (csv — correlation), ``xColumn``/``yColumn``
     (linear_fit), ``valueColumn``/``threshold`` (zscore),
     ``valueColumn``/``probs`` csv (quantiles),
@@ -2585,7 +2840,7 @@ class StatsTransformer:
                     cols_needed.append(opts[key])
             if opts.get("groupBy"):
                 errors.append("stats spearman does not support groupBy")
-        elif op in ("anova", "kruskal_wallis"):
+        elif op in ("anova", "kruskal_wallis", "brown_forsythe"):
             for key in ("valueColumn", "factorColumn"):
                 if not opts.get(key):
                     errors.append(f"stats {op} requires '{key}'")
@@ -2595,6 +2850,18 @@ class StatsTransformer:
                 errors.append(
                     "stats kruskal_wallis does not support groupBy"
                 )
+        elif op == "chi_square":
+            for key in ("xColumn", "yColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats chi_square requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+        elif op == "mcnemar":
+            for key in ("flagAColumn", "flagBColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats mcnemar requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
         elif op == "fdr_bh":
             for key in ("pColumn", "idColumn"):
                 if not opts.get(key):
@@ -2613,7 +2880,8 @@ class StatsTransformer:
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
                 "|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute"
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
-                "|spearman|anova|kruskal_wallis|fdr_bh, "
+                "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
+                "|mcnemar|brown_forsythe, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -2679,6 +2947,24 @@ class StatsTransformer:
         if op == "kruskal_wallis":
             return kruskal_wallis(
                 df, opts["valueColumn"], opts["factorColumn"]
+            )
+        if op == "chi_square":
+            return chi_square(
+                df, opts["xColumn"], opts["yColumn"], group_by=gb
+            )
+        if op == "mcnemar":
+            from etl_spark_gradle_spark.options import parse_bool
+
+            return mcnemar_test(
+                df,
+                opts["flagAColumn"],
+                opts["flagBColumn"],
+                group_by=gb,
+                correction=parse_bool(opts.get("correction", "true")),
+            )
+        if op == "brown_forsythe":
+            return brown_forsythe(
+                df, opts["valueColumn"], opts["factorColumn"], group_by=gb
             )
         if op == "fdr_bh":
             return fdr_bh(

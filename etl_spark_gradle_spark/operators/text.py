@@ -225,6 +225,90 @@ def top_ngram_coverage(
     return out.fillna({out_prefix + "count": 0, out_prefix + "frac": 0.0})
 
 
+def with_readability(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Add Flesch readability metrics per document — the classic
+    corpus-quality signal alongside :func:`with_text_stats` and
+    :func:`with_gopher_rules` (too-hard and too-trivial documents are
+    both filter targets for LLM training mixes)::
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Syllables use the standard regex approximation — each maximal
+    vowel run ``[aeiouy]+`` in the lowercased token counts as one
+    syllable, minimum one per token (exact syllabification needs a
+    pronunciation dictionary; the vowel-run count is the documented
+    heuristic every readability library ships). Sentences count
+    terminator RUNS (``[.!?]+``), minimum one so fragments don't
+    divide by zero.
+
+    Pure per-row Catalyst expressions (regexp + array fold) — no UDF,
+    no shuffle, scales embarrassingly. Documents with zero tokens (or
+    NULL text) get NULL metrics; the integer counts are always
+    present (0 for empty).
+
+    Output: adds ``{prefix}n_words``/``{prefix}n_sentences``/
+    ``{prefix}n_syllables`` (long) and ``{prefix}flesch_ease``/
+    ``{prefix}fk_grade`` (double)."""
+    if text_col not in df.columns:
+        raise TransformationError(
+            f"with_readability: column not in schema: {text_col}"
+        )
+    c = F.col(text_col)
+    toks = tokens(c)
+    # size(NULL) is -1 under the legacy default — pin NULL text to 0
+    n_words = F.when(c.isNull(), F.lit(0)).otherwise(F.size(toks))
+    n_sents = F.when(
+        c.isNull(), F.lit(0)
+    ).otherwise(
+        F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    )
+    syl = F.coalesce(
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.greatest(
+                    F.size(
+                        F.regexp_extract_all(
+                            F.lower(t), F.lit("[aeiouy]+"), 0
+                        )
+                    ),
+                    F.lit(1),
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0),
+    )
+    p = prefix
+    out = (
+        df.withColumn(p + "n_words", n_words.cast("long"))
+        .withColumn(p + "n_sentences", n_sents.cast("long"))
+        .withColumn(p + "n_syllables", syl.cast("long"))
+    )
+    wps = (
+        F.col(p + "n_words").cast("double")
+        / F.col(p + "n_sentences").cast("double")
+    )
+    spw = (
+        F.col(p + "n_syllables").cast("double")
+        / F.col(p + "n_words").cast("double")
+    )
+    ok = F.col(p + "n_words") > 0
+    ease = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    grade = (
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    return out.withColumn(
+        p + "flesch_ease", F.when(ok, ease).cast("double")
+    ).withColumn(p + "fk_grade", F.when(ok, grade).cast("double"))
+
+
 def language_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-overlap scores (distinct stopwords hit).
 
@@ -639,8 +723,8 @@ def with_fingerprint(
 class TextAnalysisTransformer:
     """Registry adapter (``type: text_analysis``). Options:
     ``textColumn`` (default ``text``), ``stats`` / ``languageId`` /
-    ``fingerprint`` / ``repetition`` booleans selecting which column
-    families to add; ``topNgram: <n>`` (requires ``idColumn``) adds the
+    ``fingerprint`` / ``repetition`` / ``readability`` booleans
+    selecting which column families to add; ``topNgram: <n>`` (requires ``idColumn``) adds the
     most-frequent-n-gram coverage columns; ``foldAccents`` folds Latin
     accents to ASCII FIRST (into ``foldOutputColumn``, default in
     place) so every later family reads normalized text; ``clean`` / ``boilerplate``
@@ -702,6 +786,8 @@ class TextAnalysisTransformer:
             out = with_script_profile(out, tc)
         if flag("repetition"):
             out = with_repetition_stats(out, tc)
+        if flag("readability"):
+            out = with_readability(out, tc)
         if flag("gopherRules"):
             out = with_gopher_rules(
                 out,

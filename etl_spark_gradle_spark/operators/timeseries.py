@@ -67,6 +67,10 @@ __all__ = [
     "LagFeaturesTransformer",
     "rolling_zscore",
     "RollingZscoreTransformer",
+    "ewma",
+    "EwmaTransformer",
+    "kaplan_meier",
+    "KaplanMeierTransformer",
     "AcfTransformer",
     "ResampleTransformer",
     "IntervalsTransformer",
@@ -1588,3 +1592,312 @@ class RollingZscoreTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"rolling_zscore({opts})"
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    output_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the recursive
+    smoother behind monitoring dashboards and EWMA control charts::
+
+        y_0 = x_0,    y_t = α·x_t + (1 − α)·y_{t−1}
+
+    (``adjust=False`` semantics — the control-chart recursion, NOT
+    pandas' default bias-corrected form). The recursion is inherently
+    SEQUENTIAL per key — no associative reformulation reproduces its
+    float semantics — so this is the repo's canonical
+    ``applyInPandas`` stateful operator: one Arrow exchange keyed on
+    ``key_cols``, an O(rows) fold per key inside each task, keys
+    parallelize across executors. Per-key series length is the
+    scalability contract (a single giant key serializes into one
+    task — resample/bucket first if a key's history is unbounded).
+
+    DETERMINISM: rows fold in ``order_col`` order, which must be
+    UNIQUE per key (ties would make "the" fold order ambiguous —
+    same contract as ``_prefix_sums``); the per-step expression is
+    exactly ``α·x + β·y_prev`` with ``β = 1 − α`` computed once, so
+    an oracle replaying the same three IEEE ops per row (e.g. a SQL
+    recursive CTE) reproduces the output bit-identically. NULL
+    values propagate the previous smoothed value unchanged (gap =
+    no observation); rows with NULL ``order_col`` are excluded.
+
+    Output: the input columns (key cols, ``order_col``,
+    ``value_col``) plus ``output_col`` (double).
+
+    Reference parity: beyond-reference surface (SURVEY.md §2 — the
+    reference's windowing is tumbling/sliding aggregation only,
+    ``transformer/WindowingTransformer.scala:40-77``)."""
+    if not key_cols:
+        raise TransformationError("ewma requires at least one key column")
+    if not 0.0 < float(alpha) <= 1.0:
+        raise TransformationError("ewma requires 0 < alpha <= 1")
+    for c in (*key_cols, order_col, value_col):
+        if c not in df.columns:
+            raise TransformationError(f"ewma: column not in schema: {c}")
+    import pandas as pd
+
+    a = float(alpha)
+    b = 1.0 - a
+    src = df.select(*key_cols, order_col, value_col).where(
+        F.col(order_col).isNotNull()
+    )
+    out_fields = src.schema.fields
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + f", `{output_col}` double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        xs = pdf[value_col].tolist()
+        ys: list[float | None] = []
+        y = None
+        for x in xs:
+            if x is not None and x == x:  # skip None/NaN: carry state
+                y = x if y is None else a * x + b * y
+            ys.append(y)
+        pdf[output_col] = pd.array(ys, dtype="float64")
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(fold, schema=schema)
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_by: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kaplan–Meier survival curve — the nonparametric estimator of
+    ``S(t) = P(survival > t)`` under right censoring (churn analyses,
+    time-to-return, component lifetimes)::
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    with ``d_i`` events and ``n_i`` at-risk count at each distinct
+    event time. ``event_col`` is truthy (1/true = event observed,
+    0/false = censored at that duration).
+
+    Exactness/reproducibility: the data reduces to one row per
+    (group, duration) carrying exact long ``d``/``c`` counts; at-risk
+    counts derive from exact cumulative counts; and the running
+    PRODUCT — the one inherently ordered float quantity — rides the
+    cusum integer-quantization posture: each factor's log is
+    quantized to integer nano-units (``round(ln(1 − d/n)·1e9)``),
+    prefix-summed EXACTLY (order-free integer addition), and
+    exponentiated + rounded to 9 decimals only at the end. Any
+    engine replaying the same quantization reproduces the curve
+    bit-identically — no sequential float fold anywhere.
+
+    Plan at 100 TB: one (group, duration) count shuffle reduces the
+    data to its time histogram; ungrouped, the cumulative counts ride
+    ``_prefix_sums`` (distinct durations never funnel one task);
+    grouped, a group-partitioned window (parallel across groups —
+    per-group distinct-duration cardinality is the contract, bounded
+    by time resolution). Rows with NULL duration or event are
+    excluded. ``d = n`` (everyone fails) drives survival to exactly
+    0.0 from that time on.
+
+    Output per (group,) distinct duration, ascending: ``t`` (input
+    type), ``n_risk``/``n_event``/``n_censored`` (long),
+    ``survival`` (double, 9 dp)."""
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    group_by = group_by or []
+    for c in (duration_col, event_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(
+                f"kaplan_meier: column not in schema: {c}"
+            )
+    ev = F.col(event_col).cast("boolean").cast("int")
+    pts = (
+        df.where(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+        )
+        .groupBy(*group_by, F.col(duration_col).alias("_t"))
+        .agg(
+            F.sum(ev).cast("long").alias("_d"),
+            F.sum(1 - ev).cast("long").alias("_c"),
+        )
+    )
+    if group_by:
+        w = (
+            Window.partitionBy(*group_by)
+            .orderBy("_t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pts = pts.withColumn("_rm", F.col("_d") + F.col("_c"))
+        cum = pts.withColumn("_cum_rm", F.sum("_rm").over(w))
+        totals = pts.groupBy(*group_by).agg(
+            F.sum("_rm").cast("long").alias("_n_tot")
+        )
+        cum = broadcast_group_join(cum, totals, group_by, how="inner")
+    else:
+        pts = pts.withColumn("_rm", F.col("_d") + F.col("_c"))
+        cum = _prefix_sums(pts, "_t", ["_rm"], num_partitions).withColumnRenamed(
+            "cum__rm", "_cum_rm"
+        )
+        totals = pts.agg(F.sum("_rm").cast("long").alias("_n_tot"))
+        cum = cum.crossJoin(F.broadcast(totals))
+    n_risk = (F.col("_n_tot") - (F.col("_cum_rm") - F.col("_rm"))).cast(
+        "long"
+    )
+    cum = cum.withColumn("_n_risk", n_risk)
+    # quantized log factor: 0 when no event at t; ln(1 - d/n) in
+    # integer nano-units otherwise. d = n ⇒ factor 0 ⇒ flag instead
+    # of -inf; the flag's cumulative presence pins survival to 0.
+    dead = (F.col("_d") >= F.col("_n_risk")).cast("long")
+    lq = F.when(F.col("_d") == 0, F.lit(0)).when(
+        dead == 1, F.lit(0)
+    ).otherwise(
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("_d").cast("double")
+                / F.col("_n_risk").cast("double")
+            )
+            * F.lit(1e9)
+        )
+    ).cast("long")
+    cum = cum.withColumn("_lq", lq).withColumn("_dead", dead)
+    if group_by:
+        w2 = (
+            Window.partitionBy(*group_by)
+            .orderBy("_t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = cum.withColumn("_cum_lq", F.sum("_lq").over(w2)).withColumn(
+            "_cum_dead", F.sum("_dead").over(w2)
+        )
+    else:
+        # second prefix pass over the same histogram-sized frame
+        cum = _prefix_sums(
+            cum.select(*group_by, "_t", "_n_risk", "_d", "_c", "_lq",
+                       "_dead"),
+            "_t",
+            ["_lq", "_dead"],
+            num_partitions,
+        ).withColumnRenamed("cum__lq", "_cum_lq").withColumnRenamed(
+            "cum__dead", "_cum_dead"
+        )
+    surv = F.when(F.col("_cum_dead") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("_cum_lq").cast("double") / F.lit(1e9)), 9)
+    )
+    return cum.select(
+        *group_by,
+        F.col("_t").alias("t"),
+        F.col("_n_risk").alias("n_risk"),
+        F.col("_d").alias("n_event"),
+        F.col("_c").alias("n_censored"),
+        surv.alias("survival"),
+    ).orderBy(*group_by, "t")
+
+
+class EwmaTransformer:
+    """Registry adapter (``type: ewma``). Options: ``keyColumns`` csv
+    (required), ``timeColumn``, ``valueColumn`` (required), ``alpha``
+    (required, in (0, 1]), ``outputColumn`` (default ``ewma``)."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        keys = _split_csv(opts.get("keyColumns"))
+        if not keys:
+            errors.append("ewma requires 'keyColumns'")
+        for opt in ("timeColumn", "valueColumn"):
+            col = opts.get(opt)
+            if not col:
+                errors.append(f"ewma requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        for c in keys:
+            if c not in df.columns:
+                errors.append(f"key column not in input schema: {c}")
+        try:
+            a = float(opts.get("alpha", ""))
+            if not 0.0 < a <= 1.0:
+                errors.append("ewma alpha must be in (0, 1]")
+        except (TypeError, ValueError):
+            errors.append("ewma requires numeric 'alpha'")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "ewma config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return ewma(
+            df,
+            key_cols=_split_csv(opts["keyColumns"]),
+            order_col=opts["timeColumn"],
+            value_col=opts["valueColumn"],
+            alpha=float(opts["alpha"]),
+            output_col=opts.get("outputColumn", "ewma"),
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(
+            f"{k}={v}" for k, v in sorted(config.options.items())
+        )
+        return f"ewma({opts})"
+
+
+class KaplanMeierTransformer:
+    """Registry adapter (``type: kaplan_meier``). Options:
+    ``durationColumn``, ``eventColumn`` (required), ``groupBy`` csv."""
+
+    def validate(self, df: DataFrame, config):
+        from etl_spark_gradle_spark.plans.config import ValidationResult
+
+        errors = []
+        opts = config.options
+        for opt in ("durationColumn", "eventColumn"):
+            col = opts.get(opt)
+            if not col:
+                errors.append(f"kaplan_meier requires '{opt}'")
+            elif col not in df.columns:
+                errors.append(f"{opt} not in input schema: {col}")
+        for c in _split_csv(opts.get("groupBy")):
+            if c not in df.columns:
+                errors.append(f"group column not in input schema: {c}")
+        return (
+            ValidationResult.ok()
+            if not errors
+            else ValidationResult.fail(*errors)
+        )
+
+    def transform(self, df: DataFrame, config, ctx) -> DataFrame:
+        result = self.validate(df, config)
+        if not result.is_valid:
+            raise TransformationError(
+                "kaplan_meier config invalid: " + "; ".join(result.errors)
+            )
+        opts = config.options
+        return kaplan_meier(
+            df,
+            duration_col=opts["durationColumn"],
+            event_col=opts["eventColumn"],
+            group_by=_split_csv(opts.get("groupBy")) or None,
+        )
+
+    def lineage_step(self, config) -> str:
+        opts = ",".join(
+            f"{k}={v}" for k, v in sorted(config.options.items())
+        )
+        return f"kaplan_meier({opts})"
