@@ -10609,68 +10609,477 @@ FROM cells GROUP BY n, kx, ky
 """
 
 
-# Round-9 gate window (the driver's correctness gate records the FIRST
-# 50 entries of queries()). Computed by ``python tools/rotation.py
+# ---------------------------------------------------------------------------
+# Round-11 additions
+# ---------------------------------------------------------------------------
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence of order status × priority — exact integer
+    contingency (cells/row/col totals/N are longs), per-cell terms as
+    (o·N − r·c)²/(r·c·N) with the square applied after a string-
+    round-tripped double conversion, closed by the (x, y)-ordered
+    fold (anova_f posture). Zero-observed grid cells contribute e."""
+    from etl_spark_gradle_spark.operators.stats import chi_square
+
+    _prep(spark)
+    return chi_square(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+_CHI_SQUARE_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+), rt AS (
+  SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY x
+), ct AS (
+  SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY y
+), tot AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS n_tot,
+         CAST(COUNT(*) AS BIGINT) AS nr
+  FROM rt
+), ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM ct),
+grid AS (
+  SELECT rt.x, ct.y, rt.r, ct.c, COALESCE(cells.o, 0) AS o,
+         tot.n_tot, tot.nr, ctot.nc
+  FROM rt CROSS JOIN ct
+  LEFT JOIN cells ON cells.x = rt.x AND cells.y = ct.y
+  CROSS JOIN tot CROSS JOIN ctot
+), terms AS (
+  SELECT x, y, n_tot, nr, nc,
+         CASE WHEN CAST(CAST(CAST(r AS HUGEINT) * c * n_tot AS VARCHAR)
+                        AS DOUBLE) > 0 THEN
+           (CAST(CAST(CAST(o AS HUGEINT) * n_tot
+                      - CAST(r AS HUGEINT) * c AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(CAST(o AS HUGEINT) * n_tot
+                        - CAST(r AS HUGEINT) * c AS VARCHAR) AS DOUBLE))
+           / CAST(CAST(CAST(r AS HUGEINT) * c * n_tot AS VARCHAR)
+                  AS DOUBLE)
+         ELSE 0.0 END AS t
+  FROM grid
+), agg AS (
+  SELECT MAX(n_tot) AS n, MAX(nr) AS n_rows, MAX(nc) AS n_cols,
+         list_reduce(
+           list_prepend(0.0, list(t ORDER BY x, y)), (a, b) -> a + b
+         ) AS chi2_raw
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_cols AS BIGINT) AS n_cols,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+       CASE WHEN n_rows >= 2 AND n_cols >= 2 AND n > 0
+            THEN chi2_raw END AS chi2,
+       CASE WHEN n_rows >= 2 AND n_cols >= 2 AND n > 0 THEN
+         sqrt(chi2_raw / (CAST(n AS DOUBLE)
+              * CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))
+       END AS cramers_v
+FROM agg
+"""
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-flag test: per order, flag A = status 'F',
+    flag B = above-median-ish price (150k) — did the flags flip on
+    the same units. Exact long cells, one conditional aggregation,
+    continuity-corrected statistic."""
+    from etl_spark_gradle_spark.operators.stats import mcnemar_test
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("fa"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("fb"),
+    )
+    return mcnemar_test(o, "fa", "fb")
+
+
+_MCNEMAR_ORACLE = """
+WITH f AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fa,
+         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS fb
+  FROM orders
+), m AS (
+  SELECT
+    CAST(COUNT(CASE WHEN fa = 0 AND fb = 0 THEN 1 END) AS BIGINT) AS n00,
+    CAST(COUNT(CASE WHEN fa = 0 AND fb = 1 THEN 1 END) AS BIGINT) AS n01,
+    CAST(COUNT(CASE WHEN fa = 1 AND fb = 0 THEN 1 END) AS BIGINT) AS n10,
+    CAST(COUNT(CASE WHEN fa = 1 AND fb = 1 THEN 1 END) AS BIGINT) AS n11
+  FROM f
+)
+SELECT CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n, n00, n01, n10, n11,
+       CASE WHEN n01 + n10 > 0 THEN
+         ((abs(CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE)) - 1)
+          * (abs(CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE)) - 1))
+         / CAST(n01 + n10 AS DOUBLE)
+       END AS chi2_mcnemar
+FROM m
+"""
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity W of order totals across
+    priorities, per status — ANOVA on |x − level median| with the
+    exact lower-discrete median, so no float enters before anova_f's
+    own ordered close."""
+    from etl_spark_gradle_spark.operators.stats import brown_forsythe
+
+    _prep(spark)
+    return brown_forsythe(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        group_by=["o_orderstatus"],
+    )
+
+
+_BROWN_FORSYTHE_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority AS lvl, o_totalprice AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), cnt AS (
+  SELECT o_orderstatus, lvl, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3
+), cdf AS (
+  SELECT o_orderstatus, lvl, v,
+         SUM(c) OVER (PARTITION BY o_orderstatus, lvl ORDER BY v)
+           AS cum,
+         SUM(c) OVER (PARTITION BY o_orderstatus, lvl) AS n
+  FROM cnt
+), med AS (
+  SELECT o_orderstatus, lvl,
+         MIN(CASE WHEN cum >= greatest(1,
+               CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT))
+             THEN v END) AS m
+  FROM cdf GROUP BY 1, 2
+), dev AS (
+  SELECT base.o_orderstatus, base.lvl,
+         CAST(abs(base.v - med.m) AS DECIMAL(18,2)) AS x
+  FROM base JOIN med ON base.o_orderstatus = med.o_orderstatus
+                    AND base.lvl = med.lvl
+), per AS (
+  SELECT o_orderstatus, lvl,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s,
+         SUM(CAST(x * x AS DECIMAL(38,4))) AS sq
+  FROM dev GROUP BY 1, 2
+), terms AS (
+  SELECT o_orderstatus, lvl, n, s, sq,
+         (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+           / CAST(n AS DOUBLE) AS t
+  FROM per
+), agg AS (
+  SELECT o_orderstatus,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k_levels,
+         CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS gs,
+         CAST(CAST(SUM(sq) AS VARCHAR) AS DOUBLE) AS gsq,
+         list_reduce(list_prepend(0.0, list(t ORDER BY lvl)),
+                     (a, b) -> a + b) AS fold_a
+  FROM terms GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n, k_levels,
+       fold_a - gs * gs / CAST(n AS DOUBLE) AS ss_between,
+       gsq - fold_a AS ss_within,
+       CASE WHEN k_levels >= 2 AND n > k_levels AND gsq - fold_a > 0
+            THEN ((fold_a - gs * gs / CAST(n AS DOUBLE))
+                    / CAST(k_levels - 1 AS DOUBLE))
+                 / ((gsq - fold_a) / CAST(n - k_levels AS DOUBLE))
+       END AS f_stat
+FROM agg
+"""
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer EWMA (α = 0.3) of order totals in key order —
+    the applyInPandas sequential recursion; the oracle replays the
+    identical α·x + β·y_prev three-op step via a recursive CTE, so
+    raw doubles hash-match."""
+    from etl_spark_gradle_spark.operators.timeseries import ewma
+
+    _prep(spark)
+    return ewma(
+        _t(spark, sf_dir, "orders"),
+        key_cols=["o_custkey"],
+        order_col="o_orderkey",
+        value_col="o_totalprice",
+        alpha=0.3,
+        output_col="ewma",
+    )
+
+
+_EWMA_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey) AS rn
+  FROM orders WHERE o_orderkey IS NOT NULL
+), r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, rn,
+         CAST(o_totalprice AS DOUBLE) AS sm
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.o_custkey, b.o_orderkey, b.o_totalprice, b.rn,
+         0.3 * CAST(b.o_totalprice AS DOUBLE) + 0.7 * r.sm
+  FROM base b JOIN r ON b.o_custkey = r.o_custkey
+                    AND b.rn = r.rn + 1
+)
+SELECT o_custkey, o_orderkey, o_totalprice, sm AS ewma FROM r
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier customer-lifetime curve: duration = days between
+    a customer's first and last order, event = the customer has a
+    finalized ('F') order, censored otherwise. The running survival
+    product rides integer nano-quantized logs over prefix sums — no
+    sequential float fold."""
+    from etl_spark_gradle_spark.operators.timeseries import kaplan_meier
+
+    _prep(spark)
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.min("o_orderdate")
+            ).alias("dur"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("ev"),
+        )
+    )
+    return kaplan_meier(cust, "dur", "ev")
+
+
+_KAPLAN_MEIER_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+              AS INTEGER) AS dur,
+         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+  FROM orders GROUP BY o_custkey
+), pts AS (
+  SELECT dur AS t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM cust GROUP BY dur
+), cum AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER (ORDER BY t) AS cum_rm,
+         SUM(d + c) OVER () AS n_tot
+  FROM pts
+), risk AS (
+  SELECT t, d, c,
+         CAST(n_tot - (cum_rm - (d + c)) AS BIGINT) AS n_risk
+  FROM cum
+), q AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d = 0 OR d >= n_risk THEN 0
+              ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e9)
+                        AS BIGINT) END AS lq,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+), s AS (
+  SELECT t, d, c, n_risk,
+         CAST(SUM(lq) OVER (ORDER BY t) AS BIGINT) AS cum_lq,
+         CAST(SUM(dead) OVER (ORDER BY t) AS BIGINT) AS cum_dead
+  FROM q
+)
+SELECT t, n_risk, d AS n_event, c AS n_censored,
+       CASE WHEN cum_dead > 0 THEN 0.0
+            ELSE round(exp(CAST(cum_lq AS DOUBLE) / 1e9), 9)
+       END AS survival
+FROM s ORDER BY t
+"""
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the documents vocabulary (min_count 2): OLS of
+    ln(freq) on ln(rank) with exact decimal(12,9) moment sums; ranks
+    from the two-level scan, ties token-ascending."""
+    from etl_spark_gradle_spark.operators.corpus import zipf_fit
+
+    _prep(spark)
+    return zipf_fit(
+        _t(spark, sf_dir, "documents"), "text", min_count=2
+    )
+
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT lower(t.tok) AS token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> '')) AS t(tok)
+  WHERE text IS NOT NULL
+), freqs AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks GROUP BY token HAVING COUNT(*) >= 2
+), ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+  FROM freqs
+), pts AS (
+  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(12,9))
+           AS lx,
+         CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(12,9))
+           AS ly
+  FROM ranked
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(CAST(SUM(lx) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(ly) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(lx * lx) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(ly * ly) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(lx * ly) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT n_types,
+       CASE WHEN CAST(n_types AS DOUBLE) * sxx - sx * sx > 0 THEN
+         (CAST(n_types AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_types AS DOUBLE) * sxx - sx * sx)
+       END AS slope,
+       CASE WHEN CAST(n_types AS DOUBLE) * sxx - sx * sx > 0 THEN
+         (sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx)
+           / CAST(n_types AS DOUBLE)
+       END AS intercept,
+       CASE WHEN CAST(n_types AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n_types AS DOUBLE) * syy - sy * sy > 0 THEN
+         ((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+          * (CAST(n_types AS DOUBLE) * sxy - sx * sy))
+           / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n_types AS DOUBLE) * syy - sy * sy))
+       END AS r2
+FROM m
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability per document — pure per-row Catalyst
+    regexp/fold expressions, no shuffle; counts are exact ints and
+    the two scores close in identical IEEE order on both engines."""
+    from etl_spark_gradle_spark.operators.text import with_readability
+
+    _prep(spark)
+    return with_readability(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch_ease",
+        "fk_grade",
+    )
+
+
+_READABILITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN []
+              ELSE list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') END AS toks
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              END AS BIGINT) AS n_sentences,
+         CAST(COALESCE(list_sum(list_transform(toks,
+                w -> greatest(len(regexp_extract_all(lower(w),
+                                                     '[aeiouy]+')), 1))),
+              0) AS BIGINT) AS n_syllables
+  FROM base
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         CAST(206.835 AS DOUBLE)
+         - CAST(1.015 AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - CAST(84.6 AS DOUBLE)
+           * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END AS flesch_ease,
+       CASE WHEN n_words > 0 THEN
+         CAST(0.39 AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         + CAST(11.8 AS DOUBLE)
+           * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         - CAST(15.59 AS DOUBLE)
+       END AS fk_grade
+FROM counted
+"""
+
+
+# Gate window (the driver's correctness gate records the FIRST 50
+# entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
-# Round-10 window: the ecdf pins auto-released (CORRECTNESS_r09 shows
-# ecdf green), so slot 1 is the sole never-recorded addition
-# (brier_ece) and the rest are the stalest recorded queries — the
-# full TPC-H suite (r4 rows; tpch.py was touched this round for the
-# q11 scale-free threshold and the q15 broadcast-max rewrite) and
-# r5-r7 rows over modules touched since. The r10-rewritten
-# rfm/pareto/spend_gini rank just below the cut (r8 rows, ~8 h stale)
-# and queue for r11. Regenerate per round; do not hand-edit order.
+# Round-11 window: the seven never-recorded r11 additions lead
+# (chi_square, mcnemar, brown_forsythe, ewma, kaplan_meier, zipf,
+# readability — all locally green at sf0.01 AND sf0.1 via
+# check_oracle), then the stalest recorded queries (r5-r8 rows over
+# modules touched since: timeseries/stats/corpus this round).
+# Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "anova",
-    "fdr_bh",
-    "kruskal_wallis",
-    "spearman",
-    "containment",
-    "decontaminate",
-    "brier_ece",
-    "ndcg",
-    "pr_curve",
-    "t_closeness",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q21",
-    "tpch_q5",
-    "weighted_sample",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "correlation",
-    "edit_join",
-    "funnel",
-    "linear_fit",
-    "market_basket",
-    "table_checksum",
-    "transitions",
-    "zscore",
-    "calibration",
-    "conversion_latency",
-    "discretize",
-    "seasonal_mad",
-    "tv_drift",
-    "mutual_information",
-    "balance_classes",
-    "line_dedup",
-    "oversample",
+    "brown_forsythe",
+    "chi_square",
+    "ewma",
+    "kaplan_meier",
+    "mcnemar",
+    "readability",
+    "zipf",
+    "intervals",
+    "resample_ffill",
+    "resample_origin",
+    "resample_linear",
+    "bm25",
+    "cms_prune",
+    "cms_topk",
+    "cusum",
+    "fold_accents",
+    "gopher_rules",
+    "incremental_aggregate",
+    "scd2",
+    "script_profile",
+    "time_rollup",
+    "top_paths",
+    "vocab_overlap",
+    "acf",
+    "benford",
+    "discount_elasticity",
+    "event_trigrams",
+    "feature_pipeline",
+    "impute",
+    "lag_features",
+    "multiple_regression",
+    "naive_forecast_error",
+    "negative_sample",
+    "ohlc",
+    "pareto",
+    "prop_ztest",
+    "quantile_clip",
+    "quantile_normalize",
+    "reorder_intervals",
+    "rolling_median",
+    "rolling_zscore",
+    "trimmed_mean",
+    "twap",
+    "volume_anomaly",
+    "weighted_reservoir",
+    "welch_ttest",
+    "robust_scale",
+    "rolling_active",
+    "target_encode",
+    "roundtrip_avro",
 ]
 
 
@@ -10769,6 +11178,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "fdr_bh": q_fdr_bh,
         "containment": q_containment,
+        # ---- r11 additions ----
+        "chi_square": q_chi_square,
+        "mcnemar": q_mcnemar,
+        "brown_forsythe": q_brown_forsythe,
+        "ewma": q_ewma,
+        "kaplan_meier": q_kaplan_meier,
+        "zipf": q_zipf,
+        "readability": q_readability,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -11076,6 +11493,14 @@ def oracle_sql() -> dict[str, str]:
         "pr_curve": _PR_CURVE_ORACLE,
         "fdr_bh": _FDR_BH_ORACLE,
         "containment": _CONTAINMENT_ORACLE,
+        # ---- r11 additions ----
+        "chi_square": _CHI_SQUARE_ORACLE,
+        "mcnemar": _MCNEMAR_ORACLE,
+        "brown_forsythe": _BROWN_FORSYTHE_ORACLE,
+        "ewma": _EWMA_ORACLE,
+        "kaplan_meier": _KAPLAN_MEIER_ORACLE,
+        "zipf": _ZIPF_ORACLE,
+        "readability": _READABILITY_ORACLE,
         "anova": _ANOVA_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

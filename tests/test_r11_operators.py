@@ -1,0 +1,469 @@
+"""Round-11 operators: chi_square / mcnemar_test / brown_forsythe
+(stats), ewma / kaplan_meier (timeseries), zipf_fit (corpus),
+with_readability (text) — each vs a pure-python reference, plus the
+registry adapters' validate-cleanly contracts."""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+from collections import Counter
+
+import pytest
+
+from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.operators.stats import (
+    brown_forsythe,
+    chi_square,
+    mcnemar_test,
+)
+from etl_spark_gradle_spark.operators.timeseries import ewma, kaplan_meier
+from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+
+def _cfg(type_, **options):
+    return TransformationConfig(type=type_, options=options)
+
+
+# ---------------------------------------------------------------------------
+# chi_square
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_matches_python(spark):
+    rows = (
+        [("a", "x")] * 20 + [("a", "y")] * 10 + [("b", "x")] * 5
+        + [("b", "y")] * 25 + [("c", "x")] * 12 + [("c", "y")] * 8
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = chi_square(df, "u", "v").collect()[0]
+    cells = Counter(rows)
+    xs = sorted({r[0] for r in rows})
+    ys = sorted({r[1] for r in rows})
+    n = len(rows)
+    rt = {x: sum(cells[(x, y)] for y in ys) for x in xs}
+    ct = {y: sum(cells[(x, y)] for x in xs) for y in ys}
+    ref = sum(
+        (cells.get((x, y), 0) - rt[x] * ct[y] / n) ** 2
+        / (rt[x] * ct[y] / n)
+        for x in xs
+        for y in ys
+    )
+    assert out["n"] == n and out["n_rows"] == 3 and out["n_cols"] == 2
+    assert out["dof"] == 2
+    assert abs(out["chi2"] - ref) < 1e-9
+    assert abs(
+        out["cramers_v"] - math.sqrt(ref / (n * 1))
+    ) < 1e-12
+
+
+def test_chi_square_includes_zero_cells_and_degenerates(spark):
+    # (a, y) never observed -> its term is e_ay, not skipped
+    rows = [("a", "x")] * 4 + [("b", "x")] * 2 + [("b", "y")] * 2
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = chi_square(df, "u", "v").collect()[0]
+    n = 8
+    rt = {"a": 4, "b": 4}
+    ct = {"x": 6, "y": 2}
+    ref = sum(
+        (Counter(rows).get((x, y), 0) - rt[x] * ct[y] / n) ** 2
+        / (rt[x] * ct[y] / n)
+        for x in rt
+        for y in ct
+    )
+    assert abs(out["chi2"] - ref) < 1e-12
+    # single-column y -> NULL statistic, counts still reported
+    deg = chi_square(
+        spark.createDataFrame(
+            [("a", "x"), ("b", "x")], "u string, v string"
+        ),
+        "u",
+        "v",
+    ).collect()[0]
+    assert deg["chi2"] is None and deg["cramers_v"] is None
+    assert deg["n_rows"] == 2 and deg["n_cols"] == 1
+    with pytest.raises(TransformationError):
+        chi_square(df, "u", "missing")
+
+
+def test_chi_square_grouped_and_null_rows(spark):
+    rows = [
+        ("g1", "a", "x"), ("g1", "a", "y"), ("g1", "b", "x"),
+        ("g1", "b", "y"), ("g1", "a", "x"),
+        ("g2", "a", "x"), ("g2", "b", "y"), ("g2", "a", "x"),
+        ("g2", "b", "y"),
+        ("g1", None, "x"), ("g1", "a", None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "g string, u string, v string")
+    out = {r["g"]: r for r in
+           chi_square(df, "u", "v", group_by=["g"]).collect()}
+    assert set(out) == {"g1", "g2"}
+    assert out["g1"]["n"] == 5 and out["g2"]["n"] == 4
+    # g2 is perfectly associated: chi2 = n, V = 1
+    assert abs(out["g2"]["chi2"] - 4.0) < 1e-12
+    assert abs(out["g2"]["cramers_v"] - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_test
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_matches_formula(spark):
+    rows = [(1, 1)] * 30 + [(1, 0)] * 8 + [(0, 1)] * 3 + [(0, 0)] * 10
+    df = spark.createDataFrame(rows, "a int, b int")
+    m = mcnemar_test(df, "a", "b").collect()[0]
+    assert (m["n00"], m["n01"], m["n10"], m["n11"]) == (10, 3, 8, 30)
+    assert m["n"] == 51
+    assert abs(m["chi2_mcnemar"] - (abs(8 - 3) - 1) ** 2 / 11) < 1e-12
+    m2 = mcnemar_test(df, "a", "b", correction=False).collect()[0]
+    assert abs(m2["chi2_mcnemar"] - 25 / 11) < 1e-12
+    # no discordant pairs -> NULL
+    conc = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    assert mcnemar_test(conc, "a", "b").collect()[0]["chi2_mcnemar"] is None
+
+
+def test_mcnemar_null_flags_excluded_and_boolean_inputs(spark):
+    df = spark.createDataFrame(
+        [(True, False), (True, None), (None, True), (False, True)],
+        "a boolean, b boolean",
+    )
+    m = mcnemar_test(df, "a", "b").collect()[0]
+    assert m["n"] == 2 and m["n10"] == 1 and m["n01"] == 1
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe
+# ---------------------------------------------------------------------------
+
+
+def _bf_python(data):
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[max(1, math.ceil(0.5 * len(s))) - 1]
+
+    groups = {}
+    for lvl, x in data:
+        groups.setdefault(lvl, []).append(x)
+    devs = []
+    for lvl, vals in groups.items():
+        med = lower_median(vals)
+        devs += [(lvl, round(abs(x - med), 2)) for x in vals]
+    k, n = len(groups), len(devs)
+    per = {
+        lvl: [d for l2, d in devs if l2 == lvl] for lvl in groups
+    }
+    gsum = sum(d for _, d in devs)
+    gsq = sum(d * d for _, d in devs)
+    fold = sum(sum(v) ** 2 / len(v) for v in per.values())
+    ssb = fold - gsum**2 / n
+    ssw = gsq - fold
+    return (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_brown_forsythe_matches_python(spark):
+    random.seed(11)
+    data = (
+        [("g1", round(random.gauss(10, 1), 2)) for _ in range(50)]
+        + [("g2", round(random.gauss(10, 5), 2)) for _ in range(50)]
+        + [("g3", round(random.gauss(10, 1), 2)) for _ in range(50)]
+    )
+    df = spark.createDataFrame(data, "lvl string, x double")
+    out = brown_forsythe(df, "x", "lvl").collect()[0]
+    assert out["n"] == 150 and out["k_levels"] == 3
+    assert abs(out["f_stat"] - _bf_python(data)) < 1e-6
+    # heteroscedastic by construction -> clearly significant W
+    assert out["f_stat"] > 10
+
+
+def test_brown_forsythe_grouped(spark):
+    random.seed(12)
+    data = [
+        (g, lvl, round(random.gauss(5, 1 if lvl == "a" else 3), 2))
+        for g in ("p", "q")
+        for lvl in ("a", "b")
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(data, "g string, lvl string, x double")
+    out = {r["g"]: r for r in
+           brown_forsythe(df, "x", "lvl", group_by=["g"]).collect()}
+    for g in ("p", "q"):
+        ref = _bf_python([(l, x) for g2, l, x in data if g2 == g])
+        assert abs(out[g]["f_stat"] - ref) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ewma
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_sequential_fold(spark):
+    data = [("k1", i, float((i * 37) % 11)) for i in range(1, 40)] + [
+        ("k2", i, float((i * 13) % 7)) for i in range(1, 20)
+    ]
+    data[5] = ("k1", 6, None)  # gap carries previous state
+    df = spark.createDataFrame(data, "k string, t int, x double")
+    out = {
+        (r["k"], r["t"]): r["sm"]
+        for r in ewma(df, ["k"], "t", "x", 0.25, "sm").collect()
+    }
+    a, b = 0.25, 0.75
+    for k in ("k1", "k2"):
+        y = None
+        for _, t, x in sorted(d for d in data if d[0] == k):
+            if x is not None:
+                y = x if y is None else a * x + b * y
+            assert out[(k, t)] == y  # bit-exact, not approx
+    assert len(out) == len(data)
+
+
+def test_ewma_validation_and_plan(spark):
+    df = spark.createDataFrame([("k", 1, 1.0)], "k string, t int, x double")
+    with pytest.raises(TransformationError):
+        ewma(df, [], "t", "x", 0.5)
+    with pytest.raises(TransformationError):
+        ewma(df, ["k"], "t", "x", 0.0)
+    with pytest.raises(TransformationError):
+        ewma(df, ["k"], "t", "x", 1.5)
+    with pytest.raises(TransformationError):
+        ewma(df, ["k"], "missing", "x", 0.5)
+    # the plan is the sanctioned Arrow escape hatch, never row python
+    plan = (
+        ewma(df, ["k"], "t", "x", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ewma_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["ewma"]
+    df = spark.createDataFrame(
+        [("k", 1, 2.0), ("k", 2, 4.0)], "k string, t int, x double"
+    )
+    res = t.validate(df, _cfg("ewma", keyColumns="k", timeColumn="t",
+                              valueColumn="x", alpha="bad"))
+    assert not res.is_valid and any("alpha" in e for e in res.errors)
+    res = t.validate(df, _cfg("ewma", keyColumns="k", timeColumn="t",
+                              valueColumn="x", alpha="2"))
+    assert not res.is_valid
+    out = t.transform(
+        df,
+        _cfg("ewma", keyColumns="k", timeColumn="t", valueColumn="x",
+             alpha="0.5", outputColumn="s"),
+        None,
+    ).collect()
+    got = {r["t"]: r["s"] for r in out}
+    assert got == {1: 2.0, 2: 0.5 * 4.0 + 0.5 * 2.0}
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+
+def _km_python(km_data):
+    dd, cc = Counter(), Counter()
+    for t, e in km_data:
+        (dd if e else cc)[t] += 1
+    times = sorted(set(dd) | set(cc))
+    n = len(km_data)
+    cum_rm = cum_lq = dead = 0
+    exp = []
+    for t in times:
+        d, c = dd.get(t, 0), cc.get(t, 0)
+        n_risk = n - cum_rm
+        cum_rm += d + c
+        if 0 < d < n_risk:
+            cum_lq += round(math.log(1.0 - d / n_risk) * 1e9)
+        if d >= n_risk:
+            dead = 1
+        s = 0.0 if dead else round(math.exp(cum_lq / 1e9), 9)
+        exp.append((t, n_risk, d, c, s))
+    return exp
+
+
+def test_kaplan_meier_matches_python(spark):
+    km_data = [(3, 1), (5, 1), (5, 0), (8, 1), (8, 1), (10, 0),
+               (12, 1), (15, 0)]
+    df = spark.createDataFrame(km_data, "dur int, ev int")
+    got = [
+        (r["t"], r["n_risk"], r["n_event"], r["n_censored"],
+         r["survival"])
+        for r in kaplan_meier(df, "dur", "ev").collect()
+    ]
+    assert got == _km_python(km_data)
+    # monotone non-increasing survival
+    surv = [s for *_, s in got]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+def test_kaplan_meier_total_failure_pins_zero(spark):
+    # everyone fails by t=4: survival exactly 0.0 from there on
+    df = spark.createDataFrame(
+        [(2, 1), (4, 1), (4, 1)], "dur int, ev int"
+    )
+    rows = kaplan_meier(df, "dur", "ev").collect()
+    assert rows[-1]["survival"] == 0.0
+    assert rows[0]["survival"] == round(1 - 1 / 3, 9)
+
+
+def test_kaplan_meier_grouped_and_adapter(spark):
+    km_data = [(3, 1), (5, 1), (5, 0), (8, 1)]
+    df = spark.createDataFrame(
+        [("g", t, e) for t, e in km_data] + [("h", 2, 0)],
+        "grp string, dur int, ev int",
+    )
+    rows = kaplan_meier(df, "dur", "ev", group_by=["grp"]).collect()
+    g = [(r["t"], r["survival"]) for r in rows if r["grp"] == "g"]
+    assert g == [(t, s) for t, _, _, _, s in _km_python(km_data)]
+    h = [(r["t"], r["n_risk"], r["survival"]) for r in rows
+         if r["grp"] == "h"]
+    assert h == [(2, 1, 1.0)]  # censored only: survival stays 1
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["kaplan_meier"]
+    res = t.validate(df, _cfg("kaplan_meier", durationColumn="dur"))
+    assert not res.is_valid
+    out = t.transform(
+        df,
+        _cfg("kaplan_meier", durationColumn="dur", eventColumn="ev",
+             groupBy="grp"),
+        None,
+    )
+    assert out.count() == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_recovers_slope(spark):
+    words = []
+    for rnk in range(1, 60):
+        words += [f"w{rnk:03d}"] * max(1, int(600 / rnk))
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    from etl_spark_gradle_spark.operators.corpus import zipf_fit
+
+    out = zipf_fit(df, "text", min_count=1).collect()[0]
+    assert out["n_types"] == 59
+    assert -1.2 < out["slope"] < -0.8  # zipfian by construction
+    assert out["r2"] > 0.98
+    with pytest.raises(TransformationError):
+        zipf_fit(df, "text", min_count=0)
+    with pytest.raises(TransformationError):
+        zipf_fit(df, "text", top_k=1)
+    with pytest.raises(TransformationError):
+        zipf_fit(df, "missing")
+
+
+def test_zipf_fit_min_count_and_top_k(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a b b b c c d")], "doc_id long, text string"
+    )
+    from etl_spark_gradle_spark.operators.corpus import zipf_fit
+
+    assert zipf_fit(df, "text", min_count=2).collect()[0]["n_types"] == 3
+    assert (
+        zipf_fit(df, "text", min_count=1, top_k=2).collect()[0]["n_types"]
+        == 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# with_readability
+# ---------------------------------------------------------------------------
+
+
+def test_readability_matches_python(spark):
+    from etl_spark_gradle_spark.operators.text import with_readability
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog. A sunny day!",
+        "Short. Very short. Yes!",
+        "no terminator at all here",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = {r["id"]: r for r in with_readability(df, "text").collect()}
+    for i, t in enumerate(texts):
+        r = rows[i]
+        if not t:
+            assert r["n_words"] == 0 and r["flesch_ease"] is None
+            continue
+        toks = [w for w in re.split(r"\s+", t) if w]
+        sents = max(len(re.findall(r"[.!?]+", t)), 1)
+        syl = sum(
+            max(len(re.findall(r"[aeiouy]+", w.lower())), 1)
+            for w in toks
+        )
+        assert r["n_words"] == len(toks)
+        assert r["n_sentences"] == sents
+        assert r["n_syllables"] == syl
+        wps, spw = len(toks) / sents, syl / len(toks)
+        assert r["flesch_ease"] == 206.835 - 1.015 * wps - 84.6 * spw
+        assert r["fk_grade"] == 0.39 * wps + 11.8 * spw - 15.59
+
+
+def test_readability_via_text_analysis_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "One sentence here. And two!")], "id long, text string"
+    )
+    out = TRANSFORMER_REGISTRY["text_analysis"].transform(
+        df,
+        _cfg("text_analysis", textColumn="text", stats="false",
+             readability="true"),
+        None,
+    ).collect()[0]
+    assert out["n_sentences"] == 2 and out["flesch_ease"] is not None
+
+
+# ---------------------------------------------------------------------------
+# stats adapter ops
+# ---------------------------------------------------------------------------
+
+
+def test_stats_adapter_new_operations(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["stats"]
+    df = spark.createDataFrame(
+        [("a", "x", 1, 0, 1.0), ("a", "y", 0, 1, 2.0),
+         ("b", "x", 1, 1, 3.0), ("b", "y", 0, 0, 4.0)],
+        "u string, v string, fa int, fb int, val double",
+    )
+    for cfg, needle in (
+        (_cfg("stats", operation="chi_square", xColumn="u"), "yColumn"),
+        (_cfg("stats", operation="mcnemar", flagAColumn="fa"),
+         "flagBColumn"),
+        (_cfg("stats", operation="brown_forsythe", valueColumn="val"),
+         "factorColumn"),
+    ):
+        res = t.validate(df, cfg)
+        assert not res.is_valid and any(needle in e for e in res.errors)
+    assert "chi2" in t.transform(
+        df, _cfg("stats", operation="chi_square", xColumn="u",
+                 yColumn="v"), None
+    ).columns
+    assert "chi2_mcnemar" in t.transform(
+        df, _cfg("stats", operation="mcnemar", flagAColumn="fa",
+                 flagBColumn="fb", correction="false"), None
+    ).columns
+    assert "f_stat" in t.transform(
+        df, _cfg("stats", operation="brown_forsythe", valueColumn="val",
+                 factorColumn="u"), None
+    ).columns

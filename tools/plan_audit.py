@@ -64,6 +64,11 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
     "calibration": 1,          # [PS] via stats.ecdf
     "conversion_latency": 1,   # [PS] via exact_quantiles
     "ecdf": 1,                 # [PS]
+    "kaplan_meier": 1,         # [PS] the quantized-log/dead-flag CDF
+                               # over the distinct-duration histogram
+                               # (the first, removed-count CDF is
+                               # behind its eager localCheckpoint and
+                               # never appears in the final plan)
     "kruskal_wallis": 1,       # [PS] pooled-rank CDF
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
@@ -107,6 +112,9 @@ ARROW_EXEMPT: dict[str, str] = {
     "embed_media": "deterministic media embedding over decoded bytes",
     "bpe_tokenize": "trained-vocab BPE encoding over Arrow batches",
     "model_score": "pluggable python scorer (documented escape hatch)",
+    "ewma": "inherently sequential per-key recursion (α·x + β·y_prev) "
+            "— no associative reformulation reproduces its float "
+            "semantics; keys parallelize across tasks",
     "simhash": "64-bit simhash signature fold over Arrow batches",
     "incremental_minhash": "store fold reuses the simhash/minhash "
                            "Arrow signature path",
