@@ -11020,6 +11020,86 @@ FROM counted
 """
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: documents with doc_id % 19 == 0 play
+    the TARGET corpus (the decontaminate split), the rest the raw
+    training pool; hashed unigram+bigram bag-of-words models on both,
+    per-bucket log-ratios quantized once to integer nano-units, exact
+    long per-doc sums — one division closes."""
+    from etl_spark_gradle_spark.operators.corpus import dsir_weights
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 19 != 0)
+    target = docs.where(F.col("doc_id") % 19 == 0)
+    return dsir_weights(
+        train, target, "doc_id", "text", n_buckets=4096, smoothing=1.0
+    )
+
+
+_DSIR_ORACLE = """
+WITH tr AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0
+), tg AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 19 = 0
+), trf AS (
+  SELECT doc_id, f FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS tk
+    FROM tr WHERE text IS NOT NULL
+  ), unnest(list_concat(tk,
+       CASE WHEN len(tk) >= 2 THEN
+         [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+       ELSE [] END)) AS t(f)
+), tgf AS (
+  SELECT f FROM (
+    SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS tk
+    FROM tg WHERE text IS NOT NULL
+  ), unnest(list_concat(tk,
+       CASE WHEN len(tk) >= 2 THEN
+         [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+       ELSE [] END)) AS t(f)
+), trb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('dsir:' || f), 1, 8)) AS BIGINT)
+              % 4096 AS BIGINT) AS b
+  FROM trf
+), tgb AS (
+  SELECT CAST(CAST(('0x' || substr(md5('dsir:' || f), 1, 8)) AS BIGINT)
+              % 4096 AS BIGINT) AS b
+  FROM tgf
+), rawc AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM trb GROUP BY b
+), tgtc AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tgb GROUP BY b
+), tots AS (
+  SELECT (SELECT SUM(cr) FROM rawc) AS nr,
+         (SELECT SUM(ct) FROM tgtc) AS nt
+), tbl AS (
+  SELECT rawc.b,
+         CAST(round((ln((CAST(COALESCE(tgtc.ct, 0) AS DOUBLE) + 1.0)
+                        / (CAST(tots.nt AS DOUBLE) + 1.0 * 4096.0))
+                     - ln((CAST(rawc.cr AS DOUBLE) + 1.0)
+                          / (CAST(tots.nr AS DOUBLE) + 1.0 * 4096.0)))
+                    * 1e9) AS BIGINT) AS dlq
+  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tots
+), scored AS (
+  SELECT trb.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM(tbl.dlq) AS BIGINT) AS q
+  FROM trb JOIN tbl ON trb.b = tbl.b
+  GROUP BY trb.doc_id
+)
+SELECT tr.doc_id,
+       COALESCE(scored.n_features, 0) AS n_features,
+       COALESCE(CAST(scored.q AS DOUBLE) / 1e9, 0.0) AS log_weight
+FROM (SELECT DISTINCT doc_id FROM tr) tr
+LEFT JOIN scored ON tr.doc_id = scored.doc_id
+"""
+
+
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
@@ -11186,6 +11266,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "zipf": q_zipf,
         "readability": q_readability,
+        "dsir": q_dsir,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -11501,6 +11582,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier": _KAPLAN_MEIER_ORACLE,
         "zipf": _ZIPF_ORACLE,
         "readability": _READABILITY_ORACLE,
+        "dsir": _DSIR_ORACLE,
         "anova": _ANOVA_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

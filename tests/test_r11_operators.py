@@ -467,3 +467,138 @@ def test_stats_adapter_new_operations(spark):
         df, _cfg("stats", operation="brown_forsythe", valueColumn="val",
                  factorColumn="u"), None
     ).columns
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_matches_python(spark):
+    import hashlib
+
+    from etl_spark_gradle_spark.operators.corpus import dsir_weights
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "quantum computing with qubits and gates"),
+        (3, "the dog sat on the log"),
+        (4, ""),
+        (5, None),
+    ]
+    target = [
+        (10, "the cat and the dog sat together"),
+        (11, "cats dogs and mats everywhere"),
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    gdf = spark.createDataFrame(target, "doc_id long, text string")
+    B, alpha = 64, 1.0
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            tdf, gdf, "doc_id", "text", n_buckets=B, smoothing=alpha
+        ).collect()
+    }
+
+    def feats(t):
+        toks = [w.lower() for w in t.split() if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return (
+            int(hashlib.md5(("dsir:" + f).encode()).hexdigest()[:8], 16)
+            % B
+        )
+
+    raw = Counter(
+        bucket(f) for _, t in train if t for f in feats(t)
+    )
+    tgt = Counter(bucket(f) for _, t in target for f in feats(t))
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    dlq = {
+        b: round(
+            (
+                math.log((tgt.get(b, 0) + alpha) / (nt + alpha * B))
+                - math.log((raw[b] + alpha) / (nr + alpha * B))
+            )
+            * 1e9
+        )
+        for b in raw
+    }
+    for did, t in train:
+        if not t:
+            # featureless docs still get a row, scored 0
+            assert out[did]["n_features"] == 0
+            assert out[did]["log_weight"] == 0.0
+            continue
+        fs = feats(t)
+        q = sum(dlq[bucket(f)] for f in fs)
+        assert out[did]["n_features"] == len(fs)
+        assert out[did]["log_weight"] == q / 1e9  # bit-exact
+
+
+def test_dsir_separates_on_topic_docs(spark):
+    from etl_spark_gradle_spark.operators.corpus import dsir_weights
+
+    train = [
+        (i, "science research paper about experiments and results data")
+        for i in range(20)
+    ] + [
+        (100 + i, "buy cheap pills online casino winner click here now")
+        for i in range(20)
+    ]
+    target = [(0, "research experiments results science data analysis")]
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(
+            spark.createDataFrame(train, "doc_id long, text string"),
+            spark.createDataFrame(target, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            n_buckets=10_000,
+        ).collect()
+    }
+    assert out[0] > out[100]
+
+
+def test_dsir_validation_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.corpus import dsir_weights
+
+    tdf = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(TransformationError):
+        dsir_weights(tdf, tdf, "doc_id", "text", n_buckets=1)
+    with pytest.raises(TransformationError):
+        dsir_weights(tdf, tdf, "doc_id", "text", smoothing=0.0)
+    with pytest.raises(TransformationError):
+        dsir_weights(tdf, tdf, "doc_id", "missing")
+
+    t = TRANSFORMER_REGISTRY["dsir"]
+    res = t.validate(
+        tdf, _cfg("dsir", idColumn="doc_id", textColumn="text")
+    )
+    assert not res.is_valid and any("targetView" in e for e in res.errors)
+    res = t.validate(
+        tdf,
+        _cfg("dsir", targetView="v", idColumn="doc_id",
+             textColumn="text", buckets="one"),
+    )
+    assert not res.is_valid and any("buckets" in e for e in res.errors)
+
+    tdf.createOrReplaceTempView("dsir_target_v")
+
+    class Ctx:
+        pass
+
+    ctx = Ctx()
+    ctx.spark = spark
+    out = t.transform(
+        tdf,
+        _cfg("dsir", targetView="dsir_target_v", idColumn="doc_id",
+             textColumn="text"),
+        ctx,
+    )
+    assert {"doc_id", "text", "n_features", "log_weight"} <= set(
+        out.columns
+    )
+    assert out.count() == 1
