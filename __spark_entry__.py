@@ -11110,13 +11110,14 @@ LEFT JOIN scored ON tr.doc_id = scored.doc_id
 # modules touched since: timeseries/stats/corpus this round).
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
+    "dsir",
+    "zipf",
     "brown_forsythe",
     "chi_square",
     "ewma",
     "kaplan_meier",
     "mcnemar",
     "readability",
-    "zipf",
     "intervals",
     "resample_ffill",
     "resample_origin",
@@ -11124,15 +11125,18 @@ _GATE_WINDOW: list[str] = [
     "bm25",
     "cms_prune",
     "cms_topk",
+    "incremental_aggregate",
+    "scd2",
+    "top_paths",
+    "vocab_overlap",
     "cusum",
     "fold_accents",
     "gopher_rules",
-    "incremental_aggregate",
-    "scd2",
     "script_profile",
     "time_rollup",
-    "top_paths",
-    "vocab_overlap",
+    "multiple_regression",
+    "negative_sample",
+    "weighted_reservoir",
     "acf",
     "benford",
     "discount_elasticity",
@@ -11140,9 +11144,7 @@ _GATE_WINDOW: list[str] = [
     "feature_pipeline",
     "impute",
     "lag_features",
-    "multiple_regression",
     "naive_forecast_error",
-    "negative_sample",
     "ohlc",
     "pareto",
     "prop_ztest",
@@ -11154,12 +11156,10 @@ _GATE_WINDOW: list[str] = [
     "trimmed_mean",
     "twap",
     "volume_anomaly",
-    "weighted_reservoir",
     "welch_ttest",
     "robust_scale",
     "rolling_active",
     "target_encode",
-    "roundtrip_avro",
 ]
 
 
