@@ -11100,6 +11100,72 @@ LEFT JOIN scored ON tr.doc_id = scored.doc_id
 """
 
 
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA (α = 0.25) of event values per user, drained
+    availableNow through applyInPandasWithState with ONE DOUBLE of
+    state per user — rows replay the batch recursion bit-identically
+    on a key-ordered feed, which is what the recursive-CTE oracle
+    computes."""
+    import shutil
+
+    from etl_spark_gradle_spark import streaming as st
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"ewma_src_{run}")
+    out_path = os.path.join(_SCRATCH, f"ewma_out_{run}")
+    ckpt = os.path.join(_SCRATCH, f"ewma_ckpt_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(
+        f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet")
+    )
+    stream = _normalize_event_ts(
+        spark.readStream.schema(schema).parquet(src_dir)
+    ).select("user_id", "ts", "event_id", "value")
+    smoothed = st.ewma_stream(
+        stream,
+        key_col="user_id",
+        time_col="ts",
+        value_col="value",
+        alpha=0.25,
+        tiebreak_col="event_id",
+        watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        smoothed,
+        {"path": out_path, "checkpointLocation": ckpt, "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
+    out = spark.read.parquet(out_path)
+    return out.select(
+        "user_id",
+        _fmt_ts(F.col("ts")).alias("ts"),
+        "value",
+        "ewma",
+    )
+
+
+_STREAMING_EWMA_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), r AS (
+  SELECT user_id, ts, v, rn, v AS sm FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.ts, b.v, b.rn, 0.25 * b.v + 0.75 * r.sm
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       v AS value, sm AS ewma
+FROM r
+"""
+
+
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
@@ -11267,6 +11333,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf": q_zipf,
         "readability": q_readability,
         "dsir": q_dsir,
+        "streaming_ewma": q_streaming_ewma,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -11583,6 +11650,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf": _ZIPF_ORACLE,
         "readability": _READABILITY_ORACLE,
         "dsir": _DSIR_ORACLE,
+        "streaming_ewma": _STREAMING_EWMA_ORACLE,
         "anova": _ANOVA_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

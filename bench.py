@@ -49,6 +49,9 @@ And the extension-operator shapes:
 24. q24_sessionize  — gap-based sessionization of the events feed
                       rolled up to per-session stats (one user-keyed
                       shuffle: lag flag + running index + rollup)
+27. q27_ewma        — per-part EWMA recursion over lineitem (ONE
+                      Arrow exchange + python fold per key — the
+                      FlatMapGroupsInPandas hot-path floor)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -656,6 +659,29 @@ def q23_kmeans(spark):
     )
 
 
+def q27_ewma(spark):
+    """Per-part EWMA (α = 0.3) of extended price over the 600k-row
+    lineitem feed (~20k keys) — the applyInPandas sequential-recursion
+    operator: ONE Arrow exchange keyed on l_partkey, a python fold per
+    key inside each task, keys parallelize across cores. The floor
+    guards the Arrow round-trip + per-key fold throughput (the repo's
+    only FlatMapGroupsInPandas hot path). Forced through a hash-sum so
+    every smoothed value materializes."""
+    from etl_spark_gradle_spark.operators.timeseries import ewma
+
+    li = load(spark, "lineitem").select(
+        "l_partkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    out = ewma(li, ["l_partkey"], "seq", "price", alpha=0.3,
+               output_col="sm")
+    return out.agg(
+        F.sum(F.xxhash64("l_partkey", "seq", "sm")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -683,6 +709,7 @@ QUERIES = {
     "q24_sessionize": q24_sessionize,
     "q25_eval_auc": q25_eval_auc,
     "q26_pr_curve": q26_pr_curve,
+    "q27_ewma": q27_ewma,
 }
 
 

@@ -1610,12 +1610,18 @@ def ewma(
     (``adjust=False`` semantics — the control-chart recursion, NOT
     pandas' default bias-corrected form). The recursion is inherently
     SEQUENTIAL per key — no associative reformulation reproduces its
-    float semantics — so this is the repo's canonical
-    ``applyInPandas`` stateful operator: one Arrow exchange keyed on
-    ``key_cols``, an O(rows) fold per key inside each task, keys
-    parallelize across executors. Per-key series length is the
-    scalability contract (a single giant key serializes into one
-    task — resample/bucket first if a key's history is unbounded).
+    float semantics — so this is an Arrow-batched python operator:
+    one exchange repartitions on ``key_cols`` and sorts each
+    partition by (keys, order), then ``mapInPandas`` folds each
+    batch with ONE tight loop, carrying (key, y) state across batch
+    boundaries inside the partition iterator. NOT ``applyInPandas``:
+    grouped-map invokes python once per KEY, and with realistic
+    small groups (~30 rows) the per-call pandas overhead dominated
+    by ~20x (measured 7.6 s → 0.4 s exec on 600k rows / 20k keys at
+    sf0.1). Keys parallelize across partitions; per-key series
+    length is the scalability contract (a single giant key
+    serializes into one partition's stream — resample/bucket first
+    if a key's history is unbounded).
 
     DETERMINISM: rows fold in ``order_col`` order, which must be
     UNIQUE per key (ties would make "the" fold order ambiguous —
@@ -1639,7 +1645,7 @@ def ewma(
     for c in (*key_cols, order_col, value_col):
         if c not in df.columns:
             raise TransformationError(f"ewma: column not in schema: {c}")
-    import pandas as pd
+    import pandas as pd  # noqa: F401 (worker closure)
 
     a = float(alpha)
     b = 1.0 - a
@@ -1650,22 +1656,35 @@ def ewma(
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
     ) + f", `{output_col}` double"
+    keys = list(key_cols)
 
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
-            drop=True
-        )
-        xs = pdf[value_col].tolist()
-        ys: list[float | None] = []
-        y = None
-        for x in xs:
-            if x is not None and x == x:  # skip None/NaN: carry state
-                y = x if y is None else a * x + b * y
-            ys.append(y)
-        pdf[output_col] = pd.array(ys, dtype="float64")
-        return pdf
+    def fold_partition(batches):
+        import pandas as pd
 
-    return src.groupBy(*key_cols).applyInPandas(fold, schema=schema)
+        prev_key: tuple | None = None
+        y: float | None = None
+        for pdf in batches:
+            xs = pdf[value_col].tolist()
+            kcols = [pdf[k].tolist() for k in keys]
+            n = len(xs)
+            ys: list[float | None] = [None] * n
+            for i in range(n):
+                k = tuple(c[i] for c in kcols)
+                if k != prev_key:
+                    prev_key, y = k, None
+                x = xs[i]
+                if x is not None and x == x:  # None/NaN: carry state
+                    y = x if y is None else a * x + b * y
+                ys[i] = y
+            pdf[output_col] = pd.array(ys, dtype="float64")
+            yield pdf
+
+    part = src.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    return (
+        src.repartition(int(part), *keys)
+        .sortWithinPartitions(*keys, order_col)
+        .mapInPandas(fold_partition, schema=schema)
+    )
 
 
 def kaplan_meier(

@@ -1255,3 +1255,90 @@ def read_kmv_store(spark: SparkSession, store_path: str) -> DataFrame:
     if not versions:
         raise ConfigError(f"no kmv versions under {store_path}")
     return spark.read.parquet(f"{store_path}/v={max(versions)}")
+
+
+def ewma_stream(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+    output_col: str = "ewma",
+) -> DataFrame:
+    """Streaming EWMA: the stateful twin of
+    ``operators.timeseries.ewma`` — per key, the ``adjust=False``
+    recursion ``y = α·x + (1−α)·y_prev`` carried across micro-batches
+    through ``applyInPandasWithState``. State per key is exactly ONE
+    DOUBLE (the last smoothed value), and because the per-step float
+    expression is the SAME three IEEE ops as the batch operator, a
+    key-ordered feed replays the batch output bit-identically — the
+    oracle relationship every stateful op in this module keeps.
+
+    Within a batch, rows fold in ``(time_col, tiebreak_col)`` order
+    (pass a tiebreak when timestamps can collide — fold order must be
+    total, the batch operator's uniqueness contract). Rows with NULL
+    time or value are DROPPED (the batch op carries state through
+    null values; a stream drops them so the emitted frame is exactly
+    the folded rows). Emits one append-mode row per input row:
+    ``(key_col, ts, value, output_col)``."""
+    import pandas as pd  # noqa: F401 (worker closure)
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        TimestampType,
+    )
+
+    if not 0.0 < float(alpha) <= 1.0:
+        raise ConfigError("ewma_stream requires 0 < alpha <= 1")
+    ktype = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, ktype),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField(output_col, DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("y", DoubleType())])
+    a = float(alpha)
+    b = 1.0 - a
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        frames = [pdf for pdf in pdf_iter]
+        events = (
+            pd.concat(frames, ignore_index=True)
+            .dropna(subset=[time_col, value_col])
+            .sort_values(
+                [time_col] + ([tiebreak_col] if tiebreak_col else []),
+                kind="mergesort",
+            )
+        )
+        if events.empty:
+            return
+        y = state.get[0] if state.exists else None
+        xs = events[value_col].astype("float64").tolist()
+        ys = []
+        for x in xs:
+            y = x if y is None else a * x + b * y
+            ys.append(y)
+        state.update((float(y),))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ys),
+                "ts": events[time_col].to_numpy(),
+                "value": xs,
+                output_col: ys,
+            }
+        )
+
+    return (
+        df.withWatermark(time_col, watermark_delay)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )

@@ -235,7 +235,7 @@ def test_ewma_validation_and_plan(spark):
         .executedPlan()
         .toString()
     )
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -602,3 +602,88 @@ def test_dsir_validation_and_adapter(spark):
         out.columns
     )
     assert out.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# ewma_stream
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_stream_replays_batch(spark, tmp_path):
+    """Stream-vs-batch parity: the one-double-state recursion must
+    replay operators.timeseries.ewma bit-identically on a key-ordered
+    feed, including across a second micro-batch resuming from state."""
+    import pyspark.sql.functions as F
+
+    from etl_spark_gradle_spark import streaming as st
+    from etl_spark_gradle_spark.operators.timeseries import ewma
+
+    rows1 = [(k, i, float((i * k * 7) % 13) + 0.25)
+             for k in (1, 2) for i in range(1, 8)]
+    rows2 = [(k, i, float((i * k * 3) % 11) + 0.5)
+             for k in (1, 2) for i in range(8, 13)]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(rows, name):
+        # the file-stream source wants FILES in src, not nested dirs:
+        # write to a scratch dir, move the single part file in
+        import glob
+        import shutil
+
+        scratch = tmp_path / f"scratch_{name}"
+        spark.createDataFrame(
+            rows, "user_id int, seq int, value double"
+        ).withColumn(
+            "ts", F.timestamp_micros(F.col("seq") * 1_000_000)
+        ).coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = glob.glob(str(scratch / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    land(rows1, "b1")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        smoothed = st.ewma_stream(
+            stream, key_col="user_id", time_col="ts",
+            value_col="value", alpha=0.3, tiebreak_col="seq",
+            watermark_delay="0 seconds",
+        )
+        st.write_stream(
+            smoothed,
+            {"path": out_dir, "checkpointLocation": ckpt,
+             "format": "parquet"},
+            output_mode="append",
+            await_termination=True,
+        )
+
+    drain()
+    # second batch arrives later; state must resume, not restart
+    land(rows2, "b2")
+    drain()
+
+    batch_src = spark.createDataFrame(
+        rows1 + rows2, "user_id int, seq int, value double"
+    )
+    expected = {
+        (r["user_id"], r["seq"]): r["sm"]
+        for r in ewma(
+            batch_src, ["user_id"], "seq", "value", 0.3, "sm"
+        ).collect()
+    }
+    got = {
+        (r["user_id"], int(r["ts"].timestamp())): r["ewma"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == len(expected)
+    for k, v in expected.items():
+        assert got[k] == v, (k, got[k], v)  # bit-exact across batches
+
+    import pytest as _pt
+
+    from etl_spark_gradle_spark.plans.config import ConfigError
+
+    with _pt.raises(ConfigError):
+        st.ewma_stream(stream, "user_id", "ts", "value", alpha=0.0)

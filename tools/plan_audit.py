@@ -114,7 +114,8 @@ ARROW_EXEMPT: dict[str, str] = {
     "model_score": "pluggable python scorer (documented escape hatch)",
     "ewma": "inherently sequential per-key recursion (α·x + β·y_prev) "
             "— no associative reformulation reproduces its float "
-            "semantics; keys parallelize across tasks",
+            "semantics; mapInPandas over key-sorted partitions (one "
+            "python call per BATCH, not per key), keys parallelize",
     "simhash": "64-bit simhash signature fold over Arrow batches",
     "incremental_minhash": "store fold reuses the simhash/minhash "
                            "Arrow signature path",

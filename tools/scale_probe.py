@@ -165,6 +165,10 @@ def main() -> int:
                 lambda: _auc_continuous_probe(li),
                 li.count(),
             ),
+            "ewma": (
+                lambda: _ewma_probe(li),
+                li.count(),
+            ),
             "rolling_med": (
                 lambda: _rolling_median_probe(ev),
                 ev.count(),
@@ -429,6 +433,26 @@ def _auc_continuous_probe(li):
     )
     out = auc(scored, "score", "label")
     return out.agg(F.sum(F.hash("auc", "n")).alias("h"))
+
+
+def _ewma_probe(li):
+    """Round-11: the applyInPandas sequential-recursion operator. Keys
+    (l_partkey) grow with SF while per-key series length stays ~O(30),
+    so the Arrow exchange + per-key python fold must amortize across a
+    10x size step — the probe that would catch a driver-side collect
+    or a single-task funnel hiding in the grouped-map path."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import ewma
+
+    src = li.select(
+        "l_partkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    out = ewma(src, ["l_partkey"], "seq", "price", alpha=0.3,
+               output_col="sm")
+    return out.agg(F.sum(F.hash("l_partkey", "seq", "sm")).alias("h"))
 
 
 def _quantiles_probe(li):
