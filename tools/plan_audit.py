@@ -925,6 +925,81 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    (
+        "chi_square",
+        "chi-square independence: ONE (x, y) count shuffle reduces "
+        "the data to its contingency cells; the r x c grid builds "
+        "from broadcast-joined bounded tables; the cell fold is an "
+        "aggregation, never a window; no python",
+        ["partial_count", "hashpartitioning", "BroadcastHashJoin"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "mcnemar",
+        "McNemar: the four paired cells come from ONE conditional "
+        "aggregation riding the scan — no joins, no windows, no "
+        "python, single final exchange",
+        ["partial_count"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "brown_forsythe",
+        "Brown-Forsythe: per-(group, level) medians via group-keyed "
+        "windows over the value histogram (parallel across levels), "
+        "the <=k-row median table joins back null-safe broadcast, "
+        "then anova's single moment shuffle; no python",
+        ["BroadcastHashJoin", "partial_count", "hashpartitioning"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "ewma",
+        "EWMA: exactly the sanctioned Arrow stage — one key exchange, "
+        "partition-sorted, MapInPandas fold; never per-key grouped-map "
+        "(FlatMapGroupsInPandas) and never row-at-a-time python",
+        ["MapInPandas", "hashpartitioning", "Sort"],
+        ["FlatMapGroupsInPandas", "BatchEvalPython",
+         "CartesianProduct", "Window"],
+    ),
+    (
+        "kaplan_meier",
+        "Kaplan-Meier: cumulative counts ride the two-level prefix-"
+        "sum scan (per-_pid windows); the histogram reduction sits "
+        "behind the scan's eager pin, so the visible plan is the "
+        "bounded CDF close; no python",
+        ["hashpartitioning(_pid"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "dsir",
+        "DSIR: the corpus reduces ONCE to pinned (doc, bucket) cells "
+        "(behind the eager pin); the <=B-row log-ratio table attaches "
+        "as a BROADCAST hash join — the corpus is never shuffled on "
+        "the FEATURE key (the one corpus-sized SMJ is the id-keyed "
+        "left join re-attaching featureless docs, co-partitioned with "
+        "the scoring groupBy); no python, no cartesian",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython", "Window"],
+    ),
+    (
+        "zipf",
+        "Zipf fit: vocabulary ranks via the two-level scan (per-_pid "
+        "row_number), exact decimal moment close; no python",
+        ["hashpartitioning(_pid", "row_number", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "readability",
+        "readability rides the scan: zero exchanges, whole-stage "
+        "codegen, pure per-row regexp/fold expressions",
+        ["codegen id"],
+        ["Exchange", "SortMergeJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython", "Window"],
+    ),
 ]
 
 
