@@ -11166,6 +11166,61 @@ FROM r
 """
 
 
+def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between document language and
+    source — the asymmetric association MI/Cramér's V can't give
+    (which attribute predicts which). One joint groupBy; log closings
+    rounded 9 dp (the infotheory posture), U a division of the two
+    rounded values."""
+    from etl_spark_gradle_spark.operators.infotheory import theil_u
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return theil_u(docs, "lang", "source")
+
+
+_THEIL_U_ORACLE = """
+WITH j AS (
+  SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+), cells AS (
+  SELECT x, y, c,
+         SUM(c) OVER (PARTITION BY x) AS cx,
+         SUM(c) OVER (PARTITION BY y) AS cy,
+         SUM(c) OVER () AS n,
+         COUNT(*) OVER (PARTITION BY x) AS kcx,
+         COUNT(*) OVER (PARTITION BY y) AS kcy
+  FROM j
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS k_x,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS k_y,
+         SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln((CAST(n AS DOUBLE) * CAST(c AS DOUBLE))
+                  / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))) AS mi,
+         SUM((CAST(cx AS DOUBLE) * ln(CAST(cx AS DOUBLE)))
+             / CAST(kcx AS DOUBLE)) AS sx,
+         SUM((CAST(cy AS DOUBLE) * ln(CAST(cy AS DOUBLE)))
+             / CAST(kcy AS DOUBLE)) AS sy
+  FROM cells
+), r AS (
+  SELECT n, k_x, k_y,
+         round(mi, 9) AS mi_nats,
+         round(ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE), 9) AS h_x,
+         round(ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE), 9) AS h_y
+  FROM agg
+)
+SELECT n, k_x, k_y, mi_nats, h_x, h_y,
+       CASE WHEN h_x > 0 THEN round(mi_nats / h_x, 9) END
+         AS u_x_given_y,
+       CASE WHEN h_y > 0 THEN round(mi_nats / h_y, 9) END
+         AS u_y_given_x
+FROM r
+"""
+
+
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
@@ -11176,18 +11231,22 @@ FROM r
 # modules touched since: timeseries/stats/corpus this round).
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
+    "ewma",
+    "kaplan_meier",
+    "streaming_ewma",
+    "theil_u",
     "dsir",
     "zipf",
     "brown_forsythe",
     "chi_square",
-    "ewma",
-    "kaplan_meier",
     "mcnemar",
     "readability",
     "intervals",
     "resample_ffill",
     "resample_origin",
     "resample_linear",
+    "cusum",
+    "time_rollup",
     "bm25",
     "cms_prune",
     "cms_topk",
@@ -11195,37 +11254,33 @@ _GATE_WINDOW: list[str] = [
     "scd2",
     "top_paths",
     "vocab_overlap",
-    "cusum",
     "fold_accents",
     "gopher_rules",
     "script_profile",
-    "time_rollup",
-    "multiple_regression",
-    "negative_sample",
-    "weighted_reservoir",
     "acf",
-    "benford",
-    "discount_elasticity",
     "event_trigrams",
-    "feature_pipeline",
-    "impute",
     "lag_features",
     "naive_forecast_error",
     "ohlc",
+    "rolling_median",
+    "rolling_zscore",
+    "twap",
+    "volume_anomaly",
+    "multiple_regression",
+    "negative_sample",
+    "weighted_reservoir",
+    "benford",
+    "discount_elasticity",
+    "feature_pipeline",
+    "impute",
     "pareto",
     "prop_ztest",
     "quantile_clip",
     "quantile_normalize",
     "reorder_intervals",
-    "rolling_median",
-    "rolling_zscore",
     "trimmed_mean",
-    "twap",
-    "volume_anomaly",
     "welch_ttest",
     "robust_scale",
-    "rolling_active",
-    "target_encode",
 ]
 
 
@@ -11334,6 +11389,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "dsir": q_dsir,
         "streaming_ewma": q_streaming_ewma,
+        "theil_u": q_theil_u,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -11651,6 +11707,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _READABILITY_ORACLE,
         "dsir": _DSIR_ORACLE,
         "streaming_ewma": _STREAMING_EWMA_ORACLE,
+        "theil_u": _THEIL_U_ORACLE,
         "anova": _ANOVA_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

@@ -54,6 +54,7 @@ __all__ = [
     "js_divergence",
     "kl_divergence",
     "mutual_information",
+    "theil_u",
     "psi_drift",
     "InfoTheoryTransformer",
 ]
@@ -277,6 +278,115 @@ def mutual_information(
     )
 
 
+def theil_u(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient — the ASYMMETRIC categorical
+    association :func:`mutual_information`'s symmetric MI (and
+    Cramér's V) cannot give::
+
+        U(X|Y) = (H(X) − H(X|Y)) / H(X) = MI / H(X)
+
+    "knowing Y removes what fraction of X's uncertainty" — direction
+    matters (zip code predicts city almost perfectly; city barely
+    predicts zip code), which is exactly the feature-selection and
+    schema-discovery question the symmetric measures blur. Both
+    directions are returned.
+
+    Same single-scan plan as ``mutual_information``: ONE joint
+    groupBy, marginals via windows over the |X×Y| cell table, one
+    closing aggregation. Entropies use the ``ln n − (Σ c·ln c)/n``
+    form (:func:`category_entropy`'s identity). Rows with a NULL in
+    either column are excluded. Degenerate single-level columns have
+    H = 0 — that direction's U is NULL (0/0). Log closings round to
+    9 dp (the module posture); U is a division of two rounded
+    doubles, itself rounded to 9.
+
+    Output: one row — ``n, k_x, k_y`` (long), ``mi_nats, h_x, h_y,
+    u_x_given_y, u_y_given_x`` (double)."""
+    for c in (col_x, col_y):
+        if c not in df.columns:
+            raise TransformationError(
+                f"theil_u column not in schema: {c}"
+            )
+    if col_x == col_y:
+        raise TransformationError("theil_u requires two distinct columns")
+    joint = (
+        df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_cxy"))
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    cells = (
+        joint.withColumn(
+            "_cx", F.sum("_cxy").over(Window.partitionBy("_x")).cast("long")
+        )
+        .withColumn(
+            "_cy", F.sum("_cxy").over(Window.partitionBy("_y")).cast("long")
+        )
+        .withColumn("_n", F.sum("_cxy").over(wall).cast("long"))
+    )
+    n = F.col("_n").cast("double")
+    cxy = F.col("_cxy").cast("double")
+    cx = F.col("_cx").cast("double")
+    cy = F.col("_cy").cast("double")
+    mi_contrib = (cxy / n) * F.log((n * cxy) / (cx * cy))
+    # per-cell c·ln c would double-count marginals cell-multiple times;
+    # divide each marginal's term by how many cells share it so the
+    # one aggregation still closes everything (Σ over cells of
+    # cx·ln cx / #cells(x) = Σ over x of cx·ln cx)
+    kx_cells = F.count(F.lit(1)).over(Window.partitionBy("_x"))
+    ky_cells = F.count(F.lit(1)).over(Window.partitionBy("_y"))
+    hx_term = (cx * F.log(cx)) / kx_cells.cast("double")
+    hy_term = (cy * F.log(cy)) / ky_cells.cast("double")
+    agg = cells.select(
+        "_n",
+        "_x",
+        "_y",
+        mi_contrib.alias("_mi"),
+        hx_term.alias("_hx"),
+        hy_term.alias("_hy"),
+    ).groupBy("_n").agg(
+        F.count_distinct("_x").cast("long").alias("k_x"),
+        F.count_distinct("_y").cast("long").alias("k_y"),
+        F.sum("_mi").alias("_mi"),
+        F.sum("_hx").alias("_sx"),
+        F.sum("_hy").alias("_sy"),
+    )
+    n2 = F.col("_n").cast("double")
+    h_x = F.round(F.log(n2) - F.col("_sx") / n2, 9)
+    h_y = F.round(F.log(n2) - F.col("_sy") / n2, 9)
+    mi = F.round(F.col("_mi"), 9)
+    out = agg.select(
+        F.col("_n").alias("n"),
+        "k_x",
+        "k_y",
+        mi.alias("mi_nats"),
+        h_x.alias("h_x"),
+        h_y.alias("h_y"),
+    )
+    return out.select(
+        "n",
+        "k_x",
+        "k_y",
+        "mi_nats",
+        "h_x",
+        "h_y",
+        F.when(
+            F.col("h_x") > 0,
+            F.round(F.col("mi_nats") / F.col("h_x"), 9),
+        ).alias("u_x_given_y"),
+        F.when(
+            F.col("h_y") > 0,
+            F.round(F.col("mi_nats") / F.col("h_y"), 9),
+        ).alias("u_y_given_x"),
+    )
+
+
 def psi_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -398,10 +508,11 @@ def psi_drift(
 
 class InfoTheoryTransformer:
     """Registry adapter (``type: infotheory``). Options: ``operation``
-    entropy|mutual_information (two-sample divergences route through
-    ``type: drift`` with ``statistic: js``/``kl``); entropy takes
-    ``categoryColumn`` + optional ``groupBy`` csv; mutual_information
-    takes ``xColumn``/``yColumn`` + optional ``perPair``."""
+    entropy|mutual_information|theil_u (two-sample divergences route
+    through ``type: drift`` with ``statistic: js``/``kl``); entropy
+    takes ``categoryColumn`` + optional ``groupBy`` csv;
+    mutual_information takes ``xColumn``/``yColumn`` + optional
+    ``perPair``; theil_u takes ``xColumn``/``yColumn``."""
 
     def validate(self, df, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -418,11 +529,11 @@ class InfoTheoryTransformer:
             for c in _split_csv(opts.get("groupBy")):
                 if c not in df.columns:
                     errors.append(f"group column not in input schema: {c}")
-        elif op == "mutual_information":
+        elif op in ("mutual_information", "theil_u"):
             for key in ("xColumn", "yColumn"):
                 col = opts.get(key)
                 if not col:
-                    errors.append(f"infotheory mutual_information requires '{key}'")
+                    errors.append(f"infotheory {op} requires '{key}'")
                 elif col not in df.columns:
                     errors.append(f"{key} not in input schema: {col}")
             if opts.get("xColumn") and opts.get("xColumn") == opts.get("yColumn"):
@@ -430,7 +541,7 @@ class InfoTheoryTransformer:
         else:
             errors.append(
                 f"unknown infotheory operation '{op}' "
-                "(entropy|mutual_information)"
+                "(entropy|mutual_information|theil_u)"
             )
         return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
 
@@ -447,6 +558,8 @@ class InfoTheoryTransformer:
                 opts["categoryColumn"],
                 group_by=_split_csv(opts.get("groupBy")) or None,
             )
+        if opts.get("operation") == "theil_u":
+            return theil_u(df, opts["xColumn"], opts["yColumn"])
         return mutual_information(
             df,
             opts["xColumn"],

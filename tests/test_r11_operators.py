@@ -687,3 +687,66 @@ def test_ewma_stream_replays_batch(spark, tmp_path):
 
     with _pt.raises(ConfigError):
         st.ewma_stream(stream, "user_id", "ts", "value", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# theil_u
+# ---------------------------------------------------------------------------
+
+
+def test_theil_u_matches_python_and_is_asymmetric(spark):
+    from etl_spark_gradle_spark.operators.infotheory import theil_u
+
+    rows = (
+        [("z1", "cityA")] * 10 + [("z2", "cityA")] * 10
+        + [("z3", "cityB")] * 10 + [("z4", "cityB")] * 8
+        + [("z4", "cityA")] * 2
+    )
+    df = spark.createDataFrame(rows, "zip string, city string")
+    out = theil_u(df, "zip", "city").collect()[0]
+    n = len(rows)
+    cx = Counter(r[0] for r in rows)
+    cy = Counter(r[1] for r in rows)
+    cxy = Counter(rows)
+    hx = math.log(n) - sum(c * math.log(c) for c in cx.values()) / n
+    hy = math.log(n) - sum(c * math.log(c) for c in cy.values()) / n
+    mi = sum(
+        (c / n) * math.log(n * c / (cx[x] * cy[y]))
+        for (x, y), c in cxy.items()
+    )
+    assert out["n"] == n and out["k_x"] == 4 and out["k_y"] == 2
+    assert abs(out["mi_nats"] - mi) < 1e-8
+    assert abs(out["h_x"] - hx) < 1e-8 and abs(out["h_y"] - hy) < 1e-8
+    assert abs(out["u_x_given_y"] - mi / hx) < 1e-7
+    assert abs(out["u_y_given_x"] - mi / hy) < 1e-7
+    # zip predicts city far better than city predicts zip
+    assert out["u_y_given_x"] > out["u_x_given_y"]
+    # degenerate single-level side: that direction NULL
+    deg = theil_u(
+        spark.createDataFrame(
+            [("a", "k"), ("b", "k")], "x string, y string"
+        ),
+        "x",
+        "y",
+    ).collect()[0]
+    # h_x > 0: knowing the constant y removes 0% of x's uncertainty;
+    # h_y = 0: that direction is 0/0 -> NULL
+    assert deg["u_x_given_y"] == 0.0
+    assert deg["u_y_given_x"] is None
+    with pytest.raises(TransformationError):
+        theil_u(df, "zip", "zip")
+
+
+def test_theil_u_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["infotheory"]
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    res = t.validate(df, _cfg("infotheory", operation="theil_u",
+                              xColumn="x"))
+    assert not res.is_valid
+    out = t.transform(
+        df, _cfg("infotheory", operation="theil_u", xColumn="x",
+                 yColumn="y"), None
+    )
+    assert "u_x_given_y" in out.columns
