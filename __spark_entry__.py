@@ -11221,6 +11221,35 @@ FROM r
 """
 
 
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the 64-d embeddings to the top-8 subspace: the Gram/mean
+    accumulate in ONE mapInPandas pass (d² per PARTITION, never per
+    row), eigh on the driver, and the projection is k pure-Catalyst
+    dot products riding the scan. Eigendecomposition is not
+    SQL-expressible — no oracle entry by design (the documented
+    rows-only gate); full-precision parity vs numpy is pinned in
+    tests/test_r11_operators.py."""
+    from etl_spark_gradle_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    comps, evals, mean, _n = pca_fit(emb, "embedding", k=8)
+    out = pca_project(emb, "embedding", comps, mean=mean)
+    # surface the coordinates as rounded columns so the rows-only
+    # check sees a stable, inspectable schema
+    return out.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(F.element_at("pca", i + 1), 6).alias(f"pc{i + 1}")
+            for i in range(8)
+        ],
+    )
+
+
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
@@ -11390,6 +11419,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "streaming_ewma": q_streaming_ewma,
         "theil_u": q_theil_u,
+        "pca": q_pca,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,

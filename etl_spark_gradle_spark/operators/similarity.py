@@ -680,3 +680,166 @@ def dequantize_embeddings(
             F.col(q_col), lambda x: (x.cast("double") * F.col(scale_col)).cast("float")
         ),
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    center: bool = True,
+):
+    """Fit a PCA basis over an embedding column — the classic
+    dimensionality-reduction / whitening step of embedding pipelines
+    (SemDeDup-style clustering, ANN index build, drift monitoring all
+    get cheaper and often better-conditioned in the top-k subspace).
+
+    Spark-first at 100 TB: PCA of N×d needs only the d×d Gram matrix
+    and the d-vector column sums — ONE ``mapInPandas`` pass
+    accumulates per-partition ``XᵀX``/``Σx``/``n`` with numpy (d² + d
+    doubles per PARTITION, not per row — the RowMatrix
+    ``computeGramian`` shape), a single tiny aggregation merges the
+    ≤P partial rows, and the d×d eigendecomposition runs on the
+    driver (``numpy.linalg.eigh`` — d is model-sized, never
+    data-sized). No d²-per-row explode, no data-sized shuffle.
+
+    DETERMINISM: the merged Gram is a float sum over ≤P partition
+    partials (partition-order fixed by sorting the partials by
+    partition id before the driver-side reduce); eigenvectors have a
+    sign ambiguity resolved by the standard convention (largest-
+    absolute component made positive). Exact cross-engine replay is
+    NOT claimed — eigendecomposition is not SQL-expressible, so this
+    family is pytest-gated against numpy (the documented weaker gate
+    for genuinely non-relational closings).
+
+    Returns ``(components, eigenvalues, mean, n)``: components a
+    k×d list of lists (rows = principal axes, descending
+    eigenvalue), eigenvalues length-k, mean the d-vector used for
+    centering (zeros when ``center=False``)."""
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+    )
+
+    if vec_col not in df.columns:
+        raise TransformationError(f"pca_fit: column not in schema: {vec_col}")
+    if int(k) < 1:
+        raise TransformationError("pca_fit requires k >= 1")
+
+    src = df.select(vec_col).where(F.col(vec_col).isNotNull())
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        gram = None
+        sums = None
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            if gram is None:
+                d = x.shape[1]
+                gram = np.zeros((d, d))
+                sums = np.zeros(d)
+            gram += x.T @ x
+            sums += x.sum(axis=0)
+            n += x.shape[0]
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [sums.tolist()],
+                    "g": [gram.reshape(-1).tolist()],
+                }
+            )
+
+    rows = src.mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        raise TransformationError("pca_fit: no non-null vectors")
+    rows = sorted(rows, key=lambda r: (r["n"], tuple(r["s"])))
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    if int(k) > d:
+        raise TransformationError(f"pca_fit: k={k} exceeds dim={d}")
+    sums = np.zeros(d)
+    gram = np.zeros((d, d))
+    for r in rows:  # fixed merge order — deterministic float sum
+        sums += np.asarray(r["s"])
+        gram += np.asarray(r["g"]).reshape(d, d)
+    mean = sums / n if center else np.zeros(d)
+    denom = max(n - 1, 1)
+    cov = (gram - n * np.outer(mean, mean)) / denom
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: int(k)]
+    comps = evecs[:, order].T  # k x d
+    # sign convention: largest-|component| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return (
+        [row.tolist() for row in comps],
+        [float(evals[j]) for j in order],
+        mean.tolist(),
+        int(n),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    components: list[list[float]],
+    mean: list[float] | None = None,
+    eigenvalues: list[float] | None = None,
+    whiten: bool = False,
+    output_col: str = "pca",
+) -> DataFrame:
+    """Project an embedding column onto a fitted PCA basis — pure
+    Catalyst expressions, no python in the row path: each output
+    coordinate is ``dot(x, v_i) − dot(mean, v_i)`` with the
+    mean-side dot PRE-FOLDED into a literal on the driver, so the
+    per-row work is k array dot products (``zip_with`` +
+    ``aggregate``) riding the scan. ``whiten=True`` divides each
+    coordinate by √eigenvalue (unit-variance components; requires
+    ``eigenvalues``). Scales embarrassingly — zero shuffles."""
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+    )
+
+    if vec_col not in df.columns:
+        raise TransformationError(
+            f"pca_project: column not in schema: {vec_col}"
+        )
+    if whiten and not eigenvalues:
+        raise TransformationError("pca_project: whiten requires eigenvalues")
+    d = len(components[0])
+    mean = mean or [0.0] * d
+
+    def dot_lit(vec: Column, lits: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(v)) for v in lits])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    coords = []
+    for i, comp in enumerate(components):
+        # driver-side fold of the mean offset, one literal per axis
+        off = 0.0
+        for m, v in zip(mean, comp):
+            off += m * v
+        c = dot_lit(F.col(vec_col), comp) - F.lit(off)
+        if whiten:
+            ev = float(eigenvalues[i])
+            if ev <= 0:
+                raise TransformationError(
+                    "pca_project: whiten needs positive eigenvalues"
+                )
+            c = c / F.lit(ev**0.5)
+        coords.append(c)
+    return df.withColumn(output_col, F.array(*coords))

@@ -750,3 +750,89 @@ def test_theil_u_adapter(spark):
                  yColumn="y"), None
     )
     assert "u_x_given_y" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# pca_fit / pca_project
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(300, 6)) * np.array([10, 5, 1, 0.5, 0.2, 0.1])
+    mix = rng.normal(size=(6, 6)) * 0.3 + np.eye(6)
+    x = base @ mix + 3.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, evals, mean, n = pca_fit(df, "embedding", k=3)
+    mu = x.mean(axis=0)
+    w, v = np.linalg.eigh(np.cov(x, rowvar=False))
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert n == 300
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(evals, w[order], rtol=1e-8)
+    assert np.allclose(np.array(comps), ref, atol=1e-8)
+    # eigenvalues descending, sign convention applied
+    assert evals == sorted(evals, reverse=True)
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+    proj = {
+        r["vec_id"]: r["pca"]
+        for r in pca_project(df, "embedding", comps, mean=mean).collect()
+    }
+    ref_proj = (x - mu) @ np.array(comps).T
+    for i in range(300):
+        assert np.allclose(proj[i], ref_proj[i], atol=1e-8)
+    # whitened components have unit variance
+    pw = np.array(
+        [
+            r["pca"]
+            for r in pca_project(
+                df, "embedding", comps, mean=mean,
+                eigenvalues=evals, whiten=True,
+            ).collect()
+        ]
+    )
+    assert np.allclose(pw.var(axis=0, ddof=1), 1.0, rtol=1e-6)
+
+
+def test_pca_validation_and_pure_catalyst_projection(spark):
+    from etl_spark_gradle_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0]), (3, [0.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(TransformationError):
+        pca_fit(df, "embedding", k=0)
+    with pytest.raises(TransformationError):
+        pca_fit(df, "embedding", k=5)  # k > dim
+    with pytest.raises(TransformationError):
+        pca_fit(df, "missing", k=1)
+    comps, evals, mean, _ = pca_fit(df, "embedding", k=1)
+    with pytest.raises(TransformationError):
+        pca_project(df, "embedding", comps, whiten=True)
+    out = pca_project(df, "embedding", comps, mean=mean)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the projection is pure Catalyst: no python, no exchange
+    for bad in ("MapInPandas", "FlatMapGroupsInPandas",
+                "BatchEvalPython", "Exchange"):
+        assert bad not in plan, bad
