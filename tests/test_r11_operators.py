@@ -836,3 +836,35 @@ def test_pca_validation_and_pure_catalyst_projection(spark):
     for bad in ("MapInPandas", "FlatMapGroupsInPandas",
                 "BatchEvalPython", "Exchange"):
         assert bad not in plan, bad
+
+
+# ---------------------------------------------------------------------------
+# shipped pipeline: target-selection.yaml
+# ---------------------------------------------------------------------------
+
+
+def test_target_selection_pipeline_yaml(spark, sf_dir, tmp_path,
+                                        monkeypatch):
+    """The shipped pipelines/target-selection.yaml runs end-to-end:
+    DSIR scoring against a target view -> readability -> quality/
+    target-likeness gate -> exact dedup -> selected parquet."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "selected")
+    monkeypatch.setenv("CORPUS_DIR", sf_dir)
+    monkeypatch.setenv("TARGET_DIR", sf_dir)
+    monkeypatch.setenv("SELECTED_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/target-selection.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+    sel = spark.read.parquet(out)
+    assert sel.count() == metrics.records_loaded
+    for col in ("log_weight", "n_features", "fk_grade"):
+        assert col in sel.columns
+    # the gate actually enforced
+    assert sel.filter(
+        "n_features = 0 OR log_weight / n_features <= -12.0 "
+        "OR fk_grade < 1 OR fk_grade > 18"
+    ).count() == 0
+    assert sel.groupBy("text").count().filter("count > 1").count() == 0
