@@ -11250,6 +11250,166 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between order quantity and discount — do bigger
+    line items get deeper discounts. Both columns are bounded-
+    cardinality (50 × 11 cells), the operator's contract: C/D from a
+    cell×cell inequality join, exact decimal pair counts, one
+    fixed-order float close."""
+    from etl_spark_gradle_spark.operators.stats import kendall_tau
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc"),
+    )
+    return kendall_tau(li, "q", "disc")
+
+
+_KENDALL_TAU_ORACLE = """
+WITH src AS (
+  SELECT CAST(l_quantity AS INTEGER) AS x,
+         CAST(round(l_discount * 100) AS INTEGER) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2
+), pair_sums AS (
+  SELECT SUM(CASE WHEN b.y > a.y
+                  THEN CAST(a.c AS HUGEINT) * b.c END) AS C,
+         SUM(CASE WHEN b.y < a.y
+                  THEN CAST(a.c AS HUGEINT) * b.c END) AS D
+  FROM cells a JOIN cells b ON b.x > a.x
+), tx AS (
+  SELECT SUM(CAST(m AS HUGEINT) * (m - 1)) AS t FROM (
+    SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY x)
+), ty AS (
+  SELECT SUM(CAST(m AS HUGEINT) * (m - 1)) AS t FROM (
+    SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY y)
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+SELECT tot.n,
+       CAST(COALESCE(pair_sums.C, 0) AS VARCHAR) AS concordant,
+       CAST(COALESCE(pair_sums.D, 0) AS VARCHAR) AS discordant,
+       CAST(tx.t // 2 AS VARCHAR) AS ties_x,
+       CAST(ty.t // 2 AS VARCHAR) AS ties_y,
+       CASE WHEN CAST(tot.n AS HUGEINT) * (tot.n - 1) - tx.t > 0
+             AND CAST(tot.n AS HUGEINT) * (tot.n - 1) - ty.t > 0 THEN
+         (2.0 * CAST(CAST(COALESCE(pair_sums.C, 0)
+                          - COALESCE(pair_sums.D, 0) AS VARCHAR)
+                     AS DOUBLE))
+         / sqrt(CAST(CAST(CAST(tot.n AS HUGEINT) * (tot.n - 1) - tx.t
+                          AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(CAST(tot.n AS HUGEINT) * (tot.n - 1) - ty.t
+                            AS VARCHAR) AS DOUBLE))
+       END AS tau_b
+FROM tot, pair_sums, tx, ty
+"""
+
+
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do BUILDING-segment customers outlive (keep
+    ordering longer than) MACHINERY-segment customers — the KM
+    companion on the same per-customer duration/event prep, sides
+    from the customer dimension (broadcast join). Per-time O−E and
+    variance quantized to nano-units, summed exactly."""
+    from etl_spark_gradle_spark.operators.timeseries import logrank_test
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.min("o_orderdate")
+            ).alias("dur"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("ev"),
+        )
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    )
+    return logrank_test(
+        per_cust, "dur", "ev", "c_mktsegment",
+        side_a="BUILDING", side_b="MACHINERY",
+    )
+
+
+_LOGRANK_ORACLE = """
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         CAST(date_diff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+              AS INTEGER) AS dur,
+         MAX(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev,
+         ANY_VALUE(c.c_mktsegment) AS seg
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY o.o_custkey
+), pts AS (
+  SELECT dur AS t,
+         CAST(SUM(CASE WHEN seg = 'BUILDING' THEN ev ELSE 0 END)
+              AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN ev ELSE 0 END)
+              AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r2
+  FROM per_cust GROUP BY dur
+), cum AS (
+  SELECT t, d1, d2, r1, r2,
+         SUM(r1) OVER (ORDER BY t) AS cr1,
+         SUM(r2) OVER (ORDER BY t) AS cr2,
+         SUM(r1) OVER () AS n1_tot,
+         SUM(r2) OVER () AS n2_tot
+  FROM pts
+), q AS (
+  SELECT d1, d2, r1, r2, n1_tot, n2_tot,
+         CAST(n1_tot - (cr1 - r1) AS DOUBLE) AS n1,
+         CAST(n2_tot - (cr2 - r2) AS DOUBLE) AS n2,
+         CAST(d1 + d2 AS DOUBLE) AS d
+  FROM cum
+), terms AS (
+  SELECT n1_tot, n2_tot, d1, d2,
+         CASE WHEN d > 0 THEN
+           CAST(round((CAST(d1 AS DOUBLE) - d * n1 / (n1 + n2)) * 1e9)
+                AS BIGINT) ELSE 0 END AS oe,
+         CASE WHEN d > 0 AND n1 + n2 > 1 THEN
+           CAST(round((((d * (n1 / (n1 + n2)))
+                        * (1.0 - n1 / (n1 + n2)))
+                       * ((n1 + n2) - d) / ((n1 + n2) - 1.0)) * 1e9)
+                AS BIGINT) ELSE 0 END AS v
+  FROM q
+), agg AS (
+  SELECT CAST(MAX(n1_tot) AS BIGINT) AS n_a,
+         CAST(MAX(n2_tot) AS BIGINT) AS n_b,
+         CAST(SUM(d1) AS BIGINT) AS events_a,
+         CAST(SUM(d2) AS BIGINT) AS events_b,
+         CAST(SUM(oe) AS BIGINT) AS soe,
+         CAST(SUM(v) AS BIGINT) AS sv
+  FROM terms
+)
+SELECT n_a, n_b, events_a, events_b,
+       CAST(soe AS DOUBLE) / 1e9 AS o_minus_e,
+       CAST(sv AS DOUBLE) / 1e9 AS var_o,
+       CASE WHEN sv > 0 THEN
+         (CAST(soe AS DOUBLE) / 1e9) / sqrt(CAST(sv AS DOUBLE) / 1e9)
+       END AS z,
+       CASE WHEN sv > 0 THEN
+         ((CAST(soe AS DOUBLE) / 1e9) / sqrt(CAST(sv AS DOUBLE) / 1e9))
+         * ((CAST(soe AS DOUBLE) / 1e9)
+            / sqrt(CAST(sv AS DOUBLE) / 1e9))
+       END AS chi2
+FROM agg
+"""
+
+
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
@@ -11260,10 +11420,13 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # modules touched since: timeseries/stats/corpus this round).
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
+    "pca",
+    "kendall_tau",
+    "theil_u",
     "ewma",
     "kaplan_meier",
+    "logrank",
     "streaming_ewma",
-    "theil_u",
     "dsir",
     "zipf",
     "brown_forsythe",
@@ -11274,6 +11437,10 @@ _GATE_WINDOW: list[str] = [
     "resample_ffill",
     "resample_origin",
     "resample_linear",
+    "entropy",
+    "js_divergence",
+    "kl_divergence",
+    "psi_drift",
     "cusum",
     "time_rollup",
     "bm25",
@@ -11286,6 +11453,7 @@ _GATE_WINDOW: list[str] = [
     "fold_accents",
     "gopher_rules",
     "script_profile",
+    "topk_recall",
     "acf",
     "event_trigrams",
     "lag_features",
@@ -11302,14 +11470,6 @@ _GATE_WINDOW: list[str] = [
     "discount_elasticity",
     "feature_pipeline",
     "impute",
-    "pareto",
-    "prop_ztest",
-    "quantile_clip",
-    "quantile_normalize",
-    "reorder_intervals",
-    "trimmed_mean",
-    "welch_ttest",
-    "robust_scale",
 ]
 
 
@@ -11420,6 +11580,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": q_streaming_ewma,
         "theil_u": q_theil_u,
         "pca": q_pca,
+        "kendall_tau": q_kendall_tau,
+        "logrank": q_logrank,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -11738,6 +11900,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir": _DSIR_ORACLE,
         "streaming_ewma": _STREAMING_EWMA_ORACLE,
         "theil_u": _THEIL_U_ORACLE,
+        "kendall_tau": _KENDALL_TAU_ORACLE,
+        "logrank": _LOGRANK_ORACLE,
         "anova": _ANOVA_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

@@ -49,6 +49,7 @@ __all__ = [
     "chi_square",
     "mcnemar_test",
     "brown_forsythe",
+    "kendall_tau",
     "exact_quantiles",
     "ecdf",
     "mad_outliers",
@@ -1275,6 +1276,110 @@ def brown_forsythe(
         F.abs(F.col("_v") - F.col("_med")).alias("_dev"),
     )
     return anova_f(dev, "_dev", "_lvl", group_by=group_by)
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation — the concordance-based
+    complement to :func:`spearman` (Spearman correlates the ranks;
+    Kendall counts pair ORDER agreements, the more robust and more
+    interpretable statistic: P(concordant) − P(discordant))::
+
+        τ_b = (C − D) / √((n₀ − t_x)(n₀ − t_y))
+
+    with C/D concordant/discordant pair counts, ``n₀ = n(n−1)/2``,
+    and ``t_x``/``t_y`` the pairs tied on each side.
+
+    CARDINALITY CONTRACT: the computation runs on the (x, y) CELL
+    table — C and D come from a cell×cell inequality self-join, which
+    is O(cells²). This is exact and cheap for categorical / ordinal /
+    DISCRETIZED data (the contract :func:`chi_square` shares — run
+    :func:`discretize` first for continuous columns); it is NOT the
+    O(n log n) merge-sort path, which does not distribute. All pair
+    counts are exact decimal(38,0); τ closes in one fixed-order float
+    expression. Rows with NULL x or y are excluded; a side with a
+    single distinct value yields NULL τ.
+
+    Output: one row — ``n`` (long), ``concordant, discordant,
+    ties_x, ties_y`` (string — exact integers, the ``rank_sum_drift``
+    posture), ``tau_b`` (double)."""
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"kendall_tau: column not in schema: {c}"
+            )
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    a, b = cells.alias("a"), cells.alias("b")
+    # every unordered cell pair once (strictly greater x on the b
+    # side); concordant when y agrees, discordant when it reverses —
+    # pairs tied on x never join (correct: they belong to t_x only)
+    pair_sums = (
+        a.join(b, F.col("b._x") > F.col("a._x"))
+        .select(
+            (
+                F.col("a._c").cast(dec) * F.col("b._c").cast(dec)
+            ).alias("_cc"),
+            (F.col("b._y") > F.col("a._y")).alias("_conc"),
+            (F.col("b._y") < F.col("a._y")).alias("_disc"),
+        )
+        .agg(
+            F.sum(F.when(F.col("_conc"), F.col("_cc"))).alias("_C"),
+            F.sum(F.when(F.col("_disc"), F.col("_cc"))).alias("_D"),
+        )
+    )
+    half = F.lit(2).cast(dec)
+
+    def tie_pairs(col: str) -> Column:
+        m = F.col("_m").cast(dec)
+        return F.sum(m * (m - 1)).alias(f"_t{col}")
+
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_c").cast("long").alias("_m"))
+        .agg(tie_pairs("x"))
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_c").cast("long").alias("_m"))
+        .agg(tie_pairs("y"))
+    )
+    tot = cells.agg(F.sum("_c").cast("long").alias("n"))
+    j = (
+        tot.crossJoin(F.broadcast(pair_sums))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    ndec = F.col("n").cast(dec)
+    n0x2 = ndec * (ndec - 1)  # 2·n₀ — keep everything in 2× units
+    cd = F.coalesce(F.col("_C"), F.lit(0).cast(dec)) - F.coalesce(
+        F.col("_D"), F.lit(0).cast(dec)
+    )
+    denx = n0x2 - F.col("_tx")
+    deny = n0x2 - F.col("_ty")
+    # (C − D) / √((n₀−t_x)(n₀−t_y)) with the 2× units cancelling:
+    # 2(C−D) / √((2n₀−2t_x)(2n₀−2t_y))
+    tau = (F.lit(2.0) * _d(cd)) / F.sqrt(_d(denx) * _d(deny))
+    return j.select(
+        "n",
+        F.coalesce(F.col("_C"), F.lit(0).cast(dec))
+        .cast("string")
+        .alias("concordant"),
+        F.coalesce(F.col("_D"), F.lit(0).cast(dec))
+        .cast("string")
+        .alias("discordant"),
+        (F.col("_tx") / half).cast(dec).cast("string").alias("ties_x"),
+        (F.col("_ty") / half).cast(dec).cast("string").alias("ties_y"),
+        F.when((denx > 0) & (deny > 0), tau).alias("tau_b"),
+    )
 
 
 def ks_drift(
@@ -2850,12 +2955,27 @@ class StatsTransformer:
                 errors.append(
                     "stats kruskal_wallis does not support groupBy"
                 )
-        elif op == "chi_square":
+        elif op in ("chi_square", "kendall_tau"):
             for key in ("xColumn", "yColumn"):
                 if not opts.get(key):
-                    errors.append(f"stats chi_square requires '{key}'")
+                    errors.append(f"stats {op} requires '{key}'")
                 else:
                     cols_needed.append(opts[key])
+            if op == "kendall_tau" and opts.get("groupBy"):
+                errors.append("stats kendall_tau does not support groupBy")
+        elif op == "logrank":
+            for key in ("durationColumn", "eventColumn", "sideColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats logrank requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            if (opts.get("sideA") is None) != (opts.get("sideB") is None):
+                errors.append(
+                    "stats logrank requires both 'sideA' and 'sideB' "
+                    "or neither"
+                )
+            if opts.get("groupBy"):
+                errors.append("stats logrank does not support groupBy")
         elif op == "mcnemar":
             for key in ("flagAColumn", "flagBColumn"):
                 if not opts.get(key):
@@ -2881,7 +3001,7 @@ class StatsTransformer:
                 "|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute"
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
-                "|mcnemar|brown_forsythe, "
+                "|mcnemar|brown_forsythe|kendall_tau|logrank, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -2951,6 +3071,21 @@ class StatsTransformer:
         if op == "chi_square":
             return chi_square(
                 df, opts["xColumn"], opts["yColumn"], group_by=gb
+            )
+        if op == "kendall_tau":
+            return kendall_tau(df, opts["xColumn"], opts["yColumn"])
+        if op == "logrank":
+            from etl_spark_gradle_spark.operators.timeseries import (
+                logrank_test,
+            )
+
+            return logrank_test(
+                df,
+                opts["durationColumn"],
+                opts["eventColumn"],
+                opts["sideColumn"],
+                side_a=opts.get("sideA"),
+                side_b=opts.get("sideB"),
             )
         if op == "mcnemar":
             from etl_spark_gradle_spark.options import parse_bool

@@ -71,6 +71,7 @@ __all__ = [
     "EwmaTransformer",
     "kaplan_meier",
     "KaplanMeierTransformer",
+    "logrank_test",
     "AcfTransformer",
     "ResampleTransformer",
     "IntervalsTransformer",
@@ -1920,3 +1921,143 @@ class KaplanMeierTransformer:
             f"{k}={v}" for k, v in sorted(config.options.items())
         )
         return f"kaplan_meier({opts})"
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    side_col: str,
+    side_a=None,
+    side_b=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Log-rank (Mantel–Cox) test — "are these two survival curves the
+    same", the inference companion to :func:`kaplan_meier` (KM draws
+    the curves; log-rank says whether cohort A genuinely outlives
+    cohort B)::
+
+        O − E = Σ_t (d_At − d_t·n_At/n_t)
+        V     = Σ_t d_t·(n_At/n_t)·(1 − n_At/n_t)·(n_t − d_t)/(n_t − 1)
+        z     = (O − E)/√V,     χ² = z²
+
+    over distinct event times t with d_t > 0, where ``n_At``/``n_t``
+    are at-risk counts. ``side_col`` must carry exactly two non-null
+    values; omit ``side_a``/``side_b`` to auto-detect (sorted
+    ascending — the :func:`~etl_spark_gradle_spark.operators.stats.
+    welch_ttest` contract).
+
+    Reproducibility: per-side event/censor counts and at-risk counts
+    are exact longs (ONE pooled time histogram, all four counters
+    prefix-summed in the same ``_prefix_sums`` pass); the per-time
+    O−E and variance terms — the only floats — are quantized to
+    integer nano-units and summed EXACTLY (order-free), the cusum
+    posture shared with ``kaplan_meier``; z closes from two exact
+    longs. Plan at 100 TB: one (time) count shuffle reduces the data
+    to its time histogram; everything after is histogram-sized.
+
+    Output: one row — ``n_a, n_b, events_a, events_b`` (long),
+    ``o_minus_e, var_o, z, chi2`` (double)."""
+    for c in (duration_col, event_col, side_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"logrank_test: column not in schema: {c}"
+            )
+    if (side_a is None) != (side_b is None):
+        raise TransformationError(
+            "logrank_test: pass both side_a and side_b or neither"
+        )
+    if side_a is None:
+        sides = [
+            r[0]
+            for r in df.select(side_col)
+            .where(F.col(side_col).isNotNull())
+            .distinct()
+            .orderBy(side_col)
+            .limit(3)
+            .collect()
+        ]
+        if len(sides) != 2:
+            raise TransformationError(
+                f"logrank_test: side column '{side_col}' must carry "
+                f"exactly two distinct non-null values, found {len(sides)}"
+            )
+        side_a, side_b = sides
+    if side_a == side_b:
+        raise TransformationError(
+            "logrank_test: side_a and side_b must differ"
+        )
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    ev = F.col(event_col).cast("boolean").cast("int")
+    is_a = (F.col(side_col) == F.lit(side_a)).cast("int")
+    is_b = (F.col(side_col) == F.lit(side_b)).cast("int")
+    pts = (
+        df.where(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+            & F.col(side_col).isNotNull()
+            & (is_a + is_b > 0)
+        )
+        .groupBy(F.col(duration_col).alias("_t"))
+        .agg(
+            F.sum(is_a * ev).cast("long").alias("_d1"),
+            F.sum(is_b * ev).cast("long").alias("_d2"),
+            F.sum(is_a).cast("long").alias("_r1"),
+            F.sum(is_b).cast("long").alias("_r2"),
+        )
+    )
+    cum = _prefix_sums(pts, "_t", ["_r1", "_r2"], num_partitions)
+    totals = cum.agg(
+        F.max("cum__r1").cast("long").alias("_n1"),
+        F.max("cum__r2").cast("long").alias("_n2"),
+    )
+    cum = cum.crossJoin(F.broadcast(totals))
+    n1 = (F.col("_n1") - (F.col("cum__r1") - F.col("_r1"))).cast("double")
+    n2 = (F.col("_n2") - (F.col("cum__r2") - F.col("_r2"))).cast("double")
+    n = n1 + n2
+    d1 = F.col("_d1").cast("double")
+    d = (F.col("_d1") + F.col("_d2")).cast("double")
+    # O−E and V quantized to nano-units per time, summed EXACTLY; the
+    # float expressions are spelled in a fixed operand order the
+    # oracle replays verbatim
+    oe_q = F.when(
+        d > 0, F.round((d1 - d * n1 / n) * F.lit(1e9)).cast("long")
+    ).otherwise(F.lit(0))
+    var_q = F.when(
+        (d > 0) & (n > 1),
+        F.round(
+            (
+                ((d * (n1 / n)) * (F.lit(1.0) - n1 / n))
+                * (n - d)
+                / (n - F.lit(1.0))
+            )
+            * F.lit(1e9)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = cum.select(
+        "_d1", "_d2", "_r1", "_r2", "_n1", "_n2",
+        oe_q.alias("_oe"), var_q.alias("_v"),
+    ).agg(
+        F.max("_n1").cast("long").alias("n_a"),
+        F.max("_n2").cast("long").alias("n_b"),
+        F.sum("_d1").cast("long").alias("events_a"),
+        F.sum("_d2").cast("long").alias("events_b"),
+        F.sum("_oe").cast("long").alias("_soe"),
+        F.sum("_v").cast("long").alias("_sv"),
+    )
+    oe = F.col("_soe").cast("double") / F.lit(1e9)
+    v = F.col("_sv").cast("double") / F.lit(1e9)
+    z = F.when(v > 0, oe / F.sqrt(v))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        oe.alias("o_minus_e"),
+        v.alias("var_o"),
+        z.alias("z"),
+        F.when(v > 0, (oe / F.sqrt(v)) * (oe / F.sqrt(v))).alias(
+            "chi2"
+        ),
+    )

@@ -32,9 +32,21 @@ def _driver_recorded() -> set[str]:
     return recorded
 
 
+# Queries DELIBERATELY registered without a DuckDB oracle — the
+# driver's documented rows-only check for genuinely non-SQL-expressible
+# closings. Every entry needs a justification; anything else must have
+# an oracle.
+ROWS_ONLY_ALLOWED = {
+    # eigendecomposition is not SQL-expressible; full-precision numpy
+    # parity pinned in tests/test_r11_operators.py
+    "pca",
+}
+
+
 def test_every_query_has_an_oracle():
     keys, oracles = _declared()
-    assert set(keys) == set(oracles)
+    assert set(oracles) <= set(keys), "oracle for an unregistered query"
+    assert set(keys) - set(oracles) == ROWS_ONLY_ALLOWED
     assert len(keys) == len(set(keys))
 
 

@@ -868,3 +868,136 @@ def test_target_selection_pipeline_yaml(spark, sf_dir, tmp_path,
         "OR fk_grade < 1 OR fk_grade > 18"
     ).count() == 0
     assert sel.groupBy("text").count().filter("count > 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# logrank_test
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_matches_python(spark):
+    from etl_spark_gradle_spark.operators.timeseries import logrank_test
+
+    data = [("A", 5 + (i % 7), 1 if i % 3 else 0) for i in range(40)] + [
+        ("B", 2 + (i % 5), 1 if i % 4 else 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(data, "g string, dur int, ev int")
+    out = logrank_test(df, "dur", "ev", "g").collect()[0]
+
+    times = sorted({d for _, d, _ in data})
+    n_a = sum(1 for g, _, _ in data if g == "A")
+    n_b = len(data) - n_a
+    d1t = Counter(d for g, d, e in data if g == "A" and e)
+    d2t = Counter(d for g, d, e in data if g == "B" and e)
+    r1t = Counter(d for g, d, _ in data if g == "A")
+    r2t = Counter(d for g, d, _ in data if g == "B")
+    c1 = c2 = soe = sv = 0
+    for t in times:
+        n1, n2 = n_a - c1, n_b - c2
+        c1 += r1t.get(t, 0)
+        c2 += r2t.get(t, 0)
+        d1 = d1t.get(t, 0)
+        d = d1 + d2t.get(t, 0)
+        n = float(n1 + n2)
+        if d > 0:
+            soe += round((d1 - d * n1 / n) * 1e9)
+            if n > 1:
+                sv += round(
+                    ((d * (n1 / n)) * (1.0 - n1 / n))
+                    * (n - d) / (n - 1.0) * 1e9
+                )
+    oe, v = soe / 1e9, sv / 1e9
+    assert out["n_a"] == n_a and out["n_b"] == n_b
+    assert out["o_minus_e"] == oe and out["var_o"] == v
+    assert out["z"] == oe / math.sqrt(v)  # bit-exact quantized close
+    # A survives longer by construction -> significant
+    assert abs(out["z"]) > 2
+    with pytest.raises(TransformationError):
+        logrank_test(df, "dur", "ev", "g", side_a="A")  # missing side_b
+    three = spark.createDataFrame(
+        [("A", 1, 1), ("B", 1, 1), ("C", 1, 1)], "g string, dur int, ev int"
+    )
+    with pytest.raises(TransformationError):
+        logrank_test(three, "dur", "ev", "g")  # 3 sides, no explicit pair
+
+
+def test_logrank_identical_curves_near_zero(spark):
+    from etl_spark_gradle_spark.operators.timeseries import logrank_test
+
+    data = [(g, 1 + (i % 6), i % 2) for g in ("A", "B") for i in range(30)]
+    df = spark.createDataFrame(data, "g string, dur int, ev int")
+    out = logrank_test(df, "dur", "ev", "g").collect()[0]
+    assert abs(out["o_minus_e"]) < 1e-9  # identical curves
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_python(spark):
+    from etl_spark_gradle_spark.operators.stats import kendall_tau
+
+    random.seed(5)
+    data = [(random.randint(0, 8), random.randint(0, 5))
+            for _ in range(200)]
+    df = spark.createDataFrame(data, "x int, y int")
+    out = kendall_tau(df, "x", "y").collect()[0]
+    c_ = d_ = tx = ty = 0
+    n = len(data)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = data[i], data[j]
+            if x1 == x2:
+                tx += 1
+            if y1 == y2:
+                ty += 1
+            if x1 != x2 and y1 != y2:
+                if (x2 - x1) * (y2 - y1) > 0:
+                    c_ += 1
+                else:
+                    d_ += 1
+    n0 = n * (n - 1) // 2
+    tau = (c_ - d_) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert int(out["concordant"]) == c_
+    assert int(out["discordant"]) == d_
+    assert int(out["ties_x"]) == tx and int(out["ties_y"]) == ty
+    assert abs(out["tau_b"] - tau) < 1e-12
+    # perfect monotone -> exactly 1; reversal -> -1
+    up = spark.createDataFrame(
+        [(i, i * 2) for i in range(20)], "x int, y int"
+    )
+    assert kendall_tau(up, "x", "y").collect()[0]["tau_b"] == 1.0
+    down = spark.createDataFrame(
+        [(i, -i) for i in range(20)], "x int, y int"
+    )
+    assert kendall_tau(down, "x", "y").collect()[0]["tau_b"] == -1.0
+    # degenerate single-level side -> NULL
+    deg = kendall_tau(
+        spark.createDataFrame([(1, 2), (1, 3)], "x int, y int"), "x", "y"
+    ).collect()[0]
+    assert deg["tau_b"] is None
+
+
+def test_stats_adapter_kendall_and_logrank(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["stats"]
+    df = spark.createDataFrame(
+        [(1, 2, 3, 1, "A"), (2, 1, 4, 0, "B")],
+        "x int, y int, dur int, ev int, g string",
+    )
+    res = t.validate(df, _cfg("stats", operation="kendall_tau",
+                              xColumn="x"))
+    assert not res.is_valid
+    assert "tau_b" in t.transform(
+        df, _cfg("stats", operation="kendall_tau", xColumn="x",
+                 yColumn="y"), None
+    ).columns
+    res = t.validate(df, _cfg("stats", operation="logrank",
+                              durationColumn="dur", eventColumn="ev"))
+    assert not res.is_valid and any("sideColumn" in e for e in res.errors)
+    assert "o_minus_e" in t.transform(
+        df, _cfg("stats", operation="logrank", durationColumn="dur",
+                 eventColumn="ev", sideColumn="g"), None
+    ).columns
