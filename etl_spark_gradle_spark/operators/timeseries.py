@@ -2007,10 +2007,17 @@ def logrank_test(
             F.sum(is_b).cast("long").alias("_r2"),
         )
     )
-    cum = _prefix_sums(pts, "_t", ["_r1", "_r2"], num_partitions)
-    totals = cum.agg(
-        F.max("cum__r1").cast("long").alias("_n1"),
-        F.max("cum__r2").cast("long").alias("_n2"),
+    # pin the histogram ONCE: totals derive from it directly rather
+    # than from max(cum) — a cum-based aggregate would reference the
+    # prefix-sum window subtree a second time (two plan copies of the
+    # bounded offsets window, and a re-execution)
+    pts = pts.localCheckpoint(eager=True)
+    cum = _prefix_sums(
+        pts, "_t", ["_r1", "_r2"], num_partitions, assume_pinned=True
+    )
+    totals = pts.agg(
+        F.sum("_r1").cast("long").alias("_n1"),
+        F.sum("_r2").cast("long").alias("_n2"),
     )
     cum = cum.crossJoin(F.broadcast(totals))
     n1 = (F.col("_n1") - (F.col("cum__r1") - F.col("_r1"))).cast("double")

@@ -70,9 +70,14 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
                                # behind its eager localCheckpoint and
                                # never appears in the final plan)
     "kruskal_wallis": 1,       # [PS] pooled-rank CDF
+    "logrank": 1,              # [PS] pooled-time at-risk CDF (totals
+                               # derive from the pinned histogram, so
+                               # the offsets window appears once)
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
+    "theil_u": 1,              # [CT] marginal/total windows over the
+                               # |X|x|Y| joint-cell table
     "negative_sample": 1,      # [BK]
     "pareto": 1,               # [PS] (cum revenue over the rank)
     "pr_curve": 1,             # [PS] cumulative tp/fp counts
