@@ -11410,6 +11410,137 @@ FROM agg
 """
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on DAILY order volume — "is order
+    intake monotonically trending". The raw table reduces to one row
+    per day first (the operator's bounded-cell contract), then S and
+    the tie-corrected variance close from exact pair counts."""
+    from etl_spark_gradle_spark.operators.stats import mann_kendall
+
+    _prep(spark)
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lit("1992-01-01").cast("date"),
+            ).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return mann_kendall(daily, "day", "cnt")
+
+
+_MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM daily
+  WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2
+), pair_sums AS (
+  SELECT SUM(CASE WHEN b.y > a.y
+                  THEN CAST(a.c AS HUGEINT) * b.c END) AS C,
+         SUM(CASE WHEN b.y < a.y
+                  THEN CAST(a.c AS HUGEINT) * b.c END) AS D
+  FROM cells a JOIN cells b ON b.x > a.x
+), ties AS (
+  SELECT SUM(CAST(m AS HUGEINT) * (m - 1) * (2 * CAST(m AS HUGEINT) + 5))
+           AS tv
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY y)
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+r AS (
+  SELECT tot.n,
+         COALESCE(pair_sums.C, 0) - COALESCE(pair_sums.D, 0) AS s_int,
+         CAST(CAST(CAST(tot.n AS HUGEINT) * (tot.n - 1)
+                   * (2 * CAST(tot.n AS HUGEINT) + 5) - ties.tv
+                   AS VARCHAR) AS DOUBLE) / 18.0 AS var_s
+  FROM tot, pair_sums, ties
+)
+SELECT n,
+       CAST(s_int AS VARCHAR) AS s,
+       CASE WHEN n >= 2 THEN var_s END AS var_s,
+       CASE WHEN n >= 2 AND var_s > 0 THEN
+         CASE WHEN CAST(CAST(s_int AS VARCHAR) AS DOUBLE) > 0 THEN
+                (CAST(CAST(s_int AS VARCHAR) AS DOUBLE) - 1)
+                  / sqrt(var_s)
+              WHEN CAST(CAST(s_int AS VARCHAR) AS DOUBLE) < 0 THEN
+                (CAST(CAST(s_int AS VARCHAR) AS DOUBLE) + 1)
+                  / sqrt(var_s)
+              ELSE 0.0 END
+       END AS z
+FROM r
+"""
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of MONTHLY order volume — the trend
+    line a single anomalous month cannot bend (contrast OLS). One row
+    per month first, then the weighted median of pairwise slopes from
+    exact cumulative weights."""
+    from etl_spark_gradle_spark.operators.stats import theil_sen
+
+    _prep(spark)
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("m")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return theil_sen(monthly, "m", "cnt")
+
+
+_THEIL_SEN_ORACLE = """
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS my
+  FROM orders GROUP BY 1
+), pts AS (
+  SELECT CAST(mx AS DOUBLE) AS x, CAST(my AS DOUBLE) AS y
+  FROM monthly WHERE mx IS NOT NULL AND my IS NOT NULL
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2
+), slopes AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS s,
+         CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS w
+  FROM cells a JOIN cells b ON b.x > a.x
+  GROUP BY 1
+), cdf AS (
+  SELECT s, SUM(w) OVER (ORDER BY s) AS cum, SUM(w) OVER () AS wt
+  FROM slopes
+), med AS (
+  SELECT MIN(s) AS slope, CAST(MAX(wt) AS VARCHAR) AS n_pairs
+  FROM cdf
+  WHERE cum >= CAST(ceil(CAST(wt AS DOUBLE) * 0.5) AS HUGEINT)
+), xm AS (
+  SELECT MIN(CASE WHEN cum >= greatest(1,
+           CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END)
+           AS mx
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               SUM(c) OVER () AS n
+        FROM (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM pts GROUP BY 1))
+), ym AS (
+  SELECT MIN(CASE WHEN cum >= greatest(1,
+           CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) THEN v END)
+           AS my
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               SUM(c) OVER () AS n
+        FROM (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM pts GROUP BY 1))
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts)
+SELECT tot.n,
+       COALESCE(med.n_pairs, '0') AS n_pairs,
+       med.slope AS slope,
+       ym.my - med.slope * xm.mx AS intercept
+FROM tot, med, xm, ym
+"""
+
+
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
@@ -11420,29 +11551,31 @@ FROM agg
 # modules touched since: timeseries/stats/corpus this round).
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "pca",
-    "kendall_tau",
-    "theil_u",
     "ewma",
     "kaplan_meier",
     "logrank",
+    "brown_forsythe",
+    "chi_square",
+    "kendall_tau",
+    "mann_kendall",
+    "mcnemar",
+    "theil_sen",
+    "pca",
+    "theil_u",
     "streaming_ewma",
     "dsir",
     "zipf",
-    "brown_forsythe",
-    "chi_square",
-    "mcnemar",
     "readability",
     "intervals",
     "resample_ffill",
     "resample_origin",
     "resample_linear",
+    "cusum",
+    "time_rollup",
     "entropy",
     "js_divergence",
     "kl_divergence",
     "psi_drift",
-    "cusum",
-    "time_rollup",
     "bm25",
     "cms_prune",
     "cms_topk",
@@ -11453,7 +11586,6 @@ _GATE_WINDOW: list[str] = [
     "fold_accents",
     "gopher_rules",
     "script_profile",
-    "topk_recall",
     "acf",
     "event_trigrams",
     "lag_features",
@@ -11463,13 +11595,12 @@ _GATE_WINDOW: list[str] = [
     "rolling_zscore",
     "twap",
     "volume_anomaly",
-    "multiple_regression",
-    "negative_sample",
-    "weighted_reservoir",
     "benford",
     "discount_elasticity",
     "feature_pipeline",
     "impute",
+    "pareto",
+    "prop_ztest",
 ]
 
 
@@ -11582,6 +11713,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca": q_pca,
         "kendall_tau": q_kendall_tau,
         "logrank": q_logrank,
+        "mann_kendall": q_mann_kendall,
+        "theil_sen": q_theil_sen,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -11902,6 +12035,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_u": _THEIL_U_ORACLE,
         "kendall_tau": _KENDALL_TAU_ORACLE,
         "logrank": _LOGRANK_ORACLE,
+        "mann_kendall": _MANN_KENDALL_ORACLE,
+        "theil_sen": _THEIL_SEN_ORACLE,
         "anova": _ANOVA_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

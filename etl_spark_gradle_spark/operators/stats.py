@@ -50,6 +50,8 @@ __all__ = [
     "mcnemar_test",
     "brown_forsythe",
     "kendall_tau",
+    "mann_kendall",
+    "theil_sen",
     "exact_quantiles",
     "ecdf",
     "mad_outliers",
@@ -1379,6 +1381,181 @@ def kendall_tau(
         (F.col("_tx") / half).cast(dec).cast("string").alias("ties_x"),
         (F.col("_ty") / half).cast(dec).cast("string").alias("ties_y"),
         F.when((denx > 0) & (deny > 0), tau).alias("tau_b"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test — "is this metric monotonically
+    trending over time", the nonparametric monitoring standard (no
+    linearity or normality assumed; robust to outliers where
+    :func:`linear_fit`'s slope is not)::
+
+        S      = Σ_{i<j} sign(v_j − v_i)           (time-ordered)
+        Var(S) = [n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)] / 18
+        z      = (S ∓ 1) / √Var(S)                 (continuity corr.)
+
+    Same bounded-cell machinery as :func:`kendall_tau` (S = C − D
+    over the (time, value) cell table; the CARDINALITY CONTRACT is
+    identical — bucket time and/or discretize a continuous value
+    first). Tied times contribute nothing to S (correct: no order
+    between them) and the variance uses the value-tie correction.
+    All counts exact decimal(38,0); z closes in fixed float order.
+
+    Output: one row — ``n`` (long), ``s`` (string — exact C−D),
+    ``var_s`` (double), ``z`` (double); n < 2 or Var ≤ 0 → NULL z."""
+    for c in (time_col, value_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"mann_kendall: column not in schema: {c}"
+            )
+    cells = (
+        df.where(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(time_col).alias("_x"), F.col(value_col).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    a, b = cells.alias("a"), cells.alias("b")
+    pair_sums = (
+        a.join(b, F.col("b._x") > F.col("a._x"))
+        .select(
+            (F.col("a._c").cast(dec) * F.col("b._c").cast(dec)).alias("_cc"),
+            (F.col("b._y") > F.col("a._y")).alias("_up"),
+            (F.col("b._y") < F.col("a._y")).alias("_dn"),
+        )
+        .agg(
+            F.sum(F.when(F.col("_up"), F.col("_cc"))).alias("_C"),
+            F.sum(F.when(F.col("_dn"), F.col("_cc"))).alias("_D"),
+        )
+    )
+    ties = (
+        cells.groupBy("_y")
+        .agg(F.sum("_c").cast("long").alias("_m"))
+        .agg(
+            F.sum(
+                F.col("_m").cast(dec)
+                * (F.col("_m") - 1).cast(dec)
+                * (F.lit(2).cast(dec) * F.col("_m").cast(dec) + 5)
+            ).alias("_tv")
+        )
+    )
+    tot = cells.agg(F.sum("_c").cast("long").alias("n"))
+    j = tot.crossJoin(F.broadcast(pair_sums)).crossJoin(F.broadcast(ties))
+    s_dec = F.coalesce(F.col("_C"), F.lit(0).cast(dec)) - F.coalesce(
+        F.col("_D"), F.lit(0).cast(dec)
+    )
+    ndec = F.col("n").cast(dec)
+    var_num = ndec * (ndec - 1) * (F.lit(2).cast(dec) * ndec + 5) - F.col(
+        "_tv"
+    )
+    var_s = _d(var_num.cast(dec)) / F.lit(18.0)
+    s_d = _d(s_dec.cast(dec))
+    z = F.when(
+        s_d > 0, (s_d - 1) / F.sqrt(var_s)
+    ).when(s_d < 0, (s_d + 1) / F.sqrt(var_s)).otherwise(F.lit(0.0))
+    return j.select(
+        "n",
+        s_dec.cast(dec).cast("string").alias("s"),
+        F.when(F.col("n") >= 2, var_s).alias("var_s"),
+        F.when((F.col("n") >= 2) & (var_s > 0), z).alias("z"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust slope — the median of all pairwise slopes
+    ``(y_j − y_i)/(x_j − x_i)``, with the median-based intercept
+    ``median(y) − slope·median(x)``. Breakdown point ~29%: a third of
+    the data can be arbitrarily corrupt before the estimate moves,
+    where :func:`linear_fit`'s OLS slope follows a single outlier.
+    The standard robust trend line for monitoring series.
+
+    Same CARDINALITY CONTRACT as :func:`kendall_tau`: pair slopes
+    come from the (x, y) cell table (cell×cell join on distinct x),
+    each slope weighted by ``c_i·c_j``, and the WEIGHTED median is
+    read from the slope table's exact cumulative weights (type-1
+    lower median — the :func:`exact_quantiles` convention). Medians
+    of x and y use the same exact-CDF machinery. Slopes are the one
+    float per pair-cell (one subtraction-division, fixed order);
+    everything else is exact integer/decimal.
+
+    Output: one row — ``n`` (long), ``n_pairs`` (string — exact),
+    ``slope``/``intercept`` (double). All x tied → NULL slope."""
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"theil_sen: column not in schema: {c}"
+            )
+    pts = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    cells = (
+        pts.groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    a, b = cells.alias("a"), cells.alias("b")
+    slopes = (
+        a.join(b, F.col("b._x") > F.col("a._x"))
+        .select(
+            (
+                (F.col("b._y") - F.col("a._y"))
+                / (F.col("b._x") - F.col("a._x"))
+            ).alias("_s"),
+            (F.col("a._c").cast(dec) * F.col("b._c").cast(dec)).alias(
+                "_w"
+            ),
+        )
+        .groupBy("_s")
+        .agg(F.sum("_w").cast(dec).alias("_w"))
+    )
+    # weighted type-1 median of the slope table: smallest slope whose
+    # cumulative weight reaches ceil(W/2) — the slope table is
+    # cells²-bounded, so a single-partition CDF would still be fine,
+    # but ride the group-free exact-quantile convention anyway
+    from pyspark.sql import Window as _W
+
+    w_order = _W.orderBy("_s").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    cdf = slopes.withColumn("_cum", F.sum("_w").over(w_order))
+    w_tot = slopes.agg(F.sum("_w").cast(dec).alias("_wtot"))
+    cdf = cdf.crossJoin(F.broadcast(w_tot))
+    half = F.ceil(F.col("_wtot").cast("double") * F.lit(0.5)).cast(dec)
+    med_slope = cdf.where(F.col("_cum") >= half).agg(
+        F.min("_s").alias("slope"),
+        F.max(F.col("_wtot").cast("string")).alias("n_pairs"),
+    )
+    mx = exact_quantiles(pts, "_x", [0.5]).select(
+        F.col("value").alias("_mx")
+    )
+    my = exact_quantiles(pts, "_y", [0.5]).select(
+        F.col("value").alias("_my")
+    )
+    tot = pts.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        tot.crossJoin(F.broadcast(med_slope))
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+    )
+    return j.select(
+        "n",
+        F.coalesce(F.col("n_pairs"), F.lit("0")).alias("n_pairs"),
+        F.col("slope"),
+        (F.col("_my") - F.col("slope") * F.col("_mx")).alias(
+            "intercept"
+        ),
     )
 
 
@@ -2955,14 +3132,15 @@ class StatsTransformer:
                 errors.append(
                     "stats kruskal_wallis does not support groupBy"
                 )
-        elif op in ("chi_square", "kendall_tau"):
+        elif op in ("chi_square", "kendall_tau", "mann_kendall",
+                    "theil_sen"):
             for key in ("xColumn", "yColumn"):
                 if not opts.get(key):
                     errors.append(f"stats {op} requires '{key}'")
                 else:
                     cols_needed.append(opts[key])
-            if op == "kendall_tau" and opts.get("groupBy"):
-                errors.append("stats kendall_tau does not support groupBy")
+            if op != "chi_square" and opts.get("groupBy"):
+                errors.append(f"stats {op} does not support groupBy")
         elif op == "logrank":
             for key in ("durationColumn", "eventColumn", "sideColumn"):
                 if not opts.get(key):
@@ -3001,7 +3179,8 @@ class StatsTransformer:
                 "|mad_outliers|quantile_clip|ecdf|trimmed_mean|impute"
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
-                "|mcnemar|brown_forsythe|kendall_tau|logrank, "
+                "|mcnemar|brown_forsythe|kendall_tau|logrank"
+                "|mann_kendall|theil_sen, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -3074,6 +3253,10 @@ class StatsTransformer:
             )
         if op == "kendall_tau":
             return kendall_tau(df, opts["xColumn"], opts["yColumn"])
+        if op == "mann_kendall":
+            return mann_kendall(df, opts["xColumn"], opts["yColumn"])
+        if op == "theil_sen":
+            return theil_sen(df, opts["xColumn"], opts["yColumn"])
         if op == "logrank":
             from etl_spark_gradle_spark.operators.timeseries import (
                 logrank_test,

@@ -1001,3 +1001,97 @@ def test_stats_adapter_kendall_and_logrank(spark):
         df, _cfg("stats", operation="logrank", durationColumn="dur",
                  eventColumn="ev", sideColumn="g"), None
     ).columns
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall / theil_sen
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_python(spark):
+    from etl_spark_gradle_spark.operators.stats import mann_kendall
+
+    random.seed(3)
+    data = [(t, (t // 3) + random.randint(-2, 2)) for t in range(60)]
+    df = spark.createDataFrame(data, "t int, v int")
+    s_ = 0
+    n = len(data)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if data[j][0] == data[i][0]:
+                continue
+            d = data[j][1] - data[i][1]
+            s_ += (d > 0) - (d < 0)
+    tv = Counter(v for _, v in data)
+    var_s = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(m * (m - 1) * (2 * m + 5) for m in tv.values())
+    ) / 18.0
+    z = (s_ - 1) / math.sqrt(var_s) if s_ > 0 else (
+        (s_ + 1) / math.sqrt(var_s) if s_ < 0 else 0.0
+    )
+    out = mann_kendall(df, "t", "v").collect()[0]
+    assert out["n"] == n and int(out["s"]) == s_
+    assert abs(out["var_s"] - var_s) < 1e-9
+    assert out["z"] == z and out["z"] > 3  # clear upward trend
+    # no trend -> S near 0, z small
+    flat = spark.createDataFrame(
+        [(t, t % 4) for t in range(48)], "t int, v int"
+    )
+    assert abs(mann_kendall(flat, "t", "v").collect()[0]["z"]) < 1
+
+
+def test_theil_sen_matches_python_and_is_robust(spark):
+    from etl_spark_gradle_spark.operators.stats import theil_sen
+
+    random.seed(3)
+    data = [(t, (t // 3) + random.randint(-2, 2)) for t in range(60)]
+    df = spark.createDataFrame(data, "t int, v int")
+    slopes = []
+    n = len(data)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = data[i], data[j]
+            if x1 != x2:
+                slopes.append((y2 - y1) / (x2 - x1))
+    slopes.sort()
+    med = slopes[math.ceil(0.5 * len(slopes)) - 1]
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[max(1, math.ceil(0.5 * len(s))) - 1]
+
+    mx = lower_median([x for x, _ in data])
+    my = lower_median([y for _, y in data])
+    ts = theil_sen(df, "t", "v").collect()[0]
+    assert ts["n"] == n and int(ts["n_pairs"]) == len(slopes)
+    assert ts["slope"] == med
+    assert ts["intercept"] == my - med * mx
+    # robustness: wildly corrupt 20% of points; the slope barely moves
+    bad = data[:48] + [(t, 1000) for t in range(48, 60)]
+    ts2 = theil_sen(
+        spark.createDataFrame(bad, "t int, v int"), "t", "v"
+    ).collect()[0]
+    assert abs(ts2["slope"] - med) < 2.0
+    # all x tied -> NULL slope
+    deg = theil_sen(
+        spark.createDataFrame([(1, 2), (1, 5)], "t int, v int"), "t", "v"
+    ).collect()[0]
+    assert deg["slope"] is None
+
+
+def test_stats_adapter_mann_kendall_theil_sen(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["stats"]
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 5)], "x int, y int")
+    for op, col in (("mann_kendall", "z"), ("theil_sen", "slope")):
+        res = t.validate(df, _cfg("stats", operation=op, xColumn="x"))
+        assert not res.is_valid
+        res = t.validate(df, _cfg("stats", operation=op, xColumn="x",
+                                  yColumn="y", groupBy="x"))
+        assert not res.is_valid  # groupBy unsupported
+        assert col in t.transform(
+            df, _cfg("stats", operation=op, xColumn="x", yColumn="y"),
+            None
+        ).columns

@@ -58,7 +58,10 @@ def unpartitioned_window_count(df) -> int:
 #   [BK] negative_sample's dense-bucket index: row_number over the
 #        per-frequency-bucket size table (<= #buckets rows);
 #   [WK] weekly_trend's lag over the per-WEEK count table (bounded by
-#        calendar span / 7).
+#        calendar span / 7);
+#   [SL] theil_sen's weighted-median CDF over the pairwise-slope
+#        table (<= cells² rows under the operator's bounded-
+#        cardinality contract).
 # Update ONLY with a boundedness argument in the comment.
 BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
     "calibration": 1,          # [PS] via stats.ecdf
@@ -87,6 +90,8 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
     "rank_sum": 1,             # [PS]
     "reorder_intervals": 1,    # [PS] via exact_quantiles
     "spearman": 2,             # [PS] one CDF per rank map (x and y)
+    "theil_sen": 3,            # [SL] slope-table CDF + 2x [PS] via
+                               # exact_quantiles (x and y medians)
     "weekly_trend": 1,         # [WK]
 }
 
