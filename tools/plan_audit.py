@@ -1010,6 +1010,46 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["Exchange", "SortMergeJoin", "CartesianProduct",
          "BatchEvalPython", "ArrowEvalPython", "Window"],
     ),
+    (
+        "kendall_tau",
+        "Kendall tau-b: the cell-table inequality join is a keyed "
+        "range join over the pinned bounded cells, never a physical "
+        "cartesian over data rows; exact decimal pair counts close "
+        "in one aggregation; no python",
+        ["partial_sum"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+         "Window"],
+    ),
+    (
+        "logrank",
+        "log-rank: at-risk counts ride the two-level prefix-sum scan "
+        "(per-_pid windows), totals attach from the pinned histogram "
+        "as a 1-row broadcast; quantized O-E/variance sum exactly; "
+        "no python",
+        ["hashpartitioning(_pid"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "theil_u",
+        "Theil's U: ONE joint groupBy, marginal windows over the "
+        "bounded cell table, one closing aggregation; no joins of "
+        "data-sized relations, no python",
+        ["partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "pca",
+        "PCA projection: the fitted basis is driver-side literals; "
+        "the per-row path is k pure-Catalyst dot products riding the "
+        "scan — zero exchanges, zero python (the Gram pass ran at "
+        "fit time, not in this plan)",
+        ["codegen id"],
+        ["Exchange", "SortMergeJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+         "Window"],
+    ),
 ]
 
 
