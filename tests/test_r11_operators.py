@@ -1095,3 +1095,75 @@ def test_stats_adapter_mann_kendall_theil_sen(spark):
             df, _cfg("stats", operation=op, xColumn="x", yColumn="y"),
             None
         ).columns
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # duration
+            st.integers(min_value=0, max_value=1),   # event
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_kaplan_meier_invariants(spark, km_rows):
+    """Survival is in [0, 1], non-increasing, counts tie out, and
+    n_risk telescopes exactly."""
+    from etl_spark_gradle_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame(km_rows, "dur int, ev int")
+    rows = kaplan_meier(df, "dur", "ev").collect()
+    assert sum(r["n_event"] + r["n_censored"] for r in rows) == len(
+        km_rows
+    )
+    prev_s, expected_risk = 1.0, len(km_rows)
+    for r in rows:
+        assert r["n_risk"] == expected_risk
+        expected_risk -= r["n_event"] + r["n_censored"]
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-12
+        prev_s = r["survival"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+def test_ewma_invariants(spark, xs, alpha):
+    """Each smoothed value lies within the running [min, max] of the
+    observations so far, and the first equals the first observation."""
+    from etl_spark_gradle_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)],
+        "k string, t int, x double",
+    )
+    out = [
+        r["sm"]
+        for r in ewma(df, ["k"], "t", "x", alpha, "sm")
+        .orderBy("t")
+        .collect()
+    ]
+    assert out[0] == xs[0]
+    lo = hi = xs[0]
+    for x, y in zip(xs, out):
+        lo, hi = min(lo, x), max(hi, x)
+        assert lo - 1e-9 <= y <= hi + 1e-9
