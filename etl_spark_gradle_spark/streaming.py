@@ -618,10 +618,24 @@ def run_streaming_pipeline(config, spark: SparkSession) -> None:
                 time_column=opts.get("timeColumn"),
                 watermark_delay=opts.get("watermarkDelay", "10 minutes"),
             )
+        elif t.type == "ewma":
+            for req in ("keyColumn", "timeColumn", "valueColumn", "alpha"):
+                if not opts.get(req):
+                    raise ConfigError(f"streaming ewma requires '{req}'")
+            df = ewma_stream(
+                df,
+                key_col=opts["keyColumn"],
+                time_col=opts["timeColumn"],
+                value_col=opts["valueColumn"],
+                alpha=float(opts["alpha"]),
+                tiebreak_col=opts.get("tiebreakColumn"),
+                watermark_delay=opts.get("watermarkDelay", "10 minutes"),
+                output_col=opts.get("outputColumn", "ewma"),
+            )
         else:
             raise ConfigError(
                 f"transformation '{t.type}' is not streamable — supported in "
-                "streaming mode: filter, map, windowing, dedup"
+                "streaming mode: filter, map, windowing, dedup, ewma"
             )
 
     sink = dict(config.sink.options)

@@ -1167,3 +1167,72 @@ def test_ewma_invariants(spark, xs, alpha):
     for x, y in zip(xs, out):
         lo, hi = min(lo, x), max(hi, x)
         assert lo - 1e-9 <= y <= hi + 1e-9
+
+
+def test_streaming_yaml_ewma(spark, tmp_path, monkeypatch):
+    """`streaming: true` + `type: ewma` runs as a stateful stream and
+    replays the batch recursion on the drained output."""
+    import glob
+    import json
+    import shutil
+
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+    out, ckpt = tmp_path / "eout", tmp_path / "eckpt"
+    scratch = tmp_path / "scratch"
+    rows = [(k, i, float((i * k * 5) % 9) + 0.5)
+            for k in (1, 2) for i in range(1, 10)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, value double"
+    ).selectExpr(
+        "user_id", "timestamp_micros(seq * 1000000) AS ts", "value", "seq"
+    ).coalesce(1).write.parquet(str(scratch))
+    shutil.copy(
+        glob.glob(str(scratch / "part-*.parquet"))[0],
+        str(src / "b1.parquet"),
+    )
+    yaml_path = tmp_path / "p.yaml"
+    yaml_path.write_text(f"""
+pipelineId: stream-ewma-test
+streaming: true
+source:
+  type: file
+  options: {{path: "{src}", format: parquet}}
+  schema: "user_id int, ts timestamp, value double, seq int"
+transformations:
+  - type: ewma
+    options:
+      keyColumn: user_id
+      timeColumn: ts
+      valueColumn: value
+      alpha: "0.4"
+      tiebreakColumn: seq
+      watermarkDelay: 0 seconds
+sink:
+  type: file
+  options:
+    path: "{out}"
+    checkpointLocation: "{ckpt}"
+    format: parquet
+  writeMode: append
+""")
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    m = PipelineExecutor().execute(
+        load_pipeline_yaml(str(yaml_path)), spark
+    )
+    assert m.status == "SUCCESS", m.error_details
+    got = {
+        (r["user_id"], int(r["ts"].timestamp())): r["ewma"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    a, b = 0.4, 0.6
+    for k in (1, 2):
+        y = None
+        for kk, i, x in sorted(r for r in rows if r[0] == k):
+            y = x if y is None else a * x + b * y
+            assert got[(k, i)] == y
+    assert len(got) == len(rows)
