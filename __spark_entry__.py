@@ -11541,6 +11541,52 @@ FROM tot, med, xm, ym
 """
 
 
+def q_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional hazards on customer lifetimes: duration/event
+    as in kaplan_meier, covariates = scaled account balance and order
+    count. Iterative Newton with distributed sufficient statistics
+    (suffix risk-set sums via prefix sums, β as driver literals) —
+    not SQL-expressible, the documented rows-only gate; numpy-parity
+    pinned in pytest."""
+    from etl_spark_gradle_spark.operators.timeseries import cox_ph
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.min("o_orderdate")
+            ).alias("dur"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("ev"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .withColumn(
+            "bal_k", (F.col("c_acctbal") / F.lit(1000.0))
+        )
+    )
+    out = cox_ph(per, "dur", "ev", ["bal_k", "n_orders"], iterations=8)
+    # round for a stable rows-only schema read
+    return out.select(
+        "covariate",
+        F.round("beta", 9).alias("beta"),
+        F.round("hazard_ratio", 9).alias("hazard_ratio"),
+        F.round("se", 9).alias("se"),
+        F.round("z", 9).alias("z"),
+        "n",
+        "n_events",
+    )
+
+
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
@@ -11551,15 +11597,16 @@ FROM tot, med, xm, ym
 # modules touched since: timeseries/stats/corpus this round).
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "ewma",
-    "kaplan_meier",
-    "logrank",
     "brown_forsythe",
     "chi_square",
+    "cox",
     "kendall_tau",
     "mann_kendall",
     "mcnemar",
     "theil_sen",
+    "ewma",
+    "kaplan_meier",
+    "logrank",
     "pca",
     "theil_u",
     "streaming_ewma",
@@ -11586,21 +11633,20 @@ _GATE_WINDOW: list[str] = [
     "fold_accents",
     "gopher_rules",
     "script_profile",
-    "acf",
-    "event_trigrams",
-    "lag_features",
-    "naive_forecast_error",
-    "ohlc",
-    "rolling_median",
-    "rolling_zscore",
-    "twap",
-    "volume_anomaly",
     "benford",
     "discount_elasticity",
     "feature_pipeline",
     "impute",
     "pareto",
     "prop_ztest",
+    "quantile_clip",
+    "quantile_normalize",
+    "reorder_intervals",
+    "trimmed_mean",
+    "welch_ttest",
+    "acf",
+    "event_trigrams",
+    "lag_features",
 ]
 
 
@@ -11715,6 +11761,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank": q_logrank,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
+        "cox": q_cox,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,

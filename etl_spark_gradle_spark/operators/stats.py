@@ -3141,6 +3141,18 @@ class StatsTransformer:
                     cols_needed.append(opts[key])
             if op != "chi_square" and opts.get("groupBy"):
                 errors.append(f"stats {op} does not support groupBy")
+        elif op == "cox":
+            for key in ("durationColumn", "eventColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats cox requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            covs = _split_csv(opts.get("covariateColumns"))
+            if not covs:
+                errors.append("stats cox requires 'covariateColumns'")
+            cols_needed += covs
+            if opts.get("groupBy"):
+                errors.append("stats cox does not support groupBy")
         elif op == "logrank":
             for key in ("durationColumn", "eventColumn", "sideColumn"):
                 if not opts.get(key):
@@ -3180,7 +3192,7 @@ class StatsTransformer:
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
-                "|mann_kendall|theil_sen, "
+                "|mann_kendall|theil_sen|cox, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -3257,6 +3269,17 @@ class StatsTransformer:
             return mann_kendall(df, opts["xColumn"], opts["yColumn"])
         if op == "theil_sen":
             return theil_sen(df, opts["xColumn"], opts["yColumn"])
+        if op == "cox":
+            from etl_spark_gradle_spark.operators.timeseries import cox_ph
+
+            return cox_ph(
+                df,
+                opts["durationColumn"],
+                opts["eventColumn"],
+                _split_csv(opts["covariateColumns"]),
+                iterations=int(opts.get("iterations", 8)),
+                ridge=float(opts.get("ridge", 0.0)),
+            )
         if op == "logrank":
             from etl_spark_gradle_spark.operators.timeseries import (
                 logrank_test,

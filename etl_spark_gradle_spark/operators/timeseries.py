@@ -72,6 +72,7 @@ __all__ = [
     "kaplan_meier",
     "KaplanMeierTransformer",
     "logrank_test",
+    "cox_ph",
     "AcfTransformer",
     "ResampleTransformer",
     "IntervalsTransformer",
@@ -2067,4 +2068,209 @@ def logrank_test(
         F.when(v > 0, (oe / F.sqrt(v)) * (oe / F.sqrt(v))).alias(
             "chi2"
         ),
+    )
+
+
+def cox_ph(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    covariate_cols: list[str],
+    iterations: int = 8,
+    ridge: float = 0.0,
+    num_partitions: int | None = None,
+):
+    """Cox proportional-hazards regression (Breslow ties) — the
+    survival-family capstone after :func:`kaplan_meier` (the curve)
+    and :func:`logrank_test` (two-cohort inference): WHICH covariates
+    drive the hazard, each coefficient a log hazard-ratio::
+
+        ℓ(β) = Σ_events [x_i·β − ln S0(t_i)],
+        S0(t) = Σ_{j: dur_j ≥ t} exp(x_j·β)
+
+    maximized by Newton iterations whose sufficient statistics are
+    fully DISTRIBUTED (the :func:`~etl_spark_gradle_spark.operators.
+    clustering.kmeans` driver-loop pattern): per iteration, ONE pass
+    computes per-time sums of ``w = exp(x·β)``, ``w·x_k`` and
+    ``w·x_k·x_l`` (β enters as driver literals), risk-set sums arrive
+    as SUFFIX sums via ``stats._prefix_sums`` over the time histogram
+    (never a data-sized sort), the gradient/Hessian close as one
+    aggregation, and the p×p Newton solve runs on the driver (p is
+    model-sized). Per-row terms are quantized to exact decimals
+    (covariates at 6 dp, w at 12 dp) so every sum is
+    partition-order-free — deterministic across runs and cluster
+    layouts.
+
+    Not SQL-expressible (iterative optimization) — pytest-gated
+    against a numpy reference of the same Breslow Newton, like
+    ``pca``. Rows with NULL duration/event/covariates are excluded.
+    ``ridge`` adds an L2 penalty (λ·β on the gradient, λ·I on the
+    Hessian) for separation-prone covariates.
+
+    Returns a DataFrame with one row per covariate: ``covariate``
+    (string), ``beta``/``hazard_ratio``/``se``/``z`` (double),
+    ``n``/``n_events`` (long), ``iterations`` (int)."""
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    p = len(covariate_cols)
+    if p < 1:
+        raise TransformationError("cox_ph requires >= 1 covariate")
+    if int(iterations) < 1:
+        raise TransformationError("cox_ph requires iterations >= 1")
+    for c in (duration_col, event_col, *covariate_cols):
+        if c not in df.columns:
+            raise TransformationError(f"cox_ph: column not in schema: {c}")
+    spark = df.sparkSession
+    ev = F.col(event_col).cast("boolean").cast("int")
+    cond = F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    for c in covariate_cols:
+        cond = cond & F.col(c).isNotNull()
+    # covariates quantized once at 6 dp — exact decimal sums from here
+    base = df.where(cond).select(
+        F.col(duration_col).alias("_t"),
+        ev.alias("_e"),
+        *[
+            F.round(F.col(c).cast("double"), 6)
+            .cast("decimal(24,6)")
+            .alias(f"_x{k}")
+            for k, c in enumerate(covariate_cols)
+        ],
+    ).localCheckpoint(eager=True)
+    counts = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_e").cast("long").alias("d"),
+    ).collect()[0]
+    n_rows, n_events = counts["n"], counts["d"]
+    if n_events == 0:
+        raise TransformationError("cox_ph: no events in the data")
+
+    beta = np.zeros(p)
+    lam = float(ridge)
+    pairs = [(k, l) for k in range(p) for l in range(k, p)]
+    for _ in range(int(iterations)):
+        # w = exp(x·β) with β as literals; per-row decimal quantization
+        # (12 dp) makes every downstream sum exact and order-free
+        lin = F.lit(0.0)
+        for k in range(p):
+            lin = lin + F.lit(float(beta[k])) * F.col(f"_x{k}").cast(
+                "double"
+            )
+        w = F.round(F.exp(lin), 12).cast("decimal(38,12)")
+        terms = base.select(
+            "_t",
+            "_e",
+            *[F.col(f"_x{k}") for k in range(p)],
+            w.alias("_w"),
+        )
+        aggs = [
+            F.sum("_w").alias("_w0"),
+            F.sum("_e").cast("long").alias("_d"),
+        ]
+        for k in range(p):
+            aggs.append(
+                F.sum(
+                    (F.col("_w") * F.col(f"_x{k}")).cast("decimal(38,12)")
+                ).alias(f"_w1_{k}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col("_e") == 1, F.col(f"_x{k}"))
+                ).alias(f"_ex{k}")
+            )
+        for k, l in pairs:
+            aggs.append(
+                F.sum(
+                    (
+                        F.col("_w")
+                        * F.col(f"_x{k}")
+                        * F.col(f"_x{l}")
+                    ).cast("decimal(38,10)")
+                ).alias(f"_w2_{k}_{l}")
+            )
+        per_t = terms.groupBy("_t").agg(*aggs).localCheckpoint(eager=True)
+        sum_cols = (
+            ["_w0"]
+            + [f"_w1_{k}" for k in range(p)]
+            + [f"_w2_{k}_{l}" for k, l in pairs]
+        )
+        cum = _prefix_sums(
+            per_t, "_t", sum_cols, num_partitions, assume_pinned=True
+        )
+        tot = per_t.agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        ).collect()[0]
+        # suffix sums: S(t) = total − cum_{<t} = total − (cum − at_t)
+        def suffix(c: str):
+            return (
+                F.lit(str(tot[c])).cast("decimal(38,12)")
+                - (F.col(f"cum_{c}") - F.col(c))
+            ).cast("double")
+
+        close = [
+            F.sum(F.col("_d")).cast("long").alias("dd"),
+        ]
+        s0 = suffix("_w0")
+        d = F.col("_d").cast("double")
+        has_event = F.col("_d") > 0
+        for k in range(p):
+            close.append(
+                F.sum(
+                    F.when(
+                        has_event,
+                        F.col(f"_ex{k}").cast("double")
+                        - d * (suffix(f"_w1_{k}") / s0),
+                    )
+                ).alias(f"g{k}")
+            )
+        for k, l in pairs:
+            close.append(
+                F.sum(
+                    F.when(
+                        has_event,
+                        d
+                        * (
+                            suffix(f"_w2_{k}_{l}") / s0
+                            - (suffix(f"_w1_{k}") / s0)
+                            * (suffix(f"_w1_{l}") / s0)
+                        ),
+                    )
+                ).alias(f"h{k}_{l}")
+            )
+        row = cum.agg(*close).collect()[0]
+        grad = np.array([row[f"g{k}"] or 0.0 for k in range(p)])
+        hess = np.zeros((p, p))
+        for k, l in pairs:
+            hess[k, l] = hess[l, k] = row[f"h{k}_{l}"] or 0.0
+        grad = grad - lam * beta
+        hess = hess + lam * np.eye(p)
+        try:
+            step = np.linalg.solve(hess, grad)
+        except np.linalg.LinAlgError:
+            raise TransformationError(
+                "cox_ph: singular Hessian — add ridge or drop a "
+                "collinear covariate"
+            )
+        beta = beta + step
+        if float(np.max(np.abs(step))) < 1e-10:
+            break
+    se = np.sqrt(np.diag(np.linalg.inv(hess)))
+    out = [
+        (
+            covariate_cols[k],
+            float(beta[k]),
+            float(np.exp(beta[k])),
+            float(se[k]),
+            float(beta[k] / se[k]) if se[k] > 0 else None,
+            int(n_rows),
+            int(n_events),
+            int(iterations),
+        )
+        for k in range(p)
+    ]
+    return spark.createDataFrame(
+        out,
+        "covariate string, beta double, hazard_ratio double, "
+        "se double, z double, n long, n_events long, iterations int",
     )

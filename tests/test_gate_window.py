@@ -40,6 +40,9 @@ ROWS_ONLY_ALLOWED = {
     # eigendecomposition is not SQL-expressible; full-precision numpy
     # parity pinned in tests/test_r11_operators.py
     "pca",
+    # iterative Newton optimization (driver loop over distributed
+    # sufficient statistics) — numpy parity pinned in pytest
+    "cox",
 }
 
 

@@ -1236,3 +1236,100 @@ sink:
             y = x if y is None else a * x + b * y
             assert got[(k, i)] == y
     assert len(got) == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# cox_ph
+# ---------------------------------------------------------------------------
+
+
+def test_cox_ph_recovers_coefficients_vs_numpy(spark):
+    import numpy as np
+
+    from etl_spark_gradle_spark.operators.timeseries import cox_ph
+
+    rng = np.random.default_rng(7)
+    n = 500
+    x1 = np.round(rng.normal(0, 1, n), 3)
+    x2 = np.round(rng.normal(0, 1, n), 3)
+    haz = np.exp(0.8 * x1 - 0.5 * x2)
+    t = rng.exponential(1.0 / haz)
+    cens = rng.exponential(2.0, n)
+    dur = np.round(np.minimum(t, cens), 3)
+    ev = (t <= cens).astype(int)
+    df = spark.createDataFrame(
+        [
+            (float(dur[i]), int(ev[i]), float(x1[i]), float(x2[i]))
+            for i in range(n)
+        ],
+        "dur double, ev int, x1 double, x2 double",
+    )
+    out = {
+        r["covariate"]: r
+        for r in cox_ph(df, "dur", "ev", ["x1", "x2"],
+                        iterations=10).collect()
+    }
+
+    # same Breslow Newton in numpy on the same 6-dp quantized data
+    big_x = np.column_stack([np.round(x1, 6), np.round(x2, 6)])
+    beta = np.zeros(2)
+    times = np.unique(dur[ev == 1])
+    for _ in range(10):
+        w = np.exp(big_x @ beta)
+        grad = np.zeros(2)
+        hess = np.zeros((2, 2))
+        for tt in times:
+            mask = dur >= tt
+            at = (dur == tt) & (ev == 1)
+            d = at.sum()
+            ww = w[mask]
+            s0 = ww.sum()
+            s1 = (ww[:, None] * big_x[mask]).sum(0)
+            s2 = (
+                ww[:, None, None]
+                * (big_x[mask][:, :, None] * big_x[mask][:, None, :])
+            ).sum(0)
+            grad += big_x[at].sum(0) - d * s1 / s0
+            hess += d * (s2 / s0 - np.outer(s1, s1) / s0**2)
+        beta = beta + np.linalg.solve(hess, grad)
+    assert abs(out["x1"]["beta"] - beta[0]) < 1e-6
+    assert abs(out["x2"]["beta"] - beta[1]) < 1e-6
+    # truth recovered within sampling noise; inference sane
+    assert 0.5 < out["x1"]["beta"] < 1.1
+    assert -0.8 < out["x2"]["beta"] < -0.2
+    assert out["x1"]["z"] > 2 and out["x2"]["z"] < -2
+    assert out["x1"]["hazard_ratio"] == math.exp(out["x1"]["beta"])
+    assert out["x1"]["n"] == n and out["x1"]["n_events"] == int(ev.sum())
+
+
+def test_cox_ph_validation_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.timeseries import cox_ph
+
+    df = spark.createDataFrame(
+        [(1.0, 1, 0.5), (2.0, 0, -0.5), (3.0, 1, 1.5)],
+        "dur double, ev int, x double",
+    )
+    with pytest.raises(TransformationError):
+        cox_ph(df, "dur", "ev", [])
+    with pytest.raises(TransformationError):
+        cox_ph(df, "dur", "missing", ["x"])
+    none_events = spark.createDataFrame(
+        [(1.0, 0, 0.5)], "dur double, ev int, x double"
+    )
+    with pytest.raises(TransformationError):
+        cox_ph(none_events, "dur", "ev", ["x"])
+
+    t = TRANSFORMER_REGISTRY["stats"]
+    res = t.validate(df, _cfg("stats", operation="cox",
+                              durationColumn="dur", eventColumn="ev"))
+    assert not res.is_valid and any(
+        "covariateColumns" in e for e in res.errors
+    )
+    out = t.transform(
+        df,
+        _cfg("stats", operation="cox", durationColumn="dur",
+             eventColumn="ev", covariateColumns="x", iterations="5"),
+        None,
+    )
+    assert {"covariate", "beta", "hazard_ratio"} <= set(out.columns)
