@@ -11587,6 +11587,89 @@ def q_cox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ = 1825 days (5 years) over
+    the kaplan_meier customer-lifetime prep — the area under the step
+    curve as an exact rectangle sum: per-row rectangles in fixed
+    float order, folded time-sorted (anova posture), the [0, t₁)
+    seed at S = 1 added AFTER the fold (the oracle replays the same
+    order)."""
+    from etl_spark_gradle_spark.operators.timeseries import rmst
+
+    _prep(spark)
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.min("o_orderdate")
+            ).alias("dur"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("ev"),
+        )
+    )
+    return rmst(cust, "dur", "ev", tau=1825.0)
+
+
+_RMST_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+              AS INTEGER) AS dur,
+         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+  FROM orders GROUP BY o_custkey
+), pts AS (
+  SELECT dur AS t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM cust GROUP BY dur
+), cum AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER (ORDER BY t) AS cum_rm,
+         SUM(d + c) OVER () AS n_tot
+  FROM pts
+), risk AS (
+  SELECT t, d, c,
+         CAST(n_tot - (cum_rm - (d + c)) AS BIGINT) AS n_risk
+  FROM cum
+), q AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d = 0 OR d >= n_risk THEN 0
+              ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e9)
+                        AS BIGINT) END AS lq,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+), s AS (
+  SELECT t, d, c,
+         CASE WHEN CAST(SUM(dead) OVER (ORDER BY t) AS BIGINT) > 0
+              THEN 0.0
+              ELSE round(exp(CAST(CAST(SUM(lq) OVER (ORDER BY t)
+                                       AS BIGINT) AS DOUBLE) / 1e9), 9)
+         END AS surv
+  FROM q
+), rects AS (
+  SELECT CAST(t AS DOUBLE) AS t,
+         surv * (least(COALESCE(CAST(lead(t) OVER (ORDER BY t)
+                                     AS DOUBLE), 1825.0), 1825.0)
+                 - least(CAST(t AS DOUBLE), 1825.0)) AS r,
+         d + c AS m
+  FROM s
+), agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n,
+         least(MIN(t), 1825.0) AS t1,
+         list_reduce(list_prepend(0.0, list(r ORDER BY t)),
+                     (a, b) -> a + b) AS area
+  FROM rects
+)
+SELECT 1825.0 AS tau, n,
+       t1 + area AS rmst,
+       (t1 + area) / 1825.0 AS rmst_frac
+FROM agg
+"""
+
+
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
@@ -11600,13 +11683,14 @@ _GATE_WINDOW: list[str] = [
     "brown_forsythe",
     "chi_square",
     "cox",
-    "kendall_tau",
-    "mann_kendall",
-    "mcnemar",
-    "theil_sen",
     "ewma",
     "kaplan_meier",
+    "kendall_tau",
     "logrank",
+    "mann_kendall",
+    "mcnemar",
+    "rmst",
+    "theil_sen",
     "pca",
     "theil_u",
     "streaming_ewma",
@@ -11633,20 +11717,19 @@ _GATE_WINDOW: list[str] = [
     "fold_accents",
     "gopher_rules",
     "script_profile",
+    "acf",
     "benford",
     "discount_elasticity",
+    "event_trigrams",
     "feature_pipeline",
     "impute",
+    "lag_features",
+    "naive_forecast_error",
+    "ohlc",
     "pareto",
     "prop_ztest",
     "quantile_clip",
     "quantile_normalize",
-    "reorder_intervals",
-    "trimmed_mean",
-    "welch_ttest",
-    "acf",
-    "event_trigrams",
-    "lag_features",
 ]
 
 
@@ -11762,6 +11845,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "cox": q_cox,
+        "rmst": q_rmst,
         "anova": q_anova,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -12084,6 +12168,7 @@ def oracle_sql() -> dict[str, str]:
         "logrank": _LOGRANK_ORACLE,
         "mann_kendall": _MANN_KENDALL_ORACLE,
         "theil_sen": _THEIL_SEN_ORACLE,
+        "rmst": _RMST_ORACLE,
         "anova": _ANOVA_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

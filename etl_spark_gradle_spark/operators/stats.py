@@ -3141,6 +3141,17 @@ class StatsTransformer:
                     cols_needed.append(opts[key])
             if op != "chi_square" and opts.get("groupBy"):
                 errors.append(f"stats {op} does not support groupBy")
+        elif op == "rmst":
+            for key in ("durationColumn", "eventColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats rmst requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            try:
+                if float(opts.get("tau", 0)) <= 0:
+                    errors.append("stats rmst requires tau > 0")
+            except (TypeError, ValueError):
+                errors.append("stats rmst tau must be numeric")
         elif op == "cox":
             for key in ("durationColumn", "eventColumn"):
                 if not opts.get(key):
@@ -3192,7 +3203,7 @@ class StatsTransformer:
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
-                "|mann_kendall|theil_sen|cox, "
+                "|mann_kendall|theil_sen|cox|rmst, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -3269,6 +3280,16 @@ class StatsTransformer:
             return mann_kendall(df, opts["xColumn"], opts["yColumn"])
         if op == "theil_sen":
             return theil_sen(df, opts["xColumn"], opts["yColumn"])
+        if op == "rmst":
+            from etl_spark_gradle_spark.operators.timeseries import rmst
+
+            return rmst(
+                df,
+                opts["durationColumn"],
+                opts["eventColumn"],
+                tau=float(opts["tau"]),
+                group_by=gb,
+            )
         if op == "cox":
             from etl_spark_gradle_spark.operators.timeseries import cox_ph
 

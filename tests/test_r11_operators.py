@@ -1333,3 +1333,61 @@ def test_cox_ph_validation_and_adapter(spark):
         None,
     )
     assert {"covariate", "beta", "hazard_ratio"} <= set(out.columns)
+
+
+# ---------------------------------------------------------------------------
+# rmst
+# ---------------------------------------------------------------------------
+
+
+def test_rmst_matches_python(spark):
+    from etl_spark_gradle_spark.operators.timeseries import (
+        kaplan_meier,
+        rmst,
+    )
+
+    km_data = [(3, 1), (5, 1), (5, 0), (8, 1), (8, 1), (10, 0),
+               (12, 1), (15, 0)]
+    df = spark.createDataFrame(km_data, "dur int, ev int")
+    tau = 11.0
+    out = rmst(df, "dur", "ev", tau=tau).collect()[0]
+    km = [(r["t"], r["survival"])
+          for r in kaplan_meier(df, "dur", "ev").collect()]
+    area = 0.0
+    for i, (t, s) in enumerate(km):
+        t_next = km[i + 1][0] if i + 1 < len(km) else tau
+        area += s * (min(t_next, tau) - min(t, tau))
+    expected = min(km[0][0], tau) * 1.0 + area
+    assert out["n"] == len(km_data)
+    assert abs(out["rmst"] - expected) < 1e-12
+    assert out["rmst_frac"] == out["rmst"] / tau
+    assert 0 < out["rmst"] < tau
+    # tau beyond all observations with a never-failing group
+    df2 = spark.createDataFrame(
+        [("g", t, e) for t, e in km_data] + [("h", 2, 0)],
+        "grp string, dur int, ev int",
+    )
+    rows = {
+        r["grp"]: r
+        for r in rmst(df2, "dur", "ev", tau=100.0,
+                      group_by=["grp"]).collect()
+    }
+    assert rows["h"]["rmst"] == 100.0  # S = 1 throughout
+    with pytest.raises(TransformationError):
+        rmst(df, "dur", "ev", tau=0)
+
+
+def test_stats_adapter_rmst(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["stats"]
+    df = spark.createDataFrame([(1, 1), (2, 0)], "dur int, ev int")
+    res = t.validate(df, _cfg("stats", operation="rmst",
+                              durationColumn="dur", eventColumn="ev",
+                              tau="-1"))
+    assert not res.is_valid and any("tau" in e for e in res.errors)
+    out = t.transform(
+        df, _cfg("stats", operation="rmst", durationColumn="dur",
+                 eventColumn="ev", tau="10"), None
+    )
+    assert {"tau", "rmst", "rmst_frac"} <= set(out.columns)

@@ -87,6 +87,10 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
     "psi_drift": 4,            # [PS] edges lineage referenced 4x
     "quantile_normalize": 2,   # [PS] both sides' CDFs
     "quantiles": 1,            # [PS] via exact_quantiles
+    "rmst": 2,                 # [PS] via kaplan_meier + the lead()
+                               # over the bounded KM step table (the
+                               # lit(1) partition spec constant-folds
+                               # to empty in the optimized plan)
     "rank_sum": 1,             # [PS]
     "reorder_intervals": 1,    # [PS] via exact_quantiles
     "spearman": 2,             # [PS] one CDF per rank map (x and y)
