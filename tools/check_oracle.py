@@ -23,6 +23,7 @@ intentional plan change, as bench floors are.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -183,11 +184,29 @@ def main() -> int:
     return rc
 
 
+def _purge_scratch() -> None:
+    """Streaming queries land per-run uuid dirs under the repo's
+    ephemeral .scratch; repeated local sweeps accumulate them
+    (measured: 969 dirs / 268 MB after one round of iterating), and
+    streaming-query wall times degrade with the buildup — a 1.1 s
+    floor read 4.2 s purely from scratch litter. The dir is ephemeral
+    by design, so every sweep starts clean (floor comparisons then
+    measure the operator, not the litter)."""
+    import shutil
+
+    scratch = "/root/repo/.scratch"
+    if os.path.isdir(scratch):
+        for entry in os.listdir(scratch):
+            shutil.rmtree(os.path.join(scratch, entry), ignore_errors=True)
+
+
 def run_sweep(
     sf_dir: str, only: set[str], timings: dict[str, float] | None = None
 ) -> int:
     import __spark_entry__ as entrymod
     from etl_spark_gradle_spark.session import get_spark
+
+    _purge_scratch()
 
     spark = get_spark(app_name="verify-oracle", master="local[8]",
                       conf={"spark.sql.shuffle.partitions": "8"})
