@@ -5619,6 +5619,65 @@ FROM rowed
 """
 
 
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (AP / PR-AUC) over the same near-unique
+    continuous score shape as pr_curve — the ungrouped path, so the
+    cumulative tp/at-or-above counts MUST ride the distributed
+    two-level prefix-sum scan (a bare Window.orderBy would
+    single-partition an O(rows) distinct-score table). Per-score
+    terms nano-quantized and summed exactly; one final division."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_extendedprice").cast("double").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return average_precision(scored, "score", "label")
+
+
+_AVERAGE_PRECISION_ORACLE = """
+WITH pts AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), per AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_n,
+         CAST(SUM(pos) AS BIGINT) AS total_p
+  FROM per
+), cum AS (
+  SELECT s, cnt, pos,
+         CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS ccnt,
+         CAST(SUM(pos) OVER (ORDER BY s) AS BIGINT) AS cpos
+  FROM per
+), terms AS (
+  SELECT pos,
+         cnt,
+         CASE WHEN pos > 0 THEN CAST(ROUND(
+                CAST(pos AS DOUBLE)
+                  * CAST(total_p - (cpos - pos) AS DOUBLE)
+                  / CAST(total_n - (ccnt - cnt) AS DOUBLE)
+                  * 1e9) AS BIGINT)
+              ELSE 0 END AS tq
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CASE WHEN SUM(pos) > 0
+            THEN (CAST(SUM(tq) AS DOUBLE) / 1e9)
+                   / CAST(SUM(pos) AS DOUBLE) END AS average_precision
+FROM terms
+"""
+
+
 def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR control over one synthetic p-value per
     order (LCG-derived uniform; URGENT orders carry a planted 5000x
@@ -11695,8 +11754,9 @@ _GATE_WINDOW: list[str] = [
     "theil_u",
     "streaming_ewma",
     "dsir",
-    "zipf",
     "readability",
+    "zipf",
+    "average_precision",
     "intervals",
     "resample_ffill",
     "resample_origin",
@@ -11729,7 +11789,6 @@ _GATE_WINDOW: list[str] = [
     "pareto",
     "prop_ztest",
     "quantile_clip",
-    "quantile_normalize",
 ]
 
 
@@ -11826,6 +11885,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg": q_ndcg,
         "decontaminate": q_decontaminate,
         "pr_curve": q_pr_curve,
+        "average_precision": q_average_precision,
         "fdr_bh": q_fdr_bh,
         "containment": q_containment,
         # ---- r11 additions ----
@@ -12151,6 +12211,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg": _NDCG_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "pr_curve": _PR_CURVE_ORACLE,
+        "average_precision": _AVERAGE_PRECISION_ORACLE,
         "fdr_bh": _FDR_BH_ORACLE,
         "containment": _CONTAINMENT_ORACLE,
         # ---- r11 additions ----

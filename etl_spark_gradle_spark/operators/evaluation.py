@@ -58,6 +58,7 @@ __all__ = [
     "brier_ece",
     "ndcg",
     "pr_curve",
+    "average_precision",
     "ntile_from_rank",
     "EvaluationTransformer",
 ]
@@ -543,6 +544,7 @@ class EvaluationTransformer:
         "regression_metrics": ("labelColumn", "predictionColumn"),
         "ndcg": ("queryColumn", "scoreColumn", "relevanceColumn"),
         "pr_curve": ("scoreColumn", "labelColumn"),
+        "average_precision": ("scoreColumn", "labelColumn"),
     }
 
     def validate(self, df, config):
@@ -659,6 +661,10 @@ class EvaluationTransformer:
                     "evaluation pr_curve does not support groupBy"
                 )
             return pr_curve(df, opts["scoreColumn"], opts["labelColumn"])
+        if op == "average_precision":
+            return average_precision(
+                df, opts["scoreColumn"], opts["labelColumn"], group_by
+            )
         if op == "ndcg":
             return ndcg(
                 df,
@@ -940,6 +946,120 @@ def pr_curve(
             (F.lit(2) * tp).cast("double")
             / (F.lit(2) * tp + fp + fn).cast("double"),
         ).alias("f1"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_by: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Average precision (AP / PR-AUC, step interpolation) — the
+    single-number close over :func:`pr_curve`'s per-threshold table::
+
+        AP = Σ_i (R_i − R_{i−1}) · P_i
+           = (1/P) · Σ_s pos_s · tp_s / (tp_s + fp_s)
+
+    summed over distinct scores s descending (recall only moves where
+    a positive sits, so the step collapses to one term per distinct
+    score carrying ``pos_s`` positives). The companion to :func:`auc`:
+    AUC reads ranking quality symmetrically, AP weights the head —
+    the metric retrieval / curation threshold picks actually optimize.
+
+    Exactness (the ``logrank_test`` nano-quantization posture): the
+    cumulative tp / at-or-above counts are INTEGER prefix sums; each
+    distinct score then computes its term by a fixed-operand-order
+    double expression, quantizes to integer nano-units
+    (``round(term·1e9)``), and the nano-units sum EXACTLY as longs —
+    partition-order free, replayed verbatim by a SQL oracle. Bound:
+    Σ terms ≤ P, so the long sum holds to P ~ 9·10^9 positives.
+
+    Plan at 100 TB: raw rows reduce map-side to one row per distinct
+    (group, score); with ``group_by`` the cumulative window partitions
+    on the group keys (parallel across groups); WITHOUT it the
+    cumulative counts ride ``stats._prefix_sums``' two-level scan —
+    continuous scores make the distinct table O(n) and a bare
+    ``Window.orderBy`` would single-partition it (the r9 ungrouped-auc
+    cliff). NULL score/label rows are excluded; groups with no
+    positives return NULL ``average_precision`` (undefined, not 0).
+
+    Output: group cols + ``n``/``n_pos`` (long) +
+    ``average_precision`` (double)."""
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    group_by = group_by or []
+    _check_cols(df, [score_col, label_col, *group_by])
+    pos = F.col(label_col).cast("int")
+    per_score = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*group_by, F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"),
+            F.sum(pos).cast("long").alias("_pos"),
+        )
+    )
+    if group_by:
+        gcols = [F.col(c) for c in group_by]
+        w_cum = (
+            Window.partitionBy(*gcols)
+            .orderBy(F.col("_s").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy(*gcols)
+        cum = per_score.select(
+            *group_by,
+            "_cnt",
+            "_pos",
+            F.sum("_cnt").over(w_cum).cast("long").alias("cum__cnt"),
+            F.sum("_pos").over(w_cum).cast("long").alias("cum__pos"),
+            F.sum("_cnt").over(w_tot).cast("long").alias("_n"),
+            F.sum("_pos").over(w_tot).cast("long").alias("_p"),
+        )
+    else:
+        # pin ONCE: the histogram feeds the prefix-sum scan AND the
+        # 1-row totals branch (two lazy references would re-execute
+        # the raw-data reduction twice — the logrank lesson)
+        per_score = per_score.localCheckpoint(eager=True)
+        cum = _prefix_sums(
+            per_score, "_s", ["_cnt", "_pos"], num_partitions,
+            assume_pinned=True,
+        )
+        totals = per_score.agg(
+            F.sum("_cnt").cast("long").alias("_n"),
+            F.sum("_pos").cast("long").alias("_p"),
+        )
+        cum = cum.crossJoin(F.broadcast(totals))
+    tp = (F.col("_p") - (F.col("cum__pos") - F.col("_pos"))).cast("long")
+    aoa = (F.col("_n") - (F.col("cum__cnt") - F.col("_cnt"))).cast("long")
+    # per-score AP term, nano-quantized: fixed operand order the
+    # oracle replays verbatim; pos_s = 0 rows contribute exactly 0
+    term_q = F.when(
+        F.col("_pos") > 0,
+        F.round(
+            F.col("_pos").cast("double")
+            * tp.cast("double")
+            / aoa.cast("double")
+            * F.lit(1e9)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = cum.select(*group_by, "_cnt", "_pos", term_q.alias("_tq")).groupBy(
+        *group_by
+    ).agg(
+        F.sum("_cnt").cast("long").alias("n"),
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum("_tq").cast("long").alias("_stq"),
+    )
+    return agg.select(
+        *group_by,
+        "n",
+        "n_pos",
+        F.when(
+            F.col("n_pos") > 0,
+            (F.col("_stq").cast("double") / F.lit(1e9))
+            / F.col("n_pos").cast("double"),
+        ).alias("average_precision"),
     )
 
 

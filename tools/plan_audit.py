@@ -83,6 +83,9 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
                                # |X|x|Y| joint-cell table
     "negative_sample": 1,      # [BK]
     "pareto": 1,               # [PS] (cum revenue over the rank)
+    "average_precision": 1,    # [PS] cumulative tp/at-or-above counts
+                               # (the pinned histogram feeds the scan
+                               # and the 1-row totals branch once)
     "pr_curve": 1,             # [PS] cumulative tp/fp counts
     "psi_drift": 4,            # [PS] edges lineage referenced 4x
     "quantile_normalize": 2,   # [PS] both sides' CDFs
@@ -929,6 +932,19 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         "rank map joins back broadcast; no python, no cartesian",
         ["hashpartitioning(_pid", "partial_count", "BroadcastHashJoin"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "average_precision",
+        "average precision: the distinct-score histogram is pinned "
+        "ONCE (ExistingRDD — raw parquet scanned a single time behind "
+        "the eager checkpoint, feeding both the scan and the totals "
+        "branch), cumulative tp/at-or-above ride the two-level "
+        "prefix-sum scan (per-_pid windows), totals attach as a 1-row "
+        "broadcast; nano-quantized terms sum as longs; no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "fdr_bh",
