@@ -1758,3 +1758,149 @@ def test_stream_kmv_validation(spark, tmp_path):
         stream_kmv_distinct(stream, "s", ["user"], "value", 1, "c")
     with pytest.raises(ConfigError, match="not in schema"):
         stream_kmv_distinct(stream, "s", ["nope"], "value", 8, "c")
+
+
+def test_stream_time_rollup_out_of_order_batches(spark, tmp_path):
+    """VERDICT r10 ask #7: the versioned-store fold must be ORDER-
+    INSENSITIVE across micro-batches — batch 2 arrives carrying
+    event-times STRICTLY OLDER than everything in batch 1 (the late-
+    data spot case the design claims to handle), and the drained
+    store must still equal the batch build over the full feed."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.timeseries import time_rollup
+    from etl_spark_gradle_spark.streaming import (
+        read_time_rollup,
+        stream_time_rollup,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    # b1 = the NEWEST day; b2/b3 arrive later but carry STRICTLY older
+    # event-times (b2 < b1 entirely, b3 older still) and land in
+    # already-finalized buckets of b1's day as well as brand-new ones
+    feed = [
+        ("b1.json", [("2024-01-03T10:10:00", "view", 1.25),
+                     ("2024-01-03T11:20:00", "click", 2.5)]),
+        ("b2.json", [("2024-01-02T03:40:00", "view", 3.75),
+                     ("2024-01-02T23:59:59", "click", 10.0)]),
+        ("b3.json", [("2024-01-01T00:00:01", "view", 0.5),
+                     ("2024-01-01T07:30:00", "view", 7.25)]),
+    ]
+    for i, (name, rows) in enumerate(feed):
+        with open(src / name, "w") as f:
+            for ts, m, v in rows:
+                f.write(_json.dumps(
+                    {"ts": ts, "metric": m, "value": v}) + "\n")
+        t = _time.time() - 300 + i * 60  # mtime order = arrival order
+        os.utime(src / name, (t, t))
+
+    store = str(tmp_path / "rollup_store")
+    stream = st.read_file_stream(
+        spark,
+        {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+        SCHEMA,
+    )
+    stream_time_rollup(
+        stream, store, "ts", ["value"], levels=[3600, 86400],
+        checkpoint_location=str(tmp_path / "ckpt"),
+        group_by=["metric"],
+    ).awaitTermination(120)
+
+    got = sorted(tuple(r) for r in read_time_rollup(spark, store).collect())
+    full = spark.read.schema(SCHEMA).json(str(src))
+    want = sorted(
+        tuple(r)
+        for r in time_rollup(
+            full, "ts", ["value"], levels=[3600, 86400],
+            group_by=["metric"],
+        ).collect()
+    )
+    assert got == want
+    # the late buckets genuinely exist (b3's day made it into the
+    # store even though it arrived last with the oldest times)
+    rolled = read_time_rollup(spark, store)
+    days = {
+        r["bucket_ts"]
+        for r in rolled.where(F.col("level_seconds") == 86400).collect()
+    }
+    assert len(days) == 3
+
+
+def test_stream_kmv_out_of_order_value_arrival(spark, tmp_path):
+    """VERDICT r10 ask #7 (kmv leg): the KMV fold must be arrival-
+    order free — batch 2 delivers the values whose hashes sit BELOW
+    batch 1's (exactly the rows a naive first-k-wins fold would
+    wrongly drop once the sketch is 'full'), and the drained store
+    must equal the batch build over the union."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_spark_gradle_spark.operators.sketch import build_kmv
+    from etl_spark_gradle_spark.streaming import (
+        read_kmv_store,
+        stream_kmv_distinct,
+    )
+
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("val", StringType())]
+    )
+    # rank 12 candidate values by the sketch's own hash order (the
+    # engine-portable md5 prefix, sketch._kmv_hash) so the
+    # SMALLEST-hash half can be routed into the LATER batch
+    import hashlib
+
+    cand = [f"u{i}" for i in range(12)]
+    hashed = [
+        {"val": v,
+         "h": hashlib.md5(f"kmv:{v}".encode()).hexdigest()}
+        for v in cand
+    ]
+    by_hash = [r["val"] for r in sorted(hashed, key=lambda r: r["h"])]
+    low, high = by_hash[:6], by_hash[6:]  # low = the k-minima truth
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    feed = [
+        ("b1.json", [("A", v) for v in high]),   # big hashes first
+        ("b2.json", [("A", v) for v in low]),    # true minima LAST
+    ]
+    for i, (name, rows) in enumerate(feed):
+        with open(src / name, "w") as f:
+            for g, v in rows:
+                f.write(_json.dumps({"grp": g, "val": v}) + "\n")
+        t0 = _time.time() - 300 + i * 60
+        os.utime(src / name, (t0, t0))
+
+    store = str(tmp_path / "kmv_store")
+    stream = st.read_file_stream(
+        spark,
+        {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+        schema,
+    )
+    stream_kmv_distinct(
+        stream, store, ["grp"], "val", k=4,
+        checkpoint_location=str(tmp_path / "ck"),
+    ).awaitTermination(120)
+
+    got = {
+        r["grp"]: (tuple(r["kmv"]), r["distinct_est"])
+        for r in read_kmv_store(spark, store).collect()
+    }
+    full = spark.read.schema(schema).json(str(src))
+    want = {
+        r["grp"]: (tuple(r["kmv"]), r["distinct_est"])
+        for r in build_kmv(full, ["grp"], "val", k=4, k_col="kmv_k")
+        .collect()
+    }
+    assert got == want
+    # the sketch holds the LATE-arriving minima, not first-k-seen
+    lo_hashes = sorted(r["h"] for r in hashed)[:4]
+    assert list(got["A"][0]) == lo_hashes
