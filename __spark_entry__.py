@@ -5678,6 +5678,187 @@ FROM terms
 """
 
 
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ROC curve (per-threshold tp/fp/tn/fn + tpr/fpr/Youden J)
+    over the near-unique lineitem price score vs the R-returnflag
+    label — same distributed prefix-sum shape as pr_curve; integer
+    cumulative counts, per-row divisions only."""
+    from etl_spark_gradle_spark.operators.evaluation import roc_curve
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_extendedprice").cast("double").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return roc_curve(scored, "score", "label")
+
+
+_ROC_CURVE_ORACLE = """
+WITH pts AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), per AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM pts GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tn_all,
+         CAST(SUM(pos) AS BIGINT) AS tp_all
+  FROM per
+), cum AS (
+  SELECT s, cnt, pos,
+         CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS ccnt,
+         CAST(SUM(pos) OVER (ORDER BY s) AS BIGINT) AS cpos
+  FROM per
+), rowed AS (
+  SELECT s,
+         CAST(tp_all - (cpos - pos) AS BIGINT) AS tp,
+         CAST((tn_all - (ccnt - cnt)) - (tp_all - (cpos - pos))
+              AS BIGINT) AS fp,
+         CAST(tn_all - tp_all AS BIGINT) AS neg,
+         tp_all
+  FROM cum CROSS JOIN tot
+)
+SELECT s AS threshold, tp, fp,
+       CAST(neg - fp AS BIGINT) AS tn,
+       CAST(tp_all - tp AS BIGINT) AS fn,
+       CASE WHEN tp_all > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE) END AS tpr,
+       CASE WHEN neg > 0
+            THEN CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE) END AS fpr,
+       (CASE WHEN tp_all > 0
+             THEN CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE) END)
+         - (CASE WHEN neg > 0
+                 THEN CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE) END)
+         AS youden_j
+FROM rowed
+"""
+
+
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation per line-status group: label = the line
+    was returned (returnflag R), prediction = the deep-discount
+    heuristic (discount > 5%). One conditional aggregation riding the
+    scan; exact integer cells; fixed-order double close."""
+    from etl_spark_gradle_spark.operators.evaluation import mcc
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_linestatus").alias("status"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+        (F.col("l_discount") > 0.05).cast("int").alias("pred"),
+    )
+    return mcc(scored, "label", "pred", ["status"])
+
+
+_MCC_ORACLE = """
+WITH scored AS (
+  SELECT l_linestatus AS status,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS p
+  FROM lineitem
+), cells AS (
+  SELECT status,
+         CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tn,
+         CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fn
+  FROM scored GROUP BY status
+)
+SELECT status, CAST(tp + fp + tn + fn AS BIGINT) AS n, tp, fp, tn, fn,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0
+             AND tn + fp > 0 AND tn + fn > 0
+            THEN CAST(tp * tn - fp * fn AS DOUBLE)
+                 / SQRT(CAST(tp + fp AS DOUBLE)
+                        * CAST(tp + fn AS DOUBLE)
+                        * CAST(tn + fp AS DOUBLE)
+                        * CAST(tn + fn AS DOUBLE)) END AS mcc
+FROM cells
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' multi-rater kappa treating each order as an item and
+    its lineitems as the rating panel (category = returnflag): panel
+    size inferred as the max (7 lines), non-conforming orders
+    excluded and counted. Exact S1/marginal-square integer sums;
+    fixed-order double close."""
+    from etl_spark_gradle_spark.operators.evaluation import fleiss_kappa
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    ratings = li.select(
+        F.col("l_orderkey").alias("item"),
+        F.col("l_returnflag").alias("cat"),
+    )
+    return fleiss_kappa(ratings, "item", "cat")
+
+
+_FLEISS_KAPPA_ORACLE = """
+WITH cells AS (
+  SELECT l_orderkey AS i, l_returnflag AS j,
+         CAST(COUNT(*) AS BIGINT) AS nij
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+), items AS (
+  SELECT i, CAST(SUM(nij) AS BIGINT) AS ni,
+         CAST(SUM(nij * (nij - 1)) AS BIGINT) AS s1i
+  FROM cells GROUP BY i
+), nmax AS (SELECT CAST(MAX(ni) AS BIGINT) AS n FROM items
+), kept AS (
+  SELECT items.* FROM items CROSS JOIN nmax WHERE ni = n
+), dropped AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items_dropped
+  FROM items CROSS JOIN nmax WHERE ni <> n
+), per AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(s1i) AS BIGINT) AS s1
+  FROM kept
+), marg AS (
+  SELECT j, CAST(SUM(nij) AS HUGEINT) AS cj
+  FROM cells SEMI JOIN kept ON cells.i = kept.i
+  GROUP BY j
+), chance AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         SUM(cj * cj) AS sc2
+  FROM marg
+)
+SELECT n_items, n_items_dropped,
+       (SELECT n FROM nmax) AS n_raters,
+       n_categories,
+       CAST(s1 AS DOUBLE)
+         / (CAST(n_items AS DOUBLE) * CAST((SELECT n FROM nmax) AS DOUBLE)
+            * (CAST((SELECT n FROM nmax) AS DOUBLE) - 1.0)) AS p_bar,
+       CAST(CAST(sc2 AS VARCHAR) AS DOUBLE)
+         / ((CAST(n_items AS DOUBLE) * CAST((SELECT n FROM nmax) AS DOUBLE))
+            * (CAST(n_items AS DOUBLE)
+               * CAST((SELECT n FROM nmax) AS DOUBLE))) AS p_e,
+       (CAST(s1 AS DOUBLE)
+         / (CAST(n_items AS DOUBLE) * CAST((SELECT n FROM nmax) AS DOUBLE)
+            * (CAST((SELECT n FROM nmax) AS DOUBLE) - 1.0))
+        - CAST(CAST(sc2 AS VARCHAR) AS DOUBLE)
+         / ((CAST(n_items AS DOUBLE) * CAST((SELECT n FROM nmax) AS DOUBLE))
+            * (CAST(n_items AS DOUBLE)
+               * CAST((SELECT n FROM nmax) AS DOUBLE))))
+       / (1.0
+          - CAST(CAST(sc2 AS VARCHAR) AS DOUBLE)
+            / ((CAST(n_items AS DOUBLE)
+                * CAST((SELECT n FROM nmax) AS DOUBLE))
+               * (CAST(n_items AS DOUBLE)
+                  * CAST((SELECT n FROM nmax) AS DOUBLE)))) AS kappa
+FROM per CROSS JOIN chance CROSS JOIN dropped
+"""
+
+
 def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR control over one synthetic p-value per
     order (LCG-derived uniform; URGENT orders carry a planted 5000x
@@ -10960,6 +11141,72 @@ FROM s ORDER BY t
 """
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over the same customer-lifetime
+    shape as kaplan_meier (duration = first-to-last order days, event
+    = has a finalized order): H and Var[H] accumulate as integer
+    1e9/1e15-quantized prefix sums — order-free, no float fold."""
+    from etl_spark_gradle_spark.operators.timeseries import nelson_aalen
+
+    _prep(spark)
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.min("o_orderdate")
+            ).alias("dur"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("ev"),
+        )
+    )
+    return nelson_aalen(cust, "dur", "ev")
+
+
+_NELSON_AALEN_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+              AS INTEGER) AS dur,
+         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+  FROM orders GROUP BY o_custkey
+), pts AS (
+  SELECT dur AS t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM cust GROUP BY dur
+), cum AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER (ORDER BY t) AS cum_rm,
+         SUM(d + c) OVER () AS n_tot
+  FROM pts
+), risk AS (
+  SELECT t, d, c,
+         CAST(n_tot - (cum_rm - (d + c)) AS BIGINT) AS n_risk
+  FROM cum
+), q AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d = 0 THEN 0
+              ELSE CAST(round(CAST(d AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE) * 1e9)
+                        AS BIGINT) END AS hq,
+         CASE WHEN d = 0 THEN 0
+              ELSE CAST(round(CAST(d AS DOUBLE)
+                              / (CAST(n_risk AS DOUBLE)
+                                 * CAST(n_risk AS DOUBLE)) * 1e15)
+                        AS BIGINT) END AS vq
+  FROM risk
+)
+SELECT t, n_risk, d AS n_event, c AS n_censored,
+       CAST(CAST(SUM(hq) OVER (ORDER BY t) AS BIGINT) AS DOUBLE) / 1e9
+         AS cum_hazard,
+       CAST(CAST(SUM(vq) OVER (ORDER BY t) AS BIGINT) AS DOUBLE) / 1e15
+         AS var_hazard
+FROM q ORDER BY t
+"""
+
+
 def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf slope of the documents vocabulary (min_count 2): OLS of
     ln(freq) on ln(rank) with exact decimal(12,9) moment sums; ranks
@@ -11732,31 +11979,35 @@ FROM agg
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
-# Round-11 window: the seven never-recorded r11 additions lead
-# (chi_square, mcnemar, brown_forsythe, ewma, kaplan_meier, zipf,
-# readability — all locally green at sf0.01 AND sf0.1 via
-# check_oracle), then the stalest recorded queries (r5-r8 rows over
-# modules touched since: timeseries/stats/corpus this round).
+# Round-11 window (continuation rotation): every never-recorded r11
+# addition leads — the five continuation adds (average_precision,
+# roc_curve, mcc, fleiss_kappa, nelson_aalen) plus the earlier-r11
+# batch (chi_square … readability), all locally green at sf0.01 AND
+# sf0.1 via check_oracle — then the stalest recorded queries.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
+    "average_precision",
+    "cox",
+    "fleiss_kappa",
+    "mcc",
+    "roc_curve",
     "brown_forsythe",
     "chi_square",
-    "cox",
     "ewma",
     "kaplan_meier",
     "kendall_tau",
     "logrank",
     "mann_kendall",
     "mcnemar",
+    "nelson_aalen",
     "rmst",
     "theil_sen",
     "pca",
     "theil_u",
-    "streaming_ewma",
     "dsir",
+    "streaming_ewma",
     "readability",
     "zipf",
-    "average_precision",
     "intervals",
     "resample_ffill",
     "resample_origin",
@@ -11774,21 +12025,17 @@ _GATE_WINDOW: list[str] = [
     "scd2",
     "top_paths",
     "vocab_overlap",
+    "interval_join",
     "fold_accents",
     "gopher_rules",
     "script_profile",
+    "pareto",
+    "rfm",
+    "spend_gini",
     "acf",
     "benford",
     "discount_elasticity",
     "event_trigrams",
-    "feature_pipeline",
-    "impute",
-    "lag_features",
-    "naive_forecast_error",
-    "ohlc",
-    "pareto",
-    "prop_ztest",
-    "quantile_clip",
 ]
 
 
@@ -11886,6 +12133,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pr_curve": q_pr_curve,
         "average_precision": q_average_precision,
+        "roc_curve": q_roc_curve,
+        "mcc": q_mcc,
+        "fleiss_kappa": q_fleiss_kappa,
         "fdr_bh": q_fdr_bh,
         "containment": q_containment,
         # ---- r11 additions ----
@@ -11894,6 +12144,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe": q_brown_forsythe,
         "ewma": q_ewma,
         "kaplan_meier": q_kaplan_meier,
+        "nelson_aalen": q_nelson_aalen,
         "zipf": q_zipf,
         "readability": q_readability,
         "dsir": q_dsir,
@@ -12212,6 +12463,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_ORACLE,
         "pr_curve": _PR_CURVE_ORACLE,
         "average_precision": _AVERAGE_PRECISION_ORACLE,
+        "roc_curve": _ROC_CURVE_ORACLE,
+        "mcc": _MCC_ORACLE,
+        "fleiss_kappa": _FLEISS_KAPPA_ORACLE,
         "fdr_bh": _FDR_BH_ORACLE,
         "containment": _CONTAINMENT_ORACLE,
         # ---- r11 additions ----
@@ -12220,6 +12474,7 @@ def oracle_sql() -> dict[str, str]:
         "brown_forsythe": _BROWN_FORSYTHE_ORACLE,
         "ewma": _EWMA_ORACLE,
         "kaplan_meier": _KAPLAN_MEIER_ORACLE,
+        "nelson_aalen": _NELSON_AALEN_ORACLE,
         "zipf": _ZIPF_ORACLE,
         "readability": _READABILITY_ORACLE,
         "dsir": _DSIR_ORACLE,

@@ -59,6 +59,9 @@ __all__ = [
     "ndcg",
     "pr_curve",
     "average_precision",
+    "roc_curve",
+    "mcc",
+    "fleiss_kappa",
     "ntile_from_rank",
     "EvaluationTransformer",
 ]
@@ -545,6 +548,9 @@ class EvaluationTransformer:
         "ndcg": ("queryColumn", "scoreColumn", "relevanceColumn"),
         "pr_curve": ("scoreColumn", "labelColumn"),
         "average_precision": ("scoreColumn", "labelColumn"),
+        "roc_curve": ("scoreColumn", "labelColumn"),
+        "mcc": ("labelColumn", "predictionColumn"),
+        "fleiss_kappa": ("itemColumn", "categoryColumn"),
     }
 
     def validate(self, df, config):
@@ -583,6 +589,16 @@ class EvaluationTransformer:
             if opts.get("idColumn") and opts["idColumn"] not in df.columns:
                 errors.append(
                     f"column not in input schema: {opts['idColumn']}"
+                )
+        if op == "fleiss_kappa" and opts.get("nRaters") is not None:
+            try:
+                if int(opts["nRaters"]) < 2:
+                    errors.append(
+                        "evaluation fleiss_kappa nRaters must be >= 2"
+                    )
+            except (TypeError, ValueError):
+                errors.append(
+                    "evaluation fleiss_kappa nRaters must be an int"
                 )
         if op in ("isotonic", "brier_ece"):
             # ADVICE r9: isotonic silently dropped groupBy (PAV has no
@@ -664,6 +680,25 @@ class EvaluationTransformer:
         if op == "average_precision":
             return average_precision(
                 df, opts["scoreColumn"], opts["labelColumn"], group_by
+            )
+        if op == "roc_curve":
+            if group_by:
+                raise TransformationError(
+                    "evaluation roc_curve does not support groupBy"
+                )
+            return roc_curve(df, opts["scoreColumn"], opts["labelColumn"])
+        if op == "mcc":
+            return mcc(
+                df, opts["labelColumn"], opts["predictionColumn"], group_by
+            )
+        if op == "fleiss_kappa":
+            n_raters = opts.get("nRaters")
+            return fleiss_kappa(
+                df,
+                opts["itemColumn"],
+                opts["categoryColumn"],
+                group_by,
+                n_raters=int(n_raters) if n_raters is not None else None,
             )
         if op == "ndcg":
             return ndcg(
@@ -1060,6 +1095,289 @@ def average_precision(
             (F.col("_stq").cast("double") / F.lit(1e9))
             / F.col("n_pos").cast("double"),
         ).alias("average_precision"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    group_by: list[str] | None = None,
+    n_raters: int | None = None,
+) -> DataFrame:
+    """Fleiss' kappa — multi-rater agreement over long-format ratings
+    (one row per individual rating), the generalization of
+    :func:`cohens_kappa` beyond two raters (the label-quality read
+    when every example is judged by a rating PANEL)::
+
+        P_i  = Σ_j n_ij(n_ij − 1) / (n(n−1)),
+        P̄   = mean_i P_i,
+        P̄_e = Σ_j p_j²,   p_j = Σ_i n_ij / (N·n),
+        κ    = (P̄ − P̄_e) / (1 − P̄_e)
+
+    Fleiss requires a CONSTANT panel size n per item: ``n_raters``
+    pins it explicitly, otherwise it is inferred as the (group's)
+    maximum item rating count; items with any other count are
+    EXCLUDED and reported in ``n_items_dropped`` (deterministic and
+    oracle-replayable — silently averaging unequal panels is the
+    classical misuse).
+
+    Exactness: every sum is exact integer/decimal —
+    ``S1 = Σ_ij n_ij(n_ij−1)`` as long, ``Σ_j c_j²`` as
+    decimal(38,0) (category marginals square past long at ~3·10⁹
+    ratings per category); P̄, P̄_e and κ are a fixed short sequence
+    of independent IEEE divisions from those integers (string
+    round-trip decimal→double), hash-gateable cross-engine.
+
+    Plan at 100 TB: raw ratings reduce map-side to (group, item,
+    category) cells; the per-item close is a second keyed aggregation
+    on the cell table; category marginals derive from the same cells.
+    No windows, no cartesian; the inferred-n max is a per-group
+    1-row aggregate attached by broadcast. NULL item/category rows
+    are excluded.
+
+    Output: group cols + ``n_items``/``n_items_dropped``/
+    ``n_raters``/``n_categories`` (long) + ``p_bar``/``p_e``/
+    ``kappa`` (double; NULL when P̄_e = 1 — zero category entropy —
+    or no conforming items)."""
+    from etl_spark_gradle_spark.operators.relational import (
+        broadcast_group_join,
+    )
+
+    group_by = group_by or []
+    _check_cols(df, [item_col, category_col, *group_by])
+    if n_raters is not None and int(n_raters) < 2:
+        raise TransformationError("fleiss_kappa requires n_raters >= 2")
+    cells = (
+        df.where(
+            F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            *group_by,
+            F.col(item_col).alias("_i"),
+            F.col(category_col).cast("string").alias("_j"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_nij"))
+        # feeds the item close AND the category marginals
+        .localCheckpoint(eager=False)
+    )
+    items = cells.groupBy(*group_by, "_i").agg(
+        F.sum("_nij").cast("long").alias("_ni"),
+        F.sum(F.col("_nij") * (F.col("_nij") - F.lit(1)))
+        .cast("long")
+        .alias("_s1i"),
+    )
+    if n_raters is None:
+        n_of = items.groupBy(*group_by).agg(
+            F.max("_ni").cast("long").alias("_n")
+        )
+        items = (
+            broadcast_group_join(items, n_of, group_by, how="inner")
+            if group_by
+            else items.crossJoin(F.broadcast(n_of))
+        )
+    else:
+        items = items.withColumn("_n", F.lit(int(n_raters)).cast("long"))
+    kept = items.where(F.col("_ni") == F.col("_n"))
+    dropped = items.where(F.col("_ni") != F.col("_n")).groupBy(
+        *group_by
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_items_dropped"))
+    per_group = kept.groupBy(*group_by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.max("_n").cast("long").alias("n_raters"),
+        F.sum("_s1i").cast("long").alias("_s1"),
+    )
+    # category marginals over the KEPT items only (the dropped items
+    # must not bias chance agreement) — semi-join on the bounded item
+    # table, then square in exact decimal
+    kept_cells = cells.join(
+        kept.select(*group_by, "_i"), [*group_by, "_i"], "left_semi"
+    )
+    marg = kept_cells.groupBy(*group_by, "_j").agg(
+        F.sum("_nij").cast("decimal(38,0)").alias("_cj")
+    )
+    chance = marg.groupBy(*group_by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("_cj") * F.col("_cj")).cast("decimal(38,0)")
+        .alias("_sc2"),
+    )
+    if group_by:
+        out = per_group.join(chance, group_by, "left").join(
+            dropped, group_by, "left"
+        )
+    else:
+        # ungrouped: chance is 1 row; the dropped count re-aggregates
+        # to a guaranteed 1-row frame (empty -> 0) and attaches as a
+        # broadcast, like every other 1-row totals branch in the repo
+        dropped1 = dropped.agg(
+            F.coalesce(F.sum("n_items_dropped"), F.lit(0))
+            .cast("long")
+            .alias("n_items_dropped")
+        )
+        out = per_group.crossJoin(chance).crossJoin(F.broadcast(dropped1))
+    n_items = F.col("n_items").cast("double")
+    n = F.col("n_raters").cast("double")
+    s1 = F.col("_s1").cast("double")
+    sc2 = F.col("_sc2").cast("string").cast("double")
+    denom_obs = n_items * n * (n - F.lit(1.0))
+    nn = n_items * n
+    p_bar = F.when(denom_obs > 0, s1 / denom_obs)
+    p_e = F.when(nn > 0, sc2 / (nn * nn))
+    return out.select(
+        *group_by,
+        "n_items",
+        F.coalesce(F.col("n_items_dropped"), F.lit(0)).cast("long")
+        .alias("n_items_dropped"),
+        "n_raters",
+        "n_categories",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        F.when(
+            (denom_obs > 0) & (p_e < 1.0),
+            (p_bar - p_e) / (F.lit(1.0) - p_e),
+        ).alias("kappa"),
+    )
+
+
+def roc_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full ROC curve: one row per DISTINCT score treated as the
+    decision threshold (predict positive when ``score >= t``) — the
+    operating-point table behind :func:`auc`, with Youden's J
+    (``tpr − fpr``) per row so the threshold maximizing balanced
+    discrimination reads off as ``max_by(threshold, youden_j)``.
+
+    Exactness: cumulative tp/fp are INTEGER prefix sums over the
+    distinct-score table; tpr/fpr are per-row independent divisions
+    and ``youden_j = tpr − fpr`` is one further fixed-order double
+    subtraction — hash-gateable, no float accumulation anywhere.
+
+    Plan at 100 TB: identical to :func:`pr_curve` — raw rows reduce
+    map-side to one (score, cnt, pos) row per distinct score, the
+    cumulative counts ride ``stats._prefix_sums``' two-level scan
+    (continuous scores make the distinct table O(n); a bare
+    ``Window.orderBy`` would single-partition it), totals attach as a
+    1-row broadcast. NULL score/label rows are excluded.
+
+    Output: ``threshold`` + ``tp``/``fp``/``tn``/``fn`` (long) +
+    ``tpr``/``fpr``/``youden_j`` (double; NULL when the respective
+    class is empty)."""
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    _check_cols(df, [score_col, label_col])
+    pos = F.col(label_col).cast("int")
+    per_score = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"),
+            F.sum(pos).cast("long").alias("_pos"),
+        )
+        # feeds the prefix-sum scan AND the 1-row totals branch
+        .localCheckpoint(eager=True)
+    )
+    cum = _prefix_sums(
+        per_score, "_s", ["_cnt", "_pos"], num_partitions,
+        assume_pinned=True,
+    )
+    totals = per_score.agg(
+        F.sum("_cnt").cast("long").alias("_n"),
+        F.sum("_pos").cast("long").alias("_p"),
+    )
+    j = cum.crossJoin(F.broadcast(totals))
+    tp = (F.col("_p") - (F.col("cum__pos") - F.col("_pos"))).cast("long")
+    at_or_above = (F.col("_n") - (F.col("cum__cnt") - F.col("_cnt"))).cast(
+        "long"
+    )
+    fp = (at_or_above - tp).cast("long")
+    neg = (F.col("_n") - F.col("_p")).cast("long")
+    tpr = F.when(
+        F.col("_p") > 0, tp.cast("double") / F.col("_p").cast("double")
+    )
+    fpr = F.when(neg > 0, fp.cast("double") / neg.cast("double"))
+    return j.select(
+        F.col("_s").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (neg - fp).cast("long").alias("tn"),
+        (F.col("_p") - tp).cast("long").alias("fn"),
+        tpr.alias("tpr"),
+        fpr.alias("fpr"),
+        (tpr - fpr).alias("youden_j"),
+    )
+
+
+def mcc(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier — the
+    single balanced read over ALL FOUR confusion cells (precision/
+    recall/F1 ignore the true negatives; MCC is the φ coefficient of
+    the 2×2 table and stays honest under class imbalance)::
+
+        MCC = (tp·tn − fp·fn)
+              / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+
+    Exactness: the four cells come from ONE conditional aggregation
+    riding the scan (the ``mcnemar`` pattern — no joins, no windows);
+    the numerator is exact 64-bit integer arithmetic (cell products
+    ≤ n², so per-group n must stay below ~3·10^9 — the repo-wide
+    integer-bound contract), and the close is a fixed-operand-order
+    double expression (two casts, three multiplies, one sqrt, one
+    division) identical on every IEEE engine. Any zero marginal
+    yields NULL ``mcc`` (undefined, not 0 — the convention that
+    arbitrarily maps 0/0 to 0 destroys comparability across groups).
+
+    NULL label or pred rows are excluded. Both columns are boolean or
+    0/1 numeric.
+
+    Output: group cols + ``n``/``tp``/``fp``/``tn``/``fn`` (long) +
+    ``mcc`` (double)."""
+    group_by = group_by or []
+    _check_cols(df, [label_col, pred_col, *group_by])
+    y = F.col(label_col).cast("boolean").cast("int")
+    p = F.col(pred_col).cast("boolean").cast("int")
+    base = df.where(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+
+    def cell(yv: int, pv: int):
+        return F.sum(
+            ((y == yv) & (p == pv)).cast("long")
+        ).cast("long")
+
+    grouped = base.groupBy(*group_by) if group_by else base.groupBy()
+    m = grouped.agg(
+        cell(1, 1).alias("tp"),
+        cell(0, 1).alias("fp"),
+        cell(0, 0).alias("tn"),
+        cell(1, 0).alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
+    num = (tp * tn - fp * fn).cast("long")
+    m1, m2, m3, m4 = tp + fp, tp + fn, tn + fp, tn + fn
+    return m.select(
+        *group_by,
+        (tp + fp + tn + fn).cast("long").alias("n"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.when(
+            (m1 > 0) & (m2 > 0) & (m3 > 0) & (m4 > 0),
+            num.cast("double")
+            / F.sqrt(
+                m1.cast("double")
+                * m2.cast("double")
+                * m3.cast("double")
+                * m4.cast("double")
+            ),
+        ).alias("mcc"),
     )
 
 

@@ -70,6 +70,7 @@ __all__ = [
     "ewma",
     "EwmaTransformer",
     "kaplan_meier",
+    "nelson_aalen",
     "KaplanMeierTransformer",
     "logrank_test",
     "cox_ph",
@@ -1823,6 +1824,130 @@ def kaplan_meier(
     ).orderBy(*group_by, "t")
 
 
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_by: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve — the additive sibling of
+    :func:`kaplan_meier` (KM multiplies survival factors; Nelson–Aalen
+    SUMS hazard increments, the estimator of choice when the hazard
+    itself is the read, and the basis of ``H(t) = -ln S(t)`` checks)::
+
+        H(t) = Σ_{t_i ≤ t} d_i / n_i,
+        Var[H(t)] = Σ_{t_i ≤ t} d_i / n_i²     (Poisson form)
+
+    with ``d_i`` events and ``n_i`` at-risk at each distinct event
+    time; ``event_col`` truthy = event observed, falsy = censored.
+
+    Exactness: the data reduces to one row per (group, duration) of
+    exact long d/c counts; at-risk derives from exact cumulative
+    counts; the running sums — the only ordered float quantities —
+    ride the cusum integer-quantization posture: each increment
+    quantizes to integer units (``round(d/n·1e9)`` for H,
+    ``round(d/n²·1e15)`` for the variance — the finer grain because
+    increments shrink as 1/n²), prefix-sums EXACTLY, and divides back
+    out once at the close. Bounds: since n_i drops by ≥1 per distinct
+    time, Σd_i/n_i ≤ H_N ≈ ln N and Σd_i/n_i² ≤ π²/6 < 1.645, so the
+    quantized long sums stay below ~2·10¹⁵ at ANY scale — no
+    overflow, no sequential float fold, bit-identical on every
+    engine replaying the same quantization.
+
+    Plan at 100 TB: one (group, duration) count shuffle reduces the
+    data to its time histogram; ungrouped, cumulative counts ride
+    ``_prefix_sums``' two-level scan; grouped, group-partitioned
+    windows (parallel across groups). NULL duration/event rows are
+    excluded.
+
+    Output per (group,) distinct duration, ascending: ``t`` (input
+    type), ``n_risk``/``n_event``/``n_censored`` (long),
+    ``cum_hazard``/``var_hazard`` (double — exact integer/constant
+    divisions, no rounding step needed)."""
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    group_by = group_by or []
+    for c in (duration_col, event_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(
+                f"nelson_aalen: column not in schema: {c}"
+            )
+    ev = F.col(event_col).cast("boolean").cast("int")
+    pts = (
+        df.where(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+        )
+        .groupBy(*group_by, F.col(duration_col).alias("_t"))
+        .agg(
+            F.sum(ev).cast("long").alias("_d"),
+            F.sum(1 - ev).cast("long").alias("_c"),
+        )
+        .withColumn("_rm", F.col("_d") + F.col("_c"))
+    )
+    if group_by:
+        w = (
+            Window.partitionBy(*group_by)
+            .orderBy("_t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = pts.withColumn("_cum_rm", F.sum("_rm").over(w))
+        totals = pts.groupBy(*group_by).agg(
+            F.sum("_rm").cast("long").alias("_n_tot")
+        )
+        cum = broadcast_group_join(cum, totals, group_by, how="inner")
+    else:
+        cum = _prefix_sums(pts, "_t", ["_rm"], num_partitions).withColumnRenamed(
+            "cum__rm", "_cum_rm"
+        )
+        totals = pts.agg(F.sum("_rm").cast("long").alias("_n_tot"))
+        cum = cum.crossJoin(F.broadcast(totals))
+    n_risk = (F.col("_n_tot") - (F.col("_cum_rm") - F.col("_rm"))).cast(
+        "long"
+    )
+    cum = cum.withColumn("_n_risk", n_risk)
+    d_d = F.col("_d").cast("double")
+    n_d = F.col("_n_risk").cast("double")
+    hq = F.when(F.col("_d") == 0, F.lit(0)).otherwise(
+        F.round(d_d / n_d * F.lit(1e9)).cast("long")
+    )
+    vq = F.when(F.col("_d") == 0, F.lit(0)).otherwise(
+        F.round(d_d / (n_d * n_d) * F.lit(1e15)).cast("long")
+    )
+    cum = cum.withColumn("_hq", hq).withColumn("_vq", vq)
+    if group_by:
+        w2 = (
+            Window.partitionBy(*group_by)
+            .orderBy("_t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = cum.withColumn("_cum_hq", F.sum("_hq").over(w2)).withColumn(
+            "_cum_vq", F.sum("_vq").over(w2)
+        )
+    else:
+        cum = _prefix_sums(
+            cum.select(*group_by, "_t", "_n_risk", "_d", "_c", "_hq",
+                       "_vq"),
+            "_t",
+            ["_hq", "_vq"],
+            num_partitions,
+        ).withColumnRenamed("cum__hq", "_cum_hq").withColumnRenamed(
+            "cum__vq", "_cum_vq"
+        )
+    return cum.select(
+        *group_by,
+        F.col("_t").alias("t"),
+        F.col("_n_risk").alias("n_risk"),
+        F.col("_d").alias("n_event"),
+        F.col("_c").alias("n_censored"),
+        (F.col("_cum_hq").cast("double") / F.lit(1e9)).alias("cum_hazard"),
+        (F.col("_cum_vq").cast("double") / F.lit(1e15)).alias(
+            "var_hazard"
+        ),
+    ).orderBy(*group_by, "t")
+
+
 class EwmaTransformer:
     """Registry adapter (``type: ewma``). Options: ``keyColumns`` csv
     (required), ``timeColumn``, ``valueColumn`` (required), ``alpha``
@@ -1882,7 +2007,11 @@ class EwmaTransformer:
 
 class KaplanMeierTransformer:
     """Registry adapter (``type: kaplan_meier``). Options:
-    ``durationColumn``, ``eventColumn`` (required), ``groupBy`` csv."""
+    ``durationColumn``, ``eventColumn`` (required), ``groupBy`` csv,
+    ``estimator`` kaplan_meier (default, survival curve) |
+    nelson_aalen (cumulative hazard + variance)."""
+
+    _ESTIMATORS = ("kaplan_meier", "nelson_aalen")
 
     def validate(self, df: DataFrame, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
@@ -1898,6 +2027,11 @@ class KaplanMeierTransformer:
         for c in _split_csv(opts.get("groupBy")):
             if c not in df.columns:
                 errors.append(f"group column not in input schema: {c}")
+        if opts.get("estimator", "kaplan_meier") not in self._ESTIMATORS:
+            errors.append(
+                "kaplan_meier estimator must be one of "
+                + "|".join(self._ESTIMATORS)
+            )
         return (
             ValidationResult.ok()
             if not errors
@@ -1911,7 +2045,12 @@ class KaplanMeierTransformer:
                 "kaplan_meier config invalid: " + "; ".join(result.errors)
             )
         opts = config.options
-        return kaplan_meier(
+        fn = (
+            nelson_aalen
+            if opts.get("estimator", "kaplan_meier") == "nelson_aalen"
+            else kaplan_meier
+        )
+        return fn(
             df,
             duration_col=opts["durationColumn"],
             event_col=opts["eventColumn"],

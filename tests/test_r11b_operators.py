@@ -1,0 +1,369 @@
+"""Round-11 continuation operators (roc_curve, mcc, fleiss_kappa,
+nelson_aalen) vs pure-python references."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from etl_spark_gradle_spark.operators.evaluation import (
+    fleiss_kappa,
+    mcc,
+    roc_curve,
+)
+from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.operators.timeseries import nelson_aalen
+from etl_spark_gradle_spark.plans.config import TransformationConfig
+
+
+def _cfg(type_, **options):
+    return TransformationConfig(type=type_, options=options)
+
+
+def _unpartitioned_windows(df) -> int:
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return sum(
+        1 for nd in nodes
+        if nd.get("class", "").endswith(".Window")
+        and not nd.get("partitionSpec")
+    )
+
+
+# ------------------------------------------------------------------ roc
+
+
+def test_roc_curve_matches_pure_python(spark):
+    import random
+
+    random.seed(23)
+    rows = [(round(random.random(), 2), random.randint(0, 1))
+            for _ in range(400)]
+    rows += [(0.5, 1), (0.5, 0), (None, 1), (0.3, None)]
+    df = spark.createDataFrame(rows, "score double, label int").repartition(4)
+    d = roc_curve(df, "score", "label")
+    out = {r["threshold"]: r for r in d.collect()}
+    clean = [(s, l) for s, l in rows if s is not None and l is not None]
+    P = sum(l for _, l in clean)
+    N = len(clean) - P
+    assert set(out) == set(s for s, _ in clean)
+    for t in sorted(set(s for s, _ in clean)):
+        tp = sum(l for s, l in clean if s >= t)
+        fp = sum(1 - l for s, l in clean if s >= t)
+        r = out[t]
+        assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (
+            tp, fp, N - fp, P - tp
+        )
+        assert r["tpr"] == pytest.approx(tp / P, abs=1e-15)
+        assert r["fpr"] == pytest.approx(fp / N, abs=1e-15)
+        assert r["youden_j"] == pytest.approx(tp / P - fp / N, abs=1e-12)
+    # tpr and fpr are monotone nonincreasing in threshold; lowest
+    # threshold classifies everything positive
+    ts = sorted(out)
+    tprs = [out[t]["tpr"] for t in ts]
+    fprs = [out[t]["fpr"] for t in ts]
+    assert all(a >= b for a, b in zip(tprs, tprs[1:]))
+    assert all(a >= b for a, b in zip(fprs, fprs[1:]))
+    assert out[ts[0]]["tpr"] == 1.0 and out[ts[0]]["fpr"] == 1.0
+    # distributed: only _prefix_sums' bounded offsets window is global
+    assert _unpartitioned_windows(d) <= 1
+
+
+def test_roc_curve_auc_consistency(spark):
+    """Trapezoidal area under the roc_curve table must agree with the
+    exact Mann-Whitney auc operator (ties handled by the trapezoid
+    through the tie block -- the textbook identity)."""
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import auc
+
+    random.seed(31)
+    rows = [(round(random.random(), 1), random.randint(0, 1))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    pts = sorted(
+        ((r["fpr"], r["tpr"]) for r in
+         roc_curve(df, "score", "label").collect()),
+    )
+    pts = [(0.0, 0.0)] + pts  # the "classify nothing" corner
+    area = sum(
+        (x2 - x1) * (y1 + y2) / 2.0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+    )
+    want = auc(df, "score", "label").collect()[0]["auc"]
+    assert area == pytest.approx(want, abs=1e-12)
+
+
+# ------------------------------------------------------------------ mcc
+
+
+def _py_mcc(pairs):
+    tp = sum(1 for y, p in pairs if y and p)
+    fp = sum(1 for y, p in pairs if not y and p)
+    tn = sum(1 for y, p in pairs if not y and not p)
+    fn = sum(1 for y, p in pairs if y and not p)
+    denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    if denom == 0:
+        return (tp, fp, tn, fn, None)
+    return (tp, fp, tn, fn, (tp * tn - fp * fn) / math.sqrt(denom))
+
+
+def test_mcc_matches_pure_python(spark):
+    import random
+
+    random.seed(7)
+    pairs = [(random.randint(0, 1), random.randint(0, 1))
+             for _ in range(500)]
+    df = spark.createDataFrame(pairs, "label int, pred int")
+    r = mcc(df, "label", "pred").collect()[0]
+    tp, fp, tn, fn, want = _py_mcc(pairs)
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
+    assert r["n"] == len(pairs)
+    assert r["mcc"] == pytest.approx(want, abs=1e-15)
+    assert -1.0 <= r["mcc"] <= 1.0
+
+
+def test_mcc_degenerate_and_grouped_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    rows = [
+        ("a", 1, 1), ("a", 1, 0), ("a", 0, 1), ("a", 0, 0),
+        ("b", 1, 1), ("b", 1, 1),  # all-positive labels: NULL mcc
+    ]
+    df = spark.createDataFrame(rows, "g string, label int, pred int")
+    out = {r["g"]: r for r in
+           mcc(df, "label", "pred", ["g"]).collect()}
+    assert out["a"]["mcc"] == pytest.approx(0.0, abs=1e-15)
+    assert out["b"]["mcc"] is None  # zero tn+fn marginal -> undefined
+    # perfect predictor
+    perf = spark.createDataFrame(
+        [(1, 1), (0, 0), (1, 1), (0, 0)], "label int, pred int"
+    )
+    assert mcc(perf, "label", "pred").collect()[0]["mcc"] == 1.0
+    # inverted predictor
+    inv = spark.createDataFrame(
+        [(1, 0), (0, 1), (1, 0), (0, 1)], "label int, pred int"
+    )
+    assert mcc(inv, "label", "pred").collect()[0]["mcc"] == -1.0
+
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    ok = _cfg("evaluation", operation="mcc", labelColumn="label",
+              predictionColumn="pred", groupBy="g")
+    assert t.validate(df, ok).is_valid
+    assert t.transform(df, ok, None).count() == 2
+    bad = _cfg("evaluation", operation="mcc", labelColumn="nope",
+               predictionColumn="pred")
+    assert not t.validate(df, bad).is_valid
+
+
+# --------------------------------------------------------- fleiss kappa
+
+
+def _py_fleiss(ratings, n=None):
+    """ratings: list of (item, category). Returns the operator's
+    output tuple for the inferred-or-pinned panel size."""
+    cells = Counter(ratings)
+    item_tot = Counter()
+    for (i, _), c in cells.items():
+        item_tot[i] += c
+    if n is None:
+        n = max(item_tot.values())
+    kept = {i for i, tot in item_tot.items() if tot == n}
+    dropped = len(item_tot) - len(kept)
+    N = len(kept)
+    s1 = sum(
+        c * (c - 1) for (i, _), c in cells.items() if i in kept
+    )
+    cj = Counter()
+    for (i, j), c in cells.items():
+        if i in kept:
+            cj[j] += c
+    sc2 = sum(v * v for v in cj.values())
+    p_bar = s1 / (N * n * (n - 1)) if N else None
+    p_e = sc2 / (N * n) ** 2 if N else None
+    kappa = (
+        (p_bar - p_e) / (1 - p_e)
+        if N and p_e is not None and p_e < 1.0
+        else None
+    )
+    return N, dropped, n, len(cj), p_bar, p_e, kappa
+
+
+def test_fleiss_kappa_textbook_example(spark):
+    """The classic Fleiss (1971) 10-item / 14-rater / 5-category
+    psychiatric-diagnosis table: kappa ~= 0.21."""
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    ratings = [
+        (i, f"c{j}")
+        for i, row in enumerate(table)
+        for j, c in enumerate(row)
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(ratings, "item int, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    N, dropped, n, ncat, p_bar, p_e, kappa = _py_fleiss(ratings)
+    assert (r["n_items"], r["n_items_dropped"], r["n_raters"],
+            r["n_categories"]) == (10, 0, 14, 5)
+    assert r["p_bar"] == pytest.approx(p_bar, abs=1e-15)
+    assert r["p_e"] == pytest.approx(p_e, abs=1e-15)
+    assert r["kappa"] == pytest.approx(kappa, abs=1e-15)
+    assert r["kappa"] == pytest.approx(0.20993070442195522, abs=1e-9)
+
+
+def test_fleiss_kappa_unequal_panels_dropped_and_pinned_n(spark):
+    ratings = (
+        [(1, "a"), (1, "a"), (1, "b")]      # 3 raters
+        + [(2, "b"), (2, "b"), (2, "b")]    # 3 raters
+        + [(3, "a"), (3, "b")]              # 2 raters -> dropped at n=3
+    )
+    df = spark.createDataFrame(ratings, "item int, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    N, dropped, n, ncat, p_bar, p_e, kappa = _py_fleiss(ratings)
+    assert (r["n_items"], r["n_items_dropped"]) == (2, 1) == (N, dropped)
+    assert r["kappa"] == pytest.approx(kappa, abs=1e-15)
+    # pinning n=2 keeps only item 3 instead
+    r2 = fleiss_kappa(df, "item", "cat", n_raters=2).collect()[0]
+    assert (r2["n_items"], r2["n_items_dropped"]) == (1, 2)
+    with pytest.raises(TransformationError, match="n_raters >= 2"):
+        fleiss_kappa(df, "item", "cat", n_raters=1)
+
+
+def test_fleiss_kappa_grouped_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    ratings = [
+        ("g", 1, "a"), ("g", 1, "a"), ("g", 2, "a"), ("g", 2, "b"),
+        ("h", 1, "x"), ("h", 1, "x"), ("h", 2, "x"), ("h", 2, "x"),
+    ]
+    df = spark.createDataFrame(ratings, "grp string, item int, cat string")
+    out = {r["grp"]: r for r in
+           fleiss_kappa(df, "item", "cat", ["grp"]).collect()}
+    ge = _py_fleiss([(i, c) for g, i, c in ratings if g == "g"])
+    assert out["g"]["kappa"] == pytest.approx(ge[6], abs=1e-15)
+    # group h: every rating identical -> p_e = 1 -> NULL kappa
+    assert out["h"]["kappa"] is None
+    assert out["h"]["p_bar"] == 1.0
+
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    ok = _cfg("evaluation", operation="fleiss_kappa", itemColumn="item",
+              categoryColumn="cat", groupBy="grp")
+    assert t.validate(df, ok).is_valid
+    assert t.transform(df, ok, None).count() == 2
+    bad = _cfg("evaluation", operation="fleiss_kappa", itemColumn="item",
+               categoryColumn="cat", nRaters="one")
+    assert not t.validate(df, bad).is_valid
+    bad2 = _cfg("evaluation", operation="fleiss_kappa", itemColumn="item",
+                categoryColumn="cat", nRaters="1")
+    assert not t.validate(df, bad2).is_valid
+
+
+# --------------------------------------------------------- nelson-aalen
+
+
+def _na_python(data):
+    dd, cc = Counter(), Counter()
+    for t, e in data:
+        (dd if e else cc)[t] += 1
+    times = sorted(set(dd) | set(cc))
+    n = len(data)
+    cum_rm = hq = vq = 0
+    exp = []
+    for t in times:
+        d, c = dd.get(t, 0), cc.get(t, 0)
+        n_risk = n - cum_rm
+        cum_rm += d + c
+        if d > 0:
+            hq += round(d / n_risk * 1e9)
+            vq += round(d / (n_risk * n_risk) * 1e15)
+        exp.append((t, n_risk, d, c, hq / 1e9, vq / 1e15))
+    return exp
+
+
+def test_nelson_aalen_matches_pure_python(spark):
+    data = [(3, 1), (5, 1), (5, 0), (8, 1), (8, 1), (10, 0),
+            (12, 1), (15, 0)]
+    df = spark.createDataFrame(data, "dur int, ev int")
+    got = [
+        (r["t"], r["n_risk"], r["n_event"], r["n_censored"],
+         r["cum_hazard"], r["var_hazard"])
+        for r in nelson_aalen(df, "dur", "ev").collect()
+    ]
+    assert got == _na_python(data)
+    # cumulative hazard is nonnegative and monotone nondecreasing
+    hz = [h for *_, h, _ in got]
+    assert hz[0] >= 0 and all(a <= b for a, b in zip(hz, hz[1:]))
+    # H ~= -ln(S): cross-check against kaplan_meier on the same data
+    from etl_spark_gradle_spark.operators.timeseries import kaplan_meier
+
+    km = {r["t"]: r["survival"]
+          for r in kaplan_meier(df, "dur", "ev").collect()}
+    for t, _, d, _, h, _ in got:
+        if km[t] > 0:
+            # NA >= -ln(KM) is the classical inequality... actually
+            # H_NA <= -ln(S_KM) with equality as d/n -> 0
+            assert h <= -math.log(km[t]) + 1e-9
+
+
+def test_nelson_aalen_grouped_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    data = [(3, 1), (5, 1), (5, 0), (8, 1)]
+    df = spark.createDataFrame(
+        [("g", t, e) for t, e in data] + [("h", 2, 0)],
+        "grp string, dur int, ev int",
+    )
+    rows = nelson_aalen(df, "dur", "ev", group_by=["grp"]).collect()
+    g = [(r["t"], r["cum_hazard"]) for r in rows if r["grp"] == "g"]
+    assert g == [(t, h) for t, _, _, _, h, _ in _na_python(data)]
+    h_rows = [(r["t"], r["n_risk"], r["cum_hazard"]) for r in rows
+              if r["grp"] == "h"]
+    assert h_rows == [(2, 1, 0.0)]  # censored only: hazard stays 0
+
+    t = TRANSFORMER_REGISTRY["kaplan_meier"]
+    out = t.transform(
+        df,
+        _cfg("kaplan_meier", durationColumn="dur", eventColumn="ev",
+             groupBy="grp", estimator="nelson_aalen"),
+        None,
+    )
+    assert "cum_hazard" in out.columns and out.count() == len(rows)
+    res = t.validate(
+        df, _cfg("kaplan_meier", durationColumn="dur", eventColumn="ev",
+                 estimator="cox")
+    )
+    assert not res.is_valid
+
+
+def test_nelson_aalen_property_vs_pure_python(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=15),
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(data):
+        df = spark.createDataFrame(data, "dur int, ev int")
+        got = [
+            (r["t"], r["n_risk"], r["n_event"], r["n_censored"],
+             r["cum_hazard"], r["var_hazard"])
+            for r in nelson_aalen(df, "dur", "ev").collect()
+        ]
+        assert got == _na_python(data)
+
+    check()

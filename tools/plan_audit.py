@@ -87,6 +87,12 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
                                # (the pinned histogram feeds the scan
                                # and the 1-row totals branch once)
     "pr_curve": 1,             # [PS] cumulative tp/fp counts
+    "roc_curve": 1,            # [PS] cumulative tp/at-or-above counts
+                               # (same pinned-histogram shape)
+    "nelson_aalen": 1,         # [PS] the quantized-hazard CDF over
+                               # the distinct-duration histogram (the
+                               # at-risk CDF sits behind the first
+                               # _prefix_sums' internal pin)
     "psi_drift": 4,            # [PS] edges lineage referenced 4x
     "quantile_normalize": 2,   # [PS] both sides' CDFs
     "quantiles": 1,            # [PS] via exact_quantiles
@@ -945,6 +951,48 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BroadcastNestedLoopJoin"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "roc_curve",
+        "ROC curve: pinned distinct-score histogram (ExistingRDD — "
+        "raw parquet scanned once), cumulative counts via the "
+        "two-level scan, 1-row broadcast totals; per-row divisions "
+        "only, no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "mcc",
+        "Matthews correlation: the four confusion cells come from ONE "
+        "conditional aggregation riding the scan — no joins, no "
+        "windows, no python; exact integer numerator, one sqrt close",
+        ["partial_sum", "PushedFilters"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "fleiss_kappa",
+        "Fleiss kappa: raw ratings reduce map-side to (item, "
+        "category) cells; item close + category marginals are keyed "
+        "aggregations on the shared cell table; panel-size max and "
+        "dropped count attach as 1-row broadcasts; no windows, no "
+        "python",
+        ["partial_count", "BroadcastNestedLoopJoin"],
+        ["Window", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
+        "nelson_aalen",
+        "Nelson-Aalen: duration histogram reduces map-side; at-risk "
+        "and quantized-hazard CDFs ride the two-level scan (per-_pid "
+        "windows, the first pass behind _prefix_sums' internal pin); "
+        "totals broadcast; integer prefix sums, no float fold, no "
+        "python",
+        ["hashpartitioning(_pid", "partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
     ),
     (
         "fdr_bh",
