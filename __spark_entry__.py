@@ -4800,9 +4800,13 @@ def _acf_oracle(lags=(1, 2, 7)) -> str:
             f"CAST(count(CASE WHEN {pair} THEN 1 END) AS BIGINT) AS n_{k},\n"
             f"    SUM(CASE WHEN {pair} THEN x END) AS sx_{k},\n"
             f"    SUM(CASE WHEN {pair} THEN y{k} END) AS sy_{k},\n"
-            f"    SUM(CASE WHEN {pair} THEN CAST(x * x AS DECIMAL(38,12)) END) AS sxx_{k},\n"
-            f"    SUM(CASE WHEN {pair} THEN CAST(y{k} * y{k} AS DECIMAL(38,12)) END) AS syy_{k},\n"
-            f"    SUM(CASE WHEN {pair} THEN CAST(x * y{k} AS DECIMAL(38,12)) END) AS sxy_{k}"
+            # widen ONE operand to DECIMAL(19,6) so DuckDB multiplies in
+            # int128 (a DECIMAL(18)xDECIMAL(18) multiply runs in int64 and
+            # overflows at daily counts ~6.7e3, caught by the sf1 sweep);
+            # the product DECIMAL(37,12) is exact, values unchanged
+            f"    SUM(CASE WHEN {pair} THEN CAST(CAST(x AS DECIMAL(19,6)) * x AS DECIMAL(38,12)) END) AS sxx_{k},\n"
+            f"    SUM(CASE WHEN {pair} THEN CAST(CAST(y{k} AS DECIMAL(19,6)) * y{k} AS DECIMAL(38,12)) END) AS syy_{k},\n"
+            f"    SUM(CASE WHEN {pair} THEN CAST(CAST(x AS DECIMAL(19,6)) * y{k} AS DECIMAL(38,12)) END) AS sxy_{k}"
         )
     branches = []
     for k in lags:
@@ -5997,6 +6001,234 @@ SELECT o_orderstatus, n, k_levels,
                  / ((gsq - fold_a) / CAST(n - k_levels AS DOUBLE))
        END AS f_stat
 FROM agg
+"""
+
+
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer post-hoc pairwise table over the q_anova frame
+    (order totals across the five priority levels): 10 level pairs,
+    MSE from the same ordered list_reduce fold, per-pair fixed-order
+    double closes."""
+    from etl_spark_gradle_spark.operators.stats import tukey_hsd
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return tukey_hsd(orders, "o_totalprice", "o_orderpriority")
+
+
+_TUKEY_HSD_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS lvl,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), per AS (
+  SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
+         SUM(CAST(x * x AS DECIMAL(38,4))) AS sq
+  FROM base GROUP BY 1
+), terms AS (
+  SELECT lvl, n, s, sq,
+         (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+           / CAST(n AS DOUBLE) AS t
+  FROM per
+), mse_row AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(CAST(SUM(sq) AS VARCHAR) AS DOUBLE) AS gsq,
+         list_reduce(list_prepend(0.0, list(t ORDER BY lvl)),
+                     (a, b) -> a + b) AS fold_a
+  FROM terms
+), mse AS (
+  SELECT CASE WHEN nn > k
+              THEN (gsq - fold_a) / CAST(nn - k AS DOUBLE) END AS mse
+  FROM mse_row
+), pairs AS (
+  SELECT a.lvl AS lvl_a, b.lvl AS lvl_b, a.n AS n_a, b.n AS n_b,
+         CAST(CAST(a.s AS VARCHAR) AS DOUBLE) / CAST(a.n AS DOUBLE)
+           AS mean_a,
+         CAST(CAST(b.s AS VARCHAR) AS DOUBLE) / CAST(b.n AS DOUBLE)
+           AS mean_b,
+         mse
+  FROM per a JOIN per b ON a.lvl < b.lvl CROSS JOIN mse
+)
+SELECT lvl_a, lvl_b, n_a, n_b, mean_a, mean_b,
+       mean_a - mean_b AS diff,
+       CASE WHEN mse > 0
+            THEN sqrt((mse / 2.0) * (1.0 / CAST(n_a AS DOUBLE)
+                                     + 1.0 / CAST(n_b AS DOUBLE))) END
+         AS se,
+       CASE WHEN mse > 0
+            THEN abs(mean_a - mean_b)
+                 / sqrt((mse / 2.0) * (1.0 / CAST(n_a AS DOUBLE)
+                                       + 1.0 / CAST(n_b AS DOUBLE))) END
+         AS q_stat
+FROM pairs
+"""
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha treating a customer's per-priority order
+    spend as a 3-item scale (urgent/high/medium) — listwise deletion
+    keeps customers rated on all three; item values are EXACT decimal
+    sums (a float avg fixture would diverge cross-engine before
+    quantization); literal item-order numerator additions."""
+    from etl_spark_gradle_spark.operators.stats import cronbach_alpha
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    wide = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", dec)
+        ).alias("i1"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "2-HIGH", dec)
+        ).alias("i2"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "3-MEDIUM", dec)
+        ).alias("i3"),
+    )
+    return cronbach_alpha(wide, ["i1", "i2", "i3"])
+
+
+_CRONBACH_ALPHA_ORACLE = """
+WITH wide AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS i1,
+         SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS i2,
+         SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS i3
+  FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT CAST(i1 AS DECIMAL(18,2)) AS x1,
+         CAST(i2 AS DECIMAL(18,2)) AS x2,
+         CAST(i3 AS DECIMAL(18,2)) AS x3
+  FROM wide
+  WHERE i1 IS NOT NULL AND i2 IS NOT NULL AND i3 IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x1) AS s1, SUM(CAST(x1 * x1 AS DECIMAL(38,4))) AS q1,
+         SUM(x2) AS s2, SUM(CAST(x2 * x2 AS DECIMAL(38,4))) AS q2,
+         SUM(x3) AS s3, SUM(CAST(x3 * x3 AS DECIMAL(38,4))) AS q3,
+         SUM(CAST(CAST(x1 + x2 AS DECIMAL(18,2)) + x3
+                  AS DECIMAL(18,2))) AS st,
+         SUM(CAST(CAST(CAST(x1 + x2 AS DECIMAL(18,2)) + x3
+                       AS DECIMAL(18,2))
+                  * CAST(CAST(x1 + x2 AS DECIMAL(18,2)) + x3
+                         AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS qt
+  FROM base
+), t1 AS (
+  SELECT n,
+         CAST(CAST(n AS DECIMAL(38,4)) * q1
+              - CAST(s1 * s1 AS DECIMAL(38,4)) AS DECIMAL(38,4)) AS v1,
+         CAST(CAST(n AS DECIMAL(38,4)) * q2
+              - CAST(s2 * s2 AS DECIMAL(38,4)) AS DECIMAL(38,4)) AS v2,
+         CAST(CAST(n AS DECIMAL(38,4)) * q3
+              - CAST(s3 * s3 AS DECIMAL(38,4)) AS DECIMAL(38,4)) AS v3,
+         CAST(CAST(n AS DECIMAL(38,4)) * qt
+              - CAST(st * st AS DECIMAL(38,4)) AS DECIMAL(38,4))
+           AS total_num
+  FROM m
+), nums AS (
+  SELECT n,
+         CAST(CAST(v1 + v2 AS DECIMAL(38,4)) + v3 AS DECIMAL(38,4))
+           AS items_num,
+         total_num
+  FROM t1
+)
+SELECT n, CAST(3 AS BIGINT) AS k_items,
+       CASE WHEN n >= 2
+            THEN CAST(CAST(items_num AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END
+         AS item_var_sum,
+       CASE WHEN n >= 2
+            THEN CAST(CAST(total_num AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END
+         AS total_var,
+       CASE WHEN n >= 2
+             AND CAST(CAST(total_num AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+            THEN 1.5 * (1.0
+                 - (CAST(CAST(items_num AS VARCHAR) AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                   / (CAST(CAST(total_num AS VARCHAR) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+       END AS alpha
+FROM nums
+"""
+
+
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g for extended price between line statuses
+    F and O, per return flag — the effect-size companion to
+    q_welch_ttest; identical moment shape, fixed-order close."""
+    from etl_spark_gradle_spark.operators.stats import cohens_d
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return cohens_d(
+        li, "l_extendedprice", "l_linestatus", side_a="F", side_b="O",
+        group_by=["l_returnflag"],
+    )
+
+
+_COHENS_D_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(CASE WHEN l_linestatus = 'F'
+                          AND l_extendedprice IS NOT NULL THEN 1 END)
+              AS BIGINT) AS n_a,
+         SUM(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sa,
+         SUM(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))
+                            AS DECIMAL(38,4)) END) AS qa,
+         CAST(COUNT(CASE WHEN l_linestatus = 'O'
+                          AND l_extendedprice IS NOT NULL THEN 1 END)
+              AS BIGINT) AS n_b,
+         SUM(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS sb,
+         SUM(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))
+                            AS DECIMAL(38,4)) END) AS qb
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS dsa,
+         CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS dsb,
+         CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS dqa,
+         CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS dqb
+  FROM m
+), v AS (
+  SELECT l_returnflag, n_a, n_b,
+         CASE WHEN n_a > 0 THEN dsa / na END AS mean_a,
+         CASE WHEN n_b > 0 THEN dsb / nb END AS mean_b,
+         CASE WHEN n_a >= 2
+              THEN (na * dqa - dsa * dsa) / (na * (na - 1.0)) END AS var_a,
+         CASE WHEN n_b >= 2
+              THEN (nb * dqb - dsb * dsb) / (nb * (nb - 1.0)) END AS var_b,
+         na, nb
+  FROM c
+), p AS (
+  SELECT *,
+         CASE WHEN n_a >= 2 AND n_b >= 2
+              THEN ((na - 1.0) * var_a + (nb - 1.0) * var_b)
+                   / (na + nb - 2.0) END AS pooled_var
+  FROM v
+)
+SELECT l_returnflag, n_a, n_b, mean_a, mean_b, pooled_var,
+       CASE WHEN pooled_var > 0
+            THEN (mean_a - mean_b) / sqrt(pooled_var) END AS d,
+       (CASE WHEN pooled_var > 0
+             THEN (mean_a - mean_b) / sqrt(pooled_var) END)
+         * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)) AS g
+FROM p
 """
 
 
@@ -11987,25 +12219,28 @@ FROM agg
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
     "average_precision",
-    "cox",
-    "fleiss_kappa",
-    "mcc",
-    "roc_curve",
     "brown_forsythe",
-    "chi_square",
+    "cox",
     "ewma",
+    "fleiss_kappa",
     "kaplan_meier",
-    "kendall_tau",
     "logrank",
-    "mann_kendall",
+    "mcc",
     "mcnemar",
     "nelson_aalen",
     "rmst",
+    "roc_curve",
     "theil_sen",
+    "chi_square",
+    "cohens_d",
+    "cronbach_alpha",
+    "kendall_tau",
+    "mann_kendall",
+    "tukey_hsd",
     "pca",
-    "theil_u",
     "dsir",
     "streaming_ewma",
+    "theil_u",
     "readability",
     "zipf",
     "intervals",
@@ -12029,13 +12264,10 @@ _GATE_WINDOW: list[str] = [
     "fold_accents",
     "gopher_rules",
     "script_profile",
-    "pareto",
-    "rfm",
-    "spend_gini",
     "acf",
-    "benford",
-    "discount_elasticity",
     "event_trigrams",
+    "lag_features",
+    "naive_forecast_error",
 ]
 
 
@@ -12158,6 +12390,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox": q_cox,
         "rmst": q_rmst,
         "anova": q_anova,
+        "tukey_hsd": q_tukey_hsd,
+        "cronbach_alpha": q_cronbach_alpha,
+        "cohens_d": q_cohens_d,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -12486,6 +12721,9 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": _THEIL_SEN_ORACLE,
         "rmst": _RMST_ORACLE,
         "anova": _ANOVA_ORACLE,
+        "tukey_hsd": _TUKEY_HSD_ORACLE,
+        "cronbach_alpha": _CRONBACH_ALPHA_ORACLE,
+        "cohens_d": _COHENS_D_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

@@ -52,6 +52,9 @@ __all__ = [
     "kendall_tau",
     "mann_kendall",
     "theil_sen",
+    "tukey_hsd",
+    "cronbach_alpha",
+    "cohens_d",
     "exact_quantiles",
     "ecdf",
     "mad_outliers",
@@ -2979,6 +2982,319 @@ class DriftTransformer:
         return f"drift({opts})"
 
 
+def tukey_hsd(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+) -> DataFrame:
+    """Tukey's HSD pairwise table — the post-hoc that follows a
+    significant :func:`anova_f`: WHICH pairs of factor levels differ,
+    via the studentized-range statistic (Tukey–Kramer form for
+    unequal level sizes)::
+
+        q_ij = |mean_i − mean_j| / sqrt((MSE/2)·(1/n_i + 1/n_j)),
+        MSE  = SSW / (N − k)
+
+    The statistic (plus per-pair means/diff/se) is the gateable core;
+    critical values of the studentized-range distribution are a
+    lookup the caller applies (the ``welch_ttest`` posture — no
+    p-values without an approximation library).
+
+    Exactness: per-level moments are exact decimal from ONE
+    map-side-combined shuffle; MSE's one cross-level float
+    accumulation closes by the SAME level-sorted ordered fold as
+    ``anova_f`` (replayed verbatim by DuckDB ``list_reduce``); each
+    pair row is then a fixed short sequence of independent double
+    ops. NULL value/level rows are excluded; zero MSE or n ≤ k
+    yields NULL ``q_stat``.
+
+    Plan at 100 TB: the pairwise join runs on the PINNED ≤k-row level
+    table (k² pairs, k = factor cardinality — bounded by contract,
+    never data-sized); MSE attaches as a 1-row broadcast. The raw
+    data is scanned once.
+
+    Output: one row per unordered level pair (lvl_a < lvl_b) —
+    ``lvl_a``/``lvl_b`` (string), ``n_a``/``n_b`` (long),
+    ``mean_a``/``mean_b``/``diff``/``se``/``q_stat`` (double)."""
+    for c in (value_col, factor_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    per_level = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(factor_col).isNotNull()
+        )
+        .groupBy(F.col(factor_col).cast("string").alias("_lvl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(_dec(value_col)).alias("_sum"),
+            F.sum(_prod(value_col, value_col)).alias("_sumsq"),
+        )
+        # the bounded level table feeds the MSE fold AND both sides
+        # of the pair join — pin it so the raw scan runs ONCE
+        .localCheckpoint(eager=True)
+    )
+    term = (
+        (_d(F.col("_sum")) * _d(F.col("_sum")))
+        / F.col("_n").cast("double")
+    ).alias("_t")
+    mse_row = per_level.select("_lvl", "_n", "_sumsq", term).agg(
+        F.sum("_n").cast("long").alias("_N"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("_sumsq").alias("_gsumsq"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_lvl", "_t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_t"],
+        ).alias("_a"),
+    ).select(
+        "_N",
+        "_k",
+        F.when(
+            F.col("_N") > F.col("_k"),
+            (_d(F.col("_gsumsq")) - F.col("_a"))
+            / (F.col("_N") - F.col("_k")).cast("double"),
+        ).alias("_mse"),
+    )
+    a = per_level.select(
+        F.col("_lvl").alias("lvl_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_sum").alias("_sum_a"),
+    )
+    b = per_level.select(
+        F.col("_lvl").alias("lvl_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_sum").alias("_sum_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("lvl_a") < F.col("lvl_b")).crossJoin(
+        F.broadcast(mse_row)
+    )
+    mean_a = _d(F.col("_sum_a")) / F.col("n_a").cast("double")
+    mean_b = _d(F.col("_sum_b")) / F.col("n_b").cast("double")
+    se = F.sqrt(
+        (F.col("_mse") / F.lit(2.0))
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return pairs.select(
+        "lvl_a",
+        "lvl_b",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_a - mean_b).alias("diff"),
+        F.when(F.col("_mse") > 0, se).alias("se"),
+        F.when(
+            F.col("_mse") > 0,
+            F.abs(mean_a - mean_b) / se,
+        ).alias("q_stat"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    k-item scale (rating rubrics, multi-judge quality scores, survey
+    batteries): do the items measure the same construct?::
+
+        α = k/(k−1) · (1 − Σ_i var_i / var_total)
+
+    with sample variances of each item and of the per-row total.
+
+    Exactness: rows with ANY null item are excluded (listwise
+    deletion — the classical treatment, and the only one that keeps
+    var_total well-defined); items quantize to the repo-wide
+    decimal(18,2); every moment (Σx_i, Σx_i², Σt, Σt²) accumulates as
+    exact decimal in ONE aggregation; Σ_i var_i numerators fold in
+    LITERAL item-parameter order as exact decimal additions (no
+    data-dependent order anywhere); the close is a fixed short double
+    expression via the string round-trip. n < 2, k < 2 or zero total
+    variance yields NULL ``alpha``.
+
+    Plan at 100 TB: one shuffle carrying 2k+3 numbers per group — the
+    moment row merges across shards by plain addition.
+
+    Output: group cols + ``n`` (long), ``k_items`` (long),
+    ``item_var_sum``/``total_var``/``alpha`` (double)."""
+    if len(item_cols) < 2:
+        raise TransformationError(
+            "cronbach_alpha requires at least two item columns"
+        )
+    group_by = group_by or []
+    for c in (*item_cols, *group_by):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    cond = None
+    for c in item_cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    base = df.where(cond)
+    total = None
+    for c in item_cols:
+        total = _dec(c) if total is None else (total + _dec(c))
+    total = total.cast("decimal(18,2)")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, c in enumerate(item_cols):
+        aggs.append(F.sum(_dec(c)).alias(f"_s{i}"))
+        aggs.append(F.sum(_prod(c, c)).alias(f"_q{i}"))
+    aggs.append(F.sum(total).alias("_st"))
+    aggs.append(
+        F.sum((total * total).cast("decimal(38,4)")).alias("_qt")
+    )
+    grouped = base.groupBy(*group_by) if group_by else base.groupBy()
+    m = grouped.agg(*aggs)
+    n = F.col("n").cast("double")
+    k = len(item_cols)
+    # Σ_i (n·Σx² − (Σx)²) in literal item order, exact decimal
+    items_num = None
+    for i in range(k):
+        t = (
+            F.col("n") * F.col(f"_q{i}")
+            - (F.col(f"_s{i}") * F.col(f"_s{i}")).cast("decimal(38,4)")
+        ).cast("decimal(38,4)")
+        items_num = t if items_num is None else (
+            (items_num + t).cast("decimal(38,4)")
+        )
+    total_num = (
+        F.col("n") * F.col("_qt")
+        - (F.col("_st") * F.col("_st")).cast("decimal(38,4)")
+    ).cast("decimal(38,4)")
+    denom = n * (n - F.lit(1.0))
+    item_var_sum = F.when(F.col("n") >= 2, _d(items_num) / denom)
+    total_var = F.when(F.col("n") >= 2, _d(total_num) / denom)
+    return m.select(
+        *group_by,
+        "n",
+        F.lit(k).cast("long").alias("k_items"),
+        item_var_sum.alias("item_var_sum"),
+        total_var.alias("total_var"),
+        F.when(
+            (F.col("n") >= 2) & (total_var > 0),
+            F.lit(k / (k - 1.0))
+            * (F.lit(1.0) - item_var_sum / total_var),
+        ).alias("alpha"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a=None,
+    side_b=None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's d and Hedges' g — the standardized two-group effect
+    size that tells you whether a statistically significant
+    :func:`welch_ttest` MATTERS (at 100 TB every difference is
+    "significant"; effect size is the read that survives scale)::
+
+        d = (mean_a − mean_b) / s_p,
+        s_p² = ((n_a−1)s_a² + (n_b−1)s_b²) / (n_a+n_b−2),
+        g = d · (1 − 3/(4(n_a+n_b) − 9))     (small-sample bias fix)
+
+    Same single conditional moment aggregation as ``welch_ttest``
+    (exact decimal n/Σx/Σx² per side, one shuffle, one short row per
+    group), closed in fixed IEEE order through the string round-trip.
+    ``side_col`` must carry exactly two non-null values; omit
+    ``side_a``/``side_b`` to auto-detect (sorted ascending). Groups
+    with n < 2 on either side or zero pooled variance yield NULL
+    ``d``/``g``.
+
+    Output: group cols + ``n_a``/``n_b`` (long), ``mean_a``/
+    ``mean_b``/``pooled_var``/``d``/``g`` (double)."""
+    for c in (value_col, side_col, *(group_by or [])):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    group_by = group_by or []
+    if (side_a is None) != (side_b is None):
+        raise TransformationError(
+            "cohens_d: pass both side_a and side_b or neither"
+        )
+    if side_a is None:
+        sides = [
+            r[0]
+            for r in df.select(side_col)
+            .where(F.col(side_col).isNotNull())
+            .distinct()
+            .orderBy(side_col)
+            .limit(3)
+            .collect()
+        ]
+        if len(sides) != 2:
+            raise TransformationError(
+                f"cohens_d: side column '{side_col}' must carry exactly "
+                f"two distinct non-null values, found {len(sides)}"
+            )
+        side_a, side_b = sides
+    if side_a == side_b:
+        raise TransformationError("cohens_d: side_a and side_b must differ")
+    aggs = []
+    for tag, side in (("a", side_a), ("b", side_b)):
+        cond = F.col(side_col) == F.lit(side)
+        aggs += [
+            F.count(
+                F.when(cond & F.col(value_col).isNotNull(), F.lit(1))
+            ).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(cond, _dec(value_col))).alias(f"sum_{tag}"),
+            F.sum(F.when(cond, _prod(value_col, value_col))).alias(
+                f"sumsq_{tag}"
+            ),
+        ]
+    grouped = df.groupBy(*group_by) if group_by else df.groupBy()
+    m = grouped.agg(*aggs)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = _d(F.col("sum_a")), _d(F.col("sum_b"))
+    sqa, sqb = _d(F.col("sumsq_a")), _d(F.col("sumsq_b"))
+    mean_a = F.when(F.col("n_a") > 0, sa / na)
+    mean_b = F.when(F.col("n_b") > 0, sb / nb)
+    var_a = F.when(
+        F.col("n_a") >= 2, (na * sqa - sa * sa) / (na * (na - F.lit(1.0)))
+    )
+    var_b = F.when(
+        F.col("n_b") >= 2, (nb * sqb - sb * sb) / (nb * (nb - F.lit(1.0)))
+    )
+    out = m.select(
+        *group_by, "n_a", "n_b",
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        var_a.alias("var_a"), var_b.alias("var_b"),
+    )
+    pooled = (
+        (F.col("n_a").cast("double") - F.lit(1.0)) * F.col("var_a")
+        + (F.col("n_b").cast("double") - F.lit(1.0)) * F.col("var_b")
+    ) / (
+        F.col("n_a").cast("double") + F.col("n_b").cast("double")
+        - F.lit(2.0)
+    )
+    out = out.withColumn(
+        "pooled_var",
+        F.when(
+            (F.col("n_a") >= 2) & (F.col("n_b") >= 2), pooled
+        ),
+    )
+    d = F.when(
+        F.col("pooled_var") > 0,
+        (F.col("mean_a") - F.col("mean_b")) / F.sqrt(F.col("pooled_var")),
+    )
+    nsum = F.col("n_a").cast("double") + F.col("n_b").cast("double")
+    return out.select(
+        *group_by, "n_a", "n_b", "mean_a", "mean_b", "pooled_var",
+        d.alias("d"),
+        (
+            d
+            * (
+                F.lit(1.0)
+                - F.lit(3.0) / (F.lit(4.0) * nsum - F.lit(9.0))
+            )
+        ).alias("g"),
+    )
+
+
 class StatsTransformer:
     """Registry adapter (``type: stats``). Options: ``operation``
     correlation|linear_fit|zscore|quantiles|mad_outliers|ecdf|
@@ -3122,15 +3438,36 @@ class StatsTransformer:
                     cols_needed.append(opts[key])
             if opts.get("groupBy"):
                 errors.append("stats spearman does not support groupBy")
-        elif op in ("anova", "kruskal_wallis", "brown_forsythe"):
+        elif op in ("anova", "kruskal_wallis", "brown_forsythe",
+                    "tukey_hsd"):
             for key in ("valueColumn", "factorColumn"):
                 if not opts.get(key):
                     errors.append(f"stats {op} requires '{key}'")
                 else:
                     cols_needed.append(opts[key])
-            if op == "kruskal_wallis" and opts.get("groupBy"):
+            if op in ("kruskal_wallis", "tukey_hsd") and opts.get(
+                "groupBy"
+            ):
                 errors.append(
-                    "stats kruskal_wallis does not support groupBy"
+                    f"stats {op} does not support groupBy"
+                )
+        elif op == "cronbach_alpha":
+            cols = _split_csv(opts.get("itemColumns"))
+            if len(cols) < 2:
+                errors.append(
+                    "stats cronbach_alpha requires 'itemColumns' (>= 2)"
+                )
+            cols_needed += cols
+        elif op == "cohens_d":
+            for key in ("valueColumn", "sideColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats cohens_d requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            if (opts.get("sideA") is None) != (opts.get("sideB") is None):
+                errors.append(
+                    "stats cohens_d requires both 'sideA' and 'sideB' "
+                    "or neither"
                 )
         elif op in ("chi_square", "kendall_tau", "mann_kendall",
                     "theil_sen"):
@@ -3203,7 +3540,8 @@ class StatsTransformer:
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
-                "|mann_kendall|theil_sen|cox|rmst, "
+                "|mann_kendall|theil_sen|cox|rmst|tukey_hsd"
+                "|cronbach_alpha|cohens_d, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -3269,6 +3607,27 @@ class StatsTransformer:
         if op == "kruskal_wallis":
             return kruskal_wallis(
                 df, opts["valueColumn"], opts["factorColumn"]
+            )
+        if op == "tukey_hsd":
+            return tukey_hsd(
+                df, opts["valueColumn"], opts["factorColumn"]
+            )
+        if op == "cronbach_alpha":
+            from etl_spark_gradle_spark.operators.relational import (
+                _split_csv,
+            )
+
+            return cronbach_alpha(
+                df, list(_split_csv(opts["itemColumns"])), group_by=gb
+            )
+        if op == "cohens_d":
+            return cohens_d(
+                df,
+                opts["valueColumn"],
+                opts["sideColumn"],
+                side_a=opts.get("sideA"),
+                side_b=opts.get("sideB"),
+                group_by=gb,
             )
         if op == "chi_square":
             return chi_square(

@@ -367,3 +367,127 @@ def test_nelson_aalen_property_vs_pure_python(spark):
         assert got == _na_python(data)
 
     check()
+
+
+# ----------------------------------------------------- stats additions
+
+
+def test_tukey_hsd_matches_pure_python(spark):
+    import itertools
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import tukey_hsd
+
+    random.seed(11)
+    data = []
+    shift = {"a": 0.0, "b": 5.0, "c": 5.5, "d": -2.0}
+    for lvl, off in shift.items():
+        data += [(lvl, round(random.gauss(10 + off, 3), 2))
+                 for _ in range(random.randint(20, 40))]
+    df = spark.createDataFrame(data, "lvl string, x double")
+    got = {(r["lvl_a"], r["lvl_b"]): r
+           for r in tukey_hsd(df, "x", "lvl").collect()}
+    # pure python reference
+    by = {}
+    for lvl, x in data:
+        by.setdefault(lvl, []).append(round(x, 2))
+    N = sum(len(v) for v in by.values())
+    k = len(by)
+    ssw = sum(
+        sum(x * x for x in v) - sum(v) ** 2 / len(v)
+        for v in by.values()
+    )
+    mse = ssw / (N - k)
+    assert set(got) == set(
+        tuple(sorted(p)) for p in itertools.combinations(by, 2)
+    )
+    for (la, lb), r in got.items():
+        ma = sum(by[la]) / len(by[la])
+        mb = sum(by[lb]) / len(by[lb])
+        se = math.sqrt(mse / 2 * (1 / len(by[la]) + 1 / len(by[lb])))
+        assert r["n_a"] == len(by[la]) and r["n_b"] == len(by[lb])
+        assert r["mean_a"] == pytest.approx(ma, rel=1e-12)
+        assert r["diff"] == pytest.approx(ma - mb, abs=1e-9)
+        assert r["q_stat"] == pytest.approx(abs(ma - mb) / se, rel=1e-9)
+    # the planted big separations dominate
+    assert got[("a", "b")]["q_stat"] > got[("b", "c")]["q_stat"]
+
+
+def test_cronbach_alpha_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import cronbach_alpha
+
+    random.seed(5)
+    rows = []
+    for _ in range(60):
+        base = random.gauss(0, 2)
+        rows.append(tuple(
+            round(base + random.gauss(0, 1), 2) for _ in range(3)
+        ))
+    rows.append((1.0, None, 2.0))  # listwise-deleted
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    r = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+    clean = [t for t in rows if None not in t]
+    n = len(clean)
+
+    def var(xs):
+        s = sum(xs)
+        return (n * sum(x * x for x in xs) - s * s) / (n * (n - 1))
+
+    items = sum(var([t[i] for t in clean]) for i in range(3))
+    tot = var([sum(t) for t in clean])
+    want = 3 / 2 * (1 - items / tot)
+    assert r["n"] == n and r["k_items"] == 3
+    assert r["item_var_sum"] == pytest.approx(items, rel=1e-12)
+    assert r["total_var"] == pytest.approx(tot, rel=1e-12)
+    assert r["alpha"] == pytest.approx(want, rel=1e-12)
+    # correlated items -> reliability comfortably positive
+    assert r["alpha"] > 0.5
+    with pytest.raises(TransformationError, match="at least two"):
+        cronbach_alpha(df, ["a"])
+
+
+def test_cohens_d_matches_pure_python_and_adapter(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.stats import cohens_d
+
+    random.seed(3)
+    rows = [("x", round(random.gauss(10, 2), 2)) for _ in range(40)]
+    rows += [("y", round(random.gauss(12, 2), 2)) for _ in range(50)]
+    df = spark.createDataFrame(rows, "side string, v double")
+    r = cohens_d(df, "v", "side").collect()[0]  # sides auto: x, y
+    xs = [v for s, v in rows if s == "x"]
+    ys = [v for s, v in rows if s == "y"]
+
+    def mv(vals):
+        n = len(vals)
+        m = sum(vals) / n
+        v = (n * sum(x * x for x in vals) - sum(vals) ** 2) / (n * (n - 1))
+        return n, m, v
+
+    na, ma, va = mv(xs)
+    nb, mb, vb = mv(ys)
+    sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    d = (ma - mb) / math.sqrt(sp2)
+    g = d * (1 - 3 / (4 * (na + nb) - 9))
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["pooled_var"] == pytest.approx(sp2, rel=1e-12)
+    assert r["d"] == pytest.approx(d, rel=1e-12)
+    assert r["g"] == pytest.approx(g, rel=1e-12)
+
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="cohens_d", valueColumn="v",
+              sideColumn="side")
+    assert t.validate(df, ok).is_valid
+    assert t.transform(df, ok, None).count() == 1
+    bad = _cfg("stats", operation="cohens_d", valueColumn="v",
+               sideColumn="side", sideA="x")  # sideB missing
+    assert not t.validate(df, bad).is_valid
+    ok2 = _cfg("stats", operation="tukey_hsd", valueColumn="v",
+               sideColumn="side")
+    assert not t.validate(df, ok2).is_valid  # factorColumn missing
+    ok3 = _cfg("stats", operation="cronbach_alpha", itemColumns="v")
+    assert not t.validate(df, ok3).is_valid  # needs >= 2 items

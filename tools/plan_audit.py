@@ -932,6 +932,36 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "tukey_hsd",
+        "Tukey HSD: pairwise table built from the PINNED <=k-row "
+        "level histogram (ExistingRDD — raw scanned once, feeding "
+        "the MSE fold and both join sides); the non-equi pair join "
+        "is a broadcast over bounded level tables, never a "
+        "data-sized cartesian; no windows, no python",
+        ["ExistingRDD", "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "Window", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "cronbach_alpha",
+        "Cronbach alpha: ONE moment aggregation carrying 2k+3 exact "
+        "decimals — no joins, no windows, no python; the item "
+        "variance numerators fold in literal item order inside the "
+        "projection",
+        ["partial_sum", "partial_count"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "cohens_d",
+        "Cohen's d: the welch_ttest conditional-moment shape — one "
+        "map-side-combined aggregation per group, fixed-order double "
+        "close; no joins, no windows, no python",
+        ["partial_sum", "partial_count", "hashpartitioning"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "kruskal_wallis",
         "Kruskal-Wallis: pooled ranks from the value histogram via "
         "the distributed prefix-sum scan (per-_pid windows), the "
