@@ -6232,6 +6232,49 @@ FROM p
 """
 
 
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over orders as paired units with three binary
+    'treatments' derived from their lineitems (any deep discount /
+    any return / any high tax) — exact integer column and row
+    moments, one final division."""
+    from etl_spark_gradle_spark.operators.stats import cochran_q
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_discount") > 0.05).cast("int")).alias("f1"),
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("f2"),
+        F.max((F.col("l_tax") > 0.04).cast("int")).alias("f3"),
+    )
+    return cochran_q(per_order, ["f1", "f2", "f3"])
+
+
+_COCHRAN_Q_ORACLE = """
+WITH per AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS f1,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS f2,
+         MAX(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS f3
+  FROM lineitem GROUP BY l_orderkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f1) AS BIGINT) AS c0,
+         CAST(SUM(f2) AS BIGINT) AS c1,
+         CAST(SUM(f3) AS BIGINT) AS c2,
+         CAST(SUM(f1 + f2 + f3) AS BIGINT) AS sr,
+         CAST(SUM((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT) AS srr
+  FROM per
+)
+SELECT n, CAST(3 AS BIGINT) AS k_treatments, CAST(2 AS BIGINT) AS df,
+       CASE WHEN 3 * sr - srr > 0
+            THEN (2.0 * CAST(3 * (c0 * c0 + c1 * c1 + c2 * c2)
+                             - (c0 + c1 + c2) * (c0 + c1 + c2)
+                             AS DOUBLE))
+                 / CAST(3 * sr - srr AS DOUBLE) END AS q_stat
+FROM m
+"""
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H of order totals across the five priority
     levels — the nonparametric twin of q_anova over the same frame.
@@ -7441,21 +7484,41 @@ def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# first/last ride row_number windows, NOT min/max over struct_pack:
+# DuckDB's struct min/max aggregate measured ~4 s / 10k rows and
+# OOM-killed the sf1 sweep at 1.5M rows (round-11 continuation);
+# (o_orderdate, o_orderkey) is unique per order, so the window
+# replay is value-identical to Spark's lexicographic struct min/max
 _CONSOLIDATE_ORACLE = """
-SELECT o_custkey,
-       (min(struct_pack(o0 := CAST(o_orderdate AS TIMESTAMP),
-                        o1 := o_orderkey,
-                        v := o_orderstatus))).v AS o_orderstatus,
-       (max(CASE WHEN o_orderpriority IS NOT NULL THEN
-              struct_pack(o0 := CAST(o_orderdate AS TIMESTAMP),
-                          o1 := o_orderkey,
-                          v := o_orderpriority) END)).v AS o_orderpriority,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
-            AS DOUBLE) AS o_totalprice,
-       MAX(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM orders
-GROUP BY o_custkey
+WITH ranked AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)
+           AS rn_first,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CASE WHEN o_orderpriority IS NOT NULL
+                                          THEN 0 ELSE 1 END,
+                                     o_orderdate DESC, o_orderkey DESC)
+           AS rn_lastp
+  FROM orders
+), agg AS (
+  SELECT o_custkey,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS o_totalprice,
+         MAX(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY o_custkey
+)
+SELECT a.o_custkey,
+       f.o_orderstatus,
+       l.o_orderpriority,
+       a.o_totalprice, a.o_orderdate, a.n_rows
+FROM agg a
+JOIN (SELECT o_custkey, o_orderstatus FROM ranked
+      WHERE rn_first = 1) f USING (o_custkey)
+LEFT JOIN (SELECT o_custkey, o_orderpriority FROM ranked
+           WHERE rn_lastp = 1 AND o_orderpriority IS NOT NULL) l
+  USING (o_custkey)
 """
 
 
@@ -9892,6 +9955,75 @@ FROM d
 """
 
 
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A2akN over events.value (click vs
+    purchase — the q_ks_drift frame, tail-weighted): doubled midranks
+    are exact integers from the pooled-histogram prefix sums;
+    per-value contributions nano-quantized and summed exactly."""
+    from etl_spark_gradle_spark.operators.stats import (
+        anderson_darling_drift,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return anderson_darling_drift(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        "value",
+    )
+
+
+_ANDERSON_DARLING_ORACLE = """
+WITH pooled AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY v
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb
+  FROM pooled
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM pooled
+  HAVING SUM(ca) > 0 AND SUM(cb) > 0
+), terms AS (
+  SELECT CAST(ca + cb AS DOUBLE) AS t,
+         CAST(2 * cum_ca - ca AS DOUBLE) AS ua,
+         CAST(2 * cum_cb - cb AS DOUBLE) AS ub,
+         CAST(2 * (cum_ca + cum_cb) - (ca + cb) AS DOUBLE) AS vv,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         n_a, n_b
+  FROM cum CROSS JOIN tot
+), q AS (
+  SELECT n_a, n_b,
+         CASE WHEN vv * (2.0 * (na + nb) - vv) - (na + nb) * t > 0
+              THEN CAST(ROUND(
+                ((na + nb) - 1.0) / (na + nb) * (t / (na + nb))
+                * ((((na + nb) * ua - na * vv)
+                     * ((na + nb) * ua - na * vv))
+                    / (na * (vv * (2.0 * (na + nb) - vv)
+                             - (na + nb) * t))
+                   + (((na + nb) * ub - nb * vv)
+                       * ((na + nb) * ub - nb * vv))
+                      / (nb * (vv * (2.0 * (na + nb) - vv)
+                               - (na + nb) * t)))
+                * 1e9) AS BIGINT)
+              ELSE 0 END AS tq
+  FROM terms
+)
+SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9 AS a2
+FROM q GROUP BY n_a, n_b
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift over events.value
     (click vs purchase): one value-keyed count shuffle, then
@@ -12218,29 +12350,31 @@ FROM agg
 # sf0.1 via check_oracle — then the stalest recorded queries.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "average_precision",
+    "anderson_darling",
     "brown_forsythe",
+    "chi_square",
+    "cochran_q",
+    "cohens_d",
     "cox",
+    "cronbach_alpha",
+    "kendall_tau",
+    "mann_kendall",
+    "mcnemar",
+    "rmst",
+    "theil_sen",
+    "tukey_hsd",
+    "average_precision",
     "ewma",
     "fleiss_kappa",
     "kaplan_meier",
     "logrank",
     "mcc",
-    "mcnemar",
     "nelson_aalen",
-    "rmst",
     "roc_curve",
-    "theil_sen",
-    "chi_square",
-    "cohens_d",
-    "cronbach_alpha",
-    "kendall_tau",
-    "mann_kendall",
-    "tukey_hsd",
     "pca",
-    "dsir",
     "streaming_ewma",
     "theil_u",
+    "dsir",
     "readability",
     "zipf",
     "intervals",
@@ -12260,14 +12394,12 @@ _GATE_WINDOW: list[str] = [
     "scd2",
     "top_paths",
     "vocab_overlap",
-    "interval_join",
     "fold_accents",
     "gopher_rules",
     "script_profile",
-    "acf",
-    "event_trigrams",
-    "lag_features",
-    "naive_forecast_error",
+    "benford",
+    "discount_elasticity",
+    "feature_pipeline",
 ]
 
 
@@ -12393,6 +12525,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tukey_hsd": q_tukey_hsd,
         "cronbach_alpha": q_cronbach_alpha,
         "cohens_d": q_cohens_d,
+        "cochran_q": q_cochran_q,
+        "anderson_darling": q_anderson_darling,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -12724,6 +12858,8 @@ def oracle_sql() -> dict[str, str]:
         "tukey_hsd": _TUKEY_HSD_ORACLE,
         "cronbach_alpha": _CRONBACH_ALPHA_ORACLE,
         "cohens_d": _COHENS_D_ORACLE,
+        "cochran_q": _COCHRAN_Q_ORACLE,
+        "anderson_darling": _ANDERSON_DARLING_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

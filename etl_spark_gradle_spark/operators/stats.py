@@ -43,6 +43,7 @@ __all__ = [
     "category_drift",
     "tv_distance",
     "ks_drift",
+    "anderson_darling_drift",
     "rank_sum_drift",
     "welch_ttest",
     "prop_ztest",
@@ -55,6 +56,7 @@ __all__ = [
     "tukey_hsd",
     "cronbach_alpha",
     "cohens_d",
+    "cochran_q",
     "exact_quantiles",
     "ecdf",
     "mad_outliers",
@@ -1694,6 +1696,119 @@ def ks_drift(
     )
 
 
+def anderson_darling_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Anderson–Darling drift statistic (Scholz–Stephens
+    A²akN, k = 2, midrank/tie-adjusted form) — the tail-sensitive
+    companion to :func:`ks_drift`: KS sees only the single largest
+    CDF gap (middle-heavy); AD integrates the squared gap with
+    1/(F(1−F)) weighting, so a shift that lives in the DISTRIBUTION
+    TAILS — exactly where latency/price/score drift bites — moves A²
+    long before it moves D::
+
+        A² = (N−1)/N · Σ_{i∈{a,b}} (1/n_i) Σ_j (t_j/N) ·
+             (N·M_ij − n_i·B_j)² / (B_j(N−B_j) − N·t_j/4)
+
+    with t_j the pooled multiplicity at the j-th distinct value and
+    B_j / M_ij midrank cumulative counts (B_{j−1} + t_j/2). Under H0,
+    E[A²] = 1; the raw statistic is the gateable core (the
+    studentized version needs the Scholz–Stephens variance lookup the
+    caller applies — the ``welch_ttest`` no-p-value posture).
+
+    Exactness: doubled midranks ``2B``/``2M`` are exact INTEGERS from
+    the pooled-histogram prefix sums; each distinct value's
+    contribution is a fixed-operand-order double expression
+    nano-quantized to a long (the ``logrank_test`` posture), and the
+    quantized terms sum EXACTLY — partition-order free, replayed
+    verbatim by the SQL oracle. Bound: Σ terms = A² ≤ N, so the long
+    sum holds to N ~ 9·10⁹ pooled rows.
+
+    Plan at 100 TB: both sides reduce map-side onto ONE pooled
+    (value, n_a, n_b) histogram (pinned — it feeds the scan and the
+    totals branch); cumulative counts ride ``_prefix_sums``' two-level
+    scan (continuous values never funnel one task); totals attach as
+    a 1-row broadcast; one bounded final aggregation. NULL values are
+    excluded. A single distinct value (t = N) has an undefined weight
+    and contributes 0; empty sides yield an empty frame.
+
+    Output: ONE row — ``n_a``/``n_b``/``n_values`` (long), ``a2``
+    (double)."""
+    for df, side in ((df_a, "a"), (df_b, "b")):
+        if value_col not in df.columns:
+            raise TransformationError(
+                "anderson_darling_drift: value column not in "
+                f"side-{side} schema: {value_col}"
+            )
+    a = df_a.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+    b = df_b.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    pooled = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+        # pinned ONCE: feeds the prefix-sum scan AND the totals branch
+        .localCheckpoint(eager=True)
+    )
+    cum = _prefix_sums(
+        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True
+    )
+    totals = pooled.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
+    j = cum.crossJoin(F.broadcast(totals))
+    # doubled midranks: exact integers (2M = 2·cum_incl − own count)
+    t = (F.col("ca") + F.col("cb")).cast("double")
+    ua = (F.lit(2) * F.col("cum_ca") - F.col("ca")).cast("double")
+    ub = (F.lit(2) * F.col("cum_cb") - F.col("cb")).cast("double")
+    vv = (
+        F.lit(2) * (F.col("cum_ca") + F.col("cum_cb"))
+        - (F.col("ca") + F.col("cb"))
+    ).cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    # den = 16·[B(N−B) − N·t/4] with B = V/2: V(2N−V) − N·t, ≥ 0,
+    # zero only when t = N (one distinct value)
+    den = vv * (F.lit(2.0) * nn - vv) - nn * t
+    ga = (nn * ua - na * vv)
+    gb = (nn * ub - nb * vv)
+    # per-value contribution to A², spelled in the order the oracle
+    # replays; the /4 from squaring the halved midranks cancels the
+    # /4 in den's scaling exactly
+    term = (
+        (nn - F.lit(1.0))
+        / nn
+        * (t / nn)
+        * (ga * ga / (na * den) + gb * gb / (nb * den))
+    )
+    q = F.when(den > 0, F.round(term * F.lit(1e9)).cast("long")).otherwise(
+        F.lit(0)
+    )
+    agg = j.select("n_a", "n_b", q.alias("_q")).groupBy(
+        "n_a", "n_b"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("_q").cast("long").alias("_sq"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        (F.col("_sq").cast("double") / F.lit(1e9)).alias("a2"),
+    )
+
+
 def rank_sum_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -2872,9 +2987,10 @@ class DriftTransformer:
     registered under ``views:``) plus EXACTLY ONE of
     ``categoryColumn`` (categorical χ² table) or ``valueColumn``
     (continuous two-sample test; ``statistic: ks`` default,
-    ``rank_sum`` for Mann–Whitney AUC, or ``psi`` for the Population
-    Stability Index over the reference side's exact decile bins —
-    ``bins``, ``smoothing``, ``perBin``). With ``categoryColumn``,
+    ``rank_sum`` for Mann–Whitney AUC, ``anderson_darling`` for the
+    tail-sensitive Scholz–Stephens A²akN, or ``psi`` for the
+    Population Stability Index over the reference side's exact decile
+    bins — ``bins``, ``smoothing``, ``perBin``). With ``categoryColumn``,
     ``statistic: tv`` selects the total-variation summary,
     ``js`` the Jensen-Shannon divergence (both take ``perCategory:
     true`` for the contribution table), and ``kl`` the add-α smoothed
@@ -2898,10 +3014,12 @@ class DriftTransformer:
         if not opts.get("otherView"):
             errors.append("drift requires 'otherView'")
         stat = opts.get("statistic")
-        if val and stat not in (None, "ks", "rank_sum", "psi"):
+        if val and stat not in (
+            None, "ks", "rank_sum", "psi", "anderson_darling"
+        ):
             errors.append(
                 "drift statistic for valueColumn must be "
-                f"ks|rank_sum|psi, got '{stat}'"
+                f"ks|rank_sum|psi|anderson_darling, got '{stat}'"
             )
         if cat and stat not in (None, "chi2", "tv", "js", "kl"):
             errors.append(
@@ -2938,6 +3056,10 @@ class DriftTransformer:
         if opts.get("valueColumn"):
             if opts.get("statistic", "ks") == "rank_sum":
                 return rank_sum_drift(df, other, opts["valueColumn"])
+            if opts.get("statistic", "ks") == "anderson_darling":
+                return anderson_darling_drift(
+                    df, other, opts["valueColumn"]
+                )
             if opts.get("statistic", "ks") == "psi":
                 from etl_spark_gradle_spark.operators.infotheory import psi_drift
 
@@ -2980,6 +3102,85 @@ class DriftTransformer:
     def lineage_step(self, config) -> str:
         opts = ",".join(f"{k}={v}" for k, v in sorted(config.options.items()))
         return f"drift({opts})"
+
+
+def cochran_q(
+    df: DataFrame,
+    flag_cols: list[str],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of
+    :func:`mcnemar_test` for PAIRED binary outcomes (k model variants
+    scored correct/incorrect on the SAME eval rows; k pipeline stages
+    pass/fail on the same documents)::
+
+        Q = (k−1) · [k·ΣC_j² − (ΣC_j)²] / [k·ΣR_i − ΣR_i²]
+
+    with ``C_j`` the per-treatment success totals and ``R_i`` each
+    row's success count. Under H0 (no treatment effect) Q ~ χ²(k−1);
+    the statistic is the gateable core (the ``welch_ttest`` posture).
+
+    Exactness: EVERYTHING is exact 64-bit integer arithmetic up to
+    ONE final division — C_j, ΣC_j², ΣR_i, ΣR_i² all accumulate as
+    longs in ONE aggregation (C_j² ≤ n², so per-group n must stay
+    below ~3·10⁹ — the repo-wide integer-bound contract). Rows with
+    ANY null flag are excluded (pairing requires the full panel).
+    Flags are truthy casts. A zero denominator (all rows all-success
+    or all-failure) yields NULL ``q_stat``.
+
+    Plan at 100 TB: one shuffle carrying k+3 longs per group; the
+    moment row merges across shards by plain addition... except ΣC_j²
+    which derives from the merged C_j — so the SHUFFLED row carries
+    the k raw C_j totals and the close squares them after the final
+    merge (fully mergeable, no approximation).
+
+    Output: group cols + ``n`` (long), ``k_treatments`` (long),
+    ``df`` (long), ``q_stat`` (double)."""
+    if len(flag_cols) < 2:
+        raise TransformationError(
+            "cochran_q requires at least two flag columns"
+        )
+    group_by = group_by or []
+    for c in (*flag_cols, *group_by):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    k = len(flag_cols)
+    flags = [F.col(c).cast("boolean").cast("int") for c in flag_cols]
+    cond = None
+    for f in flags:
+        nn = f.isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    base = df.where(cond)
+    r = None
+    for f in flags:
+        r = f if r is None else (r + f)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, f in enumerate(flags):
+        aggs.append(F.sum(f).cast("long").alias(f"_c{i}"))
+    aggs.append(F.sum(r).cast("long").alias("_sr"))
+    aggs.append(F.sum(r * r).cast("long").alias("_srr"))
+    grouped = base.groupBy(*group_by) if group_by else base.groupBy()
+    m = grouped.agg(*aggs)
+    sc = None
+    sc2 = None
+    for i in range(k):
+        c = F.col(f"_c{i}")
+        sc = c if sc is None else (sc + c)
+        sq = c * c
+        sc2 = sq if sc2 is None else (sc2 + sq)
+    num = (F.lit(k) * sc2 - sc * sc).cast("long")
+    den = (F.lit(k) * F.col("_sr") - F.col("_srr")).cast("long")
+    return m.select(
+        *group_by,
+        "n",
+        F.lit(k).cast("long").alias("k_treatments"),
+        F.lit(k - 1).cast("long").alias("df"),
+        F.when(
+            den > 0,
+            (F.lit(float(k - 1)) * num.cast("double"))
+            / den.cast("double"),
+        ).alias("q_stat"),
+    )
 
 
 def tukey_hsd(
@@ -3458,6 +3659,13 @@ class StatsTransformer:
                     "stats cronbach_alpha requires 'itemColumns' (>= 2)"
                 )
             cols_needed += cols
+        elif op == "cochran_q":
+            cols = _split_csv(opts.get("flagColumns"))
+            if len(cols) < 2:
+                errors.append(
+                    "stats cochran_q requires 'flagColumns' (>= 2)"
+                )
+            cols_needed += cols
         elif op == "cohens_d":
             for key in ("valueColumn", "sideColumn"):
                 if not opts.get(key):
@@ -3541,7 +3749,7 @@ class StatsTransformer:
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
                 "|mann_kendall|theil_sen|cox|rmst|tukey_hsd"
-                "|cronbach_alpha|cohens_d, "
+                "|cronbach_alpha|cohens_d|cochran_q, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -3628,6 +3836,14 @@ class StatsTransformer:
                 side_a=opts.get("sideA"),
                 side_b=opts.get("sideB"),
                 group_by=gb,
+            )
+        if op == "cochran_q":
+            from etl_spark_gradle_spark.operators.relational import (
+                _split_csv,
+            )
+
+            return cochran_q(
+                df, list(_split_csv(opts["flagColumns"])), group_by=gb
             )
         if op == "chi_square":
             return chi_square(

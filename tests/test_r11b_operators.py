@@ -491,3 +491,123 @@ def test_cohens_d_matches_pure_python_and_adapter(spark):
     assert not t.validate(df, ok2).is_valid  # factorColumn missing
     ok3 = _cfg("stats", operation="cronbach_alpha", itemColumns="v")
     assert not t.validate(df, ok3).is_valid  # needs >= 2 items
+
+
+def _py_cochran_q(rows):
+    k = len(rows[0])
+    clean = [r for r in rows if None not in r]
+    n = len(clean)
+    C = [sum(r[j] for r in clean) for j in range(k)]
+    R = [sum(r) for r in clean]
+    num = k * sum(c * c for c in C) - sum(C) ** 2
+    den = k * sum(R) - sum(x * x for x in R)
+    q = (k - 1) * num / den if den > 0 else None
+    return n, k, q
+
+
+def test_cochran_q_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import cochran_q
+
+    random.seed(13)
+    rows = [tuple(random.randint(0, 1) for _ in range(3))
+            for _ in range(200)]
+    rows.append((1, None, 0))  # listwise-deleted
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    r = cochran_q(df, ["a", "b", "c"]).collect()[0]
+    n, k, want = _py_cochran_q(rows)
+    assert (r["n"], r["k_treatments"], r["df"]) == (n, 3, 2)
+    assert r["q_stat"] == pytest.approx(want, rel=1e-15)
+    # k=2 must collapse to the UNCORRECTED McNemar chi2
+    from etl_spark_gradle_spark.operators.stats import mcnemar_test
+
+    two = [(a, b) for a, b, _ in rows if a is not None and b is not None]
+    df2 = spark.createDataFrame(two, "a int, b int")
+    q2 = cochran_q(df2, ["a", "b"]).collect()[0]["q_stat"]
+    m2 = mcnemar_test(df2, "a", "b", correction=False).collect()[0][
+        "chi2_mcnemar"
+    ]
+    assert q2 == pytest.approx(m2, rel=1e-12)
+    with pytest.raises(TransformationError, match="at least two"):
+        cochran_q(df, ["a"])
+
+
+def _py_ad2(xs, ys):
+    """Pure-python Scholz-Stephens A2akN (k=2, midrank/tie form) with
+    the operator's nano-quantization."""
+    na, nb = len(xs), len(ys)
+    N = na + nb
+    from collections import Counter
+
+    cx, cy = Counter(xs), Counter(ys)
+    vals = sorted(set(xs) | set(ys))
+    cum_a = cum_b = 0
+    sq = 0
+    for v in vals:
+        ca, cb = cx.get(v, 0), cy.get(v, 0)
+        cum_a += ca
+        cum_b += cb
+        t = ca + cb
+        ua = 2 * cum_a - ca
+        ub = 2 * cum_b - cb
+        vv = 2 * (cum_a + cum_b) - t
+        den = vv * (2 * N - vv) - N * t
+        if den > 0:
+            ga = N * ua - na * vv
+            gb = N * ub - nb * vv
+            term = ((N - 1) / N) * (t / N) * (
+                ga * ga / (na * den) + gb * gb / (nb * den)
+            )
+            sq += round(term * 1e9)
+    return sq / 1e9
+
+
+def test_anderson_darling_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import (
+        anderson_darling_drift,
+    )
+
+    random.seed(19)
+    xs = [round(random.gauss(0, 1), 1) for _ in range(300)]
+    ys = [round(random.gauss(0.8, 1.3), 1) for _ in range(250)]
+    da = spark.createDataFrame([(v,) for v in xs], "v double")
+    db = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = anderson_darling_drift(da, db, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (300, 250)
+    assert r["n_values"] == len(set(xs) | set(ys))
+    assert r["a2"] == pytest.approx(_py_ad2(xs, ys), abs=1e-9)
+    # a planted shift must read clearly above the H0 expectation of 1
+    assert r["a2"] > 5.0
+    # identical samples -> exactly 0 (every midrank gap vanishes)
+    same = anderson_darling_drift(da, da, "v").collect()[0]
+    assert same["a2"] == 0.0
+    # H0 (same distribution, independent draws): A2 stays small
+    zs = [round(random.gauss(0, 1), 1) for _ in range(300)]
+    dz = spark.createDataFrame([(v,) for v in zs], "v double")
+    h0 = anderson_darling_drift(da, dz, "v").collect()[0]
+    assert h0["a2"] < 4.0
+    # tail sensitivity: fatter tails, same mean/median -> AD fires
+    ws = [round(random.gauss(0, 3), 1) for _ in range(300)]
+    dw = spark.createDataFrame([(v,) for v in ws], "v double")
+    tails = anderson_darling_drift(da, dw, "v").collect()[0]
+    assert tails["a2"] > 5.0
+    # distributed plan: only the bounded offsets window is global
+    assert _unpartitioned_windows(
+        anderson_darling_drift(da, db, "v")
+    ) <= 1
+
+
+def test_drift_adapter_anderson_darling(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    t = TRANSFORMER_REGISTRY["drift"]
+    bad = _cfg("drift", otherView="x", valueColumn="v",
+               statistic="anderson")
+    assert not t.validate(df, bad).is_valid
+    ok = _cfg("drift", otherView="x", valueColumn="v",
+              statistic="anderson_darling")
+    assert t.validate(df, ok).is_valid

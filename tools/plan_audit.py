@@ -76,6 +76,9 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
     "logrank": 1,              # [PS] pooled-time at-risk CDF (totals
                                # derive from the pinned histogram, so
                                # the offsets window appears once)
+    "anderson_darling": 1,     # [PS] pooled-histogram cumulative
+                               # counts (pinned, same shape as
+                               # ks_drift)
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
@@ -981,6 +984,26 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BroadcastNestedLoopJoin"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "anderson_darling",
+        "Anderson-Darling drift: both sides reduce onto ONE pinned "
+        "pooled histogram (ExistingRDD); midrank cumulative counts "
+        "ride the two-level scan; totals broadcast; nano-quantized "
+        "per-value terms sum as longs; no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "cochran_q",
+        "Cochran Q: one conditional aggregation carrying k+3 exact "
+        "longs — no joins, no windows, no python; single final "
+        "division",
+        ["partial_sum", "partial_count"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "roc_curve",
