@@ -7257,6 +7257,64 @@ FROM sk
 """
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters maintenance: the events feed drained
+    in TWO micro-batches (the same parquet twice — the doubled feed)
+    through stream_topk, maintaining per-event-type Misra-Gries
+    summaries over a 50-bucket user hash at capacity 64. Cardinality
+    stays within capacity, so d = 0 at every prune and the maintained
+    weights are EXACT doubled counts with mg_err = 0 — which is what
+    the oracle replays."""
+    import shutil
+    import time as _time
+
+    from etl_spark_gradle_spark.streaming import (
+        read_topk_store,
+        stream_topk,
+    )
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"mg_src_{run}")
+    store = os.path.join(_SCRATCH, f"mg_store_{run}")
+    ckpt = os.path.join(_SCRATCH, f"mg_ckpt_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, name in enumerate(("a.parquet", "b.parquet")):
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, name))
+        t = _time.time() - 300 + i * 60
+        os.utime(os.path.join(src_dir, name), (t, t))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir).where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(50)).cast("string").alias("bucket"),
+    )
+    stream_topk(
+        stream, store, ["event_type"], "bucket", capacity=64,
+        checkpoint_location=ckpt,
+    ).awaitTermination(120)
+    return read_topk_store(spark, store).select(
+        "event_type",
+        F.col("value").cast("string").alias("bucket"),
+        F.col("mg_weight"),
+        F.col("mg_err"),
+    )
+
+
+_STREAMING_TOPK_ORACLE = """
+SELECT event_type,
+       CAST(user_id % 50 AS VARCHAR) AS bucket,
+       CAST(2 * COUNT(*) AS BIGINT) AS mg_weight,
+       CAST(0 AS BIGINT) AS mg_err
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type, user_id % 50
+"""
+
+
 def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming burst dedup: the events feed drained availableNow
     through debounce_stream (ONE LONG of state per (user, type) — the
@@ -12355,25 +12413,26 @@ _GATE_WINDOW: list[str] = [
     "chi_square",
     "cochran_q",
     "cohens_d",
-    "cox",
     "cronbach_alpha",
     "kendall_tau",
     "mann_kendall",
     "mcnemar",
-    "rmst",
     "theil_sen",
     "tukey_hsd",
     "average_precision",
+    "cox",
     "ewma",
     "fleiss_kappa",
     "kaplan_meier",
     "logrank",
     "mcc",
     "nelson_aalen",
+    "rmst",
     "roc_curve",
+    "streaming_topk",
     "pca",
-    "streaming_ewma",
     "theil_u",
+    "streaming_ewma",
     "dsir",
     "readability",
     "zipf",
@@ -12399,7 +12458,6 @@ _GATE_WINDOW: list[str] = [
     "script_profile",
     "benford",
     "discount_elasticity",
-    "feature_pipeline",
 ]
 
 
@@ -12452,6 +12510,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "streaming_debounce": q_streaming_debounce,
         "streaming_kmv": q_streaming_kmv,
+        "streaming_topk": q_streaming_topk,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "prop_ztest": q_prop_ztest,
@@ -12785,6 +12844,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": _ROLLING_ZSCORE_ORACLE,
         "streaming_debounce": _STREAMING_DEBOUNCE_ORACLE,
         "streaming_kmv": _STREAMING_KMV_ORACLE,
+        "streaming_topk": _STREAMING_TOPK_ORACLE,
         "k_anonymity": _K_ANONYMITY_ORACLE,
         "l_diversity": _L_DIVERSITY_ORACLE,
         "prop_ztest": _PROP_ZTEST_ORACLE,

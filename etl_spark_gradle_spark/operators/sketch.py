@@ -288,6 +288,158 @@ def merge_kmv(
     return out if keep_sketch else out.drop(sketch_col)
 
 
+def build_mg(
+    df: DataFrame,
+    group_by: list[str],
+    column: str,
+    capacity: int,
+    value_col: str = "value",
+    weight_col: str = "mg_weight",
+    err_col: str = "mg_err",
+) -> DataFrame:
+    """Per-group Misra–Gries heavy-hitters summary of ``column`` —
+    at most ``capacity`` counters per group, built from the exact
+    batch histogram by the canonical prune: subtract the
+    (capacity+1)-th largest count ``d`` from every counter and drop
+    the non-positive (Misra & Gries 1982; the mergeable-summaries
+    form of Agarwal et al., PODS 2012).
+
+    Guarantee carried in ``err_col``: for every stored value,
+    ``true_count − weight ≤ err`` (weights UNDERCOUNT by at most
+    ``err``), and any value whose true count exceeds ``err`` is
+    guaranteed present — the frequent-items contract that survives
+    :func:`merge_mg` with errors adding. When the group has ≤
+    ``capacity`` distinct values, ``d = 0`` and the summary is EXACT.
+
+    Plan at 100 TB: one map-side-combined (group, value) count
+    shuffle; the rank window partitions on the group keys (parallel
+    across groups — per-group work is bounded by value cardinality,
+    and the WindowGroupLimit pushdown caps it at capacity+1 rows per
+    group before the full sort materializes). NULLs excluded.
+
+    Output: one row per kept (group…, value) — ``value_col``
+    (string), ``weight_col`` (long), ``err_col`` (long,
+    group-constant)."""
+    from pyspark.sql import Window
+
+    from etl_spark_gradle_spark.operators.relational import (
+        broadcast_group_join,
+    )
+
+    if int(capacity) < 1:
+        raise TransformationError("misra-gries requires capacity >= 1")
+    if column not in df.columns:
+        raise TransformationError(
+            f"misra-gries column not in input schema: {column}"
+        )
+    cap = int(capacity)
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(*group_by, F.col(column).cast("string").alias(value_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_by]).orderBy(
+        F.col("_c").desc(), F.col(value_col).asc()
+    )
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= cap + 1
+    )
+    d_tab = ranked.groupBy(*group_by).agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == cap + 1, F.col("_c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_d")
+    )
+    joined = (
+        broadcast_group_join(ranked, d_tab, group_by, how="inner")
+        if group_by
+        else ranked.crossJoin(F.broadcast(d_tab))
+    )
+    return joined.where(
+        (F.col("_rn") <= cap) & (F.col("_c") > F.col("_d"))
+    ).select(
+        *group_by,
+        value_col,
+        (F.col("_c") - F.col("_d")).cast("long").alias(weight_col),
+        F.col("_d").alias(err_col),
+    )
+
+
+def merge_mg(
+    df: DataFrame,
+    group_by: list[str],
+    capacity: int,
+    src_col: str,
+    value_col: str = "value",
+    weight_col: str = "mg_weight",
+    err_col: str = "mg_err",
+) -> DataFrame:
+    """Merge Misra–Gries summaries (shard → day → global rollups, or
+    stream-state + batch-delta): counters add by value, per-SOURCE
+    error bounds add, then the combined counter set prunes back to
+    ``capacity`` exactly as :func:`build_mg` does — the mergeable-
+    summaries theorem (Agarwal et al. 2012) keeps the undercount
+    guarantee ``true − weight ≤ err`` through ANY merge tree.
+
+    ``src_col`` identifies which summary each row came from (errors
+    are group-constant PER SOURCE — summing raw per-row errs would
+    multiply-count them)."""
+    from pyspark.sql import Window
+
+    from etl_spark_gradle_spark.operators.relational import (
+        broadcast_group_join,
+    )
+
+    if int(capacity) < 1:
+        raise TransformationError("misra-gries requires capacity >= 1")
+    for c in (src_col, value_col, weight_col, err_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"misra-gries merge column not in schema: {c}"
+            )
+    cap = int(capacity)
+    summed = df.groupBy(*group_by, value_col).agg(
+        F.sum(weight_col).cast("long").alias("_c")
+    )
+    err_in = (
+        df.select(*group_by, src_col, err_col)
+        .distinct()
+        .groupBy(*group_by)
+        .agg(F.sum(err_col).cast("long").alias("_e"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_by]).orderBy(
+        F.col("_c").desc(), F.col(value_col).asc()
+    )
+    ranked = summed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= cap + 1
+    )
+    d_tab = ranked.groupBy(*group_by).agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == cap + 1, F.col("_c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_d")
+    )
+    if group_by:
+        joined = broadcast_group_join(ranked, d_tab, group_by, how="inner")
+        joined = broadcast_group_join(joined, err_in, group_by, how="inner")
+    else:
+        joined = ranked.crossJoin(F.broadcast(d_tab)).crossJoin(
+            F.broadcast(err_in)
+        )
+    return joined.where(
+        (F.col("_rn") <= cap) & (F.col("_c") > F.col("_d"))
+    ).select(
+        *group_by,
+        value_col,
+        (F.col("_c") - F.col("_d")).cast("long").alias(weight_col),
+        (F.col("_e") + F.col("_d")).cast("long").alias(err_col),
+    )
+
+
 def _bin_of(column: str, lo: float, hi: float, bins: int):
     """Bin index with explicit floor arithmetic (NOT width_bucket) so the
     DuckDB oracle can replicate the exact same IEEE double operations:

@@ -1271,6 +1271,95 @@ def read_kmv_store(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(f"{store_path}/v={max(versions)}")
 
 
+def stream_topk(
+    stream: DataFrame,
+    store_path: str,
+    group_by: list[str],
+    value_col: str,
+    capacity: int,
+    checkpoint_location: str,
+    trigger: str = "availableNow",
+    query_name: str | None = None,
+):
+    """Continuously MAINTAIN per-group Misra–Gries heavy-hitter
+    summaries from a stream — "which values dominate this feed right
+    now" (top URLs per status code, top tokens per language, top
+    SKUs per region) with bounded state and a PROVEN undercount
+    guarantee, no matter how long the stream runs.
+
+    Protocol = the ``stream_kmv_distinct`` versioned-store scheme:
+    each micro-batch builds its own exact-count summary delta
+    (:func:`operators.sketch.build_mg`), unions it with the newest
+    store version STRICTLY older than its batch id, and re-prunes
+    with :func:`operators.sketch.merge_mg` — the mergeable-summaries
+    theorem (Agarwal et al. 2012) keeps ``true_count − weight ≤
+    mg_err`` through any batch partitioning, and when per-group
+    distinct cardinality never exceeds ``capacity`` the maintained
+    weights are EXACT counts (d = 0 at every step), which is what
+    the registered oracle gates. foreachBatch retries overwrite
+    their own deterministic output (exactly-once-effective).
+
+    At 100 TB: per batch, one batch-sized (group, value) count
+    shuffle + a store-sized merge; state is bounded at |groups| ×
+    capacity rows. Superseded versions prune to at most two."""
+    from etl_spark_gradle_spark.operators.sketch import build_mg, merge_mg
+
+    group_by = list(group_by)
+    if int(capacity) < 1:
+        raise ConfigError("stream_topk requires capacity >= 1")
+    for c in (*group_by, value_col):
+        if c not in stream.columns:
+            raise ConfigError(f"stream_topk column not in schema: {c}")
+
+    def _latest_version(spark: SparkSession, before: int) -> int | None:
+        older = [v for v in _rollup_versions(spark, store_path) if v < before]
+        return max(older) if older else None
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = build_mg(
+            batch_df, group_by, value_col, capacity=int(capacity),
+        ).withColumn("_src", F.lit(f"b{batch_id}"))
+        prev = _latest_version(spark, batch_id)
+        if prev is not None:
+            state = spark.read.parquet(f"{store_path}/v={prev}").select(
+                *group_by, "value", "mg_weight", "mg_err"
+            ).withColumn("_src", F.lit("state"))
+            delta = state.unionByName(delta)
+        merged = merge_mg(
+            delta, group_by, capacity=int(capacity), src_col="_src",
+        )
+        merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+        if prev is not None:
+            fs, _ = _hadoop_fs(spark, store_path)
+            jvm = spark._jvm
+            for v in _rollup_versions(spark, store_path):
+                if v < prev:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(f"{store_path}/v={v}"),
+                        True,
+                    )
+
+    writer = stream.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    writer = _apply_trigger(writer, trigger)
+    return writer.start()
+
+
+def read_topk_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the newest maintained Misra–Gries version: ``(group…,
+    value, mg_weight, mg_err)`` — weights undercount true counts by
+    at most ``mg_err``; exact when cardinality stayed within
+    capacity."""
+    versions = _rollup_versions(spark, store_path)
+    if not versions:
+        raise ConfigError(f"no topk versions under {store_path}")
+    return spark.read.parquet(f"{store_path}/v={max(versions)}")
+
+
 def ewma_stream(
     df: DataFrame,
     key_col: str,

@@ -637,3 +637,103 @@ def test_merge_kmv_guard_survives_sketch_only_projection(spark):
     big = build_kmv(df, ["shard"], "user", k=64)
     with _pytest.raises(Exception, match="larger k"):
         merge_kmv(big, [], k=16).select("kmv").collect()
+
+
+def test_misra_gries_build_invariants_and_exactness(spark):
+    """build_mg: exact when distinct <= capacity; under pruning the
+    undercount bound true - weight <= err holds for every kept value
+    and every value with true count > err is present."""
+    import random
+    from collections import Counter
+
+    from etl_spark_gradle_spark.operators.sketch import build_mg
+
+    random.seed(41)
+    # zipf-ish: a few heavy values + a long tail
+    vals = (["hot1"] * 400 + ["hot2"] * 250 + ["hot3"] * 120
+            + [f"t{i}" for i in range(300) for _ in (0, 1)])
+    random.shuffle(vals)
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+
+    # exact regime: capacity >= distinct
+    exact = {r["value"]: (r["mg_weight"], r["mg_err"])
+             for r in build_mg(df, [], "v", capacity=1000).collect()}
+    assert exact == {v: (c, 0) for v, c in true.items()}
+
+    # pruned regime
+    got = {r["value"]: (r["mg_weight"], r["mg_err"])
+           for r in build_mg(df, [], "v", capacity=8).collect()}
+    assert 0 < len(got) <= 8
+    errs = {e for _, e in got.values()}
+    assert len(errs) == 1
+    err = errs.pop()
+    for v, (w, _) in got.items():
+        assert 0 < w <= true[v]
+        assert true[v] - w <= err
+    # every value with true count > err is guaranteed kept
+    for v, c in true.items():
+        if c > err:
+            assert v in got
+    assert "hot1" in got and "hot2" in got
+
+
+def test_misra_gries_merge_keeps_guarantee(spark):
+    """merge_mg over two shard summaries: weights undercount the
+    POOLED truth by at most the summed+pruned err; heavy hitters of
+    the pooled stream survive the merge."""
+    import random
+    from collections import Counter
+
+    from etl_spark_gradle_spark.operators.sketch import build_mg, merge_mg
+    from pyspark.sql import functions as F
+
+    random.seed(43)
+    s1 = ["a"] * 300 + ["b"] * 150 + [f"x{i}" for i in range(200)]
+    s2 = ["a"] * 200 + ["c"] * 180 + [f"y{i}" for i in range(200)]
+    random.shuffle(s1)
+    random.shuffle(s2)
+    true = Counter(s1) + Counter(s2)
+    d1 = spark.createDataFrame([(v,) for v in s1], "v string")
+    d2 = spark.createDataFrame([(v,) for v in s2], "v string")
+    m1 = build_mg(d1, [], "v", capacity=10).withColumn(
+        "_src", F.lit("s1")
+    )
+    m2 = build_mg(d2, [], "v", capacity=10).withColumn(
+        "_src", F.lit("s2")
+    )
+    merged = {
+        r["value"]: (r["mg_weight"], r["mg_err"])
+        for r in merge_mg(
+            m1.unionByName(m2), [], capacity=10, src_col="_src"
+        ).collect()
+    }
+    assert 0 < len(merged) <= 10
+    err = next(iter(merged.values()))[1]
+    for v, (w, e) in merged.items():
+        assert e == err
+        assert 0 < w <= true[v]
+        assert true[v] - w <= err
+    for v, c in true.items():
+        if c > err:
+            assert v in merged
+    assert {"a", "b", "c"} <= set(merged)
+
+
+def test_misra_gries_grouped_and_validation(spark):
+    from etl_spark_gradle_spark.operators.relational import (
+        TransformationError,
+    )
+    from etl_spark_gradle_spark.operators.sketch import build_mg
+
+    rows = [("g", "a"), ("g", "a"), ("g", "b"), ("h", "z")]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {(r["grp"], r["value"]): r["mg_weight"]
+           for r in build_mg(df, ["grp"], "v", capacity=4).collect()}
+    assert out == {("g", "a"): 2, ("g", "b"): 1, ("h", "z"): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(TransformationError, match="capacity >= 1"):
+        build_mg(df, ["grp"], "v", capacity=0)
+    with _pytest.raises(TransformationError, match="not in input schema"):
+        build_mg(df, ["grp"], "nope", capacity=4)

@@ -1904,3 +1904,88 @@ def test_stream_kmv_out_of_order_value_arrival(spark, tmp_path):
     # the sketch holds the LATE-arriving minima, not first-k-seen
     lo_hashes = sorted(r["h"] for r in hashed)[:4]
     assert list(got["A"][0]) == lo_hashes
+
+
+def test_stream_topk_exact_regime_and_lossy_invariants(spark, tmp_path):
+    """stream_topk: (1) capacity >= distinct -> the maintained store
+    is the EXACT per-group count table after a multi-batch drain with
+    overlapping batches; (2) lossy capacity -> the Misra-Gries
+    undercount bound holds against the true pooled counts and heavy
+    hitters arriving across DIFFERENT batches survive the prunes."""
+    import json as _json
+    import os
+    import time as _time
+    from collections import Counter
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.streaming import (
+        read_topk_store,
+        stream_topk,
+    )
+
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("val", StringType())]
+    )
+
+    def _feed(path, batches):
+        path.mkdir()
+        for i, rows in enumerate(batches):
+            with open(path / f"b{i}.json", "w") as f:
+                for g, v in rows:
+                    f.write(_json.dumps({"grp": g, "val": v}) + "\n")
+            t0 = _time.time() - 300 + i * 60
+            os.utime(path / f"b{i}.json", (t0, t0))
+
+    def _drain(src, store, ckpt, capacity):
+        stream = st.read_file_stream(
+            spark,
+            {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+            schema,
+        )
+        stream_topk(
+            stream, store, ["grp"], "val", capacity=capacity,
+            checkpoint_location=str(ckpt),
+        ).awaitTermination(120)
+        return {
+            (r["grp"], r["value"]): (r["mg_weight"], r["mg_err"])
+            for r in read_topk_store(spark, store).collect()
+        }
+
+    # exact regime, overlapping batches
+    b1 = [("A", "x"), ("A", "x"), ("A", "y"), ("B", "q")]
+    b2 = [("A", "x"), ("A", "z"), ("B", "q"), ("B", "r")]
+    src = tmp_path / "feed1"
+    _feed(src, [b1, b2])
+    got = _drain(src, str(tmp_path / "s1"), tmp_path / "c1", capacity=16)
+    true = Counter(b1) + Counter(b2)
+    assert got == {k: (c, 0) for k, c in true.items()}
+
+    # lossy regime: heavy hitter split across batches, tail noise
+    heavy = [("G", "HH")] * 30
+    tail1 = [("G", f"t{i}") for i in range(40)]
+    tail2 = [("G", f"u{i}") for i in range(40)]
+    src2 = tmp_path / "feed2"
+    _feed(src2, [heavy[:15] + tail1, heavy[15:] + tail2])
+    got2 = _drain(src2, str(tmp_path / "s2"), tmp_path / "c2", capacity=6)
+    pooled = Counter(heavy + tail1 + tail2)
+    assert 0 < len(got2) <= 6
+    err = next(iter(got2.values()))[1]
+    assert err > 0
+    for (g, v), (w, e) in got2.items():
+        assert e == err
+        assert 0 < w <= pooled[(g, v)]
+        assert pooled[(g, v)] - w <= err
+    assert ("G", "HH") in got2  # 30 > err must hold for the guarantee
+    assert pooled[("G", "HH")] > err
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError, match="capacity >= 1"):
+        stream_topk(
+            st.read_file_stream(
+                spark, {"path": str(src), "format": "json"}, schema
+            ),
+            "s", ["grp"], "val", 0, "c",
+        )
