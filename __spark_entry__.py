@@ -7315,6 +7315,68 @@ GROUP BY event_type, user_id % 50
 """
 
 
+def q_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution maintenance: the events feed drained in
+    TWO micro-batches (the same parquet twice) through
+    stream_histogram, maintaining per-event-type 20-bin value
+    histograms. Vector-add merging is EXACT, so the store holds
+    exactly DOUBLED batch bin counts — replayed bin-for-bin by the
+    oracle's floor-arithmetic binning."""
+    import shutil
+    import time as _time
+
+    from etl_spark_gradle_spark.streaming import (
+        read_histogram_store,
+        stream_histogram,
+    )
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    run = uuid.uuid4()
+    src_dir = os.path.join(_SCRATCH, f"hg_src_{run}")
+    store = os.path.join(_SCRATCH, f"hg_store_{run}")
+    ckpt = os.path.join(_SCRATCH, f"hg_ckpt_{run}")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, name in enumerate(("a.parquet", "b.parquet")):
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, name))
+        t = _time.time() - 300 + i * 60
+        os.utime(os.path.join(src_dir, name), (t, t))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir).select("event_type", "value")
+    stream_histogram(
+        stream, store, ["event_type"], "value",
+        lo=0.0, hi=100.0, bins=20, checkpoint_location=ckpt,
+    ).awaitTermination(120)
+    return read_histogram_store(spark, store).select(
+        "event_type",
+        F.posexplode("hist_counts").alias("bin", "cnt"),
+    )
+
+
+_STREAMING_HISTOGRAM_ORACLE = """
+WITH types AS (SELECT DISTINCT event_type FROM events),
+bins AS (SELECT unnest(range(0, 22)) AS bin),
+b AS (
+  SELECT event_type,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 100 THEN 21
+              ELSE CAST(FLOOR((value - 0.0) / 100.0 * 20) AS INT) + 1
+         END AS bin
+  FROM events WHERE value IS NOT NULL
+),
+c AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2)
+SELECT t.event_type,
+       CAST(bn.bin AS INT) AS bin,
+       CAST(2 * COALESCE(c.n, 0) AS BIGINT) AS cnt
+FROM types t
+CROSS JOIN bins bn
+LEFT JOIN c ON c.event_type = t.event_type AND c.bin = bn.bin
+"""
+
+
 def q_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming burst dedup: the events feed drained availableNow
     through debounce_stream (ONE LONG of state per (user, type) — the
@@ -12408,6 +12470,8 @@ FROM agg
 # sf0.1 via check_oracle — then the stalest recorded queries.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
+    "streaming_histogram",
+    "streaming_topk",
     "anderson_darling",
     "brown_forsythe",
     "chi_square",
@@ -12429,7 +12493,6 @@ _GATE_WINDOW: list[str] = [
     "nelson_aalen",
     "rmst",
     "roc_curve",
-    "streaming_topk",
     "pca",
     "theil_u",
     "streaming_ewma",
@@ -12440,6 +12503,8 @@ _GATE_WINDOW: list[str] = [
     "resample_ffill",
     "resample_origin",
     "resample_linear",
+    "kmv_distinct",
+    "kmv_jaccard",
     "cusum",
     "time_rollup",
     "entropy",
@@ -12455,9 +12520,6 @@ _GATE_WINDOW: list[str] = [
     "vocab_overlap",
     "fold_accents",
     "gopher_rules",
-    "script_profile",
-    "benford",
-    "discount_elasticity",
 ]
 
 
@@ -12511,6 +12573,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_debounce": q_streaming_debounce,
         "streaming_kmv": q_streaming_kmv,
         "streaming_topk": q_streaming_topk,
+        "streaming_histogram": q_streaming_histogram,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "prop_ztest": q_prop_ztest,
@@ -12845,6 +12908,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_debounce": _STREAMING_DEBOUNCE_ORACLE,
         "streaming_kmv": _STREAMING_KMV_ORACLE,
         "streaming_topk": _STREAMING_TOPK_ORACLE,
+        "streaming_histogram": _STREAMING_HISTOGRAM_ORACLE,
         "k_anonymity": _K_ANONYMITY_ORACLE,
         "l_diversity": _L_DIVERSITY_ORACLE,
         "prop_ztest": _PROP_ZTEST_ORACLE,

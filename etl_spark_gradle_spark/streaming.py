@@ -1360,6 +1360,106 @@ def read_topk_store(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(f"{store_path}/v={max(versions)}")
 
 
+def stream_histogram(
+    stream: DataFrame,
+    store_path: str,
+    group_by: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    checkpoint_location: str,
+    trigger: str = "availableNow",
+    query_name: str | None = None,
+):
+    """Continuously MAINTAIN per-group fixed-bin histogram sketches
+    from a stream — the streaming quantile/distribution story
+    (latency percentiles per endpoint, score distributions per
+    source) with bounded state: each micro-batch builds its own
+    histogram delta (:func:`operators.sketch.build_histogram_sketch`)
+    and vector-adds it into the newest store version STRICTLY older
+    than its batch id (:func:`operators.sketch.merge_histograms` —
+    counts are counts, the merge is EXACT, not approximate). Close
+    the maintained state to quantiles with
+    ``operators.sketch.histogram_quantile`` over
+    :func:`read_histogram_store`.
+
+    Versioning protocol = ``stream_time_rollup``: foreachBatch
+    retries re-read the same prior state and deterministically
+    overwrite their own output (exactly-once-effective). After ANY
+    batch partitioning the store equals a fresh batch build over the
+    whole feed — asserted in pytest and the ``streaming_histogram``
+    oracle.
+
+    At 100 TB: per batch, ONE hash aggregation compressing the batch
+    to |groups| × (bins+2) longs + a store-sized vector add; state is
+    bounded at |groups| rows. Superseded versions prune to at most
+    two."""
+    from etl_spark_gradle_spark.operators.sketch import (
+        build_histogram_sketch,
+        merge_histograms,
+    )
+
+    group_by = list(group_by)
+    if int(bins) < 1:
+        raise ConfigError("stream_histogram requires bins >= 1")
+    if not float(hi) > float(lo):
+        raise ConfigError("stream_histogram requires hi > lo")
+    for c in (*group_by, value_col):
+        if c not in stream.columns:
+            raise ConfigError(
+                f"stream_histogram column not in schema: {c}"
+            )
+
+    def _latest_version(spark: SparkSession, before: int) -> int | None:
+        older = [v for v in _rollup_versions(spark, store_path) if v < before]
+        return max(older) if older else None
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = build_histogram_sketch(
+            batch_df, group_by, value_col,
+            lo=float(lo), hi=float(hi), bins=int(bins),
+        )
+        prev = _latest_version(spark, batch_id)
+        if prev is not None:
+            state = spark.read.parquet(f"{store_path}/v={prev}").select(
+                *group_by, "hist_counts"
+            )
+            delta = merge_histograms(
+                state.unionByName(delta), group_by
+            )
+        delta.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+        if prev is not None:
+            fs, _ = _hadoop_fs(spark, store_path)
+            jvm = spark._jvm
+            for v in _rollup_versions(spark, store_path):
+                if v < prev:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(f"{store_path}/v={v}"),
+                        True,
+                    )
+
+    writer = stream.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    writer = _apply_trigger(writer, trigger)
+    return writer.start()
+
+
+def read_histogram_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the newest maintained histogram version: ``(group…,
+    hist_counts)`` — bins+2 exact long counts (underflow, interior,
+    overflow), same schema a batch ``build_histogram_sketch``
+    emits."""
+    versions = _rollup_versions(spark, store_path)
+    if not versions:
+        raise ConfigError(f"no histogram versions under {store_path}")
+    return spark.read.parquet(f"{store_path}/v={max(versions)}")
+
+
 def ewma_stream(
     df: DataFrame,
     key_col: str,

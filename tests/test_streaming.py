@@ -1989,3 +1989,105 @@ def test_stream_topk_exact_regime_and_lossy_invariants(spark, tmp_path):
             ),
             "s", ["grp"], "val", 0, "c",
         )
+
+
+def test_stream_histogram_equals_batch_and_quantile_close(spark, tmp_path):
+    """stream_histogram: a 3-batch drain (with an out-of-order batch
+    whose values land in earlier bins) must equal the batch histogram
+    build over the full feed, and the quantile close over the
+    maintained store must match the close over the batch sketch."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_spark_gradle_spark.operators.sketch import (
+        build_histogram_sketch,
+        histogram_quantile,
+    )
+    from etl_spark_gradle_spark.plans.config import ConfigError
+    from etl_spark_gradle_spark.streaming import (
+        read_histogram_store,
+        stream_histogram,
+    )
+
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("x", DoubleType())]
+    )
+    src = tmp_path / "feed"
+    src.mkdir()
+    feed = [
+        [("A", 55.0), ("A", 61.0), ("B", 90.0)],
+        [("A", 5.0), ("A", -3.0), ("B", 12.0)],   # older/lower bins
+        [("A", 140.0), ("A", 55.5), ("B", 12.5)],  # overflow + repeats
+    ]
+    for i, rows in enumerate(feed):
+        with open(src / f"b{i}.json", "w") as f:
+            for g, x in rows:
+                f.write(_json.dumps({"grp": g, "x": x}) + "\n")
+        t0 = _time.time() - 300 + i * 60
+        os.utime(src / f"b{i}.json", (t0, t0))
+
+    store = str(tmp_path / "hg_store")
+    stream = st.read_file_stream(
+        spark,
+        {"path": str(src), "format": "json", "maxFilesPerTrigger": "1"},
+        schema,
+    )
+    stream_histogram(
+        stream, store, ["grp"], "x", lo=0.0, hi=100.0, bins=10,
+        checkpoint_location=str(tmp_path / "ck"),
+    ).awaitTermination(120)
+
+    got = {r["grp"]: list(r["hist_counts"])
+           for r in read_histogram_store(spark, store).collect()}
+    full = spark.read.schema(schema).json(str(src))
+    want = {r["grp"]: list(r["hist_counts"])
+            for r in build_histogram_sketch(
+                full, ["grp"], "x", lo=0.0, hi=100.0, bins=10
+            ).collect()}
+    assert got == want
+    # underflow and overflow mass landed where labeled
+    assert got["A"][0] == 1 and got["A"][11] == 1
+    # quantile close identical over store vs batch sketch
+    med_store = {
+        r["grp"]: r["q"]
+        for r in read_histogram_store(spark, store).select(
+            "grp",
+            histogram_quantile("hist_counts", 0.0, 100.0, 0.5).alias("q"),
+        ).collect()
+    }
+    med_batch = {
+        r["grp"]: r["q"]
+        for r in build_histogram_sketch(
+            full, ["grp"], "x", lo=0.0, hi=100.0, bins=10
+        ).select(
+            "grp",
+            histogram_quantile("hist_counts", 0.0, 100.0, 0.5).alias("q"),
+        ).collect()
+    }
+    assert med_store == med_batch
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError, match="bins >= 1"):
+        stream_histogram(
+            st.read_file_stream(
+                spark, {"path": str(src), "format": "json"}, schema
+            ),
+            "s", ["grp"], "x", 0.0, 100.0, 0, "c",
+        )
+    with _pytest.raises(ConfigError, match="hi > lo"):
+        stream_histogram(
+            st.read_file_stream(
+                spark, {"path": str(src), "format": "json"}, schema
+            ),
+            "s", ["grp"], "x", 5.0, 5.0, 4, "c",
+        )
