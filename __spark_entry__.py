@@ -10144,6 +10144,62 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 drift over events.value (click vs
+    purchase — the q_ks_drift frame, magnitude-weighted): exact
+    decimal CDF-gap numerators, value gaps via a two-level lead
+    (within-bucket lead + bounded next-nonempty-bucket repair),
+    nano-quantized segment terms summed exactly."""
+    from etl_spark_gradle_spark.operators.stats import wasserstein_drift
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_drift(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        "value",
+    )
+
+
+_WASSERSTEIN_ORACLE = """
+WITH pooled AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY v
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM pooled
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM pooled
+  HAVING SUM(ca) > 0 AND SUM(cb) > 0
+), q AS (
+  SELECT n_a, n_b,
+         CASE WHEN nv IS NOT NULL THEN CAST(ROUND(
+              (CAST(nv AS DOUBLE) - CAST(v AS DOUBLE))
+              * (CAST(CAST(ABS(CAST(cum_ca AS HUGEINT) * n_b
+                                - CAST(cum_cb AS HUGEINT) * n_a)
+                            AS VARCHAR) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+              * 1e9) AS BIGINT)
+              ELSE 0 END AS tq
+  FROM cum CROSS JOIN tot
+)
+SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9 AS w1
+FROM q GROUP BY n_a, n_b
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift over events.value
     (click vs purchase): one value-keyed count shuffle, then
@@ -12483,6 +12539,7 @@ _GATE_WINDOW: list[str] = [
     "mcnemar",
     "theil_sen",
     "tukey_hsd",
+    "wasserstein",
     "average_precision",
     "cox",
     "ewma",
@@ -12519,7 +12576,6 @@ _GATE_WINDOW: list[str] = [
     "top_paths",
     "vocab_overlap",
     "fold_accents",
-    "gopher_rules",
 ]
 
 
@@ -12649,6 +12705,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_d": q_cohens_d,
         "cochran_q": q_cochran_q,
         "anderson_darling": q_anderson_darling,
+        "wasserstein": q_wasserstein,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -12984,6 +13041,7 @@ def oracle_sql() -> dict[str, str]:
         "cohens_d": _COHENS_D_ORACLE,
         "cochran_q": _COCHRAN_Q_ORACLE,
         "anderson_darling": _ANDERSON_DARLING_ORACLE,
+        "wasserstein": _WASSERSTEIN_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

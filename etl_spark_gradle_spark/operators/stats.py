@@ -44,6 +44,7 @@ __all__ = [
     "tv_distance",
     "ks_drift",
     "anderson_darling_drift",
+    "wasserstein_drift",
     "rank_sum_drift",
     "welch_ttest",
     "prop_ztest",
@@ -543,6 +544,7 @@ def _prefix_sums(
     sum_cols: list[str],
     num_partitions: int | None = None,
     assume_pinned: bool = False,
+    keep_pid: bool = False,
 ) -> DataFrame:
     """Distributed prefix sums over a globally ordered frame — the
     building block a global ``Window.orderBy`` can NOT provide at
@@ -681,7 +683,9 @@ def _prefix_sums(
             (F.col(f"_loc_{c}") + F.col(f"_off_{c}")).cast(_acc_type(c)),
         )
     return d.drop(
-        "_pid", *[f"_loc_{c}" for c in sum_cols], *[f"_off_{c}" for c in sum_cols]
+        *([] if keep_pid else ["_pid"]),
+        *[f"_loc_{c}" for c in sum_cols],
+        *[f"_off_{c}" for c in sum_cols],
     )
 
 
@@ -1806,6 +1810,129 @@ def anderson_darling_drift(
         "n_b",
         "n_values",
         (F.col("_sq").cast("double") / F.lit(1e9)).alias("a2"),
+    )
+
+
+def wasserstein_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) drift distance — the
+    magnitude-aware member of the drift family: KS reports the
+    largest CDF gap, AD the tail-weighted integral, W1 the literal
+    COST of moving this week's distribution onto last week's, in the
+    value's own units (dollars, seconds, score points)::
+
+        W1 = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_j (v_{j+1} − v_j) · |F_a(v_j) − F_b(v_j)|
+
+    summed over consecutive distinct pooled values.
+
+    Exactness: the CDF gap numerator ``|cum_a·n_b − cum_b·n_a|`` is
+    EXACT decimal integer (the ``ks_drift`` posture); each segment's
+    contribution multiplies it by the value gap in double (fixed
+    operand order), nano-quantizes, and the quantized longs sum
+    EXACTLY — partition-order free, oracle-replayable. Bound: Σ terms
+    = W1·1e9; W1 ≤ value range, so the long sum holds while
+    ``range·1e9`` < 9·10¹⁸ (range < 9·10⁹ in value units — rescale
+    wider domains first).
+
+    Plan at 100 TB: identical to ``ks_drift`` — one pooled
+    (value, n_a, n_b) histogram (pinned), ``_prefix_sums``' two-level
+    scan for both cumulative counts, a partitioned ``lead`` on the
+    histogram's _pid ... no: the next-value gap rides the SAME
+    prefix-sum pass by attaching each bucket's successor via the
+    range-bucketed self-join-free lead below. NULLs excluded; empty
+    sides yield an empty frame.
+
+    Output: ONE row — ``n_a``/``n_b``/``n_values`` (long), ``w1``
+    (double)."""
+    for df, side in ((df_a, "a"), (df_b, "b")):
+        if value_col not in df.columns:
+            raise TransformationError(
+                "wasserstein_drift: value column not in "
+                f"side-{side} schema: {value_col}"
+            )
+    a = df_a.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+    b = df_b.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    pooled = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = _prefix_sums(
+        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True,
+        keep_pid=True,
+    )
+    totals = pooled.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
+    j = cum.crossJoin(F.broadcast(totals))
+    # the (v_{j+1} − v_j) gap: lead over the histogram. The histogram
+    # is value-range-bucketed by _prefix_sums' scan, but lead needs a
+    # TOTAL order — partition on a constant-free global sort would
+    # single-partition. Instead ride the same two-level trick: lead
+    # within each _pid bucket, then repair each bucket's LAST row by
+    # joining the next bucket's first value (bounded ≤P-row table).
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("_pid").orderBy("v")
+    j = j.withColumn("_nv", F.lead("v").over(w_in))
+    # next NONEMPTY bucket's first value (quantile split-point ties
+    # can leave empty buckets — a plain pid−1 shift would drop the
+    # crossing segment); the window runs on the bounded ≤P-row
+    # bucket-firsts table, the [PS]-class exemption
+    firsts = cum.groupBy("_pid").agg(F.min("v").alias("_fv"))
+    w_nb = Window.orderBy("_pid").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    firsts = firsts.withColumn(
+        "_next_first", F.min("_fv").over(w_nb)
+    ).select("_pid", "_next_first")
+    j = j.join(F.broadcast(firsts), "_pid", "left")
+    gap = (
+        F.coalesce(F.col("_nv"), F.col("_next_first")).cast("double")
+        - F.col("v").cast("double")
+    )
+    dec = "decimal(38,0)"
+    d_num = F.abs(
+        F.col("cum_ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("cum_cb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    # segment term = gap · d_num/(n_a·n_b), nano-quantized; the last
+    # pooled value has no successor (gap NULL) and contributes 0.
+    # d_num goes through the STRING round-trip (_d): a direct wide-
+    # decimal→double cast is 1 ulp off in DuckDB past 53 bits, and an
+    # ulp on a .5 rounding boundary would flip a quantized term
+    term = (
+        gap
+        * (
+            _d(d_num)
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+    )
+    q = F.when(term.isNotNull(), F.round(term * F.lit(1e9)).cast("long")
+               ).otherwise(F.lit(0))
+    agg = j.select("n_a", "n_b", q.alias("_q")).groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("_q").cast("long").alias("_sq"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        (F.col("_sq").cast("double") / F.lit(1e9)).alias("w1"),
     )
 
 
@@ -3015,11 +3142,13 @@ class DriftTransformer:
             errors.append("drift requires 'otherView'")
         stat = opts.get("statistic")
         if val and stat not in (
-            None, "ks", "rank_sum", "psi", "anderson_darling"
+            None, "ks", "rank_sum", "psi", "anderson_darling",
+            "wasserstein",
         ):
             errors.append(
                 "drift statistic for valueColumn must be "
-                f"ks|rank_sum|psi|anderson_darling, got '{stat}'"
+                f"ks|rank_sum|psi|anderson_darling|wasserstein, "
+                f"got '{stat}'"
             )
         if cat and stat not in (None, "chi2", "tv", "js", "kl"):
             errors.append(
@@ -3060,6 +3189,8 @@ class DriftTransformer:
                 return anderson_darling_drift(
                     df, other, opts["valueColumn"]
                 )
+            if opts.get("statistic", "ks") == "wasserstein":
+                return wasserstein_drift(df, other, opts["valueColumn"])
             if opts.get("statistic", "ks") == "psi":
                 from etl_spark_gradle_spark.operators.infotheory import psi_drift
 

@@ -611,3 +611,64 @@ def test_drift_adapter_anderson_darling(spark):
     ok = _cfg("drift", otherView="x", valueColumn="v",
               statistic="anderson_darling")
     assert t.validate(df, ok).is_valid
+
+
+def _py_w1(xs, ys):
+    """Pure-python W1 with the operator's quantization."""
+    from collections import Counter
+
+    na, nb = len(xs), len(ys)
+    cx, cy = Counter(xs), Counter(ys)
+    vals = sorted(set(xs) | set(ys))
+    ca = cb = 0
+    sq = 0
+    for v, nv in zip(vals, vals[1:] + [None]):
+        ca += cx.get(v, 0)
+        cb += cy.get(v, 0)
+        if nv is not None:
+            dnum = abs(ca * nb - cb * na)
+            term = (nv - v) * (dnum / (na * nb))
+            sq += round(term * 1e9)
+    return sq / 1e9
+
+
+def test_wasserstein_matches_pure_python_and_shift(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import wasserstein_drift
+
+    random.seed(29)
+    xs = [round(random.gauss(0, 1), 1) for _ in range(300)]
+    ys = [round(random.gauss(0, 1) + 2.5, 1) for _ in range(250)]
+    da = spark.createDataFrame([(v,) for v in xs], "v double")
+    db = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = wasserstein_drift(da, db, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (300, 250)
+    assert r["w1"] == pytest.approx(_py_w1(xs, ys), abs=1e-9)
+    # a pure location shift of delta has W1 ~= delta (the defining
+    # property KS caps at 1 and cannot express)
+    assert 2.0 < r["w1"] < 3.0
+    # identical samples -> exactly 0
+    assert wasserstein_drift(da, da, "v").collect()[0]["w1"] == 0.0
+    # scale equivariance: W1(c*X, c*Y) = c * W1(X, Y) up to quant grain
+    from pyspark.sql import functions as F
+
+    r3 = wasserstein_drift(
+        da.select((F.col("v") * 3).alias("v")),
+        db.select((F.col("v") * 3).alias("v")),
+        "v",
+    ).collect()[0]
+    assert r3["w1"] == pytest.approx(3 * r["w1"], abs=1e-6)
+    # plan: within-bucket lead + two bounded windows (offsets table +
+    # next-nonempty-bucket firsts)
+    assert _unpartitioned_windows(wasserstein_drift(da, db, "v")) <= 2
+
+
+def test_drift_adapter_wasserstein(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    t = TRANSFORMER_REGISTRY["drift"]
+    ok = _cfg("drift", otherView="x", valueColumn="v",
+              statistic="wasserstein")
+    assert t.validate(df, ok).is_valid

@@ -79,6 +79,10 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
     "anderson_darling": 1,     # [PS] pooled-histogram cumulative
                                # counts (pinned, same shape as
                                # ks_drift)
+    "wasserstein": 2,          # [PS] + the next-nonempty-bucket
+                               # firsts window over the <=P-row
+                               # bucket-minima table (the value-gap
+                               # repair at bucket boundaries)
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
@@ -991,6 +995,17 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         "pooled histogram (ExistingRDD); midrank cumulative counts "
         "ride the two-level scan; totals broadcast; nano-quantized "
         "per-value terms sum as longs; no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "wasserstein",
+        "Wasserstein-1 drift: pinned pooled histogram (ExistingRDD), "
+        "cumulative counts via the two-level scan, value gaps from a "
+        "_pid-partitioned lead + bounded bucket-firsts repair; "
+        "nano-quantized segment terms sum as longs; no python",
         ["hashpartitioning(_pid", "ExistingRDD",
          "BroadcastNestedLoopJoin"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
