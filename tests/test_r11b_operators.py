@@ -672,3 +672,24 @@ def test_drift_adapter_wasserstein(spark):
     ok = _cfg("drift", otherView="x", valueColumn="v",
               statistic="wasserstein")
     assert t.validate(df, ok).is_valid
+
+
+def test_classifier_quality_report_pipeline_yaml(spark, sf_dir, tmp_path,
+                                                 monkeypatch):
+    """The shipped pipelines/classifier-quality-report.yaml runs
+    end-to-end: threshold -> per-segment MCC -> range gate -> parquet."""
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+
+    out = str(tmp_path / "report")
+    monkeypatch.setenv("LINEITEM_SRC", f"{sf_dir}/lineitem.parquet")
+    monkeypatch.setenv("REPORT_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/classifier-quality-report.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded > 0
+    rep = spark.read.parquet(out)
+    rows = {r["l_linestatus"]: r for r in rep.collect()}
+    assert set(rows) == {"F", "O"}
+    for r in rows.values():
+        assert r["n"] == r["tp"] + r["fp"] + r["tn"] + r["fn"]
+        assert r["mcc"] is None or -1.0 <= r["mcc"] <= 1.0
