@@ -6275,6 +6275,77 @@ FROM m
 """
 
 
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test treating each multi-line order as a block
+    and its first three line positions as treatments (quantity per
+    position): within-row doubled ranks are pure Catalyst
+    comparisons; the tie-corrected T1 is one division of exact
+    integers."""
+    from etl_spark_gradle_spark.operators.stats import friedman
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_linenumber") == 1, F.col("l_quantity"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("l_linenumber") == 2, F.col("l_quantity"))
+        ).alias("q2"),
+        F.max(
+            F.when(F.col("l_linenumber") == 3, F.col("l_quantity"))
+        ).alias("q3"),
+    )
+    return friedman(wide, ["q1", "q2", "q3"])
+
+
+_FRIEDMAN_ORACLE = """
+WITH wide AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS q1,
+         MAX(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS q2,
+         MAX(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS q3
+  FROM lineitem GROUP BY l_orderkey
+), base AS (
+  SELECT q1, q2, q3 FROM wide
+  WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q3 IS NOT NULL
+), ranked AS (
+  SELECT
+    2*((CASE WHEN q1<q1 THEN 1 ELSE 0 END)+(CASE WHEN q2<q1 THEN 1 ELSE 0 END)+(CASE WHEN q3<q1 THEN 1 ELSE 0 END))
+      + (CASE WHEN q1=q1 THEN 1 ELSE 0 END)+(CASE WHEN q2=q1 THEN 1 ELSE 0 END)+(CASE WHEN q3=q1 THEN 1 ELSE 0 END) + 1 AS r1,
+    2*((CASE WHEN q1<q2 THEN 1 ELSE 0 END)+(CASE WHEN q2<q2 THEN 1 ELSE 0 END)+(CASE WHEN q3<q2 THEN 1 ELSE 0 END))
+      + (CASE WHEN q1=q2 THEN 1 ELSE 0 END)+(CASE WHEN q2=q2 THEN 1 ELSE 0 END)+(CASE WHEN q3=q2 THEN 1 ELSE 0 END) + 1 AS r2,
+    2*((CASE WHEN q1<q3 THEN 1 ELSE 0 END)+(CASE WHEN q2<q3 THEN 1 ELSE 0 END)+(CASE WHEN q3<q3 THEN 1 ELSE 0 END))
+      + (CASE WHEN q1=q3 THEN 1 ELSE 0 END)+(CASE WHEN q2=q3 THEN 1 ELSE 0 END)+(CASE WHEN q3=q3 THEN 1 ELSE 0 END) + 1 AS r3
+  FROM base
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r1) AS BIGINT) AS t0,
+         CAST(SUM(r2) AS BIGINT) AS t1,
+         CAST(SUM(r3) AS BIGINT) AS t2,
+         CAST(SUM(r1*r1 + r2*r2 + r3*r3) AS BIGINT) AS s2
+  FROM ranked
+), c AS (
+  SELECT n,
+         CAST(CAST(CAST(CAST(t0 AS HUGEINT)*t0 AS HUGEINT)
+              + CAST(CAST(t1 AS HUGEINT)*t1 AS HUGEINT) AS HUGEINT)
+              + CAST(CAST(t2 AS HUGEINT)*t2 AS HUGEINT) AS HUGEINT)
+           AS sum_r2sq,
+         CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * 48 AS HUGEINT)
+           AS nnk,
+         CAST(CAST(n AS HUGEINT) * 48 AS HUGEINT) AS nk,
+         s2
+  FROM m
+)
+SELECT n, CAST(3 AS BIGINT) AS k_treatments, CAST(2 AS BIGINT) AS df,
+       CASE WHEN CAST(s2 AS HUGEINT) - nk > 0
+            THEN (2.0 * CAST(CAST(sum_r2sq - nnk AS VARCHAR) AS DOUBLE))
+                 / CAST(CAST(CAST(s2 AS HUGEINT) - nk AS VARCHAR)
+                        AS DOUBLE) END AS chi2_friedman
+FROM c
+"""
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H of order totals across the five priority
     levels — the nonparametric twin of q_anova over the same frame.
@@ -12526,20 +12597,22 @@ FROM agg
 # sf0.1 via check_oracle — then the stalest recorded queries.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "streaming_histogram",
-    "streaming_topk",
     "anderson_darling",
     "brown_forsythe",
     "chi_square",
     "cochran_q",
     "cohens_d",
     "cronbach_alpha",
+    "friedman",
     "kendall_tau",
     "mann_kendall",
     "mcnemar",
     "theil_sen",
     "tukey_hsd",
     "wasserstein",
+    "rmst",
+    "streaming_histogram",
+    "streaming_topk",
     "average_precision",
     "cox",
     "ewma",
@@ -12548,7 +12621,6 @@ _GATE_WINDOW: list[str] = [
     "logrank",
     "mcc",
     "nelson_aalen",
-    "rmst",
     "roc_curve",
     "pca",
     "theil_u",
@@ -12575,7 +12647,6 @@ _GATE_WINDOW: list[str] = [
     "scd2",
     "top_paths",
     "vocab_overlap",
-    "fold_accents",
 ]
 
 
@@ -12704,6 +12775,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cronbach_alpha": q_cronbach_alpha,
         "cohens_d": q_cohens_d,
         "cochran_q": q_cochran_q,
+        "friedman": q_friedman,
         "anderson_darling": q_anderson_darling,
         "wasserstein": q_wasserstein,
         "kruskal_wallis": q_kruskal_wallis,
@@ -13040,6 +13112,7 @@ def oracle_sql() -> dict[str, str]:
         "cronbach_alpha": _CRONBACH_ALPHA_ORACLE,
         "cohens_d": _COHENS_D_ORACLE,
         "cochran_q": _COCHRAN_Q_ORACLE,
+        "friedman": _FRIEDMAN_ORACLE,
         "anderson_darling": _ANDERSON_DARLING_ORACLE,
         "wasserstein": _WASSERSTEIN_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,

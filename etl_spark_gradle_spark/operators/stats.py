@@ -58,6 +58,7 @@ __all__ = [
     "cronbach_alpha",
     "cohens_d",
     "cochran_q",
+    "friedman",
     "exact_quantiles",
     "ecdf",
     "mad_outliers",
@@ -3314,6 +3315,97 @@ def cochran_q(
     )
 
 
+def friedman(
+    df: DataFrame,
+    value_cols: list[str],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Friedman test — the k-treatment repeated-measures test on
+    RANKS, completing the paired-panel family (:func:`mcnemar_test` /
+    :func:`cochran_q` for binary flags; Friedman for continuous
+    scores: k model variants' losses on the SAME eval rows, k
+    pipeline configs' latencies on the same inputs)::
+
+        T1 = (k−1)·[Σ_j R_j² − n²k(k+1)²/4] / [Σ_ij r_ij² − nk(k+1)²/4]
+
+    with within-row average ranks (ties share midpoints) — the
+    Conover tie-corrected form; with no ties it reduces to the
+    classical ``12/(nk(k+1))·Σ(R_j − n(k+1)/2)²``. Under H0,
+    T1 ~ χ²(k−1); the statistic is the gateable core.
+
+    Exactness: within-row ranks use the doubled-rank integer encoding
+    ``2r = 2·#less + #equal + 1`` (pure per-row Catalyst comparisons
+    over the k literal columns — no sort, no window); multiplying the
+    statistic through by 4 makes EVERY term exact integer:
+    ``ΣR2_j²`` in decimal(38,0) (R2_j ≤ 2kn squares past long at
+    n ~ 1.5·10⁹), ``S2 = Σ(2r)²`` as long, and T1 is ONE division of
+    exact integers (string-round-trip close). Rows with ANY null
+    value are excluded (pairing requires the full panel). A zero
+    denominator (every row entirely tied) yields NULL.
+
+    Plan at 100 TB: zero shuffles before the close — ranks ride the
+    scan row-locally; ONE aggregation carries k+2 exact numbers per
+    group (the k R2 totals shuffle raw, the close squares AFTER the
+    final merge — fully mergeable).
+
+    Output: group cols + ``n`` (long), ``k_treatments`` (long),
+    ``df`` (long), ``chi2_friedman`` (double)."""
+    k = len(value_cols)
+    if k < 2:
+        raise TransformationError(
+            "friedman requires at least two value columns"
+        )
+    group_by = group_by or []
+    for c in (*value_cols, *group_by):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    cols = [F.col(c) for c in value_cols]
+    cond = None
+    for c in cols:
+        nn = c.isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    base = df.where(cond)
+    r2 = []
+    for j in range(k):
+        less = None
+        eq = None
+        for l in range(k):
+            lt = (cols[l] < cols[j]).cast("int")
+            e = (cols[l] == cols[j]).cast("int")
+            less = lt if less is None else (less + lt)
+            eq = e if eq is None else (eq + e)
+        r2.append(F.lit(2) * less + eq + F.lit(1))
+    s2_row = None
+    for j in range(k):
+        t = r2[j] * r2[j]
+        s2_row = t if s2_row is None else (s2_row + t)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for j in range(k):
+        aggs.append(F.sum(r2[j]).cast("long").alias(f"_r{j}"))
+    aggs.append(F.sum(s2_row).cast("long").alias("_s2"))
+    grouped = base.groupBy(*group_by) if group_by else base.groupBy()
+    m = grouped.agg(*aggs)
+    dec = "decimal(38,0)"
+    sum_r2sq = None
+    for j in range(k):
+        t = (F.col(f"_r{j}").cast(dec) * F.col(f"_r{j}").cast(dec)).cast(dec)
+        sum_r2sq = t if sum_r2sq is None else (sum_r2sq + t).cast(dec)
+    n_ = F.col("n").cast(dec)
+    kk1sq = F.lit(k * (k + 1) * (k + 1)).cast(dec)
+    num = (sum_r2sq - (n_ * n_ * kk1sq).cast(dec)).cast(dec)
+    den = (F.col("_s2").cast(dec) - (n_ * kk1sq).cast(dec)).cast(dec)
+    return m.select(
+        *group_by,
+        "n",
+        F.lit(k).cast("long").alias("k_treatments"),
+        F.lit(k - 1).cast("long").alias("df"),
+        F.when(
+            den > 0,
+            F.lit(float(k - 1)) * _d(num) / _d(den),
+        ).alias("chi2_friedman"),
+    )
+
+
 def tukey_hsd(
     df: DataFrame,
     value_col: str,
@@ -3797,6 +3889,13 @@ class StatsTransformer:
                     "stats cochran_q requires 'flagColumns' (>= 2)"
                 )
             cols_needed += cols
+        elif op == "friedman":
+            cols = _split_csv(opts.get("valueColumns"))
+            if len(cols) < 2:
+                errors.append(
+                    "stats friedman requires 'valueColumns' (>= 2)"
+                )
+            cols_needed += cols
         elif op == "cohens_d":
             for key in ("valueColumn", "sideColumn"):
                 if not opts.get(key):
@@ -3880,7 +3979,7 @@ class StatsTransformer:
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
                 "|mann_kendall|theil_sen|cox|rmst|tukey_hsd"
-                "|cronbach_alpha|cohens_d|cochran_q, "
+                "|cronbach_alpha|cohens_d|cochran_q|friedman, "
                 f"got '{op}'"
             )
         for c in cols_needed:
@@ -3975,6 +4074,14 @@ class StatsTransformer:
 
             return cochran_q(
                 df, list(_split_csv(opts["flagColumns"])), group_by=gb
+            )
+        if op == "friedman":
+            from etl_spark_gradle_spark.operators.relational import (
+                _split_csv,
+            )
+
+            return friedman(
+                df, list(_split_csv(opts["valueColumns"])), group_by=gb
             )
         if op == "chi_square":
             return chi_square(

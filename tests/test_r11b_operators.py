@@ -693,3 +693,66 @@ def test_classifier_quality_report_pipeline_yaml(spark, sf_dir, tmp_path,
     for r in rows.values():
         assert r["n"] == r["tp"] + r["fp"] + r["tn"] + r["fn"]
         assert r["mcc"] is None or -1.0 <= r["mcc"] <= 1.0
+
+
+def _py_friedman(rows):
+    """Pure-python tie-corrected Friedman over k-column rows."""
+    clean = [r for r in rows if None not in r]
+    k = len(clean[0])
+    n = len(clean)
+    R = [0.0] * k
+    A = 0.0
+    for r in clean:
+        for j in range(k):
+            less = sum(1 for l in range(k) if r[l] < r[j])
+            eq = sum(1 for l in range(k) if r[l] == r[j])
+            rank = less + (eq + 1) / 2.0
+            R[j] += rank
+            A += rank * rank
+    C = n * k * (k + 1) ** 2 / 4.0
+    num = sum(x * x for x in R) - n * C
+    den = A - C
+    return n, (k - 1) * num / den if den > 0 else None
+
+
+def test_friedman_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import friedman
+
+    random.seed(37)
+    rows = []
+    for _ in range(150):
+        base = random.gauss(0, 1)
+        # treatment b systematically higher; deliberate ties via 1dp
+        rows.append((
+            round(base + random.gauss(0, 0.5), 1),
+            round(base + 0.4 + random.gauss(0, 0.5), 1),
+            round(base + random.gauss(0, 0.5), 1),
+        ))
+    rows.append((1.0, None, 2.0))  # listwise-deleted
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    r = friedman(df, ["a", "b", "c"]).collect()[0]
+    n, want = _py_friedman(rows)
+    assert (r["n"], r["k_treatments"], r["df"]) == (n, 3, 2)
+    assert r["chi2_friedman"] == pytest.approx(want, rel=1e-12)
+    assert r["chi2_friedman"] > 5.99  # the planted effect detects
+    # all-tied rows -> NULL (zero denominator)
+    tied = spark.createDataFrame(
+        [(1.0, 1.0, 1.0), (2.0, 2.0, 2.0)], "a double, b double, c double"
+    )
+    assert friedman(tied, ["a", "b", "c"]).collect()[0][
+        "chi2_friedman"
+    ] is None
+    with pytest.raises(TransformationError, match="at least two"):
+        friedman(df, ["a"])
+    # adapter
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="friedman", valueColumns="a,b,c")
+    assert t.validate(df, ok).is_valid
+    assert t.transform(df, ok, None).count() == 1
+    assert not t.validate(
+        df, _cfg("stats", operation="friedman", valueColumns="a")
+    ).is_valid

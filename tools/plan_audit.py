@@ -1021,6 +1021,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "friedman",
+        "Friedman: within-row doubled ranks are pure per-row Catalyst "
+        "comparisons (no sort, no window); ONE aggregation carries "
+        "k+2 exact numbers; the tie-corrected close squares AFTER "
+        "the final merge; no python",
+        ["partial_sum", "partial_count"],
+        ["Window", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
         "roc_curve",
         "ROC curve: pinned distinct-score histogram (ExistingRDD — "
         "raw parquet scanned once), cumulative counts via the "
