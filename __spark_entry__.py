@@ -5445,6 +5445,63 @@ FROM agg
 """
 
 
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 over the q_ndcg retrieval shape (per-user event lists,
+    deterministic pseudo-score, purchase = the relevant item):
+    per-query reciprocals nano-quantized and summed exactly; queries
+    whose first purchase ranks past 10 (or who never purchase) score
+    0 and stay in the denominator."""
+    from etl_spark_gradle_spark.operators.evaluation import mrr
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.where(
+        F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        ((F.col("event_id") % 997).cast("double") / F.lit(997.0)).alias(
+            "score"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("rel"),
+    )
+    return mrr(scored, "user_id", "score", "rel", k=10, id_col="event_id")
+
+
+_MRR_ORACLE = """
+WITH scored AS (
+  SELECT user_id, event_id,
+         CAST(event_id % 997 AS DOUBLE) / 997.0 AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+  FROM events
+  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+), ranked AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_id ASC) AS r
+  FROM scored
+), per_q AS (
+  SELECT user_id,
+         CAST(MIN(CASE WHEN rel = 1 THEN r END) AS BIGINT) AS first_r
+  FROM ranked GROUP BY user_id
+), q AS (
+  SELECT CASE WHEN first_r IS NOT NULL AND first_r <= 10 THEN 1 ELSE 0
+         END AS h,
+         CASE WHEN first_r IS NOT NULL AND first_r <= 10
+              THEN CAST(ROUND(1e9 / CAST(first_r AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS tq
+  FROM per_q
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(h) AS BIGINT) AS n_hit,
+       CASE WHEN COUNT(*) > 0
+            THEN (CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9)
+                 / CAST(COUNT(*) AS DOUBLE) END AS mrr
+FROM q
+"""
+
+
 def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user NDCG@10 treating each user's event stream as a
     retrieval list: a deterministic pseudo-score ranks events, graded
@@ -12610,7 +12667,6 @@ _GATE_WINDOW: list[str] = [
     "theil_sen",
     "tukey_hsd",
     "wasserstein",
-    "rmst",
     "streaming_histogram",
     "streaming_topk",
     "average_precision",
@@ -12620,7 +12676,9 @@ _GATE_WINDOW: list[str] = [
     "kaplan_meier",
     "logrank",
     "mcc",
+    "mrr",
     "nelson_aalen",
+    "rmst",
     "roc_curve",
     "pca",
     "theil_u",
@@ -12646,7 +12704,6 @@ _GATE_WINDOW: list[str] = [
     "incremental_aggregate",
     "scd2",
     "top_paths",
-    "vocab_overlap",
 ]
 
 
@@ -12743,6 +12800,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "spearman": q_spearman,
         "ndcg": q_ndcg,
+        "mrr": q_mrr,
         "decontaminate": q_decontaminate,
         "pr_curve": q_pr_curve,
         "average_precision": q_average_precision,
@@ -13082,6 +13140,7 @@ def oracle_sql() -> dict[str, str]:
         "t_closeness": _T_CLOSENESS_ORACLE,
         "spearman": _SPEARMAN_ORACLE,
         "ndcg": _NDCG_ORACLE,
+        "mrr": _MRR_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "pr_curve": _PR_CURVE_ORACLE,
         "average_precision": _AVERAGE_PRECISION_ORACLE,

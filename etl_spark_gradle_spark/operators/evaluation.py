@@ -62,6 +62,7 @@ __all__ = [
     "roc_curve",
     "mcc",
     "fleiss_kappa",
+    "mrr",
     "ntile_from_rank",
     "EvaluationTransformer",
 ]
@@ -551,6 +552,7 @@ class EvaluationTransformer:
         "roc_curve": ("scoreColumn", "labelColumn"),
         "mcc": ("labelColumn", "predictionColumn"),
         "fleiss_kappa": ("itemColumn", "categoryColumn"),
+        "mrr": ("queryColumn", "scoreColumn", "relevanceColumn"),
     }
 
     def validate(self, df, config):
@@ -690,6 +692,20 @@ class EvaluationTransformer:
         if op == "mcc":
             return mcc(
                 df, opts["labelColumn"], opts["predictionColumn"], group_by
+            )
+        if op == "mrr":
+            if group_by:
+                raise TransformationError(
+                    "evaluation mrr does not support groupBy"
+                )
+            k_opt = opts.get("k")
+            return mrr(
+                df,
+                opts["queryColumn"],
+                opts["scoreColumn"],
+                opts["relevanceColumn"],
+                k=int(k_opt) if k_opt is not None else None,
+                id_col=opts.get("idColumn"),
             )
         if op == "fleiss_kappa":
             n_raters = opts.get("nRaters")
@@ -1450,6 +1466,81 @@ def ndcg(
             F.col("_idcg") > 0,
             F.round(F.col("_dcg") / F.col("_idcg"), 9),
         ).alias("ndcg"),
+    )
+
+
+def mrr(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Mean reciprocal rank — the first-hit retrieval read
+    complementing :func:`ndcg` (NDCG grades the whole list; MRR asks
+    "how far down is the FIRST relevant result", the metric for
+    known-item search and RAG context placement)::
+
+        MRR = mean_q 1 / rank_q(first relevant)
+
+    with rank under model-score descending (``id_col`` tiebreak for a
+    total order) and relevance = truthy ``rel_col``. ``k`` caps the
+    scan: queries whose first relevant item ranks beyond k score 0
+    (the standard MRR@k convention, counted in the mean).
+
+    Exactness (the nano-quantization posture): each query's
+    reciprocal is ONE division quantized to integer nano-units; the
+    cross-query mean sums those longs EXACTLY and divides once —
+    partition-order free, oracle-replayable (terms ≤ 1e9, so the sum
+    holds to ~9·10⁹ queries).
+
+    Plan at 100 TB: the rank window partitions on the QUERY key
+    (parallel across queries, per-query lists retrieval-sized); one
+    aggregation to the per-query first-hit rank, one to the mean.
+    NULL score/relevance rows are excluded; queries with NO relevant
+    item score 0 under ``k`` (they have no finite rank) — matching
+    the @k convention — and are counted in ``n_queries``.
+
+    Output: ONE row — ``n_queries``/``n_hit`` (long), ``mrr``
+    (double)."""
+    _check_cols(df, [query_col, score_col, rel_col])
+    if id_col is not None:
+        _check_cols(df, [id_col])
+    if k is not None and int(k) < 1:
+        raise TransformationError("mrr requires k >= 1")
+    tie = [F.col(id_col).asc()] if id_col else []
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), *tie
+    )
+    ranked = base.withColumn("_r", F.row_number().over(w))
+    rel = F.col(rel_col).cast("boolean")
+    per_q = ranked.groupBy(query_col).agg(
+        F.min(F.when(rel, F.col("_r"))).cast("long").alias("_first")
+    )
+    hit = F.col("_first").isNotNull() & (
+        F.col("_first") <= F.lit(int(k)) if k is not None else F.lit(True)
+    )
+    q = F.when(
+        hit,
+        F.round(F.lit(1e9) / F.col("_first").cast("double")).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = per_q.select(q.alias("_q"), hit.cast("int").alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("_h").cast("long").alias("n_hit"),
+        F.sum("_q").cast("long").alias("_sq"),
+    )
+    return agg.select(
+        "n_queries",
+        "n_hit",
+        F.when(
+            F.col("n_queries") > 0,
+            (F.col("_sq").cast("double") / F.lit(1e9))
+            / F.col("n_queries").cast("double"),
+        ).alias("mrr"),
     )
 
 

@@ -756,3 +756,71 @@ def test_friedman_matches_pure_python(spark):
     assert not t.validate(
         df, _cfg("stats", operation="friedman", valueColumns="a")
     ).is_valid
+
+
+def _py_mrr(rows, k=None):
+    """rows: (query, score, rel, id). Operator-quantized MRR."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for q, s, r, i in rows:
+        if s is not None and r is not None:
+            by[q].append((s, i, r))
+    sq = hit = 0
+    for q, items in by.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        first = next(
+            (idx + 1 for idx, (_, _, r) in enumerate(items) if r), None
+        )
+        if first is not None and (k is None or first <= k):
+            hit += 1
+            sq += round(1e9 / first)
+    n = len(by)
+    return n, hit, (sq / 1e9) / n if n else None
+
+
+def test_mrr_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import mrr
+
+    random.seed(47)
+    rows = []
+    for q in range(60):
+        for i in range(random.randint(3, 15)):
+            rows.append((q, round(random.random(), 2),
+                         int(random.random() < 0.15), q * 100 + i))
+    rows.append((99, None, 1, 9900))   # null score excluded
+    rows.append((98, 0.5, None, 9800))  # null rel excluded -> query 98
+    # has no clean rows at all and vanishes from the denominator
+    df = spark.createDataFrame(
+        rows, "q int, score double, rel int, id int"
+    )
+    r = mrr(df, "q", "score", "rel", id_col="id").collect()[0]
+    n, hit, want = _py_mrr(rows)
+    assert (r["n_queries"], r["n_hit"]) == (n, hit)
+    assert r["mrr"] == pytest.approx(want, abs=1e-9)
+    # @k cap: beyond-k first hits score 0 but stay in the denominator
+    r3 = mrr(df, "q", "score", "rel", k=3, id_col="id").collect()[0]
+    n3, hit3, want3 = _py_mrr(rows, k=3)
+    assert (r3["n_queries"], r3["n_hit"]) == (n3, hit3)
+    assert r3["mrr"] == pytest.approx(want3, abs=1e-9)
+    assert r3["mrr"] <= r["mrr"] + 1e-12
+    # a perfect ranking scores exactly 1
+    perf = spark.createDataFrame(
+        [(1, 0.9, 1, 1), (1, 0.1, 0, 2), (2, 0.8, 1, 3)],
+        "q int, score double, rel int, id int",
+    )
+    assert mrr(perf, "q", "score", "rel").collect()[0]["mrr"] == 1.0
+    with pytest.raises(TransformationError, match="k >= 1"):
+        mrr(df, "q", "score", "rel", k=0)
+    # adapter
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    ok = _cfg("evaluation", operation="mrr", queryColumn="q",
+              scoreColumn="score", relevanceColumn="rel", k="3")
+    assert t.validate(df, ok).is_valid
+    assert t.transform(df, ok, None).collect()[0]["mrr"] == pytest.approx(
+        want3, abs=1e-9
+    )

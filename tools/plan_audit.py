@@ -1031,6 +1031,15 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "ArrowEvalPython"],
     ),
     (
+        "mrr",
+        "MRR: the rank window partitions on the QUERY key (parallel "
+        "across queries); per-query reciprocals nano-quantized, "
+        "summed as longs; no joins, no global window, no python",
+        ["partial_min", "hashpartitioning"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "roc_curve",
         "ROC curve: pinned distinct-score histogram (ExistingRDD — "
         "raw parquet scanned once), cumulative counts via the "
