@@ -165,6 +165,10 @@ def main() -> int:
                 lambda: _auc_continuous_probe(li),
                 li.count(),
             ),
+            "ad_wass_drift": (
+                lambda: _ad_wass_probe(li),
+                li.count(),
+            ),
             "ewma": (
                 lambda: _ewma_probe(li),
                 li.count(),
@@ -433,6 +437,39 @@ def _auc_continuous_probe(li):
     )
     out = auc(scored, "score", "label")
     return out.agg(F.sum(F.hash("auc", "n")).alias("h"))
+
+
+def _ad_wass_probe(li):
+    """Round-11 continuation: the two newest prefix-sum drift members
+    (anderson_darling + wasserstein) over a CONTINUOUS near-unique
+    synthetic value — the pooled histogram is O(n), so throughput
+    only holds across the 10x step if the cumulative counts ride the
+    distributed two-level scan and (for W1) the value-gap lead stays
+    _pid-partitioned. Both statistics fold into one hash so the probe
+    runs a single job per size."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.stats import (
+        anderson_darling_drift,
+        wasserstein_drift,
+    )
+
+    scored = li.select(
+        (
+            F.abs(F.hash("l_orderkey", "l_linenumber")).cast("double")
+            / F.lit(2147483647.0)
+        ).alias("v"),
+        (F.col("l_linestatus") == "F").alias("is_a"),
+    )
+    a = scored.where("is_a").select("v")
+    b = scored.where("NOT is_a").select("v")
+    ad = anderson_darling_drift(a, b, "v").select(
+        F.hash("a2", "n_values").alias("h")
+    )
+    w1 = wasserstein_drift(a, b, "v").select(
+        F.hash("w1", "n_values").alias("h")
+    )
+    return ad.unionByName(w1).agg(F.sum("h").alias("h"))
 
 
 def _ewma_probe(li):
