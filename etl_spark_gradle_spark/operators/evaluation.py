@@ -582,12 +582,17 @@ class EvaluationTransformer:
                     errors.append("evaluation lift_table buckets must be >= 1")
             except (TypeError, ValueError):
                 errors.append("evaluation lift_table buckets must be an int")
-        if op == "ndcg":
-            try:
-                if int(opts.get("k", 10)) < 1:
-                    errors.append("evaluation ndcg k must be >= 1")
-            except (TypeError, ValueError):
-                errors.append("evaluation ndcg k must be an int")
+        if op in ("ndcg", "mrr"):
+            # mrr's k is optional (uncapped); ndcg defaults to 10 —
+            # both must be int >= 1 when present (validate-cleanly,
+            # the recurring ADVICE class)
+            k_val = opts.get("k", None if op == "mrr" else 10)
+            if k_val is not None:
+                try:
+                    if int(k_val) < 1:
+                        errors.append(f"evaluation {op} k must be >= 1")
+                except (TypeError, ValueError):
+                    errors.append(f"evaluation {op} k must be an int")
             if opts.get("idColumn") and opts["idColumn"] not in df.columns:
                 errors.append(
                     f"column not in input schema: {opts['idColumn']}"

@@ -824,3 +824,24 @@ def test_mrr_matches_pure_python(spark):
     assert t.transform(df, ok, None).collect()[0]["mrr"] == pytest.approx(
         want3, abs=1e-9
     )
+
+
+def test_mrr_adapter_validates_k_and_id(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 1, 1)], "q int, score double, rel int, id int"
+    )
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    for bad_opts in (
+        {"k": "zero"},
+        {"k": "0"},
+        {"idColumn": "nope"},
+    ):
+        cfg = _cfg("evaluation", operation="mrr", queryColumn="q",
+                   scoreColumn="score", relevanceColumn="rel", **bad_opts)
+        assert not t.validate(df, cfg).is_valid, bad_opts
+    # k omitted entirely is valid (uncapped MRR)
+    ok = _cfg("evaluation", operation="mrr", queryColumn="q",
+              scoreColumn="score", relevanceColumn="rel")
+    assert t.validate(df, ok).is_valid
