@@ -10328,6 +10328,181 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kuiper V = D⁺ + D⁻ over events.value (click vs
+    purchase — the q_ks_drift frame, direction-aware): both
+    directional CDF-gap maxima stay exact decimal integers (no float
+    compare), published as exact strings; V closes as one double
+    division of their exact sum."""
+    from etl_spark_gradle_spark.operators.stats import kuiper_drift
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return kuiper_drift(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        "value",
+    )
+
+
+_KUIPER_ORACLE = """
+WITH pooled AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY v
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb
+  FROM pooled
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM pooled
+  HAVING SUM(ca) > 0 AND SUM(cb) > 0
+), d AS (
+  SELECT CAST(cum_ca AS HUGEINT) * n_b
+           - CAST(cum_cb AS HUGEINT) * n_a AS s,
+         n_a, n_b
+  FROM cum CROSS JOIN tot
+)
+SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(MAX(s) AS VARCHAR) AS d_plus_num,
+       CAST(MAX(-s) AS VARCHAR) AS d_minus_num,
+       CAST(CAST(MAX(s) + MAX(-s) AS VARCHAR) AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS kuiper_v
+FROM d GROUP BY n_a, n_b
+"""
+
+
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion over events.value (click
+    vs purchase — the q_ks_drift frame, mass-weighted squared gap):
+    exact decimal gap numerators, per-value terms in fixed operand
+    order nano-quantized and summed exactly."""
+    from etl_spark_gradle_spark.operators.stats import (
+        cramer_von_mises_drift,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return cramer_von_mises_drift(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        "value",
+    )
+
+
+_CRAMER_VON_MISES_ORACLE = """
+WITH pooled AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY v
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb
+  FROM pooled
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM pooled
+  HAVING SUM(ca) > 0 AND SUM(cb) > 0
+), q AS (
+  SELECT n_a, n_b,
+         CAST(ROUND(
+           CAST(ca + cb AS DOUBLE)
+           * (CAST(CAST(ABS(CAST(cum_ca AS HUGEINT) * n_b
+                             - CAST(cum_cb AS HUGEINT) * n_a)
+                         AS VARCHAR) AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+           * (CAST(CAST(ABS(CAST(cum_ca AS HUGEINT) * n_b
+                             - CAST(cum_cb AS HUGEINT) * n_a)
+                         AS VARCHAR) AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+           * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+              * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+           * 1e9) AS BIGINT) AS tq
+  FROM cum CROSS JOIN tot
+)
+SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9 AS cvm_t
+FROM q GROUP BY n_a, n_b
+"""
+
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D energy distance over events.value (click vs purchase
+    — the q_wasserstein frame, squared CDF gap): value gaps via the
+    two-level lead, exact decimal gap numerators, nano-quantized
+    segment terms summed exactly."""
+    from etl_spark_gradle_spark.operators.stats import (
+        energy_distance_drift,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return energy_distance_drift(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        "value",
+    )
+
+
+_ENERGY_DISTANCE_ORACLE = """
+WITH pooled AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY v
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM pooled
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM pooled
+  HAVING SUM(ca) > 0 AND SUM(cb) > 0
+), q AS (
+  SELECT n_a, n_b,
+         CASE WHEN nv IS NOT NULL THEN CAST(ROUND(
+              2.0 * (CAST(nv AS DOUBLE) - CAST(v AS DOUBLE))
+              * (CAST(CAST(ABS(CAST(cum_ca AS HUGEINT) * n_b
+                                - CAST(cum_cb AS HUGEINT) * n_a)
+                            AS VARCHAR) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+              * (CAST(CAST(ABS(CAST(cum_ca AS HUGEINT) * n_b
+                                - CAST(cum_cb AS HUGEINT) * n_a)
+                            AS VARCHAR) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+              * 1e9) AS BIGINT)
+              ELSE 0 END AS tq
+  FROM cum CROSS JOIN tot
+)
+SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1e9 AS energy
+FROM q GROUP BY n_a, n_b
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift over events.value
     (click vs purchase): one value-keyed count shuffle, then
@@ -12836,6 +13011,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman": q_friedman,
         "anderson_darling": q_anderson_darling,
         "wasserstein": q_wasserstein,
+        "kuiper": q_kuiper,
+        "cramer_von_mises": q_cramer_von_mises,
+        "energy_distance": q_energy_distance,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13174,6 +13352,9 @@ def oracle_sql() -> dict[str, str]:
         "friedman": _FRIEDMAN_ORACLE,
         "anderson_darling": _ANDERSON_DARLING_ORACLE,
         "wasserstein": _WASSERSTEIN_ORACLE,
+        "kuiper": _KUIPER_ORACLE,
+        "cramer_von_mises": _CRAMER_VON_MISES_ORACLE,
+        "energy_distance": _ENERGY_DISTANCE_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

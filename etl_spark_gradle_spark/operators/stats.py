@@ -1814,6 +1814,279 @@ def anderson_darling_drift(
     )
 
 
+def _two_sample_cdf(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    op_name: str,
+    num_partitions: int | None = None,
+    with_gap: bool = False,
+) -> DataFrame:
+    """Shared scaffold for the continuous two-sample drift family
+    (``wasserstein_drift`` / ``kuiper_drift`` /
+    ``cramer_von_mises_drift`` / ``energy_distance_drift``): both
+    sides tag-and-union onto ONE pooled (value, n_a-count, n_b-count)
+    histogram (map-side partials; NULLs dropped — a null has no rank;
+    pinned ONCE because it feeds both the prefix-sum scan and the
+    totals branch), cumulative counts ride ``_prefix_sums``'
+    range-bucketed two-level scan (continuous values never funnel one
+    task), and the 1-row totals attach as a broadcast guarded n>0 on
+    BOTH sides, so drift against an empty side yields an EMPTY frame
+    (the ks_drift contract, ADVICE r4).
+
+    With ``with_gap=True`` each distinct value also carries ``_gap``
+    = next distinct pooled value − v (NULL for the last value): a
+    ``lead`` WITHIN each _pid range bucket, then each bucket's last
+    row repaired by the next NONEMPTY bucket's first value — a
+    bounded ≤P-row window, never a global sort (quantile split-point
+    ties can leave empty buckets, so a plain pid−1 shift would
+    silently drop the crossing segment). ``ks_drift`` and
+    ``anderson_darling_drift`` predate this helper and keep their
+    audited inline form (identical shape) pinned.
+
+    Output columns: ``v ca cb cum_ca cum_cb n_a n_b`` (+ ``_gap``)."""
+    for df, side in ((df_a, "a"), (df_b, "b")):
+        if value_col not in df.columns:
+            raise TransformationError(
+                f"{op_name}: value column not in "
+                f"side-{side} schema: {value_col}"
+            )
+    a = df_a.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+    b = df_b.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    pooled = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("long").alias("ca"),
+            F.sum("cb").cast("long").alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = _prefix_sums(
+        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True,
+        keep_pid=with_gap,
+    )
+    totals = pooled.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
+    j = cum.crossJoin(F.broadcast(totals))
+    if not with_gap:
+        return j
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("_pid").orderBy("v")
+    j = j.withColumn("_nv", F.lead("v").over(w_in))
+    firsts = cum.groupBy("_pid").agg(F.min("v").alias("_fv"))
+    w_nb = Window.orderBy("_pid").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    firsts = firsts.withColumn(
+        "_next_first", F.min("_fv").over(w_nb)
+    ).select("_pid", "_next_first")
+    j = j.join(F.broadcast(firsts), "_pid", "left")
+    return j.withColumn(
+        "_gap",
+        F.coalesce(F.col("_nv"), F.col("_next_first")).cast("double")
+        - F.col("v").cast("double"),
+    ).drop("_nv", "_next_first", "_pid")
+
+
+def kuiper_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Kuiper drift statistic V = D⁺ + D⁻ — the
+    direction-aware companion to :func:`ks_drift`. KS reports only
+    the single largest |CDF gap| and under-reads drift whose signed
+    gap F_a − F_b has one positive and one negative lobe (the
+    variance-change signature: mass leaves the middle symmetrically,
+    each lobe half the size one-sided drift would produce); Kuiper
+    adds the largest gap in EACH direction (Kuiper 1960), giving
+    equal sensitivity at the median and in the tails::
+
+        D⁺ = max_x (F_a(x) − F_b(x)),  D⁻ = max_x (F_b(x) − F_a(x)),
+        V  = D⁺ + D⁻ ∈ [0, 2],  V ≥ D_KS always
+
+    Exactness: the SIGNED gap numerator ``s = cum_a·n_b − cum_b·n_a``
+    is an exact decimal integer (the ks_drift posture); both
+    directional maxima are decimal maxes — no float comparison
+    anywhere — published as exact strings, and V closes as ONE double
+    division of their exact sum. Both maxima are ≥ 0 by construction
+    (s = 0 at the last pooled value, which every CDF pair reaches).
+
+    Plan at 100 TB: identical to ``ks_drift`` — one pooled-histogram
+    shuffle (pinned), the two-level prefix-sum scan, a 1-row totals
+    broadcast, one bounded final aggregation. NULLs excluded; an
+    empty side yields an empty frame.
+
+    Output: ONE row — ``n_a``/``n_b``/``n_values`` (long),
+    ``d_plus_num``/``d_minus_num`` (exact integer strings),
+    ``kuiper_v`` (double)."""
+    j = _two_sample_cdf(
+        df_a, df_b, value_col, "kuiper_drift", num_partitions
+    )
+    dec = "decimal(19,0)"
+    s = (
+        F.col("cum_ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("cum_cb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    agg = j.select("n_a", "n_b", s.alias("_s")).groupBy(
+        "n_a", "n_b"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.max("_s").alias("_dp"),
+        F.max(-F.col("_s")).alias("_dm"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.col("_dp").cast("string").alias("d_plus_num"),
+        F.col("_dm").cast("string").alias("d_minus_num"),
+        (
+            _d(F.col("_dp") + F.col("_dm"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("kuiper_v"),
+    )
+
+
+def cramer_von_mises_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion (Anderson 1962 form) —
+    the whole-body member of the drift family: KS reads one point of
+    the CDF gap, AD weights the squared gap by 1/(F(1−F)) (tails),
+    CvM integrates the UNWEIGHTED squared gap against the pooled
+    empirical measure — every part of the distribution votes in
+    proportion to its mass::
+
+        T = (n_a·n_b / N²) · Σ_x (F_a(x) − F_b(x))²
+
+    summed over all N pooled observations (each distinct value enters
+    with its pooled multiplicity t). Under H0, E[T] = 1/6 + 1/(6N);
+    the raw criterion is the gateable core (significance tables are
+    the caller's lookup — the ``welch_ttest`` no-p-value posture).
+
+    Exactness posture = ``anderson_darling_drift``: the gap numerator
+    ``|cum_a·n_b − cum_b·n_a|`` is exact decimal integer; each
+    distinct value's term is a fixed-operand-order double (replayed
+    verbatim by the SQL oracle), nano-quantized to a long, and the
+    quantized longs sum EXACTLY — partition-order free. Bound: each
+    term ≤ t/4 (gap² ≤ 1 and n_a·n_b/N² ≤ 1/4), so Σ = T·1e9 ≤
+    N/4·1e9 — the long sum holds to N ~ 3.6·10¹⁰ pooled rows.
+
+    Plan at 100 TB: one pooled-histogram shuffle (pinned), the
+    two-level prefix-sum scan, a 1-row totals broadcast, one bounded
+    final aggregation. NULLs excluded; an empty side yields an empty
+    frame.
+
+    Output: ONE row — ``n_a``/``n_b``/``n_values`` (long), ``cvm_t``
+    (double)."""
+    j = _two_sample_cdf(
+        df_a, df_b, value_col, "cramer_von_mises_drift", num_partitions
+    )
+    dec = "decimal(38,0)"
+    d_num = F.abs(
+        F.col("cum_ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("cum_cb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    t = (F.col("ca") + F.col("cb")).cast("double")
+    # the CDF gap in double — d_num through the STRING round-trip
+    # (_d): DuckDB's direct wide-decimal→double cast is 1 ulp off
+    # past 53 bits, and an ulp on a .5 boundary would flip a
+    # quantized term
+    g = _d(d_num) / (na * nb)
+    term = t * g * g * (na * nb) / (nn * nn)
+    q = F.round(term * F.lit(1e9)).cast("long")
+    agg = j.select("n_a", "n_b", q.alias("_q")).groupBy(
+        "n_a", "n_b"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("_q").cast("long").alias("_sq"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        (F.col("_sq").cast("double") / F.lit(1e9)).alias("cvm_t"),
+    )
+
+
+def energy_distance_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-D energy distance (Székely–Rizzo) — the squared-gap
+    sibling of :func:`wasserstein_drift`, via the 1-D closed form::
+
+        E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| = 2 · ∫ (F_a − F_b)² dx
+
+    Both read in the value's own units and are scale-EQUIVARIANT
+    (E(cX, cY) = c·E(X, Y)); W1 weights every CDF gap linearly (total
+    transport cost), energy squares it, so one large coherent
+    displacement dominates many small wiggles — the metric behind the
+    standard energy two-sample test and common in production drift
+    monitors. E = 0 iff the distributions coincide.
+
+    Exactness posture = ``wasserstein_drift``: exact decimal CDF-gap
+    numerators; value gaps from the two-level lead (within-bucket
+    ``lead`` + bounded next-nonempty-bucket repair, never a global
+    sort); each segment's term is a fixed-operand-order double,
+    nano-quantized, and the quantized longs sum EXACTLY. Bound: gap²
+    ≤ 1 so Σ = E·1e9 ≤ 2·range·1e9 — holds while the value RANGE is
+    < 4.6·10⁹ units (rescale wider domains first).
+
+    Plan at 100 TB: identical to ``wasserstein_drift``. NULLs
+    excluded; an empty side yields an empty frame; the last pooled
+    value has no successor and contributes 0.
+
+    Output: ONE row — ``n_a``/``n_b``/``n_values`` (long), ``energy``
+    (double)."""
+    j = _two_sample_cdf(
+        df_a, df_b, value_col, "energy_distance_drift",
+        num_partitions, with_gap=True,
+    )
+    dec = "decimal(38,0)"
+    d_num = F.abs(
+        F.col("cum_ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("cum_cb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    g = _d(d_num) / (na * nb)
+    term = F.lit(2.0) * F.col("_gap") * g * g
+    q = F.when(
+        term.isNotNull(), F.round(term * F.lit(1e9)).cast("long")
+    ).otherwise(F.lit(0))
+    agg = j.select("n_a", "n_b", q.alias("_q")).groupBy(
+        "n_a", "n_b"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("_q").cast("long").alias("_sq"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        (F.col("_sq").cast("double") / F.lit(1e9)).alias("energy"),
+    )
+
+
 def wasserstein_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -1850,62 +2123,11 @@ def wasserstein_drift(
 
     Output: ONE row — ``n_a``/``n_b``/``n_values`` (long), ``w1``
     (double)."""
-    for df, side in ((df_a, "a"), (df_b, "b")):
-        if value_col not in df.columns:
-            raise TransformationError(
-                "wasserstein_drift: value column not in "
-                f"side-{side} schema: {value_col}"
-            )
-    a = df_a.select(F.col(value_col).alias("v")).where(
-        F.col("v").isNotNull()
-    ).select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
-    b = df_b.select(F.col(value_col).alias("v")).where(
-        F.col("v").isNotNull()
-    ).select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb"))
-    pooled = (
-        a.unionByName(b)
-        .groupBy("v")
-        .agg(
-            F.sum("ca").cast("long").alias("ca"),
-            F.sum("cb").cast("long").alias("cb"),
-        )
-        .localCheckpoint(eager=True)
+    j = _two_sample_cdf(
+        df_a, df_b, value_col, "wasserstein_drift",
+        num_partitions, with_gap=True,
     )
-    cum = _prefix_sums(
-        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True,
-        keep_pid=True,
-    )
-    totals = pooled.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
-    ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
-    j = cum.crossJoin(F.broadcast(totals))
-    # the (v_{j+1} − v_j) gap: lead over the histogram. The histogram
-    # is value-range-bucketed by _prefix_sums' scan, but lead needs a
-    # TOTAL order — partition on a constant-free global sort would
-    # single-partition. Instead ride the same two-level trick: lead
-    # within each _pid bucket, then repair each bucket's LAST row by
-    # joining the next bucket's first value (bounded ≤P-row table).
-    from pyspark.sql import Window
-
-    w_in = Window.partitionBy("_pid").orderBy("v")
-    j = j.withColumn("_nv", F.lead("v").over(w_in))
-    # next NONEMPTY bucket's first value (quantile split-point ties
-    # can leave empty buckets — a plain pid−1 shift would drop the
-    # crossing segment); the window runs on the bounded ≤P-row
-    # bucket-firsts table, the [PS]-class exemption
-    firsts = cum.groupBy("_pid").agg(F.min("v").alias("_fv"))
-    w_nb = Window.orderBy("_pid").rowsBetween(
-        1, Window.unboundedFollowing
-    )
-    firsts = firsts.withColumn(
-        "_next_first", F.min("_fv").over(w_nb)
-    ).select("_pid", "_next_first")
-    j = j.join(F.broadcast(firsts), "_pid", "left")
-    gap = (
-        F.coalesce(F.col("_nv"), F.col("_next_first")).cast("double")
-        - F.col("v").cast("double")
-    )
+    gap = F.col("_gap")
     dec = "decimal(38,0)"
     d_num = F.abs(
         F.col("cum_ca").cast(dec) * F.col("n_b").cast(dec)
@@ -3116,9 +3338,12 @@ class DriftTransformer:
     ``categoryColumn`` (categorical χ² table) or ``valueColumn``
     (continuous two-sample test; ``statistic: ks`` default,
     ``rank_sum`` for Mann–Whitney AUC, ``anderson_darling`` for the
-    tail-sensitive Scholz–Stephens A²akN, or ``psi`` for the
-    Population Stability Index over the reference side's exact decile
-    bins — ``bins``, ``smoothing``, ``perBin``). With ``categoryColumn``,
+    tail-sensitive Scholz–Stephens A²akN, ``kuiper`` for the
+    direction-aware V = D⁺ + D⁻, ``cramer_von_mises`` for the
+    mass-weighted squared-gap criterion, ``wasserstein`` /
+    ``energy`` for the value-unit transport metrics, or ``psi`` for
+    the Population Stability Index over the reference side's exact
+    decile bins — ``bins``, ``smoothing``, ``perBin``). With ``categoryColumn``,
     ``statistic: tv`` selects the total-variation summary,
     ``js`` the Jensen-Shannon divergence (both take ``perCategory:
     true`` for the contribution table), and ``kl`` the add-α smoothed
@@ -3144,12 +3369,12 @@ class DriftTransformer:
         stat = opts.get("statistic")
         if val and stat not in (
             None, "ks", "rank_sum", "psi", "anderson_darling",
-            "wasserstein",
+            "wasserstein", "kuiper", "cramer_von_mises", "energy",
         ):
             errors.append(
                 "drift statistic for valueColumn must be "
-                f"ks|rank_sum|psi|anderson_darling|wasserstein, "
-                f"got '{stat}'"
+                f"ks|rank_sum|psi|anderson_darling|wasserstein|"
+                f"kuiper|cramer_von_mises|energy, got '{stat}'"
             )
         if cat and stat not in (None, "chi2", "tv", "js", "kl"):
             errors.append(
@@ -3192,6 +3417,16 @@ class DriftTransformer:
                 )
             if opts.get("statistic", "ks") == "wasserstein":
                 return wasserstein_drift(df, other, opts["valueColumn"])
+            if opts.get("statistic", "ks") == "kuiper":
+                return kuiper_drift(df, other, opts["valueColumn"])
+            if opts.get("statistic", "ks") == "cramer_von_mises":
+                return cramer_von_mises_drift(
+                    df, other, opts["valueColumn"]
+                )
+            if opts.get("statistic", "ks") == "energy":
+                return energy_distance_drift(
+                    df, other, opts["valueColumn"]
+                )
             if opts.get("statistic", "ks") == "psi":
                 from etl_spark_gradle_spark.operators.infotheory import psi_drift
 

@@ -845,3 +845,183 @@ def test_mrr_adapter_validates_k_and_id(spark):
     ok = _cfg("evaluation", operation="mrr", queryColumn="q",
               scoreColumn="score", relevanceColumn="rel")
     assert t.validate(df, ok).is_valid
+
+
+# ------------------------------------------------- drift family r11c
+
+
+def _py_kuiper(xs, ys):
+    na, nb = len(xs), len(ys)
+    cx, cy = Counter(xs), Counter(ys)
+    ca = cb = 0
+    dp = dm = 0
+    for v in sorted(set(xs) | set(ys)):
+        ca += cx.get(v, 0)
+        cb += cy.get(v, 0)
+        s = ca * nb - cb * na
+        dp = max(dp, s)
+        dm = max(dm, -s)
+    return dp, dm, (dp + dm) / (na * nb)
+
+
+def _py_cvm(xs, ys):
+    """Pure-python two-sample CvM criterion with the operator's
+    quantization and operand order."""
+    na, nb = len(xs), len(ys)
+    nn = float(na + nb)
+    cx, cy = Counter(xs), Counter(ys)
+    ca = cb = 0
+    sq = 0
+    for v in sorted(set(xs) | set(ys)):
+        ca += cx.get(v, 0)
+        cb += cy.get(v, 0)
+        t = float(cx.get(v, 0) + cy.get(v, 0))
+        g = abs(ca * nb - cb * na) / (na * nb)
+        sq += round(t * g * g * (na * nb) / (nn * nn) * 1e9)
+    return sq / 1e9
+
+
+def _py_energy(xs, ys):
+    na, nb = len(xs), len(ys)
+    cx, cy = Counter(xs), Counter(ys)
+    vals = sorted(set(xs) | set(ys))
+    ca = cb = 0
+    sq = 0
+    for v, nv in zip(vals, vals[1:] + [None]):
+        ca += cx.get(v, 0)
+        cb += cy.get(v, 0)
+        if nv is not None:
+            g = abs(ca * nb - cb * na) / (na * nb)
+            sq += round(2.0 * (nv - v) * g * g * 1e9)
+    return sq / 1e9
+
+
+def test_kuiper_matches_pure_python_and_variance_drift(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import (
+        kuiper_drift, ks_drift,
+    )
+
+    random.seed(31)
+    xs = [round(random.gauss(0, 1), 1) for _ in range(300)]
+    ys = [round(random.gauss(0, 2.2), 1) for _ in range(260)]
+    da = spark.createDataFrame([(v,) for v in xs], "v double")
+    db = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = kuiper_drift(da, db, "v").collect()[0]
+    dp, dm, v = _py_kuiper(xs, ys)
+    assert (r["n_a"], r["n_b"]) == (300, 260)
+    assert r["n_values"] == len(set(xs) | set(ys))
+    assert (int(r["d_plus_num"]), int(r["d_minus_num"])) == (dp, dm)
+    assert r["kuiper_v"] == pytest.approx(v, abs=1e-15)
+    # the defining property: variance drift produces BOTH a positive
+    # and a negative lobe in F_a - F_b; V reads their sum where KS
+    # reads only the larger one
+    ks = ks_drift(da, db, "v").collect()[0]
+    assert int(r["d_plus_num"]) > 0 and int(r["d_minus_num"]) > 0
+    assert r["kuiper_v"] > ks["ks_d"] * 1.5
+    assert r["kuiper_v"] >= ks["ks_d"]
+    # identical samples -> exactly 0; V bounded by 2
+    same = kuiper_drift(da, da, "v").collect()[0]
+    assert same["kuiper_v"] == 0.0
+    assert r["kuiper_v"] <= 2.0
+    # empty side -> empty frame (the ks_drift contract)
+    empty = spark.createDataFrame([], "v double")
+    assert kuiper_drift(da, empty, "v").count() == 0
+    # distributed: only the bounded offsets window is global
+    assert _unpartitioned_windows(kuiper_drift(da, db, "v")) <= 1
+
+
+def test_cramer_von_mises_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import (
+        cramer_von_mises_drift,
+    )
+
+    random.seed(37)
+    xs = [round(random.gauss(0, 1), 1) for _ in range(300)]
+    ys = [round(random.gauss(0.9, 1.1), 1) for _ in range(250)]
+    da = spark.createDataFrame([(v,) for v in xs], "v double")
+    db = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = cramer_von_mises_drift(da, db, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (300, 250)
+    assert r["n_values"] == len(set(xs) | set(ys))
+    assert r["cvm_t"] == pytest.approx(_py_cvm(xs, ys), abs=1e-9)
+    # a planted shift reads far above the H0 expectation of ~1/6
+    assert r["cvm_t"] > 2.0
+    # identical samples -> exactly 0
+    assert cramer_von_mises_drift(da, da, "v").collect()[0][
+        "cvm_t"
+    ] == 0.0
+    # H0 (independent draws, same distribution): T stays near 1/6
+    zs = [round(random.gauss(0, 1), 1) for _ in range(300)]
+    dz = spark.createDataFrame([(v,) for v in zs], "v double")
+    assert cramer_von_mises_drift(da, dz, "v").collect()[0][
+        "cvm_t"
+    ] < 1.0
+    # scale INVARIANT (rank-based): T(3X, 3Y) == T(X, Y) exactly
+    from pyspark.sql import functions as F
+
+    r3 = cramer_von_mises_drift(
+        da.select((F.col("v") * 3).alias("v")),
+        db.select((F.col("v") * 3).alias("v")),
+        "v",
+    ).collect()[0]
+    assert r3["cvm_t"] == r["cvm_t"]
+    assert _unpartitioned_windows(
+        cramer_von_mises_drift(da, db, "v")
+    ) <= 1
+
+
+def test_energy_distance_matches_pure_python_and_scaling(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import (
+        energy_distance_drift, wasserstein_drift,
+    )
+
+    random.seed(41)
+    xs = [round(random.gauss(0, 1), 1) for _ in range(300)]
+    ys = [round(random.gauss(2.5, 1), 1) for _ in range(250)]
+    da = spark.createDataFrame([(v,) for v in xs], "v double")
+    db = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = energy_distance_drift(da, db, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (300, 250)
+    assert r["energy"] == pytest.approx(_py_energy(xs, ys), abs=1e-9)
+    # a clear location shift reads large; squared gaps never exceed
+    # the linear ones scaled by the peak gap: E <= 2 * W1
+    w1 = wasserstein_drift(da, db, "v").collect()[0]["w1"]
+    assert r["energy"] > 1.0
+    assert r["energy"] <= 2 * w1 + 1e-9
+    # identical samples -> exactly 0
+    assert energy_distance_drift(da, da, "v").collect()[0][
+        "energy"
+    ] == 0.0
+    # scale EQUIVARIANT: E(3X, 3Y) = 3 * E(X, Y) up to quant grain
+    from pyspark.sql import functions as F
+
+    r3 = energy_distance_drift(
+        da.select((F.col("v") * 3).alias("v")),
+        db.select((F.col("v") * 3).alias("v")),
+        "v",
+    ).collect()[0]
+    assert r3["energy"] == pytest.approx(3 * r["energy"], abs=1e-6)
+    # plan: within-bucket lead + two bounded windows
+    assert _unpartitioned_windows(
+        energy_distance_drift(da, db, "v")
+    ) <= 2
+
+
+def test_drift_adapter_r11c_statistics(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    t = TRANSFORMER_REGISTRY["drift"]
+    for stat in ("kuiper", "cramer_von_mises", "energy"):
+        ok = _cfg("drift", otherView="x", valueColumn="v",
+                  statistic=stat)
+        assert t.validate(df, ok).is_valid, stat
+    bad = _cfg("drift", otherView="x", valueColumn="v",
+               statistic="cvm")
+    assert not t.validate(df, bad).is_valid

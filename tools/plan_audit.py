@@ -83,6 +83,12 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
                                # firsts window over the <=P-row
                                # bucket-minima table (the value-gap
                                # repair at bucket boundaries)
+    "kuiper": 1,               # [PS] pooled-histogram cumulative
+                               # counts (the ks_drift shape)
+    "cramer_von_mises": 1,     # [PS] pooled-histogram cumulative
+                               # counts (the anderson_darling shape)
+    "energy_distance": 2,      # [PS] + the bucket-firsts gap repair
+                               # (the wasserstein shape)
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
@@ -1006,6 +1012,39 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         "cumulative counts via the two-level scan, value gaps from a "
         "_pid-partitioned lead + bounded bucket-firsts repair; "
         "nano-quantized segment terms sum as longs; no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "kuiper",
+        "Kuiper drift: pinned pooled histogram (ExistingRDD), "
+        "cumulative counts via the two-level scan, totals broadcast; "
+        "both directional maxima are exact decimal maxes in ONE "
+        "bounded aggregation; no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "cramer_von_mises",
+        "Cramer-von Mises drift: pinned pooled histogram "
+        "(ExistingRDD), cumulative counts via the two-level scan, "
+        "totals broadcast; nano-quantized per-value terms sum as "
+        "longs; no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "BroadcastNestedLoopJoin"],
+        ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "energy_distance",
+        "Energy distance drift: pinned pooled histogram "
+        "(ExistingRDD), two-level scan for cumulative counts, value "
+        "gaps from the _pid-partitioned lead + bounded bucket-firsts "
+        "repair; nano-quantized segment terms sum as longs; no python",
         ["hashpartitioning(_pid", "ExistingRDD",
          "BroadcastNestedLoopJoin"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
