@@ -10503,6 +10503,62 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test over the raw event stream (value vs
+    ts): doubled midranks from the value histogram, time-ordered
+    prefix sums via the two-level scan, exact-integer U_t, single
+    max(struct) close for K + the maximizing split time."""
+    from etl_spark_gradle_spark.operators.stats import pettitt_test
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return pettitt_test(ev, "ts", "value")
+
+
+_PETTITT_ORACLE = """
+WITH pts AS (
+  SELECT ts AS t, value AS v FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+), h AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+), r AS (
+  SELECT v,
+         CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS BIGINT)
+           AS r2
+  FROM h
+), j AS (
+  SELECT pts.t, r.r2 FROM pts JOIN r ON pts.v = r.v
+), pt AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS ct,
+         SUM(CAST(r2 AS HUGEINT)) AS sr2
+  FROM j GROUP BY t
+), cum AS (
+  SELECT t,
+         CAST(SUM(ct) OVER (ORDER BY t) AS BIGINT) AS cct,
+         SUM(sr2) OVER (ORDER BY t) AS csr2
+  FROM pt
+), tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS n FROM pt HAVING SUM(ct) > 0
+), u AS (
+  SELECT t, CAST(cct AS HUGEINT) * (n + 1) - csr2 AS u, n
+  FROM cum CROSS JOIN tot
+), k AS (
+  SELECT n, MAX(ABS(u)) AS mk FROM u GROUP BY n
+), sel AS (
+  SELECT u.n, u.t, u.u FROM u JOIN k ON u.n = k.n AND ABS(u.u) = k.mk
+), arg AS (
+  SELECT n, MIN(t) AS t FROM sel GROUP BY n
+)
+SELECT sel.n,
+       CAST(ABS(sel.u) AS VARCHAR) AS k_num,
+       CAST(sel.u AS VARCHAR) AS u_num,
+       sel.t AS change_at,
+       CAST(CAST(ABS(sel.u) AS VARCHAR) AS DOUBLE) * 4.0
+         / (CAST(sel.n AS DOUBLE) * CAST(sel.n AS DOUBLE)) AS k_frac
+FROM sel JOIN arg ON sel.n = arg.n AND sel.t = arg.t
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift over events.value
     (click vs purchase): one value-keyed count shuffle, then
@@ -13014,6 +13070,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kuiper": q_kuiper,
         "cramer_von_mises": q_cramer_von_mises,
         "energy_distance": q_energy_distance,
+        "pettitt": q_pettitt,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13355,6 +13412,7 @@ def oracle_sql() -> dict[str, str]:
         "kuiper": _KUIPER_ORACLE,
         "cramer_von_mises": _CRAMER_VON_MISES_ORACLE,
         "energy_distance": _ENERGY_DISTANCE_ORACLE,
+        "pettitt": _PETTITT_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

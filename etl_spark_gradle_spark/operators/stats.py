@@ -45,6 +45,9 @@ __all__ = [
     "ks_drift",
     "anderson_darling_drift",
     "wasserstein_drift",
+    "kuiper_drift",
+    "cramer_von_mises_drift",
+    "energy_distance_drift",
     "rank_sum_drift",
     "welch_ttest",
     "prop_ztest",
@@ -53,6 +56,7 @@ __all__ = [
     "brown_forsythe",
     "kendall_tau",
     "mann_kendall",
+    "pettitt_test",
     "theil_sen",
     "tukey_hsd",
     "cronbach_alpha",
@@ -1472,6 +1476,136 @@ def mann_kendall(
         s_dec.cast(dec).cast("string").alias("s"),
         F.when(F.col("n") >= 2, var_s).alias("var_s"),
         F.when((F.col("n") >= 2) & (var_s > 0), z).alias("z"),
+    )
+
+
+def pettitt_test(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pettitt changepoint test (Pettitt 1979) — the WHEN to
+    :func:`mann_kendall`'s WHETHER: locate the single most likely
+    abrupt shift in a metric's level over time, rank-based (no
+    normality, robust to outliers), the standard nonparametric
+    changepoint detector in monitoring and hydrology::
+
+        U_t = Σ_{i≤t} Σ_{j>t} sgn(v_j − v_i),   K = max_t |U_t|
+
+    evaluated at every distinct-time boundary (a split INSIDE a tied
+    timestamp has no defined order). The naive double sum is O(n²);
+    the midrank identity collapses it: each element's signed
+    comparisons against ALL others total N + 1 − 2·r_i (midrank r_i),
+    and the prefix's internal pairs cancel by antisymmetry, so
+
+        U_t = t·(N + 1) − Σ_{i≤t} 2·r_i
+
+    — doubled midranks ``2r = 2·#less + t_v + 1`` are exact INTEGERS
+    from the value histogram (the ``spearman``/``auc`` identity), and
+    U_t stays exact decimal end-to-end. K and U are published as
+    exact strings; ``k_frac = 4K/N²`` ∈ [0, 1] is the one float close
+    (a clean half-split step change reads 1.0). No p-value by the
+    ``welch_ttest`` posture (the caller applies Pettitt's
+    2·exp(−6K²/(N³+N²)) approximation — cross-engine ``exp`` is not
+    ulp-stable enough for the hash gate).
+
+    Plan at 100 TB: ONE value-histogram shuffle → ranks via
+    ``_prefix_sums``' two-level scan; one value-keyed join attaches
+    ranks (both sides hash-partitioned on the value); ONE
+    distinct-time shuffle reduces to (t, count, Σ2r), pinned once;
+    time-ordered prefix sums ride a second two-level scan; the 1-row
+    total broadcasts; K + argmax close in a single max(struct)
+    aggregation — smallest attaining time wins, deterministic under
+    ties. NULL time or value rows are excluded.
+
+    Output: ONE row — ``n`` (long), ``k_num``/``u_num`` (exact
+    integer strings; u_num signed), ``change_at`` (last point of the
+    maximizing prefix, in the time column's own type), ``k_frac``
+    (double). Empty input → empty frame."""
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    for c in (time_col, value_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"pettitt_test: column not in schema: {c}"
+            )
+    tdtype = df.schema[time_col].dataType
+    if isinstance(tdtype, DateType):
+        def _tnum(c):
+            return F.unix_date(c).cast("double")
+    elif isinstance(tdtype, (TimestampType, TimestampNTZType)):
+        def _tnum(c):
+            return c.cast("timestamp").cast("double")
+    elif isinstance(tdtype, NumericType):
+        def _tnum(c):
+            return c.cast("double")
+    else:
+        raise TransformationError(
+            "pettitt_test: time column must be numeric, date, or "
+            f"timestamp (got {tdtype.simpleString()} — a changepoint "
+            "needs an ordered axis)"
+        )
+    pts = df.select(
+        F.col(time_col).alias("_t"), F.col(value_col).alias("_v")
+    ).where(F.col("_t").isNotNull() & F.col("_v").isNotNull())
+    hist = pts.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    ranks = _prefix_sums(hist, "_v", ["_c"], num_partitions).select(
+        "_v",
+        (
+            F.lit(2) * (F.col("cum__c") - F.col("_c"))
+            + F.col("_c")
+            + F.lit(1)
+        ).cast("long").alias("_r2"),
+    )
+    joined = pts.join(ranks, "_v")
+    dec = "decimal(38,0)"
+    per_t = (
+        joined.groupBy("_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_ct"),
+            F.sum(F.col("_r2").cast(dec)).cast(dec).alias("_sr2"),
+        )
+        # pinned ONCE: feeds the time-ordered scan AND the totals
+        .localCheckpoint(eager=True)
+    )
+    cum = _prefix_sums(
+        per_t, "_t", ["_ct", "_sr2"], num_partitions, assume_pinned=True
+    )
+    totals = per_t.agg(
+        F.sum("_ct").cast("long").alias("n")
+    ).where(F.col("n") > 0)
+    j = cum.crossJoin(F.broadcast(totals))
+    u = (
+        F.col("cum__ct").cast(dec) * (F.col("n") + 1).cast(dec)
+        - F.col("cum__sr2")
+    ).cast(dec)
+    # single-pass K + argmax: struct max orders by (|U|, −t), so the
+    # winner is (supremum, smallest time attaining it); U rides along
+    # determined by the first two fields (the ks_drift close)
+    best = j.select(
+        "n",
+        F.struct(
+            F.abs(u).alias("k"),
+            (-_tnum(F.col("_t"))).alias("nt"),
+            F.col("_t").alias("at"),
+            u.alias("u"),
+        ).alias("_s"),
+    ).groupBy("n").agg(F.max("_s").alias("_b"))
+    nd = F.col("n").cast("double")
+    return best.select(
+        "n",
+        F.col("_b.k").cast("string").alias("k_num"),
+        F.col("_b.u").cast("string").alias("u_num"),
+        F.col("_b.at").alias("change_at"),
+        (_d(F.col("_b.k")) * F.lit(4.0) / (nd * nd)).alias("k_frac"),
     )
 
 
@@ -4143,7 +4277,7 @@ class StatsTransformer:
                     "or neither"
                 )
         elif op in ("chi_square", "kendall_tau", "mann_kendall",
-                    "theil_sen"):
+                    "theil_sen", "pettitt"):
             for key in ("xColumn", "yColumn"):
                 if not opts.get(key):
                     errors.append(f"stats {op} requires '{key}'")
@@ -4213,7 +4347,7 @@ class StatsTransformer:
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
-                "|mann_kendall|theil_sen|cox|rmst|tukey_hsd"
+                "|mann_kendall|pettitt|theil_sen|cox|rmst|tukey_hsd"
                 "|cronbach_alpha|cohens_d|cochran_q|friedman, "
                 f"got '{op}'"
             )
@@ -4326,6 +4460,8 @@ class StatsTransformer:
             return kendall_tau(df, opts["xColumn"], opts["yColumn"])
         if op == "mann_kendall":
             return mann_kendall(df, opts["xColumn"], opts["yColumn"])
+        if op == "pettitt":
+            return pettitt_test(df, opts["xColumn"], opts["yColumn"])
         if op == "theil_sen":
             return theil_sen(df, opts["xColumn"], opts["yColumn"])
         if op == "rmst":

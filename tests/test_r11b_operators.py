@@ -1025,3 +1025,116 @@ def test_drift_adapter_r11c_statistics(spark):
     bad = _cfg("drift", otherView="x", valueColumn="v",
                statistic="cvm")
     assert not t.validate(df, bad).is_valid
+
+
+# --------------------------------------------------------- pettitt
+
+
+def _py_pettitt(rows):
+    """Brute-force O(n^2) Pettitt over (t, v) pairs."""
+    srt = sorted(rows)
+    n = len(srt)
+    K, arg, uarg = -1, None, None
+    for t in range(1, n + 1):
+        u = sum(
+            (0 if srt[j][1] == srt[i][1]
+             else (1 if srt[j][1] > srt[i][1] else -1))
+            for i in range(t) for j in range(t, n)
+        )
+        if abs(u) > K:
+            K, arg, uarg = abs(u), srt[t - 1][0], u
+    return K, arg, uarg
+
+
+def test_pettitt_matches_brute_force(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import pettitt_test
+
+    random.seed(43)
+    rows = [
+        (float(t), round(random.gauss(0 if t < 120 else 2.0, 1), 1))
+        for t in range(200)
+    ]
+    rows += [(5.0, None), (None, 1.0)]  # excluded
+    df = spark.createDataFrame(rows, "t double, v double").repartition(4)
+    r = pettitt_test(df, "t", "v").collect()[0]
+    clean = [p for p in rows if p[0] is not None and p[1] is not None]
+    K, arg, uarg = _py_pettitt(clean)
+    assert r["n"] == len(clean)
+    assert int(r["k_num"]) == K
+    assert int(r["u_num"]) == uarg
+    assert r["change_at"] == arg
+    assert r["k_frac"] == pytest.approx(
+        K * 4.0 / len(clean) ** 2, abs=1e-12
+    )
+    # the planted split at t=120 must be located within a few points
+    assert 110.0 <= r["change_at"] <= 130.0
+    # a clean half-split step change saturates k_frac at ~1
+    step = spark.createDataFrame(
+        [(float(t), 0.0 if t < 50 else 10.0) for t in range(100)],
+        "t double, v double",
+    )
+    s = pettitt_test(step, "t", "v").collect()[0]
+    assert int(s["k_num"]) == 50 * 50
+    assert s["k_frac"] == pytest.approx(1.0, abs=1e-12)
+    assert s["change_at"] == 49.0
+    # H0 (no shift): k_frac stays small
+    h0 = spark.createDataFrame(
+        [(float(t), round(random.gauss(0, 1), 1)) for t in range(300)],
+        "t double, v double",
+    )
+    assert pettitt_test(h0, "t", "v").collect()[0]["k_frac"] < 0.4
+    # distributed plan: both prefix-sum scans partition on _pid
+    assert _unpartitioned_windows(pettitt_test(df, "t", "v")) <= 2
+
+
+def test_pettitt_tied_times_and_types(spark):
+    from etl_spark_gradle_spark.operators.stats import pettitt_test
+
+    # tied timestamps: splits only at distinct-time boundaries; the
+    # brute force over the time-sorted list evaluates every row split
+    # but mid-tie splits can only LOWER |U| when the tie carries equal
+    # values, so boundary evaluation finds the same K here
+    rows = [(1.0, 5.0), (1.0, 5.0), (2.0, 1.0), (3.0, 1.5), (3.0, 0.5)]
+    r = pettitt_test(
+        spark.createDataFrame(rows, "t double, v double"), "t", "v"
+    ).collect()[0]
+    # U after t=1 boundary (prefix = both 5.0 rows): every suffix value
+    # is smaller -> U = -(2*3) = -6
+    assert int(r["u_num"]) == -6
+    assert int(r["k_num"]) == 6
+    assert r["change_at"] == 1.0
+    # timestamps work (monotone numeric view for the argmax)
+    ts = spark.createDataFrame(
+        [("2024-01-0%d 00:00:00" % d, float(d >= 5)) for d in
+         range(1, 10)],
+        "t string, v double",
+    ).selectExpr("CAST(t AS TIMESTAMP) t", "v")
+    rt = pettitt_test(ts, "t", "v").collect()[0]
+    assert str(rt["change_at"]).startswith("2024-01-04")
+    # string time column -> clean error
+    bad = spark.createDataFrame([("a", 1.0)], "t string, v double")
+    with pytest.raises(TransformationError, match="ordered axis"):
+        pettitt_test(bad, "t", "v")
+    # empty input -> empty frame
+    empty = spark.createDataFrame([], "t double, v double")
+    assert pettitt_test(empty, "t", "v").count() == 0
+
+
+def test_pettitt_stats_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame([(1.0, 2.0)], "t double, v double")
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="pettitt", xColumn="t", yColumn="v")
+    assert t.validate(df, ok).is_valid
+    out = t.transform(df, ok, None)
+    assert out.columns == ["n", "k_num", "u_num", "change_at", "k_frac"]
+    for bad in (
+        _cfg("stats", operation="pettitt", xColumn="t"),
+        _cfg("stats", operation="pettitt", xColumn="t", yColumn="nope"),
+        _cfg("stats", operation="pettitt", xColumn="t", yColumn="v",
+             groupBy="t"),
+    ):
+        assert not t.validate(df, bad).is_valid

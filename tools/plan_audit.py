@@ -89,6 +89,10 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
                                # counts (the anderson_darling shape)
     "energy_distance": 2,      # [PS] + the bucket-firsts gap repair
                                # (the wasserstein shape)
+    "pettitt": 2,              # [PS] x2: value-rank CDF + the
+                               # time-ordered U_t scan (both
+                               # two-level; only the <=P-row offsets
+                               # windows are global)
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
@@ -1049,6 +1053,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BroadcastNestedLoopJoin"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "pettitt",
+        "Pettitt changepoint: value ranks and time-ordered U_t both "
+        "ride two-level prefix-sum scans; one value-keyed rank join; "
+        "1-row totals broadcast; K + argmax close in a single "
+        "max(struct) aggregation; no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "cochran_q",
