@@ -10503,6 +10503,80 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa between two derived ordinal
+    grades over lineitem (quantity band vs price band — correlated
+    through quantity×price, the canonical ordinal-agreement shape):
+    exact integer w·O / w·R·C sums in decimal(38,0), one closing
+    division. Integer band arithmetic is floor-division on BIGINTs so
+    both engines bucket identically (decimal casts round differently
+    across engines)."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        weighted_kappa,
+    )
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.least(
+            F.lit(4).cast("long"),
+            F.expr("CAST(FLOOR(l_quantity) AS BIGINT) DIV 13"),
+        ).alias("grade_a"),
+        F.least(
+            F.lit(4).cast("long"),
+            F.expr("CAST(FLOOR(l_extendedprice) AS BIGINT) DIV 20000"),
+        ).alias("grade_b"),
+    )
+    return weighted_kappa(scored, "grade_a", "grade_b")
+
+
+_WEIGHTED_KAPPA_ORACLE = """
+WITH scored AS (
+  SELECT CAST(LEAST(4, CAST(FLOOR(l_quantity) AS BIGINT) // 13)
+              AS VARCHAR) AS a,
+         CAST(LEAST(4, CAST(FLOOR(l_extendedprice) AS BIGINT) // 20000)
+              AS VARCHAR) AS b
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY a, b
+), spine AS (
+  SELECT cls, CAST(row_number() OVER (ORDER BY cls) AS BIGINT) AS d
+  FROM (SELECT a AS cls FROM cells UNION SELECT b FROM cells)
+), nclasses AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes FROM spine
+), wo AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         SUM((sa.d - sb.d) * (sa.d - sb.d) * CAST(c AS HUGEINT)) AS wo
+  FROM cells
+  JOIN spine sa ON cells.a = sa.cls
+  JOIN spine sb ON cells.b = sb.cls
+), rt AS (
+  SELECT a AS cls, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY a
+), ct AS (
+  SELECT b AS cls, CAST(SUM(c) AS BIGINT) AS rb FROM cells GROUP BY b
+), we AS (
+  SELECT SUM((sa.d - sb.d) * (sa.d - sb.d)
+             * CAST(ra AS HUGEINT) * rb) AS we
+  FROM rt
+  JOIN spine sa ON rt.cls = sa.cls
+  CROSS JOIN ct
+  JOIN spine sb ON ct.cls = sb.cls
+)
+SELECT n, n_classes,
+       CAST(CAST(n AS HUGEINT) * wo AS VARCHAR) AS wo_num,
+       CAST(we AS VARCHAR) AS we_num,
+       CASE WHEN we > 0 THEN
+         CAST(CAST(we - CAST(n AS HUGEINT) * wo AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(we AS VARCHAR) AS DOUBLE)
+       END AS kappa_w
+FROM wo CROSS JOIN we CROSS JOIN nclasses
+"""
+
+
 def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pettitt changepoint test over the raw event stream (value vs
     ts): doubled midranks from the value histogram, time-ordered
@@ -13071,6 +13145,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramer_von_mises": q_cramer_von_mises,
         "energy_distance": q_energy_distance,
         "pettitt": q_pettitt,
+        "weighted_kappa": q_weighted_kappa,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13413,6 +13488,7 @@ def oracle_sql() -> dict[str, str]:
         "cramer_von_mises": _CRAMER_VON_MISES_ORACLE,
         "energy_distance": _ENERGY_DISTANCE_ORACLE,
         "pettitt": _PETTITT_ORACLE,
+        "weighted_kappa": _WEIGHTED_KAPPA_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

@@ -53,6 +53,7 @@ __all__ = [
     "classification_report",
     "lift_table",
     "cohens_kappa",
+    "weighted_kappa",
     "isotonic_calibration",
     "regression_metrics",
     "brier_ece",
@@ -526,6 +527,142 @@ def cohens_kappa(
     )
 
 
+def weighted_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    weights: str = "quadratic",
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Weighted Cohen's kappa (Cohen 1968) between two ORDINAL label
+    columns — the agreement read when disagreeing by one grade is
+    better than disagreeing by four (Likert scales, severity grades,
+    quality scores). Plain :func:`cohens_kappa` charges every
+    disagreement equally; the weighted form charges
+    ``w_ij = (d_i − d_j)²`` (quadratic, the ICC-equivalent default)
+    or ``|d_i − d_j|`` (linear) where ``d`` is the class's dense rank
+    in the GLOBAL sorted class spine (the standard equally-spaced-
+    categories assumption; ranks are global so grouped kappas stay
+    comparable)::
+
+        κ_w = 1 − Σ w·O / Σ w·E,   E_ij = R_i·C_j / n
+            = (Σ w·R·C − n·Σ w·O) / (Σ w·R·C)
+
+    cross-multiplied to EXACT integer arithmetic — integer weights ×
+    long counts in decimal(38,0), ONE closing division through the
+    string round-trip. Both exact numerator/denominator are published
+    as strings for the hash gate.
+
+    Plan at 100 TB: ONE map-side-combined pass reduces the raw rows
+    to (group, a, b) contingency cells; everything downstream runs on
+    the bounded cell table — the class spine and its rank window are
+    ≤k rows (bounded by the label-cardinality contract all agreement
+    statistics share), marginal products are a k×k bounded join, and
+    the spine attaches by broadcast. Rows with either label NULL are
+    excluded. Degenerate groups (Σ w·R·C = 0 — all mass in one class
+    on both sides) yield NULL kappa; binary labels under either
+    weighting reproduce plain Cohen's kappa exactly.
+
+    Output: group cols + ``n``/``n_classes`` (long) + ``wo_num``/
+    ``we_num`` (exact integer strings: n·ΣwO and ΣwRC) + ``kappa_w``
+    (double)."""
+    from etl_spark_gradle_spark.operators.stats import _d
+
+    group_by = group_by or []
+    if weights not in ("quadratic", "linear"):
+        raise TransformationError(
+            "weighted_kappa: weights must be quadratic|linear, "
+            f"got '{weights}'"
+        )
+    _check_cols(df, [rater_a_col, rater_b_col, *group_by])
+    cells = (
+        df.where(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .groupBy(
+            *group_by,
+            F.col(rater_a_col).cast("string").alias("_a"),
+            F.col(rater_b_col).cast("string").alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        # four downstream branches (spine, totals, marginals x2) —
+        # lazy localCheckpoint keeps the raw scan at ONE
+        .localCheckpoint(eager=False)
+    )
+    # global ordinal spine: dense rank over the sorted distinct
+    # classes — a bounded ≤k-row window (the [CT]-class exemption)
+    spine = (
+        cells.select(F.col("_a").alias("_cls"))
+        .unionByName(cells.select(F.col("_b").alias("_cls")))
+        .distinct()
+        .withColumn(
+            "_d",
+            F.row_number().over(Window.orderBy("_cls")).cast("long"),
+        )
+    )
+    n_classes = spine.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes")
+    )
+
+    def _w(da, db):
+        gap = F.abs(da - db)
+        return (gap * gap) if weights == "quadratic" else gap
+
+    dec = "decimal(38,0)"
+    sa = spine.select(F.col("_cls").alias("_a"), F.col("_d").alias("_da"))
+    sb = spine.select(F.col("_cls").alias("_b"), F.col("_d").alias("_db"))
+    wo = (
+        cells.join(F.broadcast(sa), "_a")
+        .join(F.broadcast(sb), "_b")
+        .groupBy(*group_by)
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.sum(
+                _w(F.col("_da"), F.col("_db")).cast(dec)
+                * F.col("_c").cast(dec)
+            ).cast(dec).alias("_wo"),
+        )
+    )
+    row_tot = cells.groupBy(*group_by, F.col("_a").alias("_ca")).agg(
+        F.sum("_c").cast("long").alias("_ra")
+    )
+    col_tot = cells.groupBy(*group_by, F.col("_b").alias("_cb")).agg(
+        F.sum("_c").cast("long").alias("_rb")
+    )
+    rt = row_tot.join(
+        F.broadcast(sa.withColumnRenamed("_a", "_ca")), "_ca"
+    )
+    ct = col_tot.join(
+        F.broadcast(sb.withColumnRenamed("_b", "_cb")), "_cb"
+    )
+    # k x k marginal cross product per group — bounded by the class
+    # cardinality, joined on the group keys (cross for ungrouped)
+    mj = rt.join(ct, group_by) if group_by else rt.crossJoin(ct)
+    we = mj.groupBy(*group_by).agg(
+        F.sum(
+            _w(F.col("_da"), F.col("_db")).cast(dec)
+            * F.col("_ra").cast(dec)
+            * F.col("_rb").cast(dec)
+        ).cast(dec).alias("_we")
+    )
+    joined = (
+        wo.join(we, group_by) if group_by else wo.crossJoin(we)
+    ).crossJoin(F.broadcast(n_classes))
+    wo_num = (F.col("n").cast(dec) * F.col("_wo")).cast(dec)
+    num = (F.col("_we") - wo_num).cast(dec)
+    return joined.select(
+        *group_by,
+        "n",
+        "n_classes",
+        wo_num.cast("string").alias("wo_num"),
+        F.col("_we").cast("string").alias("we_num"),
+        F.when(
+            F.col("_we") > 0,
+            _d(num) / _d(F.col("_we")),
+        ).alias("kappa_w"),
+    )
+
+
 class EvaluationTransformer:
     """Registry adapter (``type: evaluation``). Options:
     ``operation`` auc|classification_report|lift_table|cohens_kappa,
@@ -553,6 +690,7 @@ class EvaluationTransformer:
         "mcc": ("labelColumn", "predictionColumn"),
         "fleiss_kappa": ("itemColumn", "categoryColumn"),
         "mrr": ("queryColumn", "scoreColumn", "relevanceColumn"),
+        "weighted_kappa": ("raterAColumn", "raterBColumn"),
     }
 
     def validate(self, df, config):
@@ -597,6 +735,13 @@ class EvaluationTransformer:
                 errors.append(
                     f"column not in input schema: {opts['idColumn']}"
                 )
+        if op == "weighted_kappa" and opts.get("weights") not in (
+            None, "quadratic", "linear",
+        ):
+            errors.append(
+                "evaluation weighted_kappa weights must be "
+                "quadratic|linear"
+            )
         if op == "fleiss_kappa" and opts.get("nRaters") is not None:
             try:
                 if int(opts["nRaters"]) < 2:
@@ -729,6 +874,14 @@ class EvaluationTransformer:
                 opts["relevanceColumn"],
                 k=int(opts.get("k", 10)),
                 id_col=opts.get("idColumn"),
+            )
+        if op == "weighted_kappa":
+            return weighted_kappa(
+                df,
+                opts["raterAColumn"],
+                opts["raterBColumn"],
+                weights=opts.get("weights", "quadratic"),
+                group_by=group_by,
             )
         return cohens_kappa(
             df, opts["raterAColumn"], opts["raterBColumn"], group_by

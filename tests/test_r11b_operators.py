@@ -1138,3 +1138,111 @@ def test_pettitt_stats_adapter(spark):
              groupBy="t"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# -------------------------------------------------- weighted kappa
+
+
+def _py_weighted_kappa(rows, quad=True):
+    cls = sorted({str(a) for a, _ in rows} | {str(b) for _, b in rows})
+    d = {c: i + 1 for i, c in enumerate(cls)}
+    n = len(rows)
+    O = Counter((str(a), str(b)) for a, b in rows)
+    R = Counter(str(a) for a, _ in rows)
+    C = Counter(str(b) for _, b in rows)
+
+    def w(i, j):
+        g = abs(d[i] - d[j])
+        return g * g if quad else g
+
+    wo = sum(w(i, j) * c for (i, j), c in O.items())
+    we = sum(w(i, j) * R[i] * C[j] for i in cls for j in cls)
+    return n * wo, we, (we - n * wo) / we if we else None
+
+
+def test_weighted_kappa_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import (
+        cohens_kappa, weighted_kappa,
+    )
+
+    random.seed(47)
+    rows = []
+    for _ in range(500):
+        a = random.randint(1, 5)
+        b = min(5, max(1, a + random.choice([-2, -1, 0, 0, 0, 1])))
+        rows.append((a, b))
+    rows += [(None, 3), (2, None)]  # excluded
+    df = spark.createDataFrame(rows, "a int, b int").repartition(4)
+    clean = [p for p in rows if None not in p]
+    for weights, quad in (("quadratic", True), ("linear", False)):
+        r = weighted_kappa(df, "a", "b", weights=weights).collect()[0]
+        wo, we, k = _py_weighted_kappa(clean, quad)
+        assert r["n"] == len(clean)
+        assert r["n_classes"] == 5
+        assert (int(r["wo_num"]), int(r["we_num"])) == (wo, we)
+        assert r["kappa_w"] == pytest.approx(k, abs=1e-15)
+    # quadratic forgives near-misses more than linear: kappa_q >
+    # kappa_l for this ±1/±2-dominated confusion
+    kq = weighted_kappa(df, "a", "b").collect()[0]["kappa_w"]
+    kl = weighted_kappa(df, "a", "b", weights="linear").collect()[0][
+        "kappa_w"
+    ]
+    assert kq > kl
+    # perfect agreement -> kappa_w = 1 exactly (wo = 0)
+    perfect = spark.createDataFrame(
+        [(i % 5, i % 5) for i in range(100)], "a int, b int"
+    )
+    p = weighted_kappa(perfect, "a", "b").collect()[0]
+    assert int(p["wo_num"]) == 0 and p["kappa_w"] == 1.0
+    # single class on both sides -> we = 0 -> NULL kappa
+    degen = spark.createDataFrame([(1, 1)] * 5, "a int, b int")
+    assert weighted_kappa(degen, "a", "b").collect()[0][
+        "kappa_w"
+    ] is None
+    # binary labels: weighted == plain Cohen's kappa exactly, both
+    # weightings (all nonzero gaps are 1)
+    brows = [(random.randint(0, 1), random.randint(0, 1))
+             for _ in range(300)]
+    bdf = spark.createDataFrame(brows, "a int, b int")
+    plain = cohens_kappa(bdf, "a", "b").collect()[0]["kappa"]
+    for weights in ("quadratic", "linear"):
+        assert weighted_kappa(bdf, "a", "b", weights=weights).collect()[
+            0
+        ]["kappa_w"] == pytest.approx(plain, abs=1e-15)
+    # invalid weighting -> clean error
+    with pytest.raises(TransformationError, match="quadratic|linear"):
+        weighted_kappa(df, "a", "b", weights="cubic")
+
+
+def test_weighted_kappa_grouped_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.evaluation import (
+        weighted_kappa,
+    )
+
+    rows = [("x", 1, 1), ("x", 1, 2), ("x", 2, 2), ("x", 3, 3),
+            ("y", 1, 3), ("y", 3, 1), ("y", 2, 2), ("y", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    out = {r["g"]: r for r in
+           weighted_kappa(df, "a", "b", group_by=["g"]).collect()}
+    assert set(out) == {"x", "y"}
+    for g in ("x", "y"):
+        sub = [(a, b) for gg, a, b in rows if gg == g]
+        wo, we, k = _py_weighted_kappa(sub, True)
+        # ranks are GLOBAL (classes 1..3 present in both groups here,
+        # so per-group spine == global spine)
+        assert (int(out[g]["wo_num"]), int(out[g]["we_num"])) == (wo, we)
+        assert out[g]["kappa_w"] == pytest.approx(k, abs=1e-15)
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    ok = _cfg("evaluation", operation="weighted_kappa",
+              raterAColumn="a", raterBColumn="b", weights="linear",
+              groupBy="g")
+    assert t.validate(df, ok).is_valid
+    res = t.transform(df, ok, None)
+    assert res.columns == ["g", "n", "n_classes", "wo_num", "we_num",
+                           "kappa_w"]
+    bad = _cfg("evaluation", operation="weighted_kappa",
+               raterAColumn="a", raterBColumn="b", weights="cubic")
+    assert not t.validate(df, bad).is_valid

@@ -93,6 +93,8 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
                                # time-ordered U_t scan (both
                                # two-level; only the <=P-row offsets
                                # windows are global)
+    "weighted_kappa": 1,       # [CT] the class-spine row_number over
+                               # the <=k-class distinct-label table
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
@@ -1053,6 +1055,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BroadcastNestedLoopJoin"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "weighted_kappa",
+        "Weighted kappa: ONE map-side-combined contingency pass; "
+        "class spine, marginal k x k products, and the exact w.O/w.RC "
+        "sums all run on bounded cell tables with broadcast spine "
+        "attach; one closing division; no python",
+        ["partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
     ),
     (
         "pettitt",
