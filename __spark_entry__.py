@@ -10503,6 +10503,91 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Hosmer–Lemeshow calibration χ² of the q_brier_ece
+    pseudo-probability (cents band of the order total) against the
+    finalized label, 10 bins on [0,1): exact long O and exact decimal
+    E per bin, fixed-order per-bin terms closed by the ordered fold
+    DuckDB replays via list_reduce."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority",
+        (
+            (F.floor(F.col("o_totalprice")).cast("long") % 100).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return hosmer_lemeshow(
+        scored, "score", "label", bins=10,
+        group_by=["o_orderpriority"],
+    )
+
+
+_HOSMER_LEMESHOW_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 100 AS DOUBLE)
+           / 100.0 AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+), pts AS (
+  SELECT o_orderpriority,
+         LEAST(GREATEST(CAST(FLOOR((x - 0.0) / CAST(0.1 AS DOUBLE))
+           AS INT), 0), 9) AS bin,
+         CAST(x AS DECIMAL(18,2)) AS p, y
+  FROM base
+), perbin AS (
+  SELECT o_orderpriority, bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         SUM(p) AS sp
+  FROM pts GROUP BY o_orderpriority, bin
+), terms AS (
+  SELECT o_orderpriority, bin, n,
+         CASE WHEN CAST(CAST(sp AS VARCHAR) AS DOUBLE) > 0
+               AND CAST(n AS DOUBLE)
+                   - CAST(CAST(sp AS VARCHAR) AS DOUBLE) > 0
+              THEN (CAST(pos AS DOUBLE)
+                    - CAST(CAST(sp AS VARCHAR) AS DOUBLE))
+                   * (CAST(pos AS DOUBLE)
+                      - CAST(CAST(sp AS VARCHAR) AS DOUBLE))
+                   * CAST(n AS DOUBLE)
+                   / (CAST(CAST(sp AS VARCHAR) AS DOUBLE)
+                      * (CAST(n AS DOUBLE)
+                         - CAST(CAST(sp AS VARCHAR) AS DOUBLE)))
+              ELSE 0.0 END AS t,
+         CASE WHEN CAST(CAST(sp AS VARCHAR) AS DOUBLE) > 0
+               AND CAST(n AS DOUBLE)
+                   - CAST(CAST(sp AS VARCHAR) AS DOUBLE) > 0
+              THEN 0 ELSE 1 END AS skip
+  FROM perbin
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(SUM(skip) AS BIGINT) AS n_bins_skipped,
+         list_reduce(list_prepend(0.0, list(t ORDER BY bin)),
+                     (a, b) -> a + b) AS hl
+  FROM terms GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, n_bins, n_bins_skipped,
+       CASE WHEN n_bins - n_bins_skipped - 2 >= 1
+            THEN CAST(n_bins - n_bins_skipped - 2 AS BIGINT) END AS dof,
+       CASE WHEN n_bins - n_bins_skipped - 2 >= 1 THEN hl END
+         AS hl_stat
+FROM agg ORDER BY o_orderpriority
+"""
+
+
 def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quadratic-weighted Cohen's kappa between two derived ordinal
     grades over lineitem (quantity band vs price band — correlated
@@ -13146,6 +13231,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_distance": q_energy_distance,
         "pettitt": q_pettitt,
         "weighted_kappa": q_weighted_kappa,
+        "hosmer_lemeshow": q_hosmer_lemeshow,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13489,6 +13575,7 @@ def oracle_sql() -> dict[str, str]:
         "energy_distance": _ENERGY_DISTANCE_ORACLE,
         "pettitt": _PETTITT_ORACLE,
         "weighted_kappa": _WEIGHTED_KAPPA_ORACLE,
+        "hosmer_lemeshow": _HOSMER_LEMESHOW_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

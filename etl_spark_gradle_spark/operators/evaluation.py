@@ -57,6 +57,7 @@ __all__ = [
     "isotonic_calibration",
     "regression_metrics",
     "brier_ece",
+    "hosmer_lemeshow",
     "ndcg",
     "pr_curve",
     "average_precision",
@@ -691,6 +692,7 @@ class EvaluationTransformer:
         "fleiss_kappa": ("itemColumn", "categoryColumn"),
         "mrr": ("queryColumn", "scoreColumn", "relevanceColumn"),
         "weighted_kappa": ("raterAColumn", "raterBColumn"),
+        "hosmer_lemeshow": ("scoreColumn", "labelColumn"),
     }
 
     def validate(self, df, config):
@@ -752,7 +754,7 @@ class EvaluationTransformer:
                 errors.append(
                     "evaluation fleiss_kappa nRaters must be an int"
                 )
-        if op in ("isotonic", "brier_ece"):
+        if op in ("isotonic", "brier_ece", "hosmer_lemeshow"):
             # ADVICE r9: isotonic silently dropped groupBy (PAV has no
             # group support) and bins/lo/hi failed with raw ValueError
             # at transform time — validate both cleanly, like buckets
@@ -815,6 +817,16 @@ class EvaluationTransformer:
                 opts["scoreColumn"],
                 opts["labelColumn"],
                 bins=int(opts.get("bins", 20)),
+                lo=float(opts.get("lo", 0.0)),
+                hi=float(opts.get("hi", 1.0)),
+                group_by=group_by,
+            )
+        if op == "hosmer_lemeshow":
+            return hosmer_lemeshow(
+                df,
+                opts["scoreColumn"],
+                opts["labelColumn"],
+                bins=int(opts.get("bins", 10)),
                 lo=float(opts.get("lo", 0.0)),
                 hi=float(opts.get("hi", 1.0)),
                 group_by=group_by,
@@ -1077,6 +1089,102 @@ def brier_ece(
         "n_bins",
         (_d(F.col("_tsqe")) / n).alias("brier"),
         (_d(F.col("_tgap")) / n).alias("ece"),
+    )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit χ² — the SIGNIFICANCE member
+    of the calibration family: :func:`brier_ece` measures HOW
+    miscalibrated, HL asks whether the miscalibration exceeds what
+    sampling noise explains (Hosmer & Lemeshow 1980)::
+
+        HL = Σ_g (O_g − E_g)² / (E_g · (1 − E_g/n_g))
+
+    over ``bins`` equal-width probability cells on [lo, hi) (the
+    fixed-cutpoint "H statistic" variant, sharing :func:`brier_ece`'s
+    binning knobs; the classic decile-of-risk "C" grouping is
+    data-dependent and non-reproducible across refits). Under H0,
+    HL ~ χ²(bins − 2); the statistic + dof is the gateable core
+    (the ``welch_ttest`` no-p-value posture).
+
+    Exactness: O_g is an exact long; E_g = Σ p over the
+    decimal(18,2)-quantized score is exact decimal; each bin's term
+    is a fixed-operand-order double ``(o−e)·(o−e)·n / (e·(n−e))``,
+    and the ≤bins-row close is an ORDERED SEQUENTIAL FOLD over the
+    bin-sorted term list (the ``anova_f`` device) — DuckDB replays it
+    verbatim via list_reduce, bit-identical. Degenerate bins
+    (E_g ≤ 0 or E_g ≥ n_g: zero expected variance) contribute 0 and
+    are counted in ``n_bins_skipped``.
+
+    Plan at 100 TB: one map-side-combined shuffle keyed on
+    (group, bin) — three numbers per cell — then the bounded
+    ≤bins-row fold per group. NULL score/label rows are excluded.
+
+    Output: group cols + ``n``/``n_bins``/``n_bins_skipped``/``dof``
+    (long) + ``hl_stat`` (double; NULL when dof < 1)."""
+    from etl_spark_gradle_spark.operators.stats import _d, _dec
+
+    if int(bins) < 1:
+        raise TransformationError("hosmer_lemeshow requires bins >= 1")
+    if not hi > lo:
+        raise TransformationError("hosmer_lemeshow requires hi > lo")
+    group_by = group_by or []
+    _check_cols(df, [score_col, label_col, *group_by])
+    B = int(bins)
+    x = F.col(score_col).cast("double")
+    idx = F.least(
+        F.greatest(
+            F.floor((x - F.lit(lo)) / F.lit((hi - lo) / B)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(B - 1),
+    )
+    per_bin = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*group_by, idx.alias("_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col(label_col).cast("int")).cast("long").alias("_pos"),
+            F.sum(_dec(score_col)).alias("_sp"),
+        )
+    )
+    o = F.col("_pos").cast("double")
+    e = _d(F.col("_sp"))
+    ng = F.col("_n").cast("double")
+    ok = (e > 0) & (ng - e > 0)
+    term = F.when(
+        ok, (o - e) * (o - e) * ng / (e * (ng - e))
+    ).otherwise(F.lit(0.0))
+    agg = per_bin.select(
+        *group_by, "_bin", "_n",
+        term.alias("_t"),
+        (~ok).cast("int").alias("_skip"),
+    ).groupBy(*group_by).agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("_skip").cast("long").alias("n_bins_skipped"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_bin", "_t"))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["_t"],
+        ).alias("_hl"),
+    )
+    dof = F.col("n_bins") - F.col("n_bins_skipped") - F.lit(2)
+    return agg.select(
+        *group_by,
+        "n",
+        "n_bins",
+        "n_bins_skipped",
+        F.when(dof >= 1, dof).cast("long").alias("dof"),
+        F.when(dof >= 1, F.col("_hl")).alias("hl_stat"),
     )
 
 

@@ -1246,3 +1246,122 @@ def test_weighted_kappa_grouped_and_adapter(spark):
     bad = _cfg("evaluation", operation="weighted_kappa",
                raterAColumn="a", raterBColumn="b", weights="cubic")
     assert not t.validate(df, bad).is_valid
+
+
+# ------------------------------------------------ hosmer-lemeshow
+
+
+def _py_hl(rows, B=10, lo=0.0, hi=1.0):
+    """Pure-python HL with the operator's bin arithmetic: bins come
+    from floor() of the ROUNDED IEEE quotient (what Spark and DuckDB
+    both compute) — python's // floor-divides the true quotient and
+    puts boundary values like 0.5 one bin lower."""
+    from decimal import Decimal
+
+    bint = {}
+    for p, y in rows:
+        b = min(max(math.floor((p - lo) / ((hi - lo) / B)), 0), B - 1)
+        n, pos, sp = bint.get(b, (0, 0, Decimal(0)))
+        bint[b] = (n + 1, pos + y,
+                   sp + Decimal(str(p)).quantize(Decimal("0.01")))
+    hl, skipped = 0.0, 0
+    for b in sorted(bint):
+        n, pos, sp = bint[b]
+        e, o, ng = float(sp), float(pos), float(n)
+        if e > 0 and ng - e > 0:
+            hl += (o - e) * (o - e) * ng / (e * (ng - e))
+        else:
+            skipped += 1
+    return hl, len(bint), skipped
+
+
+def test_hosmer_lemeshow_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    random.seed(53)
+    rows = []
+    for _ in range(2000):
+        p = round(random.random(), 2)
+        rows.append((p, 1 if random.random() < p else 0))
+    rows += [(None, 1), (0.5, None)]
+    df = spark.createDataFrame(
+        rows, "score double, label int"
+    ).repartition(4)
+    r = hosmer_lemeshow(df, "score", "label").collect()[0]
+    clean = [p for p in rows if None not in p]
+    hl, nb, sk = _py_hl(clean)
+    assert r["n"] == len(clean)
+    assert (r["n_bins"], r["n_bins_skipped"]) == (nb, sk)
+    assert r["dof"] == nb - sk - 2
+    assert r["hl_stat"] == pytest.approx(hl, abs=1e-12)
+    # a calibrated model stays near its dof; a badly miscalibrated one
+    # explodes (scores say p but labels fire at 0.3*p)
+    assert r["hl_stat"] < 30.0
+    bad = [(p, 1 if random.random() < 0.3 * p else 0)
+           for p, _ in clean]
+    bdf = spark.createDataFrame(bad, "score double, label int")
+    rb = hosmer_lemeshow(bdf, "score", "label").collect()[0]
+    assert rb["hl_stat"] == pytest.approx(_py_hl(bad)[0], abs=1e-9)
+    assert rb["hl_stat"] > 100.0
+    # degenerate: every score 0 in one bin -> that bin skipped; with
+    # only 1 usable bin dof < 1 -> NULL statistic
+    degen = spark.createDataFrame(
+        [(0.0, 0)] * 10 + [(0.5, 1)] * 10, "score double, label int"
+    )
+    rd = hosmer_lemeshow(degen, "score", "label").collect()[0]
+    assert rd["n_bins_skipped"] >= 1
+    assert rd["hl_stat"] is None and rd["dof"] is None
+    # validation errors
+    with pytest.raises(TransformationError, match="bins"):
+        hosmer_lemeshow(df, "score", "label", bins=0)
+    with pytest.raises(TransformationError, match="hi > lo"):
+        hosmer_lemeshow(df, "score", "label", lo=1.0, hi=0.0)
+
+
+def test_hosmer_lemeshow_grouped_and_adapter(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.evaluation import (
+        hosmer_lemeshow,
+    )
+
+    random.seed(59)
+    rows = []
+    for g in ("a", "b"):
+        mult = 1.0 if g == "a" else 0.4
+        for _ in range(800):
+            p = round(random.random(), 2)
+            rows.append((g, p, 1 if random.random() < mult * p else 0))
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    out = {r["g"]: r for r in
+           hosmer_lemeshow(df, "score", "label",
+                           group_by=["g"]).collect()}
+    for g in ("a", "b"):
+        sub = [(p, y) for gg, p, y in rows if gg == g]
+        hl, nb, sk = _py_hl(sub)
+        assert out[g]["hl_stat"] == pytest.approx(hl, abs=1e-10)
+    # the miscalibrated group reads far above the calibrated one
+    assert out["b"]["hl_stat"] > 3 * out["a"]["hl_stat"]
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    ok = _cfg("evaluation", operation="hosmer_lemeshow",
+              scoreColumn="score", labelColumn="label", bins="10",
+              groupBy="g")
+    assert t.validate(df, ok).is_valid
+    res = t.transform(df, ok, None)
+    assert res.columns == ["g", "n", "n_bins", "n_bins_skipped",
+                           "dof", "hl_stat"]
+    for bad in (
+        _cfg("evaluation", operation="hosmer_lemeshow",
+             scoreColumn="score", labelColumn="label", bins="zero"),
+        _cfg("evaluation", operation="hosmer_lemeshow",
+             scoreColumn="score", labelColumn="label", lo="1.0",
+             hi="0.5"),
+        _cfg("evaluation", operation="hosmer_lemeshow",
+             scoreColumn="score"),
+    ):
+        assert not t.validate(df, bad).is_valid

@@ -1057,6 +1057,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "hosmer_lemeshow",
+        "Hosmer-Lemeshow: ONE map-side-combined (group, bin) shuffle "
+        "carrying three exact numbers per cell; the chi2 closes by "
+        "the ordered fold over the bounded bin table; no joins, no "
+        "windows, no python",
+        ["partial_sum", "partial_count"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "weighted_kappa",
         "Weighted kappa: ONE map-side-combined contingency pass; "
         "class spine, marginal k x k products, and the exact w.O/w.RC "
