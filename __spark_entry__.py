@@ -10503,6 +10503,83 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's C over the customer-lifetime survival frame
+    (q_kaplan_meier's duration/event), risk-scored by order count:
+    durations banded to 30-day months per the bounded-cell contract;
+    exact decimal pair counts, one closing division."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        concordance_index,
+    )
+
+    _prep(spark)
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.datediff(
+                    F.max("o_orderdate"), F.min("o_orderdate")
+                ).cast("long")
+                / F.lit(30)
+            ).cast("long").alias("dur_m"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("ev"),
+            F.least(
+                F.lit(20).cast("long"),
+                F.count(F.lit(1)).cast("long"),
+            ).alias("risk"),
+        )
+    )
+    return concordance_index(cust, "dur_m", "ev", "risk")
+
+
+_CONCORDANCE_INDEX_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) // 30
+              AS BIGINT) AS dur_m,
+         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev,
+         LEAST(20, CAST(COUNT(*) AS BIGINT)) AS risk
+  FROM orders GROUP BY o_custkey
+), cells AS (
+  SELECT dur_m AS t, risk AS s,
+         CAST(COUNT(*) AS BIGINT) AS ca,
+         CAST(SUM(ev) AS BIGINT) AS ce
+  FROM cust
+  WHERE dur_m IS NOT NULL AND ev IS NOT NULL AND risk IS NOT NULL
+  GROUP BY dur_m, risk
+), pair_sums AS (
+  SELECT SUM(CAST(a.ce AS HUGEINT) * b.ca) AS P,
+         SUM(CASE WHEN a.s > b.s
+                  THEN CAST(a.ce AS HUGEINT) * b.ca END) AS C,
+         SUM(CASE WHEN a.s < b.s
+                  THEN CAST(a.ce AS HUGEINT) * b.ca END) AS D
+  FROM cells a JOIN cells b ON b.t > a.t
+  WHERE a.ce > 0
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n,
+         CAST(SUM(ce) AS BIGINT) AS n_events
+  FROM cells
+), z AS (
+  SELECT n, n_events,
+         COALESCE(P, 0) AS P, COALESCE(C, 0) AS C, COALESCE(D, 0) AS D
+  FROM tot CROSS JOIN pair_sums
+)
+SELECT n, n_events,
+       CAST(P AS VARCHAR) AS comparable,
+       CAST(C AS VARCHAR) AS concordant,
+       CAST(D AS VARCHAR) AS discordant,
+       CAST(P - C - D AS VARCHAR) AS tied_score,
+       CASE WHEN P > 0 THEN
+         CAST(CAST(2 * C + (P - C - D) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(2 * P AS VARCHAR) AS DOUBLE)
+       END AS c_index
+FROM z
+"""
+
+
 def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority Hosmer–Lemeshow calibration χ² of the q_brier_ece
     pseudo-probability (cents band of the order total) against the
@@ -13232,6 +13309,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt": q_pettitt,
         "weighted_kappa": q_weighted_kappa,
         "hosmer_lemeshow": q_hosmer_lemeshow,
+        "concordance_index": q_concordance_index,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13576,6 +13654,7 @@ def oracle_sql() -> dict[str, str]:
         "pettitt": _PETTITT_ORACLE,
         "weighted_kappa": _WEIGHTED_KAPPA_ORACLE,
         "hosmer_lemeshow": _HOSMER_LEMESHOW_ORACLE,
+        "concordance_index": _CONCORDANCE_INDEX_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

@@ -58,6 +58,7 @@ __all__ = [
     "regression_metrics",
     "brier_ece",
     "hosmer_lemeshow",
+    "concordance_index",
     "ndcg",
     "pr_curve",
     "average_precision",
@@ -693,6 +694,9 @@ class EvaluationTransformer:
         "mrr": ("queryColumn", "scoreColumn", "relevanceColumn"),
         "weighted_kappa": ("raterAColumn", "raterBColumn"),
         "hosmer_lemeshow": ("scoreColumn", "labelColumn"),
+        "concordance_index": (
+            "durationColumn", "eventColumn", "scoreColumn",
+        ),
     }
 
     def validate(self, df, config):
@@ -737,6 +741,10 @@ class EvaluationTransformer:
                 errors.append(
                     f"column not in input schema: {opts['idColumn']}"
                 )
+        if op == "concordance_index" and opts.get("groupBy"):
+            errors.append(
+                "evaluation concordance_index does not support groupBy"
+            )
         if op == "weighted_kappa" and opts.get("weights") not in (
             None, "quadratic", "linear",
         ):
@@ -820,6 +828,13 @@ class EvaluationTransformer:
                 lo=float(opts.get("lo", 0.0)),
                 hi=float(opts.get("hi", 1.0)),
                 group_by=group_by,
+            )
+        if op == "concordance_index":
+            return concordance_index(
+                df,
+                opts["durationColumn"],
+                opts["eventColumn"],
+                opts["scoreColumn"],
             )
         if op == "hosmer_lemeshow":
             return hosmer_lemeshow(
@@ -1089,6 +1104,116 @@ def brier_ece(
         "n_bins",
         (_d(F.col("_tsqe")) / n).alias("brier"),
         (_d(F.col("_tgap")) / n).alias("ece"),
+    )
+
+
+def concordance_index(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Harrell's concordance index (Harrell 1982) — the
+    discrimination metric for SURVIVAL models, closing the
+    kaplan_meier / nelson_aalen / logrank / cox / rmst family with
+    its evaluation read: of all usable subject pairs, how often does
+    the model's RISK score rank the earlier-failing subject higher?
+    C = 0.5 is coin-flip, 1.0 perfect risk ordering — the censored
+    generalization of AUC (with no censoring and binary "time", C
+    collapses to :func:`auc`)::
+
+        comparable: (a, b) with t_a < t_b and a an EVENT
+                    (a censored subject has no known failure order;
+                    ties in time are not comparable)
+        C = (concordant + 0.5·tied_score) / comparable
+          = (2·concordant + tied_score) / (2·comparable)
+
+    cross-multiplied to EXACT integers — pair counts are
+    decimal(38,0) products over the (duration, score) cell table,
+    published as strings; ONE closing division.
+
+    CARDINALITY CONTRACT (the ``kendall_tau`` posture): pair counting
+    expands cell×cell, so distinct (duration, score) combinations
+    must be MODEST — band continuous durations and discretize
+    continuous risk scores first (banding changes the statistic to
+    "C over the banded data", exactly what the oracle then verifies).
+    The join is a broadcast nested-loop over the bounded cell table —
+    never a shuffle of raw rows; the raw data is touched by ONE
+    map-side-combined groupBy.
+
+    NULL duration/event/score rows are excluded. No comparable pairs
+    (all censored, or a single duration) → NULL ``c_index``.
+
+    Output: ONE row — ``n``/``n_events`` (long), ``comparable``/
+    ``concordant``/``discordant``/``tied_score`` (exact integer
+    strings), ``c_index`` (double)."""
+    from etl_spark_gradle_spark.operators.stats import _d
+
+    _check_cols(df, [duration_col, event_col, score_col])
+    cells = (
+        df.where(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+            & F.col(score_col).isNotNull()
+        )
+        .groupBy(
+            F.col(duration_col).alias("_t"),
+            F.col(score_col).alias("_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_ca"),
+            F.sum(F.col(event_col).cast("int")).cast("long").alias("_ce"),
+        )
+        # three lineages (a-side, b-side, totals) over one histogram
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    a = cells.where(F.col("_ce") > 0).select(
+        F.col("_t").alias("_ta"),
+        F.col("_s").alias("_sa"),
+        F.col("_ce").alias("_cea"),
+    )
+    b = cells.select(
+        F.col("_t").alias("_tb"),
+        F.col("_s").alias("_sb"),
+        F.col("_ca").alias("_cab"),
+    )
+    cc = (F.col("_cea").cast(dec) * F.col("_cab").cast(dec)).alias("_cc")
+    pair_sums = (
+        a.join(F.broadcast(b), F.col("_tb") > F.col("_ta"))
+        .select(
+            cc,
+            (F.col("_sa") > F.col("_sb")).alias("_conc"),
+            (F.col("_sa") < F.col("_sb")).alias("_disc"),
+        )
+        .agg(
+            F.sum("_cc").cast(dec).alias("_P"),
+            F.sum(F.when(F.col("_conc"), F.col("_cc"))).cast(dec)
+            .alias("_C"),
+            F.sum(F.when(F.col("_disc"), F.col("_cc"))).cast(dec)
+            .alias("_D"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("_ca").cast("long").alias("n"),
+        F.sum("_ce").cast("long").alias("n_events"),
+    )
+    j = totals.crossJoin(F.broadcast(pair_sums))
+    zero = F.lit(0).cast(dec)
+    P = F.coalesce(F.col("_P"), zero)
+    C = F.coalesce(F.col("_C"), zero)
+    D = F.coalesce(F.col("_D"), zero)
+    T = (P - C - D).cast(dec)
+    num = (F.lit(2).cast(dec) * C + T).cast(dec)
+    den = (F.lit(2).cast(dec) * P).cast(dec)
+    return j.select(
+        "n",
+        "n_events",
+        P.cast("string").alias("comparable"),
+        C.cast("string").alias("concordant"),
+        D.cast("string").alias("discordant"),
+        T.cast("string").alias("tied_score"),
+        F.when(P > 0, _d(num) / _d(den)).alias("c_index"),
     )
 
 

@@ -1365,3 +1365,106 @@ def test_hosmer_lemeshow_grouped_and_adapter(spark):
              scoreColumn="score"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# --------------------------------------------- concordance index
+
+
+def test_concordance_index_matches_brute_force(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import (
+        concordance_index,
+    )
+
+    random.seed(61)
+    rows = []
+    for _ in range(400):
+        s = random.randint(0, 9)
+        t = max(1, int(random.expovariate((s + 1) / 20.0)))
+        rows.append((min(t, 60), 1 if random.random() < 0.7 else 0, s))
+    rows += [(None, 1, 1), (5, None, 1), (5, 1, None)]
+    df = spark.createDataFrame(
+        rows, "dur int, ev int, score int"
+    ).repartition(4)
+    r = concordance_index(df, "dur", "ev", "score").collect()[0]
+    clean = [p for p in rows if None not in p]
+    P = conc = disc = tied = 0
+    for ta, ea, sa in clean:
+        if not ea:
+            continue
+        for tb, _, sb in clean:
+            if ta < tb:
+                P += 1
+                if sa > sb:
+                    conc += 1
+                elif sa < sb:
+                    disc += 1
+                else:
+                    tied += 1
+    assert r["n"] == len(clean)
+    assert (int(r["comparable"]), int(r["concordant"]),
+            int(r["discordant"]), int(r["tied_score"])) == (
+        P, conc, disc, P - conc - disc)
+    assert r["c_index"] == pytest.approx(
+        (2 * conc + tied) / (2 * P), abs=1e-15
+    )
+    # a risk score that drives shorter durations discriminates
+    assert r["c_index"] > 0.65
+    # perfect inverse ordering -> C = 1 exactly; reversed score -> 1-C
+    perf = [(10 - s, 1, s) for s in range(10) for _ in range(5)]
+    pdf = spark.createDataFrame(perf, "dur int, ev int, score int")
+    assert concordance_index(pdf, "dur", "ev", "score").collect()[0][
+        "c_index"
+    ] == 1.0
+    rev = [(t, e, -s) for t, e, s in clean]
+    rdf = spark.createDataFrame(rev, "dur int, ev int, score int")
+    assert concordance_index(rdf, "dur", "ev", "score").collect()[0][
+        "c_index"
+    ] == pytest.approx(1 - r["c_index"], abs=1e-15)
+    # all censored -> zero comparable pairs -> NULL C
+    cens = spark.createDataFrame(
+        [(5, 0, 1), (7, 0, 2)], "dur int, ev int, score int"
+    )
+    rc = concordance_index(cens, "dur", "ev", "score").collect()[0]
+    assert rc["comparable"] == "0" and rc["c_index"] is None
+    # no-censoring binary-time frame: C equals Mann-Whitney AUC of
+    # score vs (dur == early) -- the textbook reduction
+    from etl_spark_gradle_spark.operators.evaluation import auc
+
+    bin_rows = [(1 if random.random() < 0.5 else 2,
+                 1, random.randint(0, 99)) for _ in range(300)]
+    bdf = spark.createDataFrame(bin_rows, "dur int, ev int, score int")
+    c = concordance_index(bdf, "dur", "ev", "score").collect()[0][
+        "c_index"
+    ]
+    a = auc(
+        bdf.selectExpr("CAST(score AS DOUBLE) score",
+                       "CAST(dur = 1 AS INT) label"),
+        "score", "label",
+    ).collect()[0]["auc"]
+    assert c == pytest.approx(a, abs=1e-12)
+
+
+def test_concordance_index_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.5)], "dur int, ev int, risk double"
+    )
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    ok = _cfg("evaluation", operation="concordance_index",
+              durationColumn="dur", eventColumn="ev",
+              scoreColumn="risk")
+    assert t.validate(df, ok).is_valid
+    out = t.transform(df, ok, None)
+    assert out.columns == ["n", "n_events", "comparable", "concordant",
+                           "discordant", "tied_score", "c_index"]
+    for bad in (
+        _cfg("evaluation", operation="concordance_index",
+             durationColumn="dur", eventColumn="ev"),
+        _cfg("evaluation", operation="concordance_index",
+             durationColumn="dur", eventColumn="ev",
+             scoreColumn="risk", groupBy="dur"),
+    ):
+        assert not t.validate(df, bad).is_valid

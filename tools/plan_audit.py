@@ -1057,6 +1057,17 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "concordance_index",
+        "Harrell's C: ONE map-side-combined (duration, score) cell "
+        "shuffle; pair expansion is a broadcast nested-loop over the "
+        "BOUNDED cell table (the kendall_tau cardinality contract), "
+        "never a raw-row shuffle; exact decimal pair counts, one "
+        "closing division; no python",
+        ["partial_sum", "BroadcastNestedLoopJoin", "ExistingRDD"],
+        ["CartesianProduct", "SortMergeJoin", "Window",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "hosmer_lemeshow",
         "Hosmer-Lemeshow: ONE map-side-combined (group, bin) shuffle "
         "carrying three exact numbers per cell; the chi2 closes by "
