@@ -10503,6 +10503,65 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage dose–response trend over lineitem: does the
+    return rate ('R' flag) trend with order quantity? Every term is a
+    row-level exact-decimal sum in ONE aggregation; the close is the
+    fixed-order A·√N/√(B·C)."""
+    from etl_spark_gradle_spark.operators.stats import cochran_armitage
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_quantity").alias("dose"),
+        (F.col("l_returnflag") == "R").cast("int").alias("flag"),
+    ).where(
+        F.col("dose").isNotNull() & F.col("l_returnflag").isNotNull()
+    )
+    return cochran_armitage(scored, "dose", "flag")
+
+
+_COCHRAN_ARMITAGE_ORACLE = """
+WITH pts AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS f,
+         l_quantity AS rawd
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f) AS BIGINT) AS r_pos,
+         CAST(COUNT(DISTINCT rawd) AS BIGINT) AS k_levels,
+         CAST(SUM(s) AS DECIMAL(38,2)) AS sn,
+         CAST(SUM(CASE WHEN f = 1 THEN s END) AS DECIMAL(38,2)) AS sr,
+         CAST(SUM(CAST(s * s AS DECIMAL(38,4))) AS DECIMAL(38,4))
+           AS s2n
+  FROM pts
+), abc AS (
+  SELECT n, r_pos, k_levels,
+         CAST(CAST(n AS DECIMAL(19,0))
+                * COALESCE(sr, CAST(0 AS DECIMAL(38,2)))
+              - CAST(r_pos AS DECIMAL(19,0)) * sn
+              AS DECIMAL(38,4)) AS a,
+         CAST(CAST(r_pos AS DECIMAL(19,0))
+                * CAST(n - r_pos AS DECIMAL(19,0))
+              AS DECIMAL(38,0)) AS b,
+         CAST(CAST(n AS DECIMAL(19,0)) * s2n
+              - CAST(sn * sn AS DECIMAL(38,4))
+              AS DECIMAL(38,4)) AS c
+  FROM agg
+)
+SELECT n, r_pos, k_levels,
+       CAST(a AS VARCHAR) AS t_num,
+       CASE WHEN r_pos > 0 AND r_pos < n AND c > 0 THEN
+         (CAST(CAST(a AS VARCHAR) AS DOUBLE) * sqrt(CAST(n AS DOUBLE)))
+           / sqrt(CAST(CAST(b AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(c AS VARCHAR) AS DOUBLE))
+       END AS z_trend
+FROM abc
+"""
+
+
 def q_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harrell's C over the customer-lifetime survival frame
     (q_kaplan_meier's duration/event), risk-scored by order count:
@@ -13310,6 +13369,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_kappa": q_weighted_kappa,
         "hosmer_lemeshow": q_hosmer_lemeshow,
         "concordance_index": q_concordance_index,
+        "cochran_armitage": q_cochran_armitage,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13655,6 +13715,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_kappa": _WEIGHTED_KAPPA_ORACLE,
         "hosmer_lemeshow": _HOSMER_LEMESHOW_ORACLE,
         "concordance_index": _CONCORDANCE_INDEX_ORACLE,
+        "cochran_armitage": _COCHRAN_ARMITAGE_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

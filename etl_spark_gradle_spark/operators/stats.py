@@ -52,6 +52,7 @@ __all__ = [
     "welch_ttest",
     "prop_ztest",
     "chi_square",
+    "cochran_armitage",
     "mcnemar_test",
     "brown_forsythe",
     "kendall_tau",
@@ -2598,6 +2599,104 @@ def prop_ztest(
     )
 
 
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: str,
+    flag_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Cochran–Armitage trend test (Cochran 1954, Armitage 1955) —
+    the ORDERED member of the categorical test family:
+    :func:`chi_square` asks "does the outcome rate differ across
+    levels at all", this asks "does it rise or fall MONOTONICALLY
+    with the dose" (price band → return rate, retry count → failure
+    rate, exposure tier → conversion), concentrating the test's power
+    on the one degree of freedom that matters for dose–response::
+
+        Z = (Σ s·r − R·Σ s·n / N)
+            / sqrt( R/N · (1 − R/N) · (Σ s²·n − (Σ s·n)²/N) )
+
+    with s the dose score, n/r the per-level totals/positives, N/R
+    the grand totals. Cross-multiplying by N gives exact integers:
+    ``A = N·Σsr − R·Σsn`` and ``C = N·Σs²n − (Σsn)²`` (dose values on
+    the repo-wide decimal(18,2) grid, squares in decimal(38,4)),
+    ``B = R·(N−R)``; the close is the fixed-order
+    ``Z = A·√N / √(B·C)`` — IEEE sqrt is correctly rounded on every
+    engine, so the statistic hashes bit-identical. Z² ~ χ²(1) under
+    H0 (no p-value — the ``welch_ttest`` posture). Z > 0 means the
+    positive rate RISES with the dose.
+
+    Plan at 100 TB: every term is a plain row-level sum — ONE
+    map-side-combined aggregation per group carrying six exact
+    numbers (the level table never materializes; ``k_levels`` rides
+    the same pass as a count-distinct). NULL dose/flag rows are
+    excluded. Degenerate groups (R = 0, R = N, or a single dose
+    level: C = 0) yield NULL ``z_trend``.
+
+    Output: group cols + ``n``/``r_pos``/``k_levels`` (long) +
+    ``t_num`` (exact integer-grid string, = A) + ``z_trend``
+    (double)."""
+    from pyspark.sql.types import NumericType
+
+    group_by = group_by or []
+    for c in (dose_col, flag_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    if not isinstance(df.schema[dose_col].dataType, NumericType):
+        raise TransformationError(
+            "cochran_armitage: dose column must be numeric (the trend "
+            f"needs ordered scores), got "
+            f"{df.schema[dose_col].dataType.simpleString()}"
+        )
+    flag = F.col(flag_col).cast("int")
+    s = _dec(dose_col)
+    agg = (
+        df.where(F.col(dose_col).isNotNull() & F.col(flag_col).isNotNull())
+        .groupBy(*group_by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(flag).cast("long").alias("r_pos"),
+            F.count_distinct(F.col(dose_col)).cast("long").alias(
+                "k_levels"
+            ),
+            F.sum(s).cast("decimal(38,2)").alias("_sn"),
+            F.sum(F.when(flag == 1, s)).cast("decimal(38,2)").alias(
+                "_sr"
+            ),
+            F.sum(_prod(dose_col, dose_col)).cast("decimal(38,4)").alias(
+                "_s2n"
+            ),
+        )
+    )
+    dec = "decimal(38,4)"
+    n, r = F.col("n"), F.col("r_pos")
+    sr = F.coalesce(F.col("_sr"), F.lit(0).cast("decimal(38,2)"))
+    a_num = (
+        n.cast("decimal(19,0)") * sr
+        - r.cast("decimal(19,0)") * F.col("_sn")
+    ).cast(dec)
+    c_num = (
+        n.cast("decimal(19,0)") * F.col("_s2n")
+        - (F.col("_sn") * F.col("_sn")).cast(dec)
+    ).cast(dec)
+    b_num = (r.cast("decimal(19,0)") * (n - r).cast("decimal(19,0)")).cast(
+        "decimal(38,0)"
+    )
+    z = (_d(a_num) * F.sqrt(n.cast("double"))) / F.sqrt(
+        _d(b_num) * _d(c_num)
+    )
+    return agg.select(
+        *group_by,
+        "n",
+        "r_pos",
+        "k_levels",
+        a_num.cast("string").alias("t_num"),
+        F.when(
+            (r > 0) & (r < n) & (c_num > 0), z
+        ).alias("z_trend"),
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
@@ -4223,6 +4322,14 @@ class StatsTransformer:
                     "stats prop_ztest requires both 'sideA' and 'sideB' "
                     "or neither"
                 )
+        elif op == "cochran_armitage":
+            for key in ("doseColumn", "flagColumn"):
+                if not opts.get(key):
+                    errors.append(
+                        f"stats cochran_armitage requires '{key}'"
+                    )
+                else:
+                    cols_needed.append(opts[key])
         elif op == "spearman":
             for key in ("xColumn", "yColumn"):
                 if not opts.get(key):
@@ -4347,6 +4454,7 @@ class StatsTransformer:
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
+                "|cochran_armitage"
                 "|mann_kendall|pettitt|theil_sen|cox|rmst|tukey_hsd"
                 "|cronbach_alpha|cohens_d|cochran_q|friedman, "
                 f"got '{op}'"
@@ -4545,6 +4653,10 @@ class StatsTransformer:
                 side_a=opts.get("sideA"),
                 side_b=opts.get("sideB"),
                 group_by=gb,
+            )
+        if op == "cochran_armitage":
+            return cochran_armitage(
+                df, opts["doseColumn"], opts["flagColumn"], group_by=gb
             )
         if op == "impute":
             return impute(

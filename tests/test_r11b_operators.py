@@ -1468,3 +1468,93 @@ def test_concordance_index_adapter(spark):
              scoreColumn="risk", groupBy="dur"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# ------------------------------------------------ cochran-armitage
+
+
+def test_cochran_armitage_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import cochran_armitage
+
+    random.seed(67)
+    rows = [(d, 1 if random.random() < 0.1 + 0.05 * d else 0)
+            for d in range(10) for _ in range(200)]
+    rows += [(None, 1), (3, None)]
+    df = spark.createDataFrame(rows, "dose int, flag int").repartition(4)
+    r = cochran_armitage(df, "dose", "flag").collect()[0]
+    clean = [p for p in rows if None not in p]
+    N = len(clean)
+    R = sum(f for _, f in clean)
+    sn = sum(d for d, _ in clean)
+    sr = sum(d for d, f in clean if f)
+    s2n = sum(d * d for d, _ in clean)
+    A = N * sr - R * sn
+    z = A * math.sqrt(N) / math.sqrt(R * (N - R) * (N * s2n - sn * sn))
+    assert (r["n"], r["r_pos"], r["k_levels"]) == (N, R, 10)
+    assert float(r["t_num"]) == A
+    assert r["z_trend"] == pytest.approx(z, abs=1e-12)
+    # matches the textbook unscaled form too
+    num = sr - R * sn / N
+    var = (R / N) * (1 - R / N) * (s2n - sn * sn / N)
+    assert r["z_trend"] == pytest.approx(num / math.sqrt(var), abs=1e-9)
+    # a real dose-response reads far from 0; H0 stays near 0
+    assert r["z_trend"] > 5.0
+    h0 = [(d, 1 if random.random() < 0.3 else 0)
+          for d in range(10) for _ in range(300)]
+    zh = cochran_armitage(
+        spark.createDataFrame(h0, "dose int, flag int"), "dose", "flag"
+    ).collect()[0]["z_trend"]
+    assert abs(zh) < 3.0
+    # decreasing trend -> negative z
+    dec = [(d, 1 if random.random() < 0.6 - 0.05 * d else 0)
+           for d in range(10) for _ in range(200)]
+    assert cochran_armitage(
+        spark.createDataFrame(dec, "dose int, flag int"), "dose", "flag"
+    ).collect()[0]["z_trend"] < -5.0
+    # degenerate: all positive / single level -> NULL z
+    for dg in ([(d, 1) for d in range(3) for _ in range(5)],
+               [(2, 1 if i % 2 else 0) for i in range(10)]):
+        assert cochran_armitage(
+            spark.createDataFrame(dg, "dose int, flag int"),
+            "dose", "flag",
+        ).collect()[0]["z_trend"] is None
+    # non-numeric dose -> clean error
+    bad = spark.createDataFrame([("a", 1)], "dose string, flag int")
+    with pytest.raises(TransformationError, match="numeric"):
+        cochran_armitage(bad, "dose", "flag")
+
+
+def test_cochran_armitage_grouped_and_adapter(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.stats import cochran_armitage
+
+    random.seed(71)
+    rows = []
+    for g, slope in (("up", 0.06), ("flat", 0.0)):
+        for d in range(8):
+            for _ in range(150):
+                rows.append(
+                    (g, d, 1 if random.random() < 0.2 + slope * d else 0)
+                )
+    df = spark.createDataFrame(rows, "g string, dose int, flag int")
+    out = {r["g"]: r for r in cochran_armitage(
+        df, "dose", "flag", group_by=["g"]).collect()}
+    assert out["up"]["z_trend"] > 4.0
+    assert abs(out["flat"]["z_trend"]) < 3.0
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="cochran_armitage", doseColumn="dose",
+              flagColumn="flag", groupBy="g")
+    assert t.validate(df, ok).is_valid
+    res = t.transform(df, ok, None)
+    assert res.columns == ["g", "n", "r_pos", "k_levels", "t_num",
+                           "z_trend"]
+    for bad in (
+        _cfg("stats", operation="cochran_armitage", doseColumn="dose"),
+        _cfg("stats", operation="cochran_armitage", doseColumn="nope",
+             flagColumn="flag"),
+    ):
+        assert not t.validate(df, bad).is_valid

@@ -1057,6 +1057,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "cochran_armitage",
+        "Cochran-Armitage trend: every term is a row-level exact "
+        "decimal sum in ONE map-side-combined aggregation (the level "
+        "table never materializes); fixed-order sqrt close; no "
+        "joins, no windows, no python",
+        ["partial_sum", "PushedFilters"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "concordance_index",
         "Harrell's C: ONE map-side-combined (duration, score) cell "
         "shuffle; pair expansion is a broadcast nested-loop over the "
