@@ -10503,6 +10503,93 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMH test over orders stratified by priority: is the
+    high-value→finalized association real within strata (the pooled
+    2×2 can Simpson-flip across priorities)? Exact long cells per
+    stratum; the four cross-stratum float sums close by ordered folds
+    DuckDB replays via list_reduce."""
+    from etl_spark_gradle_spark.operators.stats import mantel_haenszel
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    framed = orders.select(
+        (F.col("o_totalprice") > 150000).cast("int").alias("hi_value"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("finalized"),
+        F.col("o_orderpriority").alias("prio"),
+    ).where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("prio").isNotNull()
+    )
+    return mantel_haenszel(framed, "hi_value", "finalized", "prio")
+
+
+_MANTEL_HAENSZEL_ORACLE = """
+WITH pts AS (
+  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS e,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o,
+         o_orderpriority AS st
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+), cells AS (
+  SELECT st,
+         CAST(SUM(e * o) AS BIGINT) AS a,
+         CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+         CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+         CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+  FROM pts GROUP BY st
+), terms AS (
+  SELECT st, a + b + c + d AS nn, a,
+         (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+           * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+           / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+              + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS e_t,
+         CASE WHEN a + b + c + d > 1 THEN
+           (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+             * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+             * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+             * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+             / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                 + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                   + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                   + CAST(c AS DOUBLE) + CAST(d AS DOUBLE) - 1))
+         ELSE 0.0 END AS v_t,
+         CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+              + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS ad_t,
+         CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+           / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+              + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS bc_t
+  FROM cells
+), agg AS (
+  SELECT CAST(SUM(nn) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k_strata,
+         CAST(SUM(a) AS BIGINT) AS sum_a,
+         list_reduce(list_prepend(0.0, list(e_t ORDER BY st)),
+                     (x, y) -> x + y) AS se,
+         list_reduce(list_prepend(0.0, list(v_t ORDER BY st)),
+                     (x, y) -> x + y) AS sv,
+         list_reduce(list_prepend(0.0, list(ad_t ORDER BY st)),
+                     (x, y) -> x + y) AS sad,
+         list_reduce(list_prepend(0.0, list(bc_t ORDER BY st)),
+                     (x, y) -> x + y) AS sbc
+  FROM terms
+)
+SELECT n, k_strata, sum_a,
+       CASE WHEN sbc > 0 THEN sad / sbc END AS or_mh,
+       CASE WHEN sv > 0 THEN
+         GREATEST(0.0, ABS(CAST(sum_a AS DOUBLE) - se) - 0.5)
+           * GREATEST(0.0, ABS(CAST(sum_a AS DOUBLE) - se) - 0.5)
+           / sv
+       END AS cmh_chi2
+FROM agg
+"""
+
+
 def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran–Armitage dose–response trend over lineitem: does the
     return rate ('R' flag) trend with order quantity? Every term is a
@@ -13370,6 +13457,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hosmer_lemeshow": q_hosmer_lemeshow,
         "concordance_index": q_concordance_index,
         "cochran_armitage": q_cochran_armitage,
+        "mantel_haenszel": q_mantel_haenszel,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13716,6 +13804,7 @@ def oracle_sql() -> dict[str, str]:
         "hosmer_lemeshow": _HOSMER_LEMESHOW_ORACLE,
         "concordance_index": _CONCORDANCE_INDEX_ORACLE,
         "cochran_armitage": _COCHRAN_ARMITAGE_ORACLE,
+        "mantel_haenszel": _MANTEL_HAENSZEL_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

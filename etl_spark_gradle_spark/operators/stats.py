@@ -53,6 +53,7 @@ __all__ = [
     "prop_ztest",
     "chi_square",
     "cochran_armitage",
+    "mantel_haenszel",
     "mcnemar_test",
     "brown_forsythe",
     "kendall_tau",
@@ -2599,6 +2600,123 @@ def prop_ztest(
     )
 
 
+def mantel_haenszel(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 test + common odds
+    ratio — the Simpson's-paradox-proof A/B read: a pooled
+    :func:`prop_ztest` can reverse sign when an imbalanced stratifier
+    (country, device, cohort) confounds the comparison; CMH tests the
+    exposure→outcome association WITHIN each stratum and combines::
+
+        OR_MH = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i)
+        χ²    = (max(0, |Σa_i − ΣE_i| − ½))² / ΣV_i
+        E_i   = (a+b)(a+c)/n,
+        V_i   = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))
+
+    (continuity-corrected; χ² ~ χ²(1) under H0 — statistic + the
+    exact cell sums are the gateable core, the ``welch_ttest``
+    no-p-value posture).
+
+    Exactness: the per-stratum cells a/b/c/d are exact longs from ONE
+    map-side pass; each stratum's four float terms (E, V, ad/n, bc/n)
+    are fixed-operand-order doubles over those exact longs, and all
+    four cross-stratum sums close by ORDERED SEQUENTIAL FOLDS over
+    the stratum-sorted term list (the ``anova_f`` device — DuckDB
+    replays via list_reduce, bit-identical). Σa is an exact long.
+
+    Plan at 100 TB: one map-side-combined shuffle keyed on
+    (group, stratum) carrying four longs; the folds run on the
+    bounded ≤-strata-row table (the stratifier is categorical by
+    construction). NULL exposure/outcome/stratum rows are excluded.
+    Single-member strata contribute V = 0 (and their E); ΣV = 0 →
+    NULL χ²; a zero discordant-product sum (Σbc/n = 0) → NULL OR.
+
+    Output: group cols + ``n``/``k_strata``/``sum_a`` (long) +
+    ``or_mh``/``cmh_chi2`` (double)."""
+    group_by = group_by or []
+    for c in (exposure_col, outcome_col, stratum_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    ex = F.col(exposure_col).cast("int")
+    out = F.col(outcome_col).cast("int")
+    cells = (
+        df.where(
+            F.col(exposure_col).isNotNull()
+            & F.col(outcome_col).isNotNull()
+            & F.col(stratum_col).isNotNull()
+        )
+        .groupBy(
+            *group_by, F.col(stratum_col).cast("string").alias("_st")
+        )
+        .agg(
+            F.sum(ex * out).cast("long").alias("_a"),
+            F.sum(ex * (1 - out)).cast("long").alias("_b"),
+            F.sum((1 - ex) * out).cast("long").alias("_c"),
+            F.sum((1 - ex) * (1 - out)).cast("long").alias("_d"),
+        )
+    )
+    a = F.col("_a").cast("double")
+    b = F.col("_b").cast("double")
+    c = F.col("_c").cast("double")
+    d = F.col("_d").cast("double")
+    n = a + b + c + d
+    e_t = (a + b) * (a + c) / n
+    v_t = F.when(
+        n > 1,
+        (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    ad_t = a * d / n
+    bc_t = b * c / n
+
+    def _fold(col_name):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_st", col_name))),
+            F.lit(0.0),
+            lambda acc, r: acc + r[col_name],
+        )
+
+    agg = cells.select(
+        *group_by, "_st",
+        (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).alias(
+            "_n"
+        ),
+        "_a",
+        e_t.alias("_e"),
+        v_t.alias("_v"),
+        ad_t.alias("_ad"),
+        bc_t.alias("_bc"),
+    ).groupBy(*group_by).agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("_a").cast("long").alias("sum_a"),
+        _fold("_e").alias("_se"),
+        _fold("_v").alias("_sv"),
+        _fold("_ad").alias("_sad"),
+        _fold("_bc").alias("_sbc"),
+    )
+    dev = F.greatest(
+        F.lit(0.0),
+        F.abs(F.col("sum_a").cast("double") - F.col("_se")) - F.lit(0.5),
+    )
+    return agg.select(
+        *group_by,
+        "n",
+        "k_strata",
+        "sum_a",
+        F.when(F.col("_sbc") > 0, F.col("_sad") / F.col("_sbc")).alias(
+            "or_mh"
+        ),
+        F.when(F.col("_sv") > 0, dev * dev / F.col("_sv")).alias(
+            "cmh_chi2"
+        ),
+    )
+
+
 def cochran_armitage(
     df: DataFrame,
     dose_col: str,
@@ -4322,6 +4440,15 @@ class StatsTransformer:
                     "stats prop_ztest requires both 'sideA' and 'sideB' "
                     "or neither"
                 )
+        elif op == "mantel_haenszel":
+            for key in ("exposureColumn", "outcomeColumn",
+                        "stratumColumn"):
+                if not opts.get(key):
+                    errors.append(
+                        f"stats mantel_haenszel requires '{key}'"
+                    )
+                else:
+                    cols_needed.append(opts[key])
         elif op == "cochran_armitage":
             for key in ("doseColumn", "flagColumn"):
                 if not opts.get(key):
@@ -4454,7 +4581,7 @@ class StatsTransformer:
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
-                "|cochran_armitage"
+                "|cochran_armitage|mantel_haenszel"
                 "|mann_kendall|pettitt|theil_sen|cox|rmst|tukey_hsd"
                 "|cronbach_alpha|cohens_d|cochran_q|friedman, "
                 f"got '{op}'"
@@ -4657,6 +4784,14 @@ class StatsTransformer:
         if op == "cochran_armitage":
             return cochran_armitage(
                 df, opts["doseColumn"], opts["flagColumn"], group_by=gb
+            )
+        if op == "mantel_haenszel":
+            return mantel_haenszel(
+                df,
+                opts["exposureColumn"],
+                opts["outcomeColumn"],
+                opts["stratumColumn"],
+                group_by=gb,
             )
         if op == "impute":
             return impute(

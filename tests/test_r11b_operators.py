@@ -1558,3 +1558,131 @@ def test_cochran_armitage_grouped_and_adapter(spark):
              flagColumn="flag"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# ------------------------------------------------ mantel-haenszel
+
+
+def _py_mh(rows):
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for e, o, st in rows:
+        idx = 0 if (e and o) else 1 if e else 2 if o else 3
+        cells[str(st)][idx] += 1
+    se = sv = sad = sbc = 0.0
+    sa = nn = 0
+    for st in sorted(cells):
+        a, b, c, d = cells[st]
+        n = a + b + c + d
+        sa += a
+        nn += n
+        se += (a + b) * (a + c) / n
+        if n > 1:
+            sv += (a + b) * (c + d) * (a + c) * (b + d) / (
+                n * n * (n - 1)
+            )
+        sad += a * d / n
+        sbc += b * c / n
+    dev = max(0.0, abs(sa - se) - 0.5)
+    return (nn, len(cells), sa,
+            sad / sbc if sbc > 0 else None,
+            dev * dev / sv if sv > 0 else None)
+
+
+def test_mantel_haenszel_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import mantel_haenszel
+
+    random.seed(73)
+    rows = []
+    for st in range(5):
+        base = 0.1 + 0.1 * st
+        for _ in range(500):
+            e = random.randint(0, 1)
+            p = base * 2 / (1 + base) if e else base
+            rows.append((e, 1 if random.random() < p else 0,
+                         "s%d" % st))
+    rows += [(None, 1, "s0"), (1, None, "s0"), (1, 1, None)]
+    df = spark.createDataFrame(
+        rows, "e int, o int, st string"
+    ).repartition(4)
+    clean = [p for p in rows if None not in p]
+    r = mantel_haenszel(df, "e", "o", "st").collect()[0]
+    n, k, sa, orr, chi2 = _py_mh(clean)
+    assert (r["n"], r["k_strata"], r["sum_a"]) == (n, k, sa)
+    assert r["or_mh"] == pytest.approx(orr, abs=1e-12)
+    assert r["cmh_chi2"] == pytest.approx(chi2, abs=1e-9)
+    # the planted within-stratum odds ratio of 2 is recovered and the
+    # association is overwhelmingly significant
+    assert 1.6 < r["or_mh"] < 2.5
+    assert r["cmh_chi2"] > 10.0
+    # Simpson guard: a confounded design where the POOLED 2x2 flips
+    # (exposure concentrated in the high-base stratum, no within-
+    # stratum effect) must read OR ~= 1 and chi2 small
+    conf = []
+    for st, (base, p_exp) in enumerate(((0.1, 0.9), (0.6, 0.1))):
+        for _ in range(800):
+            e = 1 if random.random() < p_exp else 0
+            conf.append((e, 1 if random.random() < base else 0,
+                         "c%d" % st))
+    rc = mantel_haenszel(
+        spark.createDataFrame(conf, "e int, o int, st string"),
+        "e", "o", "st",
+    ).collect()[0]
+    assert 0.6 < rc["or_mh"] < 1.6
+    assert rc["cmh_chi2"] < 7.0
+    # pooled naive OR on the same data is badly confounded (far < 1)
+    a = sum(1 for e, o, _ in conf if e and o)
+    b = sum(1 for e, o, _ in conf if e and not o)
+    c = sum(1 for e, o, _ in conf if not e and o)
+    d = sum(1 for e, o, _ in conf if not e and not o)
+    assert (a * d) / (b * c) < 0.5
+    # degenerate: single-member strata only -> sv = 0 -> NULL chi2
+    degen = spark.createDataFrame(
+        [(1, 1, "a"), (0, 0, "b")], "e int, o int, st string"
+    )
+    rd = mantel_haenszel(degen, "e", "o", "st").collect()[0]
+    assert rd["cmh_chi2"] is None
+
+
+def test_mantel_haenszel_grouped_and_adapter(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.stats import mantel_haenszel
+
+    random.seed(79)
+    rows = []
+    for g in ("x", "y"):
+        for st in ("a", "b"):
+            for _ in range(300):
+                e = random.randint(0, 1)
+                p = 0.5 if (g == "x" and e) else 0.25
+                rows.append(
+                    (g, e, 1 if random.random() < p else 0, st)
+                )
+    df = spark.createDataFrame(rows, "g string, e int, o int, st string")
+    out = {r["g"]: r for r in mantel_haenszel(
+        df, "e", "o", "st", group_by=["g"]).collect()}
+    for g in ("x", "y"):
+        sub = [(e, o, st) for gg, e, o, st in rows if gg == g]
+        n, k, sa, orr, chi2 = _py_mh(sub)
+        assert out[g]["or_mh"] == pytest.approx(orr, abs=1e-12)
+        assert out[g]["cmh_chi2"] == pytest.approx(chi2, abs=1e-9)
+    assert out["x"]["cmh_chi2"] > out["y"]["cmh_chi2"]
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="mantel_haenszel", exposureColumn="e",
+              outcomeColumn="o", stratumColumn="st", groupBy="g")
+    assert t.validate(df, ok).is_valid
+    res = t.transform(df, ok, None)
+    assert res.columns == ["g", "n", "k_strata", "sum_a", "or_mh",
+                           "cmh_chi2"]
+    for bad in (
+        _cfg("stats", operation="mantel_haenszel", exposureColumn="e",
+             outcomeColumn="o"),
+        _cfg("stats", operation="mantel_haenszel", exposureColumn="e",
+             outcomeColumn="o", stratumColumn="nope"),
+    ):
+        assert not t.validate(df, bad).is_valid

@@ -1057,6 +1057,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "mantel_haenszel",
+        "Mantel-Haenszel: ONE map-side-combined (group, stratum) "
+        "shuffle carrying four exact longs; all four cross-stratum "
+        "sums close by ordered folds over the bounded stratum table; "
+        "no joins, no windows, no python",
+        ["partial_sum", "PushedFilters"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "cochran_armitage",
         "Cochran-Armitage trend: every term is a row-level exact "
         "decimal sum in ONE map-side-combined aggregation (the level "
