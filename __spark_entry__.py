@@ -11633,6 +11633,55 @@ GROUP BY h.doc_id
 """
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords over the documents corpus
+    (min_df=2 hapax cut, max_df_frac=0.9 stopword cut — the synthetic corpus shares a small vocabulary, so a tight cut would empty it): the ranking
+    key is the EXACT long tf·idf_q product (idf nano-quantized first
+    — the 9-dp posture), ties on the term string, so the per-doc
+    row_number is engine-independent."""
+    from etl_spark_gradle_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(
+        docs, "doc_id", "text", k=3, min_df=2, max_df_frac=0.9
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), nd AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+), dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY term HAVING COUNT(*) >= 2
+), j AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         tf.tf * CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                            * 1e9) AS BIGINT) AS sq
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+  WHERE CAST(df AS DOUBLE) <= 0.9 * CAST(n AS DOUBLE)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY sq DESC, term ASC) AS rnk
+  FROM j
+)
+SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, df,
+       CAST(sq AS DOUBLE) / 1e9 AS tfidf
+FROM r WHERE rnk <= 3
+"""
+
+
 def q_cms_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS as a counting Bloom filter: prune lineitem to rows whose
     part key appears >= 40 times (per a width-256 sketch — narrow
@@ -13458,6 +13507,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concordance_index": q_concordance_index,
         "cochran_armitage": q_cochran_armitage,
         "mantel_haenszel": q_mantel_haenszel,
+        "tfidf": q_tfidf,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13805,6 +13855,7 @@ def oracle_sql() -> dict[str, str]:
         "concordance_index": _CONCORDANCE_INDEX_ORACLE,
         "cochran_armitage": _COCHRAN_ARMITAGE_ORACLE,
         "mantel_haenszel": _MANTEL_HAENSZEL_ORACLE,
+        "tfidf": _TFIDF_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

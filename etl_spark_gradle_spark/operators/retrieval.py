@@ -47,9 +47,11 @@ __all__ = [
     "tokenize_terms",
     "doc_term_stats",
     "tfidf_vectors",
+    "tfidf_top_terms",
     "bm25_scores",
     "py_bm25",
     "Bm25Transformer",
+    "TfidfTransformer",
 ]
 
 # ASCII whitespace split — matches RE2/DuckDB '\s+' exactly (the
@@ -120,6 +122,93 @@ def tfidf_vectors(
                 F.col("tf").cast("double")
                 * F.log(F.col("_n_docs").cast("double") / F.col("df").cast("double"))
             ).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    max_df_frac: float | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the extraction read over
+    a corpus (:func:`tfidf_vectors` gives the full weight matrix;
+    this ranks it per document and keeps the k most characteristic
+    terms — doc tagging, index keywords, cluster labeling).
+
+    Ranking determinism (the cross-engine contract): the raw weight
+    ``tf·ln(N/df)`` ends in a transcendental whose last ulp differs
+    between engines, so ranking on it directly could flip near-ties.
+    Instead the IDF is nano-quantized FIRST — ``idf_q =
+    round(ln(N/df)·1e9)``, the repo's 9-dp posture (psi_drift/ndcg) —
+    and the ranking key ``score_q = tf·idf_q`` is an EXACT long
+    product; ties break on the term string. ``tfidf`` is published as
+    ``score_q/1e9``, i.e. tf × the 9-dp-rounded idf BY DEFINITION —
+    documented semantics, not an approximation of something else.
+
+    Filters: ``min_df`` prunes hapax noise; ``max_df_frac`` drops
+    corpus-stopwords (terms in more than that fraction of documents —
+    df > frac·N compared in doubles both engines compute identically).
+
+    Plan at 100 TB: tokenize → ONE (doc, term) shuffle for tf; the
+    vocabulary-sized df table joins back on the term key (both sides
+    hash-partitioned on term); N attaches as a 1-row broadcast; the
+    top-k window partitions on the DOCUMENT key (WindowGroupLimit
+    pushes k before the sort — parallel across docs, never global).
+
+    Output: ``doc_id, rank, term, tf, df, tfidf`` — k rows per doc
+    (fewer when the filtered vocabulary is smaller)."""
+    if int(k) < 1:
+        raise TransformationError("tfidf_top_terms requires k >= 1")
+    if int(min_df) < 1:
+        raise TransformationError(
+            "tfidf_top_terms requires min_df >= 1"
+        )
+    if max_df_frac is not None and not 0.0 < float(max_df_frac) <= 1.0:
+        raise TransformationError(
+            "tfidf_top_terms requires 0 < max_df_frac <= 1"
+        )
+    from pyspark.sql import Window
+
+    stats = doc_term_stats(docs, id_col, text_col, lowercase)
+    n_docs = docs.select(
+        F.count_distinct(F.col(id_col)).alias("_n_docs")
+    )
+    df_table = (
+        stats.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= int(min_df))
+    )
+    j = stats.join(df_table, "term").join(F.broadcast(n_docs))
+    if max_df_frac is not None:
+        j = j.where(
+            F.col("df").cast("double")
+            <= F.lit(float(max_df_frac)) * F.col("_n_docs").cast("double")
+        )
+    idf_q = F.round(
+        F.log(
+            F.col("_n_docs").cast("double") / F.col("df").cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    j = j.withColumn("_sq", F.col("tf").cast("long") * idf_q)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_sq"), F.asc("term")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "df",
+            (F.col("_sq").cast("double") / F.lit(1e9)).alias("tfidf"),
         )
     )
 
@@ -241,4 +330,48 @@ class Bm25Transformer(_BaseTransformer):
             b=float(opts.get("b", 0.75)),
             lowercase=str(opts.get("lowercase", "true")).lower() != "false",
             top_k=int(top_k) if top_k is not None else None,
+        )
+
+
+class TfidfTransformer(_BaseTransformer):
+    """YAML step ``type: tfidf``: per-document top-k TF-IDF keywords.
+    Options: ``idColumn`` (required), ``textColumn`` (default
+    ``text``), ``k`` (default 5), ``minDf`` (default 1),
+    ``maxDfFrac`` (optional stopword cut), ``lowercase`` (default
+    true)."""
+
+    def validate(self, df: DataFrame, config: TransformationConfig) -> ValidationResult:
+        errors = []
+        opts = config.options
+        for key, default in (("idColumn", None), ("textColumn", "text")):
+            col = opts.get(key, default)
+            if not col:
+                errors.append(f"tfidf requires '{key}'")
+            elif col not in df.columns:
+                errors.append(f"{key} not in input schema: {col}")
+        for key, lo in (("k", 1), ("minDf", 1)):
+            try:
+                if int(opts.get(key, lo)) < lo:
+                    errors.append(f"tfidf '{key}' must be an int >= {lo}")
+            except (TypeError, ValueError):
+                errors.append(f"tfidf '{key}' must be an int >= {lo}")
+        if opts.get("maxDfFrac") is not None:
+            try:
+                if not 0.0 < float(opts["maxDfFrac"]) <= 1.0:
+                    errors.append("tfidf 'maxDfFrac' must be in (0, 1]")
+            except (TypeError, ValueError):
+                errors.append("tfidf 'maxDfFrac' must be numeric")
+        return ValidationResult.ok() if not errors else ValidationResult.fail(*errors)
+
+    def _apply(self, df, config, ctx):
+        opts = config.options
+        frac = opts.get("maxDfFrac")
+        return tfidf_top_terms(
+            df,
+            id_col=opts["idColumn"],
+            text_col=opts.get("textColumn", "text"),
+            k=int(opts.get("k", 5)),
+            min_df=int(opts.get("minDf", 1)),
+            max_df_frac=float(frac) if frac is not None else None,
+            lowercase=str(opts.get("lowercase", "true")).lower() != "false",
         )

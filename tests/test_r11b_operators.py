@@ -1686,3 +1686,83 @@ def test_mantel_haenszel_grouped_and_adapter(spark):
              outcomeColumn="o", stratumColumn="nope"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# -------------------------------------------------------- tf-idf
+
+
+def test_tfidf_top_terms_matches_pure_python(spark):
+    from etl_spark_gradle_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    docs = [
+        (1, "apple banana apple cherry the the"),
+        (2, "banana cherry cherry date the"),
+        (3, "apple date date date the"),
+        (4, "eel the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    # pure python with the operator's quantized-idf semantics
+    from collections import Counter
+
+    N = len(docs)
+    tfs = {i: Counter(t.lower().split()) for i, t in docs}
+    dfs = Counter(term for c in tfs.values() for term in c)
+    expect = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            (
+                (-c[t] * round(math.log(N / dfs[t]) * 1e9), t)
+                for t in c
+            ),
+        )[:2]
+        expect[i] = [(t, -sq) for sq, t in scored]
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"], r["tfidf"])
+        )
+    for i, exp in expect.items():
+        rows = sorted(got[i])
+        assert [t for _, t, *_ in rows] == [t for t, _ in exp]
+        for (rank, term, tf, dfc, tfidf), (eterm, esq) in zip(rows, exp):
+            assert tf == tfs[i][term] and dfc == dfs[term]
+            assert tfidf == pytest.approx(esq / 1e9, abs=1e-12)
+    # 'the' appears in every doc -> idf 0 -> never outranks a real
+    # keyword; max_df_frac removes it entirely
+    filtered = tfidf_top_terms(
+        df, "doc_id", "text", k=5, max_df_frac=0.9
+    ).collect()
+    assert all(r["term"] != "the" for r in filtered)
+    # min_df prunes hapax ('eel'); doc 4 then has no rankable term
+    pruned = tfidf_top_terms(df, "doc_id", "text", k=5, min_df=2)
+    assert pruned.where("term = 'eel'").count() == 0
+    # validation
+    for kwargs in ({"k": 0}, {"min_df": 0}, {"max_df_frac": 1.5}):
+        with pytest.raises(TransformationError):
+            tfidf_top_terms(df, "doc_id", "text", **kwargs)
+
+
+def test_tfidf_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id int, text string"
+    )
+    t = TRANSFORMER_REGISTRY["tfidf"]
+    ok = _cfg("tfidf", idColumn="doc_id", k="2", minDf="1",
+              maxDfFrac="0.9")
+    assert t.validate(df, ok).is_valid
+    res = t.transform(df, ok, None)
+    assert res.columns == ["doc_id", "rank", "term", "tf", "df",
+                           "tfidf"]
+    assert res.count() <= 4
+    for bad in (
+        _cfg("tfidf", idColumn="doc_id", k="zero"),
+        _cfg("tfidf", idColumn="doc_id", maxDfFrac="2"),
+        _cfg("tfidf", textColumn="text"),
+        _cfg("tfidf", idColumn="nope"),
+    ):
+        assert not t.validate(df, bad).is_valid

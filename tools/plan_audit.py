@@ -1057,6 +1057,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "tfidf",
+        "TF-IDF top terms: tokenize -> ONE (doc, term) shuffle; the "
+        "vocabulary-sized df table joins back on the term key; N is "
+        "a 1-row broadcast; the top-k window partitions on the DOC "
+        "key with WindowGroupLimit pushdown; no python",
+        ["WindowGroupLimit", "hashpartitioning(doc_id",
+         "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "mantel_haenszel",
         "Mantel-Haenszel: ONE map-side-combined (group, stratum) "
         "shuffle carrying four exact longs; all four cross-stratum "
