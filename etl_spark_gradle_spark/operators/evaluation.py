@@ -592,7 +592,10 @@ def weighted_kappa(
         .localCheckpoint(eager=False)
     )
     # global ordinal spine: dense rank over the sorted distinct
-    # classes — a bounded ≤k-row window (the [CT]-class exemption)
+    # classes — a bounded ≤k-row window, EAGERLY pinned: the spine is
+    # referenced four times (a/b attach + both marginal attaches) and
+    # Spark re-plans a window per reference (the rolling_median
+    # hazard — the battery caught 4 copies of this one)
     spine = (
         cells.select(F.col("_a").alias("_cls"))
         .unionByName(cells.select(F.col("_b").alias("_cls")))
@@ -601,6 +604,7 @@ def weighted_kappa(
             "_d",
             F.row_number().over(Window.orderBy("_cls")).cast("long"),
         )
+        .localCheckpoint(eager=True)
     )
     n_classes = spine.agg(
         F.count(F.lit(1)).cast("long").alias("n_classes")

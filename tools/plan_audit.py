@@ -93,8 +93,6 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
                                # time-ordered U_t scan (both
                                # two-level; only the <=P-row offsets
                                # windows are global)
-    "weighted_kappa": 1,       # [CT] the class-spine row_number over
-                               # the <=k-class distinct-label table
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
