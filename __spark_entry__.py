@@ -10503,6 +10503,99 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI of mean extended price per return flag
+    (40 replicates, 95%): all replicates ride ONE aggregation — each
+    row carries 40 integer-threshold Poisson(1) weights (4 per md5),
+    exact decimal replicate sums, order-statistic CI bounds over the
+    sorted replicate means. The oracle expands rows×40; the Spark
+    plan deliberately does not."""
+    from etl_spark_gradle_spark.operators.stats import bootstrap_ci
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    framed = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("row_id"),
+    )
+    return bootstrap_ci(
+        framed, "price", "row_id", replicates=40,
+        group_by=["l_returnflag"],
+    )
+
+
+_BOOTSTRAP_CI_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(l_orderkey AS VARCHAR) || ':'
+           || CAST(l_linenumber AS VARCHAR) AS id,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+), reps AS (
+  SELECT unnest(range(1, 41)) AS b
+), wts AS (
+  SELECT g, x, b,
+         CASE WHEN bucket < 1580030168 THEN 0
+              WHEN bucket < 3160060337 THEN 1
+              WHEN bucket < 3950075421 THEN 2
+              WHEN bucket < 4213413783 THEN 3
+              WHEN bucket < 4279248373 THEN 4
+              WHEN bucket < 4292415291 THEN 5
+              WHEN bucket < 4294609777 THEN 6
+              WHEN bucket < 4294923276 THEN 7
+              WHEN bucket < 4294962463 THEN 8
+              ELSE 9 END AS wt
+  FROM (
+    SELECT g, x, b,
+           CAST(('0x' || substr(md5('boot:'
+                  || CAST((b - 1) // 4 AS VARCHAR) || ':' || id),
+                  1 + 8 * ((b - 1) % 4), 8)) AS BIGINT) AS bucket
+    FROM base CROSS JOIN reps
+  )
+), per_rep AS (
+  SELECT g, b,
+         CAST(SUM(wt) AS BIGINT) AS wsum,
+         CAST(SUM(wt * x) AS DECIMAL(38,2)) AS wx
+  FROM wts GROUP BY g, b
+), marr AS (
+  SELECT g,
+         list_sort(list(CAST(CAST(wx AS VARCHAR) AS DOUBLE)
+                        / CAST(wsum AS DOUBLE))) AS ms
+  FROM per_rep WHERE wsum > 0 GROUP BY g
+), tot AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,2)) AS sx
+  FROM base GROUP BY g
+), calc AS (
+  SELECT tot.g, n, sx, ms, len(ms) AS m,
+         GREATEST(1, CAST(CEIL(CAST(len(ms) AS DOUBLE) * 0.025)
+                          AS INT)) AS lo_idx,
+         list_reduce(list_prepend(0.0, ms), (a, v) -> a + v)
+           / CAST(len(ms) AS DOUBLE) AS mean_r
+  FROM tot JOIN marr ON tot.g = marr.g
+)
+SELECT g AS l_returnflag, n,
+       CAST(m AS BIGINT) AS replicates,
+       CASE WHEN n > 0 THEN CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                             / CAST(n AS DOUBLE) END AS estimate,
+       CASE WHEN m > 1 THEN
+         sqrt(list_reduce(list_prepend(0.0, ms),
+                          (a, v) -> a + (v - mean_r) * (v - mean_r))
+              / CAST(m - 1 AS DOUBLE))
+       END AS boot_se,
+       CASE WHEN m > 0 THEN ms[lo_idx] END AS ci_lo,
+       CASE WHEN m > 0 THEN ms[m + 1 - lo_idx] END AS ci_hi
+FROM calc ORDER BY g
+"""
+
+
 def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMH test over orders stratified by priority: is the
     high-value→finalized association real within strata (the pooled
@@ -13508,6 +13601,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage": q_cochran_armitage,
         "mantel_haenszel": q_mantel_haenszel,
         "tfidf": q_tfidf,
+        "bootstrap_ci": q_bootstrap_ci,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13856,6 +13950,7 @@ def oracle_sql() -> dict[str, str]:
         "cochran_armitage": _COCHRAN_ARMITAGE_ORACLE,
         "mantel_haenszel": _MANTEL_HAENSZEL_ORACLE,
         "tfidf": _TFIDF_ORACLE,
+        "bootstrap_ci": _BOOTSTRAP_CI_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

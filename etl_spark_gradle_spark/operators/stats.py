@@ -54,6 +54,7 @@ __all__ = [
     "chi_square",
     "cochran_armitage",
     "mantel_haenszel",
+    "bootstrap_ci",
     "mcnemar_test",
     "brown_forsythe",
     "kendall_tau",
@@ -2600,6 +2601,162 @@ def prop_ztest(
     )
 
 
+# Poisson(1) inverse-CDF thresholds on the 32-bit hash grid:
+# t_k = floor(P(X <= k) * 2^32), frozen as integer literals so the
+# weight chain is a pure integer comparison on BOTH engines (no float
+# CDF evaluation anywhere). P(X <= 8) leaves ~7.7e-7 of mass at w=9.
+_POISSON1_T = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    replicates: int = 40,
+    alpha: float = 0.05,
+    salt: str = "",
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — THE
+    bootstrap that works at 100 TB (Google's large-scale estimation
+    pattern; Chamandy et al. 2012): classic bootstrap resamples the
+    data B times (B full shuffles of a 100 TB table — impossible);
+    Poisson bootstrap observes that resampling-with-replacement gives
+    each row a Binomial(n, 1/n) ≈ Poisson(1) multiplicity, so ALL B
+    replicates ride ONE scan — each row carries B deterministic
+    Poisson(1) weights and the aggregation emits B weighted sums in
+    the same map-side-combined pass.
+
+    Determinism & exactness: the b-th weight is an integer-threshold
+    lookup on an ``md5`` bucket (``boot:`` domain tag; FOUR replicates
+    share one md5 — 128 bits = 4×32-bit uniforms — so the hash cost is
+    B/4 per row); thresholds are the frozen ``_POISSON1_T`` literals,
+    so no float CDF is evaluated anywhere. Replicate sums are exact
+    decimal(38,2) over the quantized value (the repo-wide contract);
+    each replicate mean is ONE division; the CI bounds are ORDER
+    STATISTICS of the sorted replicate means (type-1, no
+    interpolation): lo = ceil(m·α/2) clamped ≥ 1, hi = m+1−lo.
+    ``boot_se`` closes by two ordered folds over the sorted means
+    (the ``anova_f`` device). Everything replays verbatim in SQL —
+    the oracle expands rows×B (fine at oracle scale) where the Spark
+    plan deliberately does NOT.
+
+    Plan at 100 TB: ONE aggregation carrying 2B+2 exact numbers per
+    group; no shuffle beyond the group key, no second scan, no
+    data×B explosion. NULL value/id rows are excluded. A replicate
+    with zero total weight (vanishingly unlikely past n≈30) is
+    dropped from the order statistics and ``replicates`` reports the
+    usable count.
+
+    Output: group cols + ``n``/``replicates`` (long) + ``estimate``
+    (exact-mean double) + ``boot_se``/``ci_lo``/``ci_hi`` (double)."""
+    group_by = group_by or []
+    for c in (value_col, id_col, *group_by):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    B = int(replicates)
+    if not 8 <= B <= 200:
+        raise TransformationError(
+            "bootstrap_ci requires 8 <= replicates <= 200"
+        )
+    if not 0.0 < float(alpha) < 0.5:
+        raise TransformationError(
+            "bootstrap_ci requires 0 < alpha < 0.5"
+        )
+    x = _dec(value_col)
+
+    def _w(b: int) -> Column:
+        hi, slot = (b - 1) // 4, (b - 1) % 4
+        bucket = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"boot:{hi}:"),
+                        F.col(id_col).cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                1 + 8 * slot,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = F.lit(9)
+        for k in range(len(_POISSON1_T) - 1, -1, -1):
+            w = F.when(bucket < F.lit(_POISSON1_T[k]), F.lit(k)).otherwise(
+                w
+            )
+        return w
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,2)").alias("_sx"),
+    ]
+    for b in range(1, B + 1):
+        w = _w(b)
+        aggs.append(F.sum(w).cast("long").alias(f"_w{b}"))
+        aggs.append(
+            F.sum(w.cast("decimal(19,0)") * x)
+            .cast("decimal(38,2)")
+            .alias(f"_wx{b}")
+        )
+    agg = (
+        df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .groupBy(*group_by)
+        .agg(*aggs)
+    )
+    means = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f"_w{b}") > 0,
+                        _d(F.col(f"_wx{b}"))
+                        / F.col(f"_w{b}").cast("double"),
+                    )
+                    for b in range(1, B + 1)
+                ]
+            ),
+            lambda v: v.isNotNull(),
+        )
+    )
+    agg = agg.withColumn("_means", means)
+    m = F.size("_means")
+    lo_idx = F.greatest(
+        F.lit(1),
+        F.ceil(m.cast("double") * F.lit(float(alpha) / 2.0)).cast("int"),
+    )
+    hi_idx = m + F.lit(1) - lo_idx
+    mean_r = (
+        F.aggregate(F.col("_means"), F.lit(0.0), lambda a, v: a + v)
+        / m.cast("double")
+    )
+    agg = agg.withColumn("_mr", mean_r)
+    sumsq = F.aggregate(
+        F.col("_means"),
+        F.lit(0.0),
+        lambda a, v: a + (v - F.col("_mr")) * (v - F.col("_mr")),
+    )
+    return agg.select(
+        *group_by,
+        "n",
+        m.cast("long").alias("replicates"),
+        F.when(
+            F.col("n") > 0,
+            _d(F.col("_sx")) / F.col("n").cast("double"),
+        ).alias("estimate"),
+        F.when(
+            m > 1, F.sqrt(sumsq / (m - F.lit(1)).cast("double"))
+        ).alias("boot_se"),
+        F.when(m > 0, F.element_at("_means", lo_idx)).alias("ci_lo"),
+        F.when(m > 0, F.element_at("_means", hi_idx)).alias("ci_hi"),
+    )
+
+
 def mantel_haenszel(
     df: DataFrame,
     exposure_col: str,
@@ -4440,6 +4597,32 @@ class StatsTransformer:
                     "stats prop_ztest requires both 'sideA' and 'sideB' "
                     "or neither"
                 )
+        elif op == "bootstrap_ci":
+            for key in ("valueColumn", "idColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats bootstrap_ci requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            try:
+                if not 8 <= int(opts.get("replicates", 40)) <= 200:
+                    errors.append(
+                        "stats bootstrap_ci replicates must be an int"
+                        " in [8, 200]"
+                    )
+            except (TypeError, ValueError):
+                errors.append(
+                    "stats bootstrap_ci replicates must be an int"
+                    " in [8, 200]"
+                )
+            try:
+                if not 0.0 < float(opts.get("alpha", 0.05)) < 0.5:
+                    errors.append(
+                        "stats bootstrap_ci alpha must be in (0, 0.5)"
+                    )
+            except (TypeError, ValueError):
+                errors.append(
+                    "stats bootstrap_ci alpha must be in (0, 0.5)"
+                )
         elif op == "mantel_haenszel":
             for key in ("exposureColumn", "outcomeColumn",
                         "stratumColumn"):
@@ -4581,7 +4764,7 @@ class StatsTransformer:
                 "|multiple_regression|benford|welch_ttest|prop_ztest"
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
-                "|cochran_armitage|mantel_haenszel"
+                "|cochran_armitage|mantel_haenszel|bootstrap_ci"
                 "|mann_kendall|pettitt|theil_sen|cox|rmst|tukey_hsd"
                 "|cronbach_alpha|cohens_d|cochran_q|friedman, "
                 f"got '{op}'"
@@ -4784,6 +4967,16 @@ class StatsTransformer:
         if op == "cochran_armitage":
             return cochran_armitage(
                 df, opts["doseColumn"], opts["flagColumn"], group_by=gb
+            )
+        if op == "bootstrap_ci":
+            return bootstrap_ci(
+                df,
+                opts["valueColumn"],
+                opts["idColumn"],
+                replicates=int(opts.get("replicates", 40)),
+                alpha=float(opts.get("alpha", 0.05)),
+                salt=str(opts.get("salt", "")),
+                group_by=gb,
             )
         if op == "mantel_haenszel":
             return mantel_haenszel(

@@ -1766,3 +1766,122 @@ def test_tfidf_adapter(spark):
         _cfg("tfidf", idColumn="nope"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# ----------------------------------------------- poisson bootstrap
+
+
+_POISSON1_T = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+
+
+def _py_boot(rows, B=40, alpha=0.05, salt=""):
+    import hashlib
+
+    def weight(b, rid):
+        hi, slot = (b - 1) // 4, (b - 1) % 4
+        h = hashlib.md5(f"boot:{hi}:{rid}{salt}".encode()).hexdigest()
+        bucket = int(h[8 * slot:8 * slot + 8], 16)
+        for k, t in enumerate(_POISSON1_T):
+            if bucket < t:
+                return k
+        return 9
+
+    from decimal import Decimal
+
+    ms = []
+    for b in range(1, B + 1):
+        ws = wx = 0
+        for rid, v in rows:
+            w = weight(b, rid)
+            ws += w
+            wx += w * Decimal(str(v)).quantize(Decimal("0.01"))
+        if ws > 0:
+            ms.append(float(wx) / ws)
+    ms.sort()
+    m = len(ms)
+    lo = max(1, math.ceil(m * (alpha / 2.0)))
+    mean_r = sum(ms) / m
+    se = math.sqrt(sum((v - mean_r) ** 2 for v in ms) / (m - 1))
+    return ms[lo - 1], ms[m - lo], se, m
+
+
+def test_bootstrap_ci_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import bootstrap_ci
+
+    random.seed(83)
+    rows = [(i, round(random.gauss(50, 10), 2)) for i in range(400)]
+    rows += [(9999, None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "id int, v double").repartition(4)
+    r = bootstrap_ci(df, "v", "id", replicates=40).collect()[0]
+    clean = [p for p in rows if None not in p]
+    lo, hi, se, m = _py_boot(clean)
+    assert (r["n"], r["replicates"]) == (len(clean), m)
+    mu = sum(v for _, v in clean) / len(clean)
+    assert r["estimate"] == pytest.approx(mu, abs=1e-9)
+    assert r["ci_lo"] == pytest.approx(lo, abs=1e-9)
+    assert r["ci_hi"] == pytest.approx(hi, abs=1e-9)
+    assert r["boot_se"] == pytest.approx(se, abs=1e-9)
+    # the CI brackets the true mean and the bootstrap SE tracks the
+    # analytic s/sqrt(n) within sampling noise
+    assert r["ci_lo"] < mu < r["ci_hi"]
+    sd = math.sqrt(
+        sum((v - mu) ** 2 for _, v in clean) / (len(clean) - 1)
+    )
+    analytic = sd / math.sqrt(len(clean))
+    assert 0.5 * analytic < r["boot_se"] < 2.0 * analytic
+    # determinism: same salt -> identical CI; different salt -> a
+    # different (valid) resample universe
+    r2 = bootstrap_ci(df, "v", "id", replicates=40).collect()[0]
+    assert (r2["ci_lo"], r2["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+    r3 = bootstrap_ci(df, "v", "id", replicates=40,
+                      salt="other").collect()[0]
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r["ci_lo"], r["ci_hi"])
+    assert r3["ci_lo"] < mu < r3["ci_hi"]
+    # validation
+    for kwargs in ({"replicates": 4}, {"replicates": 500},
+                   {"alpha": 0.0}, {"alpha": 0.7}):
+        with pytest.raises(TransformationError):
+            bootstrap_ci(df, "v", "id", **kwargs)
+
+
+def test_bootstrap_ci_grouped_and_adapter(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.stats import bootstrap_ci
+
+    random.seed(89)
+    rows = [("a" if i % 2 else "b", i,
+             round(random.gauss(10 if i % 2 else 30, 3), 2))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = {r["g"]: r for r in bootstrap_ci(
+        df, "v", "id", replicates=24, group_by=["g"]).collect()}
+    for g, mu in (("a", 10), ("b", 30)):
+        sub = [(i, v) for gg, i, v in rows if gg == g]
+        lo, hi, se, m = _py_boot(sub, B=24)
+        assert out[g]["ci_lo"] == pytest.approx(lo, abs=1e-9)
+        assert out[g]["ci_hi"] == pytest.approx(hi, abs=1e-9)
+        assert out[g]["ci_lo"] < mu + 1 and out[g]["ci_hi"] > mu - 1
+    # the two groups' intervals are disjoint
+    assert out["a"]["ci_hi"] < out["b"]["ci_lo"]
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="bootstrap_ci", valueColumn="v",
+              idColumn="id", replicates="24", alpha="0.1", groupBy="g")
+    assert t.validate(df, ok).is_valid
+    res = t.transform(df, ok, None)
+    assert res.columns == ["g", "n", "replicates", "estimate",
+                           "boot_se", "ci_lo", "ci_hi"]
+    for bad in (
+        _cfg("stats", operation="bootstrap_ci", valueColumn="v"),
+        _cfg("stats", operation="bootstrap_ci", valueColumn="v",
+             idColumn="id", replicates="4"),
+        _cfg("stats", operation="bootstrap_ci", valueColumn="v",
+             idColumn="id", alpha="0.9"),
+    ):
+        assert not t.validate(df, bad).is_valid

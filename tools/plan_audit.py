@@ -1055,6 +1055,17 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "bootstrap_ci",
+        "Poisson bootstrap: ALL replicates ride ONE map-side-combined "
+        "aggregation (2B+2 exact numbers per group) -- no data x B "
+        "explosion, no second scan; order-statistic CI + fold SE over "
+        "the bounded sorted-means array; no python",
+        ["partial_sum", "partial_count", "PushedFilters"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "Generate", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
         "tfidf",
         "TF-IDF top terms: tokenize -> ONE (doc, term) shuffle; the "
         "vocabulary-sized df table joins back on the term key; N is "
