@@ -10503,6 +10503,94 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test of the click-vs-purchase mean value gap
+    (the q_ks_drift frame, 60 label-swap replicates): all swaps ride
+    ONE aggregation via deterministic md5 coins against the exact
+    n_a/N threshold; the oracle expands rows×60 to replay the same
+    universe."""
+    from etl_spark_gradle_spark.operators.stats import permutation_test
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    framed = ev.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "event_type", "value")
+    return permutation_test(
+        framed, "value", "event_type", "event_id",
+        replicates=60, side_a="click", side_b="purchase",
+    )
+
+
+_PERMUTATION_TEST_ORACLE = """
+WITH base AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS x,
+         CAST(event_id AS VARCHAR) AS id,
+         (event_type = 'click') AS isa
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND event_id IS NOT NULL
+    AND event_type IN ('click', 'purchase')
+), counts AS (
+  SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN isa THEN x END) AS DECIMAL(38,2)) AS xa,
+         CAST(SUM(CASE WHEN NOT isa THEN x END) AS DECIMAL(38,2))
+           AS xb
+  FROM base
+), thr AS (
+  SELECT *,
+         CAST(FLOOR(CAST(n_a AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE)
+                    * 4294967296.0) AS BIGINT) AS t,
+         CAST(xa + xb AS DECIMAL(38,2)) AS tot,
+         CAST(CAST(xa AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(CAST(xb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE)
+           AS dobs
+  FROM counts
+), reps AS (
+  SELECT unnest(range(1, 61)) AS b
+), per_rep AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN coin THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(COALESCE(SUM(CASE WHEN coin THEN x END),
+                       CAST(0 AS DECIMAL(38,2)))
+              AS DECIMAL(38,2)) AS sa
+  FROM (
+    SELECT b, x,
+           CAST(('0x' || substr(md5('perm:'
+                  || CAST((b - 1) // 4 AS VARCHAR) || ':' || id),
+                  1 + 8 * ((b - 1) % 4), 8)) AS BIGINT) < t AS coin
+    FROM base CROSS JOIN reps CROSS JOIN thr
+  ) GROUP BY b
+), verdicts AS (
+  SELECT pr.b,
+         CASE WHEN pr.ca > 0 AND t.n_a + t.n_b - pr.ca > 0
+              THEN 1 ELSE 0 END AS ok,
+         CASE WHEN pr.ca > 0 AND t.n_a + t.n_b - pr.ca > 0
+               AND ABS(CAST(CAST(pr.sa AS VARCHAR) AS DOUBLE)
+                         / CAST(pr.ca AS DOUBLE)
+                       - CAST(CAST(t.tot - pr.sa AS VARCHAR)
+                              AS DOUBLE)
+                         / CAST(t.n_a + t.n_b - pr.ca AS DOUBLE))
+                   >= ABS(t.dobs)
+              THEN 1 ELSE 0 END AS extreme
+  FROM per_rep pr CROSS JOIN thr t
+)
+SELECT t.n_a, t.n_b,
+       CAST(SUM(v.ok) AS BIGINT) AS replicates,
+       CAST(SUM(v.extreme) AS BIGINT) AS n_extreme,
+       t.dobs AS diff_obs,
+       CASE WHEN SUM(v.ok) > 0 THEN
+         CAST(SUM(v.extreme) + 1 AS DOUBLE)
+           / CAST(SUM(v.ok) + 1 AS DOUBLE)
+       END AS p_value
+FROM verdicts v CROSS JOIN thr t
+GROUP BY t.n_a, t.n_b, t.dobs
+"""
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap CI of mean extended price per return flag
     (40 replicates, 95%): all replicates ride ONE aggregation — each
@@ -13602,6 +13690,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mantel_haenszel": q_mantel_haenszel,
         "tfidf": q_tfidf,
         "bootstrap_ci": q_bootstrap_ci,
+        "permutation_test": q_permutation_test,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -13951,6 +14040,7 @@ def oracle_sql() -> dict[str, str]:
         "mantel_haenszel": _MANTEL_HAENSZEL_ORACLE,
         "tfidf": _TFIDF_ORACLE,
         "bootstrap_ci": _BOOTSTRAP_CI_ORACLE,
+        "permutation_test": _PERMUTATION_TEST_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

@@ -55,6 +55,7 @@ __all__ = [
     "cochran_armitage",
     "mantel_haenszel",
     "bootstrap_ci",
+    "permutation_test",
     "mcnemar_test",
     "brown_forsythe",
     "kendall_tau",
@@ -2757,6 +2758,195 @@ def bootstrap_ci(
     )
 
 
+def permutation_test(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    id_col: str,
+    replicates: int = 60,
+    salt: str = "",
+    side_a=None,
+    side_b=None,
+) -> DataFrame:
+    """Randomization test for a two-sample mean difference — the
+    assumption-free companion to :func:`welch_ttest` (no normality,
+    no variance model: "would a difference this large arise if the
+    labels were random?"), in the scalable one-pass form that pairs
+    with :func:`bootstrap_ci`: under H0 the side label is exchangeable,
+    so each replicate reassigns every row to side A with probability
+    n_a/N via a deterministic md5 coin (the binomial-reassignment
+    randomization test — the fixed-margin permutation's standard
+    at-scale surrogate; margins concentrate at n_a within ±√N) and
+    ALL B label-swaps ride ONE aggregation::
+
+        p ≈ (1 + #{b : |Δ_b| ≥ |Δ_obs|}) / (B + 1)
+
+    (the add-one form — never exactly zero, unbiased under H0).
+
+    Determinism & exactness: the b-th coin compares the row's md5
+    bucket (``perm:`` domain tag, 4 replicates per md5) against the
+    integer threshold ``floor(n_a/N·2³²)`` — computed from the EXACT
+    observed counts, broadcast as a 1-row attach; replicate side sums
+    are exact decimal(38,2); each Δ_b and the observed Δ are
+    fixed-order double closes; the comparison ``|Δ_b| ≥ |Δ_obs|``
+    involves doubles both engines computed identically.
+
+    Plan at 100 TB: TWO passes — one tiny aggregation for the exact
+    observed counts (1-row broadcast), then the 2B+4-column replicate
+    aggregation. No shuffle of raw rows, no data×B explosion. NULL
+    value/side/id rows are excluded. Degenerate inputs (either side
+    empty) yield NULL everywhere but the counts; replicates where
+    either reassigned side is empty are dropped from the count
+    (``replicates`` reports the usable number).
+
+    Output: ONE row — ``n_a``/``n_b``/``replicates``/``n_extreme``
+    (long), ``diff_obs`` (double), ``p_value`` (double)."""
+    for c in (value_col, side_col, id_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    B = int(replicates)
+    if not 8 <= B <= 200:
+        raise TransformationError(
+            "permutation_test requires 8 <= replicates <= 200"
+        )
+    if (side_a is None) != (side_b is None):
+        raise TransformationError(
+            "permutation_test: pass both side_a and side_b or neither"
+        )
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(side_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    if side_a is not None:
+        base = base.where(
+            F.col(side_col).cast("string").isin(
+                [str(side_a), str(side_b)]
+            )
+        )
+        is_a = F.col(side_col).cast("string") == str(side_a)
+    else:
+        # two-sides contract: the smaller side value (as string) is A
+        sides = base.select(
+            F.min(F.col(side_col).cast("string")).alias("_sa"),
+            F.max(F.col(side_col).cast("string")).alias("_sb"),
+            F.count_distinct(F.col(side_col).cast("string")).alias(
+                "_ns"
+            ),
+        ).collect()[0]
+        if sides["_ns"] is not None and sides["_ns"] > 2:
+            raise TransformationError(
+                "permutation_test: side column has more than two "
+                "values; pass side_a/side_b"
+            )
+        is_a = F.col(side_col).cast("string") == str(sides["_sa"])
+    x = _dec(value_col)
+    counts = base.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, x)).cast("decimal(38,2)").alias("_xa"),
+        F.sum(F.when(~is_a, x)).cast("decimal(38,2)").alias("_xb"),
+    ).localCheckpoint(eager=True)
+    # the reassignment threshold from the EXACT counts — a 1-row
+    # broadcast; floor(n_a/N * 2^32) computed identically both engines
+    thr = counts.select(
+        "n_a",
+        "n_b",
+        "_xa",
+        "_xb",
+        F.floor(
+            F.col("n_a").cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+            * F.lit(4294967296.0)
+        ).cast("long").alias("_thr"),
+    )
+    j = base.select(
+        x.alias("_x"), F.col(id_col).cast("string").alias("_id")
+    ).crossJoin(F.broadcast(thr))
+
+    def _bucket(b: int) -> Column:
+        hi, slot = (b - 1) // 4, (b - 1) % 4
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"perm:{hi}:"), F.col("_id"), F.lit(salt)
+                    )
+                ),
+                1 + 8 * slot,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    aggs = [
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("_xa").alias("_xa"),
+        F.max("_xb").alias("_xb"),
+    ]
+    for b in range(1, B + 1):
+        coin = _bucket(b) < F.col("_thr")
+        aggs.append(
+            F.sum(F.when(coin, 1).otherwise(0)).cast("long").alias(
+                f"_c{b}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(coin, F.col("_x")))
+            .cast("decimal(38,2)")
+            .alias(f"_s{b}")
+        )
+    agg = j.agg(*aggs)
+    n = (F.col("n_a") + F.col("n_b")).cast("long")
+    tot = (
+        F.coalesce(F.col("_xa"), F.lit(0).cast("decimal(38,2)"))
+        + F.coalesce(F.col("_xb"), F.lit(0).cast("decimal(38,2)"))
+    ).cast("decimal(38,2)")
+    diff_obs = _d(F.col("_xa")) / F.col("n_a").cast("double") - _d(
+        F.col("_xb")
+    ) / F.col("n_b").cast("double")
+    agg = agg.withColumn("_n", n).withColumn("_tot", tot).withColumn(
+        "_dobs", diff_obs
+    )
+    rep_valid = []
+    rep_extreme = []
+    for b in range(1, B + 1):
+        ca = F.col(f"_c{b}")
+        cb = F.col("_n") - ca
+        sa = F.coalesce(
+            F.col(f"_s{b}"), F.lit(0).cast("decimal(38,2)")
+        )
+        sb = (F.col("_tot") - sa).cast("decimal(38,2)")
+        ok = (ca > 0) & (cb > 0)
+        d_b = _d(sa) / ca.cast("double") - _d(sb) / cb.cast("double")
+        rep_valid.append(F.when(ok, 1).otherwise(0))
+        rep_extreme.append(
+            F.when(
+                ok & (F.abs(d_b) >= F.abs(F.col("_dobs"))), 1
+            ).otherwise(0)
+        )
+    m = sum(rep_valid[1:], rep_valid[0])
+    ne = sum(rep_extreme[1:], rep_extreme[0])
+    agg = agg.withColumn("_m", m.cast("long")).withColumn(
+        "_ne", ne.cast("long")
+    )
+    usable = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(usable, F.col("_m")).alias("replicates"),
+        F.when(usable, F.col("_ne")).alias("n_extreme"),
+        F.when(usable, F.col("_dobs")).alias("diff_obs"),
+        F.when(
+            usable & (F.col("_m") > 0),
+            (F.col("_ne") + F.lit(1)).cast("double")
+            / (F.col("_m") + F.lit(1)).cast("double"),
+        ).alias("p_value"),
+    )
+
+
 def mantel_haenszel(
     df: DataFrame,
     exposure_col: str,
@@ -4623,6 +4813,34 @@ class StatsTransformer:
                 errors.append(
                     "stats bootstrap_ci alpha must be in (0, 0.5)"
                 )
+        elif op == "permutation_test":
+            for key in ("valueColumn", "sideColumn", "idColumn"):
+                if not opts.get(key):
+                    errors.append(
+                        f"stats permutation_test requires '{key}'"
+                    )
+                else:
+                    cols_needed.append(opts[key])
+            try:
+                if not 8 <= int(opts.get("replicates", 60)) <= 200:
+                    errors.append(
+                        "stats permutation_test replicates must be an"
+                        " int in [8, 200]"
+                    )
+            except (TypeError, ValueError):
+                errors.append(
+                    "stats permutation_test replicates must be an int"
+                    " in [8, 200]"
+                )
+            if (opts.get("sideA") is None) != (opts.get("sideB") is None):
+                errors.append(
+                    "stats permutation_test requires both 'sideA' and"
+                    " 'sideB' or neither"
+                )
+            if opts.get("groupBy"):
+                errors.append(
+                    "stats permutation_test does not support groupBy"
+                )
         elif op == "mantel_haenszel":
             for key in ("exposureColumn", "outcomeColumn",
                         "stratumColumn"):
@@ -4765,6 +4983,7 @@ class StatsTransformer:
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
                 "|cochran_armitage|mantel_haenszel|bootstrap_ci"
+                "|permutation_test"
                 "|mann_kendall|pettitt|theil_sen|cox|rmst|tukey_hsd"
                 "|cronbach_alpha|cohens_d|cochran_q|friedman, "
                 f"got '{op}'"
@@ -4977,6 +5196,17 @@ class StatsTransformer:
                 alpha=float(opts.get("alpha", 0.05)),
                 salt=str(opts.get("salt", "")),
                 group_by=gb,
+            )
+        if op == "permutation_test":
+            return permutation_test(
+                df,
+                opts["valueColumn"],
+                opts["sideColumn"],
+                opts["idColumn"],
+                replicates=int(opts.get("replicates", 60)),
+                salt=str(opts.get("salt", "")),
+                side_a=opts.get("sideA"),
+                side_b=opts.get("sideB"),
             )
         if op == "mantel_haenszel":
             return mantel_haenszel(

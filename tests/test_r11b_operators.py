@@ -1885,3 +1885,112 @@ def test_bootstrap_ci_grouped_and_adapter(spark):
              idColumn="id", alpha="0.9"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# ---------------------------------------------- randomization test
+
+
+def test_permutation_test_matches_pure_python(spark):
+    import hashlib
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import permutation_test
+
+    random.seed(97)
+    rows = [(i, "a" if i % 2 else "b",
+             round(random.gauss(10 if i % 2 else 11, 3), 2))
+            for i in range(600)]
+    rows += [(None, "a", 1.0), (9001, None, 1.0), (9002, "a", None)]
+    df = spark.createDataFrame(
+        rows, "id int, s string, v double"
+    ).repartition(4)
+    r = permutation_test(df, "v", "s", "id", replicates=60).collect()[0]
+    clean = [p for p in rows if None not in p]
+    n_a = sum(1 for _, s, _ in clean if s == "a")
+    n = len(clean)
+    thr = math.floor(n_a / n * 4294967296.0)
+
+    def coin(b, rid):
+        hi, slot = (b - 1) // 4, (b - 1) % 4
+        h = hashlib.md5(f"perm:{hi}:{rid}".encode()).hexdigest()
+        return int(h[8 * slot:8 * slot + 8], 16) < thr
+
+    from decimal import Decimal
+
+    def q(v):
+        return Decimal(str(v)).quantize(Decimal("0.01"))
+
+    xa = sum(q(v) for _, s, v in clean if s == "a")
+    xb = sum(q(v) for _, s, v in clean if s == "b")
+    dobs = float(xa) / n_a - float(xb) / (n - n_a)
+    tot = xa + xb
+    ne = m = 0
+    for b in range(1, 61):
+        ca = sa = 0
+        for rid, _, v in clean:
+            if coin(b, rid):
+                ca += 1
+                sa += q(v)
+        if 0 < ca < n:
+            m += 1
+            d_b = float(sa) / ca - float(tot - sa) / (n - ca)
+            if abs(d_b) >= abs(dobs):
+                ne += 1
+    assert (r["n_a"], r["n_b"]) == (n_a, n - n_a)
+    assert (r["replicates"], r["n_extreme"]) == (m, ne)
+    assert r["diff_obs"] == pytest.approx(dobs, abs=1e-12)
+    assert r["p_value"] == pytest.approx((ne + 1) / (m + 1), abs=1e-15)
+    # the planted 1-unit gap on sd=3 at n=600 is detected at the
+    # test's floor p = 1/(B+1)
+    assert r["p_value"] < 0.05
+    # no effect -> p far from significant
+    random.seed(101)
+    null_rows = [(i, "a" if i % 2 else "b",
+                  round(random.gauss(10, 3), 2)) for i in range(600)]
+    ndf = spark.createDataFrame(null_rows, "id int, s string, v double")
+    rn = permutation_test(ndf, "v", "s", "id", replicates=60).collect()[
+        0
+    ]
+    assert rn["p_value"] > 0.1
+    # >2 side values without explicit sides -> clean error; with
+    # explicit sides the extra value is filtered out
+    tri = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id int, s string, v double",
+    )
+    with pytest.raises(TransformationError, match="more than two"):
+        permutation_test(tri, "v", "s", "id")
+    rt = permutation_test(
+        tri, "v", "s", "id", side_a="a", side_b="b"
+    ).collect()[0]
+    assert (rt["n_a"], rt["n_b"]) == (1, 1)
+    # validation
+    for kwargs in ({"replicates": 4}, {"side_a": "a"}):
+        with pytest.raises(TransformationError):
+            permutation_test(df, "v", "s", "id", **kwargs)
+
+
+def test_permutation_test_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id int, s string, v double"
+    )
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="permutation_test", valueColumn="v",
+              sideColumn="s", idColumn="id", replicates="16")
+    assert t.validate(df, ok).is_valid
+    out = t.transform(df, ok, None)
+    assert out.columns == ["n_a", "n_b", "replicates", "n_extreme",
+                           "diff_obs", "p_value"]
+    for bad in (
+        _cfg("stats", operation="permutation_test", valueColumn="v",
+             sideColumn="s"),
+        _cfg("stats", operation="permutation_test", valueColumn="v",
+             sideColumn="s", idColumn="id", replicates="4"),
+        _cfg("stats", operation="permutation_test", valueColumn="v",
+             sideColumn="s", idColumn="id", sideA="a"),
+        _cfg("stats", operation="permutation_test", valueColumn="v",
+             sideColumn="s", idColumn="id", groupBy="s"),
+    ):
+        assert not t.validate(df, bad).is_valid

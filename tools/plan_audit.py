@@ -1055,6 +1055,15 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "permutation_test",
+        "Randomization test: exact observed counts broadcast as ONE "
+        "row; all B label swaps ride one 2B+4-column aggregation -- "
+        "no data x B explosion, no raw-row shuffle; no python",
+        ["partial_sum", "BroadcastNestedLoopJoin", "PushedFilters"],
+        ["Window", "CartesianProduct", "SortMergeJoin", "Generate",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "bootstrap_ci",
         "Poisson bootstrap: ALL replicates ride ONE map-side-combined "
         "aggregation (2B+2 exact numbers per group) -- no data x B "
