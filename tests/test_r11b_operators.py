@@ -1994,3 +1994,35 @@ def test_permutation_test_adapter(spark):
              sideColumn="s", idColumn="id", groupBy="s"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+def test_experiment_readout_pipeline_yaml(spark, sf_dir, tmp_path,
+                                          monkeypatch):
+    """The shipped pipelines/experiment-readout.yaml runs end-to-end:
+    frame arms -> CMH stratified readout -> publishable gate ->
+    parquet, and the published row matches the operator called
+    directly."""
+    from etl_spark_gradle_spark.operators.stats import mantel_haenszel
+    from etl_spark_gradle_spark.plans.config import load_pipeline_yaml
+    from etl_spark_gradle_spark.plans.executor import PipelineExecutor
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "readout")
+    monkeypatch.setenv("ORDERS_SRC", f"{sf_dir}/orders.parquet")
+    monkeypatch.setenv("READOUT_OUT", out)
+    cfg = load_pipeline_yaml("pipelines/experiment-readout.yaml")
+    metrics = PipelineExecutor().execute(cfg, spark)
+    assert metrics.records_loaded == 1
+    rep = spark.read.parquet(out).collect()[0]
+    direct = mantel_haenszel(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            (F.col("o_totalprice") > 150000).cast("int").alias("e"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("o"),
+            "o_orderpriority",
+        ),
+        "e", "o", "o_orderpriority",
+    ).collect()[0]
+    assert (rep["n"], rep["k_strata"], rep["sum_a"]) == (
+        direct["n"], direct["k_strata"], direct["sum_a"])
+    assert rep["or_mh"] == direct["or_mh"]
+    assert rep["cmh_chi2"] == direct["cmh_chi2"]
