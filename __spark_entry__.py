@@ -13490,63 +13490,65 @@ FROM agg
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
-# Round-11 window (continuation rotation): every never-recorded r11
-# addition leads — the five continuation adds (average_precision,
-# roc_curve, mcc, fleiss_kappa, nelson_aalen) plus the earlier-r11
-# batch (chi_square … readability), all locally green at sf0.01 AND
-# sf0.1 via check_oracle — then the stalest recorded queries.
+# Round-11 window (final rotation at this HEAD): every never-recorded
+# r11 addition leads — the 14 late-continuation adds (kuiper,
+# cramer_von_mises, energy_distance, pettitt, weighted_kappa,
+# hosmer_lemeshow, concordance_index, cochran_armitage,
+# mantel_haenszel, tfidf, bootstrap_ci, permutation_test + the
+# earlier batch), all locally green at sf0.01 AND sf0.1 via
+# check_oracle — then the stalest recorded queries.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
     "anderson_darling",
+    "bootstrap_ci",
     "brown_forsythe",
     "chi_square",
+    "cochran_armitage",
     "cochran_q",
     "cohens_d",
+    "cramer_von_mises",
     "cronbach_alpha",
+    "energy_distance",
     "friedman",
     "kendall_tau",
+    "kuiper",
     "mann_kendall",
+    "mantel_haenszel",
     "mcnemar",
+    "permutation_test",
+    "pettitt",
     "theil_sen",
     "tukey_hsd",
     "wasserstein",
-    "streaming_histogram",
-    "streaming_topk",
     "average_precision",
-    "cox",
-    "ewma",
+    "concordance_index",
     "fleiss_kappa",
-    "kaplan_meier",
-    "logrank",
+    "hosmer_lemeshow",
     "mcc",
     "mrr",
+    "roc_curve",
+    "weighted_kappa",
+    "tfidf",
+    "streaming_histogram",
+    "streaming_topk",
+    "cox",
+    "ewma",
+    "kaplan_meier",
+    "logrank",
     "nelson_aalen",
     "rmst",
-    "roc_curve",
     "pca",
     "theil_u",
     "streaming_ewma",
     "dsir",
-    "readability",
     "zipf",
+    "readability",
     "intervals",
     "resample_ffill",
     "resample_origin",
     "resample_linear",
-    "kmv_distinct",
-    "kmv_jaccard",
-    "cusum",
-    "time_rollup",
-    "entropy",
-    "js_divergence",
-    "kl_divergence",
-    "psi_drift",
     "bm25",
     "cms_prune",
-    "cms_topk",
-    "incremental_aggregate",
-    "scd2",
-    "top_paths",
 ]
 
 
