@@ -10503,6 +10503,116 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout over lineitem (Y = extended price, covariate
+    X = quantity, arms R vs N): 12 exact decimal moments in one
+    aggregation; θ, both diffs, the adjusted Welch t and the pooled
+    variance reduction close in fixed operand order."""
+    from etl_spark_gradle_spark.operators.stats import cuped
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return cuped(
+        li, "l_extendedprice", "l_quantity", "l_returnflag",
+        side_a="N", side_b="R",
+    )
+
+
+_CUPED_ORACLE = """
+WITH pts AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+         l_returnflag AS s
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_returnflag IN ('N', 'R')
+), m AS (
+  SELECT
+    CAST(SUM(CASE WHEN s = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN s = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN s = 'N' THEN y END) AS DECIMAL(38,4)) AS sya,
+    CAST(SUM(CASE WHEN s = 'R' THEN y END) AS DECIMAL(38,4)) AS syb,
+    CAST(SUM(CASE WHEN s = 'N' THEN x END) AS DECIMAL(38,4)) AS sxa,
+    CAST(SUM(CASE WHEN s = 'R' THEN x END) AS DECIMAL(38,4)) AS sxb,
+    CAST(SUM(CASE WHEN s = 'N' THEN CAST(y * y AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS syya,
+    CAST(SUM(CASE WHEN s = 'R' THEN CAST(y * y AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS syyb,
+    CAST(SUM(CASE WHEN s = 'N' THEN CAST(x * x AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS sxxa,
+    CAST(SUM(CASE WHEN s = 'R' THEN CAST(x * x AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS sxxb,
+    CAST(SUM(CASE WHEN s = 'N' THEN CAST(x * y AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS sxya,
+    CAST(SUM(CASE WHEN s = 'R' THEN CAST(x * y AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS sxyb
+  FROM pts
+), d AS (
+  SELECT *,
+    n_a + n_b AS n,
+    CAST(CAST(n_a + n_b AS DECIMAL(19,0)) * (sxya + sxyb)
+         - (sxa + sxb) * (sya + syb) AS DECIMAL(38,4)) AS cov_num,
+    CAST(CAST(n_a + n_b AS DECIMAL(19,0)) * (sxxa + sxxb)
+         - (sxa + sxb) * (sxa + sxb) AS DECIMAL(38,4)) AS varx_num
+  FROM m
+), t AS (
+  SELECT *,
+    CAST(CAST(cov_num AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(varx_num AS VARCHAR) AS DOUBLE) AS th
+  FROM d
+), c AS (
+  SELECT *,
+    CAST(CAST(sya AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+      - CAST(CAST(syb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE)
+      AS diff_raw,
+    CAST(CAST(sya AS VARCHAR) AS DOUBLE)
+      - th * CAST(CAST(sxa AS VARCHAR) AS DOUBLE) AS sza,
+    CAST(CAST(syb AS VARCHAR) AS DOUBLE)
+      - th * CAST(CAST(sxb AS VARCHAR) AS DOUBLE) AS szb,
+    CAST(CAST(syya AS VARCHAR) AS DOUBLE)
+      - 2.0 * th * CAST(CAST(sxya AS VARCHAR) AS DOUBLE)
+      + th * th * CAST(CAST(sxxa AS VARCHAR) AS DOUBLE) AS szza,
+    CAST(CAST(syyb AS VARCHAR) AS DOUBLE)
+      - 2.0 * th * CAST(CAST(sxyb AS VARCHAR) AS DOUBLE)
+      + th * th * CAST(CAST(sxxb AS VARCHAR) AS DOUBLE) AS szzb
+  FROM t
+), z AS (
+  SELECT *,
+    sza / CAST(n_a AS DOUBLE) - szb / CAST(n_b AS DOUBLE)
+      AS diff_cuped,
+    (szza - sza * sza / CAST(n_a AS DOUBLE))
+      / (CAST(n_a AS DOUBLE) - 1.0) AS s2a,
+    (szzb - szb * szb / CAST(n_b AS DOUBLE))
+      / (CAST(n_b AS DOUBLE) - 1.0) AS s2b,
+    (CAST(CAST(CAST(syya + syyb AS DECIMAL(38,4)) AS VARCHAR)
+          AS DOUBLE)
+     - CAST(CAST(CAST(sya + syb AS DECIMAL(38,4)) AS VARCHAR)
+            AS DOUBLE)
+       * CAST(CAST(CAST(sya + syb AS DECIMAL(38,4)) AS VARCHAR)
+              AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0) AS vy,
+    ((szza + szzb)
+     - (sza + szb) * (sza + szb) / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0) AS vz
+  FROM c
+)
+SELECT n_a, n_b,
+       CASE WHEN varx_num > 0 THEN th END AS theta,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN diff_raw END AS diff_raw,
+       CASE WHEN n_a > 1 AND n_b > 1 AND varx_num > 0
+            THEN diff_cuped END AS diff_cuped,
+       CASE WHEN n_a > 1 AND n_b > 1 AND varx_num > 0 AND vy > 0
+            THEN 1.0 - vz / vy END AS var_reduction,
+       CASE WHEN n_a > 1 AND n_b > 1 AND varx_num > 0
+             AND s2a / CAST(n_a AS DOUBLE)
+                 + s2b / CAST(n_b AS DOUBLE) > 0
+            THEN diff_cuped
+                 / sqrt(s2a / CAST(n_a AS DOUBLE)
+                        + s2b / CAST(n_b AS DOUBLE)) END AS t_cuped
+FROM z
+"""
+
+
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization test of the click-vs-purchase mean value gap
     (the q_ks_drift frame, 60 label-swap replicates): all swaps ride
@@ -13693,6 +13803,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "bootstrap_ci": q_bootstrap_ci,
         "permutation_test": q_permutation_test,
+        "cuped": q_cuped,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -14043,6 +14154,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": _TFIDF_ORACLE,
         "bootstrap_ci": _BOOTSTRAP_CI_ORACLE,
         "permutation_test": _PERMUTATION_TEST_ORACLE,
+        "cuped": _CUPED_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

@@ -56,6 +56,7 @@ __all__ = [
     "mantel_haenszel",
     "bootstrap_ci",
     "permutation_test",
+    "cuped",
     "mcnemar_test",
     "brown_forsythe",
     "kendall_tau",
@@ -2947,6 +2948,177 @@ def permutation_test(
     )
 
 
+def cuped(
+    df: DataFrame,
+    value_col: str,
+    covariate_col: str,
+    side_col: str,
+    side_a=None,
+    side_b=None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013) — the standard way to make an A/B test converge weeks
+    earlier: regress the experiment metric Y on a PRE-EXPERIMENT
+    covariate X (same metric last month, user tenure …) and analyze
+    the residualized metric instead::
+
+        θ        = cov(X, Y) / var(X)          (pooled)
+        Y′       = Y − θ·(X − X̄)
+        Δ_cuped  = mean_a(Y′) − mean_b(Y′)     (unbiased: E[Δ′]=E[Δ])
+        var cut  = 1 − var(Y′)/var(Y) ≈ ρ²(X, Y)
+
+    Exactness: ONE conditional moment aggregation per group carries
+    the 12 exact decimal sums (n/Σx/Σy/Σx²/Σy²/Σxy per side); θ is
+    the exact-numerator division ``(n·Σxy − Σx·Σy)/(n·Σx² − Σx²)``
+    through the string round-trip, and every derived close (Δ_raw,
+    Δ_cuped, per-side adjusted variances, Welch-style ``t_cuped``,
+    ``var_reduction``) is a fixed-operand-order double expression the
+    SQL oracle replays verbatim.
+
+    Plan at 100 TB: one map-side-combined shuffle per group — a
+    single short row of moments; nothing else touches the data.
+    NULL value/covariate/side rows are excluded. Side detection and
+    validation follow ``welch_ttest`` (exactly two sides, or pass
+    ``side_a``/``side_b``). Degenerate groups (var(X) ≤ 0 → θ
+    undefined; either side empty) yield NULLs for the derived stats.
+
+    Output: group cols + ``n_a``/``n_b`` (long) + ``theta``/
+    ``diff_raw``/``diff_cuped``/``var_reduction``/``t_cuped``
+    (double)."""
+    for c in (value_col, covariate_col, side_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    if (side_a is None) != (side_b is None):
+        raise TransformationError(
+            "cuped: pass both side_a and side_b or neither"
+        )
+    if side_a is None:
+        sides = [
+            r[0]
+            for r in df.select(side_col)
+            .where(F.col(side_col).isNotNull())
+            .distinct()
+            .orderBy(side_col)
+            .limit(3)
+            .collect()
+        ]
+        if len(sides) != 2:
+            raise TransformationError(
+                f"cuped: side column '{side_col}' must carry exactly "
+                f"two distinct non-null values, found {len(sides)}"
+            )
+        side_a, side_b = sides
+    if side_a == side_b:
+        raise TransformationError("cuped: side_a and side_b must differ")
+    is_a = F.col(side_col).cast("string") == str(side_a)
+    is_b = F.col(side_col).cast("string") == str(side_b)
+    y = _dec(value_col)
+    x = _dec(covariate_col)
+    yy = _prod(value_col, value_col)
+    xx = _prod(covariate_col, covariate_col)
+    xy = _prod(covariate_col, value_col)
+
+    def _side(tag, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                f"n_{tag}"
+            ),
+            F.sum(F.when(cond, y)).cast("decimal(38,2)").alias(
+                f"_sy{tag}"
+            ),
+            F.sum(F.when(cond, x)).cast("decimal(38,2)").alias(
+                f"_sx{tag}"
+            ),
+            F.sum(F.when(cond, yy)).cast("decimal(38,4)").alias(
+                f"_syy{tag}"
+            ),
+            F.sum(F.when(cond, xx)).cast("decimal(38,4)").alias(
+                f"_sxx{tag}"
+            ),
+            F.sum(F.when(cond, xy)).cast("decimal(38,4)").alias(
+                f"_sxy{tag}"
+            ),
+        ]
+
+    agg = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & F.col(covariate_col).isNotNull()
+            & (is_a | is_b)
+        )
+        .groupBy(*group_by)
+        .agg(*_side("a", is_a), *_side("b", is_b))
+    )
+    dec4 = "decimal(38,4)"
+    z4 = F.lit(0).cast(dec4)
+
+    def g(name):
+        return F.coalesce(F.col(name).cast(dec4), z4)
+
+    n = (F.col("n_a") + F.col("n_b")).cast("long")
+    sy = (g("_sya") + g("_syb")).cast(dec4)
+    sx = (g("_sxa") + g("_sxb")).cast(dec4)
+    syy = (g("_syya") + g("_syyb")).cast(dec4)
+    sxx = (g("_sxxa") + g("_sxxb")).cast(dec4)
+    sxy = (g("_sxya") + g("_sxyb")).cast(dec4)
+    nd = n.cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # θ from exact decimal numerators; var(X)·n and cov·n stay exact
+    cov_num = (n.cast("decimal(19,0)") * sxy - sx * sy).cast(dec4)
+    varx_num = (n.cast("decimal(19,0)") * sxx - sx * sx).cast(dec4)
+    theta = _d(cov_num) / _d(varx_num)
+    agg = agg.withColumn("_n", n).withColumn("_theta", theta)
+    th = F.col("_theta")
+    diff_raw = _d(g("_sya")) / na - _d(g("_syb")) / nb
+    # adjusted sums: SZ = Σy − θ·Σx; SZZ = Σy² − 2θ·Σxy + θ²·Σx²
+    sza = _d(g("_sya")) - th * _d(g("_sxa"))
+    szb = _d(g("_syb")) - th * _d(g("_sxb"))
+    szza = (
+        _d(g("_syya")) - F.lit(2.0) * th * _d(g("_sxya"))
+        + th * th * _d(g("_sxxa"))
+    )
+    szzb = (
+        _d(g("_syyb")) - F.lit(2.0) * th * _d(g("_sxyb"))
+        + th * th * _d(g("_sxxb"))
+    )
+    diff_cuped = sza / na - szb / nb
+    s2a = (szza - sza * sza / na) / (na - F.lit(1.0))
+    s2b = (szzb - szb * szb / nb) / (nb - F.lit(1.0))
+    t_cuped = diff_cuped / F.sqrt(s2a / na + s2b / nb)
+    # pooled variance reduction: 1 − var(Y′)/var(Y)
+    sz = sza + szb
+    szz = szza + szzb
+    vy = (_d(syy) - _d(sy) * _d(sy) / nd) / (nd - F.lit(1.0))
+    vz = (szz - sz * sz / nd) / (nd - F.lit(1.0))
+    var_reduction = F.lit(1.0) - vz / vy
+    ok = (
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (F.col("_theta").isNotNull())
+        & (varx_num > 0)
+    )
+    return agg.select(
+        *group_by,
+        "n_a",
+        "n_b",
+        F.when(varx_num > 0, th).alias("theta"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), diff_raw
+        ).alias("diff_raw"),
+        F.when(ok, diff_cuped).alias("diff_cuped"),
+        F.when(ok & (vy > 0), var_reduction).alias("var_reduction"),
+        F.when(ok & (s2a / na + s2b / nb > 0), t_cuped).alias(
+            "t_cuped"
+        ),
+    )
+
+
 def mantel_haenszel(
     df: DataFrame,
     exposure_col: str,
@@ -4813,6 +4985,17 @@ class StatsTransformer:
                 errors.append(
                     "stats bootstrap_ci alpha must be in (0, 0.5)"
                 )
+        elif op == "cuped":
+            for key in ("valueColumn", "covariateColumn", "sideColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats cuped requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            if (opts.get("sideA") is None) != (opts.get("sideB") is None):
+                errors.append(
+                    "stats cuped requires both 'sideA' and 'sideB' "
+                    "or neither"
+                )
         elif op == "permutation_test":
             for key in ("valueColumn", "sideColumn", "idColumn"):
                 if not opts.get(key):
@@ -4983,7 +5166,7 @@ class StatsTransformer:
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
                 "|cochran_armitage|mantel_haenszel|bootstrap_ci"
-                "|permutation_test"
+                "|permutation_test|cuped"
                 "|mann_kendall|pettitt|theil_sen|cox|rmst|tukey_hsd"
                 "|cronbach_alpha|cohens_d|cochran_q|friedman, "
                 f"got '{op}'"
@@ -5195,6 +5378,16 @@ class StatsTransformer:
                 replicates=int(opts.get("replicates", 40)),
                 alpha=float(opts.get("alpha", 0.05)),
                 salt=str(opts.get("salt", "")),
+                group_by=gb,
+            )
+        if op == "cuped":
+            return cuped(
+                df,
+                opts["valueColumn"],
+                opts["covariateColumn"],
+                opts["sideColumn"],
+                side_a=opts.get("sideA"),
+                side_b=opts.get("sideB"),
                 group_by=gb,
             )
         if op == "permutation_test":

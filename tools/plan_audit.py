@@ -1055,6 +1055,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "cuped",
+        "CUPED: 12 exact decimal moments in ONE map-side-combined "
+        "aggregation; theta and every derived close are fixed-order "
+        "expressions over that single short row; no joins, no "
+        "windows, no python",
+        ["partial_sum", "PushedFilters"],
+        ["Window", "CartesianProduct", "SortMergeJoin",
+         "BroadcastHashJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
         "permutation_test",
         "Randomization test: exact observed counts broadcast as ONE "
         "row; all B label swaps ride one 2B+4-column aggregation -- "
