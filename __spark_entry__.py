@@ -13618,6 +13618,7 @@ _GATE_WINDOW: list[str] = [
     "cohens_d",
     "cramer_von_mises",
     "cronbach_alpha",
+    "cuped",
     "energy_distance",
     "friedman",
     "kendall_tau",
@@ -13658,7 +13659,6 @@ _GATE_WINDOW: list[str] = [
     "resample_origin",
     "resample_linear",
     "bm25",
-    "cms_prune",
 ]
 
 
