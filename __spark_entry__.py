@@ -12762,6 +12762,104 @@ FROM s ORDER BY t
 """
 
 
+def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen cumulative incidence over the customer-lifetime
+    frame with COMPETING exit causes: cause 1 = finalized with a
+    high-value order history (max total > 150k), cause 2 = finalized
+    low-value, 0 = censored (never finalized). All-cause S(t−) rides
+    the KM quantized-log prefix sums exclusive of t; per-cause
+    increments nano-quantize and prefix-sum exactly."""
+    from etl_spark_gradle_spark.operators.timeseries import (
+        aalen_johansen,
+    )
+
+    _prep(spark)
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.min("o_orderdate")
+            ).alias("dur"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("ev"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+        .select(
+            "dur",
+            F.when(F.col("ev") == 0, F.lit(0))
+            .when(F.col("max_total") > 150000, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("cause"),
+        )
+    )
+    return aalen_johansen(cust, "dur", "cause")
+
+
+_AALEN_JOHANSEN_ORACLE = """
+WITH cust AS (
+  SELECT CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+              AS INTEGER) AS dur,
+         CASE WHEN MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                       END) = 0 THEN 0
+              WHEN MAX(o_totalprice) > 150000 THEN 1
+              ELSE 2 END AS cause
+  FROM orders GROUP BY o_custkey
+), cells AS (
+  SELECT dur AS t, CAST(cause AS VARCHAR) AS k,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM cust GROUP BY dur, cause
+), pts AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN k <> '0' THEN m ELSE 0 END) AS BIGINT)
+           AS d,
+         CAST(SUM(m) AS BIGINT) AS rm
+  FROM cells GROUP BY t
+), cum AS (
+  SELECT t, d, rm,
+         SUM(rm) OVER (ORDER BY t) AS cum_rm,
+         SUM(rm) OVER () AS n_tot
+  FROM pts
+), risk AS (
+  SELECT t, d, CAST(n_tot - (cum_rm - rm) AS BIGINT) AS n_risk
+  FROM cum
+), q AS (
+  SELECT t, d, n_risk,
+         CASE WHEN d = 0 OR d >= n_risk THEN 0
+              ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e9)
+                        AS BIGINT) END AS lq,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+), s AS (
+  SELECT t, n_risk,
+         CAST(SUM(lq) OVER (ORDER BY t) - lq AS BIGINT) AS cum_lq_ex,
+         CAST(SUM(dead) OVER (ORDER BY t) - dead AS BIGINT)
+           AS cum_dead_ex
+  FROM q
+), per_time AS (
+  SELECT t, n_risk,
+         CASE WHEN cum_dead_ex > 0 THEN 0.0
+              ELSE round(exp(CAST(cum_lq_ex AS DOUBLE) / 1e9), 9)
+         END AS s_prev
+  FROM s
+), incs AS (
+  SELECT c.t, c.k, c.m, p.n_risk, p.s_prev,
+         CAST(round(p.s_prev
+                    * (CAST(c.m AS DOUBLE)
+                       / CAST(p.n_risk AS DOUBLE))
+                    * 1e9) AS BIGINT) AS inc
+  FROM cells c JOIN per_time p ON c.t = p.t
+  WHERE c.k <> '0'
+)
+SELECT t, k AS cause, n_risk, m AS n_event, s_prev AS surv_before,
+       LEAST(1.0, round(CAST(SUM(inc) OVER (PARTITION BY k ORDER BY t)
+                             AS DOUBLE) / 1e9, 9)) AS cif
+FROM incs ORDER BY cause, t
+"""
+
+
 def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson–Aalen cumulative hazard over the same customer-lifetime
     shape as kaplan_meier (duration = first-to-last order days, event
@@ -13804,6 +13902,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "permutation_test": q_permutation_test,
         "cuped": q_cuped,
+        "aalen_johansen": q_aalen_johansen,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
         "welch_ttest": q_welch_ttest,
@@ -14155,6 +14254,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": _BOOTSTRAP_CI_ORACLE,
         "permutation_test": _PERMUTATION_TEST_ORACLE,
         "cuped": _CUPED_ORACLE,
+        "aalen_johansen": _AALEN_JOHANSEN_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),
         "welch_ttest": _WELCH_TTEST_ORACLE,

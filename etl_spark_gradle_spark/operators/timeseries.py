@@ -70,6 +70,7 @@ __all__ = [
     "ewma",
     "EwmaTransformer",
     "kaplan_meier",
+    "aalen_johansen",
     "nelson_aalen",
     "KaplanMeierTransformer",
     "logrank_test",
@@ -2007,18 +2008,26 @@ class EwmaTransformer:
 
 class KaplanMeierTransformer:
     """Registry adapter (``type: kaplan_meier``). Options:
-    ``durationColumn``, ``eventColumn`` (required), ``groupBy`` csv,
-    ``estimator`` kaplan_meier (default, survival curve) |
-    nelson_aalen (cumulative hazard + variance)."""
+    ``durationColumn`` (required), ``eventColumn`` (required except
+    aalen_johansen), ``groupBy`` csv, ``estimator`` kaplan_meier
+    (default, survival curve) | nelson_aalen (cumulative hazard +
+    variance) | aalen_johansen (competing-risks cumulative incidence
+    — takes ``causeColumn`` with 0 = censored; no groupBy)."""
 
-    _ESTIMATORS = ("kaplan_meier", "nelson_aalen")
+    _ESTIMATORS = ("kaplan_meier", "nelson_aalen", "aalen_johansen")
 
     def validate(self, df: DataFrame, config):
         from etl_spark_gradle_spark.plans.config import ValidationResult
 
         errors = []
         opts = config.options
-        for opt in ("durationColumn", "eventColumn"):
+        est = opts.get("estimator", "kaplan_meier")
+        needed = (
+            ("durationColumn", "causeColumn")
+            if est == "aalen_johansen"
+            else ("durationColumn", "eventColumn")
+        )
+        for opt in needed:
             col = opts.get(opt)
             if not col:
                 errors.append(f"kaplan_meier requires '{opt}'")
@@ -2027,7 +2036,12 @@ class KaplanMeierTransformer:
         for c in _split_csv(opts.get("groupBy")):
             if c not in df.columns:
                 errors.append(f"group column not in input schema: {c}")
-        if opts.get("estimator", "kaplan_meier") not in self._ESTIMATORS:
+        if est == "aalen_johansen" and opts.get("groupBy"):
+            errors.append(
+                "kaplan_meier estimator aalen_johansen does not "
+                "support groupBy (causes partition the final scan)"
+            )
+        if est not in self._ESTIMATORS:
             errors.append(
                 "kaplan_meier estimator must be one of "
                 + "|".join(self._ESTIMATORS)
@@ -2045,11 +2059,14 @@ class KaplanMeierTransformer:
                 "kaplan_meier config invalid: " + "; ".join(result.errors)
             )
         opts = config.options
-        fn = (
-            nelson_aalen
-            if opts.get("estimator", "kaplan_meier") == "nelson_aalen"
-            else kaplan_meier
-        )
+        est = opts.get("estimator", "kaplan_meier")
+        if est == "aalen_johansen":
+            return aalen_johansen(
+                df,
+                duration_col=opts["durationColumn"],
+                cause_col=opts["causeColumn"],
+            )
+        fn = nelson_aalen if est == "nelson_aalen" else kaplan_meier
         return fn(
             df,
             duration_col=opts["durationColumn"],
@@ -2209,6 +2226,162 @@ def logrank_test(
             "chi2"
         ),
     )
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under COMPETING RISKS —
+    the estimator :func:`kaplan_meier` cannot give you when failure
+    has more than one cause (churn to a competitor vs churn to
+    inactivity; part failure vs part replacement): treating other
+    causes as censoring ("cause-specific 1 − KM") OVERSTATES every
+    cause's incidence because censored-by-competitor subjects can
+    never fail again. AJ allocates risk correctly::
+
+        CIF_k(t) = Σ_{u ≤ t} S(u−) · d_k(u) / n(u)
+
+    with ``S(u−)`` the ALL-CAUSE Kaplan–Meier survival just before u.
+    ``cause_col``: 0/NULL-free integer or string codes — ``0`` (or
+    ``'0'``) means censored, anything else is a competing cause.
+
+    Exactness: the all-cause S(u−) rides kaplan_meier's integer
+    nano-quantized log prefix sums, EXCLUSIVE of u (subtract the own
+    term from the inclusive scan — still exact integers), rounded to
+    9 dp; each (u, k) increment ``S(u−)·(d_k/n)`` is a fixed-order
+    double nano-quantized to a long; per-cause increments prefix-sum
+    EXACTLY over time and CIF rounds to 9 dp at the end. Identity
+    locked in tests: Σ_k CIF_k(t) + S(t) = 1 at every event time (up
+    to the documented quantization grain).
+
+    Plan at 100 TB: one (duration, cause) shuffle reduces the data to
+    its cells; per-time totals reduce again onto the duration
+    histogram (pinned — it feeds both prefix passes); the all-cause
+    cumulative counts/logs ride ``_prefix_sums``' two-level scan; the
+    per-time columns join back to the event cells on the duration key
+    (both sides histogram-sized); the final CIF scan partitions on
+    the CAUSE key (parallel across causes; per-cause distinct-time
+    cardinality is the time-resolution contract, as kaplan_meier's
+    grouped path). NULL duration/cause rows are excluded.
+
+    Output per (cause, distinct event time of that cause), ascending:
+    ``t`` (input type), ``cause`` (string), ``n_risk``/``n_event``
+    (long), ``surv_before`` (S(t−), 9 dp), ``cif`` (9 dp)."""
+    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+
+    for c in (duration_col, cause_col):
+        if c not in df.columns:
+            raise TransformationError(
+                f"aalen_johansen: column not in schema: {c}"
+            )
+    cells = (
+        df.where(
+            F.col(duration_col).isNotNull()
+            & F.col(cause_col).isNotNull()
+        )
+        .groupBy(
+            F.col(duration_col).alias("_t"),
+            F.col(cause_col).cast("string").alias("_k"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+        # feeds the per-time reduction AND the per-cause join back
+        .localCheckpoint(eager=True)
+    )
+    per_t = (
+        cells.groupBy("_t")
+        .agg(
+            F.sum(F.when(F.col("_k") != "0", F.col("_m")).otherwise(0))
+            .cast("long")
+            .alias("_d"),
+            F.sum(F.col("_m")).cast("long").alias("_rm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = _prefix_sums(
+        per_t, "_t", ["_rm"], num_partitions, assume_pinned=True
+    )
+    totals = per_t.agg(F.sum("_rm").cast("long").alias("_n_tot"))
+    cum = cum.crossJoin(F.broadcast(totals))
+    n_risk = (F.col("_n_tot") - (F.col("_cum_rm") - F.col("_rm"))).cast(
+        "long"
+    )
+    cum = cum.withColumnRenamed("cum__rm", "_cum_rm").withColumn(
+        "_n_risk", n_risk
+    )
+    dead = (F.col("_d") >= F.col("_n_risk")).cast("long")
+    lq = F.when(F.col("_d") == 0, F.lit(0)).when(
+        dead == 1, F.lit(0)
+    ).otherwise(
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("_d").cast("double")
+                / F.col("_n_risk").cast("double")
+            )
+            * F.lit(1e9)
+        )
+    ).cast("long")
+    cum = cum.withColumn("_lq", lq).withColumn("_dead", dead)
+    cum = _prefix_sums(
+        cum.select("_t", "_n_risk", "_d", "_lq", "_dead"),
+        "_t",
+        ["_lq", "_dead"],
+        num_partitions,
+    )
+    # EXCLUSIVE survival S(t−): subtract the own term from the
+    # inclusive scan — exact integer arithmetic before the one exp
+    s_prev = F.when(
+        F.col("cum__dead") - F.col("_dead") > 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.exp(
+                (F.col("cum__lq") - F.col("_lq")).cast("double")
+                / F.lit(1e9)
+            ),
+            9,
+        )
+    )
+    per_time = cum.select(
+        "_t",
+        "_n_risk",
+        s_prev.alias("_s_prev"),
+    )
+    ev_cells = cells.where(F.col("_k") != "0")
+    j = ev_cells.join(per_time, "_t")
+    inc = F.round(
+        F.col("_s_prev")
+        * (
+            F.col("_m").cast("double")
+            / F.col("_n_risk").cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    j = j.withColumn("_inc", inc)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.withColumn("_cum_inc", F.sum("_inc").over(w))
+    return j.select(
+        F.col("_t").alias("t"),
+        F.col("_k").alias("cause"),
+        F.col("_n_risk").alias("n_risk"),
+        F.col("_m").alias("n_event"),
+        F.col("_s_prev").alias("surv_before"),
+        # CIF is a probability: per-increment nano rounding can
+        # accumulate a few 1e-9 past 1.0 over many event times —
+        # clamp (deterministic, replayed by the oracle)
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.col("_cum_inc").cast("double") / F.lit(1e9), 9
+            ),
+        ).alias("cif"),
+    ).orderBy("cause", "t")
 
 
 def cox_ph(

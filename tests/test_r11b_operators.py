@@ -2116,3 +2116,106 @@ def test_cuped_adapter(spark):
              covariateColumn="x", sideColumn="s", sideA="a"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# ------------------------------------------------- aalen-johansen
+
+
+def test_aalen_johansen_matches_brute_force_and_identity(spark):
+    import random
+    from collections import defaultdict
+
+    from etl_spark_gradle_spark.operators.timeseries import (
+        aalen_johansen, kaplan_meier,
+    )
+    from pyspark.sql import functions as F
+
+    random.seed(107)
+    rows = [(random.randint(1, 40),
+             random.choices([0, 1, 2], [0.3, 0.4, 0.3])[0])
+            for _ in range(500)]
+    rows += [(None, 1), (5, None)]
+    df = spark.createDataFrame(rows, "dur int, cause int").repartition(4)
+    out = aalen_johansen(df, "dur", "cause").collect()
+    clean = [p for p in rows if None not in p]
+    # brute-force AJ with the operator's quantization
+    ts = sorted(set(t for t, _ in clean))
+    sprev_q = 1.0
+    cum_lq = 0
+    cif_q = defaultdict(int)
+    expect = {}
+    for u in ts:
+        nu = sum(1 for t, _ in clean if t >= u)
+        du = sum(1 for t, k in clean if t == u and k != 0)
+        for k in (1, 2):
+            dk = sum(1 for t, kk in clean if t == u and kk == k)
+            if dk:
+                cif_q[k] += round(sprev_q * (dk / nu) * 1e9)
+                expect[(u, str(k))] = (nu, dk, sprev_q,
+                                       round(cif_q[k] / 1e9, 9))
+        if du and du < nu:
+            cum_lq += round(math.log(1.0 - du / nu) * 1e9)
+        sprev_q = round(math.exp(cum_lq / 1e9), 9)
+    assert len(out) == len(expect)
+    for r in out:
+        nu, dk, sp, cif = expect[(r["t"], r["cause"])]
+        assert (r["n_risk"], r["n_event"]) == (nu, dk)
+        assert r["surv_before"] == pytest.approx(sp, abs=1e-9)
+        assert r["cif"] == pytest.approx(cif, abs=1e-9)
+    # the defining identity: sum_k CIF_k(t_max) + S(t_max) = 1 (every
+    # subject either failed by some cause or survives/censored)
+    km = kaplan_meier(
+        df.where("dur IS NOT NULL AND cause IS NOT NULL").select(
+            "dur", (F.col("cause") != 0).cast("int").alias("ev")
+        ),
+        "dur", "ev",
+    ).collect()
+    s_last = max(km, key=lambda r: r["t"])["survival"]
+    last_cif = {}
+    for r in out:
+        last_cif[r["cause"]] = r["cif"]
+    assert s_last + sum(last_cif.values()) == pytest.approx(
+        1.0, abs=1e-7
+    )
+    # monotone nondecreasing CIF per cause, bounded by 1
+    by_cause = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["cause"], r["t"])):
+        by_cause[r["cause"]].append(r["cif"])
+    for cifs in by_cause.values():
+        assert all(a <= b + 1e-12 for a, b in zip(cifs, cifs[1:]))
+        assert cifs[-1] <= 1.0  # clamped: CIF is a probability
+    # naive cause-specific 1-KM OVERSTATES incidence (the reason AJ
+    # exists): compare cause 1's CIF vs 1 - KM treating cause 2 as
+    # censoring
+    km1 = kaplan_meier(
+        df.where("dur IS NOT NULL AND cause IS NOT NULL").select(
+            "dur", (F.col("cause") == 1).cast("int").alias("ev")
+        ),
+        "dur", "ev",
+    ).collect()
+    naive_1 = 1.0 - max(km1, key=lambda r: r["t"])["survival"]
+    assert naive_1 > last_cif["1"]
+
+
+def test_aalen_johansen_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2)], "dur int, cause int"
+    )
+    t = TRANSFORMER_REGISTRY["kaplan_meier"]
+    ok = _cfg("kaplan_meier", estimator="aalen_johansen",
+              durationColumn="dur", causeColumn="cause")
+    assert t.validate(df, ok).is_valid
+    out = t.transform(df, ok, None)
+    assert out.columns == ["t", "cause", "n_risk", "n_event",
+                           "surv_before", "cif"]
+    for bad in (
+        _cfg("kaplan_meier", estimator="aalen_johansen",
+             durationColumn="dur"),
+        _cfg("kaplan_meier", estimator="aalen_johansen",
+             durationColumn="dur", causeColumn="cause", groupBy="dur"),
+        _cfg("kaplan_meier", estimator="nope", durationColumn="dur",
+             eventColumn="cause"),
+    ):
+        assert not t.validate(df, bad).is_valid

@@ -93,6 +93,10 @@ BOUNDED_WINDOW_EXEMPT: dict[str, int] = {
                                # time-ordered U_t scan (both
                                # two-level; only the <=P-row offsets
                                # windows are global)
+    "aalen_johansen": 2,       # [PS] x2: the all-cause at-risk scan
+                               # + the quantized-log/dead scan (the
+                               # kaplan_meier shape; the CIF window
+                               # partitions on the cause key)
     "ks_drift": 1,             # [PS]
     "lift_table": 2,           # [PS] + [LT]
     "mutual_information": 1,   # [CT]
@@ -1053,6 +1057,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
          "BroadcastNestedLoopJoin"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    (
+        "aalen_johansen",
+        "Aalen-Johansen: (duration, cause) cells pinned once; "
+        "all-cause at-risk/log scans ride the two-level prefix sums; "
+        "per-time columns join back on the duration key; the CIF "
+        "scan partitions on the CAUSE key; no python",
+        ["hashpartitioning(_pid", "ExistingRDD",
+         "hashpartitioning(_k"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "cuped",
