@@ -173,6 +173,14 @@ def main() -> int:
                 lambda: _ewma_probe(li),
                 li.count(),
             ),
+            "pettitt": (
+                lambda: _pettitt_probe(li),
+                li.count(),
+            ),
+            "bootstrap_ci": (
+                lambda: _bootstrap_probe(li),
+                li.count(),
+            ),
             "rolling_med": (
                 lambda: _rolling_median_probe(ev),
                 ev.count(),
@@ -470,6 +478,50 @@ def _ad_wass_probe(li):
         F.hash("w1", "n_values").alias("h")
     )
     return ad.unionByName(w1).agg(F.sum("h").alias("h"))
+
+
+def _pettitt_probe(li):
+    """Round-11 late: the changepoint test's two chained prefix-sum
+    scans over a CONTINUOUS near-unique value (worst case for both
+    histograms: the value-rank map AND the per-distinct-time table
+    are O(n)). Throughput across the 10x step only holds if both
+    scans stay two-level and the rank join shuffles on the value key
+    — a single-partition window anywhere would crater it."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.stats import pettitt_test
+
+    src = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("t"),
+        (
+            F.abs(F.hash("l_orderkey", "l_linenumber")).cast("double")
+            / F.lit(2147483647.0)
+        ).alias("v"),
+    )
+    out = pettitt_test(src, "t", "v")
+    return out.select(F.hash("k_num", "change_at").alias("h"))
+
+
+def _bootstrap_probe(li):
+    """Round-11 late: the one-pass Poisson bootstrap — 2B+2 agg
+    columns with B/4 md5 calls per row. The whole point is NO data×B
+    explosion, so throughput must IMPROVE across the 10x step like
+    every other single-aggregation shape (a hidden explode/resample
+    would show the B× cliff immediately)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_gradle_spark.operators.stats import bootstrap_ci
+
+    src = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    out = bootstrap_ci(src, "v", "rid", replicates=40)
+    return out.select(F.hash("estimate", "ci_lo", "ci_hi").alias("h"))
 
 
 def _ewma_probe(li):
