@@ -13707,6 +13707,13 @@ FROM agg
 # check_oracle — then the stalest recorded queries.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
+    "aalen_johansen",
+    "cox",
+    "ewma",
+    "kaplan_meier",
+    "logrank",
+    "nelson_aalen",
+    "rmst",
     "anderson_darling",
     "bootstrap_ci",
     "brown_forsythe",
@@ -13740,12 +13747,6 @@ _GATE_WINDOW: list[str] = [
     "tfidf",
     "streaming_histogram",
     "streaming_topk",
-    "cox",
-    "ewma",
-    "kaplan_meier",
-    "logrank",
-    "nelson_aalen",
-    "rmst",
     "pca",
     "theil_u",
     "streaming_ewma",
@@ -13756,7 +13757,6 @@ _GATE_WINDOW: list[str] = [
     "resample_ffill",
     "resample_origin",
     "resample_linear",
-    "bm25",
 ]
 
 
