@@ -10503,6 +10503,130 @@ FROM q GROUP BY n_a, n_b
 """
 
 
+def q_ratio_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio test: average order value (Σ spend / Σ
+    orders) BUILDING vs MACHINERY customers, each customer one unit —
+    the clustered ratio read a naive per-order t-test would get
+    wrong. 12 exact decimal moments in one aggregation; fixed-order
+    delta-method closes."""
+    from etl_spark_gradle_spark.operators.stats import ratio_ttest
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").cast("decimal(18,2)").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    framed = per_cust.join(
+        cust, per_cust["o_custkey"] == cust["c_custkey"]
+    )
+    return ratio_ttest(
+        framed, "rev", "cnt", "c_mktsegment",
+        side_a="BUILDING", side_b="MACHINERY",
+    )
+
+
+_RATIO_TTEST_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+), framed AS (
+  SELECT CAST(p.rev AS DECIMAL(18,2)) AS y,
+         CAST(p.cnt AS DECIMAL(18,2)) AS x,
+         c.c_mktsegment AS s
+  FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    AND p.rev IS NOT NULL AND p.cnt IS NOT NULL
+), m AS (
+  SELECT
+    CAST(SUM(CASE WHEN s = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(SUM(CASE WHEN s = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_b,
+    CAST(SUM(CASE WHEN s = 'BUILDING' THEN y END) AS DECIMAL(38,2))
+      AS sya,
+    CAST(SUM(CASE WHEN s = 'MACHINERY' THEN y END) AS DECIMAL(38,2))
+      AS syb,
+    CAST(SUM(CASE WHEN s = 'BUILDING' THEN x END) AS DECIMAL(38,2))
+      AS sxa,
+    CAST(SUM(CASE WHEN s = 'MACHINERY' THEN x END) AS DECIMAL(38,2))
+      AS sxb,
+    CAST(SUM(CASE WHEN s = 'BUILDING'
+                  THEN CAST(y * y AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS syya,
+    CAST(SUM(CASE WHEN s = 'MACHINERY'
+                  THEN CAST(y * y AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS syyb,
+    CAST(SUM(CASE WHEN s = 'BUILDING'
+                  THEN CAST(x * x AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS sxxa,
+    CAST(SUM(CASE WHEN s = 'MACHINERY'
+                  THEN CAST(x * x AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS sxxb,
+    CAST(SUM(CASE WHEN s = 'BUILDING'
+                  THEN CAST(x * y AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS sxya,
+    CAST(SUM(CASE WHEN s = 'MACHINERY'
+                  THEN CAST(x * y AS DECIMAL(38,4)) END)
+         AS DECIMAL(38,4)) AS sxyb
+  FROM framed
+), arms AS (
+  SELECT n_a, n_b,
+    CAST(CAST(sya AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(sxa AS VARCHAR) AS DOUBLE) AS ra,
+    CAST(CAST(syb AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(sxb AS VARCHAR) AS DOUBLE) AS rb,
+    CAST(CAST(sxa AS VARCHAR) AS DOUBLE) AS dsxa,
+    CAST(CAST(sxb AS VARCHAR) AS DOUBLE) AS dsxb,
+    CAST(CAST(sya AS VARCHAR) AS DOUBLE) AS dsya,
+    CAST(CAST(syb AS VARCHAR) AS DOUBLE) AS dsyb,
+    CAST(CAST(syya AS VARCHAR) AS DOUBLE) AS dsyya,
+    CAST(CAST(syyb AS VARCHAR) AS DOUBLE) AS dsyyb,
+    CAST(CAST(sxxa AS VARCHAR) AS DOUBLE) AS dsxxa,
+    CAST(CAST(sxxb AS VARCHAR) AS DOUBLE) AS dsxxb,
+    CAST(CAST(sxya AS VARCHAR) AS DOUBLE) AS dsxya,
+    CAST(CAST(sxyb AS VARCHAR) AS DOUBLE) AS dsxyb
+  FROM m
+), v AS (
+  SELECT *,
+    ((dsyya - dsya * dsya / CAST(n_a AS DOUBLE))
+       / (CAST(n_a AS DOUBLE) - 1.0)
+     - 2.0 * ra * ((dsxya - dsxa * dsya / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1.0))
+     + ra * ra * ((dsxxa - dsxa * dsxa / CAST(n_a AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) - 1.0)))
+      / (CAST(n_a AS DOUBLE)
+         * (dsxa / CAST(n_a AS DOUBLE))
+         * (dsxa / CAST(n_a AS DOUBLE))) AS va,
+    ((dsyyb - dsyb * dsyb / CAST(n_b AS DOUBLE))
+       / (CAST(n_b AS DOUBLE) - 1.0)
+     - 2.0 * rb * ((dsxyb - dsxb * dsyb / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1.0))
+     + rb * rb * ((dsxxb - dsxb * dsxb / CAST(n_b AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) - 1.0)))
+      / (CAST(n_b AS DOUBLE)
+         * (dsxb / CAST(n_b AS DOUBLE))
+         * (dsxb / CAST(n_b AS DOUBLE))) AS vb
+  FROM arms
+)
+SELECT n_a, n_b,
+       CASE WHEN dsxa > 0 THEN ra END AS ratio_a,
+       CASE WHEN dsxb > 0 THEN rb END AS ratio_b,
+       CASE WHEN dsxa > 0 AND dsxb > 0 THEN ra - rb END AS diff,
+       CASE WHEN n_a > 1 AND dsxa > 0 AND n_b > 1 AND dsxb > 0
+             AND va + vb > 0 THEN sqrt(va + vb) END AS se,
+       CASE WHEN n_a > 1 AND dsxa > 0 AND n_b > 1 AND dsxb > 0
+             AND va + vb > 0
+            THEN (ra - rb) / sqrt(va + vb) END AS t_stat
+FROM v
+"""
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED readout over lineitem (Y = extended price, covariate
     X = quantity, arms R vs N): 12 exact decimal moments in one
@@ -13707,8 +13831,8 @@ FROM agg
 # check_oracle — then the stalest recorded queries.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "aalen_johansen",
     "cox",
+    "aalen_johansen",
     "ewma",
     "kaplan_meier",
     "logrank",
@@ -13733,6 +13857,7 @@ _GATE_WINDOW: list[str] = [
     "mcnemar",
     "permutation_test",
     "pettitt",
+    "ratio_ttest",
     "theil_sen",
     "tukey_hsd",
     "wasserstein",
@@ -13748,15 +13873,14 @@ _GATE_WINDOW: list[str] = [
     "streaming_histogram",
     "streaming_topk",
     "pca",
-    "theil_u",
     "streaming_ewma",
+    "theil_u",
     "dsir",
-    "zipf",
     "readability",
+    "zipf",
     "intervals",
     "resample_ffill",
     "resample_origin",
-    "resample_linear",
 ]
 
 
@@ -13902,6 +14026,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "permutation_test": q_permutation_test,
         "cuped": q_cuped,
+        "ratio_ttest": q_ratio_ttest,
         "aalen_johansen": q_aalen_johansen,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -14254,6 +14379,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": _BOOTSTRAP_CI_ORACLE,
         "permutation_test": _PERMUTATION_TEST_ORACLE,
         "cuped": _CUPED_ORACLE,
+        "ratio_ttest": _RATIO_TTEST_ORACLE,
         "aalen_johansen": _AALEN_JOHANSEN_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

@@ -57,6 +57,7 @@ __all__ = [
     "bootstrap_ci",
     "permutation_test",
     "cuped",
+    "ratio_ttest",
     "mcnemar_test",
     "brown_forsythe",
     "kendall_tau",
@@ -3119,6 +3120,156 @@ def cuped(
     )
 
 
+def ratio_ttest(
+    df: DataFrame,
+    numerator_col: str,
+    denominator_col: str,
+    side_col: str,
+    side_a=None,
+    side_b=None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Delta-method t-test for RATIO-OF-SUMS metrics — the correct
+    A/B read when the metric is a ratio (revenue per session, CTR,
+    items per order) but randomization is by UNIT (user): each row is
+    one unit carrying its numerator and denominator sums, the arm
+    metric is ``R = ΣY/ΣX``, and naively treating per-unit ratios as
+    iid observations mis-states the variance (heavy users count once
+    here, not once per session)::
+
+        var(R) ≈ (s²_y − 2R·s_xy + R²·s²_x) / (n·x̄²)   (delta method)
+        t      = (R_a − R_b) / sqrt(var_a + var_b)
+
+    with s²/s_xy the per-unit sample (co)variances and x̄ the mean
+    denominator. Asymptotically z; no p-value (the ``welch_ttest``
+    posture).
+
+    Exactness: ONE conditional moment aggregation per group carries
+    the 12 exact decimal sums (the ``cuped`` block); R_a/R_b are
+    exact-sum divisions through the string round-trip; every derived
+    close is a fixed-operand-order double the SQL oracle replays
+    verbatim.
+
+    Plan at 100 TB: one map-side-combined shuffle per group — one
+    short moment row; nothing else touches the data. NULL
+    numerator/denominator/side rows are excluded; side detection
+    follows ``welch_ttest``. Degenerate groups (ΣX ≤ 0 on a side →
+    the ratio is undefined; n < 2 on a side → no variance) yield
+    NULLs for the derived stats.
+
+    Output: group cols + ``n_a``/``n_b`` (long) + ``ratio_a``/
+    ``ratio_b``/``diff``/``se``/``t_stat`` (double)."""
+    for c in (numerator_col, denominator_col, side_col):
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    group_by = group_by or []
+    for c in group_by:
+        if c not in df.columns:
+            raise TransformationError(f"column not in input schema: {c}")
+    if (side_a is None) != (side_b is None):
+        raise TransformationError(
+            "ratio_ttest: pass both side_a and side_b or neither"
+        )
+    if side_a is None:
+        sides = [
+            r[0]
+            for r in df.select(side_col)
+            .where(F.col(side_col).isNotNull())
+            .distinct()
+            .orderBy(side_col)
+            .limit(3)
+            .collect()
+        ]
+        if len(sides) != 2:
+            raise TransformationError(
+                f"ratio_ttest: side column '{side_col}' must carry "
+                f"exactly two distinct non-null values, found "
+                f"{len(sides)}"
+            )
+        side_a, side_b = sides
+    if side_a == side_b:
+        raise TransformationError(
+            "ratio_ttest: side_a and side_b must differ"
+        )
+    is_a = F.col(side_col).cast("string") == str(side_a)
+    is_b = F.col(side_col).cast("string") == str(side_b)
+    y = _dec(numerator_col)
+    x = _dec(denominator_col)
+    yy = _prod(numerator_col, numerator_col)
+    xx = _prod(denominator_col, denominator_col)
+    xy = _prod(denominator_col, numerator_col)
+
+    def _side(tag, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                f"n_{tag}"
+            ),
+            F.sum(F.when(cond, y)).cast("decimal(38,2)").alias(
+                f"_sy{tag}"
+            ),
+            F.sum(F.when(cond, x)).cast("decimal(38,2)").alias(
+                f"_sx{tag}"
+            ),
+            F.sum(F.when(cond, yy)).cast("decimal(38,4)").alias(
+                f"_syy{tag}"
+            ),
+            F.sum(F.when(cond, xx)).cast("decimal(38,4)").alias(
+                f"_sxx{tag}"
+            ),
+            F.sum(F.when(cond, xy)).cast("decimal(38,4)").alias(
+                f"_sxy{tag}"
+            ),
+        ]
+
+    agg = (
+        df.where(
+            F.col(numerator_col).isNotNull()
+            & F.col(denominator_col).isNotNull()
+            & (is_a | is_b)
+        )
+        .groupBy(*group_by)
+        .agg(*_side("a", is_a), *_side("b", is_b))
+    )
+
+    def _arm(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        sy = _d(F.col(f"_sy{tag}"))
+        sx = _d(F.col(f"_sx{tag}"))
+        syy = _d(F.col(f"_syy{tag}"))
+        sxx = _d(F.col(f"_sxx{tag}"))
+        sxy = _d(F.col(f"_sxy{tag}"))
+        r = sy / sx
+        xbar = sx / n
+        vy = (syy - sy * sy / n) / (n - F.lit(1.0))
+        vx = (sxx - sx * sx / n) / (n - F.lit(1.0))
+        cxy = (sxy - sx * sy / n) / (n - F.lit(1.0))
+        var_r = (vy - F.lit(2.0) * r * cxy + r * r * vx) / (
+            n * xbar * xbar
+        )
+        return r, var_r
+
+    ra, va = _arm("a")
+    rb, vb = _arm("b")
+    ok_a = (F.col("n_a") > 1) & (_d(F.col("_sxa")) > 0)
+    ok_b = (F.col("n_b") > 1) & (_d(F.col("_sxb")) > 0)
+    diff = ra - rb
+    se = F.sqrt(va + vb)
+    return agg.select(
+        *group_by,
+        "n_a",
+        "n_b",
+        F.when(_d(F.col("_sxa")) > 0, ra).alias("ratio_a"),
+        F.when(_d(F.col("_sxb")) > 0, rb).alias("ratio_b"),
+        F.when(
+            (_d(F.col("_sxa")) > 0) & (_d(F.col("_sxb")) > 0), diff
+        ).alias("diff"),
+        F.when(ok_a & ok_b & (va + vb > 0), se).alias("se"),
+        F.when(ok_a & ok_b & (va + vb > 0), diff / se).alias(
+            "t_stat"
+        ),
+    )
+
+
 def mantel_haenszel(
     df: DataFrame,
     exposure_col: str,
@@ -4985,6 +5136,18 @@ class StatsTransformer:
                 errors.append(
                     "stats bootstrap_ci alpha must be in (0, 0.5)"
                 )
+        elif op == "ratio_ttest":
+            for key in ("numeratorColumn", "denominatorColumn",
+                        "sideColumn"):
+                if not opts.get(key):
+                    errors.append(f"stats ratio_ttest requires '{key}'")
+                else:
+                    cols_needed.append(opts[key])
+            if (opts.get("sideA") is None) != (opts.get("sideB") is None):
+                errors.append(
+                    "stats ratio_ttest requires both 'sideA' and "
+                    "'sideB' or neither"
+                )
         elif op == "cuped":
             for key in ("valueColumn", "covariateColumn", "sideColumn"):
                 if not opts.get(key):
@@ -5166,7 +5329,7 @@ class StatsTransformer:
                 "|spearman|anova|kruskal_wallis|fdr_bh|chi_square"
                 "|mcnemar|brown_forsythe|kendall_tau|logrank"
                 "|cochran_armitage|mantel_haenszel|bootstrap_ci"
-                "|permutation_test|cuped"
+                "|permutation_test|cuped|ratio_ttest"
                 "|mann_kendall|pettitt|theil_sen|cox|rmst|tukey_hsd"
                 "|cronbach_alpha|cohens_d|cochran_q|friedman, "
                 f"got '{op}'"
@@ -5378,6 +5541,16 @@ class StatsTransformer:
                 replicates=int(opts.get("replicates", 40)),
                 alpha=float(opts.get("alpha", 0.05)),
                 salt=str(opts.get("salt", "")),
+                group_by=gb,
+            )
+        if op == "ratio_ttest":
+            return ratio_ttest(
+                df,
+                opts["numeratorColumn"],
+                opts["denominatorColumn"],
+                opts["sideColumn"],
+                side_a=opts.get("sideA"),
+                side_b=opts.get("sideB"),
                 group_by=gb,
             )
         if op == "cuped":

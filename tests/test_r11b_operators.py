@@ -2219,3 +2219,87 @@ def test_aalen_johansen_adapter(spark):
              eventColumn="cause"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# ------------------------------------------------------ ratio test
+
+
+def _py_ratio_arm(sub):
+    n = len(sub)
+    sy = sum(y for y, _ in sub)
+    sx = sum(x for _, x in sub)
+    R = sy / sx
+    xb = sx / n
+    vy = (sum(y * y for y, _ in sub) - sy * sy / n) / (n - 1)
+    vx = (sum(x * x for _, x in sub) - sx * sx / n) / (n - 1)
+    cxy = (sum(x * y for y, x in sub) - sx * sy / n) / (n - 1)
+    return R, (vy - 2 * R * cxy + R * R * vx) / (n * xb * xb)
+
+
+def test_ratio_ttest_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import ratio_ttest
+
+    random.seed(109)
+    rows = []
+    for i in range(2000):
+        arm = "a" if i % 2 else "b"
+        sessions = float(max(1, int(random.expovariate(0.2))))
+        rps = 2.0 + (0.3 if arm == "a" else 0.0) + random.gauss(0, 0.5)
+        rows.append((arm, round(max(0.0, sessions * rps), 2), sessions))
+    rows += [("a", None, 1.0), ("b", 1.0, None), (None, 1.0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "s string, rev double, sess double"
+    ).repartition(4)
+    r = ratio_ttest(df, "rev", "sess", "s").collect()[0]
+    clean = [p for p in rows if None not in p]
+    ra, va = _py_ratio_arm([(y, x) for s, y, x in clean if s == "a"])
+    rb, vb = _py_ratio_arm([(y, x) for s, y, x in clean if s == "b"])
+    assert r["ratio_a"] == pytest.approx(ra, abs=1e-9)
+    assert r["ratio_b"] == pytest.approx(rb, abs=1e-9)
+    assert r["se"] == pytest.approx(math.sqrt(va + vb), abs=1e-9)
+    assert r["t_stat"] == pytest.approx(
+        (ra - rb) / math.sqrt(va + vb), abs=1e-6
+    )
+    # the planted 0.3 revenue-per-session lift is detected loudly
+    assert r["t_stat"] > 4.0
+    # the delta-method SE is WIDER than the naive per-unit-ratio SE
+    # pretends when units are heterogeneous... sanity: t is finite and
+    # the ratio diff is near the planted lift
+    assert 0.1 < r["diff"] < 0.5
+    # degenerate: zero denominators on a side -> NULL ratio/t
+    degen = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("a", 2.0, 0.0), ("b", 1.0, 1.0),
+         ("b", 2.0, 2.0)],
+        "s string, rev double, sess double",
+    )
+    rd = ratio_ttest(degen, "rev", "sess", "s").collect()[0]
+    assert rd["ratio_a"] is None and rd["t_stat"] is None
+    assert rd["ratio_b"] is not None
+    # side validation
+    with pytest.raises(TransformationError, match="both"):
+        ratio_ttest(df, "rev", "sess", "s", side_a="a")
+
+
+def test_ratio_ttest_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 2.0, 2.0)],
+        "s string, rev double, sess double",
+    )
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="ratio_ttest", numeratorColumn="rev",
+              denominatorColumn="sess", sideColumn="s")
+    assert t.validate(df, ok).is_valid
+    out = t.transform(df, ok, None)
+    assert out.columns == ["n_a", "n_b", "ratio_a", "ratio_b", "diff",
+                           "se", "t_stat"]
+    for bad in (
+        _cfg("stats", operation="ratio_ttest", numeratorColumn="rev",
+             sideColumn="s"),
+        _cfg("stats", operation="ratio_ttest", numeratorColumn="rev",
+             denominatorColumn="sess", sideColumn="s", sideA="a"),
+    ):
+        assert not t.validate(df, bad).is_valid

@@ -1069,6 +1069,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "ratio_ttest",
+        "Delta-method ratio test: 12 exact decimal moments in ONE "
+        "map-side-combined aggregation over the unit-level frame; "
+        "fixed-order delta closes; the customer-arm attach is the "
+        "only join; no windows, no python",
+        ["partial_sum"],
+        ["Window", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
         "cuped",
         "CUPED: 12 exact decimal moments in ONE map-side-combined "
         "aggregation; theta and every derived close are fixed-order "
