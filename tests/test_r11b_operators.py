@@ -2303,3 +2303,100 @@ def test_ratio_ttest_adapter(spark):
              denominatorColumn="sess", sideColumn="s", sideA="a"),
     ):
         assert not t.validate(df, bad).is_valid
+
+
+# ------------------------------------- hypothesis property batch
+
+
+def test_drift_family_dominance_properties(spark):
+    """Structural identities across the drift family on arbitrary
+    integer samples: D_KS <= V_Kuiper <= 2*D_KS, energy <= 2*W1,
+    and CvM invariance under any strictly increasing transform
+    (rank-based)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_spark_gradle_spark.operators.stats import (
+        cramer_von_mises_drift, energy_distance_drift, ks_drift,
+        kuiper_drift, wasserstein_drift,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=15), min_size=3,
+                 max_size=40),
+        st.lists(st.integers(min_value=0, max_value=15), min_size=3,
+                 max_size=40),
+    )
+    def check(xs, ys):
+        da = spark.createDataFrame([(float(v),) for v in xs],
+                                   "v double")
+        db = spark.createDataFrame([(float(v),) for v in ys],
+                                   "v double")
+        d = ks_drift(da, db, "v").collect()[0]["ks_d"]
+        v = kuiper_drift(da, db, "v").collect()[0]["kuiper_v"]
+        assert d - 1e-12 <= v <= 2 * d + 1e-12
+        w1 = wasserstein_drift(da, db, "v").collect()[0]["w1"]
+        en = energy_distance_drift(da, db, "v").collect()[0]["energy"]
+        assert en <= 2 * w1 + 1e-6
+        # CvM is rank-based: x -> 2x + 7 leaves it exactly unchanged
+        t = cramer_von_mises_drift(da, db, "v").collect()[0]["cvm_t"]
+        da2 = da.selectExpr("v * 2 + 7 AS v")
+        db2 = db.selectExpr("v * 2 + 7 AS v")
+        t2 = cramer_von_mises_drift(da2, db2, "v").collect()[0][
+            "cvm_t"
+        ]
+        assert t == t2
+
+    check()
+
+
+def test_pettitt_monotone_transform_invariance(spark):
+    """Pettitt is rank-based: any strictly increasing transform of
+    the VALUES leaves K, U, and the changepoint location exactly
+    unchanged (the property a mean-based detector cannot have)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_spark_gradle_spark.operators.stats import pettitt_test
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-20, max_value=20), min_size=4,
+                 max_size=60),
+    )
+    def check(vs):
+        rows = [(float(i), float(v)) for i, v in enumerate(vs)]
+        df = spark.createDataFrame(rows, "t double, v double")
+        base = pettitt_test(df, "t", "v").collect()[0]
+        # exp is strictly increasing; cube preserves order for all
+        # reals including negatives
+        for expr in ("EXP(v / 10.0)", "v * v * v"):
+            tr = pettitt_test(
+                df.selectExpr("t", f"{expr} AS v"), "t", "v"
+            ).collect()[0]
+            assert tr["k_num"] == base["k_num"]
+            assert tr["u_num"] == base["u_num"]
+            assert tr["change_at"] == base["change_at"]
+
+    check()
+
+
+def test_bootstrap_ci_alpha_nesting(spark):
+    """Order-statistic CIs nest: a 99% interval contains the 80%
+    interval computed from the SAME replicate universe."""
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import bootstrap_ci
+
+    random.seed(113)
+    rows = [(i, round(random.gauss(0, 1), 2)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    wide = bootstrap_ci(df, "v", "id", replicates=48,
+                        alpha=0.01).collect()[0]
+    narrow = bootstrap_ci(df, "v", "id", replicates=48,
+                          alpha=0.2).collect()[0]
+    assert wide["ci_lo"] <= narrow["ci_lo"]
+    assert narrow["ci_hi"] <= wide["ci_hi"]
+    assert wide["estimate"] == narrow["estimate"]
+    assert wide["boot_se"] == narrow["boot_se"]
