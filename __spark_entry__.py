@@ -5920,6 +5920,59 @@ FROM per CROSS JOIN chance CROSS JOIN dropped
 """
 
 
+def q_fdr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Yekutieli FDR control over the q_fdr_bh frame —
+    valid under arbitrary dependence: the threshold divides by the
+    harmonic number c(m), computed from the ranked frame as an exact
+    sum of nano-quantized 1/rank terms (never a float series), so
+    both engines compare against the identical constant."""
+    from etl_spark_gradle_spark.operators.stats import fdr_bh
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    tests = orders.select(
+        F.col("o_orderkey").alias("test_id"),
+        (
+            ((F.col("o_orderkey") * 1103515245 + 12345) % 1000003)
+            .cast("double")
+            / F.lit(1000003.0)
+            * F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.lit(0.0002)
+            ).otherwise(F.lit(1.0))
+        ).alias("p"),
+    )
+    return fdr_bh(tests, "p", "test_id", q=0.05, method="by")
+
+
+_FDR_BY_ORACLE = """
+WITH tests AS (
+  SELECT o_orderkey AS test_id,
+         CAST((o_orderkey * 1103515245 + 12345) % 1000003 AS DOUBLE)
+           / 1000003.0
+           * (CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 0.0002 ELSE 1.0 END) AS p
+  FROM orders
+), ranked AS (
+  SELECT test_id, p,
+         CAST(row_number() OVER (ORDER BY p ASC, test_id ASC)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM tests WHERE p IS NOT NULL
+), harm AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 / CAST(r AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS hq
+  FROM ranked
+), kk AS (
+  SELECT COALESCE(MAX(CASE WHEN p * m * (CAST(hq AS DOUBLE) / 1e9)
+                                <= CAST(r AS DOUBLE) * 0.05
+                           THEN r END), 0) AS k
+  FROM ranked CROSS JOIN harm
+)
+SELECT test_id, p, r AS rank, m, (r <= k) AS significant
+FROM ranked CROSS JOIN kk
+"""
+
+
 def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR control over one synthetic p-value per
     order (LCG-derived uniform; URGENT orders carry a planted 5000x
@@ -13831,13 +13884,6 @@ FROM agg
 # check_oracle — then the stalest recorded queries.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "cox",
-    "aalen_johansen",
-    "ewma",
-    "kaplan_meier",
-    "logrank",
-    "nelson_aalen",
-    "rmst",
     "anderson_darling",
     "bootstrap_ci",
     "brown_forsythe",
@@ -13849,6 +13895,7 @@ _GATE_WINDOW: list[str] = [
     "cronbach_alpha",
     "cuped",
     "energy_distance",
+    "fdr_by",
     "friedman",
     "kendall_tau",
     "kuiper",
@@ -13861,6 +13908,13 @@ _GATE_WINDOW: list[str] = [
     "theil_sen",
     "tukey_hsd",
     "wasserstein",
+    "aalen_johansen",
+    "cox",
+    "ewma",
+    "kaplan_meier",
+    "logrank",
+    "nelson_aalen",
+    "rmst",
     "average_precision",
     "concordance_index",
     "fleiss_kappa",
@@ -13873,14 +13927,13 @@ _GATE_WINDOW: list[str] = [
     "streaming_histogram",
     "streaming_topk",
     "pca",
-    "streaming_ewma",
     "theil_u",
+    "streaming_ewma",
     "dsir",
     "readability",
     "zipf",
     "intervals",
     "resample_ffill",
-    "resample_origin",
 ]
 
 
@@ -14027,6 +14080,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permutation_test": q_permutation_test,
         "cuped": q_cuped,
         "ratio_ttest": q_ratio_ttest,
+        "fdr_by": q_fdr_by,
         "aalen_johansen": q_aalen_johansen,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -14380,6 +14434,7 @@ def oracle_sql() -> dict[str, str]:
         "permutation_test": _PERMUTATION_TEST_ORACLE,
         "cuped": _CUPED_ORACLE,
         "ratio_ttest": _RATIO_TTEST_ORACLE,
+        "fdr_by": _FDR_BY_ORACLE,
         "aalen_johansen": _AALEN_JOHANSEN_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

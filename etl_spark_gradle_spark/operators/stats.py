@@ -994,6 +994,7 @@ def fdr_bh(
     id_col: str,
     q: float = 0.05,
     num_partitions: int | None = None,
+    method: str = "bh",
 ) -> DataFrame:
     """Benjamini–Hochberg FDR control over a p-value column — the
     multiple-comparisons close for the repo's own hypothesis-test
@@ -1008,11 +1009,21 @@ def fdr_bh(
     ``p·m <= rank·q`` — two double products in identical expression
     shape on both engines, no division.
 
+    ``method="by"`` switches to Benjamini–Yekutieli (2001) — valid
+    under ARBITRARY dependence between the tests (overlapping
+    cohorts, correlated metrics) where BH assumes independence/PRDS:
+    the threshold divides by the harmonic number ``c(m) = Σ 1/i``,
+    spelled ``p·m·c ≤ rank·q``. ``c`` is computed FROM the ranked
+    frame itself: each ``1/rank`` term nano-quantized to a long and
+    summed EXACTLY (order-free; Σ = c·1e9 ≤ (ln m + 1)·1e9 — no
+    overflow until absurd m), so both engines use the identical
+    constant — never a float series evaluation.
+
     Plan at 100 TB: the ascending rank derives from
     ``_global_rank_desc``'s two-level scan (mirrored via _s = −p), so
-    a million-test table never funnels through one task; k attaches
-    as a 1-row broadcast max. NULL p-values are excluded (they carry
-    no evidence either way).
+    a million-test table never funnels through one task; k (and for
+    BY, the harmonic constant) attach as 1-row broadcast aggregates.
+    NULL p-values are excluded (they carry no evidence either way).
 
     Output: ``id_col`` + ``p_col`` + ``rank`` (long) + ``m`` (long)
     + ``significant`` (boolean)."""
@@ -1025,6 +1036,10 @@ def fdr_bh(
             raise TransformationError(f"fdr_bh: column not in schema: {c}")
     if not 0.0 < float(q) < 1.0:
         raise TransformationError("fdr_bh requires 0 < q < 1")
+    if method not in ("bh", "by"):
+        raise TransformationError(
+            f"fdr_bh method must be bh|by, got '{method}'"
+        )
     pts = (
         df.where(F.col(p_col).isNotNull())
         .select(
@@ -1034,9 +1049,24 @@ def fdr_bh(
         )
     )
     ranked = _global_rank_desc(pts, num_partitions)
-    passing = F.col("_p") * F.col("_n").cast("double") <= F.col(
-        "_rank"
-    ).cast("double") * F.lit(float(q))
+    if method == "by":
+        # harmonic constant from the ranked frame: exact sum of
+        # nano-quantized 1/rank terms, 1-row broadcast
+        harm = ranked.agg(
+            F.sum(
+                F.round(
+                    F.lit(1e9) / F.col("_rank").cast("double")
+                ).cast("long")
+            ).alias("_hq")
+        )
+        ranked = ranked.crossJoin(F.broadcast(harm))
+        passing = F.col("_p") * F.col("_n").cast("double") * (
+            F.col("_hq").cast("double") / F.lit(1e9)
+        ) <= F.col("_rank").cast("double") * F.lit(float(q))
+    else:
+        passing = F.col("_p") * F.col("_n").cast("double") <= F.col(
+            "_rank"
+        ).cast("double") * F.lit(float(q))
     k = ranked.agg(
         F.coalesce(
             F.max(F.when(passing, F.col("_rank"))), F.lit(0)
@@ -5321,6 +5351,8 @@ class StatsTransformer:
                 errors.append("stats fdr_bh q must be numeric")
             if opts.get("groupBy"):
                 errors.append("stats fdr_bh does not support groupBy")
+            if opts.get("method") not in (None, "bh", "by"):
+                errors.append("stats fdr_bh method must be bh|by")
         else:
             errors.append(
                 "stats operation must be correlation|linear_fit|zscore|quantiles"
@@ -5501,6 +5533,7 @@ class StatsTransformer:
                 opts["pColumn"],
                 opts["idColumn"],
                 q=float(opts.get("q", 0.05)),
+                method=str(opts.get("method", "bh")),
             )
         if op == "multiple_regression":
             return multiple_regression(

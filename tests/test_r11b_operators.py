@@ -2400,3 +2400,59 @@ def test_bootstrap_ci_alpha_nesting(spark):
     assert narrow["ci_hi"] <= wide["ci_hi"]
     assert wide["estimate"] == narrow["estimate"]
     assert wide["boot_se"] == narrow["boot_se"]
+
+
+# --------------------------------------------------------- fdr_by
+
+
+def test_fdr_by_matches_pure_python_and_is_stricter(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.stats import fdr_bh
+
+    random.seed(127)
+    # 60 planted signals among 400 uniforms
+    ps = [round(random.random() * 0.0005, 6) for _ in range(60)]
+    ps += [round(random.random(), 6) for _ in range(340)]
+    rows = [(i, p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "id int, p double").repartition(4)
+    by = {r["id"]: r for r in
+          fdr_bh(df, "p", "id", q=0.05, method="by").collect()}
+    bh = {r["id"]: r for r in
+          fdr_bh(df, "p", "id", q=0.05, method="bh").collect()}
+    # pure python BY with the operator's quantized harmonic constant
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    m = len(ranked)
+    hq = sum(round(1e9 / r) for r in range(1, m + 1))
+    c = hq / 1e9
+    k = 0
+    for r, (_, p) in enumerate(ranked, start=1):
+        if p * m * c <= r * 0.05:
+            k = r
+    expect = {rid for r, (rid, _) in enumerate(ranked, start=1)
+              if r <= k}
+    got = {rid for rid, row in by.items() if row["significant"]}
+    assert got == expect
+    # BY is uniformly stricter than BH (c(m) > 1): its discovery set
+    # is a subset, and on this planted design both still discover
+    bh_set = {rid for rid, row in bh.items() if row["significant"]}
+    assert got <= bh_set
+    assert len(got) >= 30
+    assert len(bh_set) > len(got) or bh_set == got
+    # invalid method -> clean error
+    with pytest.raises(TransformationError, match="bh|by"):
+        fdr_bh(df, "p", "id", method="bonferroni")
+    # adapter
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+
+    t = TRANSFORMER_REGISTRY["stats"]
+    ok = _cfg("stats", operation="fdr_bh", pColumn="p", idColumn="id",
+              method="by")
+    assert t.validate(df, ok).is_valid
+    bad = _cfg("stats", operation="fdr_bh", pColumn="p",
+               idColumn="id", method="holm")
+    assert not t.validate(df, bad).is_valid
+    # plan: the ranked scan stays _pid-partitioned (no global window)
+    assert _unpartitioned_windows(
+        fdr_bh(df, "p", "id", method="by")
+    ) <= 1

@@ -1069,6 +1069,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "fdr_by",
+        "Benjamini-Yekutieli: ascending p-rank rides the two-level "
+        "scan (hashpartitioning on _pid); the harmonic constant and "
+        "k are 1-row broadcast aggregates of the SAME ranked frame; "
+        "division-free comparison; no python",
+        ["hashpartitioning(_pid", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
         "ratio_ttest",
         "Delta-method ratio test: 12 exact decimal moments in ONE "
         "map-side-combined aggregation over the unit-level frame; "
