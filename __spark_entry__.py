@@ -5920,6 +5920,78 @@ FROM per CROSS JOIN chance CROSS JOIN dropped
 """
 
 
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland–Altman agreement between the order-header total and the
+    raw detail sum (Σ extended price per order) — the header/detail
+    reconciliation read, per priority: bias quantifies the average
+    tax−discount wedge, the limits of agreement its spread. Exact
+    decimal moments of the 2-dp difference; fixed-order closes."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        bland_altman,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("detail_sum")
+    )
+    framed = orders.join(
+        detail, orders["o_orderkey"] == detail["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("header"),
+        "detail_sum",
+    )
+    return bland_altman(
+        framed, "header", "detail_sum", group_by=["o_orderpriority"]
+    )
+
+
+_BLAND_ALTMAN_ORACLE = """
+WITH detail AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS detail_sum
+  FROM lineitem GROUP BY l_orderkey
+), framed AS (
+  SELECT o.o_orderpriority,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+              - CAST(d.detail_sum AS DECIMAL(18,2))
+              AS DECIMAL(19,2)) AS diff
+  FROM orders o JOIN detail d ON o.o_orderkey = d.l_orderkey
+  WHERE o.o_totalprice IS NOT NULL AND d.detail_sum IS NOT NULL
+), m AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(diff) AS DECIMAL(38,2)) AS sd,
+         CAST(SUM(CAST(diff * diff AS DECIMAL(38,4)))
+              AS DECIMAL(38,4)) AS sdd
+  FROM framed GROUP BY o_orderpriority
+), c AS (
+  SELECT o_orderpriority, n,
+         CAST(CAST(sd AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           AS bias,
+         (CAST(CAST(sdd AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sd AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(sd AS VARCHAR) AS DOUBLE)
+            / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS var_d
+  FROM m
+)
+SELECT o_orderpriority, n,
+       CASE WHEN n > 0 THEN bias END AS bias,
+       CASE WHEN n > 1 AND var_d >= 0 THEN sqrt(var_d) END AS sd_diff,
+       CASE WHEN n > 1 AND var_d >= 0
+            THEN bias - 1.96 * sqrt(var_d) END AS loa_lo,
+       CASE WHEN n > 1 AND var_d >= 0
+            THEN bias + 1.96 * sqrt(var_d) END AS loa_hi
+FROM c ORDER BY o_orderpriority
+"""
+
+
 def q_fdr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini–Yekutieli FDR control over the q_fdr_bh frame —
     valid under arbitrary dependence: the threshold divides by the
@@ -13885,6 +13957,7 @@ FROM agg
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
     "anderson_darling",
+    "bland_altman",
     "bootstrap_ci",
     "brown_forsythe",
     "chi_square",
@@ -13933,7 +14006,6 @@ _GATE_WINDOW: list[str] = [
     "readability",
     "zipf",
     "intervals",
-    "resample_ffill",
 ]
 
 
@@ -14081,6 +14153,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "ratio_ttest": q_ratio_ttest,
         "fdr_by": q_fdr_by,
+        "bland_altman": q_bland_altman,
         "aalen_johansen": q_aalen_johansen,
         "kruskal_wallis": q_kruskal_wallis,
         "semantic_dedup": q_semantic_dedup,
@@ -14435,6 +14508,7 @@ def oracle_sql() -> dict[str, str]:
         "cuped": _CUPED_ORACLE,
         "ratio_ttest": _RATIO_TTEST_ORACLE,
         "fdr_by": _FDR_BY_ORACLE,
+        "bland_altman": _BLAND_ALTMAN_ORACLE,
         "aalen_johansen": _AALEN_JOHANSEN_ORACLE,
         "kruskal_wallis": _KRUSKAL_WALLIS_ORACLE,
         "semantic_dedup": _kmeans_oracle(representatives=True),

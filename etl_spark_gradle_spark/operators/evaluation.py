@@ -54,6 +54,7 @@ __all__ = [
     "lift_table",
     "cohens_kappa",
     "weighted_kappa",
+    "bland_altman",
     "isotonic_calibration",
     "regression_metrics",
     "brier_ece",
@@ -701,6 +702,7 @@ class EvaluationTransformer:
         "concordance_index": (
             "durationColumn", "eventColumn", "scoreColumn",
         ),
+        "bland_altman": ("measureAColumn", "measureBColumn"),
     }
 
     def validate(self, df, config):
@@ -831,6 +833,13 @@ class EvaluationTransformer:
                 bins=int(opts.get("bins", 20)),
                 lo=float(opts.get("lo", 0.0)),
                 hi=float(opts.get("hi", 1.0)),
+                group_by=group_by,
+            )
+        if op == "bland_altman":
+            return bland_altman(
+                df,
+                opts["measureAColumn"],
+                opts["measureBColumn"],
                 group_by=group_by,
             )
         if op == "concordance_index":
@@ -1108,6 +1117,80 @@ def brier_ece(
         "n_bins",
         (_d(F.col("_tsqe")) / n).alias("brier"),
         (_d(F.col("_tgap")) / n).alias("ece"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    measure_a_col: str,
+    measure_b_col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Bland–Altman agreement for two CONTINUOUS measurements of the
+    same quantity (two models scoring the same docs, a cheap sensor
+    vs a reference instrument) — completing the agreement ladder:
+    :func:`cohens_kappa` (categorical) → :func:`weighted_kappa`
+    (ordinal) → limits of agreement (continuous). Correlation is the
+    WRONG tool here (two instruments can correlate at 0.99 while one
+    reads 2× the other); Bland & Altman (1986) read the per-unit
+    DIFFERENCE instead::
+
+        bias = mean(A − B),   s_d = sd(A − B)
+        LoA  = bias ± 1.96·s_d    (95% of differences expected inside)
+
+    Exactness: ONE conditional moment aggregation per group — n, ΣD,
+    ΣD² over the decimal-quantized difference (D quantized once at
+    decimal(19,2), its square exact decimal(38,4)); bias is one
+    division through the string round-trip; s_d and both limits are
+    fixed-operand-order doubles the oracle replays verbatim.
+
+    Plan at 100 TB: one map-side-combined shuffle per group, one
+    short moment row. NULL measurement rows are excluded. Groups
+    with n < 2 yield NULL spread/limits (bias still reported at
+    n = 1).
+
+    Output: group cols + ``n`` (long) + ``bias``/``sd_diff``/
+    ``loa_lo``/``loa_hi`` (double)."""
+    from etl_spark_gradle_spark.operators.stats import _d, _dec
+
+    group_by = group_by or []
+    _check_cols(df, [measure_a_col, measure_b_col, *group_by])
+    d = (_dec(measure_a_col) - _dec(measure_b_col)).cast(
+        "decimal(19,2)"
+    )
+    agg = (
+        df.where(
+            F.col(measure_a_col).isNotNull()
+            & F.col(measure_b_col).isNotNull()
+        )
+        .groupBy(*group_by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d).cast("decimal(38,2)").alias("_sd"),
+            F.sum((d * d).cast("decimal(38,4)"))
+            .cast("decimal(38,4)")
+            .alias("_sdd"),
+        )
+    )
+    n = F.col("n").cast("double")
+    bias = _d(F.col("_sd")) / n
+    var_d = (_d(F.col("_sdd")) - _d(F.col("_sd")) * _d(F.col("_sd")) / n) / (
+        n - F.lit(1.0)
+    )
+    sd_d = F.sqrt(var_d)
+    return agg.select(
+        *group_by,
+        "n",
+        F.when(F.col("n") > 0, bias).alias("bias"),
+        F.when((F.col("n") > 1) & (var_d >= 0), sd_d).alias("sd_diff"),
+        F.when(
+            (F.col("n") > 1) & (var_d >= 0),
+            bias - F.lit(1.96) * sd_d,
+        ).alias("loa_lo"),
+        F.when(
+            (F.col("n") > 1) & (var_d >= 0),
+            bias + F.lit(1.96) * sd_d,
+        ).alias("loa_hi"),
     )
 
 

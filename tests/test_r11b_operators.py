@@ -2456,3 +2456,73 @@ def test_fdr_by_matches_pure_python_and_is_stricter(spark):
     assert _unpartitioned_windows(
         fdr_bh(df, "p", "id", method="by")
     ) <= 1
+
+
+# ---------------------------------------------------- bland-altman
+
+
+def test_bland_altman_matches_pure_python(spark):
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import bland_altman
+
+    random.seed(131)
+    rows = []
+    for _ in range(800):
+        true = random.gauss(100, 15)
+        rows.append((round(true + random.gauss(0.5, 2), 2),
+                     round(true + random.gauss(0, 2), 2)))
+    rows += [(None, 1.0), (1.0, None)]
+    df = spark.createDataFrame(rows, "a double, b double").repartition(4)
+    r = bland_altman(df, "a", "b").collect()[0]
+    clean = [p for p in rows if None not in p]
+    ds = [round(a - b, 10) for a, b in clean]  # 2dp inputs: exact
+    mu = sum(ds) / len(ds)
+    sd = math.sqrt(sum((d - mu) ** 2 for d in ds) / (len(ds) - 1))
+    assert r["n"] == len(clean)
+    assert r["bias"] == pytest.approx(mu, abs=1e-9)
+    assert r["sd_diff"] == pytest.approx(sd, abs=1e-9)
+    assert r["loa_lo"] == pytest.approx(mu - 1.96 * sd, abs=1e-9)
+    assert r["loa_hi"] == pytest.approx(mu + 1.96 * sd, abs=1e-9)
+    # the planted +0.5 instrument bias is recovered; ~95% of the
+    # differences fall inside the limits (the method's definition)
+    assert 0.2 < r["bias"] < 0.8
+    inside = sum(1 for d in ds if r["loa_lo"] <= d <= r["loa_hi"])
+    assert inside / len(ds) > 0.93
+    # correlation blindness: B = 2A correlates perfectly yet agrees
+    # terribly — bias and spread both far from 0
+    prop = [(a, 2 * a) for a, _ in clean]
+    rp = bland_altman(
+        spark.createDataFrame(prop, "a double, b double"), "a", "b"
+    ).collect()[0]
+    assert rp["bias"] < -50 and rp["sd_diff"] > 5
+    # n = 1: bias reported, spread NULL
+    one = bland_altman(
+        spark.createDataFrame([(3.0, 1.0)], "a double, b double"),
+        "a", "b",
+    ).collect()[0]
+    assert one["bias"] == 2.0 and one["sd_diff"] is None
+
+
+def test_bland_altman_grouped_and_adapter(spark):
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.evaluation import bland_altman
+
+    rows = [("x", 1.0, 0.0), ("x", 2.0, 1.0), ("x", 3.0, 2.0),
+            ("y", 1.0, 1.5), ("y", 2.0, 2.5)]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    out = {r["g"]: r for r in
+           bland_altman(df, "a", "b", group_by=["g"]).collect()}
+    assert out["x"]["bias"] == pytest.approx(1.0)
+    assert out["y"]["bias"] == pytest.approx(-0.5)
+    assert out["x"]["sd_diff"] == pytest.approx(0.0, abs=1e-12)
+    t = TRANSFORMER_REGISTRY["evaluation"]
+    ok = _cfg("evaluation", operation="bland_altman",
+              measureAColumn="a", measureBColumn="b", groupBy="g")
+    assert t.validate(df, ok).is_valid
+    res = t.transform(df, ok, None)
+    assert res.columns == ["g", "n", "bias", "sd_diff", "loa_lo",
+                           "loa_hi"]
+    bad = _cfg("evaluation", operation="bland_altman",
+               measureAColumn="a")
+    assert not t.validate(df, bad).is_valid

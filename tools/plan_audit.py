@@ -1069,6 +1069,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
+        "bland_altman",
+        "Bland-Altman: ONE moment aggregation over the per-unit "
+        "difference (exact decimal sum/sum-of-squares); header-detail "
+        "join is the only exchange of data; fixed-order closes; no "
+        "windows, no python",
+        ["partial_sum", "partial_count"],
+        ["Window", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    (
         "fdr_by",
         "Benjamini-Yekutieli: ascending p-rank rides the two-level "
         "scan (hashpartitioning on _pid); the harmonic constant and "
