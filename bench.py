@@ -52,6 +52,9 @@ And the extension-operator shapes:
 27. q27_ewma        — per-part EWMA recursion over lineitem (ONE
                       Arrow exchange + python fold per key — the
                       FlatMapGroupsInPandas hot-path floor)
+28. q28_bootstrap   — Poisson-bootstrap CI, B=40 per return flag (the
+                      one-pass resampling shape: 82 agg columns,
+                      10 md5/row, no data×B explosion)
 
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries",
 "sf", "exec_sec" (per-query action-only timings on pre-built plans)}.
@@ -682,6 +685,34 @@ def q27_ewma(spark):
     )
 
 
+def q28_bootstrap(spark):
+    """Poisson-bootstrap CI (B = 40, grouped by return flag) over the
+    600k-row lineitem feed — the one-pass resampling shape: 82 agg
+    columns with 10 md5 calls per row and NO data×B explosion. The
+    floor guards the wide-aggregation + hash throughput; a regression
+    to a per-replicate scan or an explode would blow straight through
+    it."""
+    from etl_spark_gradle_spark.operators.stats import bootstrap_ci
+
+    li = load(spark, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    out = bootstrap_ci(
+        li, "v", "rid", replicates=40, group_by=["l_returnflag"]
+    )
+    return out.agg(
+        F.sum(F.xxhash64("l_returnflag", "estimate", "ci_lo",
+                         "ci_hi")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -710,6 +741,7 @@ QUERIES = {
     "q25_eval_auc": q25_eval_auc,
     "q26_pr_curve": q26_pr_curve,
     "q27_ewma": q27_ewma,
+    "q28_bootstrap": q28_bootstrap,
 }
 
 
