@@ -11392,7 +11392,10 @@ WITH scored AS (
 ), cells AS (
   SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY a, b
 ), spine AS (
-  SELECT cls, CAST(row_number() OVER (ORDER BY cls) AS BIGINT) AS d
+  SELECT cls,
+         CAST(row_number() OVER (ORDER BY TRY_CAST(cls AS DOUBLE)
+                                 ASC NULLS LAST, cls)
+              AS BIGINT) AS d
   FROM (SELECT a AS cls FROM cells UNION SELECT b FROM cells)
 ), nclasses AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_classes FROM spine

@@ -544,9 +544,13 @@ def weighted_kappa(
     disagreement equally; the weighted form charges
     ``w_ij = (d_i − d_j)²`` (quadratic, the ICC-equivalent default)
     or ``|d_i − d_j|`` (linear) where ``d`` is the class's dense rank
-    in the GLOBAL sorted class spine (the standard equally-spaced-
-    categories assumption; ranks are global so grouped kappas stay
-    comparable)::
+    in the GLOBAL sorted class spine — numeric-first ordering:
+    labels that parse as numbers rank by VALUE (so a 0–10 integer
+    scale keeps 10 above 9, where a lexicographic sort would wedge
+    '10' between '1' and '2' and silently corrupt every weight),
+    non-numeric labels rank lexicographically after them (the
+    standard equally-spaced-categories assumption; ranks are global
+    so grouped kappas stay comparable)::
 
         κ_w = 1 − Σ w·O / Σ w·E,   E_ij = R_i·C_j / n
             = (Σ w·R·C − n·Σ w·O) / (Σ w·R·C)
@@ -596,14 +600,25 @@ def weighted_kappa(
     # classes — a bounded ≤k-row window, EAGERLY pinned: the spine is
     # referenced four times (a/b attach + both marginal attaches) and
     # Spark re-plans a window per reference (the rolling_median
-    # hazard — the battery caught 4 copies of this one)
+    # hazard — the battery caught 4 copies of this one).
+    # ORDERING (review finding): labels rank NUMERICALLY when they
+    # parse as numbers, lexicographically otherwise — a plain string
+    # sort scrambles any >=10-level integer scale ('10' between '1'
+    # and '2'), silently corrupting every weight. Non-ANSI
+    # cast-to-double is NULL for non-numeric labels on both engines,
+    # so mixed corpora fall back to the string order deterministically.
     spine = (
         cells.select(F.col("_a").alias("_cls"))
         .unionByName(cells.select(F.col("_b").alias("_cls")))
         .distinct()
         .withColumn(
             "_d",
-            F.row_number().over(Window.orderBy("_cls")).cast("long"),
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("_cls").cast("double").asc_nulls_last(),
+                    F.col("_cls"),
+                )
+            ).cast("long"),
         )
         .localCheckpoint(eager=True)
     )

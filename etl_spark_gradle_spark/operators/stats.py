@@ -2634,6 +2634,64 @@ def prop_ztest(
     )
 
 
+def _md5_bucket(domain: str, id_expr: Column, b: int, salt: str) -> Column:
+    """The b-th 32-bit uniform bucket for a row: FOUR replicates share
+    one md5 (128 bits = 4 x 32-bit slots), so the per-row hash cost of
+    a B-replicate resampling pass is B/4. Shared by ``bootstrap_ci``
+    and ``permutation_test`` (review finding: the slot arithmetic was
+    duplicated — a fix to one copy would have missed the other)."""
+    hi, slot = (b - 1) // 4, (b - 1) % 4
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{domain}:{hi}:"),
+                    id_expr.cast("string"),
+                    F.lit(salt),
+                )
+            ),
+            1 + 8 * slot,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _two_sides(df: DataFrame, side_col: str, side_a, side_b,
+               op_name: str):
+    """Shared two-arm detection/validation (the welch_ttest contract):
+    pass both sides or neither; auto-detect requires EXACTLY two
+    distinct non-null values (sorted ascending); equal sides are a
+    config error, not silent NULLs."""
+    if (side_a is None) != (side_b is None):
+        raise TransformationError(
+            f"{op_name}: pass both side_a and side_b or neither"
+        )
+    if side_a is None:
+        sides = [
+            r[0]
+            for r in df.select(side_col)
+            .where(F.col(side_col).isNotNull())
+            .distinct()
+            .orderBy(side_col)
+            .limit(3)
+            .collect()
+        ]
+        if len(sides) != 2:
+            raise TransformationError(
+                f"{op_name}: side column '{side_col}' must carry "
+                f"exactly two distinct non-null values, found "
+                f"{len(sides)}"
+            )
+        side_a, side_b = sides
+    if str(side_a) == str(side_b):
+        raise TransformationError(
+            f"{op_name}: side_a and side_b must differ"
+        )
+    return side_a, side_b
+
+
 # Poisson(1) inverse-CDF thresholds on the 32-bit hash grid:
 # t_k = floor(P(X <= k) * 2^32), frozen as integer literals so the
 # weight chain is a pure integer comparison on BOTH engines (no float
@@ -2702,22 +2760,7 @@ def bootstrap_ci(
     x = _dec(value_col)
 
     def _w(b: int) -> Column:
-        hi, slot = (b - 1) // 4, (b - 1) % 4
-        bucket = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"boot:{hi}:"),
-                        F.col(id_col).cast("string"),
-                        F.lit(salt),
-                    )
-                ),
-                1 + 8 * slot,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        bucket = _md5_bucket("boot", F.col(id_col), b, salt)
         w = F.lit(9)
         for k in range(len(_POISSON1_T) - 1, -1, -1):
             w = F.when(bucket < F.lit(_POISSON1_T[k]), F.lit(k)).otherwise(
@@ -2841,37 +2884,22 @@ def permutation_test(
         raise TransformationError(
             "permutation_test requires 8 <= replicates <= 200"
         )
-    if (side_a is None) != (side_b is None):
-        raise TransformationError(
-            "permutation_test: pass both side_a and side_b or neither"
-        )
+    explicit = side_a is not None
+    side_a, side_b = _two_sides(
+        df, side_col, side_a, side_b, "permutation_test"
+    )
     base = df.where(
         F.col(value_col).isNotNull()
         & F.col(side_col).isNotNull()
         & F.col(id_col).isNotNull()
     )
-    if side_a is not None:
+    if explicit:
         base = base.where(
             F.col(side_col).cast("string").isin(
                 [str(side_a), str(side_b)]
             )
         )
-        is_a = F.col(side_col).cast("string") == str(side_a)
-    else:
-        # two-sides contract: the smaller side value (as string) is A
-        sides = base.select(
-            F.min(F.col(side_col).cast("string")).alias("_sa"),
-            F.max(F.col(side_col).cast("string")).alias("_sb"),
-            F.count_distinct(F.col(side_col).cast("string")).alias(
-                "_ns"
-            ),
-        ).collect()[0]
-        if sides["_ns"] is not None and sides["_ns"] > 2:
-            raise TransformationError(
-                "permutation_test: side column has more than two "
-                "values; pass side_a/side_b"
-            )
-        is_a = F.col(side_col).cast("string") == str(sides["_sa"])
+    is_a = F.col(side_col).cast("string") == str(side_a)
     x = _dec(value_col)
     counts = base.agg(
         F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
@@ -2897,24 +2925,14 @@ def permutation_test(
     ).crossJoin(F.broadcast(thr))
 
     def _bucket(b: int) -> Column:
-        hi, slot = (b - 1) // 4, (b - 1) % 4
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"perm:{hi}:"), F.col("_id"), F.lit(salt)
-                    )
-                ),
-                1 + 8 * slot,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        return _md5_bucket("perm", F.col("_id"), b, salt)
 
     aggs = [
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
+        # max over an EMPTY base (all rows null-filtered) is NULL —
+        # coalesce to 0 so the counts honor the "NULL everywhere but
+        # the counts" contract (review finding)
+        F.coalesce(F.max("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.max("n_b"), F.lit(0)).cast("long").alias("n_b"),
         F.max("_xa").alias("_xa"),
         F.max("_xb").alias("_xb"),
     ]
@@ -3024,28 +3042,7 @@ def cuped(
     for c in group_by:
         if c not in df.columns:
             raise TransformationError(f"column not in input schema: {c}")
-    if (side_a is None) != (side_b is None):
-        raise TransformationError(
-            "cuped: pass both side_a and side_b or neither"
-        )
-    if side_a is None:
-        sides = [
-            r[0]
-            for r in df.select(side_col)
-            .where(F.col(side_col).isNotNull())
-            .distinct()
-            .orderBy(side_col)
-            .limit(3)
-            .collect()
-        ]
-        if len(sides) != 2:
-            raise TransformationError(
-                f"cuped: side column '{side_col}' must carry exactly "
-                f"two distinct non-null values, found {len(sides)}"
-            )
-        side_a, side_b = sides
-    if side_a == side_b:
-        raise TransformationError("cuped: side_a and side_b must differ")
+    side_a, side_b = _two_sides(df, side_col, side_a, side_b, "cuped")
     is_a = F.col(side_col).cast("string") == str(side_a)
     is_b = F.col(side_col).cast("string") == str(side_b)
     y = _dec(value_col)
@@ -3196,31 +3193,9 @@ def ratio_ttest(
     for c in group_by:
         if c not in df.columns:
             raise TransformationError(f"column not in input schema: {c}")
-    if (side_a is None) != (side_b is None):
-        raise TransformationError(
-            "ratio_ttest: pass both side_a and side_b or neither"
-        )
-    if side_a is None:
-        sides = [
-            r[0]
-            for r in df.select(side_col)
-            .where(F.col(side_col).isNotNull())
-            .distinct()
-            .orderBy(side_col)
-            .limit(3)
-            .collect()
-        ]
-        if len(sides) != 2:
-            raise TransformationError(
-                f"ratio_ttest: side column '{side_col}' must carry "
-                f"exactly two distinct non-null values, found "
-                f"{len(sides)}"
-            )
-        side_a, side_b = sides
-    if side_a == side_b:
-        raise TransformationError(
-            "ratio_ttest: side_a and side_b must differ"
-        )
+    side_a, side_b = _two_sides(
+        df, side_col, side_a, side_b, "ratio_ttest"
+    )
     is_a = F.col(side_col).cast("string") == str(side_a)
     is_b = F.col(side_col).cast("string") == str(side_b)
     y = _dec(numerator_col)
@@ -3329,6 +3304,11 @@ def mantel_haenszel(
     the stratum-sorted term list (the ``anova_f`` device — DuckDB
     replays via list_reduce, bit-identical). Σa is an exact long.
 
+    ``exposure_col``/``outcome_col`` are TRUTHY indicators (boolean
+    or numeric; any nonzero = exposed/positive — the kaplan_meier
+    event contract), so a mis-coded 1/2 arm cannot produce negative
+    cells.
+
     Plan at 100 TB: one map-side-combined shuffle keyed on
     (group, stratum) carrying four longs; the folds run on the
     bounded ≤-strata-row table (the stratifier is categorical by
@@ -3342,8 +3322,12 @@ def mantel_haenszel(
     for c in (exposure_col, outcome_col, stratum_col, *group_by):
         if c not in df.columns:
             raise TransformationError(f"column not in input schema: {c}")
-    ex = F.col(exposure_col).cast("int")
-    out = F.col(outcome_col).cast("int")
+    # truthy semantics (the kaplan_meier event contract): any nonzero/
+    # true value = exposed/positive, 0/false = not — a plain int cast
+    # let a 1/2-coded arm produce NEGATIVE cells and silent garbage
+    # (review finding)
+    ex = F.col(exposure_col).cast("boolean").cast("int")
+    out = F.col(outcome_col).cast("boolean").cast("int")
     cells = (
         df.where(
             F.col(exposure_col).isNotNull()
@@ -5178,6 +5162,12 @@ class StatsTransformer:
                     "stats ratio_ttest requires both 'sideA' and "
                     "'sideB' or neither"
                 )
+            if opts.get("sideA") is not None and str(
+                opts.get("sideA")
+            ) == str(opts.get("sideB")):
+                errors.append(
+                    "stats ratio_ttest sideA and sideB must differ"
+                )
         elif op == "cuped":
             for key in ("valueColumn", "covariateColumn", "sideColumn"):
                 if not opts.get(key):
@@ -5189,6 +5179,10 @@ class StatsTransformer:
                     "stats cuped requires both 'sideA' and 'sideB' "
                     "or neither"
                 )
+            if opts.get("sideA") is not None and str(
+                opts.get("sideA")
+            ) == str(opts.get("sideB")):
+                errors.append("stats cuped sideA and sideB must differ")
         elif op == "permutation_test":
             for key in ("valueColumn", "sideColumn", "idColumn"):
                 if not opts.get(key):
@@ -5212,6 +5206,12 @@ class StatsTransformer:
                 errors.append(
                     "stats permutation_test requires both 'sideA' and"
                     " 'sideB' or neither"
+                )
+            if opts.get("sideA") is not None and str(
+                opts.get("sideA")
+            ) == str(opts.get("sideB")):
+                errors.append(
+                    "stats permutation_test sideA and sideB must differ"
                 )
             if opts.get("groupBy"):
                 errors.append(

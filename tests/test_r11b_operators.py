@@ -1144,7 +1144,14 @@ def test_pettitt_stats_adapter(spark):
 
 
 def _py_weighted_kappa(rows, quad=True):
-    cls = sorted({str(a) for a, _ in rows} | {str(b) for _, b in rows})
+    def _key(c):
+        try:
+            return (0, float(c), c)
+        except ValueError:
+            return (1, 0.0, c)
+
+    cls = sorted({str(a) for a, _ in rows} | {str(b) for _, b in rows},
+                 key=_key)
     d = {c: i + 1 for i, c in enumerate(cls)}
     n = len(rows)
     O = Counter((str(a), str(b)) for a, b in rows)
@@ -1958,7 +1965,7 @@ def test_permutation_test_matches_pure_python(spark):
         [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
         "id int, s string, v double",
     )
-    with pytest.raises(TransformationError, match="more than two"):
+    with pytest.raises(TransformationError, match="exactly two"):
         permutation_test(tri, "v", "s", "id")
     rt = permutation_test(
         tri, "v", "s", "id", side_a="a", side_b="b"
@@ -2526,3 +2533,125 @@ def test_bland_altman_grouped_and_adapter(spark):
     bad = _cfg("evaluation", operation="bland_altman",
                measureAColumn="a")
     assert not t.validate(df, bad).is_valid
+
+
+# ------------------------------------- review-finding regressions
+
+
+def test_weighted_kappa_numeric_spine_survives_ten_levels(spark):
+    """Review finding: a lexicographic spine wedges '10' between '1'
+    and '2' on a 0-10 scale, silently corrupting every weight. The
+    numeric-first ordering must rank by VALUE."""
+    import random
+
+    from etl_spark_gradle_spark.operators.evaluation import (
+        weighted_kappa,
+    )
+
+    random.seed(137)
+    rows = []
+    for _ in range(400):
+        a = random.randint(0, 12)
+        b = min(12, max(0, a + random.choice([-1, 0, 0, 1, 4])))
+        rows.append((a, b))
+    # force every level present so the spine covers 0..12
+    rows += [(k, k) for k in range(13)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    wo, we, k = _py_weighted_kappa(rows, True)
+    assert (int(r["wo_num"]), int(r["we_num"])) == (wo, we)
+    assert r["kappa_w"] == pytest.approx(k, abs=1e-15)
+    # a (0, 12) disagreement must weigh 144x a (0, 1) one: plant a
+    # single far miss and check wo moves by exactly 144 - the
+    # lexicographic bug would weigh it (rank gap)^2 with '10','11',
+    # '12' mis-ranked
+    df2 = spark.createDataFrame(rows + [(0, 12)], "a int, b int")
+    r2 = weighted_kappa(df2, "a", "b").collect()[0]
+    assert int(r2["wo_num"]) - int(r["wo_num"]) * (r["n"] + 1) // r[
+        "n"
+    ] != 0  # sanity: wo_num scales with n; exact check below
+    # exact: recompute reference
+    wo2, we2, k2 = _py_weighted_kappa(rows + [(0, 12)], True)
+    assert int(r2["wo_num"]) == wo2 and int(r2["we_num"]) == we2
+    # mixed numeric + alpha labels: numbers first by value, then text
+    mixed = spark.createDataFrame(
+        [("2", "2"), ("10", "10"), ("fail", "fail"), ("2", "10"),
+         ("10", "fail")],
+        "a string, b string",
+    )
+    rm = weighted_kappa(mixed, "a", "b", weights="linear").collect()[0]
+    womx, wemx, kmx = _py_weighted_kappa(
+        [("2", "2"), ("10", "10"), ("fail", "fail"), ("2", "10"),
+         ("10", "fail")], False)
+    assert int(rm["wo_num"]) == womx and int(rm["we_num"]) == wemx
+
+
+def test_mantel_haenszel_truthy_codes_cannot_go_negative(spark):
+    """Review finding: a 1/2-coded arm produced negative cells under
+    the plain int cast. Truthy semantics: any nonzero = exposed."""
+    from etl_spark_gradle_spark.operators.stats import mantel_haenszel
+
+    rows = [(2, 1, "s"), (2, 0, "s"), (0, 1, "s"), (0, 0, "s")] * 5
+    r = mantel_haenszel(
+        spark.createDataFrame(rows, "e int, o int, st string"),
+        "e", "o", "st",
+    ).collect()[0]
+    # 2 is truthy -> identical to 1/0 coding
+    ref = mantel_haenszel(
+        spark.createDataFrame(
+            [(1, o, st) if e else (0, o, st) for e, o, st in rows],
+            "e int, o int, st string",
+        ),
+        "e", "o", "st",
+    ).collect()[0]
+    assert (r["n"], r["sum_a"], r["or_mh"], r["cmh_chi2"]) == (
+        ref["n"], ref["sum_a"], ref["or_mh"], ref["cmh_chi2"])
+    assert r["n"] == len(rows)  # no negative-cell shrinkage
+
+
+def test_permutation_test_empty_input_reports_zero_counts(spark):
+    """Review finding: max() over an empty base returned NULL counts,
+    contradicting the 'NULL everywhere but the counts' contract."""
+    from etl_spark_gradle_spark.operators.stats import permutation_test
+
+    df = spark.createDataFrame(
+        [(None, "a", 1.0), (1, None, 1.0)], "id int, s string, v double"
+    )
+    r = permutation_test(df, "v", "s", "id", side_a="a",
+                         side_b="b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (0, 0)
+    assert r["p_value"] is None and r["diff_obs"] is None
+
+
+def test_two_arm_ops_reject_equal_sides(spark):
+    """Review finding: permutation_test silently NULLed on equal
+    sides where every sibling raises; all three new two-arm ops now
+    share _two_sides."""
+    from etl_spark_gradle_spark.operators import TRANSFORMER_REGISTRY
+    from etl_spark_gradle_spark.operators.stats import (
+        cuped, permutation_test, ratio_ttest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 2.0), (2, "b", 2.0, 3.0)],
+        "id int, s string, x double, y double",
+    )
+    for fn, args in (
+        (permutation_test, ("y", "s", "id")),
+        (cuped, ("y", "x", "s")),
+        (ratio_ttest, ("y", "x", "s")),
+    ):
+        with pytest.raises(TransformationError, match="must differ"):
+            fn(df, *args, side_a="a", side_b="a")
+    t = TRANSFORMER_REGISTRY["stats"]
+    for cfg in (
+        _cfg("stats", operation="permutation_test", valueColumn="y",
+             sideColumn="s", idColumn="id", sideA="a", sideB="a"),
+        _cfg("stats", operation="cuped", valueColumn="y",
+             covariateColumn="x", sideColumn="s", sideA="a",
+             sideB="a"),
+        _cfg("stats", operation="ratio_ttest", numeratorColumn="y",
+             denominatorColumn="x", sideColumn="s", sideA="a",
+             sideB="a"),
+    ):
+        assert not t.validate(df, cfg).is_valid
