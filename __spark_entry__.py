@@ -63,6 +63,64 @@ def _prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# ---------------------------------------------------------------------------
+# SQL emitters for the frozen tail-probability approximations
+# (operators/stats.py norm_sf / chi2_sf / f_sf / _pq). The DuckDB
+# oracle must evaluate the IDENTICAL expression tree in the identical
+# operand order — these emitters are the single source of that SQL, so
+# a coefficient change in one engine cannot silently diverge from the
+# other (the analog of the anova_f list_reduce fold contract).
+# ---------------------------------------------------------------------------
+
+
+def _sql_norm_sf_pos(z: str) -> str:
+    """A&S 26.2.17 upper normal tail for z >= 0 (textual DuckDB form
+    of stats._norm_sf_pos — same coefficients, same nesting)."""
+    t = f"(1.0 / (1.0 + 0.2316419 * ({z})))"
+    poly = (
+        f"({t} * (0.31938153 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return f"(0.3989422804014327 * EXP(-0.5 * ({z}) * ({z})) * {poly})"
+
+
+def _sql_norm_sf(z: str) -> str:
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN {_sql_norm_sf_pos(z)} "
+        f"ELSE 1.0 - {_sql_norm_sf_pos(f'-({z})')} END)"
+    )
+
+
+def _sql_chi2_sf(x: str, k: str) -> str:
+    """χ²(k) upper tail: exact-normal k=1, exp(-x/2) k=2,
+    Wilson–Hilferty k>=3 (stats.chi2_sf)."""
+    kd = f"CAST(({k}) AS DOUBLE)"
+    c = f"(2.0 / (9.0 * {kd}))"
+    wh_z = f"((cbrt(({x}) / {kd}) - (1.0 - {c})) / sqrt({c}))"
+    return (
+        f"(CASE WHEN ({k}) = 1 THEN 2.0 * {_sql_norm_sf(f'sqrt({x})')} "
+        f"WHEN ({k}) = 2 THEN EXP(-0.5 * ({x})) "
+        f"ELSE {_sql_norm_sf(wh_z)} END)"
+    )
+
+
+def _sql_f_sf(x: str, d1: str, d2: str) -> str:
+    """F(d1,d2) upper tail — Paulson (stats.f_sf)."""
+    a1 = f"(2.0 / (9.0 * CAST(({d1}) AS DOUBLE)))"
+    a2 = f"(2.0 / (9.0 * CAST(({d2}) AS DOUBLE)))"
+    num = f"((1.0 - {a2}) * cbrt({x}) - (1.0 - {a1}))"
+    den = f"sqrt({a1} + cbrt({x}) * cbrt({x}) * {a2})"
+    return _sql_norm_sf(f"({num} / {den})")
+
+
+def _sql_pq(p: str) -> str:
+    """Clamp + 9-dp quantize (stats._pq)."""
+    return (
+        f"(CAST(ROUND(LEAST(1.0, GREATEST(0.0, {p})) * 1e9) AS BIGINT)"
+        f" / 1e9)"
+    )
+
+
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
     """events.parquet has shipped with two physical encodings of ``ts``
     across testdata generations: TIMESTAMP(NANOS) (read as long via the
@@ -6031,11 +6089,11 @@ WITH tests AS (
          CAST(COUNT(*) OVER () AS BIGINT) AS m
   FROM tests WHERE p IS NOT NULL
 ), harm AS (
-  SELECT CAST(SUM(CAST(ROUND(1e9 / CAST(r AS DOUBLE)) AS BIGINT))
+  SELECT CAST(SUM(CAST(ROUND(1e15 / CAST(r AS DOUBLE)) AS BIGINT))
               AS BIGINT) AS hq
   FROM ranked
 ), kk AS (
-  SELECT COALESCE(MAX(CASE WHEN p * m * (CAST(hq AS DOUBLE) / 1e9)
+  SELECT COALESCE(MAX(CASE WHEN p * m * (CAST(hq AS DOUBLE) / 1e15)
                                 <= CAST(r AS DOUBLE) * 0.05
                            THEN r END), 0) AS k
   FROM ranked CROSS JOIN harm
@@ -6181,9 +6239,22 @@ SELECT o_orderstatus, n, k_levels,
             THEN ((fold_a - gs * gs / CAST(n AS DOUBLE))
                     / CAST(k_levels - 1 AS DOUBLE))
                  / ((gsq - fold_a) / CAST(n - k_levels AS DOUBLE))
-       END AS f_stat
+       END AS f_stat,
+       CASE WHEN k_levels >= 2 AND n > k_levels AND gsq - fold_a > 0
+            THEN {p_value}
+       END AS p_value
 FROM agg
-"""
+""".format(
+    p_value=_sql_pq(
+        _sql_f_sf(
+            "((fold_a - gs * gs / CAST(n AS DOUBLE))"
+            " / CAST(k_levels - 1 AS DOUBLE))"
+            " / ((gsq - fold_a) / CAST(n - k_levels AS DOUBLE))",
+            "k_levels - 1",
+            "n - k_levels",
+        )
+    )
+)
 
 
 def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6586,9 +6657,24 @@ SELECT n, k_levels,
                     * fold_a - 3.0 * (CAST(n AS DOUBLE) + 1))
                  / (1.0 - ts / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                                 * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
-       END AS h_adj
+       END AS h_adj,
+       CASE WHEN k_levels >= 2
+             AND 1.0 - ts / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+            THEN {p_value}
+       END AS p_value
 FROM agg CROSS JOIN ties
-"""
+""".format(
+    p_value=_sql_pq(
+        _sql_chi2_sf(
+            "((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)))"
+            " * fold_a - 3.0 * (CAST(n AS DOUBLE) + 1))"
+            " / (1.0 - ts / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))",
+            "k_levels - 1",
+        )
+    )
+)
 
 
 
@@ -11125,9 +11211,19 @@ SELECT n, k_strata, sum_a,
          GREATEST(0.0, ABS(CAST(sum_a AS DOUBLE) - se) - 0.5)
            * GREATEST(0.0, ABS(CAST(sum_a AS DOUBLE) - se) - 0.5)
            / sv
-       END AS cmh_chi2
+       END AS cmh_chi2,
+       CASE WHEN sv > 0 THEN {p_value} END AS p_value
 FROM agg
-"""
+""".format(
+    p_value=_sql_pq(
+        _sql_chi2_sf(
+            "GREATEST(0.0, ABS(CAST(sum_a AS DOUBLE) - se) - 0.5)"
+            " * GREATEST(0.0, ABS(CAST(sum_a AS DOUBLE) - se) - 0.5)"
+            " / sv",
+            "1",
+        )
+    )
+)
 
 
 def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11184,9 +11280,22 @@ SELECT n, r_pos, k_levels,
          (CAST(CAST(a AS VARCHAR) AS DOUBLE) * sqrt(CAST(n AS DOUBLE)))
            / sqrt(CAST(CAST(b AS VARCHAR) AS DOUBLE)
                   * CAST(CAST(c AS VARCHAR) AS DOUBLE))
-       END AS z_trend
+       END AS z_trend,
+       CASE WHEN r_pos > 0 AND r_pos < n AND c > 0 THEN
+         {p_value}
+       END AS p_value
 FROM abc
-"""
+""".format(
+    p_value=_sql_pq(
+        "2.0 * "
+        + _sql_norm_sf(
+            "ABS((CAST(CAST(a AS VARCHAR) AS DOUBLE)"
+            " * sqrt(CAST(n AS DOUBLE)))"
+            " / sqrt(CAST(CAST(b AS VARCHAR) AS DOUBLE)"
+            " * CAST(CAST(c AS VARCHAR) AS DOUBLE)))"
+        )
+    )
+)
 
 
 def q_concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12791,9 +12900,16 @@ SELECT CAST(n AS BIGINT) AS n,
        CASE WHEN n_rows >= 2 AND n_cols >= 2 AND n > 0 THEN
          sqrt(chi2_raw / (CAST(n AS DOUBLE)
               * CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))
-       END AS cramers_v
+       END AS cramers_v,
+       CASE WHEN n_rows >= 2 AND n_cols >= 2 AND n > 0 THEN
+         {p_value}
+       END AS p_value
 FROM agg
-"""
+""".format(
+    p_value=_sql_pq(
+        _sql_chi2_sf("chi2_raw", "(n_rows - 1) * (n_cols - 1)")
+    )
+)
 
 
 def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12904,9 +13020,22 @@ SELECT o_orderstatus, n, k_levels,
             THEN ((fold_a - gs * gs / CAST(n AS DOUBLE))
                     / CAST(k_levels - 1 AS DOUBLE))
                  / ((gsq - fold_a) / CAST(n - k_levels AS DOUBLE))
-       END AS f_stat
+       END AS f_stat,
+       CASE WHEN k_levels >= 2 AND n > k_levels AND gsq - fold_a > 0
+            THEN {p_value}
+       END AS p_value
 FROM agg
-"""
+""".format(
+    p_value=_sql_pq(
+        _sql_f_sf(
+            "((fold_a - gs * gs / CAST(n AS DOUBLE))"
+            " / CAST(k_levels - 1 AS DOUBLE))"
+            " / ((gsq - fold_a) / CAST(n - k_levels AS DOUBLE))",
+            "k_levels - 1",
+            "n - k_levels",
+        )
+    )
+)
 
 
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13682,9 +13811,20 @@ SELECT n_a, n_b, events_a, events_b,
          ((CAST(soe AS DOUBLE) / 1e9) / sqrt(CAST(sv AS DOUBLE) / 1e9))
          * ((CAST(soe AS DOUBLE) / 1e9)
             / sqrt(CAST(sv AS DOUBLE) / 1e9))
-       END AS chi2
+       END AS chi2,
+       CASE WHEN sv > 0 THEN {p_value} END AS p_value
 FROM agg
-"""
+""".format(
+    p_value=_sql_pq(
+        _sql_chi2_sf(
+            "((CAST(soe AS DOUBLE) / 1e9)"
+            " / sqrt(CAST(sv AS DOUBLE) / 1e9))"
+            " * ((CAST(soe AS DOUBLE) / 1e9)"
+            " / sqrt(CAST(sv AS DOUBLE) / 1e9))",
+            "1",
+        )
+    )
+)
 
 
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13950,65 +14090,66 @@ FROM agg
 # Gate window (the driver's correctness gate records the FIRST 50
 # entries of queries()). Computed by ``python tools/rotation.py
 # --emit-window`` under the staleness policy documented in COVERAGE.md.
-# Round-11 window (final rotation at this HEAD): every never-recorded
-# r11 addition leads — the 14 late-continuation adds (kuiper,
-# cramer_von_mises, energy_distance, pettitt, weighted_kappa,
-# hosmer_lemeshow, concordance_index, cochran_armitage,
-# mantel_haenszel, tfidf, bootstrap_ci, permutation_test + the
-# earlier batch), all locally green at sf0.01 AND sf0.1 via
-# check_oracle — then the stalest recorded queries.
+# Round-12 window (VERDICT r11 asks #2/#3): the 10 _ROUND_PINS whose
+# semantics changed this round lead (the p-value columns on the test
+# family + the five ADVICE-r12 fixes), then the OLDEST driver rows —
+# all 34 r3-vintage queries and the 6 stalest r4 rows. cox/pca are
+# hard-excluded (_EXCLUDE_NO_ORACLE: rows-only forever; a slot spent
+# there is a stale query not re-recorded). The rotation policy is now
+# recorded-round-primary, so the stale tail drains ~40 rows/round by
+# construction regardless of module-touch noise.
 # Regenerate per round; do not hand-edit order.
 _GATE_WINDOW: list[str] = [
-    "anderson_darling",
-    "bland_altman",
-    "bootstrap_ci",
-    "brown_forsythe",
     "chi_square",
+    "anova",
+    "brown_forsythe",
+    "kruskal_wallis",
     "cochran_armitage",
-    "cochran_q",
-    "cohens_d",
-    "cramer_von_mises",
-    "cronbach_alpha",
-    "cuped",
-    "energy_distance",
-    "fdr_by",
-    "friedman",
-    "kendall_tau",
-    "kuiper",
-    "mann_kendall",
     "mantel_haenszel",
-    "mcnemar",
-    "permutation_test",
-    "pettitt",
-    "ratio_ttest",
-    "theil_sen",
-    "tukey_hsd",
-    "wasserstein",
-    "aalen_johansen",
-    "cox",
-    "ewma",
-    "kaplan_meier",
     "logrank",
-    "nelson_aalen",
-    "rmst",
-    "average_precision",
-    "concordance_index",
-    "fleiss_kappa",
-    "hosmer_lemeshow",
-    "mcc",
-    "mrr",
-    "roc_curve",
-    "weighted_kappa",
+    "fdr_by",
     "tfidf",
-    "streaming_histogram",
-    "streaming_topk",
-    "pca",
-    "theil_u",
-    "streaming_ewma",
-    "dsir",
-    "readability",
-    "zipf",
-    "intervals",
+    "aalen_johansen",
+    "contamination",
+    "quarantine_roundtrip",
+    "streaming_window",
+    "ngram_jaccard",
+    "audio_decode",
+    "roundtrip_parquet",
+    "language_id",
+    "cosine_topk",
+    "rollup",
+    "image_decode",
+    "dedup_clusters",
+    "embedding_cosine_dups",
+    "multimodal_meta",
+    "repetition_stats",
+    "token_counts",
+    "top_bigram",
+    "dedup_exact_content",
+    "join_semi",
+    "agg_extended",
+    "ranking",
+    "analytics",
+    "pivot",
+    "aggregation",
+    "dedup_exact_keys",
+    "duplicate_stats",
+    "filter",
+    "join_inner",
+    "join_left",
+    "map",
+    "null_metrics",
+    "null_split_invalid",
+    "simhash",
+    "text_stats",
+    "window_tumbling",
+    "roundtrip_avro",
+    "zorder",
+    "schema_align",
+    "sessionize",
+    "bpe_tokenize",
+    "streaming_dedup",
 ]
 
 

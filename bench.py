@@ -713,6 +713,68 @@ def q28_bootstrap(spark):
     )
 
 
+def q29_kaplan_meier(spark):
+    """Kaplan–Meier survival over customer lifetimes (15k customers
+    reduced from 150k orders; duration = first→last order gap, event
+    = any finalized order) — the quantized-log prefix-sum scan
+    (VERDICT r11 ask #5): one duration-histogram shuffle, the
+    survival product as integer nano-log prefix sums, NO sequential
+    float fold and no single-partition window. Forced through a
+    hash-sum so the whole curve materializes."""
+    from etl_spark_gradle_spark.operators.timeseries import kaplan_meier
+
+    cust = (
+        load(spark, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.min("o_orderdate")
+            ).alias("dur"),
+            F.max(
+                (F.col("o_orderstatus") == "F").cast("int")
+            ).alias("ev"),
+        )
+    )
+    out = kaplan_meier(cust, "dur", "ev")
+    return out.agg(
+        F.sum(
+            F.xxhash64("t", "n_risk", "n_event", "survival")
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q30_weighted_kappa(spark):
+    """Quadratic-weighted Cohen's kappa between quantity and price
+    bands over the 600k-row lineitem feed — the pinned-spine
+    contingency shape (VERDICT r11 ask #5): one (grade_a, grade_b)
+    cell shuffle, the grade spine pinned ONCE and broadcast to both
+    margins, exact decimal w·O / w·R·C sums, one closing division."""
+    from etl_spark_gradle_spark.operators.evaluation import (
+        weighted_kappa,
+    )
+
+    li = load(spark, "lineitem")
+    scored = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.least(
+            F.lit(4).cast("long"),
+            F.expr("CAST(FLOOR(l_quantity) AS BIGINT) DIV 13"),
+        ).alias("grade_a"),
+        F.least(
+            F.lit(4).cast("long"),
+            F.expr("CAST(FLOOR(l_extendedprice) AS BIGINT) DIV 20000"),
+        ).alias("grade_b"),
+    )
+    out = weighted_kappa(scored, "grade_a", "grade_b")
+    return out.agg(
+        F.sum(F.xxhash64("n", "n_classes", "kappa_w")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q1_scan_agg": q1_scan_agg,
     "q2_filter_map_agg": q2_filter_map_agg,
@@ -742,6 +804,8 @@ QUERIES = {
     "q26_pr_curve": q26_pr_curve,
     "q27_ewma": q27_ewma,
     "q28_bootstrap": q28_bootstrap,
+    "q29_kaplan_meier": q29_kaplan_meier,
+    "q30_weighted_kappa": q30_weighted_kappa,
 }
 
 
@@ -856,6 +920,25 @@ def main() -> None:
         "q3_exec_sec": round(q3_exec, 3),
         "exec_sec": exec_secs,
     }
+
+    # load self-adjudication (VERDICT r11 ask #1b): a red run under
+    # noisy-neighbor CPU must carry its own exculpatory evidence —
+    # the 1-min/5-min/15-min load averages plus a single-thread spin
+    # calibration (idle reference committed in BENCH_BASELINE.json as
+    # spin_ref_sec; a loaded box inflates the spin the same way it
+    # inflates the timings)
+    extra["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    extra["spin_sec"] = round(_spin_calibration(), 4)
+
+    regressed, fail = _check_regressions(timings, exec_secs)
+    # regression lines FIRST, summary JSON as the FINAL line of the
+    # merged stream: the driver tail-parses the combined output, so
+    # anything printed after the JSON (the r11 failure mode: stderr
+    # REGRESSION lines interleaved last) turns a red-but-measured run
+    # into `parsed: null` — a worse artifact than the red itself
+    for line in regressed:
+        tag = "" if line.startswith("WARN") else "REGRESSION "
+        print(f"# {tag}{line}", flush=True)
     print(
         json.dumps(
             {
@@ -864,19 +947,36 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf(SF_DIR),
+                "regressions": len(regressed),
                 **extra,
             }
         ),
         flush=True,
     )
+    if fail:
+        sys.exit(1)
 
-    _check_regressions(timings, exec_secs)
+
+def _spin_calibration(loops: int = 2_000_000) -> float:
+    """Wall seconds for a fixed single-thread integer spin — a cheap
+    machine-speed probe. On this box idle it reads ~0.05-0.08 s; CPU
+    contention inflates it roughly linearly with runnable backlog, so
+    the recorded value lets a reader separate 'operator got slower'
+    from 'machine was busy' without rerunning anything."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(loops):
+        acc += i & 7
+    # acc consumed so the loop can't be optimized away
+    return time.perf_counter() - t0 + (acc & 0) * 0.0
 
 
 def _check_regressions(
     timings: dict[str, float], exec_secs: dict[str, float] | None = None
-) -> None:
-    """Regression guard: fail (exit 1) when any query runs slower than
+) -> tuple[list[str], bool]:
+    """Regression guard: returns (regression lines, should_fail) so
+    the caller can print them BEFORE the final JSON line and still
+    exit 1 — when any query runs slower than
     ``regression_factor`` x its BENCH_BASELINE.json floor — but only
     when benchmarking the same scale factor the baseline was captured
     at, so ad-hoc runs at other SFs stay informational.
@@ -890,11 +990,11 @@ def _check_regressions(
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
     if not os.path.exists(baseline_path):
-        return
+        return [], False
     with open(baseline_path) as f:
         baseline = json.load(f)
     if abs(_sf(SF_DIR) - float(baseline.get("sf", -1))) > 1e-9:
-        return
+        return [], False
     factor = float(baseline.get("regression_factor", 2.0))
     # floors keyed on exec_sec when the baseline snapshot has them:
     # action-only timings exclude driver plan construction, the part a
@@ -919,18 +1019,14 @@ def _check_regressions(
         if measured[name] > factor * base + slack
     ]
     if not regressed:
-        return
-    for line in regressed:
-        print(f"# REGRESSION {line}", file=sys.stderr, flush=True)
+        return [], False
     if len(regressed) >= max(2, int(0.8 * len(floors))):
-        print(
-            "# WARN: uniform slowdown across the suite — environmental "
-            "load, not an operator regression; not failing the run",
-            file=sys.stderr,
-            flush=True,
+        regressed.append(
+            "WARN: uniform slowdown across the suite — environmental "
+            "load, not an operator regression; not failing the run"
         )
-        return
-    sys.exit(1)
+        return regressed, False
+    return regressed, True
 
 
 if __name__ == "__main__":

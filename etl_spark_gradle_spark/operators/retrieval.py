@@ -78,8 +78,14 @@ def doc_term_stats(
     and the document's total length — everything TF-IDF/BM25 needs.
     ONE shuffle, keyed (doc, term); ``doc_len`` is a window-free
     sum over the same grouping via a second tiny agg on the doc key
-    that Spark pipelines off the first (both partial-aggregated)."""
-    toks = docs.select(
+    that Spark pipelines off the first (both partial-aggregated).
+
+    NULL doc ids are excluded BEFORE tokenizing: every consumer's
+    corpus size N is ``count_distinct(id)`` (NULL-excluding), so a
+    NULL-id group contributing to df would let df exceed N and flip
+    ln(N/df) negative (ADVICE r12) — the document universe for df and
+    N must be the same."""
+    toks = docs.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_terms(text_col, lowercase)).alias("term"),
     )

@@ -93,6 +93,84 @@ def _prod(a: str, b: str) -> Column:
     return (_dec(a) * _dec(b)).cast("decimal(38,4)")
 
 
+# ---------------------------------------------------------------------------
+# Frozen tail-probability approximations (VERDICT r11 ask #4)
+#
+# The hypothesis-test family publishes statistic + dof; the p-value —
+# the one number an experimenter actually gates on — needs the χ²/F/
+# normal CDF, whose exact forms (incomplete gamma/beta) no SQL engine
+# ships. Rather than a driver-side numpy close (rows-only oracle
+# posture), these are FROZEN closed-form approximations evaluated in
+# the identical operand order by Spark and by the DuckDB oracle
+# (emitted by ``__spark_entry__._sql_norm_sf`` et al.), then quantized
+# to 9 dp — the repo's standard transcendental posture (tfidf/ewma).
+#
+# Accuracy (documented per ``p_value`` column): normal tail via
+# Abramowitz & Stegun 26.2.17 (|eps| < 7.5e-8); χ² with k = 1 exact
+# through the normal form, k = 2 exactly exp(-x/2), k >= 3 via
+# Wilson–Hilferty (1931) cube-root normalization (~1e-3 absolute);
+# F via Paulson (1942) (~1e-2 absolute worst-case at small dof —
+# measured -7.4e-3 at F(4,20)'s 95th pct). All fine for gating at any
+# sane α; NOT for far-tail log-p work.
+# ---------------------------------------------------------------------------
+
+
+def _norm_sf_pos(z: Column) -> Column:
+    """Upper tail P(Z > z) for z >= 0 — A&S 26.2.17."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z)
+    poly = t * (
+        F.lit(0.31938153)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    return F.lit(0.3989422804014327) * F.exp(F.lit(-0.5) * z * z) * poly
+
+
+def norm_sf(z: Column) -> Column:
+    """Upper tail P(Z > z) for any real z (A&S 26.2.17 reflected)."""
+    return F.when(z >= 0, _norm_sf_pos(z)).otherwise(
+        F.lit(1.0) - _norm_sf_pos(-z)
+    )
+
+
+def chi2_sf(x: Column, k: Column) -> Column:
+    """Upper tail P(χ²_k > x): exact-normal form at k = 1, exact
+    exp(-x/2) at k = 2, Wilson–Hilferty for k >= 3."""
+    kd = k.cast("double")
+    c = F.lit(2.0) / (F.lit(9.0) * kd)
+    wh_z = (F.cbrt(x / kd) - (F.lit(1.0) - c)) / F.sqrt(c)
+    return F.when(k == 1, F.lit(2.0) * norm_sf(F.sqrt(x))).when(
+        k == 2, F.exp(F.lit(-0.5) * x)
+    ).otherwise(norm_sf(wh_z))
+
+
+def f_sf(x: Column, d1: Column, d2: Column) -> Column:
+    """Upper tail P(F_{d1,d2} > x) — Paulson (1942) normalization."""
+    a1 = F.lit(2.0) / (F.lit(9.0) * d1.cast("double"))
+    a2 = F.lit(2.0) / (F.lit(9.0) * d2.cast("double"))
+    num = (F.lit(1.0) - a2) * F.cbrt(x) - (F.lit(1.0) - a1)
+    den = F.sqrt(a1 + F.cbrt(x) * F.cbrt(x) * a2)
+    return norm_sf(num / den)
+
+
+def _pq(p: Column) -> Column:
+    """Clamp to [0, 1] and quantize to 9 dp — the cross-engine hash
+    contract for a transcendental close (round(x·1e9) long both
+    sides; a 7.5e-8-accurate approximation can stray a hair past the
+    interval ends)."""
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(0.0), p))
+    return F.round(clamped * F.lit(1e9)).cast("long").cast(
+        "double"
+    ) / F.lit(1e9)
+
+
 def moment_sums(
     df: DataFrame,
     cols: list[str],
@@ -823,7 +901,9 @@ def anova_f(
     N ≤ k, or zero within-group variance) yield NULL ``f_stat``.
 
     Output: group cols + ``n``/``k_levels`` (long) +
-    ``ss_between``/``ss_within``/``f_stat`` (double)."""
+    ``ss_between``/``ss_within``/``f_stat``/``p_value`` (double;
+    p through the frozen ``f_sf`` Paulson approximation on
+    F(k−1, N−k), 9-dp quantized)."""
     for c in (value_col, factor_col, *(group_by or [])):
         if c not in df.columns:
             raise TransformationError(f"column not in input schema: {c}")
@@ -862,17 +942,30 @@ def anova_f(
     ssb = F.col("_a") - (_d(F.col("_gsum")) * _d(F.col("_gsum"))) / n
     ssw = _d(F.col("_gsumsq")) - F.col("_a")
     f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    f_ok = (
+        (F.col("k_levels") >= 2)
+        & (F.col("n") > F.col("k_levels"))
+        & (ssw > 0)
+    )
     return agg.select(
         *group_by,
         "n",
         "k_levels",
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
+        F.when(f_ok, f_stat).alias("f_stat"),
+        # F(k-1, n-k) upper tail, frozen Paulson approximation
+        # (see f_sf), 9-dp quantized
         F.when(
-            (F.col("k_levels") >= 2) & (F.col("n") > F.col("k_levels"))
-            & (ssw > 0),
-            f_stat,
-        ).alias("f_stat"),
+            f_ok,
+            _pq(
+                f_sf(
+                    f_stat,
+                    F.col("k_levels") - 1,
+                    F.col("n") - F.col("k_levels"),
+                )
+            ),
+        ).alias("p_value"),
     )
 
 
@@ -907,8 +1000,9 @@ def kruskal_wallis(
     level table. NULL value or level rows are excluded. Degenerate
     inputs (k < 2 or all values tied) yield NULL ``h``/``h_adj``.
 
-    Output: one row — ``n``/``k_levels`` (long), ``h``/``h_adj``
-    (double)."""
+    Output: one row — ``n``/``k_levels`` (long), ``h``/``h_adj``/
+    ``p_value`` (double; p = ``chi2_sf(h_adj, k−1)``, the frozen
+    approximation, 9-dp quantized)."""
     for c in (value_col, factor_col):
         if c not in df.columns:
             raise TransformationError(
@@ -978,13 +1072,18 @@ def kruskal_wallis(
         n + 1
     )
     corr = F.lit(1.0) - _d(F.col("_ts")) / (n * n * n - n)
+    kw_ok = (F.col("k_levels") >= 2) & (corr > 0)
     return j.select(
         "n",
         "k_levels",
-        F.when((F.col("k_levels") >= 2) & (corr > 0), h).alias("h"),
+        F.when(kw_ok, h).alias("h"),
+        F.when(kw_ok, h / corr).alias("h_adj"),
+        # H_adj ~ χ²(k-1) under H0 — frozen chi2_sf approximation on
+        # the tie-corrected statistic (the standard convention),
+        # 9-dp quantized
         F.when(
-            (F.col("k_levels") >= 2) & (corr > 0), h / corr
-        ).alias("h_adj"),
+            kw_ok, _pq(chi2_sf(h / corr, F.col("k_levels") - 1))
+        ).alias("p_value"),
     )
 
 
@@ -1051,17 +1150,24 @@ def fdr_bh(
     ranked = _global_rank_desc(pts, num_partitions)
     if method == "by":
         # harmonic constant from the ranked frame: exact sum of
-        # nano-quantized 1/rank terms, 1-row broadcast
+        # femto-quantized (1e15-grain) 1/rank terms, 1-row broadcast.
+        # Grain bound (ADVICE r12): each round(1e15/r) term carries
+        # <= 5e-16 absolute error and underflows to 0 only for
+        # r > 2e15; the summed long stays exact (c(m) <= 1e15 * H(m)
+        # ~ 2.9e16 at m = 1e12, far under 2^63), so c(m) is accurate
+        # to ~m * 5e-16 relative — exact for every practical m. The
+        # earlier 1e9 grain lost terms past r = 2e9 and drifted
+        # m * 5e-10, measurably anti-conservative at web-scale m.
         harm = ranked.agg(
             F.sum(
                 F.round(
-                    F.lit(1e9) / F.col("_rank").cast("double")
+                    F.lit(1e15) / F.col("_rank").cast("double")
                 ).cast("long")
             ).alias("_hq")
         )
         ranked = ranked.crossJoin(F.broadcast(harm))
         passing = F.col("_p") * F.col("_n").cast("double") * (
-            F.col("_hq").cast("double") / F.lit(1e9)
+            F.col("_hq").cast("double") / F.lit(1e15)
         ) <= F.col("_rank").cast("double") * F.lit(float(q))
     else:
         passing = F.col("_p") * F.col("_n").cast("double") <= F.col(
@@ -1117,7 +1223,8 @@ def chi_square(
     grids (r < 2 or c < 2) yield NULL ``chi2``/``cramers_v``.
 
     Output per group: ``n`` (long), ``n_rows``/``n_cols``/``dof``
-    (long), ``chi2``/``cramers_v`` (double)."""
+    (long), ``chi2``/``cramers_v``/``p_value`` (double; p through
+    the frozen ``chi2_sf`` approximation, 9-dp quantized)."""
     group_by = group_by or []
     for c in (x_col, y_col, *group_by):
         if c not in df.columns:
@@ -1205,6 +1312,11 @@ def chi_square(
                 F.col("_chi2") / (F.col("n").cast("double") * mindim)
             ),
         ).alias("cramers_v"),
+        # χ²(dof) upper tail, frozen approximation (see chi2_sf):
+        # 9-dp quantized so both engines close to the same hash
+        F.when(
+            ok, _pq(chi2_sf(F.col("_chi2"), (nr - 1) * (nc - 1)))
+        ).alias("p_value"),
     )
 
 
@@ -3317,7 +3429,8 @@ def mantel_haenszel(
     NULL χ²; a zero discordant-product sum (Σbc/n = 0) → NULL OR.
 
     Output: group cols + ``n``/``k_strata``/``sum_a`` (long) +
-    ``or_mh``/``cmh_chi2`` (double)."""
+    ``or_mh``/``cmh_chi2``/``p_value`` (double; p = χ²(1) tail via
+    the exact-normal-form ``chi2_sf``, 9-dp quantized)."""
     group_by = group_by or []
     for c in (exposure_col, outcome_col, stratum_col, *group_by):
         if c not in df.columns:
@@ -3398,6 +3511,12 @@ def mantel_haenszel(
         F.when(F.col("_sv") > 0, dev * dev / F.col("_sv")).alias(
             "cmh_chi2"
         ),
+        # CMH χ² has exactly 1 dof — exact-normal-form chi2_sf tail,
+        # 9-dp quantized
+        F.when(
+            F.col("_sv") > 0,
+            _pq(chi2_sf(dev * dev / F.col("_sv"), F.lit(1))),
+        ).alias("p_value"),
     )
 
 
@@ -3424,9 +3543,10 @@ def cochran_armitage(
     the repo-wide decimal(18,2) grid, squares in decimal(38,4)),
     ``B = R·(N−R)``; the close is the fixed-order
     ``Z = A·√N / √(B·C)`` — IEEE sqrt is correctly rounded on every
-    engine, so the statistic hashes bit-identical. Z² ~ χ²(1) under
-    H0 (no p-value — the ``welch_ttest`` posture). Z > 0 means the
-    positive rate RISES with the dose.
+    engine, so the statistic hashes bit-identical. Z ~ N(0,1) under
+    H0; ``p_value`` is the two-sided normal tail through the frozen
+    ``norm_sf`` approximation (9-dp quantized, oracle-replayed).
+    Z > 0 means the positive rate RISES with the dose.
 
     Plan at 100 TB: every term is a plain row-level sum — ONE
     map-side-combined aggregation per group carrying six exact
@@ -3436,8 +3556,8 @@ def cochran_armitage(
     level: C = 0) yield NULL ``z_trend``.
 
     Output: group cols + ``n``/``r_pos``/``k_levels`` (long) +
-    ``t_num`` (exact integer-grid string, = A) + ``z_trend``
-    (double)."""
+    ``t_num`` (exact integer-grid string, = A) + ``z_trend`` +
+    ``p_value`` (double)."""
     from pyspark.sql.types import NumericType
 
     group_by = group_by or []
@@ -3450,7 +3570,13 @@ def cochran_armitage(
             f"needs ordered scores), got "
             f"{df.schema[dose_col].dataType.simpleString()}"
         )
-    flag = F.col(flag_col).cast("int")
+    # truthy semantics (the repo-wide event contract shared with
+    # mantel_haenszel / mcnemar / cochran_q): any nonzero/true value =
+    # positive, 0/false = not. The previous plain int cast summed a
+    # 0/2-coded flag RAW into r_pos (r_pos > n, garbage t_num) while
+    # the score sum only counted flag == 1, and silently NULLed a
+    # string 'true'/'false' flag (review finding, ADVICE r12).
+    flag = F.col(flag_col).cast("boolean").cast("int")
     s = _dec(dose_col)
     agg = (
         df.where(F.col(dose_col).isNotNull() & F.col(flag_col).isNotNull())
@@ -3487,15 +3613,19 @@ def cochran_armitage(
     z = (_d(a_num) * F.sqrt(n.cast("double"))) / F.sqrt(
         _d(b_num) * _d(c_num)
     )
+    ca_ok = (r > 0) & (r < n) & (c_num > 0)
     return agg.select(
         *group_by,
         "n",
         "r_pos",
         "k_levels",
         a_num.cast("string").alias("t_num"),
-        F.when(
-            (r > 0) & (r < n) & (c_num > 0), z
-        ).alias("z_trend"),
+        F.when(ca_ok, z).alias("z_trend"),
+        # two-sided normal p for the trend z — frozen norm_sf
+        # approximation, 9-dp quantized
+        F.when(ca_ok, _pq(F.lit(2.0) * norm_sf(F.abs(z)))).alias(
+            "p_value"
+        ),
     )
 
 

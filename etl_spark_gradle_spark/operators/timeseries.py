@@ -2115,7 +2115,9 @@ def logrank_test(
     to its time histogram; everything after is histogram-sized.
 
     Output: one row — ``n_a, n_b, events_a, events_b`` (long),
-    ``o_minus_e, var_o, z, chi2`` (double)."""
+    ``o_minus_e, var_o, z, chi2, p_value`` (double; p = χ²(1) tail
+    via the frozen ``stats.chi2_sf`` exact-normal form, 9-dp
+    quantized, oracle-replayed)."""
     for c in (duration_col, event_col, side_col):
         if c not in df.columns:
             raise TransformationError(
@@ -2145,7 +2147,11 @@ def logrank_test(
         raise TransformationError(
             "logrank_test: side_a and side_b must differ"
         )
-    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+    from etl_spark_gradle_spark.operators.stats import (
+        _pq as _stats_pq,
+        _prefix_sums,
+        chi2_sf as _stats_chi2_sf,
+    )
 
     ev = F.col(event_col).cast("boolean").cast("int")
     is_a = (F.col(side_col) == F.lit(side_a)).cast("int")
@@ -2225,6 +2231,16 @@ def logrank_test(
         F.when(v > 0, (oe / F.sqrt(v)) * (oe / F.sqrt(v))).alias(
             "chi2"
         ),
+        # two-group log-rank χ² has 1 dof — frozen chi2_sf tail
+        # (stats.py; 9-dp quantized, oracle replays the same form)
+        F.when(
+            v > 0,
+            _stats_pq(
+                _stats_chi2_sf(
+                    (oe / F.sqrt(v)) * (oe / F.sqrt(v)), F.lit(1)
+                )
+            ),
+        ).alias("p_value"),
     )
 
 
@@ -2272,11 +2288,26 @@ def aalen_johansen(
     (long), ``surv_before`` (S(t−), 9 dp), ``cif`` (9 dp)."""
     from etl_spark_gradle_spark.operators.stats import _prefix_sums
 
+    from pyspark.sql.types import DecimalType, FractionalType
+
     for c in (duration_col, cause_col):
         if c not in df.columns:
             raise TransformationError(
                 f"aalen_johansen: column not in schema: {c}"
             )
+    # censoring is detected by string-comparing the cause code to the
+    # literal '0'; a double/decimal cause renders 0.0 as '0.0'/'0.00'
+    # so every censored row would silently count as a competing cause
+    # and inflate every CIF — reject fractional cause types outright
+    # (the pettitt_test time-column posture; ADVICE r12)
+    cdtype = df.schema[cause_col].dataType
+    if isinstance(cdtype, (FractionalType, DecimalType)):
+        raise TransformationError(
+            "aalen_johansen: cause column must carry integer or "
+            f"string codes (got {cdtype.simpleString()} — a float "
+            "0.0 would stringify as '0.0' and silently stop meaning "
+            "censored)"
+        )
     cells = (
         df.where(
             F.col(duration_col).isNotNull()

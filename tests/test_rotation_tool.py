@@ -40,28 +40,57 @@ def test_queue_covers_every_declared_query():
     for r in rows:
         assert 0 <= r["recorded_round"] <= 99
         assert r["touched_ts"] > 0
-    # ordering invariant: non-increasing staleness
-    st = [r["staleness_s"] for r in rows]
-    assert st == sorted(st, reverse=True)
+    # ordering invariant (round-12 policy, VERDICT r11 ask #2):
+    # recorded_round ascending is PRIMARY — never-recorded (0) first,
+    # then the oldest driver rows — so the stale tail drains by
+    # construction even when a module-wide edit marks the whole
+    # stats family "touched"
+    rr = [r["recorded_round"] for r in rows]
+    assert rr == sorted(rr)
 
 
-def test_window_pins_and_unrecorded_first():
+def test_window_oldest_rows_dominate_and_excludes_no_oracle():
+    """The assembled window = pins + round pins + oldest recorded
+    rows; cox/pca (rows-only forever) never burn a slot (VERDICT r11
+    ask #3)."""
     tool = _tool()
     rows = tool.build_queue()
-    pinned = tool._pinned()
-    window = list(pinned)
-    for row in rows:
-        if len(window) >= 50:
-            break
-        if row["query"] not in window:
-            window.append(row["query"])
+    window = _entry()._GATE_WINDOW
     assert len(window) == 50 and len(set(window)) == 50
+    assert "cox" not in window and "pca" not in window
     # every never-driver-recorded query must land inside the window
-    # (they have recorded_round 0 -> maximal staleness)
     never = [r["query"] for r in rows if r["recorded_round"] == 0]
-    if len(never) <= 50 - len(pinned):
+    reserved = len(tool._pinned()) + len(tool._ROUND_PINS)
+    if len(never) <= 50 - reserved:
         missing = [q for q in never if q not in window]
         assert not missing, missing
+    # non-pin slots go to the oldest recorded rounds: the window must
+    # contain every query from the single oldest recorded round
+    # (unless that cohort alone overflows the free slots)
+    ages = {r["query"]: r["recorded_round"] for r in rows}
+    oldest = min(v for v in ages.values() if v > 0)
+    cohort = [q for q, v in ages.items() if v == oldest]
+    if len(cohort) <= 50 - reserved:
+        missing = [q for q in cohort if q not in window]
+        assert not missing, (
+            f"r{oldest:02d}-vintage rows left outside the window: "
+            f"{missing}"
+        )
+
+
+def test_max_row_age_warnings():
+    tool = _tool()
+    rows = [
+        {"query": "fresh", "recorded_round": 11},
+        {"query": "stale", "recorded_round": 3},
+        {"query": "never", "recorded_round": 0},
+        {"query": "cox", "recorded_round": 3},
+    ]
+    warns = tool.max_row_age_warnings(rows, budget=5)
+    assert any("stale" in w for w in warns)
+    assert not any("fresh" in w for w in warns)
+    assert not any("never" in w for w in warns)  # age starts at record 1
+    assert not any("cox" in w for w in warns)  # excluded rows don't age
 
 
 def test_pins_release_on_green_ecdf(tmp_path, monkeypatch):

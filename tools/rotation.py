@@ -165,7 +165,53 @@ def query_touch_times() -> dict[str, int]:
     return out
 
 
+# Rows-only queries whose oracle can NEVER go green (`err:
+# no_oracle` forever — eigendecomposition / Newton iterations are
+# not SQL-expressible). A window slot spent here is a stale query
+# not re-recorded (VERDICT r11 ask #3). REMOVE a name from this set
+# only when its implementation changes semantically and the new
+# rows-only record is worth a slot.
+_EXCLUDE_NO_ORACLE = {"cox", "pca"}
+
+# Queries whose OPERATOR SEMANTICS changed this round — the honest
+# re-record signal the coarse module-touch heuristic cannot give
+# (one edit to stats.py marks every stats-family query "touched",
+# which is exactly the noise that starved the r11 window; VERDICT
+# r11 "What's wrong" #3). Maintained by hand each round, emptied
+# after the driver records them.
+# Round 12: the five ADVICE-r12 fixes + the p-value columns
+# (chi_square / anova_f / brown_forsythe / kruskal_wallis /
+# cochran_armitage / mantel_haenszel / logrank gained `p_value`;
+# fdr_by's harmonic grain moved 1e9 -> 1e15; tfidf's NULL-id
+# universe; aalen_johansen's fractional-cause rejection).
+_ROUND_PINS = [
+    "chi_square",
+    "anova",
+    "brown_forsythe",
+    "kruskal_wallis",
+    "cochran_armitage",
+    "mantel_haenszel",
+    "logrank",
+    "fdr_by",
+    "tfidf",
+    "aalen_johansen",
+]
+
+
 def build_queue() -> list[dict]:
+    """Ranking policy (round-12 rework, VERDICT r11 ask #2): the
+    driver's 50-slot window is the ONLY hard evidence channel, and
+    with a 300+ query registry the stale tail ages ~50 rows/round
+    unless it is the PRIMARY fill. Order:
+
+    1. never-driver-recorded queries (recorded_round 0);
+    2. oldest ``recorded_round`` first — the stale tail drains at
+       ~(50 - pins) rows per round by construction;
+    3. ties: most code-touch-stale first, then name.
+
+    ``_ROUND_PINS`` (semantic changes) and ``_EXCLUDE_NO_ORACLE``
+    are applied by the window assembly, not here — the queue always
+    covers every declared query."""
     rounds = round_record_commits()
     recorded = last_recorded()
     touched = query_touch_times()
@@ -182,9 +228,30 @@ def build_queue() -> list[dict]:
                 "staleness_s": t_touch - t_rec,
             }
         )
-    # stalest first; ties -> oldest driver record first
-    rows.sort(key=lambda x: (-x["staleness_s"], x["recorded_round"], x["query"]))
+    rows.sort(
+        key=lambda x: (x["recorded_round"], -x["staleness_s"], x["query"])
+    )
     return rows
+
+
+def max_row_age_warnings(rows: list[dict], budget: int = 5) -> list[str]:
+    """Staleness-budget guard (VERDICT r11 ask #7): WARN for every
+    query whose last driver row is more than *budget* rounds behind
+    the current round (= max recorded round + 1, the round now being
+    built). Excluded rows-only queries don't age."""
+    current = max((r["recorded_round"] for r in rows), default=0) + 1
+    warns = []
+    for r in rows:
+        if r["query"] in _EXCLUDE_NO_ORACLE:
+            continue
+        age = current - r["recorded_round"]
+        if r["recorded_round"] > 0 and age > budget:
+            warns.append(
+                f"WARN: {r['query']} last driver-recorded r"
+                f"{r['recorded_round']:02d} ({age} rounds ago; budget "
+                f"{budget})"
+            )
+    return warns
 
 
 def main() -> int:
@@ -193,13 +260,23 @@ def main() -> int:
     if "--top" in args:
         top = int(args[args.index("--top") + 1])
     rows = build_queue()
-    window = _pinned()
+    declared = {r["query"] for r in rows}
+    window = [q for q in _pinned() if q not in _EXCLUDE_NO_ORACLE]
+    for q in _ROUND_PINS:
+        if q in declared and q not in window and len(window) < top:
+            window.append(q)
     for row in rows:
         if len(window) >= top:
             break
-        if row["query"] not in window:
+        if (
+            row["query"] not in window
+            and row["query"] not in _EXCLUDE_NO_ORACLE
+        ):
             window.append(row["query"])
+    warns = max_row_age_warnings(rows)
     if "--emit-window" in args:
+        for w in warns:
+            print(f"# {w}", file=sys.stderr)
         print("_GATE_WINDOW = [")
         for name in window:
             print(f'    "{name}",')
@@ -212,6 +289,8 @@ def main() -> int:
             f"{mark}{row['query']:<27} {row['recorded_round']:>9} "
             f"{row['staleness_s'] / 3600:>12.1f}"
         )
+    for w in warns:
+        print(w)
     print(f"\nwindow ({len(window)}): {window}")
     return 0
 
