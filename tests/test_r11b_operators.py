@@ -1558,7 +1558,7 @@ def test_cochran_armitage_grouped_and_adapter(spark):
     assert t.validate(df, ok).is_valid
     res = t.transform(df, ok, None)
     assert res.columns == ["g", "n", "r_pos", "k_levels", "t_num",
-                           "z_trend"]
+                           "z_trend", "p_value"]
     for bad in (
         _cfg("stats", operation="cochran_armitage", doseColumn="dose"),
         _cfg("stats", operation="cochran_armitage", doseColumn="nope",
@@ -1685,7 +1685,7 @@ def test_mantel_haenszel_grouped_and_adapter(spark):
     assert t.validate(df, ok).is_valid
     res = t.transform(df, ok, None)
     assert res.columns == ["g", "n", "k_strata", "sum_a", "or_mh",
-                           "cmh_chi2"]
+                           "cmh_chi2", "p_value"]
     for bad in (
         _cfg("stats", operation="mantel_haenszel", exposureColumn="e",
              outcomeColumn="o"),
