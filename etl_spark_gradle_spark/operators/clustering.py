@@ -219,9 +219,45 @@ def kmeans(
         .where(F.col("_kid").isNotNull() & F.col("_q").isNotNull())
         .where(~F.exists("_q", lambda x: x.isNull()))
     )
-    # Infer dimension from the smallest-id row (one tiny driver point,
-    # deterministic), then drop ragged rows.
-    first = pts.orderBy("_kid").limit(1).collect()
+    # ONE probe job replaces three sequential driver round-trips
+    # (dim-inference limit(1), overflow max agg, first-k seed collect
+    # — each a full job submission, together ~1.4 s of the q23 bench
+    # wall): the k smallest-id rows ride a TakeOrdered branch and the
+    # per-vector-size overflow maxima ride a tiny groupBy branch
+    # (tagged _kid = NULL — impossible in pts, which is null-filtered),
+    # unioned and collected once. Seeds/dim/maxc all derive from the
+    # same rows the old three jobs returned, so behavior is identical;
+    # the only re-queries are the rare short-seed fallbacks below.
+    _idt = pts.schema["_kid"].dataType
+    _maxes = (
+        pts.groupBy(F.size("_q").alias("_sz"))
+        .agg(
+            F.max(
+                F.array_max(F.transform("_q", lambda x: F.abs(x)))
+            ).alias("_m")
+        )
+        .select(
+            F.lit(None).cast(_idt).alias("_kid"),
+            F.array(F.col("_sz").cast("long"), F.col("_m")).alias("_q"),
+        )
+    )
+    _probe = (
+        pts.orderBy("_kid")
+        .limit(max(int(k), 1))
+        .select("_kid", "_q")
+        .unionAll(_maxes)
+        .collect()
+    )
+    _cand = sorted(
+        (r for r in _probe if r["_kid"] is not None),
+        key=lambda r: r["_kid"],
+    )
+    _size_max = {
+        int(r["_q"][0]): r["_q"][1]
+        for r in _probe
+        if r["_kid"] is None
+    }
+    first = _cand[:1]
     if not first:
         # Preserve the input id type (ADVICE r8): a hardcoded string id
         # here would give the empty path a different schema from the
@@ -248,10 +284,10 @@ def kmeans(
 
     # Overflow guard (ADVICE r8): measure the real max quantized
     # magnitude and refuse to run if the distance sum could exceed
-    # BIGINT — dim * (2 * maxc)^2 must stay under 2^63.
-    maxc = pts.agg(
-        F.max(F.array_max(F.transform("_q", lambda x: F.abs(x)))).alias("m")
-    ).collect()[0]["m"]
+    # BIGINT — dim * (2 * maxc)^2 must stay under 2^63. The max comes
+    # from the probe job's per-size branch, restricted to the kept
+    # dimension (ragged rows are dropped and must not trip the guard).
+    maxc = _size_max.get(dim)
     if maxc and dim * (2 * int(maxc)) ** 2 >= 2**63:
         import math
 
@@ -272,7 +308,12 @@ def kmeans(
     elif seeding == "spread":
         seed_rows = _spread_seeds(pts, int(k), oversample, seed_salt)
     else:
-        seed_rows = pts.orderBy("_kid").limit(int(k)).collect()
+        # first-k seeds from the probe rows (same k smallest ids the
+        # old dedicated job returned); a ragged row among them or a
+        # probe shorter than k falls back to the filtered query
+        seed_rows = [r for r in _cand if len(r["_q"]) == dim][: int(k)]
+        if len(seed_rows) < int(k):
+            seed_rows = pts.orderBy("_kid").limit(int(k)).collect()
     if not seed_rows:
         raise TransformationError("kmeans: no usable seed rows")
     centroids = [list(r["_q"]) for r in seed_rows]  # cluster j = j-th seed

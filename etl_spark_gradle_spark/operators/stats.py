@@ -627,6 +627,62 @@ def tv_distance(
     )
 
 
+def _shuffle_partitions(spark, num_partitions: int | None = None) -> int:
+    """The bucket count ``_prefix_sums`` uses: the explicit override or
+    the session's shuffle-partition setting."""
+    return int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+
+def _order_bounds(
+    df: DataFrame, order_col: str, num_partitions: int
+) -> list[float]:
+    """The range-bucket boundaries ``_prefix_sums`` derives for
+    ``order_col`` (P-1 approx-quantile split points over its numeric
+    view), exposed so a caller running SEVERAL prefix passes over the
+    same order domain computes them ONCE and passes ``bounds=`` down —
+    any fixed boundary list is correctness-neutral (the bucket id is a
+    pure expression over literals, monotone for ANY thresholds), so
+    reuse only trades bucket balance, never results. Returns [] when
+    the column has no numeric view (single-bucket fallback)."""
+    v_num = _order_numeric_view(df, order_col)
+    if v_num is None or num_partitions <= 1:
+        return []
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    return sorted(
+        set(
+            df.select(v_num.alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .approxQuantile(
+                "_v", probs, max(0.0001, 1.0 / (8 * num_partitions))
+            )
+        )
+    )
+
+
+def _order_numeric_view(df: DataFrame, order_col: str):
+    """Monotone numeric view of ``order_col`` for range bucketing
+    (dates → day index, timestamps → epoch seconds, numerics as-is,
+    None for non-numeric types)."""
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dtype = df.schema[order_col].dataType
+    if isinstance(dtype, DateType):
+        return F.unix_date(F.col(order_col)).cast("double")
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.col(order_col).cast("timestamp").cast("double")
+    if isinstance(dtype, NumericType):
+        return F.col(order_col).cast("double")
+    return None
+
+
 def _prefix_sums(
     df: DataFrame,
     order_col: str,
@@ -634,6 +690,7 @@ def _prefix_sums(
     num_partitions: int | None = None,
     assume_pinned: bool = False,
     keep_pid: bool = False,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Distributed prefix sums over a globally ordered frame — the
     building block a global ``Window.orderBy`` can NOT provide at
@@ -682,10 +739,7 @@ def _prefix_sums(
         return "long"
 
     spark = df.sparkSession
-    P = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    P = _shuffle_partitions(spark, num_partitions)
     # Pin the (histogram-sized) reduced frame ONCE: the boundary job
     # below plus the cumsum and totals subtrees would otherwise each
     # recompute it (measured 2x the q15_cdf_stats exec time). This
@@ -697,40 +751,21 @@ def _prefix_sums(
     # their OWN extra branches) pass assume_pinned=True.
     if not assume_pinned:
         df = df.localCheckpoint(eager=True)
-    from pyspark.sql.types import (
-        DateType,
-        TimestampNTZType,
-        TimestampType,
-    )
-
-    dtype = df.schema[order_col].dataType
     # monotone numeric view of the order column for bucketing: dates
     # map to their day index, timestamps to epoch seconds — so the
     # two-level scan stays distributed for temporal order columns
     # (median event time etc.), not just plain numerics (review
     # finding: the earlier numeric-only check silently collapsed
     # temporal frames to one bucket)
-    if isinstance(dtype, DateType):
-        v_num = F.unix_date(F.col(order_col)).cast("double")
-    elif isinstance(dtype, (TimestampType, TimestampNTZType)):
-        v_num = F.col(order_col).cast("timestamp").cast("double")
-    elif isinstance(dtype, NumericType):
-        v_num = F.col(order_col).cast("double")
-    else:
-        v_num = None
-    bounds: list[float] = []
-    if v_num is not None and P > 1:
-        probs = [i / P for i in range(1, P)]
+    v_num = _order_numeric_view(df, order_col)
+    if bounds is None:
         # one tiny job over the pinned frame; result is a driver-side
-        # literal, shared by ALL downstream subtrees
-        bounds = sorted(
-            set(
-                df.select(v_num.alias("_v"))
-                .where(F.col("_v").isNotNull())
-                .approxQuantile("_v", probs, max(0.0001, 1.0 / (8 * P)))
-            )
-        )
-    if bounds:
+        # literal, shared by ALL downstream subtrees. Callers running
+        # several passes over the same order domain compute this once
+        # via _order_bounds and pass it down (one approxQuantile job
+        # instead of one per pass).
+        bounds = _order_bounds(df, order_col, P)
+    if bounds and v_num is not None:
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         # count of boundaries ≤ v: monotone in order_col (the numeric
         # views above are order-preserving), deterministic, O(P)
@@ -2770,6 +2805,32 @@ def _md5_bucket(domain: str, id_expr: Column, b: int, salt: str) -> Column:
     ).cast("long")
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string for embedding in a Spark SQL single-quoted
+    literal (default parser semantics: backslash escapes active)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _bq(c: str) -> str:
+    """Quote a column name as a backticked SQL identifier."""
+    return "`" + c.replace("`", "``") + "`"
+
+
+def _md5_bucket_sql(domain: str, id_col: str, b: int, salt: str) -> str:
+    """SQL-text twin of :func:`_md5_bucket` — same expression tree
+    (same concat/substring/conv/cast chain, same slot arithmetic), but
+    parsed JVM-side in one round trip instead of ~12 py4j calls. The
+    resampling operators build O(B) of these per plan; profiled at
+    sf0.1 the Column-builder form spent 4.7 s of a 4.8 s plan build in
+    py4j socket I/O (21,717 round trips for B=40)."""
+    hi, slot = (b - 1) // 4, (b - 1) % 4
+    return (
+        f"CAST(conv(substring(md5(concat('{domain}:{hi}:', "
+        f"CAST({_bq(id_col)} AS STRING), '{_sql_str(salt)}')), "
+        f"{1 + 8 * slot}, 8), 16, 10) AS BIGINT)"
+    )
+
+
 def _two_sides(df: DataFrame, side_col: str, side_a, side_b,
                op_name: str):
     """Shared two-arm detection/validation (the welch_ttest contract):
@@ -2869,48 +2930,52 @@ def bootstrap_ci(
         raise TransformationError(
             "bootstrap_ci requires 0 < alpha < 0.5"
         )
-    x = _dec(value_col)
+    # Expression construction is SQL-text based: the Column-builder
+    # form of this plan costs ~21,700 py4j round trips (~4.8 s of
+    # driver wall per build, 3.6 s of it in the B weight chains alone
+    # — profiled at B=40); each F.expr below is ONE round trip and
+    # parses to the IDENTICAL expression tree (same CASE chain, same
+    # casts, same literals), so results are bit-identical.
+    v_sql = f"CAST({_bq(value_col)} AS DECIMAL(18,2))"  # = _dec()
 
-    def _w(b: int) -> Column:
-        bucket = _md5_bucket("boot", F.col(id_col), b, salt)
-        w = F.lit(9)
-        for k in range(len(_POISSON1_T) - 1, -1, -1):
-            w = F.when(bucket < F.lit(_POISSON1_T[k]), F.lit(k)).otherwise(
-                w
-            )
-        return w
+    def _w_sql(b: int) -> str:
+        # min k with bucket < T[k], else 9 — the _POISSON1_T inverse
+        # CDF lookup, textually (twin of the old F.when chain)
+        bucket = _md5_bucket_sql("boot", id_col, b, salt)
+        whens = " ".join(
+            f"WHEN {bucket} < {t} THEN {k}"
+            for k, t in enumerate(_POISSON1_T)
+        )
+        return f"CASE {whens} ELSE 9 END"
 
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(x).cast("decimal(38,2)").alias("_sx"),
+        F.expr(f"CAST(SUM({v_sql}) AS DECIMAL(38,2))").alias("_sx"),
     ]
     for b in range(1, B + 1):
-        w = _w(b)
-        aggs.append(F.sum(w).cast("long").alias(f"_w{b}"))
+        w = _w_sql(b)
+        aggs.append(F.expr(f"CAST(SUM({w}) AS BIGINT)").alias(f"_w{b}"))
         aggs.append(
-            F.sum(w.cast("decimal(19,0)") * x)
-            .cast("decimal(38,2)")
-            .alias(f"_wx{b}")
+            F.expr(
+                f"CAST(SUM(CAST({w} AS DECIMAL(19,0)) * {v_sql}) "
+                f"AS DECIMAL(38,2))"
+            ).alias(f"_wx{b}")
         )
     agg = (
         df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
         .groupBy(*group_by)
         .agg(*aggs)
     )
-    means = F.array_sort(
-        F.filter(
-            F.array(
-                *[
-                    F.when(
-                        F.col(f"_w{b}") > 0,
-                        _d(F.col(f"_wx{b}"))
-                        / F.col(f"_w{b}").cast("double"),
-                    )
-                    for b in range(1, B + 1)
-                ]
-            ),
-            lambda v: v.isNotNull(),
-        )
+    # CASE WHEN _wb > 0 THEN double(_wxb)/double(_wb) END per replicate
+    # (the _d() string-roundtrip double cast, textually), filtered
+    # non-null and sorted — twin of the old F.array/F.filter build
+    mean_terms = ", ".join(
+        f"CASE WHEN _w{b} > 0 THEN CAST(CAST(_wx{b} AS STRING) AS DOUBLE)"
+        f" / CAST(_w{b} AS DOUBLE) END"
+        for b in range(1, B + 1)
+    )
+    means = F.expr(
+        f"array_sort(filter(array({mean_terms}), v -> v IS NOT NULL))"
     )
     agg = agg.withColumn("_means", means)
     m = F.size("_means")
@@ -3036,9 +3101,10 @@ def permutation_test(
         x.alias("_x"), F.col(id_col).cast("string").alias("_id")
     ).crossJoin(F.broadcast(thr))
 
-    def _bucket(b: int) -> Column:
-        return _md5_bucket("perm", F.col("_id"), b, salt)
-
+    # SQL-text expression construction (the bootstrap_ci device): each
+    # per-replicate aggregate is ONE F.expr parse instead of ~30 py4j
+    # round trips; the parsed tree is identical to the old Column
+    # build, so results are bit-identical.
     aggs = [
         # max over an EMPTY base (all rows null-filtered) is NULL —
         # coalesce to 0 so the counts honor the "NULL everywhere but
@@ -3049,16 +3115,17 @@ def permutation_test(
         F.max("_xb").alias("_xb"),
     ]
     for b in range(1, B + 1):
-        coin = _bucket(b) < F.col("_thr")
+        coin = f"{_md5_bucket_sql('perm', '_id', b, salt)} < _thr"
         aggs.append(
-            F.sum(F.when(coin, 1).otherwise(0)).cast("long").alias(
-                f"_c{b}"
-            )
+            F.expr(
+                f"CAST(SUM(CASE WHEN {coin} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"_c{b}")
         )
         aggs.append(
-            F.sum(F.when(coin, F.col("_x")))
-            .cast("decimal(38,2)")
-            .alias(f"_s{b}")
+            F.expr(
+                f"CAST(SUM(CASE WHEN {coin} THEN _x END) "
+                f"AS DECIMAL(38,2))"
+            ).alias(f"_s{b}")
         )
     agg = j.agg(*aggs)
     n = (F.col("n_a") + F.col("n_b")).cast("long")
@@ -3075,25 +3142,25 @@ def permutation_test(
     rep_valid = []
     rep_extreme = []
     for b in range(1, B + 1):
-        ca = F.col(f"_c{b}")
-        cb = F.col("_n") - ca
-        sa = F.coalesce(
-            F.col(f"_s{b}"), F.lit(0).cast("decimal(38,2)")
+        ca = f"_c{b}"
+        cb = f"(_n - _c{b})"
+        sa = f"coalesce(_s{b}, CAST(0 AS DECIMAL(38,2)))"
+        sb = f"CAST((_tot - {sa}) AS DECIMAL(38,2))"
+        ok = f"(({ca} > 0) AND ({cb} > 0))"
+        d_b = (
+            f"(CAST(CAST({sa} AS STRING) AS DOUBLE)"
+            f" / CAST({ca} AS DOUBLE)"
+            f" - CAST(CAST({sb} AS STRING) AS DOUBLE)"
+            f" / CAST({cb} AS DOUBLE))"
         )
-        sb = (F.col("_tot") - sa).cast("decimal(38,2)")
-        ok = (ca > 0) & (cb > 0)
-        d_b = _d(sa) / ca.cast("double") - _d(sb) / cb.cast("double")
-        rep_valid.append(F.when(ok, 1).otherwise(0))
+        rep_valid.append(f"(CASE WHEN {ok} THEN 1 ELSE 0 END)")
         rep_extreme.append(
-            F.when(
-                ok & (F.abs(d_b) >= F.abs(F.col("_dobs"))), 1
-            ).otherwise(0)
+            f"(CASE WHEN ({ok} AND (abs({d_b}) >= abs(_dobs)))"
+            f" THEN 1 ELSE 0 END)"
         )
-    m = sum(rep_valid[1:], rep_valid[0])
-    ne = sum(rep_extreme[1:], rep_extreme[0])
-    agg = agg.withColumn("_m", m.cast("long")).withColumn(
-        "_ne", ne.cast("long")
-    )
+    agg = agg.withColumn(
+        "_m", F.expr(" + ".join(rep_valid)).cast("long")
+    ).withColumn("_ne", F.expr(" + ".join(rep_extreme)).cast("long"))
     usable = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return agg.select(
         "n_a",
@@ -4069,10 +4136,7 @@ def quantile_normalize(
             f"quantile_normalize: output column already in schema: {out}"
         )
     spark = df.sparkSession
-    P = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    P = _shuffle_partitions(spark, num_partitions)
 
     def _hist(frame: DataFrame, col: str) -> DataFrame:
         return (

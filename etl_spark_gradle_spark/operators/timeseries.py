@@ -1670,13 +1670,28 @@ def ewma(
         y: float | None = None
         for pdf in batches:
             xs = pdf[value_col].tolist()
-            kcols = [pdf[k].tolist() for k in keys]
             n = len(xs)
+            # vectorized key-boundary detection (the per-row tuple
+            # build + compare was ~40% of the fold loop at 600k rows /
+            # 20k keys): a row starts a new key iff any key column
+            # differs from the previous row; row 0 compares against
+            # the carried key from the previous batch. The fold itself
+            # stays the exact per-row a*x + b*y_prev recursion — same
+            # three IEEE ops in the same order, bit-identical output.
+            new_key = None
+            for k in keys:
+                col = pdf[k]
+                nk = col.ne(col.shift()).to_numpy(copy=False)
+                new_key = nk if new_key is None else (new_key | nk)
+            if n:
+                first = tuple(pdf[k].iloc[0] for k in keys)
+                new_key[0] = first != prev_key
+                prev_key = tuple(pdf[k].iloc[n - 1] for k in keys)
+            nk_list = new_key.tolist() if n else []
             ys: list[float | None] = [None] * n
             for i in range(n):
-                k = tuple(c[i] for c in kcols)
-                if k != prev_key:
-                    prev_key, y = k, None
+                if nk_list[i]:
+                    y = None
                 x = xs[i]
                 if x is not None and x == x:  # None/NaN: carry state
                     y = x if y is None else a * x + b * y
@@ -1765,10 +1780,25 @@ def kaplan_meier(
         )
         cum = broadcast_group_join(cum, totals, group_by, how="inner")
     else:
-        pts = pts.withColumn("_rm", F.col("_d") + F.col("_c"))
-        cum = _prefix_sums(pts, "_t", ["_rm"], num_partitions).withColumnRenamed(
-            "cum__rm", "_cum_rm"
+        from etl_spark_gradle_spark.operators.stats import (
+            _order_bounds,
+            _shuffle_partitions,
         )
+
+        pts = pts.withColumn("_rm", F.col("_d") + F.col("_c"))
+        # Pin the histogram ONCE and derive the range-bucket bounds
+        # ONCE: both prefix passes below order by the same _t domain,
+        # so sharing the pin + bounds drops one localCheckpoint and
+        # one approxQuantile job from the build (~0.6 s of the q29
+        # bench wall; bounds reuse is correctness-neutral — any fixed
+        # boundary list yields a monotone bucket id).
+        pts = pts.localCheckpoint(eager=True)
+        P = _shuffle_partitions(df.sparkSession, num_partitions)
+        bounds = _order_bounds(pts, "_t", P)
+        cum = _prefix_sums(
+            pts, "_t", ["_rm"], num_partitions,
+            assume_pinned=True, bounds=bounds,
+        ).withColumnRenamed("cum__rm", "_cum_rm")
         totals = pts.agg(F.sum("_rm").cast("long").alias("_n_tot"))
         cum = cum.crossJoin(F.broadcast(totals))
     n_risk = (F.col("_n_tot") - (F.col("_cum_rm") - F.col("_rm"))).cast(
@@ -1802,13 +1832,17 @@ def kaplan_meier(
             "_cum_dead", F.sum("_dead").over(w2)
         )
     else:
-        # second prefix pass over the same histogram-sized frame
+        # second prefix pass over the same histogram-sized frame:
+        # reuse the pass-1 bounds (same _t domain — one approxQuantile
+        # job instead of two); the checkpoint stays (the pass-1 window
+        # + join would otherwise re-execute once per pass-2 subtree)
         cum = _prefix_sums(
             cum.select(*group_by, "_t", "_n_risk", "_d", "_c", "_lq",
                        "_dead"),
             "_t",
             ["_lq", "_dead"],
             num_partitions,
+            bounds=bounds,
         ).withColumnRenamed("cum__lq", "_cum_lq").withColumnRenamed(
             "cum__dead", "_cum_dead"
         )

@@ -37,6 +37,13 @@ _DEFAULTS: dict[str, str] = {
     # transformer/MapTransformerSpec.scala:72-100 behavior on Spark 4.
     "spark.sql.ansi.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
+    # PySpark 4 captures the user call site (a stack walk + a py4j
+    # round trip) on EVERY DataFrame/Column API call to enrich error
+    # messages. On wide-expression operators that is pure driver-side
+    # plan-construction overhead: profiled at ~15% of bootstrap_ci's
+    # 21k py4j round trips (guide §7.3 planning-time class). Purely a
+    # diagnostics knob — zero effect on plans or results.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # task retry posture (reference: 3 retries, README.md:272 /
     # application.conf:21-22). maxFailures counts attempts, so 4 = 3
