@@ -165,22 +165,29 @@ def bpe_tokenize(
     ws = _re.compile(_WS_SPLIT)
 
     def gen(it):
-        cache: dict[str, list[str]] = {}
+        # cache value carries (tokens, word char count): n_chars then
+        # accumulates per WORD instead of per token (sum-of-token-lens
+        # re-walked every token of every doc — the Zipf tail makes the
+        # per-word add ~5x rarer than the per-token len it replaces)
+        cache: dict[str, tuple[list[str], int]] = {}
         for pdf in it:
             toks_col, n_col, c_col = [], [], []
             for text in pdf["__text"]:
                 toks: list[str] = []
+                extend = toks.extend
+                nch = 0
                 for w in ws.split((text or "").lower()):
                     if not w:
                         continue
-                    t = cache.get(w)
-                    if t is None:
-                        t = bpe_encode_word(w, ranks)
-                        cache[w] = t
-                    toks.extend(t)
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = (bpe_encode_word(w, ranks), len(w))
+                        cache[w] = hit
+                    extend(hit[0])
+                    nch += hit[1]
                 toks_col.append(toks)
                 n_col.append(len(toks))
-                c_col.append(sum(len(t) for t in toks))
+                c_col.append(nch)
             yield pd.DataFrame(
                 {
                     "id": pdf["__id"],

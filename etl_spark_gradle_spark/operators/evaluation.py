@@ -1447,7 +1447,10 @@ def pr_curve(
 
     Output: ``threshold`` (the score, original type) + ``tp``/``fp``/
     ``fn`` (long) + ``precision``/``recall``/``f1`` (double)."""
-    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+    from etl_spark_gradle_spark.operators.stats import (
+        _pin_with_bounds,
+        _prefix_sums,
+    )
 
     _check_cols(df, [score_col, label_col])
     pos = F.col(label_col).cast("int")
@@ -1458,19 +1461,24 @@ def pr_curve(
             F.count(F.lit(1)).cast("long").alias("_cnt"),
             F.sum(pos).cast("long").alias("_pos"),
         )
-        # feeds the prefix-sum scan AND the 1-row totals branch
-        .localCheckpoint(eager=True)
+    )
+    # fused pin: checkpoint + range bounds + totals in ONE job (was
+    # three: checkpoint, approxQuantile, totals subtree + broadcast)
+    per_score, bounds, got = _pin_with_bounds(
+        per_score, "_s", num_partitions,
+        metrics=[
+            F.sum("_cnt").cast("long").alias("_n"),
+            F.sum("_pos").cast("long").alias("_p"),
+        ],
     )
     # prefix sums ASCENDING in score; >= t cumulative = total - below(t)
     cum = _prefix_sums(
         per_score, "_s", ["_cnt", "_pos"], num_partitions,
-        assume_pinned=True,
+        assume_pinned=True, bounds=bounds,
     )
-    totals = per_score.agg(
-        F.sum("_cnt").cast("long").alias("_n"),
-        F.sum("_pos").cast("long").alias("_p"),
+    j = cum.withColumn("_n", F.lit(got["_n"]).cast("long")).withColumn(
+        "_p", F.lit(got["_p"]).cast("long")
     )
-    j = cum.crossJoin(F.broadcast(totals))
     tp = F.col("_p") - (F.col("cum__pos") - F.col("_pos"))
     at_or_above = F.col("_n") - (F.col("cum__cnt") - F.col("_cnt"))
     fp = at_or_above - tp
@@ -1562,19 +1570,26 @@ def average_precision(
             F.sum("_pos").over(w_tot).cast("long").alias("_p"),
         )
     else:
-        # pin ONCE: the histogram feeds the prefix-sum scan AND the
-        # 1-row totals branch (two lazy references would re-execute
-        # the raw-data reduction twice — the logrank lesson)
-        per_score = per_score.localCheckpoint(eager=True)
+        # fused pin: checkpoint + range bounds + totals in ONE job
+        # (two lazy references would re-execute the raw-data reduction
+        # twice — the logrank lesson; the totals now attach as driver
+        # literals instead of a 1-row broadcast crossJoin)
+        from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
+
+        per_score, bounds, got = _pin_with_bounds(
+            per_score, "_s", num_partitions,
+            metrics=[
+                F.sum("_cnt").cast("long").alias("_n"),
+                F.sum("_pos").cast("long").alias("_p"),
+            ],
+        )
         cum = _prefix_sums(
             per_score, "_s", ["_cnt", "_pos"], num_partitions,
-            assume_pinned=True,
+            assume_pinned=True, bounds=bounds,
         )
-        totals = per_score.agg(
-            F.sum("_cnt").cast("long").alias("_n"),
-            F.sum("_pos").cast("long").alias("_p"),
+        cum = cum.withColumn("_n", F.lit(got["_n"]).cast("long")).withColumn(
+            "_p", F.lit(got["_p"]).cast("long")
         )
-        cum = cum.crossJoin(F.broadcast(totals))
     tp = (F.col("_p") - (F.col("cum__pos") - F.col("_pos"))).cast("long")
     aoa = (F.col("_n") - (F.col("cum__cnt") - F.col("_cnt"))).cast("long")
     # per-score AP term, nano-quantized: fixed operand order the
@@ -1775,7 +1790,10 @@ def roc_curve(
     Output: ``threshold`` + ``tp``/``fp``/``tn``/``fn`` (long) +
     ``tpr``/``fpr``/``youden_j`` (double; NULL when the respective
     class is empty)."""
-    from etl_spark_gradle_spark.operators.stats import _prefix_sums
+    from etl_spark_gradle_spark.operators.stats import (
+        _pin_with_bounds,
+        _prefix_sums,
+    )
 
     _check_cols(df, [score_col, label_col])
     pos = F.col(label_col).cast("int")
@@ -1786,18 +1804,23 @@ def roc_curve(
             F.count(F.lit(1)).cast("long").alias("_cnt"),
             F.sum(pos).cast("long").alias("_pos"),
         )
-        # feeds the prefix-sum scan AND the 1-row totals branch
-        .localCheckpoint(eager=True)
+    )
+    # fused pin: checkpoint + range bounds + totals in ONE job (was
+    # three: checkpoint, approxQuantile, totals subtree + broadcast)
+    per_score, bounds, got = _pin_with_bounds(
+        per_score, "_s", num_partitions,
+        metrics=[
+            F.sum("_cnt").cast("long").alias("_n"),
+            F.sum("_pos").cast("long").alias("_p"),
+        ],
     )
     cum = _prefix_sums(
         per_score, "_s", ["_cnt", "_pos"], num_partitions,
-        assume_pinned=True,
+        assume_pinned=True, bounds=bounds,
     )
-    totals = per_score.agg(
-        F.sum("_cnt").cast("long").alias("_n"),
-        F.sum("_pos").cast("long").alias("_p"),
+    j = cum.withColumn("_n", F.lit(got["_n"]).cast("long")).withColumn(
+        "_p", F.lit(got["_p"]).cast("long")
     )
-    j = cum.crossJoin(F.broadcast(totals))
     tp = (F.col("_p") - (F.col("cum__pos") - F.col("_pos"))).cast("long")
     at_or_above = (F.col("_n") - (F.col("cum__cnt") - F.col("_cnt"))).cast(
         "long"

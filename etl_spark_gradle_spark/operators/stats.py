@@ -1811,22 +1811,26 @@ def pettitt_test(
     )
     joined = pts.join(ranks, "_v")
     dec = "decimal(38,0)"
-    per_t = (
-        joined.groupBy("_t")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("_ct"),
-            F.sum(F.col("_r2").cast(dec)).cast(dec).alias("_sr2"),
-        )
-        # pinned ONCE: feeds the time-ordered scan AND the totals
-        .localCheckpoint(eager=True)
+    per_t = joined.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_ct"),
+        F.sum(F.col("_r2").cast(dec)).cast(dec).alias("_sr2"),
+    )
+    # fused pin: checkpoint + range bounds + the n total in ONE job;
+    # n attaches as a driver literal instead of a 1-row broadcast
+    per_t, bounds, got = _pin_with_bounds(
+        per_t, "_t", num_partitions,
+        metrics=[F.sum("_ct").cast("long").alias("n")],
     )
     cum = _prefix_sums(
-        per_t, "_t", ["_ct", "_sr2"], num_partitions, assume_pinned=True
+        per_t, "_t", ["_ct", "_sr2"], num_partitions, assume_pinned=True,
+        bounds=bounds,
     )
-    totals = per_t.agg(
-        F.sum("_ct").cast("long").alias("n")
-    ).where(F.col("n") > 0)
-    j = cum.crossJoin(F.broadcast(totals))
+    n_tot = got["n"]
+    j = cum.withColumn("n", F.lit(n_tot).cast("long"))
+    if not n_tot:
+        # empty input empties the frame exactly where the old
+        # filtered-totals crossJoin did
+        j = j.where(F.lit(False))
     u = (
         F.col("cum__ct").cast(dec) * (F.col("n") + 1).cast(dec)
         - F.col("cum__sr2")
@@ -2151,17 +2155,28 @@ def anderson_darling_drift(
             F.sum("ca").cast("long").alias("ca"),
             F.sum("cb").cast("long").alias("cb"),
         )
-        # pinned ONCE: feeds the prefix-sum scan AND the totals branch
-        .localCheckpoint(eager=True)
+    )
+    # fused pin: checkpoint + range bounds + side totals in ONE job;
+    # totals attach as driver literals instead of a 1-row broadcast
+    pooled, bounds, got = _pin_with_bounds(
+        pooled, "v", num_partitions,
+        metrics=[
+            F.sum("ca").cast("long").alias("n_a"),
+            F.sum("cb").cast("long").alias("n_b"),
+        ],
     )
     cum = _prefix_sums(
-        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True
+        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True,
+        bounds=bounds,
     )
-    totals = pooled.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
-    ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
-    j = cum.crossJoin(F.broadcast(totals))
+    n_a, n_b = got["n_a"], got["n_b"]
+    j = cum.withColumn("n_a", F.lit(n_a).cast("long")).withColumn(
+        "n_b", F.lit(n_b).cast("long")
+    )
+    if not (n_a and n_b):
+        # an empty side empties the frame exactly where the old
+        # filtered-totals crossJoin did
+        j = j.where(F.lit(False))
     # doubled midranks: exact integers (2M = 2·cum_incl − own count)
     t = (F.col("ca") + F.col("cb")).cast("double")
     ua = (F.lit(2) * F.col("cum_ca") - F.col("ca")).cast("double")
@@ -2605,25 +2620,35 @@ def rank_sum_drift(
             F.sum("ca").cast("long").alias("ca"),
             F.sum("cb").cast("long").alias("cb"),
         )
-        # materialize ONCE: the count table feeds several lineages
-        # (cumsums, totals, peak/argmax) — without the pin each branch
-        # would replay the union + groupBy shuffle
-        .localCheckpoint(eager=True)
+    )
+    # fused pin: checkpoint + range bounds + side totals in ONE job
+    # (the count table feeds the cumsum and totals lineages; totals
+    # attach as driver literals instead of a 1-row broadcast)
+    pooled, bounds, got = _pin_with_bounds(
+        pooled, "v", num_partitions,
+        metrics=[
+            F.sum("ca").cast("long").alias("n_a"),
+            F.sum("cb").cast("long").alias("n_b"),
+        ],
     )
     cum = _prefix_sums(
-        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True
+        pooled, "v", ["ca", "cb"], num_partitions, assume_pinned=True,
+        bounds=bounds,
     )
-    totals = pooled.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
-    ).where(F.col("n_a") > 0).where(F.col("n_b") > 0)
+    n_a, n_b = got["n_a"], got["n_b"]
+    j = cum.withColumn("n_a", F.lit(n_a).cast("long")).withColumn(
+        "n_b", F.lit(n_b).cast("long")
+    )
+    if not (n_a and n_b):
+        # an empty side empties the frame exactly where the old
+        # filtered-totals crossJoin did
+        j = j.where(F.lit(False))
     dec = "decimal(19,0)"  # full long range: no silent NULL-on-overflow window (ADVICE r4)
     term = F.col("ca").cast(dec) * (
         F.lit(2).cast(dec) * F.col("cum_cb").cast(dec) - F.col("cb").cast(dec)
     )
     return (
-        cum.crossJoin(F.broadcast(totals))
-        .groupBy("n_a", "n_b")
+        j.groupBy("n_a", "n_b")
         .agg(F.sum(term).cast("decimal(38,0)").alias("_u2"))
         .select(
             "n_a",
@@ -3895,15 +3920,22 @@ def exact_quantiles(
             "_n", F.sum("c").over(w_all).cast("long")
         )
     else:
-        # pin once: counts feeds the cumsum AND the totals branch
-        counts = counts.localCheckpoint(eager=True)
+        # fused pin: checkpoint + range bounds + grand total in ONE
+        # job; _n attaches as a driver literal
+        counts, bounds, got = _pin_with_bounds(
+            counts, "v", num_partitions,
+            metrics=[F.sum("c").cast("long").alias("_n")],
+        )
         cum = _prefix_sums(
-            counts, "v", ["c"], num_partitions, assume_pinned=True
+            counts, "v", ["c"], num_partitions, assume_pinned=True,
+            bounds=bounds,
         )
-        total = counts.agg(F.sum("c").cast("long").alias("_n")).where(
-            F.col("_n") > 0
-        )
-        j = cum.crossJoin(F.broadcast(total))
+        n_tot = got["_n"]
+        j = cum.withColumn("_n", F.lit(n_tot).cast("long"))
+        if not n_tot:
+            # empty input empties the frame exactly where the old
+            # filtered-totals crossJoin did
+            j = j.where(F.lit(False))
     aggs = []
     if interpolation == "lower":
         for p in probs:
@@ -4026,14 +4058,20 @@ def ecdf(
             F.sum("_ecdf_c").over(Window.partitionBy(*group_by)).cast("long"),
         )
     else:
-        # pin once: counts feeds the cumsum AND the totals branch
-        counts = counts.localCheckpoint(eager=True)
+        # fused pin: checkpoint + range bounds + grand total in ONE
+        # job; the total attaches as a driver literal (the totals
+        # aggregate here has no >0 filter — an empty input yields an
+        # empty cum frame either way)
+        counts, bounds, got = _pin_with_bounds(
+            counts, "v", num_partitions,
+            metrics=[F.sum("_ecdf_c").cast("long").alias("_ecdf_n")],
+        )
         cum = _prefix_sums(
-            counts, "v", ["_ecdf_c"], num_partitions, assume_pinned=True
+            counts, "v", ["_ecdf_c"], num_partitions, assume_pinned=True,
+            bounds=bounds,
         )
         cum = cum.withColumnRenamed("cum__ecdf_c", "_ecdf_cum")
-        total = counts.agg(F.sum("_ecdf_c").cast("long").alias("_ecdf_n"))
-        cdf = cum.crossJoin(F.broadcast(total))
+        cdf = cum.withColumn("_ecdf_n", F.lit(got["_ecdf_n"]).cast("long"))
     cdf = cdf.select(
         *[F.col(c).alias(f"__bg_{c}") for c in group_by],
         F.col("v").alias("__bg_v"),
@@ -4223,22 +4261,31 @@ def quantile_normalize(
     spark = df.sparkSession
     P = _shuffle_partitions(spark, num_partitions)
 
-    def _hist(frame: DataFrame, col: str) -> DataFrame:
-        return (
+    def _hist(frame: DataFrame, col: str, alias: str):
+        # fused pin per histogram: checkpoint + range bounds + grand
+        # total in ONE job (was three: checkpoint, approxQuantile
+        # inside _prefix_sums, and a totals branch/collect)
+        h = (
             frame.select(F.col(col).alias("v"))
             .where(F.col("v").isNotNull())
             .groupBy("v")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .localCheckpoint(eager=True)
+        )
+        return _pin_with_bounds(
+            h, "v", num_partitions,
+            metrics=[F.sum("c").cast("long").alias(alias)],
         )
 
-    hx = _hist(df, value_col)
-    hr = _hist(ref, ref_col)
-    cum_x = _prefix_sums(hx, "v", ["c"], num_partitions, assume_pinned=True)
-    cum_r = _prefix_sums(hr, "v", ["c"], num_partitions, assume_pinned=True)
-    n_x = hx.agg(F.sum("c").cast("long").alias("_nx"))
-    n_r = hr.agg(F.sum("c").cast("long").alias("_nr"))
-    n_r_val = n_r.collect()[0]["_nr"]
+    hx, bx, gx = _hist(df, value_col, "_nx")
+    hr, br, gr = _hist(ref, ref_col, "_nr")
+    cum_x = _prefix_sums(
+        hx, "v", ["c"], num_partitions, assume_pinned=True, bounds=bx
+    )
+    cum_r = _prefix_sums(
+        hr, "v", ["c"], num_partitions, assume_pinned=True, bounds=br
+    )
+    n_x_val = gx["_nx"]
+    n_r_val = gr["_nr"]
     if not n_r_val:
         raise TransformationError(
             "quantile_normalize: reference has no non-null values"
@@ -4248,8 +4295,8 @@ def quantile_normalize(
     # counts, and DIV is the exact integral quotient (no float, no
     # decimal-scale rounding hazard near integer boundaries)
     targets = (
-        cum_x.crossJoin(F.broadcast(n_x))
-        .crossJoin(F.broadcast(n_r))
+        cum_x.withColumn("_nx", F.lit(n_x_val).cast("long"))
+        .withColumn("_nr", F.lit(n_r_val).cast("long"))
         .select(
             F.col("v").alias("_qn_v"),
             F.greatest(

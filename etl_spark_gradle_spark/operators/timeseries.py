@@ -1780,27 +1780,24 @@ def kaplan_meier(
         )
         cum = broadcast_group_join(cum, totals, group_by, how="inner")
     else:
-        from etl_spark_gradle_spark.operators.stats import (
-            _order_bounds,
-            _shuffle_partitions,
-        )
+        from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
 
         pts = pts.withColumn("_rm", F.col("_d") + F.col("_c"))
-        # Pin the histogram ONCE and derive the range-bucket bounds
-        # ONCE: both prefix passes below order by the same _t domain,
-        # so sharing the pin + bounds drops one localCheckpoint and
-        # one approxQuantile job from the build (~0.6 s of the q29
-        # bench wall; bounds reuse is correctness-neutral — any fixed
-        # boundary list yields a monotone bucket id).
-        pts = pts.localCheckpoint(eager=True)
-        P = _shuffle_partitions(df.sparkSession, num_partitions)
-        bounds = _order_bounds(pts, "_t", P)
+        # Fused pin: checkpoint + range-bucket bounds + the _rm grand
+        # total in ONE job (was three: checkpoint, approxQuantile,
+        # totals subtree + broadcast). Both prefix passes below order
+        # by the same _t domain, so the bounds are shared; bounds
+        # reuse is correctness-neutral — any fixed boundary list
+        # yields a monotone bucket id.
+        pts, bounds, got = _pin_with_bounds(
+            pts, "_t", num_partitions,
+            metrics=[F.sum("_rm").cast("long").alias("_n_tot")],
+        )
         cum = _prefix_sums(
             pts, "_t", ["_rm"], num_partitions,
             assume_pinned=True, bounds=bounds,
         ).withColumnRenamed("cum__rm", "_cum_rm")
-        totals = pts.agg(F.sum("_rm").cast("long").alias("_n_tot"))
-        cum = cum.crossJoin(F.broadcast(totals))
+        cum = cum.withColumn("_n_tot", F.lit(got["_n_tot"]).cast("long"))
     n_risk = (F.col("_n_tot") - (F.col("_cum_rm") - F.col("_rm"))).cast(
         "long"
     )
@@ -2205,19 +2202,28 @@ def logrank_test(
             F.sum(is_b).cast("long").alias("_r2"),
         )
     )
-    # pin the histogram ONCE: totals derive from it directly rather
-    # than from max(cum) — a cum-based aggregate would reference the
-    # prefix-sum window subtree a second time (two plan copies of the
-    # bounded offsets window, and a re-execution)
-    pts = pts.localCheckpoint(eager=True)
+    # fused pin: checkpoint + range bounds + arm totals in ONE job.
+    # Totals derive from the histogram directly rather than from
+    # max(cum) — a cum-based aggregate would reference the prefix-sum
+    # window subtree a second time (two plan copies of the bounded
+    # offsets window, and a re-execution) — and attach as driver
+    # literals instead of a 1-row broadcast crossJoin.
+    from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
+
+    pts, bounds, got = _pin_with_bounds(
+        pts, "_t", num_partitions,
+        metrics=[
+            F.sum("_r1").cast("long").alias("_n1"),
+            F.sum("_r2").cast("long").alias("_n2"),
+        ],
+    )
     cum = _prefix_sums(
-        pts, "_t", ["_r1", "_r2"], num_partitions, assume_pinned=True
+        pts, "_t", ["_r1", "_r2"], num_partitions, assume_pinned=True,
+        bounds=bounds,
     )
-    totals = pts.agg(
-        F.sum("_r1").cast("long").alias("_n1"),
-        F.sum("_r2").cast("long").alias("_n2"),
+    cum = cum.withColumn("_n1", F.lit(got["_n1"]).cast("long")).withColumn(
+        "_n2", F.lit(got["_n2"]).cast("long")
     )
-    cum = cum.crossJoin(F.broadcast(totals))
     n1 = (F.col("_n1") - (F.col("cum__r1") - F.col("_r1"))).cast("double")
     n2 = (F.col("_n2") - (F.col("cum__r2") - F.col("_r2"))).cast("double")
     n = n1 + n2
@@ -2355,21 +2361,26 @@ def aalen_johansen(
         # feeds the per-time reduction AND the per-cause join back
         .localCheckpoint(eager=True)
     )
-    per_t = (
-        cells.groupBy("_t")
-        .agg(
-            F.sum(F.when(F.col("_k") != "0", F.col("_m")).otherwise(0))
-            .cast("long")
-            .alias("_d"),
-            F.sum(F.col("_m")).cast("long").alias("_rm"),
-        )
-        .localCheckpoint(eager=True)
+    per_t = cells.groupBy("_t").agg(
+        F.sum(F.when(F.col("_k") != "0", F.col("_m")).otherwise(0))
+        .cast("long")
+        .alias("_d"),
+        F.sum(F.col("_m")).cast("long").alias("_rm"),
+    )
+    # fused pin: checkpoint + range bounds + grand total in ONE job;
+    # the total attaches as a driver literal instead of a 1-row
+    # broadcast crossJoin
+    from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
+
+    per_t, bounds, got = _pin_with_bounds(
+        per_t, "_t", num_partitions,
+        metrics=[F.sum("_rm").cast("long").alias("_n_tot")],
     )
     cum = _prefix_sums(
-        per_t, "_t", ["_rm"], num_partitions, assume_pinned=True
+        per_t, "_t", ["_rm"], num_partitions, assume_pinned=True,
+        bounds=bounds,
     )
-    totals = per_t.agg(F.sum("_rm").cast("long").alias("_n_tot"))
-    cum = cum.crossJoin(F.broadcast(totals))
+    cum = cum.withColumn("_n_tot", F.lit(got["_n_tot"]).cast("long"))
     n_risk = (F.col("_n_tot") - (F.col("_cum_rm") - F.col("_rm"))).cast(
         "long"
     )
@@ -2390,11 +2401,14 @@ def aalen_johansen(
         )
     ).cast("long")
     cum = cum.withColumn("_lq", lq).withColumn("_dead", dead)
+    # second prefix pass over the same _t domain: reuse the pass-1
+    # bounds (one bounds job for both passes)
     cum = _prefix_sums(
         cum.select("_t", "_n_risk", "_d", "_lq", "_dead"),
         "_t",
         ["_lq", "_dead"],
         num_partitions,
+        bounds=bounds,
     )
     # EXCLUSIVE survival S(t−): subtract the own term from the
     # inclusive scan — exact integer arithmetic before the one exp
@@ -2567,18 +2581,24 @@ def cox_ph(
                     ).cast("decimal(38,10)")
                 ).alias(f"_w2_{k}_{l}")
             )
-        per_t = terms.groupBy("_t").agg(*aggs).localCheckpoint(eager=True)
         sum_cols = (
             ["_w0"]
             + [f"_w1_{k}" for k in range(p)]
             + [f"_w2_{k}_{l}" for k, l in pairs]
         )
-        cum = _prefix_sums(
-            per_t, "_t", sum_cols, num_partitions, assume_pinned=True
+        # fused pin: checkpoint + range bounds + ALL suffix-sum grand
+        # totals in ONE job (was three: checkpoint, approxQuantile,
+        # and a separate 1-row collect)
+        from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
+
+        per_t, bounds, tot = _pin_with_bounds(
+            terms.groupBy("_t").agg(*aggs), "_t", num_partitions,
+            metrics=[F.sum(c).alias(c) for c in sum_cols],
         )
-        tot = per_t.agg(
-            *[F.sum(c).alias(c) for c in sum_cols]
-        ).collect()[0]
+        cum = _prefix_sums(
+            per_t, "_t", sum_cols, num_partitions, assume_pinned=True,
+            bounds=bounds,
+        )
         # suffix sums: S(t) = total − cum_{<t} = total − (cum − at_t)
         def suffix(c: str):
             return (
