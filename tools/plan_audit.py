@@ -740,11 +740,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ),
     (
         "quantile_normalize",
-        "quantile normalization: totals broadcast (1-row nested-loop "
-        "is fine), rank lookup via the binned range join, no "
-        "cartesian, no python",
+        "quantile normalization: totals as driver literals (fused "
+        "pin — no 1-row nested-loop attach), rank lookup via the "
+        "binned range join, no cartesian, no python",
         ["BroadcastHashJoin"],
-        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "mad_outliers",
@@ -996,22 +997,22 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         "ONCE (ExistingRDD — raw parquet scanned a single time behind "
         "the eager checkpoint, feeding both the scan and the totals "
         "branch), cumulative tp/at-or-above ride the two-level "
-        "prefix-sum scan (per-_pid windows), totals attach as a 1-row "
-        "broadcast; nano-quantized terms sum as longs; no python",
-        ["hashpartitioning(_pid", "ExistingRDD",
-         "BroadcastNestedLoopJoin"],
+        "prefix-sum scan (per-_pid windows), totals attach as driver "
+        "literals from the fused pin observation; nano-quantized terms sum as longs; no python",
+        ["hashpartitioning(_pid", "ExistingRDD"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "anderson_darling",
         "Anderson-Darling drift: both sides reduce onto ONE pinned "
         "pooled histogram (ExistingRDD); midrank cumulative counts "
-        "ride the two-level scan; totals broadcast; nano-quantized "
+        "ride the two-level scan; totals as driver literals (fused pin); nano-quantized "
         "per-value terms sum as longs; no python",
-        ["hashpartitioning(_pid", "ExistingRDD",
-         "BroadcastNestedLoopJoin"],
+        ["hashpartitioning(_pid", "ExistingRDD"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
@@ -1020,31 +1021,31 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         "cumulative counts via the two-level scan, value gaps from a "
         "_pid-partitioned lead + bounded bucket-firsts repair; "
         "nano-quantized segment terms sum as longs; no python",
-        ["hashpartitioning(_pid", "ExistingRDD",
-         "BroadcastNestedLoopJoin"],
+        ["hashpartitioning(_pid", "ExistingRDD"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "kuiper",
         "Kuiper drift: pinned pooled histogram (ExistingRDD), "
-        "cumulative counts via the two-level scan, totals broadcast; "
+        "cumulative counts via the two-level scan, totals as driver literals (fused pin); "
         "both directional maxima are exact decimal maxes in ONE "
         "bounded aggregation; no python",
-        ["hashpartitioning(_pid", "ExistingRDD",
-         "BroadcastNestedLoopJoin"],
+        ["hashpartitioning(_pid", "ExistingRDD"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "cramer_von_mises",
         "Cramer-von Mises drift: pinned pooled histogram "
         "(ExistingRDD), cumulative counts via the two-level scan, "
-        "totals broadcast; nano-quantized per-value terms sum as "
+        "totals as driver literals (fused pin); nano-quantized per-value terms sum as "
         "longs; no python",
-        ["hashpartitioning(_pid", "ExistingRDD",
-         "BroadcastNestedLoopJoin"],
+        ["hashpartitioning(_pid", "ExistingRDD"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
@@ -1053,9 +1054,9 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         "(ExistingRDD), two-level scan for cumulative counts, value "
         "gaps from the _pid-partitioned lead + bounded bucket-firsts "
         "repair; nano-quantized segment terms sum as longs; no python",
-        ["hashpartitioning(_pid", "ExistingRDD",
-         "BroadcastNestedLoopJoin"],
+        ["hashpartitioning(_pid", "ExistingRDD"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
@@ -1193,11 +1194,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         "pettitt",
         "Pettitt changepoint: value ranks and time-ordered U_t both "
         "ride two-level prefix-sum scans; one value-keyed rank join; "
-        "1-row totals broadcast; K + argmax close in a single "
+        "totals as driver literals (fused pin); K + argmax close in a single "
         "max(struct) aggregation; no python",
-        ["hashpartitioning(_pid", "ExistingRDD",
-         "BroadcastNestedLoopJoin"],
-        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+        ["hashpartitioning(_pid", "ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "cochran_q",
@@ -1231,11 +1232,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
         "roc_curve",
         "ROC curve: pinned distinct-score histogram (ExistingRDD — "
         "raw parquet scanned once), cumulative counts via the "
-        "two-level scan, 1-row broadcast totals; per-row divisions "
-        "only, no python",
-        ["hashpartitioning(_pid", "ExistingRDD",
-         "BroadcastNestedLoopJoin"],
+        "two-level scan, totals as driver literals (fused pin); "
+        "per-row divisions only, no python",
+        ["hashpartitioning(_pid", "ExistingRDD"],
         ["Scan parquet", "CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
@@ -1366,12 +1367,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     (
         "logrank",
         "log-rank: at-risk counts ride the two-level prefix-sum scan "
-        "(per-_pid windows), totals attach from the pinned histogram "
-        "as a 1-row broadcast; quantized O-E/variance sum exactly; "
-        "no python",
+        "(per-_pid windows), arm totals attach as driver literals "
+        "from the fused pin observation; quantized O-E/variance sum "
+        "exactly; no python",
         ["hashpartitioning(_pid"],
-        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
-         "ArrowEvalPython"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BroadcastNestedLoopJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
     ),
     (
         "theil_u",
