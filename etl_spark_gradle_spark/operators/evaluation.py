@@ -1442,8 +1442,9 @@ def pr_curve(
     cumulative counts ride ``stats._prefix_sums``' two-level scan
     (continuous scores make the distinct table O(n); a bare
     ``Window.orderBy`` would single-partition it, the exact cliff the
-    r9 ungrouped-auc audit found). Totals attach as a 1-row
-    broadcast. NULL score/label rows are excluded.
+    r9 ungrouped-auc audit found). Totals attach as driver literals
+    from the fused pin observation (no 1-row broadcast join in the
+    plan). NULL score/label rows are excluded.
 
     Output: ``threshold`` (the score, original type) + ``tp``/``fp``/
     ``fn`` (long) + ``precision``/``recall``/``f1`` (double)."""
@@ -1784,8 +1785,9 @@ def roc_curve(
     map-side to one (score, cnt, pos) row per distinct score, the
     cumulative counts ride ``stats._prefix_sums``' two-level scan
     (continuous scores make the distinct table O(n); a bare
-    ``Window.orderBy`` would single-partition it), totals attach as a
-    1-row broadcast. NULL score/label rows are excluded.
+    ``Window.orderBy`` would single-partition it), totals attach as
+    driver literals from the fused pin observation. NULL score/label
+    rows are excluded.
 
     Output: ``threshold`` + ``tp``/``fp``/``tn``/``fn`` (long) +
     ``tpr``/``fpr``/``youden_j`` (double; NULL when the respective

@@ -1990,8 +1990,8 @@ def ks_drift(
     and the remaining branches sit above the same ``groupBy(v)``
     exchange (AQE exchange reuse) — the raw inputs are scanned once
     each. The only sub-distributed pieces are bounded by the
-    PARTITION COUNT, not the data (the ≤P-row offset window and the
-    1-row totals broadcast)."""
+    PARTITION COUNT, not the data (the ≤P-row offset window; the side
+    totals come back as driver literals on the fused pin job)."""
     for df, side in ((df_a, "a"), (df_b, "b")):
         if value_col not in df.columns:
             raise TransformationError(
@@ -2130,7 +2130,7 @@ def anderson_darling_drift(
     (value, n_a, n_b) histogram (pinned — it feeds the scan and the
     totals branch); cumulative counts ride ``_prefix_sums``' two-level
     scan (continuous values never funnel one task); totals attach as
-    a 1-row broadcast; one bounded final aggregation. NULL values are
+    driver literals (fused pin); one bounded final aggregation. NULL values are
     excluded. A single distinct value (t = N) has an undefined weight
     and contributes 0; empty sides yield an empty frame.
 
@@ -2235,9 +2235,10 @@ def _two_sample_cdf(
     pinned ONCE because it feeds both the prefix-sum scan and the
     totals branch), cumulative counts ride ``_prefix_sums``'
     range-bucketed two-level scan (continuous values never funnel one
-    task), and the 1-row totals attach as a broadcast guarded n>0 on
-    BOTH sides, so drift against an empty side yields an EMPTY frame
-    (the ks_drift contract, ADVICE r4).
+    task), and the side totals attach as driver literals from the
+    fused pin job, guarded n>0 on BOTH sides, so drift against an
+    empty side yields an EMPTY frame (the ks_drift contract, ADVICE
+    r4).
 
     With ``with_gap=True`` each distinct value also carries ``_gap``
     = next distinct pooled value − v (NULL for the last value): a
@@ -2403,9 +2404,9 @@ def cramer_von_mises_drift(
     N/4·1e9 — the long sum holds to N ~ 3.6·10¹⁰ pooled rows.
 
     Plan at 100 TB: one pooled-histogram shuffle (pinned), the
-    two-level prefix-sum scan, a 1-row totals broadcast, one bounded
-    final aggregation. NULLs excluded; an empty side yields an empty
-    frame.
+    two-level prefix-sum scan, totals as driver literals from the
+    fused pin job, one bounded final aggregation. NULLs excluded; an
+    empty side yields an empty frame.
 
     Output: ONE row — ``n_a``/``n_b``/``n_values`` (long), ``cvm_t``
     (double)."""
