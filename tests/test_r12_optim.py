@@ -1,0 +1,160 @@
+"""Round-12 optimization internals: the fused pin+bounds+metrics job
+(`stats._pin_with_bounds`), the keyword-automaton worker cache, and
+the norm-precomputed cosine top-k — focused tests for the operator
+internals the optimization round changed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestPinWithBounds:
+    def test_metrics_come_back_as_driver_values(self, spark):
+        from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
+
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("v"), (F.col("id") % 7).alias("c")
+        )
+        pinned, bounds, got = _pin_with_bounds(
+            df, "v", 4, metrics=[F.sum("c").cast("long").alias("s"),
+                                 F.count(F.lit(1)).cast("long").alias("n")]
+        )
+        assert got["n"] == 1000
+        assert got["s"] == sum(i % 7 for i in range(1000))
+        # the pinned frame is the same relation, re-usable without
+        # re-executing upstream
+        assert pinned.count() == 1000
+
+    def test_bounds_are_sorted_distinct_floats(self, spark):
+        from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
+
+        df = spark.range(0, 10_000).select(F.col("id").alias("v"))
+        _, bounds, _ = _pin_with_bounds(df, "v", 4)
+        assert bounds == sorted(bounds)
+        assert len(bounds) == len(set(bounds))
+        assert all(isinstance(b, float) for b in bounds)
+        # P=4 asks for 3 interior quantiles of a dense domain
+        assert 1 <= len(bounds) <= 3
+
+    def test_empty_frame_yields_none_metrics_and_no_bounds(self, spark):
+        from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
+
+        df = (
+            spark.range(0, 10)
+            .select(F.col("id").alias("v"))
+            .where(F.lit(False))
+        )
+        pinned, bounds, got = _pin_with_bounds(
+            df, "v", 4, metrics=[F.sum("v").cast("long").alias("s")]
+        )
+        assert got["s"] is None
+        assert bounds == []
+        assert pinned.count() == 0
+
+    def test_non_numeric_order_column_skips_bounds(self, spark):
+        from etl_spark_gradle_spark.operators.stats import _pin_with_bounds
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "v string, c int"
+        )
+        pinned, bounds, got = _pin_with_bounds(
+            df, "v", 4, metrics=[F.sum("c").cast("long").alias("s")]
+        )
+        assert bounds == []
+        assert got["s"] == 3
+        assert pinned.count() == 2
+
+    def test_prefix_sums_consume_shared_bounds_identically(self, spark):
+        """_prefix_sums with caller-shared fused bounds must equal the
+        self-derived-bounds result row-for-row (ANY monotone boundary
+        list is valid — this locks the equivalence the rollout relies
+        on)."""
+        from etl_spark_gradle_spark.operators.stats import (
+            _pin_with_bounds,
+            _prefix_sums,
+        )
+
+        base = spark.range(0, 500).select(
+            F.col("id").alias("v"), F.lit(1).alias("c")
+        )
+        pinned, bounds, _ = _pin_with_bounds(base, "v", 4)
+        a = _prefix_sums(
+            pinned, "v", ["c"], 4, assume_pinned=True, bounds=bounds
+        ).orderBy("v").collect()
+        b = _prefix_sums(base, "v", ["c"], 4).orderBy("v").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+class TestKeywordWorkerCache:
+    def test_automaton_cache_hits_same_dictionary(self):
+        from etl_spark_gradle_spark.operators.keywords import _automaton_for
+
+        a1 = _automaton_for(["abc", "de"])
+        a2 = _automaton_for(["abc", "de"])
+        assert a1 is a2
+        a3 = _automaton_for(["abc", "xy"])
+        assert a3 is not a2
+        assert a3.find_set("xabcxyz") == {"abc", "xy"}
+
+    def test_fast_find_set_matches_nested_and_overlapping(self):
+        from etl_spark_gradle_spark.operators.keywords import AhoCorasick
+
+        ac = AhoCorasick(["a", "ab", "bab", "bc", "c"])
+        assert ac.find_set("abab") == {"a", "ab", "bab"}
+        assert ac.find_set("abc") == {"a", "ab", "bc", "c"}
+        assert ac.find_set("") == set()
+
+
+class TestCosineTopkNorms:
+    def test_matches_fused_cosine_bit_for_bit(self, spark):
+        from etl_spark_gradle_spark.operators.similarity import (
+            brute_force_topk,
+            cosine,
+        )
+
+        emb = spark.range(0, 50).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[(F.col("id") * (i + 1) % 17).cast("double") for i in range(8)]
+            ).alias("embedding"),
+        )
+        queries = emb.where("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = brute_force_topk(emb, queries, k=3).orderBy(
+            "query_id", "rank"
+        ).collect()
+        # reference: the old fused-cosine expression per pair
+        ref = (
+            F.broadcast(
+                queries.select(
+                    "query_id", F.col("query_vec").alias("__qv")
+                )
+            )
+            .crossJoin(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("__cv"),
+                )
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        exp = (
+            ref.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        assert [r.asDict() for r in got] == [r.asDict() for r in exp]
