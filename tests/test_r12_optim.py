@@ -158,3 +158,76 @@ class TestCosineTopkNorms:
             .collect()
         )
         assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+
+
+class TestLazyOperatorsPackage:
+    """The operators package exports lazily (PEP 562) so that a Python
+    worker resolving one operator module by reference — what cloudpickle
+    does for every mapInPandas function's globals — does not execute the
+    other ~30 module bodies. Eagerly that import tax (~1.3 s cold) re-ran
+    on every cold worker a small Python-stage job rotated onto, tripling
+    q9/q12/q18/q27-class queries in a long session (round-12 finding)."""
+
+    def test_single_module_import_stays_lazy(self):
+        import subprocess
+        import sys
+
+        code = (
+            "import sys; "
+            "import etl_spark_gradle_spark.operators.multimodal as mm; "
+            "heavy = [m for m in sys.modules if m.startswith("
+            "'etl_spark_gradle_spark.operators.') and m.split('.')[-1] in "
+            "('stats', 'timeseries', 'evaluation', 'corpus', 'relational')]; "
+            "assert not heavy, f'eager sibling imports: {heavy}'; "
+            "assert mm.parse_image_dims(None) is None"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+
+    def test_every_export_resolves(self):
+        import etl_spark_gradle_spark.operators as ops
+
+        for name in ops._EXPORTS:
+            assert getattr(ops, name) is not None, name
+
+    def test_root_reexport_is_the_defining_object(self):
+        from etl_spark_gradle_spark.operators import decode_images
+        from etl_spark_gradle_spark.operators.multimodal import (
+            decode_images as direct,
+        )
+
+        assert decode_images is direct
+
+    def test_registry_semantics(self):
+        import etl_spark_gradle_spark.operators as ops
+
+        reg = ops.TRANSFORMER_REGISTRY
+        assert reg  # truthy even before any instantiation
+        assert "kmeans" in reg
+        assert "nope" not in reg
+        assert reg.get("nope") is None
+        t1 = reg["filter"]
+        assert reg.get("filter") is t1  # cached single instance
+        for key, cls_name in ops._TRANSFORMER_SPECS.items():
+            inst = reg[key]
+            assert type(inst).__name__ == cls_name, key
+        with pytest.raises(KeyError):
+            reg["definitely_not_registered"]
+
+    def test_register_transformer_override_wins(self):
+        import etl_spark_gradle_spark.operators as ops
+
+        sentinel = object()
+        ops.register_transformer("FILTER", sentinel)
+        try:
+            assert ops.TRANSFORMER_REGISTRY["filter"] is sentinel
+            assert ops.TRANSFORMER_REGISTRY.get("filter") is sentinel
+        finally:
+            del ops.TRANSFORMER_REGISTRY["filter"]
+        # spec-backed instantiation restored after the override is gone
+        assert type(ops.TRANSFORMER_REGISTRY["filter"]).__name__ == (
+            "FilterTransformer"
+        )
