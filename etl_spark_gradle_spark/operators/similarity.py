@@ -58,6 +58,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def _cosine_pre(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the two L2 norms precomputed per SIDE (once
+    per row before the join/explode) instead of per PAIR — the pair
+    stage then evaluates one interpreted HOF dot product instead of
+    three aggregates. Bit-identical to ``cosine(va, vb)``: the same
+    ``l2_norm`` expression runs on the same values, just earlier, and
+    ``dot / (na * nb)`` closes in the same IEEE order, including the
+    zero-denominator guard on the product."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(va, vb) / denom)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,12 +143,26 @@ def embedding_cosine_pairs_exact(
     ``embedding_cosine_dups_lsh`` to generate candidates and this
     formula only on the candidate set.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         F.broadcast(a)
         .join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_pre(
+                F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -170,10 +196,20 @@ def embedding_cosine_dups_lsh(
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    sig = base.select("id", "v", srp_signature(F.col("v"), planes).alias("__sig"))
+    # per-row norm computed ONCE before banding; it rides the (band,
+    # hash) shuffle as one extra double per exploded row (8 B against a
+    # 512 B vector) so the within-bucket pair stage evaluates a single
+    # dot product instead of dot + two norms per pair (_cosine_pre)
+    sig = base.select(
+        "id",
+        "v",
+        l2_norm(F.col("v")).alias("__n"),
+        srp_signature(F.col("v"), planes).alias("__sig"),
+    )
     banded = sig.select(
         "id",
         "v",
+        "__n",
         F.explode(
             F.array(
                 *[
@@ -185,7 +221,7 @@ def embedding_cosine_dups_lsh(
     )
     bucketed = (
         banded.groupBy("bh")
-        .agg(F.collect_list(F.struct("id", "v")).alias("members"))
+        .agg(F.collect_list(F.struct("id", "v", "__n")).alias("members"))
         .filter((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
     )
     combos = F.flatten(
@@ -198,6 +234,8 @@ def embedding_cosine_dups_lsh(
                     F.greatest(x["id"], y["id"]).alias("id_b"),
                     F.when(x["id"] < y["id"], x["v"]).otherwise(y["v"]).alias("va"),
                     F.when(x["id"] < y["id"], y["v"]).otherwise(x["v"]).alias("vb"),
+                    F.when(x["id"] < y["id"], x["__n"]).otherwise(y["__n"]).alias("na"),
+                    F.when(x["id"] < y["id"], y["__n"]).otherwise(x["__n"]).alias("nb"),
                 ),
             ),
         )
@@ -206,7 +244,13 @@ def embedding_cosine_dups_lsh(
         bucketed.select(F.explode(combos).alias("p"))
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -336,13 +380,19 @@ def ivf_search(
         "qid",
         nprobe,
     )
-    cand = F.broadcast(probed).join(assignments, "cell")
+    # norms once per probed-query row / per index row, not per scored
+    # pair (_cosine_pre — bit-identical, one HOF eval per candidate)
+    probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
+    indexed = assignments.withColumn("__cn", l2_norm(F.col("cv")))
+    cand = F.broadcast(probed).join(indexed, "cell")
     if not include_self:
         cand = cand.filter(F.col("qid") != F.col("cid"))
     scored = cand.select(
         F.col("qid").alias("query_id"),
         F.col("cid").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        _cosine_pre(
+            F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+        ).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
@@ -370,8 +420,20 @@ def _centroid_frame(session_src: DataFrame, vec_type, cents: list[list[float]]) 
 def _nearest_cells(cent_df: DataFrame, vec_frame: DataFrame, vcol: str, idcol: str, n: int) -> DataFrame:
     from pyspark.sql import Window
 
-    scored = vec_frame.crossJoin(F.broadcast(cent_df)).select(
-        idcol, vcol, "cell", cosine(F.col(vcol), F.col("centroid")).alias("__cs")
+    # per-row / per-centroid norms instead of per (row x cell) pair
+    scored = (
+        vec_frame.withColumn("__vn", l2_norm(F.col(vcol)))
+        .crossJoin(
+            F.broadcast(cent_df.withColumn("__cen", l2_norm(F.col("centroid"))))
+        )
+        .select(
+            idcol,
+            vcol,
+            "cell",
+            _cosine_pre(
+                F.col(vcol), F.col("centroid"), F.col("__vn"), F.col("__cen")
+            ).alias("__cs"),
+        )
     )
     ww = Window.partitionBy(idcol).orderBy(F.col("__cs").desc(), F.col("cell"))
     return (
@@ -571,16 +633,21 @@ def lsh_bucketed_topk(
     planes = random_hyperplanes(dim, num_bits, seed)
     corpus = _ensure_parallelism(corpus)
 
-    def banded(df: DataFrame, id_alias: str, vec_col: str, vec_alias: str) -> DataFrame:
+    def banded(
+        df: DataFrame, id_alias: str, vec_col: str, vec_alias: str, norm_alias: str
+    ) -> DataFrame:
+        # norm once per input row, before the band explode (_cosine_pre)
         sig = srp_signature(F.col(vec_col), planes)
         out = df.select(
             F.col(id_alias).alias("__id"),
             F.col(vec_col).alias(vec_alias),
+            l2_norm(F.col(vec_col)).alias(norm_alias),
             sig.alias("__sig"),
         )
         return out.select(
             "__id",
             vec_alias,
+            norm_alias,
             F.explode(
                 F.array(
                     *[
@@ -594,31 +661,43 @@ def lsh_bucketed_topk(
                     ]
                 )
             ).alias("__band"),
-        ).select("__id", vec_alias, F.col("__band.band").alias("band"), F.col("__band.bh").alias("bh"))
+        ).select(
+            "__id",
+            vec_alias,
+            norm_alias,
+            F.col("__band.band").alias("band"),
+            F.col("__band.bh").alias("bh"),
+        )
 
     qb = banded(
         queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")),
         "qid",
         "qv",
         "__qv",
+        "__qn",
     ).withColumnRenamed("__id", "query_id")
     cb = banded(
         corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")),
         "cid",
         "cv",
         "__cv",
+        "__cn",
     ).withColumnRenamed("__id", "neighbor_id")
 
     cand = (
         F.broadcast(qb)
         .join(cb, ["band", "bh"])
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if not include_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        _cosine_pre(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -231,3 +231,69 @@ class TestLazyOperatorsPackage:
         assert type(ops.TRANSFORMER_REGISTRY["filter"]).__name__ == (
             "FilterTransformer"
         )
+
+
+class TestCosinePrecomputedNorms:
+    """`_cosine_pre` (per-side precomputed L2 norms) must be bit-identical
+    to the fused `cosine()` — the old BNLJ join condition evaluated FIVE
+    interpreted HOF aggregates per candidate pair (two norms in the
+    zero-guard, the dot, and the two norms again in the division); the
+    per-side form evaluates one dot per pair plus one norm per row."""
+
+    def test_bit_identical_including_zero_vectors(self, spark):
+        from etl_spark_gradle_spark.operators.similarity import (
+            _cosine_pre,
+            cosine,
+            l2_norm,
+        )
+
+        rows = [
+            (1, [1.0, 2.0, 3.0], 2, [3.0, 2.0, 1.0]),
+            (3, [0.0, 0.0, 0.0], 4, [1.0, 1.0, 1.0]),  # zero-norm guard
+            (5, [0.1, -0.2, 0.3], 6, [-0.4, 0.5, -0.6]),
+            (7, [1e-200, 1e-200, 0.0], 8, [1e200, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, ["id_a", "va", "id_b", "vb"])
+        out = df.select(
+            cosine(F.col("va"), F.col("vb")).alias("fused"),
+            _cosine_pre(
+                F.col("va"),
+                F.col("vb"),
+                l2_norm(F.col("va")),
+                l2_norm(F.col("vb")),
+            ).alias("pre"),
+        ).collect()
+        import math
+
+        for r in out:
+            # exact double equality (NaN produced identically by both
+            # forms counts as equal — the denormal row underflows the
+            # same way through either expression order)
+            assert r.fused == r.pre or (
+                math.isnan(r.fused) and math.isnan(r.pre)
+            )
+
+    def test_pairs_exact_matches_per_pair_cosine(self, spark):
+        from etl_spark_gradle_spark.operators import similarity as sim
+
+        emb = spark.createDataFrame(
+            [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+             for i in range(12)],
+            ["vec_id", "embedding"],
+        )
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in sim.embedding_cosine_pairs_exact(
+                emb, threshold=-2.0
+            ).collect()
+        }
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        exp = {
+            (r.id_a, r.id_b): r.cos
+            for r in F.broadcast(a)
+            .join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.cosine(F.col("va"), F.col("vb")).alias("cos"))
+            .collect()
+        }
+        assert got == exp  # same pairs, bit-identical doubles
