@@ -2074,16 +2074,20 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = dict(n=3, num_hashes=64, bands=16)
     store = dd.minhash_band_store(old, "doc_id", "text", **kw)
     cand = dd.incremental_minhash_candidates(new, store, "doc_id", "text", **kw)
+    # same device as q_minhash_lsh: both pair tables are referenced
+    # twice by the summary — pin the tiny relations once (the
+    # un-pinned form planned 24 scans, r12 audit)
     cand_n = cand.select(
         F.least("new_id", "old_id").alias("id_a"),
         F.greatest("new_id", "old_id").alias("id_b"),
-    )
+    ).localCheckpoint(eager=True)
     truth = (
         dd.ngram_jaccard_pairs(
             docs, id_col="doc_id", text_col="text", n=3, threshold=0.2, use_tokens=True
         )
         .filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     found = truth.join(cand_n, ["id_a", "id_b"], "left_semi")
     t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_cross"))
@@ -2213,12 +2217,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by pytest + the `dedup_clusters`/`ngram_jaccard` oracles."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
+    # cand and truth are each referenced twice (the semi-join + their
+    # own count); both are tiny pair tables (25/256 rows at the two
+    # SFs) whose un-pinned re-references re-ran the whole LSH and
+    # exact-Jaccard pipelines per count (16 scans in the executed
+    # plan, r12 audit) — pin once, summary unchanged
     cand = dd.minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text", n=3, num_hashes=64, bands=16
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     truth = dd.ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", n=3, threshold=0.2, use_tokens=True
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     found = truth.join(cand, ["id_a", "id_b"], "left_semi")
     t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     f_ = found.agg(F.count(F.lit(1)).cast("long").alias("n_true_found"))
@@ -4480,11 +4489,20 @@ def q_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("v"),
     )
-    filled = impute(li, "v", "median", ["l_returnflag"], out_col="v_f")
+    # Each stage references its input TWICE (group-stats subtree +
+    # join-back probe), so chaining three of them re-planned the whole
+    # upstream per reference: the un-pinned composition planned 32
+    # parquet scans / 45 exchanges with ZERO exchange reuse (r12 plan
+    # audit). Pinning each stage's output truncates the lineage to one
+    # linear segment per stage — same rows, same values, same oracle
+    # hash; 3 scans of pinned blocks instead of 32 of the table.
+    filled = impute(
+        li, "v", "median", ["l_returnflag"], out_col="v_f"
+    ).localCheckpoint(eager=True)
     clipped = quantile_clip(
         filled, "v_f", lo=0.05, hi=0.95,
         group_by=["l_returnflag"], output_col="v_c",
-    )
+    ).localCheckpoint(eager=True)
     scaled = robust_scale(
         clipped, "v_c", group_by=["l_returnflag"], output_col="v_s"
     )

@@ -417,9 +417,16 @@ def association_rules(
     pair table twice, the total is a 1-row broadcast cross join. No
     driver collects, no re-scan of the raw feed.
     """
+    # pairs is referenced twice (the directed union) and item_counts
+    # twice (antecedent + consequent broadcasts), each reference
+    # re-planning its whole upstream — the un-pinned closure planned
+    # 20 scans of the raw feed (r12 plan audit). All three are bounded
+    # relations (pair vocabulary / item vocabulary / 1 row), so pin
+    # them once; counts and therefore every derived double are
+    # unchanged.
     pairs = market_basket_pairs(
         df, basket_col, item_col, min_support=min_support
-    )
+    ).localCheckpoint(eager=True)
     base = (
         df.select(basket_col, item_col)
         .where(F.col(item_col).isNotNull())
@@ -427,10 +434,10 @@ def association_rules(
     )
     item_counts = base.groupBy(F.col(item_col).alias("_it")).agg(
         F.count("*").cast("long").alias("_ib")
-    )
+    ).localCheckpoint(eager=True)
     total = base.select(
         F.count_distinct(F.col(basket_col)).cast("long").alias("n_baskets")
-    )
+    ).localCheckpoint(eager=True)
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),

@@ -110,14 +110,19 @@ def target_encode(
     # — the cusum resolution posture)
     ydec = F.col(target_col).cast("decimal(27,6)")
 
+    # stats (category-cardinality rows) and the 1-row prior are both
+    # REUSED bounded relations whose broadcast subtrees would otherwise
+    # re-plan the whole input each (3 upstream evaluations per encode,
+    # compounding in feature chains — r12 plan audit); pin them once,
+    # values unchanged
     stats = df.groupBy(*[F.col(c) for c in category_cols]).agg(
         F.sum(ydec).alias("_te_sum"),
         F.count(y).alias("_te_n"),
-    )
+    ).localCheckpoint(eager=True)
     prior_df = F.broadcast(
         df.agg(
             _exact_mean(F.sum(ydec), F.count(y)).alias("_te_prior")
-        )
+        ).localCheckpoint(eager=True)
     )
     joined = broadcast_group_join(df, stats, category_cols).crossJoin(prior_df)
 

@@ -221,16 +221,26 @@ def triangle_count(
         if c not in df.columns:
             raise TransformationError(f"triangle_count column not in schema: {c}")
     a, b = F.col(src_col), F.col(dst_col)
+    # The dataflow references edges 3x (degree union + rank join), deg
+    # 2x (both endpoints) and directed 3x (both wedge legs + closing
+    # set); Catalyst re-plans the whole upstream per reference, so the
+    # un-pinned composition compounded to ~45 copies of the edge
+    # subtree (90 parquet scans / 91 exchanges in the executed plan,
+    # r12 audit). Each intermediate is O(m) or O(V) and reused
+    # immediately — exactly the bounded-reused-relation case the pin
+    # device exists for; results are unchanged.
     edges = (
         df.filter(a.isNotNull() & b.isNotNull() & (a != b))
         .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("x").alias("v"))
         .unionAll(edges.select(F.col("y").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
@@ -242,7 +252,7 @@ def triangle_count(
     directed = ranked.select(
         F.when(low_first, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(low_first, F.col("y")).otherwise(F.col("x")).alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     d1 = directed.select(F.col("u"), F.col("w").alias("v1"))
     d2 = directed.select(F.col("u"), F.col("w").alias("v2"))
     wedges = d1.join(d2, "u").filter(F.col("v1") < F.col("v2"))
@@ -256,10 +266,10 @@ def triangle_count(
     ).select("u", "v1", "v2")
     if not per_vertex:
         return tris.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
-    corners = (
-        tris.select(F.col("u").alias("vertex"))
-        .unionAll(tris.select(F.col("v1").alias("vertex")))
-        .unionAll(tris.select(F.col("v2").alias("vertex")))
+    # one reference to tris instead of a 3-way self-union: each
+    # triangle still credits exactly its three corners
+    corners = tris.select(
+        F.explode(F.array("u", "v1", "v2")).alias("vertex")
     )
     return corners.groupBy("vertex").agg(
         F.count(F.lit(1)).cast("long").alias("triangles")
