@@ -1320,7 +1320,13 @@ def simhash_candidates(
     """
     width = 64 // blocks
     df = _ensure_parallelism(df)
-    sigs = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
+    # the blocked table is SELF-joined, so an un-pinned signature
+    # pipeline (tokenize + 64 weighted bit sums over the text) planned
+    # and ran twice (12 scans, r12 audit); pin the narrow (id, sig)
+    # table once — both join sides then derive from materialized rows
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("sig")
+    ).localCheckpoint(eager=True)
     blocked = sigs.select(
         "id",
         "sig",

@@ -435,9 +435,14 @@ def psi_drift(
     b_vals = df_b.select(F.col(value_col).cast("double").alias("v")).where(
         F.col("v").isNotNull()
     )
+    # 1-row relation broadcast into BOTH sides' binning — un-pinned,
+    # the whole exact-quantiles prefix-sum scaffold re-planned per side
+    # (35 exchanges in the executed plan, r12 audit); pinned, it runs
+    # once and both sides reference the materialized row
     edges = (
         exact_quantiles(a_vals, "v", probs)
         .agg(F.array_sort(F.collect_list(F.col("value"))).alias("_edges"))
+        .localCheckpoint(eager=True)
     )
 
     def bin_counts(vals: DataFrame, alias: str) -> DataFrame:

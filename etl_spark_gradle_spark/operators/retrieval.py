@@ -242,12 +242,16 @@ def bm25_scores(
         raise TransformationError("bm25 requires at least one query term")
     terms = [t.lower() if lowercase else t for t in query_terms]
     stats = doc_term_stats(docs, id_col, text_col, lowercase)
-    # scan predicate FIRST: only query-term postings ever join/shuffle
-    hits = stats.where(F.col("term").isin(terms))
+    # scan predicate FIRST: only query-term postings ever join/shuffle.
+    # hits (query-term postings — tiny) is referenced twice (df table +
+    # probe) and scalars once more; un-pinned, each reference re-ran
+    # the whole tokenize+groupBy pipeline (12 scans / 15 exchanges,
+    # r12 audit) — pin the two bounded relations, scores unchanged
+    hits = stats.where(F.col("term").isin(terms)).localCheckpoint(eager=True)
     scalars = stats.select("doc_id", "doc_len").distinct().agg(
         F.count("*").alias("_n_docs"),
         (F.sum("doc_len").cast("double") / F.count("*")).alias("_avg_len"),
-    )
+    ).localCheckpoint(eager=True)
     df_table = hits.groupBy("term").agg(F.count("*").alias("df"))
     idf = (
         F.log(
