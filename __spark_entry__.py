@@ -3053,8 +3053,20 @@ def _ann_recall_summary(
     queries = emb.filter("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    true = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
-    approx = approx_fn(emb, queries).select("query_id", "neighbor_id")
+    # both top-k tables (<= 100 rows) are referenced twice by the
+    # summary (semi-join + own count) — pin so the brute-force and
+    # approximate pipelines run once each (14 scans / 20 exchanges
+    # un-pinned, r12 audit)
+    true = (
+        sim.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    approx = (
+        approx_fn(emb, queries)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     found = true.join(approx, ["query_id", "neighbor_id"], "left_semi")
     nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     nt = true.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
