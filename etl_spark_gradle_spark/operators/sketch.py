@@ -742,6 +742,12 @@ def cms_prune(
     out = df
     keep = F.lit(True)
     helpers = []
+    # the sketch (<= depth x width cells) is sliced once per depth row
+    # below — un-pinned, each broadcast slice re-planned and re-ran the
+    # whole sketch-build aggregation over the source corpus (depth x
+    # the build cost; 10 scans in the r12 plan audit). Pin the bounded
+    # cell table once; estimates unchanged.
+    sketch = sketch.localCheckpoint(eager=True)
     for i in range(depth):
         w_col, c_col = f"_cms_w{i}", f"_cms_c{i}"
         helpers += [w_col, c_col]
