@@ -691,11 +691,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ),
     (
         "target_encode",
-        "target encoding: category statistics and the 1-row prior come "
+        "target encoding: category statistics and the 1-row prior are "
+        "PINNED bounded relations (r12 — their aggregations run once at "
+        "pin time, so no aggregate appears in the final plan) and come "
         "back as BROADCAST joins (null-safe keys stay hashable); the "
         "frame itself is never re-shuffled; LOO closes as row-local "
         "arithmetic — no python, no cartesian, no sort-merge",
-        ["BroadcastHashJoin", "partial_sum"],
+        ["BroadcastHashJoin"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
          "SortMergeJoin"],
     ),
