@@ -597,6 +597,7 @@ def build_cms(
     weight_col: str | None = None,
     counts_col: str = "cnt",
     hash_fn: str = "xxhash64",
+    pre_aggregate: bool = False,
 ) -> DataFrame:
     """Count-min frequency sketch as a RELATIONAL table: one row per
     non-empty cell ``(group..., d, w, cnt)``. The third mergeable
@@ -616,14 +617,39 @@ def build_cms(
     BEFORE a hash aggregation whose partial collapses each task to at
     most ``depth × width`` cells — the shuffle carries bounded sketch
     state, never the corpus. ``weight_col`` sums a weight instead of
-    counting (pre-aggregated input)."""
+    counting (pre-aggregated input).
+
+    ``pre_aggregate=True`` first collapses the input to
+    ``(group..., key) → count`` and hashes each DISTINCT key once with
+    the count as weight. Cell sums are integer-identical (a cell's
+    count is the sum over its keys of per-key counts, grouped either
+    way), but the hash chain — the expensive part on the portable
+    ``md5`` path (concat → md5 → substring → conv per depth row) — runs
+    once per distinct key instead of once per input row. Use when keys
+    repeat (fact tables: lineitem carries ~4 rows per order key at
+    every TPC-H SF); skip when keys are near-unique, where the extra
+    ``(group, key)`` exchange shuffles ~the whole input for no hash
+    savings. Count path only: a fractional ``weight_col`` re-summed in
+    two steps would reorder float additions."""
     if depth < 1 or width < 2:
         raise TransformationError("cms requires depth >= 1 and width >= 2")
     if hash_fn not in _CMS_HASH_FNS:
         raise TransformationError(
             f"cms hash_fn must be one of {_CMS_HASH_FNS}, got '{hash_fn}'"
         )
+    if pre_aggregate and weight_col:
+        raise TransformationError(
+            "cms pre_aggregate composes only with the count path "
+            "(fractional weights would re-order float additions)"
+        )
     group_by = group_by or []
+    if pre_aggregate:
+        df = (
+            df.where(F.col(column).isNotNull())
+            .groupBy(*group_by, column)
+            .agg(F.count("*").alias("_cms_key_cnt"))
+        )
+        weight_col = "_cms_key_cnt"
     cells = F.array(*[_cms_cell(column, i, width, hash_fn) for i in range(depth)])
     agg = (
         F.sum(F.col(weight_col)).cast("long") if weight_col else F.count("*")

@@ -55,6 +55,23 @@ def _seg_bounds(i: int, k: int, length: Column) -> tuple[Column, Column]:
     return start, li
 
 
+def _seg_bounds_sql(i: int, k: int, length_sql: str) -> tuple[str, str]:
+    """SQL-text twin of :func:`_seg_bounds` (same arithmetic over a
+    length expression given as SQL). The probe side instantiates this
+    (2k+1)²·(k+1) times; building those trees Column-call by
+    Column-call costs one py4j round trip per call, so the whole
+    candidate array is rendered as ONE SQL string and parsed with a
+    single ``F.expr`` (the q28_bootstrap device — integer/string
+    expressions, so tree-shape differences cannot change a value)."""
+    parts = k + 1
+    base = f"CAST(FLOOR({length_sql} / {parts}) AS INT)"
+    rem = f"CAST(({length_sql} % {parts}) AS INT)"
+    longer_from = f"({parts} - {rem})"
+    li = f"({base} + (CASE WHEN {i} >= {longer_from} THEN 1 ELSE 0 END))"
+    start = f"(({i} * {base}) + GREATEST(0, ({i} - {longer_from})))"
+    return start, li
+
+
 def edit_distance_join(
     left: DataFrame,
     string_col: str,
@@ -89,79 +106,66 @@ def edit_distance_join(
     idx_src = idx_src.where(F.col("_s").isNotNull()).distinct()
     probe_src = probe_src.where(F.col("_s").isNotNull()).distinct()
 
-    l_len = F.length("_s")
-
     # --- index side: k+1 segments (or the short bucket) -------------
+    # ONE scan: the short bucket (length <= k) rides the same explode
+    # as a one-element array branch instead of a second scan + union
+    # (the union form planned 2 scans + 2 distinct exchanges over the
+    # same strings for the two length classes).
     def _index_rows(df: DataFrame) -> DataFrame:
         segs = []
         for i in range(k + 1):
-            start, li = _seg_bounds(i, k, l_len)
+            start, li = _seg_bounds_sql(i, k, "length(_s)")
             segs.append(
-                F.struct(
-                    F.substring(F.col("_s"), start + 1, li).alias("seg"),
-                    F.lit(i).alias("i"),
-                    l_len.alias("l"),
-                )
+                f"named_struct('seg', substring(_s, {start} + 1, {li}), "
+                f"'i', {i}, 'l', length(_s))"
             )
-        long_rows = df.where(l_len > k).select(
-            F.col("_s").alias("_idx_s"), F.explode(F.array(*segs)).alias("b")
-        ).select("_idx_s", "b.seg", "b.i", "b.l")
-        short_rows = df.where(l_len <= k).select(
-            F.col("_s").alias("_idx_s"),
-            F.lit("").alias("seg"),
-            F.lit(-1).alias("i"),
-            l_len.alias("l"),
+        case_sql = (
+            f"CASE WHEN length(_s) > {k} THEN array({', '.join(segs)}) "
+            f"ELSE array(named_struct('seg', '', 'i', -1, 'l', length(_s))) END"
         )
-        return long_rows.unionByName(short_rows)
+        return df.select(
+            F.col("_s").alias("_idx_s"), F.explode(F.expr(case_sql)).alias("b")
+        ).select("_idx_s", "b.seg", "b.i", "b.l")
 
     # --- probe side: candidate substrings per (target length, i, ±k) -
     def _probe_rows(df: DataFrame) -> DataFrame:
-        m = F.length("_s")
+        m = "length(_s)"
         cands = []
         for d in range(-k, k + 1):
-            tgt = m + d  # indexed length this candidate addresses
+            tgt = f"({m} + {d})"  # indexed length this candidate addresses
             for i in range(k + 1):
-                start, li = _seg_bounds(i, k, tgt)
+                start, li = _seg_bounds_sql(i, k, tgt)
                 for off in range(-k, k + 1):
-                    p = start + off
+                    p = f"({start} + {off})"
                     valid = (
-                        (tgt > k)
-                        & (p >= 0)
-                        & (li >= 1)
-                        & (p + li <= m)
+                        f"({tgt} > {k}) AND ({p} >= 0) AND ({li} >= 1) "
+                        f"AND (({p} + {li}) <= {m})"
                     )
                     cands.append(
-                        F.when(
-                            valid,
-                            F.struct(
-                                F.substring(F.col("_s"), p + 1, li).alias("seg"),
-                                F.lit(i).alias("i"),
-                                tgt.cast("int").alias("l"),
-                            ),
-                        )
+                        f"CASE WHEN {valid} THEN named_struct("
+                        f"'seg', substring(_s, {p} + 1, {li}), "
+                        f"'i', {i}, 'l', CAST({tgt} AS INT)) END"
                     )
             # short-bucket probes: indexed strings of length <= k within band
             cands.append(
-                F.when(
-                    (tgt >= 1) & (tgt <= k),
-                    F.struct(
-                        F.lit("").alias("seg"),
-                        F.lit(-1).alias("i"),
-                        tgt.cast("int").alias("l"),
-                    ),
-                )
+                f"CASE WHEN ({tgt} >= 1) AND ({tgt} <= {k}) THEN named_struct("
+                f"'seg', '', 'i', -1, 'l', CAST({tgt} AS INT)) END"
             )
+        arr_sql = f"filter(array({', '.join(cands)}), c -> c IS NOT NULL)"
         exploded = df.select(
             F.col("_s").alias("_probe_s"),
-            F.explode(
-                F.filter(F.array(*cands), lambda c: c.isNotNull())
-            ).alias("b"),
+            F.explode(F.expr(arr_sql)).alias("b"),
         )
         return exploded.select("_probe_s", "b.seg", "b.i", "b.l").distinct()
 
+    # broadcast the index side: it is structurally the smaller side —
+    # (k+1) rows per string vs the probe side's up to (2k+1)²·(k+1)
+    # (25x at k=2); without the hint the planner's post-explode size
+    # estimates picked the PROBE side as build (a ~1.5M-row broadcast
+    # at sf0.1 where the index is ~60k rows)
     candidates = (
         _probe_rows(probe_src)
-        .join(_index_rows(idx_src), on=["seg", "i", "l"])
+        .join(F.broadcast(_index_rows(idx_src)), on=["seg", "i", "l"])
         .select("_probe_s", "_idx_s")
         .distinct()
     )
