@@ -210,6 +210,15 @@ def run_sweep(
 
     spark = get_spark(app_name="verify-oracle", master="local[8]",
                       conf={"spark.sql.shuffle.partitions": "8"})
+    if timings is not None:
+        # one untimed throwaway action so session warm-up (JVM JIT,
+        # codegen compiler, shuffle machinery, parquet footer reads) is
+        # not charged to whichever query happens to run first — r12's
+        # sweep read chi_square at 8.96 s vs its ~1.3 s isolated warm
+        # cost purely because it led the sweep
+        spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy(
+            "o_orderstatus"
+        ).count().collect()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -13,7 +13,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# resolve the repo root from the script location so a git-worktree copy
+# probes ITS OWN code (before-plans), not /root/repo's
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 
 def main() -> int:
