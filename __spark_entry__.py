@@ -608,11 +608,17 @@ FROM events a JOIN events b
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization of
-    the events table via ``applyInPandasWithState`` (30-min gap), run as
-    two availableNow drains — the second drain ships a far-future
-    watermark-driver event so every real session closes via event-time
-    timeout. Values are summed as integer cents for exact cross-engine
-    totals. Oracle: DuckDB gaps-and-islands SQL."""
+    the events table via ``applyInPandasWithState`` (30-min gap), run
+    as ONE availableNow drain whose source carries a far-future
+    watermark-driver event for a sentinel user: once the data batch
+    lands, the watermark jumps to 2100 and the engine's no-data batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, default on)
+    fires every real session's event-time timeout. The r12 shape ran
+    TWO full streaming-query lifecycles (start/checkpoint/stop twice,
+    ~2.5 s each at sf0.1) for the same rows — the second drain already
+    relied on the same no-data batch to close sessions, so one drain
+    is strictly equivalent. Values are summed as integer cents for
+    exact cross-engine totals. Oracle: DuckDB gaps-and-islands SQL."""
     import shutil
 
     from etl_spark_gradle_spark import streaming as st
@@ -629,30 +635,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
 
-    def drain():
-        stream = (
-            _normalize_event_ts(spark.readStream.schema(schema).parquet(src_dir))
-            .withColumn("cents", F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
-            .select("user_id", "ts", "cents")
-        )
-        sessions = st.sessionize_stream(
-            stream,
-            key_col="user_id",
-            time_col="ts",
-            gap_seconds=1800,
-            value_col="cents",
-            watermark_delay="0 seconds",
-        )
-        st.write_stream(
-            sessions,
-            {"path": out_path, "checkpointLocation": ckpt, "format": "parquet"},
-            output_mode="append",
-            await_termination=True,
-        )
-
-    drain()
-    # watermark-driver: one far-future event for a sentinel user closes
-    # every real session on the second drain (its own session stays open)
+    # watermark-driver: one far-future event for a sentinel user (its
+    # own session stays open and is filtered below). Written BEFORE the
+    # drain — the initial watermark is 0, so no row in the batch is
+    # late, and after the batch the watermark is 2100-01-01.
     import datetime as _dt
 
     flush = {
@@ -677,7 +663,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(src_dir, "flush", f), os.path.join(src_dir, f"zz_{f}")
             )
     shutil.rmtree(os.path.join(src_dir, "flush"), ignore_errors=True)
-    drain()
+
+    stream = (
+        _normalize_event_ts(spark.readStream.schema(schema).parquet(src_dir))
+        .withColumn("cents", F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .select("user_id", "ts", "cents")
+    )
+    sessions = st.sessionize_stream(
+        stream,
+        key_col="user_id",
+        time_col="ts",
+        gap_seconds=1800,
+        value_col="cents",
+        watermark_delay="0 seconds",
+    )
+    st.write_stream(
+        sessions,
+        {"path": out_path, "checkpointLocation": ckpt, "format": "parquet"},
+        output_mode="append",
+        await_termination=True,
+    )
     out = spark.read.parquet(out_path).filter("user_id >= 0")
     return out.select(
         "user_id",

@@ -310,21 +310,26 @@ def sessionize_stream(
     def fn(key, pdf_iter, state):
         import pandas as pd
 
-        def emit(start_us, last_us, n, s):
+        # closed sessions accumulate into columnar lists and leave as
+        # ONE DataFrame per (key, batch): the previous shape built a
+        # 1-row pandas DataFrame PER closed session — ~95k ctor calls
+        # per drain at sf0.1 (~40% of the drain wall; each ctor is
+        # index + block-manager setup for one row)
+        def frame(starts, lasts, ns, ss):
             return pd.DataFrame(
                 {
-                    key_col: [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [int(n)],
-                    "sum_value": [float(s)],
+                    key_col: [key[0]] * len(starts),
+                    "session_start": pd.to_datetime(starts, unit="us"),
+                    "session_end": pd.to_datetime(lasts, unit="us"),
+                    "n_events": pd.array(ns, dtype="int64"),
+                    "sum_value": pd.array(ss, dtype="float64"),
                 }
             )
 
         if state.hasTimedOut:
             start_us, last_us, n, s = state.get
             state.remove()
-            yield emit(start_us, last_us, n, s)
+            yield frame([start_us], [last_us], [int(n)], [float(s)])
             return
 
         frames = [pdf for pdf in pdf_iter]
@@ -343,12 +348,16 @@ def sessionize_stream(
         cur = state.get if state.exists else None
         if events.empty and cur is None:
             return  # batch was all-null times and no prior state
-        for t_us, v in zip(times, values):
+        starts, lasts, ns, ss = [], [], [], []
+        for t_us, v in zip(times.to_list(), values.to_list()):
             t_us = int(t_us)
             if cur is None:
                 cur = (t_us, t_us, 1, float(v))
             elif t_us - cur[1] > gap_us:
-                yield emit(*cur)
+                starts.append(cur[0])
+                lasts.append(cur[1])
+                ns.append(int(cur[2]))
+                ss.append(float(cur[3]))
                 cur = (t_us, t_us, 1, float(v))
             else:
                 cur = (cur[0], max(cur[1], t_us), cur[2] + 1, cur[3] + float(v))
@@ -359,6 +368,8 @@ def sessionize_stream(
             state.getCurrentWatermarkMs() + 1,
         )
         state.setTimeoutTimestamp(timeout_ms)
+        if starts:
+            yield frame(starts, lasts, ns, ss)
 
     return (
         df.withWatermark(time_col, watermark_delay)
