@@ -318,6 +318,11 @@ _TRANSFORMER_SPECS = {
 }
 
 
+# star-import support under PEP 562 (ADVICE r12): without __all__,
+# `from ...operators import *` binds only already-materialized names
+__all__ = sorted(_EXPORTS)
+
+
 def __getattr__(name: str):
     """PEP 562 lazy re-export: import the defining module on first use."""
     try:
@@ -338,15 +343,46 @@ def __dir__():
 class _LazyTransformerRegistry(dict):
     """Dict of type-key -> Transformer instance, instantiated on first
     lookup. Supports the access patterns the codebase uses: ``[key]``,
-    ``.get(key)``, ``key in registry``, truthiness, and user overrides
-    via ``register_transformer`` (a plain ``__setitem__``, which always
-    wins over the spec table)."""
+    ``.get(key)``, ``key in registry``, truthiness, iteration/len over
+    the FULL key space (instantiated ∪ spec-backed, minus explicit
+    deletions — ADVICE r12), and user overrides via
+    ``register_transformer`` (a plain ``__setitem__``, which always
+    wins over the spec table). ``del``/``pop`` of a spec-backed key
+    leaves a tombstone so removal sticks instead of being silently
+    resurrected by ``__missing__``."""
+
+    def __init__(self):
+        super().__init__()
+        self._tombstones: set = set()
 
     def __missing__(self, key):
+        if key in self._tombstones:
+            raise KeyError(key)
         cls_name = _TRANSFORMER_SPECS[key]  # KeyError -> caller's miss
         instance = __getattr__(cls_name)()
         self[key] = instance
         return instance
+
+    def __setitem__(self, key, value):
+        self._tombstones.discard(key)
+        dict.__setitem__(self, key, value)
+
+    def __delitem__(self, key):
+        if dict.__contains__(self, key):
+            dict.__delitem__(self, key)
+        elif key not in _TRANSFORMER_SPECS or key in self._tombstones:
+            raise KeyError(key)
+        self._tombstones.add(key)
+
+    def pop(self, key, *default):
+        try:
+            value = self[key]  # materializes spec-backed entries
+        except KeyError:
+            if default:
+                return default[0]
+            raise
+        del self[key]
+        return value
 
     def get(self, key, default=None):
         try:
@@ -355,7 +391,30 @@ class _LazyTransformerRegistry(dict):
             return default
 
     def __contains__(self, key):
+        if key in self._tombstones:
+            return dict.__contains__(self, key)
         return dict.__contains__(self, key) or key in _TRANSFORMER_SPECS
+
+    def _all_keys(self):
+        live = set(dict.keys(self)) | (
+            set(_TRANSFORMER_SPECS) - self._tombstones
+        )
+        return sorted(live)
+
+    def __iter__(self):
+        return iter(self._all_keys())
+
+    def __len__(self):
+        return len(self._all_keys())
+
+    def keys(self):
+        return self._all_keys()
+
+    def items(self):
+        return [(k, self[k]) for k in self._all_keys()]
+
+    def values(self):
+        return [self[k] for k in self._all_keys()]
 
     def __bool__(self):
         return True

@@ -361,7 +361,7 @@ def dsir_weights(
         .select(F.col(id_col), F.explode(feats(text_col)).alias("_f"))
         .groupBy(id_col, bucket(F.col("_f")).alias("_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     raw_counts = doc_bucket.groupBy("_b").agg(
         F.sum("_c").cast("long").alias("_cr")
@@ -395,7 +395,7 @@ def dsir_weights(
     table = table.select(
         "_b",
         F.round((lp_t - lp_r) * F.lit(1e9)).cast("long").alias("_dlq"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # per-doc close: exact integer Σ c·dlq over the doc's cells (equal
     # to the per-feature Σ dlq the oracle sums — both exact integers)
     scored = (

@@ -408,7 +408,7 @@ def prefix_jaccard_join(
     base = (
         df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
         .where(F.size("sh") > 0)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ex = base.select("id", F.explode("sh").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
@@ -1326,7 +1326,7 @@ def simhash_candidates(
     # table once — both join sides then derive from materialized rows
     sigs = df.select(
         F.col(id_col).alias("id"), simhash(text_col).alias("sig")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     blocked = sigs.select(
         "id",
         "sig",

@@ -426,7 +426,7 @@ def association_rules(
     # unchanged.
     pairs = market_basket_pairs(
         df, basket_col, item_col, min_support=min_support
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     base = (
         df.select(basket_col, item_col)
         .where(F.col(item_col).isNotNull())
@@ -434,10 +434,10 @@ def association_rules(
     )
     item_counts = base.groupBy(F.col(item_col).alias("_it")).agg(
         F.count("*").cast("long").alias("_ib")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     total = base.select(
         F.count_distinct(F.col(basket_col)).cast("long").alias("n_baskets")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),

@@ -65,6 +65,27 @@ def _exact_mean(sum_col, n_col):
     return sum_col.cast("string").cast("double") / n_col.cast("double")
 
 
+def _target_encode_stats(
+    df: DataFrame, category_cols: list[str], target_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two pin-time relations of :func:`target_encode` BEFORE the
+    checkpoint: (category stats, 1-row prior). Exposed so
+    tools/plan_audit.py can assert the aggregation plan that runs at
+    pin time (ADVICE r12: the final encode plan only shows checkpoint
+    scans, so auditing it alone can no longer catch a regression in
+    how the stats/prior are computed)."""
+    y = F.col(target_col).cast("double")
+    ydec = F.col(target_col).cast("decimal(27,6)")
+    stats = df.groupBy(*[F.col(c) for c in category_cols]).agg(
+        F.sum(ydec).alias("_te_sum"),
+        F.count(y).alias("_te_n"),
+    )
+    prior = df.agg(
+        _exact_mean(F.sum(ydec), F.count(y)).alias("_te_prior")
+    )
+    return stats, prior
+
+
 def target_encode(
     df: DataFrame,
     category_cols: list[str],
@@ -114,16 +135,13 @@ def target_encode(
     # REUSED bounded relations whose broadcast subtrees would otherwise
     # re-plan the whole input each (3 upstream evaluations per encode,
     # compounding in feature chains — r12 plan audit); pin them once,
-    # values unchanged
-    stats = df.groupBy(*[F.col(c) for c in category_cols]).agg(
-        F.sum(ydec).alias("_te_sum"),
-        F.count(y).alias("_te_n"),
-    ).localCheckpoint(eager=True)
-    prior_df = F.broadcast(
-        df.agg(
-            _exact_mean(F.sum(ydec), F.count(y)).alias("_te_prior")
-        ).localCheckpoint(eager=True)
-    )
+    # values unchanged. eager=False (ADVICE r12): same lineage
+    # truncation and single materialization, but the pin job fires at
+    # the caller's first action instead of at construction, keeping
+    # the plan-composition contract action-free.
+    stats_raw, prior_raw = _target_encode_stats(df, category_cols, target_col)
+    stats = stats_raw.localCheckpoint(eager=False)
+    prior_df = F.broadcast(prior_raw.localCheckpoint(eager=False))
     joined = broadcast_group_join(df, stats, category_cols).crossJoin(prior_df)
 
     s = F.col("_te_sum").cast("string").cast("double")

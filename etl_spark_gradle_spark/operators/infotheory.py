@@ -442,7 +442,7 @@ def psi_drift(
     edges = (
         exact_quantiles(a_vals, "v", probs)
         .agg(F.array_sort(F.collect_list(F.col("value"))).alias("_edges"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def bin_counts(vals: DataFrame, alias: str) -> DataFrame:

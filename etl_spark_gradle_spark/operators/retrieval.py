@@ -247,11 +247,11 @@ def bm25_scores(
     # probe) and scalars once more; un-pinned, each reference re-ran
     # the whole tokenize+groupBy pipeline (12 scans / 15 exchanges,
     # r12 audit) — pin the two bounded relations, scores unchanged
-    hits = stats.where(F.col("term").isin(terms)).localCheckpoint(eager=True)
+    hits = stats.where(F.col("term").isin(terms)).localCheckpoint(eager=False)
     scalars = stats.select("doc_id", "doc_len").distinct().agg(
         F.count("*").alias("_n_docs"),
         (F.sum("doc_len").cast("double") / F.count("*")).alias("_avg_len"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     df_table = hits.groupBy("term").agg(F.count("*").alias("df"))
     idf = (
         F.log(

@@ -773,7 +773,7 @@ def cms_prune(
     # whole sketch-build aggregation over the source corpus (depth x
     # the build cost; 10 scans in the r12 plan audit). Pin the bounded
     # cell table once; estimates unchanged.
-    sketch = sketch.localCheckpoint(eager=True)
+    sketch = sketch.localCheckpoint(eager=False)
     for i in range(depth):
         w_col, c_col = f"_cms_w{i}", f"_cms_c{i}"
         helpers += [w_col, c_col]

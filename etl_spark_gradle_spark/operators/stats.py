@@ -811,7 +811,7 @@ def _prefix_sums(
             # approxQuantile
             df, bounds, _ = _pin_with_bounds(df, order_col, P)
         else:
-            df = df.localCheckpoint(eager=True)
+            df = df.localCheckpoint(eager=False)
     # monotone numeric view of the order column for bucketing: dates
     # map to their day index, timestamps to epoch seconds — so the
     # two-level scan stays distributed for temporal order columns
@@ -913,7 +913,7 @@ def spearman(
         df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
         .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
         # feeds both histograms AND the final join — one materialization
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def rank_map(col: str, out: str) -> DataFrame:
@@ -1113,7 +1113,7 @@ def kruskal_wallis(
             F.col(factor_col).cast("string").alias("_lvl"),
         )
         # feeds the pooled histogram AND the per-level cells
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hist = pts.groupBy("_v").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
@@ -1336,7 +1336,7 @@ def chi_square(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("_o"))
         # feeds row totals, col totals AND the grid join — one pin
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rows = cells.groupBy(*group_by, "_x").agg(
         F.sum("_o").cast("long").alias("_r")
@@ -1575,7 +1575,7 @@ def kendall_tau(
         df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
     a, b = cells.alias("a"), cells.alias("b")
@@ -1674,7 +1674,7 @@ def mann_kendall(
         df.where(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(time_col).alias("_x"), F.col(value_col).alias("_y"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
     a, b = cells.alias("a"), cells.alias("b")
@@ -1894,7 +1894,7 @@ def theil_sen(
     cells = (
         pts.groupBy("_x", "_y")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
     a, b = cells.alias("a"), cells.alias("b")
@@ -3194,7 +3194,7 @@ def permutation_test(
         F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
         F.sum(F.when(is_a, x)).cast("decimal(38,2)").alias("_xa"),
         F.sum(F.when(~is_a, x)).cast("decimal(38,2)").alias("_xb"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # the reassignment threshold from the EXACT counts — a 1-row
     # broadcast; floor(n_a/N * 2^32) computed identically both engines
     thr = counts.select(
@@ -4384,7 +4384,7 @@ def mad_outliers(
     # once (r12 audit: 10 scans / 13 exchanges un-pinned)
     med = exact_quantiles(base, "_x", [0.5], group_by=group_by).select(
         *group_by, F.col("value").alias("_med")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     j_med = broadcast_group_join(base, med, group_by)
     dev = j_med.select(
         *group_by, F.abs(F.col("_x") - F.col("_med")).alias("_adev")
@@ -5055,7 +5055,7 @@ def tukey_hsd(
         )
         # the bounded level table feeds the MSE fold AND both sides
         # of the pair join — pin it so the raw scan runs ONCE
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     term = (
         (_d(F.col("_sum")) * _d(F.col("_sum")))

@@ -1002,7 +1002,7 @@ def time_rollup(
         # scanned once" a plan property instead of an AQE
         # exchange-reuse hope (verified: unpinned, the final adaptive
         # plan still held one raw scan per level)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out = close(fine, steps[0])
     cur = fine
@@ -1020,7 +1020,7 @@ def time_rollup(
                     F.max(f"_max_{c}").alias(f"_max_{c}"),
                 )
             ]
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         out = out.unionByName(close(cur, step))
     return out
 
@@ -2359,7 +2359,7 @@ def aalen_johansen(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("_m"))
         # feeds the per-time reduction AND the per-cause join back
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     per_t = cells.groupBy("_t").agg(
         F.sum(F.when(F.col("_k") != "0", F.col("_m")).otherwise(0))

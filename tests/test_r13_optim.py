@@ -238,3 +238,62 @@ def test_edit_join_plan_single_index_scan_and_broadcast(spark):
     got = {(r.s_a, r.s_b): r.edit_distance for r in out.collect()}
     assert got[("kettle", "kettles")] == 1
     assert ("cat", "kettle") not in got
+
+
+def test_lazy_registry_full_iteration_and_tombstones():
+    """ADVICE r12 (low): keys()/len()/iteration must cover the full
+    spec-backed key space, and del/pop must stick instead of being
+    resurrected by __missing__."""
+    from etl_spark_gradle_spark import operators as ops
+
+    reg = ops._LazyTransformerRegistry()
+    assert len(reg) == len(ops._TRANSFORMER_SPECS)
+    assert set(reg.keys()) == set(ops._TRANSFORMER_SPECS)
+    assert "kmeans" in reg and "filter" in list(reg)
+    # deletion of a spec-backed, never-materialized key sticks
+    del reg["kmeans"]
+    assert "kmeans" not in reg
+    with pytest.raises(KeyError):
+        reg["kmeans"]
+    assert "kmeans" not in reg.keys()
+    assert len(reg) == len(ops._TRANSFORMER_SPECS) - 1
+    # re-registration clears the tombstone
+    sentinel = object()
+    reg["kmeans"] = sentinel
+    assert reg["kmeans"] is sentinel
+    # pop of a materialized key sticks too
+    t = reg.pop("kmeans")
+    assert t is sentinel
+    assert "kmeans" not in reg
+    assert reg.pop("kmeans", "dflt") == "dflt"
+    # items() materializes lazily and matches keys()
+    reg2 = ops._LazyTransformerRegistry()
+    del reg2["pagerank"]
+    items = dict(reg2.items())
+    assert set(items) == set(reg2.keys())
+    assert "pagerank" not in items
+    # the shared registry is untouched by the scratch instances above
+    assert "kmeans" in ops.TRANSFORMER_REGISTRY
+
+
+def test_operators_star_import_binds_lazy_exports():
+    """ADVICE r12 (low): `import *` must bind every lazy export."""
+    import subprocess
+    import sys
+
+    code = (
+        "from etl_spark_gradle_spark import operators as ops\n"
+        "want = set(ops._EXPORTS)\n"
+        "ns = {}\n"
+        "exec('from etl_spark_gradle_spark.operators import *', ns)\n"
+        "missing = want - set(ns)\n"
+        "assert not missing, f'star-import missing: {sorted(missing)[:5]}'\n"
+        "assert callable(ns['kmeans'])\n"
+        "print('star-import ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "star-import ok" in out.stdout

@@ -1432,6 +1432,46 @@ def main() -> int:
     else:
         failed += 1
         print(f"FAIL filter: ReadSchema not pruned: {read_schema}")
+
+    # target_encode PIN-TIME plan (ADVICE r12): the category stats /
+    # prior aggregations run at checkpoint time and never appear in the
+    # final encode plan, so audit them directly — partial (map-side)
+    # aggregation over the raw scan, no join, no python — and assert
+    # the final plan consumes checkpointed RDDs instead of
+    # re-aggregating
+    from etl_spark_gradle_spark.operators.features import (
+        _target_encode_stats,
+        target_encode,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stats_raw, prior_raw = _target_encode_stats(
+        li, ["l_returnflag"], "l_extendedprice"
+    )
+    pin_problems = []
+    sp = plan_of(stats_raw)
+    if "partial_sum" not in sp or "hashpartitioning" not in sp:
+        pin_problems.append("stats pin-time plan lost partial aggregation")
+    if "Join" in sp or "EvalPython" in sp:
+        pin_problems.append("stats pin-time plan grew a join/python stage")
+    pp = plan_of(prior_raw)
+    if "partial_sum" not in pp:
+        pin_problems.append("prior pin-time plan lost partial aggregation")
+    final = plan_of(
+        target_encode(li, ["l_returnflag"], "l_extendedprice")
+    )
+    if "ExistingRDD" not in final:
+        pin_problems.append("final plan no longer scans checkpointed RDDs")
+    if "partial_sum" in final:
+        pin_problems.append("final plan re-aggregates the pinned stats")
+    if pin_problems:
+        failed += 1
+        print(f"FAIL target_encode_pins: {'; '.join(pin_problems)}")
+    else:
+        print(
+            "PASS target_encode_pins: pin-time aggregation partial+"
+            "shuffled, final plan consumes checkpoint scans only"
+        )
     return 1 if failed else 0
 
 
