@@ -1323,10 +1323,15 @@ def simhash_candidates(
     # the blocked table is SELF-joined, so an un-pinned signature
     # pipeline (tokenize + 64 weighted bit sums over the text) planned
     # and ran twice (12 scans, r12 audit); pin the narrow (id, sig)
-    # table once — both join sides then derive from materialized rows
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("sig")
-    ).localCheckpoint(eager=False)
+    # table once — both join sides then derive from materialized rows.
+    # O(n) relation -> size-aware pin (VERDICT r12 ask #5): estimate-
+    # large corpora persist MEMORY_AND_DISK (lineage kept, executor
+    # loss recomputes) instead of the lineage-truncating checkpoint
+    from etl_spark_gradle_spark.operators.relational import pin_bounded
+
+    sigs = pin_bounded(
+        df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
+    )
     blocked = sigs.select(
         "id",
         "sig",

@@ -43,7 +43,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_spark_gradle_spark.operators.relational import TransformationError
+from etl_spark_gradle_spark.operators.relational import (
+    TransformationError,
+    pin_bounded,
+)
 
 __all__ = [
     "pagerank",
@@ -226,21 +229,23 @@ def triangle_count(
     # set); Catalyst re-plans the whole upstream per reference, so the
     # un-pinned composition compounded to ~45 copies of the edge
     # subtree (90 parquet scans / 91 exchanges in the executed plan,
-    # r12 audit). Each intermediate is O(m) or O(V) and reused
-    # immediately — exactly the bounded-reused-relation case the pin
-    # device exists for; results are unchanged.
-    edges = (
+    # r12 audit). deg is the genuinely bounded one (O(V), two columns)
+    # and keeps the localCheckpoint pin; edges/directed are O(m), so
+    # they go through the size-aware pin_bounded (VERDICT r12 ask #5 /
+    # ADVICE): small graphs pin as before, estimate-large ones persist
+    # MEMORY_AND_DISK instead, keeping lineage so an executor loss
+    # recomputes rather than failing the job. Results are unchanged.
+    edges = pin_bounded(
         df.filter(a.isNotNull() & b.isNotNull() & (a != b))
         .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("x").alias("v"))
         .unionAll(edges.select(F.col("y").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
@@ -249,10 +254,12 @@ def triangle_count(
     low_first = (F.col("dx") < F.col("dy")) | (
         (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
-    directed = ranked.select(
-        F.when(low_first, F.col("x")).otherwise(F.col("y")).alias("u"),
-        F.when(low_first, F.col("y")).otherwise(F.col("x")).alias("w"),
-    ).localCheckpoint(eager=True)
+    directed = pin_bounded(
+        ranked.select(
+            F.when(low_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(low_first, F.col("y")).otherwise(F.col("x")).alias("w"),
+        )
+    )
     d1 = directed.select(F.col("u"), F.col("w").alias("v1"))
     d2 = directed.select(F.col("u"), F.col("w").alias("v2"))
     wedges = d1.join(d2, "u").filter(F.col("v1") < F.col("v2"))
