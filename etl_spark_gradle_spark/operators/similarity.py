@@ -204,7 +204,7 @@ def embedding_cosine_dups_lsh(
         "id",
         "v",
         l2_norm(F.col("v")).alias("__n"),
-        srp_signature(F.col("v"), planes).alias("__sig"),
+        F.expr(srp_signature_sql("v", planes)).alias("__sig"),
     )
     banded = sig.select(
         "id",
@@ -293,8 +293,17 @@ def train_ivf_centroids(
         " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v))"
     )
     for _ in range(max(0, iterations)):
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cv]) for cv in centroids]
+        # one F.expr parse instead of num_cells x dim F.lit py4j round
+        # trips per iteration (~1.1k calls at 16x64 — the
+        # ann_ivf_trained build whale, r13 profile); _dlit round-trips
+        # to the identical doubles F.lit embedded
+        cent_arr = F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(_dlit(x) for x in cv) + ")"
+                for cv in centroids
+            )
+            + ")"
         )
         best = c.withColumn("__cents", cent_arr).select(
             "cv",
@@ -598,6 +607,32 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.array(*bits)
 
 
+def _dlit(x: float) -> str:
+    """Shortest-round-trip double literal for SQL text: repr(x) parses
+    back (Double.parseDouble is correctly rounded) to the identical
+    IEEE double that ``F.lit(x)`` embeds."""
+    return repr(float(x)) + "D"
+
+
+def srp_signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL-text twin of :func:`srp_signature`: same expressions in the
+    same order (zip_with casts, 0.0 seed, left-fold accumulation, the
+    ``>= 0`` sign test), rendered as ONE string for a single ``F.expr``
+    parse. Built per-Column, a 32-bit signature over dim-64 planes
+    costs ~4.5k py4j round trips per call site (~3.5 s of ann_lsh's
+    sweep build, r13 profile); parsed as text it is one round trip."""
+    bits = []
+    for plane in planes:
+        arr = "array(" + ", ".join(_dlit(x) for x in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)")
+    return "array(" + ", ".join(bits) + ")"
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -637,7 +672,7 @@ def lsh_bucketed_topk(
         df: DataFrame, id_alias: str, vec_col: str, vec_alias: str, norm_alias: str
     ) -> DataFrame:
         # norm once per input row, before the band explode (_cosine_pre)
-        sig = srp_signature(F.col(vec_col), planes)
+        sig = F.expr(srp_signature_sql(vec_col, planes))
         out = df.select(
             F.col(id_alias).alias("__id"),
             F.col(vec_col).alias(vec_alias),

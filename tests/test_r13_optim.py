@@ -337,3 +337,23 @@ def test_triangle_count_unchanged_after_size_aware_pins(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     g = triangle_count(df, "s", "d", per_vertex=False).collect()[0]
     assert g["triangles"] == 4
+
+
+def test_srp_signature_sql_bit_identical(spark):
+    """The one-parse SQL signature must reproduce the Column-built
+    signature bit-for-bit (same doubles, same fold order)."""
+    from etl_spark_gradle_spark.operators import similarity as sim
+
+    planes = sim.random_hyperplanes(dim=8, num_bits=16, seed=42)
+    rows = [
+        (i, [((i * 7 + j * 13) % 11) - 5.25 for j in range(8)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    both = df.select(
+        "id",
+        sim.srp_signature(F.col("v"), planes).alias("a"),
+        F.expr(sim.srp_signature_sql("v", planes)).alias("b"),
+    ).collect()
+    for r in both:
+        assert list(r["a"]) == list(r["b"]), r["id"]
