@@ -968,19 +968,33 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("is_late"),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # ONE pass (r13 scan-dedup audit): the r12 shape referenced `lines`
+    # twice (per-order countDistinct branch + late-pairs distinct
+    # branch), so Catalyst planned the lineitem⋈orders subtree twice —
+    # 2 lineitem + 2 orders scans — and the two countDistincts cost an
+    # Expand (2x rows through the aggregate). Collapsing to the
+    # distinct (order, supplier, any_late) table first makes both
+    # order-level stats a window over it and the late pairs a plain
+    # filter: n_supp == COUNT(*) per order over distinct pairs,
+    # n_late_supp == Σ any_late, late pairs == any_late rows. Same
+    # rows, one scan each, no Expand.
+    from pyspark.sql.window import Window
+
+    sup_stat = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("any_late")
     )
-    culprit_orders = per_order.where(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select(F.col("l_orderkey").alias("co_orderkey"))
-    late_lines = lines.where(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    w_ord = Window.partitionBy("l_orderkey")
+    flagged = sup_stat.withColumns(
+        {
+            "n_supp": F.count(F.lit(1)).over(w_ord),
+            "n_late_supp": F.sum(F.col("any_late").cast("int")).over(w_ord),
+        }
+    )
     return (
-        late_lines.join(
-            culprit_orders, late_lines.l_orderkey == F.col("co_orderkey"), "inner"
+        flagged.where(
+            F.col("any_late")
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
