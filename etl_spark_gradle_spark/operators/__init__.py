@@ -347,13 +347,18 @@ class _LazyTransformerRegistry(dict):
     the FULL key space (instantiated ∪ spec-backed, minus explicit
     deletions — ADVICE r12), and user overrides via
     ``register_transformer`` (a plain ``__setitem__``, which always
-    wins over the spec table). ``del``/``pop`` of a spec-backed key
-    leaves a tombstone so removal sticks instead of being silently
-    resurrected by ``__missing__``."""
+    wins over the spec table). Deletion semantics: ``del``/``pop`` of a
+    USER OVERRIDE removes just the override — the spec default
+    resurfaces (the register/unregister round trip r12 locked in
+    tests). Deleting the spec-made instance, or a spec-backed key that
+    was never materialized, leaves a tombstone so unregistering a
+    built-in sticks instead of being silently resurrected by
+    ``__missing__`` (ADVICE r12)."""
 
     def __init__(self):
         super().__init__()
         self._tombstones: set = set()
+        self._spec_made: set = set()
 
     def __missing__(self, key):
         if key in self._tombstones:
@@ -361,16 +366,27 @@ class _LazyTransformerRegistry(dict):
         cls_name = _TRANSFORMER_SPECS[key]  # KeyError -> caller's miss
         instance = __getattr__(cls_name)()
         self[key] = instance
+        self._spec_made.add(key)
         return instance
 
     def __setitem__(self, key, value):
         self._tombstones.discard(key)
+        self._spec_made.discard(key)
         dict.__setitem__(self, key, value)
 
     def __delitem__(self, key):
         if dict.__contains__(self, key):
+            was_spec_made = key in self._spec_made
             dict.__delitem__(self, key)
-        elif key not in _TRANSFORMER_SPECS or key in self._tombstones:
+            self._spec_made.discard(key)
+            if was_spec_made or key not in _TRANSFORMER_SPECS:
+                # removing the spec-made instance = unregister the
+                # built-in; removing a non-spec key just removes it
+                if key in _TRANSFORMER_SPECS:
+                    self._tombstones.add(key)
+            # else: user override removed — spec default resurfaces
+            return
+        if key not in _TRANSFORMER_SPECS or key in self._tombstones:
             raise KeyError(key)
         self._tombstones.add(key)
 

@@ -257,13 +257,18 @@ def test_lazy_registry_full_iteration_and_tombstones():
         reg["kmeans"]
     assert "kmeans" not in reg.keys()
     assert len(reg) == len(ops._TRANSFORMER_SPECS) - 1
-    # re-registration clears the tombstone
+    # re-registration clears the tombstone...
     sentinel = object()
     reg["kmeans"] = sentinel
     assert reg["kmeans"] is sentinel
-    # pop of a materialized key sticks too
+    # ...and popping a USER OVERRIDE restores the spec default (the
+    # r12 register/unregister round-trip contract)
     t = reg.pop("kmeans")
     assert t is sentinel
+    assert "kmeans" in reg
+    assert type(reg["kmeans"]).__name__ == "KMeansTransformer"
+    # deleting the SPEC-MADE instance unregisters the built-in for good
+    del reg["kmeans"]
     assert "kmeans" not in reg
     assert reg.pop("kmeans", "dflt") == "dflt"
     # items() materializes lazily and matches keys()
