@@ -14151,46 +14151,46 @@ _GATE_WINDOW: list[str] = [
     "fdr_by",
     "tfidf",
     "aalen_johansen",
-    "contamination",
-    "quarantine_roundtrip",
-    "streaming_window",
-    "ngram_jaccard",
-    "audio_decode",
-    "roundtrip_parquet",
-    "language_id",
-    "cosine_topk",
-    "rollup",
-    "image_decode",
-    "dedup_clusters",
-    "embedding_cosine_dups",
-    "multimodal_meta",
-    "repetition_stats",
-    "token_counts",
-    "top_bigram",
-    "dedup_exact_content",
-    "join_semi",
-    "agg_extended",
-    "ranking",
-    "analytics",
-    "pivot",
-    "aggregation",
-    "dedup_exact_keys",
-    "duplicate_stats",
-    "filter",
-    "join_inner",
-    "join_left",
-    "map",
-    "null_metrics",
-    "null_split_invalid",
-    "simhash",
-    "text_stats",
-    "window_tumbling",
-    "roundtrip_avro",
-    "zorder",
-    "schema_align",
-    "sessionize",
-    "bpe_tokenize",
-    "streaming_dedup",
+    "incremental_minhash",
+    "minhash_lsh",
+    "ann_ivf_trained",
+    "streaming_join",
+    "incremental_dedup",
+    "lm_score",
+    "embed_media",
+    "image_resize",
+    "model_score",
+    "url_features",
+    "ann_ivf",
+    "ann_lsh",
+    "clean_text",
+    "roundtrip_orc",
+    "cube",
+    "join_anti",
+    "fingerprint",
+    "join_full",
+    "join_right",
+    "json_extract",
+    "roundtrip_csv",
+    "roundtrip_json",
+    "window_session",
+    "window_sliding",
+    "resample_ffill",
+    "resample_origin",
+    "profile",
+    "streaming_gaps",
+    "pmi",
+    "unpivot",
+    "resample_linear",
+    "bm25",
+    "cms_prune",
+    "cms_topk",
+    "incremental_aggregate",
+    "scd2",
+    "top_paths",
+    "grouping_sets",
+    "interval_join",
+    "trending",
 ]
 
 
